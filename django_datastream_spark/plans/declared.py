@@ -730,37 +730,34 @@ def q27(spark, sf_dir):
 # --------------------------------------------------------------------------
 @_declare("q28_pandas_stddev", ORACLES["q09_sumsq_stddev"])
 def q28(spark, sf_dir):
-    from pyspark.sql.functions import pandas_udf
+    import numpy as np
 
-    @pandas_udf("double")
-    def pop_std(v: pd.Series) -> float:
-        # population std-dev via the reference's (count, sum, sum_squares)
-        # identity — SURVEY A6 / FIXTURES B3.2.
-        import math
+    # Scale note: applyInPandas keyed by a bounded hash bucket, with a
+    # vectorized pandas groupby over the fine key inside — one Python call
+    # per bucket (≈ one per core), not one per group. A grouped-agg pandas
+    # UDF over (user, day) costs ~40k interpreter round-trips at sf0.1
+    # (measured 60s); per-user grouping still pays 1500 tiny groupbys.
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.assign(vv=pdf["value"] * pdf["value"])
+        g = pdf.groupby(["user_id", "b"], sort=False)
+        agg = g.agg(s=("value", "sum"), q=("vv", "sum"), n=("value", "count"))
+        var = (agg["q"] - agg["s"] * agg["s"] / agg["n"]) / agg["n"]
+        agg["d"] = np.sqrt(np.where(var >= 0, var, np.nan))
+        out = agg.reset_index()[["user_id", "b", "q", "d"]]
+        return out
 
-        n = len(v)
-        if n == 0:
-            return None
-        s = float(v.sum())
-        q = float((v * v).sum())
-        var = (q - s * s / n) / n
-        return math.sqrt(var) if var >= 0 else float("nan")
-
-    @pandas_udf("double")
-    def sum_sq(v: pd.Series) -> float:
-        return float((v * v).sum())
-
-    # a grouped-agg pandas UDF cannot share an .agg() with JVM aggregates,
-    # so both output columns go through Arrow here.
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("b"))
-        .agg(
-            F.round(sum_sq(F.col("value")), 4).alias("q"),
-            F.round(pop_std(F.col("value")), 4).alias("d"),
-        )
-        .orderBy("user_id", "b")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("b"), "value"
     )
+    res = ev.groupBy(F.pmod(F.hash("user_id"), F.lit(64)).alias("_bk")).applyInPandas(
+        per_bucket, "user_id long, b timestamp, q double, d double"
+    )
+    return res.select(
+        "user_id",
+        "b",
+        F.round("q", 4).alias("q"),
+        F.round("d", 4).alias("d"),
+    ).orderBy("user_id", "b")
 
 
 # --------------------------------------------------------------------------
