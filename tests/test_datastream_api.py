@@ -1,0 +1,377 @@
+"""Datastream facade behavior tests — the reference's test strategy
+(SURVEY §5: append → downsample → get_data golden assertions, derive
+operators, timestamp edge cases, nominal/graph types) ported as behaviors,
+with expectations computed independently in Python/pandas.
+
+Fixtures follow FIXTURES.md B2 (smaller sizes for suite speed).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from django_datastream_spark import exceptions as exc
+from django_datastream_spark.api import Datastream
+from django_datastream_spark.granularity import BY_NAME
+
+UTC = dt.timezone.utc
+T0 = dt.datetime(2024, 3, 1, tzinfo=UTC)
+
+
+def ts(i: int) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=i)
+
+
+def nts(i: int) -> dt.datetime:
+    """Spark collects timestamps as naive datetimes in session-UTC."""
+    return ts(i).replace(tzinfo=None)
+
+
+@pytest.fixture()
+def engine(spark, tmp_path) -> Datastream:
+    return Datastream(spark, str(tmp_path / "store"))
+
+
+def dense_values(n: int) -> list[float]:
+    # fx_numeric_dense: sin(i/10)*100 + i%7
+    return [math.sin(i / 10) * 100 + i % 7 for i in range(n)]
+
+
+def test_ensure_stream_idempotent_and_find(engine):
+    sid = engine.ensure_stream({"title": "t1", "node": {"name": "n1"}})
+    sid2 = engine.ensure_stream({"title": "t1", "node": {"name": "n1"}})
+    assert sid == sid2
+    engine.ensure_stream({"title": "t2"}, tags={"unit": "C"})
+    found = engine.find_streams({"node": {"name": "n1"}})
+    assert [s["stream_id"] for s in found] == [sid]
+    assert len(engine.find_streams()) == 2
+    by_extra = engine.find_streams({"unit": "C"})
+    assert len(by_extra) == 1 and by_extra[0]["tags"]["title"] == "t2"
+
+
+def test_ensure_stream_conflicting_spec_raises(engine):
+    engine.ensure_stream({"title": "x"}, value_type="numeric")
+    with pytest.raises(exc.InconsistentStreamConfiguration):
+        engine.ensure_stream({"title": "x"}, value_type="nominal")
+
+
+def test_append_monotonicity(engine):
+    sid = engine.ensure_stream({"title": "mono"})
+    engine.append(sid, 1.0, ts(0))
+    engine.append(sid, 2.0, ts(1))
+    with pytest.raises(exc.InvalidTimestamp):
+        engine.append(sid, 3.0, ts(1))  # equal → rejected
+    with pytest.raises(exc.InvalidTimestamp):
+        engine.append(sid, 3.0, ts(0))  # earlier → rejected
+    engine.append(sid, 3.0, ts(0), check_timestamp=False)  # permitted
+    pts = list(engine.get_data(sid, "seconds"))
+    assert [p["v"] for p in pts] == [1.0, 3.0, 2.0]
+
+
+def test_append_batch_monotonicity_within_batch(engine):
+    sid = engine.ensure_stream({"title": "mono2"})
+    with pytest.raises(exc.InvalidTimestamp):
+        engine.append_multiple(
+            [
+                {"stream_id": sid, "value": 1.0, "timestamp": ts(5)},
+                {"stream_id": sid, "value": 2.0, "timestamp": ts(5)},
+            ]
+        )
+
+
+def test_append_type_checks(engine):
+    sid = engine.ensure_stream({"title": "typed"})
+    with pytest.raises(exc.UnsupportedValueType):
+        engine.append(sid, "not-a-number", ts(0))
+    d = engine.ensure_stream(
+        {"title": "drv"}, derive_from=[sid], derive_op="derivative"
+    )
+    with pytest.raises(exc.AppendToDerivedStreamNotAllowed):
+        engine.append(d, 1.0, ts(0))
+
+
+def test_downsample_numeric_all_granularities(engine):
+    n = 3 * 3600 + 30  # 3h of second data + a partial hour tail
+    vals = dense_values(n)
+    sid = engine.ensure_stream({"title": "dense"})
+    engine.append_multiple(
+        [
+            {"stream_id": sid, "value": v, "timestamp": ts(i)}
+            for i, v in enumerate(vals)
+        ]
+    )
+    until = ts(n)  # everything before the tail's open bucket completes
+    engine.downsample_streams(until=until)
+
+    for gname in ("seconds10", "minutes", "minutes10", "hours"):
+        g = BY_NAME[gname]
+        dur = g.duration_s
+        complete = (n // dur) * dur
+        pts = list(engine.get_data(sid, gname))
+        assert len(pts) == complete // dur, gname
+        # spot-check every k-th bucket against a pure-Python oracle
+        for k in range(0, len(pts), max(1, len(pts) // 7)):
+            bucket = vals[k * dur : (k + 1) * dur]
+            got = pts[k]["v"]
+            assert got["count"] == len(bucket)
+            assert got["sum"] == pytest.approx(sum(bucket), rel=1e-12)
+            assert got["min"] == pytest.approx(min(bucket))
+            assert got["max"] == pytest.approx(max(bucket))
+            assert got["mean"] == pytest.approx(sum(bucket) / len(bucket), rel=1e-12)
+            q = sum(v * v for v in bucket)
+            assert got["sum_squares"] == pytest.approx(q, rel=1e-12)
+            var = (q - sum(bucket) ** 2 / len(bucket)) / len(bucket)
+            assert got["std_dev"] == pytest.approx(
+                math.sqrt(max(var, 0.0)), rel=1e-9, abs=1e-9
+            )
+            t = pts[k]["t"]
+            assert t["first"] == nts(k * dur)
+            assert t["last"] == nts((k + 1) * dur - 1)
+            mean_epoch = sum(int(ts(i).timestamp()) for i in range(k * dur, (k + 1) * dur)) // len(bucket)
+            assert t["mean"] == dt.datetime.fromtimestamp(mean_epoch, tz=UTC).replace(tzinfo=None)
+
+
+def test_downsample_idempotent_and_incremental(engine):
+    sid = engine.ensure_stream({"title": "incr"})
+    vals = dense_values(600)
+    engine.append_multiple(
+        [{"stream_id": sid, "value": v, "timestamp": ts(i)} for i, v in enumerate(vals)]
+    )
+    engine.downsample_streams(until=ts(600))
+    n1 = len(engine.get_data(sid, "minutes"))
+    # re-run: nothing new
+    engine.downsample_streams(until=ts(600))
+    assert len(engine.get_data(sid, "minutes")) == n1 == 10
+    # append more, downsample again: only new buckets appear
+    engine.append_multiple(
+        [
+            {"stream_id": sid, "value": float(i), "timestamp": ts(600 + i)}
+            for i in range(120)
+        ]
+    )
+    engine.downsample_streams(until=ts(720))
+    pts = list(engine.get_data(sid, "minutes"))
+    assert len(pts) == 12
+    assert pts[10]["v"]["sum"] == pytest.approx(sum(range(60)))
+
+
+def test_downsample_nominal_frequencies_and_ties(engine):
+    sid = engine.ensure_stream({"title": "nom"}, value_type="nominal")
+    # fx_nominal: skewed frequencies incl. an exact tie in bucket 0:
+    # a×2 b×2 c×1 → most_often tie(a,b) → 'a' (value asc); least 'c'
+    seq = ["a", "b", "a", "b", "c"] + ["z"] * 3 + ["y"] * 2
+    engine.append_multiple(
+        [
+            {"stream_id": sid, "value": s, "timestamp": ts(i)}
+            for i, s in enumerate(seq[:5])
+        ]
+        + [
+            {"stream_id": sid, "value": s, "timestamp": ts(10 + i)}
+            for i, s in enumerate(seq[5:])
+        ]
+    )
+    engine.downsample_streams(until=ts(60))
+    pts = list(engine.get_data(sid, "seconds10"))
+    assert len(pts) == 2
+    b0, b1 = pts[0]["v"], pts[1]["v"]
+    assert b0["frequencies"] == {'"a"': 2, '"b"': 2, '"c"': 1}
+    assert b0["most_often"] == '"a"' and b0["least_often"] == '"c"'
+    assert b1["frequencies"] == {'"y"': 2, '"z"': 3}
+    assert b1["most_often"] == '"z"' and b1["least_often"] == '"y"'
+    assert b0["count"] == 5 and b1["count"] == 5
+    # numeric aggregates are null for nominal streams
+    assert "mean" not in b0 or b0.get("mean") is None
+
+
+def test_graph_roundtrip_and_count(engine):
+    sid = engine.ensure_stream({"title": "g"}, value_type="graph")
+    snaps = [
+        {
+            "v": [{"i": str(j)} for j in range(i + 1)],
+            "e": [{"f": str(j), "t": str(j + 1)} for j in range(i)],
+        }
+        for i in range(10)
+    ]
+    engine.append_multiple(
+        [
+            {"stream_id": sid, "value": s, "timestamp": ts(i)}
+            for i, s in enumerate(snaps)
+        ]
+    )
+    pts = list(engine.get_data(sid, "seconds"))
+    assert len(pts) == 10
+    assert pts[3]["v"]["v"] == [{"i": "0"}, {"i": "1"}, {"i": "2"}, {"i": "3"}]
+    assert pts[3]["v"]["e"][0] == {"f": "0", "t": "1"}
+    engine.downsample_streams(until=ts(60))
+    agg = list(engine.get_data(sid, "seconds10"))
+    assert agg[0]["v"]["count"] == 10
+
+
+def test_get_data_bounds_reverse_projection(engine):
+    sid = engine.ensure_stream({"title": "bounds"})
+    engine.append_multiple(
+        [
+            {"stream_id": sid, "value": float(i), "timestamp": ts(i)}
+            for i in range(100)
+        ]
+    )
+    full = list(engine.get_data(sid, "seconds", start=ts(10), end=ts(20)))
+    assert [p["v"] for p in full] == [float(i) for i in range(10, 21)]
+    ex = list(
+        engine.get_data(sid, "seconds", start_exclusive=ts(10), end_exclusive=ts(20))
+    )
+    assert [p["v"] for p in ex] == [float(i) for i in range(11, 20)]
+    rev = list(engine.get_data(sid, "seconds", start=ts(10), end=ts(20), reverse=True))
+    assert [p["v"] for p in rev] == list(reversed([p["v"] for p in full]))
+    with pytest.raises(ValueError):
+        engine.get_data(sid, "seconds", start=ts(0), start_exclusive=ts(0))
+    # projection of downsampler keys (P1/P2)
+    engine.downsample_streams(until=ts(100))
+    pts = list(
+        engine.get_data(
+            sid,
+            "seconds10",
+            value_downsamplers=["mean", "max"],
+            time_downsamplers=["first"],
+        )
+    )
+    assert set(pts[0]["v"].keys()) == {"mean", "max"}
+    assert set(pts[0]["t"].keys()) == {"first"}
+    with pytest.raises(exc.UnsupportedDownsampler):
+        engine.get_data(sid, "seconds10", value_downsamplers=["nope"])
+    with pytest.raises(exc.UnsupportedGranularity):
+        hid = engine.ensure_stream({"title": "hg"}, highest_granularity="minutes")
+        engine.get_data(hid, "seconds")
+
+
+def test_derive_derivative_and_counter_ops(engine):
+    # fx_counter: monotonic counter with wraps at max_value=1000 + one reset
+    src = engine.ensure_stream({"title": "counter"})
+    vals = [0, 100, 300, 900, 50, 400, 990, 20, 500]  # two wraps (900→50, 990→20)
+    engine.append_multiple(
+        [
+            {"stream_id": src, "value": float(v), "timestamp": ts(i * 10)}
+            for i, v in enumerate(vals)
+        ]
+    )
+    d_plain = engine.ensure_stream(
+        {"title": "d"}, derive_from=[src], derive_op="derivative"
+    )
+    d_reset = engine.ensure_stream(
+        {"title": "r"}, derive_from=[src], derive_op="counter_reset"
+    )
+    d_cd = engine.ensure_stream(
+        {"title": "cd"},
+        derive_from=[src],
+        derive_op="counter_derivative",
+        derive_args={"max_value": 1000},
+    )
+    pts = list(engine.get_data(d_plain, "seconds"))
+    exp = [(vals[i] - vals[i - 1]) / 10 for i in range(1, len(vals))]
+    assert [p["v"] for p in pts] == pytest.approx(exp)
+
+    resets = list(engine.get_data(d_reset, "seconds"))
+    assert [p["t"] for p in resets] == [nts(40), nts(70)]
+    assert all(p["v"] == 1.0 for p in resets)
+
+    cd = list(engine.get_data(d_cd, "seconds"))
+    exp_cd = []
+    for i in range(1, len(vals)):
+        dv = vals[i] - vals[i - 1]
+        if dv < 0:
+            dv = 1000 - vals[i - 1] + vals[i]
+        exp_cd.append(dv / 10)
+    assert [p["v"] for p in cd] == pytest.approx(exp_cd)
+
+
+def test_derive_sum_alignment(engine):
+    # fx_multi_sum: 3 sources, minutes granularity, partially overlapping
+    s1 = engine.ensure_stream({"title": "s1"}, highest_granularity="minutes")
+    s2 = engine.ensure_stream({"title": "s2"}, highest_granularity="minutes")
+    s3 = engine.ensure_stream({"title": "s3"}, highest_granularity="minutes")
+    m = 60
+    engine.append_multiple(
+        [
+            {"stream_id": s1, "value": 1.0, "timestamp": ts(0)},
+            {"stream_id": s1, "value": 2.0, "timestamp": ts(m)},
+            {"stream_id": s2, "value": 10.0, "timestamp": ts(m)},
+            {"stream_id": s2, "value": 20.0, "timestamp": ts(2 * m)},
+            {"stream_id": s3, "value": 100.0, "timestamp": ts(m + 30)},  # same slot as ts(m)
+        ]
+    )
+    d = engine.ensure_stream(
+        {"title": "dsum"},
+        highest_granularity="minutes",
+        derive_from=[s1, s2, s3],
+        derive_op="sum",
+    )
+    pts = list(engine.get_data(d, "minutes"))
+    assert [(p["t"], p["v"]) for p in pts] == [
+        (nts(0), 1.0),
+        (nts(m), 112.0),  # sums whatever arrived in the slot (W1 semantics)
+        (nts(2 * m), 20.0),
+    ]
+
+
+def test_counter_derivative_with_reset_stream(engine):
+    src = engine.ensure_stream({"title": "c2"})
+    rst = engine.ensure_stream({"title": "c2rst"})
+    vals = [0, 10, 30, 5, 15]  # drop at i=3 explained by a reset
+    engine.append_multiple(
+        [
+            {"stream_id": src, "value": float(v), "timestamp": ts(i * 10)}
+            for i, v in enumerate(vals)
+        ]
+    )
+    engine.append(rst, 1.0, ts(25))  # reset between ts(20) and ts(30)
+    d = engine.ensure_stream(
+        {"title": "cd2"},
+        derive_from=[rst, src],
+        derive_op="counter_derivative",
+        derive_args={"streams": [{"name": "reset"}, {"name": "data"}]},
+    )
+    pts = list(engine.get_data(d, "seconds"))
+    # delta 30→5 suppressed (reset in interval); without max_value other
+    # decreases would also be skipped, but there are none
+    assert [(p["t"], p["v"]) for p in pts] == [
+        (nts(10), 1.0),
+        (nts(20), 2.0),
+        (nts(40), 1.0),
+    ]
+
+
+def test_delete_streams_dependencies(engine):
+    a = engine.ensure_stream({"title": "a"})
+    engine.ensure_stream({"title": "b"}, derive_from=[a], derive_op="derivative")
+    with pytest.raises(exc.OutstandingDependenciesError):
+        engine.delete_streams({"title": "a"})
+    assert engine.delete_streams({"title": "b"}) == 1
+    assert engine.delete_streams({"title": "a"}) == 1
+    assert engine.find_streams() == []
+
+
+def test_mixed_highest_granularity_downsample(engine):
+    fine = engine.ensure_stream({"title": "fine"})
+    coarse = engine.ensure_stream({"title": "coarse"}, highest_granularity="minutes")
+    engine.append_multiple(
+        [
+            {"stream_id": fine, "value": float(i), "timestamp": ts(i)}
+            for i in range(120)
+        ]
+        + [
+            {"stream_id": coarse, "value": float(i), "timestamp": ts(i * 60)}
+            for i in range(10)
+        ]
+    )
+    engine.downsample_streams(until=ts(1200))
+    # fine stream has seconds10 buckets; coarse starts at minutes10
+    assert len(engine.get_data(fine, "seconds10")) == 12
+    assert len(engine.get_data(fine, "minutes")) == 2
+    with pytest.raises(exc.UnsupportedGranularity):
+        engine.get_data(coarse, "seconds10")
+    m10 = list(engine.get_data(coarse, "minutes10"))
+    assert m10[0]["v"]["sum"] == pytest.approx(sum(range(10)))
+    assert m10[0]["v"]["count"] == 10
