@@ -1,0 +1,158 @@
+"""Text-analysis expression library (extension surface, SURVEY §2.10 /
+BASELINE north star: language-ID, quality scoring, token counting,
+fingerprinting for large-scale training-data pipelines).
+
+Everything here is a *column expression* over `pyspark.sql.functions` —
+JVM-side, whole-stage-codegen friendly; no Python UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (non-space runs) — portable across engines."""
+    return F.regexp_extract_all(text, F.lit(r"\S+"), 0)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """A BPE-ish regex split: word pieces, numbers, and single punctuation
+    marks as separate tokens (GPT-2-style pre-tokenizer shape)."""
+    return F.regexp_extract_all(
+        text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+    )
+
+
+def word_shingles(text: Column, n: int) -> Column:
+    """Word n-gram shingles, space-joined. Native expression:
+    transform over a 0-based index sequence."""
+    t = tokens(text)
+    k = F.size(t)
+    return F.when(k >= n, F.transform(
+        F.sequence(F.lit(0), k - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_EN_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that for on with"
+).split()
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Deterministic quality signals: length, token stats, punctuation and
+    stopword ratios. Composable; callers alias what they need."""
+    t = tokens(text)
+    n_tok = F.size(t)
+    punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+    stop_hits = F.size(F.array_intersect(t, F.array(*[F.lit(w) for w in _EN_STOPWORDS])))
+    return {
+        "n_chars": F.length(text).cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "mean_token_len": F.when(
+            n_tok > 0, (F.length(F.concat_ws("", t)) / n_tok)
+        ),
+        "punct_ratio": F.when(
+            F.length(text) > 0, punct / F.length(text)
+        ),
+        # distinct stopwords present / distinct tokens — a crude fluency signal
+        "stopword_ratio": F.when(
+            F.size(F.array_distinct(t)) > 0,
+            stop_hits / F.size(F.array_distinct(t)),
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# language identification (n-gram/stopword heuristic)
+# ---------------------------------------------------------------------------
+
+#: tiny per-language marker lexicons (public common-word lists)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": "the and of to in is that it for with as his on be at by".split(),
+    "fr": "le la les et de des un une est pour dans que qui sur au".split(),
+    "es": "el la los las y de un una es para en que por con del".split(),
+    "de": "der die das und ist ein eine zu den von mit für auf im".split(),
+    "zh": "的 是 在 了 和 有 我 他 这 中 大 来 上 国 个".split(),
+}
+
+
+def lang_marker_df(spark) -> DataFrame:
+    rows = [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws]
+    return spark.createDataFrame(rows, "lang string, marker string")
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Predict language as argmax of marker-token hits (ties → lang asc).
+
+    Scale shape: explode tokens → broadcast-join the tiny marker lexicon →
+    two aggregations. No UDFs; marker dim is broadcast so the only shuffle
+    is the per-doc score aggregation.
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    hits = (
+        toks.join(
+            F.broadcast(lang_marker_df(spark)),
+            toks.tok == F.col("marker"),
+        )
+        .groupBy(id_col, "lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("hits").desc(), F.col("lang").asc())
+    best = (
+        hits.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, F.col("lang").alias("pred_lang"), F.col("hits").cast("long").alias("hits"))
+    )
+    # docs with zero marker hits → 'und'
+    return (
+        docs.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Deterministic document fingerprint (portable: md5 exists in every
+    engine, so the oracle can reproduce it bit-for-bit)."""
+    return F.md5(normalized_text(text))
+
+
+def fingerprint_xx64(text: Column) -> Column:
+    """Fast engine-side fingerprint (xxhash64; Spark-specific)."""
+    return F.xxhash64(normalized_text(text))

@@ -1,0 +1,291 @@
+"""Deduplication operators (extension surface — BASELINE north star).
+
+Five families, each a single declarative Spark plan over all documents
+(no driver loops, no Python in the hot path):
+
+- exact:        md5/xxhash group-by, keep min id
+- minhash LSH:  shingle → k seeded min-hashes → band buckets → candidate
+                pairs → verified Jaccard
+- simhash:      64-bit bit-vote signature via explode + 64 conditional sums
+- n-gram Jaccard: inverted-index join on shingles (exact, for bounded sets)
+- embedding cosine: LSH-bucketed or brute-force pair generation
+
+Scale notes: every pairwise step is bounded — LSH band buckets cap the
+candidate space; the brute-force variants exist as oracles/baselines for
+bounded prefixes. Skewed buckets (a shingle shared by everything) are the
+classic failure: candidates are generated from *bands of signatures*, not
+raw shingles, so bucket size is controlled by (bands, rows) choice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_md5, tokens, word_shingles
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest id per identical (normalized) text. Returns the
+    surviving rows. One hash-aggregate shuffle on the fingerprint."""
+    fp = fingerprint_md5(F.col(text_col)).alias("_fp")
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+    return (
+        docs.select("*", fp)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_fp", "_rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, signatures ARRAY<BIGINT>[num_hashes]) via k seeded xxhash64
+    min-aggregations — one explode + one groupBy, all JVM-side."""
+    sh = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+        ).alias("sh"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signatures")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Docs agreeing on all rows of ≥1 band → candidate pair (a < b).
+
+    Band key = hash of the signature slice; self-join per (band, key)
+    bucket. The join is an equi-join on the band key — Catalyst plans a
+    shuffle-hash join whose width is the bucket size, never all-pairs.
+    """
+    bands_df = signatures.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.slice(
+                            F.col("signatures"),
+                            (b * rows_per_band + 1).cast("int"),
+                            rows_per_band,
+                        ).cast("array<string>"),
+                    )
+                ),
+            )
+        ).alias("band", "key"),
+    )
+    a = bands_df.select(
+        F.col(id_col).alias("a"), F.col("band"), F.col("key")
+    )
+    b = bands_df.select(
+        F.col(id_col).alias("b"), F.col("band"), F.col("key")
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given candidate pairs (a, b) — or for
+    ALL pairs sharing ≥1 shingle when pairs is None (inverted-index join;
+    only safe on bounded inputs)."""
+    sets_df = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    )
+    if pairs is None:
+        inv = sets_df.select("_id", F.explode("_sh").alias("s"))
+        pairs = (
+            inv.alias("x")
+            .join(inv.alias("y"), "s")
+            .filter(F.col("x._id") < F.col("y._id"))
+            .select(
+                F.col("x._id").alias("a"), F.col("y._id").alias("b")
+            )
+            .distinct()
+        )
+    a_sets = sets_df.select(F.col("_id").alias("a"), F.col("_sh").alias("_sha"))
+    b_sets = sets_df.select(F.col("_id").alias("b"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size(F.array_distinct(F.concat("_sha", "_shb")))
+    return (
+        pairs.join(a_sets, "a")
+        .join(b_sets, "b")
+        .select(
+            "a",
+            "b",
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs with verified Jaccard ≥ threshold, found via
+    MinHash LSH candidates. Returns (a, b, jaccard)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    cand = lsh_candidate_pairs(sig, id_col, bands, rows_per_band)
+    verified = jaccard_pairs(docs, cand, text_col, id_col, shingle_n)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """(id, simhash BIGINT): per-bit majority vote over token xxhash64s.
+
+    Native plan: explode tokens → one groupBy with ``bits`` conditional
+    sums (+1/−1 per bit) → reassemble the signature with bit arithmetic.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").isNull(), 0)
+            .when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select(id_col, sig.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, blocked on 4 16-bit
+    chunks (any pair within hamming ≤ 3 of a 64-bit hash agrees on ≥1 of
+    4 chunks — pigeonhole), so the join is equi on a chunk, never all-pairs."""
+    sig = simhash(docs, text_col, id_col)
+    chunks = sig.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("long")
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("_sa"), "chunk_idx", "chunk"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("_sb"), "chunk_idx", "chunk"
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", hamming_distance(F.col("_sa"), F.col("_sb")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine_near_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a < b) with cosine ≥ threshold — brute force; intended
+    for bounded prefixes or as the verify step after LSH blocking."""
+    e = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("_n", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+    a = e.select(F.col("_id").alias("a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = e.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

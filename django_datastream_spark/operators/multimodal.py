@@ -1,0 +1,133 @@
+"""Multimodal columns (extension surface): image/audio/video as opaque
+``binary`` payloads with typed metadata structs, processed by Arrow-batched
+``mapInPandas`` stages.
+
+The container has no image/audio codecs, so the *decode* step is stubbed
+(SURVEY §2.10 / task brief): ``decode_image`` raises NotImplementedError
+unless ``fake=True``, in which case a deterministic fake decoder derived
+from the payload bytes stands in. Everything around the stub — schema,
+partition-preserving mapInPandas plumbing, batch shapes, metadata
+propagation — is real and tested; swapping in Pillow/ffmpeg later only
+replaces the inner function.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: media payload column group: content + typed metadata
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # 'image'|'audio'|'video'
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, sha string, "
+    "feat array<double>"
+)
+
+
+def _fake_decode(payload: bytes, n_feat: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decoder: fixed-length features
+    derived from byte statistics. Stable across runs and engines."""
+    if not payload:
+        return [0.0] * n_feat
+    acc = [0] * n_feat
+    for i, b in enumerate(payload):
+        acc[i % n_feat] = (acc[i % n_feat] + b) % 4096
+    return [a / 4096.0 for a in acc]
+
+
+def decode_image(payload: bytes, fake: bool = False) -> list[float]:
+    if fake:
+        return _fake_decode(payload)
+    raise NotImplementedError(
+        "image codecs not available in this environment; pass fake=True "
+        "or swap in a real decoder (Pillow) here"
+    )
+
+
+def extract_features(
+    media: DataFrame, fake: bool = True, batch_hint: int = 1024
+) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    The Arrow batches stream through Python without materializing the
+    whole partition; partitioning is preserved (no shuffle)."""
+
+    # The closure must be SELF-CONTAINED: referencing module-level symbols
+    # would make cloudpickle serialize a module reference, and executors of
+    # an externally-created session may not have this package on their
+    # PYTHONPATH. Locals are pickled by value.
+    n_feat = 8
+
+    def _decode(payload: bytes) -> list[float]:
+        if not fake:
+            raise NotImplementedError(
+                "image codecs not available in this environment; pass "
+                "fake=True or swap in a real decoder (Pillow) here"
+            )
+        if not payload:
+            return [0.0] * n_feat
+        acc = [0] * n_feat
+        for i, b in enumerate(payload):
+            acc[i % n_feat] = (acc[i % n_feat] + b) % 4096
+        return [a / 4096.0 for a in acc]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            feats = [_decode(p) for p in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p or b"") for p in pdf["content"]],
+                    "sha": [
+                        hashlib.sha256(p or b"").hexdigest()[:16]
+                        for p in pdf["content"]
+                    ],
+                    "feat": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def synth_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a media table from the documents fixture (text bytes as the
+    opaque payload) — exercises the binary-column plumbing end-to-end
+    without real codecs."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )

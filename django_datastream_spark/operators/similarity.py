@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (extension surface).
+
+- ``cosine_topk``      — brute-force top-k: broadcast the (small) query set
+                         against the corpus, rank per query. The baseline
+                         and the rerank step of the scale path.
+- ``rp_lsh_topk``      — random-hyperplane LSH: bucket corpus + queries by
+                         sign-bit signatures (with multi-probe via band
+                         split), then exact rerank inside buckets. The
+                         100 TB path: candidate generation is an equi-join
+                         on bucket keys, never a cross join.
+
+Vectors are cast to float64 and reduced with sequential folds so results
+are deterministic and oracle-reproducible.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (brute force).
+
+    Returns (query_id, rank, neighbor_id, cosine). Ties break on lower
+    neighbor id. The query side is broadcast — suitable for query sets
+    up to ~10^5 rows; beyond that use rp_lsh_topk.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("_qn", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).withColumn("_cn", F.sqrt(_dot(F.col("_cv"), F.col("_cv"))))
+    pairs = F.broadcast(q).crossJoin(c)
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rnd = random.Random(seed)
+    return [
+        [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def rp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature of a vector against fixed hyperplanes → BIGINT."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = _dot(vec, F.array(*[F.lit(x) for x in p]))
+        sig = sig.bitwiseOR(
+            F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sig
+
+
+def rp_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: block on hyperplane-signature bands (a query and
+    candidate collide if they agree on ALL bits of ≥1 band), exact-rerank
+    within the candidate set. Recall grows with bands; cost is bounded by
+    bucket sizes. Returns (query_id, rank, neighbor_id, cosine)."""
+    assert n_planes % bands == 0
+    rows = n_planes // bands
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def with_bands(df: DataFrame, role: str) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        sig = rp_signature(v, planes)
+        band_arr = F.array(
+            *[
+                F.shiftright(sig, b * rows)
+                .bitwiseAND(F.lit((1 << rows) - 1))
+                .cast("long")
+                for b in range(bands)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            v.alias(f"_{role}v"),
+            F.posexplode(band_arr).alias("band", "key"),
+        )
+
+    qb = with_bands(queries, "query")
+    cb = with_bands(corpus, "neighbor")
+    cand = (
+        qb.join(cb, ["band", "key"])
+        .select("query_id", "neighbor_id", "_queryv", "_neighborv")
+        .distinct()
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    qn = F.sqrt(_dot(F.col("_queryv"), F.col("_queryv")))
+    cn = F.sqrt(_dot(F.col("_neighborv"), F.col("_neighborv")))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("_queryv"), F.col("_neighborv")) / (qn * cn)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cosine")
+    )

@@ -1,0 +1,246 @@
+"""Extension conformance queries (SURVEY §2.10 / BASELINE north star):
+dedup, similarity search, text analysis, multimodal plumbing — each a
+``queries()`` entry; oracle SQL provided wherever the computation is
+portable to DuckDB (md5/sha256/regex/list ops). Hash-based operators
+(xxhash64 minhash/simhash) and the LSH ANN path are declared rows-only
+and pinned by property tests instead (tests/test_extensions.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions import text as tx
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..sources.testdata import load_table
+from .declared import _declare
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+@_declare(
+    "q31_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) n_tok,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) n_bpe
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q31(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tok"),
+        F.size(tx.bpe_ish_tokens(F.col("text"))).cast("long").alias("n_bpe"),
+    ).orderBy("doc_id")
+
+
+@_declare(
+    "q32_text_quality",
+    r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) n_chars,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) n_tokens,
+           ROUND(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
+                 / NULLIF(length(text), 0), 4) punct_ratio,
+           ROUND(len(list_filter(regexp_extract_all(text, '\S+'),
+                     x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with'], x))) * 1.0
+                 / NULLIF(len(regexp_extract_all(text, '\S+')), 0), 4) stop_ratio
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q32(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    t = tx.tokens(F.col("text"))
+    stop = F.array(*[F.lit(w) for w in tx._EN_STOPWORDS])
+    n_tok = F.size(t)
+    punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(
+            punct / F.nullif(F.length("text"), F.lit(0)), 4
+        ).alias("punct_ratio"),
+        F.round(
+            F.size(F.filter(t, lambda x: F.array_contains(stop, x)))
+            / F.nullif(n_tok, F.lit(0)),
+            4,
+        ).alias("stop_ratio"),
+    ).orderBy("doc_id")
+
+
+def _lang_marker_values() -> str:
+    rows = [
+        f"('{lang}','{w}')" for lang, ws in tx.LANG_MARKERS.items() for w in ws
+    ]
+    return ", ".join(rows)
+
+
+@_declare(
+    "q33_lang_id",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) tok
+      FROM documents),
+    m(lang, marker) AS (VALUES {_lang_marker_values()}),
+    hits AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) hits
+             FROM toks JOIN m ON tok = marker GROUP BY 1, 2),
+    best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY hits DESC, lang ASC) rk FROM hits)
+    SELECT d.doc_id, COALESCE(b.lang, 'und') pred_lang,
+           CAST(COALESCE(b.hits, 0) AS BIGINT) hits
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rk = 1
+    ORDER BY d.doc_id
+    """,
+)
+def q33(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.lang_id(docs).orderBy("doc_id")
+
+
+@_declare(
+    "q34_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q34(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tx.fingerprint_md5(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+
+@_declare(
+    "q35_exact_dedup_survivors",
+    r"""
+    WITH fp AS (SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) f
+                FROM documents),
+    k AS (SELECT f, MIN(doc_id) keeper, CAST(COUNT(*) AS BIGINT) dups
+          FROM fp GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) survivors,
+           CAST(SUM(dups) AS BIGINT) total,
+           CAST(SUM(keeper) AS BIGINT) keeper_ck
+    FROM k
+    """,
+)
+def q35(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    surv = dd.exact_dedup(docs)
+    total = docs.count()
+    return surv.agg(
+        F.count("*").alias("survivors"),
+        F.lit(total).cast("long").alias("total"),
+        F.sum("doc_id").cast("long").alias("keeper_ck"),
+    )
+
+
+@_declare(
+    "q36_trigram_jaccard_pairs",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(regexp_extract_all(text,'\S+')) - 1, 1)),
+               i -> regexp_extract_all(text,'\S+')[i] || ' ' ||
+                    regexp_extract_all(text,'\S+')[i+1] || ' ' ||
+                    regexp_extract_all(text,'\S+')[i+2])) sh
+      FROM documents WHERE doc_id < 40),
+    p AS (SELECT a.doc_id a, b.doc_id b,
+                 len(list_intersect(a.sh, b.sh)) * 1.0
+                 / NULLIF(len(list_distinct(list_concat(a.sh, b.sh))), 0) j
+          FROM t a JOIN t b ON a.doc_id < b.doc_id)
+    SELECT a, b, ROUND(j, 4) jaccard FROM p WHERE j >= 0.05 ORDER BY a, b
+    """,
+)
+def q36(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    pairs = dd.jaccard_pairs(docs, pairs=None, shingle_n=3)
+    return (
+        pairs.filter(F.col("jaccard") >= 0.05)
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("a", "b")
+    )
+
+
+@_declare(
+    "q37_embedding_near_pairs",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+               FROM embeddings WHERE vec_id < 200),
+    p AS (SELECT a.vec_id a, b.vec_id b,
+                 list_inner_product(a.v, b.v)
+                 / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)) c
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT a, b, ROUND(c, 4) cosine FROM p WHERE c >= 0.35 ORDER BY a, b
+    """,
+)
+def q37(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return (
+        dd.cosine_near_pairs(emb, threshold=0.35)
+        .select("a", "b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("a", "b")
+    )
+
+
+# --------------------------------------------------------------------------
+# rows-only declarations (hash functions aren't portable to the oracle;
+# pinned by property tests in tests/test_extensions.py)
+# --------------------------------------------------------------------------
+
+
+@_declare("q38_simhash", None)
+def q38(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dd.simhash(docs).orderBy("doc_id")
+
+
+@_declare("q39_minhash_lsh_pairs", None)
+def q39(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dd.minhash_lsh_dedup(docs, threshold=0.5).orderBy("a", "b")
+
+
+@_declare("q41_ann_lsh_topk", None)
+def q41(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return sim.rp_lsh_topk(q, emb, k=5, dim=64).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing (binary column + mapInPandas; decode stubbed —
+# n_bytes/sha are portable and oracle-checked)
+# --------------------------------------------------------------------------
+
+
+@_declare(
+    "q40_multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) n_bytes,
+           substr(sha256(text), 1, 16) sha
+    FROM documents WHERE doc_id < 100 ORDER BY media_id
+    """,
+)
+def q40(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = mm.synth_media_from_documents(docs)
+    feats = mm.extract_features(media, fake=True)
+    return feats.select("media_id", "n_bytes", "sha").orderBy("media_id")

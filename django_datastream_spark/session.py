@@ -52,7 +52,9 @@ def harden_session(spark: SparkSession) -> SparkSession:
 
     The verification driver owns its own SparkSession; timezone and the
     parquet-NANOS legacy flag are runtime SQL confs, so we can still pin
-    them for oracle parity.
+    them for oracle parity. Also ships this package to executor Python
+    workers (addPyFile) so UDF closures resolve regardless of the
+    session's original PYTHONPATH.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     for conf, val in (
@@ -63,4 +65,30 @@ def harden_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(conf, val)
         except Exception:
             pass  # non-runtime conf on this build; loader has a pyarrow fallback
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    if getattr(spark, "_dds_pkg_shipped", False):
+        return
+    try:
+        import tempfile
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        zip_path = os.path.join(
+            tempfile.gettempdir(), "django_datastream_spark_pkg.zip"
+        )
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+                for fn in filenames:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+        spark.sparkContext.addPyFile(zip_path)
+        spark._dds_pkg_shipped = True
+    except Exception:
+        pass  # closures are written self-contained; this is extra insurance
