@@ -1,0 +1,104 @@
+"""Streaming ingest + windowed downsample behavior (SURVEY §2.8 T1/T3).
+
+Uses the file source with Trigger.AvailableNow so each test is a
+deterministic, bounded run.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from django_datastream_spark.api import Datastream
+from django_datastream_spark.streaming.ingest import (
+    StreamingIngest,
+    streaming_downsample,
+)
+
+UTC = dt.timezone.utc
+T0 = dt.datetime(2024, 6, 1, tzinfo=UTC)
+
+
+def iso(i: int) -> str:
+    return (T0 + dt.timedelta(seconds=i)).strftime("%Y-%m-%dT%H:%M:%S.000Z")
+
+
+def write_jsonl(path: str, rows: list[dict]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_streaming_ingest_validates_and_lands(spark, tmp_path):
+    engine = Datastream(spark, str(tmp_path / "store"))
+    sid = engine.ensure_stream({"title": "s"})
+    src = str(tmp_path / "incoming")
+    ing = StreamingIngest(engine, src, str(tmp_path / "cp"))
+
+    write_jsonl(
+        f"{src}/b0.json",
+        [
+            {"stream_id": sid, "ts": iso(0), "value": 1.0},
+            {"stream_id": sid, "ts": iso(1), "value": 2.0},
+            {"stream_id": sid, "ts": iso(1), "value": 99.0},  # dup ts → reject
+            {"stream_id": "nope", "ts": iso(2), "value": 3.0},  # unknown → reject
+        ],
+    )
+    ing.run_available()
+
+    pts = list(engine.get_data(sid, "seconds"))
+    assert [p["v"] for p in pts] == [1.0, 2.0]
+    rejects = spark.read.parquet(ing.rejects_path)
+    assert rejects.count() == 2
+
+    # second batch: replay of an old timestamp is rejected against the
+    # persisted latest_ts (T1 across micro-batches)
+    write_jsonl(
+        f"{src}/b1.json",
+        [
+            {"stream_id": sid, "ts": iso(1), "value": 50.0},  # ≤ latest → reject
+            {"stream_id": sid, "ts": iso(5), "value": 5.0},
+        ],
+    )
+    ing.run_available()
+    pts = list(engine.get_data(sid, "seconds"))
+    assert [p["v"] for p in pts] == [1.0, 2.0, 5.0]
+    assert spark.read.parquet(ing.rejects_path).count() == 3
+    meta = engine.find_streams({"title": "s"})[0]
+    assert meta["latest_ts"].replace(tzinfo=UTC) == T0 + dt.timedelta(seconds=5)
+
+
+def test_streaming_downsample_completed_bucket_rule(spark, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    # bucket [0,10): 3 points; bucket [10,20): 2 points; tail point at 25
+    rows = [
+        {"stream_id": "s1", "ts": iso(i), "value": float(v)}
+        for i, v in [(0, 1), (3, 2), (9, 3), (10, 10), (15, 20), (25, 99)]
+    ]
+    write_jsonl(f"{src}/b0.json", rows)
+    q = streaming_downsample(spark, src, out, cp, "seconds10")
+    q.awaitTermination()
+
+    got = {
+        r["bucket_ts"].replace(tzinfo=UTC): r
+        for r in spark.read.parquet(out).collect()
+    }
+    # watermark advanced to 25 ⇒ buckets ending ≤25 are closed: [0,10), [10,20)
+    assert set(got) == {T0, T0 + dt.timedelta(seconds=10)}
+    b0 = got[T0]
+    assert b0["count"] == 3 and b0["sum"] == 6.0 and b0["min"] == 1.0
+    # the open tail bucket [20,30) emits once a later batch moves the watermark
+    write_jsonl(f"{src}/b1.json", [{"stream_id": "s1", "ts": iso(41), "value": 7.0}])
+    q = streaming_downsample(spark, src, out, cp, "seconds10")
+    q.awaitTermination()
+    got2 = {r["bucket_ts"].replace(tzinfo=UTC) for r in spark.read.parquet(out).collect()}
+    assert T0 + dt.timedelta(seconds=20) in got2
+    # bucket [40,50) is still open — not emitted
+    assert T0 + dt.timedelta(seconds=40) not in got2
