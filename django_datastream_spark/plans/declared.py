@@ -82,13 +82,18 @@ def q01(spark, sf_dir):
     """,
 )
 def q02(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
+    # range predicates applied pre-conversion → parquet row-group pushdown
+    ev = load_table(
+        spark,
+        sf_dir,
+        "events",
+        ts_filters=[
+            ("ts", ">=", "2024-01-10 00:00:00"),
+            ("ts", "<", "2024-01-11 00:00:00"),
+        ],
+    )
     return (
-        ev.filter(
-            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
-            & (F.col("ts") < F.lit("2024-01-11 00:00:00").cast("timestamp"))
-        )
-        .select(
+        ev.select(
             "event_id",
             "user_id",
             "event_type",
@@ -110,10 +115,17 @@ def q02(spark, sf_dir):
     """,
 )
 def q03(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(
+        spark,
+        sf_dir,
+        "events",
+        ts_filters=[
+            ("ts", ">=", "2024-01-10 00:00:00"),
+            ("ts", "<=", "2024-01-20 00:00:00"),
+        ],
+    )
     lo = F.lit("2024-01-10 00:00:00").cast("timestamp")
-    hi = F.lit("2024-01-20 00:00:00").cast("timestamp")
-    return ev.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).agg(
+    return ev.agg(
         F.count("*").alias("n_incl"),
         F.sum(F.when(F.col("ts") > lo, 1).otherwise(0)).cast("long").alias("n_excl"),
     )
@@ -332,11 +344,12 @@ def q11(spark, sf_dir):
     """,
 )
 def q12(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(
+        spark, sf_dir, "events", ts_filters=[("ts", "<", "2024-01-30 00:00:00")]
+    )
     b10 = (F.floor(_epochs(F.col("ts")) / 10) * 10).cast("long")
     return (
-        ev.filter(F.col("ts") < F.lit("2024-01-30 00:00:00").cast("timestamp"))
-        .groupBy("user_id", b10.alias("b10"))
+        ev.groupBy("user_id", b10.alias("b10"))
         .agg(F.count("*").alias("c"), F.round(F.sum("value"), 4).alias("s"))
         .filter(F.col("c") > 1)
         .orderBy("user_id", "b10")

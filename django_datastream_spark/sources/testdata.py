@@ -49,14 +49,60 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         return []
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table, normalizing ns-timestamps to TimestampType."""
+def _bound_to_ns(b) -> int:
+    """UTC datetime/ISO-string bound → integer epoch nanoseconds (exact)."""
+    import datetime as _dt
+
+    if isinstance(b, str):
+        b = _dt.datetime.fromisoformat(b)
+    if b.tzinfo is None:
+        b = b.replace(tzinfo=_dt.timezone.utc)
+    secs = int(b.timestamp())
+    return secs * 1_000_000_000 + b.microsecond * 1000
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_filters: list[tuple[str, str, object]] | None = None,
+) -> DataFrame:
+    """Load one testdata table, normalizing ns-timestamps to TimestampType.
+
+    ``ts_filters``: optional [(col, op, bound)] with op in {'>=','>','<=',
+    '<'} and bound a UTC datetime / ISO string. For parquet-NANOS columns
+    the predicate is applied to the RAW int64 nanosecond column *before*
+    conversion, so it reaches the parquet reader as a pushable min/max
+    row-group filter (a predicate wrapped in ``timestamp_micros(... div
+    1000)`` cannot be pushed). Exact at whole-microsecond bounds because
+    ``floor(ns/1000) ⋈ µs ⟺ ns ⋈ µs·1000`` for integer µs. Non-NANOS
+    timestamp columns get an ordinary (natively pushable) filter.
+    """
     from ..session import harden_session
 
     harden_session(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    for c in _nanos_timestamp_cols(path):
+    ns_cols = _nanos_timestamp_cols(path)
+    ops = {
+        ">=": lambda c, v: c >= v,
+        ">": lambda c, v: c > v,
+        "<=": lambda c, v: c <= v,
+        "<": lambda c, v: c < v,
+    }
+    for col, op, bound in ts_filters or []:
+        if col in ns_cols:
+            ns = _bound_to_ns(bound)
+            # '>' at whole-µs bound: floor(ns/1000) > µs ⟺ ns >= (µs+1)·1000
+            if op == ">":
+                df = df.filter(F.col(col) >= F.lit(ns + 1000))
+            elif op == "<=":
+                df = df.filter(F.col(col) < F.lit(ns + 1000))
+            else:
+                df = df.filter(ops[op](F.col(col), F.lit(ns)))
+        else:
+            df = df.filter(ops[op](F.col(col), F.lit(bound).cast("timestamp")))
+    for c in ns_cols:
         # BIGINT nanos (legacy.nanosAsLong) → µs TimestampType, exact.
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df

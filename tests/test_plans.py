@@ -1,0 +1,80 @@
+"""Physical-plan assertions — the 100 TB checklist (SURVEY §4, task brief):
+filters reach the parquet scan, small dims broadcast, aggregate scans
+prune columns, and no unbounded cartesian products hide in the plans."""
+
+from __future__ import annotations
+
+import pytest
+
+from django_datastream_spark.plans import declared
+
+from .conftest import SF_SMOKE
+
+
+def plan_of(spark, name: str) -> str:
+    df = declared.QUERIES[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_range_scan_pushes_filters(spark):
+    plan = plan_of(spark, "q02_range_scan")
+    # the ns-long predicate must reach PushedFilters (row-group pruning);
+    # a timestamp_micros(...)-wrapped filter would not be pushable
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed
+
+
+def test_projection_prunes_columns(spark):
+    plan = plan_of(spark, "q05_reverse_page")
+    # scan must read only the 3 needed columns, not the full events schema
+    scan = plan.split("FileScan parquet ", 1)[1].split("]", 1)[0]
+    assert "props" not in scan and "user_id" not in scan
+
+
+def test_small_dims_broadcast(spark):
+    for name in ("q21_join", "q22_multijoin"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "q20_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_unbounded_cartesian(spark):
+    # cross joins are only allowed with a broadcast side (bounded query set)
+    for name, fn in declared.QUERIES.items():
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+
+
+def test_agg_table_scan_prunes_partitions_and_struct_fields(spark, tmp_path):
+    """get_data on points_agg: partition pruning on granularity + nested
+    schema pruning down to the projected downsampler keys."""
+    import datetime as dt
+
+    from django_datastream_spark.api import Datastream
+
+    eng = Datastream(spark, str(tmp_path / "store"))
+    sid = eng.ensure_stream({"title": "p"})
+    t0 = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    eng.append_multiple(
+        [
+            {"stream_id": sid, "value": float(i), "timestamp": t0 + dt.timedelta(seconds=i)}
+            for i in range(300)
+        ]
+    )
+    eng.downsample_streams(until=t0 + dt.timedelta(seconds=300))
+    dp = eng.get_data(
+        sid, "minutes", value_downsamplers=["mean"], time_downsamplers=["first"]
+    )
+    plan = dp.df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "granularity" in plan.split("PartitionFilters", 1)[1][:200]
+    # nested pruning: ReadSchema carries only the projected struct fields
+    read_schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "mean" in read_schema
+    assert "sum_squares" not in read_schema and "frequencies" not in read_schema
