@@ -503,6 +503,36 @@ class Datastream:
         raw = self.tables.read_points_raw().select(
             "stream_id", "ts", "value", "value_nominal"
         )
+        # incremental scan bound: every bucket starting before a stream's
+        # watermark is already materialized, and appends are monotonic, so
+        # raw data older than the stream's COARSEST watermark (the smallest
+        # — a new `days` bucket may straddle the finer watermarks) can be
+        # skipped. The global min across selected streams is a conservative
+        # single filter that reaches the parquet scan and prunes p_date
+        # partitions — incremental runs scan at most ~1 coarsest-bucket of
+        # history instead of the whole table.
+        wms: list[_dt.datetime] = []
+        complete = True
+        for s in all_streams:
+            if s["stream_id"] not in selected:
+                continue
+            per_g = s.get("downsampled_until") or {}
+            applicable = [
+                g.name
+                for g in GRANULARITIES[1:]
+                if g.duration_s > BY_NAME[s["highest_granularity"]].duration_s
+            ]
+            if not applicable:
+                continue
+            if not all(g in per_g for g in applicable):
+                complete = False
+                break
+            wms.append(min(per_g[g] for g in applicable))
+        if complete and wms:
+            low = min(wms)
+            if low.tzinfo is None:
+                low = low.replace(tzinfo=_UTC)
+            raw = raw.filter(F.col("ts") >= F.lit(low))
         derived = self._derived_points(all_streams)
         if derived is not None:
             raw = raw.unionByName(

