@@ -469,8 +469,27 @@ class Datastream:
         remaining = [s for s in streams if s["stream_id"] not in targets]
         self._write_streams_dicts(remaining)
         # datapoints of deleted streams become unreachable (metadata is the
-        # source of truth); a compaction job reclaims them at leisure.
+        # source of truth); vacuum() reclaims the storage at leisure.
         return len(targets)
+
+    def vacuum(self) -> None:
+        """Physically drop datapoints of deleted streams (the deferred half
+        of S5). Rewrite-and-swap per table; on Delta/Iceberg this becomes a
+        plain DELETE + OPTIMIZE."""
+        import shutil
+
+        live = [s["stream_id"] for s in self.find_streams(None)]
+        for path, part_cols in (
+            (self.tables.points_raw_path, ["p_date"]),
+            (self.tables.points_agg_path, ["granularity"]),
+        ):
+            if not self.tables._exists(path):
+                continue
+            df = self.spark.read.parquet(path).filter(F.col("stream_id").isin(live))
+            tmp = path + "__vacuum"
+            df.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
+            shutil.rmtree(path)
+            shutil.move(tmp, path)
 
     # ------------------------------------------------------------------
     # downsampling (A14, §3.3) — hierarchical cascade

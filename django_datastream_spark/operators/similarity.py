@@ -90,6 +90,88 @@ def rp_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    KMeans cells, probe the ``n_probe`` nearest cells per query, exact-
+    rerank inside them.
+
+    The 100 TB shape: the corpus is clustered once (train on a sample),
+    assignments are a narrow (id, cell) table co-partitioned with the
+    vectors, and each query touches n_probe/n_cells of the data via an
+    equi-join on cell id — no cross join anywhere. Returns
+    (query_id, rank, neighbor_id, cosine)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    ml_df = c.select("neighbor_id", array_to_vector("_cv").alias("features"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(ml_df)
+    assigned = model.transform(ml_df).select(
+        "neighbor_id", F.col("prediction").alias("cell")
+    )
+    corpus_cells = c.join(assigned, "neighbor_id")
+
+    centroids = [
+        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+    ]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    # nearest n_probe cells per query: tiny centroid dim is broadcast
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("_qv"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(dist.asc(), F.col("cell").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= n_probe)
+        .select("query_id", "_qv", "cell")
+    )
+
+    cand = probes.join(corpus_cells, "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    qn = F.sqrt(_dot(F.col("_qv"), F.col("_qv")))
+    cn = F.sqrt(_dot(F.col("_cv"), F.col("_cv")))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("_qv"), F.col("_cv")) / (qn * cn)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cosine"
+        )
+    )
+
+
 def rp_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -224,6 +224,15 @@ def q41(spark, sf_dir):
     return sim.rp_lsh_topk(q, emb, k=5, dim=64).orderBy("query_id", "rank")
 
 
+@_declare("q42_ann_ivf_topk", None)
+def q42(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return sim.ivf_topk(q, emb, k=5, n_cells=16, n_probe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing (binary column + mapInPandas; decode stubbed —
 # n_bytes/sha are portable and oracle-checked)

@@ -353,6 +353,27 @@ def test_delete_streams_dependencies(engine):
     assert engine.find_streams() == []
 
 
+def test_delete_then_vacuum_reclaims_datapoints(engine):
+    a = engine.ensure_stream({"title": "keepme"})
+    b = engine.ensure_stream({"title": "dropme"})
+    engine.append_multiple(
+        [{"stream_id": a, "value": 1.0, "timestamp": ts(0)},
+         {"stream_id": b, "value": 2.0, "timestamp": ts(0)}]
+    )
+    engine.downsample_streams(until=ts(60))
+    engine.delete_streams({"title": "dropme"})
+    # orphan rows still on disk until vacuum
+    assert engine.tables.read_points_raw().count() == 2
+    engine.vacuum()
+    raw = engine.tables.read_points_raw()
+    assert raw.count() == 1
+    assert raw.collect()[0]["stream_id"] == a
+    agg = engine.tables.read_points_agg()
+    assert agg.filter(agg.stream_id == b).count() == 0
+    # surviving stream still fully queryable
+    assert [p["v"] for p in engine.get_data(a, "seconds")] == [1.0]
+
+
 def test_mixed_highest_granularity_downsample(engine):
     fine = engine.ensure_stream({"title": "fine"})
     coarse = engine.ensure_stream({"title": "coarse"}, highest_granularity="minutes")

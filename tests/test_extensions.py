@@ -127,6 +127,25 @@ def test_rp_lsh_topk_recall_and_consistency(spark):
             assert r["cosine"] == pytest.approx(exact_cos[key], abs=1e-12)
 
 
+def test_ivf_topk_recall_and_consistency(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    q = emb.filter(F.col("vec_id") < 30)
+    exact = sim.cosine_topk(q, emb, k=1).collect()
+    approx = sim.ivf_topk(q, emb, k=1, n_cells=8, n_probe=4).collect()
+    exact_nn = {r["query_id"]: r["neighbor_id"] for r in exact}
+    approx_nn = {r["query_id"]: r["neighbor_id"] for r in approx}
+    hits = sum(1 for kk, v in approx_nn.items() if exact_nn.get(kk) == v)
+    # probing half the cells on near-random vectors: generous bound
+    assert hits / len(exact_nn) >= 0.3, f"recall {hits}/{len(exact_nn)}"
+    exact_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert r["cosine"] == pytest.approx(exact_cos[key], abs=1e-12)
+
+
 def test_multimodal_stub_and_plumbing(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter(
         F.col("doc_id") < 20
