@@ -355,8 +355,20 @@ class Datastream:
     # ------------------------------------------------------------------
     # derived streams as computed views (W1–W4)
     # ------------------------------------------------------------------
-    def _derived_points(self, streams: list[dict]) -> DataFrame | None:
+    def _derived_points(
+        self, streams: list[dict], exclude_materialized: bool = False
+    ) -> DataFrame | None:
         derived = [s for s in streams if s.get("derive_op")]
+        if exclude_materialized and derived:
+            mat = {
+                r["stream_id"]
+                for r in self.tables.read_points_raw()
+                .filter(F.col("stream_id").isin([s["stream_id"] for s in derived]))
+                .select("stream_id")
+                .distinct()
+                .collect()
+            }
+            derived = [s for s in derived if s["stream_id"] not in mat]
         if not derived:
             return None
         raw = self.tables.read_points_raw().select("stream_id", "ts", "value")
@@ -400,8 +412,17 @@ class Datastream:
 
         if gran.name == highest.name:
             if meta["derive_op"]:
-                pts = self._derived_points([meta])
-                df = pts.filter(F.col("stream_id") == stream_id)
+                # materialized-first: the streaming path appends derived
+                # points into points_raw incrementally; fall back to the
+                # computed view when nothing is materialized (batch mode).
+                mat = self.tables.read_points_raw().filter(
+                    F.col("stream_id") == stream_id
+                )
+                if mat.head(1):
+                    df = mat
+                else:
+                    pts = self._derived_points([meta])
+                    df = pts.filter(F.col("stream_id") == stream_id)
             else:
                 df = self.tables.read_points_raw().filter(
                     F.col("stream_id") == stream_id
@@ -552,7 +573,9 @@ class Datastream:
             if low.tzinfo is None:
                 low = low.replace(tzinfo=_UTC)
             raw = raw.filter(F.col("ts") >= F.lit(low))
-        derived = self._derived_points(all_streams)
+        # derived streams materialized by the streaming path are already in
+        # points_raw; only pure views need computing here
+        derived = self._derived_points(all_streams, exclude_materialized=True)
         if derived is not None:
             raw = raw.unionByName(
                 derived.withColumn("value_nominal", F.lit(None).cast("string"))

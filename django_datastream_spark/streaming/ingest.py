@@ -114,7 +114,14 @@ class StreamingIngest:
         cols = [f.name for f in self.engine.tables.read_points_raw().schema.fields if f.name != "p_date"]
         good = good.select(*cols)
         if good.head(1):
+            # tail state for incremental derive must be read BEFORE the
+            # batch is appended: one row per source stream at its previous
+            # latest_ts (lag context across micro-batches, SURVEY T4)
+            derived_new = self._incremental_derive(good, streams)
             self.engine.tables.append_points_raw(good)
+            if derived_new is not None:
+                self.engine.tables.append_points_raw(derived_new)
+                good = good.unionByName(derived_new)
             bounds = {
                 r["stream_id"]: (r["mn"], r["mx"])
                 for r in good.groupBy("stream_id")
@@ -134,6 +141,84 @@ class StreamingIngest:
                     )
                 updated.append(s)
             self.engine._write_streams_dicts(updated)
+
+    def _incremental_derive(
+        self, batch: DataFrame, streams: list[dict]
+    ) -> DataFrame | None:
+        """Incrementally materialize lag-family derived streams
+        (derivative / counter_reset / counter_derivative): run the batch
+        derive plan over (per-source tail point ∪ new points) and keep only
+        outputs newer than each derived stream's latest materialized point.
+        Identical plans to the batch rebuild ⇒ incremental == batch
+        (FIXTURES B3.4). The `sum` operator stays a computed view — its
+        slots mutate as other sources arrive, so it is not append-only.
+        """
+        from ..operators import derive as derive_ops
+
+        spark = self.engine.spark
+        lag_ops = {"derivative", "counter_reset", "counter_derivative"}
+        derived_meta = [
+            s
+            for s in streams
+            if s["derive_op"] in lag_ops
+        ]
+        if not derived_meta:
+            return None
+        src_ids = sorted(
+            {sid for s in derived_meta for sid in (s["derived_from"] or [])}
+        )
+        batch_src = batch.filter(F.col("stream_id").isin(src_ids))
+        if not batch_src.head(1):
+            return None
+        # tail: each source's last stored point (ts == latest_ts)
+        tails = spark.createDataFrame(
+            [
+                (s["stream_id"], s["latest_ts"])
+                for s in streams
+                if s["stream_id"] in src_ids and s["latest_ts"] is not None
+            ]
+            or [("__none__", None)],
+            "stream_id string, _lts timestamp",
+        )
+        tail_pts = (
+            self.engine.tables.read_points_raw()
+            .join(F.broadcast(tails), "stream_id")
+            .filter(F.col("ts") == F.col("_lts"))
+            .select("stream_id", "ts", "value")
+        )
+        source_pts = tail_pts.unionByName(
+            batch_src.select("stream_id", "ts", "value")
+        )
+        out = derive_ops.build_derive_plan(derived_meta, source_pts)
+        if out is None:
+            return None
+        # suppress re-emission of the tail-to-tail deltas already stored
+        latest_derived = spark.createDataFrame(
+            [
+                (s["stream_id"], s["latest_ts"])
+                for s in derived_meta
+                if s["latest_ts"] is not None
+            ]
+            or [("__none__", None)],
+            "stream_id string, _dlts timestamp",
+        )
+        out = (
+            out.join(F.broadcast(latest_derived), "stream_id", "left")
+            .filter(F.col("_dlts").isNull() | (F.col("ts") > F.col("_dlts")))
+            .drop("_dlts")
+        )
+        out = (
+            out.withColumn("seq", F.monotonically_increasing_id())
+            .withColumn("value_nominal", F.lit(None).cast("string"))
+            .withColumn(
+                "value_graph",
+                F.lit(None).cast(
+                    self.engine.tables.read_points_raw().schema["value_graph"].dataType
+                ),
+            )
+            .select("stream_id", "ts", "seq", "value", "value_nominal", "value_graph")
+        )
+        return out if out.head(1) else None
 
     def run_available(self) -> None:
         """Process everything currently in source_dir, then stop

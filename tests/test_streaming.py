@@ -73,6 +73,59 @@ def test_streaming_ingest_validates_and_lands(spark, tmp_path):
     assert meta["latest_ts"].replace(tzinfo=UTC) == T0 + dt.timedelta(seconds=5)
 
 
+def test_incremental_derive_equals_batch_recompute(spark, tmp_path):
+    """FIXTURES B3.4: lag-family derived streams materialized batch-by-batch
+    through the streaming path must equal a full batch recompute."""
+    engine = Datastream(spark, str(tmp_path / "store"))
+    src = engine.ensure_stream({"title": "cnt"})
+    d_der = engine.ensure_stream(
+        {"title": "der"}, derive_from=[src], derive_op="derivative"
+    )
+    d_rst = engine.ensure_stream(
+        {"title": "rst"}, derive_from=[src], derive_op="counter_reset"
+    )
+    d_cd = engine.ensure_stream(
+        {"title": "cd"},
+        derive_from=[src],
+        derive_op="counter_derivative",
+        derive_args={"max_value": 1000},
+    )
+    vals = [0, 100, 300, 900, 50, 400, 990, 20, 500, 700]
+    srcdir = str(tmp_path / "in")
+    ing = StreamingIngest(engine, srcdir, str(tmp_path / "cp"))
+    # three micro-batches with awkward split points (wrap spans batches)
+    for bi, chunk in enumerate([vals[:3], vals[3:5], vals[5:]]):
+        off = sum(len(c) for c in [vals[:3], vals[3:5]][:bi])
+        write_jsonl(
+            f"{srcdir}/b{bi}.json",
+            [
+                {"stream_id": src, "ts": iso((off + i) * 10), "value": float(v)}
+                for i, v in enumerate(chunk)
+            ],
+        )
+        ing.run_available()
+
+    # materialized incrementally
+    got = {
+        name: [(p["t"], p["v"]) for p in engine.get_data(sid, "seconds")]
+        for name, sid in [("der", d_der), ("rst", d_rst), ("cd", d_cd)]
+    }
+    # batch recompute over the full source history
+    full = engine.backprocess_streams()
+    batch = {
+        sid: sorted(
+            (r["ts"], r["value"])
+            for r in full.filter(full.stream_id == sid).collect()
+        )
+        for sid in (d_der, d_rst, d_cd)
+    }
+    assert got["der"] == [(t, pytest.approx(v)) for t, v in batch[d_der]]
+    assert got["rst"] == [(t, pytest.approx(v)) for t, v in batch[d_rst]]
+    assert got["cd"] == [(t, pytest.approx(v)) for t, v in batch[d_cd]]
+    # sanity: derivative has one point per source point minus the first
+    assert len(got["der"]) == len(vals) - 1
+
+
 def test_streaming_downsample_completed_bucket_rule(spark, tmp_path):
     src = str(tmp_path / "in")
     out = str(tmp_path / "out")
