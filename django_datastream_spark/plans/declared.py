@@ -427,7 +427,7 @@ def q15(spark, sf_dir):
                       LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) pt
                FROM events)
     SELECT user_id, event_type, CAST(CAST(floor(epoch(ts)) AS BIGINT) AS BIGINT) t,
-           ROUND((value-pv)/NULLIF(CAST(floor(epoch(ts)) AS BIGINT)-pt,0),4) d
+           ROUND((value-pv)/NULLIF(CAST(floor(epoch(ts)) AS BIGINT)-pt,0),4) + 0 d
     FROM o WHERE pv IS NOT NULL ORDER BY 1,2,3
     """,
 )
@@ -450,8 +450,11 @@ def q16(spark, sf_dir):
             "user_id",
             "event_type",
             "t",
-            F.round(
-                (F.col("value") - F.col("pv")) / F.when(dt != 0, dt), 4
+            # + 0.0 canonicalizes IEEE -0.0 → +0.0 (matches the oracle's
+            # `+ 0`; a repr-based hash would otherwise see two zeros)
+            (
+                F.round((F.col("value") - F.col("pv")) / F.when(dt != 0, dt), 4)
+                + F.lit(0.0)
             ).alias("d"),
         )
         .orderBy("user_id", "event_type", "t")
@@ -494,7 +497,7 @@ def q17(spark, sf_dir):
                FROM events WHERE event_type='view')
     SELECT user_id, event_id,
            ROUND((CASE WHEN value >= pv THEN value-pv ELSE 1000-pv+value END)
-                 / NULLIF(CAST(floor(epoch(ts)) AS BIGINT)-pt,0), 4) cd
+                 / NULLIF(CAST(floor(epoch(ts)) AS BIGINT)-pt,0), 4) + 0 cd
     FROM o WHERE pv IS NOT NULL ORDER BY 1,2
     """,
 )
@@ -519,7 +522,7 @@ def q18(spark, sf_dir):
         .select(
             "user_id",
             "event_id",
-            F.round(delta / F.when(dt != 0, dt), 4).alias("cd"),
+            (F.round(delta / F.when(dt != 0, dt), 4) + F.lit(0.0)).alias("cd"),
         )
         .orderBy("user_id", "event_id")
     )

@@ -107,6 +107,41 @@ def test_std_dev_identity_vs_stddev_pop(spark, raw_points):
             assert r["v"]["std_dev"] == pytest.approx(sp, rel=1e-7, abs=1e-9)
 
 
+def test_salted_agg_equals_direct_groupby(spark, raw_points):
+    from django_datastream_spark.operators.skew import salted_agg
+
+    direct = {
+        (r["stream_id"],): (r["s"], r["c"], r["mn"], r["mx"])
+        for r in raw_points.groupBy("stream_id")
+        .agg(
+            F.sum("value").alias("s"),
+            F.count("value").alias("c"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["stream_id"],): (r["s"], r["c"], r["mn"], r["mx"])
+        for r in salted_agg(
+            raw_points,
+            ["stream_id"],
+            [
+                ("value", "sum", "s"),
+                ("value", "count", "c"),
+                ("value", "min", "mn"),
+                ("value", "max", "mx"),
+            ],
+        ).collect()
+    }
+    assert set(direct) == set(salted)
+    for k in direct:
+        ds, dc, dmn, dmx = direct[k]
+        ss, sc, smn, smx = salted[k]
+        assert dc == sc and dmn == smn and dmx == smx
+        assert ds == pytest.approx(ss, rel=1e-12)
+
+
 def test_nominal_frequency_merge_law(spark):
     rows = []
     rnd = random.Random(7)
