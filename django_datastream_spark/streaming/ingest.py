@@ -54,11 +54,16 @@ class StreamingIngest:
         source_dir: str,
         checkpoint_dir: str,
         check_timestamp: bool = True,
+        auto_downsample: bool = False,
     ):
         self.engine = engine
         self.source_dir = source_dir
         self.checkpoint_dir = checkpoint_dir
         self.check_timestamp = check_timestamp
+        # continuously materialize points_agg after each micro-batch;
+        # cheap because downsample_streams is watermark-bounded (it scans
+        # only raw data since the last completed coarsest bucket)
+        self.auto_downsample = auto_downsample
         os.makedirs(source_dir, exist_ok=True)
 
     @property
@@ -129,6 +134,7 @@ class StreamingIngest:
                 .collect()
             }
             updated = []
+            batch_max = None
             for s in streams:
                 if s["stream_id"] in bounds:
                     mn, mx = bounds[s["stream_id"]]
@@ -139,8 +145,14 @@ class StreamingIngest:
                     s["latest_ts"] = (
                         mx if s["latest_ts"] is None else max(s["latest_ts"], mx)
                     )
+                    batch_max = mx if batch_max is None else max(batch_max, mx)
                 updated.append(s)
             self.engine._write_streams_dicts(updated)
+            if self.auto_downsample and batch_max is not None:
+                # completed-bucket rule keyed to observed event time: buckets
+                # ending at or before the batch's max ts are final for every
+                # monotonic stream
+                self.engine.downsample_streams(until=batch_max)
 
     def _incremental_derive(
         self, batch: DataFrame, streams: list[dict]

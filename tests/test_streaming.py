@@ -73,6 +73,33 @@ def test_streaming_ingest_validates_and_lands(spark, tmp_path):
     assert meta["latest_ts"].replace(tzinfo=UTC) == T0 + dt.timedelta(seconds=5)
 
 
+def test_auto_downsample_materializes_completed_buckets(spark, tmp_path):
+    engine = Datastream(spark, str(tmp_path / "store"))
+    sid = engine.ensure_stream({"title": "auto"})
+    src = str(tmp_path / "in")
+    ing = StreamingIngest(engine, src, str(tmp_path / "cp"), auto_downsample=True)
+    write_jsonl(
+        f"{src}/b0.json",
+        [
+            {"stream_id": sid, "ts": iso(i), "value": float(i)}
+            for i in range(0, 70, 5)  # spans minute 0 fully, minute 1 partially
+        ],
+    )
+    ing.run_available()
+    pts = list(engine.get_data(sid, "minutes"))
+    assert len(pts) == 1  # only the completed minute materialized
+    assert pts[0]["v"]["count"] == 12 and pts[0]["v"]["sum"] == sum(range(0, 60, 5))
+    # next batch completes minute 1
+    write_jsonl(
+        f"{src}/b1.json",
+        [{"stream_id": sid, "ts": iso(125), "value": 1.0}],
+    )
+    ing.run_available()
+    pts = list(engine.get_data(sid, "minutes"))
+    assert len(pts) == 2
+    assert pts[1]["v"]["count"] == 2  # points at 60 and 65
+
+
 def test_incremental_derive_equals_batch_recompute(spark, tmp_path):
     """FIXTURES B3.4: lag-family derived streams materialized batch-by-batch
     through the streaming path must equal a full batch recompute."""
