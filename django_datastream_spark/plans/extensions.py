@@ -234,6 +234,98 @@ def q42(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# windowing extensions beyond the reference's tumbling-only surface
+# (SURVEY T2: sliding + session windows are free in Spark; both declared
+# here in batch form so the oracle can check them)
+# --------------------------------------------------------------------------
+
+
+@_declare(
+    "q43_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT)
+                          - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+                  THEN 1 ELSE 0 END new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) sess_id
+          FROM o)
+    SELECT user_id, CAST(sess_id AS BIGINT) sess_id,
+           CAST(COUNT(*) AS BIGINT) n,
+           CAST(MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) t0,
+           CAST(MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) t1,
+           ROUND(SUM(value), 4) s
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q43(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity gap) as a declarative
+    lag + cumulative-sum plan — the batch twin of session_window()."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = F.unix_timestamp("ts")
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.lag("ts").over(w).isNull() | ((e - F.lag(e).over(w)) > 1800), 1
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    s = o.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        s.groupBy("user_id", F.col("sess_id").cast("long").alias("sess_id"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.unix_timestamp("ts")).alias("t0"),
+            F.max(F.unix_timestamp("ts")).alias("t1"),
+            F.round(F.sum("value"), 4).alias("s"),
+        )
+        .orderBy("user_id", "sess_id")
+    )
+
+
+@_declare(
+    "q44_sliding_windows",
+    """
+    SELECT user_id,
+           CAST(FLOOR((CAST(floor(epoch(ts)) AS BIGINT) - off.o)/600)*600 + off.o AS BIGINT) w0,
+           CAST(COUNT(*) AS BIGINT) c, ROUND(SUM(value),4) s
+    FROM events CROSS JOIN (VALUES (0), (300)) off(o)
+    GROUP BY 1, 2 HAVING COUNT(*) > 2 ORDER BY 1, 2
+    """,
+)
+def q44(spark, sf_dir):
+    """10-minute windows sliding by 5 minutes: each row contributes to
+    duration/slide phase-shifted tumbling buckets — the batch equivalent
+    of window(ts, '10 minutes', '5 minutes'), shuffle count identical to
+    a plain groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    e = F.unix_timestamp("ts")
+    exploded = ev.select(
+        "user_id", "value", e.alias("_e"), F.explode(F.array(F.lit(0), F.lit(300))).alias("o")
+    )
+    w0 = (F.floor((F.col("_e") - F.col("o")) / 600) * 600 + F.col("o")).cast("long")
+    return (
+        exploded.groupBy("user_id", w0.alias("w0"))
+        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 4).alias("s"))
+        .filter(F.col("c") > 2)
+        .orderBy("user_id", "w0")
+    )
+
+
+# --------------------------------------------------------------------------
 # multimodal plumbing (binary column + mapInPandas; decode stubbed —
 # n_bytes/sha are portable and oracle-checked)
 # --------------------------------------------------------------------------
