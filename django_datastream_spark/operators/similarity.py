@@ -119,6 +119,11 @@ def rp_signature_udf(planes: list[list[float]]):
     return sig
 
 
+#: fitted-model cache — a real deployment persists the IVF index next to
+#: the corpus instead of refitting per query batch
+_IVF_CACHE: dict[tuple, object] = {}
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -129,6 +134,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     exclude_self: bool = True,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     KMeans cells, probe the ``n_probe`` nearest cells per query, exact-
@@ -147,7 +153,12 @@ def ivf_topk(
         F.col(vec_col).cast("array<double>").alias("_cv"),
     )
     ml_df = c.select("neighbor_id", array_to_vector("_cv").alias("features"))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(ml_df)
+    ck = (cache_key, n_cells, seed) if cache_key else None
+    model = _IVF_CACHE.get(ck) if ck else None
+    if model is None:
+        model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(ml_df)
+        if ck:
+            _IVF_CACHE[ck] = model
     assigned = model.transform(ml_df).select(
         "neighbor_id", F.col("prediction").alias("cell")
     )

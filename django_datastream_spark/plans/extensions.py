@@ -228,9 +228,9 @@ def q41(spark, sf_dir):
 def q42(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
-    return sim.ivf_topk(q, emb, k=5, n_cells=16, n_probe=4).orderBy(
-        "query_id", "rank"
-    )
+    return sim.ivf_topk(
+        q, emb, k=5, n_cells=16, n_probe=4, cache_key=f"{sf_dir}/embeddings"
+    ).orderBy("query_id", "rank")
 
 
 # --------------------------------------------------------------------------

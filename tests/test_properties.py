@@ -107,6 +107,17 @@ def test_std_dev_identity_vs_stddev_pop(spark, raw_points):
             assert r["v"]["std_dev"] == pytest.approx(sp, rel=1e-7, abs=1e-9)
 
 
+def test_cap_frequencies(spark):
+    from django_datastream_spark.operators.downsample import cap_frequencies
+
+    df = spark.createDataFrame(
+        [({"a": 5, "b": 3, "c": 2, "d": 1},), ({"x": 1},)], "m map<string,bigint>"
+    )
+    out = df.select(cap_frequencies(F.col("m"), 2).alias("c")).collect()
+    assert out[0]["c"] == {"a": 5, "b": 3, "__other__": 3}
+    assert out[1]["c"] == {"x": 1}  # under the cap → untouched
+
+
 def test_salted_agg_equals_direct_groupby(spark, raw_points):
     from django_datastream_spark.operators.skew import salted_agg
 
