@@ -38,7 +38,9 @@ class Granularity:
         if d == 1:
             # already second-precision floor
             return F.timestamp_seconds(F.unix_timestamp(c))
-        return F.timestamp_seconds((F.unix_timestamp(c) / d).cast("long") * d)
+        # floor (not cast-truncation) so pre-1970 timestamps agree with
+        # bucket_epoch_col and the Python round_timestamp oracle
+        return F.timestamp_seconds(F.floor(F.unix_timestamp(c) / d) * d)
 
     def bucket_epoch_col(self, ts: Column | str) -> Column:
         """Bucket start as BIGINT epoch seconds (oracle spelling of Q25)."""

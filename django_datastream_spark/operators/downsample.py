@@ -146,15 +146,16 @@ def cap_frequencies(freqs: Column, max_entries: int) -> Column:
     count/most_often/least_often remain exact because they're computed
     before capping."""
     entries = F.map_entries(freqs)  # array<struct<key,value>>
-    ranked = F.reverse(
-        F.array_sort(
-            F.transform(
-                entries, lambda e: F.struct(e["value"].alias("n"), e["key"].alias("k"))
-            )
-        )
-    )
-    # reverse(sort) yields count desc, key desc — re-sort keys asc inside
-    # equal counts is cosmetic; keep simple: take top-N by (count, key)
+    ranked = F.array_sort(
+        F.transform(
+            entries, lambda e: F.struct(e["value"].alias("n"), e["key"].alias("k"))
+        ),
+        lambda a, b: F.when(a["n"] > b["n"], F.lit(-1))
+        .when(a["n"] < b["n"], F.lit(1))
+        .when(a["k"] < b["k"], F.lit(-1))
+        .when(a["k"] > b["k"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )  # count desc, value asc — matches the documented tie-break
     top = F.slice(ranked, 1, max_entries)
     tail = F.slice(ranked, max_entries + 1, 2_000_000_000)
     tail_sum = F.aggregate(tail, F.lit(0).cast("long"), lambda a, e: a + e["n"])

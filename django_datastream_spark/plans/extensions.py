@@ -140,13 +140,16 @@ def q34(spark, sf_dir):
     """,
 )
 def q35(spark, sf_dir):
+    # same fingerprint as dd.exact_dedup, but totals derived INSIDE the
+    # aggregation (no driver action while building the plan)
     docs = load_table(spark, sf_dir, "documents")
-    surv = dd.exact_dedup(docs)
-    total = docs.count()
-    return surv.agg(
+    groups = docs.groupBy(tx.fingerprint_md5(F.col("text")).alias("_fp")).agg(
+        F.min("doc_id").alias("_keeper"), F.count("*").alias("_dups")
+    )
+    return groups.agg(
         F.count("*").alias("survivors"),
-        F.lit(total).cast("long").alias("total"),
-        F.sum("doc_id").cast("long").alias("keeper_ck"),
+        F.sum("_dups").cast("long").alias("total"),
+        F.sum("_keeper").cast("long").alias("keeper_ck"),
     )
 
 
