@@ -8,17 +8,25 @@ delete_streams / downsample_streams / backprocess_streams``.
 Spark-first design decisions (vs the reference's per-stream loops):
 
 - Streams are ROWS in a metadata table, never Python objects holding data.
+  Metadata updates are MERGE-style row-version appends (storage.py) — the
+  driver never collects or rewrites the streams table; per-operation
+  collects are bounded by the batch (its distinct stream ids), the match
+  result, or the derived-stream count.
 - ``append_multiple`` is the native path (micro-batch); ``append`` wraps it.
 - Monotonicity validation (SURVEY T1) is a join against ``latest_ts`` +
   a within-batch window — one Spark job per batch, not per point.
 - Derived streams are *computed views* over their sources (lag windows /
-  bucket aggs, operators/derive.py): ``get_data`` and ``downsample_streams``
-  materialize them on demand. The reference maintains them eagerly on
-  append; observable datapoints are identical (FIXTURES B3.4), and the
-  view form is idiomatic Spark (Phase 2 adds incremental materialization).
+  bucket aggs, operators/derive.py) until the streaming path materializes
+  them into ``points_derived``; observable datapoints are identical
+  (FIXTURES B3.4).
 - ``downsample_streams`` is a 6-level aggregation cascade where each level
   merges the previous level's algebraic partials — raw data is scanned
-  once (operators/downsample.py).
+  once (operators/downsample.py). Bucket finality is PER STREAM: the
+  watermark for each granularity is clamped to the bucket containing the
+  stream's own latest datapoint, and buckets at/after the watermark are
+  re-emitted as upserts, so a monotonic append landing in an
+  already-emitted partial bucket updates the aggregate instead of being
+  silently lost.
 """
 
 from __future__ import annotations
@@ -34,7 +42,7 @@ from . import exceptions as exc
 from .granularity import BY_NAME, GRANULARITIES, Granularity
 from .operators import derive as derive_ops
 from .operators import downsample as ds_ops
-from .storage import Tables
+from .storage import STREAMS_SCHEMA, Tables
 
 _UTC = _dt.timezone.utc
 
@@ -54,6 +62,11 @@ def _flatten_tags(tags: dict, prefix: str = "") -> dict[str, object]:
     return out
 
 
+def _graph_props(d: dict, core: tuple[str, ...]) -> str | None:
+    extra = {k: v for k, v in d.items() if k not in core}
+    return json.dumps(extra, sort_keys=True) if extra else None
+
+
 class Datapoints:
     """Lazy result of get_data — reference-shaped iteration
     (each item ``{'t': ..., 'v': ...}``) plus the underlying DataFrame."""
@@ -64,6 +77,20 @@ class Datapoints:
         self._reverse = reverse
         self._nominal = nominal
 
+    @staticmethod
+    def _expand_graph(g: dict) -> dict:
+        def item(x: dict, core: tuple[str, ...]) -> dict:
+            props = x.get("props")
+            out = {k: x[k] for k in core}
+            if props:
+                out.update(json.loads(props))
+            return out
+
+        return {
+            "v": [item(x, ("i",)) for x in g.get("v") or []],
+            "e": [item(x, ("f", "t")) for x in g.get("e") or []],
+        }
+
     def __iter__(self):
         for row in self.df.toLocalIterator():
             d = row.asDict(recursive=True)
@@ -71,6 +98,8 @@ class Datapoints:
                 v = d["value"]
                 if self._nominal and isinstance(v, str):
                     v = json.loads(v)
+                elif isinstance(v, dict) and "v" in v and "e" in v:
+                    v = self._expand_graph(v)
                 yield {"t": d["ts"], "v": v}
             else:
                 v = d.get("v") or {}
@@ -193,10 +222,7 @@ class Datastream:
             "latest_ts": None,
             "downsampled_until": None,
         }
-        streams = self._streams().unionByName(
-            self.spark.createDataFrame([new_row], self.tables.read_streams().schema)
-        )
-        self.tables.write_streams(streams)
+        self.tables.upsert_streams([new_row])
         return stream_id
 
     def _get_stream(self, stream_id: str) -> dict:
@@ -228,14 +254,20 @@ class Datastream:
         Validates stream existence, derived-stream protection, value types
         and (optionally) per-stream timestamp monotonicity, then appends to
         points_raw and advances earliest/latest_ts — all as bulk operations.
+        Metadata reads/writes are bounded by the batch's distinct stream
+        ids (never the full streams table).
         """
         if not datapoints:
             return
-        streams = {s["stream_id"]: s for s in self.find_streams(None)}
+        sids = sorted({dp["stream_id"] for dp in datapoints})
+        metas = {
+            r["stream_id"]: r.asDict(recursive=True)
+            for r in self._streams().filter(F.col("stream_id").isin(sids)).collect()
+        }
         rows = []
         for dp in datapoints:
             sid = dp["stream_id"]
-            meta = streams.get(sid)
+            meta = metas.get(sid)
             if meta is None:
                 raise exc.StreamNotFound(sid)
             if meta["derive_op"]:
@@ -261,15 +293,22 @@ class Datastream:
                 row["value"] = float(value) if value is not None else None
             elif vt == "nominal":
                 row["value_nominal"] = json.dumps(value, sort_keys=True)
-            else:  # graph
+            else:  # graph — arbitrary extra vertex/edge keys round-trip via props
                 if not isinstance(value, dict) or "v" not in value or "e" not in value:
                     raise exc.UnsupportedValueType(
                         f"graph stream {sid} expects {{'v': [...], 'e': [...]}}"
                     )
                 row["value_graph"] = {
-                    "v": [{"i": str(x["i"])} for x in value.get("v", [])],
+                    "v": [
+                        {"i": str(x["i"]), "props": _graph_props(x, ("i",))}
+                        for x in value.get("v", [])
+                    ],
                     "e": [
-                        {"f": str(x["f"]), "t": str(x["t"])}
+                        {
+                            "f": str(x["f"]),
+                            "t": str(x["t"]),
+                            "props": _graph_props(x, ("f", "t")),
+                        }
                         for x in value.get("e", [])
                     ],
                 }
@@ -294,7 +333,7 @@ class Datastream:
             latest = self.spark.createDataFrame(
                 [
                     (sid, m["latest_ts"])
-                    for sid, m in streams.items()
+                    for sid, m in metas.items()
                     if m["latest_ts"] is not None
                 ]
                 or [("__none__", _now())],
@@ -318,39 +357,22 @@ class Datastream:
 
         self.tables.append_points_raw(batch)
 
-        # advance earliest/latest in metadata (small table, snapshot write)
+        # advance earliest/latest: MERGE only the touched stream rows
         bounds = {
             r["stream_id"]: (r["mn"], r["mx"])
             for r in batch.groupBy("stream_id")
             .agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
             .collect()
         }
-        updated = []
-        for s in streams.values():
-            if s["stream_id"] in bounds:
-                mn, mx = bounds[s["stream_id"]]
-                s = dict(s)
-                s["earliest_ts"] = (
-                    mn if s["earliest_ts"] is None else min(s["earliest_ts"], mn)
-                )
-                s["latest_ts"] = (
-                    mx if s["latest_ts"] is None else max(s["latest_ts"], mx)
-                )
-            updated.append(s)
-        self._write_streams_dicts(updated)
-
-    def _write_streams_dicts(self, dicts: list[dict]) -> None:
-        rows = []
-        for d in dicts:
-            d = dict(d)
-            d["tags"] = (
-                json.dumps(d["tags"], sort_keys=True)
-                if isinstance(d["tags"], dict)
-                else d["tags"]
+        changed = []
+        for sid, (mn, mx) in bounds.items():
+            s = dict(metas[sid])
+            s["earliest_ts"] = (
+                mn if s["earliest_ts"] is None else min(s["earliest_ts"], mn)
             )
-            rows.append(d)
-        df = self.spark.createDataFrame(rows, self.tables.read_streams().schema)
-        self.tables.write_streams(df)
+            s["latest_ts"] = mx if s["latest_ts"] is None else max(s["latest_ts"], mx)
+            changed.append(s)
+        self.tables.upsert_streams(changed)
 
     # ------------------------------------------------------------------
     # derived streams as computed views (W1–W4)
@@ -360,10 +382,10 @@ class Datastream:
     ) -> DataFrame | None:
         derived = [s for s in streams if s.get("derive_op")]
         if exclude_materialized and derived:
+            # bounded collect: distinct ids in the (small) derived table
             mat = {
                 r["stream_id"]
-                for r in self.tables.read_points_raw()
-                .filter(F.col("stream_id").isin([s["stream_id"] for s in derived]))
+                for r in self.tables.read_points_derived(latest_only=False)
                 .select("stream_id")
                 .distinct()
                 .collect()
@@ -412,10 +434,10 @@ class Datastream:
 
         if gran.name == highest.name:
             if meta["derive_op"]:
-                # materialized-first: the streaming path appends derived
-                # points into points_raw incrementally; fall back to the
-                # computed view when nothing is materialized (batch mode).
-                mat = self.tables.read_points_raw().filter(
+                # materialized-first: the streaming path maintains derived
+                # points in points_derived (latest version per slot); fall
+                # back to the computed view when nothing is materialized.
+                mat = self.tables.read_points_derived().filter(
                     F.col("stream_id") == stream_id
                 )
                 if mat.head(1):
@@ -475,42 +497,67 @@ class Datastream:
     # delete (S5)
     # ------------------------------------------------------------------
     def delete_streams(self, query_tags: dict | None = None) -> int:
-        streams = self.find_streams(None)
-        targets = {s["stream_id"] for s in self.find_streams(query_tags)}
+        streams = self._streams()
+        targets = [s["stream_id"] for s in self.find_streams(query_tags)]
         if not targets:
             return 0
-        for s in streams:
-            if s["stream_id"] in targets:
-                continue
-            deps = set(s.get("derived_from") or [])
-            if deps & targets:
-                raise exc.OutstandingDependenciesError(
-                    f"stream {s['stream_id']} derives from {sorted(deps & targets)}"
-                )
-        remaining = [s for s in streams if s["stream_id"] not in targets]
-        self._write_streams_dicts(remaining)
+        tdf = self.spark.createDataFrame([(t,) for t in targets], "stream_id string")
+        # dependency check as one join: any surviving stream deriving from
+        # a target blocks the delete (no driver loop over the table)
+        dep = (
+            streams.join(F.broadcast(tdf), "stream_id", "left_anti")
+            .select(
+                F.col("stream_id").alias("dependent"),
+                F.explode("derived_from").alias("stream_id"),
+            )
+            .join(F.broadcast(tdf), "stream_id", "left_semi")
+            .head(1)
+        )
+        if dep:
+            raise exc.OutstandingDependenciesError(
+                f"stream {dep[0]['dependent']} derives from {dep[0]['stream_id']}"
+            )
+        self.tables.delete_streams_rows(targets)
         # datapoints of deleted streams become unreachable (metadata is the
         # source of truth); vacuum() reclaims the storage at leisure.
         return len(targets)
 
     def vacuum(self) -> None:
-        """Physically drop datapoints of deleted streams (the deferred half
-        of S5). Rewrite-and-swap per table; on Delta/Iceberg this becomes a
+        """Physically drop datapoints of deleted streams and compact
+        superseded metadata/derived-point versions (the deferred half of
+        S5). Every rewrite lands in a fresh snapshot directory and the
+        ``_CURRENT`` pointer is swapped atomically, so concurrent readers
+        never observe a missing path. On Delta/Iceberg this becomes a
         plain DELETE + OPTIMIZE."""
-        import shutil
+        t = self.tables
+        t.compact_streams()
+        live = t.read_streams().select("stream_id")
 
-        live = [s["stream_id"] for s in self.find_streams(None)]
-        for path, part_cols in (
-            (self.tables.points_raw_path, ["p_date"]),
-            (self.tables.points_agg_path, ["granularity"]),
-        ):
-            if not self.tables._exists(path):
-                continue
-            df = self.spark.read.parquet(path).filter(F.col("stream_id").isin(live))
-            tmp = path + "__vacuum"
-            df.write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
-            shutil.rmtree(path)
-            shutil.move(tmp, path)
+        if t._exists(t.points_raw_path):
+            df = t.read_points_raw().join(live, "stream_id", "left_semi")
+            t._swap_version(
+                "points_raw",
+                lambda d: df.write.partitionBy("p_date").parquet(d),
+            )
+        if t._exists(t.points_derived_path):
+            # compaction: keep only the winning version per (stream, ts)
+            dd = t.read_points_derived(latest_only=True).join(
+                live, "stream_id", "left_semi"
+            )
+            t._swap_version(
+                "points_derived",
+                lambda d: dd.withColumn("p_date", F.to_date("ts"))
+                .write.partitionBy("p_date")
+                .parquet(d),
+            )
+        if t._exists(t.points_agg_path):
+            agg = self.spark.read.parquet(t.points_agg_path).join(
+                live, "stream_id", "left_semi"
+            )
+            t._swap_version(
+                "points_agg",
+                lambda d: agg.write.partitionBy("granularity", "p_date").parquet(d),
+            )
 
     # ------------------------------------------------------------------
     # downsampling (A14, §3.3) — hierarchical cascade
@@ -521,154 +568,192 @@ class Datastream:
         until: _dt.datetime | None = None,
         return_datapoints: bool = False,
     ):
-        """Materialize completed buckets for every granularity coarser than
-        each stream's highest granularity, incrementally past each stream's
-        ``downsampled_until`` watermark.
+        """Materialize buckets for every granularity coarser than each
+        stream's highest granularity.
+
+        Emission follows the reference's completed-bucket rule (bucket_end
+        <= until), but FINALITY is per stream: the stored watermark is
+        clamped to the bucket containing that stream's own latest
+        datapoint — ``min(until, latest_ts)`` — because a strictly
+        monotonic stream can still append into that bucket. Buckets
+        at/after the watermark are re-emitted each run and UPSERTED
+        (storage.upsert_points_agg), so aggregates never diverge from raw
+        data; buckets before it are final and never rescanned.
 
         Level k is computed from level k−1's aggregates (algebraic merge);
         only streams whose highest granularity IS level k−1 read raw points
-        at level k. Raw data is therefore scanned once per run.
+        at level k. Raw data is scanned once per run, bounded below by the
+        minimum stored watermark. All per-stream logic is joins against the
+        streams metadata — no driver loop over streams.
         """
-        all_streams = self.find_streams(None)
-        selected = (
-            {s["stream_id"] for s in self.find_streams(query_tags)}
-            if query_tags
-            else {s["stream_id"] for s in all_streams}
-        )
         until = until or _now()
         if until.tzinfo is None:
             until = until.replace(tzinfo=_UTC)
         until_epoch = int(until.timestamp())
+        n_gran = len(GRANULARITIES)
+
+        idx_pairs = [x for g, i in ((g.name, i) for i, g in enumerate(GRANULARITIES)) for x in (F.lit(g), F.lit(i))]
+        sel = (
+            self._match(self._streams(), query_tags)
+            .withColumn("_gidx", F.create_map(*idx_pairs)[F.col("highest_granularity")])
+            .persist()
+        )
+
+        # derived streams: materialized ones (points_derived) contribute
+        # their stored latest versions; pure views are recomputed. Both
+        # collects are bounded by the derived-stream count.
+        derived_meta = [
+            r.asDict(recursive=True)
+            for r in sel.filter(F.col("derive_op").isNotNull()).drop("_gidx").collect()
+        ]
+        derived_view = self._derived_points(derived_meta, exclude_materialized=True)
 
         raw = self.tables.read_points_raw().select(
             "stream_id", "ts", "value", "value_nominal"
         )
-        # incremental scan bound: every bucket starting before a stream's
-        # watermark is already materialized, and appends are monotonic, so
-        # raw data older than the stream's COARSEST watermark (the smallest
-        # — a new `days` bucket may straddle the finer watermarks) can be
-        # skipped. The global min across selected streams is a conservative
-        # single filter that reaches the parquet scan and prunes p_date
-        # partitions — incremental runs scan at most ~1 coarsest-bucket of
-        # history instead of the whole table.
-        wms: list[_dt.datetime] = []
-        complete = True
-        for s in all_streams:
-            if s["stream_id"] not in selected:
-                continue
-            per_g = s.get("downsampled_until") or {}
-            applicable = [
-                g.name
-                for g in GRANULARITIES[1:]
-                if g.duration_s > BY_NAME[s["highest_granularity"]].duration_s
-            ]
-            if not applicable:
-                continue
-            if not all(g in per_g for g in applicable):
-                complete = False
-                break
-            wms.append(min(per_g[g] for g in applicable))
-        if complete and wms:
-            low = min(wms)
-            if low.tzinfo is None:
-                low = low.replace(tzinfo=_UTC)
-            raw = raw.filter(F.col("ts") >= F.lit(low))
-        # derived streams materialized by the streaming path are already in
-        # points_raw; only pure views need computing here
-        derived = self._derived_points(all_streams, exclude_materialized=True)
-        if derived is not None:
-            raw = raw.unionByName(
-                derived.withColumn("value_nominal", F.lit(None).cast("string"))
+        # incremental scan bound: buckets before a stream's watermark are
+        # final, and all per-granularity watermarks are floors of the same
+        # clamped instant, so the coarsest ('days') entry is each stream's
+        # minimum. The min across selected data-bearing streams is a single
+        # conservative filter that reaches the parquet scan and prunes
+        # p_date partitions.
+        wm_days = F.col("downsampled_until").getItem("days")
+        lb = (
+            sel.filter(
+                (F.col("_gidx") < n_gran - 1)
+                & (F.col("earliest_ts").isNotNull() | F.col("derive_op").isNotNull())
             )
+            .agg(
+                F.count("*").alias("n"),
+                F.count(wm_days).alias("n_set"),
+                F.min(wm_days).alias("low"),
+            )
+            .collect()[0]
+        )
+        low = None
+        if lb["n"] > 0 and lb["n"] == lb["n_set"]:
+            low = lb["low"].replace(tzinfo=_UTC) if lb["low"].tzinfo is None else lb["low"]
+            raw = raw.filter(F.col("ts") >= F.lit(low))
 
-        gran_index = {g.name: i for i, g in enumerate(GRANULARITIES)}
-        meta_by_id = {s["stream_id"]: s for s in all_streams}
+        pts = raw
+        mat_derived = self.tables.read_points_derived().select(
+            "stream_id", "ts", "value"
+        )
+        extra = [mat_derived]
+        if derived_view is not None:
+            extra.append(derived_view)
+        for e in extra:
+            e = e.withColumn("value_nominal", F.lit(None).cast("string"))
+            if low is not None:
+                e = e.filter(F.col("ts") >= F.lit(low))
+            pts = pts.unionByName(e)
+
+        # effective clamp instant per stream: its own latest datapoint (for
+        # pure views: the max derived ts this run — bounded collect)
+        eff = sel.withColumn("_eff", F.col("latest_ts"))
+        if derived_view is not None:
+            vb = [
+                (r["stream_id"], r["mx"])
+                for r in derived_view.groupBy("stream_id")
+                .agg(F.max("ts").alias("mx"))
+                .collect()
+            ]
+            if vb:
+                vb_df = self.spark.createDataFrame(vb, "stream_id string, _vmax timestamp")
+                eff = (
+                    eff.join(F.broadcast(vb_df), "stream_id", "left")
+                    .withColumn("_eff", F.coalesce("_eff", "_vmax"))
+                    .drop("_vmax")
+                )
+
         emitted = []
         prev_level: DataFrame | None = None
-
+        levels: list[DataFrame] = []
         for i, g in enumerate(GRANULARITIES[1:], start=1):
-            # streams downsampled at this level: highest strictly finer,
-            # selected by query_tags, and not already past the watermark
-            from_raw_ids = [
-                sid
-                for sid, m in meta_by_id.items()
-                if sid in selected and gran_index[m["highest_granularity"]] == i - 1
-            ]
-            roll_ids = [
-                sid
-                for sid, m in meta_by_id.items()
-                if sid in selected and gran_index[m["highest_granularity"]] < i - 1
-            ]
             parts = []
-            if from_raw_ids:
-                parts.append(
-                    ds_ops.downsample_raw(
-                        raw.filter(F.col("stream_id").isin(from_raw_ids)),
-                        g,
-                        until_epoch,
-                    )
+            from_raw_ids = sel.filter(F.col("_gidx") == i - 1).select("stream_id")
+            parts.append(
+                ds_ops.downsample_raw(
+                    pts.join(F.broadcast(from_raw_ids), "stream_id", "left_semi"),
+                    g,
+                    until_epoch,
                 )
-            if roll_ids and prev_level is not None:
+            )
+            if prev_level is not None:
+                roll_ids = sel.filter(F.col("_gidx") < i - 1).select("stream_id")
                 parts.append(
                     ds_ops.rollup_agg(
-                        prev_level.filter(F.col("stream_id").isin(roll_ids)),
+                        prev_level.join(
+                            F.broadcast(roll_ids), "stream_id", "left_semi"
+                        ),
                         g,
                         until_epoch,
                     )
                 )
-            if not parts:
-                prev_level = None
-                continue
             level = parts[0]
             for p in parts[1:]:
                 level = p.unionByName(level)
             # keep the full level for the next rollup; persist only buckets
-            # past each stream's watermark
+            # at/after each stream's watermark (re-emitted → upsert)
             level = level.persist()
-            watermarks = self.spark.createDataFrame(
-                [
-                    (
-                        sid,
-                        (meta_by_id[sid].get("downsampled_until") or {}).get(g.name),
-                    )
-                    for sid in set(from_raw_ids) | set(roll_ids)
-                ],
-                "stream_id string, _wm timestamp",
+            levels.append(level)
+            wmk = sel.select(
+                "stream_id",
+                F.col("downsampled_until").getItem(g.name).alias("_wm"),
             )
-            new_rows = level.join(F.broadcast(watermarks), "stream_id", "left").filter(
-                F.col("_wm").isNull() | (F.col("bucket_ts") >= F.col("_wm"))
+            new_rows = (
+                level.join(F.broadcast(wmk), "stream_id", "left")
+                .filter(F.col("_wm").isNull() | (F.col("bucket_ts") >= F.col("_wm")))
+                .drop("_wm")
             )
-            # idempotence: a re-run with the same until re-emits the same
-            # buckets; drop rows already materialized for (stream, g, bucket)
-            existing = (
-                self.tables.read_points_agg()
-                .filter(F.col("granularity") == g.name)
-                .select("stream_id", "bucket_ts")
-            )
-            new_rows = new_rows.join(
-                existing, ["stream_id", "bucket_ts"], "left_anti"
-            ).drop("_wm")
-            self.tables.append_points_agg(new_rows)
-            if return_datapoints:
-                emitted.append(new_rows)
+            if new_rows.head(1):
+                self.tables.upsert_points_agg(new_rows)
+                if return_datapoints:
+                    emitted.append(new_rows)
             prev_level = level
 
-            # advance watermarks: first incomplete bucket start
-            wm_ts = _dt.datetime.fromtimestamp(
-                (until_epoch // g.duration_s) * g.duration_s, tz=_UTC
+        # advance per-stream watermarks: floor(min(until, own latest)) per
+        # applicable granularity — one MERGE append, no collect
+        eff_epoch = F.when(
+            F.col("_eff").isNotNull(),
+            F.least(F.lit(until_epoch).cast("long"), F.unix_timestamp("_eff")),
+        )
+        entries = []
+        for j, g in enumerate(GRANULARITIES[1:], start=1):
+            wm_new = F.timestamp_seconds(F.floor(eff_epoch / g.duration_s) * g.duration_s)
+            wm = F.greatest(F.col("downsampled_until").getItem(g.name), wm_new)
+            entries.append(
+                F.when(
+                    (F.col("_gidx") < j) & wm.isNotNull(),
+                    F.struct(F.lit(g.name).alias("key"), wm.alias("value")),
+                )
             )
-            for sid in set(from_raw_ids) | set(roll_ids):
-                m = meta_by_id[sid]
-                wm = dict(m.get("downsampled_until") or {})
-                wm[g.name] = wm_ts
-                m["downsampled_until"] = wm
+        new_map = F.map_from_entries(
+            F.filter(F.array(*entries), lambda x: x.isNotNull())
+        )
+        updated = (
+            eff.withColumn(
+                "_new_wm",
+                F.when(F.size(new_map) > 0, new_map).otherwise(
+                    F.col("downsampled_until")
+                ),
+            )
+            .filter(F.col("_new_wm").isNotNull())
+            .withColumn("downsampled_until", F.col("_new_wm"))
+            .select(*[f.name for f in STREAMS_SCHEMA.fields])
+        )
+        if updated.head(1):
+            self.tables.upsert_streams_df(updated)
 
-        self._write_streams_dicts(list(meta_by_id.values()))
-        if return_datapoints:
-            if not emitted:
-                return None
+        out = None
+        if return_datapoints and emitted:
             out = emitted[0]
             for e in emitted[1:]:
                 out = out.unionByName(e)
-            return out
-        return None
+            # pin results before caches go away (and before the new
+            # watermarks would change a lazy recompute)
+            out = out.localCheckpoint(eager=True)
+        sel.unpersist()
+        for lv in levels:
+            lv.unpersist()
+        return out

@@ -1,16 +1,32 @@
 """Physical table layout (SURVEY.md §1.3 / FIXTURES.md B1).
 
-Three tables under a root directory:
+Four tables under a root directory, each behind a tiny snapshot pointer
+(``_CURRENT`` names the live ``v=<n>/`` data directory — a poor man's
+Iceberg snapshot, so full-table rewrites such as vacuum/compaction are
+atomic for concurrent readers):
 
-- ``streams``     — small metadata table (one row per stream). Snapshot-
-                    overwritten parquet; at production scale this becomes a
-                    Delta/Iceberg table with MERGE, the layout is identical.
-- ``points_raw``  — appends at each stream's highest granularity,
-                    partitioned by ``p_date`` (UTC day of ts) so range scans
-                    prune partitions; within a partition, files are written
-                    clustered by stream batch.
-- ``points_agg``  — downsampled buckets for all coarser granularities,
-                    partitioned by ``(granularity, p_date)``.
+- ``streams``        — metadata, stored as an APPEND-ONLY LOG of row
+                       versions (``_v`` monotone, ``_deleted`` tombstone).
+                       Reads resolve the latest version per stream_id —
+                       MERGE semantics without ever collecting or
+                       rewriting the table on the driver. Compaction
+                       (vacuum) snapshots the live rows into a new
+                       version dir and swaps the pointer.
+- ``points_raw``     — appends at each stream's highest granularity,
+                       partitioned by ``p_date`` (UTC day of ts) so range
+                       scans prune partitions.
+- ``points_derived`` — materialized datapoints of derived streams,
+                       append-only with ``seq`` as the row version:
+                       re-derived slots (e.g. a `sum` slot that grows as
+                       a lagging source arrives) are re-appended and the
+                       highest ``seq`` wins at read time. Vacuum compacts
+                       superseded versions away.
+- ``points_agg``     — downsampled buckets for all coarser granularities,
+                       partitioned by ``(granularity, p_date)``; upserts
+                       (recomputed boundary buckets) rewrite only the
+                       affected partitions via dynamic partition
+                       overwrite. On Delta/Iceberg both upsert paths
+                       become a plain MERGE — the layout is identical.
 
 All aggregate columns are *algebraic carriers* (sum, count, sum_squares,
 t_sum_epoch, frequencies) plus their finished presentation values, so a
@@ -22,8 +38,9 @@ cascade O(raw + Σ aggregates) instead of O(6 × raw) at 100 TB.
 from __future__ import annotations
 
 import os
+import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -40,23 +57,43 @@ STREAMS_SCHEMA = T.StructType(
         T.StructField("tags", T.StringType()),  # json
         T.StructField("earliest_ts", T.TimestampType()),
         T.StructField("latest_ts", T.TimestampType()),
-        # per-granularity downsample progress (bucket_end watermark)
+        # per-granularity FINALITY watermark: buckets starting before this
+        # are final (never recomputed); clamped to the stream's own data
         T.StructField(
             "downsampled_until", T.MapType(T.StringType(), T.TimestampType())
         ),
     ]
 )
 
+#: streams log = streams row + version/tombstone columns
+STREAMS_LOG_SCHEMA = T.StructType(
+    list(STREAMS_SCHEMA.fields)
+    + [T.StructField("_v", T.LongType()), T.StructField("_deleted", T.BooleanType())]
+)
+
 GRAPH_TYPE = T.StructType(
     [
         T.StructField(
-            "v", T.ArrayType(T.StructType([T.StructField("i", T.StringType())]))
+            "v",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("i", T.StringType()),
+                        # arbitrary extra vertex properties, canonical json
+                        T.StructField("props", T.StringType()),
+                    ]
+                )
+            ),
         ),
         T.StructField(
             "e",
             T.ArrayType(
                 T.StructType(
-                    [T.StructField("f", T.StringType()), T.StructField("t", T.StringType())]
+                    [
+                        T.StructField("f", T.StringType()),
+                        T.StructField("t", T.StringType()),
+                        T.StructField("props", T.StringType()),
+                    ]
                 )
             ),
         ),
@@ -73,6 +110,16 @@ POINTS_RAW_SCHEMA = T.StructType(
         T.StructField("value", T.DoubleType()),
         T.StructField("value_nominal", T.StringType()),  # canonical json
         T.StructField("value_graph", GRAPH_TYPE),
+    ]
+)
+
+#: materialized derived datapoints; seq doubles as the row version
+POINTS_DERIVED_SCHEMA = T.StructType(
+    [
+        T.StructField("stream_id", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("value", T.DoubleType()),
     ]
 )
 
@@ -111,48 +158,147 @@ POINTS_AGG_SCHEMA = T.StructType(
     ]
 )
 
+_PART_MARKERS = ("p_date=", "granularity=")
+
 
 class Tables:
-    """Parquet-backed storage for one engine instance."""
+    """Parquet-backed storage for one engine instance.
+
+    Single streaming writer per store (SURVEY T5 note); readers are safe
+    concurrently with any writer thanks to the snapshot pointers.
+    """
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        self._v_counter = 0
 
-    # -- paths -------------------------------------------------------------
+    # -- snapshot pointer ----------------------------------------------------
+    def _current_version(self, table: str) -> int:
+        ptr = os.path.join(self.root, table, "_CURRENT")
+        try:
+            with open(ptr) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def _data_dir(self, table: str) -> str:
+        return os.path.join(self.root, table, f"v={self._current_version(table)}")
+
+    def _swap_version(self, table: str, write_fn) -> None:
+        """Write a full replacement snapshot into v=<n+1>, then atomically
+        repoint ``_CURRENT``. The previous version dir is kept for one
+        generation (readers planned against it finish safely) and removed
+        on the following swap."""
+        import shutil
+
+        cur = self._current_version(table)
+        new_dir = os.path.join(self.root, table, f"v={cur + 1}")
+        if os.path.isdir(new_dir):
+            shutil.rmtree(new_dir)
+        write_fn(new_dir)
+        ptr = os.path.join(self.root, table, "_CURRENT")
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(cur + 1))
+        os.replace(tmp, ptr)  # atomic — readers see old or new, never neither
+        stale = os.path.join(self.root, table, f"v={cur - 1}")
+        if cur >= 1 and os.path.isdir(stale):
+            shutil.rmtree(stale)
+
+    # -- paths (current snapshot) --------------------------------------------
     @property
     def streams_path(self) -> str:
-        return os.path.join(self.root, "streams")
+        return self._data_dir("streams")
 
     @property
     def points_raw_path(self) -> str:
-        return os.path.join(self.root, "points_raw")
+        return self._data_dir("points_raw")
+
+    @property
+    def points_derived_path(self) -> str:
+        return self._data_dir("points_derived")
 
     @property
     def points_agg_path(self) -> str:
-        return os.path.join(self.root, "points_agg")
+        return self._data_dir("points_agg")
 
     def _exists(self, path: str) -> bool:
         return os.path.isdir(path) and any(
-            n.endswith(".parquet") or n.startswith(("p_date=", "granularity="))
+            n.endswith(".parquet") or n.startswith(_PART_MARKERS)
             for n in os.listdir(path)
         )
 
-    # -- streams metadata --------------------------------------------------
-    def read_streams(self) -> DataFrame:
+    def _next_v(self) -> int:
+        self._v_counter = max(self._v_counter + 1, time.time_ns())
+        return self._v_counter
+
+    # -- streams metadata (MERGE-style log) ----------------------------------
+    def read_streams_log(self) -> DataFrame:
         if not self._exists(self.streams_path):
-            return self.spark.createDataFrame([], STREAMS_SCHEMA)
-        return self.spark.read.parquet(self.streams_path)
+            return self.spark.createDataFrame([], STREAMS_LOG_SCHEMA)
+        return self.spark.read.schema(STREAMS_LOG_SCHEMA).parquet(self.streams_path)
 
-    def write_streams(self, df: DataFrame) -> None:
-        # metadata is small (≤ millions of rows): snapshot overwrite through
-        # a driver-side materialization so we never read-while-overwrite.
-        rows = df.collect()
-        out = self.spark.createDataFrame(rows, STREAMS_SCHEMA)
-        out.coalesce(1).write.mode("overwrite").parquet(self.streams_path)
+    def read_streams(self) -> DataFrame:
+        """Live stream rows: latest version per stream_id, tombstones out."""
+        log = self.read_streams_log()
+        w = Window.partitionBy("stream_id").orderBy(F.col("_v").desc())
+        return (
+            log.withColumn("_rk", F.row_number().over(w))
+            .filter((F.col("_rk") == 1) & ~F.coalesce("_deleted", F.lit(False)))
+            .drop("_rk", "_v", "_deleted")
+        )
 
-    # -- raw points --------------------------------------------------------
+    def upsert_streams(self, rows: list[dict]) -> None:
+        """MERGE: append new row versions (full rows; latest _v wins).
+        O(changed rows), never a table rewrite or driver collect."""
+        if not rows:
+            return
+        v = self._next_v()
+        out = []
+        for r in rows:
+            r = dict(r)
+            r["_v"] = v
+            r.setdefault("_deleted", False)
+            out.append(r)
+        df = self.spark.createDataFrame(out, STREAMS_LOG_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self.streams_path)
+
+    def upsert_streams_df(self, df: DataFrame) -> None:
+        """MERGE from a DataFrame in STREAMS_SCHEMA shape — appends new row
+        versions without any driver materialization."""
+        v = self._next_v()
+        (
+            df.select(*[f.name for f in STREAMS_SCHEMA.fields])
+            .withColumn("_v", F.lit(v))
+            .withColumn("_deleted", F.lit(False))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(self.streams_path)
+        )
+
+    def delete_streams_rows(self, stream_ids: list[str]) -> None:
+        """Tombstone the given streams (latest version = deleted)."""
+        self.upsert_streams(
+            [{"stream_id": sid, "_deleted": True} for sid in stream_ids]
+        )
+
+    def compact_streams(self) -> None:
+        """Snapshot the live rows into a fresh version dir (atomic swap)."""
+        live = self.read_streams().withColumn("_v", F.lit(self._next_v())).withColumn(
+            "_deleted", F.lit(False)
+        )
+        rows = live.collect()  # metadata compaction; bounded by live streams
+
+        def write(d):
+            self.spark.createDataFrame(rows, STREAMS_LOG_SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(d)
+
+        self._swap_version("streams", write)
+
+    # -- raw points ------------------------------------------------------------
     def read_points_raw(self) -> DataFrame:
         if not self._exists(self.points_raw_path):
             return self.spark.createDataFrame([], POINTS_RAW_SCHEMA).withColumn(
@@ -168,7 +314,33 @@ class Tables:
             .parquet(self.points_raw_path)
         )
 
-    # -- aggregates --------------------------------------------------------
+    # -- derived points (versioned by seq) --------------------------------------
+    def read_points_derived(self, latest_only: bool = True) -> DataFrame:
+        if not self._exists(self.points_derived_path):
+            df = self.spark.createDataFrame([], POINTS_DERIVED_SCHEMA)
+        else:
+            df = self.spark.read.parquet(self.points_derived_path).select(
+                *[f.name for f in POINTS_DERIVED_SCHEMA.fields]
+            )
+        if not latest_only:
+            return df
+        w = Window.partitionBy("stream_id", "ts").orderBy(F.col("seq").desc())
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+
+    def append_points_derived(self, df: DataFrame) -> None:
+        (
+            df.select(*[f.name for f in POINTS_DERIVED_SCHEMA.fields])
+            .withColumn("p_date", F.to_date("ts"))
+            .write.mode("append")
+            .partitionBy("p_date")
+            .parquet(self.points_derived_path)
+        )
+
+    # -- aggregates --------------------------------------------------------------
     def read_points_agg(self) -> DataFrame:
         if not self._exists(self.points_agg_path):
             return self.spark.createDataFrame([], POINTS_AGG_SCHEMA)
@@ -176,10 +348,49 @@ class Tables:
             *[f.name for f in POINTS_AGG_SCHEMA.fields]
         )
 
+    def upsert_points_agg(self, df: DataFrame) -> None:
+        """Upsert on (stream_id, granularity, bucket_ts): plain append for
+        a fresh table; otherwise rewrite ONLY the (granularity, p_date)
+        partitions the new rows touch (dynamic partition overwrite) —
+        recomputed boundary buckets replace their previous emission.
+        Delta/Iceberg MERGE in production; the touched-partition volume is
+        the same."""
+        df = df.select(*[f.name for f in POINTS_AGG_SCHEMA.fields]).withColumn(
+            "p_date", F.to_date("bucket_ts")
+        )
+        path = self.points_agg_path
+        if not self._exists(path):
+            df.write.mode("append").partitionBy("granularity", "p_date").parquet(path)
+            return
+        existing = self.spark.read.parquet(path).select(df.columns)
+        touched = df.select("granularity", "p_date").distinct()
+        keep = (
+            existing.join(F.broadcast(touched), ["granularity", "p_date"], "left_semi")
+            .join(
+                df.select("stream_id", "granularity", "bucket_ts"),
+                ["stream_id", "granularity", "bucket_ts"],
+                "left_anti",
+            )
+        )
+        out = keep.unionByName(df)
+        # cut lineage from the path being overwritten (bounded: only the
+        # partitions around current watermarks are ever touched)
+        out = out.localCheckpoint(eager=True)
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(mode_key, "static")
+        self.spark.conf.set(mode_key, "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy("granularity", "p_date").parquet(
+                path
+            )
+        finally:
+            self.spark.conf.set(mode_key, prev)
+
     def append_points_agg(self, df: DataFrame) -> None:
         (
             df.select(*[f.name for f in POINTS_AGG_SCHEMA.fields])
+            .withColumn("p_date", F.to_date("bucket_ts"))
             .write.mode("append")
-            .partitionBy("granularity")
+            .partitionBy("granularity", "p_date")
             .parquet(self.points_agg_path)
         )

@@ -10,17 +10,23 @@ Reference behavior being reproduced:
   only once the watermark passes its end (append output mode).
 - T4: incremental state — per-stream ``latest_ts`` is carried in the
   streams metadata table and merged per micro-batch; bucket state lives
-  in the Structured Streaming state store.
+  in the Structured Streaming state store. ALL derive operators are
+  materialized incrementally: the lag family (derivative/counter_*)
+  appends new points, and ``sum`` re-derives exactly the slots the batch
+  touches (a lagging source updates an existing slot), with the winning
+  version resolved by ``seq`` in points_derived.
 
 Scale notes: every micro-batch is one validation join (broadcast of the
-small latest_ts dim) + one partitioned append; the windowed aggregation
-is a standard streaming stateful agg that scales with open buckets, not
-history.
+small latest_ts dim — a JOIN, never a literal IN-list, so a million
+streams don't become a million-term expression tree) + one partitioned
+append; driver-side collects are bounded by the batch or by the
+derived-stream count, never by the streams table.
 """
 
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -37,6 +43,19 @@ INGEST_SCHEMA = T.StructType(
         T.StructField("value_nominal", T.StringType()),
     ]
 )
+
+
+def _batch_seq_col(base_ns: int) -> object:
+    """Insertion sequence for one micro-batch: a driver-supplied time_ns
+    base + row_number within the batch (ordered by stream, ts). Unique and
+    increasing across batches and COMPATIBLE with append_multiple's
+    time_ns-based seq, unlike monotonically_increasing_id arithmetic whose
+    partition bits collide across batches (≥128 partitions) and sort
+    far from wall-clock order. The within-batch window is a single
+    partition — acceptable because a micro-batch is bounded by trigger
+    size, not by history."""
+    w = Window.orderBy("stream_id", "ts")
+    return F.lit(base_ns) + F.row_number().over(w).cast("long")
 
 
 class StreamingIngest:
@@ -61,8 +80,10 @@ class StreamingIngest:
         self.checkpoint_dir = checkpoint_dir
         self.check_timestamp = check_timestamp
         # continuously materialize points_agg after each micro-batch;
-        # cheap because downsample_streams is watermark-bounded (it scans
-        # only raw data since the last completed coarsest bucket)
+        # cheap because downsample_streams is watermark-bounded, and safe
+        # for lagging streams because bucket finality is clamped per
+        # stream (api.downsample_streams) — a fast stream's timestamp can
+        # no longer finalize a slow stream's still-open bucket.
         self.auto_downsample = auto_downsample
         os.makedirs(source_dir, exist_ok=True)
 
@@ -74,32 +95,33 @@ class StreamingIngest:
         spark = self.engine.spark
         if not batch.head(1):
             return
-        streams = self.engine.find_streams(None)
-        known = {s["stream_id"] for s in streams if not s["derive_op"]}
-        batch = batch.withColumn("seq", F.monotonically_increasing_id() + F.lit(batch_id) * (1 << 40))
+        streams_df = self.engine._streams()
+        # bounded collect: derived-stream metadata only (drives the
+        # incremental derive plans); appendable streams stay a DataFrame
+        derived_meta = [
+            r.asDict(recursive=True)
+            for r in streams_df.filter(F.col("derive_op").isNotNull()).collect()
+        ]
+        known = F.broadcast(
+            streams_df.filter(F.col("derive_op").isNull()).select(
+                "stream_id", F.col("latest_ts").alias("_latest")
+            )
+        ).persist()
+
+        base_ns = time.time_ns()
+        batch = batch.withColumn("seq", _batch_seq_col(base_ns))
         batch = batch.withColumn(
             "value_graph",
             F.lit(None).cast(
                 self.engine.tables.read_points_raw().schema["value_graph"].dataType
             ),
         )
-        unknown = batch.filter(~F.col("stream_id").isin(list(known)) if known else F.lit(True))
-        batch = batch.filter(F.col("stream_id").isin(list(known)) if known else F.lit(False))
+        unknown = batch.join(known, "stream_id", "left_anti")
 
         if self.check_timestamp:
-            latest = spark.createDataFrame(
-                [
-                    (s["stream_id"], s["latest_ts"])
-                    for s in streams
-                    if s["latest_ts"] is not None
-                ]
-                or [("__none__", None)],
-                "stream_id string, _latest timestamp",
-            )
             w = Window.partitionBy("stream_id").orderBy("ts", "seq")
-            checked = (
-                batch.withColumn("_prev", F.lag("ts").over(w))
-                .join(F.broadcast(latest), "stream_id", "left")
+            checked = batch.join(known, "stream_id").withColumn(
+                "_prev", F.lag("ts").over(w)
             )
             bad = checked.filter(
                 (F.col("ts") <= F.col("_latest")) | (F.col("ts") <= F.col("_prev"))
@@ -110,105 +132,108 @@ class StreamingIngest:
             ).drop("_prev", "_latest")
             rejects = bad.drop("_prev", "_latest").unionByName(unknown)
         else:
-            good, rejects = batch, unknown
+            good = batch.join(known, "stream_id", "left_semi")
+            rejects = unknown
 
         rej_rows = rejects.withColumn("batch_id", F.lit(batch_id))
         if rej_rows.head(1):
             rej_rows.drop("value_graph").write.mode("append").parquet(self.rejects_path)
 
-        cols = [f.name for f in self.engine.tables.read_points_raw().schema.fields if f.name != "p_date"]
+        cols = [
+            f.name
+            for f in self.engine.tables.read_points_raw().schema.fields
+            if f.name != "p_date"
+        ]
         good = good.select(*cols)
-        if good.head(1):
-            # tail state for incremental derive must be read BEFORE the
-            # batch is appended: one row per source stream at its previous
-            # latest_ts (lag context across micro-batches, SURVEY T4)
-            derived_new = self._incremental_derive(good, streams)
-            self.engine.tables.append_points_raw(good)
-            if derived_new is not None:
-                self.engine.tables.append_points_raw(derived_new)
-                good = good.unionByName(derived_new)
-            bounds = {
-                r["stream_id"]: (r["mn"], r["mx"])
-                for r in good.groupBy("stream_id")
-                .agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
-                .collect()
+        if not good.head(1):
+            known.unpersist()
+            return
+        # derive state must be read BEFORE the batch is appended: tails /
+        # affected slots are computed against the previous table state —
+        # pin the (batch-bounded) results so the later raw append can't
+        # change a lazy recompute
+        derived_new = self._incremental_derive(good, derived_meta, streams_df)
+        sum_new = self._incremental_sum(good, derived_meta, streams_df)
+        pts = good.select("stream_id", "ts")
+        for d in (derived_new, sum_new):
+            if d is not None:
+                d = d.localCheckpoint(eager=True)
+                self.engine.tables.append_points_derived(d)
+                pts = pts.unionByName(d.select("stream_id", "ts"))
+        self.engine.tables.append_points_raw(good)
+
+        bounds = {
+            r["stream_id"]: (r["mn"], r["mx"])
+            for r in pts.groupBy("stream_id")
+            .agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+            .collect()
+        }
+        known.unpersist()
+        if bounds:
+            metas = {
+                r["stream_id"]: r.asDict(recursive=True)
+                for r in streams_df.filter(
+                    F.col("stream_id").isin(sorted(bounds))
+                ).collect()
             }
-            updated = []
+            changed = []
             batch_max = None
-            for s in streams:
-                if s["stream_id"] in bounds:
-                    mn, mx = bounds[s["stream_id"]]
-                    s = dict(s)
-                    s["earliest_ts"] = (
-                        mn if s["earliest_ts"] is None else min(s["earliest_ts"], mn)
-                    )
-                    s["latest_ts"] = (
-                        mx if s["latest_ts"] is None else max(s["latest_ts"], mx)
-                    )
-                    batch_max = mx if batch_max is None else max(batch_max, mx)
-                updated.append(s)
-            self.engine._write_streams_dicts(updated)
+            for sid, (mn, mx) in bounds.items():
+                s = dict(metas[sid])
+                s["earliest_ts"] = (
+                    mn if s["earliest_ts"] is None else min(s["earliest_ts"], mn)
+                )
+                s["latest_ts"] = (
+                    mx if s["latest_ts"] is None else max(s["latest_ts"], mx)
+                )
+                batch_max = mx if batch_max is None else max(batch_max, mx)
+                changed.append(s)
+            self.engine.tables.upsert_streams(changed)
             if self.auto_downsample and batch_max is not None:
-                # completed-bucket rule keyed to observed event time: buckets
-                # ending at or before the batch's max ts are final for every
-                # monotonic stream
+                # per-stream finality clamp inside downsample_streams makes
+                # the global batch max a safe 'until' for every stream
                 self.engine.downsample_streams(until=batch_max)
 
     def _incremental_derive(
-        self, batch: DataFrame, streams: list[dict]
+        self, batch: DataFrame, derived_meta: list[dict], streams_df: DataFrame
     ) -> DataFrame | None:
         """Incrementally materialize lag-family derived streams
         (derivative / counter_reset / counter_derivative): run the batch
         derive plan over (per-source tail point ∪ new points) and keep only
         outputs newer than each derived stream's latest materialized point.
         Identical plans to the batch rebuild ⇒ incremental == batch
-        (FIXTURES B3.4). The `sum` operator stays a computed view — its
-        slots mutate as other sources arrive, so it is not append-only.
-        """
+        (FIXTURES B3.4)."""
         from ..operators import derive as derive_ops
 
         spark = self.engine.spark
         lag_ops = {"derivative", "counter_reset", "counter_derivative"}
-        derived_meta = [
-            s
-            for s in streams
-            if s["derive_op"] in lag_ops
-        ]
-        if not derived_meta:
+        metas = [s for s in derived_meta if s["derive_op"] in lag_ops]
+        if not metas:
             return None
-        src_ids = sorted(
-            {sid for s in derived_meta for sid in (s["derived_from"] or [])}
-        )
+        src_ids = sorted({sid for s in metas for sid in (s["derived_from"] or [])})
         batch_src = batch.filter(F.col("stream_id").isin(src_ids))
         if not batch_src.head(1):
             return None
-        # tail: each source's last stored point (ts == latest_ts)
-        tails = spark.createDataFrame(
-            [
-                (s["stream_id"], s["latest_ts"])
-                for s in streams
-                if s["stream_id"] in src_ids and s["latest_ts"] is not None
-            ]
-            or [("__none__", None)],
-            "stream_id string, _lts timestamp",
-        )
+        # tail: each source's last stored point (ts == latest_ts); the
+        # source latest_ts dim is bounded by the derive fan-in
+        tails = streams_df.filter(
+            F.col("stream_id").isin(src_ids) & F.col("latest_ts").isNotNull()
+        ).select("stream_id", F.col("latest_ts").alias("_lts"))
         tail_pts = (
             self.engine.tables.read_points_raw()
             .join(F.broadcast(tails), "stream_id")
             .filter(F.col("ts") == F.col("_lts"))
             .select("stream_id", "ts", "value")
         )
-        source_pts = tail_pts.unionByName(
-            batch_src.select("stream_id", "ts", "value")
-        )
-        out = derive_ops.build_derive_plan(derived_meta, source_pts)
+        source_pts = tail_pts.unionByName(batch_src.select("stream_id", "ts", "value"))
+        out = derive_ops.build_derive_plan(metas, source_pts)
         if out is None:
             return None
         # suppress re-emission of the tail-to-tail deltas already stored
         latest_derived = spark.createDataFrame(
             [
                 (s["stream_id"], s["latest_ts"])
-                for s in derived_meta
+                for s in metas
                 if s["latest_ts"] is not None
             ]
             or [("__none__", None)],
@@ -219,16 +244,81 @@ class StreamingIngest:
             .filter(F.col("_dlts").isNull() | (F.col("ts") > F.col("_dlts")))
             .drop("_dlts")
         )
-        out = (
-            out.withColumn("seq", F.monotonically_increasing_id())
-            .withColumn("value_nominal", F.lit(None).cast("string"))
-            .withColumn(
-                "value_graph",
-                F.lit(None).cast(
-                    self.engine.tables.read_points_raw().schema["value_graph"].dataType
-                ),
+        out = out.withColumn("seq", _batch_seq_col(time.time_ns())).select(
+            "stream_id", "ts", "seq", "value"
+        )
+        return out if out.head(1) else None
+
+    def _incremental_sum(
+        self, batch: DataFrame, derived_meta: list[dict], streams_df: DataFrame
+    ) -> DataFrame | None:
+        """Incrementally materialize `sum` derived streams.
+
+        A sum slot is NOT append-only: slot value = Σ over all sources of
+        whatever landed in that rounded slot, so a lagging source UPDATES
+        an already-emitted slot. Strategy: find the (derived, slot) pairs
+        this batch touches, re-derive exactly those slots from (stored ∪
+        batch) source points, and append the new versions — points_derived
+        resolves the winner by ``seq`` (MERGE-on-read; vacuum compacts).
+        Per batch this scans a ts-range of points_raw bounded by the
+        touched slots (partition-pruned), never full history."""
+        sums = [s for s in derived_meta if s["derive_op"] == "sum"]
+        if not sums:
+            return None
+        spark = self.engine.spark
+        src_to_derived = [
+            (src, s["stream_id"], s["highest_granularity"])
+            for s in sums
+            for src in (s["derived_from"] or [])
+        ]
+        src_ids = sorted({t[0] for t in src_to_derived})
+        batch_src = batch.filter(F.col("stream_id").isin(src_ids))
+        if not batch_src.head(1):
+            return None
+        mapping = F.broadcast(
+            spark.createDataFrame(
+                src_to_derived, "stream_id string, derived_id string, _gran string"
             )
-            .select("stream_id", "ts", "seq", "value", "value_nominal", "value_graph")
+        )
+        slot = F.coalesce(
+            *[
+                F.when(
+                    F.col("_gran") == g.name, g.bucket_col(F.col("ts"))
+                )
+                for g in (BY_NAME[gr] for gr in sorted({t[2] for t in src_to_derived}))
+            ]
+        )
+        touched = (
+            batch_src.join(mapping, "stream_id")
+            .select("derived_id", "_gran", slot.alias("_slot"))
+            .distinct()
+        )
+        # ts-range bound for the stored-point scan (driver collect of one
+        # row over the in-memory batch)
+        rng = touched.agg(
+            F.min("_slot").alias("lo"), F.max("_slot").alias("hi")
+        ).collect()[0]
+        hi_end = rng["hi"] + _max_slot_width(sums)
+        stored_src = (
+            self.engine.tables.read_points_raw()
+            .filter((F.col("ts") >= F.lit(rng["lo"])) & (F.col("ts") < F.lit(hi_end)))
+            .select("stream_id", "ts", "value")
+        )
+        all_src = stored_src.unionByName(batch_src.select("stream_id", "ts", "value"))
+        slotted = (
+            all_src.join(mapping, "stream_id")
+            .select("derived_id", "_gran", slot.alias("_slot"), "value")
+            .join(touched, ["derived_id", "_gran", "_slot"], "left_semi")
+        )
+        out = slotted.groupBy("derived_id", "_slot").agg(
+            F.sum("value").alias("value")
+        ).select(
+            F.col("derived_id").alias("stream_id"),
+            F.col("_slot").alias("ts"),
+            "value",
+        )
+        out = out.withColumn("seq", _batch_seq_col(time.time_ns())).select(
+            "stream_id", "ts", "seq", "value"
         )
         return out if out.head(1) else None
 
@@ -244,6 +334,13 @@ class StreamingIngest:
             .start()
         )
         q.awaitTermination()
+
+
+def _max_slot_width(sum_metas: list[dict]):
+    import datetime as _dt
+
+    w = max(BY_NAME[s["highest_granularity"]].duration_s for s in sum_metas)
+    return _dt.timedelta(seconds=w)
 
 
 def streaming_downsample(
