@@ -62,6 +62,13 @@ def _flatten_tags(tags: dict, prefix: str = "") -> dict[str, object]:
     return out
 
 
+def _canon_tag(val) -> str:
+    """Compact canonical JSON for one tag value — the type-preserving
+    matching key stored in ``tags_flat`` (SURVEY §1.1 Tags: ensure_stream
+    must be idempotent for arbitrary JSON tag values)."""
+    return json.dumps(val, sort_keys=True, separators=(",", ":"))
+
+
 def _graph_props(d: dict, core: tuple[str, ...]) -> str | None:
     extra = {k: v for k, v in d.items() if k not in core}
     return json.dumps(extra, sort_keys=True) if extra else None
@@ -135,9 +142,16 @@ class Datastream:
             return streams
         cond = F.lit(True)
         for path, val in _flatten_tags(query_tags).items():
+            # exact, type-preserving match on the canonical flattened map;
+            # rows written before tags_flat existed fall back to the (lossy)
+            # JSON-path probe so old stores stay readable
+            exact = F.col("tags_flat")[path] == F.lit(_canon_tag(val))
             jp = "$." + path
             expected = val if isinstance(val, str) else json.dumps(val)
-            cond = cond & (F.get_json_object("tags", jp) == F.lit(str(expected)))
+            legacy = F.get_json_object("tags", jp) == F.lit(str(expected))
+            cond = cond & (
+                F.when(F.col("tags_flat").isNotNull(), exact).otherwise(legacy)
+            )
         return streams.filter(cond)
 
     def find_streams(self, query_tags: dict | None = None) -> list[dict]:
@@ -146,6 +160,7 @@ class Datastream:
         for r in rows:
             d = r.asDict(recursive=True)
             d["tags"] = json.loads(d["tags"]) if d["tags"] else {}
+            d.pop("tags_flat", None)  # internal matching index
             out.append(d)
         return sorted(out, key=lambda d: d["stream_id"])
 
@@ -218,6 +233,9 @@ class Datastream:
             "derive_op": derive_op,
             "derive_args": json.dumps(derive_args) if derive_args else None,
             "tags": json.dumps(merged_tags, sort_keys=True),
+            "tags_flat": {
+                p: _canon_tag(v) for p, v in _flatten_tags(merged_tags).items()
+            },
             "earliest_ts": None,
             "latest_ts": None,
             "downsampled_until": None,

@@ -55,6 +55,11 @@ STREAMS_SCHEMA = T.StructType(
         T.StructField("derive_op", T.StringType()),
         T.StructField("derive_args", T.StringType()),  # json
         T.StructField("tags", T.StringType()),  # json
+        # type-preserving flattened tags: dotted path -> compact canonical
+        # JSON of the value, so `true` vs `"true"` and `[1,2]` vs `"[1, 2]"`
+        # stay distinct — exact JVM-side tag matching (map lookup, no JSON
+        # re-parse per row)
+        T.StructField("tags_flat", T.MapType(T.StringType(), T.StringType())),
         T.StructField("earliest_ts", T.TimestampType()),
         T.StructField("latest_ts", T.TimestampType()),
         # per-granularity FINALITY watermark: buckets starting before this

@@ -52,6 +52,30 @@ def test_ensure_stream_idempotent_and_find(engine):
     assert len(by_extra) == 1 and by_extra[0]["tags"]["title"] == "t2"
 
 
+def test_ensure_stream_idempotent_for_typed_tags(engine):
+    # list-valued query tags: repeat ensure_stream must return the SAME
+    # stream (reference: ensure_stream is idempotent for arbitrary JSON
+    # tag values, SURVEY §1.1 Tags)
+    a = engine.ensure_stream({"sensors": [1, 2]})
+    b = engine.ensure_stream({"sensors": [1, 2]})
+    assert a == b
+    assert len(engine.find_streams()) == 1
+    # typed scalars must NOT collide with their string spellings
+    t = engine.ensure_stream({"flag": True})
+    s = engine.ensure_stream({"flag": "true"})
+    assert t != s
+    n = engine.ensure_stream({"level": 1})
+    m = engine.ensure_stream({"level": "1"})
+    assert n != m
+    assert engine.ensure_stream({"flag": True}) == t
+    assert engine.ensure_stream({"level": "1"}) == m
+    # find_streams sees the same type-exact distinctions
+    assert [x["stream_id"] for x in engine.find_streams({"flag": True})] == [t]
+    assert [x["stream_id"] for x in engine.find_streams({"flag": "true"})] == [s]
+    assert [x["stream_id"] for x in engine.find_streams({"sensors": [1, 2]})] == [a]
+    assert engine.find_streams({"sensors": [1, 2, 3]}) == []
+
+
 def test_ensure_stream_conflicting_spec_raises(engine):
     engine.ensure_stream({"title": "x"}, value_type="numeric")
     with pytest.raises(exc.InconsistentStreamConfiguration):
