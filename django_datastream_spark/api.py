@@ -684,6 +684,59 @@ class Datastream:
                     .drop("_vmax")
                 )
 
+        # a `sum` slot is final only once EVERY data source has passed it —
+        # clamp the sum-derived effective instant to min(source latest_ts)
+        # (NULL while any source is still empty). A lagging source that
+        # rewrites an old slot then always lands at/after the watermark, so
+        # the recomputed buckets are re-emitted as upserts instead of
+        # points_agg silently diverging from the derived data. Collects are
+        # bounded by derived-stream count + source fan-in.
+        sum_metas = [m for m in derived_meta if m["derive_op"] == "sum"]
+        if sum_metas:
+            src_ids = sorted(
+                {
+                    src
+                    for m in sum_metas
+                    for src, role in derive_ops.source_roles(m)
+                    if role == "data"
+                }
+            )
+            src_lat = {
+                r["stream_id"]: r["latest_ts"]
+                for r in self._streams()
+                .filter(F.col("stream_id").isin(src_ids))
+                .select("stream_id", "latest_ts")
+                .collect()
+            }
+            clamp = []
+            for m in sum_metas:
+                lts = [
+                    src_lat.get(s)
+                    for s, role in derive_ops.source_roles(m)
+                    if role == "data"
+                ]
+                v = None if (not lts or any(x is None for x in lts)) else min(lts)
+                clamp.append((m["stream_id"], v, True))
+            clamp_df = self.spark.createDataFrame(
+                clamp, "stream_id string, _clamp timestamp, _is_sum boolean"
+            )
+            eff = (
+                eff.join(F.broadcast(clamp_df), "stream_id", "left")
+                .withColumn(
+                    "_eff",
+                    F.when(
+                        F.coalesce("_is_sum", F.lit(False)),
+                        # NULL clamp (an empty source) must yield NULL, so
+                        # guard explicitly — F.least would skip the null
+                        F.when(
+                            F.col("_clamp").isNotNull() & F.col("_eff").isNotNull(),
+                            F.least("_eff", "_clamp"),
+                        ),
+                    ).otherwise(F.col("_eff")),
+                )
+                .drop("_clamp", "_is_sum")
+            )
+
         emitted = []
         prev_level: DataFrame | None = None
         levels: list[DataFrame] = []

@@ -25,6 +25,24 @@ from pyspark.sql import functions as F
 from ..granularity import BY_NAME
 
 
+def source_roles(meta: dict) -> list[tuple[str, str]]:
+    """(source_id, role) pairs for one derived stream, resolved from
+    derive_args stream roles (default 'data'). The single source of truth
+    for role mapping — shared by the batch rebuild (build_derive_plan) and
+    the incremental ingest path, so the two can never disagree about which
+    sources carry data."""
+    args = json.loads(meta.get("derive_args") or "{}")
+    srcs = meta["derived_from"] or []
+    stream_roles = args.get("streams")  # e.g. [{'name':'reset','stream':id},...]
+    out = []
+    for i, s in enumerate(srcs):
+        r = "data"
+        if stream_roles and i < len(stream_roles):
+            r = stream_roles[i].get("name", "data") or "data"
+        out.append((s, r))
+    return out
+
+
 def derivative(points: DataFrame) -> DataFrame:
     """W2: (v_i − v_{i−1}) / (t_i − t_{i−1} sec); first point emits nothing.
 
@@ -147,13 +165,7 @@ def build_derive_plan(
     def mapping_df(metas: list[dict], role: str = "data") -> DataFrame:
         rows = []
         for m in metas:
-            args = json.loads(m.get("derive_args") or "{}")
-            srcs = m["derived_from"] or []
-            stream_roles = args.get("streams")  # e.g. [{'name':'reset','stream':id},...]
-            for i, s in enumerate(srcs):
-                r = "data"
-                if stream_roles and i < len(stream_roles):
-                    r = stream_roles[i].get("name", "data") or "data"
+            for s, r in source_roles(m):
                 if r == role:
                     rows.append((s, m["stream_id"]))
         if not rows:

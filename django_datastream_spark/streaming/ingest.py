@@ -262,15 +262,22 @@ class StreamingIngest:
         resolves the winner by ``seq`` (MERGE-on-read; vacuum compacts).
         Per batch this scans a ts-range of points_raw bounded by the
         touched slots (partition-pruned), never full history."""
+        from ..operators import derive as derive_ops
+
         sums = [s for s in derived_meta if s["derive_op"] == "sum"]
         if not sums:
             return None
         spark = self.engine.spark
+        # role-filtered like build_derive_plan's mapping_df — incremental
+        # and batch rebuild must agree on which sources carry data
         src_to_derived = [
             (src, s["stream_id"], s["highest_granularity"])
             for s in sums
-            for src in (s["derived_from"] or [])
+            for src, role in derive_ops.source_roles(s)
+            if role == "data"
         ]
+        if not src_to_derived:
+            return None
         src_ids = sorted({t[0] for t in src_to_derived})
         batch_src = batch.filter(F.col("stream_id").isin(src_ids))
         if not batch_src.head(1):

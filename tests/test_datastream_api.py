@@ -12,6 +12,7 @@ import datetime as dt
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from django_datastream_spark import exceptions as exc
 from django_datastream_spark.api import Datastream
@@ -232,6 +233,59 @@ def test_graph_roundtrip_and_count(engine):
     engine.downsample_streams(until=ts(60))
     agg = list(engine.get_data(sid, "seconds10"))
     assert agg[0]["v"]["count"] == 10
+
+
+def test_graph_props_roundtrip_extra_keys(engine):
+    """Arbitrary extra vertex/edge properties must survive the storage
+    round-trip (reference: graph values are free-form JSON, SURVEY §1.1)."""
+    sid = engine.ensure_stream({"title": "gp"}, value_type="graph")
+    g = {
+        "v": [{"i": "a", "w": 2, "color": "red"}, {"i": "b"}],
+        "e": [{"f": "a", "t": "b", "cap": 1.5, "label": "x"}],
+    }
+    engine.append(sid, g, ts(0))
+    got = list(engine.get_data(sid, "seconds"))[0]["v"]
+    assert got["v"][0] == {"i": "a", "w": 2, "color": "red"}
+    assert got["v"][1] == {"i": "b"}
+    assert got["e"][0] == {"f": "a", "t": "b", "cap": 1.5, "label": "x"}
+
+
+def test_lagging_stream_append_upserts_materialized_bucket(engine):
+    """A monotonic append landing in a bucket that downsample already
+    emitted (because ANOTHER stream's clock was ahead) must update the
+    aggregate, not be lost, and must not duplicate the bucket row."""
+    fast = engine.ensure_stream({"title": "fastclk"})
+    slow = engine.ensure_stream({"title": "slowclk"})
+    engine.append(fast, 1.0, ts(125))  # fast stream two minutes ahead
+    engine.append(slow, 20.0, ts(5))  # slow stream still in minute 0
+    engine.downsample_streams(until=ts(125))
+    # slow's minute-0 bucket was emitted as a partial — now a later,
+    # still-monotonic point lands in that same bucket
+    engine.append(slow, 22.0, ts(30))
+    engine.downsample_streams(until=ts(180))
+    pts = list(engine.get_data(slow, "minutes"))
+    assert len(pts) == 1
+    assert pts[0]["v"]["sum"] == 42.0 and pts[0]["v"]["count"] == 2
+    # storage holds exactly one row for that bucket (upsert, not append)
+    agg = engine.tables.read_points_agg().filter(
+        (F.col("stream_id") == slow) & (F.col("granularity") == "minutes")
+    )
+    assert agg.count() == 1
+
+
+def test_vacuum_keeps_planned_reader_valid(engine):
+    """A DataFrame planned before vacuum must still be fully readable
+    after it — _swap_version retains the previous snapshot generation."""
+    sid = engine.ensure_stream({"title": "vr"})
+    engine.append_multiple(
+        [{"stream_id": sid, "value": float(i), "timestamp": ts(i)} for i in range(50)]
+    )
+    df = engine.get_data(sid, "seconds").df
+    assert df.count() == 50  # planned + executed against the pre-vacuum snapshot
+    engine.vacuum()
+    # the old generation is retained: the already-planned reader still works
+    assert df.count() == 50
+    assert [p["v"] for p in engine.get_data(sid, "seconds")][:3] == [0.0, 1.0, 2.0]
 
 
 def test_get_data_bounds_reverse_projection(engine):

@@ -153,6 +153,93 @@ def test_incremental_derive_equals_batch_recompute(spark, tmp_path):
     assert len(got["der"]) == len(vals) - 1
 
 
+def test_incremental_sum_equals_batch_and_aggs_follow(spark, tmp_path):
+    """`sum`-derived streams materialized through the streaming path must
+    equal a full batch recompute even when a lagging source updates slots
+    that a faster source already pushed past — and the downsampled
+    points_agg buckets must follow the corrected slots (a sum slot is
+    final only once EVERY source has passed it)."""
+    engine = Datastream(spark, str(tmp_path / "store"))
+    a = engine.ensure_stream({"title": "srcA"})
+    b = engine.ensure_stream({"title": "srcB"})
+    s = engine.ensure_stream(
+        {"title": "sum"},
+        derive_from=[a, b],
+        derive_op="sum",
+        highest_granularity="seconds10",
+    )
+    srcdir = str(tmp_path / "in")
+    ing = StreamingIngest(engine, srcdir, str(tmp_path / "cp"), auto_downsample=True)
+
+    # b0: a races ahead past the minute boundary; b sits in slot 0
+    write_jsonl(
+        f"{srcdir}/b0.json",
+        [{"stream_id": a, "ts": iso(t), "value": float(t)} for t in range(0, 71, 10)]
+        + [{"stream_id": b, "ts": iso(5), "value": 100.0}],
+    )
+    ing.run_available()
+    # b1: b lags into slot [10,20) — a slot the fast source already passed,
+    # inside a minute bucket the OLD watermark logic would have finalized
+    write_jsonl(
+        f"{srcdir}/b1.json",
+        [{"stream_id": b, "ts": iso(15), "value": 200.0}],
+    )
+    ing.run_available()
+    # b2: both sources move on
+    write_jsonl(
+        f"{srcdir}/b2.json",
+        [
+            {"stream_id": a, "ts": iso(80), "value": 80.0},
+            {"stream_id": b, "ts": iso(65), "value": 300.0},
+            {"stream_id": b, "ts": iso(130), "value": 1.0},
+            {"stream_id": a, "ts": iso(130), "value": 1.0},
+        ],
+    )
+    ing.run_available()
+
+    # expected slot sums (seconds10 rounding) over ALL final source points
+    src_pts = [(t, float(t)) for t in range(0, 71, 10)] + [(80, 80.0), (130, 1.0)]
+    src_pts += [(5, 100.0), (15, 200.0), (65, 300.0), (130, 1.0)]
+    expected: dict[int, float] = {}
+    for t, v in src_pts:
+        expected[t // 10 * 10] = expected.get(t // 10 * 10, 0.0) + v
+
+    got = {
+        int((p["t"].replace(tzinfo=UTC) - T0).total_seconds()): p["v"]
+        for p in engine.get_data(s, "seconds10")
+    }
+    assert got == {k: pytest.approx(v) for k, v in expected.items()}
+
+    # incremental materialization == batch recompute (FIXTURES B3.4)
+    full = engine.backprocess_streams({"title": "sum"})
+    batch = {
+        int((r["ts"] - T0.replace(tzinfo=None)).total_seconds()): r["value"]
+        for r in full.collect()
+    }
+    assert batch == {k: pytest.approx(v) for k, v in expected.items()}
+
+    # points_agg minute buckets track the corrected slots: minute 0 must
+    # include the lagging b-point that landed after a's clock passed it
+    agg = {
+        int((r["bucket_ts"] - T0.replace(tzinfo=None)).total_seconds()): r
+        for r in engine.tables.read_points_agg()
+        .filter((F.col("stream_id") == s) & (F.col("granularity") == "minutes"))
+        .collect()
+    }
+    min0 = {k: v for k, v in expected.items() if k < 60}
+    assert agg[0]["v"]["sum"] == pytest.approx(sum(min0.values()))
+    assert agg[0]["v"]["count"] == len(min0)
+    # exactly one stored row per bucket (upserts, not duplicate appends)
+    dup = (
+        engine.tables.read_points_agg()
+        .filter(F.col("stream_id") == s)
+        .groupBy("granularity", "bucket_ts")
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    assert dup.count() == 0
+
+
 def test_streaming_downsample_completed_bucket_rule(spark, tmp_path):
     src = str(tmp_path / "in")
     out = str(tmp_path / "out")
