@@ -119,9 +119,50 @@ def rp_signature_udf(planes: list[list[float]]):
     return sig
 
 
-#: fitted-model cache — a real deployment persists the IVF index next to
+#: centroid cache — a real deployment persists the IVF index next to
 #: the corpus instead of refitting per query batch
-_IVF_CACHE: dict[tuple, object] = {}
+_IVF_CACHE: dict[tuple, list[list[float]]] = {}
+
+
+def _ivf_assign_udf(centroids: list[list[float]]):
+    """Nearest-centroid cell id per vector: one BLAS matmul per Arrow
+    batch (argmin of ||x−c||² via −2x·c + |c|²; |x|² is constant per row).
+    Centroids are captured by value — executor-safe without PYTHONPATH."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)  # (cells, dim)
+    c2 = (C * C).sum(axis=1)  # (cells,)
+
+    @pandas_udf("int")
+    def cell(v: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        d = c2[None, :] - 2.0 * (X @ C.T)  # (n, cells), monotone in distance
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return cell
+
+
+def _ivf_centroids(
+    ml_source: DataFrame,
+    n_cells: int,
+    seed: int,
+    max_train_rows: int,
+) -> list[list[float]]:
+    """Fit KMeans on a BOUNDED sample and return plain centroid lists —
+    the whole persistable state of an IVF index."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ml_df = ml_source.select(array_to_vector("_cv").alias("features"))
+    n = ml_df.count()
+    if n > max_train_rows:
+        # slight over-sample then cap — bounded fit regardless of corpus
+        ml_df = ml_df.sample(
+            fraction=min(1.0, 1.05 * max_train_rows / n), seed=seed
+        ).limit(max_train_rows)
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(ml_df)
+    return [[float(x) for x in ctr] for ctr in model.clusterCenters()]
 
 
 def ivf_topk(
@@ -135,40 +176,55 @@ def ivf_topk(
     seed: int = 42,
     exclude_self: bool = True,
     cache_key: str | None = None,
+    index_dir: str | None = None,
+    max_train_rows: int = 262_144,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     KMeans cells, probe the ``n_probe`` nearest cells per query, exact-
     rerank inside them.
 
-    The 100 TB shape: the corpus is clustered once (train on a sample),
-    assignments are a narrow (id, cell) table co-partitioned with the
-    vectors, and each query touches n_probe/n_cells of the data via an
-    equi-join on cell id — no cross join anywhere. Returns
-    (query_id, rank, neighbor_id, cosine)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    The 100 TB shape: centroids are TRAINED on a bounded sample
+    (``max_train_rows``, KMeans quality saturates long before that),
+    ASSIGNMENT still covers the full corpus via one Arrow-batched matmul
+    (map-side, no shuffle), the index — just the centroid matrix — is
+    persisted to ``index_dir`` as JSON (reloaded across processes, like a
+    FAISS index next to the corpus), and each query touches
+    n_probe/n_cells of the data via an equi-join on cell id — no cross
+    join anywhere. Returns (query_id, rank, neighbor_id, cosine)."""
+    import json as _json
+    import os as _os
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
     )
-    ml_df = c.select("neighbor_id", array_to_vector("_cv").alias("features"))
     ck = (cache_key, n_cells, seed) if cache_key else None
-    model = _IVF_CACHE.get(ck) if ck else None
-    if model is None:
-        model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(ml_df)
-        if ck:
-            _IVF_CACHE[ck] = model
-    assigned = model.transform(ml_df).select(
-        "neighbor_id", F.col("prediction").alias("cell")
-    )
-    corpus_cells = c.join(assigned, "neighbor_id")
+    cents = _IVF_CACHE.get(ck) if ck else None
+    if cents is None and index_dir:
+        try:
+            with open(_os.path.join(index_dir, "centroids.json")) as f:
+                cents = _json.load(f)
+        except Exception:
+            cents = None
+    if cents is None:
+        cents = _ivf_centroids(c, n_cells, seed, max_train_rows)
+        if index_dir:
+            try:
+                _os.makedirs(index_dir, exist_ok=True)
+                tmp = _os.path.join(index_dir, "centroids.json.tmp")
+                with open(tmp, "w") as f:
+                    _json.dump(cents, f)
+                _os.replace(tmp, _os.path.join(index_dir, "centroids.json"))
+            except Exception:
+                pass  # index persistence is best-effort (read-only fs, races)
+    if ck:
+        _IVF_CACHE[ck] = cents
+    corpus_cells = c.withColumn("cell", _ivf_assign_udf(cents)(F.col("_cv")))
 
-    centroids = [
-        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
-    ]
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(centroids, "cell int, centroid array<double>")
+    cent_df = spark.createDataFrame(
+        list(enumerate(cents)), "cell int, centroid array<double>"
+    )
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -247,19 +303,26 @@ def rp_lsh_topk(
         )
         return df.select(
             F.col(id_col).alias(f"{role}_id"),
-            v.alias(f"_{role}v"),
             F.posexplode(band_arr).alias("band", "key"),
         )
 
+    # candidate generation carries ONLY ids through the band join and the
+    # dedup shuffle — a candidate pair is (8B, 8B), not 2×dim doubles; the
+    # vectors are re-attached afterwards by two equi-joins
     qb = with_bands(queries, "query")
     cb = with_bands(corpus, "neighbor")
-    cand = (
-        qb.join(cb, ["band", "key"])
-        .select("query_id", "neighbor_id", "_queryv", "_neighborv")
-        .distinct()
-    )
+    cand_ids = qb.join(cb, ["band", "key"]).select("query_id", "neighbor_id").distinct()
     if exclude_self:
-        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+        cand_ids = cand_ids.filter(F.col("query_id") != F.col("neighbor_id"))
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_queryv"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_neighborv"),
+    )
+    cand = cand_ids.join(qv, "query_id").join(cv, "neighbor_id")
     qn = F.sqrt(_dot(F.col("_queryv"), F.col("_queryv")))
     cn = F.sqrt(_dot(F.col("_neighborv"), F.col("_neighborv")))
     scored = cand.select(
