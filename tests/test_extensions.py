@@ -117,8 +117,9 @@ def test_rp_lsh_topk_recall_and_consistency(spark):
     exact_nn = {r["query_id"]: r["neighbor_id"] for r in exact}
     approx_nn = {r["query_id"]: r["neighbor_id"] for r in approx}
     hits = sum(1 for k, v in approx_nn.items() if exact_nn.get(k) == v)
-    # deterministic under seed 42; generous lower bound on top-1 recall
-    assert hits / len(exact_nn) >= 0.3, f"recall {hits}/{len(exact_nn)}"
+    # deterministic under seed 42: measured top-1 recall is 1.0 (30/30)
+    # on this corpus/config; 0.9 leaves headroom only for testdata regen
+    assert hits / len(exact_nn) >= 0.9, f"recall {hits}/{len(exact_nn)}"
     # cosines reported by the ANN path are exact for the pairs it returns
     exact_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
     for r in approx:
@@ -137,13 +138,229 @@ def test_ivf_topk_recall_and_consistency(spark):
     exact_nn = {r["query_id"]: r["neighbor_id"] for r in exact}
     approx_nn = {r["query_id"]: r["neighbor_id"] for r in approx}
     hits = sum(1 for kk, v in approx_nn.items() if exact_nn.get(kk) == v)
-    # probing half the cells on near-random vectors: generous bound
-    assert hits / len(exact_nn) >= 0.3, f"recall {hits}/{len(exact_nn)}"
+    # deterministic under seed 42: measured top-1 recall is 25/30 (0.83)
+    # probing half the cells; 0.7 leaves headroom only for testdata regen
+    assert hits / len(exact_nn) >= 0.7, f"recall {hits}/{len(exact_nn)}"
     exact_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
     for r in approx:
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_cos:
             assert r["cosine"] == pytest.approx(exact_cos[key], abs=1e-12)
+
+
+def _seq_dot(a, b) -> float:
+    """Sequential left fold — same IEEE operation order as the engine's
+    F.aggregate(zip_with(...)) expression, so doubles match bitwise."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _rerank(cands: dict[int, set[int]], vecs: dict[int, list[float]], k: int):
+    """Exact cosine rerank of candidate sets, engine tie-break (cosine
+    desc, neighbor asc). Returns [(query_id, rank, neighbor_id, cosine)]."""
+    import math
+
+    out = []
+    norms = {i: math.sqrt(_seq_dot(v, v)) for i, v in vecs.items()}
+    for qid in sorted(cands):
+        scored = [
+            (-(_seq_dot(vecs[qid], vecs[nid]) / (norms[qid] * norms[nid])), nid)
+            for nid in cands[qid]
+            if nid != qid
+        ]
+        for rank, (negc, nid) in enumerate(sorted(scored)[:k], start=1):
+            out.append((qid, rank, nid, -negc))
+    return out
+
+
+def test_simhash_matches_python_majority_vote(spark):
+    """q38 oracle: exact simhash recompute — Spark supplies only the token
+    xxhash64 primitive; the per-bit majority vote and signature assembly
+    are recomputed independently in Python over the full q38 corpus."""
+    from django_datastream_spark.functions.text import tokens
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    tok_rows = docs.select(
+        "doc_id", F.explode_outer(tokens(F.col("text"))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok")).collect()
+    votes: dict[int, list[int]] = {}
+    for r in tok_rows:
+        v = votes.setdefault(r["doc_id"], [0] * 64)
+        if r["h"] is None:
+            continue
+        h = r["h"]
+        for i in range(64):
+            v[i] += 1 if (h >> i) & 1 else -1
+    expected = {}
+    for did, v in votes.items():
+        sig = 0
+        for i in range(64):
+            if v[i] > 0:
+                sig |= 1 << i
+        # python ints are unbounded; engine returns signed 64-bit
+        expected[did] = sig - (1 << 64) if sig >= (1 << 63) else sig
+    got = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    assert got == expected
+
+
+def test_minhash_lsh_matches_python_pipeline(spark):
+    """q39 oracle: exact recompute of the full MinHash-LSH pipeline with
+    the q39 parameters (64 hashes, 16 bands, 3-shingles, threshold 0.5).
+    Spark supplies only the seeded shingle hashes; signature mins, band
+    bucketing (on raw slice tuples — a superset-proof stand-in for the
+    engine's slice hash), candidate generation and exact Jaccard are all
+    recomputed in Python."""
+    from django_datastream_spark.functions.text import word_shingles
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    sh_rows = docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles(F.col("text"), 3)).alias("shs"),
+    ).collect()
+    doc_shingles = {r["doc_id"]: set(r["shs"]) for r in sh_rows}
+    distinct = sorted({s for shs in doc_shingles.values() for s in shs})
+    sh_df = spark.createDataFrame([(s,) for s in distinct], "sh string")
+    hash_rows = sh_df.select(
+        "sh", *[F.xxhash64("sh", F.lit(i)).alias(f"h{i}") for i in range(64)]
+    ).collect()
+    hval = {r["sh"]: [r[f"h{i}"] for i in range(64)] for r in hash_rows}
+
+    sigs = {
+        did: [min(hval[s][i] for s in shs) for i in range(64)]
+        for did, shs in doc_shingles.items()
+        if shs
+    }
+    buckets: dict[tuple, list[int]] = {}
+    for did, sig in sigs.items():
+        for b in range(16):
+            buckets.setdefault((b, tuple(sig[b * 4 : b * 4 + 4])), []).append(did)
+    cand = set()
+    for members in buckets.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                cand.add((min(a, b), max(a, b)))
+    expected = {}
+    for a, b in cand:
+        sa, sb = doc_shingles[a], doc_shingles[b]
+        u = len(sa | sb)
+        j = len(sa & sb) / u if u else 0.0
+        if j >= 0.5:
+            expected[(a, b)] = j
+
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dd.minhash_lsh_dedup(docs, threshold=0.5).collect()
+    }
+    assert set(got) == set(expected)
+    for k_, v in expected.items():
+        assert got[k_] == pytest.approx(v, abs=1e-12)
+
+
+def test_rp_lsh_topk_matches_python_pipeline(spark):
+    """q41 oracle: full-set equality against an independent numpy/Python
+    recompute — hyperplane signatures, band bucketing, candidate join and
+    the exact rerank (same fold order, same tie-break)."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    q = emb.filter(F.col("vec_id") < 30)
+    rows = emb.collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    P = np.asarray(sim._hyperplanes(64, 16, 42), dtype=np.float64)
+    X = np.asarray([vecs[i] for i in sorted(vecs)], dtype=np.float64)
+    ids = sorted(vecs)
+    bits = (X @ P.T) >= 0
+    sig = {
+        ids[r]: int(sum(1 << i for i in range(16) if bits[r, i]))
+        for r in range(len(ids))
+    }
+    rows_per_band = 16 // 8
+
+    def band_keys(s: int) -> list[tuple[int, int]]:
+        return [(b, (s >> (b * rows_per_band)) & 3) for b in range(8)]
+
+    corpus_buckets: dict[tuple[int, int], list[int]] = {}
+    for did, s in sig.items():
+        for bk in band_keys(s):
+            corpus_buckets.setdefault(bk, []).append(did)
+    cands = {
+        qid: {
+            nid
+            for bk in band_keys(sig[qid])
+            for nid in corpus_buckets.get(bk, [])
+        }
+        for qid in range(30)
+    }
+    expected = _rerank(cands, vecs, k=3)
+    got = [
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in sim.rp_lsh_topk(q, emb, k=3, dim=64, n_planes=16, bands=8)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert [g[:3] for g in got] == [e[:3] for e in expected]
+    for g, e in zip(got, expected):
+        assert g[3] == pytest.approx(e[3], abs=1e-12)
+
+
+def test_ivf_topk_matches_python_pipeline(spark):
+    """q42 oracle: full-set equality against an independent Python
+    recompute of assignment (argmin distance, first-min tie-break),
+    probing (distance asc, cell asc) and the exact rerank. Centroids are
+    taken from the operator's own cache so both sides score the same
+    index."""
+    import math
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    q = emb.filter(F.col("vec_id") < 30)
+    got_df = sim.ivf_topk(
+        q, emb, k=3, n_cells=8, n_probe=3, cache_key="test-ivf-oracle"
+    )
+    got = [
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in got_df.orderBy("query_id", "rank").collect()
+    ]
+    cents = sim._IVF_CACHE[("test-ivf-oracle", 8, 42)]
+    rows = emb.collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+
+    def eucl(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (float(x) - float(y)) * (float(x) - float(y))
+        return math.sqrt(acc)
+
+    C = np.asarray(cents, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    assign = {}
+    for did, v in vecs.items():
+        d = c2 - 2.0 * (np.asarray(v, dtype=np.float64) @ C.T)
+        assign[did] = int(np.argmin(d))
+    cells: dict[int, list[int]] = {}
+    for did, c in assign.items():
+        cells.setdefault(c, []).append(did)
+    cands = {}
+    for qid in range(30):
+        probed = sorted(
+            range(len(cents)), key=lambda c: (eucl(vecs[qid], cents[c]), c)
+        )[:3]
+        cands[qid] = {nid for c in probed for nid in cells.get(c, [])}
+    expected = _rerank(cands, vecs, k=3)
+    assert [g[:3] for g in got] == [e[:3] for e in expected]
+    for g, e in zip(got, expected):
+        assert g[3] == pytest.approx(e[3], abs=1e-12)
 
 
 def test_multimodal_stub_and_plumbing(spark):
