@@ -173,6 +173,11 @@ class Tables:
     concurrently with any writer thanks to the snapshot pointers.
     """
 
+    #: auto-compact the streams version log once it exceeds this many
+    #: parquet files — keeps metadata reads O(live streams) under
+    #: continuous ingest (each micro-batch appends 1–3 small files)
+    STREAMS_LOG_MAX_FILES = 48
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
@@ -239,6 +244,12 @@ class Tables:
         self._v_counter = max(self._v_counter + 1, time.time_ns())
         return self._v_counter
 
+    def bump_v(self, v: int) -> None:
+        """Reserve the version/seq range up to ``v`` — callers that hand
+        out ``base + row_number`` seqs bump past their batch so the next
+        base can never overlap it, even if the clock stalls."""
+        self._v_counter = max(self._v_counter, v)
+
     # -- streams metadata (MERGE-style log) ----------------------------------
     def read_streams_log(self) -> DataFrame:
         if not self._exists(self.streams_path):
@@ -269,6 +280,7 @@ class Tables:
             out.append(r)
         df = self.spark.createDataFrame(out, STREAMS_LOG_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(self.streams_path)
+        self._maybe_compact_streams()
 
     def upsert_streams_df(self, df: DataFrame) -> None:
         """MERGE from a DataFrame in STREAMS_SCHEMA shape — appends new row
@@ -282,6 +294,21 @@ class Tables:
             .write.mode("append")
             .parquet(self.streams_path)
         )
+        self._maybe_compact_streams()
+
+    def _maybe_compact_streams(self) -> None:
+        """Keep the append-only streams log bounded: once the current
+        version dir exceeds STREAMS_LOG_MAX_FILES parquet files, snapshot
+        the live rows into a fresh dir (atomic pointer swap). Amortized
+        O(live streams) every N upserts — without this, every metadata
+        read window-scans a log that grows with uptime."""
+        path = self.streams_path
+        try:
+            n = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+        except FileNotFoundError:
+            return
+        if n > self.STREAMS_LOG_MAX_FILES:
+            self.compact_streams()
 
     def delete_streams_rows(self, stream_ids: list[str]) -> None:
         """Tombstone the given streams (latest version = deleted)."""

@@ -45,17 +45,20 @@ INGEST_SCHEMA = T.StructType(
 )
 
 
-def _batch_seq_col(base_ns: int) -> object:
-    """Insertion sequence for one micro-batch: a driver-supplied time_ns
-    base + row_number within the batch (ordered by stream, ts). Unique and
-    increasing across batches and COMPATIBLE with append_multiple's
-    time_ns-based seq, unlike monotonically_increasing_id arithmetic whose
-    partition bits collide across batches (≥128 partitions) and sort
-    far from wall-clock order. The within-batch window is a single
-    partition — acceptable because a micro-batch is bounded by trigger
-    size, not by history."""
-    w = Window.orderBy("stream_id", "ts")
-    return F.lit(base_ns) + F.row_number().over(w).cast("long")
+def _batch_seq_col(base: int) -> object:
+    """Insertion sequence for one micro-batch: a driver-supplied monotone
+    base + row_number PER STREAM (ordered by ts). seq only has to be
+    unique and time-ordered within a stream — get_data orders by
+    (ts, seq) per stream and points_derived resolves versions per
+    (stream_id, ts) — so partitioning the window by stream_id keeps the
+    assignment parallel (hash exchange, no single-partition global sort:
+    the serialization point the old Window.orderBy created at high ingest
+    rates). Bases come from Tables._next_v() (monotone counter ⊔ time_ns)
+    and the caller bumps the counter past base + batch rows afterwards, so
+    consecutive batches can never hand out overlapping seqs even if the
+    clock stalls or the batch is huge."""
+    w = Window.partitionBy("stream_id").orderBy("ts")
+    return F.lit(base) + F.row_number().over(w).cast("long")
 
 
 class StreamingIngest:
@@ -108,7 +111,7 @@ class StreamingIngest:
             )
         ).persist()
 
-        base_ns = time.time_ns()
+        base_ns = self.engine.tables._next_v()
         batch = batch.withColumn("seq", _batch_seq_col(base_ns))
         batch = batch.withColumn(
             "value_graph",
@@ -162,12 +165,18 @@ class StreamingIngest:
                 pts = pts.unionByName(d.select("stream_id", "ts"))
         self.engine.tables.append_points_raw(good)
 
-        bounds = {
-            r["stream_id"]: (r["mn"], r["mx"])
-            for r in pts.groupBy("stream_id")
-            .agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
-            .collect()
-        }
+        stats = pts.groupBy("stream_id").agg(
+            F.min("ts").alias("mn"),
+            F.max("ts").alias("mx"),
+            F.count(F.lit(1)).alias("cnt"),
+        ).collect()
+        bounds = {r["stream_id"]: (r["mn"], r["mx"]) for r in stats}
+        # reserve the seq range this batch handed out (max per-stream
+        # row_number bounds every base used above)
+        if stats:
+            self.engine.tables.bump_v(
+                self.engine.tables._v_counter + max(r["cnt"] for r in stats)
+            )
         known.unpersist()
         if bounds:
             metas = {
@@ -244,7 +253,7 @@ class StreamingIngest:
             .filter(F.col("_dlts").isNull() | (F.col("ts") > F.col("_dlts")))
             .drop("_dlts")
         )
-        out = out.withColumn("seq", _batch_seq_col(time.time_ns())).select(
+        out = out.withColumn("seq", _batch_seq_col(self.engine.tables._next_v())).select(
             "stream_id", "ts", "seq", "value"
         )
         return out if out.head(1) else None
@@ -324,7 +333,7 @@ class StreamingIngest:
             F.col("_slot").alias("ts"),
             "value",
         )
-        out = out.withColumn("seq", _batch_seq_col(time.time_ns())).select(
+        out = out.withColumn("seq", _batch_seq_col(self.engine.tables._next_v())).select(
             "stream_id", "ts", "seq", "value"
         )
         return out if out.head(1) else None
