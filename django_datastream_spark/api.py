@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import exceptions as exc
-from .granularity import BY_NAME, GRANULARITIES, Granularity
+from .granularity import BY_NAME, GRANULARITIES, Granularity, coarser_than
 from .operators import derive as derive_ops
 from .operators import downsample as ds_ops
 from .storage import STREAMS_SCHEMA, Tables
@@ -510,6 +510,149 @@ class Datastream:
         return Datapoints(
             df, raw=raw, reverse=reverse, nominal=meta["value_type"] == "nominal"
         )
+
+    # ------------------------------------------------------------------
+    # aggregate routing (SURVEY §4 'Aggregate routing' extension row)
+    # ------------------------------------------------------------------
+    def aggregate(
+        self,
+        query_tags: dict | None = None,
+        *,
+        bucket_seconds: int,
+        start: _dt.datetime | None = None,
+        end: _dt.datetime | None = None,
+    ) -> DataFrame:
+        """Ad-hoc bucketed aggregates with AUTOMATIC materialized-view
+        routing (reference: caller-picked granularity only; this is the
+        SURVEY §4 extension). Output buckets of width ``bucket_seconds``
+        (epoch-aligned; any multiple of a stored granularity) are answered
+        from ``points_agg`` wherever each stream's finality watermark
+        proves the stored aggregates complete — an algebraic merge over a
+        partition-pruned agg scan — and only the unmaterialized tail (plus
+        never-downsampled streams) is recomputed from raw points, with the
+        raw scan bounded below by the watermark.
+
+        Invariant making this exact: agg buckets starting before the
+        per-granularity watermark are final (monotonic appends; the
+        sum-derive clamp keeps lagging multi-source slots above it).
+        ``start``/``end`` (end exclusive) must align to ``bucket_seconds``.
+        Returns (stream_id, granularity, bucket_ts, v, t, t_sum_epoch);
+        partial tail buckets are emitted (query semantics — the
+        completed-bucket rule governs materialization, not reads).
+        """
+        W = int(bucket_seconds)
+        if W <= 0:
+            raise ValueError("bucket_seconds must be positive")
+        for b, nm in ((start, "start"), (end, "end")):
+            if b is not None:
+                bt = b if b.tzinfo else b.replace(tzinfo=_UTC)
+                if int(bt.timestamp()) % W:
+                    raise ValueError(f"{nm} must align to bucket_seconds")
+        target = Granularity(f"agg{W}s", W)
+        metas = self.find_streams(query_tags)
+        empty = self.tables.read_points_agg().limit(0)
+        if not metas:
+            return empty
+        mat = {
+            r["stream_id"]
+            for r in self.tables.read_points_derived(latest_only=False)
+            .select("stream_id")
+            .distinct()
+            .collect()
+        }
+        # route plan per stream: the COARSEST stored granularity dividing
+        # the output width whose watermark exists (fewest rows to merge)
+        agg_route: dict[str, tuple[str, _dt.datetime]] = {}
+        for m in metas:
+            if m["derive_op"] and m["stream_id"] not in mat:
+                continue  # pure computed view → recompute path
+            wm_map = m["downsampled_until"] or {}
+            for g in coarser_than(BY_NAME[m["highest_granularity"]]):
+                if W % g.duration_s == 0 and wm_map.get(g.name) is not None:
+                    agg_route[m["stream_id"]] = (g.name, wm_map[g.name])
+
+        def _rng(df: DataFrame, col: str) -> DataFrame:
+            if start is not None:
+                df = df.filter(F.col(col) >= F.lit(start))
+            if end is not None:
+                df = df.filter(F.col(col) < F.lit(end))
+            return df
+
+        parts: list[DataFrame] = []
+        by_src: dict[str, list[tuple[str, _dt.datetime]]] = {}
+        for sid, (gname, wm) in agg_route.items():
+            by_src.setdefault(gname, []).append((sid, wm))
+        for gname, members in by_src.items():
+            wm_df = F.broadcast(
+                self.spark.createDataFrame(
+                    members, "stream_id string, _wm timestamp"
+                )
+            )
+            src = _rng(
+                self.tables.read_points_agg().filter(
+                    F.col("granularity") == gname
+                ),
+                "bucket_ts",
+            )
+            covered = (
+                src.join(wm_df, "stream_id")
+                .filter(
+                    target.bucket_epoch_col(F.col("bucket_ts")) + W
+                    <= F.unix_timestamp("_wm")
+                )
+                .drop("_wm", "granularity")
+            )
+            parts.append(ds_ops.rollup_agg(covered, target))
+
+        # raw recompute: agg-routed streams from their watermark-aligned
+        # tail bucket on; everything else in full
+        bounds = []
+        for m in metas:
+            sid = m["stream_id"]
+            if sid in agg_route:
+                wm_epoch = int(
+                    agg_route[sid][1].replace(tzinfo=_UTC).timestamp()
+                    if agg_route[sid][1].tzinfo is None
+                    else agg_route[sid][1].timestamp()
+                )
+                bounds.append((sid, _dt.datetime.fromtimestamp(wm_epoch // W * W, tz=_UTC)))
+            else:
+                bounds.append((sid, None))
+        ids_df = F.broadcast(
+            self.spark.createDataFrame(bounds, "stream_id string, _lb timestamp")
+        )
+        pts = self.tables.read_points_raw().select(
+            "stream_id", "ts", "value", "value_nominal"
+        )
+        lows = [b for _, b in bounds]
+        if all(b is not None for b in lows) and lows:
+            # conservative global bound reaches the parquet scan
+            pts = pts.filter(F.col("ts") >= F.lit(min(lows)))
+        mat_pts = self.tables.read_points_derived().select(
+            "stream_id", "ts", "value", F.lit(None).cast("string").alias("value_nominal")
+        )
+        pts = pts.unionByName(mat_pts)
+        view_metas = [
+            m for m in metas if m["derive_op"] and m["stream_id"] not in mat
+        ]
+        if view_metas:
+            view = self._derived_points(view_metas)
+            if view is not None:
+                pts = pts.unionByName(
+                    view.withColumn("value_nominal", F.lit(None).cast("string"))
+                )
+        tail = (
+            _rng(pts, "ts")
+            .join(ids_df, "stream_id")
+            .filter(F.col("_lb").isNull() | (F.col("ts") >= F.col("_lb")))
+            .drop("_lb")
+        )
+        parts.append(ds_ops.downsample_raw(tail, target))
+
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy("stream_id", "bucket_ts")
 
     # ------------------------------------------------------------------
     # delete (S5)

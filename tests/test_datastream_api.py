@@ -273,6 +273,71 @@ def test_lagging_stream_append_upserts_materialized_bucket(engine):
     assert agg.count() == 1
 
 
+def test_aggregate_routing_serves_from_agg_and_recomputes_tail(engine):
+    """SURVEY §4 aggregate-routing extension: covered buckets come from a
+    partition-pruned points_agg scan (algebraic merge), only the
+    post-watermark tail and never-downsampled streams hit raw points, and
+    the combined answer equals a full raw recompute."""
+    a = engine.ensure_stream({"title": "routed"})
+    b = engine.ensure_stream({"title": "rawonly"})
+    engine.append_multiple(
+        [{"stream_id": a, "value": float(i), "timestamp": ts(i)} for i in range(300)]
+    )
+    engine.append_multiple(
+        [{"stream_id": b, "value": 2.0 * i, "timestamp": ts(i)} for i in range(100)]
+    )
+    engine.downsample_streams({"title": "routed"}, until=ts(240))
+    # stale tail: appends after the downsample run must still be answered
+    engine.append_multiple(
+        [
+            {"stream_id": a, "value": float(i), "timestamp": ts(i)}
+            for i in range(300, 330)
+        ]
+    )
+    out = engine.aggregate(bucket_seconds=60)
+    got = {
+        (r["stream_id"], r["bucket_ts"]): r
+        for r in out.collect()
+    }
+    # stream a: buckets 0..300, exact mean/sum/count vs python recompute
+    for b0 in range(0, 330, 60):
+        vals = [float(i) for i in range(b0, min(b0 + 60, 330))]
+        row = got[(a, nts(b0))]
+        assert row["v"]["count"] == len(vals)
+        assert row["v"]["sum"] == pytest.approx(sum(vals))
+        assert row["v"]["mean"] == pytest.approx(sum(vals) / len(vals))
+        assert row["t"]["first"] == nts(b0)
+    for b0 in range(0, 100, 60):
+        vals = [2.0 * i for i in range(b0, min(b0 + 60, 100))]
+        row = got[(b, nts(b0))]
+        assert row["v"]["count"] == len(vals)
+        assert row["v"]["sum"] == pytest.approx(sum(vals))
+    assert len(got) == 6 + 2
+    # plan: the routed part scans points_agg with granularity partition
+    # pruning; the raw tail scan carries a pushed ts lower bound is not
+    # asserted globally because stream b is unbounded here
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "minutes" in plan.split("PartitionFilters", 1)[1][:300]
+
+
+def test_aggregate_routing_bounds_raw_scan_when_all_covered(engine):
+    """With every selected stream downsampled, the raw-side scan must be
+    bounded below by the watermark (pushed to parquet)."""
+    sid = engine.ensure_stream({"title": "allcov"})
+    engine.append_multiple(
+        [{"stream_id": sid, "value": 1.0, "timestamp": ts(i)} for i in range(200)]
+    )
+    engine.downsample_streams(until=ts(200))
+    out = engine.aggregate({"title": "allcov"}, bucket_seconds=60)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(ts" in plan
+    got = sorted(
+        (r["bucket_ts"], r["v"]["count"]) for r in out.collect()
+    )
+    assert got == [(nts(0), 60), (nts(60), 60), (nts(120), 60), (nts(180), 20)]
+
+
 def test_vacuum_keeps_planned_reader_valid(engine):
     """A DataFrame planned before vacuum must still be fully readable
     after it — _swap_version retains the previous snapshot generation."""
