@@ -778,21 +778,64 @@ class Datastream:
         # minimum. The min across selected data-bearing streams is a single
         # conservative filter that reaches the parquet scan and prunes
         # p_date partitions.
+        # Streams with no watermark fall back to their own earliest_ts (a
+        # new stream needs everything from its first point, nothing
+        # before), so one watermark-less stream no longer reverts the run
+        # to a full-history scan. Never-materialized pure views (earliest
+        # null) bound at their sources' min earliest floored to the view's
+        # granularity; views whose sources are all empty contribute no
+        # points and are excluded from the bound.
         wm_days = F.col("downsampled_until").getItem("days")
-        lb = (
-            sel.filter(
-                (F.col("_gidx") < n_gran - 1)
-                & (F.col("earliest_ts").isNotNull() | F.col("derive_op").isNotNull())
-            )
-            .agg(
-                F.count("*").alias("n"),
-                F.count(wm_days).alias("n_set"),
-                F.min(wm_days).alias("low"),
-            )
-            .collect()[0]
+        lb_src = sel.filter(
+            (F.col("_gidx") < n_gran - 1)
+            & (F.col("earliest_ts").isNotNull() | F.col("derive_op").isNotNull())
         )
+        cand = F.coalesce(wm_days, F.col("earliest_ts"))
+        missing = [
+            m
+            for m in derived_meta
+            if (m["downsampled_until"] or {}).get("days") is None
+            and m["earliest_ts"] is None
+        ]
+        if missing:
+            src_ids = sorted(
+                {
+                    s
+                    for m in missing
+                    for s, role in derive_ops.source_roles(m)
+                    if role == "data"
+                }
+            )
+            src_earliest = {
+                r["stream_id"]: r["earliest_ts"]
+                for r in self._streams()
+                .filter(F.col("stream_id").isin(src_ids))
+                .select("stream_id", "earliest_ts")
+                .collect()
+            }
+            vb_rows = []
+            for m in missing:
+                es = [
+                    src_earliest.get(s)
+                    for s, role in derive_ops.source_roles(m)
+                    if role == "data" and src_earliest.get(s) is not None
+                ]
+                e = None
+                if es:
+                    e = BY_NAME[m["highest_granularity"]].round_timestamp(
+                        min(x.replace(tzinfo=_UTC) if x.tzinfo is None else x for x in es)
+                    )
+                vb_rows.append((m["stream_id"], e))
+            vb_df = F.broadcast(
+                self.spark.createDataFrame(vb_rows, "stream_id string, _vb timestamp")
+            )
+            lb_src = lb_src.join(vb_df, "stream_id", "left")
+            cand = F.coalesce(wm_days, F.col("earliest_ts"), F.col("_vb"))
+        lb = lb_src.agg(
+            F.count(cand).alias("n_set"), F.min(cand).alias("low")
+        ).collect()[0]
         low = None
-        if lb["n"] > 0 and lb["n"] == lb["n_set"]:
+        if lb["n_set"] > 0:
             low = lb["low"].replace(tzinfo=_UTC) if lb["low"].tzinfo is None else lb["low"]
             raw = raw.filter(F.col("ts") >= F.lit(low))
 

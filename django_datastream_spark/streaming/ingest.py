@@ -338,18 +338,27 @@ class StreamingIngest:
         )
         return out if out.head(1) else None
 
+    def attach(self, source: DataFrame, available_now: bool = True):
+        """Attach the validation/landing pipeline to ANY streaming
+        DataFrame in INGEST_SCHEMA shape — file JSON-lines, Kafka
+        (``kafka_source``), rate, socket. The foreachBatch body never
+        looks at the source: swapping transports is a one-line change.
+        Returns the started StreamingQuery."""
+        w = (
+            source.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
     def run_available(self) -> None:
         """Process everything currently in source_dir, then stop
         (Trigger.AvailableNow) — the batch-refresh mode."""
-        q = (
-            self.engine.spark.readStream.schema(INGEST_SCHEMA)
-            .json(self.source_dir)
-            .writeStream.foreachBatch(self._process_batch)
-            .option("checkpointLocation", self.checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
+        src = self.engine.spark.readStream.schema(INGEST_SCHEMA).json(
+            self.source_dir
         )
-        q.awaitTermination()
+        self.attach(src).awaitTermination()
 
 
 def _max_slot_width(sum_metas: list[dict]):
@@ -357,6 +366,37 @@ def _max_slot_width(sum_metas: list[dict]):
 
     w = max(BY_NAME[s["highest_granularity"]].duration_s for s in sum_metas)
     return _dt.timedelta(seconds=w)
+
+
+def parse_json_payload(df: DataFrame, payload_col: str = "value") -> DataFrame:
+    """Decode a transport payload column (Kafka ``value`` bytes, MQTT
+    message, ...) carrying the same JSON objects the file source reads,
+    into INGEST_SCHEMA rows. Shared by ``kafka_source`` and tests so the
+    two transports can never drift."""
+    return df.select(
+        F.from_json(F.col(payload_col).cast("string"), INGEST_SCHEMA).alias("_r")
+    ).select("_r.*")
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka → INGEST_SCHEMA streaming DataFrame for
+    ``StreamingIngest.attach``. Message values are the same JSON objects
+    the file source consumes. Requires the spark-sql-kafka package on the
+    cluster classpath (not bundled in this container — exercised via
+    ``attach`` with substitute sources in tests)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return parse_json_payload(raw, "value")
 
 
 def streaming_downsample(

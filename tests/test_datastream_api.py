@@ -338,6 +338,35 @@ def test_aggregate_routing_bounds_raw_scan_when_all_covered(engine):
     assert got == [(nts(0), 60), (nts(60), 60), (nts(120), 60), (nts(180), 20)]
 
 
+def test_downsample_with_watermarkless_streams_stays_complete(engine):
+    """The raw-scan lower bound falls back to earliest_ts for streams
+    without a watermark (and to source earliest for pure views) — and must
+    never cut data a new stream still needs."""
+    a = engine.ensure_stream({"title": "warm"})
+    engine.append_multiple(
+        [{"stream_id": a, "value": 1.0, "timestamp": ts(i)} for i in range(120)]
+    )
+    engine.downsample_streams(until=ts(120))  # a has watermarks now
+    # new stream with data EARLIER than a's watermark, plus a pure view
+    b = engine.ensure_stream({"title": "cold"})
+    engine.append_multiple(
+        [{"stream_id": b, "value": float(i), "timestamp": ts(i)} for i in range(70)]
+    )
+    engine.ensure_stream({"title": "coldview"}, derive_from=[b], derive_op="derivative")
+    engine.downsample_streams(until=ts(120))
+    mins = list(engine.get_data(b, "minutes"))
+    # minute 0 complete, minute 1 a partial upsertable bucket (points 60-69)
+    assert [p["v"]["count"] for p in mins] == [60, 10]
+    assert mins[0]["v"]["sum"] == sum(range(60))
+    assert mins[1]["v"]["sum"] == sum(range(60, 70))
+    view_mins = list(
+        engine.get_data(
+            engine.find_streams({"title": "coldview"})[0]["stream_id"], "minutes"
+        )
+    )
+    assert [p["v"]["count"] for p in view_mins] == [59, 10]  # derivative drops 1st
+
+
 def test_vacuum_keeps_planned_reader_valid(engine):
     """A DataFrame planned before vacuum must still be fully readable
     after it — _swap_version retains the previous snapshot generation."""

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from django_datastream_spark.api import Datastream
 from django_datastream_spark.streaming.ingest import (
     StreamingIngest,
+    parse_json_payload,
     streaming_downsample,
 )
 
@@ -238,6 +239,58 @@ def test_incremental_sum_equals_batch_and_aggs_follow(spark, tmp_path):
         .filter(F.col("count") > 1)
     )
     assert dup.count() == 0
+
+
+def test_ingest_attach_runs_against_non_file_source(spark, tmp_path):
+    """The foreachBatch pipeline is source-agnostic: drive it end-to-end
+    from a rate-micro-batch stream (no files anywhere) through the same
+    attach() entry point a Kafka source would use."""
+    engine = Datastream(spark, str(tmp_path / "store"))
+    sid = engine.ensure_stream({"title": "ratefed"})
+    ing = StreamingIngest(engine, str(tmp_path / "in"), str(tmp_path / "cp"))
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 20)
+        .option("numPartitions", 2)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+    )
+    shaped = src.select(
+        F.lit(sid).alias("stream_id"),
+        (F.to_timestamp(F.lit(T0.replace(tzinfo=None))) + F.make_interval(
+            secs=F.col("value").cast("double")
+        )).alias("ts"),
+        (F.col("value") * 10.0).alias("value"),
+        F.lit(None).cast("string").alias("value_nominal"),
+    )
+    ing.attach(shaped).awaitTermination()
+    pts = list(engine.get_data(sid, "seconds"))
+    assert [p["v"] for p in pts] == [10.0 * i for i in range(20)]
+    meta = engine.find_streams({"title": "ratefed"})[0]
+    assert meta["latest_ts"].replace(tzinfo=UTC) == T0 + dt.timedelta(seconds=19)
+
+
+def test_kafka_shaped_payload_lands_identically(spark, tmp_path):
+    """Kafka transport parity: the same JSON objects the file source
+    reads, arriving as message-value bytes and decoded by the shared
+    parse_json_payload, must land (and reject) identically through the
+    foreachBatch body."""
+    engine = Datastream(spark, str(tmp_path / "store"))
+    sid = engine.ensure_stream({"title": "kshaped"})
+    ing = StreamingIngest(engine, str(tmp_path / "in"), str(tmp_path / "cp"))
+    payloads = [
+        json.dumps({"stream_id": sid, "ts": iso(0), "value": 1.0}),
+        json.dumps({"stream_id": sid, "ts": iso(1), "value": 2.0}),
+        json.dumps({"stream_id": sid, "ts": iso(1), "value": 9.0}),  # dup → reject
+        json.dumps({"stream_id": "nope", "ts": iso(2), "value": 3.0}),
+    ]
+    kafka_like = spark.createDataFrame(
+        [(p.encode("utf-8"),) for p in payloads], "value binary"
+    )
+    ing._process_batch(parse_json_payload(kafka_like), batch_id=0)
+    assert [p["v"] for p in engine.get_data(sid, "seconds")] == [1.0, 2.0]
+    assert spark.read.parquet(ing.rejects_path).count() == 2
 
 
 def test_streaming_downsample_completed_bucket_rule(spark, tmp_path):
