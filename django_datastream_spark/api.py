@@ -687,9 +687,14 @@ class Datastream:
         """Physically drop datapoints of deleted streams and compact
         superseded metadata/derived-point versions (the deferred half of
         S5). Every rewrite lands in a fresh snapshot directory and the
-        ``_CURRENT`` pointer is swapped atomically, so concurrent readers
-        never observe a missing path. On Delta/Iceberg this becomes a
-        plain DELETE + OPTIMIZE."""
+        ``_CURRENT`` pointer is swapped atomically, so concurrent READERS
+        never observe a missing path (the previous generation is retained
+        for one more swap). WRITERS must be quiesced for the duration:
+        rows appended to a table's current version dir while its rewrite
+        runs would be silently dropped by the swap — stop streaming
+        ingest (or route appends elsewhere) before vacuuming, exactly
+        like VACUUM on Delta/Iceberg requires no concurrent blind
+        appends to the files it rewrites."""
         t = self.tables
         t.compact_streams()
         live = t.read_streams().select("stream_id")
