@@ -346,6 +346,59 @@ class Tables:
             .parquet(self.points_raw_path)
         )
 
+    def compact_points_raw(
+        self,
+        max_files_per_partition: int = 8,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """OPTIMIZE-style small-file compaction: rewrite only the p_date
+        partitions holding more than ``max_files_per_partition`` parquet
+        files (continuous ingest appends one file per micro-batch per
+        partition), sized at ~``target_file_bytes`` apiece. Untouched
+        partitions are HARDLINKED into the fresh snapshot dir, so the cost
+        is O(compacted bytes) + O(total files) metadata, and the atomic
+        ``_CURRENT`` swap keeps concurrent readers safe (one retained
+        generation). Writer must be quiesced, as with vacuum. On
+        Delta/Iceberg this is OPTIMIZE / rewrite_data_files. Returns the
+        number of partitions compacted."""
+        src = self.points_raw_path
+        if not self._exists(src):
+            return 0
+        parts: dict[str, list[str]] = {}
+        for name in os.listdir(src):
+            d = os.path.join(src, name)
+            if name.startswith("p_date=") and os.path.isdir(d):
+                parts[name] = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        targets = {
+            name: files
+            for name, files in parts.items()
+            if len(files) > max_files_per_partition
+        }
+        if not targets:
+            return 0
+
+        def write(new_dir: str) -> None:
+            os.makedirs(new_dir, exist_ok=True)
+            for name, files in parts.items():
+                if name in targets:
+                    d = os.path.join(src, name)
+                    nbytes = sum(os.path.getsize(os.path.join(d, f)) for f in files)
+                    n_out = max(1, -(-nbytes // target_file_bytes))
+                    (
+                        self.spark.read.parquet(d)
+                        .coalesce(int(n_out))
+                        .write.mode("overwrite")
+                        .parquet(os.path.join(new_dir, name))
+                    )
+                else:
+                    dst = os.path.join(new_dir, name)
+                    os.makedirs(dst, exist_ok=True)
+                    for f in parts[name]:
+                        os.link(os.path.join(src, name, f), os.path.join(dst, f))
+
+        self._swap_version("points_raw", write)
+        return len(targets)
+
     # -- derived points (versioned by seq) --------------------------------------
     def read_points_derived(self, latest_only: bool = True) -> DataFrame:
         if not self._exists(self.points_derived_path):

@@ -67,7 +67,12 @@ class StreamingIngest:
     Producers drop JSON-lines files with (stream_id, ts, value[,
     value_nominal]) into ``source_dir``; each micro-batch validates and
     lands them. Swap the readStream source for Kafka in production — the
-    foreachBatch body is source-agnostic.
+    foreachBatch body is source-agnostic (see ``attach``/``kafka_source``).
+
+    Operational note: each micro-batch appends one small parquet file per
+    touched p_date partition; schedule ``tables.compact_points_raw()``
+    (writer quiesced) to fold them back to ~128 MB files. The streams
+    metadata log auto-compacts on its own.
     """
 
     def __init__(

@@ -52,6 +52,42 @@ def test_streams_log_autocompacts_and_reads_stay_correct(spark, tmp_path):
     assert t.read_streams_log().count() <= t.STREAMS_LOG_MAX_FILES + 1
 
 
+def test_compact_points_raw_rewrites_only_fat_partitions(spark, tmp_path):
+    """Partition-bounded OPTIMIZE: only partitions past the file-count
+    threshold are rewritten, others are hardlinked unchanged; data and a
+    pre-planned reader survive the snapshot swap."""
+    from django_datastream_spark.api import Datastream
+
+    engine = Datastream(spark, str(tmp_path / "store"))
+    sid = engine.ensure_stream({"title": "cf"})
+    d0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
+    # day 0: 6 separate appends → 6+ files; day 1: one append
+    for i in range(6):
+        engine.append(sid, float(i), d0 + dt.timedelta(seconds=i))
+    engine.append(sid, 99.0, d0 + dt.timedelta(days=1))
+    t = engine.tables
+
+    def files_of(day: str) -> list[str]:
+        d = os.path.join(t.points_raw_path, f"p_date={day}")
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    assert len(files_of("2024-01-01")) >= 6
+    day1_before = files_of("2024-01-02")
+    reader = engine.get_data(sid, "seconds").df
+    assert reader.count() == 7
+
+    n = t.compact_points_raw(max_files_per_partition=3)
+    assert n == 1
+    assert len(files_of("2024-01-01")) == 1  # compacted
+    assert files_of("2024-01-02") == day1_before  # hardlinked, untouched
+    # data identical through the swap, old planned reader still valid
+    vals = [p["v"] for p in engine.get_data(sid, "seconds")]
+    assert vals == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 99.0]
+    assert reader.count() == 7
+    # idempotent: nothing left over the threshold
+    assert t.compact_points_raw(max_files_per_partition=3) == 0
+
+
 def test_batch_seq_assignment_is_not_single_partition(spark):
     """The per-batch seq window must partition by stream (parallel hash
     exchange), never a global single-partition sort."""
