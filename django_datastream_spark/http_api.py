@@ -86,6 +86,44 @@ def list_streams(
     }
 
 
+def aggregate_streams(
+    engine: Datastream,
+    query_tags: dict | None = None,
+    params: dict[str, str] | None = None,
+    limit: int = 100,
+    offset: int = 0,
+) -> dict[str, Any]:
+    """GET /api/v1/aggregate/ — engine extension endpoint over
+    ``Datastream.aggregate`` (automatic materialized-aggregate routing).
+    Params: ``bucket`` (seconds, required), ``start``/``s``, ``end``/``e``
+    (end exclusive, both bucket-aligned), plus ``limit``/``offset``."""
+    p = params or {}
+    if "bucket" not in p:
+        raise ValueError("bucket (seconds) is required")
+    df = engine.aggregate(
+        query_tags,
+        bucket_seconds=int(p["bucket"]),
+        start=_parse_ts(p.get("start", p.get("s"))),
+        end=_parse_ts(p.get("end", p.get("e"))),
+    )
+    rows = df.offset(offset).limit(limit).collect()
+    objects = []
+    for r in rows:
+        d = r.asDict(recursive=True)
+        objects.append(
+            {
+                "stream_id": d["stream_id"],
+                "bucket": _iso(d["bucket_ts"]),
+                "v": {k: x for k, x in (d["v"] or {}).items() if x is not None},
+                "t": {k: _iso(x) for k, x in (d["t"] or {}).items() if x is not None},
+            }
+        )
+    return {
+        "meta": {"limit": limit, "offset": offset, "bucket": int(p["bucket"])},
+        "objects": json.loads(json.dumps(objects)),
+    }
+
+
 def stream_datapoints(
     engine: Datastream,
     stream_id: str,

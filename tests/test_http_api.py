@@ -9,7 +9,11 @@ import json
 import pytest
 
 from django_datastream_spark.api import Datastream
-from django_datastream_spark.http_api import list_streams, stream_datapoints
+from django_datastream_spark.http_api import (
+    aggregate_streams,
+    list_streams,
+    stream_datapoints,
+)
 
 UTC = dt.timezone.utc
 T0 = dt.datetime(2024, 3, 1, tzinfo=UTC)
@@ -71,6 +75,24 @@ def test_datapoints_params_projection_pagination(engine):
     # reverse order: first page entry after offset 2 is the 3rd-last bucket
     assert dps[0]["t"]["first"] == "2024-03-01T00:02:30Z"
     json.dumps(res)
+
+
+def test_aggregate_endpoint_routes_and_serializes(engine):
+    eng, sid = engine
+    res = aggregate_streams(eng, {"title": "api"}, {"bucket": "60"})
+    assert res["meta"]["bucket"] == 60
+    objs = res["objects"]
+    assert [o["bucket"] for o in objs] == [
+        "2024-03-01T00:00:00Z",
+        "2024-03-01T00:01:00Z",
+        "2024-03-01T00:02:00Z",
+    ]
+    assert objs[0]["v"]["count"] == 60
+    assert objs[0]["v"]["sum"] == sum(range(60))
+    assert objs[0]["t"]["first"] == "2024-03-01T00:00:00Z"
+    json.dumps(res)
+    with pytest.raises(ValueError):
+        aggregate_streams(eng, None, {})
 
 
 def test_datapoints_epoch_param_spelling(engine):
