@@ -137,6 +137,23 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+def vocab_topk(
+    docs: DataFrame, k: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level vocabulary: the k most frequent (lowercased) tokens
+    with counts (ties → token asc) — the first step of tokenizer/vocab
+    construction over a training corpus. One explode + one hash aggregate
+    (map-side partials) + TakeOrdered on the tiny distinct-token side; the
+    full corpus is never sorted."""
+    return (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .orderBy(F.col("occurrences").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # fingerprinting
 # ---------------------------------------------------------------------------

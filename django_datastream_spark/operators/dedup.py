@@ -252,6 +252,60 @@ def simhash_near_pairs(
     )
 
 
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every doc gets
+    ``cluster_id`` = the minimum doc id in its component (the canonical
+    survivor a training pipeline keeps). Returns (id, cluster_id).
+
+    Spark-first iterative shape (Spark has no recursive SQL): min-label
+    propagation to fixpoint — each round is ONE join + ONE aggregation,
+    with lineage pinned per round (localCheckpoint) and a driver-side
+    convergence check, exactly the GraphX/Pregel pattern. Rounds are
+    bounded by component diameter; near-dup components from LSH blocking
+    are tiny relative to the corpus, so at 100 TB the cost is the handful
+    of bounded joins, never an unbounded transitive closure."""
+    und = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select(
+        F.col(id_col).alias("x"), F.col(id_col).cast("long").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    while True:
+        nbr = (
+            und.join(
+                labels.select(F.col("x").alias("y"), F.col("cluster_id").alias("_nl")),
+                "y",
+            )
+            .groupBy("x")
+            .agg(F.min("_nl").alias("_nl"))
+        )
+        new_labels = (
+            labels.join(nbr, "x", "left")
+            .select(
+                "x",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("_nl", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "x")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .head(1)
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels.select(F.col("x").alias(id_col), "cluster_id")
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------

@@ -182,6 +182,55 @@ def q36(spark, sf_dir):
 
 
 @_declare(
+    "q45_dedup_clusters",
+    r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(regexp_extract_all(text,'\S+')) - 1, 1)),
+               i -> regexp_extract_all(text,'\S+')[i] || ' ' ||
+                    regexp_extract_all(text,'\S+')[i+1] || ' ' ||
+                    regexp_extract_all(text,'\S+')[i+2])) sh
+      FROM documents WHERE doc_id < 60),
+    p AS (SELECT a.doc_id a, b.doc_id b
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                / NULLIF(len(list_distinct(list_concat(a.sh, b.sh))), 0) >= 0.03),
+    und AS (SELECT a x, b y FROM p UNION SELECT b, a FROM p),
+    reach(x, y) AS (
+      SELECT x, y FROM und
+      UNION
+      SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x)
+    SELECT d.doc_id,
+           CAST(LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS BIGINT) cluster_id
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 60) d
+    LEFT JOIN (SELECT x, MIN(y) mn FROM reach GROUP BY x) m ON m.x = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q45(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    pairs = dd.jaccard_pairs(docs, pairs=None, shingle_n=3).filter(
+        F.col("jaccard") >= 0.03
+    )
+    return dd.dedup_clusters(docs, pairs).orderBy("doc_id")
+
+
+@_declare(
+    "q46_vocab_topk",
+    r"""
+    SELECT token, CAST(COUNT(*) AS BIGINT) occurrences
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) token
+          FROM documents)
+    GROUP BY token ORDER BY occurrences DESC, token ASC LIMIT 50
+    """,
+)
+def q46(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.vocab_topk(docs, 50)
+
+
+@_declare(
     "q37_embedding_near_pairs",
     """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v

@@ -83,6 +83,31 @@ def test_minhash_lsh_finds_planted_near_dups(spark, docs_with_dups):
         assert r["jaccard"] >= 0.5
 
 
+def test_dedup_clusters_connected_components(spark):
+    """Min-label propagation must find exact components, including a
+    chain (multi-hop propagation) and isolated nodes."""
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    # components: {0,1,2,3} as a chain, {5,7}, singletons 4,6,8,9
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (0, 1), (5, 7)], "a long, b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.dedup_clusters(docs, pairs).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 6, 7: 5, 8: 8, 9: 9}
+
+
+def test_vocab_topk_counts_and_tiebreak(spark):
+    from django_datastream_spark.functions.text import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(0, "b a a"), (1, "B c a"), (2, None)], "doc_id long, text string"
+    )
+    got = [(r["token"], r["occurrences"]) for r in vocab_topk(docs, 3).collect()]
+    assert got == [("a", 3), ("b", 2), ("c", 1)]  # lowercased; tie b<c by count
+
+
 def test_cosine_topk_matches_numpy(spark):
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").filter(
         F.col("vec_id") < 120
