@@ -183,3 +183,58 @@ def test_nominal_frequency_merge_law(spark):
         assert ra["v"]["frequencies"] == rb["v"]["frequencies"]
         assert ra["v"]["most_often"] == rb["v"]["most_often"]
         assert ra["v"]["least_often"] == rb["v"]["least_often"]
+
+
+# ---------------------------------------------------------------------------
+# aggregate-routing law: served-from-aggregates == pure raw recompute,
+# regardless of where the downsample watermark sits (FIXTURES B3 spirit)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "cut,bucket_s,n_after",
+    [(67, 60, 50), (240, 600, 123), (555, 3600, 0)],
+)
+def test_aggregate_routing_equals_raw_recompute(spark, tmp_path, cut, bucket_s, n_after):
+    from django_datastream_spark.api import Datastream
+
+    rnd = random.Random(1000 + cut)
+    t0 = dt.datetime(2024, 5, 1, tzinfo=UTC)
+    eng = Datastream(spark, str(tmp_path / f"store{cut}"))
+    sid = eng.ensure_stream({"title": f"p{cut}"})
+    # irregular pre-cut points, a downsample at the cut, then more appends
+    times, t = [], 0
+    while t < 600:
+        times.append(t)
+        t += rnd.randint(1, 13)
+    vals = {i: rnd.uniform(-50, 50) for i in times}
+    eng.append_multiple(
+        [
+            {"stream_id": sid, "value": vals[i], "timestamp": t0 + dt.timedelta(seconds=i)}
+            for i in times
+        ]
+    )
+    eng.downsample_streams(until=t0 + dt.timedelta(seconds=cut))
+    extra = [600 + rnd.randint(0, 3) + 4 * j for j in range(n_after)]
+    for i in extra:
+        vals[i] = rnd.uniform(-50, 50)
+    if extra:
+        eng.append_multiple(
+            [
+                {"stream_id": sid, "value": vals[i], "timestamp": t0 + dt.timedelta(seconds=i)}
+                for i in extra
+            ]
+        )
+    got = {
+        int((r["bucket_ts"].replace(tzinfo=UTC) - t0).total_seconds()): r
+        for r in eng.aggregate(bucket_seconds=bucket_s).collect()
+    }
+    expected: dict[int, list[float]] = {}
+    for i, v in vals.items():
+        expected.setdefault(i // bucket_s * bucket_s, []).append(v)
+    assert set(got) == set(expected)
+    for b, vs in expected.items():
+        assert got[b]["v"]["count"] == len(vs)
+        assert got[b]["v"]["sum"] == pytest.approx(math.fsum(vs), rel=1e-9)
+        assert got[b]["v"]["min"] == pytest.approx(min(vs))
+        assert got[b]["v"]["max"] == pytest.approx(max(vs))
