@@ -1,0 +1,118 @@
+"""Custom stateful streaming operators (SURVEY §2.8 T4 — the
+applyInPandasWithState surface, beyond what windowed aggregation covers).
+
+Reference parity note: the reference has no session concept (its only
+stateful behavior is downsample watermarks, SURVEY T2–T4); sessionization
+is part of the engine's windowing EXTENSION surface (batch form: Q43).
+This module is the true Structured Streaming form: per-stream session
+state lives in the state store, sessions close either data-driven (a gap
+larger than ``gap_s`` arrives) or by event-time timeout once the
+watermark passes the open session's gap horizon.
+
+Scale shape: state is one tiny tuple per stream (not per session), keyed
+by stream_id — the state store shards across executors with the shuffle,
+and each micro-batch touches only streams with new data plus timed-out
+groups. No driver-side anything.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("stream_id", T.StringType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_points", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+    ]
+)
+
+#: state: session_start_us, last_ts_us, n_points, value_sum
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("vsum", T.DoubleType()),
+    ]
+)
+
+
+def _make_session_fn(gap_s: int):
+    """Build the per-group state function. Captures only ``gap_s`` (a
+    plain int) so the closure is executor-safe without this package on
+    PYTHONPATH."""
+    import pandas as pd  # re-import inside closure for executor safety
+
+    gap_us = gap_s * 1_000_000
+
+    def fn(
+        key: Tuple[str], pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        closed: list[tuple[int, int, int, float]] = []
+        if state.hasTimedOut:
+            start_us, last_us, n, vsum = state.get
+            closed.append((start_us, last_us, n, vsum))
+            state.remove()
+        else:
+            cur = state.get if state.exists else None
+            rows = []
+            for pdf in pdf_iter:
+                for ts, v in zip(pdf["ts"], pdf["value"]):
+                    rows.append((int(ts.value // 1000), float(v)))
+            rows.sort()
+            for ts_us, v in rows:
+                if cur is not None and ts_us - cur[1] > gap_us:
+                    closed.append(cur)
+                    cur = None
+                if cur is None:
+                    cur = (ts_us, ts_us, 1, v)
+                else:
+                    cur = (cur[0], max(cur[1], ts_us), cur[2] + 1, cur[3] + v)
+            if cur is not None:
+                state.update(cur)
+                # close by timeout once the watermark passes the horizon
+                state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "stream_id": [key[0]] * len(closed),
+                    "session_start": [pd.Timestamp(c[0], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "n_points": [c[2] for c in closed],
+                    "value_sum": [c[3] for c in closed],
+                }
+            )
+
+    return fn
+
+
+def stateful_sessionize(
+    source: DataFrame, gap_s: int = 30, lateness: str = "0 seconds"
+) -> DataFrame:
+    """Session windows with inactivity gap ``gap_s`` over a streaming
+    (stream_id, ts, value) DataFrame — `applyInPandasWithState` with
+    event-time timeout. Emits one row per CLOSED session; the open tail
+    session stays in the state store until a later batch's watermark (or
+    a gap-exceeding point) closes it.
+    """
+    return (
+        source.select("stream_id", "ts", "value")
+        .withWatermark("ts", lateness)
+        .groupBy("stream_id")
+        .applyInPandasWithState(
+            _make_session_fn(gap_s),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -293,6 +293,62 @@ def test_kafka_shaped_payload_lands_identically(spark, tmp_path):
     assert spark.read.parquet(ing.rejects_path).count() == 2
 
 
+def test_stateful_sessionize_closes_across_batches(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions close data-driven
+    within a batch, survive the state store across micro-batches, and the
+    final open session closes by event-time timeout."""
+    from django_datastream_spark.streaming.stateful import stateful_sessionize
+    from django_datastream_spark.streaming.ingest import INGEST_SCHEMA
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+
+    def run_batch(name: str, rows: list[dict]) -> None:
+        write_jsonl(f"{src}/{name}", rows)
+        stream = spark.readStream.schema(INGEST_SCHEMA).json(src)
+        q = (
+            stateful_sessionize(stream.select("stream_id", "ts", "value"), gap_s=30)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 0: session A (0,5,10), then after a >30s gap session B (100..102)
+    run_batch(
+        "b0.json",
+        [
+            {"stream_id": "s1", "ts": iso(t), "value": float(t)}
+            for t in (0, 5, 10, 100, 101, 102)
+        ],
+    )
+    got0 = {
+        (r["stream_id"], r["session_start"].replace(tzinfo=UTC)): r
+        for r in spark.read.parquet(out).collect()
+    }
+    a = got0[("s1", T0)]
+    assert a["session_end"].replace(tzinfo=UTC) == T0 + dt.timedelta(seconds=10)
+    assert a["n_points"] == 3 and a["value_sum"] == 15.0
+    # session B is still open (only closable once the watermark moves on)
+    assert len(got0) == 1
+
+    # batch 1: a much later point → watermark passes B's horizon, B closes
+    # by TIMEOUT (no new data in its gap), and C opens
+    run_batch("b1.json", [{"stream_id": "s1", "ts": iso(500), "value": 1.0}])
+    got1 = {
+        (r["stream_id"], r["session_start"].replace(tzinfo=UTC)): r
+        for r in spark.read.parquet(out).collect()
+    }
+    b = got1[("s1", T0 + dt.timedelta(seconds=100))]
+    assert b["session_end"].replace(tzinfo=UTC) == T0 + dt.timedelta(seconds=102)
+    assert b["n_points"] == 3 and b["value_sum"] == 303.0
+    assert len(got1) == 2  # C (at 500) still open
+
+
 def test_streaming_downsample_completed_bucket_rule(spark, tmp_path):
     src = str(tmp_path / "in")
     out = str(tmp_path / "out")
