@@ -115,6 +115,100 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, kind string, content binary, "
+    "meta struct<mime:string,width:int,height:int,duration_ms:bigint,"
+    "sample_rate:int>, resized binary, out_width int, out_height int"
+)
+
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, frame_ms bigint, frame binary"
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """mapInPandas image resize: payload in → resized payload + updated
+    dimensions out, metadata propagated. The decode/encode inner step is
+    stubbed (no codecs in this container) with a deterministic
+    byte-downsample standing in for a real Pillow resize; the Spark-side
+    shape — binary in/out, no shuffle, Arrow batches — is the real
+    pipeline."""
+    n_out = width * height
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image codecs not available; pass fake=True or swap in "
+                    "a real resize (Pillow Image.resize) here"
+                )
+            out = []
+            for p in pdf["content"]:
+                p = p or b""
+                if len(p) == 0:
+                    out.append(b"")
+                elif len(p) <= n_out:
+                    out.append(bytes(p))
+                else:
+                    step = len(p) / n_out
+                    out.append(bytes(p[int(i * step)] for i in range(n_out)))
+            res = pdf.copy()
+            res["resized"] = out
+            res["out_width"] = width
+            res["out_height"] = height
+            yield res
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 8, fake: bool = True
+) -> DataFrame:
+    """mapInPandas video frame sampling: one output row per sampled frame
+    (media fan-out happens INSIDE the Arrow batch, not via explode of a
+    pre-built array, so a long video never materializes all frames at
+    once). Frame extraction is stubbed: a deterministic payload slice per
+    timestamp stands in for an ffmpeg seek+decode."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video codecs not available; pass fake=True or swap in "
+                    "a real frame grab (ffmpeg/PyAV) here"
+                )
+            ids, idxs, mss, frames = [], [], [], []
+            for mid, p, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                p = p or b""
+                dur = (meta or {}).get("duration_ms") or max(1, len(p))
+                n = min(max_frames, max(1, int(dur // every_ms) + 1))
+                for j in range(n):
+                    ms = j * every_ms
+                    if ms > dur:
+                        break
+                    a = 0 if dur == 0 else int(len(p) * ms / max(dur, 1))
+                    ids.append(mid)
+                    idxs.append(j)
+                    mss.append(ms)
+                    frames.append(bytes(p[a : a + 16]))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame_ms": mss,
+                    "frame": frames,
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
 def synth_media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a media table from the documents fixture (text bytes as the
     opaque payload) — exercises the binary-column plumbing end-to-end

@@ -388,6 +388,39 @@ def test_ivf_topk_matches_python_pipeline(spark):
         assert g[3] == pytest.approx(e[3], abs=1e-12)
 
 
+def test_multimodal_resize_and_frame_sampling(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter(
+        F.col("doc_id") < 10
+    )
+    media = mm.synth_media_from_documents(docs)
+    texts = {r["doc_id"]: r["text"].encode("utf-8") for r in docs.collect()}
+
+    resized = {r["media_id"]: r for r in mm.resize_images(media, 4, 4).collect()}
+    assert len(resized) == 10
+    for mid, r in resized.items():
+        assert r["out_width"] == 4 and r["out_height"] == 4
+        assert len(r["resized"]) <= 16
+        if len(texts[mid]) > 16:
+            assert len(r["resized"]) == 16
+        # deterministic: same payload → same resized bytes
+    again = {r["media_id"]: r for r in mm.resize_images(media, 4, 4).collect()}
+    assert all(again[m]["resized"] == resized[m]["resized"] for m in resized)
+
+    frames = mm.sample_frames(media, every_ms=100, max_frames=3).collect()
+    by_media: dict[int, list] = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == set(texts)
+    for mid, fr in by_media.items():
+        assert [x["frame_idx"] for x in sorted(fr, key=lambda x: x["frame_idx"])] == list(
+            range(len(fr))
+        )
+        assert len(fr) <= 3
+        assert all(len(x["frame"]) <= 16 for x in fr)
+    with pytest.raises(Exception):
+        mm.resize_images(media, 4, 4, fake=False).collect()
+
+
 def test_multimodal_stub_and_plumbing(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter(
         F.col("doc_id") < 20
