@@ -317,6 +317,70 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def cosine_near_pairs_lsh(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """The 100 TB form of ``cosine_near_pairs``: random-hyperplane band
+    blocking generates candidate pairs with an equi self-join on
+    (band, key) — never all-pairs — then exact cosine verifies against
+    ``threshold``. Candidates carry only id pairs through the dedup
+    shuffle; vectors re-attach afterwards. Approximate on the candidate
+    side (a pair at angle θ collides on ≥1 band w.p.
+    1−(1−(1−θ/π)^r)^b): identical vectors always collide, recall decays
+    with angle — tune (n_planes, bands) per threshold. Returned cosines
+    are exact. Returns (a, b, cosine)."""
+    from .similarity import _hyperplanes, rp_signature_udf
+
+    assert n_planes % bands == 0
+    rows = n_planes // bands
+    sig_udf = rp_signature_udf(_hyperplanes(dim, n_planes, seed))
+    v = F.col(vec_col).cast("array<double>")
+    sig = sig_udf(v)
+    band_arr = F.array(
+        *[
+            F.shiftright(sig, b * rows)
+            .bitwiseAND(F.lit((1 << rows) - 1))
+            .cast("long")
+            for b in range(bands)
+        ]
+    )
+    banded = emb.select(
+        F.col(id_col).alias("_id"), F.posexplode(band_arr).alias("band", "key")
+    )
+    cand = (
+        banded.select(F.col("_id").alias("a"), "band", "key")
+        .join(banded.select(F.col("_id").alias("b"), "band", "key"), ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    av = emb.select(F.col(id_col).alias("a"), v.alias("_va")).withColumn(
+        "_na", F.sqrt(_dot(F.col("_va"), F.col("_va")))
+    )
+    bv = emb.select(F.col(id_col).alias("b"), v.alias("_vb")).withColumn(
+        "_nb", F.sqrt(_dot(F.col("_vb"), F.col("_vb")))
+    )
+    return (
+        cand.join(av, "a")
+        .join(bv, "b")
+        .select(
+            "a",
+            "b",
+            (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def cosine_near_pairs(
     emb: DataFrame,
     threshold: float,

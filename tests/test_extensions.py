@@ -83,6 +83,36 @@ def test_minhash_lsh_finds_planted_near_dups(spark, docs_with_dups):
         assert r["jaccard"] >= 0.5
 
 
+def test_cosine_near_pairs_lsh_subset_and_planted_recall(spark):
+    """LSH-blocked cosine near-dup: every reported pair must appear in the
+    brute-force result with an identical cosine (soundness), and planted
+    exact duplicates (identical signatures → guaranteed band collision)
+    must always be found (recall floor)."""
+    emb = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .filter(F.col("vec_id") < 150)
+        .select("vec_id", "embedding")
+    )
+    dup = emb.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    data = emb.unionByName(dup)
+    got = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in dd.cosine_near_pairs_lsh(data, threshold=0.35).collect()
+    }
+    exact = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in dd.cosine_near_pairs(data, threshold=0.35).collect()
+    }
+    assert set(got) <= set(exact)
+    for k, v in got.items():
+        assert v == pytest.approx(exact[k], abs=1e-12)
+    for d in range(5):
+        assert (d, 10_000 + d) in got  # identical vectors always collide
+        assert got[(d, 10_000 + d)] == pytest.approx(1.0)
+
+
 def test_dedup_clusters_connected_components(spark):
     """Min-label propagation must find exact components, including a
     chain (multi-hop propagation) and isolated nodes."""
