@@ -182,6 +182,38 @@ def q36(spark, sf_dir):
 
 
 @_declare(
+    "q47_training_filter",
+    r"""
+    WITH fp AS (SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) f,
+                 len(regexp_extract_all(text, '\S+')) nt,
+                 length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
+                   / NULLIF(length(text), 0) pr
+                FROM documents),
+    surv AS (SELECT f, MIN(doc_id) keep FROM fp GROUP BY f)
+    SELECT fp.doc_id, CAST(fp.nt AS BIGINT) n_tokens
+    FROM fp JOIN surv ON fp.f = surv.f AND fp.doc_id = surv.keep
+    WHERE fp.nt >= 5 AND COALESCE(fp.pr, 0) < 0.2
+    ORDER BY fp.doc_id
+    """,
+)
+def q47(spark, sf_dir):
+    """Composite training-data filter: exact-dedup survivors that also
+    pass quality thresholds — the operators compose as one declarative
+    plan (dedup window + expression filters), no intermediate
+    materialization."""
+    docs = load_table(spark, sf_dir, "documents")
+    surv = dd.exact_dedup(docs)
+    qm = tx.quality_metrics(F.col("text"))
+    return (
+        surv.select("doc_id", qm["n_tokens"].alias("n_tokens"), qm["punct_ratio"].alias("_pr"))
+        .filter((F.col("n_tokens") >= 5) & (F.coalesce("_pr", F.lit(0.0)) < 0.2))
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+@_declare(
     "q45_dedup_clusters",
     r"""
     WITH RECURSIVE t AS (

@@ -343,6 +343,15 @@ class StreamingIngest:
         )
         return out if out.head(1) else None
 
+    def ingest_dataframe(self, df: DataFrame, batch_id: int = -1) -> None:
+        """Land one batch DataFrame (INGEST_SCHEMA shape) through the same
+        validation/landing/derive pipeline the streaming path uses — the
+        scale-right bulk-ingest API: ``append_multiple`` materializes
+        Python dicts on the driver, while this keeps the batch on the
+        cluster end to end (validation joins, quarantine, incremental
+        derive, metadata MERGE)."""
+        self._process_batch(df, batch_id)
+
     def attach(self, source: DataFrame, available_now: bool = True):
         """Attach the validation/landing pipeline to ANY streaming
         DataFrame in INGEST_SCHEMA shape — file JSON-lines, Kafka

@@ -288,7 +288,7 @@ def test_kafka_shaped_payload_lands_identically(spark, tmp_path):
     kafka_like = spark.createDataFrame(
         [(p.encode("utf-8"),) for p in payloads], "value binary"
     )
-    ing._process_batch(parse_json_payload(kafka_like), batch_id=0)
+    ing.ingest_dataframe(parse_json_payload(kafka_like))
     assert [p["v"] for p in engine.get_data(sid, "seconds")] == [1.0, 2.0]
     assert spark.read.parquet(ing.rejects_path).count() == 2
 
