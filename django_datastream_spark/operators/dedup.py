@@ -177,6 +177,100 @@ def minhash_lsh_dedup(
 
 
 # ---------------------------------------------------------------------------
+# portable (md5-based) twins — driver-oracle-checkable
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures_md5(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Portable twin of :func:`minhash_signatures`: per-seed min-hash =
+    the lexicographic MIN of ``md5(seed || ':' || shingle)`` hex strings.
+    md5 exists bit-identically in every engine (DuckDB included), so an
+    external SQL oracle can reproduce the whole signature — unlike the
+    xxhash64 fast path. Same plan shape: one explode + one groupBy with
+    ``num_hashes`` min-aggregations, all JVM-side."""
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
+        ).alias("sh"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_dedup_md5(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Portable twin of :func:`minhash_lsh_dedup` (same LSH pipeline
+    shape — signatures → band buckets → equi-join candidates → verified
+    Jaccard) built entirely from md5 so the driver's DuckDB oracle can
+    hash-verify it end to end. Band key = md5 of the comma-joined
+    signature slice. Returns (a, b, jaccard ≥ threshold)."""
+    rows = num_hashes // bands
+    assert rows * bands == num_hashes
+    sig = minhash_signatures_md5(docs, text_col, id_col, num_hashes, shingle_n)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(",", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col).alias("_id"), F.posexplode(band_keys).alias("band", "bkey")
+    )
+    cand = (
+        banded.select(F.col("_id").alias("a"), "band", "bkey")
+        .join(banded.select(F.col("_id").alias("b"), "band", "bkey"), ["band", "bkey"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    verified = jaccard_pairs(docs, cand, text_col, id_col, shingle_n)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def simhash_md5(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Portable twin of :func:`simhash`: a ``bits``-bit (≤16) bit-vote
+    signature where token-hash bit *i* is bit ``3 - i%4`` of hex digit
+    ``i//4`` of ``md5(token)`` — pure string/arithmetic ops an external
+    SQL oracle reproduces exactly. Same plan: explode tokens → one
+    groupBy with ``bits`` conditional ±1 sums → bit reassembly."""
+    assert bits <= 16
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    votes = []
+    for i in range(bits):
+        hv = F.conv(F.substring("h", i // 4 + 1, 1), 16, 10).cast("int")
+        bit = F.shiftright(hv, 3 - i % 4).bitwiseAND(F.lit(1))
+        votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{i}"))
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(0)
+    return agg.select(id_col, sig.cast("long").alias("simhash16"))
+
+
+# ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 

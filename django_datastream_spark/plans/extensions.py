@@ -284,6 +284,76 @@ def q37(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# portable-hash twins: the SAME minhash-LSH / simhash pipeline shapes as
+# q38/q39, built from md5 instead of xxhash64 so the driver's DuckDB
+# oracle hash-verifies the full pipeline (band keys, bucket join,
+# verified jaccard / bit votes) end to end.
+# --------------------------------------------------------------------------
+
+
+@_declare(
+    "q48_minhash_md5_pairs",
+    r"""
+    WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') tk
+               FROM documents WHERE doc_id < 200),
+    t AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(tk) - 1, 1)),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) sh
+          FROM d),
+    s AS (SELECT doc_id, unnest(sh) sh FROM t),
+    m AS (SELECT doc_id, seed.s seed,
+                 MIN(md5(CAST(seed.s AS VARCHAR) || ':' || sh)) mh
+          FROM s CROSS JOIN (SELECT unnest(range(0, 16)) s) seed
+          GROUP BY 1, 2),
+    b AS (SELECT doc_id, CAST(seed // 4 AS BIGINT) band,
+                 md5(string_agg(mh, ',' ORDER BY seed)) bkey
+          FROM m GROUP BY 1, 2),
+    c AS (SELECT DISTINCT x.doc_id a, y.doc_id b
+          FROM b x JOIN b y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+    v AS (SELECT c.a, c.b,
+                 len(list_intersect(p.sh, q.sh)) * 1.0
+                 / NULLIF(len(list_distinct(list_concat(p.sh, q.sh))), 0) j
+          FROM c JOIN t p ON p.doc_id = c.a JOIN t q ON q.doc_id = c.b)
+    SELECT a, b, ROUND(j, 4) jaccard FROM v WHERE j >= 0.5 ORDER BY a, b
+    """,
+)
+def q48(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        dd.minhash_lsh_dedup_md5(docs, threshold=0.5)
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("a", "b")
+    )
+
+
+def _simhash16_oracle_sql() -> str:
+    votes = []
+    for i in range(16):
+        p, shift = i // 4 + 1, 3 - i % 4
+        votes.append(
+            f"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h,{p},1)) - 1)"
+            f" >> {shift}) & 1 = 1 THEN 1 ELSE -1 END) s{i}"
+        )
+    final = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+    )
+    return rf"""
+    WITH tk AS (SELECT doc_id, md5(unnest(regexp_extract_all(text, '\S+'))) h
+                FROM documents WHERE doc_id < 200),
+    v AS (SELECT doc_id, {', '.join(votes)} FROM tk GROUP BY 1)
+    SELECT doc_id, CAST({final} AS BIGINT) simhash16 FROM v ORDER BY doc_id
+    """
+
+
+@_declare("q49_simhash_md5", _simhash16_oracle_sql())
+def q49(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dd.simhash_md5(docs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # rows-only declarations (hash functions aren't portable to the oracle;
 # pinned by property tests in tests/test_extensions.py)
 # --------------------------------------------------------------------------
