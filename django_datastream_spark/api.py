@@ -210,11 +210,20 @@ class Datastream:
             raise exc.MultipleStreamsReturned(query_tags)
         if existing:
             row = existing[0]
+            # full-spec comparison (SURVEY §2.1 ensure_stream: ANY respec
+            # mismatch raises). derived_from is order-sensitive — source
+            # roles (e.g. counter_derivative data vs reset) are positional.
+            old_sources = list(row["derived_from"]) if row["derived_from"] else None
+            new_sources = list(derive_from) if derive_from else None
+            old_args = json.loads(row["derive_args"]) if row["derive_args"] else None
             if (
                 row["value_type"] != value_type
                 or row["highest_granularity"] != gran.name
                 or sorted(row["value_downsamplers"]) != sorted(v_ds)
+                or sorted(row["time_downsamplers"]) != sorted(t_ds)
                 or (row["derive_op"] or None) != derive_op
+                or old_sources != new_sources
+                or old_args != (derive_args or None)
             ):
                 raise exc.InconsistentStreamConfiguration(query_tags)
             return row["stream_id"]

@@ -83,6 +83,50 @@ def test_ensure_stream_conflicting_spec_raises(engine):
         engine.ensure_stream({"title": "x"}, value_type="nominal")
 
 
+def test_ensure_stream_conflicting_derive_spec_raises(engine):
+    # ANY respec mismatch raises (SURVEY §2.1 ensure_stream) — including
+    # the derive fields and time_downsamplers, not just value_type/gran
+    src1 = engine.ensure_stream({"title": "src1"})
+    src2 = engine.ensure_stream({"title": "src2"})
+    d = engine.ensure_stream(
+        {"title": "cd"},
+        derive_from=[src1],
+        derive_op="counter_derivative",
+        derive_args={"max_value": 1000},
+    )
+    # identical respec is idempotent
+    assert (
+        engine.ensure_stream(
+            {"title": "cd"},
+            derive_from=[src1],
+            derive_op="counter_derivative",
+            derive_args={"max_value": 1000},
+        )
+        == d
+    )
+    with pytest.raises(exc.InconsistentStreamConfiguration):  # sources differ
+        engine.ensure_stream(
+            {"title": "cd"},
+            derive_from=[src2],
+            derive_op="counter_derivative",
+            derive_args={"max_value": 1000},
+        )
+    with pytest.raises(exc.InconsistentStreamConfiguration):  # args differ
+        engine.ensure_stream(
+            {"title": "cd"},
+            derive_from=[src1],
+            derive_op="counter_derivative",
+            derive_args={"max_value": 255},
+        )
+    with pytest.raises(exc.InconsistentStreamConfiguration):  # op dropped
+        engine.ensure_stream({"title": "cd"}, derive_from=[src1])
+    # plain stream: changed time_downsamplers raises; repeat is idempotent
+    p = engine.ensure_stream({"title": "plain"})
+    assert engine.ensure_stream({"title": "plain"}) == p
+    with pytest.raises(exc.InconsistentStreamConfiguration):
+        engine.ensure_stream({"title": "plain"}, time_downsamplers=["first"])
+
+
 def test_append_monotonicity(engine):
     sid = engine.ensure_stream({"title": "mono"})
     engine.append(sid, 1.0, ts(0))
