@@ -354,12 +354,19 @@ def dedup_clusters(
     survivor a training pipeline keeps). Returns (id, cluster_id).
 
     Spark-first iterative shape (Spark has no recursive SQL): min-label
-    propagation to fixpoint — each round is ONE join + ONE aggregation,
+    propagation to fixpoint with a pointer-doubling hop — each round is
+    (1) neighbor-min over the edge set (one join + one aggregation) then
+    (2) label-of-label path halving (one self-join on the label table),
     with lineage pinned per round (localCheckpoint) and a driver-side
-    convergence check, exactly the GraphX/Pregel pattern. Rounds are
-    bounded by component diameter; near-dup components from LSH blocking
-    are tiny relative to the corpus, so at 100 TB the cost is the handful
-    of bounded joins, never an unbounded transitive closure."""
+    convergence check, the GraphX/Pregel + hash-to-min pattern. Both
+    steps only ever DECREASE a label to another node id in the same
+    component, so the fixpoint is exactly the per-component minimum; the
+    doubling step makes a chain of length L converge in O(log L) rounds
+    instead of L (pinned by a 200-node-path test). Near-dup components
+    from LSH blocking are tiny relative to the corpus, so at 100 TB the
+    cost is a logarithmic handful of bounded joins, never an unbounded
+    transitive closure. The round count of the last call is exposed as
+    ``dedup_clusters.last_rounds`` (diagnostic/testing)."""
     und = (
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
@@ -369,7 +376,9 @@ def dedup_clusters(
     labels = docs.select(
         F.col(id_col).alias("x"), F.col(id_col).cast("long").alias("cluster_id")
     ).localCheckpoint(eager=True)
+    rounds = 0
     while True:
+        rounds += 1
         nbr = (
             und.join(
                 labels.select(F.col("x").alias("y"), F.col("cluster_id").alias("_nl")),
@@ -378,12 +387,24 @@ def dedup_clusters(
             .groupBy("x")
             .agg(F.min("_nl").alias("_nl"))
         )
+        hop1 = labels.join(nbr, "x", "left").select(
+            "x",
+            F.least(
+                F.col("cluster_id"), F.coalesce("_nl", F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        # path halving: follow the label pointer one more step —
+        # label(x) := min(label(x), label(label(x))). label(x) is itself a
+        # node id, so the lookup is a self-join on the label table.
+        lmap = hop1.select(
+            F.col("x").alias("_cx"), F.col("cluster_id").alias("_ll")
+        )
         new_labels = (
-            labels.join(nbr, "x", "left")
+            hop1.join(lmap, hop1["cluster_id"] == lmap["_cx"], "left")
             .select(
                 "x",
                 F.least(
-                    F.col("cluster_id"), F.coalesce("_nl", F.col("cluster_id"))
+                    F.col("cluster_id"), F.coalesce("_ll", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
             .localCheckpoint(eager=True)
@@ -397,6 +418,7 @@ def dedup_clusters(
         labels = new_labels
         if not changed:
             break
+    dedup_clusters.last_rounds = rounds
     return labels.select(F.col("x").alias(id_col), "cluster_id")
 
 

@@ -167,6 +167,25 @@ def test_dedup_clusters_connected_components(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 6, 7: 5, 8: 8, 9: 9}
 
 
+def test_dedup_clusters_long_chain_converges_logarithmically(spark):
+    """Worst-case topology: a 200-node path. Pure min-label propagation
+    needs ~199 rounds (one hop per round); the label-of-label doubling
+    step must bring it down to O(log L)."""
+    n = 200
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.dedup_clusters(docs, pairs).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    # ceil(log2(200)) = 8; the combined neighbor+halving update empirically
+    # converges in ~6 rounds (+1 no-change round to detect the fixpoint)
+    assert dd.dedup_clusters.last_rounds <= 12, dd.dedup_clusters.last_rounds
+
+
 def test_vocab_topk_counts_and_tiebreak(spark):
     from django_datastream_spark.functions.text import vocab_topk
 
