@@ -434,42 +434,75 @@ class Tables:
         )
 
     def upsert_points_agg(self, df: DataFrame) -> None:
-        """Upsert on (stream_id, granularity, bucket_ts): plain append for
-        a fresh table; otherwise rewrite ONLY the (granularity, p_date)
-        partitions the new rows touch (dynamic partition overwrite) —
-        recomputed boundary buckets replace their previous emission.
-        Delta/Iceberg MERGE in production; the touched-partition volume is
-        the same."""
-        df = df.select(*[f.name for f in POINTS_AGG_SCHEMA.fields]).withColumn(
-            "p_date", F.to_date("bucket_ts")
+        """Upsert on (stream_id, granularity, bucket_ts), rewriting only
+        the (granularity, p_date) partitions that actually REPLACE an
+        existing bucket:
+
+        1. the incoming batch is pinned (localCheckpoint — bounded by the
+           batch, not by partition contents),
+        2. touched partitions are probed for key collisions (one semi-join
+           over the partition-pruned scan; the collided partition LIST is
+           collected — metadata bounded by touched-partition count),
+        3. conflicted partitions get read-modify-overwrite via dynamic
+           partition overwrite; all remaining new rows are a plain APPEND
+           (zero read-back, zero rewrite).
+
+        Under steady auto_downsample most batches only append fresh
+        buckets + recompute the watermark-tail bucket, so per-batch
+        rewrite volume is the conflicted tail partitions, not every
+        partition the batch touches. Delta/Iceberg MERGE in production;
+        same touched volume."""
+        df = (
+            df.select(*[f.name for f in POINTS_AGG_SCHEMA.fields])
+            .withColumn("p_date", F.to_date("bucket_ts"))
+            .localCheckpoint(eager=True)
         )
         path = self.points_agg_path
+        key = ["stream_id", "granularity", "bucket_ts"]
         if not self._exists(path):
             df.write.mode("append").partitionBy("granularity", "p_date").parquet(path)
             return
         existing = self.spark.read.parquet(path).select(df.columns)
         touched = df.select("granularity", "p_date").distinct()
-        keep = (
+        conflicts = (
             existing.join(F.broadcast(touched), ["granularity", "p_date"], "left_semi")
-            .join(
-                df.select("stream_id", "granularity", "bucket_ts"),
-                ["stream_id", "granularity", "bucket_ts"],
-                "left_anti",
-            )
+            .join(F.broadcast(df.select(*key)), key, "left_semi")
+            .select("granularity", "p_date")
+            .distinct()
+            .collect()  # metadata: bounded by touched-partition count
         )
-        out = keep.unionByName(df)
-        # cut lineage from the path being overwritten (bounded: only the
-        # partitions around current watermarks are ever touched)
-        out = out.localCheckpoint(eager=True)
-        mode_key = "spark.sql.sources.partitionOverwriteMode"
-        prev = self.spark.conf.get(mode_key, "static")
-        self.spark.conf.set(mode_key, "dynamic")
-        try:
-            out.write.mode("overwrite").partitionBy("granularity", "p_date").parquet(
+        new_rows = df
+        if conflicts:
+            cdf = self.spark.createDataFrame(
+                [(r["granularity"], r["p_date"]) for r in conflicts],
+                "granularity string, p_date date",
+            )
+            keep = (
+                existing.join(F.broadcast(cdf), ["granularity", "p_date"], "left_semi")
+                .join(df.select(*key), key, "left_anti")
+            )
+            out = keep.unionByName(
+                df.join(F.broadcast(cdf), ["granularity", "p_date"], "left_semi")
+            )
+            # cut lineage from the path being overwritten (bounded: only
+            # the conflicted watermark-tail partitions)
+            out = out.localCheckpoint(eager=True)
+            mode_key = "spark.sql.sources.partitionOverwriteMode"
+            prev = self.spark.conf.get(mode_key, "static")
+            self.spark.conf.set(mode_key, "dynamic")
+            try:
+                out.write.mode("overwrite").partitionBy(
+                    "granularity", "p_date"
+                ).parquet(path)
+            finally:
+                self.spark.conf.set(mode_key, prev)
+            new_rows = df.join(
+                F.broadcast(cdf), ["granularity", "p_date"], "left_anti"
+            )
+        if new_rows.head(1):
+            new_rows.write.mode("append").partitionBy("granularity", "p_date").parquet(
                 path
             )
-        finally:
-            self.spark.conf.set(mode_key, prev)
 
     def append_points_agg(self, df: DataFrame) -> None:
         (

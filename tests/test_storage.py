@@ -107,3 +107,73 @@ def test_batch_seq_assignment_is_not_single_partition(spark):
         by_stream.setdefault(r["stream_id"], []).append(r["seq"])
     for seqs in by_stream.values():
         assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+
+
+def _agg_row(sid: str, gran: str, bucket: dt.datetime, mean: float) -> dict:
+    v = {
+        "mean": mean, "sum": mean, "min": mean, "max": mean,
+        "sum_squares": mean * mean, "std_dev": 0.0, "count": 1,
+        "frequencies": None, "most_often": None, "least_often": None,
+    }
+    t = {"first": bucket, "last": bucket, "mean": bucket}
+    return {
+        "stream_id": sid, "granularity": gran, "bucket_ts": bucket,
+        "v": v, "t": t, "t_sum_epoch": int(bucket.timestamp()),
+    }
+
+
+def test_upsert_points_agg_appends_unless_keys_collide(spark, tmp_path):
+    """Write-amplification bound: an upsert batch that only ADDS new
+    buckets must append files (existing files survive byte-identical, no
+    partition rewrite); only batches that REPLACE an existing bucket
+    rewrite — and only the conflicted (granularity, p_date) partitions.
+    Driven for 20 micro-batches with periodic tail-bucket recomputes, the
+    auto_downsample write pattern."""
+    from django_datastream_spark.storage import POINTS_AGG_SCHEMA, Tables
+
+    t = Tables(spark, str(tmp_path / "store"))
+    base = dt.datetime(2024, 1, 1, tzinfo=UTC)
+
+    def upsert(rows):
+        t.upsert_points_agg(spark.createDataFrame(rows, POINTS_AGG_SCHEMA))
+
+    def files():
+        out = set()
+        for dirpath, _dirs, names in os.walk(t.points_agg_path):
+            rel = os.path.relpath(dirpath, t.points_agg_path)
+            out |= {os.path.join(rel, n) for n in names if n.endswith(".parquet")}
+        return out
+
+    # seed a second granularity whose partition must NEVER be touched
+    upsert([_agg_row("s", "days", base, 0.5)])
+    days_files = {f for f in files() if "granularity=days" in f}
+    rewrites = 0
+    for i in range(20):
+        before = files()
+        batch = [_agg_row("s", "hours", base + dt.timedelta(hours=i), float(i))]
+        replaced = i > 0 and i % 5 == 0
+        if replaced:  # recompute the previous (watermark-tail) bucket
+            batch.append(
+                _agg_row("s", "hours", base + dt.timedelta(hours=i - 1), 100.0 + i)
+            )
+        upsert(batch)
+        after = files()
+        if replaced:
+            rewrites += 1
+        else:
+            assert before <= after, f"batch {i}: pure-add batch rewrote files"
+        # the other-granularity partition is never rewritten by any batch
+        assert {f for f in after if "granularity=days" in f} == days_files
+    assert rewrites == 3
+    # correctness through it all: one row per bucket, latest emission wins
+    got = {
+        r["bucket_ts"]: r["v"]["mean"]
+        for r in t.read_points_agg().filter(F.col("granularity") == "hours").collect()
+    }
+    assert len(got) == 20
+    for i in range(20):
+        expect = float(i)
+        for j in (5, 10, 15):
+            if i == j - 1:
+                expect = 100.0 + j
+        assert got[base.replace(tzinfo=None) + dt.timedelta(hours=i)] == expect
