@@ -178,6 +178,11 @@ class Tables:
     #: continuous ingest (each micro-batch appends 1–3 small files)
     STREAMS_LOG_MAX_FILES = 48
 
+    #: implicit streams-log compaction inside upserts assumes this process
+    #: is the log's only writer (see _maybe_compact_streams); flip off for
+    #: multi-writer metadata deployments and compact from one owner
+    auto_compact_streams = True
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
@@ -301,7 +306,20 @@ class Tables:
         version dir exceeds STREAMS_LOG_MAX_FILES parquet files, snapshot
         the live rows into a fresh dir (atomic pointer swap). Amortized
         O(live streams) every N upserts — without this, every metadata
-        read window-scans a log that grows with uptime."""
+        read window-scans a log that grows with uptime.
+
+        SINGLE-WRITER ONLY: the snapshot swap captures the log as seen by
+        THIS process, so a second process appending to the streams log
+        concurrently would have its rows silently dropped by the swap —
+        the same writer-quiescence rule documented for ``vacuum`` applies
+        to every upsert while auto-compaction is enabled. Deployments
+        with multiple metadata writers must set
+        ``auto_compact_streams = False`` on every Tables instance and run
+        ``compact_streams()`` from one owning process during a quiesced
+        window (or use a transactional table format — Delta/Iceberg MERGE
+        — where this log is a real table)."""
+        if not self.auto_compact_streams:
+            return
         path = self.streams_path
         try:
             n = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
@@ -317,16 +335,20 @@ class Tables:
         )
 
     def compact_streams(self) -> None:
-        """Snapshot the live rows into a fresh version dir (atomic swap)."""
-        live = self.read_streams().withColumn("_v", F.lit(self._next_v())).withColumn(
-            "_deleted", F.lit(False)
+        """Snapshot the live rows into a fresh version dir (atomic swap).
+        Pure DataFrame rewrite — the snapshot job reads the outgoing
+        version dir (still in place until the pointer swap) and writes the
+        new one, so compaction never materializes stream metadata on the
+        driver and scales to millions of streams."""
+        live = (
+            self.read_streams()
+            .withColumn("_v", F.lit(self._next_v()))
+            .withColumn("_deleted", F.lit(False))
+            .select(*[f.name for f in STREAMS_LOG_SCHEMA.fields])
         )
-        rows = live.collect()  # metadata compaction; bounded by live streams
 
         def write(d):
-            self.spark.createDataFrame(rows, STREAMS_LOG_SCHEMA).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(d)
+            live.coalesce(1).write.mode("overwrite").parquet(d)
 
         self._swap_version("streams", write)
 

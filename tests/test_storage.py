@@ -52,6 +52,29 @@ def test_streams_log_autocompacts_and_reads_stay_correct(spark, tmp_path):
     assert t.read_streams_log().count() <= t.STREAMS_LOG_MAX_FILES + 1
 
 
+def test_streams_log_auto_compaction_can_be_disabled(spark, tmp_path):
+    """Multi-writer deployments disable implicit compaction (single-writer
+    snapshot swap would drop a concurrent appender's rows): with the flag
+    off, upserts never swap the version dir, and an explicit
+    compact_streams() from the owning process still works."""
+    t = Tables(spark, str(tmp_path / "store"))
+    t.STREAMS_LOG_MAX_FILES = 4
+    t.auto_compact_streams = False
+    for i in range(12):
+        t.upsert_streams([_row(i)])
+    assert t._current_version("streams") == 0  # no implicit swap happened
+    live = t.read_streams().collect()
+    assert len(live) == 1
+    assert live[0]["latest_ts"] == dt.datetime(2024, 1, 1) + dt.timedelta(seconds=11)
+    t.compact_streams()  # explicit, from the quiesced owner
+    assert t._current_version("streams") == 1
+    n_files = sum(1 for f in os.listdir(t.streams_path) if f.endswith(".parquet"))
+    assert n_files == 1
+    assert t.read_streams().collect()[0]["latest_ts"] == dt.datetime(
+        2024, 1, 1
+    ) + dt.timedelta(seconds=11)
+
+
 def test_compact_points_raw_rewrites_only_fat_partitions(spark, tmp_path):
     """Partition-bounded OPTIMIZE: only partitions past the file-count
     threshold are rewritten, others are hardlinked unchanged; data and a
