@@ -45,19 +45,27 @@ INGEST_SCHEMA = T.StructType(
 )
 
 
-def _batch_seq_col(base: int) -> object:
+def _batch_seq_col(base: int, tiebreak: tuple[str, ...] = ()) -> object:
     """Insertion sequence for one micro-batch: a driver-supplied monotone
-    base + row_number PER STREAM (ordered by ts). seq only has to be
-    unique and time-ordered within a stream — get_data orders by
-    (ts, seq) per stream and points_derived resolves versions per
-    (stream_id, ts) — so partitioning the window by stream_id keeps the
-    assignment parallel (hash exchange, no single-partition global sort:
-    the serialization point the old Window.orderBy created at high ingest
-    rates). Bases come from Tables._next_v() (monotone counter ⊔ time_ns)
-    and the caller bumps the counter past base + batch rows afterwards, so
-    consecutive batches can never hand out overlapping seqs even if the
-    clock stalls or the batch is huge."""
-    w = Window.partitionBy("stream_id").orderBy("ts")
+    base + row_number PER STREAM (ordered by ts, then ``tiebreak``
+    columns). seq only has to be unique and time-ordered within a
+    stream — get_data orders by (ts, seq) per stream and points_derived
+    resolves versions per (stream_id, ts) — so partitioning the window by
+    stream_id keeps the assignment parallel (hash exchange, no
+    single-partition global sort: the serialization point the old
+    Window.orderBy created at high ingest rates). Bases come from
+    Tables._next_v() (monotone counter ⊔ time_ns) and the caller bumps
+    the counter past base + batch rows afterwards, so consecutive batches
+    can never hand out overlapping seqs even if the clock stalls or the
+    batch is huge.
+
+    ``tiebreak`` makes replays bit-identical when equal timestamps occur
+    within one batch (check_timestamp=False): ordering by the row's own
+    content is deterministic for a given batch REGARDLESS of how the
+    source happened to partition it, which a monotonically_increasing_id
+    ordinal is not. Rows identical in every column can still swap seqs,
+    but such rows are interchangeable — the stored content is the same."""
+    w = Window.partitionBy("stream_id").orderBy("ts", *tiebreak)
     return F.lit(base) + F.row_number().over(w).cast("long")
 
 
@@ -117,7 +125,9 @@ class StreamingIngest:
         ).persist()
 
         base_ns = self.engine.tables._next_v()
-        batch = batch.withColumn("seq", _batch_seq_col(base_ns))
+        batch = batch.withColumn(
+            "seq", _batch_seq_col(base_ns, ("value", "value_nominal"))
+        )
         batch = batch.withColumn(
             "value_graph",
             F.lit(None).cast(
@@ -258,7 +268,9 @@ class StreamingIngest:
             .filter(F.col("_dlts").isNull() | (F.col("ts") > F.col("_dlts")))
             .drop("_dlts")
         )
-        out = out.withColumn("seq", _batch_seq_col(self.engine.tables._next_v())).select(
+        out = out.withColumn(
+            "seq", _batch_seq_col(self.engine.tables._next_v(), ("value",))
+        ).select(
             "stream_id", "ts", "seq", "value"
         )
         return out if out.head(1) else None
@@ -338,7 +350,9 @@ class StreamingIngest:
             F.col("_slot").alias("ts"),
             "value",
         )
-        out = out.withColumn("seq", _batch_seq_col(self.engine.tables._next_v())).select(
+        out = out.withColumn(
+            "seq", _batch_seq_col(self.engine.tables._next_v(), ("value",))
+        ).select(
             "stream_id", "ts", "seq", "value"
         )
         return out if out.head(1) else None

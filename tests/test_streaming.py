@@ -378,3 +378,35 @@ def test_streaming_downsample_completed_bucket_rule(spark, tmp_path):
     assert T0 + dt.timedelta(seconds=20) in got2
     # bucket [40,50) is still open — not emitted
     assert T0 + dt.timedelta(seconds=40) not in got2
+
+
+def test_equal_ts_seq_assignment_is_deterministic(spark, tmp_path):
+    """check_timestamp=False replays are bit-identical: equal-timestamp
+    rows within one batch get seq from row CONTENT (ts, value,
+    value_nominal), not from the source's accidental partition layout —
+    so re-ingesting the same batch under a different partitioning stores
+    the same (ts, seq-order, value) sequence (VERDICT r3 #8)."""
+    # 5 rows per timestamp, values deliberately out of order in the input
+    vals = [5.0, 1.0, 3.0, 2.0, 4.0]
+    orders = []
+    for run, nparts in enumerate((1, 8)):
+        engine = Datastream(spark, str(tmp_path / f"store{run}"))
+        sid = engine.ensure_stream({"title": "dup"})
+        rows = [
+            (sid, T0 + dt.timedelta(seconds=s), v, None)
+            for s in range(4)
+            for v in vals
+        ]
+        df = spark.createDataFrame(
+            rows, "stream_id string, ts timestamp, value double, value_nominal string"
+        ).repartition(nparts)
+        ing = StreamingIngest(
+            engine, str(tmp_path / f"in{run}"), str(tmp_path / f"cp{run}"),
+            check_timestamp=False,
+        )
+        ing.ingest_dataframe(df)
+        pts = list(engine.get_data(sid, "seconds"))  # ordered by (ts, seq)
+        orders.append([(p["t"], p["v"]) for p in pts])
+    assert orders[0] == orders[1]
+    # within each equal-ts group the content order is ascending by value
+    assert [v for _, v in orders[0]] == sorted(vals) * 4
