@@ -148,6 +148,7 @@ def _ivf_centroids(
     n_cells: int,
     seed: int,
     max_train_rows: int,
+    n_rows: int | None = None,
 ) -> list[list[float]]:
     """Fit KMeans on a BOUNDED sample and return plain centroid lists —
     the whole persistable state of an IVF index."""
@@ -155,7 +156,7 @@ def _ivf_centroids(
     from pyspark.ml.functions import array_to_vector
 
     ml_df = ml_source.select(array_to_vector("_cv").alias("features"))
-    n = ml_df.count()
+    n = n_rows if n_rows is not None else ml_df.count()
     if n > max_train_rows:
         # slight over-sample then cap — bounded fit regardless of corpus
         ml_df = ml_df.sample(
@@ -200,20 +201,45 @@ def ivf_topk(
     )
     ck = (cache_key, n_cells, seed) if cache_key else None
     cents = _IVF_CACHE.get(ck) if ck else None
+    n_rows: int | None = None
     if cents is None and index_dir:
+        # a persisted index is only valid for the corpus it was fit on:
+        # compare a fingerprint (row count + fit params) and refit on
+        # mismatch, so a regenerated corpus at the same path can't
+        # silently reuse stale centroids (degraded recall)
+        n_rows = c.count()
+        fp = {
+            "n_rows": n_rows,
+            "n_cells": n_cells,
+            "seed": seed,
+            "max_train_rows": max_train_rows,
+        }
         try:
             with open(_os.path.join(index_dir, "centroids.json")) as f:
-                cents = _json.load(f)
+                saved = _json.load(f)
+            if isinstance(saved, dict) and saved.get("fingerprint") == fp:
+                cents = saved["centroids"]
         except Exception:
             cents = None
     if cents is None:
-        cents = _ivf_centroids(c, n_cells, seed, max_train_rows)
+        cents = _ivf_centroids(c, n_cells, seed, max_train_rows, n_rows=n_rows)
         if index_dir:
             try:
                 _os.makedirs(index_dir, exist_ok=True)
                 tmp = _os.path.join(index_dir, "centroids.json.tmp")
                 with open(tmp, "w") as f:
-                    _json.dump(cents, f)
+                    _json.dump(
+                        {
+                            "fingerprint": {
+                                "n_rows": n_rows if n_rows is not None else c.count(),
+                                "n_cells": n_cells,
+                                "seed": seed,
+                                "max_train_rows": max_train_rows,
+                            },
+                            "centroids": cents,
+                        },
+                        f,
+                    )
                 _os.replace(tmp, _os.path.join(index_dir, "centroids.json"))
             except Exception:
                 pass  # index persistence is best-effort (read-only fs, races)

@@ -524,3 +524,36 @@ def test_multimodal_stub_and_plumbing(spark):
         assert r["feat"] == mm._fake_decode(texts[mid].encode("utf-8"))
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"abc", fake=False)
+
+
+def test_ivf_index_refits_when_corpus_changes(spark, tmp_path):
+    """A persisted IVF index carries a corpus fingerprint (row count +
+    fit params); reusing the same index_dir against a REGENERATED corpus
+    must refit instead of silently serving stale centroids (ADVICE r3)."""
+    import json
+
+    idx = str(tmp_path / "ivf_idx")
+    emb_a = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").filter(
+        F.col("vec_id") < 150
+    )
+    q = emb_a.filter(F.col("vec_id") < 5)
+    sim.ivf_topk(q, emb_a, k=1, n_cells=4, n_probe=2, index_dir=idx).collect()
+    with open(f"{idx}/centroids.json") as f:
+        saved_a = json.load(f)
+    assert saved_a["fingerprint"]["n_rows"] == 150
+    cents_a = saved_a["centroids"]
+
+    # matching fingerprint → reuse: file content unchanged after rerun
+    sim.ivf_topk(q, emb_a, k=1, n_cells=4, n_probe=2, index_dir=idx).collect()
+    with open(f"{idx}/centroids.json") as f:
+        assert json.load(f)["centroids"] == cents_a
+
+    # regenerated (larger) corpus at the same index_dir → refit
+    emb_b = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").filter(
+        F.col("vec_id") < 250
+    )
+    sim.ivf_topk(q, emb_b, k=1, n_cells=4, n_probe=2, index_dir=idx).collect()
+    with open(f"{idx}/centroids.json") as f:
+        saved_b = json.load(f)
+    assert saved_b["fingerprint"]["n_rows"] == 250
+    assert saved_b["centroids"] != cents_a
