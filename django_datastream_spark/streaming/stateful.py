@@ -96,14 +96,25 @@ def _make_session_fn(gap_s: int):
 
 
 def stateful_sessionize(
-    source: DataFrame, gap_s: int = 30, lateness: str = "0 seconds"
+    source: DataFrame, gap_s: int = 30, lateness: str | None = None
 ) -> DataFrame:
     """Session windows with inactivity gap ``gap_s`` over a streaming
     (stream_id, ts, value) DataFrame — `applyInPandasWithState` with
     event-time timeout. Emits one row per CLOSED session; the open tail
     session stays in the state store until a later batch's watermark (or
     a gap-exceeding point) closes it.
+
+    The watermark is GLOBAL across every stream in the source, but
+    streams pace independently: rows of a stream lagging more than
+    ``lateness`` behind the fastest stream's event time are dropped as
+    late and its sessions silently lost. ``lateness`` must therefore
+    cover the worst expected inter-stream skew. Default: ``2 * gap_s``
+    seconds — nonzero so moderate skew is survivable out of the box;
+    raise it for sources with badly skewed producers (cost: session
+    timeouts close later, state lives longer).
     """
+    if lateness is None:
+        lateness = f"{2 * gap_s} seconds"
     return (
         source.select("stream_id", "ts", "value")
         .withWatermark("ts", lateness)

@@ -410,3 +410,54 @@ def test_equal_ts_seq_assignment_is_deterministic(spark, tmp_path):
     assert orders[0] == orders[1]
     # within each equal-ts group the content order is ascending by value
     assert [v for _, v in orders[0]] == sorted(vals) * 4
+
+
+def test_sessionize_lateness_covers_cross_stream_skew(spark, tmp_path):
+    """The sessionize watermark is global, but streams pace
+    independently: with lateness=0 a lagging stream's rows are dropped
+    as late and its sessions silently lost; the nonzero default
+    (2*gap_s) keeps them within the skew bound (ADVICE r3)."""
+    from django_datastream_spark.streaming.stateful import stateful_sessionize
+    from django_datastream_spark.streaming.ingest import INGEST_SCHEMA
+
+    def run(tag: str, lateness):
+        src = str(tmp_path / f"in_{tag}")
+        out = str(tmp_path / f"out_{tag}")
+        cp = str(tmp_path / f"cp_{tag}")
+
+        def run_batch(name: str, rows: list[dict]) -> None:
+            write_jsonl(f"{src}/{name}", rows)
+            stream = spark.readStream.schema(INGEST_SCHEMA).json(src)
+            q = (
+                stateful_sessionize(
+                    stream.select("stream_id", "ts", "value"),
+                    gap_s=30,
+                    lateness=lateness,
+                )
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        # fast stream advances the global watermark to ~500
+        run_batch(
+            "b0.json",
+            [{"stream_id": "fast", "ts": iso(t), "value": 1.0} for t in (500, 501)],
+        )
+        # slow stream arrives 50s behind the fast stream's event time
+        run_batch(
+            "b1.json",
+            [{"stream_id": "slow", "ts": iso(t), "value": 1.0} for t in (450, 455)],
+        )
+        # a much later fast point closes everything still open by timeout
+        run_batch("b2.json", [{"stream_id": "fast", "ts": iso(2000), "value": 1.0}])
+        return {r["stream_id"] for r in spark.read.parquet(out).collect()}
+
+    # default lateness (2*gap = 60s) covers the 50s skew: slow survives
+    assert run("default", None) == {"fast", "slow"}
+    # zero lateness: the slow stream's rows are dropped, session lost
+    assert run("zero", "0 seconds") == {"fast"}
