@@ -1,0 +1,155 @@
+"""Ops-loop soak: the SURVEY §7 Phase-4 lifecycle driven end to end —
+continuous ingest with auto_downsample on, periodic small-file
+compaction + vacuum interleaved BETWEEN micro-batches (writer quiesced,
+as documented), with `get_data` and `aggregate()` asserted EXACT against
+a Python recompute after every cycle (VERDICT r3 #6).
+
+Each piece is covered alone elsewhere (test_streaming / test_storage /
+test_properties); this drives them together across 12 micro-batches the
+way a real deployment cycles them, so cross-feature interactions
+(compaction swapping files under the agg watermark, vacuum folding
+derived-point versions mid-stream, a lagging source updating slots the
+fast source passed) can't regress silently.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import json
+import math
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from django_datastream_spark.api import Datastream
+from django_datastream_spark.streaming.ingest import StreamingIngest
+
+UTC = dt.timezone.utc
+T0 = dt.datetime(2024, 6, 1, tzinfo=UTC)
+
+
+def iso(i: int) -> str:
+    return (T0 + dt.timedelta(seconds=i)).strftime("%Y-%m-%dT%H:%M:%S.000Z")
+
+
+def write_jsonl(path: str, rows: list[dict]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_ops_loop_soak(spark, tmp_path):
+    engine = Datastream(spark, str(tmp_path / "store"))
+    a = engine.ensure_stream({"title": "soak-a"})
+    b = engine.ensure_stream({"title": "soak-b"})
+    d = engine.ensure_stream(
+        {"title": "soak-sum"},
+        derive_from=[a, b],
+        derive_op="sum",
+        highest_granularity="seconds10",
+    )
+    src = str(tmp_path / "in")
+    ing = StreamingIngest(engine, src, str(tmp_path / "cp"), auto_downsample=True)
+
+    rnd = random.Random(404)
+    cursors = {a: 0, b: 0}
+    pts: dict[str, list[tuple[int, float]]] = {a: [], b: []}
+
+    def check_cycle() -> None:
+        # 1) raw readback exact, in (ts, seq) order
+        for sid in (a, b):
+            got = [
+                (int((p["t"].replace(tzinfo=UTC) - T0).total_seconds()), p["v"])
+                for p in engine.get_data(sid, "seconds")
+            ]
+            assert got == pts[sid], f"raw mismatch for {sid}"
+        # 2) derived sum slots exact (full recompute over both sources)
+        slots: dict[int, float] = {}
+        for sid in (a, b):
+            for t, v in pts[sid]:
+                slots[t // 10 * 10] = slots.get(t // 10 * 10, 0.0) + v
+        got_d = {
+            int((p["t"].replace(tzinfo=UTC) - T0).total_seconds()): p["v"]
+            for p in engine.get_data(d, "seconds10")
+        }
+        assert got_d == {k: pytest.approx(v) for k, v in slots.items()}
+        # 3) aggregate() freshness: MV-routed buckets == Python recompute
+        got_agg = {
+            (r["stream_id"], int((r["bucket_ts"].replace(tzinfo=UTC) - T0).total_seconds())): r
+            for r in engine.aggregate(bucket_seconds=60).collect()
+        }
+        expected: dict[tuple[str, int], list[float]] = {}
+        for sid in (a, b):
+            for t, v in pts[sid]:
+                expected.setdefault((sid, t // 60 * 60), []).append(v)
+        for slot_t, v in slots.items():
+            expected.setdefault((d, slot_t // 60 * 60), []).append(v)
+        assert set(got_agg) == set(expected)
+        for key, vs in expected.items():
+            r = got_agg[key]
+            assert r["v"]["count"] == len(vs)
+            assert r["v"]["sum"] == pytest.approx(math.fsum(vs), rel=1e-9)
+            assert r["v"]["min"] == pytest.approx(min(vs))
+            assert r["v"]["max"] == pytest.approx(max(vs))
+
+    for cycle in range(12):
+        rows = []
+        # fast stream: 3-5 points, 2-9 s apart; slow stream: 1-3 points,
+        # 3-15 s apart — b's event time falls ever further behind a's, so
+        # lagging-source slot updates and per-stream finality are
+        # exercised continuously
+        for _ in range(rnd.randint(3, 5)):
+            cursors[a] += rnd.randint(2, 9)
+            v = round(rnd.uniform(-50.0, 50.0), 3)
+            pts[a].append((cursors[a], v))
+            rows.append({"stream_id": a, "ts": iso(cursors[a]), "value": v})
+        for _ in range(rnd.randint(1, 3)):
+            cursors[b] += rnd.randint(3, 15)
+            v = round(rnd.uniform(-50.0, 50.0), 3)
+            pts[b].append((cursors[b], v))
+            rows.append({"stream_id": b, "ts": iso(cursors[b]), "value": v})
+        write_jsonl(f"{src}/b{cycle}.json", rows)
+        ing.run_available()
+
+        # maintenance every third cycle, between micro-batches (the
+        # documented writer-quiesced window for an availableNow loop)
+        if cycle % 3 == 2:
+            engine.tables.compact_points_raw(max_files_per_partition=2)
+            engine.vacuum()
+
+        check_cycle()
+
+    # file growth is bounded by maintenance: after 12 append-y batches +
+    # 4 compaction cycles, each p_date partition holds a handful of
+    # files, not one per batch
+    raw_dir = engine.tables._data_dir("points_raw")
+    by_part: dict[str, int] = {}
+    for f in glob.glob(f"{raw_dir}/p_date=*/*.parquet"):
+        by_part[os.path.dirname(f)] = by_part.get(os.path.dirname(f), 0) + 1
+    assert by_part, "no raw files?"
+    assert max(by_part.values()) <= 5, by_part
+
+    # incremental derived materialization == batch recompute at the end
+    full = engine.backprocess_streams({"title": "soak-sum"})
+    batch = {
+        int((r["ts"] - T0.replace(tzinfo=None)).total_seconds()): r["value"]
+        for r in full.collect()
+    }
+    slots: dict[int, float] = {}
+    for sid in (a, b):
+        for t, v in pts[sid]:
+            slots[t // 10 * 10] = slots.get(t // 10 * 10, 0.0) + v
+    assert batch == {k: pytest.approx(v) for k, v in slots.items()}
+
+    # no duplicate agg rows survived the upsert/vacuum interleaving
+    dup = (
+        engine.tables.read_points_agg()
+        .groupBy("stream_id", "granularity", "bucket_ts")
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    assert dup.count() == 0
