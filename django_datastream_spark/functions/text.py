@@ -154,6 +154,59 @@ def vocab_topk(
     )
 
 
+def repetition_metrics(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_frac: float = 0.2,
+    max_top_frac: float = 0.2,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (reference:
+    SURVEY §2.10 text-quality row; Rae et al. 2021 'duplicate n-gram
+    fraction' / 'top n-gram fraction' filters, word-2-gram variant).
+
+    Emits per doc: total 2-gram occurrences, the fraction of occurrences
+    that repeat an earlier gram (``dup_2gram_frac``), the share held by
+    the single most frequent gram (``top_2gram_frac``), and a ``keep``
+    flag under the given thresholds. Docs with <2 tokens have no grams:
+    fractions are NULL and ``keep`` is false.
+
+    Scale shape: explode grams → (doc, gram) hash agg → per-doc hash agg;
+    both aggregations get map-side partial combine, work is linear in
+    token count, and nothing is collected. The final join back to the doc
+    spine is on the same ``id_col`` the aggregate is partitioned by.
+    """
+    grams = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), 2)).alias("g")
+    )
+    per_doc = (
+        grams.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n2"),
+            F.count(F.lit(1)).alias("nd"),
+            F.max("c").alias("tc"),
+        )
+    )
+    dup = (F.col("n2") - F.col("nd")) / F.col("n2")
+    top = F.col("tc") / F.col("n2")
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n2", F.lit(0)).cast("long").alias("n_2grams"),
+            F.round(dup, 4).alias("dup_2gram_frac"),
+            F.round(top, 4).alias("top_2gram_frac"),
+            F.coalesce(
+                (dup <= F.lit(max_dup_frac)) & (top <= F.lit(max_top_frac)),
+                F.lit(False),
+            ).alias("keep"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # fingerprinting
 # ---------------------------------------------------------------------------

@@ -1,0 +1,77 @@
+"""Deterministic sampling / corpus-mixing operators for training-data
+pipelines (reference: SURVEY §2.10 extension surface — the "data mixing"
+step between dedup/quality filtering and tokenization).
+
+Everything is built on a *portable* uniform: the first 8 hex digits of
+``md5(salt || id)`` read as an unsigned 32-bit integer, divided by 2^32.
+That makes every sample reproducible bit-for-bit across engines (the
+DuckDB oracle computes the identical value via ``('0x'||substr(md5(..),
+1,8))::BIGINT``), across runs, and across cluster sizes — no RNG state,
+no ``rand()`` nondeterminism, no dependence on partitioning. At 100 TB
+this is the only sane shape: each row decides membership from its own
+key, so sampling is a stateless map with full predicate pushdown and no
+shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_U32 = float(1 << 32)
+
+
+def u01(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform in [0, 1) from a key column: first 8 hex
+    digits of md5(salt:key) as u32 / 2^32. Engine-portable."""
+    h = F.md5(F.concat(F.lit(f"{salt}:"), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_U32))
+
+
+def weighted_mix(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted corpus mixing: keep each row of group ``g`` with
+    probability ``rates[g]`` (``default_rate`` for unlisted groups),
+    decided by the row's own deterministic ``u01``. The standard way a
+    training mix re-weights sources (upweight curated, downsample crawl)
+    while staying reproducible.
+
+    Scale shape: one ``CASE`` on the group column against a literal map
+    plus a filter — pure row-local column expressions, no shuffle, no
+    UDF; Catalyst pushes the filter into the scan where possible.
+    Adds column ``u`` (the draw) so audits can recheck membership.
+    """
+    rate = F.lit(float(default_rate))
+    for g, r in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(float(r))).otherwise(rate)
+    return (
+        df.withColumn("u", u01(F.col(id_col), salt))
+        .filter(F.col("u") < rate)
+    )
+
+
+def train_heldout_split(
+    df: DataFrame,
+    heldout_frac: float = 0.1,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/heldout assignment: rows whose draw falls
+    below ``heldout_frac`` are tagged ``heldout``, the rest ``train``.
+    Independent of :func:`weighted_mix` draws via a different salt, so
+    mixing then splitting doesn't correlate. Stateless per-row map."""
+    return df.withColumn(
+        "split",
+        F.when(
+            u01(F.col(id_col), salt) < F.lit(float(heldout_frac)),
+            F.lit("heldout"),
+        ).otherwise(F.lit("train")),
+    )

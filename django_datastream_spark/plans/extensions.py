@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..functions import text as tx
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
+from ..operators import sampling as smp
 from ..operators import similarity as sim
 from ..sources.testdata import load_table
 from .declared import _declare
@@ -280,6 +281,90 @@ def q37(spark, sf_dir):
         dd.cosine_near_pairs(emb, threshold=0.35)
         .select("a", "b", F.round("cosine", 4).alias("cosine"))
         .orderBy("a", "b")
+    )
+
+
+# --------------------------------------------------------------------------
+# repetition quality + deterministic corpus mixing (training-data prep)
+# --------------------------------------------------------------------------
+
+
+@_declare(
+    "q50_repetition_quality",
+    r"""
+    WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') tk FROM documents),
+    g0 AS (SELECT doc_id, CASE WHEN len(tk) >= 2
+             THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+             ELSE [] END gs FROM d),
+    g AS (SELECT doc_id, unnest(gs) g FROM g0),
+    c AS (SELECT doc_id, g, COUNT(*) c FROM g GROUP BY 1, 2),
+    p AS (SELECT doc_id, SUM(c) n2, COUNT(*) nd, MAX(c) tc FROM c GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n2, 0) AS BIGINT) n_2grams,
+           ROUND((p.n2 - p.nd) * 1.0 / p.n2, 4) + 0 dup_2gram_frac,
+           ROUND(p.tc * 1.0 / p.n2, 4) + 0 top_2gram_frac,
+           COALESCE((p.n2 - p.nd) * 1.0 / p.n2 <= 0.2
+                    AND p.tc * 1.0 / p.n2 <= 0.2, FALSE) keep
+    FROM d LEFT JOIN p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q50(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rep = tx.repetition_metrics(docs)
+    # + 0.0 canonicalizes IEEE -0.0 → +0.0 (matches the oracle's `+ 0`)
+    return rep.select(
+        "doc_id",
+        "n_2grams",
+        (F.col("dup_2gram_frac") + F.lit(0.0)).alias("dup_2gram_frac"),
+        (F.col("top_2gram_frac") + F.lit(0.0)).alias("top_2gram_frac"),
+        "keep",
+    ).orderBy("doc_id")
+
+
+_MIX_RATES = {"src0": 0.9, "src1": 0.6, "src2": 0.3}
+
+
+@_declare(
+    "q51_corpus_mix",
+    r"""
+    WITH u AS (SELECT doc_id, source,
+               (('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 * 1.0 / 4294967296.0) u
+               FROM documents)
+    SELECT doc_id, source, u FROM u
+    WHERE u < CASE source WHEN 'src0' THEN 0.9 WHEN 'src1' THEN 0.6
+                          WHEN 'src2' THEN 0.3 ELSE 0.15 END
+    ORDER BY doc_id
+    """,
+)
+def q51(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        smp.weighted_mix(docs, _MIX_RATES, default_rate=0.15)
+        .select("doc_id", "source", "u")
+        .orderBy("doc_id")
+    )
+
+
+@_declare(
+    "q52_train_split_counts",
+    r"""
+    WITH s AS (SELECT source,
+               CASE WHEN (('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     * 1.0 / 4294967296.0) < 0.1 THEN 'heldout' ELSE 'train' END split
+               FROM documents)
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) n
+    FROM s GROUP BY 1, 2 ORDER BY source, split
+    """,
+)
+def q52(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        smp.train_heldout_split(docs, heldout_frac=0.1)
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("source", "split")
     )
 
 
