@@ -364,3 +364,32 @@ def rp_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cosine")
     )
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``scale = 127/max|x|``,
+    ``q_i = floor(x_i * scale + 0.5)`` (reference: SURVEY §2.10 similarity
+    row — the standard memory-footprint reduction before ANN serving; 4×
+    smaller than float32, dot products stay rank-faithful after rescale).
+
+    ``floor(x + 0.5)`` instead of ``round`` so the tie rule is identical
+    in every engine (oracle-portable). Zero vectors get NULL scale and
+    NULL codes rather than a divide-by-zero.
+
+    Scale shape: pure row-local array expressions (transform/aggregate)
+    — JVM-side, shuffle-free, linear; nothing leaves the row.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.lit(127.0) / F.nullif(
+        F.array_max(F.transform(v, F.abs)), F.lit(0.0)
+    )
+    out = emb.withColumn("scale", scale)
+    return out.select(
+        F.col(id_col),
+        "scale",
+        F.transform(
+            v, lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("int")
+        ).alias("q"),
+    )

@@ -368,6 +368,37 @@ def q52(spark, sf_dir):
     )
 
 
+@_declare(
+    "q53_embedding_quantize",
+    r"""
+    WITH s AS (SELECT vec_id, embedding,
+               127.0 / NULLIF(list_max(list_transform(embedding,
+                              x -> abs(CAST(x AS DOUBLE)))), 0) scale
+               FROM embeddings)
+    SELECT vec_id, scale,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)))
+                AS BIGINT) qsum,
+           md5(array_to_string(list_transform(embedding,
+                x -> CAST(CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)
+                          AS VARCHAR)), ',')) qhash
+    FROM s ORDER BY vec_id
+    """,
+)
+def q53(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = sim.quantize_int8(emb)
+    # arrays aren't hash-portable across engines; project scalar digests
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ).alias("qsum"),
+        F.md5(F.concat_ws(",", F.col("q").cast("array<string>"))).alias("qhash"),
+    ).orderBy("vec_id")
+
+
 # --------------------------------------------------------------------------
 # portable-hash twins: the SAME minhash-LSH / simhash pipeline shapes as
 # q38/q39, built from md5 instead of xxhash64 so the driver's DuckDB

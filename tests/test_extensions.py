@@ -557,3 +557,18 @@ def test_ivf_index_refits_when_corpus_changes(spark, tmp_path):
         saved_b = json.load(f)
     assert saved_b["fingerprint"]["n_rows"] == 250
     assert saved_b["centroids"] != cents_a
+
+
+def test_quantize_int8_crafted(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in sim.quantize_int8(emb).collect()}
+    assert out[1]["scale"] == pytest.approx(127.0)
+    # floor(x*scale + 0.5): 1.0->127, -0.5->floor(-63.0)=-63, 0->0
+    assert out[1]["q"] == [127, -63, 0]
+    assert all(-128 <= v <= 127 for v in out[1]["q"])
+    # zero vector: no defined scale, codes null rather than div-by-zero
+    assert out[2]["scale"] is None
+    assert out[2]["q"] == [None, None]
