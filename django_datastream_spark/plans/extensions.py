@@ -12,6 +12,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions import text as tx
+from ..operators import decontaminate as dc
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import sampling as smp
@@ -629,3 +630,71 @@ def q40(spark, sf_dir):
     media = mm.synth_media_from_documents(docs)
     feats = mm.extract_features(media, fake=True)
     return feats.select("media_id", "n_bytes", "sha").orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination + exact percentile downsampling
+# --------------------------------------------------------------------------
+
+
+@_declare(
+    "q54_decontaminate",
+    r"""
+    WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') tk FROM documents),
+    g0 AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+             THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+             ELSE [] END gs FROM d),
+    g AS (SELECT doc_id, unnest(gs) g FROM g0),
+    ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0),
+    hits AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) n_shared
+             FROM g JOIN ev USING (g) GROUP BY 1)
+    SELECT d.doc_id, COALESCE(h.n_shared, 0) n_shared,
+           COALESCE(h.n_shared, 0) >= 1 contaminated
+    FROM d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 50 != 0
+    ORDER BY d.doc_id
+    """,
+)
+def q54(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return (
+        dc.flag_contaminated(train, ev, n=3)
+        .select("doc_id", "n_shared", "contaminated")
+        .orderBy("doc_id")
+    )
+
+
+@_declare(
+    "q55_value_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) + 0 p50,
+           ROUND(quantile_cont(value, 0.95), 4) + 0 p95,
+           ROUND(quantile_cont(value, 0.99), 4) + 0 p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q55(spark, sf_dir):
+    """Exact interpolated percentiles per event_type — the percentile
+    downsampler family (Spark `percentile` == DuckDB `quantile_cont`,
+    both linear interpolation on the sorted set). Exact percentile is a
+    full-sort-per-group agg; at 100 TB swap in `approx_percentile`
+    (t-digest-style sketch, map-side combinable) — declared exact here
+    so the oracle can pin values bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    return (
+        ev.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            *[
+                (F.round(F.col("p")[i], 4) + F.lit(0.0)).alias(name)
+                for i, name in enumerate(["p50", "p95", "p99"])
+            ],
+        )
+        .orderBy("event_type")
+    )

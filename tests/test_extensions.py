@@ -572,3 +572,56 @@ def test_quantize_int8_crafted(spark):
     # zero vector: no defined scale, codes null rather than div-by-zero
     assert out[2]["scale"] is None
     assert out[2]["q"] == [None, None]
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (operators/decontaminate.py, q54)
+# ---------------------------------------------------------------------------
+
+
+def test_flag_contaminated_crafted(spark):
+    from django_datastream_spark.operators import decontaminate as dc
+
+    ev = spark.createDataFrame(
+        [(100, "a b c d")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "x a b c y"),      # shares 3-gram "a b c"
+            (2, "b c d b c d"),    # shares "b c d" (counted once: distinct)
+            (3, "z z z z"),        # clean
+            (4, "a b"),            # shorter than n -> no grams -> clean
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dc.flag_contaminated(train, ev, n=3).collect()}
+    assert out[1]["n_shared"] == 1 and out[1]["contaminated"]
+    assert out[2]["n_shared"] == 1 and out[2]["contaminated"]
+    assert out[3]["n_shared"] == 0 and not out[3]["contaminated"]
+    assert out[4]["n_shared"] == 0 and not out[4]["contaminated"]
+
+    # min_shared raises the bar
+    strict = {
+        r["doc_id"]: r["contaminated"]
+        for r in dc.flag_contaminated(train, ev, n=3, min_shared=2).collect()
+    }
+    assert not any(strict.values())
+
+    # hashed join keys give identical results (8-byte broadcast at scale)
+    hashed = {
+        r["doc_id"]: (r["n_shared"], r["contaminated"])
+        for r in dc.flag_contaminated(train, ev, n=3, hashed=True).collect()
+    }
+    assert hashed == {
+        k: (v["n_shared"], v["contaminated"]) for k, v in out.items()
+    }
+
+
+def test_flag_contaminated_plan_is_broadcast(spark):
+    from django_datastream_spark.operators import decontaminate as dc
+
+    ev = spark.createDataFrame([(100, "a b c d")], "doc_id long, text string")
+    train = spark.createDataFrame([(1, "x a b c y")], "doc_id long, text string")
+    plan = dc.flag_contaminated(train, ev, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
