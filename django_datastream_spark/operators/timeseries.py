@@ -1,0 +1,149 @@
+"""Time-series alignment operators: as-of join and regular-grid
+resampling with forward fill (reference: SURVEY §2.6 join family /
+§2.7 granularity surface — the reference aligns streams only at bucket
+boundaries; these give the point-wise alignment a time-series engine is
+expected to have, e.g. "last sensor reading at each trade time").
+
+Scale notes (the 100 TB case):
+
+* ``asof_join`` is the classic *union trick*: tag both sides, union,
+  one shuffle on (key), per-key sort, ``last(..., ignorenulls)`` window.
+  Cost = one exchange + one sort — identical shape to any windowed agg
+  over the same key, and immune to the range-join blowup a naive
+  ``l.ts >= r.ts`` theta-join produces (Spark would nested-loop it).
+  Skewed keys behave exactly like any window over that key.
+* ``resample_ffill`` materializes each key's bucket grid with
+  ``sequence``/``explode`` — output-proportional, no driver loop — then
+  joins bucketed last-values and forward-fills with an ignore-nulls
+  window. One shuffle on (key, bucket) for the agg + one on key for the
+  fill; both co-partitioned so AQE coalesces them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: tuple[str, ...] = ("value",),
+    tolerance_seconds: float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row, attach the latest right row with
+    ``right.ts <= left.ts`` (inclusive) on the same ``key``.
+
+    Right must be unique per (key, ts) — pre-aggregate it if not (the
+    match would otherwise be ambiguous; DuckDB's ASOF JOIN has the same
+    precondition). Adds ``<value>_asof`` per value col plus
+    ``ts_asof`` (the matched right timestamp, null when no match or
+    outside ``tolerance_seconds``).
+    """
+    lcols = left.columns
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(r.schema[f"__v_{c}"].dataType).alias(f"__v_{c}")
+          for c in value_cols],
+        *[F.col(c).alias(f"__l_{c}") for c in lcols],
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    # right rows sort before left rows at equal ts → inclusive match
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched_ts = F.last(
+        F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
+    ).over(w)
+    filled = u.select(
+        "*",
+        matched_ts.alias("__mts"),
+        *[
+            F.last(
+                F.when(F.col("__side") == 0, F.col(f"__v_{c}")),
+                ignorenulls=True,
+            ).over(w).alias(f"__m_{c}")
+            for c in value_cols
+        ],
+    ).filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.col("__ts").cast("double") - F.col("__mts").cast("double")
+        ) <= F.lit(float(tolerance_seconds))
+    else:
+        in_tol = F.lit(True)
+    keep = F.col("__mts").isNotNull() & in_tol
+    return filled.select(
+        *[F.col(f"__l_{c}").alias(c) for c in lcols],
+        F.when(keep, F.col("__mts")).alias(f"{left_ts}{suffix}"),
+        *[
+            F.when(keep, F.col(f"__m_{c}")).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_seconds: int = 3600,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Resample each key's series onto a regular ``step_seconds`` grid
+    (from its first to its last observed bucket), carrying the last
+    value forward across empty buckets.
+
+    Bucket value = value of the greatest ``order_col`` row in the bucket
+    (a deterministic "last wins"; defaults to the value column itself).
+    Returns (key, bucket_start long epoch-seconds, value, filled bool —
+    true where the bucket had no observation and the value was carried).
+    """
+    order_col = order_col or value_col
+    step = int(step_seconds)
+    b = (F.floor(F.unix_timestamp(F.col(ts_col)) / step) * step).cast("long")
+    per_bucket = (
+        df.select(F.col(key).alias("k"), b.alias("b"),
+                  F.col(value_col).alias("v"), F.col(order_col).alias("o"))
+        .groupBy("k", "b")
+        .agg(F.max_by("v", "o").alias("v"))
+    )
+    grid = (
+        per_bucket.groupBy("k")
+        .agg(F.min("b").alias("b0"), F.max("b").alias("b1"))
+        .select(
+            "k",
+            F.explode(
+                F.sequence(F.col("b0"), F.col("b1"), F.lit(step).cast("long"))
+            ).alias("b"),
+        )
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(per_bucket, ["k", "b"], "left")
+        .select(
+            F.col("k").alias(key),
+            F.col("b").alias("bucket_start"),
+            F.last("v", ignorenulls=True).over(w).alias(value_col),
+            F.col("v").isNull().alias("filled"),
+        )
+    )

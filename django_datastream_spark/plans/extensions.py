@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..functions import text as tx
 from ..operators import decontaminate as dc
 from ..operators import dedup as dd
+from ..operators import timeseries as tso
 from ..operators import multimodal as mm
 from ..operators import sampling as smp
 from ..operators import similarity as sim
@@ -665,6 +666,80 @@ def q54(spark, sf_dir):
         .select("doc_id", "n_shared", "contaminated")
         .orderBy("doc_id")
     )
+
+
+@_declare(
+    "q56_asof_join",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type='click'),
+    r AS (SELECT user_id, ts, max_by(value, event_id) v
+          FROM events WHERE event_type='purchase' GROUP BY 1, 2)
+    SELECT l.event_id, l.user_id,
+           CAST(floor(epoch(l.ts)) AS BIGINT) ts_s,
+           CAST(floor(epoch(r.ts)) AS BIGINT) match_ts_s,
+           ROUND(r.v, 4) + 0 last_purchase
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.event_id
+    """,
+)
+def q56(spark, sf_dir):
+    """As-of join: each click gets the user's latest purchase value at or
+    before the click. Spark side is the union-trick single-shuffle plan
+    (operators/timeseries.asof_join); oracle is DuckDB's native ASOF
+    LEFT JOIN over the identical pre-aggregated right side."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    j = tso.asof_join(clicks, purchases, key="user_id")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.unix_timestamp("ts_asof").alias("match_ts_s"),
+        (F.round("value_asof", 4) + F.lit(0.0)).alias("last_purchase"),
+    ).orderBy("event_id")
+
+
+@_declare(
+    "q57_resample_ffill",
+    """
+    WITH pb AS (SELECT user_id k,
+                CAST(floor(floor(epoch(ts))/3600)*3600 AS BIGINT) b,
+                max_by(value, event_id) v
+                FROM events WHERE event_type='error' AND user_id < 10
+                GROUP BY 1, 2),
+    bounds AS (SELECT k, MIN(b) b0, MAX(b) b1 FROM pb GROUP BY 1),
+    grid AS (SELECT k, unnest(range(b0, b1 + 3600, 3600)) b FROM bounds),
+    f AS (SELECT g.k, g.b, pb.v,
+          last_value(pb.v IGNORE NULLS) OVER (PARTITION BY g.k ORDER BY g.b) fv
+          FROM grid g LEFT JOIN pb ON g.k = pb.k AND g.b = pb.b)
+    SELECT k AS user_id, b AS bucket_start, ROUND(fv, 4) + 0 AS value,
+           v IS NULL AS filled
+    FROM f ORDER BY user_id, bucket_start
+    """,
+)
+def q57(spark, sf_dir):
+    """Regular-grid resampling with forward fill: hourly grid per user
+    from first to last error event, last value carried across empty
+    buckets (operators/timeseries.resample_ffill)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "error") & (F.col("user_id") < 10)
+    )
+    rs = tso.resample_ffill(
+        ev, key="user_id", step_seconds=3600, order_col="event_id"
+    )
+    return rs.select(
+        "user_id",
+        "bucket_start",
+        (F.round("value", 4) + F.lit(0.0)).alias("value"),
+        "filled",
+    ).orderBy("user_id", "bucket_start")
 
 
 @_declare(

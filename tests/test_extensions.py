@@ -625,3 +625,104 @@ def test_flag_contaminated_plan_is_broadcast(spark):
     plan = dc.flag_contaminated(train, ev, n=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# time-series alignment (operators/timeseries.py, q56/q57)
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_crafted(spark):
+    from datetime import datetime as dt
+
+    from django_datastream_spark.operators import timeseries as tso
+
+    left = spark.createDataFrame(
+        [
+            (1, 7, dt(2024, 1, 1, 0, 0, 5)),   # after r@3 -> 30.0
+            (2, 7, dt(2024, 1, 1, 0, 0, 3)),   # equal ts -> inclusive, 30.0
+            (3, 7, dt(2024, 1, 1, 0, 0, 1)),   # before any right -> null
+            (4, 8, dt(2024, 1, 1, 0, 0, 9)),   # other key -> 80.0
+            (5, 9, dt(2024, 1, 1, 0, 0, 9)),   # key with no right rows
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (7, dt(2024, 1, 1, 0, 0, 2), 20.0),
+            (7, dt(2024, 1, 1, 0, 0, 3), 30.0),
+            (8, dt(2024, 1, 1, 0, 0, 0), 80.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: r
+        for r in tso.asof_join(left, right, key="user_id").collect()
+    }
+    assert out[1]["value_asof"] == 30.0
+    assert out[2]["value_asof"] == 30.0          # equal ts is inclusive
+    assert out[3]["value_asof"] is None and out[3]["ts_asof"] is None
+    assert out[4]["value_asof"] == 80.0
+    assert out[5]["value_asof"] is None
+    assert len(out) == 5                          # left rows preserved 1:1
+
+    # tolerance: match older than 2s is nulled
+    tol = {
+        r["event_id"]: r["value_asof"]
+        for r in tso.asof_join(
+            left, right, key="user_id", tolerance_seconds=2.0
+        ).collect()
+    }
+    assert tol[1] == 30.0                         # 2s gap, within
+    assert tol[4] is None                         # 9s gap, outside
+
+
+def test_asof_join_plan_single_shuffle_no_rangejoin(spark):
+    from datetime import datetime as dt
+
+    from django_datastream_spark.operators import timeseries as tso
+
+    left = spark.createDataFrame(
+        [(1, 7, dt(2024, 1, 1))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(7, dt(2024, 1, 1), 1.0)], "user_id long, ts timestamp, value double"
+    )
+    plan = tso.asof_join(left, right, key="user_id")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # union trick: no join node at all, one hash exchange for the window
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_resample_ffill_crafted(spark):
+    from datetime import datetime as dt
+
+    from django_datastream_spark.operators import timeseries as tso
+
+    df = spark.createDataFrame(
+        [
+            # key 1: values at hours 0 and 3 -> grid 0..3, hours 1-2 carried
+            (1, 1, dt(2024, 1, 1, 0, 30), 10.0),
+            (2, 1, dt(2024, 1, 1, 0, 45), 11.0),  # same bucket, higher order wins
+            (3, 1, dt(2024, 1, 1, 3, 10), 40.0),
+            # key 2: single point -> single-bucket grid
+            (4, 2, dt(2024, 1, 1, 5, 0), 99.0),
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = tso.resample_ffill(
+        df, key="user_id", step_seconds=3600, order_col="event_id"
+    ).collect()
+    k1 = sorted(
+        [(r["bucket_start"], r["value"], r["filled"]) for r in out if r["user_id"] == 1]
+    )
+    base = int(dt(2024, 1, 1).timestamp())
+    assert k1 == [
+        (base, 11.0, False),          # last-wins within bucket (event 2)
+        (base + 3600, 11.0, True),    # carried
+        (base + 7200, 11.0, True),    # carried
+        (base + 10800, 40.0, False),
+    ]
+    k2 = [(r["value"], r["filled"]) for r in out if r["user_id"] == 2]
+    assert k2 == [(99.0, False)]
