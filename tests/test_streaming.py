@@ -461,3 +461,56 @@ def test_sessionize_lateness_covers_cross_stream_skew(spark, tmp_path):
     assert run("default", None) == {"fast", "slow"}
     # zero lateness: the slow stream's rows are dropped, session lost
     assert run("zero", "0 seconds") == {"fast"}
+
+
+# ---------------------------------------------------------------------------
+# file-format sources (sources/files.py): CSV / JSONL with quarantine
+# ---------------------------------------------------------------------------
+
+
+def test_csv_source_batch_ingest_with_quarantine(spark, tmp_path):
+    from django_datastream_spark.sources import files as fsrc
+
+    engine = Datastream(spark, str(tmp_path / "store"))
+    sid = engine.ensure_stream({"title": "csv"})
+    src = str(tmp_path / "csv_in")
+    os.makedirs(src)
+    with open(f"{src}/b0.csv", "w") as f:
+        f.write("stream_id,ts,value,value_nominal\n")
+        f.write(f"{sid},{iso(0)},1.5,\n")
+        f.write(f"{sid},{iso(1)},2.5,\n")
+        f.write(f"{sid},not-a-timestamp,3.5,\n")      # malformed ts
+        f.write(f",{iso(2)},4.5,\n")                  # missing stream_id
+
+    good, bad = fsrc.split_quarantine(fsrc.read_ingest_csv(spark, src))
+    assert [f.name for f in good.schema.fields] == [
+        "stream_id", "ts", "value", "value_nominal",
+    ]
+    assert good.count() == 2
+    assert bad.count() == 2
+
+    ing = StreamingIngest(engine, str(tmp_path / "unused"), str(tmp_path / "cp"))
+    ing.ingest_dataframe(good)
+    assert [p["v"] for p in engine.get_data(sid, "seconds")] == [1.5, 2.5]
+
+
+def test_jsonl_source_streaming_attach(spark, tmp_path):
+    from django_datastream_spark.sources import files as fsrc
+
+    engine = Datastream(spark, str(tmp_path / "store"))
+    sid = engine.ensure_stream({"title": "jl"})
+    src = str(tmp_path / "jl_in")
+    write_jsonl(
+        f"{src}/b0.json",
+        [
+            {"stream_id": sid, "ts": iso(0), "value": 7.0},
+            {"stream_id": sid, "ts": "garbage", "value": 8.0},
+        ],
+    )
+    ing = StreamingIngest(engine, str(tmp_path / "unused2"), str(tmp_path / "cp2"))
+    good = fsrc.split_quarantine(
+        fsrc.read_ingest_jsonl(spark, src, streaming=True)
+    )[0]
+    q = ing.attach(good)
+    q.awaitTermination(120)
+    assert [p["v"] for p in engine.get_data(sid, "seconds")] == [7.0]
