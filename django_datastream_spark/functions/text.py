@@ -33,17 +33,50 @@ def bpe_ish_tokens(text: Column) -> Column:
     )
 
 
+def shingles_from_tokens(tk: Column, n: int) -> Column:
+    """Word n-gram shingles, space-joined: ``arrays_zip`` of the ``n``
+    shifted slices of the token array, gram = concat of one zip struct.
+
+    The zip shape matters: expressions *captured* inside a higher-order-
+    function lambda re-evaluate once per array element, so the obvious
+    ``transform(sequence(...), i -> element_at(tk, i+j))`` form re-runs
+    an inlined regex tokenizer ~n times per gram (measured 6.1 s for the
+    3-gram explode of 5k docs vs 0.5 s for this form — Catalyst's
+    CollapseProject also re-inlines any pre-materialized token column,
+    so a projection boundary can't prevent it). Here ``tk`` is only
+    referenced at the top level (n slices + guards, once per row) and
+    the lambda touches nothing but its own struct argument."""
+    k = F.size(tk)
+    m = k - F.lit(n) + F.lit(1)
+    slices = [F.slice(tk, j + 1, F.greatest(m, F.lit(0))) for j in range(n)]
+    grams = F.transform(
+        F.arrays_zip(*slices),
+        lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]),
+    )
+    return F.when(k >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
 def word_shingles(text: Column, n: int) -> Column:
-    """Word n-gram shingles, space-joined. Native expression:
-    transform over a 0-based index sequence."""
-    t = tokens(text)
-    k = F.size(t)
-    return F.when(k >= n, F.transform(
-        F.sequence(F.lit(0), k - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )).otherwise(F.array().cast("array<string>"))
+    """:func:`shingles_from_tokens` over :func:`tokens` — the tokenizer
+    is evaluated O(n) times per row (not per gram), so this single
+    expression is safe in hot paths."""
+    return shingles_from_tokens(tokens(text), n)
+
+
+def with_shingles(
+    df: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "_sh",
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, shingle array) — the shared projection the dedup /
+    decontamination operators explode from."""
+    sh = word_shingles(F.col(text_col), n)
+    if distinct:
+        sh = F.array_distinct(sh)
+    return df.select(F.col(id_col), sh.alias(out))
 
 
 # ---------------------------------------------------------------------------
@@ -176,8 +209,8 @@ def repetition_metrics(
     token count, and nothing is collected. The final join back to the doc
     spine is on the same ``id_col`` the aggregate is partitioned by.
     """
-    grams = docs.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), 2)).alias("g")
+    grams = with_shingles(docs, 2, text_col, id_col, distinct=False).select(
+        F.col(id_col), F.explode("_sh").alias("g")
     )
     per_doc = (
         grams.groupBy(id_col, "g")

@@ -37,8 +37,10 @@ def eval_ngrams(
     construction (benchmark suites are tiny relative to the corpus);
     callers broadcast it.
     """
-    gram = F.explode(tx.word_shingles(F.col(text_col), n)).alias("gram")
-    out = eval_docs.select(gram)
+    out = tx.with_shingles(
+        eval_docs.select(F.lit(0).alias("__id"), text_col),
+        n, text_col, "__id", distinct=False,
+    ).select(F.explode("_sh").alias("gram"))
     if hashed:
         out = out.select(F.xxhash64("gram").alias("gram"))
     return out.distinct()
@@ -62,10 +64,9 @@ def flag_contaminated(
     per doc → left-join back onto ``train``. The corpus-wide scan stays
     in whole-stage codegen; only hit rows shuffle.
     """
-    gram = F.explode(
-        F.array_distinct(tx.word_shingles(F.col(text_col), n))
-    ).alias("gram")
-    train_grams = train.select(F.col(id_col), gram)
+    train_grams = tx.with_shingles(train, n, text_col, id_col).select(
+        F.col(id_col), F.explode("_sh").alias("gram")
+    )
     if hashed:
         train_grams = train_grams.select(
             id_col, F.xxhash64("gram").alias("gram")

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint_md5, tokens, word_shingles
+from ..functions.text import fingerprint_md5, tokens, with_shingles, word_shingles
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -58,11 +58,8 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signatures ARRAY<BIGINT>[num_hashes]) via k seeded xxhash64
     min-aggregations — one explode + one groupBy, all JVM-side."""
-    sh = docs.select(
-        F.col(id_col),
-        F.explode_outer(
-            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
-        ).alias("sh"),
+    sh = with_shingles(docs, shingle_n, text_col, id_col).select(
+        F.col(id_col), F.explode_outer("_sh").alias("sh")
     )
     aggs = [
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
@@ -128,9 +125,8 @@ def jaccard_pairs(
     """Exact shingle-set Jaccard for given candidate pairs (a, b) — or for
     ALL pairs sharing ≥1 shingle when pairs is None (inverted-index join;
     only safe on bounded inputs)."""
-    sets_df = docs.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_n)).alias("_sh"),
+    sets_df = with_shingles(docs, shingle_n, text_col, id_col).select(
+        F.col(id_col).alias("_id"), F.col("_sh")
     )
     if pairs is None:
         inv = sets_df.select("_id", F.explode("_sh").alias("s"))
@@ -194,11 +190,8 @@ def minhash_signatures_md5(
     external SQL oracle can reproduce the whole signature — unlike the
     xxhash64 fast path. Same plan shape: one explode + one groupBy with
     ``num_hashes`` min-aggregations, all JVM-side."""
-    sh = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(word_shingles(F.col(text_col), shingle_n))
-        ).alias("sh"),
+    sh = with_shingles(docs, shingle_n, text_col, id_col).select(
+        F.col(id_col), F.explode("_sh").alias("sh")
     )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
