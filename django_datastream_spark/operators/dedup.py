@@ -525,3 +525,55 @@ def cosine_near_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def levenshtein_near_pairs(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    block_cols: tuple[str, ...] = ("source",),
+    length_band: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Fuzzy near-duplicate pairs by normalized edit similarity
+    ``1 − lev(a,b) / max(len)``, ≥ ``threshold``.
+
+    Blocking: candidate pairs must share ``block_cols`` AND the same
+    ``length_band``-char length bucket — an equi-self-join on the block
+    key, never a cross join. Sound for the within-band regime: two docs
+    in different bands differ by > ``length_band`` − 1 chars, so their
+    similarity is below 1 − (length_band−1)/max_len; pick the band so
+    that bound is under ``threshold`` for the lengths you care about
+    (boundary-straddling pairs can be caught with a second offset
+    banding, same trick as the sliding-window phase offset).
+
+    100 TB shape: block sizes are bounded by the key's cardinality
+    design (source × ~len/100 bands); edit distance runs JVM-side
+    (`levenshtein`) on co-located candidates only. Skewed blocks behave
+    like any skewed equi-join → AQE skew split applies.
+    """
+    d = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_t"),
+        *[F.col(c) for c in block_cols],
+        F.floor(F.col(len_col) / length_band).alias("_lb"),
+    )
+    a = d.select(
+        F.col("_id").alias("a"), F.col("_t").alias("_ta"), *block_cols, "_lb"
+    )
+    b = d.select(
+        F.col("_id").alias("b"), F.col("_t").alias("_tb"), *block_cols, "_lb"
+    )
+    cand = a.join(b, [*block_cols, "_lb"]).filter(F.col("a") < F.col("b"))
+    dist = F.levenshtein("_ta", "_tb")
+    mx = F.greatest(F.length("_ta"), F.length("_tb"))
+    return (
+        cand.select(
+            "a",
+            "b",
+            dist.cast("long").alias("dist"),
+            (F.lit(1.0) - dist / mx).alias("sim"),
+        )
+        .filter(F.col("sim") >= F.lit(threshold))
+    )

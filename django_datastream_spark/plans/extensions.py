@@ -743,6 +743,65 @@ def q57(spark, sf_dir):
 
 
 @_declare(
+    "q58_window_family",
+    """
+    WITH e AS (SELECT event_id, user_id, ts, value,
+               CAST(floor(epoch(ts)) AS BIGINT) es FROM events WHERE user_id < 50)
+    SELECT event_id, user_id,
+      ROUND(COALESCE(value - LAG(value) OVER w, 0), 4) + 0 dv,
+      CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS BIGINT) quartile,
+      ROUND(PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value, event_id), 4) + 0 pr,
+      CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY es
+           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) n_1h
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+    """,
+)
+def q58(spark, sf_dir):
+    """Window-function family beyond q19's row_number/rows-frame: lag
+    delta, ntile quartiles, percent_rank, and a trailing event-time
+    RANGE frame (count of events in the last hour) — the frame shape
+    that replaces self-joins for trailing metrics at scale."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    ev = ev.withColumn("es", F.unix_timestamp("ts"))
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wr = Window.partitionBy("user_id").orderBy("es").rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.round(F.coalesce(F.col("value") - F.lag("value").over(wt), F.lit(0.0)), 4)
+         + F.lit(0.0)).alias("dv"),
+        F.ntile(4).over(wv).cast("long").alias("quartile"),
+        (F.round(F.percent_rank().over(wv), 4) + F.lit(0.0)).alias("pr"),
+        F.count(F.lit(1)).over(wr).cast("long").alias("n_1h"),
+    ).orderBy("event_id")
+
+
+@_declare(
+    "q59_fuzzy_pairs",
+    """
+    WITH d AS (SELECT doc_id, text, source, n_chars // 100 lb FROM documents),
+    p AS (SELECT a.doc_id a, b.doc_id b,
+          levenshtein(a.text, b.text) dist,
+          greatest(length(a.text), length(b.text)) mx
+          FROM d a JOIN d b ON a.source = b.source AND a.lb = b.lb
+                           AND a.doc_id < b.doc_id)
+    SELECT a, b, CAST(dist AS BIGINT) dist,
+           ROUND(1.0 - dist * 1.0 / mx, 4) + 0 sim
+    FROM p WHERE 1.0 - dist * 1.0 / mx >= 0.4 ORDER BY a, b
+    """,
+)
+def q59(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dd.levenshtein_near_pairs(docs, threshold=0.4)
+        .select("a", "b", "dist", (F.round("sim", 4) + F.lit(0.0)).alias("sim"))
+        .orderBy("a", "b")
+    )
+
+
+@_declare(
     "q55_value_percentiles",
     """
     SELECT event_type,

@@ -726,3 +726,28 @@ def test_resample_ffill_crafted(spark):
     ]
     k2 = [(r["value"], r["filled"]) for r in out if r["user_id"] == 2]
     assert k2 == [(99.0, False)]
+
+
+def test_levenshtein_near_pairs_crafted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "s1", 44),
+            (2, "the quick brown fox jumps over the lazy cat", "s1", 44),  # 3 edits
+            (3, "completely different text with other words!!", "s1", 44),
+            (4, "the quick brown fox jumps over the lazy dog", "s2", 44),  # other block
+            (5, "x" * 250, "s1", 250),                                     # other band
+        ],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    out = dd.levenshtein_near_pairs(docs, threshold=0.8)
+    pairs = {(r["a"], r["b"]): r for r in out.collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)]["dist"] == 3
+    assert pairs[(1, 2)]["sim"] == pytest.approx(1 - 3 / 43)
+    # cross-source and cross-length-band pairs are never candidates
+    assert all(a != 4 and b != 4 and a != 5 and b != 5 for a, b in pairs)
+    # low-similarity pair within the block is filtered
+    assert (1, 3) not in pairs
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
