@@ -802,6 +802,118 @@ def q59(spark, sf_dir):
 
 
 @_declare(
+    "q60_tfidf_top_term",
+    r"""
+    WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) t FROM documents),
+    tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) f FROM tok GROUP BY 1, 2),
+    df AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) d FROM tf GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM documents),
+    s AS (SELECT tf.doc_id, tf.t, ROUND(tf.f * ln(n.n * 1.0 / df.d), 4) + 0 score
+          FROM tf JOIN df USING (t) CROSS JOIN n),
+    r AS (SELECT doc_id, t, score,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, t) rn FROM s)
+    SELECT doc_id, t AS top_term, score FROM r WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def q60(spark, sf_dir):
+    """Highest-TF-IDF term per document. Plan: token explode → (doc,
+    term) hash agg → term document-frequency hash agg (re-used from tf,
+    not a rescan) → broadcast the tiny df/N sides back → per-doc top-1
+    window. All map-side combinable aggs; the corpus is scanned once."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("f"))
+    dfreq = tf.groupBy("t").agg(F.countDistinct("doc_id").alias("d"))
+    n = docs.count()
+    score = F.round(F.col("f") * F.log(F.lit(float(n)) / F.col("d")), 4) + F.lit(0.0)
+    s = tf.join(F.broadcast(dfreq), "t").select("doc_id", "t", score.alias("score"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("t"))
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("t").alias("top_term"), "score")
+        .orderBy("doc_id")
+    )
+
+
+_EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+@_declare(
+    "q61_pivot",
+    """
+    SELECT user_id,
+      CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) n_view,
+      CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) n_click,
+      CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) n_purchase,
+      CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) n_signup,
+      CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) n_error
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q61(spark, sf_dir):
+    """Cross-tab via the DataFrame pivot API. The explicit value list
+    matters at scale: without it Spark runs an extra distinct pass over
+    the pivot column to discover values."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return p.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    ).orderBy("user_id")
+
+
+@_declare(
+    "q62_cube",
+    """
+    SELECT event_type, CAST(hour(ts) AS BIGINT) h, CAST(COUNT(*) AS BIGINT) n,
+           ROUND(SUM(value), 4) + 0 s
+    FROM events GROUP BY CUBE (event_type, h)
+    ORDER BY event_type NULLS FIRST, h NULLS FIRST
+    """,
+)
+def q62(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.cube("event_type", F.hour("ts").cast("long").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("s"),
+        )
+        .orderBy(F.asc_nulls_first("event_type"), F.asc_nulls_first("h"))
+    )
+
+
+@_declare(
+    "q63_stats_aggs",
+    """
+    SELECT event_type,
+      ROUND(corr(value, user_id), 4) + 0 c,
+      ROUND(covar_samp(value, user_id), 4) + 0 cv,
+      ROUND(stddev_samp(value), 4) + 0 sd
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q63(spark, sf_dir):
+    """Statistical aggregate family: Pearson correlation, sample
+    covariance, sample stddev per group — single-pass co-moment
+    aggregates with map-side partial merge in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            (F.round(F.corr("value", "user_id"), 4) + F.lit(0.0)).alias("c"),
+            (F.round(F.covar_samp("value", "user_id"), 4) + F.lit(0.0)).alias("cv"),
+            (F.round(F.stddev_samp("value"), 4) + F.lit(0.0)).alias("sd"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_declare(
     "q55_value_percentiles",
     """
     SELECT event_type,
