@@ -527,6 +527,81 @@ def cosine_near_pairs(
     )
 
 
+def levenshtein_candidates(
+    docs: DataFrame,
+    block_cols: tuple[str, ...] = ("source",),
+    length_band: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate (a, b) pairs for fuzzy dedup: pairs must share
+    ``block_cols`` AND a length band AND a minhash band.
+
+    Content-derived blocking is what keeps this sub-quadratic: a fixed
+    (source × length-band) key has *constant cardinality*, so block
+    population — and candidate pairs — grow quadratically with corpus
+    size. The md5-minhash band key (the q48 pipeline's signature
+    machinery, :func:`minhash_signatures_md5`) has cardinality that
+    grows WITH the corpus: only docs with genuinely overlapping shingle
+    sets collide (an r-row band collides w.p. jaccard^r), so expected
+    block size is O(near-dup cluster), independent of corpus size.
+
+    Length banding is phase-offset doubled (offsets 0 and band/2, the
+    q44 sliding-window trick): any pair within ``length_band``/2 chars
+    of each other shares a band at ≥1 offset, so boundary-straddling
+    near-dups are not lost to the bucket edge.
+
+    The join is equi on (block_cols, offset, length-band, band, bkey) —
+    ids only, texts re-attach downstream; 2×``bands`` rows per doc.
+    Docs with fewer than ``shingle_n`` tokens have no signature and drop
+    out (their near-dups are exact-dedup territory). Returns distinct
+    (a, b) with a < b.
+    """
+    rows = num_hashes // bands
+    assert rows * bands == num_hashes
+    sig = minhash_signatures_md5(docs, text_col, id_col, num_hashes, shingle_n)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(",", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col).alias("_id"), band_keys.alias("_bk"))
+    half = length_band // 2
+    lbs = F.array(
+        F.floor(F.col(len_col) / length_band),
+        F.floor((F.col(len_col) - half) / length_band),
+    )
+    keyed = (
+        docs.select(F.col(id_col).alias("_id"), *block_cols, lbs.alias("_lbs"))
+        .join(banded, "_id")
+        .select(
+            "_id",
+            *block_cols,
+            F.posexplode("_lbs").alias("off", "_lb"),
+            F.col("_bk"),
+        )
+        .select(
+            "_id", *block_cols, "off", "_lb", F.posexplode("_bk").alias("band", "bkey")
+        )
+    )
+    key = [*block_cols, "off", "_lb", "band", "bkey"]
+    a = keyed.select(F.col("_id").alias("a"), *key)
+    b = keyed.select(F.col("_id").alias("b"), *key)
+    return (
+        a.join(b, key)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
 def levenshtein_near_pairs(
     docs: DataFrame,
     threshold: float = 0.4,
@@ -535,45 +610,65 @@ def levenshtein_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     len_col: str = "n_chars",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """Fuzzy near-duplicate pairs by normalized edit similarity
-    ``1 − lev(a,b) / max(len)``, ≥ ``threshold``.
+    ``1 − lev(a,b) / max(len)``, ≥ ``threshold``, over
+    :func:`levenshtein_candidates` blocking (source + dual-offset
+    length band + md5-minhash band — see that docstring for why this
+    stays sub-quadratic at corpus scale).
 
-    Blocking: candidate pairs must share ``block_cols`` AND the same
-    ``length_band``-char length bucket — an equi-self-join on the block
-    key, never a cross join. Sound for the within-band regime: two docs
-    in different bands differ by > ``length_band`` − 1 chars, so their
-    similarity is below 1 − (length_band−1)/max_len; pick the band so
-    that bound is under ``threshold`` for the lengths you care about
-    (boundary-straddling pairs can be caught with a second offset
-    banding, same trick as the sliding-window phase offset).
+    Per-pair cost is bounded three ways before any DP runs:
+    - length-difference prefilter: ``|len_a − len_b| ≤ (1−θ)·max_len``
+      (edit distance ≥ length gap, so this is *sound* — it can only
+      discard pairs already below threshold), applied on the ids+lengths
+      table before texts attach;
+    - thresholded ``levenshtein(a, b, k)`` with the same
+      ``k = ⌊(1−θ)·max_len⌋`` bound — Spark's banded early-exit DP
+      (O(k·min_len), returns −1 past the bound) instead of the full
+      O(n·m) table;
+    - texts only ever co-locate for surviving candidates (ids-only
+      through the blocking shuffle).
 
-    100 TB shape: block sizes are bounded by the key's cardinality
-    design (source × ~len/100 bands); edit distance runs JVM-side
-    (`levenshtein`) on co-located candidates only. Skewed blocks behave
-    like any skewed equi-join → AQE skew split applies.
+    Returns (a, b, dist, sim). Recall contract: a qualifying pair is
+    found iff it shares a block — near-identical docs nearly always do
+    (band collision w.p. jaccard^r per band); low-overlap pairs that
+    still pass a loose sim threshold may not, which is the documented
+    approximation every LSH-family dedup makes.
     """
-    d = docs.select(
+    cand = levenshtein_candidates(
+        docs, block_cols, length_band, text_col, id_col, len_col,
+        num_hashes, bands, shingle_n,
+    )
+    meta = docs.select(
         F.col(id_col).alias("_id"),
         F.col(text_col).alias("_t"),
-        *[F.col(c) for c in block_cols],
-        F.floor(F.col(len_col) / length_band).alias("_lb"),
+        F.length(text_col).alias("_len"),
     )
-    a = d.select(
-        F.col("_id").alias("a"), F.col("_t").alias("_ta"), *block_cols, "_lb"
+    la, lb = F.col("_la"), F.col("_lb_len")
+    mx = F.greatest(la, lb)
+    # +1e-9 guards the float representation of (1-θ) (0.6*10 = 5.999…)
+    bound = F.floor((F.lit(1.0) - F.lit(threshold)) * mx + F.lit(1e-9))
+    withlen = (
+        cand.join(meta.select(F.col("_id").alias("a"), F.col("_len").alias("_la")), "a")
+        .join(meta.select(F.col("_id").alias("b"), F.col("_len").alias("_lb_len")), "b")
+        .filter(F.abs(la - lb) <= bound)
     )
-    b = d.select(
-        F.col("_id").alias("b"), F.col("_t").alias("_tb"), *block_cols, "_lb"
+    texts_a = meta.select(F.col("_id").alias("a"), F.col("_t").alias("_ta"))
+    texts_b = meta.select(F.col("_id").alias("b"), F.col("_t").alias("_tb"))
+    dist = F.call_function(
+        "levenshtein", F.col("_ta"), F.col("_tb"), bound.cast("int")
     )
-    cand = a.join(b, [*block_cols, "_lb"]).filter(F.col("a") < F.col("b"))
-    dist = F.levenshtein("_ta", "_tb")
-    mx = F.greatest(F.length("_ta"), F.length("_tb"))
     return (
-        cand.select(
+        withlen.join(texts_a, "a")
+        .join(texts_b, "b")
+        .select(
             "a",
             "b",
             dist.cast("long").alias("dist"),
             (F.lit(1.0) - dist / mx).alias("sim"),
         )
-        .filter(F.col("sim") >= F.lit(threshold))
+        .filter((F.col("dist") >= 0) & (F.col("sim") >= F.lit(threshold)))
     )

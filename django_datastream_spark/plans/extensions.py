@@ -780,19 +780,52 @@ def q58(spark, sf_dir):
 
 @_declare(
     "q59_fuzzy_pairs",
-    """
-    WITH d AS (SELECT doc_id, text, source, n_chars // 100 lb FROM documents),
-    p AS (SELECT a.doc_id a, b.doc_id b,
-          levenshtein(a.text, b.text) dist,
-          greatest(length(a.text), length(b.text)) mx
-          FROM d a JOIN d b ON a.source = b.source AND a.lb = b.lb
-                           AND a.doc_id < b.doc_id)
+    r"""
+    WITH d AS (SELECT doc_id, text, source, n_chars,
+                      regexp_extract_all(text, '\S+') tk FROM documents),
+    t AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+            THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+            ELSE [] END sh FROM d),
+    s AS (SELECT doc_id, unnest(sh) sh FROM t),
+    m AS (SELECT doc_id, seed.s seed,
+                 MIN(md5(CAST(seed.s AS VARCHAR) || ':' || sh)) mh
+          FROM s CROSS JOIN (SELECT unnest(range(0, 16)) s) seed
+          GROUP BY 1, 2),
+    b AS (SELECT doc_id, CAST(seed // 2 AS BIGINT) band,
+                 md5(string_agg(mh, ',' ORDER BY seed)) bkey
+          FROM m GROUP BY 1, 2),
+    lbs AS (
+      SELECT doc_id, source, 0 lo, CAST(floor(n_chars * 1.0 / 100) AS BIGINT) lb
+      FROM d
+      UNION ALL
+      SELECT doc_id, source, 1, CAST(floor((n_chars - 50) * 1.0 / 100) AS BIGINT)
+      FROM d),
+    c AS (SELECT DISTINCT x.doc_id a, y.doc_id b
+          FROM lbs x
+          JOIN lbs y ON x.source = y.source AND x.lo = y.lo AND x.lb = y.lb
+                     AND x.doc_id < y.doc_id
+          JOIN b bx ON bx.doc_id = x.doc_id
+          JOIN b bb ON bb.doc_id = y.doc_id AND bb.band = bx.band
+                     AND bb.bkey = bx.bkey),
+    v AS (SELECT c.a, c.b, levenshtein(p.text, q.text) dist,
+                 greatest(length(p.text), length(q.text)) mx
+          FROM c JOIN d p ON p.doc_id = c.a JOIN d q ON q.doc_id = c.b)
     SELECT a, b, CAST(dist AS BIGINT) dist,
            ROUND(1.0 - dist * 1.0 / mx, 4) + 0 sim
-    FROM p WHERE 1.0 - dist * 1.0 / mx >= 0.4 ORDER BY a, b
+    FROM v WHERE 1.0 - dist * 1.0 / mx >= 0.4 ORDER BY a, b
     """,
 )
 def q59(spark, sf_dir):
+    """Fuzzy near-dup pairs with content-derived blocking: candidates
+    must share (source, dual-offset length band, md5-minhash band) —
+    the minhash co-key is what keeps candidates sub-quadratic in corpus
+    size (fixed-cardinality source×length keys alone grow blocks ∝N →
+    pairs ∝N²; band-key cardinality grows with the corpus). Edit
+    distance runs as Spark's thresholded banded DP on the survivors of
+    a sound length-difference prefilter. The oracle replicates the
+    blocking exactly (same md5 seeds/bands as q48, same offset grids as
+    q44)."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         dd.levenshtein_near_pairs(docs, threshold=0.4)

@@ -751,3 +751,64 @@ def test_levenshtein_near_pairs_crafted(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_levenshtein_pairs_boundary_straddling_band(spark):
+    """A near-dup pair whose lengths straddle a length-band edge (98 vs
+    104 chars over the 100 boundary) is caught by the offset-band/2 grid
+    — the single-offset banding this replaces provably missed it."""
+    base = " ".join(f"t{i:02d}" for i in range(24))  # 95 chars, 24 tokens
+    t1 = base + " ab"        # 98 chars
+    t2 = base + " abcdefgh"  # 104 chars, dist = 6
+    assert (len(t1), len(t2)) == (98, 104)
+    assert len(t1) // 100 != len(t2) // 100  # straddles the offset-0 grid
+    docs = spark.createDataFrame(
+        [(1, t1, "s1", len(t1)), (2, t2, "s1", len(t2))],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    out = {(r["a"], r["b"]): r for r in
+           dd.levenshtein_near_pairs(docs, threshold=0.8).collect()}
+    assert (1, 2) in out
+    assert out[(1, 2)]["dist"] == 6
+    assert out[(1, 2)]["sim"] == pytest.approx(1 - 6 / 104)
+
+
+def _distinct_vocab_corpus(n_docs: int, n_dup_pairs: int):
+    """Docs with pairwise-disjoint vocab (no shared shingles), all one
+    source, all in one length band — the exact regime where
+    source×length blocking alone degenerates to all-pairs — plus
+    planted near-dup pairs."""
+    rows = []
+    for i in range(n_docs):
+        text = " ".join(f"w{i:04d}x{j:02d}" for j in range(14))
+        rows.append((i, text, "s1", len(text)))
+    for k in range(n_dup_pairs):
+        orig = rows[k][1]
+        near = orig.rsplit(" ", 1)[0] + " zzchanged"
+        rows.append((100_000 + k, near, "s1", len(near)))
+    return rows
+
+
+def test_levenshtein_candidates_subquadratic(spark):
+    """Candidate count is O(planted near-dups), flat in corpus size —
+    not ∝N² as fixed-cardinality (source, length-band) blocking was
+    (r4: 10× rows → 99× candidates). Doubling the distinct-doc corpus
+    must not grow candidates."""
+    small = spark.createDataFrame(
+        _distinct_vocab_corpus(300, 5),
+        "doc_id long, text string, source string, n_chars long",
+    )
+    big = spark.createDataFrame(
+        _distinct_vocab_corpus(600, 5),
+        "doc_id long, text string, source string, n_chars long",
+    )
+    c_small = dd.levenshtein_candidates(small).count()
+    c_big = dd.levenshtein_candidates(big).count()
+    # all 5 planted pairs are candidates; essentially nothing else is
+    assert 5 <= c_small <= 20, c_small    # vs 300*299/2 ≈ 45k all-pairs
+    assert 5 <= c_big <= 20, c_big        # vs 600*599/2 ≈ 180k
+    assert c_big <= c_small + 5           # flat in N, not ∝N²
+    # and the planted pairs all verify through the full operator
+    found = {(r["a"], r["b"]) for r in
+             dd.levenshtein_near_pairs(big, threshold=0.7).collect()}
+    assert {(k, 100_000 + k) for k in range(5)} <= found
