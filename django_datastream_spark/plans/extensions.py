@@ -852,14 +852,21 @@ def q60(spark, sf_dir):
     """Highest-TF-IDF term per document. Plan: token explode → (doc,
     term) hash agg → term document-frequency hash agg (re-used from tf,
     not a rescan) → broadcast the tiny df/N sides back → per-doc top-1
-    window. All map-side combinable aggs; the corpus is scanned once."""
+    window. All map-side combinable aggs; the corpus is scanned once.
+    N is computed INSIDE the plan (broadcast single-row crossJoin), so
+    building this query triggers zero Spark jobs — pinned for the whole
+    registry by tests/test_plans.py::test_declaring_queries_runs_no_jobs."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("t"))
     tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("f"))
     dfreq = tf.groupBy("t").agg(F.countDistinct("doc_id").alias("d"))
-    n = docs.count()
-    score = F.round(F.col("f") * F.log(F.lit(float(n)) / F.col("d")), 4) + F.lit(0.0)
-    s = tf.join(F.broadcast(dfreq), "t").select("doc_id", "t", score.alias("score"))
+    n_df = docs.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    score = F.round(F.col("f") * F.log(F.col("_n") / F.col("d")), 4) + F.lit(0.0)
+    s = (
+        tf.join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(n_df))
+        .select("doc_id", "t", score.alias("score"))
+    )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("t"))
     return (
         s.withColumn("rn", F.row_number().over(w))

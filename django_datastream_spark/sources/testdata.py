@@ -33,6 +33,11 @@ TABLES = (
 )
 
 
+#: path -> (StructType, ns_cols); schema inference runs once per table
+#: per process, later reads are pure plan construction (zero jobs)
+_SCHEMA_CACHE: dict = {}
+
+
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Names of parquet columns physically stored as timestamp[ns]."""
     try:
@@ -82,8 +87,18 @@ def load_table(
 
     harden_session(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
-    ns_cols = _nanos_timestamp_cols(path)
+    cached = _SCHEMA_CACHE.get(path)
+    if cached is None:
+        # one footer-inference job per table per process; every later
+        # read passes the schema explicitly so plan construction stays
+        # job-free (pinned by test_declaring_queries_runs_no_jobs) and
+        # a 100 TB table isn't re-footer-scanned per declaration
+        df = spark.read.parquet(path)
+        ns_cols = _nanos_timestamp_cols(path)
+        _SCHEMA_CACHE[path] = (df.schema, ns_cols)
+    else:
+        schema, ns_cols = cached
+        df = spark.read.schema(schema).parquet(path)
     ops = {
         ">=": lambda c, v: c >= v,
         ">": lambda c, v: c > v,

@@ -52,6 +52,37 @@ def test_no_unbounded_cartesian(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_declaring_queries_runs_no_jobs(spark):
+    """Building a declared query must be pure plan construction — zero
+    Spark jobs until an action runs it. A count()/collect() inside a
+    builder means a hidden extra corpus scan per declaration (the q60
+    r4 regression: tf-idf ran a full count at plan-build time).
+
+    Exceptions (algorithms, not plans): q42 builds a persisted ANN
+    index on first use (corpus fingerprint count + cold kmeans fit);
+    q45/q65 run the connected-components fixpoint — Spark has no
+    recursive SQL, so the driver convergence loop IS the operator."""
+    exempt = {"q42_ann_ivf_topk", "q45_dedup_clusters",
+              "q65_fuzzy_cluster_survivors"}
+    sc = spark.sparkContext
+    # warm the per-process parquet schema cache (one footer-inference
+    # job per table, ever) so the check loop sees steady-state builds
+    for name, fn in declared.QUERIES.items():
+        if name not in exempt:
+            fn(spark, SF_SMOKE)
+    for name, fn in declared.QUERIES.items():
+        if name in exempt:
+            continue
+        group = f"build-{name}"
+        sc.setJobGroup(group, "plan-build purity check")
+        try:
+            fn(spark, SF_SMOKE)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert list(jobs) == [], f"{name} ran Spark jobs while building: {jobs}"
+
+
 def test_incremental_downsample_bounds_raw_scan(spark, tmp_path):
     """After a first downsample run, subsequent runs must filter the raw
     scan at the coarsest watermark (pushed to parquet) instead of
