@@ -778,11 +778,12 @@ def q58(spark, sf_dir):
     ).orderBy("event_id")
 
 
-@_declare(
-    "q59_fuzzy_pairs",
-    r"""
-    WITH d AS (SELECT doc_id, text, source, n_chars,
-                      regexp_extract_all(text, '\S+') tk FROM documents),
+# shared CTE block: the q59 fuzzy-pair blocking pipeline (minhash bands,
+# q48's md5 seeds; dual-offset length bands, q44's phase grids) — reused
+# verbatim by q65's clustering oracle so both gates pin the same blocking
+_FUZZY_PAIR_CTES = r"""
+    d AS (SELECT doc_id, text, source, n_chars,
+                 regexp_extract_all(text, '\S+') tk FROM documents),
     t AS (SELECT doc_id, CASE WHEN len(tk) >= 3
             THEN list_distinct(list_transform(range(1, len(tk) - 1),
                  i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
@@ -810,7 +811,13 @@ def q58(spark, sf_dir):
                      AND bb.bkey = bx.bkey),
     v AS (SELECT c.a, c.b, levenshtein(p.text, q.text) dist,
                  greatest(length(p.text), length(q.text)) mx
-          FROM c JOIN d p ON p.doc_id = c.a JOIN d q ON q.doc_id = c.b)
+          FROM c JOIN d p ON p.doc_id = c.a JOIN d q ON q.doc_id = c.b)"""
+
+
+@_declare(
+    "q59_fuzzy_pairs",
+    f"""
+    WITH {_FUZZY_PAIR_CTES}
     SELECT a, b, CAST(dist AS BIGINT) dist,
            ROUND(1.0 - dist * 1.0 / mx, 4) + 0 sim
     FROM v WHERE 1.0 - dist * 1.0 / mx >= 0.4 ORDER BY a, b
@@ -831,6 +838,41 @@ def q59(spark, sf_dir):
         dd.levenshtein_near_pairs(docs, threshold=0.4)
         .select("a", "b", "dist", (F.round("sim", 4) + F.lit(0.0)).alias("sim"))
         .orderBy("a", "b")
+    )
+
+
+@_declare(
+    "q65_fuzzy_cluster_survivors",
+    f"""
+    WITH RECURSIVE {_FUZZY_PAIR_CTES},
+    fp AS (SELECT a, b FROM v WHERE 1.0 - dist * 1.0 / mx >= 0.4),
+    und AS (SELECT a x, b y FROM fp UNION SELECT b, a FROM fp),
+    reach(x, y) AS (
+      SELECT x, y FROM und
+      UNION
+      SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x),
+    lab AS (SELECT d.doc_id,
+                   LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) cid
+            FROM d LEFT JOIN (SELECT x, MIN(y) mn FROM reach GROUP BY x) m
+            ON m.x = d.doc_id)
+    SELECT CAST(cid AS BIGINT) survivor_id, CAST(COUNT(*) AS BIGINT) n_members
+    FROM lab GROUP BY 1 ORDER BY 1
+    """,
+)
+def q65(spark, sf_dir):
+    """The composite fuzzy-dedup pipeline a training-data run executes:
+    q59's blocked levenshtein pairs → connected components
+    (dedup_clusters' path-halving min-label propagation) → one survivor
+    per cluster (the min doc id) with its cluster size. Oracle: the
+    same pair CTEs + a recursive-CTE transitive closure (q45's
+    pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.levenshtein_near_pairs(docs, threshold=0.4)
+    clusters = dd.dedup_clusters(docs, pairs)
+    return (
+        clusters.groupBy(F.col("cluster_id").alias("survivor_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("survivor_id")
     )
 
 
@@ -948,6 +990,44 @@ def q63(spark, sf_dir):
             (F.round(F.corr("value", "user_id"), 4) + F.lit(0.0)).alias("c"),
             (F.round(F.covar_samp("value", "user_id"), 4) + F.lit(0.0)).alias("cv"),
             (F.round(F.stddev_samp("value"), 4) + F.lit(0.0)).alias("sd"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_declare(
+    "q64_approx_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_disc(value, 0.5), 4) + 0 p50,
+           ROUND(quantile_disc(value, 0.95), 4) + 0 p95,
+           ROUND(quantile_disc(value, 0.99), 4) + 0 p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q64(spark, sf_dir):
+    """The sketch twin of q55: `approx_percentile` (Greenwald-Khanna
+    summary, map-side combinable — the 100 TB percentile path q55's
+    docstring promises, declared and gated here). Oracle: at the
+    gate's sf0.01 every group holds ~2k values < the 10k accuracy
+    parameter, so the GK summary retains all samples and the result is
+    the exact discrete order statistic — bit-identical to DuckDB's
+    `quantile_disc` (verified empirically across all groups). Beyond
+    that size the sketch's ±1/accuracy rank-error contract takes over,
+    pinned by tests/test_extensions.py::test_approx_percentile_error_bound."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.approx_percentile(
+        "value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(10000)
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            *[
+                (F.round(F.col("p")[i], 4) + F.lit(0.0)).alias(name)
+                for i, name in enumerate(["p50", "p95", "p99"])
+            ],
         )
         .orderBy("event_type")
     )

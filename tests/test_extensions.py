@@ -773,6 +773,24 @@ def test_levenshtein_pairs_boundary_straddling_band(spark):
     assert out[(1, 2)]["sim"] == pytest.approx(1 - 6 / 104)
 
 
+def test_approx_percentile_error_bound(spark):
+    """q64's scale contract: Greenwald-Khanna guarantees the returned
+    value's rank is within ±n/accuracy of the target rank. With values
+    0..n−1 the value IS its rank, so the bound is directly checkable in
+    the regime where the sketch actually compresses (n ≫ accuracy)."""
+    n, acc = 50_000, 1_000
+    df = spark.range(n).select((F.col("id") * 977 % n).alias("value"))
+    ps = [0.5, 0.95, 0.99]
+    row = df.agg(
+        F.approx_percentile(
+            "value", F.array(*[F.lit(p) for p in ps]), F.lit(acc)
+        ).alias("p")
+    ).head()
+    for p, got in zip(ps, row["p"]):
+        target = p * n
+        assert abs(got - target) <= n / acc + 1, (p, got, target)
+
+
 def _distinct_vocab_corpus(n_docs: int, n_dup_pairs: int):
     """Docs with pairwise-disjoint vocab (no shared shingles), all one
     source, all in one length band — the exact regime where
