@@ -15,6 +15,7 @@ are deterministic and oracle-reproducible.
 
 from __future__ import annotations
 
+import logging
 import math
 import random
 
@@ -123,6 +124,12 @@ def rp_signature_udf(planes: list[list[float]]):
 #: the corpus instead of refitting per query batch
 _IVF_CACHE: dict[tuple, list[list[float]]] = {}
 
+_log = logging.getLogger(__name__)
+
+#: bumped when the persisted-index layout or fit procedure changes, so a
+#: stale on-disk index from an older code version can never be reused
+_IVF_INDEX_FORMAT = 1
+
 
 def _ivf_assign_udf(centroids: list[list[float]]):
     """Nearest-centroid cell id per vector: one BLAS matmul per Arrow
@@ -209,6 +216,7 @@ def ivf_topk(
         # silently reuse stale centroids (degraded recall)
         n_rows = c.count()
         fp = {
+            "v": _IVF_INDEX_FORMAT,
             "n_rows": n_rows,
             "n_cells": n_cells,
             "seed": seed,
@@ -219,7 +227,21 @@ def ivf_topk(
                 saved = _json.load(f)
             if isinstance(saved, dict) and saved.get("fingerprint") == fp:
                 cents = saved["centroids"]
+            elif isinstance(saved, dict):
+                # make a fingerprint-driven refit attributable from the
+                # output alone (a cold refit costs a kmeans fit — bench
+                # drift should point here, not require code archaeology)
+                _log.warning(
+                    "IVF index at %s refit: fingerprint changed "
+                    "(saved=%s, now=%s)",
+                    index_dir, saved.get("fingerprint"), fp,
+                )
+        except FileNotFoundError:
+            cents = None
         except Exception:
+            _log.warning(
+                "IVF index at %s refit: persisted index unreadable", index_dir
+            )
             cents = None
     if cents is None:
         cents = _ivf_centroids(c, n_cells, seed, max_train_rows, n_rows=n_rows)
@@ -231,6 +253,7 @@ def ivf_topk(
                     _json.dump(
                         {
                             "fingerprint": {
+                                "v": _IVF_INDEX_FORMAT,
                                 "n_rows": n_rows if n_rows is not None else c.count(),
                                 "n_cells": n_cells,
                                 "seed": seed,

@@ -336,23 +336,29 @@ def q11(spark, sf_dir):
 @_declare(
     "q12_buckets_10s",
     """
-    SELECT user_id, CAST(FLOOR(CAST(floor(epoch(ts)) AS BIGINT)/10)*10 AS BIGINT) b10,
+    SELECT CAST(FLOOR(CAST(floor(epoch(ts)) AS BIGINT)/10)*10 AS BIGINT) b10,
            CAST(COUNT(*) AS BIGINT) c, ROUND(SUM(value),4) s
     FROM events
     WHERE ts < TIMESTAMP '2024-01-30 00:00:00'
-    GROUP BY 1,2 HAVING COUNT(*) > 1 ORDER BY 1,2
+    GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1
     """,
 )
 def q12(spark, sf_dir):
+    """10-second epoch-aligned buckets under the completed-bucket cutoff.
+    Buckets are global (not per-user): the testdata's per-user event rate
+    is ~1/hour, so a per-user 10 s grouping returned 0 rows at every SF —
+    a vacuous hash match that couldn't distinguish correct bucketing from
+    an empty plan (flagged in r4 ADVICE). Global 10 s buckets keep the
+    HAVING path live (174 rows at sf0.01)."""
     ev = load_table(
         spark, sf_dir, "events", ts_filters=[("ts", "<", "2024-01-30 00:00:00")]
     )
     b10 = (F.floor(_epochs(F.col("ts")) / 10) * 10).cast("long")
     return (
-        ev.groupBy("user_id", b10.alias("b10"))
+        ev.groupBy(b10.alias("b10"))
         .agg(F.count("*").alias("c"), F.round(F.sum("value"), 4).alias("s"))
         .filter(F.col("c") > 1)
-        .orderBy("user_id", "b10")
+        .orderBy("b10")
     )
 
 

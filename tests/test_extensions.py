@@ -617,6 +617,29 @@ def test_flag_contaminated_crafted(spark):
     }
 
 
+def test_flag_contaminated_hashed_matches_string_keys_sf001(spark):
+    """The documented cluster-scale path (xxhash64 gram keys, ~10x
+    smaller broadcast) must agree with the bit-portable string-key path
+    on real corpus data — q54's exact train/eval split at sf0.01."""
+    from django_datastream_spark.operators import decontaminate as dc
+    from django_datastream_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    cols = ["doc_id", "n_shared", "contaminated"]
+    plain = [
+        tuple(r) for r in
+        dc.flag_contaminated(train, ev, n=3).select(cols).orderBy("doc_id").collect()
+    ]
+    hashed = [
+        tuple(r) for r in
+        dc.flag_contaminated(train, ev, n=3, hashed=True)
+        .select(cols).orderBy("doc_id").collect()
+    ]
+    assert len(plain) == 490 and plain == hashed
+
+
 def test_flag_contaminated_plan_is_broadcast(spark):
     from django_datastream_spark.operators import decontaminate as dc
 

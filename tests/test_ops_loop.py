@@ -42,7 +42,8 @@ def write_jsonl(path: str, rows: list[dict]) -> None:
             f.write(json.dumps(r) + "\n")
 
 
-def test_ops_loop_soak(spark, tmp_path):
+@pytest.mark.parametrize("transport", ["file", "payload"])
+def test_ops_loop_soak(spark, tmp_path, transport):
     engine = Datastream(spark, str(tmp_path / "store"))
     a = engine.ensure_stream({"title": "soak-a"})
     b = engine.ensure_stream({"title": "soak-b"})
@@ -54,6 +55,26 @@ def test_ops_loop_soak(spark, tmp_path):
     )
     src = str(tmp_path / "in")
     ing = StreamingIngest(engine, src, str(tmp_path / "cp"), auto_downsample=True)
+
+    def pump(cycle: int, rows: list[dict]) -> None:
+        """Land one micro-batch through the transport under test."""
+        if transport == "file":
+            write_jsonl(f"{src}/b{cycle}.json", rows)
+            ing.run_available()
+        else:
+            # Kafka-shaped leg: the same JSON objects arrive as a binary
+            # `value` payload column (the Kafka wire shape) and go
+            # through parse_json_payload → attach — the exact pipeline
+            # kafka_source wires up, minus the broker (the spark-sql-
+            # kafka package isn't in this container).
+            from django_datastream_spark.streaming.ingest import parse_json_payload
+
+            batch = spark.createDataFrame(
+                [(json.dumps(r).encode("utf-8"),) for r in rows], "value binary"
+            )
+            batch.coalesce(1).write.mode("append").parquet(src)
+            stream = spark.readStream.schema("value binary").parquet(src)
+            ing.attach(parse_json_payload(stream)).awaitTermination()
 
     rnd = random.Random(404)
     cursors = {a: 0, b: 0}
@@ -112,8 +133,7 @@ def test_ops_loop_soak(spark, tmp_path):
             v = round(rnd.uniform(-50.0, 50.0), 3)
             pts[b].append((cursors[b], v))
             rows.append({"stream_id": b, "ts": iso(cursors[b]), "value": v})
-        write_jsonl(f"{src}/b{cycle}.json", rows)
-        ing.run_available()
+        pump(cycle, rows)
 
         # maintenance every third cycle, between micro-batches (the
         # documented writer-quiesced window for an availableNow loop)
