@@ -355,10 +355,14 @@ def dedup_clusters(
     steps only ever DECREASE a label to another node id in the same
     component, so the fixpoint is exactly the per-component minimum; the
     doubling step makes a chain of length L converge in O(log L) rounds
-    instead of L (pinned by a 200-node-path test). Near-dup components
-    from LSH blocking are tiny relative to the corpus, so at 100 TB the
-    cost is a logarithmic handful of bounded joins, never an unbounded
-    transitive closure. The round count of the last call is exposed as
+    instead of L (pinned by a 200-node-path test).
+
+    The iteration runs over EDGE ENDPOINTS only, not the corpus: a doc
+    in no near-dup pair is trivially its own singleton cluster, so it
+    joins back once at the end (left join + coalesce) instead of riding
+    every round. At 100 TB the label table is O(near-dup nodes) — tiny
+    under LSH blocking — and the per-round joins never touch corpus-
+    sized data. The round count of the last call is exposed as
     ``dedup_clusters.last_rounds`` (diagnostic/testing)."""
     und = (
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
@@ -366,9 +370,12 @@ def dedup_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = docs.select(
-        F.col(id_col).alias("x"), F.col(id_col).cast("long").alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    labels = (
+        und.select("x")
+        .distinct()
+        .select("x", F.col("x").cast("long").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
     rounds = 0
     while True:
         rounds += 1
@@ -412,7 +419,12 @@ def dedup_clusters(
         if not changed:
             break
     dedup_clusters.last_rounds = rounds
-    return labels.select(F.col("x").alias(id_col), "cluster_id")
+    return docs.select(F.col(id_col)).join(
+        labels.select(F.col("x").alias(id_col), "cluster_id"), id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce("cluster_id", F.col(id_col).cast("long")).alias("cluster_id"),
+    )
 
 
 # ---------------------------------------------------------------------------

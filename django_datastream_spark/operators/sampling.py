@@ -75,3 +75,65 @@ def train_heldout_split(
             F.lit("heldout"),
         ).otherwise(F.lit("train")),
     )
+
+
+def pack_greedy(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    by: tuple[str, ...] = ("source",),
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed-capacity
+    training sequences ("packs") — the step between tokenization and
+    batch assembly in an LLM data pipeline. Within each ``by`` group,
+    documents are taken in ``order_col`` order and appended to the
+    current pack while they fit; a doc that would overflow starts the
+    next pack (a doc longer than ``max_tokens`` gets a pack of its own).
+    Returns (id, *by, n_tokens, pack_idx) with ``pack_idx`` 0-based per
+    group.
+
+    Greedy fill is inherently sequential *within a group*, so the
+    group is the parallelism unit: applyInPandas runs one Arrow batch
+    per group, and everything before/after is declarative. At 100 TB
+    you don't pack a whole source in one sequence-dependent pass —
+    pass ``by=("source", "shard")`` with ``shard = pmod(xxhash64(id),
+    k)`` sized so a group fits one task comfortably (packing quality is
+    unaffected: packs never span shards by design, the same trade every
+    distributed packer makes). Determinism: output depends only on
+    (group, order_col) — never on partitioning or task order.
+    """
+    import pandas as pd
+
+    from ..functions.text import token_count
+
+    cols = [F.col(id_col), *[F.col(c) for c in by],
+            token_count(F.col(text_col)).alias("n_tokens")]
+    if order_col != id_col:
+        cols.append(F.col(order_col))
+    base = docs.select(*cols)
+    by_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in base.schema if f.name in by
+    )
+    out_schema = f"{id_col} long, {by_fields}, n_tokens long, pack_idx long"
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        packs = []
+        fill, pack = 0, -1
+        first = True
+        for nt in pdf["n_tokens"]:
+            nt = int(nt)
+            if first or fill + nt > max_tokens:
+                pack += 1
+                fill = nt
+                first = False
+            else:
+                fill += nt
+            packs.append(pack)
+        pdf["pack_idx"] = packs
+        return pdf[[id_col, *by, "n_tokens", "pack_idx"]]
+
+    return base.groupBy(*[F.col(c) for c in by]).applyInPandas(_pack, out_schema)

@@ -1033,6 +1033,58 @@ def q64(spark, sf_dir):
     )
 
 
+@_declare("q66_approx_distinct", None)
+def q66(spark, sf_dir):
+    """Per-group approximate distinct users — the HyperLogLog++ member
+    of the sketch-agg family (q64 = rank sketch, this = cardinality
+    sketch): fixed-size register state, map-side combinable, the only
+    sane COUNT(DISTINCT) at 100 TB. Declared rows-only: HLL estimates
+    are engine-specific (DuckDB's approx_count_distinct is its own HLL;
+    at the sf0.01 gate Spark's linear-counting regime happens to be
+    exact, but that is a numeric coincidence, not a contract — unlike
+    q64's retain-all-samples argument). The ±rsd accuracy contract is
+    pinned by tests/test_extensions.py::test_approx_distinct_error_bound."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.005).alias("approx_users")
+        )
+        .orderBy("event_type")
+    )
+
+
+@_declare(
+    "q67_sequence_packing",
+    r"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '\S+')) nt,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) rn
+      FROM documents),
+    rec(source, rn, doc_id, nt, fill, pack) AS (
+      SELECT source, rn, doc_id, nt, nt, 0 FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.rn, d.doc_id, d.nt,
+             CASE WHEN r.fill + d.nt > 512 THEN d.nt ELSE r.fill + d.nt END,
+             CASE WHEN r.fill + d.nt > 512 THEN r.pack + 1 ELSE r.pack END
+      FROM rec r JOIN d ON d.source = r.source AND d.rn = r.rn + 1)
+    SELECT doc_id, source, CAST(nt AS BIGINT) n_tokens,
+           CAST(pack AS BIGINT) pack_idx
+    FROM rec ORDER BY doc_id
+    """,
+)
+def q67(spark, sf_dir):
+    """Greedy sequence packing (operators/sampling.pack_greedy): docs
+    fill fixed 512-token training sequences per source in doc_id order.
+    The group is the parallelism unit (applyInPandas, one sequential
+    Arrow batch per source — at 100 TB the group key adds a shard
+    column, see the operator docstring); the oracle replays the same
+    greedy recurrence as a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    return smp.pack_greedy(docs, max_tokens=512).orderBy("doc_id")
+
+
 @_declare(
     "q55_value_percentiles",
     """

@@ -814,6 +814,55 @@ def test_approx_percentile_error_bound(spark):
         assert abs(got - target) <= n / acc + 1, (p, got, target)
 
 
+def test_approx_distinct_error_bound(spark):
+    """q66's contract: HLL++ relative error stays within a few rsd of
+    exact, checked in the regime where the sketch actually estimates
+    (100k distinct keys, far past linear counting)."""
+    n, rsd = 100_000, 0.01
+    df = spark.range(3 * n).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") / 3).cast("long").alias("k")
+    )
+    rows = (
+        df.groupBy("g")
+        .agg(
+            F.approx_count_distinct("k", rsd).alias("a"),
+            F.countDistinct("k").alias("e"),
+        )
+        .collect()
+    )
+    assert len(rows) == 3
+    for r in rows:
+        assert abs(r["a"] - r["e"]) / r["e"] <= 4 * rsd, (r["a"], r["e"])
+
+
+def test_pack_greedy_crafted(spark):
+    """Greedy fill edge cases: exact-fit stays in the pack, overflow
+    starts a new one, an oversize doc gets its own pack, and packing is
+    independent of input partitioning."""
+    from django_datastream_spark.operators import sampling as smp
+
+    rows = [
+        # (doc_id, text, source): token counts 3, 2, 5, 1, 9, 2 at cap 5
+        (1, "a b c", "s1"),        # pack 0 (fill 3)
+        (2, "a b", "s1"),          # fits exactly: pack 0 (fill 5)
+        (3, "a b c d e", "s1"),    # overflow -> pack 1 (fill 5, exact cap)
+        (4, "a", "s1"),            # overflow -> pack 2
+        (5, "a b c d e f g h i", "s1"),  # oversize (9 > 5) -> pack 3 alone
+        (6, "a b", "s1"),          # pack 4
+        (7, "x y z", "s2"),        # independent group: pack 0
+    ]
+    expected = {1: 0, 2: 0, 3: 1, 4: 2, 5: 3, 6: 4, 7: 0}
+    for parts in (1, 7):
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).repartition(parts)
+        out = {
+            r["doc_id"]: r["pack_idx"]
+            for r in smp.pack_greedy(docs, max_tokens=5).collect()
+        }
+        assert out == expected, (parts, out)
+
+
 def _distinct_vocab_corpus(n_docs: int, n_dup_pairs: int):
     """Docs with pairwise-disjoint vocab (no shared shingles), all one
     source, all in one length band — the exact regime where
