@@ -259,3 +259,45 @@ def fingerprint_md5(text: Column) -> Column:
 def fingerprint_xx64(text: Column) -> Column:
     """Fast engine-side fingerprint (xxhash64; Spark-specific)."""
     return F.xxhash64(normalized_text(text))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token chunks — the
+    long-context preprocessing step between cleaning and tokenization
+    (chunk i covers tokens [i·stride, i·stride + chunk_size)).
+
+    Pure declarative array expressions — sequence of starts → filter →
+    posexplode → slice — no UDF, fully whole-stage-codegen, trivially
+    scale-safe (each row's work is local and bounded by its own token
+    count). A trailing start whose chunk would add no tokens beyond the
+    previous chunk (start + chunk_size − stride ≥ n) is dropped, so
+    chunks never duplicate a suffix already fully covered. Zero-token
+    docs produce no chunks. Returns (id, chunk_idx, n_chunk_tokens,
+    chunk_text).
+    """
+    assert 0 < stride <= chunk_size
+    tk = tokens(F.col(text_col))
+    n = F.size(tk)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: (n > 0)
+        & ((s == 0) | (s + F.lit(chunk_size - stride) < n)),
+    )
+    chunked = docs.select(
+        F.col(id_col),
+        tk.alias("_tk"),
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    )
+    piece = F.slice(F.col("_tk"), F.col("_start") + 1, chunk_size)
+    return chunked.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -147,3 +147,50 @@ def resample_ffill(
             F.col("v").isNull().alias("filled"),
         )
     )
+
+
+def ewma(
+    df: DataFrame,
+    key: str = "user_id",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Exponentially-weighted moving average per key:
+    ``y_0 = x_0;  y_i = (1−α)·y_{i−1} + α·x_i`` in ``order_cols`` order —
+    the classic smoothing derived-stream (the same family as the
+    reference's derive operators, datastream.backends.mongodb derive
+    ``sum``/``derivative`` §2.5, which are likewise per-stream
+    incremental recurrences).
+
+    A first-order linear recurrence has no shuffle-free closed form that
+    is numerically safe (the (1−α)^{-j} prefix-product overflows for
+    long series), so the key is the parallelism unit: one Arrow batch
+    per key via applyInPandas, everything around it declarative. At
+    100 TB keys are streams — millions of independent, individually
+    bounded groups. The recurrence is evaluated with the explicit
+    ``(1−α)·y + α·x`` expression shape so an external oracle replaying
+    the same recurrence (e.g. a recursive CTE) is bit-identical.
+    Returns (key, *order_cols, value, ewma).
+    """
+    import pandas as pd
+
+    beta = 1.0 - alpha
+    cols = [key, *[c for c in order_cols if c != key], value_col]
+    base = df.select(*dict.fromkeys(cols))
+    fields = {f.name: f.dataType.simpleString() for f in base.schema}
+    out_schema = ", ".join(
+        [f"{n} {t}" for n, t in fields.items()] + ["ewma double"]
+    )
+    ocols = list(order_cols)
+
+    def _ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ocols, kind="mergesort").reset_index(drop=True)
+        xs = pdf[value_col].to_numpy(dtype="float64")
+        ys = xs.copy()
+        for i in range(1, len(ys)):
+            ys[i] = beta * ys[i - 1] + alpha * xs[i]
+        pdf["ewma"] = ys
+        return pdf
+
+    return base.groupBy(key).applyInPandas(_ewma, out_schema)

@@ -1086,6 +1086,71 @@ def q67(spark, sf_dir):
 
 
 @_declare(
+    "q68_doc_chunking",
+    r"""
+    WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') tk FROM documents),
+    s AS (SELECT doc_id, tk, len(tk) n,
+                 list_filter(range(0, greatest(len(tk), 1), 48),
+                             s -> len(tk) > 0 AND (s = 0 OR s + 16 < len(tk))) starts
+          FROM d),
+    e AS (SELECT doc_id, tk, unnest(starts) st FROM s),
+    r AS (SELECT doc_id, st, tk[st+1 : st+64] piece,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY st) - 1 chunk_idx
+          FROM e)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) chunk_idx,
+           CAST(len(piece) AS BIGINT) n_chunk_tokens,
+           array_to_string(piece, ' ') chunk_text
+    FROM r ORDER BY doc_id, chunk_idx
+    """,
+)
+def q68(spark, sf_dir):
+    """Overlapping fixed-token document chunking (64-token chunks,
+    stride 48) — functions/text.chunk_documents: pure sequence/filter/
+    posexplode/slice expressions, no UDF, whole-stage codegen end to
+    end."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.chunk_documents(docs, chunk_size=64, stride=48).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+@_declare(
+    "q69_ewma",
+    """
+    WITH RECURSIVE e AS (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+      FROM events WHERE user_id < 30),
+    rec(user_id, rn, event_id, ts, value, y) AS (
+      SELECT user_id, rn, event_id, ts, value, value FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn, e.event_id, e.ts, e.value,
+             (1 - 0.3) * r.y + 0.3 * e.value
+      FROM rec r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+    SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) ts_s,
+           ROUND(value, 4) + 0 AS value, ROUND(y, 4) + 0 ewma
+    FROM rec ORDER BY user_id, event_id
+    """,
+)
+def q69(spark, sf_dir):
+    """Per-stream EWMA smoothing (α=0.3) — operators/timeseries.ewma,
+    the derived-stream recurrence family (reference derive operators,
+    SURVEY §2.5) extended with exponential smoothing. Spark evaluates
+    the recurrence per key in one Arrow batch with the exact
+    ``(1−α)·y + α·x`` expression shape the oracle's recursive CTE
+    replays, so doubles agree bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    sm = tso.ewma(ev, key="user_id", value_col="value", alpha=0.3)
+    return sm.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        (F.round("value", 4) + F.lit(0.0)).alias("value"),
+        (F.round("ewma", 4) + F.lit(0.0)).alias("ewma"),
+    ).orderBy("user_id", "event_id")
+
+
+@_declare(
     "q55_value_percentiles",
     """
     SELECT event_type,

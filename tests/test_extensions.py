@@ -863,6 +863,56 @@ def test_pack_greedy_crafted(spark):
         assert out == expected, (parts, out)
 
 
+def test_chunk_documents_crafted(spark):
+    """Chunk boundary semantics: stride windows, suffix-covered trailing
+    start dropped, exact-fit single chunk, empty doc yields nothing."""
+    from django_datastream_spark.functions.text import chunk_documents
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    docs = spark.createDataFrame(
+        [(1, words(100)), (2, words(10)), (3, words(64)),
+         (4, words(65)), (5, "")],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in chunk_documents(docs, chunk_size=64, stride=48).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_chunk_tokens"], r["chunk_text"])
+        )
+        assert r["chunk_text"].split(" ")[0] == f"w{48 * r['chunk_idx']}"
+    # 100 tokens: chunks at 0 (64 tok) and 48 (52 tok); start 96 would
+    # only repeat tokens already inside chunk 1 -> dropped
+    assert [(i, n) for i, n, _ in sorted(out[1])] == [(0, 64), (1, 52)]
+    assert [(i, n) for i, n, _ in sorted(out[2])] == [(0, 10)]
+    assert [(i, n) for i, n, _ in sorted(out[3])] == [(0, 64)]  # exact fit
+    assert [(i, n) for i, n, _ in sorted(out[4])] == [(0, 64), (1, 17)]
+    assert 5 not in out  # empty doc -> no chunks
+
+
+def test_ewma_crafted(spark):
+    from django_datastream_spark.operators import timeseries as tso
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # key 1 delivered out of order; recurrence must follow (ts, id)
+        (1, 3, t0 + dt.timedelta(seconds=30), 30.0),
+        (1, 1, t0, 10.0),
+        (1, 2, t0 + dt.timedelta(seconds=10), 20.0),
+        (2, 4, t0, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    out = {r["event_id"]: r["ewma"] for r in tso.ewma(df, alpha=0.3).collect()}
+    assert out[1] == pytest.approx(10.0)
+    assert out[2] == pytest.approx(0.7 * 10 + 0.3 * 20)      # 13.0
+    assert out[3] == pytest.approx(0.7 * 13 + 0.3 * 30)      # 18.1
+    assert out[4] == pytest.approx(5.0)                      # fresh key
+
+
 def _distinct_vocab_corpus(n_docs: int, n_dup_pairs: int):
     """Docs with pairwise-disjoint vocab (no shared shingles), all one
     source, all in one length band — the exact regime where

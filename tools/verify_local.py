@@ -77,6 +77,7 @@ def main() -> int:
     qs = se.queries()
     oracles = se.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -85,13 +86,31 @@ def main() -> int:
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"  {name:28s} rows={len(sdf):6d} (no oracle — rows-only) {t_spark:5.1f}s")
+            results[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(sdf), "oracle_rows": None, "err": "no_oracle",
+            }
             continue
         odf = con.execute(oracles[name]).df()
         ok, msg = frames_equal(sdf, odf)
         status = "PASS" if ok else "FAIL"
         print(f"  {name:28s} {status} rows={len(sdf):6d} {t_spark:5.1f}s {'' if ok else msg}")
+        results[name] = {
+            "rows_match": len(sdf) == len(odf),
+            "schema_match": sorted(sdf.columns) == sorted(odf.columns),
+            "hash_match": ok,
+            "spark_rows": len(sdf), "oracle_rows": len(odf),
+            "err": None if ok else msg,
+        }
         if not ok:
             failures.append((name, msg))
+    out_json = os.environ.get("VERIFY_LOCAL_JSON")
+    if out_json and not only:
+        import json
+
+        with open(out_json, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {out_json} ({len(results)} queries)")
     print()
     if failures:
         print(f"{len(failures)} FAILURES: {[f[0] for f in failures]}")
