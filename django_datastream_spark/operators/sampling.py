@@ -137,3 +137,28 @@ def pack_greedy(
         return pdf[[id_col, *by, "n_tokens", "pack_idx"]]
 
     return base.groupBy(*[F.col(c) for c in by]).applyInPandas(_pack, out_schema)
+
+
+def stratified_sample(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, deterministically:
+    rank rows inside each group by their :func:`u01` draw (id tiebreak)
+    and keep the first ``k`` — a reproducible "reservoir" that depends
+    only on row keys, never on partitioning, task order, or RNG state.
+    One window per group (hash shuffle on the group key); the draw is
+    engine-portable, so an external oracle ranks identically. Adds
+    ``u`` (the draw) for audits."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col("u"), F.col(id_col))
+    return (
+        df.withColumn("u", u01(F.col(id_col), salt))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -1151,6 +1151,68 @@ def q69(spark, sf_dir):
 
 
 @_declare(
+    "q70_stratified_sample",
+    r"""
+    WITH u AS (SELECT doc_id, source,
+               (('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 * 1.0 / 4294967296.0) u
+               FROM documents),
+    r AS (SELECT doc_id, source, u,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY u, doc_id) rk
+          FROM u)
+    SELECT doc_id, source, u FROM r WHERE rk <= 5 ORDER BY doc_id
+    """,
+)
+def q70(spark, sf_dir):
+    """Deterministic exact-k stratified sampling (5 docs per source):
+    rows ranked inside each stratum by their portable md5 draw — the
+    reproducible-reservoir step for building eval slices / annotation
+    batches from a corpus. One window per group; no RNG state, no
+    partitioning dependence (operators/sampling.stratified_sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        smp.stratified_sample(docs, k=5)
+        .select("doc_id", "source", "u")
+        .orderBy("doc_id")
+    )
+
+
+@_declare(
+    "q71_outlier_filter",
+    """
+    WITH th AS (SELECT event_type, quantile_cont(value, 0.99) p99
+                FROM events GROUP BY 1)
+    SELECT e.event_type, CAST(COUNT(*) AS BIGINT) n_outliers,
+           ROUND(MIN(e.value), 4) + 0 lo, ROUND(MAX(e.value), 4) + 0 hi
+    FROM events e JOIN th ON e.event_type = th.event_type
+    WHERE e.value > th.p99
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q71(spark, sf_dir):
+    """Percentile-threshold outlier filtering — the agg→broadcast-back
+    composition: per-type p99 (exact here so the oracle pins values; at
+    100 TB swap the q64 sketch) broadcast-joins back onto the stream and
+    filters map-side. The corpus is scanned twice but shuffled only for
+    the tiny threshold aggregate; the filter itself is row-local."""
+    ev = load_table(spark, sf_dir, "events")
+    th = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.99)).alias("_p99")
+    )
+    return (
+        ev.join(F.broadcast(th), "event_type")
+        .filter(F.col("value") > F.col("_p99"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            (F.round(F.min("value"), 4) + F.lit(0.0)).alias("lo"),
+            (F.round(F.max("value"), 4) + F.lit(0.0)).alias("hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_declare(
     "q55_value_percentiles",
     """
     SELECT event_type,

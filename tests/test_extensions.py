@@ -863,6 +863,26 @@ def test_pack_greedy_crafted(spark):
         assert out == expected, (parts, out)
 
 
+def test_stratified_sample_exact_k_and_deterministic(spark):
+    from django_datastream_spark.operators import sampling as smp
+
+    rows = [(i, f"s{i % 3}") for i in range(40)] + [(100, "tiny")]
+    picks = []
+    for parts in (1, 8):
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string"
+        ).repartition(parts)
+        got = smp.stratified_sample(docs, k=4).collect()
+        by_src = {}
+        for r in got:
+            by_src.setdefault(r["source"], set()).add(r["doc_id"])
+        assert {s: len(v) for s, v in sorted(by_src.items())} == {
+            "s0": 4, "s1": 4, "s2": 4, "tiny": 1  # min(k, |stratum|)
+        }
+        picks.append({s: frozenset(v) for s, v in by_src.items()})
+    assert picks[0] == picks[1]  # partitioning-independent
+
+
 def test_chunk_documents_crafted(spark):
     """Chunk boundary semantics: stride windows, suffix-covered trailing
     start dropped, exact-fit single chunk, empty doc yields nothing."""
