@@ -82,3 +82,90 @@ def flag_contaminated(
         .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)).cast("long"))
         .withColumn("contaminated", F.col("n_shared") >= F.lit(min_shared))
     )
+
+
+def fuzzy_contaminated(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: flag training documents that are
+    NEAR-duplicates of any eval document (verified shingle Jaccard ≥
+    ``threshold``), not just exact n-gram overlappers — the step
+    published corpus recipes run when benchmarks leak through paraphrase
+    or formatting drift that :func:`flag_contaminated` (exact grams)
+    misses.
+
+    Shape: md5-minhash band signatures on BOTH sides (the q48/q59
+    machinery, :func:`~..dedup.minhash_signatures_md5`), candidates from
+    an equi-join on (band, key) — cross-corpus, never all-pairs — then
+    exact Jaccard verification on candidates only. The eval side is a
+    benchmark suite (tiny), so its banded signature table broadcasts;
+    the corpus is scanned once for signatures and once for candidate
+    verification. Band-collision recall at the default 8 bands × 2 rows
+    is 1−(1−j²)^8 (≈0.90 at j=0.5, ≈0.995 at j=0.7); the blocking
+    contract is replicated by the q72 oracle. Returns ``train`` ids +
+    ``n_matches``, ``max_jaccard``, ``contaminated``."""
+    from ..functions.text import with_shingles
+    from .dedup import minhash_signatures_md5
+
+    rows = num_hashes // bands
+    assert rows * bands == num_hashes
+
+    def banded(docs: DataFrame, alias: str) -> DataFrame:
+        sig = minhash_signatures_md5(docs, text_col, id_col, num_hashes, n)
+        keys = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                    )
+                )
+                for b in range(bands)
+            ]
+        )
+        return sig.select(
+            F.col(id_col).alias(alias), F.posexplode(keys).alias("band", "bkey")
+        )
+
+    cand = (
+        banded(train, "t_id")
+        .join(F.broadcast(banded(eval_docs, "e_id")), ["band", "bkey"])
+        .select("t_id", "e_id")
+        .distinct()
+    )
+    tsh = with_shingles(train, n, text_col, id_col).select(
+        F.col(id_col).alias("t_id"), F.col("_sh").alias("_sht")
+    )
+    esh = with_shingles(eval_docs, n, text_col, id_col).select(
+        F.col(id_col).alias("e_id"), F.col("_sh").alias("_she")
+    )
+    inter = F.size(F.array_intersect("_sht", "_she"))
+    union = F.size(F.array_distinct(F.concat("_sht", "_she")))
+    j = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    hits = (
+        cand.join(tsh, "t_id")
+        .join(F.broadcast(esh), "e_id")
+        .select("t_id", j.alias("_j"))
+        .filter(F.col("_j") >= F.lit(threshold))
+        .groupBy("t_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.max("_j").alias("max_jaccard"),
+        )
+    )
+    return (
+        train.select(F.col(id_col))
+        .join(hits.withColumnRenamed("t_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+            (F.coalesce("n_matches", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -194,3 +194,33 @@ def ewma(
         return pdf
 
     return base.groupBy(key).applyInPandas(_ewma, out_schema)
+
+
+def detect_gaps(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    min_gap_seconds: int = 28_800,
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Find silences: per-key consecutive-event gaps of at least
+    ``min_gap_seconds`` — the monitoring query a TSDB runs to detect
+    dead sensors / stalled streams (the operational complement of the
+    reference's downsample cascade: a bucket that never arrives).
+
+    One lag window per key (single hash shuffle, no self-join); emits
+    (key, gap_start_s, gap_end_s, gap_seconds) per gap. At 100 TB this
+    is the same shape as every derive operator: shuffle by stream key,
+    sort within, one pass."""
+    w = Window.partitionBy(key).orderBy(ts_col, order_col)
+    e = F.unix_timestamp(ts_col)
+    prev = F.lag(e).over(w)
+    return (
+        df.select(
+            F.col(key),
+            prev.alias("gap_start_s"),
+            e.alias("gap_end_s"),
+            (e - prev).alias("gap_seconds"),
+        )
+        .filter(F.col("gap_seconds") >= F.lit(min_gap_seconds))
+    )

@@ -1212,6 +1212,115 @@ def q71(spark, sf_dir):
     )
 
 
+def _mh_band_ctes(src: str, p: str) -> str:
+    """DuckDB CTE block computing the md5-minhash band table
+    ``{p}b(doc_id, band, bkey)`` and shingle table ``{p}t(doc_id, sh)``
+    over source relation ``src`` — the q48/q59 signature machinery,
+    parameterized so cross-corpus oracles (q72) reuse it per side."""
+    return rf"""
+    {p}d AS (SELECT doc_id, regexp_extract_all(text, '\S+') tk FROM {src}),
+    {p}t AS (SELECT doc_id, CASE WHEN len(tk) >= 3
+               THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+               ELSE [] END sh FROM {p}d),
+    {p}s AS (SELECT doc_id, unnest(sh) sh FROM {p}t),
+    {p}m AS (SELECT doc_id, seed.s seed,
+                    MIN(md5(CAST(seed.s AS VARCHAR) || ':' || sh)) mh
+             FROM {p}s CROSS JOIN (SELECT unnest(range(0, 16)) s) seed
+             GROUP BY 1, 2),
+    {p}b AS (SELECT doc_id, CAST(seed // 2 AS BIGINT) band,
+                    md5(string_agg(mh, ',' ORDER BY seed)) bkey
+             FROM {p}m GROUP BY 1, 2)"""
+
+
+@_declare(
+    "q72_fuzzy_decontaminate",
+    f"""
+    WITH tr AS (SELECT * FROM documents WHERE doc_id % 3 != 0),
+    ev AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+    {_mh_band_ctes('tr', 'x')},
+    {_mh_band_ctes('ev', 'y')},
+    c AS (SELECT DISTINCT xb.doc_id t_id, yb.doc_id e_id
+          FROM xb JOIN yb ON xb.band = yb.band AND xb.bkey = yb.bkey),
+    v AS (SELECT c.t_id,
+                 len(list_intersect(p.sh, q.sh)) * 1.0
+                 / NULLIF(len(list_distinct(list_concat(p.sh, q.sh))), 0) j
+          FROM c JOIN xt p ON p.doc_id = c.t_id
+                 JOIN yt q ON q.doc_id = c.e_id),
+    h AS (SELECT t_id, CAST(COUNT(*) AS BIGINT) nm, MAX(j) mj
+          FROM v WHERE j >= 0.5 GROUP BY 1)
+    SELECT tr.doc_id, COALESCE(h.nm, 0) n_matches,
+           ROUND(COALESCE(h.mj, 0.0), 4) + 0 max_jaccard,
+           COALESCE(h.nm, 0) > 0 contaminated
+    FROM tr LEFT JOIN h ON h.t_id = tr.doc_id ORDER BY tr.doc_id
+    """,
+)
+def q72(spark, sf_dir):
+    """Fuzzy decontamination (operators/decontaminate.fuzzy_contaminated):
+    train docs that are NEAR-duplicates (verified jaccard ≥ 0.5) of any
+    eval doc, found via cross-corpus md5-minhash band candidates — what
+    exact-gram q54 misses when benchmarks leak with drift. The mod-3
+    split intentionally separates a planted near-dup pair (jaccard 0.97)
+    across train/eval so the match path is live at the gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 3 == 0)
+    train = docs.filter(F.col("doc_id") % 3 != 0)
+    return (
+        dc.fuzzy_contaminated(train, ev, threshold=0.5)
+        .select(
+            "doc_id",
+            "n_matches",
+            (F.round("max_jaccard", 4) + F.lit(0.0)).alias("max_jaccard"),
+            "contaminated",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_declare(
+    "q73_gap_detection",
+    """
+    WITH o AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) e,
+               LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) pe
+               FROM events)
+    SELECT user_id, pe gap_start_s, e gap_end_s, e - pe gap_seconds
+    FROM o WHERE e - pe >= 28800 ORDER BY user_id, gap_start_s, gap_end_s
+    """,
+)
+def q73(spark, sf_dir):
+    """Dead-stream / silence detection (operators/timeseries.detect_gaps):
+    per-user gaps of ≥ 8 h between consecutive events — one lag window
+    per key, the monitoring complement of the downsample cascade."""
+    ev = load_table(spark, sf_dir, "events")
+    return tso.detect_gaps(ev, min_gap_seconds=28_800).orderBy(
+        "user_id", "gap_start_s", "gap_end_s"
+    )
+
+
+@_declare(
+    "q74_value_histogram",
+    """
+    SELECT event_type, CAST(floor(value / 25) AS BIGINT) bin,
+           CAST(COUNT(*) AS BIGINT) n
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q74(spark, sf_dir):
+    """Fixed-width value histogram per group — the distribution
+    downsampler (A-family extension): one hash agg on (group, bin),
+    map-side combinable, the building block for distribution drift
+    monitoring over value streams."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return (
+        ev.groupBy(
+            "event_type", F.floor(F.col("value") / 25).cast("long").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bin")
+    )
+
+
 @_declare(
     "q55_value_percentiles",
     """

@@ -640,6 +640,31 @@ def test_flag_contaminated_hashed_matches_string_keys_sf001(spark):
     assert len(plain) == 490 and plain == hashed
 
 
+def test_fuzzy_contaminated_crafted(spark):
+    """Near-dup eval leakage is caught at jaccard >= threshold; unrelated
+    docs stay clean; eval-side banded table broadcasts."""
+    from django_datastream_spark.operators import decontaminate as dc
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    ev = spark.createDataFrame(
+        [(1000, base)], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, base.replace("tok29", "changed")),   # near-dup of eval
+            (2, " ".join(f"other{i}" for i in range(30))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    out = dc.fuzzy_contaminated(train, ev, threshold=0.5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["contaminated"] and rows[1]["max_jaccard"] >= 0.8
+    assert rows[1]["n_matches"] == 1
+    assert not rows[2]["contaminated"] and rows[2]["n_matches"] == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_flag_contaminated_plan_is_broadcast(spark):
     from django_datastream_spark.operators import decontaminate as dc
 
