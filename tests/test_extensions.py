@@ -958,6 +958,66 @@ def test_ewma_crafted(spark):
     assert out[4] == pytest.approx(5.0)                      # fresh key
 
 
+def test_pack_greedy_invariants_random(spark):
+    """Invariants over a randomized corpus: (1) every pack except
+    single-oversize-doc packs fits the cap; (2) pack indexes are dense
+    0..max per group; (3) greedy is maximal — a doc never fits in the
+    previous pack; (4) every doc is assigned exactly once."""
+    import random
+
+    from django_datastream_spark.operators import sampling as smp
+
+    rnd = random.Random(77)
+    rows = [
+        (i, " ".join("w" for _ in range(rnd.randint(0, 30))), f"s{i % 4}")
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    cap = 48
+    out = smp.pack_greedy(docs, max_tokens=cap).collect()
+    assert len(out) == 200 and len({r["doc_id"] for r in out}) == 200
+    by_group: dict = {}
+    for r in out:
+        by_group.setdefault(r["source"], []).append(r)
+    for g, rs in by_group.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        packs: dict = {}
+        for r in rs:
+            packs.setdefault(r["pack_idx"], []).append(r["n_tokens"])
+        assert sorted(packs) == list(range(len(packs))), g  # dense
+        for idx, toks in packs.items():
+            if len(toks) > 1:
+                assert sum(toks) <= cap, (g, idx, toks)
+            if idx + 1 in packs:  # maximality: next pack's head can't fit
+                assert sum(toks) + packs[idx + 1][0] > cap, (g, idx)
+
+
+def test_chunk_documents_full_coverage_random(spark):
+    """Every token position is covered by ≥1 chunk, and removing each
+    chunk's leading overlap reconstructs the document exactly — for a
+    spread of (n_tokens, chunk_size, stride) shapes."""
+    from django_datastream_spark.functions.text import chunk_documents
+
+    for size, stride in ((64, 48), (32, 32), (10, 7)):
+        rows = [
+            (n, " ".join(f"t{n}_{i}" for i in range(n)))
+            for n in (1, 5, size - 1, size, size + 1, 3 * stride, 100)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        chunks: dict = {}
+        for r in chunk_documents(docs, chunk_size=size, stride=stride).collect():
+            chunks.setdefault(r["doc_id"], {})[r["chunk_idx"]] = (
+                r["chunk_text"].split(" ")
+            )
+        for n, _text in rows:
+            got = chunks[n]
+            rebuilt = list(got[0])
+            for i in range(1, len(got)):
+                overlap = len(rebuilt) - i * stride  # tokens already present
+                rebuilt.extend(got[i][overlap:])
+            assert rebuilt == [f"t{n}_{i}" for i in range(n)], (n, size, stride)
+
+
 def _distinct_vocab_corpus(n_docs: int, n_dup_pairs: int):
     """Docs with pairwise-disjoint vocab (no shared shingles), all one
     source, all in one length band — the exact regime where

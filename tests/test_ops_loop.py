@@ -117,7 +117,11 @@ def test_ops_loop_soak(spark, tmp_path, transport):
             assert r["v"]["min"] == pytest.approx(min(vs))
             assert r["v"]["max"] == pytest.approx(max(vs))
 
-    for cycle in range(12):
+    # the payload leg re-runs the same lifecycle through a second
+    # transport; 6 cycles (maintenance at 2 and 5) keep it a soak while
+    # bounding suite wall-time
+    n_cycles = 12 if transport == "file" else 6
+    for cycle in range(n_cycles):
         rows = []
         # fast stream: 3-5 points, 2-9 s apart; slow stream: 1-3 points,
         # 3-15 s apart — b's event time falls ever further behind a's, so
