@@ -1323,6 +1323,109 @@ def q74(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# OLAP classics over the star schema (TPC-H Q1/Q3 shapes) — the canonical
+# large-fact aggregation and dim-join-topk patterns a 100 TB engine lives on
+# --------------------------------------------------------------------------
+
+
+@_declare(
+    "q75_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) + 0 sum_qty,
+           ROUND(SUM(l_extendedprice), 4) + 0 sum_base,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) + 0 sum_disc,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) + 0 sum_charge,
+           ROUND(AVG(l_quantity), 4) + 0 avg_qty,
+           ROUND(AVG(l_discount), 4) + 0 avg_disc,
+           CAST(COUNT(*) AS BIGINT) n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q75(spark, sf_dir):
+    """TPC-H Q1 shape: the canonical fact-table scan-heavy aggregation —
+    pushed date filter, one hash agg with map-side partials over a
+    handful of group keys, arithmetic in whole-stage codegen. The
+    pattern every reporting rollup at 100 TB reduces to."""
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ts_filters=[("l_shipdate", "<=", "1998-09-02 00:00:00")],
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.round(F.sum("l_quantity"), 4) + F.lit(0.0)).alias("sum_qty"),
+            (F.round(F.sum("l_extendedprice"), 4) + F.lit(0.0)).alias("sum_base"),
+            (F.round(F.sum(disc), 4) + F.lit(0.0)).alias("sum_disc"),
+            (F.round(F.sum(disc * (1 + F.col("l_tax"))), 4) + F.lit(0.0)).alias("sum_charge"),
+            (F.round(F.avg("l_quantity"), 4) + F.lit(0.0)).alias("avg_qty"),
+            (F.round(F.avg("l_discount"), 4) + F.lit(0.0)).alias("avg_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_declare(
+    "q76_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) + 0 revenue,
+           CAST(floor(epoch(o.o_orderdate)) AS BIGINT) odate_s,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, odate_s ASC, l_orderkey ASC LIMIT 10
+    """,
+)
+def q76(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → join fact → top-k by an
+    aggregate. Customer (filtered) broadcasts into orders, orders-side
+    keys join lineitem; the final top-10 is a TakeOrdered, never a full
+    sort. Deterministic total tiebreak (revenue, date, orderkey)."""
+    cu = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    od = load_table(
+        spark, sf_dir, "orders",
+        ts_filters=[("o_orderdate", "<", "1998-03-15 00:00:00")],
+    )
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ts_filters=[("l_shipdate", ">", "1998-03-15 00:00:00")],
+    )
+    return (
+        li.join(
+            od.join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"]),
+            li["l_orderkey"] == od["o_orderkey"],
+        )
+        .groupBy(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("odate_s"),
+            "o_orderpriority",
+        )
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                )
+                + F.lit(0.0)
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "odate_s", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("odate_s"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 @_declare(
     "q55_value_percentiles",
     """
