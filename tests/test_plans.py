@@ -142,3 +142,20 @@ def test_agg_table_scan_prunes_partitions_and_struct_fields(spark, tmp_path):
     read_schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
     assert "mean" in read_schema
     assert "sum_squares" not in read_schema and "frequencies" not in read_schema
+
+
+def test_tpch_q1_pushes_date_and_prunes_columns(spark):
+    plan = plan_of(spark, "q75_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # filter at the scan
+    scan = plan.split("FileScan parquet ", 1)[1].split("]", 1)[0]
+    # only the 7 needed columns, not the full 11-column lineitem schema
+    assert "l_partkey" not in scan and "l_suppkey" not in scan
+    assert plan.count("HashAggregate") == 2  # partial + final
+
+
+def test_tpch_q3_broadcasts_dims_and_takes_ordered(spark):
+    plan = plan_of(spark, "q76_shipping_priority")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-10, never a full sort
+    assert "LessThan(o_orderdate" in plan and "GreaterThan(l_shipdate" in plan
