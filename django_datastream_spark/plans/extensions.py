@@ -1457,3 +1457,74 @@ def q55(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q77/Q78 exact duplicate-span mining (operators/spans.py)
+# --------------------------------------------------------------------------
+@_declare(
+    "q77_dup_ngram_spans",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, md5(array_to_string(t[i:i+11], ' ')) AS gram_h
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 11)) AS i)
+    )
+    SELECT gram_h,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) n_docs,
+           CAST(COUNT(*) AS BIGINT) n_occ
+    FROM grams GROUP BY gram_h HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY gram_h
+    """,
+)
+def q77(spark, sf_dir):
+    """Exact substring (word-12-gram) duplicate spans across the corpus
+    (Lee et al. 2022 span dedup, word granularity).  One narrow explode
+    + one hash agg keyed on a fixed-width md5 digest; the >=2-docs
+    filter runs inside the aggregation so only duplicated grams leave
+    the shuffle.  Linear in corpus tokens at any scale."""
+    from ..operators import spans as sp
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sp.duplicate_ngram_spans(docs, n=12, min_docs=2).orderBy("gram_h")
+
+
+@_declare(
+    "q78_span_dup_coverage",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, i, md5(array_to_string(t[i:i+11], ' ')) AS gram_h
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 11)) AS i)
+    ), dup AS (
+      SELECT gram_h FROM grams GROUP BY gram_h
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ), cov AS (
+      SELECT DISTINCT g.doc_id, p.tok
+      FROM grams g JOIN dup USING (gram_h),
+           LATERAL (SELECT unnest(generate_series(g.i, g.i + 11)) AS tok) p
+    ), cnt AS (
+      SELECT doc_id, COUNT(*) AS covered FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) n_tokens,
+           CAST(COALESCE(c.covered, 0) AS BIGINT) covered,
+           ROUND(COALESCE(c.covered, 0) * 1.0 / NULLIF(len(t.t), 0), 4) + 0 dup_ratio
+    FROM toks t LEFT JOIN cnt c USING (doc_id) ORDER BY t.doc_id
+    """,
+)
+def q78(spark, sf_dir):
+    """Per-document duplicated-span coverage: the fraction of token
+    positions inside any cross-document 12-gram — the quality-filter
+    score that drops boilerplate-heavy docs.  Overlapping spans merge
+    via distinct covered positions; every stage keys on the gram digest
+    or the doc id, nothing corpus-global."""
+    from ..operators import spans as sp
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sp.span_dup_coverage(docs, n=12, min_docs=2)
+    return out.withColumn(
+        "dup_ratio", F.col("dup_ratio") + F.lit(0.0)
+    ).orderBy("doc_id")

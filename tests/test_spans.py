@@ -1,0 +1,79 @@
+"""Planted-duplicate tests for the span-level dedup operator
+(operators/spans.py): exact expected grams, coverage-merge semantics
+for overlapping spans, and the zero/full coverage extremes."""
+
+from __future__ import annotations
+
+from django_datastream_spark.operators import spans as sp
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_spans_exact_set(spark):
+    shared = "a b c d"  # one shared 4-gram
+    docs = _docs(
+        spark,
+        [
+            (1, f"{shared} p q r"),
+            (2, f"x y z {shared}"),
+            (3, "u v w only here nothing shared"),
+        ],
+    )
+    dup = sp.duplicate_ngram_spans(docs, n=4, min_docs=2).collect()
+    # only the planted gram repeats across docs
+    assert len(dup) == 1
+    assert dup[0]["n_docs"] == 2 and dup[0]["n_occ"] == 2
+
+
+def test_coverage_extremes_and_left_join_zero(spark):
+    shared = "a b c d e f"
+    docs = _docs(
+        spark,
+        [
+            (1, shared),  # doc IS the shared span -> full coverage
+            (2, shared),
+            (3, "g h i j k l"),  # nothing shared -> zero coverage
+        ],
+    )
+    cov = {
+        r["doc_id"]: r
+        for r in sp.span_dup_coverage(docs, n=6, min_docs=2).collect()
+    }
+    assert cov[1]["covered"] == 6 and cov[1]["dup_ratio"] == 1.0
+    assert cov[2]["covered"] == 6
+    assert cov[3]["covered"] == 0 and cov[3]["dup_ratio"] == 0.0
+
+
+def test_overlapping_spans_merge_positions(spark):
+    # docs 1 and 2 share a 5-token run "a b c d e"; with n=4 that run
+    # contains two overlapping duplicated 4-grams (positions 0 and 1).
+    # Counting occurrences would give 8 token-slots; merged coverage
+    # must count the 5 distinct positions exactly once.
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e x y z"),
+            (2, "q r a b c d e"),
+        ],
+    )
+    cov = {
+        r["doc_id"]: r
+        for r in sp.span_dup_coverage(docs, n=4, min_docs=2).collect()
+    }
+    assert cov[1]["covered"] == 5
+    assert cov[2]["covered"] == 5
+
+
+def test_min_docs_threshold_excludes_within_doc_repeats(spark):
+    # a gram repeated twice INSIDE one doc is not a cross-doc duplicate
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c a b c"),
+            (2, "x y z w v u"),
+        ],
+    )
+    dup = sp.duplicate_ngram_spans(docs, n=3, min_docs=2).collect()
+    assert dup == []
