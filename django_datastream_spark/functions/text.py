@@ -301,3 +301,41 @@ def chunk_documents(
         F.size(piece).cast("long").alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+# Patterns restricted to the Java-regex / RE2 common subset (no
+# lookaround, no backreferences) so the DuckDB oracle can mirror them
+# verbatim. Conservative by design: high-precision shapes (full emails,
+# dotted-quad IPs, dashed phone numbers), not a recall-maximal PII
+# suite — at corpus scale a false positive silently mutates clean
+# training text, so precision is the binding constraint.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # category -> (regex, replacement token); applied in this order.
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"(\+\d{1,3}-)?\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with its category token. Email runs
+    first (its local part may contain digits a later pattern could
+    shred), then phone, then IPv4 — replacement tokens contain no
+    digits, so later passes never match inside earlier redactions.
+    Pure ``regexp_replace`` chain: whole-stage codegen, no UDF."""
+    out = text
+    for pattern, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category match counts on the *original* text (audit metric —
+    how much PII a source emits drives source-level policy)."""
+    return {
+        cat: F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("long")
+        for cat, (pattern, _) in PII_PATTERNS.items()
+    }

@@ -1528,3 +1528,68 @@ def q78(spark, sf_dir):
     return out.withColumn(
         "dup_ratio", F.col("dup_ratio") + F.lit(0.0)
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Q79 PII redaction (functions/text.py PII_PATTERNS)
+# --------------------------------------------------------------------------
+def _pii_contact_expr_sql() -> str:
+    """The deterministic contact-string constructor, DuckDB SQL form.
+    The testdata corpus is PII-free word soup, so the declared query
+    plants PII deterministically from event columns — non-vacuous
+    redaction the oracle reproduces bit-for-bit."""
+    return (
+        "concat('reach u', CAST(user_id AS VARCHAR), '@example.org or +1-555-', "
+        "lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0'), '-', "
+        "lpad(CAST(user_id % 10000 AS VARCHAR), 4, '0'), ' from 10.', "
+        "CAST(user_id % 256 AS VARCHAR), '.', CAST(event_id % 256 AS VARCHAR), '.7')"
+    )
+
+
+def _pii_oracle_sql() -> str:
+    from ..functions.text import PII_PATTERNS
+
+    contact = _pii_contact_expr_sql()
+    red = "contact"
+    for pattern, token in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pattern}', '{token}', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(contact, '{p}', 0)) AS BIGINT) n_{c}"
+        for c, (p, _) in PII_PATTERNS.items()
+    )
+    return f"""
+    WITH base AS (
+      SELECT event_id, {contact} AS contact FROM events
+    )
+    SELECT event_id, {red} AS redacted, {counts}
+    FROM base ORDER BY event_id
+    """
+
+
+@_declare("q79_pii_redaction", _pii_oracle_sql())
+def q79(spark, sf_dir):
+    """PII redaction over deterministic planted contact strings: the
+    regexp_replace chain from PII_PATTERNS (email -> phone -> ipv4)
+    plus per-category audit counts on the original text. Pure column
+    expressions — whole-stage codegen end to end, trivially linear at
+    any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    contact = F.concat(
+        F.lit("reach u"), F.col("user_id").cast("string"),
+        F.lit("@example.org or +1-555-"),
+        F.lpad((F.col("event_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("user_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("event_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    base = ev.select("event_id", contact.alias("contact"))
+    cnts = tx.pii_counts(F.col("contact"))
+    return base.select(
+        "event_id",
+        tx.redact_pii(F.col("contact")).alias("redacted"),
+        *[cnts[c].alias(f"n_{c}") for c in cnts],
+    ).orderBy("event_id")

@@ -77,3 +77,37 @@ def test_min_docs_threshold_excludes_within_doc_repeats(spark):
     )
     dup = sp.duplicate_ngram_spans(docs, n=3, min_docs=2).collect()
     assert dup == []
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (functions/text.py PII_PATTERNS) — precision pinning
+# ---------------------------------------------------------------------------
+from pyspark.sql import functions as F
+
+from django_datastream_spark.functions import text as tx
+
+
+def test_pii_redaction_categories_and_precision(spark):
+    rows = [
+        (1, "mail jane.doe+x@corp.example.com now"),
+        (2, "call +1-555-123-4567 or 555-987-6543"),
+        (3, "host 192.168.0.1 responded"),
+        (4, "raw digits 5551234567 stay; pi 3.14 stays; v1.2 stays"),
+        (5, "combo a@b.io at 10.0.0.7 via 555-000-1111"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    cnt = tx.pii_counts(F.col("t"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            tx.redact_pii(F.col("t")).alias("red"),
+            *[cnt[c].alias(c) for c in cnt],
+        ).collect()
+    }
+    assert out[1]["red"] == "mail <EMAIL> now" and out[1]["email"] == 1
+    assert out[2]["red"] == "call <PHONE> or <PHONE>" and out[2]["phone"] == 2
+    assert out[3]["red"] == "host <IP> responded" and out[3]["ipv4"] == 1
+    # conservative: undashed digit runs and short dotted numbers untouched
+    assert out[4]["red"] == rows[3][1]
+    assert out[5]["red"] == "combo <EMAIL> at <IP> via <PHONE>"
