@@ -1593,3 +1593,171 @@ def q79(spark, sf_dir):
         tx.redact_pii(F.col("contact")).alias("redacted"),
         *[cnts[c].alias(f"n_{c}") for c in cnts],
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Q80-Q82 OLAP classics: TPC-H Q6 / Q5 / Q18 shapes
+# --------------------------------------------------------------------------
+@_declare(
+    "q80_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) + 0 revenue,
+           CAST(COUNT(*) AS BIGINT) n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q80(spark, sf_dir):
+    """TPC-H Q6 shape: the purest pushdown benchmark — every predicate
+    reaches the parquet scan (date bounds as raw-ns min/max row-group
+    filters via ts_filters, discount/quantity as native pushed
+    filters), then a single global agg with map-side partials. The
+    plan is scan -> filter -> partial agg -> 1-row exchange; at 100 TB
+    the only full pass is the (pruned) scan itself."""
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ts_filters=[
+            ("l_shipdate", ">=", "1996-01-01 00:00:00"),
+            ("l_shipdate", "<", "1997-01-01 00:00:00"),
+        ],
+    ).filter(
+        F.col("l_discount").between(0.05, 0.07) & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        (
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
+            + F.lit(0.0)
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_declare(
+    "q81_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) + 0 revenue
+    FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                     AND c.c_nationkey = s.s_nationkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name ORDER BY revenue DESC, n.n_name
+    """,
+)
+def q81(spark, sf_dir):
+    """TPC-H Q5 shape: multi-join with a region-filtered dim chain and
+    the customer-nation = supplier-nation co-location predicate.
+    nation |><| region is broadcast into supplier (5 + 25 rows at any
+    SF); the fact path shuffles lineitem -> orders -> customer on
+    their natural keys; the supplier join carries the nationkey
+    equality so 4/5 of suppliers are pruned before the fact join.
+    Region/nation broadcasts are size-constant at 100 TB; supplier
+    stays a shuffle join (it grows with SF)."""
+    asia = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "ASIA"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    od = load_table(
+        spark, sf_dir, "orders",
+        ts_filters=[
+            ("o_orderdate", ">=", "1996-01-01 00:00:00"),
+            ("o_orderdate", "<", "1997-01-01 00:00:00"),
+        ],
+    )
+    cu = load_table(spark, sf_dir, "customer")
+    ord_cust = od.join(cu, od["o_custkey"] == cu["c_custkey"]).select(
+        "o_orderkey", "c_nationkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    fact = li.join(ord_cust, li["l_orderkey"] == F.col("o_orderkey"))
+    return (
+        fact.join(
+            sup,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                )
+                + F.lit(0.0)
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@_declare(
+    "q82_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) sq
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(floor(epoch(o.o_orderdate)) AS BIGINT) odate_s,
+           o.o_totalprice,
+           ROUND(b.sq, 4) + 0 sum_qty
+    FROM big b
+      JOIN orders o ON o.o_orderkey = b.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, odate_s ASC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q82(spark, sf_dir):
+    """TPC-H Q18 shape: find-the-whales — a two-phase aggregate over
+    the fact table (map-side partial sums, HAVING inside the agg so
+    only whale orderkeys leave the shuffle), then join the tiny
+    survivor set back to orders and customer, finishing in a
+    TakeOrdered top-100 with a deterministic total tiebreak. The
+    whale set shrinks with the threshold, so both back-joins are
+    AQE-broadcastable at any SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 300)
+    )
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(od, od["o_orderkey"] == big["l_orderkey"])
+        .join(cu, cu["c_custkey"] == od["o_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("odate_s"),
+            "o_totalprice",
+            (F.round(F.col("sq"), 4) + F.lit(0.0)).alias("sum_qty"),
+        )
+        .orderBy(
+            F.desc("o_totalprice"), F.asc("odate_s"), F.asc("o_orderkey")
+        )
+        .limit(100)
+    )

@@ -159,3 +159,43 @@ def test_tpch_q3_broadcasts_dims_and_takes_ordered(spark):
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan  # top-10, never a full sort
     assert "LessThan(o_orderdate" in plan and "GreaterThan(l_shipdate" in plan
+
+
+def fplan_of(spark, name: str) -> str:
+    """Formatted explain — unlike ``toString`` it never truncates the
+    PushedFilters list, so filter-pushdown assertions are reliable."""
+    df = declared.QUERIES[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_tpch_q6_all_predicates_reach_scan(spark):
+    plan = fplan_of(spark, "q80_forecast_revenue")
+    # date bounds, discount range, and quantity all pushed to parquet
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    read_schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
+    assert "partial_sum" in plan  # map-side partial agg before the 1-row exchange
+
+
+def test_tpch_q5_broadcasts_dim_chain(spark):
+    plan = fplan_of(spark, "q81_local_supplier_volume")
+    # nation |><| region (and the region filter) never shuffle
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "BroadcastHashJoin" in plan
+    # the orders date window is pushed before the fact join
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_tpch_q18_two_phase_agg_and_takeordered(spark):
+    plan = fplan_of(spark, "q82_large_orders")
+    # whale detection aggregates with map-side partials
+    assert "partial_sum" in plan
+    assert "TakeOrderedAndProject" in plan  # top-100, never a full sort
+    assert "CartesianProduct" not in plan
