@@ -1761,3 +1761,44 @@ def q82(spark, sf_dir):
         )
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Q83 salted skew join (operators/joins.py)
+# --------------------------------------------------------------------------
+@_declare(
+    "q83_salted_skew_join",
+    """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) n_events,
+           ROUND(SUM(e.value), 4) + 0 sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def q83(spark, sf_dir):
+    """Hot-key fact |><| dim join via explicit salting: events carry
+    ~150 distinct user_ids over millions of rows, the canonical shape
+    where one shuffle partition would serialize a hot key. The fact
+    side gets a deterministic xxhash64(event_id) % 16 salt, the dim is
+    replicated 16x, and the join key becomes (user, salt) — same
+    result set, 16x the key cardinality through the shuffle. The
+    aggregate after it is two-phase as usual."""
+    from ..operators.joins import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(
+        ev, cu, F.col("user_id") == F.col("c_custkey"),
+        n_salts=16, salt_cols=["event_id"],
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
