@@ -1802,3 +1802,101 @@ def q83(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --------------------------------------------------------------------------
+# Q84 robust outliers (median absolute deviation), Q85 grouping sets
+# --------------------------------------------------------------------------
+@_declare(
+    "q84_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) m
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, ANY_VALUE(med.m) m,
+             quantile_cont(abs(e.value - med.m), 0.5) d
+      FROM events e JOIN med USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           ROUND(ANY_VALUE(mad.m), 4) + 0 med,
+           ROUND(ANY_VALUE(mad.d), 4) + 0 mad,
+           CAST(SUM(CASE WHEN abs(e.value - mad.m) > 3 * 1.4826 * mad.d
+                         THEN 1 ELSE 0 END) AS BIGINT) n_outliers
+    FROM events e JOIN mad USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def q84(spark, sf_dir):
+    """Robust per-group outlier detection: median + MAD (median of
+    absolute deviations), flagging |x - med| > 3 * 1.4826 * MAD — the
+    robust z-score that, unlike the q71 percentile filter, is immune
+    to the outliers inflating their own threshold. Three passes over
+    the fact, each a hash agg on the (tiny) event_type key with the
+    per-type medians broadcast back; at 100 TB the exact percentile
+    swaps for approx_percentile and the shape is unchanged."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("m")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("m").alias("m"),
+            F.percentile(F.abs(F.col("value") - F.col("m")), F.lit(0.5)).alias("d"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (F.round(F.any_value("m"), 4) + F.lit(0.0)).alias("med"),
+            (F.round(F.any_value("d"), 4) + F.lit(0.0)).alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("m"))
+                    > 3 * 1.4826 * F.col("d"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_declare(
+    "q85_grouping_sets",
+    """
+    SELECT event_type,
+           user_id,
+           CAST(GROUPING(event_type) * 2 + GROUPING(user_id) AS BIGINT) gid,
+           CAST(COUNT(*) AS BIGINT) n,
+           ROUND(SUM(value), 4) + 0 sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id), ())
+    ORDER BY gid, event_type, user_id
+    """,
+)
+def q85(spark, sf_dir):
+    """Explicit GROUPING SETS — the multi-dimensional rollup shape
+    cube/rollup (q62/q14) can't express: exactly the (event_type),
+    (user_id), and grand-total groupings, no cross products. One
+    Expand + one hash agg; the expand factor is the number of sets
+    (3), independent of data size."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupingSets(
+            [[F.col("event_type")], [F.col("user_id")], []],
+            F.col("event_type"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("sum_value"),
+        )
+        .select("event_type", "user_id", "gid", "n", "sum_value")
+        .orderBy("gid", "event_type", "user_id")
+    )
