@@ -483,3 +483,38 @@ def streaming_downsample(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    lateness: str = "10 minutes",
+    keys: tuple[str, ...] = ("stream_id", "ts"),
+):
+    """Streaming point dedup for at-least-once upstreams (Kafka
+    replays, producer retries): ``dropDuplicatesWithinWatermark`` on
+    the point identity (stream_id, ts) keeps per-key state only until
+    the watermark passes ``ts + lateness``, so state size is bounded by
+    the duplicate-arrival horizon — not the stream's history. That
+    bound is what makes it run forever at cluster scale; a plain
+    ``dropDuplicates`` on an unbounded stream grows state without
+    limit. State survives restarts via the checkpoint, so replays that
+    straddle a restart are still deduped.
+
+    Returns the StreamingQuery (AvailableNow trigger); output is an
+    append-only parquet staging dir the batch ingest then consumes.
+    """
+    src = spark.readStream.schema(INGEST_SCHEMA).json(source_dir)
+    deduped = src.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
