@@ -1900,3 +1900,90 @@ def q85(spark, sf_dir):
         .select("event_type", "user_id", "gid", "n", "sum_value")
         .orderBy("gid", "event_type", "user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q86 end-to-end clean-corpus pipeline (dedup -> quality -> span -> redact)
+# --------------------------------------------------------------------------
+def _q86_oracle_sql() -> str:
+    from ..functions.text import PII_PATTERNS
+
+    red = "s.text"
+    for pattern, token in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pattern}', '{token}', 'g')"
+    return rf"""
+    WITH fp AS (
+      SELECT doc_id, text,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) f,
+             len(regexp_extract_all(text, '\S+')) nt,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
+               / NULLIF(length(text), 0) pr
+      FROM documents
+    ), surv AS (
+      SELECT fp.* FROM fp
+      JOIN (SELECT f, MIN(doc_id) keep FROM fp GROUP BY f) k
+        ON fp.f = k.f AND fp.doc_id = k.keep
+    ), toks AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM surv
+    ), grams AS (
+      SELECT doc_id, i, md5(array_to_string(t[i:i+11], ' ')) AS gram_h
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 11)) AS i)
+    ), dup AS (
+      SELECT gram_h FROM grams GROUP BY gram_h
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ), cov AS (
+      SELECT DISTINCT g.doc_id, p.tok
+      FROM grams g JOIN dup USING (gram_h),
+           LATERAL (SELECT unnest(generate_series(g.i, g.i + 11)) AS tok) p
+    ), cnt AS (
+      SELECT doc_id, COUNT(*) AS covered FROM cov GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(s.nt AS BIGINT) n_tokens,
+           ROUND(COALESCE(c.covered, 0) * 1.0 / NULLIF(s.nt, 0), 4) + 0 dup_ratio,
+           md5({red}) clean_fp
+    FROM surv s LEFT JOIN cnt c USING (doc_id)
+    WHERE s.nt >= 5 AND COALESCE(s.pr, 0) < 0.2
+      AND COALESCE(c.covered, 0) * 1.0 / NULLIF(s.nt, 0) < 0.5
+    ORDER BY s.doc_id
+    """
+
+
+@_declare("q86_clean_corpus_pipeline", _q86_oracle_sql())
+def q86(spark, sf_dir):
+    """The whole training-data pipeline as ONE declarative plan:
+    exact-dedup survivors -> quality thresholds (q47's) -> span-level
+    boilerplate coverage < 0.5 (q78's metric, computed on the deduped
+    corpus so exact copies don't inflate it) -> PII-redacted content
+    fingerprint. No intermediate materialization; Catalyst sees one
+    DAG and shares the survivor scan between the quality filter and
+    the span explode. Every stage is a hash agg or broadcast-free
+    equi-join keyed on doc_id or a digest — the composition inherits
+    each operator's scale shape."""
+    from ..operators import spans as sp
+
+    docs = load_table(spark, sf_dir, "documents")
+    surv = dd.exact_dedup(docs)
+    qm = tx.quality_metrics(F.col("text"))
+    cov = sp.span_dup_coverage(surv, n=12, min_docs=2)
+    return (
+        surv.select(
+            "doc_id",
+            "text",
+            qm["n_tokens"].alias("n_tokens"),
+            qm["punct_ratio"].alias("_pr"),
+        )
+        .join(cov.select("doc_id", "dup_ratio"), "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 5)
+            & (F.coalesce("_pr", F.lit(0.0)) < 0.2)
+            & (F.col("dup_ratio") < 0.5)
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("dup_ratio") + F.lit(0.0)).alias("dup_ratio"),
+            F.md5(tx.redact_pii(F.col("text"))).alias("clean_fp"),
+        )
+        .orderBy("doc_id")
+    )
