@@ -1987,3 +1987,171 @@ def q86(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q87-Q89 event analytics: correlation matrix, ordered funnel, retention
+# --------------------------------------------------------------------------
+@_declare(
+    "q87_stream_correlation",
+    """
+    WITH b AS (
+      SELECT event_type, date_trunc('minute', ts) bu, COUNT(*) n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type type_a, c.event_type type_b,
+           ROUND(corr(a.n, c.n), 4) + 0 r,
+           CAST(COUNT(*) AS BIGINT) n_buckets
+    FROM b a JOIN b c ON a.bu = c.bu AND a.event_type < c.event_type
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q87(spark, sf_dir):
+    """Cross-stream correlation matrix: bucket each event type to
+    1-minute counts, then Pearson r over co-present buckets for every
+    type pair. The bucket agg is one shuffle on (type, minute); the
+    pair join is a self-join on the minute key whose width is the
+    number of types (constant), so the join output stays
+    |buckets| x |pairs| — linear in time span, independent of raw
+    event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "event_type", F.date_trunc("minute", "ts").alias("bu")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.bu") == F.col("c.bu"))
+            & (F.col("a.event_type") < F.col("c.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("c.event_type").alias("type_b"),
+        )
+        .agg(
+            # Pearson r spelled out with try_divide: ANSI-mode corr()
+            # raises DIVIDE_BY_ZERO on a zero-variance series, while
+            # the oracle's corr returns NULL — try_divide matches it
+            (
+                F.round(
+                    F.try_divide(
+                        F.covar_samp(F.col("a.n"), F.col("c.n")),
+                        F.stddev_samp(F.col("a.n"))
+                        * F.stddev_samp(F.col("c.n")),
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("r"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@_declare(
+    "q88_ordered_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) t1 FROM events WHERE event_type = 'view'
+      GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        AND e.ts <= s1.t1 + INTERVAL '6 hours'
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        AND e.ts <= s2.t2 + INTERVAL '6 hours'
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) n_view,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) n_click,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) n_purchase
+    """,
+)
+def q88(spark, sf_dir):
+    """Strictly-ordered funnel (view -> click -> purchase): each stage
+    is min-timestamp-after-previous-stage within a 6-hour conversion
+    window, so a user only advances on events in causal order and the
+    counts show real attrition (150 -> 19 -> 1 at sf0.01). Three hash aggs on user_id with the
+    shrinking stage table joined back (AQE broadcasts it as soon as it
+    fits); the counts collapse to one row. The standard product-
+    analytics operator the reference's tag queries can't express."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    win = F.expr("INTERVAL 6 HOURS")
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("t1")) & (F.col("ts") <= F.col("t1") + win)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("t2")) & (F.col("ts") <= F.col("t2") + win)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(F.broadcast(s2.agg(F.count(F.lit(1)).alias("n_click"))))
+        .crossJoin(F.broadcast(s3.agg(F.count(F.lit(1)).alias("n_purchase"))))
+    )
+
+
+@_declare(
+    "q89_retention_cohorts",
+    """
+    WITH first_day AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) cohort FROM events
+      GROUP BY user_id
+    )
+    SELECT CAST(floor(epoch(f.cohort)) AS BIGINT) cohort_s,
+           CAST(date_diff('day', f.cohort, date_trunc('day', e.ts)) AS BIGINT) day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) n_users
+    FROM events e JOIN first_day f ON e.user_id = f.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q89(spark, sf_dir):
+    """Retention cohort triangle: users grouped by first-seen day,
+    counted distinct on each subsequent active day offset. One agg for
+    the cohort map (small — one row per user), broadcast back into the
+    fact, one distinct-count agg on (cohort, offset). At 100 TB the
+    cohort map exceeds broadcast range and the join falls back to
+    shuffle-on-user_id, which colocates with the first agg's
+    partitioning (no extra exchange)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort")
+    )
+    return (
+        ev.join(first_day, "user_id")
+        .groupBy(
+            F.unix_timestamp("cohort").alias("cohort_s"),
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_s", "day_offset")
+    )
