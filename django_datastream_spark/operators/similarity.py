@@ -416,3 +416,73 @@ def quantize_int8(
             v, lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("int")
         ).alias("q"),
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean vector: posexplode to (label, position, value),
+    one hash agg per (label, position), reassemble ordered arrays.
+    The long relation is |rows| x dim but never wider than 3 columns,
+    and the agg output is |labels| x dim — constant-size regardless of
+    corpus. This is the scalable way to average vectors in pure
+    DataFrame ops (no driver collect, no VectorAssembler)."""
+    e = emb.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("_p", "_x"),
+    )
+    long = e.groupBy(label_col, "_p").agg(F.avg("_x").alias("_c"))
+    return long.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_p", "_c"))),
+            lambda s: s["_c"],
+        ).alias("centroid")
+    )
+
+
+def nearest_centroid(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification: every vector scored
+    against every label centroid by cosine, argmax per vector with a
+    deterministic (cosine desc, label asc) tiebreak. The centroid set
+    is |labels| rows — broadcast by construction — so the scoring pass
+    is an embarrassingly parallel map over the corpus; the only
+    shuffles are the centroid agg itself and none on the fact side.
+    Returns (id, true label, assigned, cosine)."""
+    cents = label_centroids(emb, label_col, vec_col).select(
+        F.col(label_col).alias("_cl"), "centroid"
+    )
+    e = emb.select(
+        id_col,
+        label_col,
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("_vn", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+    scored = e.crossJoin(
+        F.broadcast(
+            cents.withColumn(
+                "_cn", F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
+            )
+        )
+    ).select(
+        id_col,
+        label_col,
+        F.col("_cl"),
+        (
+            _dot(F.col("_v"), F.col("centroid"))
+            / (F.col("_vn") * F.col("_cn"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("_cl").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, label_col, F.col("_cl").alias("assigned"), "cosine")
+    )

@@ -2155,3 +2155,55 @@ def q89(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_s", "day_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# Q90 nearest-centroid classification (operators/similarity.py)
+# --------------------------------------------------------------------------
+@_declare(
+    "q90_nearest_centroid",
+    """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings
+    ), x AS (
+      SELECT label, i AS p, v[i] AS val
+      FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
+    ), cl AS (
+      SELECT label, p, AVG(val) c FROM x GROUP BY label, p
+    ), cent AS (
+      SELECT label cl_label, list(c ORDER BY p) cv FROM cl GROUP BY label
+    ), sim AS (
+      SELECT e.vec_id, e.label, cent.cl_label,
+             list_inner_product(e.v, cent.cv)
+             / sqrt(list_inner_product(e.v, e.v)
+                    * list_inner_product(cent.cv, cent.cv)) s
+      FROM e CROSS JOIN cent
+    ), best AS (
+      SELECT vec_id, label, cl_label, s,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, cl_label ASC) rk
+      FROM sim
+    )
+    SELECT label, cl_label AS assigned,
+           CAST(COUNT(*) AS BIGINT) n,
+           ROUND(AVG(s), 4) + 0 mean_cos
+    FROM best WHERE rk = 1
+    GROUP BY label, assigned ORDER BY label, assigned
+    """,
+)
+def q90(spark, sf_dir):
+    """Nearest-centroid (Rocchio) classification confusion matrix:
+    per-label mean vectors via a posexplode hash agg (|labels| x dim
+    output — broadcastable at any corpus size), cosine scoring as a
+    map-side broadcast crossJoin, argmax per vector with deterministic
+    tiebreak, then the (true, assigned) count matrix."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nc = sim.nearest_centroid(emb)
+    return (
+        nc.groupBy("label", "assigned")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.avg("cosine"), 4) + F.lit(0.0)).alias("mean_cos"),
+        )
+        .orderBy("label", "assigned")
+    )
