@@ -2207,3 +2207,83 @@ def q90(spark, sf_dir):
         )
         .orderBy("label", "assigned")
     )
+
+
+# --------------------------------------------------------------------------
+# Q91 source scorecard (corpus-profile aggregates driving mix weights)
+# --------------------------------------------------------------------------
+@_declare(
+    "q91_source_scorecard",
+    r"""
+    WITH base AS (
+      SELECT source, lang,
+             len(regexp_extract_all(text, '\S+')) nt,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) fp
+      FROM documents
+    ), per_source AS (
+      SELECT source,
+             COUNT(*) n_docs,
+             AVG(nt) mean_tokens,
+             COUNT(DISTINCT fp) n_unique
+      FROM base GROUP BY source
+    ), lang_counts AS (
+      SELECT source, lang, COUNT(*) c FROM base GROUP BY source, lang
+    ), ent AS (
+      SELECT lc.source,
+             -SUM((lc.c * 1.0 / ps.n_docs) * ln(lc.c * 1.0 / ps.n_docs)) h
+      FROM lang_counts lc JOIN per_source ps USING (source)
+      GROUP BY lc.source
+    )
+    SELECT ps.source,
+           CAST(ps.n_docs AS BIGINT) n_docs,
+           ROUND(ps.mean_tokens, 4) + 0 mean_tokens,
+           ROUND(1.0 - ps.n_unique * 1.0 / ps.n_docs, 4) + 0 dup_rate,
+           ROUND(ent.h, 4) + 0 lang_entropy
+    FROM per_source ps JOIN ent USING (source)
+    ORDER BY ps.source
+    """,
+)
+def q91(spark, sf_dir):
+    """Per-source corpus scorecard: doc count, mean token length,
+    within-source exact-duplicate rate (1 - distinct fingerprints /
+    docs), and language entropy — the profile a mixing policy weighs
+    sources by (q51's weights are exactly this table's downstream).
+    Two hash aggs on source and (source, lang) plus a distinct-count;
+    all map-side combinable, output is |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        tx.token_count(F.col("text")).alias("nt"),
+        tx.fingerprint_md5(F.col("text")).alias("fp"),
+    )
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("nt").alias("mean_tokens"),
+        F.countDistinct("fp").alias("n_unique"),
+    )
+    lang_counts = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    p = F.col("c") / F.col("n_docs")
+    ent = (
+        lang_counts.join(
+            F.broadcast(per_source.select("source", "n_docs")), "source"
+        )
+        .groupBy("source")
+        .agg((-F.sum(p * F.log(p))).alias("h"))
+    )
+    return (
+        per_source.join(ent, "source")
+        .select(
+            "source",
+            "n_docs",
+            (F.round(F.col("mean_tokens"), 4) + F.lit(0.0)).alias("mean_tokens"),
+            (
+                F.round(1.0 - F.col("n_unique") / F.col("n_docs"), 4)
+                + F.lit(0.0)
+            ).alias("dup_rate"),
+            (F.round(F.col("h"), 4) + F.lit(0.0)).alias("lang_entropy"),
+        )
+        .orderBy("source")
+    )
