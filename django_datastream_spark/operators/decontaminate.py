@@ -169,3 +169,48 @@ def fuzzy_contaminated(
             (F.coalesce("n_matches", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def semantic_contaminated(
+    train: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic (embedding-space) decontamination — the third leg after
+    exact n-gram overlap (:func:`flag_contaminated`) and fuzzy minhash
+    (:func:`fuzzy_contaminated`): flags train items whose embedding
+    sits within cosine ``threshold`` of ANY eval item, catching
+    paraphrases that share no surface n-grams at all.
+
+    The eval side is small by construction (it's a benchmark), so it
+    broadcasts and the scoring pass is a map-side nested loop over the
+    train corpus — no shuffle touches the big side. At extreme eval
+    sizes, pre-bucket both sides with the RP-LSH signature
+    (similarity.rp_signature) and band-join instead.
+
+    Returns (train id, eval id, cosine) pairs at or above threshold.
+    """
+    from .similarity import _dot
+
+    t = train.select(
+        F.col(id_col).alias("t_id"),
+        F.col(vec_col).cast("array<double>").alias("_tv"),
+    ).withColumn("_tn", F.sqrt(_dot(F.col("_tv"), F.col("_tv"))))
+    e = evalset.select(
+        F.col(id_col).alias("e_id"),
+        F.col(vec_col).cast("array<double>").alias("_ev"),
+    ).withColumn("_en", F.sqrt(_dot(F.col("_ev"), F.col("_ev"))))
+    return (
+        t.crossJoin(F.broadcast(e))
+        .select(
+            "t_id",
+            "e_id",
+            (
+                _dot(F.col("_tv"), F.col("_ev"))
+                / (F.col("_tn") * F.col("_en"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

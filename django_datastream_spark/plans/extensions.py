@@ -2287,3 +2287,70 @@ def q91(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q92 mergeable HLL sketch rollup, Q93 semantic decontamination
+# --------------------------------------------------------------------------
+@_declare("q92_hll_sketch_rollup", None)
+def q92(spark, sf_dir):
+    """Mergeable-sketch rollup — the pattern behind incremental distinct
+    counts at 100 TB: materialize one DataSketches-HLL sketch per
+    (event_type, day) (what a daily batch job would persist alongside
+    points_agg), then answer "distinct users per type over all time"
+    by UNIONING the fixed-size sketches — never rescanning raw data.
+    hll_union_agg is associative/commutative, so the daily sketch
+    table re-aggregates to any coarser grain (week, month, all-time)
+    at sketch-merge cost. Rows-only: the sketch binary is
+    engine-specific; the identity merged == one-shot and the error
+    bound vs exact are pinned in tests/test_extensions.py."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("_d")
+    ).agg(F.hll_sketch_agg("user_id").alias("_sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("est_users"),
+            F.count(F.lit(1)).alias("n_daily_sketches"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_declare(
+    "q93_semantic_decontaminate",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+    ), ev AS (SELECT * FROM e WHERE vec_id < 50),
+       tr AS (SELECT * FROM e WHERE vec_id >= 50)
+    SELECT tr.vec_id t_id, ev.vec_id e_id,
+           ROUND(list_inner_product(tr.v, ev.v)
+                 / sqrt(list_inner_product(tr.v, tr.v)
+                        * list_inner_product(ev.v, ev.v)), 4) + 0 cosine
+    FROM tr, ev
+    WHERE list_inner_product(tr.v, ev.v)
+          / sqrt(list_inner_product(tr.v, tr.v)
+                 * list_inner_product(ev.v, ev.v)) >= 0.4
+    ORDER BY t_id, e_id
+    """,
+)
+def q93(spark, sf_dir):
+    """Semantic decontamination: train embeddings within cosine 0.4 of
+    any eval embedding — the paraphrase-leakage catch that exact (q54)
+    and fuzzy (q72) n-gram checks miss. Eval side broadcasts (it's a
+    benchmark — small by construction); the scoring is a map-side pass
+    over train with no shuffle on the big side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev_side = emb.filter(F.col("vec_id") < 50)
+    tr_side = emb.filter(F.col("vec_id") >= 50)
+    return (
+        dc.semantic_contaminated(tr_side, ev_side, threshold=0.4)
+        .select(
+            "t_id",
+            "e_id",
+            (F.round(F.col("cosine"), 4) + F.lit(0.0)).alias("cosine"),
+        )
+        .orderBy("t_id", "e_id")
+    )

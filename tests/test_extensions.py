@@ -1057,3 +1057,37 @@ def test_levenshtein_candidates_subquadratic(spark):
     found = {(r["a"], r["b"]) for r in
              dd.levenshtein_near_pairs(big, threshold=0.7).collect()}
     assert {(k, 100_000 + k) for k in range(5)} <= found
+
+
+def test_hll_sketch_rollup_reaggregates_exactly(spark):
+    """The q92 pattern: per-day HLL sketches merged with hll_union_agg
+    must estimate IDENTICALLY to a one-shot sketch over the raw rows
+    (register-max inserts are order/partition-independent), and land
+    within the sketch's error bound of the exact distinct count."""
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_type", "ts", "user_id"
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = {
+        r["event_type"]: r["est"]
+        for r in daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    oneshot = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert merged == oneshot  # re-aggregation is lossless
+    for et, n in exact.items():
+        assert abs(merged[et] - n) / n < 0.05, (et, merged[et], n)
