@@ -2354,3 +2354,52 @@ def q93(spark, sf_dir):
         )
         .orderBy("t_id", "e_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q94 behavioral sequence mining (event-type trigrams per user)
+# --------------------------------------------------------------------------
+@_declare(
+    "q94_event_sequences",
+    """
+    WITH s AS (
+      SELECT user_id, event_type e1,
+             LEAD(event_type, 1) OVER w e2,
+             LEAD(event_type, 2) OVER w e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS seq,
+           CAST(COUNT(*) AS BIGINT) n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) n_users
+    FROM s WHERE e3 IS NOT NULL
+    GROUP BY seq ORDER BY n DESC, seq LIMIT 20
+    """,
+)
+def q94(spark, sf_dir):
+    """Behavioral sequence mining: the 20 most common 3-event-type
+    sequences across users. One window per user (ordered by event
+    time with an id tiebreak for equal timestamps — deterministic
+    across engines), two leads, a hash agg on the trigram string, and
+    a TakeOrdered top-20. The per-user window shuffles once on
+    user_id; sequence cardinality is |types|^3 — tiny — so the final
+    agg is nearly map-side-only."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        s.groupBy(
+            F.concat_ws(">", "e1", "e2", "e3").alias("seq")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n"), F.asc("seq"))
+        .limit(20)
+    )
