@@ -111,3 +111,60 @@ def test_pii_redaction_categories_and_precision(spark):
     # conservative: undashed digit runs and short dotted numbers untouched
     assert out[4]["red"] == rows[3][1]
     assert out[5]["red"] == "combo <EMAIL> at <IP> via <PHONE>"
+
+
+# ---------------------------------------------------------------------------
+# randomized invariants (driver-side hypothesis over small Spark frames)
+# ---------------------------------------------------------------------------
+import random as _random
+
+
+def test_redaction_idempotent_and_digit_free_tokens(spark):
+    """redact(redact(x)) == redact(x): replacement tokens contain no
+    digits or '@', so no pass can re-match inside a redaction. Checked
+    over randomized mixes of PII and clean fragments."""
+    rng = _random.Random(0xC0FFEE)
+    frags = [
+        "plain words here",
+        "a.b@example.com",
+        "+44-555-123-4567",
+        "10.1.2.3",
+        "v1.2.3.4",  # version that LOOKS like an IP — redacts (documented)
+        "3.14159",
+        "777-888-9999",
+        "end.",
+    ]
+    rows = [
+        (i, " ".join(rng.choice(frags) for _ in range(rng.randint(1, 8))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    once = tx.redact_pii(F.col("t"))
+    out = df.select(
+        "id",
+        once.alias("r1"),
+        tx.redact_pii(once).alias("r2"),
+    ).collect()
+    for r in out:
+        assert r["r1"] == r["r2"], r
+
+
+def test_span_coverage_invariants_random(spark):
+    """0 <= covered <= n_tokens and dup_ratio in [0,1] for random
+    corpora; docs shorter than n never get coverage."""
+    rng = _random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from django_datastream_spark.operators import spans as _sp
+
+    out = _sp.span_dup_coverage(df, n=5, min_docs=2).collect()
+    assert len(out) == 80
+    for r in out:
+        assert 0 <= r["covered"] <= r["n_tokens"], r
+        assert 0.0 <= r["dup_ratio"] <= 1.0, r
+        if r["n_tokens"] < 5:
+            assert r["covered"] == 0, r
