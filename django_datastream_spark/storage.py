@@ -183,6 +183,13 @@ class Tables:
     #: multi-writer metadata deployments and compact from one owner
     auto_compact_streams = True
 
+    #: snapshot generations retained per table (current + priors).
+    #: 2 (default) preserves today's reader-safety guarantee; raise it
+    #: to keep a deeper time-travel history at rewrite-size disk cost
+    #: per generation (snapshots share nothing — this is the honest
+    #: local-parquet trade; Delta/Iceberg share unchanged files)
+    SNAPSHOT_RETAIN = 2
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
@@ -218,9 +225,55 @@ class Tables:
         with open(tmp, "w") as f:
             f.write(str(cur + 1))
         os.replace(tmp, ptr)  # atomic — readers see old or new, never neither
-        stale = os.path.join(self.root, table, f"v={cur - 1}")
-        if cur >= 1 and os.path.isdir(stale):
-            shutil.rmtree(stale)
+        # retention: keep the newest SNAPSHOT_RETAIN generations (the
+        # default 2 = current + one prior, so readers planned against
+        # the old snapshot finish safely). Raising it enables
+        # time-travel reads over a deeper history (read_table_at).
+        keep_min = (cur + 1) - (self.SNAPSHOT_RETAIN - 1)
+        tdir = os.path.join(self.root, table)
+        for name in os.listdir(tdir):
+            if not name.startswith("v="):
+                continue
+            try:
+                v = int(name[2:])
+            except ValueError:
+                continue
+            if v < keep_min:
+                shutil.rmtree(os.path.join(tdir, name))
+
+    # -- time travel ---------------------------------------------------------
+    def snapshot_versions(self, table: str) -> list[int]:
+        """Retained snapshot versions for ``table``, oldest first. A
+        new version is cut at every rewrite boundary (compaction,
+        aggregate upsert, log compaction); plain appends accrete into
+        the current snapshot — so time travel is at rewrite
+        granularity, like any snapshot-pointer table format."""
+        tdir = os.path.join(self.root, table)
+        if not os.path.isdir(tdir):
+            return []
+        out = []
+        for name in os.listdir(tdir):
+            if name.startswith("v="):
+                try:
+                    out.append(int(name[2:]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def read_table_at(self, table: str, version: int) -> DataFrame:
+        """Read a retained snapshot of ``table`` as-of ``version``
+        (raw stored rows — for the streams table that is the metadata
+        log state at that snapshot). Raises ``ValueError`` if the
+        version was never cut or was vacuumed by retention."""
+        if version not in self.snapshot_versions(table):
+            raise ValueError(
+                f"{table} v={version} not retained "
+                f"(have {self.snapshot_versions(table)}; "
+                f"raise SNAPSHOT_RETAIN to keep deeper history)"
+            )
+        return self.spark.read.parquet(
+            os.path.join(self.root, table, f"v={version}")
+        )
 
     # -- paths (current snapshot) --------------------------------------------
     @property

@@ -200,3 +200,66 @@ def test_upsert_points_agg_appends_unless_keys_collide(spark, tmp_path):
             if i == j - 1:
                 expect = 100.0 + j
         assert got[base.replace(tzinfo=None) + dt.timedelta(hours=i)] == expect
+
+
+def test_time_travel_reads_prior_snapshot(spark, tmp_path):
+    """Snapshot retention + read_table_at: each rewrite boundary cuts a
+    version; retained versions read back exactly, vacuumed ones raise."""
+    import datetime as dt2
+
+    from django_datastream_spark.api import Datastream
+
+    engine = Datastream(spark, str(tmp_path / "store"))
+    t = engine.tables
+    t.SNAPSHOT_RETAIN = 3
+    sid = engine.ensure_stream({"title": "tt"})
+    t0 = dt2.datetime(2024, 5, 1, tzinfo=dt2.timezone.utc)
+    engine.append_multiple(
+        [
+            {"stream_id": sid, "value": float(i), "timestamp": t0 + dt2.timedelta(seconds=i)}
+            for i in range(50)
+        ]
+    )
+    # rewrite boundary #1: compaction cuts a new points_raw version
+    t.compact_points_raw(max_files_per_partition=1)
+    v_after_first = t._current_version("points_raw")
+    n_before = t.read_table_at("points_raw", v_after_first).count()
+    assert n_before == 50
+
+    engine.append_multiple(
+        [
+            {"stream_id": sid, "value": 1.0, "timestamp": t0 + dt2.timedelta(seconds=100 + i)}
+            for i in range(10)
+        ]
+    )
+    # rewrite boundary #2
+    t.compact_points_raw(max_files_per_partition=1)
+    v_now = t._current_version("points_raw")
+    assert v_now > v_after_first
+    # current snapshot has all 60; the PRIOR snapshot still reads as-of
+    # its cut — appends after boundary #1 landed in the then-current dir,
+    # so the retained history is exactly the rewrite-boundary states
+    assert t.read_points_raw().count() == 60
+    assert v_after_first in t.snapshot_versions("points_raw")
+
+    # a version never cut raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.read_table_at("points_raw", 999)
+
+
+def test_snapshot_retention_vacuums_old_generations(spark, tmp_path):
+    """With the default SNAPSHOT_RETAIN=2, three rewrites leave exactly
+    the newest two generations on disk (reader-safety unchanged)."""
+    t = Tables(spark, str(tmp_path / "store"))
+    for i in range(3):
+        rows = [{"stream_id": f"s{i}", "title": f"t{i}", "v": i}]
+        df = spark.createDataFrame([(f"s{i}", f"t{i}", i)], "stream_id string, title string, v long")
+        t._swap_version("demo", lambda d, df=df: df.write.parquet(d))
+    vs = t.snapshot_versions("demo")
+    assert len(vs) == 2 and vs[-1] == t._current_version("demo")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.read_table_at("demo", vs[0] - 1)
