@@ -2,13 +2,19 @@
 ``binary`` payloads with typed metadata structs, processed by Arrow-batched
 ``mapInPandas`` stages.
 
-The container has no image/audio codecs, so the *decode* step is stubbed
-(SURVEY §2.10 / task brief): ``decode_image`` raises NotImplementedError
-unless ``fake=True``, in which case a deterministic fake decoder derived
-from the payload bytes stands in. Everything around the stub — schema,
-partition-preserving mapInPandas plumbing, batch shapes, metadata
-propagation — is real and tested; swapping in Pillow/ffmpeg later only
-replaces the inner function.
+Decode story, honestly split by format class:
+
+- **Uncompressed self-describing formats are decoded for REAL**: WAV
+  (RIFF/PCM16) and PPM (P6) need only struct+numpy — see
+  ``extract_wav_features`` / ``extract_ppm_features`` /
+  ``resize_ppm_images`` below and :mod:`media_codecs` (ground-truth
+  signal tests in tests/test_media_codecs.py).
+- **Compressed formats (JPEG/MP3/H.264) stay stubbed** — the container
+  has no codecs: ``decode_image`` raises NotImplementedError unless
+  ``fake=True`` (deterministic byte-statistics stand-in). The Spark
+  shape around the stub — schema, partition-preserving mapInPandas
+  plumbing, batch shapes, metadata propagation — is real and tested;
+  swapping in Pillow/ffmpeg later only replaces the inner function.
 """
 
 from __future__ import annotations
@@ -224,4 +230,81 @@ def synth_media_from_documents(docs: DataFrame) -> DataFrame:
             F.lit(None).cast("long").alias("duration_ms"),
             F.lit(None).cast("int").alias("sample_rate"),
         ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec-free decoders (WAV PCM16 / PPM P6) — operators/media_codecs.py
+# ---------------------------------------------------------------------------
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, sample_rate int, channels int, duration_ms long, "
+    "rms double, peak double, zcr double"
+)
+
+IMAGE_FEATURE_SCHEMA = (
+    "media_id long, width int, height int, mean_r double, mean_g double, "
+    "mean_b double, luma_mean double, luma_std double"
+)
+
+
+def extract_wav_features(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction for RIFF/PCM16 payloads: duration,
+    full-scale RMS, peak, zero-crossing rate (media_codecs.wav_features
+    — pure struct+numpy, no external codec). Arrow-batched mapInPandas,
+    no shuffle. The closure imports the codec module lazily on the
+    executor — harden_session ships the package via addPyFile, so this
+    resolves under externally-created sessions too."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from django_datastream_spark.operators.media_codecs import wav_features
+
+        for pdf in batches:
+            rows = [wav_features(p or b"") for p in pdf["content"]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+def extract_ppm_features(media: DataFrame) -> DataFrame:
+    """REAL image feature extraction for P6 PPM payloads: dimensions,
+    channel means, luma mean/std (media_codecs.ppm_features)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from django_datastream_spark.operators.media_codecs import ppm_features
+
+        for pdf in batches:
+            rows = [ppm_features(p or b"") for p in pdf["content"]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+def resize_ppm_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL nearest-neighbor resize for P6 PPM payloads (index-map
+    sampling, re-encoded P6) — the codec-free counterpart of
+    resize_images' stub. Same Spark shape: binary in/out, Arrow
+    batches, partitioning preserved."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from django_datastream_spark.operators.media_codecs import resize_ppm
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "resized": [
+                        resize_ppm(p or b"", width, height)
+                        for p in pdf["content"]
+                    ],
+                    "out_width": width,
+                    "out_height": height,
+                }
+            )
+
+    return media.mapInPandas(
+        run, "media_id long, resized binary, out_width int, out_height int"
     )

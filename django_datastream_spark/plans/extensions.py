@@ -2403,3 +2403,61 @@ def q94(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("seq"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Q95 REAL WAV decode + feature extraction (operators/media_codecs.py)
+# --------------------------------------------------------------------------
+@_declare("q95_wav_audio_features", None)
+def q95(spark, sf_dir):
+    """REAL audio decode in the pipeline: synthesize a deterministic
+    PCM16 WAV per document (stdlib wave writer, tone derived from
+    doc_id — the payload-construction stage a crawler's fetch would
+    fill), then run the real RIFF parser + signal features
+    (media_codecs.wav_features: duration, RMS, peak, zero-crossing
+    rate). Rows-only: no SQL engine decodes WAV; the decoder's values
+    are pinned against closed-form ground truth (sine RMS = A/sqrt 2,
+    ZCR = 2f/sr) in tests/test_media_codecs.py. Both stages are
+    Arrow-batched mapInPandas with no shuffle."""
+    from ..operators.multimodal import extract_wav_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def synth(batches):
+        import io
+        import math as _m
+        import wave as _w
+
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                sr = 8000
+                freq = 100.0 + (int(did) % 40) * 10.0
+                n = sr // 4  # 250 ms
+                t = _np.arange(n) / sr
+                x = (0.5 * _np.sin(2 * _m.pi * freq * t) * 32767).astype("<i2")
+                buf = io.BytesIO()
+                with _w.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(sr)
+                    wf.writeframes(x.tobytes())
+                payloads.append(buf.getvalue())
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    feats = extract_wav_features(media)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "duration_ms",
+        (F.round("rms", 4) + F.lit(0.0)).alias("rms"),
+        (F.round("zcr", 4) + F.lit(0.0)).alias("zcr"),
+    ).orderBy("media_id")

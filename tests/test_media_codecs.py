@@ -1,0 +1,116 @@
+"""Ground-truth tests for the REAL codec-free media decoders: WAV files
+synthesized with the stdlib ``wave`` writer (so the RIFF layout is
+authoritative, not our own encoder), PPM built per the netpbm spec.
+Signal-level assertions: sine RMS = A/sqrt(2), ZCR = 2f/sr, exact
+nearest-neighbor pixel identities."""
+
+from __future__ import annotations
+
+import io
+import math
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from django_datastream_spark.operators import media_codecs as mc
+from django_datastream_spark.operators import multimodal as mm
+
+
+def make_wav(freq=440.0, sr=8000, seconds=1.0, amp=0.5, channels=1) -> bytes:
+    n = int(sr * seconds)
+    t = np.arange(n) / sr
+    x = (amp * np.sin(2 * math.pi * freq * t) * 32767).astype("<i2")
+    if channels == 2:
+        x = np.repeat(x, 2)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def make_ppm(w=4, h=2, comment=False) -> bytes:
+    hdr = b"P6\n" + (b"# a comment\n" if comment else b"") + b"%d %d\n255\n" % (w, h)
+    px = bytes((r * w + c) % 256 for r in range(h) for c in range(w) for _ in range(3))
+    return hdr + px
+
+
+def test_wav_sine_ground_truth():
+    f = mc.wav_features(make_wav(freq=440.0, sr=8000, seconds=1.0, amp=0.5))
+    assert f["sample_rate"] == 8000 and f["channels"] == 1
+    assert f["duration_ms"] == 1000
+    assert abs(f["rms"] - 0.5 / math.sqrt(2)) < 1e-3
+    assert abs(f["peak"] - 0.5) < 1e-3
+    # a 440 Hz sine crosses zero 2*440 times/sec -> zcr = 880/8000
+    assert abs(f["zcr"] - 880 / 8000) < 0.005
+
+
+def test_wav_stereo_and_extra_chunk():
+    payload = make_wav(channels=2, seconds=0.5)
+    # inject an extra odd-sized chunk between fmt and data: readers must
+    # skip unknown chunks with word alignment
+    pos = payload.find(b"data")
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded
+    hacked = payload[:pos] + extra + payload[pos:]
+    hacked = hacked[:4] + struct.pack("<I", len(hacked) - 8) + hacked[8:]
+    f = mc.wav_features(hacked)
+    assert f["channels"] == 2 and f["duration_ms"] == 500
+
+
+def test_wav_rejects_non_wav():
+    with pytest.raises(ValueError):
+        mc.parse_wav(b"not audio at all")
+
+
+def test_ppm_parse_features_and_comment():
+    f = mc.ppm_features(make_ppm(4, 2, comment=True))
+    assert (f["width"], f["height"]) == (4, 2)
+    # gray pixels (r=g=b) -> luma == channel mean == mean of 0..7
+    assert abs(f["mean_r"] - 3.5) < 1e-9
+    assert abs(f["luma_mean"] - 3.5) < 1e-6
+
+
+def test_ppm_nearest_resize_exact():
+    a = mc.parse_ppm(make_ppm(4, 2))
+    up = mc.parse_ppm(mc.resize_ppm(make_ppm(4, 2), 8, 4))
+    # 2x upscale: each source pixel becomes a 2x2 block
+    for r in range(4):
+        for c in range(8):
+            assert (up[r, c] == a[r // 2, c // 2]).all()
+    # identity resize round-trips exactly
+    same = mc.parse_ppm(mc.resize_ppm(make_ppm(4, 2), 4, 2))
+    assert (same == a).all()
+
+
+def test_spark_wav_and_ppm_stages_match_pure_functions(spark):
+    wavs = [make_wav(freq=200.0 + 100 * i, seconds=0.25) for i in range(4)]
+    ppms = [make_ppm(4 + i, 2 + i) for i in range(4)]
+    media_w = spark.createDataFrame(
+        [(i, "audio", w) for i, w in enumerate(wavs)],
+        "media_id long, kind string, content binary",
+    )
+    media_p = spark.createDataFrame(
+        [(i, "image", p) for i, p in enumerate(ppms)],
+        "media_id long, kind string, content binary",
+    )
+    got_w = {r["media_id"]: r for r in mm.extract_wav_features(media_w).collect()}
+    for i, w in enumerate(wavs):
+        ref = mc.wav_features(w)
+        assert got_w[i]["duration_ms"] == ref["duration_ms"]
+        assert abs(got_w[i]["rms"] - ref["rms"]) < 1e-12
+        assert abs(got_w[i]["zcr"] - ref["zcr"]) < 1e-12
+    got_p = {r["media_id"]: r for r in mm.extract_ppm_features(media_p).collect()}
+    for i, p in enumerate(ppms):
+        ref = mc.ppm_features(p)
+        assert (got_p[i]["width"], got_p[i]["height"]) == (ref["width"], ref["height"])
+        assert abs(got_p[i]["luma_std"] - ref["luma_std"]) < 1e-12
+    got_r = {
+        r["media_id"]: r
+        for r in mm.resize_ppm_images(media_p, 3, 3).collect()
+    }
+    for i, p in enumerate(ppms):
+        assert bytes(got_r[i]["resized"]) == mc.resize_ppm(p, 3, 3)
