@@ -2461,3 +2461,50 @@ def q95(spark, sf_dir):
         (F.round("rms", 4) + F.lit(0.0)).alias("rms"),
         (F.round("zcr", 4) + F.lit(0.0)).alias("zcr"),
     ).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# Q96 TPC-H Q4 shape: EXISTS semi-join
+# --------------------------------------------------------------------------
+@_declare(
+    "q96_late_shipment_priority",
+    """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) n
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def q96(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join — the
+    fact side never duplicates order rows however many lineitems
+    match, and only the orderkey/shipdate columns of lineitem are
+    read. Date window pushed to the orders scan; the semi-join carries
+    the non-equi lateness predicate alongside the key equality."""
+    od = load_table(
+        spark, sf_dir, "orders",
+        ts_filters=[
+            ("o_orderdate", ">=", "1996-01-01 00:00:00"),
+            ("o_orderdate", "<", "1996-07-01 00:00:00"),
+        ],
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = od.join(
+        li,
+        (od["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )

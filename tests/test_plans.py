@@ -199,3 +199,51 @@ def test_tpch_q18_two_phase_agg_and_takeordered(spark):
     assert "partial_sum" in plan
     assert "TakeOrderedAndProject" in plan  # top-100, never a full sort
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Co-located join: both sides bucketed on the join key with the
+    same bucket count -> sort-merge join with NO Exchange on either
+    side. The 100 TB pattern: pay the shuffle once at write time."""
+    from django_datastream_spark.plans.bucketing import write_bucketed
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    dim = (
+        ev.groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n_events")
+    )
+    try:
+        # force the merge-join path: this test is about the co-located
+        # SMJ two big tables would use, so take broadcast off the table
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+        )
+        write_bucketed(ev, "t_fact_b", ["user_id"], n_buckets=8)
+        write_bucketed(dim, "t_dim_b", ["user_id"], n_buckets=8)
+        joined = spark.table("t_fact_b").join(spark.table("t_dim_b"), "user_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # neither side re-shuffles
+        # and the result is the plain join's result
+        assert joined.count() == ev.count()
+        # disabling bucketing brings the shuffles back — proves the
+        # bucketed layout (not AQE luck) removed them
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+        plan_off = (
+            spark.table("t_fact_b")
+            .join(spark.table("t_dim_b"), "user_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" in plan_off
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_fact_b")
+        spark.sql("DROP TABLE IF EXISTS t_dim_b")
