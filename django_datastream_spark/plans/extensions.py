@@ -2508,3 +2508,103 @@ def q96(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# Q97 NOT-EXISTS anti-join, Q98 percent-of-total window
+# --------------------------------------------------------------------------
+@_declare(
+    "q97_dormant_customers",
+    """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) n_dormant,
+           ROUND(AVG(c.c_acctbal), 4) + 0 avg_bal
+    FROM customer c
+    WHERE c.c_acctbal > 0.0
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      )
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def q97(spark, sf_dir):
+    """TPC-H Q22 shape: NOT EXISTS decorrelated to a LEFT ANTI join —
+    positive-balance customers with no 1998+ orders. The anti side is
+    pre-filtered AND pre-projected to just the custkey before the
+    join, so the probe build is minimal; the date filter is pushed to
+    the orders scan."""
+    cu = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 0.0
+    )
+    recent = load_table(
+        spark, sf_dir, "orders",
+        ts_filters=[("o_orderdate", ">=", "1998-01-01 00:00:00")],
+    ).select("o_custkey")
+    return (
+        cu.join(recent, cu["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_dormant"),
+            (F.round(F.avg("c_acctbal"), 4) + F.lit(0.0)).alias("avg_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@_declare(
+    "q98_revenue_share",
+    """
+    WITH r AS (
+      SELECT n.n_name, SUM(l.l_extendedprice * (1 - l.l_discount)) rev
+      FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name,
+           ROUND(rev, 4) + 0 revenue,
+           ROUND(rev / SUM(rev) OVER (), 4) + 0 rev_share,
+           CAST(RANK() OVER (ORDER BY rev DESC) AS BIGINT) rnk
+    FROM r ORDER BY rnk, n_name
+    """,
+)
+def q98(spark, sf_dir):
+    """Percent-of-total share analysis: aggregate once, then an empty-
+    frame window computes each nation's share of global revenue and its
+    rank. The window runs over the AGGREGATED relation (|nations|
+    rows), so the single-partition window that would be a scale hazard
+    on raw data is a constant-size epilogue here — the right place for
+    a global window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    r = (
+        li.join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rev")
+        )
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.desc("rev"))
+    return (
+        r.select(
+            "n_name",
+            (F.round("rev", 4) + F.lit(0.0)).alias("revenue"),
+            (
+                F.round(F.col("rev") / F.sum("rev").over(w_all), 4)
+                + F.lit(0.0)
+            ).alias("rev_share"),
+            F.rank().over(w_rank).cast("long").alias("rnk"),
+        )
+        .orderBy("rnk", "n_name")
+    )
