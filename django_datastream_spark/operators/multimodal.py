@@ -238,12 +238,12 @@ def synth_media_from_documents(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 AUDIO_FEATURE_SCHEMA = (
     "media_id long, sample_rate int, channels int, duration_ms long, "
-    "rms double, peak double, zcr double"
+    "rms double, peak double, zcr double, decode_err string"
 )
 
 IMAGE_FEATURE_SCHEMA = (
     "media_id long, width int, height int, mean_r double, mean_g double, "
-    "mean_b double, luma_mean double, luma_std double"
+    "mean_b double, luma_mean double, luma_std double, decode_err string"
 )
 
 
@@ -258,8 +258,21 @@ def extract_wav_features(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from django_datastream_spark.operators.media_codecs import wav_features
 
+        nulls = {
+            "sample_rate": None, "channels": None, "duration_ms": None,
+            "rms": None, "peak": None, "zcr": None,
+        }
         for pdf in batches:
-            rows = [wav_features(p or b"") for p in pdf["content"]]
+            rows = []
+            for p in pdf["content"]:
+                # per-row quarantine: one corrupt payload must not kill
+                # the task (and with it the whole 100 TB job) — emit a
+                # null row with the reason instead, mirroring the
+                # PERMISSIVE corrupt-record policy of sources/files.py
+                try:
+                    rows.append({**wav_features(p or b""), "decode_err": None})
+                except Exception as e:  # noqa: BLE001 — quarantine, not mask
+                    rows.append({**nulls, "decode_err": str(e)[:200]})
             out = pd.DataFrame(rows)
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out
@@ -274,8 +287,17 @@ def extract_ppm_features(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from django_datastream_spark.operators.media_codecs import ppm_features
 
+        nulls = {
+            "width": None, "height": None, "mean_r": None, "mean_g": None,
+            "mean_b": None, "luma_mean": None, "luma_std": None,
+        }
         for pdf in batches:
-            rows = [ppm_features(p or b"") for p in pdf["content"]]
+            rows = []
+            for p in pdf["content"]:
+                try:
+                    rows.append({**ppm_features(p or b""), "decode_err": None})
+                except Exception as e:  # noqa: BLE001 — quarantine, not mask
+                    rows.append({**nulls, "decode_err": str(e)[:200]})
             out = pd.DataFrame(rows)
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out

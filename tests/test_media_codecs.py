@@ -114,3 +114,29 @@ def test_spark_wav_and_ppm_stages_match_pure_functions(spark):
     }
     for i, p in enumerate(ppms):
         assert bytes(got_r[i]["resized"]) == mc.resize_ppm(p, 3, 3)
+
+
+def test_corrupt_payloads_quarantine_not_crash(spark):
+    """A corrupt payload among good ones yields a null feature row with
+    decode_err set — the task (and job) survives, mirroring the
+    PERMISSIVE corrupt-record policy of the file sources."""
+    rows = [
+        (0, "audio", make_wav(seconds=0.25)),
+        (1, "audio", b"garbage not riff"),
+        (2, "audio", make_wav(seconds=0.25)[:30]),  # truncated header
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+    got = {r["media_id"]: r for r in mm.extract_wav_features(media).collect()}
+    assert got[0]["decode_err"] is None and got[0]["duration_ms"] == 250
+    assert got[1]["decode_err"] is not None and got[1]["rms"] is None
+    assert got[2]["decode_err"] is not None
+
+    imgs = [(0, "image", make_ppm(3, 3)), (1, "image", b"\x89PNG not ppm")]
+    media_p = spark.createDataFrame(
+        imgs, "media_id long, kind string, content binary"
+    )
+    got_p = {r["media_id"]: r for r in mm.extract_ppm_features(media_p).collect()}
+    assert got_p[0]["decode_err"] is None and got_p[0]["width"] == 3
+    assert got_p[1]["decode_err"] is not None and got_p[1]["width"] is None
