@@ -2608,3 +2608,41 @@ def q98(spark, sf_dir):
         )
         .orderBy("rnk", "n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Q99 language-ID confusion matrix (labeled vs predicted)
+# --------------------------------------------------------------------------
+@_declare(
+    "q99_lang_confusion",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) tok
+      FROM documents),
+    m(lang, marker) AS (VALUES {_lang_marker_values()}),
+    hits AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) hits
+             FROM toks JOIN m ON tok = marker GROUP BY 1, 2),
+    best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY hits DESC, lang ASC) rk FROM hits),
+    pred AS (SELECT d.doc_id, d.lang true_lang,
+                    COALESCE(b.lang, 'und') pred_lang
+             FROM documents d
+             LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rk = 1)
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) n
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q99(spark, sf_dir):
+    """Classifier-quality summary for the marker-based language ID: the
+    (labeled, predicted) confusion matrix. Composes q33's operator with
+    one extra hash agg on the (tiny) language pair key — the evaluation
+    query a user runs before trusting pred_lang as a filter column."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = tx.lang_id(docs).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )
