@@ -2646,3 +2646,52 @@ def q99(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Q100 SQL-text surface: gap sessionization in pure SQL over the views
+# --------------------------------------------------------------------------
+@_declare(
+    "q100_sql_sessions",
+    """
+    WITH marks AS (
+      SELECT user_id,
+             CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w > 1800
+                  THEN 1 ELSE 0 END new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(1 + SUM(new_s) AS BIGINT) n_sessions,
+           CAST(COUNT(*) AS BIGINT) n_events
+    FROM marks GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q100(spark, sf_dir):
+    """The SQL-text API surface: the engine registers its tables as
+    views (sources.testdata.register_views) and answers raw
+    ``spark.sql`` — here 30-minute-gap sessionization written entirely
+    in SQL (lag + mark + count), the declarative twin of the q43
+    operator. Registering a view is catalog metadata only (no job);
+    the plan is one per-user window + one hash agg, same as the
+    DataFrame form — Catalyst sees identical logical plans either
+    way."""
+    from ..sources.testdata import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        WITH marks AS (
+          SELECT user_id,
+                 CASE WHEN unix_timestamp(ts) - LAG(unix_timestamp(ts))
+                           OVER w > 1800
+                      THEN 1 ELSE 0 END new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               CAST(1 + SUM(new_s) AS BIGINT) n_sessions,
+               CAST(COUNT(*) AS BIGINT) n_events
+        FROM marks GROUP BY user_id ORDER BY user_id
+        """
+    )
