@@ -127,3 +127,90 @@ def stateful_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+_EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+EWMA_SCHEMA = T.StructType(
+    [
+        T.StructField("stream_id", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+
+def _make_ewma_fn(alpha: float):
+    """Per-group online EWMA. Captures only ``alpha`` (a float) so the
+    closure is executor-safe without this package on PYTHONPATH."""
+    import pandas as pd  # re-import inside closure for executor safety
+
+    def fn(
+        key: Tuple[str], pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover — no timeout configured
+            state.remove()
+            return
+        last_us, ewma, n = state.get if state.exists else (-1, 0.0, 0)
+        rows = []
+        for pdf in pdf_iter:
+            for ts, v in zip(pdf["ts"], pdf["value"]):
+                rows.append((int(ts.value // 1000), float(v)))
+        rows.sort()
+        out_ts, out_v, out_e = [], [], []
+        for ts_us, v in rows:
+            ewma = v if n == 0 else alpha * v + (1.0 - alpha) * ewma
+            n += 1
+            last_us = ts_us
+            out_ts.append(pd.Timestamp(ts_us, unit="us"))
+            out_v.append(v)
+            out_e.append(ewma)
+        if rows:
+            state.update((last_us, ewma, n))
+            yield pd.DataFrame(
+                {
+                    "stream_id": [key[0]] * len(rows),
+                    "ts": out_ts,
+                    "value": out_v,
+                    "ewma": out_e,
+                }
+            )
+
+    return fn
+
+
+def stateful_ewma(
+    source: DataFrame, alpha: float = 0.3, lateness: str = "0 seconds"
+) -> DataFrame:
+    """Online per-stream EWMA over a stream — the streaming twin of the
+    batch operator (operators/timeseries.ewma, q69): each point emits
+    immediately with the smoothed value, and the recurrence state (one
+    tuple per stream — last ts, current ewma, count) carries across
+    micro-batches and restarts via the state store. Within a batch,
+    rows apply in (ts) order regardless of arrival order; across
+    batches, ordering holds whenever the watermark does (late rows
+    beyond ``lateness`` are dropped, same policy as sessionize).
+
+    State size is O(streams) — three scalars each — so this runs
+    forever at any stream count; contrast with the batch form, which
+    needs the full history (or a checkpoint) to resume exactly.
+    """
+    return (
+        source.select("stream_id", "ts", "value")
+        .withWatermark("ts", lateness)
+        .groupBy("stream_id")
+        .applyInPandasWithState(
+            _make_ewma_fn(alpha),
+            outputStructType=EWMA_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

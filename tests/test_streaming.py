@@ -553,3 +553,68 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert got == [("s1", 0, 1.0), ("s1", 1, 2.0), ("s1", 5, 3.0), ("s2", 0, 5.0)]
+
+
+def test_stateful_ewma_state_carries_across_batches(spark, tmp_path):
+    """Streaming EWMA: within-batch values match the exact recurrence,
+    and the state store carries (ewma, n) across micro-batches so the
+    second batch continues the series instead of restarting it."""
+    from django_datastream_spark.streaming.ingest import INGEST_SCHEMA
+    from django_datastream_spark.streaming.stateful import stateful_ewma
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    alpha = 0.3
+
+    def run_batch(name: str, rows: list[dict]) -> None:
+        write_jsonl(f"{src}/{name}", rows)
+        stream = spark.readStream.schema(INGEST_SCHEMA).json(src)
+        q = (
+            stateful_ewma(stream.select("stream_id", "ts", "value"), alpha=alpha)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    vals0 = [10.0, 20.0, 5.0]
+    run_batch(
+        "b0.json",
+        [
+            {"stream_id": "s1", "ts": iso(t), "value": v}
+            for t, v in zip((0, 1, 2), vals0)
+        ]
+        + [{"stream_id": "s2", "ts": iso(0), "value": 100.0}],
+    )
+    vals1 = [40.0, 2.0]
+    run_batch(
+        "b1.json",
+        [
+            {"stream_id": "s1", "ts": iso(t), "value": v}
+            for t, v in zip((3, 4), vals1)
+        ],
+    )
+
+    # exact recurrence replay (same floats, same order)
+    exp, e = [], None
+    for v in vals0 + vals1:
+        e = v if e is None else alpha * v + (1 - alpha) * e
+        exp.append(e)
+
+    got = sorted(
+        (
+            (r["ts"].second, r["ewma"])
+            for r in spark.read.parquet(out).collect()
+            if r["stream_id"] == "s1"
+        )
+    )
+    assert [t for t, _ in got] == [0, 1, 2, 3, 4]
+    for (_, g), x in zip(got, exp):
+        assert abs(g - x) < 1e-12, (g, x)
+    # the independent stream seeds its own state
+    s2 = [r for r in spark.read.parquet(out).collect() if r["stream_id"] == "s2"]
+    assert len(s2) == 1 and s2[0]["ewma"] == 100.0
