@@ -247,3 +247,47 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_fact_b")
         spark.sql("DROP TABLE IF EXISTS t_dim_b")
+
+
+def test_aqe_splits_skewed_join_partition_at_runtime(spark):
+    """AQE skew-join: a 95%-hot join key whose shuffle partition
+    exceeds the skew threshold is SPLIT at runtime — the executed plan
+    shows SortMergeJoin(skew=true) with a skewed AQEShuffleRead — and
+    the result is still the exact join result. This is the automatic
+    complement to the explicit salted_join (q83): salting changes the
+    plan up front, AQE re-plans from runtime statistics.
+
+    Payloads are md5-derived so shuffle compression can't shrink the
+    hot partition under the detection threshold (a plain repeated
+    filler compresses ~100x and hides the skew from AQE's byte-based
+    stats — found the hard way)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(120_000).select(
+            F.when(F.col("id") % 20 < 19, F.lit(1))
+            .otherwise(F.col("id") % 11)
+            .alias("k"),
+            F.concat(
+                F.md5(F.col("id").cast("string")),
+                F.md5((F.col("id") + 7).cast("string")),
+            ).alias("p"),
+        )
+        dim = spark.range(0, 11, 1, 4).select(
+            F.col("id").alias("dk"), F.lit("d").alias("lbl")
+        )
+        j = fact.join(dim, fact["k"] == dim["dk"]).select("k", "p", "lbl")
+        rows = j.collect()  # same QueryExecution -> finalized AQE plan
+        assert len(rows) == 120_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+    finally:
+        for k in confs:
+            spark.conf.unset(k)
