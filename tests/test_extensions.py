@@ -1091,3 +1091,47 @@ def test_hll_sketch_rollup_reaggregates_exactly(spark):
     assert merged == oneshot  # re-aggregation is lossless
     for et, n in exact.items():
         assert abs(merged[et] - n) / n < 0.05, (et, merged[et], n)
+
+
+def test_count_min_sketch_heavy_hitters_and_merge(spark):
+    """The q92 pattern for FREQUENCIES: per-day count-min sketches built
+    with F.count_min_sketch merge (JVM mergeInPlace) into the same
+    counts a one-shot sketch gives, and every estimate obeys the CMS
+    guarantee: exact <= est <= exact + eps*N (here eps=0.5%, N=1000,
+    seed fixed so runs are deterministic). Finalization reads the
+    sketch bytes back through Spark's own CountMinSketch class — the
+    driver-side cost is |sketch| bytes, never |data|."""
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "user_id", "ts"
+    )
+    jvm = spark.sparkContext._jvm
+
+    def read_cms(b: bytes):
+        return jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            jvm.java.io.ByteArrayInputStream(bytes(b))
+        )
+
+    sk = F.count_min_sketch("user_id", F.lit(0.005), F.lit(0.01), F.lit(7))
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(sk.alias("sk"))
+        .collect()
+    )
+    assert len(daily) > 1  # the merge below is real
+    merged = read_cms(daily[0]["sk"])
+    for r in daily[1:]:
+        merged.mergeInPlace(read_cms(r["sk"]))
+
+    oneshot = read_cms(ev.agg(sk.alias("sk")).collect()[0]["sk"])
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    assert merged.totalCount() == oneshot.totalCount() == n_total
+    eps_bound = 0.005 * n_total
+    for uid, n in exact.items():
+        est_m = merged.estimateCount(jvm.java.lang.Long(uid))
+        est_o = oneshot.estimateCount(jvm.java.lang.Long(uid))
+        assert est_m == est_o  # merge is lossless (same width/depth/seed)
+        assert n <= est_m <= n + eps_bound, (uid, n, est_m)

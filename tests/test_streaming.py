@@ -618,3 +618,66 @@ def test_stateful_ewma_state_carries_across_batches(spark, tmp_path):
     # the independent stream seeds its own state
     s2 = [r for r in spark.read.parquet(out).collect() if r["stream_id"] == "s2"]
     assert len(s2) == 1 and s2[0]["ewma"] == 100.0
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two live streams joined on key within an event-time window:
+    in-window pairs emit, out-of-window and wrong-key pairs don't, and
+    a second micro-batch still matches against the buffered left rows
+    (stream-stream state, not per-batch joins)."""
+    import json as _json
+
+    from django_datastream_spark.streaming.joins import interval_join
+
+    schema = "user string, ts timestamp, info string"
+    src_l = str(tmp_path / "views")
+    src_r = str(tmp_path / "clicks")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    os.makedirs(src_l), os.makedirs(src_r)
+
+    def jrow(user, sec, info):
+        return _json.dumps({"user": user, "ts": iso(sec), "info": info})
+
+    def run():
+        left = spark.readStream.schema(schema).json(src_l)
+        right = spark.readStream.schema(schema).json(src_r)
+        q = (
+            interval_join(left, right, "user", window="30 seconds")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with open(f"{src_l}/b0.json", "w") as f:
+        f.write("\n".join([jrow("u1", 0, "v1"), jrow("u2", 10, "v2")]))
+    with open(f"{src_r}/b0.json", "w") as f:
+        f.write(
+            "\n".join(
+                [
+                    jrow("u1", 20, "c-in"),       # within 30s of v1 -> match
+                    jrow("u1", 45, "c-late"),     # 45s after v1 -> no match
+                    jrow("u3", 5, "c-nokey"),     # no left u3 -> no match
+                ]
+            )
+        )
+    run()
+    got = {
+        (r["l_info"], r["r_info"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {("v1", "c-in")}
+
+    # batch 2: a click matching the STILL-BUFFERED left row of u2
+    with open(f"{src_r}/b1.json", "w") as f:
+        f.write(jrow("u2", 30, "c-b2"))
+    run()
+    got2 = {
+        (r["l_info"], r["r_info"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == {("v1", "c-in"), ("v2", "c-b2")}
