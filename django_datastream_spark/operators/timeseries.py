@@ -81,9 +81,15 @@ def asof_join(
         ],
     ).filter(F.col("__side") == 1)
     if tolerance_seconds is not None:
-        in_tol = (
-            F.col("__ts").cast("double") - F.col("__mts").cast("double")
-        ) <= F.lit(float(tolerance_seconds))
+        # NTZ-safe epoch seconds: TIMESTAMP_NTZ has no direct cast to
+        # double in Spark 4 — bridge through TIMESTAMP (session tz is
+        # pinned UTC by harden_session), which keeps sub-second parts
+        def _secs(c: str) -> F.Column:
+            return F.col(c).cast("timestamp").cast("double")
+
+        in_tol = (_secs("__ts") - _secs("__mts")) <= F.lit(
+            float(tolerance_seconds)
+        )
     else:
         in_tol = F.lit(True)
     keep = F.col("__mts").isNotNull() & in_tol

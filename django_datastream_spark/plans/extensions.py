@@ -2695,3 +2695,62 @@ def q100(spark, sf_dir):
         FROM marks GROUP BY user_id ORDER BY user_id
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Q101 last-touch attribution (as-of join + tolerance composition)
+# --------------------------------------------------------------------------
+@_declare(
+    "q101_last_touch_attribution",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), r AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    ), j AS (
+      SELECT l.event_id, l.user_id, l.ts, r.ts rts
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) n_clicks,
+           CAST(SUM(CASE WHEN rts IS NOT NULL
+                          AND epoch(ts) - epoch(rts) <= 1800
+                         THEN 1 ELSE 0 END) AS BIGINT) n_attributed,
+           ROUND(SUM(CASE WHEN rts IS NOT NULL
+                           AND epoch(ts) - epoch(rts) <= 1800
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) + 0 rate
+    FROM j
+    """,
+)
+def q101(spark, sf_dir):
+    """Last-touch attribution: each click attributes to the user's most
+    recent view within 30 minutes — the as-of join operator (q56's
+    union-trick single-shuffle plan) composed with its tolerance
+    option, collapsed to the attribution-rate summary a marketing
+    pipeline reports. Tolerance is applied inside the operator (match
+    nulled when older than 30 min), so the aggregate just counts
+    non-null matches."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", "ts")
+        .distinct()
+        .withColumn("one", F.lit(1))
+    )
+    j = tso.asof_join(
+        clicks, views, key="user_id",
+        value_cols=("one",), tolerance_seconds=1800,
+    )
+    attributed = F.sum(
+        F.when(F.col("ts_asof").isNotNull(), 1).otherwise(0)
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        attributed.cast("long").alias("n_attributed"),
+        (
+            F.round(attributed / F.count(F.lit(1)), 4) + F.lit(0.0)
+        ).alias("rate"),
+    )
