@@ -166,19 +166,22 @@ def q35(spark, sf_dir):
                i -> regexp_extract_all(text,'\S+')[i] || ' ' ||
                     regexp_extract_all(text,'\S+')[i+1] || ' ' ||
                     regexp_extract_all(text,'\S+')[i+2])) sh
-      FROM documents WHERE doc_id < 40),
+      FROM documents WHERE doc_id < 200),
     p AS (SELECT a.doc_id a, b.doc_id b,
                  len(list_intersect(a.sh, b.sh)) * 1.0
                  / NULLIF(len(list_distinct(list_concat(a.sh, b.sh))), 0) j
           FROM t a JOIN t b ON a.doc_id < b.doc_id)
-    SELECT a, b, ROUND(j, 4) jaccard FROM p WHERE j >= 0.05 ORDER BY a, b
+    SELECT a, b, ROUND(j, 4) jaccard FROM p WHERE j >= 0.02 ORDER BY a, b
     """,
 )
 def q36(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    # doc_id < 200 @ threshold 0.02 is non-vacuous at every test sf
+    # (57 pairs at sf0.001, 58 at sf0.01) — a 0-row hash match proves
+    # nothing, per the round-4 advisor note on q12.
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     pairs = dd.jaccard_pairs(docs, pairs=None, shingle_n=3)
     return (
-        pairs.filter(F.col("jaccard") >= 0.05)
+        pairs.filter(F.col("jaccard") >= 0.02)
         .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
         .orderBy("a", "b")
     )
