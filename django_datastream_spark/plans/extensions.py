@@ -2757,3 +2757,153 @@ def q101(spark, sf_dir):
             F.round(attributed / F.count(F.lit(1)), 4) + F.lit(0.0)
         ).alias("rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q102-Q104: more TPC-H classics adapted to the slim star schema
+# (no l_shipmode/l_commitdate/p_container/partsupp in the testdata)
+# --------------------------------------------------------------------------
+@_declare(
+    "q102_promo_revenue_share",
+    """
+    SELECT date_trunc('month', l.l_shipdate) mon,
+           ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) + 0
+             promo_share,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) + 0 revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q102(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share per month. The date range
+    is pushed to the lineitem scan (raw-ns row-group filters); part is
+    joined on partkey and only (p_partkey, p_type) is read — column
+    pruning keeps the build side narrow. part grows with SF, so this
+    is a shuffle join on partkey at 100 TB (AQE may still broadcast
+    it when the pruned side fits); the conditional-aggregate form
+    computes share in ONE pass instead of two filtered scans."""
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ts_filters=[
+            ("l_shipdate", ">=", "1997-01-01 00:00:00"),
+            ("l_shipdate", "<", "1998-01-01 00:00:00"),
+        ],
+    ).select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("mon"))
+        .agg(
+            (
+                F.round(100.0 * F.sum(promo) / F.sum(rev), 4) + F.lit(0.0)
+            ).alias("promo_share"),
+            (F.round(F.sum(rev), 4) + F.lit(0.0)).alias("revenue"),
+        )
+        .orderBy("mon")
+    )
+
+
+@_declare(
+    "q103_disjunctive_part_filter",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) + 0 revenue,
+           CAST(COUNT(*) AS BIGINT) n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 50
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q103(spark, sf_dir):
+    """TPC-H Q19 shape: an OR-of-ANDs predicate spanning both join
+    sides. Catalyst factors the single-side conjuncts out of the
+    disjunction: part is pre-filtered to the three brands
+    (p_brand IN ... reaches the part scan), lineitem to the quantity
+    envelope [1,30], and only the residual mixed predicate runs after
+    the join. At 100 TB that pre-filter is the difference between
+    joining 3/25 of part vs all of it. The brand filter makes the
+    build side tiny and broadcast-able at any SF."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    pt = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    pred = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#2") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#3") & s.between(1, 50) & q.between(20, 30))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .filter(pred)
+        .agg(
+            (F.round(F.sum(rev), 4) + F.lit(0.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_declare(
+    "q104_returned_items",
+    """
+    SELECT c.c_custkey, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) + 0 revenue
+    FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q104(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in
+    one quarter. Both fact filters are pushed (quarter bounds on the
+    orders scan, returnflag on the lineitem scan), the facts join on
+    orderkey, then customer on custkey; nation (25 rows, size-constant
+    at any SF) is broadcast last. The final top-20 is
+    TakeOrderedAndProject — no global sort, each partition keeps 20
+    candidates and the driver merges."""
+    od = load_table(
+        spark, sf_dir, "orders",
+        ts_filters=[
+            ("o_orderdate", ">=", "1996-10-01 00:00:00"),
+            ("o_orderdate", "<", "1997-01-01 00:00:00"),
+        ],
+    ).select("o_orderkey", "o_custkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    na = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "n_name")
+        .agg((F.round(F.sum(rev), 4) + F.lit(0.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
