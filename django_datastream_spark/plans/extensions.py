@@ -2907,3 +2907,189 @@ def q104(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@_declare(
+    "q105_volume_shipping",
+    """
+    WITH sn AS (SELECT s_suppkey, n_name supp_nation
+                FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name IN ('NATION_1','NATION_2')),
+         cn AS (SELECT c_custkey, n_name cust_nation
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                WHERE n_name IN ('NATION_1','NATION_2'))
+    SELECT sn.supp_nation, cn.cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) l_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) + 0 volume
+    FROM lineitem l
+      JOIN sn ON l.l_suppkey = sn.s_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN cn ON o.o_custkey = cn.c_custkey
+    WHERE sn.supp_nation <> cn.cust_nation
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q105(spark, sf_dir):
+    """TPC-H Q7 shape: cross-nation trade volume by year between two
+    nations. Each fact row needs BOTH its supplier's and its
+    customer's nation; the nation filter shrinks supplier/customer to
+    2/25 of their rows before they touch the facts, and the
+    supp<>cust inequality runs as a cheap residual after the joins.
+    supplier|><|nation is broadcast into lineitem (nation-filtered
+    supplier is small); orders|><|customer shuffles on their natural
+    keys; the 2-year date band is pushed to the lineitem scan."""
+    na = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cn = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ts_filters=[
+            ("l_shipdate", ">=", "1996-01-01 00:00:00"),
+            ("l_shipdate", "<", "1998-01-01 00:00:00"),
+        ],
+    ).select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount",
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cn, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg((F.round(F.sum(rev), 4) + F.lit(0.0)).alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@_declare(
+    "q106_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)
+               total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, rev.total_revenue + 0 total_revenue
+    FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+    WHERE rev.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q106(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly
+    revenue. The classic correlated scalar subquery (revenue =
+    MAX(revenue)) is expressed as an empty-frame window MAX over the
+    aggregated per-supplier relation — one extra exchange over |supp|
+    rows instead of a second scan of lineitem. The quarter bound is
+    pushed to the fact scan; supplier joins after aggregation, so the
+    join input is |suppliers with sales|, not |lineitem|."""
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ts_filters=[
+            ("l_shipdate", ">=", "1997-01-01 00:00:00"),
+            ("l_shipdate", "<", "1997-04-01 00:00:00"),
+        ],
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("total_revenue")
+    )
+    w = Window.partitionBy()
+    top = rev.withColumn(
+        "_mx", F.max("total_revenue").over(w)
+    ).filter(F.col("total_revenue") == F.col("_mx"))
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        top.join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            (F.col("total_revenue") + F.lit(0.0)).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@_declare(
+    "q107_sole_late_supplier",
+    """
+    WITH lines AS (
+      SELECT l.l_suppkey, l.l_orderkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'),
+    per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) n_supp,
+             COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) n_late,
+             MAX(CASE WHEN late = 1 THEN l_suppkey END) late_supp
+      FROM lines GROUP BY l_orderkey)
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) numwait
+    FROM per_order p JOIN supplier s ON p.late_supp = s.s_suppkey
+    WHERE p.n_supp > 1 AND p.n_late = 1
+    GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 10
+    """,
+)
+def q107(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    the slim schema (lateness = shipped >60 days after order date).
+    The classic EXISTS(other supplier) AND NOT EXISTS(other LATE
+    supplier) pair decorrelates into ONE per-order aggregate:
+    n_supp > 1 AND n_late = 1 — Spark-first, this replaces two extra
+    self-joins of lineitem with a single groupBy(orderkey), which is
+    the shuffle the order join already paid for. MAX(late supplier)
+    is well-defined because the filter keeps exactly-one-late orders."""
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.when(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        F.col("l_suppkey"),
+    )
+    per_order = (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(late).alias("n_late"),
+            F.max(late).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.join(
+            F.broadcast(su), F.col("late_supp") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
