@@ -3093,3 +3093,132 @@ def q107(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Q108/Q109: k-means clustering + SemDeDup semantic dedup (clustering.py)
+# --------------------------------------------------------------------------
+_KM_ASSIGN_CTES = """
+    v AS (SELECT vec_id, embedding e FROM embeddings),
+    c0 AS (SELECT CAST(vec_id AS BIGINT) cid,
+                  list_transform(e, x -> CAST(x AS DOUBLE)) c
+           FROM v WHERE vec_id < 4),
+    d1 AS (SELECT v.vec_id, c0.cid,
+                  list_sum(list_transform(range(1, 65),
+                    i -> (CAST(v.e[i] AS DOUBLE) - c0.c[i])^2)) d2
+           FROM v CROSS JOIN c0),
+    a1 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cid) rn
+             FROM d1) WHERE rn = 1),
+    c1 AS (SELECT cid, list(m ORDER BY i) c FROM (
+             SELECT a.cid, i.i,
+                    round(avg(CAST(vv.e[i.i] AS DOUBLE)), 6) m
+             FROM a1 a JOIN v vv USING (vec_id)
+             CROSS JOIN (SELECT unnest(range(1, 65)) i) i
+             GROUP BY a.cid, i.i) GROUP BY cid),
+    d2_ AS (SELECT v.vec_id, c1.cid,
+                   list_sum(list_transform(range(1, 65),
+                     i -> (CAST(v.e[i] AS DOUBLE) - c1.c[i])^2)) d2
+            FROM v CROSS JOIN c1),
+    a2 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cid) rn
+             FROM d2_) WHERE rn = 1)
+"""
+
+
+@_declare(
+    "q108_kmeans_clusters",
+    f"""
+    WITH {_KM_ASSIGN_CTES},
+    c2 AS (SELECT cid, list(m ORDER BY i) c FROM (
+             SELECT a.cid, i.i,
+                    round(avg(CAST(vv.e[i.i] AS DOUBLE)), 6) m
+             FROM a2 a JOIN v vv USING (vec_id)
+             CROSS JOIN (SELECT unnest(range(1, 65)) i) i
+             GROUP BY a.cid, i.i) GROUP BY cid),
+    df AS (SELECT v.vec_id, c2.cid,
+                  list_sum(list_transform(range(1, 65),
+                    i -> (CAST(v.e[i] AS DOUBLE) - c2.c[i])^2)) d2
+           FROM v CROSS JOIN c2),
+    af AS (SELECT vec_id, cid, d2 FROM (
+             SELECT vec_id, cid, d2,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cid) rn
+             FROM df) WHERE rn = 1)
+    SELECT cid, CAST(COUNT(*) AS BIGINT) n, ROUND(AVG(d2), 4) + 0 mean_d2
+    FROM af GROUP BY cid ORDER BY cid
+    """,
+)
+def q108(spark, sf_dir):
+    """K-means (k=4, 2 Lloyd iterations, deterministic lowest-id init)
+    over the embeddings table, reported as cluster sizes + mean squared
+    distance to the final centroid. Fully declarative (operators/
+    clustering.py): centroids stay a DataFrame, assignment is a
+    broadcast cross-join of k rows + per-vector argmin window, updates
+    are one hash-agg each — building this plan launches zero jobs and
+    every iteration is one broadcast + one exchange at any SF. Oracle:
+    the same two iterations unrolled in DuckDB; 6-decimal centroid
+    rounding anchors the two engines' float64 paths bit-for-bit."""
+    from ..operators import clustering as cl
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    out = cl.kmeans_assign(vecs, k=4, iters=2, dim=64)
+    return (
+        out.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.avg("d2"), 4) + F.lit(0.0)).alias("mean_d2"),
+        )
+        .orderBy("cid")
+    )
+
+
+@_declare(
+    "q109_semdedup",
+    f"""
+    WITH {_KM_ASSIGN_CTES},
+    m AS (SELECT a2.vec_id, a2.cid, v.e,
+                 sqrt(list_sum(list_transform(v.e,
+                   x -> CAST(x AS DOUBLE)^2))) nrm
+          FROM a2 JOIN v USING (vec_id)),
+    dup AS (SELECT DISTINCT b.vec_id FROM m a JOIN m b
+            ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE list_sum(list_transform(range(1, 65),
+                    i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))
+                  / (a.nrm * b.nrm) >= 0.4)
+    SELECT m.cid, CAST(COUNT(*) AS BIGINT) n,
+           CAST(SUM(CASE WHEN dup.vec_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) n_dup
+    FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id
+    GROUP BY m.cid ORDER BY m.cid
+    """,
+)
+def q109(spark, sf_dir):
+    """SemDeDup shape (Abbas et al. 2023): cluster first (k-means,
+    1 Lloyd iteration), then find semantic duplicates ONLY within each
+    cluster — candidate pairs are an equi-join on cid, O(Σ cluster²)
+    instead of corpus². Keep-first rule: a vector is a duplicate iff a
+    lower-id twin in its cluster has cosine ≥ 0.4 (the threshold is
+    data-calibrated: this table has no pairs above 0.7). Reported per
+    cluster as (size, n_dup) — non-vacuous at every test sf."""
+    from ..operators import clustering as cl
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    assigned = cl.kmeans_assign(vecs, k=4, iters=1, dim=64)
+    marked = cl.semdedup(assigned, threshold=0.4)
+    return (
+        marked.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup"),
+        )
+        .orderBy("cid")
+    )
