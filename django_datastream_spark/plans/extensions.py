@@ -3222,3 +3222,112 @@ def q109(spark, sf_dir):
         )
         .orderBy("cid")
     )
+
+
+# --------------------------------------------------------------------------
+# Q110/Q111: corpus statistics — Zipf fit and PMI collocations
+# --------------------------------------------------------------------------
+@_declare(
+    "q110_zipf_slope",
+    r"""
+    WITH tok AS (SELECT unnest(regexp_extract_all(text, '\S+')) w
+                 FROM documents),
+    f AS (SELECT w, CAST(count(*) AS BIGINT) n FROM tok GROUP BY w),
+    r AS (SELECT w, n, row_number() OVER (ORDER BY n DESC, w) rk FROM f)
+    SELECT ROUND(regr_slope(ln(n), ln(rk)), 4) + 0 slope,
+           ROUND(regr_intercept(ln(n), ln(rk)), 4) + 0 icpt,
+           CAST(COUNT(*) AS BIGINT) n_ranks
+    FROM r WHERE rk <= 100
+    """,
+)
+def q110(spark, sf_dir):
+    """Zipf's-law fit over the corpus vocabulary: OLS slope/intercept
+    of ln(freq) vs ln(rank) for the top-100 ranks — the standard
+    corpus-health diagnostic (natural text ≈ −1). One explode + one
+    hash-agg over tokens; the rank window runs over |vocab| rows (the
+    agg output), never over token instances, so the sort input is
+    vocabulary-sized at any corpus scale. regr_slope/regr_intercept
+    are built-in JVM aggregates on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tx.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "w")
+    ranked = freq.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 100
+    )
+    return ranked.agg(
+        (
+            F.round(F.regr_slope(F.log("n"), F.log("rk")), 4) + F.lit(0.0)
+        ).alias("slope"),
+        (
+            F.round(F.regr_intercept(F.log("n"), F.log("rk")), 4)
+            + F.lit(0.0)
+        ).alias("icpt"),
+        F.count(F.lit(1)).alias("n_ranks"),
+    )
+
+
+@_declare(
+    "q111_pmi_collocations",
+    r"""
+    WITH d AS (SELECT regexp_extract_all(text, '\S+') tk FROM documents),
+    tok AS (SELECT unnest(tk) w FROM d),
+    uni AS (SELECT w, count(*) n FROM tok GROUP BY w),
+    nt AS (SELECT count(*) n FROM tok),
+    pairs AS (SELECT u.pr[1] a, u.pr[2] b FROM (
+      SELECT unnest(list_transform(range(1, greatest(len(tk), 1)),
+         i -> [tk[i], tk[i+1]])) pr FROM d) u
+      WHERE u.pr[2] IS NOT NULL),
+    bg AS (SELECT a, b, count(*) n_ab FROM pairs GROUP BY a, b)
+    SELECT bg.a, bg.b, CAST(bg.n_ab AS BIGINT) n_ab,
+           ROUND(ln(bg.n_ab * nt.n * 1.0 / (ua.n * ub.n)), 4) pmi
+    FROM bg JOIN uni ua ON bg.a = ua.w JOIN uni ub ON bg.b = ub.w
+    CROSS JOIN nt
+    WHERE bg.n_ab >= 10
+    ORDER BY pmi DESC, a, b LIMIT 20
+    """,
+)
+def q111(spark, sf_dir):
+    """Top-20 bigram collocations by pointwise mutual information:
+    pmi = ln(n_ab·N / (n_a·n_b)). Bigram extraction is the zip-of-
+    shifted-slices idiom (tokens referenced once per row, not once per
+    gram — see functions/text.shingles_from_tokens); unigram counts
+    broadcast into the bigram relation (|vocab| rows), the corpus
+    token total N is a 1-row broadcast cross-join computed IN-PLAN
+    (no driver-side count — the q60 lesson), and the final top-20 is
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tx.tokens(F.col("text"))
+    m = F.greatest(F.size(tk) - 1, F.lit(0))
+    zipped = F.arrays_zip(F.slice(tk, 1, m), F.slice(tk, 2, m))
+    pairs = (
+        docs.select(F.explode(zipped).alias("pr"))
+        .select(F.col("pr.0").alias("a"), F.col("pr.1").alias("b"))
+    )
+    toks = docs.select(F.explode(tk).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    nt = toks.agg(F.count(F.lit(1)).alias("n_tot"))
+    bg = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    ua = uni.select(F.col("w").alias("_wa"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("w").alias("_wb"), F.col("n").alias("n_b"))
+    return (
+        bg.filter(F.col("n_ab") >= 10)
+        .join(F.broadcast(ua), F.col("a") == F.col("_wa"))
+        .join(F.broadcast(ub), F.col("b") == F.col("_wb"))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "a", "b", "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab") * F.col("n_tot") * 1.0
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(20)
+    )
