@@ -3331,3 +3331,121 @@ def q111(spark, sf_dir):
         .orderBy(F.col("pmi").desc(), "a", "b")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Q112/Q113: two-level rollup merge law + seasonal (hour-of-day) anomalies
+# --------------------------------------------------------------------------
+@_declare(
+    "q112_rollup_merge",
+    """
+    SELECT user_id, event_type, date_trunc('day', ts) d,
+           ROUND(SUM(value), 4) s,
+           ROUND(SUM(value) / COUNT(value), 4) m,
+           ROUND(MIN(value), 4) l, ROUND(MAX(value), 4) u,
+           CAST(COUNT(value) AS BIGINT) c,
+           ROUND(SQRT((SUM(value*value) - SUM(value)*SUM(value)
+                       / COUNT(value)) / COUNT(value)), 4) d_std
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q112(spark, sf_dir):
+    """The downsample merge law AS a query: daily aggregates computed
+    by re-aggregating HOURLY partials (sum/count/min/max/sum_squares),
+    never re-reading raw points — exactly how points_agg serves a
+    coarser granularity from a finer one at 100 TB (SURVEY §2.3 A14:
+    the init/update/merge/finish contract). The oracle aggregates raw
+    events directly; hash-equality pins that merged partials are
+    indistinguishable from a single-pass aggregate: sums re-associate,
+    min/max fold, mean = Σs/Σc, std_dev from merged (s, q, c)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    v = F.col("value")
+    hourly = ev.groupBy(
+        "user_id", "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+    ).agg(
+        F.sum(v).alias("hs"),
+        F.count(v).alias("hc"),
+        F.min(v).alias("hl"),
+        F.max(v).alias("hu"),
+        F.sum(v * v).alias("hq"),
+    )
+    s, c, q = F.sum("hs"), F.sum("hc"), F.sum("hq")
+    return (
+        hourly.groupBy(
+            "user_id", "event_type",
+            F.date_trunc("day", "h").alias("d"),
+        )
+        .agg(
+            F.round(s, 4).alias("s"),
+            F.round(s / c, 4).alias("m"),
+            F.round(F.min("hl"), 4).alias("l"),
+            F.round(F.max("hu"), 4).alias("u"),
+            c.cast("long").alias("c"),
+            F.round(F.sqrt((q - s * s / c) / c), 4).alias("d_std"),
+        )
+        .orderBy("user_id", "event_type", "d")
+    )
+
+
+@_declare(
+    "q113_seasonal_anomalies",
+    """
+    WITH prof AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) hod,
+             SUM(value) / COUNT(value) m,
+             SQRT((SUM(value*value) - SUM(value)*SUM(value)/COUNT(value))
+                  / COUNT(value)) sd
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+    SELECT e.event_type, CAST(COUNT(*) AS BIGINT) n_events,
+           CAST(SUM(CASE WHEN ABS(e.value - p.m) > 2 * p.sd
+                         THEN 1 ELSE 0 END) AS BIGINT) n_anomalies
+    FROM events e JOIN prof p
+      ON e.event_type = p.event_type AND hour(e.ts) = p.hod
+    WHERE e.value IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q113(spark, sf_dir):
+    """Seasonal anomaly detection: build an hour-of-day baseline
+    profile (mean + population σ per event_type × hour), broadcast it
+    back onto the stream, and count points deviating more than 2σ from
+    their hour's mean. The profile is |event_types|×24 rows at ANY
+    corpus size — the join side that grows is never shuffled against
+    itself, and the raw scan happens twice only in the logical plan
+    (the profile agg is map-side partial). σ uses the explicit
+    (s, q, c) formula so both engines agree bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    v = F.col("value")
+    s, c, q = F.sum(v), F.count(v), F.sum(v * v)
+    prof = ev.groupBy(
+        F.col("event_type").alias("_et"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(
+        (s / c).alias("m"),
+        F.sqrt((q - s * s / c) / c).alias("sd"),
+    )
+    return (
+        ev.join(
+            F.broadcast(prof),
+            (F.col("event_type") == F.col("_et"))
+            & (F.hour("ts").cast("long") == F.col("hod")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("m"))
+                    > 2 * F.col("sd"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
