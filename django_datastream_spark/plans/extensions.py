@@ -3449,3 +3449,132 @@ def q113(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q114/Q115: time-weighted average + merged activity intervals
+# --------------------------------------------------------------------------
+@_declare(
+    "q114_time_weighted_avg",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, date_trunc('day', ts) d, value,
+             CAST(floor(epoch(ts)) AS BIGINT) et,
+             LEAD(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id, event_type,
+                                  date_trunc('day', ts)
+                     ORDER BY ts, event_id) nxt
+      FROM events WHERE value IS NOT NULL)
+    SELECT user_id, event_type, d,
+           ROUND(CASE WHEN MAX(et) > MIN(et)
+                 THEN SUM(value * COALESCE(nxt - et, 0))
+                      / (MAX(et) - MIN(et))
+                 ELSE MIN(value) END, 4) twa,
+           CAST(COUNT(*) AS BIGINT) c
+    FROM o GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q114(spark, sf_dir):
+    """Time-weighted average per stream-day (LOCF weighting): each
+    point's value is held until the next observation, so
+    twa = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first); a lone point degrades
+    to its own value. The TSDB operator the reference lacks but every
+    irregular-sampling pipeline needs (a value that was 'high for 10 s'
+    must not outweigh one 'low for an hour'). One lead window per
+    stream-day partition + one agg — both shuffles share the stream
+    grouping key, and integer-second EPOCHS keeps the arithmetic
+    engine-portable."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    day = F.date_trunc("day", "ts")
+    et = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id", "event_type", day).orderBy(
+        "ts", "event_id"
+    )
+    o = ev.select(
+        "user_id", "event_type", day.alias("d"), "value",
+        et.alias("et"), F.lead(et).over(w).alias("nxt"),
+    )
+    twa = (
+        F.when(
+            F.max("et") > F.min("et"),
+            F.sum(
+                F.col("value")
+                * F.coalesce(F.col("nxt") - F.col("et"), F.lit(0))
+            )
+            / (F.max("et") - F.min("et")),
+        ).otherwise(F.min("value"))
+    )
+    return (
+        o.groupBy("user_id", "event_type", "d")
+        .agg(
+            F.round(twa, 4).alias("twa"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .orderBy("user_id", "event_type", "d")
+    )
+
+
+@_declare(
+    "q115_activity_intervals",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - LAG(CAST(floor(epoch(ts)) AS BIGINT))
+                         OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) > 600
+                  THEN 1 ELSE 0 END brk
+      FROM events),
+    g AS (SELECT user_id, ts,
+                 SUM(brk) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) grp
+          FROM o),
+    iv AS (SELECT user_id, grp,
+                  CAST(floor(epoch(max(ts))) AS BIGINT)
+                  - CAST(floor(epoch(min(ts))) AS BIGINT) span
+           FROM g GROUP BY 1, 2)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) n_intervals,
+           CAST(MAX(span) AS BIGINT) max_span,
+           CAST(SUM(span) AS BIGINT) covered
+    FROM iv GROUP BY 1 ORDER BY 1
+    """,
+)
+def q115(spark, sf_dir):
+    """Gaps-and-islands interval merging: consecutive points ≤600 s
+    apart fuse into one activity interval; report per stream the
+    interval count, the longest span, and total covered seconds — the
+    'when was this sensor actually reporting' primitive behind SLA and
+    coverage dashboards (complements q73's gap listing by materializing
+    the islands themselves). Break flags, the running-sum island id,
+    and the island agg all partition on the SAME stream key, so the
+    whole query is one shuffle + two window passes + one agg."""
+    ev = load_table(spark, sf_dir, "events")
+    et = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "ts",
+        F.when(et - F.lag(et).over(w) > 600, 1).otherwise(0).alias("brk"),
+        "event_id",
+    )
+    g = o.select(
+        "user_id", "ts",
+        F.sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("grp"),
+    )
+    iv = g.groupBy("user_id", "grp").agg(
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .alias("span")
+    )
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.max("span").cast("long").alias("max_span"),
+            F.sum("span").cast("long").alias("covered"),
+        )
+        .orderBy("user_id")
+    )
