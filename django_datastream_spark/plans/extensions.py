@@ -3578,3 +3578,81 @@ def q115(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q116: REAL image decode verified by an arithmetic oracle
+# --------------------------------------------------------------------------
+@_declare(
+    "q116_image_channel_stats",
+    """
+    WITH px AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 7 + r.r * 3 + c.c * 5) % 256) pr,
+             ((d.doc_id * 7 + r.r * 3 + c.c * 5 + 11) % 256) pg,
+             ((d.doc_id * 7 + r.r * 3 + c.c * 5 + 22) % 256) pb
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+      CROSS JOIN (SELECT unnest(range(0, 16)) r) r
+      CROSS JOIN (SELECT unnest(range(0, 32)) c) c),
+    lm AS (SELECT doc_id, pr, pg, pb,
+                  0.299 * pr + 0.587 * pg + 0.114 * pb luma
+           FROM px)
+    SELECT doc_id media_id,
+           CAST(32 AS INT) width, CAST(16 AS INT) height,
+           ROUND(AVG(pr * 1.0), 4) mean_r,
+           ROUND(AVG(pg * 1.0), 4) mean_g,
+           ROUND(AVG(pb * 1.0), 4) mean_b,
+           ROUND(AVG(luma), 4) luma_mean,
+           ROUND(SQRT(AVG(luma * luma) - AVG(luma) * AVG(luma)), 4)
+             luma_std
+    FROM lm GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q116(spark, sf_dir):
+    """REAL image decode, arithmetically verified: each document gets
+    a deterministic 32×16 P6 PPM whose pixel (r,c) channel k equals
+    (doc_id·7 + r·3 + c·5 + k·11) mod 256; the Spark side ENCODES the
+    payload, runs the real netpbm parser + channel/luma features
+    (media_codecs.ppm_features over Arrow-batched mapInPandas), while
+    the DuckDB oracle re-derives the same statistics from the closed
+    form — so a hash match proves the whole bytes→parse→feature path,
+    not just the plumbing. Shuffle-free: synth and decode are
+    map-only stages."""
+    from ..operators.multimodal import extract_ppm_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def synth(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from django_datastream_spark.operators.media_codecs import (
+            encode_ppm,
+        )
+
+        h, w = 16, 32
+        r = _np.arange(h).reshape(h, 1, 1)
+        c = _np.arange(w).reshape(1, w, 1)
+        k = _np.arange(3).reshape(1, 1, 3)
+        base = r * 3 + c * 5 + k * 11
+        for pdf in batches:
+            payloads = [
+                encode_ppm((int(did) * 7 + base) % 256)
+                for did in pdf["doc_id"]
+            ]
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    feats = extract_ppm_features(media)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("luma_mean", 4).alias("luma_mean"),
+        F.round("luma_std", 4).alias("luma_std"),
+    ).orderBy("media_id")
