@@ -148,15 +148,28 @@ def semdedup(
     LOWER id (keep-first). Pair generation is an equi-join on ``cid``
     — the whole point of clustering first: candidate pairs are
     O(Σ cluster²), never corpus². Returns (id, cid, is_dup)."""
-    a = assigned.select(
+    # norms are computed ONCE per vector before the self-join — an
+    # in-pair norm would run 3 array folds per candidate pair instead
+    # of 1, tripling the O(cluster²) dominant cost
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    with_nrm = assigned.withColumn("_nrm", nrm)
+    a = with_nrm.select(
         F.col("cid"),
         F.col(id_col).alias("_ida"),
         F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
     )
-    b = assigned.select(
+    b = with_nrm.select(
         F.col("cid"),
         F.col(id_col).alias("_idb"),
         F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
     )
     dot = F.aggregate(
         F.zip_with(
@@ -166,17 +179,10 @@ def semdedup(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.col(c),
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-    )
     pairs = (
         a.join(b, on="cid")
         .filter(F.col("_ida") < F.col("_idb"))
-        .withColumn("_cos", dot / (norm("_va") * norm("_vb")))
+        .withColumn("_cos", dot / (F.col("_na") * F.col("_nb")))
         .filter(F.col("_cos") >= threshold)
         .select("_idb")
         .distinct()
