@@ -162,3 +162,23 @@ def stratified_sample(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    id_col: str = "doc_id",
+    salt: str = "qw",
+) -> DataFrame:
+    """Importance sampling by a per-row quality weight in [0, 1]: keep
+    the row iff its deterministic ``u01`` draw falls below ``weight``
+    — so a 0.9-quality document survives 9× as often as a 0.1 one,
+    reproducibly. The curation step between scoring and mixing in a
+    training pipeline. Same scale shape as :func:`weighted_mix`:
+    stateless row-local expressions, no shuffle; adds ``w`` and ``u``
+    for audits."""
+    return (
+        df.withColumn("w", weight)
+        .withColumn("u", u01(F.col(id_col), salt))
+        .filter(F.col("u") < F.col("w"))
+    )

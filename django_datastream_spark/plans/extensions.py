@@ -3656,3 +3656,132 @@ def q116(spark, sf_dir):
         F.round("luma_mean", 4).alias("luma_mean"),
         F.round("luma_std", 4).alias("luma_std"),
     ).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# Q117/Q118: TPC-H Q8 market share + quality-weighted corpus sampling
+# --------------------------------------------------------------------------
+@_declare(
+    "q117_market_share",
+    """
+    WITH rn AS (SELECT n_nationkey, n_name
+                FROM nation JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA'),
+    base AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) o_year,
+             l.l_extendedprice * (1 - l.l_discount) volume,
+             sn.n_name supp_nation
+      FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN rn ON c.c_nationkey = rn.n_nationkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE 0 END) / SUM(volume), 4) + 0 mkt_share
+    FROM base GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q117(spark, sf_dir):
+    """TPC-H Q8 shape: one supplier nation's share of a region's
+    market by year. The region filter prunes customers via the
+    broadcast nation|><|region chain BEFORE the fact join (the 'ASIA
+    customers only' semi-join effect), supplier's nation joins as a
+    25-row broadcast, and the share is a conditional aggregate — one
+    pass, no self-join of the fact. Order-date bounds push to the
+    orders scan."""
+    rg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    rn = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(rg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("_cnk"))
+    )
+    sup_nat = (
+        load_table(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").alias("_snk"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    cu = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(rn), F.col("c_nationkey") == F.col("_cnk"))
+        .select("c_custkey")
+    )
+    od = load_table(
+        spark, sf_dir, "orders",
+        ts_filters=[
+            ("o_orderdate", ">=", "1996-01-01 00:00:00"),
+            ("o_orderdate", "<", "1998-01-01 00:00:00"),
+        ],
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    su = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(sup_nat), F.col("s_nationkey") == F.col("_snk")
+        )
+    )
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0)
+    ) / F.sum(vol)
+    return (
+        base.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg((F.round(share, 4) + F.lit(0.0)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@_declare(
+    "q118_quality_weighted_sample",
+    r"""
+    WITH q AS (
+      SELECT doc_id, source,
+             least(len(regexp_extract_all(text, '\S+')) / 60.0, 1.0) w,
+             CAST(('0x' || substr(md5('qw:' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) / 4294967296.0 u
+      FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) n_total,
+           CAST(SUM(CASE WHEN u < w THEN 1 ELSE 0 END) AS BIGINT) n_kept,
+           ROUND(AVG(w), 4) mean_w
+    FROM q GROUP BY source ORDER BY source
+    """,
+)
+def q118(spark, sf_dir):
+    """Quality-weighted importance sampling: keep probability ∝ a
+    quality weight (token count capped at 60 → [0,1]), decided by the
+    portable md5 u01 draw (operators/sampling.u01) — a 0.9-quality doc
+    survives 9× as often as a 0.1 one, bit-reproducibly on any engine,
+    any cluster size, any partitioning. Stateless row-local map, no
+    shuffle before the audit aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.least(
+        F.size(tx.tokens(F.col("text"))) / F.lit(60.0), F.lit(1.0)
+    )
+    scored = docs.withColumn("w", w).withColumn(
+        "u", smp.u01(F.col("doc_id"), "qw")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(F.col("u") < F.col("w"), 1).otherwise(0)
+            ).cast("long").alias("n_kept"),
+            F.round(F.avg("w"), 4).alias("mean_w"),
+        )
+        .orderBy("source")
+    )

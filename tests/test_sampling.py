@@ -91,3 +91,24 @@ def test_train_heldout_split_partition(corpus):
     # if salts were shared, mix u<0.5 would contain ALL heldout (u<0.25)
     # rows; independence makes ~half of heldout fall outside the mix
     assert len(heldout_in_mix) < counts["heldout"]
+
+
+def test_quality_weighted_sample(corpus):
+    # weight 1.0 keeps everything; weight 0.0 keeps nothing
+    assert smp.quality_weighted_sample(corpus, F.lit(1.0)).count() == 400
+    assert smp.quality_weighted_sample(corpus, F.lit(0.0)).count() == 0
+    # graded weights: higher-weight rows survive more often, and
+    # membership is reproducible and row-local
+    w = (F.col("doc_id") % 10) / 10.0
+    kept = smp.quality_weighted_sample(corpus, w)
+    ids1 = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in smp.quality_weighted_sample(corpus, w).select("doc_id").collect()
+    )
+    assert ids1 == ids2
+    lo = sum(1 for i in ids1 if i % 10 <= 2)
+    hi = sum(1 for i in ids1 if i % 10 >= 7)
+    assert hi > 2 * lo
+    # audit columns present: every survivor has u < w
+    assert kept.filter(F.col("u") >= F.col("w")).count() == 0
