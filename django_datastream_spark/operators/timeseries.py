@@ -34,16 +34,26 @@ def asof_join(
     value_cols: tuple[str, ...] = ("value",),
     tolerance_seconds: float | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the latest right row with
-    ``right.ts <= left.ts`` (inclusive) on the same ``key``.
+    ``right.ts <= left.ts`` (``direction="backward"``, inclusive) or
+    the earliest right row with ``right.ts >= left.ts``
+    (``direction="forward"``) on the same ``key``.
 
     Right must be unique per (key, ts) — pre-aggregate it if not (the
     match would otherwise be ambiguous; DuckDB's ASOF JOIN has the same
     precondition). Adds ``<value>_asof`` per value col plus
     ``ts_asof`` (the matched right timestamp, null when no match or
     outside ``tolerance_seconds``).
+
+    Both directions are the same single-shuffle union trick: tag the
+    sides, sort by (ts, side) within the key partition so the eligible
+    right row is adjacent, and propagate it with ``last``/``first``
+    over a one-sided frame — never a range self-join.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     lcols = left.columns
     r = right.select(
         F.col(key).alias("__k"),
@@ -60,23 +70,37 @@ def asof_join(
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
     )
     u = l.unionByName(r, allowMissingColumns=True)
-    # right rows sort before left rows at equal ts → inclusive match
-    w = (
-        Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched_ts = F.last(
-        F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
-    ).over(w)
+    if direction == "backward":
+        # right rows sort before left rows at equal ts → inclusive match
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__ts", "__side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+        def pick(c):
+            return F.last(
+                F.when(F.col("__side") == 0, c), ignorenulls=True
+            ).over(w)
+    else:
+        # forward: left rows sort before right rows at equal ts, and
+        # the nearest eligible right row is the FIRST in the frame ahead
+        w = (
+            Window.partitionBy("__k")
+            .orderBy("__ts", F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+
+        def pick(c):
+            return F.first(
+                F.when(F.col("__side") == 0, c), ignorenulls=True
+            ).over(w)
+
     filled = u.select(
         "*",
-        matched_ts.alias("__mts"),
+        pick(F.col("__ts")).alias("__mts"),
         *[
-            F.last(
-                F.when(F.col("__side") == 0, F.col(f"__v_{c}")),
-                ignorenulls=True,
-            ).over(w).alias(f"__m_{c}")
+            pick(F.col(f"__v_{c}")).alias(f"__m_{c}")
             for c in value_cols
         ],
     ).filter(F.col("__side") == 1)
@@ -87,9 +111,12 @@ def asof_join(
         def _secs(c: str) -> F.Column:
             return F.col(c).cast("timestamp").cast("double")
 
-        in_tol = (_secs("__ts") - _secs("__mts")) <= F.lit(
-            float(tolerance_seconds)
+        gap = (
+            _secs("__ts") - _secs("__mts")
+            if direction == "backward"
+            else _secs("__mts") - _secs("__ts")
         )
+        in_tol = gap <= F.lit(float(tolerance_seconds))
     else:
         in_tol = F.lit(True)
     keep = F.col("__mts").isNotNull() & in_tol

@@ -3785,3 +3785,62 @@ def q118(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@_declare(
+    "q119_time_to_next_view",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), r AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    ), j AS (
+      SELECT l.event_id, l.ts, r.ts rts
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+    ), t AS (
+      SELECT event_id,
+             CASE WHEN rts IS NOT NULL
+                   AND epoch(rts) - epoch(ts) <= 1800
+                  THEN epoch(rts) - epoch(ts) END lat
+      FROM j)
+    SELECT CAST(COUNT(*) AS BIGINT) n_clicks,
+           CAST(COUNT(lat) AS BIGINT) n_matched,
+           ROUND(AVG(lat), 4) + 0 mean_latency_s
+    FROM t
+    """,
+)
+def q119(spark, sf_dir):
+    """FORWARD as-of join: for each click, the next view by the same
+    user within 30 minutes — time-to-next-engagement, the mirror of
+    q101's last-touch attribution. Same single-shuffle union-trick
+    plan as the backward direction (operators/timeseries.asof_join
+    direction='forward'): sides tagged, sorted by (ts, side) in the
+    key partition, nearest eligible right row propagated with a
+    one-sided window frame — never a range self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", "ts")
+        .distinct()
+        .withColumn("one", F.lit(1))
+    )
+    j = tso.asof_join(
+        clicks, views, key="user_id",
+        value_cols=("one",), tolerance_seconds=1800,
+        direction="forward",
+    )
+    lat = F.when(
+        F.col("ts_asof").isNotNull(),
+        F.col("ts_asof").cast("timestamp").cast("double")
+        - F.col("ts").cast("timestamp").cast("double"),
+    )
+    t = j.select(lat.alias("lat"))
+    return t.agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("lat").alias("n_matched"),
+        (F.round(F.avg("lat"), 4) + F.lit(0.0)).alias("mean_latency_s"),
+    )

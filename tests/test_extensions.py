@@ -1135,3 +1135,51 @@ def test_count_min_sketch_heavy_hitters_and_merge(spark):
         est_o = oneshot.estimateCount(jvm.java.lang.Long(uid))
         assert est_m == est_o  # merge is lossless (same width/depth/seed)
         assert n <= est_m <= n + eps_bound, (uid, n, est_m)
+
+
+def test_asof_join_forward_crafted(spark):
+    from datetime import datetime as dt
+
+    from django_datastream_spark.operators import timeseries as tso
+
+    left = spark.createDataFrame(
+        [
+            (1, 7, dt(2024, 1, 1, 0, 0, 1)),   # next right is r@2 -> 20.0
+            (2, 7, dt(2024, 1, 1, 0, 0, 3)),   # equal ts -> inclusive, 30.0
+            (3, 7, dt(2024, 1, 1, 0, 0, 4)),   # after all rights -> null
+            (4, 8, dt(2024, 1, 1, 0, 0, 0)),   # other key -> 80.0
+            (5, 9, dt(2024, 1, 1, 0, 0, 0)),   # key with no right rows
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (7, dt(2024, 1, 1, 0, 0, 2), 20.0),
+            (7, dt(2024, 1, 1, 0, 0, 3), 30.0),
+            (8, dt(2024, 1, 1, 0, 0, 5), 80.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: r
+        for r in tso.asof_join(
+            left, right, key="user_id", direction="forward"
+        ).collect()
+    }
+    assert out[1]["value_asof"] == 20.0
+    assert out[2]["value_asof"] == 30.0          # equal ts is inclusive
+    assert out[3]["value_asof"] is None and out[3]["ts_asof"] is None
+    assert out[4]["value_asof"] == 80.0
+    assert out[5]["value_asof"] is None
+    assert len(out) == 5
+
+    # tolerance applies to the FORWARD gap
+    tol = {
+        r["event_id"]: r
+        for r in tso.asof_join(
+            left, right, key="user_id", direction="forward",
+            tolerance_seconds=1.5,
+        ).collect()
+    }
+    assert tol[1]["value_asof"] == 20.0          # gap 1s <= 1.5
+    assert tol[4]["value_asof"] is None          # gap 5s > 1.5
