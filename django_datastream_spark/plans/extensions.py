@@ -3844,3 +3844,129 @@ def q119(spark, sf_dir):
         F.count("lat").alias("n_matched"),
         (F.round(F.avg("lat"), 4) + F.lit(0.0)).alias("mean_latency_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q120-Q122: percentile bands, rolling distinct, CDC latest-state
+# --------------------------------------------------------------------------
+@_declare(
+    "q120_daily_percentile_bands",
+    """
+    SELECT event_type, date_trunc('day', ts) d,
+           ROUND(quantile_cont(value, 0.5), 4) p50,
+           ROUND(quantile_cont(value, 0.95), 4) p95,
+           ROUND(quantile_cont(value, 0.99), 4) p99,
+           CAST(COUNT(value) AS BIGINT) c
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q120(spark, sf_dir):
+    """Daily latency-band dashboard: exact interpolated P50/P95/P99
+    per event_type per day (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, the q55 equivalence, now as a time series). One
+    hash agg keyed (type, day); at 100 TB swap `percentile` for
+    `approx_percentile` (the q64 twin pins that path's error
+    bound)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    return (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(pct.alias("_p"), F.count("value").alias("c"))
+        .select(
+            "event_type", "d",
+            F.round(F.col("_p")[0], 4).alias("p50"),
+            F.round(F.col("_p")[1], 4).alias("p95"),
+            F.round(F.col("_p")[2], 4).alias("p99"),
+            "c",
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+@_declare(
+    "q121_rolling_7d_distinct",
+    """
+    WITH contrib AS (
+      SELECT date_trunc('day', ts) + INTERVAL (o.o) DAY wday, user_id
+      FROM events
+      CROSS JOIN (SELECT unnest(range(0, 7)) o) o),
+    r AS (SELECT wday, COUNT(DISTINCT user_id) u, COUNT(*) n
+          FROM contrib GROUP BY wday)
+    SELECT wday, CAST(u AS BIGINT) active_users,
+           CAST(n AS BIGINT) window_events
+    FROM r ORDER BY wday
+    """,
+)
+def q121(spark, sf_dir):
+    """Trailing-7-day active users per day — the sliding DISTINCT
+    aggregate no window frame can express (COUNT(DISTINCT) OVER RANGE
+    is unsupported everywhere). The scale rewrite: each event
+    CONTRIBUTES to the 7 window-days it falls into (explode a 7-row
+    sequence — bounded fan-out), then one ordinary distinct agg per
+    window-day. Shuffle volume is 7×|events| ids, not |events|×|days|;
+    no self-join of the fact against a calendar."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    contrib = ev.select(
+        F.explode(
+            F.sequence(day, day + F.expr("INTERVAL 6 DAYS"),
+                       F.expr("INTERVAL 1 DAY"))
+        ).alias("wday"),
+        "user_id",
+    )
+    return (
+        contrib.groupBy("wday")
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.count(F.lit(1)).alias("window_events"),
+        )
+        .orderBy("wday")
+    )
+
+
+@_declare(
+    "q122_latest_state_snapshot",
+    """
+    WITH r AS (
+      SELECT user_id, event_type, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) rn
+      FROM events)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) n_keys,
+           ROUND(SUM(value), 4) latest_sum,
+           CAST(MAX(event_id) AS BIGINT) max_event
+    FROM r WHERE rn = 1 GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q122(spark, sf_dir):
+    """CDC compaction / SCD-1 snapshot: collapse an append log to the
+    LATEST row per key ((user_id, event_type) here), deterministic via
+    the (ts, event_id) total order. Spark side uses `max_by` over the
+    lexicographic version struct — one map-side-combinable hash agg,
+    no window sort, no shuffle of pre-aggregated rows: the shape that
+    turns a 100 TB changelog into a current-state table."""
+    ev = load_table(spark, sf_dir, "events")
+    ver = F.struct("ts", "event_id")
+    latest = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.max_by(F.struct("value", "event_id"), ver).alias("_w")
+        )
+        .select(
+            "event_type",
+            F.col("_w.value").alias("value"),
+            F.col("_w.event_id").alias("event_id"),
+        )
+    )
+    return (
+        latest.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.round(F.sum("value"), 4).alias("latest_sum"),
+            F.max("event_id").alias("max_event"),
+        )
+        .orderBy("event_type")
+    )
