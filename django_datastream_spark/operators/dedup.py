@@ -684,3 +684,45 @@ def levenshtein_near_pairs(
         )
         .filter((F.col("dist") >= 0) & (F.col("sim") >= F.lit(threshold)))
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Overlap-coefficient near-dup pairs: |A∩B| / min(|A|,|B|) over
+    shingle sets — the asymmetric measure that catches doc-contains-doc
+    (a page embedding a whole smaller page scores ~1.0 here but low
+    Jaccard, so symmetric dedup misses it). Candidate generation is the
+    same inverted-index equi-join as :func:`jaccard_pairs` (or caller-
+    provided pairs, e.g. from minhash bands, at scale)."""
+    sets_df = with_shingles(docs, shingle_n, text_col, id_col).select(
+        F.col(id_col).alias("_id"), F.col("_sh")
+    )
+    if pairs is None:
+        inv = sets_df.select("_id", F.explode("_sh").alias("s"))
+        pairs = (
+            inv.alias("x")
+            .join(inv.alias("y"), "s")
+            .filter(F.col("x._id") < F.col("y._id"))
+            .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
+            .distinct()
+        )
+    a_sets = sets_df.select(F.col("_id").alias("a"), F.col("_sh").alias("_sha"))
+    b_sets = sets_df.select(F.col("_id").alias("b"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    mn = F.least(F.size("_sha"), F.size("_shb"))
+    return (
+        pairs.join(a_sets, "a")
+        .join(b_sets, "b")
+        .select(
+            "a",
+            "b",
+            F.when(mn > 0, inter / mn).otherwise(F.lit(0.0)).alias(
+                "containment"
+            ),
+        )
+    )

@@ -3970,3 +3970,82 @@ def q122(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@_declare(
+    "q123_stream_trends",
+    """
+    SELECT user_id, event_type,
+           ROUND(regr_slope(value, floor(epoch(ts))) * 86400, 4) + 0
+             slope_per_day,
+           ROUND(regr_r2(value, floor(epoch(ts))), 4) + 0 r2,
+           CAST(COUNT(value) AS BIGINT) c
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2 HAVING COUNT(value) >= 10 ORDER BY 1, 2
+    """,
+)
+def q123(spark, sf_dir):
+    """Per-stream trend detection: OLS slope of value over time
+    (scaled to per-day) + R² for every stream with ≥10 points — the
+    'which sensors are drifting' sweep. regr_slope/regr_r2 are
+    built-in map-side-combinable aggregates on both engines, so the
+    whole sweep is ONE hash agg over the fact scan: no per-stream
+    loop, no window, no collect — the form that runs unchanged over a
+    million streams."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    et = F.floor(F.col("ts").cast("timestamp").cast("double"))
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            (
+                F.round(F.regr_slope(F.col("value"), et) * 86400, 4)
+                + F.lit(0.0)
+            ).alias("slope_per_day"),
+            (
+                F.round(F.regr_r2(F.col("value"), et), 4) + F.lit(0.0)
+            ).alias("r2"),
+            F.count("value").alias("c"),
+        )
+        .filter(F.col("c") >= 10)
+        .orderBy("user_id", "event_type")
+    )
+
+
+@_declare(
+    "q124_containment_pairs",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(regexp_extract_all(text,'\S+')) - 1, 1)),
+               i -> regexp_extract_all(text,'\S+')[i] || ' ' ||
+                    regexp_extract_all(text,'\S+')[i+1] || ' ' ||
+                    regexp_extract_all(text,'\S+')[i+2])) sh
+      FROM documents WHERE doc_id < 200),
+    p AS (SELECT a.doc_id a, b.doc_id b,
+                 len(list_intersect(a.sh, b.sh)) * 1.0
+                 / NULLIF(least(len(a.sh), len(b.sh)), 0) cont
+          FROM t a JOIN t b ON a.doc_id < b.doc_id)
+    SELECT a, b, ROUND(cont, 4) containment FROM p
+    WHERE cont >= 0.5 ORDER BY a, b
+    """,
+)
+def q124(spark, sf_dir):
+    """Doc-contains-doc detection via the overlap coefficient
+    |A∩B|/min(|A|,|B|) (operators/dedup.containment_pairs): a page
+    that wholesale-embeds a smaller page scores ~1.0 here but low
+    Jaccard, so symmetric near-dedup (q36/q48) misses it. Candidates
+    come from the inverted shingle index (equi-join on shingle, never
+    all-pairs); at scale the same function accepts minhash-band
+    candidate pairs instead."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    pairs = dd.containment_pairs(docs, pairs=None, shingle_n=3)
+    return (
+        pairs.filter(F.col("containment") >= 0.5)
+        .select("a", "b", F.round("containment", 4).alias("containment"))
+        .orderBy("a", "b")
+    )
