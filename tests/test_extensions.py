@@ -1183,3 +1183,28 @@ def test_asof_join_forward_crafted(spark):
     }
     assert tol[1]["value_asof"] == 20.0          # gap 1s <= 1.5
     assert tol[4]["value_asof"] is None          # gap 5s > 1.5
+
+
+def test_containment_catches_doc_contains_doc(spark):
+    from django_datastream_spark.operators import dedup as dd
+
+    big = " ".join(f"w{i}" for i in range(100))
+    small = " ".join(f"w{i}" for i in range(40, 52))  # contiguous slice
+    other = " ".join(f"x{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(0, big), (1, small), (2, other)], "doc_id long, text string"
+    )
+    cont = {
+        (r["a"], r["b"]): r["containment"]
+        for r in dd.containment_pairs(docs).collect()
+    }
+    jac = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dd.jaccard_pairs(docs).collect()
+    }
+    # the embedded doc is a PERFECT containment hit ...
+    assert cont[(0, 1)] == 1.0
+    # ... that symmetric jaccard scores far below any dedup threshold
+    assert jac[(0, 1)] < 0.15
+    # unrelated doc shares no shingles: not even a candidate pair
+    assert (0, 2) not in cont and (1, 2) not in cont
