@@ -4049,3 +4049,121 @@ def q124(spark, sf_dir):
         .select("a", "b", F.round("containment", 4).alias("containment"))
         .orderBy("a", "b")
     )
+
+
+# --------------------------------------------------------------------------
+# Q125/Q126: TPC-H Q17 decorrelation + graph-valued downsampling
+# --------------------------------------------------------------------------
+@_declare(
+    "q125_small_quantity_revenue",
+    """
+    WITH pa AS (SELECT l_partkey, AVG(l_quantity) aq
+                FROM lineitem GROUP BY 1)
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) + 0 avg_yearly,
+           CAST(COUNT(*) AS BIGINT) n
+    FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#5'
+      JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < 0.5 * pa.aq
+    """,
+)
+def q125(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from unusually-small orders of one
+    brand's parts. The correlated scalar subquery (quantity <
+    0.5·avg(quantity) FOR THAT PART) decorrelates into one per-part
+    aggregate joined back on partkey — the aggregate output is
+    |parts| rows, broadcastable, so the fact is scanned twice but
+    shuffled never; the brand filter prunes the part dim to ~1/25
+    before its join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pa = li.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("aq")
+    ).withColumnRenamed("l_partkey", "_pk")
+    pt = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#5")
+        .select("p_partkey")
+    )
+    return (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(pa), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(
+            (
+                F.round(F.sum("l_extendedprice") / 7.0, 4) + F.lit(0.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_declare(
+    "q126_graph_downsample",
+    """
+    WITH o AS (
+      SELECT user_id, date_trunc('day', ts) d, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id,
+                                                date_trunc('day', ts)
+                                   ORDER BY ts, event_id) prev
+      FROM events),
+    g AS (
+      SELECT user_id, d,
+             COUNT(DISTINCT event_type) nv,
+             COUNT(DISTINCT CASE WHEN prev IS NOT NULL
+                   THEN prev || '>' || event_type END) ne
+      FROM o GROUP BY 1, 2)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) n_graphs,
+           ROUND(AVG(nv), 4) mean_vertices,
+           ROUND(AVG(ne), 4) mean_edges
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q126(spark, sf_dir):
+    """Graph-valued datapoints as a DECLARED query (SURVEY §1.1: the
+    reference's third value_type — stored topology snapshots whose
+    only computations are construction and counting). Each stream-day
+    materializes a behavior graph in the §1.3 nested shape —
+    ``v ARRAY<STRUCT<i>>`` = distinct event types, ``e
+    ARRAY<STRUCT<f,t>>`` = distinct consecutive transitions — then the
+    downsample counts |v| and |e| FROM THE STRUCT, proving the nested
+    construction, not just the arithmetic. collect_list runs per
+    (user, day) partition after a lag window on the same key: one
+    shuffle end-to-end."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", day.alias("d"), "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    graphs = o.groupBy("user_id", "d").agg(
+        F.transform(
+            F.array_sort(F.collect_set("event_type")),
+            lambda t: F.struct(t.alias("i")),
+        ).alias("v"),
+        F.transform(
+            F.array_sort(
+                F.collect_set(
+                    F.when(
+                        F.col("prev").isNotNull(),
+                        F.struct(
+                            F.col("prev").alias("f"),
+                            F.col("event_type").alias("t"),
+                        ),
+                    )
+                )
+            ),
+            lambda s: s,
+        ).alias("e"),
+    )
+    return (
+        graphs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_graphs"),
+            F.round(F.avg(F.size("v")), 4).alias("mean_vertices"),
+            F.round(F.avg(F.size("e")), 4).alias("mean_edges"),
+        )
+        .orderBy("user_id")
+    )
