@@ -291,3 +291,59 @@ def test_aqe_splits_skewed_join_partition_at_runtime(spark):
     finally:
         for k in confs:
             spark.conf.unset(k)
+
+
+def test_runtime_bloom_filter_reduces_probe_side(spark):
+    """Spark 4's runtime bloom-filter join (on by default): a selective
+    filter on one join side injects bloom_filter_agg there and a
+    might_contain predicate into the OTHER side's scan, cutting probe
+    shuffle volume before the join. At 100 TB the defaults gate it to
+    small-creation-side/huge-probe-side joins (creationSideThreshold /
+    applicationSideScanSizeThreshold); here we drop the probe-size gate
+    to prove our dim-filtered fact joins are ELIGIBLE shapes — the
+    physical plan must carry the filter, and results must be identical
+    with it on and off."""
+    from django_datastream_spark.sources.testdata import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    sf = "/root/testdata/sf0.001"
+
+    def shape():
+        li = load_table(spark, sf, "lineitem")
+        od = load_table(spark, sf, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        return li.join(
+            od, li["l_orderkey"] == od["o_orderkey"]
+        ).agg(F.sum("l_extendedprice").alias("s"), F.count(F.lit(1)).alias("n"))
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = shape()
+        ex = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in ex, "runtime bloom filter not injected"
+        with_bloom = j.collect()[0]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+    )
+    try:
+        without = shape().collect()[0]
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+    assert with_bloom["n"] == without["n"]
+    assert abs(with_bloom["s"] - without["s"]) < 1e-6
