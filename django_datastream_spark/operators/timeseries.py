@@ -257,3 +257,41 @@ def detect_gaps(
         )
         .filter(F.col("gap_seconds") >= F.lit(min_gap_seconds))
     )
+
+
+def build_profile(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    value_col: str = "value",
+) -> DataFrame:
+    """Baseline profile per key tuple: mean + population σ from the
+    explicit (s, q, c) formula (engine-portable, merge-law-safe).
+    Output is |key-domain| rows — broadcastable at any corpus size."""
+    v = F.col(value_col)
+    s, c, q = F.sum(v), F.count(v), F.sum(v * v)
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*keys)
+        .agg((s / c).alias("m"), F.sqrt((q - s * s / c) / c).alias("sd"))
+    )
+
+
+def score_against_profile(
+    df: DataFrame,
+    profile: DataFrame,
+    keys: tuple[str, ...],
+    value_col: str = "value",
+    n_sigma: float = 2.0,
+) -> DataFrame:
+    """Flag rows deviating more than ``n_sigma``·σ from their key's
+    profile mean. ONE definition serves batch and streaming: with a
+    static ``profile`` and a streaming ``df`` this is a stream-static
+    broadcast join + row-local flag — no state store, no second
+    codebase for the online path (the lambda-architecture seam without
+    the lambda)."""
+    j = df.join(F.broadcast(profile), on=list(keys), how="left")
+    flag = (
+        F.abs(F.col(value_col) - F.col("m"))
+        > F.lit(float(n_sigma)) * F.col("sd")
+    )
+    return j.withColumn("is_anomaly", F.coalesce(flag, F.lit(False)))

@@ -681,3 +681,61 @@ def test_stream_stream_interval_join(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got2 == {("v1", "c-in"), ("v2", "c-b2")}
+
+
+def test_stream_scores_against_batch_profile(spark, tmp_path):
+    """Lambda seam: a profile built in BATCH scores a live stream via
+    a stream-static broadcast join — same operator
+    (timeseries.score_against_profile), no state, and the streamed
+    flags must equal the batch-scored flags on identical data."""
+    import json as _json
+
+    from django_datastream_spark.operators import timeseries as tso
+
+    rows = [
+        {"k": "a", "value": float(v)}
+        for v in (10, 11, 9, 10, 12, 10, 11, 50)  # 50 = anomaly
+    ] + [
+        {"k": "b", "value": float(v)}
+        for v in (0, 1, 0, -1, 0, 1, -40)          # -40 = anomaly
+    ]
+    hist = spark.createDataFrame(
+        [(r["k"], r["value"]) for r in rows[:-1]], "k string, value double"
+    )
+    profile = tso.build_profile(hist, keys=("k",))
+
+    src = str(tmp_path / "live")
+    os.makedirs(src, exist_ok=True)
+    with open(f"{src}/batch0.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    live = (
+        spark.readStream.schema("k string, value double")
+        .json(src)
+    )
+    scored = tso.score_against_profile(live, profile, keys=("k",))
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("scored_live")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["value"]): r["is_anomaly"]
+        for r in spark.sql("SELECT * FROM scored_live").collect()
+    }
+    batch = {
+        (r["k"], r["value"]): r["is_anomaly"]
+        for r in tso.score_against_profile(
+            spark.createDataFrame(
+                [(r["k"], r["value"]) for r in rows],
+                "k string, value double",
+            ),
+            profile,
+            keys=("k",),
+        ).collect()
+    }
+    assert got == batch
+    assert got[("a", 50.0)] is True and got[("b", -40.0)] is True
+    assert sum(got.values()) == 2
