@@ -339,3 +339,87 @@ def pii_counts(text: Column) -> dict[str, Column]:
         cat: F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("long")
         for cat, (pattern, _) in PII_PATTERNS.items()
     }
+
+
+def bigram_lm_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained bigram language-model scoring (CCNet-style
+    perplexity filtering, SURVEY §2.10 north star): train MLE bigram
+    conditionals P(w2|w1) = count(w1 w2) / count(w1-as-first) on the
+    corpus itself, then score each document by its mean bigram
+    log-probability.  Low (very negative) scores mark documents whose
+    word transitions are rare in the corpus — the standard "train a
+    small LM on trusted text, drop high-perplexity docs" filter.
+
+    Scale shape: tokens explode linearly; the two count tables are
+    plain hash aggregates; scoring is two distributed equi-joins on
+    (bigram, first-word) keys — no broadcast needed because the count
+    tables grow with vocabulary, and no driver action anywhere.  Docs
+    with <2 tokens have no bigrams and drop out (callers can
+    left-join back if they want them flagged).
+    """
+    t = tokens(F.col(text_col))
+    d2 = (
+        docs.select(F.col(id_col).alias("doc_id"), t.alias("ts"))
+        .filter(F.size("ts") >= 2)
+    )
+    n1 = F.size(F.col("ts")) - 1
+    pairs = F.zip_with(
+        F.slice(F.col("ts"), F.lit(1), n1),
+        F.slice(F.col("ts"), F.lit(2), n1),
+        lambda a, b: F.struct(
+            a.alias("w1"), F.concat_ws(" ", a, b).alias("bg")
+        ),
+    )
+    db = d2.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.bg"
+    )
+    uni = db.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    big = db.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    return (
+        db.join(big, "bg")
+        .join(uni, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(F.log(F.col("cb") / F.col("c1"))).alias("avg_logp"),
+        )
+    )
+
+
+def source_kl_divergence(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Domain-shift audit: KL(source ‖ corpus) between each source's
+    unigram distribution and the whole-corpus distribution.  A source
+    whose KL spikes is drifting away from the mix the model was tuned
+    on — the per-domain counterpart of q110's corpus-level Zipf fit.
+
+    Scale shape: one explode + one (group, word) hash agg, from which
+    the three marginals (per-source totals, per-word corpus counts,
+    grand total) all derive without rescanning the corpus; the only
+    join back is on the word key.  Everything is map-side combinable.
+    """
+    tok = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    )
+    sw = tok.groupBy("g", "w").agg(F.count(F.lit(1)).alias("c"))
+    s = sw.groupBy("g").agg(F.sum("c").alias("sc"))
+    wtab = sw.groupBy("w").agg(F.sum("c").alias("wc"))
+    tot = sw.agg(F.sum("c").alias("tc"))
+    ps = F.col("c") / F.col("sc")
+    pw = F.col("wc") / F.col("tc")
+    return (
+        sw.join(s, "g")
+        .join(wtab, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("g", "sc")
+        .agg(F.sum(ps * F.log(ps / pw)).alias("kl"))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("sc").cast("long").alias("n_tokens"),
+            F.col("kl"),
+        )
+    )

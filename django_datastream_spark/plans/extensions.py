@@ -4167,3 +4167,123 @@ def q126(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q127–Q129: TPC-H Q13 distribution + LM-perplexity filter + domain shift
+# --------------------------------------------------------------------------
+@_declare(
+    "q127_order_count_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY 1)
+    SELECT CAST(c_count AS BIGINT) c_count,
+           CAST(COUNT(*) AS BIGINT) custdist
+    FROM c_orders GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q127(spark, sf_dir):
+    """TPC-H Q13 shape: the distribution of per-customer order counts,
+    INCLUDING zero-order customers — which forces a LEFT OUTER join
+    (an inner join would silently drop the most interesting bucket)
+    followed by a double aggregation (count per customer, then
+    count-of-counts).  At scale the outer join shuffles both sides on
+    custkey once; the second aggregate's input is |customers| rows and
+    its output is tiny (distinct count values), so the histogram step
+    is effectively free.  COUNT(o_orderkey) — not COUNT(*) — is what
+    makes the unmatched-row count come out 0."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey"
+    )
+    co = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        co.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@_declare(
+    "q128_perplexity_filter",
+    r"""
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(ts), 1)),
+                            i -> ts[i] || ' ' || ts[i+1]) bgs
+      FROM (SELECT doc_id, regexp_extract_all(text, '\S+') ts
+            FROM documents)),
+    db AS (SELECT doc_id, bg FROM b, UNNEST(bgs) AS u(bg)),
+    uni AS (SELECT split_part(bg, ' ', 1) w1, COUNT(*) c1
+            FROM db GROUP BY 1),
+    big AS (SELECT bg, COUNT(*) cb FROM db GROUP BY 1),
+    scored AS (
+      SELECT d.doc_id, COUNT(*) nb,
+             AVG(ln(big.cb * 1.0 / uni.c1)) alp
+      FROM db d
+        JOIN big USING (bg)
+        JOIN uni ON split_part(d.bg, ' ', 1) = uni.w1
+      GROUP BY 1)
+    SELECT doc_id, CAST(nb AS BIGINT) n_bigrams,
+           ROUND(alp, 4) + 0 avg_logp
+    FROM scored ORDER BY doc_id
+    """,
+)
+def q128(spark, sf_dir):
+    """CCNet-style perplexity filtering (functions/text.bigram_lm_scores):
+    train a bigram MLE model on the corpus itself, score each doc by
+    mean bigram log-probability, so downstream filters can drop the
+    high-perplexity tail.  The LM "training" is just two hash aggs
+    over exploded bigrams and the scoring is two equi-joins — the
+    whole filter is linear in corpus tokens with no Python, no
+    broadcast of anything vocabulary-sized, and no model artifact to
+    ship."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = tx.bigram_lm_scores(docs)
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        (F.round("avg_logp", 4) + F.lit(0.0)).alias("avg_logp"),
+    ).orderBy("doc_id")
+
+
+@_declare(
+    "q129_source_kl_divergence",
+    r"""
+    WITH tok AS (
+      SELECT source, t AS w
+      FROM (SELECT source, regexp_extract_all(text, '\S+') ts
+            FROM documents), UNNEST(ts) AS u(t)),
+    sw AS (SELECT source, w, COUNT(*) c FROM tok GROUP BY 1, 2),
+    s AS (SELECT source, SUM(c) sc FROM sw GROUP BY 1),
+    w AS (SELECT w, SUM(c) wc FROM sw GROUP BY 1),
+    tot AS (SELECT SUM(c) tc FROM sw)
+    SELECT sw.source, CAST(s.sc AS BIGINT) n_tokens,
+           ROUND(SUM((sw.c * 1.0 / s.sc)
+                     * ln((sw.c * 1.0 / s.sc)
+                          / (w.wc * 1.0 / tot.tc))), 4) + 0 kl
+    FROM sw JOIN s USING (source) JOIN w USING (w) CROSS JOIN tot
+    GROUP BY sw.source, s.sc ORDER BY source
+    """,
+)
+def q129(spark, sf_dir):
+    """Per-source domain-shift audit (functions/text.source_kl_divergence):
+    KL(source ‖ corpus) over unigram distributions.  Mix designers use
+    this to spot a crawl source drifting away from the training mix.
+    One explode, one (source, word) agg, marginals derived from that
+    agg without rescanning, a word-key join back, and a per-source
+    sum — every step map-side combinable and linear."""
+    docs = load_table(spark, sf_dir, "documents")
+    kl = tx.source_kl_divergence(docs)
+    return kl.select(
+        "source",
+        "n_tokens",
+        (F.round("kl", 4) + F.lit(0.0)).alias("kl"),
+    ).orderBy("source")
