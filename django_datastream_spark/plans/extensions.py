@@ -4287,3 +4287,193 @@ def q129(spark, sf_dir):
         "n_tokens",
         (F.round("kl", 4) + F.lit(0.0)).alias("kl"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Q130–Q132: co-occurrence mining, equi-depth banding, chunk-dedup rewrite
+# --------------------------------------------------------------------------
+@_declare(
+    "q130_copurchase_pairs",
+    """
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pr AS (SELECT a.l_partkey pa, b.l_partkey pb, COUNT(*) cnt
+           FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2)
+    SELECT CAST(pa AS BIGINT) pa, CAST(pb AS BIGINT) pb,
+           CAST(cnt AS BIGINT) cnt
+    FROM pr WHERE cnt >= 2
+    ORDER BY cnt DESC, pa, pb LIMIT 50
+    """,
+)
+def q130(spark, sf_dir):
+    """Market-basket co-occurrence mining: part pairs that appear in
+    the same order, counted across all orders.  The within-order
+    self-join is quadratic ONLY in order size (bounded at ~7 lines in
+    this schema — per-row work is O(basket²), not O(N²)), and the pair
+    aggregation is one hash shuffle on the (pa, pb) key.  DISTINCT
+    first so a part twice in one order doesn't inflate its pairs; the
+    a < b predicate halves the join output and canonicalizes pair
+    orientation.  (cnt DESC, pa, pb) is a total order, so the LIMIT
+    is deterministic."""
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = lp.alias("a")
+    b = lp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .orderBy(F.desc("cnt"), "pa", "pb")
+        .limit(50)
+    )
+
+
+@_declare(
+    "q131_equidepth_bands",
+    """
+    WITH bs AS (
+      SELECT quantile_cont(l_extendedprice,
+               [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) b
+      FROM lineitem),
+    banded AS (
+      SELECT 1 + len(list_filter(bs.b, x -> l.l_extendedprice > x)) band,
+             l.l_extendedprice p
+      FROM lineitem l CROSS JOIN bs)
+    SELECT CAST(band AS BIGINT) band, CAST(COUNT(*) AS BIGINT) n,
+           ROUND(MIN(p), 4) + 0 lo, ROUND(MAX(p), 4) + 0 hi,
+           ROUND(SUM(p), 2) + 0 total
+    FROM banded GROUP BY band ORDER BY band
+    """,
+)
+def q131(spark, sf_dir):
+    """Equi-depth (decile) histogram the scale-true way: boundaries
+    come from ONE percentile aggregate (9 doubles — broadcast to every
+    task), and band assignment is a row-local array scan, so there is
+    no global sort and no ntile window collapsing the table onto a
+    single reducer.  At 100 TB the only change is `approx_percentile`
+    for the boundary agg (the q64 sketch pairing); assignment is
+    untouched.  Spark `percentile` == DuckDB `quantile_cont`
+    (both linear-interpolation), same pairing q55 pins."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    qs = [x / 10.0 for x in range(1, 10)]
+    bs = li.agg(
+        F.percentile(
+            "l_extendedprice", F.array(*[F.lit(q) for q in qs])
+        ).alias("b")
+    )
+    banded = li.crossJoin(F.broadcast(bs)).select(
+        (
+            1
+            + F.size(
+                F.filter(
+                    F.col("b"), lambda x: F.col("l_extendedprice") > x
+                )
+            )
+        ).cast("long").alias("band"),
+        F.col("l_extendedprice").alias("p"),
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.min("p"), 4) + F.lit(0.0)).alias("lo"),
+            (F.round(F.max("p"), 4) + F.lit(0.0)).alias("hi"),
+            (F.round(F.sum("p"), 2) + F.lit(0.0)).alias("total"),
+        )
+        .orderBy("band")
+    )
+
+
+@_declare(
+    "q132_chunk_dedup_rewrite",
+    r"""
+    WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') ts
+               FROM documents),
+    ch AS (
+      SELECT doc_id, i idx,
+             array_to_string(list_slice(ts, i * 10 + 1,
+                             least((i + 1) * 10, len(ts))), ' ') chunk
+      FROM t, UNNEST(range(0, CAST(ceil(len(ts) / 10.0) AS INT))) u(i)),
+    rn AS (
+      SELECT doc_id, idx, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, idx) r
+      FROM ch),
+    kept AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_kept,
+             md5(string_agg(chunk, ' ' ORDER BY idx)) kept_md5
+      FROM rn WHERE r = 1 GROUP BY doc_id),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_chunks
+            FROM ch GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(t.n_chunks, 0) n_chunks,
+           COALESCE(k.n_kept, 0) n_kept, k.kept_md5
+    FROM documents d
+      LEFT JOIN tot t USING (doc_id)
+      LEFT JOIN kept k USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def q132(spark, sf_dir):
+    """C4/RefinedWeb-style chunk-level dedup WITH corpus rewrite: split
+    every doc into non-overlapping 10-token chunks
+    (functions/text.chunk_documents with stride == chunk_size), keep
+    only the globally-first occurrence of each chunk (first = lowest
+    (doc_id, idx) — a deterministic survivor rule, same spirit as
+    q35), and reassemble what's left of each document in order.  The
+    result pins both the drop COUNTS and the surviving TEXT (md5 of
+    the reassembly), so a wrong reassembly order can't hide behind
+    right counts.  Shape: explode → one window on the chunk hash key
+    (the dedup shuffle) → one per-doc agg; the reassembly uses
+    array_sort(collect_list(struct(idx, chunk))) inside the agg, never
+    a driver sort.  Linear in corpus tokens at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = tx.chunk_documents(docs, chunk_size=10, stride=10).select(
+        "doc_id",
+        F.col("chunk_idx").alias("idx"),
+        F.col("chunk_text").alias("chunk"),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    kept = (
+        ch.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("idx", "chunk"))
+                        ),
+                        lambda s: s.chunk,
+                    ),
+                    " ",
+                )
+            ).alias("kept_md5"),
+        )
+    )
+    tot = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return (
+        docs.select("doc_id")
+        .join(tot, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "kept_md5",
+        )
+        .orderBy("doc_id")
+    )
