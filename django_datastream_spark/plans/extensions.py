@@ -4477,3 +4477,143 @@ def q132(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q133–Q135: higher moments, cross-source leakage matrix, mixture planner
+# --------------------------------------------------------------------------
+@_declare(
+    "q133_higher_moments",
+    """
+    WITH m AS (SELECT event_type, AVG(value) mu
+               FROM events WHERE value IS NOT NULL GROUP BY 1)
+    SELECT e.event_type,
+           ROUND(AVG(POW(value - mu, 3))
+                 / POW(AVG(POW(value - mu, 2)), 1.5), 4) + 0 skew,
+           ROUND(AVG(POW(value - mu, 4))
+                 / POW(AVG(POW(value - mu, 2)), 2) - 3, 4) + 0 kurt
+    FROM events e JOIN m USING (event_type)
+    WHERE value IS NOT NULL
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def q133(spark, sf_dir):
+    """Third/fourth-moment aggregates per group: population skewness
+    (m3/m2^1.5) and excess kurtosis (m4/m2² − 3) — the distribution-
+    shape downsamplers beyond q63's co-moments.  Spark's builtin
+    `skewness`/`kurtosis` ARE these population forms, computed in ONE
+    pass via streaming co-moment updates (map-side combinable); the
+    oracle spells the same statistics as an explicit two-pass
+    mean-then-central-moment computation, so the comparison also pins
+    the one-pass formulation's numerical agreement."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            (F.round(F.skewness("value"), 4) + F.lit(0.0)).alias("skew"),
+            (F.round(F.kurtosis("value"), 4) + F.lit(0.0)).alias("kurt"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_declare(
+    "q134_cross_source_leakage",
+    r"""
+    WITH t AS (SELECT source, regexp_extract_all(text, '\S+') ts
+               FROM documents),
+    ch AS (SELECT DISTINCT source,
+                  array_to_string(list_slice(ts, i * 10 + 1,
+                                             (i + 1) * 10), ' ') chunk
+           FROM t, UNNEST(range(0, CAST(ceil(len(ts) / 10.0) AS INT))) u(i)
+           WHERE len(ts) - i * 10 >= 10)
+    SELECT a.source sa, b.source sb, CAST(COUNT(*) AS BIGINT) shared
+    FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.source < b.source
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ORDER BY shared DESC, sa, sb
+    """,
+)
+def q134(spark, sf_dir):
+    """Cross-source contamination matrix: how many distinct full
+    10-token chunks each PAIR of sources shares — the diagnostic a mix
+    designer reads before deduplicating across crawls (exact doc-hash
+    sharing is zero here, so chunk granularity is what surfaces the
+    leakage).  Shape: chunk explode → per-source DISTINCT (one hash
+    agg) → self equi-join ON THE CHUNK KEY (an inverted index join —
+    never source×source×corpus) → pair count.  Join fan-out per chunk
+    is (#sources containing it)², bounded by the source count, not the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = (
+        tx.chunk_documents(docs, chunk_size=10, stride=10)
+        .filter(F.col("n_chunk_tokens") == 10)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", F.col("chunk_text").alias("chunk"))
+        .distinct()
+    )
+    a, b = ch.alias("a"), ch.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 3)
+        .orderBy(F.desc("shared"), "sa", "sb")
+    )
+
+
+@_declare(
+    "q135_mixture_planner",
+    r"""
+    WITH src AS (
+      SELECT source,
+             SUM(len(regexp_extract_all(text, '\S+'))) toks
+      FROM documents GROUP BY 1),
+    tot AS (SELECT SUM(toks) t, COUNT(*) k FROM src)
+    SELECT source, CAST(toks AS BIGINT) toks,
+           CAST(FLOOR(tot.t * 1.0 / tot.k) AS BIGINT) target_toks,
+           ROUND(LEAST(1.0, (tot.t * 1.0 / tot.k) / toks), 4) + 0 sample_rate,
+           ROUND((tot.t * 1.0 / tot.k) / toks, 4) + 0 epochs
+    FROM src CROSS JOIN tot ORDER BY source
+    """,
+)
+def q135(spark, sf_dir):
+    """Training-mix planning: given per-source token inventories and a
+    uniform target mix, emit each source's token budget, subsampling
+    rate (capped at 1.0 — you can't sample more than you have without
+    repeating), and the epoch multiplier (>1 means the source must be
+    repeated to hit its share — the Chinchilla-style repetition
+    signal).  One token-count aggregate, one 2-value broadcast total;
+    the plan is a mix-design artifact computed entirely inside the
+    engine, feeding q51's deterministic mixer as its rate table."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(tx.token_count(F.col("text"))).alias("toks")
+    )
+    tot = src.agg(
+        F.sum("toks").alias("t"), F.count(F.lit(1)).alias("k")
+    )
+    target = F.col("t") / F.col("k")
+    return (
+        src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("toks").cast("long").alias("toks"),
+            F.floor(target).cast("long").alias("target_toks"),
+            (
+                F.round(F.least(F.lit(1.0), target / F.col("toks")), 4)
+                + F.lit(0.0)
+            ).alias("sample_rate"),
+            (F.round(target / F.col("toks"), 4) + F.lit(0.0)).alias(
+                "epochs"
+            ),
+        )
+        .orderBy("source")
+    )
