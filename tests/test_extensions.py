@@ -1208,3 +1208,71 @@ def test_containment_catches_doc_contains_doc(spark):
     assert jac[(0, 1)] < 0.15
     # unrelated doc shares no shingles: not even a candidate pair
     assert (0, 2) not in cont and (1, 2) not in cont
+
+
+def test_bigram_lm_scores_crafted_and_bounded(spark):
+    from django_datastream_spark.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b b")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in tx.bigram_lm_scores(docs).collect()
+    }
+    # firsts: a×2, b×2; bigrams: "a b"×2, "b c"×1, "b b"×1 — both docs
+    # score avg(ln(2/2), ln(1/2)) = −ln(2)/2
+    import math
+
+    expect = -math.log(2) / 2
+    for d in (0, 1):
+        assert got[d]["n_bigrams"] == 2
+        assert abs(got[d]["avg_logp"] - expect) < 1e-9
+    # MLE conditionals: count(bigram) ≤ count(first word) ⇒ logp ≤ 0,
+    # for every doc in the real corpus too
+    corpus = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    bad = (
+        tx.bigram_lm_scores(corpus)
+        .filter(F.col("avg_logp") > 1e-12)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_source_kl_divergence_gibbs(spark):
+    from django_datastream_spark.functions import text as tx
+
+    # identical per-source distributions ⇒ every KL term is ln(1) = 0
+    same = spark.createDataFrame(
+        [(0, "x y", "A"), (1, "x y", "B")],
+        "doc_id long, text string, source string",
+    )
+    for r in tx.source_kl_divergence(same).collect():
+        assert abs(r["kl"]) < 1e-12
+    # Gibbs' inequality: KL(source ‖ corpus) ≥ 0 on the real corpus
+    corpus = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    neg = (
+        tx.source_kl_divergence(corpus)
+        .filter(F.col("kl") < -1e-9)
+        .count()
+    )
+    assert neg == 0
+
+
+def test_chunk_dedup_rewrite_global_uniqueness(spark):
+    """q132's survivors must collectively hold each distinct chunk
+    exactly once: sum(n_kept) == |distinct chunks|, computed
+    independently of the window/rewrite path."""
+    from django_datastream_spark.functions import text as tx
+    from django_datastream_spark.plans import declared
+
+    out = declared.QUERIES["q132_chunk_dedup_rewrite"](
+        spark, SF_SMOKE
+    ).toPandas()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    ch = tx.chunk_documents(docs, chunk_size=10, stride=10)
+    n_distinct = ch.select("chunk_text").distinct().count()
+    n_total = ch.count()
+    assert int(out["n_kept"].sum()) == n_distinct
+    assert int(out["n_chunks"].sum()) == n_total
+    assert (out["n_kept"] <= out["n_chunks"]).all()
