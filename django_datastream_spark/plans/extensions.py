@@ -4617,3 +4617,166 @@ def q135(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Q136–Q138: unpivot/melt, BM25 search scoring, winsorized robust mean
+# --------------------------------------------------------------------------
+@_declare(
+    "q136_unpivot_metrics",
+    """
+    WITH w AS (
+      SELECT event_type,
+             ROUND(AVG(value), 4) + 0 mean,
+             ROUND(SUM(value), 4) + 0 total,
+             ROUND(MIN(value), 4) + 0 low,
+             ROUND(MAX(value), 4) + 0 high
+      FROM events WHERE value IS NOT NULL GROUP BY 1)
+    SELECT event_type, metric, val FROM (
+      SELECT event_type, 'mean'  metric, mean  val FROM w UNION ALL
+      SELECT event_type, 'total', total FROM w UNION ALL
+      SELECT event_type, 'low',   low   FROM w UNION ALL
+      SELECT event_type, 'high',  high  FROM w)
+    ORDER BY event_type, metric
+    """,
+)
+def q136(spark, sf_dir):
+    """Wide→long reshaping with the native `unpivot` (melt) operator —
+    the inverse of q61's pivot, closing the reshape surface.  Unpivot
+    is a row-local expansion (each input row emits k metric rows, no
+    shuffle beyond the upstream agg), which is why engines implement
+    it as a generator expression, not a join; the oracle spells the
+    same thing as the classic UNION ALL."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    wide = ev.groupBy("event_type").agg(
+        (F.round(F.avg("value"), 4) + F.lit(0.0)).alias("mean"),
+        (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("total"),
+        (F.round(F.min("value"), 4) + F.lit(0.0)).alias("low"),
+        (F.round(F.max("value"), 4) + F.lit(0.0)).alias("high"),
+    )
+    return wide.unpivot(
+        ["event_type"], ["mean", "total", "low", "high"], "metric", "val"
+    ).orderBy("event_type", "metric")
+
+
+@_declare(
+    "q137_bm25_search",
+    r"""
+    WITH tk AS (SELECT doc_id, t AS w
+                FROM (SELECT doc_id, regexp_extract_all(text, '\S+') ts
+                      FROM documents), UNNEST(ts) u(t)),
+    dl AS (SELECT doc_id, COUNT(*) dl FROM tk GROUP BY 1),
+    stats AS (SELECT COUNT(*) n, AVG(dl) avgdl FROM dl),
+    tf AS (SELECT doc_id, w, COUNT(*) tf FROM tk
+           WHERE w IN ('spark', 'join', 'window') GROUP BY 1, 2),
+    df AS (SELECT w, COUNT(*) df FROM tf GROUP BY 1),
+    sc AS (
+      SELECT tf.doc_id,
+             SUM(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+               score
+      FROM tf JOIN df USING (w) JOIN dl USING (doc_id)
+        CROSS JOIN stats
+      GROUP BY 1)
+    SELECT doc_id, ROUND(score, 4) + 0 score
+    FROM sc ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def q137(spark, sf_dir):
+    """Full-text relevance search: BM25 (k1=1.2, b=0.75, the
+    Robertson/Lucene formulation with the +1-smoothed idf) for the
+    query {spark, join, window} over the corpus.  Everything derives
+    from ONE token explode: doc lengths, the corpus (N, avgdl) pair
+    (2 values — broadcast), per-(doc, term) tf (the term filter prunes
+    the explode before any shuffle), and df from tf.  Scoring is a
+    term-key join plus a per-doc sum; (score DESC, doc_id) totally
+    orders the top-k, which TakeOrderedAndProject evaluates without a
+    global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "join", "window"]
+    tk = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("w")
+    )
+    dl = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        tk.filter(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    denom = F.col("tf") + 1.2 * (
+        0.25 + 0.75 * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.round(F.sum(idf * F.col("tf") * 2.2 / denom), 4)
+                + F.lit(0.0)
+            ).alias("score")
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+@_declare(
+    "q138_winsorized_mean",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) p05,
+             quantile_cont(value, 0.95) p95
+      FROM events WHERE value IS NOT NULL GROUP BY 1)
+    SELECT e.event_type,
+           ROUND(AVG(value), 4) + 0 raw_mean,
+           ROUND(AVG(LEAST(GREATEST(value, p05), p95)), 4) + 0 wins_mean,
+           CAST(COUNT(*) FILTER (WHERE value < p05 OR value > p95)
+                AS BIGINT) n_clipped
+    FROM events e JOIN b USING (event_type)
+    WHERE value IS NOT NULL
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def q138(spark, sf_dir):
+    """Winsorized (5%–95%) robust mean per group — the outlier-hardened
+    aggregate downstream metrics pipelines use when q71's drop-the-
+    outliers filter is too aggressive: extremes are CLIPPED to the
+    group's percentile bounds, not discarded, so counts are preserved.
+    The per-group bound table is |groups| rows (broadcast join back);
+    clipping is row-local; the conditional clip count rides the same
+    agg via count-FILTER.  Scale path: swap the exact percentile
+    bounds for q64's sketch, everything else unchanged."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    pct = F.percentile("value", F.array(F.lit(0.05), F.lit(0.95)))
+    b = ev.groupBy("event_type").agg(
+        pct.getItem(0).alias("p05"), pct.getItem(1).alias("p95")
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (F.round(F.avg("value"), 4) + F.lit(0.0)).alias("raw_mean"),
+            (F.round(F.avg(clipped), 4) + F.lit(0.0)).alias("wins_mean"),
+            F.count_if(
+                (F.col("value") < F.col("p05"))
+                | (F.col("value") > F.col("p95"))
+            ).alias("n_clipped"),
+        )
+        .orderBy("event_type")
+    )
