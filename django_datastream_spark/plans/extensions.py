@@ -4445,30 +4445,45 @@ def q132(spark, sf_dir):
         F.col("chunk_text").alias("chunk"),
     )
     w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
-    kept = (
+    # one window to rank occurrences, then ONE per-doc agg computes
+    # totals, kept counts, and the ordered reassembly together —
+    # collect_list drops the when()-nulls of non-survivor chunks, so
+    # no second scan of the exploded chunks and no kept/total join
+    per_doc = (
         ch.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_kept"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_if(F.col("r") == 1).alias("n_kept"),
             F.md5(
                 F.array_join(
                     F.transform(
                         F.array_sort(
-                            F.collect_list(F.struct("idx", "chunk"))
+                            F.collect_list(
+                                F.when(
+                                    F.col("r") == 1,
+                                    F.struct("idx", "chunk"),
+                                )
+                            )
                         ),
                         lambda s: s.chunk,
                     ),
                     " ",
                 )
-            ).alias("kept_md5"),
+            ).alias("md5_all"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_kept",
+            F.when(F.col("n_kept") > 0, F.col("md5_all")).alias(
+                "kept_md5"
+            ),
         )
     )
-    tot = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
     return (
         docs.select("doc_id")
-        .join(tot, "doc_id", "left")
-        .join(kept, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
