@@ -130,3 +130,182 @@ def test_random_agg_queries_match_duckdb(spark):
         case = f"trial={trial} win=({a},{b}) types={types} g=({group_type},{group_time}) aggs={aggs}"
         assert len(sdf) == len(odf), case
         _assert_frames_close(sdf, odf, case)
+
+
+WINDOW_FNS = {
+    # name -> (spark expr over window w, duckdb OVER fragment)
+    "rn": (
+        lambda w: F.row_number().over(w).alias("rn"),
+        "CAST(ROW_NUMBER() OVER w AS BIGINT) rn",
+    ),
+    "lag_v": (
+        lambda w: F.lag("value").over(w).alias("lag_v"),
+        "LAG(value) OVER w lag_v",
+    ),
+    "lead_v": (
+        lambda w: F.lead("value").over(w).alias("lead_v"),
+        "LEAD(value) OVER w lead_v",
+    ),
+    "run_sum": (
+        lambda w: (
+            F.round(
+                F.sum("value").over(
+                    w.rowsBetween(
+                        __import__(
+                            "pyspark.sql.window", fromlist=["Window"]
+                        ).Window.unboundedPreceding,
+                        0,
+                    )
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("run_sum"),
+        "ROUND(SUM(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW), 4) + 0 run_sum",
+    ),
+    "run_max": (
+        lambda w: F.max("value").over(
+            w.rowsBetween(
+                __import__(
+                    "pyspark.sql.window", fromlist=["Window"]
+                ).Window.unboundedPreceding,
+                0,
+            )
+        ).alias("run_max"),
+        "MAX(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW) run_max",
+    ),
+}
+
+
+def test_random_window_queries_match_duckdb(spark):
+    """Fuzz the analytic-function surface: random partition keys ×
+    window-function subsets, evaluated row-level on a bounded slice so
+    every draw's full output frame is compared."""
+    from pyspark.sql import Window
+
+    rng = random.Random(0xBEEF)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    )
+    for trial in range(10):
+        mod = rng.choice([7, 11, 13])
+        keep = rng.randrange(mod)
+        part_type = rng.choice([True, False])
+        fns = rng.sample(sorted(WINDOW_FNS), rng.randint(1, 3))
+
+        parts = ["user_id"] + (["event_type"] if part_type else [])
+        w = Window.partitionBy(*parts).orderBy("ts", "event_id")
+        ev = load_table(spark, SF_SMOKE, "events").filter(
+            (F.col("user_id") % mod) == keep
+        )
+        sdf = ev.select(
+            "event_id",
+            "user_id",
+            *[WINDOW_FNS[f][0](w) for f in fns],
+        ).toPandas()
+
+        over = (
+            f"PARTITION BY {', '.join(parts)} ORDER BY ts, event_id"
+        )
+        sql = (
+            f"SELECT event_id, user_id, "
+            f"{', '.join(WINDOW_FNS[f][1] for f in fns)} "
+            f"FROM events WHERE user_id % {mod} = {keep} "
+            f"WINDOW w AS ({over})"
+        )
+        odf = con.execute(sql).df()
+        case = f"trial={trial} mod={mod} keep={keep} parts={parts} fns={fns}"
+        assert len(sdf) == len(odf), case
+        _assert_frames_close(sdf, odf, case)
+
+
+def test_random_join_queries_match_duckdb(spark):
+    """Fuzz the join surface: two join templates (fact⨝dim on part,
+    orders⨝customer) × random dim filters × agg subsets × grouping —
+    the equi-join neighborhood around q21/q23/q102-q107."""
+    rng = random.Random(0xCAFE)
+    con = duckdb.connect()
+    for t in ("lineitem", "part", "orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    brands = [f"Brand#{i}" for i in range(1, 6)]
+    segs = [
+        r[0]
+        for r in con.execute(
+            "SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1"
+        ).fetchall()
+    ]
+    for trial in range(10):
+        template = rng.choice(["part", "cust"])
+        if template == "part":
+            bs = rng.sample(brands, rng.randint(1, 3))
+            group = rng.choice([True, False])
+            li = load_table(spark, SF_SMOKE, "lineitem")
+            pt = load_table(spark, SF_SMOKE, "part").filter(
+                F.col("p_brand").isin(bs)
+            )
+            j = li.join(
+                F.broadcast(pt),
+                li.l_partkey == pt.p_partkey,
+            )
+            keys = [F.col("p_brand")] if group else []
+            sdf = (
+                (j.groupBy(*keys) if keys else j.groupBy())
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    (
+                        F.round(F.sum("l_extendedprice"), 2) + F.lit(0.0)
+                    ).alias("rev"),
+                )
+                .toPandas()
+            )
+            blist = ", ".join(f"'{b}'" for b in bs)
+            sel = ("p_brand, " if group else "") + (
+                "CAST(COUNT(*) AS BIGINT) n, "
+                "ROUND(SUM(l_extendedprice), 2) + 0 rev"
+            )
+            sql = (
+                f"SELECT {sel} FROM lineitem JOIN part "
+                f"ON l_partkey = p_partkey WHERE p_brand IN ({blist})"
+                + (" GROUP BY p_brand" if group else "")
+            )
+        else:
+            ss = rng.sample(segs, rng.randint(1, max(1, len(segs) - 1)))
+            group = rng.choice([True, False])
+            o = load_table(spark, SF_SMOKE, "orders")
+            c = load_table(spark, SF_SMOKE, "customer").filter(
+                F.col("c_mktsegment").isin(ss)
+            )
+            j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            keys = [F.col("o_orderpriority")] if group else []
+            sdf = (
+                (j.groupBy(*keys) if keys else j.groupBy())
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    (
+                        F.round(F.avg("o_totalprice"), 4) + F.lit(0.0)
+                    ).alias("avg_price"),
+                )
+                .toPandas()
+            )
+            slist = ", ".join(f"'{s}'" for s in ss)
+            sel = ("o_orderpriority, " if group else "") + (
+                "CAST(COUNT(*) AS BIGINT) n, "
+                "ROUND(AVG(o_totalprice), 4) + 0 avg_price"
+            )
+            sql = (
+                f"SELECT {sel} FROM orders JOIN customer "
+                f"ON o_custkey = c_custkey "
+                f"WHERE c_mktsegment IN ({slist})"
+                + (" GROUP BY o_orderpriority" if group else "")
+            )
+        odf = con.execute(sql).df()
+        case = f"trial={trial} template={template}"
+        assert len(sdf) == len(odf), case
+        _assert_frames_close(sdf, odf, case)
