@@ -29,7 +29,7 @@ beyond-reference LLM-pipeline operators the brief requires.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens, shingles_from_tokens
@@ -129,4 +129,87 @@ def span_dup_coverage(
                 4,
             ).alias("dup_ratio"),
         )
+    )
+
+
+def longest_shared_spans(
+    docs: DataFrame,
+    min_tokens: int = 12,
+    cap: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Suffix-sort shared-span mining (the word-level analogue of the
+    suffix-array dedup in Lee et al. 2022): find cross-document shared
+    token spans of ARBITRARY length up to ``cap``, where the fixed-n
+    detector above can only answer "shares a 12-gram yes/no".
+
+    Construction: every token position emits its suffix truncated to
+    ``cap`` tokens; suffixes sort lexicographically and each compares
+    with its predecessor via longest-common-prefix.  The sort is NOT a
+    global single-reducer window: suffixes partition by their first
+    two tokens, and within-bucket order is total — an adjacent pair
+    straddling a bucket boundary shares < 2 tokens, far below any
+    useful ``min_tokens``, so bucketing loses nothing.  Returns
+    (a, b, span_tokens) doc pairs with max adjacent-suffix LCP >=
+    ``min_tokens``.
+
+    Semantics note: comparing only ADJACENT suffixes makes every
+    reported span genuine and makes the global maximum exact (between
+    any two sorted cross-doc suffixes with common prefix L some
+    adjacent cross-doc pair also shares >= L), but a specific pair's
+    value can under-report if a third document's suffixes interleave
+    — the standard suffix-array trade.  Scale: suffix volume is
+    corpus tokens x 1 row (cap-bounded arrays), the sort shuffles
+    once on (w1, w2) prefix buckets, and the per-row LCP is O(cap**2)
+    list work — constant per row, no pairwise blowup.
+    """
+    assert min_tokens >= 2, "bucketing assumes min_tokens >= 2"
+    tk = tokens(F.col(text_col))
+    d = docs.select(F.col(id_col).alias("_id"), tk.alias("ts"))
+    sfx = (
+        d.filter(F.size("ts") >= min_tokens)
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("ts") - F.lit(min_tokens - 1))
+            ).alias("p"),
+            "ts",
+        )
+        .select(
+            "_id",
+            F.slice("ts", F.col("p"), F.lit(cap)).alias("sfx"),
+        )
+        .select(
+            "_id",
+            "sfx",
+            F.array_join("sfx", " ").alias("sk"),
+            F.element_at("sfx", 1).alias("w1"),
+            F.element_at("sfx", 2).alias("w2"),
+        )
+    )
+    w = Window.partitionBy("w1", "w2").orderBy("sk", "_id")
+    lagged = sfx.select(
+        "_id",
+        "sfx",
+        F.lag("_id").over(w).alias("pd"),
+        F.lag("sfx").over(w).alias("ps"),
+    ).filter(F.col("pd").isNotNull() & (F.col("pd") != F.col("_id")))
+    m = F.least(F.size("sfx"), F.size("ps"))
+    lcp = F.size(
+        F.filter(
+            F.sequence(F.lit(1), m),
+            lambda i: F.slice("sfx", F.lit(1), i)
+            == F.slice("ps", F.lit(1), i),
+        )
+    )
+    return (
+        lagged.select(
+            F.least("_id", "pd").alias("a"),
+            F.greatest("_id", "pd").alias("b"),
+            lcp.alias("l"),
+        )
+        .groupBy("a", "b")
+        .agg(F.max("l").cast("long").alias("span_tokens"))
+        .filter(F.col("span_tokens") >= min_tokens)
     )

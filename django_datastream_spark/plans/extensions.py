@@ -4795,3 +4795,53 @@ def q138(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q139: suffix-sort longest shared spans (arbitrary-length dup detection)
+# --------------------------------------------------------------------------
+@_declare(
+    "q139_longest_shared_spans",
+    r"""
+    WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') ts
+               FROM documents WHERE doc_id < 200),
+    sfx AS (
+      SELECT doc_id, list_slice(ts, p, least(p + 29, len(ts))) sfx
+      FROM d, UNNEST(range(1, len(ts) + 1)) u(p)
+      WHERE len(ts) - p + 1 >= 12),
+    k AS (SELECT doc_id, sfx, array_to_string(sfx, ' ') sk,
+                 sfx[1] w1, sfx[2] w2 FROM sfx),
+    lagged AS (
+      SELECT doc_id, sfx,
+             LAG(doc_id) OVER w pd, LAG(sfx) OVER w ps
+      FROM k WINDOW w AS (PARTITION BY w1, w2 ORDER BY sk, doc_id)),
+    lcp AS (
+      SELECT LEAST(doc_id, pd) a, GREATEST(doc_id, pd) b,
+             len(list_filter(range(1, least(len(sfx), len(ps)) + 1),
+                             i -> sfx[1:i] = ps[1:i])) l
+      FROM lagged WHERE pd IS NOT NULL AND pd <> doc_id)
+    SELECT a, b, CAST(MAX(l) AS BIGINT) span_tokens
+    FROM lcp GROUP BY 1, 2 HAVING MAX(l) >= 12
+    ORDER BY span_tokens DESC, a, b
+    """,
+)
+def q139(spark, sf_dir):
+    """Arbitrary-length shared-span mining via suffix sort
+    (operators/spans.longest_shared_spans — the Lee et al. 2022
+    suffix-array dedup re-expressed on word tokens): where q77 asks
+    "do these docs share a 12-gram", this reports HOW LONG the shared
+    run actually is (capped at 30 tokens).  The suffix sort is
+    prefix-bucketed on the first two tokens so it shuffles once and
+    never collapses onto one reducer; per-row LCP work is
+    cap-bounded.  Bounded to doc_id < 200 here only to keep the
+    DuckDB oracle's list arithmetic cheap — the Spark plan itself is
+    linear in corpus tokens."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    from ..operators import spans as sp
+
+    return (
+        sp.longest_shared_spans(docs, min_tokens=12, cap=30)
+        .orderBy(F.desc("span_tokens"), "a", "b")
+    )

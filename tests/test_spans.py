@@ -168,3 +168,34 @@ def test_span_coverage_invariants_random(spark):
         assert 0.0 <= r["dup_ratio"] <= 1.0, r
         if r["n_tokens"] < 5:
             assert r["covered"] == 0, r
+
+
+def test_longest_shared_spans_crafted(spark):
+    from django_datastream_spark.operators import spans as sp
+
+    shared = " ".join(f"s{i}" for i in range(15))
+    short = " ".join(f"s{i}" for i in range(5))
+    d = spark.createDataFrame(
+        [
+            (0, "aa bb " + shared + " cc dd"),
+            (1, "xx yy zz " + shared + " qq"),
+            (2, "p q r " + short + " t u v w x y z n m o k j"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["a"], r["b"]): r["span_tokens"]
+        for r in sp.longest_shared_spans(d).collect()
+    }
+    # the planted 15-token run is found at its exact length ...
+    assert out == {(0, 1): 15}
+    # ... and a lower min_tokens surfaces the 5-token overlap too
+    out5 = {
+        (r["a"], r["b"]): r["span_tokens"]
+        for r in sp.longest_shared_spans(d, min_tokens=3).collect()
+    }
+    # adjacency trade (see operator docstring): doc2's suffix sorts
+    # next to exactly ONE of the twins, so one pair carries the
+    # 5-token overlap and the other may be under-reported
+    assert out5[(1, 2)] == 5
+    assert out5[(0, 1)] == 15
