@@ -4845,3 +4845,94 @@ def q139(spark, sf_dir):
         sp.longest_shared_spans(docs, min_tokens=12, cap=30)
         .orderBy(F.desc("span_tokens"), "a", "b")
     )
+
+
+# --------------------------------------------------------------------------
+# Q140–Q141: period-over-period deltas, ANALYZE-style column statistics
+# --------------------------------------------------------------------------
+@_declare(
+    "q140_week_over_week",
+    """
+    WITH w AS (
+      SELECT date_trunc('week', o_orderdate) wk,
+             SUM(o_totalprice) rev, COUNT(*) n
+      FROM orders GROUP BY 1)
+    SELECT wk, ROUND(rev, 2) + 0 rev, CAST(n AS BIGINT) n,
+           ROUND(rev - LAG(rev) OVER (ORDER BY wk), 2) + 0 delta,
+           ROUND((rev - LAG(rev) OVER (ORDER BY wk))
+                 / NULLIF(LAG(rev) OVER (ORDER BY wk), 0) * 100,
+                 4) + 0 pct_change
+    FROM w ORDER BY wk
+    """,
+)
+def q140(spark, sf_dir):
+    """Period-over-period reporting: weekly revenue with absolute and
+    percent change vs the prior week.  The lag window runs over the
+    AGGREGATED frame (|weeks| rows — thousands at most, whatever the
+    fact size), so the unpartitioned window is trivially safe: the
+    heavy lifting is the one calendar-bucket hash agg underneath,
+    which scales like any q08-family downsample."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        o.groupBy(F.date_trunc("week", "o_orderdate").alias("wk"))
+        .agg(
+            F.sum("o_totalprice").alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    win = Window.orderBy("wk")
+    prev = F.lag("rev").over(win)
+    return w.select(
+        "wk",
+        (F.round("rev", 2) + F.lit(0.0)).alias("rev"),
+        "n",
+        (F.round(F.col("rev") - prev, 2) + F.lit(0.0)).alias("delta"),
+        (
+            F.round(
+                (F.col("rev") - prev) / F.nullif(prev, F.lit(0)) * 100, 4
+            )
+            + F.lit(0.0)
+        ).alias("pct_change"),
+    ).orderBy("wk")
+
+
+@_declare(
+    "q141_column_statistics",
+    """
+    SELECT 'event_type' col,
+           CAST(COUNT(*) AS BIGINT) n_rows,
+           CAST(COUNT(event_type) AS BIGINT) n_nonnull,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) ndv,
+           CAST(MIN(LENGTH(event_type)) AS BIGINT) min_len,
+           CAST(MAX(LENGTH(event_type)) AS BIGINT) max_len
+    FROM events
+    UNION ALL
+    SELECT 'props', CAST(COUNT(*) AS BIGINT), CAST(COUNT(props) AS BIGINT),
+           CAST(COUNT(DISTINCT props) AS BIGINT),
+           CAST(MIN(LENGTH(props)) AS BIGINT),
+           CAST(MAX(LENGTH(props)) AS BIGINT)
+    FROM events
+    ORDER BY col
+    """,
+)
+def q141(spark, sf_dir):
+    """ANALYZE TABLE-style catalog statistics as a query: row count,
+    non-null count, NDV, and value-length bounds per string column —
+    the numbers a cost-based optimizer feeds on (broadcast-side
+    choice, join reordering).  Both columns' stats ride ONE scan via
+    grouping-free multi-agg + unpivot-by-union; at 100 TB swap
+    COUNT(DISTINCT) for approx_count_distinct (the q66 sketch — same
+    plan shape, one pass instead of an expand)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stats(col):
+        return ev.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("ndv"),
+            F.min(F.length(col)).cast("long").alias("min_len"),
+            F.max(F.length(col)).cast("long").alias("max_len"),
+        )
+
+    return stats("event_type").unionAll(stats("props")).orderBy("col")
