@@ -140,3 +140,29 @@ def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
     rows = (np.arange(height) * h // height).clip(0, h - 1)
     cols = (np.arange(width) * w // width).clip(0, w - 1)
     return encode_ppm(a[rows][:, cols])
+
+
+def ppm_dhash_chunks(payload: bytes) -> list[int]:
+    """Perceptual dHash of a P6 payload as FOUR 16-bit chunks.
+
+    Grayscale (BT.601 luma) is sampled on a 9x8 nearest-neighbor grid
+    (x_j = floor(j*w/9), y_i = floor(i*h/8)); bit (i, j) is
+    luma(i, j+1) > luma(i, j); bit position p = i*8 + j; chunk k
+    holds bits [16k, 16k+16).  Chunked (rather than one 64-bit word)
+    so the pigeonhole LSH join needs no 64-bit arithmetic anywhere:
+    two hashes within Hamming distance 3 agree on at least one of the
+    4 chunks exactly.
+    """
+    a = parse_ppm(payload).astype(np.float64)
+    h, w = a.shape[:2]
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    luma = (
+        0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    )[np.ix_(ys, xs)]
+    bits = (luma[:, 1:] > luma[:, :-1]).astype(np.int64).ravel()  # 64
+    chunks = []
+    for k in range(4):
+        seg = bits[16 * k : 16 * (k + 1)]
+        chunks.append(int((seg << np.arange(16)).sum()))
+    return chunks

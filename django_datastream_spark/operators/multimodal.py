@@ -330,3 +330,89 @@ def resize_ppm_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(
         run, "media_id long, resized binary, out_width int, out_height int"
     )
+
+
+def image_dhash_chunks(media: DataFrame) -> DataFrame:
+    """Perceptual-hash fingerprints over the REAL decode path: parse
+    each P6 payload (media_codecs.parse_ppm), compute the 9x8 dHash,
+    and emit it as four (media_id, k, v) 16-bit chunk rows — the
+    banded form the near-dup pair join consumes directly (same
+    pigeonhole layout as simhash_near_pairs in operators/dedup.py).
+    Corrupt payloads are quarantined as k = -1 rows carrying
+    decode_err, never a task failure.  Map-only: one Arrow batch pass,
+    no shuffle until the caller's candidate join."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from django_datastream_spark.operators.media_codecs import (
+            ppm_dhash_chunks,
+        )
+
+        for pdf in batches:
+            ids, ks, vs, errs = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    for k, v in enumerate(ppm_dhash_chunks(p or b"")):
+                        ids.append(mid)
+                        ks.append(k)
+                        vs.append(v)
+                        errs.append(None)
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    ids.append(mid)
+                    ks.append(-1)
+                    vs.append(None)
+                    errs.append(str(e)[:200])
+            yield pd.DataFrame(
+                {"media_id": ids, "k": ks, "v": vs, "decode_err": errs}
+            )
+
+    return media.mapInPandas(
+        run, "media_id long, k int, v long, decode_err string"
+    )
+
+
+def dhash_near_pairs(chunks: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual near-duplicate image pairs from dHash chunk rows:
+    candidates are ids agreeing on >= 1 of the 4 chunks (pigeonhole:
+    Hamming distance <= 3 over 64 bits guarantees an exact 16-bit
+    chunk match), then the exact distance Σ bit_count(va XOR vb)
+    filters candidates.  The candidate join is a plain equi-join on
+    (k, v) — bucket sizes track near-dup cluster sizes, never the
+    corpus — and the verify join touches only candidate ids."""
+    assert max_hamming <= 3, "4-chunk pigeonhole only covers distance <= 3"
+    c = chunks.filter(F.col("k") >= 0).select("media_id", "k", "v")
+    a, b = c.alias("a"), c.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("ia"),
+            F.col("b.media_id").alias("ib"),
+        )
+        .distinct()
+    )
+    ca = c.select(
+        F.col("media_id").alias("ia"), "k", F.col("v").alias("va")
+    )
+    cb = c.select(
+        F.col("media_id").alias("ib"), "k", F.col("v").alias("vb")
+    )
+    return (
+        cand.join(ca, "ia")
+        .join(cb, ["ib", "k"])
+        .groupBy("ia", "ib")
+        .agg(
+            F.sum(
+                F.bit_count(
+                    F.col("va").bitwiseXOR(F.col("vb"))
+                )
+            ).cast("long").alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("ia").alias("a"), F.col("ib").alias("b"), "hamming"
+        )
+    )

@@ -4936,3 +4936,107 @@ def q141(spark, sf_dir):
         )
 
     return stats("event_type").unionAll(stats("props")).orderBy("col")
+
+
+# --------------------------------------------------------------------------
+# Q142: perceptual image dedup — REAL decode → dHash → Hamming-LSH pairs
+# --------------------------------------------------------------------------
+@_declare(
+    "q142_image_dhash_pairs",
+    """
+    WITH b AS (SELECT doc_id base FROM documents WHERE doc_id < 100),
+    img AS (SELECT base + 100 * t.v id, base, t.v
+            FROM b, UNNEST([0, 1, 2]) t(v)),
+    grid AS (SELECT i.i, j.j, i.i * 2 y, (j.j * 32) // 9 x
+             FROM (SELECT unnest(range(0, 8)) i) i,
+                  (SELECT unnest(range(0, 9)) j) j),
+    lum AS (
+      SELECT img.id, g.i, g.j,
+        CASE WHEN img.v = 2 AND g.x = 0 AND g.y = 0 THEN 255.0
+        ELSE 0.299 * ((img.base * 7 + g.y * 3 + g.x * 5) % 256)
+           + 0.587 * ((img.base * 7 + g.y * 3 + g.x * 5 + 11) % 256)
+           + 0.114 * ((img.base * 7 + g.y * 3 + g.x * 5 + 22) % 256)
+        END luma
+      FROM img CROSS JOIN grid g),
+    bits AS (
+      SELECT l.id, l.i, l.j,
+             CASE WHEN r.luma > l.luma THEN 1 ELSE 0 END bt
+      FROM lum l JOIN lum r ON r.id = l.id AND r.i = l.i
+                           AND r.j = l.j + 1
+      WHERE l.j < 8),
+    ch AS (
+      SELECT id, (i * 8 + j) // 16 k,
+             CAST(SUM(bt * (CAST(1 AS BIGINT)
+                             << CAST((i * 8 + j) % 16 AS INT)))
+                  AS BIGINT) v
+      FROM bits GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT a.id ia, b.id ib
+             FROM ch a JOIN ch b ON a.k = b.k AND a.v = b.v
+                                AND a.id < b.id),
+    ham AS (
+      SELECT c.ia, c.ib, CAST(SUM(bit_count(xor(ca.v, cb.v))) AS BIGINT) h
+      FROM cand c
+        JOIN ch ca ON ca.id = c.ia
+        JOIN ch cb ON cb.id = c.ib AND cb.k = ca.k
+      GROUP BY 1, 2)
+    SELECT ia a, ib b, h hamming FROM ham WHERE h <= 3 ORDER BY a, b
+    """,
+)
+def q142(spark, sf_dir):
+    """Perceptual image dedup over the REAL decode path: 300 synthetic
+    P6 images (3 variants per base — v1 perturbs an UNSAMPLED pixel so
+    its dHash is bit-identical, v2 whites out sampled pixel (0,0) so
+    exactly one comparison bit can flip), decoded by the actual netpbm
+    parser, dHash'd on the 9×8 grid, and paired by the 4×16-bit
+    pigeonhole join with exact Hamming verify
+    (operators/multimodal.image_dhash_chunks + dhash_near_pairs).
+    The oracle re-derives every bit arithmetically from the
+    closed-form pixels — q116's trick extended from channel stats to
+    the full hash-and-join pipeline, making this a fully
+    oracle-checked NEAR-DUP-IMAGE operator, not a rows-only one.
+    Map-only until the banded candidate equi-join; bucket sizes track
+    duplicate clusters."""
+    from ..operators.multimodal import (
+        dhash_near_pairs,
+        image_dhash_chunks,
+    )
+
+    bases = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 100
+    )
+    ids = bases.select(
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("v"),
+        F.col("doc_id").alias("base"),
+    ).select((F.col("base") + 100 * F.col("v")).alias("id"), "base", "v")
+
+    def synth(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from django_datastream_spark.operators.media_codecs import (
+            encode_ppm,
+        )
+
+        h, w = 16, 32
+        r = _np.arange(h).reshape(h, 1, 1)
+        c = _np.arange(w).reshape(1, w, 1)
+        k = _np.arange(3).reshape(1, 1, 3)
+        base_grid = r * 3 + c * 5 + k * 11
+        for pdf in batches:
+            payloads = []
+            for mid, base, v in zip(pdf["id"], pdf["base"], pdf["v"]):
+                a = (int(base) * 7 + base_grid) % 256
+                if v == 1:  # unsampled pixel — dHash-invariant edit
+                    a = a.copy()
+                    a[1, 1, 1] = (a[1, 1, 1] + 50) % 256
+                elif v == 2:  # sampled pixel — flips <= 1 dHash bit
+                    a = a.copy()
+                    a[0, 0, :] = 255
+                payloads.append(encode_ppm(a))
+            yield _pd.DataFrame(
+                {"media_id": pdf["id"], "content": payloads}
+            )
+
+    media = ids.mapInPandas(synth, "media_id long, content binary")
+    chunks = image_dhash_chunks(media)
+    return dhash_near_pairs(chunks, max_hamming=3).orderBy("a", "b")

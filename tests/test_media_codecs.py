@@ -140,3 +140,61 @@ def test_corrupt_payloads_quarantine_not_crash(spark):
     got_p = {r["media_id"]: r for r in mm.extract_ppm_features(media_p).collect()}
     assert got_p[0]["decode_err"] is None and got_p[0]["width"] == 3
     assert got_p[1]["decode_err"] is not None and got_p[1]["width"] is None
+
+
+def test_dhash_twins_and_near_twins(spark):
+    """An edit to an UNSAMPLED pixel leaves the dHash bit-identical
+    (hamming 0); whiting out sampled pixel (0,0) flips at most the one
+    comparison bit it participates in (hamming <= 1)."""
+    import numpy as np
+    import pandas as pd
+
+    from django_datastream_spark.operators.media_codecs import (
+        encode_ppm,
+        ppm_dhash_chunks,
+    )
+    from django_datastream_spark.operators.multimodal import (
+        dhash_near_pairs,
+        image_dhash_chunks,
+    )
+
+    h, w = 16, 32
+    r = np.arange(h).reshape(h, 1, 1)
+    c = np.arange(w).reshape(1, w, 1)
+    k = np.arange(3).reshape(1, 1, 3)
+    base = (r * 3 + c * 5 + k * 11) % 256
+    twin = base.copy()
+    twin[1, 1, 1] = (twin[1, 1, 1] + 50) % 256     # unsampled pixel
+    near = base.copy()
+    near[0, 0, :] = 255                            # sampled pixel
+    far = (base + 97) % 256                        # different image
+
+    # pure-python law: chunk function agrees with the planted design
+    assert ppm_dhash_chunks(encode_ppm(base)) == ppm_dhash_chunks(
+        encode_ppm(twin)
+    )
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [0, 1, 2],
+                "content": [
+                    encode_ppm(base),
+                    encode_ppm(twin),
+                    encode_ppm(near),
+                ],
+            }
+        )
+    )
+    pairs = {
+        (p["a"], p["b"]): p["hamming"]
+        for p in dhash_near_pairs(image_dhash_chunks(media)).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert pairs[(0, 2)] <= 1
+    # corrupt payload quarantines instead of failing the job
+    bad = spark.createDataFrame(
+        pd.DataFrame({"media_id": [9], "content": [b"JUNK"]})
+    )
+    rows = image_dhash_chunks(bad).collect()
+    assert rows[0]["k"] == -1 and rows[0]["decode_err"]
