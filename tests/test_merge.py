@@ -1,0 +1,166 @@
+"""Generic partition-scoped MERGE INTO (operators/merge.py): update /
+delete / insert semantics, and the touched-volume guarantee that
+partitions without matched keys are never rewritten."""
+
+from __future__ import annotations
+
+import os
+
+from django_datastream_spark.operators.merge import merge_into
+
+
+def _write_target(spark, path):
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01", 10.0),
+            (2, "2024-01-01", 20.0),
+            (3, "2024-01-02", 30.0),
+            (4, "2024-01-03", 40.0),
+        ],
+        "k long, p string, v double",
+    ).write.partitionBy("p").parquet(path)
+
+
+def _read(spark, path):
+    # partition-dir values type-infer to DATE on read-back; normalize
+    return {
+        r["k"]: (str(r["p"]), r["v"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def _part_files(path, p):
+    d = os.path.join(path, f"p={p}")
+    return sorted(
+        f for f in os.listdir(d) if f.endswith(".parquet")
+    )
+
+
+def test_merge_update_and_insert(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_target(spark, path)
+    before_untouched = _part_files(path, "2024-01-02")
+
+    src = spark.createDataFrame(
+        [
+            (2, "2024-01-01", 99.0),   # matched -> update
+            (5, "2024-01-01", 50.0),   # new key, existing partition
+            (6, "2024-01-04", 60.0),   # new key, new partition
+        ],
+        "k long, p string, v double",
+    )
+    stats = merge_into(
+        spark, path, src, key_cols=["k"], partition_cols=["p"]
+    )
+    assert stats == {"conflicted_partitions": 1, "appended": True}
+    got = _read(spark, path)
+    assert got == {
+        1: ("2024-01-01", 10.0),
+        2: ("2024-01-01", 99.0),
+        3: ("2024-01-02", 30.0),
+        4: ("2024-01-03", 40.0),
+        5: ("2024-01-01", 50.0),
+        6: ("2024-01-04", 60.0),
+    }
+    # the partition with no matched key was not rewritten
+    assert _part_files(path, "2024-01-02") == before_untouched
+
+
+def test_merge_delete(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_target(spark, path)
+    src = spark.createDataFrame(
+        [
+            (3, "2024-01-02", 0.0),    # matched -> delete
+            (7, "2024-01-02", 70.0),   # unmatched -> insert (not
+                                       # resurrected by the delete)
+        ],
+        "k long, p string, v double",
+    )
+    stats = merge_into(
+        spark,
+        path,
+        src,
+        key_cols=["k"],
+        partition_cols=["p"],
+        when_matched="delete",
+    )
+    assert stats["conflicted_partitions"] == 1
+    got = _read(spark, path)
+    assert 3 not in got
+    assert got[7] == ("2024-01-02", 70.0)
+    assert set(got) == {1, 2, 4, 7}
+
+
+def test_merge_matched_only_ignore_inserts(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_target(spark, path)
+    src = spark.createDataFrame(
+        [(1, "2024-01-01", 11.0), (8, "2024-01-09", 80.0)],
+        "k long, p string, v double",
+    )
+    merge_into(
+        spark,
+        path,
+        src,
+        key_cols=["k"],
+        partition_cols=["p"],
+        when_not_matched="ignore",
+    )
+    got = _read(spark, path)
+    assert got[1] == ("2024-01-01", 11.0)
+    assert 8 not in got
+
+
+def test_merge_into_fresh_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    src = spark.createDataFrame(
+        [(1, "2024-01-01", 1.0)], "k long, p string, v double"
+    )
+    stats = merge_into(
+        spark, path, src, key_cols=["k"], partition_cols=["p"]
+    )
+    assert stats == {"conflicted_partitions": 0, "appended": True}
+    assert _read(spark, path) == {1: ("2024-01-01", 1.0)}
+
+
+def test_merge_idempotent_replay(spark, tmp_path):
+    """Replaying the same CDC batch is a no-op on row content — the
+    at-least-once delivery property foreachBatch sinks rely on."""
+    path = str(tmp_path / "t")
+    _write_target(spark, path)
+    src = spark.createDataFrame(
+        [(2, "2024-01-01", 99.0), (6, "2024-01-04", 60.0)],
+        "k long, p string, v double",
+    )
+    for _ in range(2):
+        merge_into(
+            spark, path, src, key_cols=["k"], partition_cols=["p"]
+        )
+    got = _read(spark, path)
+    assert got[2] == ("2024-01-01", 99.0)
+    assert got[6] == ("2024-01-04", 60.0)
+    assert len(got) == 5
+
+
+def test_merge_delete_vacates_whole_partition(spark, tmp_path):
+    """A delete-only merge that removes a partition's LAST row must
+    clear the partition — the case dynamic partition overwrite cannot
+    express (nothing is written for an emptied partition)."""
+    path = str(tmp_path / "t")
+    _write_target(spark, path)
+    src = spark.createDataFrame(
+        [(4, "2024-01-03", 0.0)], "k long, p string, v double"
+    )
+    merge_into(
+        spark,
+        path,
+        src,
+        key_cols=["k"],
+        partition_cols=["p"],
+        when_matched="delete",
+        when_not_matched="ignore",
+    )
+    got = _read(spark, path)
+    assert set(got) == {1, 2, 3}
+    assert not os.path.isdir(os.path.join(path, "p=2024-01-03"))
