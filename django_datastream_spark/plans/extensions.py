@@ -5040,3 +5040,54 @@ def q142(spark, sf_dir):
     media = ids.mapInPandas(synth, "media_id long, content binary")
     chunks = image_dhash_chunks(media)
     return dhash_near_pairs(chunks, max_hamming=3).orderBy("a", "b")
+
+
+# --------------------------------------------------------------------------
+# Q143: Python UDTF surface — lateral table function vs SQL mirror
+# --------------------------------------------------------------------------
+@_declare(
+    "q143_udtf_chunks",
+    r"""
+    WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') ts
+               FROM documents WHERE doc_id < 100),
+    ch AS (
+      SELECT doc_id, i idx,
+             array_to_string(list_slice(ts, i * 10 + 1,
+                             least((i + 1) * 10, len(ts))), ' ') chunk
+      FROM t, UNNEST(range(0, CAST(ceil(len(ts) / 10.0) AS INT))) u(i))
+    SELECT doc_id, CAST(idx AS INT) idx, chunk,
+           CAST(len(regexp_extract_all(chunk, '\S+')) AS INT) n_tok
+    FROM ch ORDER BY doc_id, idx
+    """,
+)
+def q143(spark, sf_dir):
+    """SURVEY §2.9's third leg: a Python UDTF (user-defined TABLE
+    function, Spark 4) invoked as a correlated LATERAL join — one
+    input row fans out to N output rows from imperative Python, the
+    escape hatch for generators no array expression can write.  The
+    function itself re-implements 10-token chunking so the DuckDB
+    mirror pins the UDTF execution path (serialization, lateral
+    correlation, schema) bit-for-bit against declarative SQL.  Like
+    q28 this is an API-surface parity demo: the PRODUCTION chunker is
+    the pure-expression functions/text.chunk_documents (q132), and
+    the docstring-level rule stands — UDTFs are the slow path, used
+    when semantics demand them, never for chunking at 100 TB."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx int, chunk string, n_tok int")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = text.split()
+            for i in range(0, (len(toks) + 9) // 10):
+                seg = toks[10 * i : 10 * (i + 1)]
+                yield i, " ".join(seg), len(seg)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, c.idx, c.chunk, c.n_tok "
+        "FROM _udtf_docs d, LATERAL chunk_doc(d.text) c "
+        "ORDER BY d.doc_id, c.idx"
+    )
