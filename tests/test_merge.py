@@ -164,3 +164,70 @@ def test_merge_delete_vacates_whole_partition(spark, tmp_path):
     got = _read(spark, path)
     assert set(got) == {1, 2, 3}
     assert not os.path.isdir(os.path.join(path, "p=2024-01-03"))
+
+
+def test_merge_applies_cdc_stream_foreachbatch(spark, tmp_path):
+    """The streaming CDC-apply loop: a changelog stream drained via
+    foreachBatch + merge_into must leave the table at last-writer-wins
+    state — the standard 'apply Debezium feed to a lakehouse table'
+    topology, here on vanilla parquet."""
+    import json as _json
+    import os as _os
+
+    src = str(tmp_path / "cdc")
+    path = str(tmp_path / "t")
+    _os.makedirs(src)
+
+    batches = [
+        [
+            {"k": 1, "p": "2024-01-01", "v": 1.0, "op": "upsert"},
+            {"k": 2, "p": "2024-01-01", "v": 2.0, "op": "upsert"},
+        ],
+        [
+            {"k": 1, "p": "2024-01-01", "v": 10.0, "op": "upsert"},
+            {"k": 3, "p": "2024-01-02", "v": 3.0, "op": "upsert"},
+        ],
+        [
+            {"k": 2, "p": "2024-01-01", "v": 0.0, "op": "delete"},
+            {"k": 4, "p": "2024-01-02", "v": 4.0, "op": "upsert"},
+        ],
+    ]
+
+    def apply_batch(bdf, _bid):
+        ups = bdf.filter(bdf.op == "upsert").drop("op")
+        dels = bdf.filter(bdf.op == "delete").drop("op")
+        if ups.take(1):
+            merge_into(
+                bdf.sparkSession, path, ups,
+                key_cols=["k"], partition_cols=["p"],
+            )
+        if dels.take(1):
+            merge_into(
+                bdf.sparkSession, path, dels,
+                key_cols=["k"], partition_cols=["p"],
+                when_matched="delete", when_not_matched="ignore",
+            )
+
+    for i, rows in enumerate(batches):
+        with open(f"{src}/b{i}.jsonl", "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+        stream = spark.readStream.schema(
+            "k long, p string, v double, op string"
+        ).json(src)
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option(
+                "checkpointLocation", str(tmp_path / "ck")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    got = _read(spark, path)
+    assert got == {
+        1: ("2024-01-01", 10.0),
+        3: ("2024-01-02", 3.0),
+        4: ("2024-01-02", 4.0),
+    }
