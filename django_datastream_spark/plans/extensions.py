@@ -5091,3 +5091,168 @@ def q143(spark, sf_dir):
         "FROM _udtf_docs d, LATERAL chunk_doc(d.text) c "
         "ORDER BY d.doc_id, c.idx"
     )
+
+
+# --------------------------------------------------------------------------
+# Q144: per-label embedding-centroid drift vs the corpus centroid
+# --------------------------------------------------------------------------
+@_declare(
+    "q144_centroid_drift",
+    """
+    WITH dims AS (
+      SELECT label, unnest(embedding) v,
+             generate_subscripts(embedding, 1) i
+      FROM embeddings),
+    lc AS (SELECT label, i, AVG(v) m, COUNT(*) n
+           FROM dims GROUP BY 1, 2),
+    gc AS (SELECT i, SUM(m * n) / SUM(n) g FROM lc GROUP BY 1),
+    dot AS (
+      SELECT lc.label, MAX(lc.n) n,
+             SUM(lc.m * gc.g) d,
+             SUM(lc.m * lc.m) mm, SUM(gc.g * gc.g) gg
+      FROM lc JOIN gc USING (i) GROUP BY 1)
+    SELECT label, CAST(n AS BIGINT) n,
+           ROUND(d / (SQRT(mm) * SQRT(gg)), 4) + 0 cos_to_corpus
+    FROM dot ORDER BY label
+    """,
+)
+def q144(spark, sf_dir):
+    """Embedding-space drift audit: cosine similarity between each
+    label's centroid and the corpus centroid — the per-slice version
+    of "did this source's embedding distribution move", the signal a
+    SemDeDup/IVF pipeline (q109/q42) monitors between index refits.
+    One posexplode (linear, 64 rows per vector), one (label, dim)
+    hash agg; the corpus centroid derives from the label centroids by
+    n-weighted average, so the vectors are scanned ONCE; the cosine
+    reduces over a |labels|×64 frame — negligible at any corpus
+    size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("i0", "v")
+    ).select("label", (F.col("i0") + 1).alias("i"), "v")
+    lc = dims.groupBy("label", "i").agg(
+        F.avg("v").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    gc = lc.groupBy("i").agg(
+        (F.sum(F.col("m") * F.col("n")) / F.sum("n")).alias("g")
+    )
+    dot = (
+        lc.join(gc, "i")
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.col("m") * F.col("g")).alias("d"),
+            F.sum(F.col("m") * F.col("m")).alias("mm"),
+            F.sum(F.col("g") * F.col("g")).alias("gg"),
+        )
+    )
+    return dot.select(
+        "label",
+        F.col("n").cast("long").alias("n"),
+        (
+            F.round(
+                F.col("d") / (F.sqrt("mm") * F.sqrt("gg")), 4
+            )
+            + F.lit(0.0)
+        ).alias("cos_to_corpus"),
+    ).orderBy("label")
+
+
+# --------------------------------------------------------------------------
+# Q145: PageRank over the token co-occurrence graph (unrolled oracle)
+# --------------------------------------------------------------------------
+_Q145_ITER = """
+    p{k} AS (
+      SELECT top.t,
+             0.15 / MAX(nn.n)
+               + 0.85 * COALESCE(SUM(p{j}.pr * e.w / ow.ow), 0) pr
+      FROM top CROSS JOIN nn
+        LEFT JOIN e ON e.tb = top.t
+        LEFT JOIN ow ON ow.ta = e.ta
+        LEFT JOIN p{j} ON p{j}.t = e.ta
+      GROUP BY 1)"""
+
+_Q145_SQL = (
+    r"""
+    WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) t
+                 FROM documents),
+    tf AS (SELECT t, COUNT(*) f FROM tok GROUP BY 1),
+    top AS (SELECT t FROM (
+              SELECT t, ROW_NUMBER() OVER (ORDER BY f DESC, t) r FROM tf)
+            WHERE r <= 50),
+    dt AS (SELECT DISTINCT doc_id, t FROM tok JOIN top USING (t)),
+    e AS (SELECT a.t ta, b.t tb, COUNT(*) w
+          FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.t <> b.t
+          GROUP BY 1, 2),
+    ow AS (SELECT ta, SUM(w) ow FROM e GROUP BY 1),
+    nn AS (SELECT COUNT(*) n FROM top),
+    p0 AS (SELECT t, 1.0 / nn.n pr FROM top CROSS JOIN nn),"""
+    + ",".join(_Q145_ITER.format(k=k, j=k - 1) for k in (1, 2, 3))
+    + """
+    SELECT t term, ROUND(pr, 6) + 0 pr FROM p3 ORDER BY term
+    """
+)
+
+
+@_declare("q145_token_pagerank", _Q145_SQL)
+def q145(spark, sf_dir):
+    """Iterative graph computation as a declarative plan: PageRank
+    (d = 0.85, 3 synchronous iterations) over the co-occurrence graph
+    of the 50 most frequent terms — q108's unrolled-iteration pattern
+    applied to a GRAPH algorithm instead of k-means.  Graph build:
+    one token explode, the top-50 node set (tiny — broadcast), per-doc
+    distinct node incidence, and a within-doc pair join whose fan-out
+    is bounded by the node cap squared PER DOC, linear in docs.  Each
+    iteration is one edge-key join + hash agg; three iterations = a
+    fixed 3-stage DAG Catalyst sees whole, no driver loop state.  The
+    DuckDB oracle replays the identical iterations bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("t")
+    )
+    tf = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+    top = tf.orderBy(F.desc("f"), "t").limit(50).select("t")
+    dt = tok.join(F.broadcast(top), "t").select("doc_id", "t").distinct()
+    a, b = dt.alias("a"), dt.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.t") != F.col("b.t")),
+        )
+        .groupBy(F.col("a.t").alias("ta"), F.col("b.t").alias("tb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ow = e.groupBy("ta").agg(F.sum("w").alias("ow"))
+    contrib_base = e.join(ow, "ta")
+    nn = top.agg(F.count(F.lit(1)).alias("n"))  # node count, in-plan
+    pr = top.crossJoin(F.broadcast(nn)).select(
+        "t", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(3):
+        contrib = (
+            contrib_base.join(
+                pr.select(F.col("t").alias("ta"), "pr"), "ta"
+            )
+            .groupBy("tb")
+            .agg(
+                F.sum(
+                    F.col("pr") * F.col("w") / F.col("ow")
+                ).alias("s")
+            )
+        )
+        pr = (
+            top.crossJoin(F.broadcast(nn))
+            .join(contrib.withColumnRenamed("tb", "t"), "t", "left")
+            .select(
+                "t",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + 0.85 * F.coalesce("s", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return pr.select(
+        F.col("t").alias("term"),
+        (F.round("pr", 6) + F.lit(0.0)).alias("pr"),
+    ).orderBy("term")

@@ -1276,3 +1276,16 @@ def test_chunk_dedup_rewrite_global_uniqueness(spark):
     assert int(out["n_kept"].sum()) == n_distinct
     assert int(out["n_chunks"].sum()) == n_total
     assert (out["n_kept"] <= out["n_chunks"]).all()
+
+
+def test_pagerank_mass_conservation(spark):
+    """Damped PageRank with in-plan teleport 0.15/N preserves unit
+    probability mass when the graph has no dangling nodes (every
+    co-occurrence node has out-edges): sum(pr) == 1 each iteration."""
+    from django_datastream_spark.plans import declared
+
+    out = declared.QUERIES["q145_token_pagerank"](
+        spark, SF_SMOKE
+    ).toPandas()
+    assert abs(out["pr"].sum() - 1.0) < 1e-3  # rounded to 6dp per row
+    assert (out["pr"] > 0).all()
