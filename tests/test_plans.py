@@ -347,3 +347,50 @@ def test_runtime_bloom_filter_reduces_probe_side(spark):
         )
     assert with_bloom["n"] == without["n"]
     assert abs(with_bloom["s"] - without["s"]) < 1e-6
+
+
+def test_dynamic_partition_pruning_inserts_runtime_filter(spark, tmp_path):
+    """Joining a day-partitioned fact to a filtered dim on the
+    partition column must insert a DPP filter (dynamicpruning
+    subquery) so the fact scan reads only the dim-selected partitions
+    — the optimization that makes star-schema queries cheap at 100 TB.
+    Note the dim predicate must be 'likely selective' (equality/IN/
+    comparison); a bare boolean attribute does NOT qualify under
+    Spark's isLikelySelective, which is itself worth pinning."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 200_000).select(
+        (F.col("id") % 100).cast("int").alias("d"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    fact.write.partitionBy("d").parquet(str(tmp_path / "fact"))
+    spark.createDataFrame(
+        [(i, "a" if i == 3 else "b") for i in range(100)],
+        "d int, grp string",
+    ).write.parquet(str(tmp_path / "dim"))
+
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    dm = spark.read.parquet(str(tmp_path / "dim")).filter(
+        F.col("grp") == "a"
+    )
+    j = f.join(dm, "d").agg(F.sum("v").alias("s"))
+    opt = j._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in opt.lower()
+    # and the pruned result is right: only d == 3 rows contribute
+    expect = sum(i * 2.0 for i in range(200_000) if i % 100 == 3)
+    assert abs(j.collect()[0]["s"] - expect) < 1e-6
+
+
+def test_pagerank_iterations_reuse_edge_exchange(spark):
+    """q145 references the edge/out-weight frame in all three
+    iterations: the executed plan must contain ReusedExchange nodes
+    (Spark dedups the identical shuffle subtrees) rather than
+    recomputing the co-occurrence join per iteration."""
+    from django_datastream_spark.plans import declared
+
+    from .conftest import SF_SMOKE
+
+    df = declared.QUERIES["q145_token_pagerank"](spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
