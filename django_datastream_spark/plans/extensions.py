@@ -5256,3 +5256,53 @@ def q145(spark, sf_dir):
         F.col("t").alias("term"),
         (F.round("pr", 6) + F.lit(0.0)).alias("pr"),
     ).orderBy("term")
+
+
+# --------------------------------------------------------------------------
+# Q146: native session_window operator vs first-principles islands SQL
+# --------------------------------------------------------------------------
+@_declare(
+    "q146_native_session_window",
+    """
+    WITH marks AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w >= 1800
+                  THEN 1 ELSE 0 END new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sid AS (
+      SELECT user_id,
+             SUM(new_s) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) s
+      FROM marks),
+    sess AS (SELECT user_id, s, COUNT(*) n FROM sid GROUP BY 1, 2)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) n_sessions,
+           CAST(SUM(n) AS BIGINT) n_events,
+           CAST(MAX(n) AS BIGINT) max_sess_events
+    FROM sess GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q146(spark, sf_dir):
+    """Spark's NATIVE session_window operator (merge-on-overlap
+    implementation) pinned against first-principles gaps-and-islands
+    SQL: 30-minute-gap sessions per user, counted and sized.  The
+    boundary semantics are part of the pin — session_window's interval
+    is [start, last+gap), so an event arriving at EXACTLY gap seconds
+    opens a new session, hence the oracle's >= 1800 mark (q100's plain
+    > is the other convention; both are defensible, the operator's is
+    what ships).  One shuffle on the user key; session merging is
+    local to each partition."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        F.session_window("ts", "30 minutes"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.max("n").cast("long").alias("max_sess_events"),
+        )
+        .orderBy("user_id")
+    )
