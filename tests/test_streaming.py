@@ -739,3 +739,74 @@ def test_stream_scores_against_batch_profile(spark, tmp_path):
     assert got == batch
     assert got[("a", 50.0)] is True and got[("b", -40.0)] is True
     assert sum(got.values()) == 2
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """Native session_window in STREAMING mode (state-backed session
+    merging across micro-batches) must finalize the same sessions the
+    batch operator computes on the full data — including a session
+    whose events straddle two micro-batches."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+
+    # user A: events at 0s, 5s | 100s..105s (two sessions, 10s gap);
+    # the second session's events straddle the two input files.
+    b0 = [
+        {"user": "A", "ts": iso(0)},
+        {"user": "A", "ts": iso(5)},
+        {"user": "A", "ts": iso(100)},
+        {"user": "B", "ts": iso(50)},
+    ]
+    b1 = [
+        {"user": "A", "ts": iso(105)},
+        # sentinel far in the future: pushes the watermark past every
+        # session end so append mode emits them all
+        {"user": "Z", "ts": iso(100_000)},
+    ]
+    write_jsonl(f"{src}/b0.json", b0)
+    write_jsonl(f"{src}/b1.json", b1)
+
+    def sessions(df):
+        return df.groupBy(
+            F.session_window("ts", "10 seconds"), "user"
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    stream = (
+        spark.readStream.schema("user string, ts string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .select("user", F.to_timestamp("ts").alias("ts"))
+        .withWatermark("ts", "1 second")
+    )
+    q = (
+        sessions(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    batch = (
+        spark.read.schema("user string, ts string")
+        .json(src)
+        .select("user", F.to_timestamp("ts").alias("ts"))
+    )
+    want = {
+        (r["user"], r["session_window"]["start"], r["n"])
+        for r in sessions(batch).collect()
+        if r["user"] != "Z"  # sentinel session never closes upstream
+    }
+    got = {
+        (r["user"], r["session_window"]["start"], r["n"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert want == got
+    # the straddling session really merged: user A has a 2-event
+    # session starting at t=100
+    assert any(u == "A" and n == 2 for (u, _s, n) in got) and len(
+        [1 for (u, *_ ) in got if u == "A"]
+    ) == 2
