@@ -1,0 +1,63 @@
+"""Python Data Source API seam (sources/synthetic.py): a registered
+custom format plans partitions driver-side and generates rows
+executor-side, deterministically."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from django_datastream_spark.sources import synthetic
+
+
+def _load(spark, **opts):
+    synthetic.register(spark)
+    r = spark.read.format("synthetic_events")
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+def test_synthetic_source_partitions_and_content(spark):
+    df = _load(spark, rows=1000, partitions=7)
+    assert df.rdd.getNumPartitions() == 7
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("ck"),
+        F.countDistinct("user_id").alias("u"),
+    ).collect()[0]
+    # exact global content regardless of the partition split
+    assert agg["n"] == 1000 and agg["ck"] == 999 * 1000 // 2
+    assert agg["u"] == 50
+
+
+def test_synthetic_source_split_invariance_and_determinism(spark):
+    """The same (rows, seed) produces identical data under different
+    parallelism — partitioning is a physical choice, not a semantic
+    one — and a different seed changes the value stream only."""
+    a = _load(spark, rows=500, partitions=3).orderBy("event_id")
+    b = _load(spark, rows=500, partitions=11).orderBy("event_id")
+    assert a.collect() == b.collect()
+    c = _load(spark, rows=500, partitions=3, seed=7)
+    joined = (
+        a.select("event_id", F.col("value").alias("v0"))
+        .join(
+            c.select("event_id", "value", "user_id", "event_type"),
+            "event_id",
+        )
+    )
+    # keys/attrs agree, md5-derived values differ
+    diff = joined.filter(F.col("v0") != F.col("value")).count()
+    assert diff > 450
+
+
+def test_synthetic_source_composes_with_engine_ops(spark):
+    """The custom source is a first-class scan: engine operators and
+    aggregations run on it like any parquet table."""
+    df = _load(spark, rows=2000, partitions=8)
+    per_type = {
+        r["event_type"]: r["n"]
+        for r in df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_type == {t: 400 for t in per_type}
