@@ -5306,3 +5306,63 @@ def q146(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q147: ANSI-safe try_* semantics (try_divide / try_cast) as a query
+# --------------------------------------------------------------------------
+@_declare(
+    "q147_try_semantics",
+    """
+    WITH b AS (
+      SELECT event_type, value,
+             CAST(json_extract(props, '$.k') AS BIGINT) k
+      FROM events WHERE value IS NOT NULL)
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) n,
+      CAST(COUNT(*) FILTER (WHERE value / (k - 50) IS NULL)
+           AS BIGINT) n_div_null,
+      ROUND(SUM(value / NULLIF(k - 50, 0)), 2) + 0 sum_div,
+      CAST(COUNT(try_cast(CASE WHEN k < 50 THEN CAST(k AS VARCHAR)
+                          ELSE event_type END AS DOUBLE))
+           AS BIGINT) n_cast_ok,
+      ROUND(SUM(try_cast(CASE WHEN k < 50 THEN CAST(k AS VARCHAR)
+                         ELSE event_type END AS DOUBLE)), 1) + 0 sum_cast
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+)
+def q147(spark, sf_dir):
+    """Spark 4 runs ANSI mode by default: raw division by zero or a
+    bad cast ABORTS the job, so robust pipelines spell fallible
+    arithmetic with the try_* family.  This query pins both: NULL-on-
+    zero division (try_divide, counted and summed) and NULL-on-
+    unparseable cast (try_cast over a string column that is numeric
+    for half the rows) — against DuckDB, whose native semantics
+    (x/0 → NULL, try_cast) are exactly the try_* behavior.  The error
+    handling is row-local expression logic: no task failures, no
+    speculative retries, identical plan shape to the unguarded
+    arithmetic."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    b = ev.select(
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    td = F.try_divide("value", F.col("k") - 50)
+    tc = F.expr(
+        "try_cast(case when k < 50 then cast(k as string) "
+        "else event_type end as double)"
+    )
+    return (
+        b.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(td.isNull()).alias("n_div_null"),
+            (F.round(F.sum(td), 2) + F.lit(0.0)).alias("sum_div"),
+            F.count(tc).alias("n_cast_ok"),
+            (F.round(F.sum(tc), 1) + F.lit(0.0)).alias("sum_cast"),
+        )
+        .orderBy("event_type")
+    )
