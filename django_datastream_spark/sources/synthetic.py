@@ -26,6 +26,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 _T0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
@@ -60,6 +61,9 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> "SyntheticEventsReader":
         return SyntheticEventsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
+
 
 class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options):
@@ -85,3 +89,30 @@ class SyntheticEventsReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotent registration of the synthetic_events format."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming leg of the seam: offset-tracked micro-batches of the
+    SAME deterministic row stream.  ``read(start)`` advances the
+    offset by ``batchRows``; ``readBetweenOffsets`` replays any range
+    exactly (what checkpoint recovery calls after a failure), which is
+    trivially correct here because rows are a pure function of index —
+    the property a real connector gets from a replayable log."""
+
+    def __init__(self, options):
+        self.batch = int(options.get("batchRows", 100))
+        self.seed = int(options.get("seed", 0))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start):
+        i = start["i"]
+        end = {"i": i + self.batch}
+        return (
+            [_row(j, self.seed) for j in range(i, i + self.batch)],
+            end,
+        )
+
+    def readBetweenOffsets(self, start, end):
+        return [_row(j, self.seed) for j in range(start["i"], end["i"])]

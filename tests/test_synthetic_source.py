@@ -61,3 +61,39 @@ def test_synthetic_source_composes_with_engine_ops(spark):
         .collect()
     }
     assert per_type == {t: 400 for t in per_type}
+
+
+def test_synthetic_source_streams_with_offsets(spark):
+    """The streaming leg: offset-tracked micro-batches land the same
+    deterministic rows, contiguously from index 0."""
+    import time
+
+    synthetic.register(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("batchRows", "50")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            n = spark.sql("SELECT COUNT(*) n FROM synth_stream").collect()[0]["n"]
+            if n >= 150:
+                break
+            time.sleep(0.5)
+        assert n >= 150
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT * FROM synth_stream WHERE event_id < 150 ORDER BY event_id"
+    ).collect()
+    # contiguous prefix, exact content (pure function of index)
+    assert [r["event_id"] for r in rows] == list(range(150))
+    assert rows[149]["user_id"] == 149 % 50
+    assert rows[3]["event_type"] == "signup"
