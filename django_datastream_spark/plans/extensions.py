@@ -4676,6 +4676,42 @@ def q136(spark, sf_dir):
     ).orderBy("event_type", "metric")
 
 
+def _bm25_scores(docs, terms):
+    """BM25 (k1=1.2, b=0.75, +1-smoothed idf) per-doc scores for a
+    term set — shared by q137 (top-k) and q148 (rank fusion)."""
+    tk = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("w")
+    )
+    dl = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        tk.filter(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    denom = F.col("tf") + 1.2 * (
+        0.25 + 0.75 * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.round(F.sum(idf * F.col("tf") * 2.2 / denom), 4)
+                + F.lit(0.0)
+            ).alias("score")
+        )
+    )
+
+
 @_declare(
     "q137_bm25_search",
     r"""
@@ -4711,37 +4747,8 @@ def q137(spark, sf_dir):
     orders the top-k, which TakeOrderedAndProject evaluates without a
     global sort."""
     docs = load_table(spark, sf_dir, "documents")
-    terms = ["spark", "join", "window"]
-    tk = docs.select(
-        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("w")
-    )
-    dl = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    )
-    tf = (
-        tk.filter(F.col("w").isin(terms))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
-    )
-    denom = F.col("tf") + 1.2 * (
-        0.25 + 0.75 * F.col("dl") / F.col("avgdl")
-    )
     return (
-        tf.join(F.broadcast(df), "w")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            (
-                F.round(F.sum(idf * F.col("tf") * 2.2 / denom), 4)
-                + F.lit(0.0)
-            ).alias("score")
-        )
+        _bm25_scores(docs, ["spark", "join", "window"])
         .orderBy(F.desc("score"), "doc_id")
         .limit(20)
     )
@@ -5365,4 +5372,124 @@ def q147(spark, sf_dir):
             (F.round(F.sum(tc), 1) + F.lit(0.0)).alias("sum_cast"),
         )
         .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q148: hybrid retrieval — reciprocal rank fusion of BM25 + cosine
+# --------------------------------------------------------------------------
+@_declare(
+    "q148_hybrid_rrf",
+    r"""
+    WITH tk AS (SELECT doc_id, t AS w
+                FROM (SELECT doc_id, regexp_extract_all(text, '\S+') ts
+                      FROM documents), UNNEST(ts) u(t)),
+    dl AS (SELECT doc_id, COUNT(*) dl FROM tk GROUP BY 1),
+    stats AS (SELECT COUNT(*) n, AVG(dl) avgdl FROM dl),
+    tf AS (SELECT doc_id, w, COUNT(*) tf FROM tk
+           WHERE w IN ('spark', 'join', 'window') GROUP BY 1, 2),
+    dfreq AS (SELECT w, COUNT(*) df FROM tf GROUP BY 1),
+    bm AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))),
+                 4) + 0 score
+      FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id)
+        CROSS JOIN stats
+      GROUP BY 1),
+    rb AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) r
+           FROM bm),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) e FROM embeddings
+           WHERE vec_id = 0),
+    cs AS (
+      SELECT c.vec_id doc_id,
+             list_inner_product(qv.e, ce.e)
+             / sqrt(list_inner_product(qv.e, qv.e)
+                    * list_inner_product(ce.e, ce.e)) sim
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id <> 0) c
+        JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
+              FROM embeddings) ce USING (vec_id)
+        CROSS JOIN qv),
+    rc AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) r
+           FROM cs),
+    fused AS (
+      SELECT COALESCE(rb.doc_id, rc.doc_id) doc_id,
+             COALESCE(1.0 / (60 + rb.r), 0)
+               + COALESCE(1.0 / (60 + rc.r), 0) rrf
+      FROM rb FULL OUTER JOIN rc ON rb.doc_id = rc.doc_id)
+    SELECT doc_id, ROUND(rrf, 6) + 0 rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def q148(spark, sf_dir):
+    """Hybrid search the way a RAG retriever runs it: fuse the LEXICAL
+    ranking (q137's BM25 list) with the SEMANTIC ranking (cosine to a
+    query embedding, q30's brute-force baseline) by Reciprocal Rank
+    Fusion, rrf(d) = Σ 1/(60 + rank_list(d)) — rank-based so the two
+    incomparable score scales never need calibration.  Docs absent
+    from one list (no query term / the query vector itself) contribute
+    only their other rank via the FULL OUTER join.  Both rankings are
+    windows over already-aggregated frames (|docs| rows); at scale the
+    cosine side swaps to the q41/q42 ANN candidates, the fusion is
+    unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    bm = _bm25_scores(docs, ["spark", "join", "window"])
+    rb = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .alias("rb"),
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("e").alias("qe")
+    )
+    cs = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                dot(F.col("qe"), F.col("e"))
+                / F.sqrt(
+                    dot(F.col("qe"), F.col("qe"))
+                    * dot(F.col("e"), F.col("e"))
+                )
+            ).alias("sim"),
+        )
+    )
+    rc = cs.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("sim"), "doc_id"))
+        .alias("rc"),
+    )
+    fused = (
+        rb.join(rc, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(1.0 / (60 + F.col("rb")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("rc")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.select(
+            "doc_id", (F.round("rrf", 6) + F.lit(0.0)).alias("rrf")
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(20)
     )
