@@ -5493,3 +5493,118 @@ def q148(spark, sf_dir):
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Q149–Q150: survivor-policy comparison, cumulative distinct users
+# --------------------------------------------------------------------------
+@_declare(
+    "q149_survivor_policies",
+    """
+    WITH h AS (SELECT doc_id, md5(text) hh, n_chars,
+                      length(text) - length(replace(text, ' ', '')) + 1 nw
+               FROM documents),
+    g AS (SELECT hh FROM h GROUP BY hh HAVING COUNT(*) > 1),
+    d AS (SELECT h.* FROM h JOIN g USING (hh)),
+    pol AS (
+      SELECT hh,
+             MIN(doc_id) keep_first,
+             arg_max(doc_id, n_chars * 1000000 - doc_id) keep_longest,
+             arg_max(doc_id, nw * 1000000 - doc_id) keep_wordiest,
+             CAST(COUNT(*) AS BIGINT) n_members
+      FROM d GROUP BY hh)
+    SELECT keep_first, keep_longest, keep_wordiest, n_members,
+           (keep_first <> keep_longest
+            OR keep_first <> keep_wordiest) policies_disagree
+    FROM pol ORDER BY keep_first
+    """,
+)
+def q149(spark, sf_dir):
+    """Survivor-selection POLICY surface for dedup clusters: the same
+    exact-dup groups resolved under keep-first (q35's rule),
+    keep-longest, and keep-most-words, with a disagreement flag — the
+    audit a data team runs before switching policies, since the choice
+    silently changes the training corpus.  Policies are expressed as
+    arg_max over a deterministic composite (metric·1e6 − doc_id, so
+    ties break toward the LOWEST id on both engines); all three ride
+    ONE hash agg over the dup groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    nw = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", " ", ""))
+        + 1
+    )
+    h = docs.select(
+        "doc_id",
+        F.md5("text").alias("hh"),
+        "n_chars",
+        nw.alias("nw"),
+    )
+    g = (
+        h.groupBy("hh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("hh")
+    )
+    d = h.join(g, "hh")
+    pol = d.groupBy("hh").agg(
+        F.min("doc_id").alias("keep_first"),
+        F.max_by(
+            "doc_id", F.col("n_chars") * 1000000 - F.col("doc_id")
+        ).alias("keep_longest"),
+        F.max_by(
+            "doc_id", F.col("nw") * 1000000 - F.col("doc_id")
+        ).alias("keep_wordiest"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return pol.select(
+        "keep_first",
+        "keep_longest",
+        "keep_wordiest",
+        "n_members",
+        (
+            (F.col("keep_first") != F.col("keep_longest"))
+            | (F.col("keep_first") != F.col("keep_wordiest"))
+        ).alias("policies_disagree"),
+    ).orderBy("keep_first")
+
+
+@_declare(
+    "q150_cumulative_distinct_users",
+    """
+    WITH fd AS (SELECT user_id, MIN(date_trunc('day', ts)) d
+                FROM events GROUP BY 1),
+    per_day AS (SELECT d, COUNT(*) newu FROM fd GROUP BY 1),
+    days AS (SELECT DISTINCT date_trunc('day', ts) d FROM events)
+    SELECT days.d,
+           CAST(COALESCE(per_day.newu, 0) AS BIGINT) new_users,
+           CAST(SUM(COALESCE(per_day.newu, 0))
+                OVER (ORDER BY days.d) AS BIGINT) cum_users
+    FROM days LEFT JOIN per_day ON days.d = per_day.d
+    ORDER BY days.d
+    """,
+)
+def q150(spark, sf_dir):
+    """Cumulative distinct users per day — the growth-curve metric —
+    WITHOUT a running COUNT(DISTINCT) window (quadratic state): each
+    user collapses to their FIRST-SEEN day (one hash agg), daily
+    new-user counts follow, and the cumulative sum is a window over
+    the tiny |days| frame.  The identity Σ first-seen = |distinct so
+    far| is what makes incremental/streaming maintenance of this
+    metric cheap too (q69's EWMA state pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    fd = ev.groupBy("user_id").agg(F.min(day).alias("d"))
+    per_day = fd.groupBy("d").agg(F.count(F.lit(1)).alias("newu"))
+    days = ev.select(day.alias("d")).distinct()
+    w = Window.orderBy("d")
+    return (
+        days.join(per_day, "d", "left")
+        .select("d", F.coalesce("newu", F.lit(0)).alias("new_users"))
+        .select(
+            "d",
+            F.col("new_users").cast("long").alias("new_users"),
+            F.sum("new_users").over(w).cast("long").alias("cum_users"),
+        )
+        .orderBy("d")
+    )
