@@ -5608,3 +5608,109 @@ def q150(spark, sf_dir):
         )
         .orderBy("d")
     )
+
+
+# --------------------------------------------------------------------------
+# Q151–Q152: SCD Type-2 dimension build + point-in-time (PIT) join
+# --------------------------------------------------------------------------
+@_declare(
+    "q151_scd2_intervals",
+    """
+    WITH s AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'signup'),
+    v AS (
+      SELECT user_id, ts valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, value) valid_to,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, value) ver,
+             ROUND(value, 4) + 0 profile_v
+      FROM s)
+    SELECT user_id, CAST(ver AS BIGINT) ver,
+           valid_from, valid_to, profile_v
+    FROM v ORDER BY user_id, ver
+    """,
+)
+def q151(spark, sf_dir):
+    """Slowly-changing-dimension Type 2 build: each user's 'signup'
+    change events become versioned validity intervals
+    [valid_from, valid_to) via lead over the user key (open interval
+    = NULL valid_to).  One shuffle on the dimension key; this is the
+    batch replay of what a MERGE-based SCD2 apply maintains
+    incrementally (operators/merge.py is the apply half)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "value")
+    return (
+        ev.select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.row_number().over(w).cast("long").alias("ver"),
+            (F.round("value", 4) + F.lit(0.0)).alias("profile_v"),
+        )
+        .select(
+            "user_id", "ver", "valid_from", "valid_to", "profile_v"
+        )
+        .orderBy("user_id", "ver")
+    )
+
+
+@_declare(
+    "q152_point_in_time_join",
+    """
+    WITH s AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'signup'),
+    v AS (
+      SELECT user_id, ts valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, value) valid_to,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, value) ver
+      FROM s),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, CAST(v.ver AS BIGINT) ver
+    FROM p JOIN v ON p.user_id = v.user_id
+                 AND p.ts >= v.valid_from
+                 AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+    ORDER BY p.event_id
+    """,
+)
+def q152(spark, sf_dir):
+    """Point-in-time correct join — the feature-store discipline that
+    prevents label leakage in training data: each purchase sees the
+    profile version that was valid AT ITS TIMESTAMP, never a later
+    one.  The interval predicate rides the user-key equi-join (the
+    range condition is a post-join filter on co-partitioned rows), so
+    there is no non-equi shuffle; at most one interval matches per
+    fact by construction.  Facts before a user's first version drop
+    out — exactly the rows that would otherwise train on future
+    information."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "value")
+    v = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.row_number().over(w).cast("long").alias("ver"),
+        )
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts")
+    )
+    return (
+        p.join(v, "user_id")
+        .filter(
+            (F.col("pts") >= F.col("valid_from"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("pts") < F.col("valid_to"))
+            )
+        )
+        .select("event_id", "user_id", "ver")
+        .orderBy("event_id")
+    )
