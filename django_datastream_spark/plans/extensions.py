@@ -5714,3 +5714,71 @@ def q152(spark, sf_dir):
         .select("event_id", "user_id", "ver")
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q153: hierarchical percent-of-parent revenue shares
+# --------------------------------------------------------------------------
+@_declare(
+    "q153_hierarchical_shares",
+    """
+    WITH rev AS (
+      SELECT r.r_name region, n.n_name nation,
+             SUM(o.o_totalprice) rev
+      FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2)
+    SELECT region, nation, ROUND(rev, 2) + 0 rev,
+           ROUND(rev / SUM(rev) OVER (PARTITION BY region) * 100,
+                 4) + 0 pct_of_region,
+           ROUND(SUM(rev) OVER (PARTITION BY region)
+                 / SUM(rev) OVER () * 100, 4) + 0 region_pct_of_total
+    FROM rev ORDER BY region, nation
+    """,
+)
+def q153(spark, sf_dir):
+    """Hierarchical percent-of-parent: each nation's share of its
+    region and each region's share of the total, in one pass — the
+    drill-down ratio every rollup dashboard needs.  The dim chain
+    broadcasts (q22's shape); both share windows run over the
+    AGGREGATED |nations| frame, so the unpartitioned total window is
+    25 rows, not the fact table."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    wr = Window.partitionBy("region")
+    wt = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        (F.round("rev", 2) + F.lit(0.0)).alias("rev"),
+        (
+            F.round(F.col("rev") / F.sum("rev").over(wr) * 100, 4)
+            + F.lit(0.0)
+        ).alias("pct_of_region"),
+        (
+            F.round(
+                F.sum("rev").over(wr) / F.sum("rev").over(wt) * 100, 4
+            )
+            + F.lit(0.0)
+        ).alias("region_pct_of_total"),
+    ).orderBy("region", "nation")
