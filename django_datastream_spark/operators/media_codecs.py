@@ -166,3 +166,55 @@ def ppm_dhash_chunks(payload: bytes) -> list[int]:
         seg = bits[16 * k : 16 * (k + 1)]
         chunks.append(int((seg << np.arange(16)).sum()))
     return chunks
+
+
+# ---------------------------------------------------------------------------
+# "PVM" — a minimal REAL video container: header + length-prefixed P6 frames.
+# No external codecs needed, but the parsing, seeking, and per-frame decode
+# are genuine computations (the same seek-then-decode shape an ffmpeg-backed
+# sampler has), so the Spark plumbing around video can be oracle-verified.
+# ---------------------------------------------------------------------------
+
+
+def encode_pvm(frames: list[np.ndarray], fps: int) -> bytes:
+    """Container layout: ``PVM1\\n<n_frames> <fps>\\n`` then each frame as
+    an 8-byte big-endian length prefix + the P6 payload."""
+    parts = [b"PVM1\n%d %d\n" % (len(frames), fps)]
+    for f in frames:
+        p = encode_ppm(f)
+        parts.append(len(p).to_bytes(8, "big") + p)
+    return b"".join(parts)
+
+
+def parse_pvm_index(payload: bytes) -> tuple[int, int, list[tuple[int, int]]]:
+    """Scan ONLY the header + length prefixes (never the pixel data):
+    returns (n_frames, fps, [(offset, length), ...]).  This is the seek
+    index — sampling frame k decodes frame k alone."""
+    if not payload.startswith(b"PVM1\n"):
+        raise ValueError("not a PVM payload")
+    nl = payload.find(b"\n", 5)
+    if nl < 0:
+        raise ValueError("truncated PVM header")
+    n_s, fps_s = payload[5:nl].split()
+    n, fps = int(n_s), int(fps_s)
+    if fps <= 0:
+        raise ValueError("non-positive fps")
+    idx, pos = [], nl + 1
+    for _ in range(n):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated PVM frame table")
+        ln = int.from_bytes(payload[pos : pos + 8], "big")
+        idx.append((pos + 8, ln))
+        pos += 8 + ln
+    if pos > len(payload):
+        raise ValueError("truncated PVM frame data")
+    return n, fps, idx
+
+
+def pvm_frame(payload: bytes, k: int) -> np.ndarray:
+    """Decode frame k only (seek via the index, then the real PPM parse)."""
+    n, _fps, idx = parse_pvm_index(payload)
+    if not 0 <= k < n:
+        raise IndexError(f"frame {k} of {n}")
+    off, ln = idx[k]
+    return parse_ppm(payload[off : off + ln])

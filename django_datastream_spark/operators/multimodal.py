@@ -416,3 +416,70 @@ def dhash_near_pairs(chunks: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.col("ia").alias("a"), F.col("ib").alias("b"), "hamming"
         )
     )
+
+
+VIDEO_FRAME_SCHEMA = (
+    "media_id long, frame_idx int, frame_ms long, width int, height int, "
+    "luma_mean double, decode_err string"
+)
+
+
+def sample_frames_real(
+    media: DataFrame, every_ms: int = 500, max_frames: int = 8
+) -> DataFrame:
+    """REAL video frame sampling over the PVM container
+    (media_codecs.encode_pvm / pvm_frame): the index scan touches only
+    header + length prefixes, each sampled timestamp seeks directly to
+    its frame and runs the real PPM decode + luma feature — unsampled
+    frames are never decoded, which is the property that makes
+    timestamp sampling over hour-long videos linear in SAMPLES, not in
+    frames.  Fan-out happens inside the Arrow batch (one output row
+    per sampled frame); corrupt payloads quarantine per-row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from django_datastream_spark.operators.media_codecs import (
+            parse_pvm_index,
+            pvm_frame,
+        )
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "frame_idx", "frame_ms", "width",
+                "height", "luma_mean", "decode_err",
+            )}
+
+            def emit(mid, fi, ms, w, h, lm, err):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(fi)
+                out["frame_ms"].append(ms)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["luma_mean"].append(lm)
+                out["decode_err"].append(err)
+
+            for mid, p in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    n, fps, _ = parse_pvm_index(p or b"")
+                    dur_ms = n * 1000 // fps
+                    for j in range(max_frames):
+                        ms = j * every_ms
+                        k = ms * fps // 1000
+                        if ms >= dur_ms or k >= n:
+                            break
+                        a = pvm_frame(p, k).astype(np.float64)
+                        luma = (
+                            0.299 * a[..., 0]
+                            + 0.587 * a[..., 1]
+                            + 0.114 * a[..., 2]
+                        )
+                        emit(
+                            mid, k, ms, a.shape[1], a.shape[0],
+                            float(luma.mean()), None,
+                        )
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    emit(mid, -1, -1, None, None, None, str(e)[:200])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, VIDEO_FRAME_SCHEMA)

@@ -5782,3 +5782,81 @@ def q153(spark, sf_dir):
             + F.lit(0.0)
         ).alias("region_pct_of_total"),
     ).orderBy("region", "nation")
+
+
+# --------------------------------------------------------------------------
+# Q154: REAL video frame sampling (PVM container) — arithmetic oracle
+# --------------------------------------------------------------------------
+@_declare(
+    "q154_video_frame_sampling",
+    """
+    WITH b AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+    fr AS (SELECT unnest([0, 2, 4, 6]) f),
+    px AS (SELECT b.doc_id, fr.f,
+                  ((b.doc_id * 7 + fr.f * 13 + r.r * 3 + c.c * 5)
+                   % 256) m
+           FROM b, fr,
+                (SELECT unnest(range(0, 16)) r) r,
+                (SELECT unnest(range(0, 32)) c) c)
+    SELECT doc_id media_id, CAST(f AS INT) frame_idx,
+           CAST(f * 250 AS BIGINT) frame_ms,
+           CAST(32 AS INT) width, CAST(16 AS INT) height,
+           ROUND(AVG(0.299 * m + 0.587 * ((m + 11) % 256)
+                     + 0.114 * ((m + 22) % 256)), 4) + 0 luma_mean
+    FROM px GROUP BY doc_id, f ORDER BY media_id, frame_idx
+    """,
+)
+def q154(spark, sf_dir):
+    """REAL video frame sampling, end-to-end: 50 deterministic PVM
+    videos (8 closed-form PPM frames each, 4 fps — frame f's pixels
+    follow (base·7 + f·13 + r·3 + c·5 + k·11) mod 256), sampled every
+    500 ms by operators/multimodal.sample_frames_real — which scans
+    only the container's length-prefix index and DECODES ONLY the 4
+    sampled frames (0,2,4,6) via the real netpbm parser.  The DuckDB
+    oracle re-derives each sampled frame's luma mean arithmetically:
+    the hash match proves container parse + seek + per-frame decode +
+    feature, the full video path with zero stubs.  Map-only."""
+    from ..operators.multimodal import sample_frames_real
+
+    bases = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 50
+    )
+
+    def synth(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from django_datastream_spark.operators.media_codecs import (
+            encode_pvm,
+        )
+
+        h, w = 16, 32
+        r = _np.arange(h).reshape(h, 1, 1)
+        c = _np.arange(w).reshape(1, w, 1)
+        k = _np.arange(3).reshape(1, 1, 3)
+        grid = r * 3 + c * 5 + k * 11
+        for pdf in batches:
+            payloads = [
+                encode_pvm(
+                    [
+                        (int(did) * 7 + f * 13 + grid) % 256
+                        for f in range(8)
+                    ],
+                    fps=4,
+                )
+                for did in pdf["doc_id"]
+            ]
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    media = bases.mapInPandas(synth, "media_id long, content binary")
+    frames = sample_frames_real(media, every_ms=500, max_frames=8)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "frame_ms",
+        "width",
+        "height",
+        (F.round("luma_mean", 4) + F.lit(0.0)).alias("luma_mean"),
+    ).orderBy("media_id", "frame_idx")

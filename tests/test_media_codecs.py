@@ -198,3 +198,47 @@ def test_dhash_twins_and_near_twins(spark):
     )
     rows = image_dhash_chunks(bad).collect()
     assert rows[0]["k"] == -1 and rows[0]["decode_err"]
+
+
+def test_pvm_container_roundtrip_and_seek(spark):
+    import numpy as np
+    import pandas as pd
+
+    from django_datastream_spark.operators.media_codecs import (
+        encode_pvm,
+        parse_pvm_index,
+        pvm_frame,
+    )
+    from django_datastream_spark.operators.multimodal import (
+        sample_frames_real,
+    )
+
+    frames = [
+        (np.arange(16 * 32 * 3).reshape(16, 32, 3) + 7 * f) % 256
+        for f in range(5)
+    ]
+    payload = encode_pvm(frames, fps=2)
+    n, fps, idx = parse_pvm_index(payload)
+    assert (n, fps, len(idx)) == (5, 2, 5)
+    # seek decodes exactly the requested frame
+    assert (pvm_frame(payload, 3) == frames[3]).all()
+    # truncated payload raises (→ quarantined in the Spark path)
+    try:
+        parse_pvm_index(payload[:-10])
+        raise AssertionError("expected truncation error")
+    except ValueError:
+        pass
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [1, 2], "content": [payload, b"JUNK"]}
+        )
+    )
+    rows = sample_frames_real(media, every_ms=1000, max_frames=8).collect()
+    good = [r for r in rows if r["media_id"] == 1]
+    bad = [r for r in rows if r["media_id"] == 2]
+    # 5 frames @2fps = 2500ms; sampled at 0,1000,2000 → frames 0,2,4
+    assert [(r["frame_idx"], r["frame_ms"]) for r in good] == [
+        (0, 0), (2, 1000), (4, 2000),
+    ]
+    assert bad[0]["frame_idx"] == -1 and bad[0]["decode_err"]
