@@ -177,8 +177,11 @@ def sample_frames(
     """mapInPandas video frame sampling: one output row per sampled frame
     (media fan-out happens INSIDE the Arrow batch, not via explode of a
     pre-built array, so a long video never materializes all frames at
-    once). Frame extraction is stubbed: a deterministic payload slice per
-    timestamp stands in for an ffmpeg seek+decode."""
+    once). Frame extraction here is stubbed (a deterministic payload
+    slice stands in for an ffmpeg seek+decode) — see
+    ``sample_frames_real`` below for the REAL seek+decode path over the
+    PVM container (q154), which replaces this stub wherever the
+    container format is ours to choose."""
 
     def run(batches):
         import pandas as pd
