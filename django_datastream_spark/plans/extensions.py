@@ -2411,16 +2411,38 @@ def q94(spark, sf_dir):
 # --------------------------------------------------------------------------
 # Q95 REAL WAV decode + feature extraction (operators/media_codecs.py)
 # --------------------------------------------------------------------------
-@_declare("q95_wav_audio_features", None)
+@_declare(
+    "q95_wav_audio_features",
+    """
+    WITH b AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    s AS (SELECT b.doc_id, i.i,
+                 TRUNC(0.5 * sin(2 * pi() * (100 + (b.doc_id % 40) * 10)
+                                 * i.i / 8000) * 32767) / 32768.0 x
+          FROM b, (SELECT unnest(range(0, 2000)) i) i),
+    z AS (SELECT doc_id, i, x,
+                 LAG(x) OVER (PARTITION BY doc_id ORDER BY i) px
+          FROM s)
+    SELECT doc_id media_id, CAST(8000 AS INT) sample_rate,
+           CAST(250 AS BIGINT) duration_ms,
+           ROUND(SQRT(AVG(x * x)), 4) + 0 rms,
+           ROUND(AVG(CASE WHEN px IS NULL THEN NULL
+                          WHEN (x < 0) <> (px < 0) THEN 1.0
+                          ELSE 0.0 END), 4) + 0 zcr
+    FROM z GROUP BY doc_id ORDER BY media_id
+    """,
+)
 def q95(spark, sf_dir):
     """REAL audio decode in the pipeline: synthesize a deterministic
     PCM16 WAV per document (stdlib wave writer, tone derived from
     doc_id — the payload-construction stage a crawler's fetch would
     fill), then run the real RIFF parser + signal features
     (media_codecs.wav_features: duration, RMS, peak, zero-crossing
-    rate). Rows-only: no SQL engine decodes WAV; the decoder's values
-    are pinned against closed-form ground truth (sine RMS = A/sqrt 2,
-    ZCR = 2f/sr) in tests/test_media_codecs.py. Both stages are
+    rate). Oracle: the samples are int16 truncations of a closed-form
+    sine, so DuckDB re-derives every sample arithmetically
+    (TRUNC matches numpy's toward-zero astype) and the hash match
+    proves the RIFF chunk walk + PCM decode + features — upgraded from
+    the earlier rows-only check; the closed-form laws (sine RMS =
+    A/sqrt 2, ZCR = 2f/sr) stay pinned in tests/test_media_codecs.py. Both stages are
     Arrow-batched mapInPandas with no shuffle."""
     from ..operators.multimodal import extract_wav_features
 
