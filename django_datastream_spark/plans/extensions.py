@@ -5882,3 +5882,78 @@ def q154(spark, sf_dir):
         "height",
         (F.round("luma_mean", 4) + F.lit(0.0)).alias("luma_mean"),
     ).orderBy("media_id", "frame_idx")
+
+
+# --------------------------------------------------------------------------
+# Q155: Structured Streaming INSIDE the correctness gate
+# --------------------------------------------------------------------------
+@_declare(
+    "q155_streaming_downsample_gate",
+    """
+    WITH mx AS (SELECT MAX(epoch(ts)) m FROM events),
+    b AS (SELECT event_type,
+                 CAST(floor(epoch(ts) / 10) * 10 AS BIGINT) ws
+          FROM events),
+    agg AS (SELECT event_type, ws, COUNT(*) n FROM b GROUP BY 1, 2)
+    SELECT ws, event_type, CAST(n AS BIGINT) n
+    FROM agg CROSS JOIN mx
+    WHERE ws + 10 <= mx.m - 1
+    ORDER BY ws, event_type
+    """,
+)
+def q155(spark, sf_dir):
+    """Structured Streaming EXECUTION inside the driver-checked gate:
+    the events table replays through a real file-stream source
+    (availableNow), a 1-second watermark, and an append-mode 10-second
+    tumbling count — and the emitted result must hash-match the batch
+    SQL restricted to watermark-closed buckets (bucket_end <=
+    max(ts) − delay).  Stream–batch equivalence is the Structured
+    Streaming contract; this query makes the driver verify it, not
+    just our own tests.  NOTE: the builder necessarily RUNS the
+    bounded streaming job (the one by-name exemption in
+    test_declaring_queries_runs_no_jobs); temp source/checkpoint dirs
+    are fresh per call, so replays are full deterministic
+    recomputes."""
+    import os as _os
+    import tempfile as _tmp
+
+    from ..sources.testdata import _SCHEMA_CACHE
+
+    # prime the schema cache (one footer job, same as every loader call)
+    load_table(spark, sf_dir, "events")
+    schema, ns_cols = _SCHEMA_CACHE[
+        _os.path.join(sf_dir, "events.parquet")
+    ]
+    src = _tmp.mkdtemp(prefix="q155_src_")
+    _os.symlink(
+        _os.path.join(sf_dir, "events.parquet"),
+        _os.path.join(src, "events.parquet"),
+    )
+    st = spark.readStream.schema(schema).parquet(src)
+    for c in ns_cols:
+        st = st.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+        )
+    st = st.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        st.withWatermark("ts", "1 second")
+        .groupBy(F.window("ts", "10 seconds"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _tmp.mkdtemp(prefix="q155_out_")
+    cp = _tmp.mkdtemp(prefix="q155_cp_")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(out)
+    return res.select(
+        F.unix_timestamp(F.col("window.start")).alias("ws"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+    ).orderBy("ws", "event_type")

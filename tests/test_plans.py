@@ -61,9 +61,12 @@ def test_declaring_queries_runs_no_jobs(spark):
     Exceptions (algorithms, not plans): q42 builds a persisted ANN
     index on first use (corpus fingerprint count + cold kmeans fit);
     q45/q65 run the connected-components fixpoint — Spark has no
-    recursive SQL, so the driver convergence loop IS the operator."""
+    recursive SQL, so the driver convergence loop IS the operator;
+    q155 EXECUTES a bounded Structured Streaming job by design (the
+    point of the query is streaming execution inside the gate)."""
     exempt = {"q42_ann_ivf_topk", "q45_dedup_clusters",
-              "q65_fuzzy_cluster_survivors"}
+              "q65_fuzzy_cluster_survivors",
+              "q155_streaming_downsample_gate"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
