@@ -397,3 +397,29 @@ def test_pagerank_iterations_reuse_edge_exchange(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_observation_metrics_ride_the_job(spark):
+    """`df.observe` collects pipeline metrics (row counts, sums) as a
+    side-channel of the SAME job — the zero-extra-scan observability
+    hook an ingest pipeline attaches to every batch (vs. a separate
+    count() that doubles the read)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMOKE
+    from django_datastream_spark.sources.testdata import load_table
+
+    obs = Observation("ingest_metrics")
+    ev = load_table(spark, SF_SMOKE, "events").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_values"),
+        F.count_if(F.col("value").isNull()).alias("n_null"),
+    )
+    agged = ev.groupBy("event_type").count()
+    result = {r["event_type"]: r["count"] for r in agged.collect()}
+    m = obs.get
+    assert m["n_rows"] == sum(result.values())
+    assert m["n_values"] + m["n_null"] == m["n_rows"]
+    assert m["n_null"] > 0  # the fixture carries nulls (q07)
