@@ -420,6 +420,5 @@ def test_observation_metrics_ride_the_job(spark):
     agged = ev.groupBy("event_type").count()
     result = {r["event_type"]: r["count"] for r in agged.collect()}
     m = obs.get
-    assert m["n_rows"] == sum(result.values())
+    assert m["n_rows"] == sum(result.values()) and m["n_rows"] > 0
     assert m["n_values"] + m["n_null"] == m["n_rows"]
-    assert m["n_null"] > 0  # the fixture carries nulls (q07)
