@@ -52,7 +52,7 @@ def test_merge_update_and_insert(spark, tmp_path):
     stats = merge_into(
         spark, path, src, key_cols=["k"], partition_cols=["p"]
     )
-    assert stats == {"conflicted_partitions": 1, "appended": True}
+    assert stats["rewritten_files"] >= 1 and stats["inserted"]
     got = _read(spark, path)
     assert got == {
         1: ("2024-01-01", 10.0),
@@ -85,7 +85,7 @@ def test_merge_delete(spark, tmp_path):
         partition_cols=["p"],
         when_matched="delete",
     )
-    assert stats["conflicted_partitions"] == 1
+    assert stats["rewritten_files"] >= 1
     got = _read(spark, path)
     assert 3 not in got
     assert got[7] == ("2024-01-02", 70.0)
@@ -120,7 +120,7 @@ def test_merge_into_fresh_table(spark, tmp_path):
     stats = merge_into(
         spark, path, src, key_cols=["k"], partition_cols=["p"]
     )
-    assert stats == {"conflicted_partitions": 0, "appended": True}
+    assert stats == {"rewritten_files": 0, "inserted": True}
     assert _read(spark, path) == {1: ("2024-01-01", 1.0)}
 
 
@@ -231,3 +231,47 @@ def test_merge_applies_cdc_stream_foreachbatch(spark, tmp_path):
         3: ("2024-01-02", 3.0),
         4: ("2024-01-02", 4.0),
     }
+
+
+def test_merge_validation_errors(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _write_target(spark, path)
+    ok = spark.createDataFrame(
+        [(1, "2024-01-01", 1.0)], "k long, p string, v double"
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="when_matched"):
+        merge_into(spark, path, ok, ["k"], ["p"], when_matched="upsert")
+    with _pt.raises(ValueError, match="multiple rows"):
+        dup = spark.createDataFrame(
+            [(1, "2024-01-01", 1.0), (1, "2024-01-01", 2.0)],
+            "k long, p string, v double",
+        )
+        merge_into(spark, path, dup, ["k"], ["p"])
+    with _pt.raises(ValueError, match="missing target columns"):
+        narrow = spark.createDataFrame(
+            [(1, "2024-01-01")], "k long, p string"
+        )
+        merge_into(spark, path, narrow, ["k"], ["p"])
+
+
+def test_merge_preserves_target_only_rows_full_schema(spark, tmp_path):
+    """Rewriting a conflict file must not lose kept rows' columns or
+    values — the target schema is authoritative and the source is
+    projected onto it."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "2024-01-01", 10.0, "keepme"), (2, "2024-01-01", 20.0, "x")],
+        "k long, p string, v double, extra string",
+    ).write.partitionBy("p").parquet(path)
+    src = spark.createDataFrame(
+        [(2, "2024-01-01", 99.0, "y")],
+        "k long, p string, v double, extra string",
+    )
+    merge_into(spark, path, src, ["k"], ["p"])
+    got = {
+        r["k"]: (r["v"], r["extra"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {1: (10.0, "keepme"), 2: (99.0, "y")}
