@@ -9,9 +9,11 @@ exercised by tests that synthesize valid files with the stdlib
 ground truth (sine RMS = A/sqrt(2), zero-crossing rate = 2f/sr,
 nearest-neighbor pixel identities).
 
-Everything is a pure function over ``bytes`` so the mapInPandas
-closures in :mod:`multimodal` can inline them by value (executors of an
-externally-created session may not have this package importable).
+Everything is a pure function over ``bytes``; the mapInPandas
+closures in :mod:`multimodal` import this module INSIDE the executor
+task, so the package must be importable on executors
+(``session.harden_session`` ships it via addPyFile for
+externally-created sessions).
 """
 
 from __future__ import annotations
@@ -36,6 +38,10 @@ def parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(
+                f"truncated {cid!r} chunk ({len(body)} of {size} bytes)"
+            )
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":
@@ -43,9 +49,13 @@ def parse_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"fmt chunk too short ({len(fmt)} bytes)")
     audio_fmt, ch, sr, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
     if audio_fmt != 1 or bits != 16:
         raise ValueError(f"only PCM16 supported (fmt={audio_fmt}, bits={bits})")
+    if ch <= 0 or sr <= 0:
+        raise ValueError(f"invalid fmt (channels={ch}, sample_rate={sr})")
     samples = np.frombuffer(data[: (len(data) // (2 * ch)) * 2 * ch], "<i2")
     return sr, ch, samples
 
@@ -114,12 +124,19 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
 
 
+def bt601_luma(a: np.ndarray) -> np.ndarray:
+    """BT.601 luma of an (h, w, 3) float array — THE luma definition
+    shared by ppm_features, ppm_dhash_chunks, and the video sampler
+    (one place to change if the weights ever move to BT.709)."""
+    return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+
 def ppm_features(payload: bytes) -> dict:
     """Image-level features: dimensions, per-channel means, luma
     mean/std (BT.601 weights) — the brightness/contrast signals an
     image-quality filter thresholds on."""
     a = parse_ppm(payload).astype(np.float64)
-    luma = 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    luma = bt601_luma(a)
     return {
         "width": int(a.shape[1]),
         "height": int(a.shape[0]),
@@ -157,9 +174,7 @@ def ppm_dhash_chunks(payload: bytes) -> list[int]:
     h, w = a.shape[:2]
     ys = (np.arange(8) * h) // 8
     xs = (np.arange(9) * w) // 9
-    luma = (
-        0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
-    )[np.ix_(ys, xs)]
+    luma = bt601_luma(a)[np.ix_(ys, xs)]
     bits = (luma[:, 1:] > luma[:, :-1]).astype(np.int64).ravel()  # 64
     chunks = []
     for k in range(4):
@@ -199,6 +214,8 @@ def parse_pvm_index(payload: bytes) -> tuple[int, int, list[tuple[int, int]]]:
     n, fps = int(n_s), int(fps_s)
     if fps <= 0:
         raise ValueError("non-positive fps")
+    if n < 0:
+        raise ValueError("negative frame count")
     idx, pos = [], nl + 1
     for _ in range(n):
         if pos + 8 > len(payload):
@@ -211,9 +228,11 @@ def parse_pvm_index(payload: bytes) -> tuple[int, int, list[tuple[int, int]]]:
     return n, fps, idx
 
 
-def pvm_frame(payload: bytes, k: int) -> np.ndarray:
-    """Decode frame k only (seek via the index, then the real PPM parse)."""
-    n, _fps, idx = parse_pvm_index(payload)
+def pvm_frame(payload: bytes, k: int, index=None) -> np.ndarray:
+    """Decode frame k only (seek via the index, then the real PPM
+    parse).  Pass ``index`` = a prior ``parse_pvm_index`` result to
+    avoid re-walking the length prefixes once per sampled frame."""
+    n, _fps, idx = index if index is not None else parse_pvm_index(payload)
     if not 0 <= k < n:
         raise IndexError(f"frame {k} of {n}")
     off, ln = idx[k]

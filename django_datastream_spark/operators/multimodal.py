@@ -443,6 +443,7 @@ def sample_frames_real(
         import numpy as np
 
         from django_datastream_spark.operators.media_codecs import (
+            bt601_luma,
             parse_pvm_index,
             pvm_frame,
         )
@@ -464,19 +465,18 @@ def sample_frames_real(
 
             for mid, p in zip(pdf["media_id"], pdf["content"]):
                 try:
-                    n, fps, _ = parse_pvm_index(p or b"")
+                    index = parse_pvm_index(p or b"")
+                    n, fps, _ = index
                     dur_ms = n * 1000 // fps
                     for j in range(max_frames):
                         ms = j * every_ms
                         k = ms * fps // 1000
                         if ms >= dur_ms or k >= n:
                             break
-                        a = pvm_frame(p, k).astype(np.float64)
-                        luma = (
-                            0.299 * a[..., 0]
-                            + 0.587 * a[..., 1]
-                            + 0.114 * a[..., 2]
+                        a = pvm_frame(p, k, index=index).astype(
+                            np.float64
                         )
+                        luma = bt601_luma(a)
                         emit(
                             mid, k, ms, a.shape[1], a.shape[0],
                             float(luma.mean()), None,

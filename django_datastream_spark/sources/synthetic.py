@@ -70,9 +70,19 @@ class SyntheticEventsReader(DataSourceReader):
         self.rows = int(options.get("rows", 1000))
         self.n_parts = int(options.get("partitions", 8))
         self.seed = int(options.get("seed", 0))
+        if self.rows < 0:
+            raise ValueError(f"rows must be >= 0, got {self.rows}")
+        if self.n_parts < 1:
+            raise ValueError(
+                f"partitions must be >= 1, got {self.n_parts}"
+            )
 
     def partitions(self):
-        # driver-side METADATA only: (start, end) index ranges
+        # driver-side METADATA only: (start, end) index ranges.
+        # rows=0 still returns ONE (empty) partition — pyspark
+        # substitutes [None] for an empty list and read(None) crashes
+        if self.rows == 0:
+            return [InputPartition((0, 0))]
         per = -(-self.rows // self.n_parts)
         return [
             InputPartition((p * per, min((p + 1) * per, self.rows)))
@@ -102,6 +112,10 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options):
         self.batch = int(options.get("batchRows", 100))
         self.seed = int(options.get("seed", 0))
+        if self.batch < 1:
+            raise ValueError(
+                f"batchRows must be >= 1, got {self.batch}"
+            )
 
     def initialOffset(self):
         return {"i": 0}
