@@ -4466,7 +4466,9 @@ def q132(spark, sf_dir):
         F.col("chunk_idx").alias("idx"),
         F.col("chunk_text").alias("chunk"),
     )
-    w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    # shuffle on the fixed-width md5 digest, not the raw chunk text
+    # (spans.py convention: bounded, skew-resistant shuffle keys)
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "idx")
     # one window to rank occurrences, then ONE per-doc agg computes
     # totals, kept counts, and the ordered reassembly together —
     # collect_list drops the when()-nulls of non-survivor chunks, so
@@ -4587,7 +4589,9 @@ def q134(spark, sf_dir):
         tx.chunk_documents(docs, chunk_size=10, stride=10)
         .filter(F.col("n_chunk_tokens") == 10)
         .join(docs.select("doc_id", "source"), "doc_id")
-        .select("source", F.col("chunk_text").alias("chunk"))
+        # fixed-width digest as the distinct/join key (spans.py
+        # convention) — the raw chunk text never rides a shuffle
+        .select("source", F.md5(F.col("chunk_text")).alias("chunk"))
         .distinct()
     )
     a, b = ch.alias("a"), ch.alias("b")
@@ -4948,23 +4952,42 @@ def q141(spark, sf_dir):
     """ANALYZE TABLE-style catalog statistics as a query: row count,
     non-null count, NDV, and value-length bounds per string column —
     the numbers a cost-based optimizer feeds on (broadcast-side
-    choice, join reordering).  Both columns' stats ride ONE scan via
-    grouping-free multi-agg + unpivot-by-union; at 100 TB swap
-    COUNT(DISTINCT) for approx_count_distinct (the q66 sketch — same
-    plan shape, one pass instead of an expand)."""
+    choice, join reordering).  Both columns' stats ride ONE scan: a
+    single grouping-free multi-agg computes all ten values (the two
+    COUNT DISTINCTs share one Expand), and a row-local explode
+    reshapes the 1-row frame to long form — no unionAll of two scans.
+    At 100 TB swap COUNT(DISTINCT) for approx_count_distinct (the q66
+    sketch — same plan shape without the Expand)."""
     ev = load_table(spark, sf_dir, "events")
 
-    def stats(col):
-        return ev.agg(
+    def exprs(col):
+        return [
+            F.count(F.lit(1)).alias(f"{col}_n_rows"),
+            F.count(col).alias(f"{col}_n_nonnull"),
+            F.countDistinct(col).alias(f"{col}_ndv"),
+            F.min(F.length(col)).cast("long").alias(f"{col}_min_len"),
+            F.max(F.length(col)).cast("long").alias(f"{col}_max_len"),
+        ]
+
+    one = ev.agg(*(exprs("event_type") + exprs("props")))
+
+    def row(col):
+        return F.struct(
             F.lit(col).alias("col"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count(col).alias("n_nonnull"),
-            F.countDistinct(col).alias("ndv"),
-            F.min(F.length(col)).cast("long").alias("min_len"),
-            F.max(F.length(col)).cast("long").alias("max_len"),
+            F.col(f"{col}_n_rows").alias("n_rows"),
+            F.col(f"{col}_n_nonnull").alias("n_nonnull"),
+            F.col(f"{col}_ndv").alias("ndv"),
+            F.col(f"{col}_min_len").alias("min_len"),
+            F.col(f"{col}_max_len").alias("max_len"),
         )
 
-    return stats("event_type").unionAll(stats("props")).orderBy("col")
+    return (
+        one.select(
+            F.explode(F.array(row("event_type"), row("props"))).alias("s")
+        )
+        .select("s.*")
+        .orderBy("col")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -5106,6 +5129,8 @@ def q143(spark, sf_dir):
     @udtf(returnType="idx int, chunk string, n_tok int")
     class ChunkDoc:
         def eval(self, text: str):
+            if not text:  # NULL/empty doc -> zero rows, like the oracle
+                return
             toks = text.split()
             for i in range(0, (len(toks) + 9) // 10):
                 seg = toks[10 * i : 10 * (i + 1)]
@@ -5349,7 +5374,7 @@ def q146(spark, sf_dir):
       FROM events WHERE value IS NOT NULL)
     SELECT event_type,
       CAST(COUNT(*) AS BIGINT) n,
-      CAST(COUNT(*) FILTER (WHERE value / (k - 50) IS NULL)
+      CAST(COUNT(*) FILTER (WHERE value / NULLIF(k - 50, 0) IS NULL)
            AS BIGINT) n_div_null,
       ROUND(SUM(value / NULLIF(k - 50, 0)), 2) + 0 sum_div,
       CAST(COUNT(try_cast(CASE WHEN k < 50 THEN CAST(k AS VARCHAR)
@@ -5366,8 +5391,9 @@ def q147(spark, sf_dir):
     arithmetic with the try_* family.  This query pins both: NULL-on-
     zero division (try_divide, counted and summed) and NULL-on-
     unparseable cast (try_cast over a string column that is numeric
-    for half the rows) — against DuckDB, whose native semantics
-    (x/0 → NULL, try_cast) are exactly the try_* behavior.  The error
+    for half the rows) — against DuckDB, spelled with NULLIF/try_cast
+    so the oracle is independent of DuckDB's float-division default
+    (which flipped to IEEE inf in 1.1).  The error
     handling is row-local expression logic: no task failures, no
     speculative retries, identical plan shape to the unguarded
     arithmetic."""
@@ -5420,8 +5446,10 @@ def q147(spark, sf_dir):
       FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id)
         CROSS JOIN stats
       GROUP BY 1),
-    rb AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) r
-           FROM bm),
+    rb AS (SELECT doc_id, r FROM (
+             SELECT doc_id,
+                    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) r
+             FROM bm) WHERE r <= 200),
     qv AS (SELECT CAST(embedding AS DOUBLE[]) e FROM embeddings
            WHERE vec_id = 0),
     cs AS (
@@ -5433,8 +5461,10 @@ def q147(spark, sf_dir):
         JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) e
               FROM embeddings) ce USING (vec_id)
         CROSS JOIN qv),
-    rc AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) r
-           FROM cs),
+    rc AS (SELECT doc_id, r FROM (
+             SELECT doc_id,
+                    ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) r
+             FROM cs) WHERE r <= 200),
     fused AS (
       SELECT COALESCE(rb.doc_id, rc.doc_id) doc_id,
              COALESCE(1.0 / (60 + rb.r), 0)
@@ -5451,17 +5481,24 @@ def q148(spark, sf_dir):
     Fusion, rrf(d) = Σ 1/(60 + rank_list(d)) — rank-based so the two
     incomparable score scales never need calibration.  Docs absent
     from one list (no query term / the query vector itself) contribute
-    only their other rank via the FULL OUTER join.  Both rankings are
-    windows over already-aggregated frames (|docs| rows); at scale the
-    cosine side swaps to the q41/q42 ANN candidates, the fusion is
-    unchanged."""
+    only their other rank via the FULL OUTER join.  Each ranking is
+    bounded to its top-200 by TakeOrderedAndProject FIRST, so the
+    unpartitioned rank window sees 200 rows, never the corpus; at
+    scale the cosine side swaps to the q41/q42 ANN candidates, the
+    fusion is unchanged."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
 
     bm = _bm25_scores(docs, ["spark", "join", "window"])
-    rb = bm.select(
+    # TakeOrdered bounds each list to its top-200 BEFORE any window:
+    # the global rank of a top-K row equals its rank within the top-K
+    # frame, so the unpartitioned row_number only ever sees 200 rows —
+    # never the corpus (rank-fusion standard practice: fuse top-K
+    # lists, not full rankings)
+    topb = bm.orderBy(F.desc("score"), "doc_id").limit(200)
+    rb = topb.select(
         "doc_id",
         F.row_number()
         .over(Window.orderBy(F.desc("score"), "doc_id"))
@@ -5492,7 +5529,8 @@ def q148(spark, sf_dir):
             ).alias("sim"),
         )
     )
-    rc = cs.select(
+    topc = cs.orderBy(F.desc("sim"), "doc_id").limit(200)
+    rc = topc.select(
         "doc_id",
         F.row_number()
         .over(Window.orderBy(F.desc("sim"), "doc_id"))
@@ -5523,7 +5561,10 @@ def q148(spark, sf_dir):
 @_declare(
     "q149_survivor_policies",
     """
-    WITH h AS (SELECT doc_id, md5(text) hh, n_chars,
+    WITH h AS (SELECT doc_id,
+                      md5(array_to_string(list_slice(
+                        regexp_extract_all(text, '\S+'), 1, 3), ' ')) hh,
+                      n_chars,
                       length(text) - length(replace(text, ' ', '')) + 1 nw
                FROM documents),
     g AS (SELECT hh FROM h GROUP BY hh HAVING COUNT(*) > 1),
@@ -5542,14 +5583,17 @@ def q148(spark, sf_dir):
     """,
 )
 def q149(spark, sf_dir):
-    """Survivor-selection POLICY surface for dedup clusters: the same
-    exact-dup groups resolved under keep-first (q35's rule),
+    """Survivor-selection POLICY surface for dedup clusters: candidate
+    groups (here blocked on a shared opening-trigram fingerprint — the
+    key makes members DIFFER in content, so the policies can actually
+    disagree; exact-hash groups would make all three collapse to
+    keep-first vacuously) resolved under keep-first (q35's rule),
     keep-longest, and keep-most-words, with a disagreement flag — the
     audit a data team runs before switching policies, since the choice
     silently changes the training corpus.  Policies are expressed as
     arg_max over a deterministic composite (metric·1e6 − doc_id, so
     ties break toward the LOWEST id on both engines); all three ride
-    ONE hash agg over the dup groups."""
+    ONE hash agg over the groups."""
     docs = load_table(spark, sf_dir, "documents")
     nw = (
         F.length("text")
@@ -5558,7 +5602,9 @@ def q149(spark, sf_dir):
     )
     h = docs.select(
         "doc_id",
-        F.md5("text").alias("hh"),
+        F.md5(
+            F.array_join(F.slice(tx.tokens(F.col("text")), 1, 3), " ")
+        ).alias("hh"),
         "n_chars",
         nw.alias("nw"),
     )
@@ -5638,14 +5684,14 @@ def q150(spark, sf_dir):
 @_declare(
     "q151_scd2_intervals",
     """
-    WITH s AS (SELECT user_id, ts, value FROM events
+    WITH s AS (SELECT user_id, ts, event_id, value FROM events
                WHERE event_type = 'signup'),
     v AS (
       SELECT user_id, ts valid_from,
              LEAD(ts) OVER (PARTITION BY user_id
-                            ORDER BY ts, value) valid_to,
+                            ORDER BY ts, event_id) valid_to,
              ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts, value) ver,
+                                ORDER BY ts, event_id) ver,
              ROUND(value, 4) + 0 profile_v
       FROM s)
     SELECT user_id, CAST(ver AS BIGINT) ver,
@@ -5663,7 +5709,7 @@ def q151(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "signup"
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         ev.select(
             "user_id",
@@ -5682,14 +5728,14 @@ def q151(spark, sf_dir):
 @_declare(
     "q152_point_in_time_join",
     """
-    WITH s AS (SELECT user_id, ts, value FROM events
+    WITH s AS (SELECT user_id, ts, event_id FROM events
                WHERE event_type = 'signup'),
     v AS (
       SELECT user_id, ts valid_from,
              LEAD(ts) OVER (PARTITION BY user_id
-                            ORDER BY ts, value) valid_to,
+                            ORDER BY ts, event_id) valid_to,
              ROW_NUMBER() OVER (PARTITION BY user_id
-                                ORDER BY ts, value) ver
+                                ORDER BY ts, event_id) ver
       FROM s),
     p AS (SELECT event_id, user_id, ts FROM events
           WHERE event_type = 'purchase')
@@ -5711,7 +5757,7 @@ def q152(spark, sf_dir):
     out — exactly the rows that would otherwise train on future
     information."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     v = (
         ev.filter(F.col("event_type") == "signup")
         .select(
@@ -5763,10 +5809,12 @@ def q152(spark, sf_dir):
 def q153(spark, sf_dir):
     """Hierarchical percent-of-parent: each nation's share of its
     region and each region's share of the total, in one pass — the
-    drill-down ratio every rollup dashboard needs.  The dim chain
-    broadcasts (q22's shape); both share windows run over the
-    AGGREGATED |nations| frame, so the unpartitioned total window is
-    25 rows, not the fact table."""
+    drill-down ratio every rollup dashboard needs.  nation/region
+    broadcast (tiny dims, q22's shape); customer–orders is a plain
+    key join (customer grows with the fact — broadcasting it would
+    break at scale).  Both share windows run over the AGGREGATED
+    |nations| frame, so the unpartitioned total window is 25 rows,
+    not the fact table."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice"
     )
@@ -5778,7 +5826,7 @@ def q153(spark, sf_dir):
     )
     r = load_table(spark, sf_dir, "region")
     rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(
@@ -5914,7 +5962,9 @@ def q155(spark, sf_dir):
     test_declaring_queries_runs_no_jobs); temp source/checkpoint dirs
     are fresh per call, so replays are full deterministic
     recomputes."""
+    import hashlib as _hl
     import os as _os
+    import shutil as _sh
     import tempfile as _tmp
 
     from ..sources.testdata import _SCHEMA_CACHE
@@ -5924,7 +5974,18 @@ def q155(spark, sf_dir):
     schema, ns_cols = _SCHEMA_CACHE[
         _os.path.join(sf_dir, "events.parquet")
     ]
-    src = _tmp.mkdtemp(prefix="q155_src_")
+    # ONE work area per sf_dir, wiped on entry: repeated builds (gate,
+    # bench, pytest) reuse the same three dirs instead of leaking a
+    # fresh mkdtemp trio per call
+    base = _os.path.join(
+        _tmp.gettempdir(),
+        "q155_" + _hl.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    src = _os.path.join(base, "src")
+    out = _os.path.join(base, "out")
+    cp = _os.path.join(base, "cp")
+    _os.makedirs(src)
     _os.symlink(
         _os.path.join(sf_dir, "events.parquet"),
         _os.path.join(src, "events.parquet"),
@@ -5940,8 +6001,6 @@ def q155(spark, sf_dir):
         .groupBy(F.window("ts", "10 seconds"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    out = _tmp.mkdtemp(prefix="q155_out_")
-    cp = _tmp.mkdtemp(prefix="q155_cp_")
     q = (
         agg.writeStream.format("parquet")
         .option("path", out)
@@ -5950,7 +6009,10 @@ def q155(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    # bounded wait: a wedged stream fails THIS query, not the gate
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("q155 streaming replay exceeded 600 s")
     res = spark.read.parquet(out)
     return res.select(
         F.unix_timestamp(F.col("window.start")).alias("ws"),
