@@ -1289,3 +1289,19 @@ def test_pagerank_mass_conservation(spark):
     ).toPandas()
     assert abs(out["pr"].sum() - 1.0) < 1e-3  # rounded to 6dp per row
     assert (out["pr"] > 0).all()
+
+
+def test_survivor_policies_non_vacuous_and_disagreeing(spark):
+    """q149 must exercise its policy logic at the GATE scale: groups
+    exist, and at least one group's keep-longest differs from
+    keep-first (a vacuous empty-vs-empty hash match, or structurally
+    identical policies, would pass the oracle while pinning
+    nothing)."""
+    from django_datastream_spark.plans import declared
+
+    out = declared.QUERIES["q149_survivor_policies"](
+        spark, SF_SMOKE
+    ).toPandas()
+    assert len(out) > 0
+    assert bool(out["policies_disagree"].any())
+    assert (out["n_members"] > 1).all()
