@@ -275,3 +275,51 @@ def test_merge_preserves_target_only_rows_full_schema(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert got == {1: (10.0, "keepme"), 2: (99.0, "y")}
+
+
+def test_merge_model_based_random_sequences(spark, tmp_path):
+    """Model-based check: random CDC batch sequences applied through
+    merge_into must leave the table exactly at the state of a trivial
+    in-memory dict model (upsert = dict[k] = row; delete = pop).
+    Catches interaction bugs (update-then-delete-then-reinsert, fresh
+    partitions appearing and vacating) that single-scenario tests
+    miss."""
+    import random
+
+    rng = random.Random(0xD00D)
+    parts = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    # partition-stable key→partition mapping (the documented invariant)
+    part_of = {k: parts[k % 3] for k in range(12)}
+
+    for trial in range(3):
+        path = str(tmp_path / f"t{trial}")
+        model: dict[int, float] = {}
+        for step in range(4):
+            keys = rng.sample(range(12), rng.randint(1, 5))
+            op = rng.choice(["upsert", "delete"])
+            rows = [
+                (k, part_of[k], float(100 * trial + 10 * step + k))
+                for k in keys
+            ]
+            src = spark.createDataFrame(
+                rows, "k long, p string, v double"
+            )
+            if op == "upsert":
+                merge_into(spark, path, src, ["k"], ["p"])
+                for k, _p, v in rows:
+                    model[k] = v
+            else:
+                merge_into(
+                    spark, path, src, ["k"], ["p"],
+                    when_matched="delete", when_not_matched="ignore",
+                )
+                for k, _p, _v in rows:
+                    model.pop(k, None)
+        try:
+            got = {
+                r["k"]: r["v"]
+                for r in spark.read.parquet(path).collect()
+            }
+        except Exception:
+            got = {}  # table never created (all-delete sequence)
+        assert got == model, f"trial={trial} diverged from model"
