@@ -204,6 +204,11 @@ class Datastream:
         unknown = set(v_ds) - set(default_v)
         if unknown:
             raise exc.UnsupportedDownsampler(sorted(unknown))
+        unknown_t = set(t_ds) - set(ds_ops.TIME_DOWNSAMPLERS)
+        if unknown_t:
+            # a bogus time downsampler would otherwise surface as an
+            # AnalysisException at the first aggregated get_data
+            raise exc.UnsupportedDownsampler(sorted(unknown_t))
 
         existing = self._match(self._streams(), query_tags).collect()
         if len(existing) > 1:
@@ -341,13 +346,14 @@ class Datastream:
                 }
             rows.append(row)
 
-        # insertion sequence: time-based base + in-batch offset (unique,
-        # increasing across batches without any coordination point)
-        import time as _time
-
-        base = _time.time_ns()
+        # insertion sequence via the storage layer's reservation contract
+        # (_next_v + bump_v): the streaming path uses the same scheme, so
+        # interleaved batch/stream appends can never hand out overlapping
+        # seq ranges even if the wall clock stalls
+        base = self.tables._next_v()
         for i, row in enumerate(rows):
             row["seq"] = base + i
+        self.tables.bump_v(base + len(rows))
 
         batch = self.spark.createDataFrame(
             rows, self.tables.read_points_raw().drop("p_date").schema
@@ -399,34 +405,132 @@ class Datastream:
             )
             s["latest_ts"] = mx if s["latest_ts"] is None else max(s["latest_ts"], mx)
             changed.append(s)
+
+        # WATERMARK ROLLBACK — finality healing for late-landing data.
+        # Two ways a new point can land below an already-advanced
+        # aggregate watermark: (a) this batch used check_timestamp=False
+        # on the appended stream itself; (b) the appended stream feeds a
+        # DERIVED stream (e.g. counter_derivative's reset source — a
+        # monotonic reset append can still precede the data source's
+        # frontier and retroactively change old derived slots). In both
+        # cases the affected stream's downsampled_until entries roll
+        # back to the bucket of the earliest new point, so the next
+        # downsample run recomputes and RE-UPSERTS those buckets instead
+        # of points_agg silently diverging from raw. (Streaming-
+        # materialized derived slots heal on the next incremental batch
+        # or via backprocess_streams(materialize=True).) Known edge:
+        # a bucket whose rows ALL vanish under the recompute (a reset
+        # suppressing the bucket's only delta) re-emits nothing, so its
+        # stale aggregate row survives — upsert has no delete clause;
+        # operators/merge.merge_into(when_matched='delete') is the
+        # general repair tool if that case matters for a deployment.
+        dep_rows = [
+            r.asDict(recursive=True)
+            for r in self._streams()
+            .filter(F.col("derive_op").isNotNull())
+            .filter(
+                F.arrays_overlap(
+                    F.col("derived_from"),
+                    F.array(*[F.lit(x) for x in sids]),
+                )
+            )
+            .collect()  # bounded by derived-stream fan-in
+        ]
+        rollback: dict[str, dict] = {}
+
+        def _nv(t):
+            # stored map values collect back tz-naive (session UTC);
+            # normalize both sides before comparing
+            return t if t.tzinfo is None else t.astimezone(_UTC).replace(tzinfo=None)
+
+        def _roll(meta_row: dict, floor_ts) -> None:
+            wm = dict(meta_row.get("downsampled_until") or {})
+            hit = False
+            for gname, val in wm.items():
+                if val is None:
+                    continue
+                b = _nv(BY_NAME[gname].round_timestamp(floor_ts))
+                if b < _nv(val):
+                    wm[gname] = b
+                    hit = True
+            if hit:
+                rb = rollback.get(
+                    meta_row["stream_id"], dict(meta_row)
+                )
+                cur = rb.get("downsampled_until") or {}
+                rb["downsampled_until"] = {
+                    g: min(v, wm.get(g, v)) if v is not None else v
+                    for g, v in {**cur, **wm}.items()
+                }
+                rollback[meta_row["stream_id"]] = rb
+
+        for sid, (mn, _mx) in bounds.items():
+            _roll(metas[sid], mn)
+            for d in dep_rows:
+                if sid in (d.get("derived_from") or []):
+                    _roll(d, mn)
+        # merge rollbacks into the same upsert batch (self rows) or add
+        # dependent rows alongside
+        by_id = {c["stream_id"]: c for c in changed}
+        for sid, rb in rollback.items():
+            if sid in by_id:
+                by_id[sid]["downsampled_until"] = rb["downsampled_until"]
+            else:
+                changed.append(rb)
         self.tables.upsert_streams(changed)
 
     # ------------------------------------------------------------------
     # derived streams as computed views (W1–W4)
     # ------------------------------------------------------------------
+    def _materialized_ids(self) -> set[str]:
+        """Stream ids with ANY materialized derived slot — the single
+        definition both downsample routing and aggregate() consult, so
+        they can never disagree about materialization state.  NOTE the
+        granularity of this signal: one materialized slot marks the
+        whole stream, so a derived stream whose sources carried history
+        BEFORE streaming materialization began must be backfilled once
+        via ``backprocess_streams(materialize=True)`` or its
+        pre-streaming history is invisible to materialized-first reads.
+        Bounded collect (distinct ids over the small derived table)."""
+        return {
+            r["stream_id"]
+            for r in self.tables.read_points_derived(latest_only=False)
+            .select("stream_id")
+            .distinct()
+            .collect()
+        }
+
     def _derived_points(
         self, streams: list[dict], exclude_materialized: bool = False
     ) -> DataFrame | None:
         derived = [s for s in streams if s.get("derive_op")]
         if exclude_materialized and derived:
-            # bounded collect: distinct ids in the (small) derived table
-            mat = {
-                r["stream_id"]
-                for r in self.tables.read_points_derived(latest_only=False)
-                .select("stream_id")
-                .distinct()
-                .collect()
-            }
+            mat = self._materialized_ids()
             derived = [s for s in derived if s["stream_id"] not in mat]
         if not derived:
             return None
         raw = self.tables.read_points_raw().select("stream_id", "ts", "value")
         return derive_ops.build_derive_plan(derived, raw)
 
-    def backprocess_streams(self, query_tags: dict | None = None) -> DataFrame | None:
+    def backprocess_streams(
+        self, query_tags: dict | None = None, materialize: bool = False
+    ) -> DataFrame | None:
         """Recompute derived-stream datapoints (reference: backfill job).
-        Returns the derived (stream_id, ts, value) rows."""
-        return self._derived_points(self.find_streams(query_tags))
+        Returns the derived (stream_id, ts, value) rows; with
+        ``materialize=True`` also PERSISTS them to points_derived under
+        a fresh seq base (latest-seq-wins, so the backfill supersedes
+        any earlier partial materialization) — the repair path for
+        derived streams whose sources carried history before streaming
+        materialization began."""
+        out = self._derived_points(self.find_streams(query_tags))
+        if materialize and out is not None:
+            base = self.tables._next_v()
+            rows = out.select(
+                "stream_id", "ts", F.lit(base).alias("seq"), "value"
+            )
+            self.tables.append_points_derived(rows)
+            self.tables.bump_v(base + 1)
+        return out
 
     # ------------------------------------------------------------------
     # query (S3 get_data)
@@ -545,6 +649,13 @@ class Datastream:
         per-granularity watermark are final (monotonic appends; the
         sum-derive clamp keeps lagging multi-source slots above it).
         ``start``/``end`` (end exclusive) must align to ``bucket_seconds``.
+
+        Driver-side cost note: routing collects the MATCHED stream rows
+        and loops over them in Python (unlike downsample_streams, which
+        is loop-free joins). Bounded by the match, not the store — pass
+        selective ``query_tags`` on large stores; the join-based form is
+        the known follow-up if ad-hoc aggregates over millions of
+        streams become a real workload.
         Returns (stream_id, granularity, bucket_ts, v, t, t_sum_epoch);
         partial tail buckets are emitted (query semantics — the
         completed-bucket rule governs materialization, not reads).
@@ -562,13 +673,7 @@ class Datastream:
         empty = self.tables.read_points_agg().limit(0)
         if not metas:
             return empty
-        mat = {
-            r["stream_id"]
-            for r in self.tables.read_points_derived(latest_only=False)
-            .select("stream_id")
-            .distinct()
-            .collect()
-        }
+        mat = self._materialized_ids()
         # route plan per stream: the COARSEST stored granularity dividing
         # the output width whose watermark exists (fewest rows to merge)
         agg_route: dict[str, tuple[str, _dt.datetime]] = {}
@@ -884,6 +989,10 @@ class Datastream:
                     .drop("_vmax")
                 )
 
+        # (finality for NON-sum multi-source ops — counter_derivative's
+        # late reset — is handled reactively instead: append_multiple
+        # rolls the derived stream's watermarks back when a source lands
+        # below them, so those buckets recompute and re-upsert.)
         # a `sum` slot is final only once EVERY data source has passed it —
         # clamp the sum-derived effective instant to min(source latest_ts)
         # (NULL while any source is still empty). A lagging source that
@@ -977,6 +1086,10 @@ class Datastream:
                 .filter(F.col("_wm").isNull() | (F.col("bucket_ts") >= F.col("_wm")))
                 .drop("_wm")
             )
+            if return_datapoints:
+                # pin BEFORE the upsert and the watermark write below:
+                # both mutate state a lazy recompute would re-read
+                new_rows = new_rows.localCheckpoint(eager=True)
             if new_rows.head(1):
                 self.tables.upsert_points_agg(new_rows)
                 if return_datapoints:
@@ -1021,9 +1134,8 @@ class Datastream:
             out = emitted[0]
             for e in emitted[1:]:
                 out = out.unionByName(e)
-            # pin results before caches go away (and before the new
-            # watermarks would change a lazy recompute)
-            out = out.localCheckpoint(eager=True)
+            # pieces were pinned at emission time (before the agg upsert
+            # and watermark writes), so the union is safe as-is
         sel.unpersist()
         for lv in levels:
             lv.unpersist()

@@ -169,8 +169,14 @@ _PART_MARKERS = ("p_date=", "granularity=")
 class Tables:
     """Parquet-backed storage for one engine instance.
 
-    Single streaming writer per store (SURVEY T5 note); readers are safe
-    concurrently with any writer thanks to the snapshot pointers.
+    Single streaming writer per store (SURVEY T5 note). Readers are safe
+    concurrently with the SNAPSHOT-SWAPPING writers (vacuum, compaction:
+    new generation written, pointer flipped, old files retained) — but
+    NOT with upsert_points_agg, which rewrites conflicted (granularity,
+    p_date) partitions in place via dynamic partition overwrite: a
+    reader holding a pre-upsert plan over those partitions can hit
+    missing files. Same single-writer quiescence rule as vacuum; a
+    table format (Delta/Iceberg MERGE) removes the caveat wholesale.
     """
 
     #: auto-compact the streams version log once it exceeds this many

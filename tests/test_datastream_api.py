@@ -612,3 +612,103 @@ def test_mixed_highest_granularity_downsample(engine):
     m10 = list(engine.get_data(coarse, "minutes10"))
     assert m10[0]["v"]["sum"] == pytest.approx(sum(range(10)))
     assert m10[0]["v"]["count"] == 10
+
+
+def test_late_reset_rolls_back_derived_watermark(engine):
+    """Finality healing (watermark rollback): a reset source append that
+    is monotonic for ITS stream but earlier than the derived stream's
+    aggregate watermark must roll that watermark back, so the next
+    downsample recomputes the affected buckets and the aggregates
+    re-converge with the derived view instead of silently keeping the
+    retracted delta."""
+    src = engine.ensure_stream({"title": "lr"})
+    rst = engine.ensure_stream({"title": "lrrst"})
+    # strictly increasing counter; the [30,40) bucket holds TWO points
+    # so it still re-emits (gets overwritten) after the reset suppresses
+    # one of its deltas
+    pts_in = [(0, 0.0), (10, 10.0), (20, 20.0), (30, 40.0), (35, 45.0), (45, 55.0)]
+    engine.append_multiple(
+        [
+            {"stream_id": src, "value": v, "timestamp": ts(t)}
+            for t, v in pts_in
+        ]
+    )
+    d = engine.ensure_stream(
+        {"title": "lrd"},
+        derive_from=[rst, src],
+        derive_op="counter_derivative",
+        derive_args={"streams": [{"name": "reset"}, {"name": "data"}]},
+    )
+    engine.downsample_streams(until=ts(3600))
+
+    def s10(stream):
+        return {
+            p["t"]["first"].replace(second=(p["t"]["first"].second // 10) * 10):
+                p["v"]["sum"]
+            for p in engine.get_data(
+                stream, "seconds10",
+                value_downsamplers=["sum"],
+                time_downsamplers=["first"],
+            )
+        }
+
+    before = s10(d)
+    assert sum(1 for v in before.values()) > 0
+    # every delta emits today (monotonic counter); a LATE reset at t=25
+    # (first append to rst: monotonic for the reset stream, but below
+    # the derived stream's aggregate watermark) retroactively suppresses
+    # the t=30 delta because it now spans a reset
+    engine.append(rst, 1.0, ts(25))
+    meta = {m["stream_id"]: m for m in engine.find_streams()}[d]
+    # the derived stream's watermarks rolled back to cover ts(25)
+    wm = meta["downsampled_until"]["seconds10"]
+    assert wm.replace(tzinfo=None) <= ts(25).replace(tzinfo=None)
+    engine.downsample_streams(until=ts(3600))
+    after = s10(d)
+    # recomputed aggregates equal a fresh full recompute of the view
+    recomputed = {
+        p["t"]: p["v"]
+        for p in engine.get_data(d, "seconds")
+    }
+    # aggregates must match the bucketed sum of the recomputed view
+    import collections
+    want = collections.defaultdict(float)
+    for t, v in recomputed.items():
+        b = t.replace(second=(t.second // 10) * 10)
+        want[b] += v
+    got = {k.replace(tzinfo=None): v for k, v in after.items()}
+    want = {k.replace(tzinfo=None): v for k, v in want.items()}
+    for k, v in got.items():
+        assert abs(v - want[k]) < 1e-9, (k, v, want.get(k))
+    assert got != {k.replace(tzinfo=None): v for k, v in before.items()}
+
+
+def test_below_watermark_append_rolls_back_own_watermark(engine):
+    """check_timestamp=False lets a point land below an already-advanced
+    watermark; the append must roll the watermark back so the point is
+    aggregated on the next run instead of being silently excluded
+    forever."""
+    sid = engine.ensure_stream({"title": "bw"})
+    engine.append_multiple(
+        [
+            {"stream_id": sid, "value": 1.0, "timestamp": ts(i)}
+            for i in range(0, 600, 10)
+        ]
+    )
+    engine.downsample_streams(until=ts(600))
+    def minute_counts():
+        return {
+            p["t"]["first"].replace(second=0): p["v"]["count"]
+            for p in engine.get_data(
+                sid, "minutes",
+                value_downsamplers=["count"],
+                time_downsamplers=["first"],
+            )
+        }
+
+    before = minute_counts()
+    assert before[ts(60).replace(tzinfo=None)] == 6
+    engine.append(sid, 1.0, ts(65), check_timestamp=False)
+    engine.downsample_streams(until=ts(600))
+    after = minute_counts()
+    assert after[ts(60).replace(tzinfo=None)] == 7  # late point aggregated
