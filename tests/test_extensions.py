@@ -1305,3 +1305,32 @@ def test_survivor_policies_non_vacuous_and_disagreeing(spark):
     assert len(out) > 0
     assert bool(out["policies_disagree"].any())
     assert (out["n_members"] > 1).all()
+
+
+def test_bigram_lm_scale_invariance(spark):
+    """Duplicating the whole corpus doubles every bigram AND every
+    first-word count, so each MLE conditional — and every doc's mean
+    log-prob — is unchanged.  A normalization bug (e.g. dividing by
+    corpus totals instead of first-word counts) breaks this law."""
+    from django_datastream_spark.functions import text as tx
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").filter(
+        F.col("doc_id") < 50
+    )
+    twin = docs.select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    base = {
+        r["doc_id"]: r["avg_logp"]
+        for r in tx.bigram_lm_scores(docs).collect()
+    }
+    doubled = {
+        r["doc_id"]: r["avg_logp"]
+        for r in tx.bigram_lm_scores(
+            docs.select("doc_id", "text").unionByName(twin)
+        ).collect()
+        if r["doc_id"] < 1000
+    }
+    assert set(base) == set(doubled)
+    for k in base:
+        assert abs(base[k] - doubled[k]) < 1e-9, k
