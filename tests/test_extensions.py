@@ -1334,3 +1334,40 @@ def test_bigram_lm_scale_invariance(spark):
     assert set(base) == set(doubled)
     for k in base:
         assert abs(base[k] - doubled[k]) < 1e-9, k
+
+
+def test_bm25_tf_monotonicity_crafted(spark):
+    """Equal-length docs: more occurrences of a query term ⇒ strictly
+    higher BM25 score (saturating but monotone in tf)."""
+    from django_datastream_spark.plans.extensions import _bm25_scores
+
+    filler = ["w"] * 10
+    d0 = " ".join(["spark"] * 1 + filler + ["x"] * 2)   # 13 tokens
+    d1 = " ".join(["spark"] * 3 + filler)               # 13 tokens
+    docs = spark.createDataFrame(
+        [(0, d0), (1, d1), (2, " ".join(filler))],
+        "doc_id long, text string",
+    )
+    sc = {
+        r["doc_id"]: r["score"]
+        for r in _bm25_scores(docs, ["spark"]).collect()
+    }
+    assert sc[1] > sc[0] > 0
+    assert 2 not in sc  # no query term -> no score row
+
+
+def test_cumulative_distinct_users_consistency(spark):
+    """q150 laws: cum_users is non-decreasing, increments by exactly
+    new_users each day, and ends at the true global distinct count."""
+    from django_datastream_spark.plans import declared
+
+    out = declared.QUERIES["q150_cumulative_distinct_users"](
+        spark, SF_SMOKE
+    ).toPandas()
+    assert (out["cum_users"].diff().dropna() >= 0).all()
+    assert (
+        out["cum_users"] == out["new_users"].cumsum()
+    ).all()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    truth = ev.select("user_id").distinct().count()
+    assert int(out["cum_users"].iloc[-1]) == truth
