@@ -1371,3 +1371,60 @@ def test_cumulative_distinct_users_consistency(spark):
     ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     truth = ev.select("user_id").distinct().count()
     assert int(out["cum_users"].iloc[-1]) == truth
+
+
+def test_centroid_drift_identity_law(spark):
+    """q144's statistic: when every vector is identical, every label
+    centroid IS the corpus centroid — cosine exactly 1 for all labels."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(20),
+                "embedding": [[1.0, 2.0, 3.0]] * 20,
+                "label": [i % 4 for i in range(20)],
+            }
+        )
+    )
+    # same plan shape as q144's builder, on a crafted frame
+
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("i0", "v")
+    ).select("label", (F.col("i0") + 1).alias("i"), "v")
+    lc = dims.groupBy("label", "i").agg(
+        F.avg("v").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    gc = lc.groupBy("i").agg(
+        (F.sum(F.col("m") * F.col("n")) / F.sum("n")).alias("g")
+    )
+    dot = (
+        lc.join(gc, "i")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("m") * F.col("g")).alias("d"),
+            F.sum(F.col("m") * F.col("m")).alias("mm"),
+            F.sum(F.col("g") * F.col("g")).alias("gg"),
+        )
+    )
+    for r in dot.collect():
+        cos = r["d"] / (r["mm"] ** 0.5 * r["gg"] ** 0.5)
+        assert abs(cos - 1.0) < 1e-12
+
+
+def test_equidepth_bands_partition_laws(spark):
+    """q131 laws: bands tile the value range in order (hi_i <= lo_{i+1})
+    and the band counts sum to the table's row count."""
+    from django_datastream_spark.plans import declared
+
+    out = (
+        declared.QUERIES["q131_equidepth_bands"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("band")
+        .reset_index(drop=True)
+    )
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    assert int(out["n"].sum()) == li.count()
+    for i in range(len(out) - 1):
+        assert out.loc[i, "hi"] <= out.loc[i + 1, "lo"] + 1e-9
