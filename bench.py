@@ -40,18 +40,27 @@ def run() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "declared_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "declared_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_val,
+        }
     )
+    # artifact hardening (BENCH_r04/r05 parsed as null driver-side):
+    # stop Spark FIRST so no progress-bar/console-sink '\r' noise can
+    # land on stdout around the JSON line, write the same JSON to a
+    # file (mirroring tools/verify_local.py's VERIFY_LOCAL_JSON), and
+    # only then print it — flushed, on its own line.
     spark.stop()
+    out_json = os.environ.get("SPARK_GRAFT_BENCH_JSON")
+    if out_json:
+        with open(out_json, "w") as f:
+            f.write(line + "\n")
+    sys.stdout.write("\n" + line + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -458,10 +458,19 @@ class Datastream:
                     meta_row["stream_id"], dict(meta_row)
                 )
                 cur = rb.get("downsampled_until") or {}
-                rb["downsampled_until"] = {
-                    g: min(v, wm.get(g, v)) if v is not None else v
-                    for g, v in {**cur, **wm}.items()
-                }
+                # elementwise MIN of the accumulated floor and this
+                # roll's floor — a batch appending to MULTIPLE sources
+                # of one derived stream calls _roll once per source,
+                # and a later (higher) floor must never raise an
+                # earlier (lower) one back up, or the buckets between
+                # the two floors stay stale
+                merged = dict(cur)
+                for g, v in wm.items():
+                    c = merged.get(g)
+                    merged[g] = (
+                        min(c, v) if c is not None and v is not None else v
+                    )
+                rb["downsampled_until"] = merged
                 rollback[meta_row["stream_id"]] = rb
 
         for sid, (mn, _mx) in bounds.items():
@@ -518,10 +527,17 @@ class Datastream:
         """Recompute derived-stream datapoints (reference: backfill job).
         Returns the derived (stream_id, ts, value) rows; with
         ``materialize=True`` also PERSISTS them to points_derived under
-        a fresh seq base (latest-seq-wins, so the backfill supersedes
-        any earlier partial materialization) — the repair path for
-        derived streams whose sources carried history before streaming
-        materialization began."""
+        a fresh seq base (latest-seq-wins for every (stream_id, ts) the
+        backfill RE-EMITS) — the repair path for derived streams whose
+        sources carried history before streaming materialization began.
+
+        No-delete edge (same as the points_agg upsert): latest-seq-wins
+        cannot RETRACT a (stream_id, ts) key the recompute no longer
+        emits — e.g. after a source reset that suppresses a formerly
+        materialized slot — so such ghost rows survive latest-only
+        reads until ``operators.merge.merge_into(when_matched='delete')``
+        (or a vacuum rewrite) removes them; on Delta/Iceberg this whole
+        method is one MERGE with a NOT-MATCHED-BY-SOURCE delete."""
         out = self._derived_points(self.find_streams(query_tags))
         if materialize and out is not None:
             base = self.tables._next_v()

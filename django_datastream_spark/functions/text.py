@@ -281,7 +281,8 @@ def chunk_documents(
     docs produce no chunks. Returns (id, chunk_idx, n_chunk_tokens,
     chunk_text).
     """
-    assert 0 < stride <= chunk_size
+    if not 0 < stride <= chunk_size:
+        raise ValueError("stride must be in (0, chunk_size]")
     tk = tokens(F.col(text_col))
     n = F.size(tk)
     starts = F.filter(

@@ -115,7 +115,8 @@ def fuzzy_contaminated(
     from .dedup import minhash_signatures_md5
 
     rows = num_hashes // bands
-    assert rows * bands == num_hashes
+    if rows * bands != num_hashes:
+        raise ValueError("rows * bands must equal num_hashes")
 
     def banded(docs: DataFrame, alias: str) -> DataFrame:
         sig = minhash_signatures_md5(docs, text_col, id_col, num_hashes, n)

@@ -215,7 +215,8 @@ def minhash_lsh_dedup_md5(
     hash-verify it end to end. Band key = md5 of the comma-joined
     signature slice. Returns (a, b, jaccard ≥ threshold)."""
     rows = num_hashes // bands
-    assert rows * bands == num_hashes
+    if rows * bands != num_hashes:
+        raise ValueError("rows * bands must equal num_hashes")
     sig = minhash_signatures_md5(docs, text_col, id_col, num_hashes, shingle_n)
     band_keys = F.array(
         *[
@@ -247,7 +248,8 @@ def simhash_md5(
     ``i//4`` of ``md5(token)`` — pure string/arithmetic ops an external
     SQL oracle reproduces exactly. Same plan: explode tokens → one
     groupBy with ``bits`` conditional ±1 sums → bit reassembly."""
-    assert bits <= 16
+    if bits > 16:
+        raise ValueError("bits must be <= 16")
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", F.md5("tok"))
@@ -468,7 +470,8 @@ def cosine_near_pairs_lsh(
     effectively all-pairs — 4 buckets per band.)"""
     from .similarity import _hyperplanes, rp_signature_udf
 
-    assert n_planes % bands == 0
+    if n_planes % bands != 0:
+        raise ValueError("n_planes must be divisible by bands")
     rows = n_planes // bands
     sig_udf = rp_signature_udf(_hyperplanes(dim, n_planes, seed))
     v = F.col(vec_col).cast("array<double>")
@@ -574,7 +577,8 @@ def levenshtein_candidates(
     (a, b) with a < b.
     """
     rows = num_hashes // bands
-    assert rows * bands == num_hashes
+    if rows * bands != num_hashes:
+        raise ValueError("rows * bands must equal num_hashes")
     sig = minhash_signatures_md5(docs, text_col, id_col, num_hashes, shingle_n)
     band_keys = F.array(
         *[

@@ -1,4 +1,5 @@
-"""Generic file-scoped MERGE INTO for vanilla-parquet tables.
+"""Generic file-scoped MERGE INTO for vanilla-parquet tables, with a
+manifest-committed EXACTLY-ONCE read path.
 
 ``storage.Backend.upsert_points_agg`` solves merge for the points_agg
 table specifically; this module is the table-agnostic form — the
@@ -25,30 +26,178 @@ Execution shape (Delta-style file-level pruning, no path arithmetic):
    partition-value escaping and partition type inference can never
    mis-target a delete;
 3. the rebuilt rows (kept + replaced [+ fresh inserts]) are APPENDED
-   FIRST, and only then are the old conflict files deleted.  A crash
-   in between leaves duplicates (at-least-once), never data loss —
-   the strictly safer failure mode for a non-transactional store; a
-   table format (Delta/Iceberg) makes the same statement atomic, and
-   the touched volume here is identical, so migration is a connector
-   swap.
+   FIRST, then a single-file ``_MANIFEST`` swap COMMITS the merge
+   (``os.replace`` — atomic on POSIX, the same trick storage.py's
+   ``_CURRENT`` pointer uses and the minimal form of a ``_delta_log``
+   entry), and only after the commit are the old conflict files
+   deleted.
+
+Crash-consistency contract (the exactly-once guarantee):
+
+- crash BEFORE the manifest swap → the manifest still lists the old
+  files; ``read_committed`` sees the pre-merge table exactly-once (the
+  new files are invisible orphans); ``vacuum_uncommitted`` reclaims
+  them and a re-run of the same merge is a clean retry.
+- crash AFTER the swap → ``read_committed`` sees the post-merge table
+  exactly-once; the undeleted conflict files are orphans
+  ``vacuum_uncommitted`` reclaims.
+- a PLAIN ``spark.read.parquet`` (no manifest resolution) can see the
+  append-before-delete double state inside the crash window — use
+  ``read_committed`` when exactly-once matters, exactly as Delta
+  readers must resolve through the log rather than listing files.
+
+Reader isolation under a live merge: ``read_committed`` pins the
+committed file list at plan time. With the default eager conflict
+delete, a reader planned before the commit can still lose a file
+mid-job (the vanilla-parquet caveat storage.upsert_points_agg
+documents); pass ``defer_conflict_delete=True`` to leave superseded
+files on disk — invisible to committed readers — and reclaim them
+later with ``vacuum_uncommitted`` during a quiesced window (Delta's
+``VACUUM`` contract, retention collapsed to "explicit call").
 
 Keys must be PARTITION-STABLE (a key's partition columns never change
 between versions — true for any layout where the partition derives
 from the key, e.g. p_date from bucket_ts).  A partition-hopping key
 degrades to Hive-upsert behavior: the new version is appended as an
 insert and the stale copy lingers in the old partition.
+
+Manifest machinery is local-filesystem (the container's storage, like
+storage.py's snapshot pointers); a remote object-store deployment
+should use a real transactional format (Delta/Iceberg MERGE) — the
+touched volume here is identical, so migration is a connector swap.
 """
 
 from __future__ import annotations
 
+import json
+import os
+from urllib.parse import unquote, urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+MANIFEST = "_MANIFEST"
 
 
 def _fs_and_path(spark: SparkSession, path: str):
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _local_root(path: str) -> str:
+    """Resolve ``path`` to a plain local filesystem path; raise for
+    remote schemes (manifest commits need an atomic rename — use
+    Delta/Iceberg on object stores)."""
+    u = urlparse(path)
+    if u.scheme in ("", "file"):
+        return unquote(u.path) if u.scheme == "file" else path
+    raise NotImplementedError(
+        f"manifest-committed merge requires a local path, got {path!r}; "
+        "use a transactional table format (Delta/Iceberg) on remote stores"
+    )
+
+
+def _rel_file(root: str, uri_or_path: str) -> str:
+    """Normalize a file URI / path to a root-relative POSIX path."""
+    p = _local_root(uri_or_path)
+    return os.path.relpath(p, _local_root(root))
+
+
+def _list_data_files(root: str) -> set[str]:
+    """All .parquet data files under ``root``, root-relative."""
+    root = _local_root(root)
+    out: set[str] = set()
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.add(os.path.relpath(os.path.join(dirpath, f), root))
+    return out
+
+
+def read_manifest(target_path: str) -> dict | None:
+    """The committed manifest, or None for a pre-manifest table."""
+    try:
+        with open(os.path.join(_local_root(target_path), MANIFEST)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _write_manifest(target_path: str, files: set[str], version: int) -> None:
+    """THE commit point: write-temp + ``os.replace`` (atomic) so a
+    reader never sees a torn manifest — old list or new list, never
+    neither."""
+    root = _local_root(target_path)
+    ptr = os.path.join(root, MANIFEST)
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "files": sorted(files)}, f)
+    os.replace(tmp, ptr)
+
+
+def read_committed(
+    spark: SparkSession, target_path: str, schema=None
+) -> DataFrame:
+    """Snapshot read through the manifest: exactly the files the last
+    COMMITTED merge listed, so in-flight appends and crash-window
+    duplicates are invisible (the exactly-once read path). Falls back
+    to a plain directory read for pre-manifest tables."""
+    m = read_manifest(target_path)
+    if m is None:
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r.parquet(target_path)
+    root = _local_root(target_path)
+    files = [os.path.join(root, f) for f in m["files"]]
+    if not files:
+        if schema is None:
+            raise ValueError(
+                f"{target_path}: committed table is empty; pass schema"
+            )
+        return spark.createDataFrame([], schema)
+    r = spark.read.option("basePath", target_path)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.parquet(*files)
+
+
+def vacuum_uncommitted(target_path: str) -> list[str]:
+    """Crash repair / deferred-delete reclaim: remove every data file
+    NOT in the committed manifest (orphans from a crashed merge, or
+    conflict files kept by ``defer_conflict_delete``), so a plain
+    directory read converges back to exactly-once. Run from the single
+    writer during a quiesced window (Delta's VACUUM). Returns the
+    removed root-relative paths."""
+    m = read_manifest(target_path)
+    if m is None:
+        return []
+    root = _local_root(target_path)
+    orphans = sorted(_list_data_files(target_path) - set(m["files"]))
+    for rel in orphans:
+        os.remove(os.path.join(root, rel))
+        # opportunistically drop now-empty partition dirs
+        d = os.path.dirname(os.path.join(root, rel))
+        while d != root and not os.listdir(d):
+            os.rmdir(d)
+            d = os.path.dirname(d)
+    return orphans
+
+
+def _delete_file(spark: SparkSession, uri: str) -> None:
+    """Post-commit conflict-file removal (factored out so tests can
+    crash-inject here)."""
+    ffs, fp = _fs_and_path(spark, uri)
+    ffs.delete(fp, False)
+    parent = fp.getParent()
+    # opportunistically drop a now-empty partition dir so a
+    # vacated partition disappears from listings
+    try:
+        if not ffs.listStatus(parent):
+            ffs.delete(parent, False)
+    except Exception:  # noqa: BLE001 — cleanup only, never fatal
+        pass
 
 
 def merge_into(
@@ -59,6 +208,7 @@ def merge_into(
     partition_cols: list[str],
     when_matched: str = "update",
     when_not_matched: str = "insert",
+    defer_conflict_delete: bool = False,
 ) -> dict:
     """Merge ``source`` into the parquet table at ``target_path``.
 
@@ -66,11 +216,18 @@ def merge_into(
     only; the merge never counts row data on the driver.  Raises
     ``ValueError`` on an unknown clause, a source batch with duplicate
     keys, or a source missing target columns.
+
+    The merge COMMITS via an atomic ``_MANIFEST`` swap before deleting
+    superseded files (see module docstring for the crash-consistency
+    and reader-isolation contract); ``defer_conflict_delete=True``
+    leaves superseded files for ``vacuum_uncommitted`` so committed
+    readers are never raced.
     """
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched={when_matched!r}")
     if when_not_matched not in ("insert", "ignore"):
         raise ValueError(f"when_not_matched={when_not_matched!r}")
+    _local_root(target_path)  # fail fast on remote schemes
     src = source.localCheckpoint(eager=True)
     # a CDC batch with two versions of one key has no deterministic
     # outcome under replace-by-key — same contract as Delta's
@@ -89,10 +246,31 @@ def merge_into(
             src.write.mode("append").partitionBy(*partition_cols).parquet(
                 target_path
             )
+            _write_manifest(target_path, _list_data_files(target_path), 1)
             return {"rewritten_files": 0, "inserted": True}
         return {"rewritten_files": 0, "inserted": False}
 
-    existing = spark.read.parquet(target_path)
+    manifest = read_manifest(target_path)
+    pre_files = _list_data_files(target_path)
+    # committed state: what the last manifest swap published. A crashed
+    # earlier merge may have left orphan files on disk — reading the
+    # COMMITTED set (not the raw listing) keeps this merge from seeing
+    # (and re-emitting) crash-window duplicates, which is what makes a
+    # failed merge safely re-runnable.
+    committed = set(manifest["files"]) if manifest else pre_files
+    version = (manifest["version"] + 1) if manifest else 1
+    if not committed:
+        # fully-deleted committed table: every source row is an insert
+        if when_not_matched == "insert":
+            src.write.mode("append").partitionBy(*partition_cols).parquet(
+                target_path
+            )
+            new = _list_data_files(target_path) - pre_files
+            _write_manifest(target_path, new, version)
+            return {"rewritten_files": 0, "inserted": True}
+        return {"rewritten_files": 0, "inserted": False}
+    existing = read_committed(spark, target_path)  # schema inferred —
+    # the TARGET's columns stay authoritative even if src carries more
     missing = set(existing.columns) - set(src.columns)
     if missing:
         raise ValueError(f"source missing target columns: {sorted(missing)}")
@@ -113,6 +291,7 @@ def merge_into(
         .distinct()
         .collect()  # metadata: file URIs, bounded by touched partitions
     ]
+    conflict_rel = {_rel_file(target_path, f) for f in conflict_files}
 
     pieces: list[DataFrame] = []
     if conflict_files:
@@ -148,20 +327,19 @@ def merge_into(
         out = pieces[0]
         for p_ in pieces[1:]:
             out = out.unionByName(p_)
-        # WRITE FIRST (old files still readable during the job), delete
-        # after — a crash in between duplicates, never loses
+        # WRITE FIRST (old files still readable during the job); the
+        # manifest swap below is the commit — a crash before it leaves
+        # these files as invisible orphans, never partial state
         out.write.mode("append").partitionBy(*partition_cols).parquet(
             target_path
         )
-    for f in conflict_files:
-        ffs, fp = _fs_and_path(spark, f)
-        ffs.delete(fp, False)
-        parent = fp.getParent()
-        # opportunistically drop a now-empty partition dir so a
-        # vacated partition disappears from listings
-        try:
-            if not ffs.listStatus(parent):
-                ffs.delete(parent, False)
-        except Exception:  # noqa: BLE001 — cleanup only, never fatal
-            pass
+    new_files = _list_data_files(target_path) - pre_files
+    # COMMIT: old committed set minus superseded files plus this
+    # merge's output — one atomic pointer swap
+    _write_manifest(
+        target_path, (committed - conflict_rel) | new_files, version
+    )
+    if not defer_conflict_delete:
+        for f in conflict_files:
+            _delete_file(spark, f)
     return {"rewritten_files": len(conflict_files), "inserted": inserted}

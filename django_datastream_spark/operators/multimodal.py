@@ -381,7 +381,11 @@ def dhash_near_pairs(chunks: DataFrame, max_hamming: int = 3) -> DataFrame:
     filters candidates.  The candidate join is a plain equi-join on
     (k, v) — bucket sizes track near-dup cluster sizes, never the
     corpus — and the verify join touches only candidate ids."""
-    assert max_hamming <= 3, "4-chunk pigeonhole only covers distance <= 3"
+    if max_hamming > 3:
+        # ValueError, not assert: python -O strips asserts, and a
+        # skipped check here silently MISSES pairs beyond the
+        # pigeonhole guarantee
+        raise ValueError("4-chunk pigeonhole only covers distance <= 3")
     c = chunks.filter(F.col("k") >= 0).select("media_id", "k", "v")
     a, b = c.alias("a"), c.alias("b")
     cand = (

@@ -333,7 +333,8 @@ def rp_lsh_topk(
     candidate collide if they agree on ALL bits of ≥1 band), exact-rerank
     within the candidate set. Recall grows with bands; cost is bounded by
     bucket sizes. Returns (query_id, rank, neighbor_id, cosine)."""
-    assert n_planes % bands == 0
+    if n_planes % bands != 0:
+        raise ValueError("n_planes must be divisible by bands")
     rows = n_planes // bands
     planes = _hyperplanes(dim, n_planes, seed)
 

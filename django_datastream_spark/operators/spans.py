@@ -164,7 +164,10 @@ def longest_shared_spans(
     once on (w1, w2) prefix buckets, and the per-row LCP is O(cap**2)
     list work — constant per row, no pairwise blowup.
     """
-    assert min_tokens >= 2, "bucketing assumes min_tokens >= 2"
+    if min_tokens < 2:
+        # ValueError, not assert: python -O strips asserts, and a
+        # skipped check here returns silently INCOMPLETE pairs
+        raise ValueError("bucketing assumes min_tokens >= 2")
     tk = tokens(F.col(text_col))
     d = docs.select(F.col(id_col).alias("_id"), tk.alias("ts"))
     sfx = (

@@ -45,6 +45,17 @@ INGEST_SCHEMA = T.StructType(
 )
 
 
+def _bucket_by_name(gname, ts) -> object:
+    """Bucket-floor ``ts`` under the granularity NAMED by a column —
+    a CASE over the (fixed, six-entry) granularity ladder, so the
+    per-granularity finality rollback can run inside a map-typed
+    column expression (transform_values) with no driver lookup."""
+    expr = F.lit(None).cast("timestamp")
+    for g in BY_NAME.values():
+        expr = F.when(gname == g.name, g.bucket_col(ts)).otherwise(expr)
+    return expr
+
+
 def _batch_seq_col(base: int, tiebreak: tuple[str, ...] = ()) -> object:
     """Insertion sequence for one micro-batch: a driver-supplied monotone
     base + row_number PER STREAM (ordered by ts, then ``tiebreak``
@@ -180,43 +191,81 @@ class StreamingIngest:
                 pts = pts.unionByName(d.select("stream_id", "ts"))
         self.engine.tables.append_points_raw(good)
 
-        stats = pts.groupBy("stream_id").agg(
-            F.min("ts").alias("mn"),
-            F.max("ts").alias("mx"),
-            F.count(F.lit(1)).alias("cnt"),
-        ).collect()
-        bounds = {r["stream_id"]: (r["mn"], r["mx"]) for r in stats}
+        # stream-metadata maintenance is a DATAFRAME PLAN, never a
+        # per-stream driver loop: a micro-batch touching a million hot
+        # streams merges earliest/latest/finality entirely executor-side
+        # (one hash-agg + one join + one metadata-log append). The ONLY
+        # rows that cross the driver are one scalar row (seq reservation
+        # + the global batch frontier for auto_downsample).
+        stats = (
+            pts.groupBy("stream_id")
+            .agg(
+                F.min("ts").alias("_mn"),
+                F.max("ts").alias("_mx"),
+                F.count(F.lit(1)).alias("_cnt"),
+            )
+            # pin: reused by the scalar agg AND the metadata merge join,
+            # and it must not lazily recompute against the post-append
+            # table state; bounded by touched-stream count, stored on
+            # executors (localCheckpoint), not the driver
+            .localCheckpoint(eager=True)
+        )
+        scal = stats.agg(
+            F.max("_cnt").alias("c"), F.max("_mx").alias("m")
+        ).collect()[0]
         # reserve the seq range this batch handed out (max per-stream
         # row_number bounds every base used above)
-        if stats:
+        if scal["c"] is not None:
             self.engine.tables.bump_v(
-                self.engine.tables._v_counter + max(r["cnt"] for r in stats)
+                self.engine.tables._v_counter + scal["c"]
             )
         known.unpersist()
-        if bounds:
-            metas = {
-                r["stream_id"]: r.asDict(recursive=True)
-                for r in streams_df.filter(
-                    F.col("stream_id").isin(sorted(bounds))
-                ).collect()
-            }
-            changed = []
-            batch_max = None
-            for sid, (mn, mx) in bounds.items():
-                s = dict(metas[sid])
-                s["earliest_ts"] = (
-                    mn if s["earliest_ts"] is None else min(s["earliest_ts"], mn)
-                )
-                s["latest_ts"] = (
-                    mx if s["latest_ts"] is None else max(s["latest_ts"], mx)
-                )
-                batch_max = mx if batch_max is None else max(batch_max, mx)
-                changed.append(s)
-            self.engine.tables.upsert_streams(changed)
-            if self.auto_downsample and batch_max is not None:
-                # per-stream finality clamp inside downsample_streams makes
-                # the global batch max a safe 'until' for every stream
-                self.engine.downsample_streams(until=batch_max)
+        merged = (
+            # inner join: every id in stats is a validated known stream
+            # or a derived stream materialized above, all present in the
+            # metadata table. Shuffle hash join on stream_id — both
+            # sides partition by the merge key, no driver involvement.
+            streams_df.join(stats, "stream_id")
+            .withColumn(
+                "earliest_ts",
+                F.least(
+                    F.coalesce(F.col("earliest_ts"), F.col("_mn")),
+                    F.col("_mn"),
+                ),
+            )
+            .withColumn(
+                "latest_ts",
+                F.greatest(
+                    F.coalesce(F.col("latest_ts"), F.col("_mx")),
+                    F.col("_mx"),
+                ),
+            )
+            # WATERMARK ROLLBACK, plan-side (mirrors api.append_multiple's
+            # healing): a batch landing below an already-final bucket
+            # (check_timestamp=False, or an incremental `sum` re-deriving
+            # an old slot) lowers that stream's per-granularity finality
+            # floor to the batch's earliest bucket, so the next
+            # downsample run re-upserts those buckets instead of
+            # points_agg silently diverging. `least` would SKIP nulls
+            # (Spark semantics), so never-downsampled (null) entries are
+            # explicitly preserved — a floor on a never-run granularity
+            # would wrongly mark unseen history final.
+            .withColumn(
+                "downsampled_until",
+                F.transform_values(
+                    "downsampled_until",
+                    lambda g, v: F.when(v.isNull(), v).otherwise(
+                        F.least(v, _bucket_by_name(g, F.col("_mn")))
+                    ),
+                ),
+            )
+            .drop("_mn", "_mx", "_cnt")
+        )
+        self.engine.tables.upsert_streams_df(merged)
+        if self.auto_downsample and scal["m"] is not None:
+            # per-stream finality clamp inside downsample_streams makes
+            # the global batch max a safe 'until' for every stream
+            self.engine.downsample_streams(until=scal["m"])
 
     def _incremental_derive(
         self, batch: DataFrame, derived_meta: list[dict], streams_df: DataFrame

@@ -323,3 +323,188 @@ def test_merge_model_based_random_sequences(spark, tmp_path):
         except Exception:
             got = {}  # table never created (all-delete sequence)
         assert got == model, f"trial={trial} diverged from model"
+
+
+# ---------------------------------------------------------------------------
+# manifest commit: crash-consistency (exactly-once) contract
+# ---------------------------------------------------------------------------
+from django_datastream_spark.operators import merge as merge_mod
+from django_datastream_spark.operators.merge import (
+    read_committed,
+    read_manifest,
+    vacuum_uncommitted,
+)
+
+
+def _committed(spark, path):
+    return {
+        r["k"]: (str(r["p"]), r["v"])
+        for r in read_committed(spark, path).collect()
+    }
+
+
+def _established(spark, tmp_path):
+    """Target with a committed manifest (first merge bootstraps it)."""
+    path = str(tmp_path / "t")
+    _write_target(spark, path)
+    merge_into(
+        spark, path,
+        spark.createDataFrame([(2, "2024-01-01", 20.0)],
+                              "k long, p string, v double"),
+        ["k"], ["p"],
+    )
+    assert read_manifest(path) is not None
+    return path
+
+
+def test_merge_crash_before_commit_is_invisible(spark, tmp_path, monkeypatch):
+    """Kill the merge between the append and the manifest swap: the
+    committed read must still be the EXACT pre-merge table (no dupes,
+    no partial update), vacuum reclaims the orphans, and a clean
+    re-run of the same merge then lands exactly-once."""
+    path = _established(spark, tmp_path)
+    before = _committed(spark, path)
+    src = spark.createDataFrame(
+        [(2, "2024-01-01", 99.0), (8, "2024-01-01", 80.0)],
+        "k long, p string, v double",
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before manifest swap")
+
+    monkeypatch.setattr(merge_mod, "_write_manifest", boom)
+    try:
+        merge_into(spark, path, src, ["k"], ["p"])
+        raise AssertionError("crash injection did not fire")
+    except RuntimeError:
+        pass
+    # committed snapshot: unchanged, exactly-once
+    assert _committed(spark, path) == before
+    # the crash window left orphans a PLAIN read would double-count
+    plain = spark.read.parquet(path).count()
+    assert plain > len(before)
+    # recovery: vacuum converges the directory back to the commit
+    removed = vacuum_uncommitted(path)
+    assert removed
+    assert {
+        r["k"]: (str(r["p"]), r["v"])
+        for r in spark.read.parquet(path).collect()
+    } == before
+    # retry is clean
+    monkeypatch.undo()
+    merge_into(spark, path, src, ["k"], ["p"])
+    after = _committed(spark, path)
+    assert after[2] == ("2024-01-01", 99.0) and after[8] == ("2024-01-01", 80.0)
+    assert len(after) == len(before) + 1
+
+
+def test_merge_retry_without_vacuum_stays_exactly_once(
+    spark, tmp_path, monkeypatch
+):
+    """A crashed merge re-run WITHOUT vacuuming first must not read
+    (or re-emit) the crash orphans: the merge plans against the
+    committed file set, not the raw listing."""
+    path = _established(spark, tmp_path)
+    before = _committed(spark, path)
+    src = spark.createDataFrame(
+        [(1, "2024-01-01", 11.0)], "k long, p string, v double"
+    )
+    monkeypatch.setattr(
+        merge_mod, "_write_manifest",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    try:
+        merge_into(spark, path, src, ["k"], ["p"])
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    merge_into(spark, path, src, ["k"], ["p"])
+    after = _committed(spark, path)
+    assert after == {**before, 1: ("2024-01-01", 11.0)}
+    # committed read is exactly-once even though pre-retry orphans may
+    # still sit on disk; vacuum then reconciles the plain read too
+    vacuum_uncommitted(path)
+    assert {
+        r["k"]: (str(r["p"]), r["v"])
+        for r in spark.read.parquet(path).collect()
+    } == after
+
+
+def test_merge_crash_after_commit_keeps_new_state(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the merge after the manifest swap but before the conflict
+    delete: the committed read is the POST-merge table exactly-once
+    (the swap is the commit point); vacuum reclaims the superseded
+    files."""
+    path = _established(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(2, "2024-01-01", 77.0)], "k long, p string, v double"
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before conflict delete")
+
+    monkeypatch.setattr(merge_mod, "_delete_file", boom)
+    try:
+        merge_into(spark, path, src, ["k"], ["p"])
+        raise AssertionError("crash injection did not fire")
+    except RuntimeError:
+        pass
+    after = _committed(spark, path)
+    assert after[2] == ("2024-01-01", 77.0)
+    assert sorted(after) == [1, 2, 3, 4]
+    # plain read still sees the stale conflict-file copy of k=2
+    assert spark.read.parquet(path).count() > len(after)
+    removed = vacuum_uncommitted(path)
+    assert removed
+    assert {
+        r["k"]: (str(r["p"]), r["v"])
+        for r in spark.read.parquet(path).collect()
+    } == after
+
+
+def test_merge_defer_conflict_delete_isolates_readers(spark, tmp_path):
+    """defer_conflict_delete=True: superseded files stay on disk (so a
+    reader planned against the previous commit never loses a file
+    mid-job) but are invisible to committed readers; an explicit
+    vacuum reclaims them."""
+    path = _established(spark, tmp_path)
+    files_before = set(merge_mod._list_data_files(path))
+    src = spark.createDataFrame(
+        [(3, "2024-01-02", 33.0)], "k long, p string, v double"
+    )
+    stats = merge_into(
+        spark, path, src, ["k"], ["p"], defer_conflict_delete=True
+    )
+    assert stats["rewritten_files"] >= 1
+    # every pre-merge file is still present (no reader raced)
+    assert files_before <= set(merge_mod._list_data_files(path))
+    after = _committed(spark, path)
+    assert after[3] == ("2024-01-02", 33.0)
+    assert sorted(after) == [1, 2, 3, 4]
+    removed = vacuum_uncommitted(path)
+    assert removed
+    assert {
+        r["k"]: (str(r["p"]), r["v"])
+        for r in spark.read.parquet(path).collect()
+    } == after
+
+
+def test_merge_all_deleted_then_reinsert_via_manifest(spark, tmp_path):
+    """Delete every committed row, then merge again: the empty
+    committed state is honored (re-insert path), and read_committed
+    needs an explicit schema only while the table is empty."""
+    path = str(tmp_path / "t")
+    src0 = spark.createDataFrame(
+        [(1, "2024-01-01", 1.0)], "k long, p string, v double"
+    )
+    merge_into(spark, path, src0, ["k"], ["p"])
+    merge_into(
+        spark, path, src0, ["k"], ["p"],
+        when_matched="delete", when_not_matched="ignore",
+    )
+    assert read_manifest(path)["files"] == []
+    assert read_committed(spark, path, "k long, p string, v double").count() == 0
+    merge_into(spark, path, src0, ["k"], ["p"])
+    assert _committed(spark, path) == {1: ("2024-01-01", 1.0)}
