@@ -35,7 +35,7 @@ import datetime as _dt
 import json
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import exceptions as exc
@@ -72,6 +72,30 @@ def _canon_tag(val) -> str:
 def _graph_props(d: dict, core: tuple[str, ...]) -> str | None:
     extra = {k: v for k, v in d.items() if k not in core}
     return json.dumps(extra, sort_keys=True) if extra else None
+
+
+def tag_match_condition(query_tags: dict) -> Column:
+    """Nested tag CONTAINMENT as one boolean Column over a frame with
+    ``tags_flat`` (map<path, canonical-json>) and ``tags`` (json string)
+    columns — the P4 matching rule find_streams/ensure_stream apply: a
+    query sub-document matches iff EVERY flattened leaf path equals the
+    stored value, so extra stored tags never block a match (MongoDB-
+    style containment, like the reference's tag queries). Exact,
+    type-preserving comparison on the canonical flattened map; rows
+    written before tags_flat existed fall back to the (lossy) JSON-path
+    probe so old stores stay readable. Pure column expression — at any
+    scale this is a predicate over the streams scan, never a collect.
+    Declared query q156 pins these semantics against a DuckDB oracle."""
+    cond = F.lit(True)
+    for path, val in _flatten_tags(query_tags).items():
+        exact = F.col("tags_flat")[path] == F.lit(_canon_tag(val))
+        jp = "$." + path
+        expected = val if isinstance(val, str) else json.dumps(val)
+        legacy = F.get_json_object("tags", jp) == F.lit(str(expected))
+        cond = cond & (
+            F.when(F.col("tags_flat").isNotNull(), exact).otherwise(legacy)
+        )
+    return cond
 
 
 class Datapoints:
@@ -140,19 +164,7 @@ class Datastream:
     def _match(self, streams: DataFrame, query_tags: dict | None) -> DataFrame:
         if not query_tags:
             return streams
-        cond = F.lit(True)
-        for path, val in _flatten_tags(query_tags).items():
-            # exact, type-preserving match on the canonical flattened map;
-            # rows written before tags_flat existed fall back to the (lossy)
-            # JSON-path probe so old stores stay readable
-            exact = F.col("tags_flat")[path] == F.lit(_canon_tag(val))
-            jp = "$." + path
-            expected = val if isinstance(val, str) else json.dumps(val)
-            legacy = F.get_json_object("tags", jp) == F.lit(str(expected))
-            cond = cond & (
-                F.when(F.col("tags_flat").isNotNull(), exact).otherwise(legacy)
-            )
-        return streams.filter(cond)
+        return streams.filter(tag_match_condition(query_tags))
 
     def find_streams(self, query_tags: dict | None = None) -> list[dict]:
         rows = self._match(self._streams(), query_tags).collect()
@@ -522,7 +534,10 @@ class Datastream:
         return derive_ops.build_derive_plan(derived, raw)
 
     def backprocess_streams(
-        self, query_tags: dict | None = None, materialize: bool = False
+        self,
+        query_tags: dict | None = None,
+        materialize: bool = False,
+        replace: bool = False,
     ) -> DataFrame | None:
         """Recompute derived-stream datapoints (reference: backfill job).
         Returns the derived (stream_id, ts, value) rows; with
@@ -535,16 +550,29 @@ class Datastream:
         cannot RETRACT a (stream_id, ts) key the recompute no longer
         emits — e.g. after a source reset that suppresses a formerly
         materialized slot — so such ghost rows survive latest-only
-        reads until ``operators.merge.merge_into(when_matched='delete')``
-        (or a vacuum rewrite) removes them; on Delta/Iceberg this whole
-        method is one MERGE with a NOT-MATCHED-BY-SOURCE delete."""
-        out = self._derived_points(self.find_streams(query_tags))
+        reads. Pass ``replace=True`` to make the backfill RETRACTING:
+        every stored version of the recomputed streams' points is
+        dropped (partition-scoped rewrite,
+        ``Tables.replace_points_derived``) and the backfill lands as
+        the only copy — the same statement a Delta/Iceberg MERGE with
+        NOT-MATCHED-BY-SOURCE DELETE expresses. ``replace`` requires
+        ``materialize`` and the single-writer quiescence vacuum needs."""
+        if replace and not materialize:
+            raise ValueError("replace=True requires materialize=True")
+        streams = self.find_streams(query_tags)
+        out = self._derived_points(streams)
         if materialize and out is not None:
             base = self.tables._next_v()
             rows = out.select(
                 "stream_id", "ts", F.lit(base).alias("seq"), "value"
             )
-            self.tables.append_points_derived(rows)
+            if replace:
+                derived_ids = [
+                    s["stream_id"] for s in streams if s.get("derive_op")
+                ]
+                self.tables.replace_points_derived(derived_ids, rows)
+            else:
+                self.tables.append_points_derived(rows)
             self.tables.bump_v(base + 1)
         return out
 

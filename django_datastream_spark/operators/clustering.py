@@ -29,8 +29,31 @@ Design constraints, in order:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def suggested_k(n_vectors: int, target_cluster_size: int | None = None) -> int:
+    """Cluster-count calibration for ``kmeans_assign``/``semdedup``.
+
+    CONTRACT: SemDeDup's within-cluster pair join is O(Σ cluster²) ≈
+    N²/k for balanced clusters, so **k must grow with the corpus** — a
+    fixed small k silently reverts toward all-pairs at scale. Default
+    k = ⌈√N⌉ keeps candidate pairs ≈ N^1.5 (the growth law pinned by
+    tests/test_clustering.py between sf0.01 and sf0.1); pass
+    ``target_cluster_size`` to hold expected cluster size constant
+    instead (k = ⌈N/size⌉ ⇒ pairs ≈ N·size, fully linear — the
+    SemDeDup paper's shape: tens of thousands of clusters at
+    hundreds-of-millions scale)."""
+    if n_vectors <= 0:
+        return 1
+    if target_cluster_size is not None:
+        if target_cluster_size <= 0:
+            raise ValueError("target_cluster_size must be positive")
+        return max(1, math.ceil(n_vectors / target_cluster_size))
+    return max(2, math.ceil(math.sqrt(n_vectors)))
 
 
 def _sq_dist(a: Column, b: Column) -> Column:
@@ -128,7 +151,11 @@ def kmeans_assign(
 ) -> DataFrame:
     """Lloyd's algorithm, declaratively unrolled: ``iters`` rounds of
     assign+update starting from the k lowest-id vectors, then a final
-    assignment under the last centroids. Returns vecs + ``cid``."""
+    assignment under the last centroids. Returns vecs + ``cid``.
+
+    ``k`` is a scale parameter, not a constant: size it with
+    ``suggested_k(N)`` (k ∝ √N, or N/target_cluster_size) when the
+    assignment feeds ``semdedup`` — see that contract for why."""
     cent = initial_centroids(vecs, k, id_col, vec_col)
     for _ in range(iters):
         cent = update_centroids(
@@ -147,7 +174,10 @@ def semdedup(
     duplicate every vector that has a higher-similarity twin with a
     LOWER id (keep-first). Pair generation is an equi-join on ``cid``
     — the whole point of clustering first: candidate pairs are
-    O(Σ cluster²), never corpus². Returns (id, cid, is_dup)."""
+    O(Σ cluster²), never corpus². That bound only holds if the
+    upstream k GREW with the corpus (``suggested_k``): with k fixed,
+    Σ cluster² → N² and this join IS all-pairs. Returns
+    (id, cid, is_dup)."""
     # norms are computed ONCE per vector before the self-join — an
     # in-pair norm would run 3 array folds per candidate pair instead
     # of 1, tripling the O(cluster²) dominant cost

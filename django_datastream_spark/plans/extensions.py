@@ -3228,7 +3228,14 @@ def q109(spark, sf_dir):
     instead of corpus². Keep-first rule: a vector is a duplicate iff a
     lower-id twin in its cluster has cosine ≥ 0.4 (the threshold is
     data-calibrated: this table has no pairs above 0.7). Reported per
-    cluster as (size, n_dup) — non-vacuous at every test sf."""
+    cluster as (size, n_dup) — non-vacuous at every test sf.
+
+    k=4 here is a TEST-SF parameter chosen so the unrolled DuckDB
+    oracle stays readable; production sizing is
+    ``clustering.suggested_k`` (k ∝ √N, or N/target_cluster_size —
+    the contract that keeps the pair join sub-quadratic, pinned by
+    tests/test_clustering.py's growth-law test between sf0.01 and
+    sf0.1)."""
     from ..operators import clustering as cl
 
     vecs = load_table(spark, sf_dir, "embeddings").select(
@@ -6019,3 +6026,79 @@ def q155(spark, sf_dir):
         "event_type",
         F.col("n").cast("long").alias("n"),
     ).orderBy("ws", "event_type")
+
+
+# --------------------------------------------------------------------------
+# Q156: nested tag containment (P4's "nested containment" note) — the
+# find_streams matching rule, oracle-pinned beyond flat dotted paths.
+# --------------------------------------------------------------------------
+@_declare(
+    "q156_nested_tag_containment",
+    """
+    WITH s AS (SELECT DISTINCT user_id, event_type FROM events),
+    t AS (SELECT user_id, event_type,
+                 json_object('active', user_id % 2 = 0,
+                             'source', json_object('shard', user_id % 5,
+                                                   'type', event_type)) tags
+          FROM s)
+    SELECT user_id, event_type FROM t
+    WHERE json_extract(tags, '$.source.shard') = to_json(3)
+      AND json_extract(tags, '$.source.type') = to_json('purchase')
+      AND json_extract(tags, '$.active') = to_json(true)
+    ORDER BY user_id, event_type
+    """,
+)
+def q156(spark, sf_dir):
+    """Nested tag containment through the ENGINE's matching rule
+    (api.tag_match_condition — the exact predicate find_streams and
+    ensure_stream filter with; reference: datastream tag queries are
+    MongoDB-style sub-document containment, SURVEY P4). Streams are
+    synthesized per (user_id, event_type) with NESTED tags
+    {"active": bool, "source": {"shard": int, "type": str}}; the query
+    sub-document {"source": {"shard": 3, "type": "purchase"},
+    "active": true} must match iff every flattened leaf matches, while
+    extra stored tags never block. Every third stream is written as a
+    LEGACY row (tags_flat = NULL) so the JSON-path fallback branch is
+    oracle-pinned alongside the canonical-map branch. Scale shape: the
+    match is one boolean column over the streams scan — no collect, no
+    join."""
+    from ..api import tag_match_condition
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select("user_id", "event_type").distinct()
+    active = F.col("user_id") % 2 == 0
+    shard = F.col("user_id") % 5
+    tags_json = F.to_json(
+        F.struct(
+            active.alias("active"),
+            F.struct(
+                shard.alias("shard"), F.col("event_type").alias("type")
+            ).alias("source"),
+        )
+    )
+    # canonical-JSON flattened map, exactly as ensure_stream stores it
+    # (_canon_tag: bools lowercase, strings json-quoted, ints bare)
+    tags_flat = F.create_map(
+        F.lit("active"),
+        F.when(active, F.lit("true")).otherwise(F.lit("false")),
+        F.lit("source.shard"),
+        shard.cast("string"),
+        F.lit("source.type"),
+        F.concat(F.lit('"'), F.col("event_type"), F.lit('"')),
+    )
+    t = s.withColumn("tags", tags_json).withColumn(
+        "tags_flat",
+        F.when(
+            F.col("user_id") % 3 == 0,
+            F.lit(None).cast("map<string,string>"),
+        ).otherwise(tags_flat),
+    )
+    return (
+        t.filter(
+            tag_match_condition(
+                {"source": {"shard": 3, "type": "purchase"}, "active": True}
+            )
+        )
+        .select("user_id", "event_type")
+        .orderBy("user_id", "event_type")
+    )

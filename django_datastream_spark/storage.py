@@ -497,6 +497,77 @@ class Tables:
             .drop("_rk")
         )
 
+    def replace_points_derived(
+        self, stream_ids: list[str], df: DataFrame
+    ) -> None:
+        """RETRACTING upsert for a derived-stream backfill: drop EVERY
+        stored version of the given streams' points and land ``df`` as
+        the only copy — the repair for ghost rows that latest-seq-wins
+        cannot remove (a recompute that no longer emits a formerly
+        materialized (stream_id, ts) key; see
+        api.backprocess_streams). Partition-scoped like
+        upsert_points_agg: only p_date partitions where the target
+        streams have old or new rows are read-modified-overwritten
+        (other streams' rows kept verbatim); untouched partitions are
+        never rewritten. Same single-writer quiescence rule as vacuum;
+        on Delta/Iceberg this is one MERGE with
+        NOT-MATCHED-BY-SOURCE DELETE."""
+        df = (
+            df.select(*[f.name for f in POINTS_DERIVED_SCHEMA.fields])
+            .withColumn("p_date", F.to_date("ts"))
+            .localCheckpoint(eager=True)  # bounded by the backfill
+        )
+        path = self.points_derived_path
+        if not self._exists(path):
+            df.write.mode("append").partitionBy("p_date").parquet(path)
+            return
+        sid_df = F.broadcast(
+            self.spark.createDataFrame(
+                [(s,) for s in stream_ids], "stream_id string"
+            )
+        )
+        existing = self.spark.read.parquet(path).select(df.columns)
+        touched = (
+            existing.join(sid_df, "stream_id", "left_semi")
+            .select("p_date")
+            .unionByName(df.select("p_date"))
+            .distinct()
+            .collect()  # metadata: bounded by touched-partition count
+        )
+        if not touched:
+            return
+        tdf = F.broadcast(
+            self.spark.createDataFrame(
+                [(r["p_date"],) for r in touched], "p_date date"
+            )
+        )
+        keep = existing.join(tdf, "p_date", "left_semi").join(
+            sid_df, "stream_id", "left_anti"
+        )
+        out = keep.unionByName(df).localCheckpoint(eager=True)
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(mode_key, "static")
+        self.spark.conf.set(mode_key, "dynamic")
+        try:
+            out.write.mode("overwrite").partitionBy("p_date").parquet(path)
+        finally:
+            self.spark.conf.set(mode_key, prev)
+        # dynamic overwrite cannot VACATE a partition: a touched p_date
+        # whose every row belonged to the replaced streams gets nothing
+        # written, so its stale files need explicit removal
+        import shutil
+
+        written = {
+            str(r["p_date"])
+            for r in out.select("p_date").distinct().collect()
+        }
+        for r in touched:
+            p = str(r["p_date"])
+            if p not in written:
+                shutil.rmtree(
+                    os.path.join(path, f"p_date={p}"), ignore_errors=True
+                )
+
     def append_points_derived(self, df: DataFrame) -> None:
         (
             df.select(*[f.name for f in POINTS_DERIVED_SCHEMA.fields])

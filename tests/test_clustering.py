@@ -94,3 +94,52 @@ def test_update_centroids_rounds_to_6(spark):
     assert cid == 0
     assert abs(cent[0] - round((0.1234567 + 0.1234569) / 2, 6)) < 1e-12
     assert cent[1] == 1.0
+
+
+def test_suggested_k_keeps_pair_growth_subquadratic(spark):
+    """The k ∝ √N calibration contract (VERDICT r5 #3): with
+    k = suggested_k(N), SemDeDup's within-cluster candidate pairs
+    Σ c·(c−1)/2 must grow ≈ N^1.5 between sf0.01 (N=500) and sf0.1
+    (N=2000) — measured ratio ≈ 8 = 4^1.5 — and stay far below
+    all-pairs. A fixed k (the silent-reversion failure mode) grows
+    pairs ≈ N² = 16× here and busts the bound."""
+    import os
+
+    from django_datastream_spark.operators import clustering as cl
+
+    stats = {}
+    for sf in ("0.01", "0.1"):
+        p = f"/root/testdata/sf{sf}/embeddings.parquet"
+        if not os.path.exists(p):
+            import pytest
+
+            pytest.skip(f"testdata {p} missing")
+        vecs = spark.read.parquet(p).select("vec_id", "embedding")
+        n = vecs.count()
+        k = cl.suggested_k(n)
+        assigned = cl.kmeans_assign(vecs, k=k, iters=1, dim=64)
+        sizes = assigned.groupBy("cid").count().collect()
+        pairs = sum(r["count"] * (r["count"] - 1) // 2 for r in sizes)
+        stats[sf] = (n, pairs)
+
+    (n_s, p_s), (n_b, p_b) = stats["0.01"], stats["0.1"]
+    n_ratio = n_b / n_s
+    pair_ratio = p_b / p_s
+    # near-N^1.5 growth, with margin for cluster imbalance; all-pairs
+    # would be n_ratio**2
+    assert pair_ratio <= n_ratio ** 1.75, (pair_ratio, n_ratio)
+    # and nowhere near the quadratic frontier in absolute terms
+    assert p_b <= 0.05 * (n_b * (n_b - 1) // 2), p_b
+
+
+def test_suggested_k_contract():
+    from django_datastream_spark.operators.clustering import suggested_k
+
+    assert suggested_k(0) == 1
+    assert suggested_k(500) == 23  # ceil(sqrt(500))
+    assert suggested_k(10**8) == 10**4  # paper-scale: tens of thousands
+    assert suggested_k(10**6, target_cluster_size=100) == 10**4
+    import pytest
+
+    with pytest.raises(ValueError):
+        suggested_k(10, target_cluster_size=0)

@@ -712,3 +712,140 @@ def test_below_watermark_append_rolls_back_own_watermark(engine):
     engine.downsample_streams(until=ts(600))
     after = minute_counts()
     assert after[ts(60).replace(tzinfo=None)] == 7  # late point aggregated
+
+
+def test_two_sources_one_batch_rollback_takes_lowest_floor(engine):
+    """A single batch appending BELOW the watermark to TWO sources of
+    one derived stream calls the rollback merge twice for that derived
+    stream; the accumulated floor must be the elementwise MIN of the
+    two rolls (regardless of which source the bounds loop visits
+    first) — a later higher floor must never raise an earlier lower
+    one, or the buckets between the two floors stay stale."""
+    a = engine.ensure_stream({"title": "ts2a"})
+    b = engine.ensure_stream({"title": "ts2b"})
+    engine.append_multiple(
+        [
+            {"stream_id": s, "value": 1.0, "timestamp": ts(i)}
+            for s in (a, b)
+            for i in range(0, 600, 10)
+        ]
+    )
+    d = engine.ensure_stream(
+        {"title": "ts2d"},
+        derive_from=[a, b],
+        derive_op="sum",
+        derive_args={"streams": [{"name": "data"}, {"name": "data"}]},
+    )
+    engine.downsample_streams(until=ts(600))
+
+    def minute_counts():
+        return {
+            p["t"]["first"].replace(second=0, tzinfo=None): p["v"]["count"]
+            for p in engine.get_data(
+                d, "minutes",
+                value_downsamplers=["count"],
+                time_downsamplers=["first"],
+            )
+        }
+
+    before = minute_counts()
+    assert before[ts(60).replace(tzinfo=None)] == 6
+    assert before[ts(240).replace(tzinfo=None)] == 6
+    # ONE batch, late points to BOTH sources: a@65 (low floor), b@245
+    # (high floor) — both below the derived watermark
+    engine.append_multiple(
+        [
+            {"stream_id": a, "value": 1.0, "timestamp": ts(65)},
+            {"stream_id": b, "value": 1.0, "timestamp": ts(245)},
+        ],
+        check_timestamp=False,
+    )
+    meta = {m["stream_id"]: m for m in engine.find_streams()}[d]
+    from django_datastream_spark.granularity import BY_NAME
+
+    for g, wm in meta["downsampled_until"].items():
+        if wm is None:
+            continue
+        floor = BY_NAME[g].round_timestamp(ts(65))
+        assert wm.replace(tzinfo=None) <= floor.replace(tzinfo=None), (
+            f"{g}: floor {wm} not rolled to the LOWEST source floor"
+        )
+    engine.downsample_streams(until=ts(600))
+    after = minute_counts()
+    # BOTH affected buckets recomputed — the low-floor bucket is the
+    # one the pre-fix merge left stale when the high floor won
+    assert after[ts(60).replace(tzinfo=None)] == 7
+    assert after[ts(240).replace(tzinfo=None)] == 7
+
+
+def test_backprocess_replace_retracts_ghost_rows(engine):
+    """backprocess_streams(materialize=True) is latest-seq-wins and
+    cannot retract a (stream_id, ts) key the recompute no longer emits;
+    replace=True must drop every stored version of the recomputed
+    streams' points (ghosts included) and land the backfill as the only
+    copy, leaving other derived streams untouched."""
+    import pytest as _pt
+
+    from pyspark.sql import functions as F
+
+    src = engine.ensure_stream({"title": "gr-src"})
+    engine.append_multiple(
+        [
+            {"stream_id": src, "value": float(i), "timestamp": ts(i * 10)}
+            for i in range(6)
+        ]
+    )
+    d = engine.ensure_stream(
+        {"title": "gr-d"},
+        derive_from=[src],
+        derive_op="derivative",
+    )
+    other = engine.ensure_stream(
+        {"title": "gr-other"},
+        derive_from=[src],
+        derive_op="sum",
+        derive_args={"streams": [{"name": "data"}]},
+        highest_granularity="seconds10",
+    )
+    engine.backprocess_streams(materialize=True)
+    # plant a GHOST: an earlier partial materialization left a key the
+    # recompute never emits (bogus ts far outside the source range)
+    ghost_ts = ts(9999)
+    engine.tables.append_points_derived(
+        engine.spark.createDataFrame(
+            [(d, ghost_ts, 1, 123.0)],
+            "stream_id string, ts timestamp, seq long, value double",
+        )
+    )
+
+    def derived_keys(sid):
+        return {
+            r["ts"]
+            for r in engine.tables.read_points_derived()
+            .filter(F.col("stream_id") == sid)
+            .collect()
+        }
+
+    # plain materialize CANNOT retract the ghost (documented edge)
+    engine.backprocess_streams(materialize=True)
+    assert ghost_ts.replace(tzinfo=None) in derived_keys(d)
+
+    with _pt.raises(ValueError):
+        engine.backprocess_streams(replace=True)
+
+    # replace=True retracts it and lands exactly the recompute
+    view = engine.backprocess_streams(materialize=True, replace=True)
+    want = {
+        (r["stream_id"], r["ts"], r["value"]) for r in view.collect()
+    }
+    got = {
+        (r["stream_id"], r["ts"], r["value"])
+        for r in engine.tables.read_points_derived().collect()
+    }
+    assert got == want
+    assert ghost_ts.replace(tzinfo=None) not in derived_keys(d)
+    # the sum-derived sibling was recomputed too (it matched the query)
+    # and its slots equal the view's — no cross-stream clobbering
+    assert derived_keys(other) == {
+        r["ts"] for r in view.filter(F.col("stream_id") == other).collect()
+    }

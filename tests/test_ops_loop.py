@@ -177,3 +177,101 @@ def test_ops_loop_soak(spark, tmp_path, transport):
         .filter(F.col("count") > 1)
     )
     assert dup.count() == 0
+
+
+def test_wide_batch_metadata_stays_plan_side(spark, tmp_path, monkeypatch):
+    """Million-stream-TSDB shape check (VERDICT r5 #1): a micro-batch
+    touching MANY distinct streams must merge stream metadata as a
+    DataFrame plan — ``upsert_streams_df`` — never by materializing
+    per-stream dicts on the driver (``upsert_streams`` with a
+    batch-sized list). Uses 2k streams (CI-sized stand-in for 10k+;
+    the assertion is structural, not timed): spies on both upsert
+    paths, then verifies the merged earliest/latest metadata exactly
+    on a sample."""
+    from django_datastream_spark import storage as storage_mod
+
+    engine = Datastream(spark, str(tmp_path / "store"))
+    n = 2000
+    # bulk metadata creation: ONE upsert call with all rows (driver
+    # list is fine here — it is the user-supplied creation payload)
+    sids = [f"wide-{i:05d}" for i in range(n)]
+    engine.tables.upsert_streams(
+        [
+            {
+                "stream_id": s,
+                "value_type": "numeric",
+                "highest_granularity": "seconds",
+                "value_downsamplers": ["mean", "sum", "min", "max", "count"],
+                "time_downsamplers": ["first", "last"],
+                "derived_from": None,
+                "derive_op": None,
+                "derive_args": None,
+                "tags": "{}",
+                "tags_flat": {},
+                "earliest_ts": None,
+                "latest_ts": None,
+                "downsampled_until": None,
+            }
+            for s in sids
+        ]
+    )
+    ing = StreamingIngest(engine, str(tmp_path / "in"), str(tmp_path / "cp"))
+
+    calls = {"dict": [], "df": 0}
+    orig_list = storage_mod.Tables.upsert_streams
+    orig_df = storage_mod.Tables.upsert_streams_df
+
+    def spy_list(self, rows):
+        calls["dict"].append(len(rows))
+        return orig_list(self, rows)
+
+    def spy_df(self, df):
+        calls["df"] += 1
+        return orig_df(self, df)
+
+    monkeypatch.setattr(storage_mod.Tables, "upsert_streams", spy_list)
+    monkeypatch.setattr(storage_mod.Tables, "upsert_streams_df", spy_df)
+
+    batch = spark.createDataFrame(
+        [
+            (s, T0 + dt.timedelta(seconds=i % 7), float(i))
+            for i, s in enumerate(sids)
+        ],
+        "stream_id string, ts timestamp, value double",
+    ).withColumn("value_nominal", F.lit(None).cast("string"))
+    ing.ingest_dataframe(batch)
+
+    # the metadata merge went through the DataFrame path; no driver
+    # list upsert was sized by the batch's stream count
+    assert calls["df"] == 1
+    assert all(c < 100 for c in calls["dict"]), calls["dict"]
+
+    # merged metadata is correct on a sample (earliest == latest ==
+    # the one appended ts per stream)
+    sample = {s: i for i, s in enumerate(sids) if i % 500 == 0}
+    metas = {
+        r["stream_id"]: r
+        for r in engine._streams()
+        .filter(F.col("stream_id").isin(list(sample)))
+        .collect()
+    }
+    for s, i in sample.items():
+        want = (T0 + dt.timedelta(seconds=i % 7)).replace(tzinfo=None)
+        assert metas[s]["earliest_ts"] == want
+        assert metas[s]["latest_ts"] == want
+
+    # a second batch advances latest and keeps earliest
+    batch2 = spark.createDataFrame(
+        [(s, T0 + dt.timedelta(seconds=100), 1.0) for s in sids[:10]],
+        "stream_id string, ts timestamp, value double",
+    ).withColumn("value_nominal", F.lit(None).cast("string"))
+    ing.ingest_dataframe(batch2)
+    m = (
+        engine._streams()
+        .filter(F.col("stream_id") == sids[0])
+        .collect()[0]
+    )
+    assert m["earliest_ts"] == T0.replace(tzinfo=None)
+    assert m["latest_ts"] == (T0 + dt.timedelta(seconds=100)).replace(
+        tzinfo=None
+    )

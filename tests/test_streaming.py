@@ -810,3 +810,73 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     assert any(u == "A" and n == 2 for (u, _s, n) in got) and len(
         [1 for (u, *_ ) in got if u == "A"]
     ) == 2
+
+
+def test_streaming_late_point_rolls_back_watermark_plan_side(
+    spark, tmp_path
+):
+    """The streaming metadata plan's transform_values rollback (the
+    DataFrame mirror of api.append_multiple's healing): with
+    check_timestamp=False, a micro-batch landing BELOW a stream's
+    finalized bucket must lower downsampled_until so the next
+    auto_downsample recomputes that bucket — and never touch (null)
+    entries for granularities that never downsampled."""
+    engine = Datastream(spark, str(tmp_path / "store"))
+    sid = engine.ensure_stream({"title": "late"})
+    ing = StreamingIngest(
+        engine,
+        str(tmp_path / "in"),
+        str(tmp_path / "cp"),
+        check_timestamp=False,
+        auto_downsample=True,
+    )
+    batch1 = spark.createDataFrame(
+        [(sid, T0 + dt.timedelta(seconds=i), 1.0) for i in range(0, 600, 10)],
+        "stream_id string, ts timestamp, value double",
+    ).withColumn("value_nominal", F.lit(None).cast("string"))
+    ing.ingest_dataframe(batch1)
+
+    def minute_counts():
+        return {
+            p["t"]["first"].replace(second=0, tzinfo=None): p["v"]["count"]
+            for p in engine.get_data(
+                sid, "minutes",
+                value_downsamplers=["count"],
+                time_downsamplers=["first"],
+            )
+        }
+
+    before = minute_counts()
+    assert before[(T0 + dt.timedelta(seconds=60)).replace(tzinfo=None)] == 6
+    meta = engine._get_stream(sid)
+    wm_before = dict(meta["downsampled_until"] or {})
+    assert any(v is not None for v in wm_before.values())
+
+    # late point BELOW the finalized minute bucket, via the streaming path
+    batch2 = spark.createDataFrame(
+        [(sid, T0 + dt.timedelta(seconds=65), 1.0)],
+        "stream_id string, ts timestamp, value double",
+    ).withColumn("value_nominal", F.lit(None).cast("string"))
+    ing.ingest_dataframe(batch2, batch_id=1)
+    # the rolled-back floor reaches the late point's bucket
+    wm_mid = engine._get_stream(sid)["downsampled_until"]["minutes"]
+    assert wm_mid.replace(tzinfo=None) <= (
+        T0 + dt.timedelta(seconds=60)
+    ).replace(tzinfo=None)
+    # batch2's own frontier (t=65) cannot COMPLETE the [60,120) bucket
+    # (completed-bucket rule); a later batch advancing the frontier
+    # triggers the recompute through the same streaming path
+    batch3 = spark.createDataFrame(
+        [(sid, T0 + dt.timedelta(seconds=700), 1.0)],
+        "stream_id string, ts timestamp, value double",
+    ).withColumn("value_nominal", F.lit(None).cast("string"))
+    ing.ingest_dataframe(batch3, batch_id=2)
+
+    after = minute_counts()
+    assert after[(T0 + dt.timedelta(seconds=60)).replace(tzinfo=None)] == 7
+    # null (never-downsampled) entries stayed null — a floor there
+    # would wrongly mark unseen history final
+    wm_after = engine._get_stream(sid)["downsampled_until"]
+    for g, v in wm_before.items():
+        if v is None:
+            assert wm_after[g] is None, g
