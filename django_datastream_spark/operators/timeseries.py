@@ -295,3 +295,73 @@ def score_against_profile(
         > F.lit(float(n_sigma)) * F.col("sd")
     )
     return j.withColumn("is_anomaly", F.coalesce(flag, F.lit(False)))
+
+
+def range_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Interval-overlap equi-key join (the range join Spark lacks
+    natively; Databricks exposes it as a RANGE_JOIN hint, Postgres as
+    && on ranges — reference queries over validity windows need it).
+
+    Pairs (l, r) sharing ``keys`` whose HALF-OPEN day intervals
+    [l_start, l_end) and [r_start, r_end) overlap
+    (``l_start < r_end AND r_start < l_end``).
+
+    Scale shape — never a non-equi shuffle and never a per-key
+    cross join:
+
+    1. each side explodes its interval into the ``bucket_days``-wide
+       day buckets it covers (fan-out = ⌈len/bucket⌉, bounded by the
+       interval length — choose bucket ≈ median interval length);
+    2. candidates come from ONE hash equi-join on (keys…, bucket) —
+       co-partitioned, AQE-skew-splittable like any equi-join;
+    3. the exact overlap predicate filters candidates, and each
+       overlapping pair is kept EXACTLY ONCE — only in the bucket
+       containing ``greatest(l_start, r_start)`` (the "stab" bucket:
+       both sides provably cover it, and it is unique per pair) — so
+       no distinct/dedup pass is ever needed.
+
+    Columns: all left columns + all right columns except ``keys``
+    (right's start/end stay, callers may rename beforehand to avoid
+    collisions). Date columns; for timestamps pass pre-truncated day
+    columns alongside and filter on the exact bounds afterwards.
+    """
+    if bucket_days <= 0:
+        raise ValueError("bucket_days must be positive")
+    epoch = F.lit("1970-01-01").cast("date")
+
+    def day(c):
+        return F.datediff(F.col(c), epoch)
+
+    def with_buckets(df, s, e):
+        # half-open [s, e): last covered day is e-1; empty intervals
+        # (e <= s) produce no buckets and therefore no candidates
+        return df.filter(F.col(e) > F.col(s)).withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    (day(s) / bucket_days).cast("long"),
+                    ((day(e) - 1) / bucket_days).cast("long"),
+                )
+            ),
+        )
+
+    lb = with_buckets(left, l_start, l_end)
+    rb = with_buckets(right, r_start, r_end)
+    joined = lb.join(rb, on=[*keys, "_b"])
+    overlap = (F.col(l_start) < F.col(r_end)) & (
+        F.col(r_start) < F.col(l_end)
+    )
+    stab = F.col("_b") == (
+        F.datediff(F.greatest(F.col(l_start), F.col(r_start)), epoch)
+        / bucket_days
+    ).cast("long")
+    return joined.filter(overlap & stab).drop("_b")

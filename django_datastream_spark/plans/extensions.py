@@ -5567,7 +5567,7 @@ def q148(spark, sf_dir):
 # --------------------------------------------------------------------------
 @_declare(
     "q149_survivor_policies",
-    """
+    r"""
     WITH h AS (SELECT doc_id,
                       md5(array_to_string(list_slice(
                         regexp_extract_all(text, '\S+'), 1, 3), ' ')) hh,
@@ -6101,4 +6101,93 @@ def q156(spark, sf_dir):
         )
         .select("user_id", "event_type")
         .orderBy("user_id", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q157: interval range-overlap join (§2.6) — in-flight shipment pairs.
+# --------------------------------------------------------------------------
+@_declare(
+    "q157_overlapping_shipments",
+    """
+    WITH li AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+                       CAST(l_shipdate AS DATE) AS ship_d,
+                       CAST(l_shipdate AS DATE)
+                         + INTERVAL (2 + l_linenumber % 13) DAY AS until_d
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01')
+    SELECT a.l_suppkey AS suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_overlap_pairs
+    FROM li a JOIN li b
+      ON a.l_suppkey = b.l_suppkey
+     AND (a.l_orderkey < b.l_orderkey OR
+          (a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber))
+     AND a.ship_d < b.until_d AND b.ship_d < a.until_d
+    GROUP BY 1 ORDER BY n_overlap_pairs DESC, suppkey LIMIT 10
+    """,
+)
+def q157(spark, sf_dir):
+    """Per-supplier concurrently-in-flight shipment pairs via
+    ``timeseries.range_overlap_join`` — the interval range join Spark
+    has no native operator for. The oracle is the textbook NON-EQUI
+    self-join (fine for DuckDB at gate scale, quadratic per key at
+    100 TB); the engine side generates candidates from ONE hash
+    equi-join on (suppkey, day-bucket) with interval-bounded fan-out
+    and emits each pair exactly once via the stab-bucket rule — no
+    non-equi shuffle, no per-key cross join, no dedup pass. In-flight
+    window = [ship, ship + 2 + linenumber%13 days) (the trimmed
+    testdata lineitem carries no l_receiptdate; the window is
+    deterministic from stored columns so both engines derive it
+    identically), one quarter of ship-dates keeps the oracle's
+    quadratic side honest-but-cheap."""
+    from ..operators.timeseries import range_overlap_join
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .withColumn("ship_d", F.col("l_shipdate").cast("date"))
+        .withColumn(
+            "until_d",
+            F.date_add(
+                F.col("ship_d"),
+                (F.lit(2) + F.col("l_linenumber") % 13).cast("int"),
+            ),
+        )
+    )
+    left = li.select(
+        "l_suppkey",
+        F.col("l_orderkey").alias("a_ok"),
+        F.col("l_linenumber").alias("a_ln"),
+        F.col("ship_d").alias("a_ship"),
+        F.col("until_d").alias("a_until"),
+    )
+    right = li.select(
+        "l_suppkey",
+        F.col("l_orderkey").alias("b_ok"),
+        F.col("l_linenumber").alias("b_ln"),
+        F.col("ship_d").alias("b_ship"),
+        F.col("until_d").alias("b_until"),
+    )
+    pairs = range_overlap_join(
+        left,
+        right,
+        keys=["l_suppkey"],
+        l_start="a_ship",
+        l_end="a_until",
+        r_start="b_ship",
+        r_end="b_until",
+        bucket_days=14,
+    ).filter(
+        (F.col("a_ok") < F.col("b_ok"))
+        | ((F.col("a_ok") == F.col("b_ok")) & (F.col("a_ln") < F.col("b_ln")))
+    )
+    return (
+        pairs.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).alias("n_overlap_pairs"))
+        .orderBy(F.desc("n_overlap_pairs"), "suppkey")
+        .limit(10)
     )

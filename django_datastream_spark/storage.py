@@ -172,11 +172,14 @@ class Tables:
     Single streaming writer per store (SURVEY T5 note). Readers are safe
     concurrently with the SNAPSHOT-SWAPPING writers (vacuum, compaction:
     new generation written, pointer flipped, old files retained) — but
-    NOT with upsert_points_agg, which rewrites conflicted (granularity,
-    p_date) partitions in place via dynamic partition overwrite: a
-    reader holding a pre-upsert plan over those partitions can hit
-    missing files. Same single-writer quiescence rule as vacuum; a
-    table format (Delta/Iceberg MERGE) removes the caveat wholesale.
+    NOT, by default, with upsert_points_agg, which rewrites conflicted
+    (granularity, p_date) partitions in place via dynamic partition
+    overwrite: a reader holding a pre-upsert plan over those partitions
+    can hit missing files. Same single-writer quiescence rule as
+    vacuum. Set ``AGG_UPSERT_SNAPSHOT = True`` to route conflicted agg
+    upserts through the snapshot-swap path too (reader-safe, at
+    O(partition dirs) link metadata per upsert); a table format
+    (Delta/Iceberg MERGE) removes the trade wholesale.
     """
 
     #: auto-compact the streams version log once it exceeds this many
@@ -188,6 +191,21 @@ class Tables:
     #: is the log's only writer (see _maybe_compact_streams); flip off for
     #: multi-writer metadata deployments and compact from one owner
     auto_compact_streams = True
+
+    #: reader-safe aggregate upserts: when True, a CONFLICTED
+    #: upsert_points_agg (one that must replace existing buckets)
+    #: writes the rebuilt partitions into a fresh snapshot generation —
+    #: untouched partitions HARDLINKED, conflicted ones rewritten — and
+    #: atomically swaps the ``_CURRENT`` pointer, so a reader holding a
+    #: pre-upsert plan never loses a file mid-job (the same guarantee
+    #: vacuum/compaction already give). Costs O(total partition dirs)
+    #: link metadata per conflicted upsert, so it's OFF by default for
+    #: the per-micro-batch auto_downsample hot path (where the
+    #: documented single-writer/reader-quiescence rule applies) and ON
+    #: for deployments with long-running concurrent readers. Fresh-only
+    #: upserts are plain appends either way (appends never break a
+    #: running reader). Delta/Iceberg make this flag moot.
+    AGG_UPSERT_SNAPSHOT = False
 
     #: snapshot generations retained per table (current + priors).
     #: 2 (default) preserves today's reader-safety guarantee; raise it
@@ -639,6 +657,12 @@ class Tables:
             # cut lineage from the path being overwritten (bounded: only
             # the conflicted watermark-tail partitions)
             out = out.localCheckpoint(eager=True)
+            if self.AGG_UPSERT_SNAPSHOT:
+                # reader-safe path: everything (rebuilt conflicted
+                # partitions + fresh rows) lands in a new snapshot
+                # generation, swapped atomically
+                self._agg_upsert_snapshot(df, conflicts, out)
+                return
             mode_key = "spark.sql.sources.partitionOverwriteMode"
             prev = self.spark.conf.get(mode_key, "static")
             self.spark.conf.set(mode_key, "dynamic")
@@ -655,6 +679,46 @@ class Tables:
             new_rows.write.mode("append").partitionBy("granularity", "p_date").parquet(
                 path
             )
+
+    def _agg_upsert_snapshot(self, df, conflicts, rebuilt) -> None:
+        """Snapshot-generation form of a conflicted aggregate upsert
+        (AGG_UPSERT_SNAPSHOT): hardlink every unconflicted
+        (granularity, p_date) partition into v=<n+1>, write the rebuilt
+        conflicted partitions plus the batch's fresh rows there, swap
+        ``_CURRENT``. Readers planned against v=<n> finish safely (one
+        retained generation), exactly like vacuum/compaction."""
+        src = self.points_agg_path
+        conflict_set = {(r["granularity"], str(r["p_date"])) for r in conflicts}
+        cdf = self.spark.createDataFrame(
+            [(r["granularity"], r["p_date"]) for r in conflicts],
+            "granularity string, p_date date",
+        )
+        fresh = df.join(F.broadcast(cdf), ["granularity", "p_date"], "left_anti")
+
+        def write(new_dir: str) -> None:
+            os.makedirs(new_dir, exist_ok=True)
+            for gdir in os.listdir(src):
+                if not gdir.startswith("granularity="):
+                    continue
+                g = gdir.split("=", 1)[1]
+                gpath = os.path.join(src, gdir)
+                for pdir in os.listdir(gpath):
+                    if not pdir.startswith("p_date="):
+                        continue
+                    p = pdir.split("=", 1)[1]
+                    if (g, p) in conflict_set:
+                        continue  # rewritten below
+                    s = os.path.join(gpath, pdir)
+                    d = os.path.join(new_dir, gdir, pdir)
+                    os.makedirs(d, exist_ok=True)
+                    for f in os.listdir(s):
+                        if f.endswith(".parquet"):
+                            os.link(os.path.join(s, f), os.path.join(d, f))
+            rebuilt.unionByName(fresh).write.mode("append").partitionBy(
+                "granularity", "p_date"
+            ).parquet(new_dir)
+
+        self._swap_version("points_agg", write)
 
     def append_points_agg(self, df: DataFrame) -> None:
         (

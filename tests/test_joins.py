@@ -83,3 +83,58 @@ def test_unsupported_how_rejected(spark, skewed):
     fact, dim = skewed
     with pytest.raises(ValueError):
         salted_join(fact, dim, fact["k"] == dim["dk"], how="full")
+
+
+def test_range_overlap_join_crafted_edges(spark):
+    """range_overlap_join edge semantics: half-open boundaries (touching
+    intervals do NOT overlap), pairs spanning several buckets emit
+    EXACTLY once (stab rule — no dedup pass), empty intervals never
+    match, and keys partition the candidate space."""
+    import datetime as dt
+
+    from django_datastream_spark.operators.timeseries import (
+        range_overlap_join,
+    )
+
+    d = dt.date
+
+    def df(rows, side):
+        return spark.createDataFrame(
+            rows, f"k string, {side}_id long, {side}_s date, {side}_e date"
+        )
+
+    left = df(
+        [
+            ("a", 1, d(2024, 1, 1), d(2024, 2, 15)),   # long: spans buckets
+            ("a", 2, d(2024, 1, 1), d(2024, 1, 5)),    # touches r3 at its start
+            ("a", 3, d(2024, 3, 1), d(2024, 3, 1)),    # EMPTY interval
+            ("b", 4, d(2024, 1, 1), d(2024, 2, 1)),    # other key
+        ],
+        "l",
+    )
+    right = df(
+        [
+            ("a", 10, d(2024, 1, 10), d(2024, 3, 10)),  # overlaps l1 41 days
+            ("a", 11, d(2024, 1, 5), d(2024, 1, 6)),    # [5,6): l2 ends AT 5 -> no
+            ("a", 12, d(2024, 3, 1), d(2024, 3, 2)),    # l3 empty -> no
+            ("b", 13, d(2024, 1, 31), d(2024, 2, 9)),   # overlaps l4 on 1 day
+        ],
+        "r",
+    )
+    for bucket in (1, 7, 30, 365):
+        got = sorted(
+            (r["l_id"], r["r_id"])
+            for r in range_overlap_join(
+                left, right, ["k"], "l_s", "l_e", "r_s", "r_e",
+                bucket_days=bucket,
+            ).collect()
+        )
+        # exactly-once across ALL bucket widths, including widths far
+        # smaller than the intervals (many shared buckets)
+        assert got == [(1, 10), (1, 11), (4, 13)], (bucket, got)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        range_overlap_join(left, right, ["k"], "l_s", "l_e", "r_s", "r_e",
+                           bucket_days=0)

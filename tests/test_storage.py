@@ -263,3 +263,73 @@ def test_snapshot_retention_vacuums_old_generations(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         t.read_table_at("demo", vs[0] - 1)
+
+
+def test_agg_upsert_snapshot_keeps_pre_upsert_readers_safe(spark, tmp_path):
+    """AGG_UPSERT_SNAPSHOT: a conflicted aggregate upsert lands in a
+    NEW snapshot generation (untouched partitions hardlinked,
+    conflicted ones rewritten, pointer swapped), so a reader that
+    planned against the previous generation still collects every row
+    AFTER the upsert — the guarantee vacuum/compaction already give,
+    extended to the one remaining in-place rewrite."""
+    from django_datastream_spark.storage import POINTS_AGG_SCHEMA, Tables
+
+    t = Tables(spark, str(tmp_path / "store"))
+    t.AGG_UPSERT_SNAPSHOT = True
+    base = dt.datetime(2024, 1, 1, tzinfo=UTC)
+
+    def upsert(rows):
+        t.upsert_points_agg(spark.createDataFrame(rows, POINTS_AGG_SCHEMA))
+
+    upsert(
+        [_agg_row("s", "hours", base + dt.timedelta(hours=i), float(i))
+         for i in range(4)]
+        + [_agg_row("s", "days", base, 0.5)]
+    )
+    v_before = t._current_version("points_agg")
+    old_dir = t.points_agg_path
+    # a long-running reader plans against the current generation NOW
+    old_reader = spark.read.parquet(old_dir)
+
+    # conflicted upsert: replaces hour-1, adds hour-4
+    upsert(
+        [
+            _agg_row("s", "hours", base + dt.timedelta(hours=1), 100.0),
+            _agg_row("s", "hours", base + dt.timedelta(hours=4), 4.0),
+        ]
+    )
+    assert t._current_version("points_agg") == v_before + 1
+    # old generation intact: the pre-upsert reader still sees its
+    # full, consistent snapshot
+    got_old = {
+        r["bucket_ts"]: r["v"]["mean"]
+        for r in old_reader.filter(
+            F.col("granularity") == "hours"
+        ).collect()
+    }
+    assert got_old == {
+        base.replace(tzinfo=None) + dt.timedelta(hours=i): float(i)
+        for i in range(4)
+    }
+    # new generation: replacement won, fresh bucket landed, the
+    # untouched days partition survived (hardlinked)
+    got_new = {
+        r["bucket_ts"]: r["v"]["mean"]
+        for r in t.read_points_agg().filter(
+            F.col("granularity") == "hours"
+        ).collect()
+    }
+    want = {
+        base.replace(tzinfo=None) + dt.timedelta(hours=i): float(i)
+        for i in range(5)
+    }
+    want[base.replace(tzinfo=None) + dt.timedelta(hours=1)] = 100.0
+    assert got_new == want
+    assert (
+        t.read_points_agg().filter(F.col("granularity") == "days").count()
+        == 1
+    )
+    # pure-add upserts stay plain appends (no generation churn)
+    v = t._current_version("points_agg")
+    upsert([_agg_row("s", "hours", base + dt.timedelta(hours=9), 9.0)])
+    assert t._current_version("points_agg") == v
