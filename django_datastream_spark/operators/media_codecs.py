@@ -237,3 +237,227 @@ def pvm_frame(payload: bytes, k: int, index=None) -> np.ndarray:
         raise IndexError(f"frame {k} of {n}")
     off, ln = idx[k]
     return parse_ppm(payload[off : off + ln])
+
+
+# ---------------------------------------------------------------------------
+# PNG — a REAL compressed-format codec, stdlib-only.
+#
+# PNG's compression is DEFLATE (RFC 1951), which the stdlib `zlib` module
+# implements, so unlike JPEG/MP3/H.264 (entropy coders absent from this
+# container, honestly stubbed in multimodal.py) PNG can be decoded FOR REAL:
+# signature + chunk walk with CRC32 verification, IDAT inflate, and the five
+# scanline filters (None/Sub/Up/Average/Paeth) reconstructed per the spec
+# (RFC 2083 §6). Supported: bit depth 8, color types 0 (gray), 2 (RGB),
+# 3 (palette), 4 (gray+alpha), 6 (RGBA), no interlace. The encoder applies
+# the genuine forward filters so round-trip tests exercise every unfilter
+# branch, and arithmetic oracles (q158) verify the whole
+# bytes->inflate->unfilter->feature path, not just the plumbing.
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Walk the chunk list, verifying each CRC32 (over type + data)."""
+    import zlib
+
+    if not payload.startswith(PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(PNG_SIG)
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError(f"truncated {ctype!r} chunk ({len(data)} of {ln})")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        yield ctype, data
+        pos += 12 + ln
+        if ctype == b"IEND":
+            return
+    raise ValueError("missing IEND chunk")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def parse_png(payload: bytes) -> np.ndarray:
+    """Parse a PNG payload -> uint8 array (h, w, channels).
+
+    Real decode: CRC-checked chunk walk, zlib inflate of the IDAT
+    stream, scanline unfiltering. Palette images are expanded through
+    PLTE to RGB. Sub is reconstructed as a per-lane cumulative sum
+    mod 256 (addition commutes with cumsum under wraparound); Up is a
+    vector add against the prior reconstructed row; Average/Paeth are
+    sequential in x by definition, so they loop pixels but vectorize
+    the byte lanes."""
+    import zlib
+
+    ihdr = plte = None
+    idat = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("missing/short IHDR")
+    w, h, depth, ctype_i, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if depth != 8:
+        raise ValueError(f"only bit depth 8 supported (got {depth})")
+    if ctype_i not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported color type {ctype_i}")
+    if comp != 0 or filt != 0:
+        raise ValueError("unsupported compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7 interlace not supported")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid dimensions {w}x{h}")
+    nch = _PNG_CHANNELS[ctype_i]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"IDAT size mismatch ({len(raw)} != {h * (stride + 1)})"
+        )
+    raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters, rows = raw[:, 0], raw[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), np.int64)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        f, row = int(filters[y]), rows[y]
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: cumsum per byte lane, mod 256
+            rec = np.cumsum(row.reshape(w, nch), axis=0).reshape(stride)
+        elif f == 2:  # Up
+            rec = row + prev
+        elif f == 3:  # Average
+            rec = row.copy()
+            for x in range(stride):
+                left = rec[x - nch] & 0xFF if x >= nch else 0
+                rec[x] = row[x] + ((left + (prev[x] & 0xFF)) >> 1)
+        elif f == 4:  # Paeth
+            rec = row.copy()
+            for x in range(stride):
+                a = rec[x - nch] & 0xFF if x >= nch else 0
+                b = prev[x] & 0xFF
+                c = prev[x - nch] & 0xFF if x >= nch else 0
+                rec[x] = row[x] + _paeth(a, b, c)
+        else:
+            raise ValueError(f"unknown filter type {f} on row {y}")
+        prev = rec & 0xFF
+        out[y] = prev
+    px = out.astype(np.uint8).reshape(h, w, nch)
+    if ctype_i == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette image without a valid PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = px[..., 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        return pal[idx]
+    return px
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 4) -> bytes:
+    """Encode (h, w) or (h, w, {1,2,3,4}) uint8 -> PNG, applying the
+    REAL forward filter ``filter_type`` (0..4) to every scanline so the
+    decoder's corresponding unfilter branch is genuinely exercised."""
+    import zlib
+
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"filter_type must be 0..4 (got {filter_type})")
+    a = np.asarray(arr, np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nch = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(nch)
+    if ctype is None:
+        raise ValueError(f"unsupported channel count {nch}")
+    flat = a.reshape(h, w * nch).astype(np.int64)
+    stride = w * nch
+    lines = []
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        cur = flat[y]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(nch, np.int64), cur[:-nch]])
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(nch, np.int64), cur[:-nch]])
+            filt = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            filt = cur.copy()
+            for x in range(stride):
+                pa = cur[x - nch] if x >= nch else 0
+                pb = prev[x]
+                pc = prev[x - nch] if x >= nch else 0
+                filt[x] = cur[x] - _paeth(int(pa), int(pb), int(pc))
+        lines.append(bytes([filter_type]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype_b: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype_b
+            + data
+            + struct.pack(">I", zlib.crc32(ctype_b + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 6)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_features(payload: bytes) -> dict:
+    """Same feature contract as ppm_features, over the real PNG decode.
+    Gray/gray+alpha replicate luma into the channel means; alpha is
+    excluded from color statistics (a quality filter scores pixels,
+    not transparency)."""
+    a = parse_png(payload).astype(np.float64)
+    if a.shape[2] in (1, 2):
+        rgb = np.repeat(a[..., :1], 3, axis=2)
+    else:
+        rgb = a[..., :3]
+    luma = bt601_luma(rgb)
+    return {
+        "width": int(a.shape[1]),
+        "height": int(a.shape[0]),
+        "mean_r": float(rgb[..., 0].mean()),
+        "mean_g": float(rgb[..., 1].mean()),
+        "mean_b": float(rgb[..., 2].mean()),
+        "luma_mean": float(luma.mean()),
+        "luma_std": float(luma.std()),
+    }
+
+
+def png_to_ppm(payload: bytes) -> bytes:
+    """Transcode PNG -> P6 (real decode, real re-encode); alpha dropped,
+    gray replicated — the normalization step a multimodal pipeline runs
+    before format-agnostic perceptual hashing."""
+    a = parse_png(payload)
+    if a.shape[2] in (1, 2):
+        a = np.repeat(a[..., :1], 3, axis=2)
+    return encode_ppm(a[..., :3])

@@ -9,12 +9,18 @@ Decode story, honestly split by format class:
   ``extract_wav_features`` / ``extract_ppm_features`` /
   ``resize_ppm_images`` below and :mod:`media_codecs` (ground-truth
   signal tests in tests/test_media_codecs.py).
-- **Compressed formats (JPEG/MP3/H.264) stay stubbed** — the container
-  has no codecs: ``decode_image`` raises NotImplementedError unless
-  ``fake=True`` (deterministic byte-statistics stand-in). The Spark
-  shape around the stub — schema, partition-preserving mapInPandas
-  plumbing, batch shapes, metadata propagation — is real and tested;
-  swapping in Pillow/ffmpeg later only replaces the inner function.
+- **PNG is decoded for REAL too, compression included**: its entropy
+  stage is DEFLATE, which the stdlib ``zlib`` provides, so
+  ``extract_png_features`` / ``transcode_png_to_ppm`` run the genuine
+  CRC-checked chunk walk + inflate + scanline-unfilter pipeline
+  (:func:`media_codecs.parse_png`), oracle-verified end-to-end (q158).
+- **Codecs with bespoke entropy coders (JPEG/MP3/H.264) stay stubbed**
+  — the container has no Huffman/MDCT/CABAC implementations:
+  ``decode_image`` raises NotImplementedError unless ``fake=True``
+  (deterministic byte-statistics stand-in). The Spark shape around the
+  stub — schema, partition-preserving mapInPandas plumbing, batch
+  shapes, metadata propagation — is real and tested; swapping in
+  Pillow/ffmpeg later only replaces the inner function.
 """
 
 from __future__ import annotations
@@ -281,6 +287,68 @@ def extract_wav_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+def extract_png_features(media: DataFrame) -> DataFrame:
+    """REAL image feature extraction for PNG payloads — the COMPRESSED
+    format path: CRC-checked chunk walk, zlib inflate, scanline
+    unfilter (media_codecs.parse_png), then the same feature contract
+    as extract_ppm_features. PNG's entropy stage is DEFLATE, which the
+    stdlib provides, so unlike JPEG this decode is genuine end-to-end.
+    Corrupt payloads quarantine as decode_err rows, never task
+    failures. Map-only: one Arrow batch pass, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from django_datastream_spark.operators.media_codecs import png_features
+
+        nulls = {
+            "width": None, "height": None, "mean_r": None, "mean_g": None,
+            "mean_b": None, "luma_mean": None, "luma_std": None,
+        }
+        for pdf in batches:
+            rows = []
+            for p in pdf["content"]:
+                try:
+                    rows.append({**png_features(p or b""), "decode_err": None})
+                except Exception as e:  # noqa: BLE001 — quarantine, not mask
+                    rows.append({**nulls, "decode_err": str(e)[:200]})
+            out = pd.DataFrame(rows)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+def transcode_png_to_ppm(media: DataFrame) -> DataFrame:
+    """Transcode PNG payloads to P6 PPM (real inflate+unfilter decode,
+    real re-encode; alpha dropped, gray replicated) so PNG inputs flow
+    into every existing PPM operator — resize, dHash near-dup, video
+    frame pipelines — without those operators growing format branches.
+    Binary in/out, Arrow-batched, partitioning preserved."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from django_datastream_spark.operators.media_codecs import png_to_ppm
+
+        for pdf in batches:
+            contents, errs = [], []
+            for p in pdf["content"]:
+                try:
+                    contents.append(png_to_ppm(p or b""))
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    contents.append(None)
+                    errs.append(str(e)[:200])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": contents,
+                    "decode_err": errs,
+                }
+            )
+
+    return media.mapInPandas(
+        run, "media_id long, content binary, decode_err string"
+    )
 
 
 def extract_ppm_features(media: DataFrame) -> DataFrame:

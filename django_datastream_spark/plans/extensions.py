@@ -6191,3 +6191,153 @@ def q157(spark, sf_dir):
         .orderBy(F.desc("n_overlap_pairs"), "suppkey")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Q158/Q159: REAL compressed-format (PNG) decode, arithmetically verified
+# --------------------------------------------------------------------------
+@_declare(
+    "q158_png_channel_stats",
+    """
+    WITH px AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 11 + r.r * 5 + c.c * 7) % 256) pr,
+             ((d.doc_id * 11 + r.r * 5 + c.c * 7 + 13) % 256) pg,
+             ((d.doc_id * 11 + r.r * 5 + c.c * 7 + 26) % 256) pb
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d
+      CROSS JOIN (SELECT unnest(range(0, 12)) r) r
+      CROSS JOIN (SELECT unnest(range(0, 24)) c) c),
+    lm AS (SELECT doc_id, pr, pg, pb,
+                  0.299 * pr + 0.587 * pg + 0.114 * pb luma
+           FROM px)
+    SELECT doc_id media_id,
+           CAST(24 AS INT) width, CAST(12 AS INT) height,
+           ROUND(AVG(pr * 1.0), 4) mean_r,
+           ROUND(AVG(pg * 1.0), 4) mean_g,
+           ROUND(AVG(pb * 1.0), 4) mean_b,
+           ROUND(AVG(luma), 4) luma_mean,
+           ROUND(SQRT(AVG(luma * luma) - AVG(luma) * AVG(luma)), 4)
+             luma_std
+    FROM lm GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q158(spark, sf_dir):
+    """REAL COMPRESSED-format decode, arithmetically verified: each
+    document gets a deterministic 24x12 RGB image DEFLATE-compressed
+    into a real PNG (media_codecs.encode_png) with scanline filter
+    doc_id % 5 — so all five filter types (None/Sub/Up/Average/Paeth)
+    are present in the corpus — then decoded by the genuine PNG path
+    (CRC-checked chunk walk, zlib inflate, per-filter unfilter) via
+    extract_png_features.  The DuckDB oracle re-derives the channel
+    and luma statistics from the closed-form pixels, so a hash match
+    proves the whole bytes->inflate->unfilter->feature pipeline.
+    Unlike q116 (uncompressed P6), a decoder bug in ANY filter branch
+    or in the DEFLATE framing shifts a mean and breaks the hash.
+    Shuffle-free: synth and decode are map-only stages."""
+    from ..operators.multimodal import extract_png_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 150
+    )
+
+    def synth(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from django_datastream_spark.operators.media_codecs import (
+            encode_png,
+        )
+
+        h, w = 12, 24
+        r = _np.arange(h).reshape(h, 1, 1)
+        c = _np.arange(w).reshape(1, w, 1)
+        k = _np.arange(3).reshape(1, 1, 3)
+        base = r * 5 + c * 7 + k * 13
+        for pdf in batches:
+            payloads = [
+                encode_png((int(did) * 11 + base) % 256, int(did) % 5)
+                for did in pdf["doc_id"]
+            ]
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    feats = extract_png_features(media)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("luma_mean", 4).alias("luma_mean"),
+        F.round("luma_std", 4).alias("luma_std"),
+    ).orderBy("media_id")
+
+
+@_declare(
+    "q159_png_transcode_gray",
+    """
+    WITH px AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 3 + r.r * 2 + c.c) % 256) * 1.0 g
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 120) d
+      CROSS JOIN (SELECT unnest(range(0, 10)) r) r
+      CROSS JOIN (SELECT unnest(range(0, 20)) c) c)
+    SELECT doc_id media_id,
+           CAST(20 AS INT) width, CAST(10 AS INT) height,
+           ROUND(AVG(g), 4) mean_r,
+           ROUND(AVG(g), 4) luma_mean,
+           ROUND(SQRT(AVG(g * g) - AVG(g) * AVG(g)), 4) luma_std
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q159(spark, sf_dir):
+    """PNG->PPM transcode over the GRAYSCALE decode branch: each doc
+    gets a 20x10 single-channel (color type 0) PNG with pixel
+    (doc_id*3 + r*2 + c) % 256 and filter doc_id % 5; the engine
+    transcodes it to P6 through the real decode (gray replicated to
+    RGB, BT.601 luma of replicated gray == the gray value exactly)
+    and the PPM feature extractor — so the oracle's closed form pins
+    grayscale parsing, the transcode normalization, AND the P6
+    re-encode in one hash.  Feature schema kept to the columns the
+    gray identity makes exact (mean_r == luma_mean == mean gray).
+    Map-only end to end."""
+    from ..operators.multimodal import (
+        extract_ppm_features,
+        transcode_png_to_ppm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 120
+    )
+
+    def synth(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from django_datastream_spark.operators.media_codecs import (
+            encode_png,
+        )
+
+        h, w = 10, 20
+        r = _np.arange(h).reshape(h, 1)
+        c = _np.arange(w).reshape(1, w)
+        base = r * 2 + c
+        for pdf in batches:
+            payloads = [
+                encode_png((int(did) * 3 + base) % 256, int(did) % 5)
+                for did in pdf["doc_id"]
+            ]
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    ppm = transcode_png_to_ppm(media).select("media_id", "content")
+    feats = extract_ppm_features(ppm)
+    return feats.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("luma_mean", 4).alias("luma_mean"),
+        F.round("luma_std", 4).alias("luma_std"),
+    ).orderBy("media_id")

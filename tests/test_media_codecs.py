@@ -242,3 +242,139 @@ def test_pvm_container_roundtrip_and_seek(spark):
         (0, 0), (2, 1000), (4, 2000),
     ]
     assert bad[0]["frame_idx"] == -1 and bad[0]["decode_err"]
+
+
+# ---------------------------------------------------------------------------
+# PNG — the real compressed-format codec (stdlib zlib DEFLATE)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("nch", [1, 2, 3, 4])
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter_and_colortype(nch, ft):
+    rng = np.random.default_rng(nch * 10 + ft)
+    a = rng.integers(0, 256, size=(13, 17, nch), dtype=np.uint8)
+    out = mc.parse_png(mc.encode_png(a, ft))
+    assert out.shape == a.shape
+    assert (out == a).all()
+
+
+def test_png_palette_decode():
+    import zlib
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(9, 11), dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(9))
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    p = (
+        mc.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 11, 9, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert (mc.parse_png(p) == pal[idx]).all()
+
+
+def test_png_crc_and_truncation_rejected():
+    a = np.zeros((4, 4, 3), np.uint8)
+    p = bytearray(mc.encode_png(a, 2))
+    # flip one IDAT byte -> CRC check must catch it
+    p[len(mc.PNG_SIG) + 8 + 13 + 4 + 8] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        mc.parse_png(bytes(p))
+    with pytest.raises(ValueError):
+        mc.parse_png(mc.encode_png(a)[:-6])  # missing IEND
+    with pytest.raises(ValueError, match="not a PNG"):
+        mc.parse_png(b"\x89PNX" + b"\x00" * 32)
+
+
+def test_png_interlace_and_depth_rejected():
+    import zlib
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    for depth, interlace, msg in [(16, 0, "bit depth"), (8, 1, "interlace")]:
+        p = (
+            mc.PNG_SIG
+            + chunk(
+                b"IHDR",
+                struct.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, interlace),
+            )
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match=msg):
+            mc.parse_png(p)
+
+
+def test_png_features_match_ppm_features_same_pixels():
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, size=(8, 12, 3), dtype=np.uint8)
+    fp = mc.png_features(mc.encode_png(a, 4))
+    fq = mc.ppm_features(mc.encode_ppm(a))
+    assert fp == pytest.approx(fq)
+
+
+def test_png_gray_transcode_luma_identity():
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    ppm = mc.png_to_ppm(mc.encode_png(g, 1))
+    arr = mc.parse_ppm(ppm)
+    assert (arr[..., 0] == g).all() and (arr == arr[..., :1]).all()
+    # BT.601 weights sum to 1, so luma of replicated gray == gray
+    f = mc.ppm_features(ppm)
+    assert f["luma_mean"] == pytest.approx(float(g.mean()))
+
+
+def test_spark_png_stages_match_pure_functions(spark):
+    rng = np.random.default_rng(3)
+    imgs = [
+        rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8) for _ in range(5)
+    ]
+    rows = [
+        (i, bytearray(mc.encode_png(a, i % 5))) for i, a in enumerate(imgs)
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    feats = {
+        r["media_id"]: r.asDict()
+        for r in mm.extract_png_features(media).collect()
+    }
+    for i, a in enumerate(imgs):
+        want = mc.png_features(mc.encode_png(a))
+        got = feats[i]
+        assert got["decode_err"] is None
+        for k, v in want.items():
+            assert got[k] == pytest.approx(v), (i, k)
+    # transcode feeds the existing PPM dhash path unchanged
+    ppm = mm.transcode_png_to_ppm(media)
+    chunks = mm.image_dhash_chunks(
+        ppm.select("media_id", "content")
+    ).collect()
+    by_id = {}
+    for r in chunks:
+        assert r["decode_err"] is None
+        by_id.setdefault(r["media_id"], {})[r["k"]] = r["v"]
+    for i, a in enumerate(imgs):
+        assert [by_id[i][k] for k in range(4)] == mc.ppm_dhash_chunks(
+            mc.encode_ppm(a)
+        )
+
+
+def test_png_corrupt_payload_quarantines_in_spark(spark):
+    good = mc.encode_png(np.zeros((3, 3, 3), np.uint8), 0)
+    media = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(b"not a png"))],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in mm.extract_png_features(media).collect()}
+    assert rows[0]["decode_err"] is None
+    assert rows[1]["decode_err"] is not None and rows[1]["width"] is None
