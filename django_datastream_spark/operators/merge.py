@@ -71,6 +71,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -209,6 +210,7 @@ def merge_into(
     when_matched: str = "update",
     when_not_matched: str = "insert",
     defer_conflict_delete: bool = False,
+    txn: bool = False,
 ) -> dict:
     """Merge ``source`` into the parquet table at ``target_path``.
 
@@ -222,6 +224,15 @@ def merge_into(
     and reader-isolation contract); ``defer_conflict_delete=True``
     leaves superseded files for ``vacuum_uncommitted`` so committed
     readers are never raced.
+
+    ``txn=True`` commits through the OPTIMISTIC MULTI-WRITER log
+    (:mod:`..txnlog`) instead of the single-writer ``_MANIFEST``:
+    committed state is the log snapshot, output files are staged
+    race-free (never discovered by directory diffs), and the commit is
+    a create-exclusive log entry that detects conflicting concurrent
+    writers — a lost race raises ``CommitConflictError`` and the caller
+    re-runs this merge against the new snapshot. The result gains a
+    ``"version"`` key.
     """
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched={when_matched!r}")
@@ -240,36 +251,57 @@ def merge_into(
     ):
         raise ValueError("source has multiple rows for the same key")
 
-    fs, troot = _fs_and_path(spark, target_path)
-    if not fs.exists(troot):
-        if when_not_matched == "insert":
-            src.write.mode("append").partitionBy(*partition_cols).parquet(
-                target_path
-            )
-            _write_manifest(target_path, _list_data_files(target_path), 1)
-            return {"rewritten_files": 0, "inserted": True}
-        return {"rewritten_files": 0, "inserted": False}
+    if txn:
+        from .. import txnlog as TL
 
-    manifest = read_manifest(target_path)
-    pre_files = _list_data_files(target_path)
-    # committed state: what the last manifest swap published. A crashed
-    # earlier merge may have left orphan files on disk — reading the
-    # COMMITTED set (not the raw listing) keeps this merge from seeing
-    # (and re-emitting) crash-window duplicates, which is what makes a
-    # failed merge safely re-runnable.
-    committed = set(manifest["files"]) if manifest else pre_files
-    version = (manifest["version"] + 1) if manifest else 1
-    if not committed:
-        # fully-deleted committed table: every source row is an insert
-        if when_not_matched == "insert":
-            src.write.mode("append").partitionBy(*partition_cols).parquet(
-                target_path
-            )
-            new = _list_data_files(target_path) - pre_files
-            _write_manifest(target_path, new, version)
-            return {"rewritten_files": 0, "inserted": True}
-        return {"rewritten_files": 0, "inserted": False}
-    existing = read_committed(spark, target_path)  # schema inferred —
+        TL.init_table(target_path)  # adopts a pre-txn table as v1
+        tag = uuid.uuid4().hex[:12]
+        base_ver, committed = TL.snapshot(target_path)
+        version = None  # the log's CAS assigns the committed version
+        if not committed:
+            if when_not_matched == "insert":
+                adds = TL.stage_files(
+                    spark, src, target_path, partition_cols, tag
+                )
+                ver = TL.commit(
+                    target_path, adds, [], "merge", [], base_version=base_ver
+                )
+                return {"rewritten_files": 0, "inserted": True, "version": ver}
+            return {
+                "rewritten_files": 0, "inserted": False, "version": base_ver,
+            }
+        existing = TL.txn_read(spark, target_path)  # snapshot-isolated
+    else:
+        fs, troot = _fs_and_path(spark, target_path)
+        if not fs.exists(troot):
+            if when_not_matched == "insert":
+                src.write.mode("append").partitionBy(*partition_cols).parquet(
+                    target_path
+                )
+                _write_manifest(target_path, _list_data_files(target_path), 1)
+                return {"rewritten_files": 0, "inserted": True}
+            return {"rewritten_files": 0, "inserted": False}
+
+        manifest = read_manifest(target_path)
+        pre_files = _list_data_files(target_path)
+        # committed state: what the last manifest swap published. A
+        # crashed earlier merge may have left orphan files on disk —
+        # reading the COMMITTED set (not the raw listing) keeps this
+        # merge from seeing (and re-emitting) crash-window duplicates,
+        # which is what makes a failed merge safely re-runnable.
+        committed = set(manifest["files"]) if manifest else pre_files
+        version = (manifest["version"] + 1) if manifest else 1
+        if not committed:
+            # fully-deleted committed table: every source row an insert
+            if when_not_matched == "insert":
+                src.write.mode("append").partitionBy(*partition_cols).parquet(
+                    target_path
+                )
+                new = _list_data_files(target_path) - pre_files
+                _write_manifest(target_path, new, version)
+                return {"rewritten_files": 0, "inserted": True}
+            return {"rewritten_files": 0, "inserted": False}
+        existing = read_committed(spark, target_path)  # schema inferred
     # the TARGET's columns stay authoritative even if src carries more
     missing = set(existing.columns) - set(src.columns)
     if missing:
@@ -323,10 +355,39 @@ def merge_into(
             pieces.append(fresh)
             inserted = True
 
+    out = None
     if pieces:
         out = pieces[0]
         for p_ in pieces[1:]:
             out = out.unionByName(p_)
+    if txn:
+        # WRITE FIRST into race-free staged names, then the log entry
+        # is the commit; a competing writer that touched our read
+        # scope turns the commit into CommitConflictError (staged
+        # files become orphans for txn_vacuum) and the caller re-runs
+        # against the new snapshot
+        adds = (
+            TL.stage_files(spark, out, target_path, partition_cols, tag)
+            if pieces
+            else []
+        )
+        ver = TL.commit(
+            target_path,
+            adds,
+            sorted(conflict_rel),
+            "merge",
+            [],
+            base_version=base_ver,
+        )
+        # superseded files stay on disk regardless of
+        # defer_conflict_delete: under multi-writer, eager deletion
+        # would break snapshot readers — reclaim is txn_vacuum's job
+        return {
+            "rewritten_files": len(conflict_files),
+            "inserted": inserted,
+            "version": ver,
+        }
+    if pieces:
         # WRITE FIRST (old files still readable during the job); the
         # manifest swap below is the commit — a crash before it leaves
         # these files as invisible orphans, never partial state

@@ -1,0 +1,329 @@
+"""Optimistic multi-writer concurrency: a versioned commit log.
+
+Closes the engine's documented single-writer limitation (the reference
+kept per-stream locks; SURVEY §2.8 T5) with the standard lakehouse
+recipe — a ``_txn_log/`` directory of immutable, monotonically
+numbered commit files, where CREATING commit file N is the one atomic
+commit point (mutual exclusion via the filesystem's create-exclusive
+primitive, the same contract Delta Lake relies on for HDFS/ABFS and
+emulates with a coordinator on S3):
+
+- ``v0000000042.json`` — commit 42: the files it ADDS, the files it
+  REMOVES, the operation kind, and the partition values it touched.
+- ``checkpoint-v0000000040.json`` — full snapshot every
+  ``CHECKPOINT_EVERY`` commits so readers fold O(10) tail commits, not
+  the whole history (Delta's parquet checkpoint, JSON here).
+
+Commit protocol (``commit``): write the payload to a temp file, then
+``os.link`` it to the target version name — link fails atomically if a
+competing writer took that version, and the linked content is already
+complete, so a torn commit file can never become visible. On a lost
+race the writer REBASES: re-reads the intervening commits and either
+retries at the next version (no logical conflict) or raises
+:class:`CommitConflictError` (the caller re-runs its whole
+read-compute-write cycle against the new snapshot — optimistic
+concurrency, not blocking).
+
+Conflict rules (Delta's isolation-level table, simplified to the two
+operation kinds this engine commits):
+
+- **append** (no removes, no read dependency): NEVER conflicts;
+  always rebases onto the latest version. Two concurrent ingest
+  writers both land.
+- **merge / rewrite** (removes files it read): conflicts if an
+  intervening commit (a) removed any file this transaction also
+  removes (the rewrite raced another rewrite of the same data), or
+  (b) touched any PARTITION this transaction read to compute its
+  output (its anti-join/dedup was computed against a stale snapshot
+  of that partition). Disjoint-partition merges rebase and both land.
+
+Data files are written RACE-FREE via a per-transaction staging
+directory then hard-linked into the table tree under unique names
+(``stage_files``) — never discovered by before/after directory
+listings, which are racy the moment there are two writers.
+
+Readers (``txn_read``) fold checkpoint + tail into an explicit file
+list — concurrent writers are invisible until their single commit
+file lands, so reads are snapshot-isolated, and ``version=`` gives
+log-based time travel. At 100 TB the log is metadata-sized (one small
+JSON per commit, checkpoints bound the fold) and the data path is
+untouched Spark parquet I/O.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.merge import _local_root
+
+TXN_DIR = "_txn_log"
+CHECKPOINT_EVERY = 10
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed a logically conflicting change; re-run
+    the read-compute-write cycle against the current snapshot."""
+
+
+def _log_dir(table_root: str) -> str:
+    return os.path.join(_local_root(table_root), TXN_DIR)
+
+
+def _vname(v: int) -> str:
+    return f"v{v:010d}.json"
+
+
+def is_txn_table(table_root: str) -> bool:
+    return os.path.isdir(_log_dir(table_root))
+
+
+def init_table(table_root: str) -> None:
+    """Create an empty log (version 0 = empty table). Existing data
+    files (a pre-txn table) are adopted as commit 1."""
+    root = _local_root(table_root)
+    os.makedirs(root, exist_ok=True)
+    log = _log_dir(table_root)
+    if os.path.isdir(log):
+        return
+    os.makedirs(log)
+    from .operators.merge import _list_data_files
+
+    existing = sorted(_list_data_files(table_root))
+    if existing:
+        _raw_commit(
+            table_root,
+            1,
+            {
+                "version": 1,
+                "op": "adopt",
+                "adds": existing,
+                "removes": [],
+                "partitions": [],
+                "writer": "init",
+                "base_version": 0,
+            },
+        )
+
+
+def latest_version(table_root: str) -> int:
+    log = _log_dir(table_root)
+    best = 0
+    try:
+        names = os.listdir(log)
+    except FileNotFoundError:
+        return 0
+    for n in names:
+        if n.startswith("v") and n.endswith(".json"):
+            best = max(best, int(n[1:-5]))
+    return best
+
+
+def _read_commit(table_root: str, v: int) -> dict:
+    with open(os.path.join(_log_dir(table_root), _vname(v))) as f:
+        return json.load(f)
+
+
+def snapshot(table_root: str, version: int | None = None) -> tuple[int, set[str]]:
+    """(version, committed file set) at ``version`` (default: latest).
+    Starts from the newest checkpoint <= version, folds the tail."""
+    log = _log_dir(table_root)
+    head = latest_version(table_root)
+    v = head if version is None else version
+    if v > head:
+        raise ValueError(f"version {v} > latest {head}")
+    start, files = 0, set()
+    try:
+        cps = [
+            int(n[len("checkpoint-v"):-5])
+            for n in os.listdir(log)
+            if n.startswith("checkpoint-v") and n.endswith(".json")
+        ]
+    except FileNotFoundError:
+        cps = []
+    usable = [c for c in cps if c <= v]
+    if usable:
+        start = max(usable)
+        with open(os.path.join(log, f"checkpoint-v{start:010d}.json")) as f:
+            files = set(json.load(f)["files"])
+    for i in range(start + 1, v + 1):
+        c = _read_commit(table_root, i)
+        files -= set(c["removes"])
+        files |= set(c["adds"])
+    return v, files
+
+
+def _raw_commit(table_root: str, v: int, payload: dict) -> None:
+    """The atomic commit point: temp-write + hard-link CAS."""
+    log = _log_dir(table_root)
+    tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    try:
+        os.link(tmp, os.path.join(log, _vname(v)))
+    finally:
+        os.unlink(tmp)
+    if v % CHECKPOINT_EVERY == 0:
+        # checkpoints are derived + idempotent: any writer may (re)write
+        # one, content is a pure fold of commits <= v
+        _, files = snapshot(table_root, v)
+        cp = os.path.join(log, f"checkpoint-v{v:010d}.json")
+        cptmp = cp + f".tmp-{uuid.uuid4().hex}"
+        with open(cptmp, "w") as f:
+            json.dump({"version": v, "files": sorted(files)}, f)
+        os.replace(cptmp, cp)
+
+
+def commit(
+    table_root: str,
+    adds: list[str],
+    removes: list[str],
+    op: str,
+    partitions: list[str],
+    base_version: int,
+    writer: str = "",
+    max_retries: int = 50,
+) -> int:
+    """Commit a transaction computed against ``base_version``. Returns
+    the committed version. Appends always land (auto-rebase); rewrites
+    raise :class:`CommitConflictError` per the module conflict rules."""
+    removes_set = set(removes)
+    # a commit's partition footprint is derived from its file paths
+    # (partition dirs are encoded in them), plus any partitions the
+    # caller declares it READ — so an append into a partition a merge
+    # anti-joined against is detected without trusting callers to
+    # enumerate their write set
+    parts_set = set(partitions) | {
+        os.path.dirname(f) or "." for f in list(adds) + removes
+    }
+    attempt_base = base_version
+    for _ in range(max_retries):
+        head = latest_version(table_root)
+        # examine everything that landed since OUR READ, not since the
+        # last failed attempt — rebase must stay sound transitively
+        for v in range(base_version + 1, head + 1):
+            c = _read_commit(table_root, v)
+            if removes_set & set(c["removes"]):
+                raise CommitConflictError(
+                    f"v{v} already removed files this transaction "
+                    f"rewrites (op={c['op']})"
+                )
+            if removes_set and parts_set & set(c["partitions"]):
+                raise CommitConflictError(
+                    f"v{v} ({c['op']}) touched partitions this merge "
+                    "read; recompute against the new snapshot"
+                )
+        target = head + 1
+        payload = {
+            "version": target,
+            "op": op,
+            "adds": sorted(adds),
+            "removes": sorted(removes),
+            "partitions": sorted(parts_set),  # derived dirs + declared
+
+            "writer": writer or uuid.uuid4().hex[:8],
+            "base_version": attempt_base,
+        }
+        try:
+            _raw_commit(table_root, target, payload)
+            return target
+        except FileExistsError:
+            continue  # lost the CAS race — re-examine and retry
+    raise CommitConflictError(f"gave up after {max_retries} CAS attempts")
+
+
+def stage_files(
+    spark: SparkSession,
+    df: DataFrame,
+    table_root: str,
+    partition_cols: list[str],
+    tag: str,
+) -> list[str]:
+    """Write ``df`` as parquet files of the table WITHOUT the racy
+    before/after directory diff: write to a per-transaction staging
+    dir, then hard-link each data file into the table tree under a
+    unique ``txn-<tag>`` name. Returns the exact root-relative paths
+    this transaction added — unaffected by concurrent writers."""
+    root = _local_root(table_root)
+    stage = os.path.join(root, f".staging-{tag}")
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(stage)
+    out: list[str] = []
+    for dirpath, _dirs, files in os.walk(stage):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(dirpath, stage)
+            dest_dir = root if rel_dir == "." else os.path.join(root, rel_dir)
+            os.makedirs(dest_dir, exist_ok=True)
+            dest = os.path.join(dest_dir, f"txn-{tag}-{fn}")
+            os.link(os.path.join(dirpath, fn), dest)
+            out.append(os.path.relpath(dest, root))
+    shutil.rmtree(stage)
+    return out
+
+
+def txn_read(
+    spark: SparkSession,
+    table_root: str,
+    schema=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot-isolated read: exactly the committed file list at
+    ``version`` (default latest) — in-flight writers invisible."""
+    v, files = snapshot(table_root, version)
+    root = _local_root(table_root)
+    if not files:
+        if schema is None:
+            raise ValueError(
+                f"{table_root}: empty at v{v}; pass schema for an empty frame"
+            )
+        return spark.createDataFrame([], schema)
+    r = spark.read.option("basePath", table_root)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.parquet(*(os.path.join(root, f) for f in files))
+
+
+def txn_append(
+    spark: SparkSession,
+    df: DataFrame,
+    table_root: str,
+    partition_cols: list[str],
+    writer: str = "",
+) -> int:
+    """Blind append: stage files, commit (never conflicts, auto-rebases
+    over any concurrent commit). Returns the committed version."""
+    init_table(table_root)
+    tag = uuid.uuid4().hex[:12]
+    adds = stage_files(spark, df, table_root, partition_cols, tag)
+    base = latest_version(table_root)
+    return commit(
+        table_root, adds, [], "append", [], base_version=base, writer=writer
+    )
+
+
+def txn_vacuum(table_root: str) -> list[str]:
+    """Remove data files not referenced by the CURRENT snapshot —
+    crashed-transaction orphans and rewritten-away files. Like Delta's
+    VACUUM(0h) this is only safe when no transaction is mid-write and
+    no reader holds an old snapshot; run it from a quiesced maintenance
+    window. Returns removed root-relative paths."""
+    from .operators.merge import _list_data_files
+
+    _, files = snapshot(table_root)
+    root = _local_root(table_root)
+    orphans = sorted(_list_data_files(table_root) - files)
+    for rel in orphans:
+        os.remove(os.path.join(root, rel))
+        d = os.path.dirname(os.path.join(root, rel))
+        while d != root and os.path.isdir(d) and not os.listdir(d):
+            os.rmdir(d)
+            d = os.path.dirname(d)
+    return orphans

@@ -1,0 +1,258 @@
+"""Optimistic multi-writer concurrency (txnlog.py): CAS commits,
+snapshot isolation, conflict detection, rebase, crash orphans, and
+log-based time travel — plus merge_into(txn=True) integration."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+
+from django_datastream_spark import txnlog as TL
+from django_datastream_spark.operators.merge import merge_into
+
+
+def _rows(spark, path, version=None):
+    return {
+        r["k"]: (str(r["p"]), r["v"])
+        for r in TL.txn_read(spark, path, version=version).collect()
+    }
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, p string, v double")
+
+
+def test_append_commit_snapshot_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v1 = TL.txn_append(spark, _df(spark, [(1, "a", 1.0)]), path, ["p"])
+    v2 = TL.txn_append(spark, _df(spark, [(2, "b", 2.0)]), path, ["p"])
+    assert (v1, v2) == (1, 2)
+    assert _rows(spark, path) == {1: ("a", 1.0), 2: ("b", 2.0)}
+    # time travel through the log
+    assert _rows(spark, path, version=1) == {1: ("a", 1.0)}
+    ver, files = TL.snapshot(path)
+    assert ver == 2 and len(files) >= 2
+    assert all(f.endswith(".parquet") for f in files)
+
+
+def test_concurrent_appends_both_land(spark, tmp_path):
+    """Two writers race the SAME base version; the CAS makes one v1 and
+    the other rebases to v2 — both rows committed, no lost update."""
+    path = str(tmp_path / "t")
+    TL.init_table(path)
+    errs, vers = [], []
+
+    def writer(i):
+        try:
+            vers.append(
+                TL.txn_append(
+                    spark, _df(spark, [(i, "a", float(i))]), path, ["p"]
+                )
+            )
+        except Exception as e:  # noqa: BLE001 — surface in assert
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in (1, 2, 3, 4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert sorted(vers) == [1, 2, 3, 4]
+    assert set(_rows(spark, path)) == {1, 2, 3, 4}
+
+
+def test_lost_cas_race_rebases(spark, tmp_path, monkeypatch):
+    """Simulate losing the create-exclusive race: another commit lands
+    between reading head and linking — commit retries at the next
+    version instead of failing or overwriting."""
+    path = str(tmp_path / "t")
+    v1 = TL.txn_append(spark, _df(spark, [(1, "a", 1.0)]), path, ["p"])
+    assert v1 == 1
+    real = TL._raw_commit
+    injected = {"done": False}
+
+    def racy(table_root, v, payload):
+        if not injected["done"]:
+            injected["done"] = True
+            real(
+                table_root,
+                v,
+                {
+                    "version": v,
+                    "op": "append",
+                    "adds": [],
+                    "removes": [],
+                    "partitions": [],
+                    "writer": "rival",
+                    "base_version": v - 1,
+                },
+            )
+        return real(table_root, v, payload)
+
+    monkeypatch.setattr(TL, "_raw_commit", racy)
+    v = TL.commit(path, [], [], "append", [], base_version=1)
+    assert v == 3  # rival took 2; we rebased
+
+
+def test_merge_txn_basic_and_version(spark, tmp_path):
+    path = str(tmp_path / "t")
+    TL.txn_append(
+        spark,
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]),
+        path,
+        ["p"],
+    )
+    res = merge_into(
+        spark,
+        path,
+        _df(spark, [(1, "a", 10.0), (3, "a", 3.0)]),
+        ["k"],
+        ["p"],
+        txn=True,
+    )
+    assert res["version"] == 2 and res["rewritten_files"] == 1
+    assert _rows(spark, path) == {
+        1: ("a", 10.0), 2: ("b", 2.0), 3: ("a", 3.0),
+    }
+    # superseded file retained for old-snapshot readers, invisible now
+    assert _rows(spark, path, version=1)[1] == ("a", 1.0)
+
+
+def test_merge_conflict_same_partition_raises(spark, tmp_path, monkeypatch):
+    """A rival commit into the merge's read partition lands between its
+    snapshot read and its commit -> CommitConflictError, and the table
+    still shows ONLY the rival's effect (our merge left no trace)."""
+    path = str(tmp_path / "t")
+    TL.txn_append(spark, _df(spark, [(1, "a", 1.0)]), path, ["p"])
+    real = TL.stage_files
+    rival_first = {"done": False}
+
+    def inject(spark_, df, root, pcols, tag):
+        adds = real(spark_, df, root, pcols, tag)
+        if not rival_first["done"]:
+            rival_first["done"] = True
+            # rival appends key 9 into partition a AFTER our snapshot
+            TL.txn_append(
+                spark_, _df(spark_, [(9, "a", 9.0)]), path, ["p"]
+            )
+        return adds
+
+    monkeypatch.setattr(TL, "stage_files", inject)
+    with pytest.raises(TL.CommitConflictError):
+        merge_into(
+            spark, path, _df(spark, [(1, "a", 10.0)]), ["k"], ["p"], txn=True
+        )
+    monkeypatch.setattr(TL, "stage_files", real)
+    assert _rows(spark, path) == {1: ("a", 1.0), 9: ("a", 9.0)}
+    # the standard recovery: re-run the merge against the new snapshot
+    res = merge_into(
+        spark, path, _df(spark, [(1, "a", 10.0)]), ["k"], ["p"], txn=True
+    )
+    assert res["rewritten_files"] == 1
+    assert _rows(spark, path)[1] == ("a", 10.0)
+    # failed attempt's staged files are reclaimable orphans
+    removed = TL.txn_vacuum(path)
+    assert removed  # at least the conflicted original + failed stage
+    assert _rows(spark, path) == {1: ("a", 10.0), 9: ("a", 9.0)}
+
+
+def test_disjoint_partition_merges_both_land(spark, tmp_path, monkeypatch):
+    """Merges rewriting DIFFERENT partitions serialize via rebase, not
+    conflict — the multi-writer case partition-level OCC exists for."""
+    path = str(tmp_path / "t")
+    TL.txn_append(
+        spark, _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), path, ["p"]
+    )
+    real = TL.stage_files
+    raced = {"done": False}
+
+    def inject(spark_, df, root, pcols, tag):
+        adds = real(spark_, df, root, pcols, tag)
+        if not raced["done"]:
+            raced["done"] = True
+            # rival merge rewrites partition b between our read & commit
+            merge_into(
+                spark_, path, _df(spark_, [(2, "b", 20.0)]),
+                ["k"], ["p"], txn=True,
+            )
+        return adds
+
+    monkeypatch.setattr(TL, "stage_files", inject)
+    res = merge_into(
+        spark, path, _df(spark, [(1, "a", 10.0)]), ["k"], ["p"], txn=True
+    )
+    monkeypatch.setattr(TL, "stage_files", real)
+    assert res["version"] == 3  # rebased over the rival's v2
+    assert _rows(spark, path) == {1: ("a", 10.0), 2: ("b", 20.0)}
+
+
+def test_crash_before_commit_invisible_and_vacuumable(
+    spark, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "t")
+    TL.txn_append(spark, _df(spark, [(1, "a", 1.0)]), path, ["p"])
+
+    def boom(*a, **k):
+        raise RuntimeError("crash before log commit")
+
+    monkeypatch.setattr(TL, "commit", boom)
+    with pytest.raises(RuntimeError, match="crash"):
+        merge_into(
+            spark, path, _df(spark, [(1, "a", 99.0)]), ["k"], ["p"], txn=True
+        )
+    monkeypatch.undo()
+    # staged output exists on disk but is not committed -> invisible
+    assert _rows(spark, path) == {1: ("a", 1.0)}
+    orphans = TL.txn_vacuum(path)
+    assert orphans and all("txn-" in f for f in orphans)
+    assert _rows(spark, path) == {1: ("a", 1.0)}
+    # clean retry applies exactly once
+    merge_into(
+        spark, path, _df(spark, [(1, "a", 99.0)]), ["k"], ["p"], txn=True
+    )
+    assert _rows(spark, path) == {1: ("a", 99.0)}
+
+
+def test_checkpoint_bounds_log_fold(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(TL.CHECKPOINT_EVERY + 3):
+        TL.txn_append(spark, _df(spark, [(i, "a", float(i))]), path, ["p"])
+    log = os.path.join(path, TL.TXN_DIR)
+    cps = [n for n in os.listdir(log) if n.startswith("checkpoint-")]
+    assert cps == [f"checkpoint-v{TL.CHECKPOINT_EVERY:010d}.json"]
+    with open(os.path.join(log, cps[0])) as f:
+        cp = json.load(f)
+    assert cp["version"] == TL.CHECKPOINT_EVERY
+    # snapshot equals the full fold, and time travel under the
+    # checkpoint still works (folds from zero)
+    assert len(_rows(spark, path)) == TL.CHECKPOINT_EVERY + 3
+    assert len(_rows(spark, path, version=3)) == 3
+
+
+def test_adopts_existing_plain_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).write.partitionBy(
+        "p"
+    ).parquet(path)
+    res = merge_into(
+        spark, path, _df(spark, [(2, "b", 20.0)]), ["k"], ["p"], txn=True
+    )
+    assert res["version"] == 2  # v1 = adoption of the pre-txn files
+    assert _rows(spark, path) == {1: ("a", 1.0), 2: ("b", 20.0)}
+
+
+def test_rewrite_same_file_conflicts(spark, tmp_path):
+    """Direct commit-level check: two transactions removing the same
+    file cannot both land, whatever partitions they claim."""
+    path = str(tmp_path / "t")
+    TL.txn_append(spark, _df(spark, [(1, "a", 1.0)]), path, ["p"])
+    _, files = TL.snapshot(path)
+    victim = sorted(files)[0]
+    base = TL.latest_version(path)
+    TL.commit(path, [], [victim], "merge", [], base_version=base)
+    with pytest.raises(TL.CommitConflictError, match="already removed"):
+        TL.commit(path, [], [victim], "merge", [], base_version=base)
