@@ -6341,3 +6341,204 @@ def q159(spark, sf_dir):
         F.round("luma_mean", 4).alias("luma_mean"),
         F.round("luma_std", 4).alias("luma_std"),
     ).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# Q160/Q161: stream-stream join + streaming dedup inside the gate
+# --------------------------------------------------------------------------
+def _streaming_events(spark, sf_dir, key, n_links=1):
+    """Shared q155-style bounded replay setup: a fresh work area with
+    ``n_links`` symlinks to the events parquet as a file-stream source
+    (one availableNow batch — links stay under maxFilesPerTrigger),
+    the TIMESTAMP(NANOS) shim applied. Returns (stream_df, out, cp)."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from ..sources.testdata import _SCHEMA_CACHE
+
+    load_table(spark, sf_dir, "events")  # prime the schema cache
+    schema, ns_cols = _SCHEMA_CACHE[_os.path.join(sf_dir, "events.parquet")]
+    base = _os.path.join(
+        _tmp.gettempdir(),
+        f"{key}_" + _hl.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    src = _os.path.join(base, "src")
+    _os.makedirs(src)
+    for i in range(n_links):
+        _os.symlink(
+            _os.path.join(sf_dir, "events.parquet"),
+            _os.path.join(src, f"events{i}.parquet"),
+        )
+    st = spark.readStream.schema(schema).parquet(src)
+    for c in ns_cols:
+        st = st.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    st = st.withColumn("ts", F.col("ts").cast("timestamp"))
+    return st, _os.path.join(base, "out"), _os.path.join(base, "cp")
+
+
+def _run_bounded(stream_df, out, cp, key, state_partitions=None):
+    """Run an availableNow replay to parquet.  ``state_partitions``
+    temporarily overrides spark.sql.shuffle.partitions for the stream:
+    a streaming query's STATE STORE count is fixed from that conf at
+    first start, and each partition pays a per-batch snapshot/commit
+    — at gate scale (1e5 rows) 32 stores cost more in commit overhead
+    than the data (measured: q160 18.6 s -> 10.6 s just by 32 -> 4).
+    A 100 TB deployment sizes it UP with volume instead; it is the
+    knob, not a constant.  The conf is restored after termination
+    (batch queries in the shared bench session read it at plan time,
+    so a scoped set-restore around a blocking stream is safe)."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(f"{key} streaming replay exceeded 600 s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@_declare(
+    "q160_stream_stream_join",
+    """
+    WITH v AS (SELECT event_id vid, user_id, ts
+               FROM events
+               WHERE event_type = 'view'
+                 AND ts < TIMESTAMP '2024-01-08'),
+    p AS (SELECT event_id pid, user_id, ts
+          FROM events
+          WHERE event_type = 'purchase'
+            AND ts < TIMESTAMP '2024-01-08')
+    SELECT v.user_id,
+           COUNT(*) n_pairs,
+           CAST(MIN(floor(epoch(p.ts)) - floor(epoch(v.ts))) AS BIGINT)
+             min_gap_s,
+           CAST(MAX(floor(epoch(p.ts)) - floor(epoch(v.ts))) AS BIGINT)
+             max_gap_s
+    FROM v JOIN p
+      ON p.user_id = v.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q160(spark, sf_dir):
+    """STREAM-STREAM interval join executed inside the gate: the events
+    replay feeds two watermarked branches of one file stream (views,
+    purchases); Spark's stateful symmetric hash join matches each view
+    to purchases by the same user within [ts, ts+30min], append-mode
+    to parquet, and the emitted pairs — batch-aggregated per user —
+    must hash-match DuckDB's plain interval join.  The watermark +
+    time-range condition is what lets the join BOUND its state at
+    100 TB (each side's rows are evictable once the other side's
+    watermark passes ts+30min — without it a stream-stream join
+    buffers forever); the single-batch availableNow replay makes the
+    emitted set deterministic and exactly the batch join.  Like q155,
+    the builder necessarily RUNS the bounded streaming job (by-name
+    exemption in test_declaring_queries_runs_no_jobs)."""
+    st, out, cp = _streaming_events(spark, sf_dir, "q160")
+    # one-week slice: the gate needs the SEMANTICS pinned, not a month
+    # of state churn; the filter pushes into the streaming parquet scan
+    st = st.filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+    # STAB-BUCKET co-key (streaming form of range_overlap_join's rule):
+    # keying the symmetric hash join on user_id alone makes every probe
+    # scan ALL of that user's buffered rows — O(views x purchases) per
+    # user per batch (measured 26 s at sf0.1).  Adding a 30-minute
+    # bucket to the equi-key bounds each probe to one bucket's rows:
+    # a purchase lives in exactly one bucket; its candidate views sit
+    # in that bucket or the previous one, so views are exploded into
+    # [b, b+1] and each true pair matches on EXACTLY one bucket value
+    # (no dedup pass).  Same join, ~10x faster, and the state-probe
+    # cost is bucket-local — the property that survives 100x key skew.
+    bucket = lambda c: (F.unix_timestamp(c) / F.lit(1800)).cast("long")  # noqa: E731
+    views = (
+        st.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("vid"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 second")
+        .withColumn(
+            "v_bkt",
+            F.explode(F.array(bucket("v_ts"), bucket("v_ts") + 1)),
+        )
+    )
+    purchases = (
+        st.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("pid"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 second")
+        .withColumn("p_bkt", bucket("p_ts"))
+    )
+    pairs = views.join(
+        purchases,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_bkt") == F.col("p_bkt"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    _run_bounded(pairs, out, cp, "q160", state_partitions=8)
+    res = spark.read.parquet(out)
+    gap = F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")
+    return (
+        res.groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(gap).cast("long").alias("min_gap_s"),
+            F.max(gap).cast("long").alias("max_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_declare(
+    "q161_streaming_dedup",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) n_unique
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q161(spark, sf_dir):
+    """STREAMING EXACT DEDUP inside the gate: the events file is
+    replayed TWICE through one file stream (two symlinks — a doubled
+    source, the at-least-once delivery every real ingest bus exhibits)
+    and ``dropDuplicatesWithinWatermark`` on event_id collapses the
+    duplicates in state before an append-mode parquet sink; per-type
+    unique counts must hash-match DuckDB's COUNT(DISTINCT) over the
+    SINGLE copy.  A dedup that leaks duplicates doubles every count;
+    one that drops non-duplicates undershoots — either breaks the
+    hash.  WithinWatermark is the 100 TB form: state holds only the
+    watermark horizon, not every key ever seen (plain dropDuplicates
+    state grows unboundedly on an infinite stream).  Builder runs the
+    bounded job, same exemption as q155/q160."""
+    st, out, cp = _streaming_events(spark, sf_dir, "q161", n_links=2)
+    deduped = (
+        st.withWatermark("ts", "1 minute")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    _run_bounded(deduped, out, cp, "q161")
+    res = spark.read.parquet(out)
+    return (
+        res.groupBy("event_type")
+        .agg(F.count_distinct("event_id").cast("long").alias("n_unique"))
+        .orderBy("event_type")
+    )
