@@ -6542,3 +6542,77 @@ def q161(spark, sf_dir):
         .agg(F.count_distinct("event_id").cast("long").alias("n_unique"))
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q162: arbitrary stateful processing across REAL micro-batch boundaries
+# --------------------------------------------------------------------------
+@_declare(
+    "q162_stateful_running_totals",
+    """
+    SELECT user_id, event_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) seq_no,
+           ROUND(SUM(value) OVER w, 4) running_value
+    FROM events
+    WHERE user_id < 20 AND ts < TIMESTAMP '2024-01-15'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+    ORDER BY user_id, seq_no
+    """,
+)
+def q162(spark, sf_dir):
+    """ARBITRARY STATEFUL streaming across real micro-batch boundaries:
+    per-user running (seq_no, Σvalue) via applyInPandasWithState
+    (streaming/stateful.running_user_totals), replayed through TWO
+    time-split source files with maxFilesPerTrigger=1 — so the engine
+    runs two micro-batches and the GroupState handoff between them is
+    load-bearing: batch 2's rows continue batch 1's counts, and the
+    emitted rows must hash-match batch SQL's running window over the
+    union.  A state store that loses, duplicates, or re-orders the
+    carried (n, total) breaks seq_no or running_value for every row of
+    batch 2.  File order is pinned by explicit mtimes (the file source
+    sorts by modification time); the split is BY TIME so cross-batch
+    ordering matches the oracle's window order.  Builder runs the
+    bounded job (same exemption as q155/q160/q161) plus the two
+    split-file writes."""
+    import os as _os
+    import shutil as _sh
+
+    from ..streaming.stateful import running_user_totals
+
+    st, out, cp = _streaming_events(spark, sf_dir, "q162", n_links=0)
+    src = _os.path.join(_os.path.dirname(out), "src")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("user_id") < 20)
+            & (F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+        )
+        .select("user_id", "event_id", "ts", "value")
+    )
+    cut = F.lit("2024-01-08").cast("timestamp")
+    for i, part in enumerate(
+        (ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut))
+    ):
+        tmp = _os.path.join(_os.path.dirname(out), f"split{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        fn = next(
+            f for f in _os.listdir(tmp) if f.endswith(".parquet")
+        )
+        dest = _os.path.join(src, f"batch{i}.parquet")
+        _os.rename(_os.path.join(tmp, fn), dest)
+        _sh.rmtree(tmp)
+        _os.utime(dest, (1_000_000 + i, 1_000_000 + i))  # pin file order
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, "
+                                "ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    totals = running_user_totals(stream)
+    _run_bounded(totals, out, cp, "q162", state_partitions=8)
+    res = spark.read.parquet(out)
+    return res.select(
+        "user_id", "event_id", "seq_no",
+        F.round("running_value", 4).alias("running_value"),
+    ).orderBy("user_id", "seq_no")

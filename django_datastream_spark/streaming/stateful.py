@@ -214,3 +214,82 @@ def stateful_ewma(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Running per-key aggregates whose state genuinely SURVIVES micro-batch
+# boundaries (the cross-batch continuation q162 hash-matches to batch SQL).
+#
+# API note: Spark 4's successor surface, transformWithStateInPandas
+# (typed value/list/map state, TTL, timers), exists in this PySpark but
+# its Python state-server protocol needs the `protobuf` package, which
+# this container does not ship (verified: the worker dies with
+# "cannot import name 'descriptor' from 'google.protobuf'").  The
+# operator is therefore pinned on the stable applyInPandasWithState
+# API, whose GroupState carries the identical per-key state contract;
+# swapping to TWS later changes only the handler registration, not the
+# operator semantics.
+# ---------------------------------------------------------------------------
+
+RUNNING_SCHEMA = (
+    "user_id long, event_id long, seq_no long, running_value double"
+)
+
+_RUNNING_STATE = "n long, total double"
+
+
+def _running_fn(
+    key, pdf_iter, state: GroupState
+):
+    """Per-user handler: continue (row count, value sum) from GroupState,
+    emit one output row per input event.  Rows within a batch are
+    ordered by (ts, event_id) IN the handler: the engine hands each
+    key's batch rows unordered, and a running aggregate is only
+    well-defined under a total order, so imposing it here is part of
+    the operator, not a test convenience."""
+    import pandas as pd  # executor-safe
+
+    n0, t0 = state.get if state.exists else (0, 0.0)
+    outs = []
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        run = pdf["value"].cumsum() + t0
+        outs.append(
+            pd.DataFrame(
+                {
+                    "user_id": int(key[0]),
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "seq_no": n0 + 1 + pd.RangeIndex(len(pdf)).to_numpy(),
+                    "running_value": run.to_numpy(),
+                }
+            )
+        )
+        n0 += len(pdf)
+        t0 = float(run.iloc[-1])
+    state.update((n0, t0))
+    return iter(outs)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (seq_no, value sum) over an event stream —
+    arbitrary stateful processing with one tiny (long, double) state
+    row per user in the sharded state store; each micro-batch touches
+    only users with new rows; work is Arrow-batched pandas per
+    key-batch.  The batch-mode oracle is a plain SQL window
+    (SUM() OVER (PARTITION BY key ORDER BY ts ROWS UNBOUNDED
+    PRECEDING)), so a MULTI-batch streaming replay can be hash-matched
+    against batch SQL — the state handoff between batches is exactly
+    what the equivalence proves (q162)."""
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_fn,
+            outputStructType=RUNNING_SCHEMA,
+            stateStructType=_RUNNING_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -68,7 +68,8 @@ def test_declaring_queries_runs_no_jobs(spark):
     exempt = {"q42_ann_ivf_topk", "q45_dedup_clusters",
               "q65_fuzzy_cluster_survivors",
               "q155_streaming_downsample_gate",
-              "q160_stream_stream_join", "q161_streaming_dedup"}
+              "q160_stream_stream_join", "q161_streaming_dedup",
+              "q162_stateful_running_totals"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
