@@ -19,7 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_FORMATS = ("jsonl", "parquet")
+_FORMATS = ("jsonl", "parquet", "orc")
 
 
 def export_corpus(
@@ -49,6 +49,10 @@ def export_corpus(
         writer = writer.option("maxRecordsPerFile", max_rows_per_file)
     if fmt == "jsonl":
         writer.json(path)
+    elif fmt == "orc":
+        # ORC is built into Spark (no extra package): same columnar
+        # pushdown/pruning story as parquet for Hive-ecosystem trainers
+        writer.orc(path)
     else:
         writer.parquet(path)
 
@@ -86,6 +90,8 @@ def read_corpus(spark: SparkSession, path: str) -> DataFrame:
     schema = StructType.fromJson(manifest["schema"])
     if manifest["format"] == "jsonl":
         df = spark.read.schema(schema).json(path)
+    elif manifest["format"] == "orc":
+        df = spark.read.orc(path)
     else:
         df = spark.read.parquet(path)
     return df

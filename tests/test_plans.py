@@ -62,7 +62,7 @@ def test_declaring_queries_runs_no_jobs(spark):
     index on first use (corpus fingerprint count + cold kmeans fit);
     q45/q65 run the connected-components fixpoint — Spark has no
     recursive SQL, so the driver convergence loop IS the operator;
-    q155/q160/q161 EXECUTE a bounded Structured Streaming job by
+    q155/q160/q161/q162 EXECUTE a bounded Structured Streaming job by
     design (the point of those queries is streaming execution inside
     the gate)."""
     exempt = {"q42_ann_ivf_topk", "q45_dedup_clusters",
@@ -489,3 +489,40 @@ def test_initial_centroids_rank_is_limit_bounded(spark):
     )
     _each_window_is_bounded_below(plan, "initial_centroids")
     assert "TakeOrderedAndProject(limit=5" in plan
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    """Spark's runtime bloom-filter injection is the engine's
+    large-large join prefilter at 100 TB (the dim side's selective
+    filter becomes a might_contain() on the fact side's scan, killing
+    most probe rows before the shuffle).  Pin that it actually fires
+    under this session's config when the thresholds are met — a
+    silently-disabled optimizer flag would cost an order of magnitude
+    on selective fact-dim shuffle joins and nothing would fail.
+    Requirements pinned implicitly: a SELECTIVE predicate on the
+    creation side (bare scans don't qualify) and a shuffle join
+    (broadcast joins use their own pruning)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        )
+        big = spark.range(0, 200_000).withColumn("k", F.col("id") % 50_000)
+        small = spark.range(0, 100).withColumn("k", F.col("id") * 7)
+        j = big.join(small.filter(F.col("id") % 3 == 0), "k")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -66,3 +66,23 @@ def test_export_deterministic_across_runs_and_layouts(spark, tmp_path):
     for d, m in ((tmp_path / "a", m1), (tmp_path / "b", m2)):
         disk = json.load(open(os.path.join(d, "_manifest.json")))
         assert disk["files"] == m["files"]
+
+
+def test_export_orc_roundtrip(spark, tmp_path):
+    """ORC export path: Spark's built-in second columnar format (the
+    Hive-ecosystem hand-off) round-trips losslessly with the same
+    deterministic shard map, and the ORC scan supports predicate
+    pushdown like parquet."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = str(tmp_path / "corpus_orc")
+    manifest = ex.export_corpus(docs, out, fmt="orc", num_shards=4)
+    assert manifest["format"] == "orc"
+    back = ex.read_corpus(spark, out)
+    assert back.count() == docs.count()
+    a = {r["doc_id"]: r["text"] for r in back.select("doc_id", "text").collect()}
+    b = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    assert a == b
+    # pushdown reaches the ORC scan
+    q = back.filter(F.col("doc_id") < 10).select("doc_id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "LessThan(doc_id" in plan
