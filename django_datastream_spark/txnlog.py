@@ -84,16 +84,25 @@ def is_txn_table(table_root: str) -> bool:
 
 def init_table(table_root: str) -> None:
     """Create an empty log (version 0 = empty table). Existing data
-    files (a pre-txn table) are adopted as commit 1."""
+    files (a pre-txn table) are adopted as commit 1 — through the old
+    ``_MANIFEST`` when one exists, so crash-window orphans a previous
+    single-writer merge left on disk are NOT adopted as live data
+    (they stay orphans for txn_vacuum), matching what read_committed
+    showed before the upgrade."""
     root = _local_root(table_root)
     os.makedirs(root, exist_ok=True)
     log = _log_dir(table_root)
     if os.path.isdir(log):
         return
     os.makedirs(log)
-    from .operators.merge import _list_data_files
+    from .operators.merge import _list_data_files, read_manifest
 
-    existing = sorted(_list_data_files(table_root))
+    m = read_manifest(table_root)
+    existing = (
+        sorted(m["files"])
+        if m is not None
+        else sorted(_list_data_files(table_root))
+    )
     if existing:
         _raw_commit(
             table_root,

@@ -256,3 +256,28 @@ def test_rewrite_same_file_conflicts(spark, tmp_path):
     TL.commit(path, [], [victim], "merge", [], base_version=base)
     with pytest.raises(TL.CommitConflictError, match="already removed"):
         TL.commit(path, [], [victim], "merge", [], base_version=base)
+
+
+def test_adoption_respects_pre_txn_manifest(spark, tmp_path, monkeypatch):
+    """Upgrading a _MANIFEST table that has crash-window orphans on
+    disk: the txn log must adopt the COMMITTED file list, not the raw
+    directory listing, or the orphan rows resurrect."""
+    from django_datastream_spark.operators import merge as M
+
+    path = str(tmp_path / "t")
+    _df(spark, [(1, "a", 1.0)]).write.partitionBy("p").parquet(path)
+    M._write_manifest(path, M._list_data_files(path), 1)
+    # crash-inject: a merge that wrote new files but died pre-commit
+    monkeypatch.setattr(
+        M, "_write_manifest", lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("crash before manifest swap")
+        )
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        M.merge_into(
+            spark, path, _df(spark, [(1, "a", 99.0)]), ["k"], ["p"]
+        )
+    monkeypatch.undo()
+    TL.init_table(path)
+    assert _rows(spark, path) == {1: ("a", 1.0)}  # orphan invisible
+    assert TL.txn_vacuum(path)  # and reclaimable
