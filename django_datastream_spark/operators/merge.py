@@ -164,6 +164,23 @@ def read_committed(
     return r.parquet(*files)
 
 
+def remove_orphans(target_path: str, keep: set[str]) -> list[str]:
+    """Delete every data file under the table NOT in ``keep``
+    (root-relative paths), dropping partition dirs that empty out.
+    Shared by the manifest vacuum here and txnlog.txn_vacuum — one
+    place for the walk/remove/ascend logic. Returns removed paths."""
+    root = _local_root(target_path)
+    orphans = sorted(_list_data_files(target_path) - keep)
+    for rel in orphans:
+        os.remove(os.path.join(root, rel))
+        # opportunistically drop now-empty partition dirs
+        d = os.path.dirname(os.path.join(root, rel))
+        while d != root and os.path.isdir(d) and not os.listdir(d):
+            os.rmdir(d)
+            d = os.path.dirname(d)
+    return orphans
+
+
 def vacuum_uncommitted(target_path: str) -> list[str]:
     """Crash repair / deferred-delete reclaim: remove every data file
     NOT in the committed manifest (orphans from a crashed merge, or
@@ -174,16 +191,7 @@ def vacuum_uncommitted(target_path: str) -> list[str]:
     m = read_manifest(target_path)
     if m is None:
         return []
-    root = _local_root(target_path)
-    orphans = sorted(_list_data_files(target_path) - set(m["files"]))
-    for rel in orphans:
-        os.remove(os.path.join(root, rel))
-        # opportunistically drop now-empty partition dirs
-        d = os.path.dirname(os.path.join(root, rel))
-        while d != root and not os.listdir(d):
-            os.rmdir(d)
-            d = os.path.dirname(d)
-    return orphans
+    return remove_orphans(target_path, set(m["files"]))
 
 
 def _delete_file(spark: SparkSession, uri: str) -> None:
@@ -257,7 +265,6 @@ def merge_into(
         TL.init_table(target_path)  # adopts a pre-txn table as v1
         tag = uuid.uuid4().hex[:12]
         base_ver, committed = TL.snapshot(target_path)
-        version = None  # the log's CAS assigns the committed version
         if not committed:
             if when_not_matched == "insert":
                 adds = TL.stage_files(
@@ -270,7 +277,11 @@ def merge_into(
             return {
                 "rewritten_files": 0, "inserted": False, "version": base_ver,
             }
-        existing = TL.txn_read(spark, target_path)  # snapshot-isolated
+        # read AT base_ver, not "latest": the commit's conflict scan
+        # starts at base_ver, so reading a newer snapshot here would
+        # guarantee a spurious conflict for data this merge actually
+        # incorporated
+        existing = TL.txn_read(spark, target_path, version=base_ver)
     else:
         fs, troot = _fs_and_path(spark, target_path)
         if not fs.exists(troot):

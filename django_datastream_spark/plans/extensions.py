@@ -5969,57 +5969,15 @@ def q155(spark, sf_dir):
     test_declaring_queries_runs_no_jobs); temp source/checkpoint dirs
     are fresh per call, so replays are full deterministic
     recomputes."""
-    import hashlib as _hl
-    import os as _os
-    import shutil as _sh
-    import tempfile as _tmp
-
-    from ..sources.testdata import _SCHEMA_CACHE
-
-    # prime the schema cache (one footer job, same as every loader call)
-    load_table(spark, sf_dir, "events")
-    schema, ns_cols = _SCHEMA_CACHE[
-        _os.path.join(sf_dir, "events.parquet")
-    ]
-    # ONE work area per sf_dir, wiped on entry: repeated builds (gate,
-    # bench, pytest) reuse the same three dirs instead of leaking a
-    # fresh mkdtemp trio per call
-    base = _os.path.join(
-        _tmp.gettempdir(),
-        "q155_" + _hl.md5(sf_dir.encode()).hexdigest()[:10],
-    )
-    _sh.rmtree(base, ignore_errors=True)
-    src = _os.path.join(base, "src")
-    out = _os.path.join(base, "out")
-    cp = _os.path.join(base, "cp")
-    _os.makedirs(src)
-    _os.symlink(
-        _os.path.join(sf_dir, "events.parquet"),
-        _os.path.join(src, "events.parquet"),
-    )
-    st = spark.readStream.schema(schema).parquet(src)
-    for c in ns_cols:
-        st = st.withColumn(
-            c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
-        )
-    st = st.withColumn("ts", F.col("ts").cast("timestamp"))
+    # shared replay setup (one wiped work area per sf_dir; the
+    # TIMESTAMP(NANOS) shim applied) — see _streaming_events below
+    st, out, cp = _streaming_events(spark, sf_dir, "q155")
     agg = (
         st.withWatermark("ts", "1 second")
         .groupBy(F.window("ts", "10 seconds"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", cp)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    # bounded wait: a wedged stream fails THIS query, not the gate
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError("q155 streaming replay exceeded 600 s")
+    _run_bounded(agg, out, cp, "q155")
     res = spark.read.parquet(out)
     return res.select(
         F.unix_timestamp(F.col("window.start")).alias("ws"),
@@ -6537,9 +6495,14 @@ def q161(spark, sf_dir):
     )
     _run_bounded(deduped, out, cp, "q161")
     res = spark.read.parquet(out)
+    # plain COUNT of emitted rows, NOT count_distinct: the oracle is
+    # COUNT(DISTINCT) over the single copy, so a dedup that LEAKS
+    # duplicates doubles this count and breaks the hash — a
+    # count_distinct here would re-collapse the leak and make that
+    # half of the check vacuous
     return (
         res.groupBy("event_type")
-        .agg(F.count_distinct("event_id").cast("long").alias("n_unique"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_unique"))
         .orderBy("event_type")
     )
 

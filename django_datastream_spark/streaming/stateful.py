@@ -250,26 +250,28 @@ def _running_fn(
     import pandas as pd  # executor-safe
 
     n0, t0 = state.get if state.exists else (0, 0.0)
-    outs = []
-    for pdf in pdf_iter:
-        if not len(pdf):
-            continue
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        run = pdf["value"].cumsum() + t0
-        outs.append(
-            pd.DataFrame(
-                {
-                    "user_id": int(key[0]),
-                    "event_id": pdf["event_id"].to_numpy(),
-                    "seq_no": n0 + 1 + pd.RangeIndex(len(pdf)).to_numpy(),
-                    "running_value": run.to_numpy(),
-                }
-            )
-        )
-        n0 += len(pdf)
-        t0 = float(run.iloc[-1])
-    state.update((n0, t0))
-    return iter(outs)
+    # CONCAT FIRST, sort once: a key with more rows than the Arrow
+    # batch size arrives as SEVERAL chunks in engine order — sorting
+    # per chunk would interleave seq_no/cumsum across out-of-order
+    # chunks and silently diverge from the batch-window oracle
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if not chunks:
+        state.update((n0, t0))
+        return iter(())
+    pdf = pd.concat(chunks, ignore_index=True).sort_values(
+        ["ts", "event_id"], kind="mergesort"
+    )
+    run = pdf["value"].cumsum() + t0
+    out = pd.DataFrame(
+        {
+            "user_id": int(key[0]),
+            "event_id": pdf["event_id"].to_numpy(),
+            "seq_no": n0 + 1 + pd.RangeIndex(len(pdf)).to_numpy(),
+            "running_value": run.to_numpy(),
+        }
+    )
+    state.update((n0 + len(pdf), float(run.iloc[-1])))
+    return iter([out])
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:

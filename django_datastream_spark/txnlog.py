@@ -30,12 +30,17 @@ operation kinds this engine commits):
 - **append** (no removes, no read dependency): NEVER conflicts;
   always rebases onto the latest version. Two concurrent ingest
   writers both land.
-- **merge / rewrite** (removes files it read): conflicts if an
-  intervening commit (a) removed any file this transaction also
-  removes (the rewrite raced another rewrite of the same data), or
-  (b) touched any PARTITION this transaction read to compute its
-  output (its anti-join/dedup was computed against a stale snapshot
-  of that partition). Disjoint-partition merges rebase and both land.
+- **merge / rewrite**: conflicts if an intervening commit (a) removed
+  any file this transaction also removes (the rewrite raced another
+  rewrite of the same data), or (b) touched any PARTITION in this
+  transaction's footprint — adds OR removes, so an insert-only merge
+  still conflicts with a rival writing the same partition (two
+  insert-only merges of one fresh key cannot both land). Disjoint-
+  partition merges rebase and both land. Isolation matches Delta's
+  WriteSerializable: a partition a merge READ but wrote nothing to is
+  not tracked, so a no-output decision can be stale under a racing
+  delete there — callers needing full serializability declare such
+  partitions explicitly via ``commit(partitions=...)``.
 
 Data files are written RACE-FREE via a per-transaction staging
 directory then hard-linked into the table tree under unique names
@@ -83,18 +88,23 @@ def is_txn_table(table_root: str) -> bool:
 
 
 def init_table(table_root: str) -> None:
-    """Create an empty log (version 0 = empty table). Existing data
-    files (a pre-txn table) are adopted as commit 1 — through the old
+    """Create the log (version 0 = empty table). Existing data files
+    (a pre-txn table) are adopted as commit 1 — through the old
     ``_MANIFEST`` when one exists, so crash-window orphans a previous
     single-writer merge left on disk are NOT adopted as live data
     (they stay orphans for txn_vacuum), matching what read_committed
-    showed before the upgrade."""
+    showed before the upgrade.
+
+    Concurrency-safe: the log is BUILT in a hidden temp dir (adopt
+    commit included) and published with one atomic ``os.rename`` — a
+    racing initializer either wins the rename or sees the winner's
+    complete log; no window where the log exists without the adoption
+    commit (which would make pre-existing data silently invisible)."""
     root = _local_root(table_root)
     os.makedirs(root, exist_ok=True)
     log = _log_dir(table_root)
     if os.path.isdir(log):
         return
-    os.makedirs(log)
     from .operators.merge import _list_data_files, read_manifest
 
     m = read_manifest(table_root)
@@ -103,20 +113,29 @@ def init_table(table_root: str) -> None:
         if m is not None
         else sorted(_list_data_files(table_root))
     )
+    tmp = os.path.join(root, f".{TXN_DIR}.init-{uuid.uuid4().hex}")
+    os.makedirs(tmp)
     if existing:
-        _raw_commit(
-            table_root,
-            1,
-            {
-                "version": 1,
-                "op": "adopt",
-                "adds": existing,
-                "removes": [],
-                "partitions": [],
-                "writer": "init",
-                "base_version": 0,
-            },
-        )
+        with open(os.path.join(tmp, _vname(1)), "w") as f:
+            json.dump(
+                {
+                    "version": 1,
+                    "op": "adopt",
+                    "adds": existing,
+                    "removes": [],
+                    "partitions": [],
+                    "writer": "init",
+                    "base_version": 0,
+                },
+                f,
+            )
+    try:
+        os.rename(tmp, log)
+    except OSError:
+        # lost the init race — the winner's log is authoritative
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isdir(log):
+            raise
 
 
 def latest_version(table_root: str) -> int:
@@ -177,14 +196,22 @@ def _raw_commit(table_root: str, v: int, payload: dict) -> None:
     finally:
         os.unlink(tmp)
     if v % CHECKPOINT_EVERY == 0:
-        # checkpoints are derived + idempotent: any writer may (re)write
-        # one, content is a pure fold of commits <= v
-        _, files = snapshot(table_root, v)
-        cp = os.path.join(log, f"checkpoint-v{v:010d}.json")
-        cptmp = cp + f".tmp-{uuid.uuid4().hex}"
-        with open(cptmp, "w") as f:
-            json.dump({"version": v, "files": sorted(files)}, f)
-        os.replace(cptmp, cp)
+        # checkpoints are derived + idempotent (any writer may (re)write
+        # one; content is a pure fold of commits <= v) and BEST-EFFORT:
+        # the os.link above already landed the commit, so a checkpoint
+        # IO failure must not surface as a commit failure — a caller
+        # retrying an already-applied transaction would double-apply it.
+        # A missing checkpoint only means longer folds until the next
+        # multiple of CHECKPOINT_EVERY.
+        try:
+            _, files = snapshot(table_root, v)
+            cp = os.path.join(log, f"checkpoint-v{v:010d}.json")
+            cptmp = cp + f".tmp-{uuid.uuid4().hex}"
+            with open(cptmp, "w") as f:
+                json.dump({"version": v, "files": sorted(files)}, f)
+            os.replace(cptmp, cp)
+        except OSError:
+            pass
 
 
 def commit(
@@ -221,10 +248,18 @@ def commit(
                     f"v{v} already removed files this transaction "
                     f"rewrites (op={c['op']})"
                 )
-            if removes_set and parts_set & set(c["partitions"]):
+            # read-modify-write ops conflict on partition overlap even
+            # when they remove nothing: an INSERT-only merge decided
+            # its inserts by reading those partitions, and a rival
+            # commit there (e.g. the same fresh key inserted twice)
+            # invalidates that read. Blind appends (op != merge) skip
+            # this and always rebase.
+            if (removes_set or op == "merge") and parts_set & set(
+                c["partitions"]
+            ):
                 raise CommitConflictError(
-                    f"v{v} ({c['op']}) touched partitions this merge "
-                    "read; recompute against the new snapshot"
+                    f"v{v} ({c['op']}) touched partitions this "
+                    f"{op} read; recompute against the new snapshot"
                 )
         target = head + 1
         payload = {
@@ -324,15 +359,7 @@ def txn_vacuum(table_root: str) -> list[str]:
     VACUUM(0h) this is only safe when no transaction is mid-write and
     no reader holds an old snapshot; run it from a quiesced maintenance
     window. Returns removed root-relative paths."""
-    from .operators.merge import _list_data_files
+    from .operators.merge import remove_orphans
 
     _, files = snapshot(table_root)
-    root = _local_root(table_root)
-    orphans = sorted(_list_data_files(table_root) - files)
-    for rel in orphans:
-        os.remove(os.path.join(root, rel))
-        d = os.path.dirname(os.path.join(root, rel))
-        while d != root and os.path.isdir(d) and not os.listdir(d):
-            os.rmdir(d)
-            d = os.path.dirname(d)
-    return orphans
+    return remove_orphans(table_root, files)

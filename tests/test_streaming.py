@@ -880,3 +880,37 @@ def test_streaming_late_point_rolls_back_watermark_plan_side(
     for g, v in wm_before.items():
         if v is None:
             assert wm_after[g] is None, g
+
+
+def test_running_fn_sorts_across_arrow_chunks():
+    """A key whose micro-batch spans several Arrow chunks must be
+    ordered as ONE batch: chunk-local sorting would interleave seq_no
+    and cumsum across out-of-order chunks."""
+    import pandas as pd
+
+    from django_datastream_spark.streaming.stateful import _running_fn
+
+    class FakeState:
+        exists = False
+
+        def __init__(self):
+            self.val = None
+
+        def update(self, v):
+            self.val = v
+
+    # chunk 2 holds EARLIER timestamps than chunk 1
+    c1 = pd.DataFrame(
+        {"event_id": [3, 4], "ts": pd.to_datetime(["2024-01-02", "2024-01-03"]),
+         "value": [30.0, 40.0]}
+    )
+    c2 = pd.DataFrame(
+        {"event_id": [1, 2], "ts": pd.to_datetime(["2023-12-30", "2023-12-31"]),
+         "value": [10.0, 20.0]}
+    )
+    st = FakeState()
+    out = pd.concat(list(_running_fn((5,), iter([c1, c2]), st)))
+    assert list(out["event_id"]) == [1, 2, 3, 4]
+    assert list(out["seq_no"]) == [1, 2, 3, 4]
+    assert list(out["running_value"]) == [10.0, 30.0, 60.0, 100.0]
+    assert st.val == (4, 100.0)

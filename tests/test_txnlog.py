@@ -281,3 +281,89 @@ def test_adoption_respects_pre_txn_manifest(spark, tmp_path, monkeypatch):
     TL.init_table(path)
     assert _rows(spark, path) == {1: ("a", 1.0)}  # orphan invisible
     assert TL.txn_vacuum(path)  # and reclaimable
+
+
+def test_concurrent_init_on_pre_existing_table(spark, tmp_path):
+    """Racing initializers on a plain pre-txn table: the atomic
+    rename-publish means whoever wins installs the adoption commit,
+    and no interleaving can make the pre-existing rows invisible."""
+    path = str(tmp_path / "t")
+    _df(spark, [(100, "a", 1.0), (101, "b", 2.0)]).write.partitionBy(
+        "p"
+    ).parquet(path)
+    errs = []
+
+    def writer(i):
+        try:
+            TL.txn_append(
+                spark, _df(spark, [(i, "a", float(i))]), path, ["p"]
+            )
+        except Exception as e:  # noqa: BLE001 — surface in assert
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in (1, 2, 3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert set(_rows(spark, path)) == {100, 101, 1, 2, 3}
+
+
+def test_insert_only_merge_conflicts_with_racing_insert(
+    spark, tmp_path, monkeypatch
+):
+    """Two writers deciding key 7 is fresh from the same snapshot must
+    not BOTH insert it: the read-modify-write partition rule applies
+    even when the merge removes nothing."""
+    path = str(tmp_path / "t")
+    TL.txn_append(spark, _df(spark, [(1, "a", 1.0)]), path, ["p"])
+    real = TL.stage_files
+    raced = {"done": False}
+
+    def inject(spark_, df, root, pcols, tag):
+        adds = real(spark_, df, root, pcols, tag)
+        if not raced["done"]:
+            raced["done"] = True
+            # rival inserts the SAME fresh key from the same snapshot
+            merge_into(
+                spark_, path, _df(spark_, [(7, "a", 70.0)]),
+                ["k"], ["p"], txn=True,
+            )
+        return adds
+
+    monkeypatch.setattr(TL, "stage_files", inject)
+    with pytest.raises(TL.CommitConflictError):
+        merge_into(
+            spark, path, _df(spark, [(7, "a", 7.0)]), ["k"], ["p"], txn=True
+        )
+    monkeypatch.setattr(TL, "stage_files", real)
+    assert _rows(spark, path)[7] == ("a", 70.0)  # exactly one landed
+    # recovery re-run now sees key 7 and updates instead of duplicating
+    merge_into(
+        spark, path, _df(spark, [(7, "a", 7.0)]), ["k"], ["p"], txn=True
+    )
+    rows = TL.txn_read(spark, path).filter("k = 7").collect()
+    assert len(rows) == 1 and rows[0]["v"] == 7.0
+
+
+def test_checkpoint_failure_does_not_fail_landed_commit(
+    spark, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "t")
+    TL.init_table(path)
+    for i in range(TL.CHECKPOINT_EVERY - 1):
+        TL.commit(path, [], [], "append", [], base_version=i)
+
+    def boom(*a, **k):
+        raise OSError("disk full during checkpoint")
+
+    monkeypatch.setattr(TL, "snapshot", boom)
+    v = TL.commit(
+        path, [], [], "append", [], base_version=TL.CHECKPOINT_EVERY - 1
+    )
+    monkeypatch.undo()
+    assert v == TL.CHECKPOINT_EVERY  # the commit landed
+    log = os.path.join(path, TL.TXN_DIR)
+    assert not any(n.startswith("checkpoint-") for n in os.listdir(log))
+    assert TL.snapshot(path)[0] == TL.CHECKPOINT_EVERY  # fold still works
