@@ -182,3 +182,42 @@ def quality_weighted_sample(
         .withColumn("u", u01(F.col(id_col), salt))
         .filter(F.col("u") < F.col("w"))
     )
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    epoch: int,
+    num_batches: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch training shuffle: assign every document
+    a (batch, pos) for this epoch, reproducible across runs, cluster
+    sizes, and input partitionings — the data-loader contract a
+    training job needs to resume mid-epoch or re-derive exactly which
+    examples step K saw.
+
+    Scale shape: batch = md5(epoch, id) mod num_batches is a pure
+    column expression (one hash shuffle for the window, nothing
+    global); pos ranks within a batch by the same hash, so the only
+    window is PARTITIONED by batch and bounded by batch size — never
+    the single-reducer global ROW_NUMBER a naive "ORDER BY random()"
+    shuffle plan degenerates to.  Different epochs permute
+    independently because the epoch salts the hash."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws("\x1f", F.lit(str(epoch)), F.col(id_col)))
+    w = Window.partitionBy("batch").orderBy("h", id_col)
+    return (
+        docs.select(F.col(id_col), h.alias("h"))
+        .withColumn(
+            "batch",
+            F.pmod(
+                F.conv(F.substring("h", 1, 15), 16, 10).cast("long"),
+                F.lit(num_batches),
+            ),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select(
+            F.lit(epoch).alias("epoch"), F.col(id_col), "batch", "pos"
+        )
+    )

@@ -6647,3 +6647,110 @@ def q163(spark, sf_dir):
         )
         .orderBy("part")
     )
+
+
+# --------------------------------------------------------------------------
+# Q164/Q165: epoch-deterministic training shuffle + data-quality gates
+# --------------------------------------------------------------------------
+@_declare(
+    "q164_epoch_shuffle",
+    """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
+    sh AS (
+      SELECT e.epoch, d.doc_id,
+             md5(CAST(e.epoch AS VARCHAR) || chr(31)
+                 || CAST(d.doc_id AS VARCHAR)) h
+      FROM d CROSS JOIN (SELECT unnest([1, 2]) epoch) e),
+    b AS (SELECT epoch, doc_id, h,
+                 CAST(CAST(('0x' || substring(h, 1, 15)) AS UBIGINT) % 8
+                      AS BIGINT) batch
+          FROM sh)
+    SELECT epoch, doc_id, batch,
+           CAST(ROW_NUMBER() OVER (PARTITION BY epoch, batch
+                                   ORDER BY h, doc_id) AS BIGINT) pos
+    FROM b ORDER BY epoch, batch, pos
+    """,
+)
+def q164(spark, sf_dir):
+    """Deterministic per-EPOCH training shuffle (sampling.epoch_shuffle)
+    for epochs 1 and 2: every document gets a reproducible (batch, pos)
+    per epoch — the data-loader contract for resuming mid-epoch or
+    re-deriving exactly what step K saw.  The oracle recomputes the
+    md5(epoch, id) permutation in SQL, so a hash match pins that the
+    shuffle is (a) deterministic, (b) epoch-dependent, and (c) exactly
+    the declared map, not merely "some" permutation.  Scale shape:
+    batch is a pure hash column (no global sort) and the only window
+    is PARTITIONED by batch — bounded by batch size, never a
+    single-reducer global row number."""
+    from ..operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 2000
+    )
+    e1 = epoch_shuffle(docs, epoch=1, num_batches=8)
+    e2 = epoch_shuffle(docs, epoch=2, num_batches=8)
+    return (
+        e1.unionByName(e2)
+        .select(
+            "epoch", "doc_id",
+            F.col("batch").cast("long").alias("batch"),
+            F.col("pos").cast("long").alias("pos"),
+        )
+        .orderBy("epoch", "batch", "pos")
+    )
+
+
+@_declare(
+    "q165_constraint_checks",
+    """
+    WITH base AS (
+      SELECT o.*, c.c_custkey ref_ok
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+    agg AS (
+      SELECT COUNT(*) checked,
+        SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) positive_price,
+        SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END)
+          valid_status,
+        SUM(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01'
+                  AND o_orderdate < TIMESTAMP '1999-01-01'
+                 THEN 0 ELSE 1 END) date_in_range,
+        SUM(CASE WHEN ref_ok IS NULL THEN 1 ELSE 0 END) customer_exists
+      FROM base)
+    SELECT "rule", CAST(violations AS BIGINT) violations,
+           CAST(checked AS BIGINT) checked
+    FROM (
+      SELECT 'positive_price' AS "rule", positive_price violations, checked
+        FROM agg
+      UNION ALL SELECT 'valid_status', valid_status, checked FROM agg
+      UNION ALL SELECT 'date_in_range', date_in_range, checked FROM agg
+      UNION ALL SELECT 'customer_exists', customer_exists, checked FROM agg)
+    ORDER BY "rule"
+    """,
+)
+def q165(spark, sf_dir):
+    """Declarative DATA-QUALITY GATE (operators/quality
+    .check_constraints — the Deequ/dbt-test shape): four named rules
+    over orders evaluated as ONE aggregation pass (each predicate rule
+    a conditional sum in a single hash aggregate) plus one broadcast
+    left-anti for the referential rule; (rule, violations, checked)
+    rows hash-match the oracle's CASE-WHEN recount.  N rules cost one
+    scan, not N — the property that matters when the table is 100 TB
+    and the rule set is a compliance checklist."""
+    from ..operators.quality import check_constraints
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return check_constraints(
+        orders,
+        rules={
+            "positive_price": "o_totalprice > 0",
+            "valid_status": "o_orderstatus IN ('O', 'F', 'P')",
+            "date_in_range": (
+                "o_orderdate >= TIMESTAMP '1992-01-01' AND "
+                "o_orderdate < TIMESTAMP '1999-01-01'"
+            ),
+        },
+        references={
+            "customer_exists": (customer, "o_custkey", "c_custkey")
+        },
+    ).orderBy("rule")

@@ -363,3 +363,69 @@ def txn_vacuum(table_root: str) -> list[str]:
 
     _, files = snapshot(table_root)
     return remove_orphans(table_root, files)
+
+
+def txn_changes(
+    spark: SparkSession,
+    table_root: str,
+    from_version: int,
+    to_version: int | None = None,
+    schema=None,
+) -> DataFrame:
+    """CHANGE DATA FEED over the commit log: the rows ADDED by commits
+    in ``(from_version, to_version]`` — an incremental consumer reads
+    only new data files instead of diffing snapshots or rescanning the
+    table (Delta's CDF restricted to the insert/append side; update
+    and delete "before images" would need per-row change files, which
+    vanilla parquet cannot express — documented, not emulated).
+
+    Rows are tagged with the commit that introduced them
+    (``_commit_version``) so a consumer can checkpoint "processed
+    through version V" and resume exactly. Files rewritten-away by a
+    LATER commit still appear for the commit that added them (history
+    is immutable); files whose adds lie in the range but were already
+    vacuumed raise on read, the same contract as Delta CDF past the
+    retention window.
+
+    At 100 TB: the log fold is metadata-sized, and the read is a
+    parquet scan of exactly the new files — incremental cost tracks
+    the delta, never the table."""
+    head = latest_version(table_root)
+    to_v = head if to_version is None else to_version
+    if not 0 <= from_version <= to_v <= head:
+        raise ValueError(
+            f"bad version range ({from_version}, {to_v}] with head {head}"
+        )
+    root = _local_root(table_root)
+    per_commit = []
+    for v in range(from_version + 1, to_v + 1):
+        c = _read_commit(table_root, v)
+        if c["adds"]:
+            per_commit.append((v, [os.path.join(root, f) for f in c["adds"]]))
+    if not per_commit:
+        if schema is None:
+            raise ValueError(
+                f"{table_root}: no changes in ({from_version}, {to_v}]; "
+                "pass schema for an empty frame"
+            )
+        from pyspark.sql import types as T
+
+        empty_schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField("_commit_version", T.LongType())]
+        )
+        return spark.createDataFrame([], empty_schema)
+    from pyspark.sql import functions as F
+
+    parts = []
+    for v, files in per_commit:
+        r = spark.read.option("basePath", table_root)
+        if schema is not None:
+            r = r.schema(schema)
+        parts.append(
+            r.parquet(*files).withColumn("_commit_version", F.lit(v))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

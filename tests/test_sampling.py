@@ -112,3 +112,25 @@ def test_quality_weighted_sample(corpus):
     assert hi > 2 * lo
     # audit columns present: every survivor has u < w
     assert kept.filter(F.col("u") >= F.col("w")).count() == 0
+
+
+def test_epoch_shuffle_deterministic_and_epoch_dependent(spark):
+    from django_datastream_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    a1 = {(r["doc_id"]): (r["batch"], r["pos"])
+          for r in epoch_shuffle(docs, 3, 8).collect()}
+    a2 = {(r["doc_id"]): (r["batch"], r["pos"])
+          for r in epoch_shuffle(docs, 3, 8).collect()}
+    b = {(r["doc_id"]): (r["batch"], r["pos"])
+         for r in epoch_shuffle(docs, 4, 8).collect()}
+    assert a1 == a2                      # deterministic
+    assert a1 != b                       # epoch actually permutes
+    # (batch, pos) is a bijection onto contiguous positions per batch
+    seen = sorted(a1.values())
+    per_batch = {}
+    for bt, pos in seen:
+        per_batch.setdefault(bt, []).append(pos)
+    assert set(per_batch) == set(range(8))
+    for ps in per_batch.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))

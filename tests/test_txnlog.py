@@ -367,3 +367,30 @@ def test_checkpoint_failure_does_not_fail_landed_commit(
     log = os.path.join(path, TL.TXN_DIR)
     assert not any(n.startswith("checkpoint-") for n in os.listdir(log))
     assert TL.snapshot(path)[0] == TL.CHECKPOINT_EVERY  # fold still works
+
+
+def test_change_data_feed_incremental_consumption(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v1 = TL.txn_append(spark, _df(spark, [(1, "a", 1.0)]), path, ["p"])
+    v2 = TL.txn_append(spark, _df(spark, [(2, "b", 2.0)]), path, ["p"])
+    v3 = merge_into(
+        spark, path, _df(spark, [(1, "a", 10.0), (3, "a", 3.0)]),
+        ["k"], ["p"], txn=True,
+    )["version"]
+    # consumer checkpointed at v1: sees v2's append and v3's rewrite
+    ch = TL.txn_changes(spark, path, from_version=v1)
+    got = {(r["k"], r["_commit_version"]) for r in ch.collect()}
+    assert got == {(2, v2), (1, v3), (3, v3)}
+    # full-history feed includes the first append
+    allch = TL.txn_changes(spark, path, from_version=0)
+    assert {(r["k"], r["_commit_version"]) for r in allch.collect()} == {
+        (1, v1), (2, v2), (1, v3), (3, v3),
+    }
+    # empty range with schema -> typed empty frame
+    empty = TL.txn_changes(
+        spark, path, from_version=v3,
+        schema=TL.txn_read(spark, path).drop("p").schema,
+    )
+    assert empty.count() == 0 and "_commit_version" in empty.columns
+    with pytest.raises(ValueError, match="bad version range"):
+        TL.txn_changes(spark, path, from_version=5, to_version=2)
