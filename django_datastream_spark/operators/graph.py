@@ -23,6 +23,15 @@ lowest-rank vertex, so
 All steps are hash equi-joins and aggregations — no driver loops, no
 broadcast requirement (AQE may still choose broadcast for a small
 degree table).
+
+Plan-shape note: the oriented-edge subtree feeds three consumers
+(both wedge sides + the closing probe). The wedge self-join's two
+sides shuffle on the SAME key over the SAME subtree, so Catalyst's
+ReuseExchange collapses them (pinned in tests/test_plans.py); the
+closing join shuffles on a different key and re-derives the subtree
+once more. Total work is therefore a small constant number of passes
+over the edge list — linear in m, never exponential in the number of
+plan references.
 """
 
 from __future__ import annotations

