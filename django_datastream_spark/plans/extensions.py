@@ -6754,3 +6754,71 @@ def q165(spark, sf_dir):
             "customer_exists": (customer, "o_custkey", "c_custkey")
         },
     ).orderBy("rule")
+
+
+# --------------------------------------------------------------------------
+# Q166: TPC-H Q22 shape — scalar-subquery threshold + NOT EXISTS anti-join
+# --------------------------------------------------------------------------
+@_declare(
+    "q166_dormant_rich_customers",
+    """
+    WITH thresh AS (
+      SELECT AVG(c_acctbal) t FROM customer WHERE c_acctbal > 0),
+    cand AS (
+      SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+      FROM customer c, thresh
+      WHERE c.c_acctbal > thresh.t
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '1998-01-01'))
+    SELECT n.n_name nation,
+           CAST(COUNT(*) AS BIGINT) numcust,
+           ROUND(SUM(c_acctbal), 2) totacctbal
+    FROM cand JOIN nation n ON n.n_nationkey = cand.c_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q166(spark, sf_dir):
+    """TPC-H Q22's shape on the trimmed schema: customers with an
+    above-average positive balance and no orders SINCE 1998 (every
+    trimmed-testdata customer has some order, so dormancy is
+    date-scoped to keep the gate non-vacuous: 3 survivors at sf0.01,
+    30 at sf0.1), rolled up per nation.  The plan the shape exists to pin: the average is a
+    1-row scalar aggregate CROSS-JOINED (broadcast) onto the scan —
+    never a correlated per-row subquery; NOT EXISTS lowers to a
+    LEFT ANTI hash join on custkey; nation is a broadcast dim.  One
+    pass over customer, one over orders' custkey column (pruned
+    scan), no shuffle larger than the anti join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    thresh = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("t")
+    )
+    cand = (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("t"))
+        .join(
+            orders,
+            cust["c_custkey"] == orders["o_custkey"],
+            "left_anti",
+        )
+    )
+    return (
+        cand.join(
+            F.broadcast(nation),
+            cand["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("nation")
+    )

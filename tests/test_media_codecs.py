@@ -378,3 +378,57 @@ def test_png_corrupt_payload_quarantines_in_spark(spark):
     rows = {r["media_id"]: r for r in mm.extract_png_features(media).collect()}
     assert rows[0]["decode_err"] is None
     assert rows[1]["decode_err"] is not None and rows[1]["width"] is None
+
+
+# ---------------------------------------------------------------------------
+# PNG property tests (hypothesis): roundtrip law + decoder totality
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=hst.integers(1, 24),
+    w=hst.integers(1, 24),
+    nch=hst.sampled_from([1, 2, 3, 4]),
+    ft=hst.integers(0, 4),
+    seed=hst.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, nch, ft, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, size=(h, w, nch), dtype=np.uint8)
+    assert (mc.parse_png(mc.encode_png(a, ft)) == a).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=hst.binary(max_size=400))
+def test_png_decoder_total_on_garbage(data):
+    """parse_png over arbitrary bytes must either decode or raise
+    ValueError — never IndexError/struct.error/segfault-shaped
+    surprises (the quarantine path in multimodal catches ValueError
+    by contract)."""
+    try:
+        mc.parse_png(data)
+    except ValueError:
+        pass
+    try:  # also with a valid signature grafted on
+        mc.parse_png(mc.PNG_SIG + data)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=hst.binary(max_size=300))
+def test_png_truncation_total(data):
+    """Truncating a VALID png anywhere must raise ValueError or
+    (for truncations past IEND-start that keep the stream whole)
+    still decode the same pixels — never crash."""
+    a = (np.arange(60, dtype=np.uint8).reshape(5, 4, 3) * 3) % 256
+    p = mc.encode_png(a, 2)
+    cut = len(data) % len(p)
+    try:
+        out = mc.parse_png(p[:cut])
+        assert (out == a).all()  # only reachable if stream was whole
+    except ValueError:
+        pass

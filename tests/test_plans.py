@@ -537,3 +537,14 @@ def test_triangle_counting_reuses_oriented_exchange(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_q166_scalar_broadcast_and_anti_join(spark):
+    """TPC-H Q22 shape: the global-average threshold must be a 1-row
+    broadcast onto the customer scan (never a correlated per-row
+    subquery) and NOT EXISTS must lower to a hash LEFT ANTI join with
+    the orders scan pruned to the custkey/date columns."""
+    plan = plan_of(spark, "q166_dormant_rich_customers")
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "o_comment" not in plan  # orders scan pruned
