@@ -353,16 +353,44 @@ def txn_append(
     )
 
 
-def txn_vacuum(table_root: str) -> list[str]:
-    """Remove data files not referenced by the CURRENT snapshot —
-    crashed-transaction orphans and rewritten-away files. Like Delta's
-    VACUUM(0h) this is only safe when no transaction is mid-write and
-    no reader holds an old snapshot; run it from a quiesced maintenance
-    window. Returns removed root-relative paths."""
-    from .operators.merge import remove_orphans
+def txn_vacuum(
+    table_root: str,
+    retain_versions: int = 0,
+    min_age_s: float = 0.0,
+) -> list[str]:
+    """Remove data files not referenced by any RETAINED snapshot —
+    crashed-transaction orphans and rewritten-away files.
 
-    _, files = snapshot(table_root)
-    return remove_orphans(table_root, files)
+    ``retain_versions=K`` keeps every file referenced by the last K+1
+    snapshots (head-K .. head), so time travel and long-running readers
+    over that window stay valid after the vacuum (Delta's retention,
+    expressed in versions rather than hours).  ``min_age_s`` skips
+    files modified more recently than that many seconds — the guard
+    for IN-FLIGHT transactions, whose staged files exist on disk
+    before their commit lands and must not be swept mid-write.
+
+    The defaults (0, 0.0) are Delta's VACUUM(0h): only safe when no
+    transaction is mid-write and no reader holds an old snapshot —
+    run that form from a quiesced maintenance window.  Returns removed
+    root-relative paths."""
+    import time
+
+    from .operators.merge import _list_data_files, remove_orphans
+
+    head = latest_version(table_root)
+    keep: set[str] = set()
+    for v in range(max(0, head - retain_versions), head + 1):
+        keep |= snapshot(table_root, v)[1]
+    if min_age_s > 0:
+        root = _local_root(table_root)
+        cutoff = time.time() - min_age_s
+        for rel in _list_data_files(table_root) - keep:
+            try:
+                if os.path.getmtime(os.path.join(root, rel)) > cutoff:
+                    keep.add(rel)  # too fresh — possibly in-flight
+            except OSError:
+                keep.add(rel)  # vanished mid-scan: leave it alone
+    return remove_orphans(table_root, keep)
 
 
 def txn_changes(

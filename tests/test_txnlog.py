@@ -459,3 +459,40 @@ def test_model_based_random_interleavings(spark, tmp_path):
     head = TL.latest_version(path)
     assert head == len(history)
     assert _rows(spark, path, version=head) == history[-1]
+
+
+def test_vacuum_retention_keeps_recent_snapshots_readable(spark, tmp_path):
+    path = str(tmp_path / "t")
+    TL.txn_append(spark, _df(spark, [(1, "a", 1.0)]), path, ["p"])      # v1
+    merge_into(spark, path, _df(spark, [(1, "a", 2.0)]), ["k"], ["p"],
+               txn=True)                                                 # v2
+    merge_into(spark, path, _df(spark, [(1, "a", 3.0)]), ["k"], ["p"],
+               txn=True)                                                 # v3
+    # retain one prior version: v2 must stay readable, v1's file goes
+    removed = TL.txn_vacuum(path, retain_versions=1)
+    assert removed  # v1's superseded file reclaimed
+    assert _rows(spark, path, version=3)[1] == ("a", 3.0)
+    assert _rows(spark, path, version=2)[1] == ("a", 2.0)
+    with pytest.raises(Exception):  # v1's data file is gone
+        _rows(spark, path, version=1)
+
+
+def test_vacuum_min_age_protects_inflight_staged_files(spark, tmp_path):
+    import os as _os
+    import time as _time
+
+    path = str(tmp_path / "t")
+    TL.txn_append(spark, _df(spark, [(1, "a", 1.0)]), path, ["p"])
+    # simulate an in-flight transaction: staged file, commit not landed
+    staged = TL.stage_files(
+        spark, _df(spark, [(2, "a", 2.0)]), path, ["p"], "inflight"
+    )
+    assert staged
+    # fresh file is protected...
+    assert TL.txn_vacuum(path, min_age_s=3600) == []
+    # ...but an AGED uncommitted orphan is reclaimed
+    root = _os.path.join(path)
+    for rel in staged:
+        p = _os.path.join(root, rel)
+        _os.utime(p, (_time.time() - 7200, _time.time() - 7200))
+    assert sorted(TL.txn_vacuum(path, min_age_s=3600)) == sorted(staged)
