@@ -6822,3 +6822,49 @@ def q166(spark, sf_dir):
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# Q167: stream-static enrichment join inside the gate
+# --------------------------------------------------------------------------
+@_declare(
+    "q167_stream_static_enrich",
+    """
+    WITH fs AS (SELECT user_id, date_trunc('week', MIN(ts)) cohort
+                FROM events GROUP BY 1)
+    SELECT CAST(floor(epoch(fs.cohort)) AS BIGINT) cohort_ws,
+           e.event_type,
+           CAST(COUNT(*) AS BIGINT) n
+    FROM events e JOIN fs ON fs.user_id = e.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q167(spark, sf_dir):
+    """STREAM-STATIC join inside the gate — the remaining streaming
+    join mode after q160's stream-stream form: the events replay is
+    enriched against a STATIC per-user cohort dimension (week of first
+    event, computed in batch from the same table), then cohort x type
+    counts of the emitted rows must hash-match the batch join.  In
+    production this is the dimension-enrichment pattern (stream joined
+    to a slowly-changing dim re-resolved per micro-batch); no
+    watermark is needed because the static side is bounded and the
+    join is stateless — each micro-batch joins and emits.  The dim
+    side broadcasts (user-count sized)."""
+    st, out, cp = _streaming_events(spark, sf_dir, "q167")
+    cohorts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
+    )
+    joined = st.select("user_id", "event_type").join(
+        F.broadcast(cohorts), "user_id"
+    )
+    _run_bounded(joined, out, cp, "q167")
+    res = spark.read.parquet(out)
+    return (
+        res.groupBy(
+            F.unix_timestamp("cohort").alias("cohort_ws"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("cohort_ws", "event_type")
+    )

@@ -62,14 +62,15 @@ def test_declaring_queries_runs_no_jobs(spark):
     index on first use (corpus fingerprint count + cold kmeans fit);
     q45/q65 run the connected-components fixpoint — Spark has no
     recursive SQL, so the driver convergence loop IS the operator;
-    q155/q160/q161/q162 EXECUTE a bounded Structured Streaming job by
+    q155/q160/q161/q162/q167 EXECUTE a bounded Structured Streaming job by
     design (the point of those queries is streaming execution inside
     the gate)."""
     exempt = {"q42_ann_ivf_topk", "q45_dedup_clusters",
               "q65_fuzzy_cluster_survivors",
               "q155_streaming_downsample_gate",
               "q160_stream_stream_join", "q161_streaming_dedup",
-              "q162_stateful_running_totals"}
+              "q162_stateful_running_totals",
+              "q167_stream_static_enrich"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds

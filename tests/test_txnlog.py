@@ -496,3 +496,55 @@ def test_vacuum_min_age_protects_inflight_staged_files(spark, tmp_path):
         p = _os.path.join(root, rel)
         _os.utime(p, (_time.time() - 7200, _time.time() - 7200))
     assert sorted(TL.txn_vacuum(path, min_age_s=3600)) == sorted(staged)
+
+
+def test_streaming_foreachbatch_commits_through_txn_log(spark, tmp_path):
+    """Structured Streaming -> foreachBatch -> txn_append: every
+    micro-batch is one atomic log commit, so a concurrent batch writer
+    can interleave safely and the final table is the union with no
+    lost update. This is the multi-writer ingest story the log
+    exists for (a second INDEPENDENT writer lands mid-stream)."""
+    import pandas as pd
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    table = str(tmp_path / "table")
+    TL.init_table(table)
+    for i in range(3):
+        pd.DataFrame(
+            {"k": [10 * i + 1, 10 * i + 2],
+             "p": ["a", "b"],
+             "v": [float(i), float(i) + 0.5]}
+        ).to_parquet(os.path.join(src_dir, f"f{i}.parquet"))
+
+    def sink(batch_df, batch_id):
+        ss = batch_df.sparkSession
+        TL.txn_append(ss, batch_df, table, ["p"], writer=f"b{batch_id}")
+        if batch_id == 0:
+            # rival batch writer lands between micro-batches
+            TL.txn_append(
+                ss,
+                ss.createDataFrame(
+                    [(999, "a", 9.9)], "k long, p string, v double"
+                ),
+                table,
+                ["p"],
+                writer="rival",
+            )
+
+    q = (
+        spark.readStream.schema("k long, p string, v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation", str(tmp_path / "cp")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = set(_rows(spark, table))
+    assert {1, 2, 11, 12, 21, 22, 999} <= got
+    # one commit per micro-batch + rival + (no adoption: init was empty)
+    assert TL.latest_version(table) == 4
