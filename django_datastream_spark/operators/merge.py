@@ -164,21 +164,35 @@ def read_committed(
     return r.parquet(*files)
 
 
-def remove_orphans(target_path: str, keep: set[str]) -> list[str]:
-    """Delete every data file under the table NOT in ``keep``
-    (root-relative paths), dropping partition dirs that empty out.
-    Shared by the manifest vacuum here and txnlog.txn_vacuum — one
-    place for the walk/remove/ascend logic. Returns removed paths."""
+def delete_rel_files(target_path: str, rels: list[str]) -> list[str]:
+    """Delete the given root-relative data files, dropping partition
+    dirs that empty out. The caller owns deciding WHICH files go —
+    passing an explicit list (derived from one directory listing)
+    avoids the list-again-then-delete TOCTOU a keep-set API invites.
+    Returns the paths actually removed (missing files are skipped)."""
     root = _local_root(target_path)
-    orphans = sorted(_list_data_files(target_path) - keep)
-    for rel in orphans:
-        os.remove(os.path.join(root, rel))
+    removed = []
+    for rel in rels:
+        try:
+            os.remove(os.path.join(root, rel))
+        except FileNotFoundError:
+            continue
+        removed.append(rel)
         # opportunistically drop now-empty partition dirs
         d = os.path.dirname(os.path.join(root, rel))
         while d != root and os.path.isdir(d) and not os.listdir(d):
             os.rmdir(d)
             d = os.path.dirname(d)
-    return orphans
+    return removed
+
+
+def remove_orphans(target_path: str, keep: set[str]) -> list[str]:
+    """Delete every data file under the table NOT in ``keep``
+    (root-relative paths). Shared by the manifest vacuum here and
+    txnlog's crash repair. Returns removed paths."""
+    return delete_rel_files(
+        target_path, sorted(_list_data_files(target_path) - keep)
+    )
 
 
 def vacuum_uncommitted(target_path: str) -> list[str]:

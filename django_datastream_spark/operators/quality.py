@@ -34,15 +34,26 @@ def check_constraints(
     if not rules and not references:
         raise ValueError("no rules given")
     pieces = []
+    names = list(rules)
+    # positional internal aliases (__r0, __r1, ...): rule NAMES appear
+    # only as string literals in the output, so a rule called
+    # "_checked" or containing dots can never collide with internal
+    # columns or be misparsed as a nested-field reference
     if rules:
-        aggs = [F.count(F.lit(1)).alias("_checked")]
-        for name, expr in rules.items():
+        aggs = [F.count(F.lit(1)).alias("__checked")]
+        for i, name in enumerate(names):
             aggs.append(
-                F.sum(
-                    F.when(
-                        F.expr(expr).eqNullSafe(F.lit(True)), 0
-                    ).otherwise(1)
-                ).alias(name)
+                # coalesce: SUM over an EMPTY table is NULL, but an
+                # empty batch has zero violations, not unknown —
+                # a gate comparing violations == 0 must pass it
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.expr(rules[name]).eqNullSafe(F.lit(True)), 0
+                        ).otherwise(1)
+                    ),
+                    F.lit(0),
+                ).alias(f"__r{i}")
             )
         wide = df.agg(*aggs)
         # unpivot the single wide row into (rule, violations, checked)
@@ -53,34 +64,38 @@ def check_constraints(
                         *[
                             F.struct(
                                 F.lit(n).alias("rule"),
-                                F.col(n).cast("long").alias("violations"),
-                                F.col("_checked").cast("long").alias(
+                                F.col(f"__r{i}")
+                                .cast("long")
+                                .alias("violations"),
+                                F.col("__checked").cast("long").alias(
                                     "checked"
                                 ),
                             )
-                            for n in rules
+                            for i, n in enumerate(names)
                         ]
                     )
                 ).alias("r")
             ).select("r.*")
         )
-    for name, (dim, fk, pk) in (references or {}).items():
-        viol = (
-            df.select(F.col(fk))
-            .join(
-                F.broadcast(dim.select(F.col(pk).alias(fk)).distinct()),
-                fk,
-                "left_anti",
+    if references:
+        # ONE row-count frame shared by every referential rule —
+        # recomputing it per rule would re-scan the fact table
+        checked = df.agg(F.count(F.lit(1)).cast("long").alias("checked"))
+        for name, (dim, fk, pk) in references.items():
+            viol = (
+                df.select(F.col(fk))
+                .join(
+                    F.broadcast(dim.select(F.col(pk).alias(fk)).distinct()),
+                    fk,
+                    "left_anti",
+                )
+                .agg(
+                    F.lit(name).alias("rule"),
+                    F.count(F.lit(1)).cast("long").alias("violations"),
+                )
+                .crossJoin(checked)
             )
-            .agg(
-                F.lit(name).alias("rule"),
-                F.count(F.lit(1)).cast("long").alias("violations"),
-            )
-            .crossJoin(
-                df.agg(F.count(F.lit(1)).cast("long").alias("checked"))
-            )
-        )
-        pieces.append(viol)
+            pieces.append(viol)
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)

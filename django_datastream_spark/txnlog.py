@@ -375,22 +375,30 @@ def txn_vacuum(
     root-relative paths."""
     import time
 
-    from .operators.merge import _list_data_files, remove_orphans
+    from .operators.merge import _list_data_files, delete_rel_files
 
     head = latest_version(table_root)
     keep: set[str] = set()
     for v in range(max(0, head - retain_versions), head + 1):
         keep |= snapshot(table_root, v)[1]
-    if min_age_s > 0:
-        root = _local_root(table_root)
-        cutoff = time.time() - min_age_s
-        for rel in _list_data_files(table_root) - keep:
+    # ONE directory listing, and the deletion set is derived from THAT
+    # listing: re-listing inside the deleter would be a TOCTOU hole —
+    # a file staged between the age check and a second listing would
+    # be swept regardless of its age, which is exactly the mid-write
+    # sweep min_age_s exists to prevent
+    listed = _list_data_files(table_root)
+    root = _local_root(table_root)
+    cutoff = time.time() - min_age_s
+    orphans = []
+    for rel in sorted(listed - keep):
+        if min_age_s > 0:
             try:
                 if os.path.getmtime(os.path.join(root, rel)) > cutoff:
-                    keep.add(rel)  # too fresh — possibly in-flight
+                    continue  # too fresh — possibly in-flight
             except OSError:
-                keep.add(rel)  # vanished mid-scan: leave it alone
-    return remove_orphans(table_root, keep)
+                continue  # vanished mid-scan: leave it alone
+        orphans.append(rel)
+    return delete_rel_files(table_root, orphans)
 
 
 def txn_changes(
@@ -414,6 +422,14 @@ def txn_changes(
     is immutable); files whose adds lie in the range but were already
     vacuumed raise on read, the same contract as Delta CDF past the
     retention window.
+
+    Granularity caveat: changes are FILE-level. A merge that rewrites
+    a file re-emits EVERY row of that file under the merge's version —
+    including rows the merge kept unchanged — because vanilla parquet
+    has no per-row change encoding. Consumers must be idempotent per
+    key (upsert semantics) rather than additive; for strictly
+    append-only tables (txn_append writers) every emitted row is
+    genuinely new and additive consumption is safe.
 
     At 100 TB: the log fold is metadata-sized, and the read is a
     parquet scan of exactly the new files — incremental cost tracks
@@ -451,7 +467,14 @@ def txn_changes(
         if schema is not None:
             r = r.schema(schema)
         parts.append(
-            r.parquet(*files).withColumn("_commit_version", F.lit(v))
+            r.parquet(*files).withColumn(
+                # cast: F.lit(python int) is IntegerType, but the
+                # empty-range branch types the column LongType — a
+                # checkpointing consumer appending both to one sink
+                # must see ONE schema
+                "_commit_version",
+                F.lit(v).cast("long"),
+            )
         )
     out = parts[0]
     for p in parts[1:]:

@@ -37,3 +37,23 @@ def test_no_rules_raises(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="no rules"):
         check_constraints(df, {})
+
+
+def test_empty_batch_has_zero_violations_not_null(spark):
+    df = spark.createDataFrame([], "id long, v double")
+    out = {
+        r["rule"]: (r["violations"], r["checked"])
+        for r in check_constraints(df, {"v_positive": "v > 0"}).collect()
+    }
+    assert out == {"v_positive": (0, 0)}  # zero, never NULL
+
+
+def test_hostile_rule_names_do_not_collide(spark):
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    out = {
+        r["rule"]: r["violations"]
+        for r in check_constraints(
+            df, {"_checked": "v > 0", "a.b": "v < 0", "__r0": "id = 1"}
+        ).collect()
+    }
+    assert out == {"_checked": 0, "a.b": 1, "__r0": 0}
