@@ -14,13 +14,18 @@ Decode story, honestly split by format class:
   ``extract_png_features`` / ``transcode_png_to_ppm`` run the genuine
   CRC-checked chunk walk + inflate + scanline-unfilter pipeline
   (:func:`media_codecs.parse_png`), oracle-verified end-to-end (q158).
-- **Codecs with bespoke entropy coders (JPEG/MP3/H.264) stay stubbed**
-  — the container has no Huffman/MDCT/CABAC implementations:
-  ``decode_image`` raises NotImplementedError unless ``fake=True``
-  (deterministic byte-statistics stand-in). The Spark shape around the
-  stub — schema, partition-preserving mapInPandas plumbing, batch
-  shapes, metadata propagation — is real and tested; swapping in
-  Pillow/ffmpeg later only replaces the inner function.
+- **Baseline JPEG is decoded for REAL as well**: the Huffman entropy
+  coder, zigzag RLE, dequantization, and 8x8 IDCT are implemented from
+  the spec in pure numpy (:mod:`jpeg_codec` — SOF0, 8-bit, 4:4:4;
+  progressive/subsampled files quarantine with the reason).
+  ``extract_jpeg_features`` runs it; q168 pins the whole
+  Huffman->dequant->IDCT path against an arithmetic oracle via
+  exactly-representable planted coefficients.
+- **MP3/H.264 stay stubbed** — MDCT/CABAC decoders are out of scope
+  for this container: ``decode_image(fake=True)`` keeps the
+  deterministic byte-statistics stand-in for pipelines that only need
+  the Spark plumbing shape; swapping in ffmpeg later only replaces
+  the inner function.
 """
 
 from __future__ import annotations
@@ -311,6 +316,56 @@ def extract_png_features(media: DataFrame) -> DataFrame:
                 try:
                     rows.append({**png_features(p or b""), "decode_err": None})
                 except Exception as e:  # noqa: BLE001 — quarantine, not mask
+                    rows.append({**nulls, "decode_err": str(e)[:200]})
+            out = pd.DataFrame(rows)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+def extract_jpeg_features(media: DataFrame) -> DataFrame:
+    """REAL image feature extraction for baseline JPEG payloads: the
+    full Huffman-decode -> dequantize -> IDCT -> color-convert pipeline
+    (operators/jpeg_codec.parse_jpeg — pure numpy, tables read from
+    the file's own DQT/DHT), then the shared feature contract.
+    Grayscale replicates into the channel means like the PNG path.
+    Progressive/subsampled files quarantine as decode_err rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from django_datastream_spark.operators.jpeg_codec import parse_jpeg
+        from django_datastream_spark.operators.media_codecs import bt601_luma
+
+        nulls = {
+            "width": None, "height": None, "mean_r": None, "mean_g": None,
+            "mean_b": None, "luma_mean": None, "luma_std": None,
+        }
+        for pdf in batches:
+            rows = []
+            for p in pdf["content"]:
+                try:
+                    a = parse_jpeg(bytes(p or b"")).astype(np.float64)
+                    rgb = (
+                        np.repeat(a[:, :, None], 3, axis=2)
+                        if a.ndim == 2
+                        else a
+                    )
+                    luma = bt601_luma(rgb)
+                    rows.append(
+                        {
+                            "width": int(rgb.shape[1]),
+                            "height": int(rgb.shape[0]),
+                            "mean_r": float(rgb[..., 0].mean()),
+                            "mean_g": float(rgb[..., 1].mean()),
+                            "mean_b": float(rgb[..., 2].mean()),
+                            "luma_mean": float(luma.mean()),
+                            "luma_std": float(luma.std()),
+                            "decode_err": None,
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001 — quarantine
                     rows.append({**nulls, "decode_err": str(e)[:200]})
             out = pd.DataFrame(rows)
             out.insert(0, "media_id", pdf["media_id"].values)

@@ -6868,3 +6868,87 @@ def q167(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("cohort_ws", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Q168: REAL baseline-JPEG decode pinned by exactly-representable coeffs
+# --------------------------------------------------------------------------
+@_declare(
+    "q168_jpeg_decode_stats",
+    """
+    WITH d AS (SELECT doc_id,
+                      (doc_id % 11) - 5 k00,
+                      (doc_id % 7) - 3 k01,
+                      ((doc_id // 7) % 7) - 3 k10,
+                      (doc_id % 5) - 2 k22
+               FROM documents WHERE doc_id < 150),
+    px AS (
+      SELECT d.doc_id,
+        LEAST(255, GREATEST(0, FLOOR(
+          d.k00 * 16 * sqrt(1.0/8) * sqrt(1.0/8)
+          + d.k01 * 18 * sqrt(1.0/8)
+              * (0.5 * cos((2*y.y + 1) * 1 * pi() / 16))
+          + d.k10 * 18 * (0.5 * cos((2*x.x + 1) * 1 * pi() / 16))
+              * sqrt(1.0/8)
+          + d.k22 * 24 * (0.5 * cos((2*x.x + 1) * 2 * pi() / 16))
+              * (0.5 * cos((2*y.y + 1) * 2 * pi() / 16))
+          + 128.5))) p
+      FROM d
+      CROSS JOIN (SELECT unnest(range(0, 8)) x) x
+      CROSS JOIN (SELECT unnest(range(0, 8)) y) y)
+    SELECT doc_id media_id,
+           ROUND(AVG(p * 1.0), 4) luma_mean,
+           ROUND(SQRT(AVG(p * p) - AVG(p) * AVG(p)), 4) luma_std
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q168(spark, sf_dir):
+    """REAL baseline-JPEG decode, arithmetically verified end to end:
+    each document gets a genuine grayscale JPEG built directly from
+    QUANTIZED DCT coefficients (jpeg_codec.encode_gray_from_coeffs —
+    real markers, real DHT-declared Huffman codes, real entropy-coded
+    scan), with nonzero coefficients only at (0,0), (0,1), (1,0),
+    (2,2) in closed form of doc_id.  Because quantization is the sole
+    lossy step and the coefficients are planted POST-quantization, the
+    decoder's output is the exact closed form clip(floor(IDCT(K*Q) +
+    128.5)) — which the DuckDB oracle recomputes with cos(), so a
+    hash match proves the Huffman decode, dequantization, zigzag,
+    and IDCT to the bit.  NOTE convention: x is the pixel ROW
+    (matches u / the k10 horizontal-frequency term through the
+    symmetric IDCT).  Map-only: synth and decode are Arrow-batched
+    stages, no shuffle."""
+    from ..operators.multimodal import extract_jpeg_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 150
+    )
+
+    def synth(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from django_datastream_spark.operators.jpeg_codec import (
+            encode_gray_from_coeffs,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                q = _np.zeros((1, 1, 8, 8), _np.int64)
+                q[0, 0, 0, 0] = (did % 11) - 5
+                q[0, 0, 0, 1] = (did % 7) - 3
+                q[0, 0, 1, 0] = ((did // 7) % 7) - 3
+                q[0, 0, 2, 2] = (did % 5) - 2
+                payloads.append(encode_gray_from_coeffs(q))
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    feats = extract_jpeg_features(media)
+    return feats.select(
+        "media_id",
+        F.round("luma_mean", 4).alias("luma_mean"),
+        F.round("luma_std", 4).alias("luma_std"),
+    ).orderBy("media_id")

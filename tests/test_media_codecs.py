@@ -432,3 +432,97 @@ def test_png_truncation_total(data):
         assert (out == a).all()  # only reachable if stream was whole
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG — the real from-first-principles codec
+# ---------------------------------------------------------------------------
+from django_datastream_spark.operators import jpeg_codec as jc
+
+
+def test_jpeg_flat_image_roundtrips_within_one():
+    # a flat block is DC-only; quantized DC rounds within half a step
+    for v in (0, 77, 128, 255):
+        out = jc.parse_jpeg(jc.encode_jpeg(np.full((8, 8), v, np.uint8)))
+        assert np.abs(out.astype(int) - v).max() <= 1, v
+
+
+def test_jpeg_planted_coefficients_decode_exactly():
+    """Coefficients planted POST-quantization survive losslessly:
+    decode == clip(floor(IDCT(K*Q) + 128.5)) to the bit — the law
+    q168's oracle leans on."""
+    rng = np.random.default_rng(0)
+    q = np.zeros((2, 3, 8, 8), np.int64)
+    q[..., 0, 0] = rng.integers(-5, 6, (2, 3))
+    q[..., 0, 1] = rng.integers(-3, 4, (2, 3))
+    q[..., 2, 2] = rng.integers(-2, 3, (2, 3))
+    dec = jc.parse_jpeg(jc.encode_gray_from_coeffs(q))
+    exp = np.zeros((16, 24))
+    for by in range(2):
+        for bx in range(3):
+            exp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                jc.idct2(q[by, bx] * jc.QUANT_LUMA) + 128
+            )
+    exp = np.clip(np.floor(exp + 0.5), 0, 255).astype(np.uint8)
+    assert dec.shape == (16, 24) and (dec == exp).all()
+
+
+def test_jpeg_smooth_images_roundtrip_tightly():
+    xx, yy = np.meshgrid(np.arange(32), np.arange(24))
+    smooth = ((xx * 3 + yy * 2) % 200 + 20).astype(np.uint8)
+    back = jc.parse_jpeg(jc.encode_jpeg(smooth))
+    d = np.abs(back.astype(int) - smooth.astype(int))
+    assert d.mean() < 2 and d.max() <= 6
+    rgb = np.stack([smooth, smooth[::-1], np.roll(smooth, 5, 1)], axis=-1)
+    back3 = jc.parse_jpeg(jc.encode_jpeg(rgb))
+    d3 = np.abs(back3.astype(int) - rgb.astype(int))
+    assert d3.mean() < 4 and back3.shape == rgb.shape
+
+
+def test_jpeg_odd_dimensions_pad_and_crop():
+    rng = np.random.default_rng(4)
+    a = rng.integers(0, 256, (13, 21), np.uint8)
+    out = jc.parse_jpeg(jc.encode_jpeg(a))
+    assert out.shape == (13, 21)
+
+
+def test_jpeg_rejects_unsupported_modes():
+    good = bytearray(jc.encode_jpeg(np.zeros((8, 8), np.uint8)))
+    with pytest.raises(ValueError, match="no SOI"):
+        jc.parse_jpeg(b"GIF89a")
+    # flip SOF0 -> SOF2 (progressive)
+    i = bytes(good).find(b"\xff\xc0")
+    prog = good.copy()
+    prog[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        jc.parse_jpeg(bytes(prog))
+    with pytest.raises(ValueError, match="missing EOI"):
+        jc.parse_jpeg(bytes(good[:-2]))
+
+
+def test_jpeg_spark_stage_and_quarantine(spark):
+    rng = np.random.default_rng(9)
+    imgs = [rng.integers(0, 256, (9, 14, 3), np.uint8) for _ in range(3)]
+    rows = [(i, bytearray(jc.encode_jpeg(a))) for i, a in enumerate(imgs)]
+    rows.append((99, bytearray(b"not a jpeg")))
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r["media_id"]: r.asDict()
+        for r in mm.extract_jpeg_features(media).collect()
+    }
+    for i, a in enumerate(imgs):
+        dec = jc.parse_jpeg(jc.encode_jpeg(a)).astype(np.float64)
+        assert got[i]["decode_err"] is None
+        assert got[i]["width"] == 14 and got[i]["height"] == 9
+        assert got[i]["mean_r"] == pytest.approx(dec[..., 0].mean())
+    assert got[99]["decode_err"] is not None and got[99]["width"] is None
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=hst.binary(max_size=300))
+def test_jpeg_decoder_total_on_garbage(data):
+    for payload in (data, b"\xff\xd8" + data):
+        try:
+            jc.parse_jpeg(payload)
+        except ValueError:
+            pass
