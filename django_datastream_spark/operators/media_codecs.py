@@ -461,3 +461,207 @@ def png_to_ppm(payload: bytes) -> bytes:
     if a.shape[2] in (1, 2):
         a = np.repeat(a[..., :1], 3, axis=2)
     return encode_ppm(a[..., :3])
+
+
+# ---------------------------------------------------------------------------
+# GIF87a — a second REAL compressed-format codec, LZW from the spec.
+#
+# GIF's compression is variable-width LZW (GIF89a spec appendix), a pure
+# dictionary coder — no external libs needed. Implemented: GIF87a
+# single-frame, global color table, 8-bit color depth, no interlace, no
+# extensions (GIF89a graphic-control blocks are SKIPPED on read;
+# interlace raises). Encode is palette-based and LOSSLESS for images
+# with <= 256 distinct colors, so the roundtrip law is exact equality —
+# the strongest oracle a codec can have (q169).
+# ---------------------------------------------------------------------------
+
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 RGB (<= 256 distinct colors) -> GIF87a
+    with a REAL variable-width LZW compressor (clear/EOI codes, width
+    growth at table fill, 12-bit cap with table reset)."""
+    a = np.asarray(arr, np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) RGB")
+    h, w = a.shape[:2]
+    flat = a.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"{len(colors)} distinct colors (max 256)")
+    # palette size must be a power of two >= 2
+    depth = max(1, int(len(colors) - 1).bit_length())
+    pal = np.zeros((1 << depth, 3), np.uint8)
+    pal[: len(colors)] = colors
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0])
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    min_code = max(2, depth)
+    out.append(min_code)
+    # --- LZW ---
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table: dict[tuple, int] = {}
+
+    def reset():
+        table.clear()
+        for c in range(1 << min_code):
+            table[(c,)] = c
+        return eoi + 1, min_code + 1
+
+    next_code, width = reset()
+    bits = bytearray()
+    acc = [0, 0]  # bit accumulator: value, count (LSB-first packing)
+
+    def put(code, width):
+        acc[0] |= code << acc[1]
+        acc[1] += width
+        while acc[1] >= 8:
+            bits.append(acc[0] & 0xFF)
+            acc[0] >>= 8
+            acc[1] -= 8
+
+    put(clear, width)
+    seq: tuple = ()
+    for px in idx.tolist():
+        cand = seq + (px,)
+        if cand in table:
+            seq = cand
+            continue
+        put(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1:
+            if width < 12:
+                width += 1
+            else:
+                put(clear, width)
+                next_code, width = reset()
+        seq = (px,)
+    if seq:
+        put(table[seq], width)
+    put(eoi, width)
+    if acc[1]:
+        bits.append(acc[0] & 0xFF)
+    for i in range(0, len(bits), 255):
+        chunk = bits[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def parse_gif(payload: bytes) -> np.ndarray:
+    """Decode a GIF -> uint8 (h, w, 3): real variable-width LZW with
+    clear-code resets and deferred-code handling (the KwKwK case).
+    Single-frame; 89a extension blocks are skipped; interlace and
+    local color tables raise ValueError."""
+    if payload[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    w, h = struct.unpack("<HH", payload[6:10])
+    flags = payload[10]
+    if not flags & 0x80:
+        raise ValueError("missing global color table")
+    gct_size = 2 << (flags & 0x07)
+    pos = 13
+    pal = np.frombuffer(payload[pos : pos + gct_size * 3], np.uint8)
+    if len(pal) < gct_size * 3:
+        raise ValueError("truncated color table")
+    pal = pal.reshape(-1, 3)
+    pos += gct_size * 3
+    while pos < len(payload) and payload[pos] == 0x21:  # extensions: skip
+        pos += 2
+        while pos < len(payload) and payload[pos]:
+            pos += payload[pos] + 1
+        pos += 1
+    if pos >= len(payload) or payload[pos] != 0x2C:
+        raise ValueError("missing image descriptor")
+    if len(payload) < pos + 11:
+        raise ValueError("truncated image descriptor")
+    ix, iy, iw, ih = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
+    iflags = payload[pos + 9]
+    if iflags & 0x40:
+        raise ValueError("interlaced GIF not supported")
+    if iflags & 0x80:
+        raise ValueError("local color tables not supported")
+    if (ix, iy, iw, ih) != (0, 0, w, h):
+        raise ValueError("partial-frame GIF not supported")
+    pos += 10
+    min_code = payload[pos]
+    pos += 1
+    if not 2 <= min_code <= 11:
+        raise ValueError(f"bad LZW minimum code size {min_code}")
+    data = bytearray()
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated sub-blocks")
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            break
+        data += payload[pos : pos + n]
+        if len(payload) - pos < n:
+            raise ValueError("truncated sub-block")
+        pos += n
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    # LSB-first bit reader over the concatenated sub-blocks
+    acc = n_bits = 0
+    di = 0
+
+    def read(width):
+        nonlocal acc, n_bits, di
+        while n_bits < width:
+            if di >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[di] << n_bits
+            di += 1
+            n_bits += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        return v
+
+    table: list[list[int]] = []
+
+    def reset_table():
+        table.clear()
+        table.extend([c] for c in range(1 << min_code))
+        table.append([])  # clear
+        table.append([])  # eoi
+        return min_code + 1
+
+    width = reset_table()
+    out: list[int] = []
+    prev: list[int] | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            width = reset_table()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and (code < clear or len(table[code])):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            raise ValueError(f"invalid LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) > w * h:
+            raise ValueError("LZW output exceeds image size")
+    if len(out) != w * h:
+        raise ValueError(f"LZW output {len(out)} != {w * h} pixels")
+    idx = np.asarray(out, np.int64).reshape(h, w)
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("palette index out of range")
+    return pal[idx]

@@ -294,50 +294,33 @@ def extract_wav_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
-def extract_png_features(media: DataFrame) -> DataFrame:
-    """REAL image feature extraction for PNG payloads — the COMPRESSED
-    format path: CRC-checked chunk walk, zlib inflate, scanline
-    unfilter (media_codecs.parse_png), then the same feature contract
-    as extract_ppm_features. PNG's entropy stage is DEFLATE, which the
-    stdlib provides, so unlike JPEG this decode is genuine end-to-end.
-    Corrupt payloads quarantine as decode_err rows, never task
-    failures. Map-only: one Arrow batch pass, no shuffle."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from django_datastream_spark.operators.media_codecs import png_features
-
-        nulls = {
-            "width": None, "height": None, "mean_r": None, "mean_g": None,
-            "mean_b": None, "luma_mean": None, "luma_std": None,
-        }
-        for pdf in batches:
-            rows = []
-            for p in pdf["content"]:
-                try:
-                    rows.append({**png_features(p or b""), "decode_err": None})
-                except Exception as e:  # noqa: BLE001 — quarantine, not mask
-                    rows.append({**nulls, "decode_err": str(e)[:200]})
-            out = pd.DataFrame(rows)
-            out.insert(0, "media_id", pdf["media_id"].values)
-            yield out
-
-    return media.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
-
-
-def extract_jpeg_features(media: DataFrame) -> DataFrame:
-    """REAL image feature extraction for baseline JPEG payloads: the
-    full Huffman-decode -> dequantize -> IDCT -> color-convert pipeline
-    (operators/jpeg_codec.parse_jpeg — pure numpy, tables read from
-    the file's own DQT/DHT), then the shared feature contract.
-    Grayscale replicates into the channel means like the PNG path.
-    Progressive/subsampled files quarantine as decode_err rows."""
+def extract_image_features(media: DataFrame, fmt: str) -> DataFrame:
+    """REAL image feature extraction, one Arrow-batched implementation
+    for every decodable format — ``fmt`` in {"ppm", "png", "jpeg",
+    "gif"} picks the decoder inside the executor closure (each is a
+    genuine from-the-spec implementation in media_codecs/jpeg_codec).
+    All formats share the feature contract (dims, channel means, BT.601
+    luma mean/std; grayscale replicates); corrupt payloads quarantine
+    as decode_err rows, never task failures. Map-only: one batch pass,
+    no shuffle."""
+    if fmt not in ("ppm", "png", "jpeg", "gif"):
+        raise ValueError(f"unsupported format {fmt!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from django_datastream_spark.operators.jpeg_codec import parse_jpeg
-        from django_datastream_spark.operators.media_codecs import bt601_luma
+        from django_datastream_spark.operators import media_codecs as mc
 
+        if fmt == "jpeg":
+            from django_datastream_spark.operators.jpeg_codec import (
+                parse_jpeg as decode,
+            )
+        else:
+            decode = {
+                "ppm": mc.parse_ppm,
+                "png": mc.parse_png,
+                "gif": mc.parse_gif,
+            }[fmt]
         nulls = {
             "width": None, "height": None, "mean_r": None, "mean_g": None,
             "mean_b": None, "luma_mean": None, "luma_std": None,
@@ -346,13 +329,15 @@ def extract_jpeg_features(media: DataFrame) -> DataFrame:
             rows = []
             for p in pdf["content"]:
                 try:
-                    a = parse_jpeg(bytes(p or b"")).astype(np.float64)
+                    a = decode(bytes(p or b"")).astype(np.float64)
+                    if a.ndim == 2:
+                        a = a[:, :, None]
                     rgb = (
-                        np.repeat(a[:, :, None], 3, axis=2)
-                        if a.ndim == 2
-                        else a
+                        np.repeat(a[..., :1], 3, axis=2)
+                        if a.shape[2] in (1, 2)
+                        else a[..., :3]
                     )
-                    luma = bt601_luma(rgb)
+                    luma = mc.bt601_luma(rgb)
                     rows.append(
                         {
                             "width": int(rgb.shape[1]),
@@ -372,6 +357,24 @@ def extract_jpeg_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+def extract_png_features(media: DataFrame) -> DataFrame:
+    """PNG decode through the shared extractor (CRC-checked chunk walk,
+    zlib inflate, scanline unfilter — q158's oracle pins it)."""
+    return extract_image_features(media, "png")
+
+
+def extract_gif_features(media: DataFrame) -> DataFrame:
+    """GIF87a decode through the shared extractor (real variable-width
+    LZW — q169's lossless closed-form oracle pins it)."""
+    return extract_image_features(media, "gif")
+
+
+def extract_jpeg_features(media: DataFrame) -> DataFrame:
+    """Baseline-JPEG decode through the shared extractor (Huffman ->
+    dequant -> IDCT — q168's planted-coefficient oracle pins it)."""
+    return extract_image_features(media, "jpeg")
 
 
 def transcode_png_to_ppm(media: DataFrame) -> DataFrame:

@@ -6952,3 +6952,84 @@ def q168(spark, sf_dir):
         F.round("luma_mean", 4).alias("luma_mean"),
         F.round("luma_std", 4).alias("luma_std"),
     ).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# Q169: REAL GIF/LZW decode — lossless, so the closed form is exact
+# --------------------------------------------------------------------------
+@_declare(
+    "q169_gif_channel_stats",
+    """
+    WITH px AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 17 + ((r.r * 20 + c.c) % 48) * 5) % 256) pr,
+             ((d.doc_id * 17 + ((r.r * 20 + c.c) % 48) * 5 + 31) % 256) pg,
+             ((d.doc_id * 17 + ((r.r * 20 + c.c) % 48) * 5 + 62) % 256) pb
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d
+      CROSS JOIN (SELECT unnest(range(0, 10)) r) r
+      CROSS JOIN (SELECT unnest(range(0, 20)) c) c),
+    lm AS (SELECT doc_id, pr, pg, pb,
+                  0.299 * pr + 0.587 * pg + 0.114 * pb luma
+           FROM px)
+    SELECT doc_id media_id,
+           CAST(20 AS INT) width, CAST(10 AS INT) height,
+           ROUND(AVG(pr * 1.0), 4) mean_r,
+           ROUND(AVG(pg * 1.0), 4) mean_g,
+           ROUND(AVG(pb * 1.0), 4) mean_b,
+           ROUND(AVG(lm.luma), 4) luma_mean,
+           ROUND(SQRT(AVG(lm.luma * lm.luma)
+                      - AVG(lm.luma) * AVG(lm.luma)), 4) luma_std
+    FROM lm GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q169(spark, sf_dir):
+    """REAL GIF decode, exactly verified: each document gets a 20x10
+    RGB image whose pixel (r, c) cycles through 48 closed-form colors
+    (<= 256, so the palette encode is LOSSLESS), LZW-compressed into a
+    genuine GIF87a (media_codecs.encode_gif — variable-width codes,
+    clear/EOI, table growth) and decoded by the real LZW decoder via
+    the shared feature extractor.  Because GIF is lossless the DuckDB
+    oracle's closed-form recount must match EXACTLY — any
+    off-by-one in code-width growth, sub-block framing, or the KwKwK
+    deferred-code case corrupts pixels and breaks the hash.
+    Map-only: synth and decode are Arrow-batched stages."""
+    from ..operators.multimodal import extract_image_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 150
+    )
+
+    def synth(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from django_datastream_spark.operators.media_codecs import encode_gif
+
+        h, w = 10, 20
+        r = _np.arange(h).reshape(h, 1)
+        c = _np.arange(w).reshape(1, w)
+        cyc = ((r * w + c) % 48) * 5
+        k = _np.arange(3).reshape(1, 1, 3) * 31
+        for pdf in batches:
+            payloads = [
+                encode_gif(
+                    ((int(did) * 17 + cyc[..., None] + k) % 256).astype(
+                        _np.uint8
+                    )
+                )
+                for did in pdf["doc_id"]
+            ]
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    feats = extract_image_features(media, "gif")
+    return feats.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("luma_mean", 4).alias("luma_mean"),
+        F.round("luma_std", 4).alias("luma_std"),
+    ).orderBy("media_id")

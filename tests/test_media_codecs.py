@@ -526,3 +526,69 @@ def test_jpeg_decoder_total_on_garbage(data):
             jc.parse_jpeg(payload)
         except ValueError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# GIF87a — real variable-width LZW, lossless roundtrip laws
+# ---------------------------------------------------------------------------
+def test_gif_roundtrip_exact_and_12bit_reset():
+    rng = np.random.default_rng(1)
+    for shape, ncol in (((5, 7), 4), ((16, 24), 200), ((1, 1), 1)):
+        pal = rng.integers(0, 256, (ncol, 3), np.uint8)
+        img = pal[rng.integers(0, ncol, shape)]
+        back = mc.parse_gif(mc.encode_gif(img))
+        assert back.shape == img.shape and (back == img).all(), shape
+    # 14400 random pixels push the LZW table past 4096 -> clear/reset
+    pal = np.unique(rng.integers(0, 256, (256, 3), np.uint8), axis=0)
+    noise = pal[rng.integers(0, len(pal), (120, 120))]
+    assert (mc.parse_gif(mc.encode_gif(noise)) == noise).all()
+
+
+def test_gif_rejects_invalid():
+    with pytest.raises(ValueError, match="not a GIF"):
+        mc.parse_gif(b"PNG...")
+    rng = np.random.default_rng(2)
+    too_many = rng.integers(0, 256, (40, 40, 3), np.uint8)
+    if len(np.unique(too_many.reshape(-1, 3), axis=0)) > 256:
+        with pytest.raises(ValueError, match="distinct colors"):
+            mc.encode_gif(too_many)
+    good = mc.encode_gif(np.zeros((4, 4, 3), np.uint8))
+    with pytest.raises(ValueError):
+        mc.parse_gif(good[:20])
+
+
+def test_gif_skips_89a_extension_blocks():
+    img = np.full((3, 3, 3), 9, np.uint8)
+    p = bytearray(mc.encode_gif(img))
+    # graft a GIF89a graphic-control extension after the color table
+    # (header 13 + 2-entry palette 6 bytes)
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    ins = 13 + 6
+    p89 = b"GIF89a" + bytes(p[6:ins]) + ext + bytes(p[ins:])
+    assert (mc.parse_gif(p89) == img).all()
+
+
+def test_gif_spark_stage_matches_pure(spark):
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (30, 3), np.uint8)
+    imgs = [pal[rng.integers(0, 30, (6, 9))] for _ in range(4)]
+    rows = [(i, bytearray(mc.encode_gif(a))) for i, a in enumerate(imgs)]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    feats = {
+        r["media_id"]: r.asDict()
+        for r in mm.extract_gif_features(media).collect()
+    }
+    for i, a in enumerate(imgs):
+        got = feats[i]
+        assert got["decode_err"] is None
+        assert got["mean_r"] == pytest.approx(float(a[..., 0].mean()))
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=hst.binary(max_size=300))
+def test_gif_decoder_total_on_garbage(data):
+    for payload in (data, b"GIF87a" + data):
+        try:
+            mc.parse_gif(payload)
+        except ValueError:
+            pass
