@@ -14,6 +14,9 @@ Decode story, honestly split by format class:
   ``extract_png_features`` / ``transcode_png_to_ppm`` run the genuine
   CRC-checked chunk walk + inflate + scanline-unfilter pipeline
   (:func:`media_codecs.parse_png`), oracle-verified end-to-end (q158).
+- **GIF87a is decoded for REAL**: variable-width LZW from the spec
+  (:func:`media_codecs.parse_gif`); palette encoding is lossless, so
+  q169's closed-form oracle must match exactly.
 - **Baseline JPEG is decoded for REAL as well**: the Huffman entropy
   coder, zigzag RLE, dequantization, and 8x8 IDCT are implemented from
   the spec in pure numpy (:mod:`jpeg_codec` — SOF0, 8-bit, 4:4:4;
