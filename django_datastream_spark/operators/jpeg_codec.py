@@ -17,8 +17,9 @@ Two deliberate design choices keep it honest and verifiable:
 1. **Our own canonical Huffman tables.** Every JPEG carries its
    Huffman tables in DHT segments, so an encoder may use ANY valid
    canonical code — ours assigns the 12 DC categories length-5 codes
-   and all 256 AC (run, size) symbols length-9 codes (512 >= 256, and
-   the last code 0b011111111 is not all-ones, which T.81 forbids).
+   and the 256 AC (run, size) symbols 128 length-8 + 128 length-9
+   codes (DHT's per-length counts are single bytes, and the last
+   code 0b101111111 is not all-ones, which T.81 forbids).
    Compression is mediocre and irrelevant; correctness of the FORMAT
    is total: the decoder reconstructs whatever canonical tables the
    DHT declares, so it also reads files using the Annex K tables.
@@ -212,6 +213,15 @@ def _encode_block(
     dc, acs = zz[0], zz[1:]
     diff = dc - pred
     cat = _category(diff)
+    if cat > 11:
+        raise ValueError(
+            f"DC difference {diff} exceeds baseline category 11"
+        )
+    if acs and _category(max(acs, key=abs)) > 10:
+        # T.81 baseline caps AC size at 10; a larger magnitude would
+        # alias into the (run, size) symbol arithmetic and emit a
+        # silently corrupt scan
+        raise ValueError("AC coefficient exceeds baseline size 10")
     code, length = dc_codes[cat]
     w.put(code, length)
     if cat:
@@ -338,7 +348,17 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline JPEG -> uint8 (h, w) or (h, w, 3). Supports
     SOF0, 8-bit, 1 or 3 components at 1x1 sampling, tables from the
     file's own DQT/DHT segments (standard or custom). Progressive
-    (SOF2), subsampling, and restart markers raise ValueError."""
+    (SOF2), subsampling, and restart markers raise ValueError — as
+    does EVERY malformed input (total over arbitrary bytes: short
+    segment bodies surface as struct/index errors inside and are
+    normalized here, never leaked)."""
+    try:
+        return _parse_jpeg_inner(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed JPEG structure: {e}") from e
+
+
+def _parse_jpeg_inner(payload: bytes) -> np.ndarray:
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
     pos = 2
@@ -418,7 +438,7 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
 
     def read_symbol(table: dict) -> int:
         code, length = 0, 0
-        while length <= 16:
+        while length < 16:
             code = (code << 1) | r.bit()
             length += 1
             s = table.get((length, code))

@@ -1,13 +1,16 @@
-"""REAL codec-free media decoders — WAV (RIFF/PCM16) and PPM (P6).
+"""REAL media codecs implemented from their specs — WAV (RIFF/PCM16),
+PPM (P6), PNG (DEFLATE via stdlib zlib), GIF87a (variable-width LZW),
+and the PVM video container; baseline JPEG lives in :mod:`jpeg_codec`.
 
-The container has no compressed-format codecs (JPEG/MP3/H.264 stay
-honestly stubbed in operators/multimodal.py), but uncompressed
-self-describing formats need only ``struct`` + numpy, so their decode /
-feature-extract / resize paths are implemented for real here and
-exercised by tests that synthesize valid files with the stdlib
-(``wave`` writer, hand-built P6 headers) and assert signal-level
-ground truth (sine RMS = A/sqrt(2), zero-crossing rate = 2f/sr,
-nearest-neighbor pixel identities).
+The container ships no media libraries, but none of these formats
+need one: the chunk walks, LZW/DEFLATE entropy stages, filters, and
+feature math are all implementable with ``struct`` + ``zlib`` + numpy,
+and each decode path is pinned by tests that synthesize valid files
+(stdlib ``wave`` writer, hand-built headers, our own spec encoders)
+and assert signal-level ground truth (sine RMS = A/sqrt(2),
+zero-crossing rate = 2f/sr, exact lossless roundtrips, closed-form
+pixel statistics in the q116/q158/q168/q169 oracles). Only MP3/H.264
+remain stubbed (MDCT/CABAC out of scope — operators/multimodal.py).
 
 Everything is a pure function over ``bytes``; the mapInPandas
 closures in :mod:`multimodal` import this module INSIDE the executor
@@ -131,21 +134,32 @@ def bt601_luma(a: np.ndarray) -> np.ndarray:
     return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
 
 
-def ppm_features(payload: bytes) -> dict:
-    """Image-level features: dimensions, per-channel means, luma
-    mean/std (BT.601 weights) — the brightness/contrast signals an
-    image-quality filter thresholds on."""
-    a = parse_ppm(payload).astype(np.float64)
-    luma = bt601_luma(a)
+def image_features_from_array(a: np.ndarray) -> dict:
+    """THE feature contract, one place: dims, per-channel means, BT.601
+    luma mean/std. Accepts (h, w), (h, w, 1..4); grayscale/gray+alpha
+    replicate into the channel means, alpha is excluded (a quality
+    filter scores pixels, not transparency). Every decoder's feature
+    path — PPM, PNG, JPEG, GIF, pure or Spark-side — funnels through
+    here so a weights change cannot desync the oracles."""
+    a = np.asarray(a, np.float64)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    rgb = np.repeat(a[..., :1], 3, axis=2) if a.shape[2] in (1, 2) else a[..., :3]
+    luma = bt601_luma(rgb)
     return {
-        "width": int(a.shape[1]),
-        "height": int(a.shape[0]),
-        "mean_r": float(a[..., 0].mean()),
-        "mean_g": float(a[..., 1].mean()),
-        "mean_b": float(a[..., 2].mean()),
+        "width": int(rgb.shape[1]),
+        "height": int(rgb.shape[0]),
+        "mean_r": float(rgb[..., 0].mean()),
+        "mean_g": float(rgb[..., 1].mean()),
+        "mean_b": float(rgb[..., 2].mean()),
         "luma_mean": float(luma.mean()),
         "luma_std": float(luma.std()),
     }
+
+
+def ppm_features(payload: bytes) -> dict:
+    """Image-level features of a P6 payload (shared contract)."""
+    return image_features_from_array(parse_ppm(payload))
 
 
 def resize_ppm(payload: bytes, width: int, height: int) -> bytes:
@@ -432,25 +446,8 @@ def encode_png(arr: np.ndarray, filter_type: int = 4) -> bytes:
 
 
 def png_features(payload: bytes) -> dict:
-    """Same feature contract as ppm_features, over the real PNG decode.
-    Gray/gray+alpha replicate luma into the channel means; alpha is
-    excluded from color statistics (a quality filter scores pixels,
-    not transparency)."""
-    a = parse_png(payload).astype(np.float64)
-    if a.shape[2] in (1, 2):
-        rgb = np.repeat(a[..., :1], 3, axis=2)
-    else:
-        rgb = a[..., :3]
-    luma = bt601_luma(rgb)
-    return {
-        "width": int(a.shape[1]),
-        "height": int(a.shape[0]),
-        "mean_r": float(rgb[..., 0].mean()),
-        "mean_g": float(rgb[..., 1].mean()),
-        "mean_b": float(rgb[..., 2].mean()),
-        "luma_mean": float(luma.mean()),
-        "luma_std": float(luma.std()),
-    }
+    """Feature contract over the real PNG decode (shared helper)."""
+    return image_features_from_array(parse_png(payload))
 
 
 def png_to_ppm(payload: bytes) -> bytes:

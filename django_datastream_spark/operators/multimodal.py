@@ -310,8 +310,6 @@ def extract_image_features(media: DataFrame, fmt: str) -> DataFrame:
         raise ValueError(f"unsupported format {fmt!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         from django_datastream_spark.operators import media_codecs as mc
 
         if fmt == "jpeg":
@@ -332,27 +330,10 @@ def extract_image_features(media: DataFrame, fmt: str) -> DataFrame:
             rows = []
             for p in pdf["content"]:
                 try:
-                    a = decode(bytes(p or b"")).astype(np.float64)
-                    if a.ndim == 2:
-                        a = a[:, :, None]
-                    rgb = (
-                        np.repeat(a[..., :1], 3, axis=2)
-                        if a.shape[2] in (1, 2)
-                        else a[..., :3]
+                    feats = mc.image_features_from_array(
+                        decode(bytes(p or b""))
                     )
-                    luma = mc.bt601_luma(rgb)
-                    rows.append(
-                        {
-                            "width": int(rgb.shape[1]),
-                            "height": int(rgb.shape[0]),
-                            "mean_r": float(rgb[..., 0].mean()),
-                            "mean_g": float(rgb[..., 1].mean()),
-                            "mean_b": float(rgb[..., 2].mean()),
-                            "luma_mean": float(luma.mean()),
-                            "luma_std": float(luma.std()),
-                            "decode_err": None,
-                        }
-                    )
+                    rows.append({**feats, "decode_err": None})
                 except Exception as e:  # noqa: BLE001 — quarantine
                     rows.append({**nulls, "decode_err": str(e)[:200]})
             out = pd.DataFrame(rows)
@@ -413,28 +394,8 @@ def transcode_png_to_ppm(media: DataFrame) -> DataFrame:
 
 
 def extract_ppm_features(media: DataFrame) -> DataFrame:
-    """REAL image feature extraction for P6 PPM payloads: dimensions,
-    channel means, luma mean/std (media_codecs.ppm_features)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from django_datastream_spark.operators.media_codecs import ppm_features
-
-        nulls = {
-            "width": None, "height": None, "mean_r": None, "mean_g": None,
-            "mean_b": None, "luma_mean": None, "luma_std": None,
-        }
-        for pdf in batches:
-            rows = []
-            for p in pdf["content"]:
-                try:
-                    rows.append({**ppm_features(p or b""), "decode_err": None})
-                except Exception as e:  # noqa: BLE001 — quarantine, not mask
-                    rows.append({**nulls, "decode_err": str(e)[:200]})
-            out = pd.DataFrame(rows)
-            out.insert(0, "media_id", pdf["media_id"].values)
-            yield out
-
-    return media.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+    """P6 PPM decode through the shared extractor."""
+    return extract_image_features(media, "ppm")
 
 
 def resize_ppm_images(media: DataFrame, width: int, height: int) -> DataFrame:

@@ -6993,7 +6993,7 @@ def q169(spark, sf_dir):
     off-by-one in code-width growth, sub-block framing, or the KwKwK
     deferred-code case corrupts pixels and breaks the hash.
     Map-only: synth and decode are Arrow-batched stages."""
-    from ..operators.multimodal import extract_image_features
+    from ..operators.multimodal import extract_gif_features
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
         F.col("doc_id") < 150
@@ -7024,7 +7024,7 @@ def q169(spark, sf_dir):
             )
 
     media = docs.mapInPandas(synth, "media_id long, content binary")
-    feats = extract_image_features(media, "gif")
+    feats = extract_gif_features(media)
     return feats.select(
         "media_id", "width", "height",
         F.round("mean_r", 4).alias("mean_r"),
