@@ -40,6 +40,11 @@ def get_spark(
         # driver testdata ships TIMESTAMP(NANOS) parquet which the Spark
         # vectorized reader rejects; read as long + convert (sources.testdata)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # INT64 micros, not the deprecated INT96: INT96 columns carry NO
+        # footer min/max statistics, which would blind the txn log's
+        # data skipping (txnlog.collect_file_stats) and every engine's
+        # row-group pruning on timestamp predicates
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
@@ -60,6 +65,7 @@ def harden_session(spark: SparkSession) -> SparkSession:
     for conf, val in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"),
     ):
         try:
             spark.conf.set(conf, val)

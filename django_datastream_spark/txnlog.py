@@ -53,6 +53,20 @@ file lands, so reads are snapshot-isolated, and ``version=`` gives
 log-based time travel. At 100 TB the log is metadata-sized (one small
 JSON per commit, checkpoints bound the fold) and the data path is
 untouched Spark parquet I/O.
+
+Data skipping (Delta's per-file stats, the second half of the
+lakehouse recipe): ``commit`` records per-file column min/max/null
+stats in the commit entry — read from the parquet FOOTERS of the
+files just staged (KB of metadata, no data scan; the footer stats
+were computed by the executors that wrote the files, so the driver
+does no per-row work). ``txn_read(where={col: (lo, hi)})`` consults
+the folded stats and hands Spark only the files whose range can
+intersect the predicate — at 100 TB a time-bounded read of an
+append-mostly table touches the handful of files that cover the
+window instead of listing-and-footer-probing millions. Pruning is
+always CONSERVATIVE (files without usable stats are kept) and the
+predicate is re-applied to the surviving rows, so ``where`` never
+changes results — only I/O.
 """
 
 from __future__ import annotations
@@ -159,12 +173,23 @@ def _read_commit(table_root: str, v: int) -> dict:
 def snapshot(table_root: str, version: int | None = None) -> tuple[int, set[str]]:
     """(version, committed file set) at ``version`` (default: latest).
     Starts from the newest checkpoint <= version, folds the tail."""
+    v, m = snapshot_with_stats(table_root, version)
+    return v, set(m)
+
+
+def snapshot_with_stats(
+    table_root: str, version: int | None = None
+) -> tuple[int, dict[str, dict | None]]:
+    """Like :func:`snapshot` but maps each committed file to its
+    recorded column stats (``None`` for files committed before stats
+    existed or whose footer yielded nothing usable — such files are
+    never pruned)."""
     log = _log_dir(table_root)
     head = latest_version(table_root)
     v = head if version is None else version
     if v > head:
         raise ValueError(f"version {v} > latest {head}")
-    start, files = 0, set()
+    start, files = 0, {}
     try:
         cps = [
             int(n[len("checkpoint-v"):-5])
@@ -177,12 +202,195 @@ def snapshot(table_root: str, version: int | None = None) -> tuple[int, set[str]
     if usable:
         start = max(usable)
         with open(os.path.join(log, f"checkpoint-v{start:010d}.json")) as f:
-            files = set(json.load(f)["files"])
+            cp = json.load(f)
+        cp_stats = cp.get("stats") or {}
+        files = {f: cp_stats.get(f) for f in cp["files"]}
     for i in range(start + 1, v + 1):
         c = _read_commit(table_root, i)
-        files -= set(c["removes"])
-        files |= set(c["adds"])
+        for f in c["removes"]:
+            files.pop(f, None)
+        c_stats = c.get("stats") or {}
+        for f in c["adds"]:
+            files[f] = c_stats.get(f)
     return v, files
+
+
+def _stat_value(v):
+    """Footer min/max → (type tag, JSON-able value) with a total order
+    per tag, or None when the physical type has no portable ordering
+    we trust (then the column is simply not prunable for that file)."""
+    import datetime
+
+    if isinstance(v, bool) or isinstance(v, (int, float)):
+        return ("num", v)
+    if isinstance(v, str):
+        return ("str", v)
+    if isinstance(v, bytes):
+        try:
+            return ("str", v.decode("utf-8"))
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        # zero-padded ISO-8601 orders identically to the timestamps
+        return ("ts", v.isoformat(timespec="microseconds"))
+    if isinstance(v, datetime.date):
+        return ("date", v.isoformat())
+    return None
+
+
+def collect_file_stats(
+    table_root: str, rel_paths: list[str]
+) -> dict[str, dict]:
+    """Per-file column stats from parquet FOOTERS (no data scan).
+
+    For each staged file: row count plus, per top-level primitive
+    column, ``{"t", "min", "max", "nulls"}`` merged across row groups.
+    A column whose statistics are absent, truncated to an unusable
+    type, or mixed-typed is dropped for that file (conservative — the
+    file is then kept by any predicate on that column). An all-null
+    column is recorded as ``{"t": "null"}``: a range predicate can
+    prune the file outright, since SQL comparisons never match NULL.
+
+    Driver-side but metadata-sized: one footer read per file ADDED BY
+    THIS COMMIT (bounded by the write job's task count, not table
+    size); the footers themselves were produced by the executors."""
+    import pyarrow.parquet as pq
+
+    root = _local_root(table_root)
+    out: dict[str, dict] = {}
+    for rel in rel_paths:
+        try:
+            md = pq.ParquetFile(os.path.join(root, rel)).metadata
+        except Exception:
+            continue  # unreadable footer: file stays unprunable
+        per: dict[str, dict | None] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if "." in name:
+                    continue  # nested leaves: not prunable here
+                if name in per and per[name] is None:
+                    continue  # already poisoned for this file
+                st = col.statistics
+                nulls = st.null_count if st is not None else None
+                if st is None or not st.has_min_max:
+                    if nulls is not None and nulls == g.num_rows:
+                        new: dict | None = {"t": "null", "nulls": nulls}
+                    else:
+                        new = None  # non-null values with no min/max
+                else:
+                    mn, mx = _stat_value(st.min), _stat_value(st.max)
+                    if mn is None or mx is None or mn[0] != mx[0]:
+                        new = None
+                    else:
+                        new = {
+                            "t": mn[0],
+                            "min": mn[1],
+                            "max": mx[1],
+                            "nulls": nulls,
+                        }
+                per[name] = _merge_col_stats(per.get(name), new)
+        cols = {k: v for k, v in per.items() if v is not None}
+        out[rel] = {"rows": md.num_rows, "cols": cols}
+    return out
+
+
+def _merge_col_stats(cur: dict | None, new: dict | None) -> dict | None:
+    """Fold one row group's column stats into the file accumulator.
+    ``None`` poisons (some row group was unusable → not prunable)."""
+    if new is None:
+        return None
+    if cur is None:
+        return new
+    nulls = (
+        cur["nulls"] + new["nulls"]
+        if cur.get("nulls") is not None and new.get("nulls") is not None
+        else None
+    )
+    if cur["t"] == "null":
+        other = new if new["t"] != "null" else None
+        if other is None:
+            return {"t": "null", "nulls": nulls}
+        return {**other, "nulls": nulls}
+    if new["t"] == "null":
+        return {**cur, "nulls": nulls}
+    if cur["t"] != new["t"]:
+        return None
+    return {
+        "t": cur["t"],
+        "min": min(cur["min"], new["min"]),
+        "max": max(cur["max"], new["max"]),
+        "nulls": nulls,
+    }
+
+
+def _coerce_bound(bound, tag: str):
+    """Convert a caller bound to the stored stat domain for ``tag``;
+    None when incomparable (the file is then kept)."""
+    import datetime
+
+    if bound is None:
+        return None
+    if tag == "num":
+        return bound if isinstance(bound, (int, float, bool)) else None
+    if tag == "str":
+        return bound if isinstance(bound, str) else None
+    if tag == "ts":
+        if isinstance(bound, datetime.datetime):
+            if bound.tzinfo is not None:
+                bound = bound.astimezone(datetime.timezone.utc).replace(
+                    tzinfo=None
+                )
+            return bound.isoformat(timespec="microseconds")
+        return None
+    if tag == "date":
+        if isinstance(bound, datetime.datetime):
+            return None  # date-stat vs datetime bound: don't guess
+        if isinstance(bound, datetime.date):
+            return bound.isoformat()
+        return None
+    return None
+
+
+def _file_may_match(stats: dict | None, col: str, lo, hi) -> bool:
+    """Conservative intersection test: False only when the stats PROVE
+    no row of the file satisfies ``lo <= col <= hi``."""
+    if stats is None:
+        return True
+    s = (stats.get("cols") or {}).get(col)
+    if s is None:
+        return True
+    if s["t"] == "null":
+        return False  # every value NULL; comparisons never match
+    lo_c = _coerce_bound(lo, s["t"])
+    if lo_c is not None and s["max"] < lo_c:
+        return False
+    hi_c = _coerce_bound(hi, s["t"])
+    if hi_c is not None and s["min"] > hi_c:
+        return False
+    return True
+
+
+def prune_files(
+    table_root: str,
+    where: dict[str, tuple],
+    version: int | None = None,
+) -> tuple[int, list[str], list[str]]:
+    """(version, kept files, pruned files) for a conjunction of range
+    predicates ``{col: (lo, hi)}`` (either bound may be None for a
+    one-sided range). Kept ⊇ every file that can hold a matching row."""
+    v, m = snapshot_with_stats(table_root, version)
+    kept, pruned = [], []
+    for f in sorted(m):
+        ok = all(
+            _file_may_match(m[f], c, lo, hi) for c, (lo, hi) in where.items()
+        )
+        (kept if ok else pruned).append(f)
+    return v, kept, pruned
 
 
 def _raw_commit(table_root: str, v: int, payload: dict) -> None:
@@ -204,11 +412,20 @@ def _raw_commit(table_root: str, v: int, payload: dict) -> None:
         # A missing checkpoint only means longer folds until the next
         # multiple of CHECKPOINT_EVERY.
         try:
-            _, files = snapshot(table_root, v)
+            _, m = snapshot_with_stats(table_root, v)
             cp = os.path.join(log, f"checkpoint-v{v:010d}.json")
             cptmp = cp + f".tmp-{uuid.uuid4().hex}"
             with open(cptmp, "w") as f:
-                json.dump({"version": v, "files": sorted(files)}, f)
+                json.dump(
+                    {
+                        "version": v,
+                        "files": sorted(m),
+                        # stats ride through checkpoints or pruning
+                        # would silently stop at the first fold
+                        "stats": {k: s for k, s in m.items() if s},
+                    },
+                    f,
+                )
             os.replace(cptmp, cp)
         except OSError:
             pass
@@ -223,10 +440,17 @@ def commit(
     base_version: int,
     writer: str = "",
     max_retries: int = 50,
+    stats: dict[str, dict] | None = None,
 ) -> int:
     """Commit a transaction computed against ``base_version``. Returns
     the committed version. Appends always land (auto-rebase); rewrites
-    raise :class:`CommitConflictError` per the module conflict rules."""
+    raise :class:`CommitConflictError` per the module conflict rules.
+
+    Per-file column stats for ``adds`` are read from parquet footers
+    and recorded in the commit entry (data skipping); pass ``stats``
+    to override, or ``{}`` to skip collection."""
+    if stats is None:
+        stats = collect_file_stats(table_root, adds)
     removes_set = set(removes)
     # a commit's partition footprint is derived from its file paths
     # (partition dirs are encoded in them), plus any partitions the
@@ -253,10 +477,14 @@ def commit(
             # its inserts by reading those partitions, and a rival
             # commit there (e.g. the same fresh key inserted twice)
             # invalidates that read. Blind appends (op != merge) skip
-            # this and always rebase.
-            if (removes_set or op == "merge") and parts_set & set(
-                c["partitions"]
-            ):
+            # this and always rebase. OPTIMIZE also skips it: its only
+            # read dependency is the exact files it rewrites (rows
+            # in == rows out), so it commutes with appends into the
+            # same partition — the removes-overlap check above still
+            # catches a rival rewriting the same files.
+            if (
+                op == "merge" or (removes_set and op != "optimize")
+            ) and parts_set & set(c["partitions"]):
                 raise CommitConflictError(
                     f"v{v} ({c['op']}) touched partitions this "
                     f"{op} read; recompute against the new snapshot"
@@ -271,6 +499,7 @@ def commit(
 
             "writer": writer or uuid.uuid4().hex[:8],
             "base_version": attempt_base,
+            "stats": stats,
         }
         try:
             _raw_commit(table_root, target, payload)
@@ -318,10 +547,23 @@ def txn_read(
     table_root: str,
     schema=None,
     version: int | None = None,
+    where: dict[str, tuple] | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Snapshot-isolated read: exactly the committed file list at
-    ``version`` (default latest) — in-flight writers invisible."""
-    v, files = snapshot(table_root, version)
+    ``version`` (default latest) — in-flight writers invisible.
+
+    ``where={col: (lo, hi)}`` enables data skipping: files whose
+    recorded stats prove no row satisfies every range are not handed
+    to Spark at all, and the ranges are re-applied as row filters so
+    the result is identical to filtering a full read (pruning is
+    purely an I/O optimization). ``merge_schema=True`` reconciles
+    files written under evolved (column-added) schemas."""
+    if where:
+        v, kept, _pruned = prune_files(table_root, where, version)
+        files: set[str] | list[str] = kept
+    else:
+        v, files = snapshot(table_root, version)
     root = _local_root(table_root)
     if not files:
         if schema is None:
@@ -330,9 +572,20 @@ def txn_read(
             )
         return spark.createDataFrame([], schema)
     r = spark.read.option("basePath", table_root)
+    if merge_schema:
+        r = r.option("mergeSchema", "true")
     if schema is not None:
         r = r.schema(schema)
-    return r.parquet(*(os.path.join(root, f) for f in files))
+    df = r.parquet(*(os.path.join(root, f) for f in files))
+    if where:
+        from pyspark.sql import functions as F
+
+        for col, (lo, hi) in where.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+    return df
 
 
 def txn_append(

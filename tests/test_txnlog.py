@@ -9,6 +9,7 @@ import os
 import threading
 
 import pytest
+from pyspark.sql import functions as F
 
 from django_datastream_spark import txnlog as TL
 from django_datastream_spark.operators.merge import merge_into
@@ -548,3 +549,160 @@ def test_streaming_foreachbatch_commits_through_txn_log(spark, tmp_path):
     assert {1, 2, 11, 12, 21, 22, 999} <= got
     # one commit per micro-batch + rival + (no adoption: init was empty)
     assert TL.latest_version(table) == 4
+
+
+# ---------------------------------------------------------------------------
+# data skipping: per-file stats recorded at commit, pruned reads
+# ---------------------------------------------------------------------------
+
+
+def _skew_df(spark, lo, hi, tag):
+    rows = [(k, tag, float(k)) for k in range(lo, hi)]
+    return spark.createDataFrame(rows, "k long, p string, v double")
+
+
+def test_data_skipping_prunes_files_and_preserves_results(spark, tmp_path):
+    """Three commits with disjoint key ranges; a range read hands Spark
+    only the intersecting files yet returns exactly what filtering a
+    full scan returns (pruning is I/O-only)."""
+    path = str(tmp_path / "t")
+    for lo, hi in [(0, 100), (100, 200), (200, 300)]:
+        TL.txn_append(
+            spark, _skew_df(spark, lo, hi, "a").coalesce(1), path, []
+        )
+    # commit entries carry footer stats for the added files
+    v, m = TL.snapshot_with_stats(path)
+    assert v == 3 and len(m) == 3
+    for st in m.values():
+        assert st is not None and st["cols"]["k"]["t"] == "num"
+
+    # range straddling files 2 and 3: file 1 must be pruned
+    v, kept, pruned = TL.prune_files(path, {"k": (150, 250)})
+    assert len(kept) == 2 and len(pruned) == 1
+
+    full = {
+        r["k"]
+        for r in TL.txn_read(spark, path).filter("k >= 150 and k <= 250").collect()
+    }
+    skipped_df = TL.txn_read(spark, path, where={"k": (150, 250)})
+    assert {r["k"] for r in skipped_df.collect()} == full == set(range(150, 251))
+    assert len(skipped_df.inputFiles()) == 2  # the pruned file never reaches Spark
+
+    # one-sided ranges prune too
+    _, kept_lo, pruned_lo = TL.prune_files(path, {"k": (205, None)})
+    assert len(kept_lo) == 1 and len(pruned_lo) == 2
+    only = TL.txn_read(spark, path, where={"k": (205, None)})
+    assert only.count() == 95
+
+    # string-typed stats: all three commits used p='a'
+    _, kept_s, pruned_s = TL.prune_files(path, {"v": (None, -1.0)})
+    assert kept_s == [] and len(pruned_s) == 3
+
+
+def test_data_skipping_survives_checkpoint_fold(spark, tmp_path):
+    """Stats must ride through the checkpoint snapshot: after more than
+    CHECKPOINT_EVERY commits, the fold starts from a checkpoint and
+    pruning still sees every file's stats."""
+    path = str(tmp_path / "t")
+    n = TL.CHECKPOINT_EVERY + 2
+    for i in range(n):
+        TL.txn_append(
+            spark,
+            _skew_df(spark, 100 * i, 100 * i + 10, "a").coalesce(1),
+            path,
+            [],
+        )
+    log = os.path.join(path, TL.TXN_DIR)
+    assert any(x.startswith("checkpoint-") for x in os.listdir(log))
+    v, kept, pruned = TL.prune_files(path, {"k": (0, 5)})
+    assert v == n and len(kept) == 1 and len(pruned) == n - 1
+    got = TL.txn_read(spark, path, where={"k": (0, 5)})
+    assert got.count() == 6 and len(got.inputFiles()) == 1
+
+
+def test_all_null_column_prunes_but_legacy_commit_is_kept(spark, tmp_path):
+    """A file whose column is entirely NULL can never satisfy a range
+    predicate → pruned. A commit written without stats (legacy log)
+    must stay unprunable — conservative, never wrong."""
+    path = str(tmp_path / "t")
+    TL.txn_append(
+        spark,
+        spark.createDataFrame(
+            [(None, "a", 1.0), (None, "a", 2.0)], "k long, p string, v double"
+        ).coalesce(1),
+        path,
+        [],
+    )
+    TL.txn_append(spark, _skew_df(spark, 0, 10, "a").coalesce(1), path, [])
+    # strip stats from commit 2 to simulate a pre-stats writer
+    cpath = os.path.join(path, TL.TXN_DIR, "v0000000002.json")
+    with open(cpath) as f:
+        c = json.load(f)
+    c.pop("stats", None)
+    os.unlink(cpath)
+    with open(cpath, "w") as f:
+        json.dump(c, f)
+
+    v, kept, pruned = TL.prune_files(path, {"k": (1000, 2000)})
+    # all-null file proven empty for the range; stats-less file kept
+    assert len(pruned) == 1 and len(kept) == 1
+    assert TL.txn_read(spark, path, where={"k": (1000, 2000)}).count() == 0
+
+
+def test_timestamp_skipping_matches_full_filter(spark, tmp_path):
+    """Timestamp bounds prune on ISO-ordered footer stats and the
+    residual filter reproduces the full-scan result exactly."""
+    import datetime
+
+    path = str(tmp_path / "t")
+    base = datetime.datetime(2024, 1, 1)
+    for day0 in (0, 10, 20):
+        rows = [
+            (i, base + datetime.timedelta(days=day0, hours=i), float(i))
+            for i in range(24)
+        ]
+        TL.txn_append(
+            spark,
+            spark.createDataFrame(
+                rows, "k long, ts timestamp, v double"
+            ).coalesce(1),
+            path,
+            [],
+        )
+    lo = datetime.datetime(2024, 1, 11, 5)
+    hi = datetime.datetime(2024, 1, 11, 12)
+    v, kept, pruned = TL.prune_files(path, {"ts": (lo, hi)})
+    assert len(kept) == 1 and len(pruned) == 2
+    full = (
+        TL.txn_read(spark, path)
+        .filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+        .collect()
+    )
+    sk = TL.txn_read(spark, path, where={"ts": (lo, hi)}).collect()
+    assert sorted(r["k"] for r in sk) == sorted(r["k"] for r in full)
+    assert len(sk) == 8  # hours 5..12 inclusive
+
+
+def test_merge_schema_reads_evolved_table(spark, tmp_path):
+    """Column-added schema evolution: old files lack the new column,
+    merge_schema=True reconciles them (old rows read NULL)."""
+    path = str(tmp_path / "t")
+    TL.txn_append(
+        spark,
+        spark.createDataFrame([(1, 1.0)], "k long, v double"),
+        path,
+        [],
+    )
+    TL.txn_append(
+        spark,
+        spark.createDataFrame(
+            [(2, 2.0, "new")], "k long, v double, note string"
+        ),
+        path,
+        [],
+    )
+    got = {
+        r["k"]: r["note"]
+        for r in TL.txn_read(spark, path, merge_schema=True).collect()
+    }
+    assert got == {1: None, 2: "new"}
