@@ -606,6 +606,110 @@ def txn_append(
     )
 
 
+def _partition_cols_of(rel_paths: list[str]) -> list[str]:
+    """Partition column names encoded in hive-style dir segments of the
+    committed file paths (``p=a/q=b/file.parquet`` → ``[p, q]``)."""
+    for rel in rel_paths:
+        d = os.path.dirname(rel)
+        if not d:
+            return []
+        return [seg.split("=", 1)[0] for seg in d.split(os.sep) if "=" in seg]
+    return []
+
+
+def txn_optimize(
+    spark: SparkSession,
+    table_root: str,
+    target_file_bytes: int = 128 << 20,
+    zorder_by: list[str] | None = None,
+    writer: str = "",
+) -> dict:
+    """Compact small files (and optionally re-cluster by Z-order) as a
+    single ``optimize`` commit — Delta's OPTIMIZE [ZORDER BY] on the
+    plain-parquet log.
+
+    Candidates: committed files under ``target_file_bytes`` (with
+    ``zorder_by``, EVERY committed file — re-clustering must rewrite
+    the layout). They are read back in one Spark job, range-partitioned
+    on (partition cols, z-key) so each output task covers a contiguous
+    slice of one partition's key space, z-sorted within tasks (tight
+    row-group stats), staged race-free, and committed with
+    ``op="optimize"``.
+
+    Concurrency: optimize rewrites bytes, not rows — its only read
+    dependency is the exact files it compacts, so the commit COMMUTES
+    with concurrent appends (even into the same partitions) and
+    conflicts only when a rival commit removed one of those same files
+    (merge or another optimize). Superseded originals stay on disk for
+    snapshot readers; ``txn_vacuum`` reclaims them.
+
+    At 100 TB: the candidate list is driver-side metadata (the same
+    fold every reader does); the rewrite itself is one distributed
+    job whose output count is sized bytes/target. Run it per recent
+    ingest window, like any compaction job. Fresh footer stats are
+    recorded by ``commit`` as usual, so data skipping gets the full
+    benefit of the new clustering immediately."""
+    init_table(table_root)
+    root = _local_root(table_root)
+    base_ver, m = snapshot_with_stats(table_root)
+    files = sorted(m)
+    sizes = {}
+    for f in files:
+        try:
+            sizes[f] = os.path.getsize(os.path.join(root, f))
+        except OSError:
+            sizes[f] = target_file_bytes  # vanished/odd: not a candidate
+    if zorder_by:
+        cand = files
+    else:
+        cand = [f for f in files if sizes[f] < target_file_bytes]
+    if len(cand) < 2:
+        return {
+            "version": base_ver,
+            "rewritten_files": 0,
+            "new_files": 0,
+            "skipped": True,
+        }
+    part_cols = _partition_cols_of(cand)
+    df = (
+        spark.read.option("basePath", table_root)
+        .parquet(*(os.path.join(root, f) for f in cand))
+    )
+    total = sum(sizes[f] for f in cand)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    keys: list = list(part_cols)
+    if zorder_by:
+        from .layout import zorder_key
+
+        joined, z = zorder_key(df, zorder_by)
+        df = joined.withColumn("_z", z).select(*df.columns, "_z")
+        keys.append("_z")
+    if keys:
+        out = df.repartitionByRange(n_out, *keys).sortWithinPartitions(*keys)
+        if zorder_by:
+            out = out.drop("_z")
+    else:
+        out = df.coalesce(min(n_out, len(cand)))
+    tag = uuid.uuid4().hex[:12]
+    adds = stage_files(spark, out, table_root, part_cols, tag)
+    ver = commit(
+        table_root,
+        adds,
+        cand,
+        "optimize",
+        [],
+        base_version=base_ver,
+        writer=writer or "optimize",
+    )
+    return {
+        "version": ver,
+        "rewritten_files": len(cand),
+        "new_files": len(adds),
+        "bytes_before": total,
+        "skipped": False,
+    }
+
+
 def txn_vacuum(
     table_root: str,
     retain_versions: int = 0,

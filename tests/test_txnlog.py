@@ -706,3 +706,148 @@ def test_merge_schema_reads_evolved_table(spark, tmp_path):
         for r in TL.txn_read(spark, path, merge_schema=True).collect()
     }
     assert got == {1: None, 2: "new"}
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE: small-file compaction + z-order re-clustering commits
+# ---------------------------------------------------------------------------
+
+
+def test_optimize_compacts_small_files_preserving_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(6):
+        TL.txn_append(
+            spark, _skew_df(spark, 10 * i, 10 * i + 10, "a").coalesce(1),
+            path, [],
+        )
+    before = _rows_k(spark, path)
+    res = TL.txn_optimize(spark, path)  # default target >> file sizes
+    assert res["skipped"] is False and res["rewritten_files"] == 6
+    assert res["new_files"] == 1 and res["version"] == 7
+    assert _rows_k(spark, path) == before == set(range(60))
+    # the log recorded an optimize op removing the compacted files
+    with open(os.path.join(path, TL.TXN_DIR, "v0000000007.json")) as f:
+        c = json.load(f)
+    assert c["op"] == "optimize" and len(c["removes"]) == 6
+    # superseded files are vacuumable, snapshot still exact afterwards
+    removed = TL.txn_vacuum(path)
+    assert len(removed) == 6
+    assert _rows_k(spark, path) == before
+    # fresh footer stats rode along with the optimize commit
+    _, m = TL.snapshot_with_stats(path)
+    (st,) = m.values()
+    assert st["cols"]["k"] == {"t": "num", "min": 0, "max": 59, "nulls": 0}
+
+
+def _rows_k(spark, path):
+    return {r["k"] for r in TL.txn_read(spark, path).select("k").collect()}
+
+
+def test_optimize_commutes_with_concurrent_append(spark, tmp_path, monkeypatch):
+    """An append lands while optimize is staging: optimize must rebase
+    and commit (no partition conflict — it rewrites bytes, not rows),
+    and the appended row must survive."""
+    path = str(tmp_path / "t")
+    for i in range(3):
+        TL.txn_append(
+            spark, _skew_df(spark, 10 * i, 10 * i + 10, "a").coalesce(1),
+            path, [],
+        )
+    real_stage = TL.stage_files
+    fired = {"done": False}
+
+    def staging_rival(spark_, df, root, pcols, tag):
+        out = real_stage(spark_, df, root, pcols, tag)
+        if not fired["done"]:
+            fired["done"] = True
+            TL.txn_append(
+                spark_, _skew_df(spark_, 900, 901, "a"), path, [],
+                writer="rival",
+            )
+        return out
+
+    monkeypatch.setattr(TL, "stage_files", staging_rival)
+    res = TL.txn_optimize(spark, path)
+    monkeypatch.setattr(TL, "stage_files", real_stage)
+    assert res["skipped"] is False
+    assert res["version"] == 5  # rival took v4; optimize rebased to v5
+    assert _rows_k(spark, path) == set(range(30)) | {900}
+
+
+def test_optimize_conflicts_with_racing_rewrite_of_same_files(
+    spark, tmp_path, monkeypatch
+):
+    """A rival commit that REMOVES a file optimize is compacting must
+    turn the optimize commit into CommitConflictError."""
+    path = str(tmp_path / "t")
+    for i in range(3):
+        TL.txn_append(
+            spark, _skew_df(spark, 10 * i, 10 * i + 10, "a").coalesce(1),
+            path, [],
+        )
+    _, committed = TL.snapshot(path)
+    victim = sorted(committed)[0]
+    real_stage = TL.stage_files
+    fired = {"done": False}
+
+    def staging_rival(spark_, df, root, pcols, tag):
+        out = real_stage(spark_, df, root, pcols, tag)
+        if not fired["done"]:
+            fired["done"] = True
+            TL.commit(
+                path, [], [victim], "merge", [],
+                base_version=TL.latest_version(path), writer="rival",
+            )
+        return out
+
+    monkeypatch.setattr(TL, "stage_files", staging_rival)
+    with pytest.raises(TL.CommitConflictError):
+        TL.txn_optimize(spark, path)
+
+
+def test_optimize_zorder_improves_pruning(spark, tmp_path):
+    """Files written in time order each span the full key range → a key
+    predicate prunes nothing. OPTIMIZE ZORDER BY the key re-clusters so
+    the same predicate prunes most files."""
+    path = str(tmp_path / "t")
+    # 4 commits, each covering ALL keys 0..99 (interleaved layout)
+    for i in range(4):
+        rows = [(k, "a", float(i)) for k in range(100)]
+        TL.txn_append(
+            spark,
+            spark.createDataFrame(
+                rows, "k long, p string, v double"
+            ).coalesce(1),
+            path,
+            [],
+        )
+    _, kept0, pruned0 = TL.prune_files(path, {"k": (0, 10)})
+    assert len(pruned0) == 0  # every file spans all keys
+
+    res = TL.txn_optimize(
+        spark, path, target_file_bytes=2000, zorder_by=["k"]
+    )
+    assert res["skipped"] is False and res["new_files"] >= 2
+    _, kept1, pruned1 = TL.prune_files(path, {"k": (0, 10)})
+    assert len(pruned1) >= 1  # clustering made the predicate selective
+    got = TL.txn_read(spark, path, where={"k": (0, 10)})
+    assert got.count() == 44  # 11 keys x 4 rows
+    assert _rows_k(spark, path) == set(range(100))
+
+
+def test_optimize_partitioned_table_keeps_layout(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(3):
+        TL.txn_append(
+            spark,
+            _df(spark, [(10 * i + j, "ab"[j % 2], float(i)) for j in range(4)]),
+            path,
+            ["p"],
+        )
+    before = _rows(spark, path)
+    res = TL.txn_optimize(spark, path)
+    assert res["skipped"] is False
+    assert _rows(spark, path) == before
+    # files remain under hive-style partition dirs
+    _, files = TL.snapshot(path)
+    assert files and all(f.startswith("p=") for f in files)
