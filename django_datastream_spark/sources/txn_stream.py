@@ -1,0 +1,178 @@
+"""Streaming source over the transaction log: ``readStream.format
+("txn_table")`` — Delta's table-as-a-stream, on the engine's own log.
+
+Offsets are COMMIT VERSIONS: each micro-batch covers the data files
+added by commits in ``(start, end]``, tagged ``_commit_version``.
+Because the log is immutable, ``partitions(start, end)`` is a pure
+function of the range — checkpoint recovery replays any batch exactly
+(the replayability contract Structured Streaming requires of a
+source). Layout-only commits (``txn_optimize``, dataChange=false)
+are skipped: they re-add rows that already streamed through an
+earlier version.
+
+Scale shape: the driver only folds log metadata (versions → file
+lists); every InputPartition is ONE parquet file read executor-side
+via pyarrow. A commit that added 10k files becomes 10k parallel
+tasks, and the bytes never touch the driver. Vacuuming a version the
+stream has not consumed yet raises on replay — the same retention
+contract as Delta CDF.
+
+Options: ``path`` (table root, required), ``startingVersion``
+(default 0 = from table start; N = first batch begins at commit
+N+1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from .. import txnlog as TL
+from ..operators.merge import _local_root
+
+_ARROW_TO_DDL = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float": "float",
+    "double": "double",
+    "bool": "boolean",
+    "string": "string",
+    "large_string": "string",
+    "binary": "binary",
+    "large_binary": "binary",
+    "date32[day]": "date",
+}
+
+
+def _sniff_ddl(table_root: str) -> str:
+    """Schema of the newest committed file (+ hive partition cols as
+    string + the ``_commit_version`` tag). Pass an explicit
+    ``.schema(...)`` for exotic types or typed partition columns."""
+    import pyarrow.parquet as pq
+
+    _, files = TL.snapshot(table_root)
+    if not files:
+        raise ValueError(
+            f"{table_root}: empty table; pass an explicit schema"
+        )
+    rel = sorted(files)[-1]
+    root = _local_root(table_root)
+    sch = pq.ParquetFile(os.path.join(root, rel)).schema_arrow
+    parts = []
+    for field in sch:
+        t = str(field.type)
+        if t.startswith("timestamp"):
+            ddl = "timestamp"
+        elif t.startswith("decimal"):
+            ddl = t
+        else:
+            ddl = _ARROW_TO_DDL.get(t)
+        if ddl is None:
+            raise ValueError(
+                f"cannot map arrow type {t} for column {field.name}; "
+                "pass an explicit schema"
+            )
+        parts.append(f"{field.name} {ddl}")
+    for pc in TL._partition_cols_of([rel]):
+        parts.append(f"{pc} string")
+    parts.append("_commit_version bigint")
+    return ", ".join(parts)
+
+
+class TxnTableDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "txn_table"
+
+    def schema(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("txn_table requires .option('path', ...)")
+        return _sniff_ddl(path)
+
+    def streamReader(self, schema) -> "TxnTableStreamReader":
+        return TxnTableStreamReader(self.options, schema)
+
+    def reader(self, schema):
+        raise NotImplementedError(
+            "batch reads go through txnlog.txn_read (native parquet scan "
+            "with data skipping); this format is the STREAMING leg"
+        )
+
+
+class TxnTableStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("txn_table requires .option('path', ...)")
+        self.root = _local_root(self.path)
+        self.start_v = int(
+            options.get("startingVersion", options.get("startingversion", 0))
+        )
+        self.cols = [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        return {"v": self.start_v}
+
+    def latestOffset(self) -> dict:
+        return {"v": TL.latest_version(self.path)}
+
+    def partitions(self, start: dict, end: dict):
+        out = []
+        for v in range(start["v"] + 1, end["v"] + 1):
+            c = TL._read_commit(self.path, v)
+            if not c.get("data_change", True):
+                continue  # layout-only: rows already streamed
+            for rel in c["adds"]:
+                out.append(InputPartition((v, rel)))
+        # pyspark substitutes [None] for an empty plan; read(None) must
+        # still work (a range of optimize-only commits is legal)
+        return out or [InputPartition(None)]
+
+    def read(self, partition):
+        if partition.value is None:
+            return
+        import pyarrow.parquet as pq
+
+        v, rel = partition.value
+        full = os.path.join(self.root, rel)
+        tbl = pq.read_table(full)
+        cols = {}
+        for name in tbl.schema.names:
+            cols[name] = tbl.column(name).to_pylist()
+        # hive-encoded partition values live in the dir name, not the file
+        part_vals = {}
+        d = os.path.dirname(rel)
+        if d:
+            for seg in d.split(os.sep):
+                if "=" in seg:
+                    k, val = seg.split("=", 1)
+                    part_vals[k] = val
+        n = tbl.num_rows
+        for i in range(n):
+            row = []
+            for name in self.cols:
+                if name == "_commit_version":
+                    row.append(v)
+                elif name in cols:
+                    row.append(cols[name][i])
+                elif name in part_vals:
+                    row.append(part_vals[name])
+                else:
+                    row.append(None)
+            yield tuple(row)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the stream checkpoint
+
+
+def register(spark) -> None:
+    """Idempotent registration of the txn_table streaming format."""
+    spark.dataSource.register(TxnTableDataSource)

@@ -441,6 +441,7 @@ def commit(
     writer: str = "",
     max_retries: int = 50,
     stats: dict[str, dict] | None = None,
+    data_change: bool = True,
 ) -> int:
     """Commit a transaction computed against ``base_version``. Returns
     the committed version. Appends always land (auto-rebase); rewrites
@@ -448,7 +449,12 @@ def commit(
 
     Per-file column stats for ``adds`` are read from parquet footers
     and recorded in the commit entry (data skipping); pass ``stats``
-    to override, or ``{}`` to skip collection."""
+    to override, or ``{}`` to skip collection.
+
+    ``data_change=False`` marks a LAYOUT-ONLY commit (compaction /
+    re-clustering: same rows, new bytes) — incremental consumers
+    (:func:`txn_changes`, the ``txn_table`` streaming source) skip
+    such commits, exactly Delta's ``dataChange=false`` contract."""
     if stats is None:
         stats = collect_file_stats(table_root, adds)
     removes_set = set(removes)
@@ -500,6 +506,7 @@ def commit(
             "writer": writer or uuid.uuid4().hex[:8],
             "base_version": attempt_base,
             "stats": stats,
+            "data_change": data_change,
         }
         try:
             _raw_commit(table_root, target, payload)
@@ -700,6 +707,7 @@ def txn_optimize(
         [],
         base_version=base_ver,
         writer=writer or "optimize",
+        data_change=False,  # same rows, new layout: CDF/stream invisible
     )
     return {
         "version": ver,
@@ -801,7 +809,10 @@ def txn_changes(
     per_commit = []
     for v in range(from_version + 1, to_v + 1):
         c = _read_commit(table_root, v)
-        if c["adds"]:
+        # layout-only commits (optimize: dataChange=false) re-add rows
+        # that already streamed through an earlier version — emitting
+        # them would double every compacted row for incremental readers
+        if c["adds"] and c.get("data_change", True):
             per_commit.append((v, [os.path.join(root, f) for f in c["adds"]]))
     if not per_commit:
         if schema is None:

@@ -1,0 +1,110 @@
+"""Streaming source over the txn log (sources/txn_stream.py):
+commit-version offsets, exactly-once incremental consumption across
+restarts, and dataChange=false (optimize) invisibility."""
+
+from __future__ import annotations
+
+import pytest
+
+from django_datastream_spark import txnlog as TL
+from django_datastream_spark.sources import txn_stream
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, p string, v double")
+
+
+def _drain(spark, table, cp, out, starting=None):
+    """One availableNow pass of the txn_table stream into a memory-less
+    parquet sink dir; returns the rows landed THIS pass."""
+    txn_stream.register(spark)
+    r = spark.readStream.format("txn_table").option("path", table)
+    if starting is not None:
+        r = r.option("startingVersion", str(starting))
+    q = (
+        r.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    return spark.read.parquet(out)
+
+
+def test_stream_reads_commits_then_only_new_ones(spark, tmp_path):
+    table = str(tmp_path / "t")
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+    TL.txn_append(spark, _df(spark, [(1, "a", 1.0), (2, "a", 2.0)]), table, [])
+    TL.txn_append(spark, _df(spark, [(3, "b", 3.0)]), table, [])
+
+    got = _drain(spark, table, cp, out)
+    rows = {r["k"]: r["_commit_version"] for r in got.collect()}
+    assert rows == {1: 1, 2: 1, 3: 2}
+
+    # second pass with the SAME checkpoint: only the new commit streams
+    TL.txn_append(spark, _df(spark, [(4, "a", 4.0)]), table, [])
+    got2 = _drain(spark, table, cp, out)
+    rows2 = {r["k"]: r["_commit_version"] for r in got2.collect()}
+    assert rows2 == {1: 1, 2: 1, 3: 2, 4: 3}  # sink is cumulative
+    # exactly-once: no key appears twice in the sink
+    assert got2.count() == 4
+
+
+def test_optimize_commit_is_invisible_to_stream_and_cdf(spark, tmp_path):
+    """Compaction re-adds every row in new files; dataChange=false must
+    keep both the stream and txn_changes from double-emitting them."""
+    table = str(tmp_path / "t")
+    for i in range(3):
+        TL.txn_append(spark, _df(spark, [(i, "a", float(i))]), table, [])
+    res = TL.txn_optimize(spark, table)
+    assert res["skipped"] is False and res["version"] == 4
+
+    got = _drain(
+        spark, table, str(tmp_path / "cp"), str(tmp_path / "out")
+    )
+    assert got.count() == 3  # not 6
+    assert {r["_commit_version"] for r in got.collect()} == {1, 2, 3}
+
+    cdf = TL.txn_changes(spark, table, from_version=0)
+    assert cdf.count() == 3
+    assert {r["_commit_version"] for r in cdf.collect()} == {1, 2, 3}
+
+    # appends after the optimize still stream
+    TL.txn_append(spark, _df(spark, [(9, "a", 9.0)]), table, [])
+    got2 = _drain(
+        spark, table, str(tmp_path / "cp"), str(tmp_path / "out")
+    )
+    assert got2.count() == 4
+
+
+def test_starting_version_skips_history(spark, tmp_path):
+    table = str(tmp_path / "t")
+    TL.txn_append(spark, _df(spark, [(1, "a", 1.0)]), table, [])
+    TL.txn_append(spark, _df(spark, [(2, "a", 2.0)]), table, [])
+    got = _drain(
+        spark, table, str(tmp_path / "cp"), str(tmp_path / "out"),
+        starting=1,
+    )
+    assert {r["k"] for r in got.collect()} == {2}
+
+
+def test_partitioned_table_streams_partition_values(spark, tmp_path):
+    table = str(tmp_path / "t")
+    TL.txn_append(
+        spark, _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), table, ["p"]
+    )
+    got = _drain(
+        spark, table, str(tmp_path / "cp"), str(tmp_path / "out")
+    )
+    assert {(r["k"], r["p"]) for r in got.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_batch_read_points_to_txn_read(spark, tmp_path):
+    table = str(tmp_path / "t")
+    TL.txn_append(spark, _df(spark, [(1, "a", 1.0)]), table, [])
+    txn_stream.register(spark)
+    with pytest.raises(Exception, match="txn_read"):
+        spark.read.format("txn_table").option("path", table).load().collect()
