@@ -7033,3 +7033,136 @@ def q169(spark, sf_dir):
         F.round("luma_mean", 4).alias("luma_mean"),
         F.round("luma_std", 4).alias("luma_std"),
     ).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# Q170/Q171: the LAKEHOUSE path inside the gate — txn-log table with
+# data-skipped reads, and the txn_table streaming source replay.
+# --------------------------------------------------------------------------
+def _txn_events_table(spark, sf_dir, key):
+    """Build (fresh per call, like q155's replay dirs) a txn-log table
+    from the events table as three commits with disjoint day ranges —
+    v1 = days 1-10, v2 = 11-20, v3 = 21-31 — so commit versions are a
+    deterministic function of the data and oracle-expressible."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from .. import txnlog as TL
+
+    base = _os.path.join(
+        _tmp.gettempdir(),
+        f"{key}_" + _hl.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    root = _os.path.join(base, "table")
+    ev = load_table(spark, sf_dir, "events")
+    for d0, d1 in ((1, 10), (11, 20), (21, 31)):
+        sl = ev.filter(
+            (F.dayofmonth("ts") >= d0) & (F.dayofmonth("ts") <= d1)
+        ).coalesce(2)
+        TL.txn_append(spark, sl, root, [])
+    return root
+
+
+@_declare(
+    "q170_txn_data_skipping",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) n,
+           CAST(MIN(event_id) AS BIGINT) mn,
+           CAST(MAX(event_id) AS BIGINT) mx
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-12 00:00:00'
+      AND ts < TIMESTAMP '2024-01-19 00:00:00'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q170(spark, sf_dir):
+    """Transaction-log table + DATA SKIPPING inside the driver gate:
+    events lands as three commits with disjoint day ranges, then a
+    time-bounded ``txn_read(where=...)`` consults the footer stats
+    recorded at commit and hands Spark only intersecting files (the
+    middle commit; pruning effectiveness is pinned separately in
+    tests/test_txnlog.py) — and the aggregate must hash-match plain
+    SQL over the source table, proving pruning is I/O-only.  NOTE:
+    the builder RUNS Spark jobs (it writes the table; by-name
+    exemption in test_declaring_queries_runs_no_jobs), and stats
+    pruning degrades gracefully to keep-all when the driver session
+    writes INT96 timestamps (no footer stats) — correctness does not
+    depend on the session's parquet conf."""
+    import datetime as _dt
+
+    from .. import txnlog as TL
+
+    root = _txn_events_table(spark, sf_dir, "q170")
+    lo = _dt.datetime(2024, 1, 12)
+    hi = _dt.datetime(2024, 1, 18, 23, 59, 59, 999999)
+    got = TL.txn_read(spark, root, where={"ts": (lo, hi)})
+    return (
+        got.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("event_id").cast("long").alias("mn"),
+            F.max("event_id").cast("long").alias("mx"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_declare(
+    "q171_txn_stream_replay",
+    """
+    WITH t AS (
+      SELECT event_id,
+             CASE WHEN day(ts) <= 10 THEN 1
+                  WHEN day(ts) <= 20 THEN 2
+                  ELSE 3 END v
+      FROM events)
+    SELECT CAST(v AS BIGINT) commit_version,
+           CAST(COUNT(*) AS BIGINT) n,
+           CAST(MIN(event_id) AS BIGINT) mn,
+           CAST(MAX(event_id) AS BIGINT) mx
+    FROM t GROUP BY 1 ORDER BY 1
+    """,
+)
+def q171(spark, sf_dir):
+    """The txn_table STREAMING source inside the gate: the three-commit
+    table from q170's builder replays through readStream.format(
+    'txn_table') (commit-version offsets, one InputPartition per data
+    file, availableNow) into a parquet sink, and the per-commit row
+    counts + event_id ranges must hash-match batch SQL that recomputes
+    each row's commit from its day range.  This makes the driver
+    verify the source's exactly-once file->version mapping, not just
+    our tests.  Builder runs the bounded streaming job (same exemption
+    family as q155)."""
+    import os as _os
+
+    from ..sources import txn_stream
+
+    root = _txn_events_table(spark, sf_dir, "q171")
+    base = _os.path.dirname(root)
+    out, cp = _os.path.join(base, "out"), _os.path.join(base, "cp")
+    txn_stream.register(spark)
+    st = (
+        spark.readStream.format("txn_table").option("path", root).load()
+    )
+    q = (
+        st.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    res = spark.read.parquet(out)
+    return (
+        res.groupBy(F.col("_commit_version").alias("commit_version"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("event_id").cast("long").alias("mn"),
+            F.max("event_id").cast("long").alias("mx"),
+        )
+        .orderBy("commit_version")
+    )
