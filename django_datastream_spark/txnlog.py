@@ -613,6 +613,111 @@ def txn_append(
     )
 
 
+def txn_count(
+    spark: SparkSession,
+    table_root: str,
+    where: dict[str, tuple] | None = None,
+    version: int | None = None,
+) -> int:
+    """COUNT(*) answered from commit metadata where possible.
+
+    Without a predicate: the sum of per-file row counts — zero data
+    I/O (files lacking stats fall back to one footer read each).
+    With ``where``: files PROVABLY fully inside every range (min/max
+    within bounds, no nulls) contribute their row count from metadata;
+    only boundary files — the ones a range edge cuts through — are
+    scanned, with the predicate pushed down. At 100 TB a month-long
+    window over daily files scans two boundary days instead of the
+    window."""
+    import pyarrow.parquet as pq
+
+    v, m = snapshot_with_stats(table_root, version)
+    root = _local_root(table_root)
+
+    def _rows_of(f: str, s: dict | None) -> int:
+        if s is not None and "rows" in s:
+            return s["rows"]
+        return pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+
+    if not where:
+        return sum(_rows_of(f, s) for f, s in m.items())
+
+    def _fully_inside(s: dict | None) -> bool:
+        if s is None:
+            return False
+        for col, (lo, hi) in where.items():
+            cs = (s.get("cols") or {}).get(col)
+            if cs is None or cs["t"] == "null":
+                return False
+            if cs.get("nulls") != 0:
+                return False  # NULLs fail the predicate: must scan
+            if lo is not None:
+                lo_c = _coerce_bound(lo, cs["t"])
+                if lo_c is None or cs["min"] < lo_c:
+                    return False
+            if hi is not None:
+                hi_c = _coerce_bound(hi, cs["t"])
+                if hi_c is None or cs["max"] > hi_c:
+                    return False
+        return True
+
+    total = 0
+    boundary = []
+    for f in sorted(m):
+        if not all(
+            _file_may_match(m[f], c, lo, hi) for c, (lo, hi) in where.items()
+        ):
+            continue  # provably empty for the range
+        if _fully_inside(m[f]):
+            total += _rows_of(f, m[f])
+        else:
+            boundary.append(f)
+    if boundary:
+        from pyspark.sql import functions as F
+
+        df = spark.read.option("basePath", table_root).parquet(
+            *(os.path.join(root, f) for f in boundary)
+        )
+        for col, (lo, hi) in where.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+        total += df.count()
+    return total
+
+
+def txn_history(spark: SparkSession, table_root: str) -> "DataFrame":
+    """DESCRIBE HISTORY: one row per commit, newest first — the audit
+    surface a lakehouse table owes its operators. Driver-side log fold
+    (metadata-sized), returned as a DataFrame for joins/filters."""
+    head = latest_version(table_root)
+    rows = []
+    for v in range(1, head + 1):
+        c = _read_commit(table_root, v)
+        rows.append(
+            (
+                v,
+                c["op"],
+                c.get("writer", ""),
+                c.get("base_version", v - 1),
+                len(c["adds"]),
+                len(c["removes"]),
+                bool(c.get("data_change", True)),
+                sorted(c.get("partitions") or []),
+            )
+        )
+    schema = (
+        "version long, op string, writer string, base_version long, "
+        "n_added_files long, n_removed_files long, data_change boolean, "
+        "partitions array<string>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    from pyspark.sql import functions as F
+
+    return df.orderBy(F.desc("version"))
+
+
 def _partition_cols_of(rel_paths: list[str]) -> list[str]:
     """Partition column names encoded in hive-style dir segments of the
     committed file paths (``p=a/q=b/file.parquet`` → ``[p, q]``)."""

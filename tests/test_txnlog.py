@@ -851,3 +851,58 @@ def test_optimize_partitioned_table_keeps_layout(spark, tmp_path):
     # files remain under hive-style partition dirs
     _, files = TL.snapshot(path)
     assert files and all(f.startswith("p=") for f in files)
+
+
+# ---------------------------------------------------------------------------
+# metadata-only COUNT(*) and DESCRIBE HISTORY
+# ---------------------------------------------------------------------------
+
+
+def test_txn_count_metadata_only_and_boundary_scan(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for lo, hi in [(0, 100), (100, 200), (200, 300)]:
+        TL.txn_append(
+            spark, _skew_df(spark, lo, hi, "a").coalesce(1), path, []
+        )
+    # no predicate: pure metadata sum
+    assert TL.txn_count(spark, path) == 300
+    # range cutting through files 1 and 3: file 2 counted from
+    # metadata (fully inside), 1+3 scanned with the filter
+    got = TL.txn_count(spark, path, where={"k": (50, 250)})
+    assert got == 201
+    assert got == TL.txn_read(spark, path, where={"k": (50, 250)}).count()
+    # disjoint range: zero without touching data
+    assert TL.txn_count(spark, path, where={"k": (1000, None)}) == 0
+    # version pinning
+    assert TL.txn_count(spark, path, version=1) == 100
+
+
+def test_txn_count_null_column_forces_scan_and_is_exact(spark, tmp_path):
+    path = str(tmp_path / "t")
+    TL.txn_append(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 1.0), (None, "a", 2.0), (50, "a", 3.0)],
+            "k long, p string, v double",
+        ).coalesce(1),
+        path,
+        [],
+    )
+    # file intersects but has nulls -> boundary scan; NULL k excluded
+    assert TL.txn_count(spark, path, where={"k": (0, 100)}) == 2
+
+
+def test_txn_history_audit_surface(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(3):
+        TL.txn_append(
+            spark, _skew_df(spark, 10 * i, 10 * i + 10, "a").coalesce(1),
+            path, [], writer=f"w{i}",
+        )
+    TL.txn_optimize(spark, path)
+    h = TL.txn_history(spark, path).collect()
+    assert [r["version"] for r in h] == [4, 3, 2, 1]
+    assert h[0]["op"] == "optimize" and h[0]["data_change"] is False
+    assert h[0]["n_removed_files"] == 3 and h[0]["n_added_files"] == 1
+    assert {r["writer"] for r in h[1:]} == {"w0", "w1", "w2"}
+    assert all(r["data_change"] for r in h[1:])
