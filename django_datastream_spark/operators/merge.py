@@ -294,8 +294,13 @@ def merge_into(
         # read AT base_ver, not "latest": the commit's conflict scan
         # starts at base_ver, so reading a newer snapshot here would
         # guarantee a spurious conflict for data this merge actually
-        # incorporated
-        existing = TL.txn_read(spark, target_path, version=base_ver)
+        # incorporated. keep_meta carries each row's source file from
+        # the scan itself — input_file_name() stops resolving once the
+        # deletion-vector anti-join adds a second file source.
+        existing_m = TL.txn_read(
+            spark, target_path, version=base_ver, keep_meta=True
+        )
+        existing = existing_m.drop("__file", "__pos")
     else:
         fs, troot = _fs_and_path(spark, target_path)
         if not fs.exists(troot):
@@ -339,25 +344,50 @@ def merge_into(
     part_scope = existing.join(
         F.broadcast(touched), partition_cols, "left_semi"
     )
-    conflict_files = [
-        r["f"]
-        for r in part_scope.join(
-            F.broadcast(src.select(*key_cols)), key_cols, "left_semi"
-        )
-        .select(F.input_file_name().alias("f"))
-        .distinct()
-        .collect()  # metadata: file URIs, bounded by touched partitions
-    ]
-    conflict_rel = {_rel_file(target_path, f) for f in conflict_files}
+    if txn:
+        conflict_rel = {
+            r["__file"]
+            for r in existing_m.join(
+                F.broadcast(touched), partition_cols, "left_semi"
+            )
+            .join(F.broadcast(src.select(*key_cols)), key_cols, "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()  # metadata: file paths, bounded by touched parts
+        }
+    else:
+        conflict_files = [
+            r["f"]
+            for r in part_scope.join(
+                F.broadcast(src.select(*key_cols)), key_cols, "left_semi"
+            )
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()  # metadata: file URIs, bounded by touched partitions
+        ]
+        conflict_rel = {_rel_file(target_path, f) for f in conflict_files}
 
     pieces: list[DataFrame] = []
-    if conflict_files:
-        conflicted = (
-            spark.read.option("basePath", target_path)
-            .schema(existing.schema)
-            .parquet(*conflict_files)
-            .select(*existing.columns)
-        )
+    if conflict_rel:
+        if txn:
+            # re-read through the DV-aware primitive: a raw re-read of
+            # the conflict files would resurrect vector-deleted rows
+            # into the merge output
+            _, _, dv_map = TL._fold(target_path, base_ver)
+            conflicted = TL._read_files(
+                spark,
+                target_path,
+                sorted(conflict_rel),
+                schema=existing.schema,
+                dv=dv_map,
+            ).select(*existing.columns)
+        else:
+            conflicted = (
+                spark.read.option("basePath", target_path)
+                .schema(existing.schema)
+                .parquet(*conflict_files)
+                .select(*existing.columns)
+            )
         # kept: conflict-file rows whose key the source does NOT carry
         pieces.append(
             conflicted.join(src.select(*key_cols), key_cols, "left_anti")
@@ -408,7 +438,7 @@ def merge_into(
         # defer_conflict_delete: under multi-writer, eager deletion
         # would break snapshot readers — reclaim is txn_vacuum's job
         return {
-            "rewritten_files": len(conflict_files),
+            "rewritten_files": len(conflict_rel),
             "inserted": inserted,
             "version": ver,
         }

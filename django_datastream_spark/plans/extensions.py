@@ -7166,3 +7166,49 @@ def q171(spark, sf_dir):
         )
         .orderBy("commit_version")
     )
+
+
+@_declare(
+    "q172_txn_delete_vectors",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) n,
+           CAST(MIN(event_id) AS BIGINT) mn,
+           CAST(MAX(event_id) AS BIGINT) mx
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts < TIMESTAMP '2024-01-25 00:00:00'
+      AND NOT (event_type = 'error' OR value < 1.0)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q172(spark, sf_dir):
+    """DELETE via DELETION VECTORS inside the gate: on the three-commit
+    txn table, ``txn_delete`` marks error/low-value rows dead by
+    (file, position) sidecar vectors — no data file rewritten — and a
+    subsequent time-bounded, stats-pruned read must hash-match SQL
+    that excludes the same rows from the source table.  The driver
+    thereby verifies the whole DV pipeline: vector write, fold,
+    anti-join on the scan, and its composition with data skipping.
+    Builder runs Spark jobs (same exemption family as q170)."""
+    import datetime as _dt
+
+    from .. import txnlog as TL
+
+    root = _txn_events_table(spark, sf_dir, "q172")
+    res = TL.txn_delete(
+        spark, root, "event_type = 'error' OR value < 1.0"
+    )
+    assert res["deleted_rows"] > 0  # non-vacuous at every gate SF
+    lo = _dt.datetime(2024, 1, 5)
+    hi = _dt.datetime(2024, 1, 24, 23, 59, 59, 999999)
+    got = TL.txn_read(spark, root, where={"ts": (lo, hi)})
+    return (
+        got.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("event_id").cast("long").alias("mn"),
+            F.max("event_id").cast("long").alias("mx"),
+        )
+        .orderBy("event_type")
+    )

@@ -184,12 +184,66 @@ def snapshot_with_stats(
     recorded column stats (``None`` for files committed before stats
     existed or whose footer yielded nothing usable — such files are
     never pruned)."""
+    v, files, _dv = _fold(table_root, version)
+    return v, files
+
+
+def snapshot_dv(
+    table_root: str, version: int | None = None
+) -> tuple[int, dict[str, list[dict]]]:
+    """Deletion vectors at ``version``: committed file → list of
+    ``{"dv": <sidecar rel dir>, "n": <positions in it for this
+    file>}`` entries. Positions themselves live in the sidecar
+    parquet and are only ever read by Spark scans."""
+    v, _files, dv = _fold(table_root, version)
+    return v, dv
+
+
+def app_txn_watermarks(
+    table_root: str, version: int | None = None
+) -> dict[str, int]:
+    """Per-writer-app transaction watermarks (Delta's SetTransaction):
+    app id → highest batch id committed. The idempotence ledger for
+    exactly-once streaming sinks."""
+    log = _log_dir(table_root)
+    head = latest_version(table_root)
+    v = head if version is None else version
+    start, wm = 0, {}
+    try:
+        cps = [
+            int(n[len("checkpoint-v"):-5])
+            for n in os.listdir(log)
+            if n.startswith("checkpoint-v") and n.endswith(".json")
+        ]
+    except FileNotFoundError:
+        cps = []
+    usable = [c for c in cps if c <= v]
+    if usable:
+        start = max(usable)
+        with open(os.path.join(log, f"checkpoint-v{start:010d}.json")) as f:
+            wm = dict(json.load(f).get("app_txns") or {})
+    for i in range(start + 1, v + 1):
+        c = _read_commit(table_root, i)
+        at = c.get("app_txn")
+        if at:
+            app, batch = at["app"], at["batch"]
+            if wm.get(app, -1) < batch:
+                wm[app] = batch
+    return wm
+
+
+def _fold(
+    table_root: str, version: int | None = None
+) -> tuple[int, dict[str, dict | None], dict[str, list[dict]]]:
+    """One checkpoint-bounded log fold: (version, file → stats,
+    file → deletion-vector entries)."""
     log = _log_dir(table_root)
     head = latest_version(table_root)
     v = head if version is None else version
     if v > head:
         raise ValueError(f"version {v} > latest {head}")
     start, files = 0, {}
+    dv: dict[str, list[dict]] = {}
     try:
         cps = [
             int(n[len("checkpoint-v"):-5])
@@ -205,14 +259,18 @@ def snapshot_with_stats(
             cp = json.load(f)
         cp_stats = cp.get("stats") or {}
         files = {f: cp_stats.get(f) for f in cp["files"]}
+        dv = {f: list(es) for f, es in (cp.get("dv") or {}).items()}
     for i in range(start + 1, v + 1):
         c = _read_commit(table_root, i)
         for f in c["removes"]:
             files.pop(f, None)
+            dv.pop(f, None)  # rewrite supersedes the vector
         c_stats = c.get("stats") or {}
         for f in c["adds"]:
             files[f] = c_stats.get(f)
-    return v, files
+        for f, e in (c.get("deletes") or {}).items():
+            dv.setdefault(f, []).append(e)
+    return v, files, dv
 
 
 def _stat_value(v):
@@ -412,7 +470,7 @@ def _raw_commit(table_root: str, v: int, payload: dict) -> None:
         # A missing checkpoint only means longer folds until the next
         # multiple of CHECKPOINT_EVERY.
         try:
-            _, m = snapshot_with_stats(table_root, v)
+            _, m, dv = _fold(table_root, v)
             cp = os.path.join(log, f"checkpoint-v{v:010d}.json")
             cptmp = cp + f".tmp-{uuid.uuid4().hex}"
             with open(cptmp, "w") as f:
@@ -420,9 +478,11 @@ def _raw_commit(table_root: str, v: int, payload: dict) -> None:
                     {
                         "version": v,
                         "files": sorted(m),
-                        # stats ride through checkpoints or pruning
-                        # would silently stop at the first fold
+                        # stats and deletion vectors ride through
+                        # checkpoints or pruning/deletes would silently
+                        # stop applying at the first fold
                         "stats": {k: s for k, s in m.items() if s},
+                        "dv": {k: es for k, es in dv.items() if es},
                     },
                     f,
                 )
@@ -442,6 +502,7 @@ def commit(
     max_retries: int = 50,
     stats: dict[str, dict] | None = None,
     data_change: bool = True,
+    deletes: dict[str, dict] | None = None,
 ) -> int:
     """Commit a transaction computed against ``base_version``. Returns
     the committed version. Appends always land (auto-rebase); rewrites
@@ -454,17 +515,27 @@ def commit(
     ``data_change=False`` marks a LAYOUT-ONLY commit (compaction /
     re-clustering: same rows, new bytes) — incremental consumers
     (:func:`txn_changes`, the ``txn_table`` streaming source) skip
-    such commits, exactly Delta's ``dataChange=false`` contract."""
+    such commits, exactly Delta's ``dataChange=false`` contract.
+
+    ``deletes`` records DELETION VECTORS: file → ``{"dv": sidecar,
+    "n": count}`` for rows removed WITHOUT rewriting the file.
+    For conflict purposes a DV'd file counts as touched: two row-level
+    ops on one file serialize (one retries against the new snapshot),
+    and a rewrite racing a DV on the same file conflicts in both
+    directions — otherwise the rewrite would resurrect the deleted
+    rows when the fold drops the vector with the file."""
     if stats is None:
         stats = collect_file_stats(table_root, adds)
     removes_set = set(removes)
+    touched_files = removes_set | set(deletes or {})
     # a commit's partition footprint is derived from its file paths
     # (partition dirs are encoded in them), plus any partitions the
     # caller declares it READ — so an append into a partition a merge
     # anti-joined against is detected without trusting callers to
     # enumerate their write set
     parts_set = set(partitions) | {
-        os.path.dirname(f) or "." for f in list(adds) + removes
+        os.path.dirname(f) or "."
+        for f in list(adds) + removes + sorted(deletes or {})
     }
     attempt_base = base_version
     for _ in range(max_retries):
@@ -473,10 +544,11 @@ def commit(
         # last failed attempt — rebase must stay sound transitively
         for v in range(base_version + 1, head + 1):
             c = _read_commit(table_root, v)
-            if removes_set & set(c["removes"]):
+            c_touched = set(c["removes"]) | set(c.get("deletes") or {})
+            if touched_files & c_touched:
                 raise CommitConflictError(
-                    f"v{v} already removed files this transaction "
-                    f"rewrites (op={c['op']})"
+                    f"v{v} already removed or row-deleted files this "
+                    f"transaction touches (op={c['op']})"
                 )
             # read-modify-write ops conflict on partition overlap even
             # when they remove nothing: an INSERT-only merge decided
@@ -507,6 +579,7 @@ def commit(
             "base_version": attempt_base,
             "stats": stats,
             "data_change": data_change,
+            "deletes": deletes or {},
         }
         try:
             _raw_commit(table_root, target, payload)
@@ -549,6 +622,63 @@ def stage_files(
     return out
 
 
+def _read_files(
+    spark: SparkSession,
+    table_root: str,
+    rels: list[str],
+    schema=None,
+    merge_schema: bool = False,
+    where: dict[str, tuple] | None = None,
+    dv: dict[str, list] | None = None,
+    keep_meta: bool = False,
+) -> DataFrame:
+    """The one scan primitive: read exactly ``rels``, subtract any
+    deletion vectors (anti-join against the sidecar position files —
+    positions stay executor-side end to end; the join side is small
+    relative to the data and AQE broadcasts it when it fits, without
+    forcing a broadcast that a 100 TB vector set would overflow),
+    then apply residual ``where`` ranges. ``keep_meta=True`` keeps
+    the ``__file``/``__pos`` identity columns (what txn_delete needs
+    to record new vectors)."""
+    from pyspark.sql import functions as F
+
+    root = _local_root(table_root)
+    r = spark.read.option("basePath", table_root)
+    if merge_schema:
+        r = r.option("mergeSchema", "true")
+    if schema is not None:
+        r = r.schema(schema)
+    df = r.parquet(*(os.path.join(root, f) for f in rels))
+    sidecars = sorted(
+        {e["dv"] for f in rels for e in (dv or {}).get(f, [])}
+    )
+    if sidecars or keep_meta:
+        prefix = "file:" + os.path.abspath(root) + os.sep
+        df = df.select(
+            "*",
+            F.expr(
+                f"substring(_metadata.file_path, {len(prefix) + 1})"
+            ).alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+    if sidecars:
+        dvdf = spark.read.parquet(
+            *(os.path.join(root, s) for s in sidecars)
+        ).select(
+            F.col("file").alias("__file"), F.col("pos").alias("__pos")
+        )
+        df = df.join(dvdf, ["__file", "__pos"], "left_anti")
+    if sidecars and not keep_meta:
+        df = df.drop("__file", "__pos")
+    if where:
+        for col, (lo, hi) in where.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+    return df
+
+
 def txn_read(
     spark: SparkSession,
     table_root: str,
@@ -556,9 +686,15 @@ def txn_read(
     version: int | None = None,
     where: dict[str, tuple] | None = None,
     merge_schema: bool = False,
+    keep_meta: bool = False,
 ) -> DataFrame:
     """Snapshot-isolated read: exactly the committed file list at
-    ``version`` (default latest) — in-flight writers invisible.
+    ``version`` (default latest), minus deletion-vector rows —
+    in-flight writers invisible. ``keep_meta=True`` adds ``__file``
+    (root-relative source file) and ``__pos`` (row position) columns —
+    the row identity MERGE and DELETE need; ``input_file_name()``
+    cannot be used instead once a deletion-vector anti-join puts a
+    second file source in the plan.
 
     ``where={col: (lo, hi)}`` enables data skipping: files whose
     recorded stats prove no row satisfies every range are not handed
@@ -566,33 +702,104 @@ def txn_read(
     the result is identical to filtering a full read (pruning is
     purely an I/O optimization). ``merge_schema=True`` reconciles
     files written under evolved (column-added) schemas."""
+    v, m, dv = _fold(table_root, version)
+    files = sorted(m)
     if where:
-        v, kept, _pruned = prune_files(table_root, where, version)
-        files: set[str] | list[str] = kept
-    else:
-        v, files = snapshot(table_root, version)
-    root = _local_root(table_root)
+        files = [
+            f
+            for f in files
+            if all(
+                _file_may_match(m[f], c, lo, hi)
+                for c, (lo, hi) in where.items()
+            )
+        ]
     if not files:
         if schema is None:
             raise ValueError(
                 f"{table_root}: empty at v{v}; pass schema for an empty frame"
             )
         return spark.createDataFrame([], schema)
-    r = spark.read.option("basePath", table_root)
-    if merge_schema:
-        r = r.option("mergeSchema", "true")
-    if schema is not None:
-        r = r.schema(schema)
-    df = r.parquet(*(os.path.join(root, f) for f in files))
-    if where:
-        from pyspark.sql import functions as F
+    return _read_files(
+        spark,
+        table_root,
+        files,
+        schema=schema,
+        merge_schema=merge_schema,
+        where=where,
+        dv=dv,
+        keep_meta=keep_meta,
+    )
 
-        for col, (lo, hi) in where.items():
-            if lo is not None:
-                df = df.filter(F.col(col) >= F.lit(lo))
-            if hi is not None:
-                df = df.filter(F.col(col) <= F.lit(hi))
-    return df
+
+def txn_delete(
+    spark: SparkSession,
+    table_root: str,
+    condition,
+    writer: str = "",
+) -> dict:
+    """DELETE FROM ... WHERE ``condition`` via DELETION VECTORS: no
+    data file is rewritten — matching rows' (file, position) pairs are
+    written executor-side to a sidecar parquet under ``_dv/`` and the
+    commit records which files the vector touches. Readers anti-join
+    the vectors; ``txn_optimize`` later materializes them (rewrites
+    the files without the dead rows, dropping the vectors).
+
+    This is the write-amplification fix for row-level ops at 100 TB:
+    deleting 0.1% of rows costs one scan + a vector write, not a
+    rewrite of every touched 128 MB file. Positions never reach the
+    driver — only per-file counts do (bounded by file count).
+
+    Conflicts: a DV'd file counts as touched, so two row-level ops on
+    one file serialize, and a racing rewrite of that file conflicts
+    in both directions (else the rewrite would resurrect deleted rows
+    when the fold drops the vector with the file). Appends commute:
+    the delete applies to the snapshot it read (WriteSerializable).
+
+    ``condition`` is a Column or SQL string over the table's columns.
+    Returns ``{"version", "deleted_rows", "files_touched"}``."""
+    from pyspark.sql import functions as F
+
+    init_table(table_root)
+    root = _local_root(table_root)
+    base_ver, m, dv = _fold(table_root)
+    files = sorted(m)
+    if not files:
+        return {"version": base_ver, "deleted_rows": 0, "files_touched": 0}
+    df = _read_files(spark, table_root, files, dv=dv, keep_meta=True)
+    hits = df.filter(condition).select("__file", "__pos")
+    tag = uuid.uuid4().hex[:12]
+    dv_rel = os.path.join("_dv", tag)
+    dv_dir = os.path.join(root, dv_rel)
+    hits.select(
+        F.col("__file").alias("file"), F.col("__pos").alias("pos")
+    ).write.parquet(dv_dir)
+    per = {
+        r["file"]: r["n"]
+        for r in spark.read.parquet(dv_dir)
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # per-FILE counts: bounded by file count, not rows
+    }
+    if not per:
+        shutil.rmtree(dv_dir, ignore_errors=True)
+        return {"version": base_ver, "deleted_rows": 0, "files_touched": 0}
+    deletes = {f: {"dv": dv_rel, "n": int(n)} for f, n in per.items()}
+    ver = commit(
+        table_root,
+        [],
+        [],
+        "delete",
+        [],
+        base_version=base_ver,
+        writer=writer or "delete",
+        deletes=deletes,
+        stats={},
+    )
+    return {
+        "version": ver,
+        "deleted_rows": int(sum(per.values())),
+        "files_touched": len(per),
+    }
 
 
 def txn_append(
@@ -631,16 +838,19 @@ def txn_count(
     window."""
     import pyarrow.parquet as pq
 
-    v, m = snapshot_with_stats(table_root, version)
+    v, m, dv = _fold(table_root, version)
     root = _local_root(table_root)
 
     def _rows_of(f: str, s: dict | None) -> int:
+        live = sum(e["n"] for e in dv.get(f, []))
         if s is not None and "rows" in s:
-            return s["rows"]
-        return pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            return s["rows"] - live
+        return (
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows - live
+        )
 
     if not where:
-        return sum(_rows_of(f, s) for f, s in m.items())
+        return sum(_rows_of(f, m[f]) for f in m)
 
     def _fully_inside(s: dict | None) -> bool:
         if s is None:
@@ -673,17 +883,11 @@ def txn_count(
         else:
             boundary.append(f)
     if boundary:
-        from pyspark.sql import functions as F
-
-        df = spark.read.option("basePath", table_root).parquet(
-            *(os.path.join(root, f) for f in boundary)
-        )
-        for col, (lo, hi) in where.items():
-            if lo is not None:
-                df = df.filter(F.col(col) >= F.lit(lo))
-            if hi is not None:
-                df = df.filter(F.col(col) <= F.lit(hi))
-        total += df.count()
+        # the range edge cuts through these files: scan them with the
+        # predicate pushed down and deletion vectors applied
+        total += _read_files(
+            spark, table_root, boundary, where=where, dv=dv
+        ).count()
     return total
 
 
@@ -763,7 +967,7 @@ def txn_optimize(
     benefit of the new clustering immediately."""
     init_table(table_root)
     root = _local_root(table_root)
-    base_ver, m = snapshot_with_stats(table_root)
+    base_ver, m, dv = _fold(table_root)
     files = sorted(m)
     sizes = {}
     for f in files:
@@ -774,8 +978,13 @@ def txn_optimize(
     if zorder_by:
         cand = files
     else:
-        cand = [f for f in files if sizes[f] < target_file_bytes]
-    if len(cand) < 2:
+        # small files, plus every DV-carrying file: rewriting it
+        # MATERIALIZES the deletion (the fold drops the vector with
+        # the file), reclaiming dead rows and sidecars
+        cand = [
+            f for f in files if sizes[f] < target_file_bytes or dv.get(f)
+        ]
+    if len(cand) < 2 and not any(dv.get(f) for f in cand):
         return {
             "version": base_ver,
             "rewritten_files": 0,
@@ -783,10 +992,7 @@ def txn_optimize(
             "skipped": True,
         }
     part_cols = _partition_cols_of(cand)
-    df = (
-        spark.read.option("basePath", table_root)
-        .parquet(*(os.path.join(root, f) for f in cand))
-    )
+    df = _read_files(spark, table_root, cand, dv=dv)
     total = sum(sizes[f] for f in cand)
     n_out = max(1, -(-total // target_file_bytes))  # ceil
     keys: list = list(part_cols)
@@ -849,8 +1055,12 @@ def txn_vacuum(
 
     head = latest_version(table_root)
     keep: set[str] = set()
+    keep_dv_dirs: set[str] = set()
     for v in range(max(0, head - retain_versions), head + 1):
-        keep |= snapshot(table_root, v)[1]
+        _, m, dvm = _fold(table_root, v)
+        keep |= set(m)
+        for es in dvm.values():
+            keep_dv_dirs |= {e["dv"] for e in es}
     # ONE directory listing, and the deletion set is derived from THAT
     # listing: re-listing inside the deleter would be a TOCTOU hole —
     # a file staged between the age check and a second listing would
@@ -861,6 +1071,11 @@ def txn_vacuum(
     cutoff = time.time() - min_age_s
     orphans = []
     for rel in sorted(listed - keep):
+        if rel.startswith("_dv" + os.sep):
+            # deletion-vector sidecars are referenced by DIRECTORY in
+            # the log; keep every file under a retained vector's dir
+            if os.path.dirname(rel) in keep_dv_dirs:
+                continue
         if min_age_s > 0:
             try:
                 if os.path.getmtime(os.path.join(root, rel)) > cutoff:

@@ -71,9 +71,10 @@ def test_declaring_queries_runs_no_jobs(spark):
               "q160_stream_stream_join", "q161_streaming_dedup",
               "q162_stateful_running_totals",
               "q167_stream_static_enrich",
-              # q170/q171 WRITE the txn table they read/stream (the
+              # q170-q172 WRITE the txn table they read/stream (the
               # point is lakehouse execution inside the gate)
-              "q170_txn_data_skipping", "q171_txn_stream_replay"}
+              "q170_txn_data_skipping", "q171_txn_stream_replay",
+              "q172_txn_delete_vectors"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds

@@ -906,3 +906,152 @@ def test_txn_history_audit_surface(spark, tmp_path):
     assert h[0]["n_removed_files"] == 3 and h[0]["n_added_files"] == 1
     assert {r["writer"] for r in h[1:]} == {"w0", "w1", "w2"}
     assert all(r["data_change"] for r in h[1:])
+
+
+# ---------------------------------------------------------------------------
+# DELETION VECTORS: row-level delete without file rewrites
+# ---------------------------------------------------------------------------
+
+
+def test_delete_hides_rows_without_rewriting_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for lo, hi in [(0, 100), (100, 200)]:
+        TL.txn_append(
+            spark, _skew_df(spark, lo, hi, "a").coalesce(1), path, []
+        )
+    _, before_files = TL.snapshot(path)
+    res = TL.txn_delete(spark, path, "k % 10 = 0")
+    assert res["deleted_rows"] == 20 and res["files_touched"] == 2
+    assert res["version"] == 3
+    # no data file added or removed — only a vector commit
+    _, after_files = TL.snapshot(path)
+    assert after_files == before_files
+    got = _rows_k(spark, path)
+    assert got == {k for k in range(200) if k % 10 != 0}
+    # time travel to the pre-delete snapshot still shows every row
+    assert len(_rows_k_at(spark, path, 2)) == 200
+    # metadata count subtracts the vectors exactly
+    assert TL.txn_count(spark, path) == 180
+    # skipping + vectors compose: range cut + deleted rows both honored
+    assert TL.txn_count(spark, path, where={"k": (0, 50)}) == 45
+    assert TL.txn_read(spark, path, where={"k": (0, 50)}).count() == 45
+
+
+def _rows_k_at(spark, path, version):
+    return {
+        r["k"]
+        for r in TL.txn_read(spark, path, version=version)
+        .select("k")
+        .collect()
+    }
+
+
+def test_sequential_deletes_compose_and_stale_delete_conflicts(
+    spark, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "t")
+    TL.txn_append(spark, _skew_df(spark, 0, 100, "a").coalesce(1), path, [])
+    TL.txn_delete(spark, path, "k < 10")
+    # second delete reads the DV-applied snapshot: fresh base, lands
+    r2 = TL.txn_delete(spark, path, "k < 20")
+    assert r2["deleted_rows"] == 10  # 0-9 already gone
+    assert _rows_k(spark, path) == set(range(20, 100))
+
+    # a STALE delete (rival vector landed on the same file after our
+    # read) must conflict, not double-apply
+    real = TL._fold
+    raced = {"done": False}
+
+    def racy_fold(table_root, version=None):
+        out = real(table_root, version)
+        if not raced["done"] and version is None:
+            raced["done"] = True
+            TL.txn_delete(spark, path, "k >= 90", writer="rival")
+        return out
+
+    monkeypatch.setattr(TL, "_fold", racy_fold)
+    with pytest.raises(TL.CommitConflictError):
+        TL.txn_delete(spark, path, "k >= 50")
+    monkeypatch.undo()
+    assert _rows_k(spark, path) == set(range(20, 90))
+
+
+def test_optimize_materializes_vectors_and_vacuum_reclaims(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for lo, hi in [(0, 100), (100, 200)]:
+        TL.txn_append(
+            spark, _skew_df(spark, lo, hi, "a").coalesce(1), path, []
+        )
+    TL.txn_delete(spark, path, "k % 2 = 0")
+    assert TL.snapshot_dv(path)[1]  # vectors present
+    res = TL.txn_optimize(spark, path)
+    assert res["skipped"] is False
+    # rewrite dropped the dead rows and the fold dropped the vectors
+    assert TL.snapshot_dv(path)[1] == {}
+    assert _rows_k(spark, path) == {k for k in range(200) if k % 2 == 1}
+    assert TL.txn_count(spark, path) == 100
+    removed = TL.txn_vacuum(path)
+    # old data files AND the now-unreferenced sidecar are gone
+    assert any(f.startswith("_dv" + os.sep) for f in removed)
+    assert _rows_k(spark, path) == {k for k in range(200) if k % 2 == 1}
+
+
+def test_merge_racing_vector_on_same_file_conflicts(
+    spark, tmp_path, monkeypatch
+):
+    """A merge rewriting file F must conflict with a vector that landed
+    on F after its read — otherwise the rewrite (computed from pre-DV
+    rows) would resurrect the deleted rows when the fold drops F."""
+    path = str(tmp_path / "t")
+    TL.txn_append(
+        spark, _df(spark, [(1, "a", 1.0), (2, "a", 2.0)]), path, ["p"]
+    )
+    real = TL.stage_files
+    raced = {"done": False}
+
+    def inject(spark_, df, root, pcols, tag):
+        adds = real(spark_, df, root, pcols, tag)
+        if not raced["done"]:
+            raced["done"] = True
+            TL.txn_delete(spark_, path, "k = 2", writer="rival")
+        return adds
+
+    monkeypatch.setattr(TL, "stage_files", inject)
+    with pytest.raises(TL.CommitConflictError):
+        merge_into(
+            spark, path, _df(spark, [(1, "a", 10.0)]), ["k"], ["p"], txn=True
+        )
+    monkeypatch.setattr(TL, "stage_files", real)
+    # rival's delete stands; re-run of the merge applies cleanly
+    assert set(_rows(spark, path)) == {1}
+    merge_into(
+        spark, path, _df(spark, [(1, "a", 10.0)]), ["k"], ["p"], txn=True
+    )
+    assert _rows(spark, path) == {1: ("a", 10.0)}
+
+
+def test_delete_commit_invisible_to_stream_and_cdf(spark, tmp_path):
+    from django_datastream_spark.sources import txn_stream
+
+    path = str(tmp_path / "t")
+    TL.txn_append(spark, _skew_df(spark, 0, 10, "a").coalesce(1), path, [])
+    TL.txn_delete(spark, path, "k < 5")
+    # CDF stays insert-only: the delete adds no files, emits nothing new
+    cdf = TL.txn_changes(spark, path, from_version=1, schema=None) \
+        if False else TL.txn_changes(
+            spark, path, from_version=0
+        )
+    assert cdf.count() == 10  # history is immutable; v1's adds unchanged
+    txn_stream.register(spark)
+    q = (
+        spark.readStream.format("txn_table")
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 10
