@@ -483,6 +483,10 @@ def _raw_commit(table_root: str, v: int, payload: dict) -> None:
                         # stop applying at the first fold
                         "stats": {k: s for k, s in m.items() if s},
                         "dv": {k: es for k, es in dv.items() if es},
+                        # writer-app watermarks must survive the fold
+                        # horizon or a long-stopped stream could replay
+                        # a pre-checkpoint batch
+                        "app_txns": app_txn_watermarks(table_root, v),
                     },
                     f,
                 )
@@ -503,6 +507,7 @@ def commit(
     stats: dict[str, dict] | None = None,
     data_change: bool = True,
     deletes: dict[str, dict] | None = None,
+    app_txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit a transaction computed against ``base_version``. Returns
     the committed version. Appends always land (auto-rebase); rewrites
@@ -523,7 +528,14 @@ def commit(
     ops on one file serialize (one retries against the new snapshot),
     and a rewrite racing a DV on the same file conflicts in both
     directions — otherwise the rewrite would resurrect the deleted
-    rows when the fold drops the vector with the file."""
+    rows when the fold drops the vector with the file.
+
+    ``app_txn=(app_id, batch_id)`` stamps the commit with a writer-app
+    transaction id (Delta's SetTransaction): if a commit with the same
+    app and batch >= ours lands first — a racing retry of the same
+    micro-batch — the rebase raises ``CommitConflictError`` instead of
+    double-applying, closing the check-then-commit window that a
+    pre-commit watermark lookup alone cannot."""
     if stats is None:
         stats = collect_file_stats(table_root, adds)
     removes_set = set(removes)
@@ -544,6 +556,18 @@ def commit(
         # last failed attempt — rebase must stay sound transitively
         for v in range(base_version + 1, head + 1):
             c = _read_commit(table_root, v)
+            c_at = c.get("app_txn")
+            if (
+                app_txn is not None
+                and c_at
+                and c_at["app"] == app_txn[0]
+                and c_at["batch"] >= app_txn[1]
+            ):
+                raise CommitConflictError(
+                    f"v{v} already committed batch {c_at['batch']} for "
+                    f"app {app_txn[0]} (ours: {app_txn[1]}) — duplicate "
+                    "micro-batch delivery"
+                )
             c_touched = set(c["removes"]) | set(c.get("deletes") or {})
             if touched_files & c_touched:
                 raise CommitConflictError(
@@ -580,6 +604,9 @@ def commit(
             "stats": stats,
             "data_change": data_change,
             "deletes": deletes or {},
+            "app_txn": (
+                {"app": app_txn[0], "batch": app_txn[1]} if app_txn else None
+            ),
         }
         try:
             _raw_commit(table_root, target, payload)
@@ -818,6 +845,71 @@ def txn_append(
     return commit(
         table_root, adds, [], "append", [], base_version=base, writer=writer
     )
+
+
+def txn_append_batch(
+    spark: SparkSession,
+    df: DataFrame,
+    table_root: str,
+    partition_cols: list[str],
+    app_id: str,
+    batch_id: int,
+) -> int | None:
+    """Idempotent append for EXACTLY-ONCE streaming sinks: commit
+    ``df`` stamped with ``(app_id, batch_id)``; if that batch (or a
+    later one) already committed for this app — a foreachBatch retry
+    after a sink-side success but pre-checkpoint crash, the classic
+    at-least-once window — skip and return None.
+
+    The fast path is a watermark lookup; the race window between the
+    lookup and the commit is closed by the commit itself (the rebase
+    scan rejects a duplicate app/batch, see :func:`commit`), so two
+    racing retries of one micro-batch cannot both land. Staged files
+    of the loser become vacuum orphans."""
+    init_table(table_root)
+    if app_txn_watermarks(table_root).get(app_id, -1) >= batch_id:
+        return None
+    # base is pinned BEFORE staging — the commit's rebase scan then
+    # covers every rival commit that lands while our write job runs,
+    # which is exactly where a racing retry of the same batch hides
+    base = latest_version(table_root)
+    tag = uuid.uuid4().hex[:12]
+    adds = stage_files(spark, df, table_root, partition_cols, tag)
+    try:
+        return commit(
+            table_root,
+            adds,
+            [],
+            "append",
+            [],
+            base_version=base,
+            writer=f"{app_id}#{batch_id}",
+            app_txn=(app_id, batch_id),
+        )
+    except CommitConflictError:
+        # the rival retry landed first: drop our claim, not the data's
+        # exactly-once guarantee (staged files await txn_vacuum)
+        return None
+
+
+def streaming_sink(table_root: str, partition_cols: list[str], app_id: str):
+    """``foreachBatch`` adapter: ``writeStream.foreachBatch(
+    streaming_sink(root, parts, app_id))`` gives a txn-committed,
+    exactly-once table sink — Spark replays micro-batches at least
+    once across restarts; the app-txn ledger makes the append land at
+    most once, so the composition is exactly-once."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        txn_append_batch(
+            batch_df.sparkSession,
+            batch_df,
+            table_root,
+            partition_cols,
+            app_id,
+            batch_id,
+        )
+
+    return _sink
 
 
 def txn_count(

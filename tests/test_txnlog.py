@@ -359,7 +359,7 @@ def test_checkpoint_failure_does_not_fail_landed_commit(
     def boom(*a, **k):
         raise OSError("disk full during checkpoint")
 
-    monkeypatch.setattr(TL, "snapshot_with_stats", boom)
+    monkeypatch.setattr(TL, "_fold", boom)
     v = TL.commit(
         path, [], [], "append", [], base_version=TL.CHECKPOINT_EVERY - 1
     )
@@ -1055,3 +1055,112 @@ def test_delete_commit_invisible_to_stream_and_cdf(spark, tmp_path):
     )
     assert q.awaitTermination(300)
     assert spark.read.parquet(str(tmp_path / "out")).count() == 10
+
+
+# ---------------------------------------------------------------------------
+# exactly-once streaming sink: app-txn ledger (SetTransaction)
+# ---------------------------------------------------------------------------
+
+
+def test_txn_append_batch_is_idempotent_per_batch(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = _df(spark, [(1, "a", 1.0)])
+    v1 = TL.txn_append_batch(spark, df, path, [], "appX", 0)
+    assert v1 == 1
+    # the at-least-once retry of the SAME batch is a no-op
+    assert TL.txn_append_batch(spark, df, path, [], "appX", 0) is None
+    assert TL.txn_count(spark, path) == 1
+    # next batch lands; a DIFFERENT app's batch 0 also lands
+    assert TL.txn_append_batch(
+        spark, _df(spark, [(2, "a", 2.0)]), path, [], "appX", 1
+    ) == 2
+    assert TL.txn_append_batch(
+        spark, _df(spark, [(3, "a", 3.0)]), path, [], "appY", 0
+    ) == 3
+    assert set(_rows(spark, path)) == {1, 2, 3}
+    assert TL.app_txn_watermarks(path) == {"appX": 1, "appY": 0}
+
+
+def test_racing_duplicate_batch_cannot_double_land(
+    spark, tmp_path, monkeypatch
+):
+    """Both retries pass the watermark lookup; the commit rebase must
+    reject the second (check-then-commit window closed in the CAS)."""
+    path = str(tmp_path / "t")
+    TL.init_table(path)
+    real = TL.stage_files
+    raced = {"done": False}
+
+    def inject(spark_, df, root, pcols, tag):
+        adds = real(spark_, df, root, pcols, tag)
+        if not raced["done"]:
+            raced["done"] = True
+            # the rival retry of the SAME batch wins the race mid-stage
+            TL.txn_append_batch(
+                spark_, _df(spark_, [(99, "a", 9.9)]), path, [], "app", 5
+            )
+        return adds
+
+    monkeypatch.setattr(TL, "stage_files", inject)
+    out = TL.txn_append_batch(
+        spark, _df(spark, [(99, "a", 9.9)]), path, [], "app", 5
+    )
+    monkeypatch.setattr(TL, "stage_files", real)
+    assert out is None  # our commit detected the duplicate and skipped
+    assert TL.txn_count(spark, path) == 1  # exactly one copy
+    # loser's staged files are reclaimable
+    assert TL.txn_vacuum(path)
+
+
+def test_app_txn_watermarks_survive_checkpoint_fold(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for b in range(TL.CHECKPOINT_EVERY + 2):
+        TL.txn_append_batch(
+            spark, _df(spark, [(b, "a", float(b))]), path, [], "app", b
+        )
+    log = os.path.join(path, TL.TXN_DIR)
+    assert any(n.startswith("checkpoint-") for n in os.listdir(log))
+    # replay of a PRE-checkpoint batch must still be refused
+    assert TL.txn_append_batch(
+        spark, _df(spark, [(0, "a", 0.0)]), path, [], "app", 0
+    ) is None
+    wm = TL.app_txn_watermarks(path)
+    assert wm == {"app": TL.CHECKPOINT_EVERY + 1}
+
+
+def test_streaming_sink_exactly_once_through_restart(spark, tmp_path):
+    """End-to-end: a real availableNow stream writes through
+    streaming_sink; a second run with a WIPED source checkpoint (the
+    worst case: Spark re-delivers everything as new batch ids... same
+    ids 0.. reassigned) must not duplicate rows."""
+    import pandas as pd
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    table = str(tmp_path / "table")
+    for i in range(3):
+        pd.DataFrame(
+            {"k": [10 * i, 10 * i + 1], "p": ["a", "a"],
+             "v": [float(i), float(i) + 0.5]}
+        ).to_parquet(os.path.join(src_dir, f"f{i}.parquet"))
+
+    def run(cp):
+        q = (
+            spark.readStream.schema("k long, p string, v double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .writeStream.foreachBatch(
+                TL.streaming_sink(table, ["p"], "ingest-app")
+            )
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    run(str(tmp_path / "cp1"))
+    assert TL.txn_count(spark, table) == 6
+    # fresh checkpoint: Spark re-delivers batches 0..2 — all refused
+    run(str(tmp_path / "cp2"))
+    assert TL.txn_count(spark, table) == 6
+    assert len(set(_rows(spark, table))) == 6
