@@ -283,7 +283,9 @@ def _png_chunks(payload: bytes):
         (ln,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + ln]
-        if len(data) < ln:
+        # the CRC must fit too — a payload cut anywhere inside
+        # data OR the trailing 4 CRC bytes is the same clean error
+        if len(data) < ln or pos + 12 + ln > len(payload):
             raise ValueError(f"truncated {ctype!r} chunk ({len(data)} of {ln})")
         (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
