@@ -7212,3 +7212,46 @@ def q172(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@_declare(
+    "q173_txn_update_vectors",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) n,
+           CAST(SUM(CASE WHEN event_type = 'error'
+                         THEN 1 ELSE 0 END) AS BIGINT) updated_n,
+           CAST(MIN(event_id) AS BIGINT) mn,
+           CAST(MAX(event_id) AS BIGINT) mx
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q173(spark, sf_dir):
+    """UPDATE via deletion vectors inside the gate: error rows get
+    ``value = -1`` (new files + vectors on the old positions, no full
+    rewrite), and the per-type row counts, negative-value counts and
+    event_id ranges must hash-match SQL over the SOURCE table — i.e.
+    the update changed exactly the targeted column of exactly the
+    targeted rows and preserved every row identity.  Builder runs
+    Spark jobs (same exemption family as q170)."""
+    from .. import txnlog as TL
+
+    root = _txn_events_table(spark, sf_dir, "q173")
+    res = TL.txn_update(
+        spark, root, "event_type = 'error'", {"value": "-1.0"}
+    )
+    if res["updated_rows"] <= 0:
+        raise AssertionError("q173 must update rows at every gate SF")
+    got = TL.txn_read(spark, root)
+    return (
+        got.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("value") < 0, 1).otherwise(0)
+            ).cast("long").alias("updated_n"),
+            F.min("event_id").cast("long").alias("mn"),
+            F.max("event_id").cast("long").alias("mx"),
+        )
+        .orderBy("event_type")
+    )

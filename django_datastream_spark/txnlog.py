@@ -341,7 +341,13 @@ def collect_file_stats(
                     else:
                         new = None  # non-null values with no min/max
                 else:
-                    mn, mx = _stat_value(st.min), _stat_value(st.max)
+                    try:
+                        # pyarrow raises for physical types it cannot
+                        # cast statistics for (e.g. INT96) even when
+                        # has_min_max reports true
+                        mn, mx = _stat_value(st.min), _stat_value(st.max)
+                    except Exception:
+                        mn = mx = None
                     if mn is None or mx is None or mn[0] != mx[0]:
                         new = None
                     else:
@@ -845,6 +851,81 @@ def txn_append(
     return commit(
         table_root, adds, [], "append", [], base_version=base, writer=writer
     )
+
+
+def txn_update(
+    spark: SparkSession,
+    table_root: str,
+    condition,
+    set_exprs: dict,
+    writer: str = "",
+) -> dict:
+    """UPDATE ... SET via deletion vectors: matching rows are re-written
+    once with ``set_exprs`` applied ({col: Column-or-SQL-string}) and
+    appended as new files, while their OLD positions are vectored out of
+    the original files — one commit, no full-file rewrite (the
+    completion of the DML triad beside :func:`txn_delete` and
+    ``merge_into(txn=True)``).
+
+    The commit carries data_change=True: incremental consumers see the
+    updated rows as new adds (upsert semantics — file-level CDF cannot
+    emit before-images, same contract as :func:`txn_changes`).
+    Conflict rules are the delete rules: touched files serialize
+    rewrites and rival vectors. Updating a partition column is legal —
+    the row simply moves directories in its rewritten copy."""
+    from pyspark.sql import functions as F
+
+    init_table(table_root)
+    root = _local_root(table_root)
+    base_ver, m, dv = _fold(table_root)
+    files = sorted(m)
+    if not files:
+        return {"version": base_ver, "updated_rows": 0, "files_touched": 0}
+    df = _read_files(spark, table_root, files, dv=dv, keep_meta=True)
+    hits = df.filter(condition)
+    upd = hits
+    for c, e in set_exprs.items():
+        upd = upd.withColumn(c, F.expr(e) if isinstance(e, str) else e)
+    upd = upd.drop("__file", "__pos")
+    part_cols = _partition_cols_of(files)
+    tag = uuid.uuid4().hex[:12]
+    adds = stage_files(spark, upd, table_root, part_cols, tag)
+    dv_rel = os.path.join("_dv", tag)
+    hits.select(
+        F.col("__file").alias("file"), F.col("__pos").alias("pos")
+    ).write.parquet(os.path.join(root, dv_rel))
+    per = {
+        r["file"]: r["n"]
+        for r in spark.read.parquet(os.path.join(root, dv_rel))
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded by touched file count
+    }
+    if not per:
+        shutil.rmtree(os.path.join(root, dv_rel), ignore_errors=True)
+        delete_adds = [os.path.join(root, a) for a in adds]
+        for a in delete_adds:
+            try:
+                os.unlink(a)
+            except OSError:
+                pass
+        return {"version": base_ver, "updated_rows": 0, "files_touched": 0}
+    deletes = {f: {"dv": dv_rel, "n": int(n)} for f, n in per.items()}
+    ver = commit(
+        table_root,
+        adds,
+        [],
+        "update",
+        [],
+        base_version=base_ver,
+        writer=writer or "update",
+        deletes=deletes,
+    )
+    return {
+        "version": ver,
+        "updated_rows": int(sum(per.values())),
+        "files_touched": len(per),
+    }
 
 
 def txn_append_batch(

@@ -1164,3 +1164,59 @@ def test_streaming_sink_exactly_once_through_restart(spark, tmp_path):
     run(str(tmp_path / "cp2"))
     assert TL.txn_count(spark, table) == 6
     assert len(set(_rows(spark, table))) == 6
+
+
+# ---------------------------------------------------------------------------
+# UPDATE via deletion vectors
+# ---------------------------------------------------------------------------
+
+
+def test_update_rewrites_only_matching_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for lo, hi in [(0, 100), (100, 200)]:
+        TL.txn_append(
+            spark, _skew_df(spark, lo, hi, "a").coalesce(1), path, []
+        )
+    _, before_files = TL.snapshot(path)
+    res = TL.txn_update(
+        spark, path, "k % 50 = 0", {"v": "v + 1000"}
+    )
+    assert res["updated_rows"] == 4 and res["files_touched"] == 2
+    got = {
+        r["k"]: r["v"]
+        for r in TL.txn_read(spark, path).collect()
+    }
+    assert len(got) == 200  # no row lost, no row duplicated
+    for k in (0, 50, 100, 150):
+        assert got[k] == k + 1000.0
+    assert got[1] == 1.0
+    # originals were NOT rewritten: old files still committed + vectors
+    _, after_files = TL.snapshot(path)
+    assert before_files <= after_files
+    assert TL.snapshot_dv(path)[1]
+    # time travel shows pre-update values
+    assert {
+        r["v"]
+        for r in TL.txn_read(spark, path, version=2)
+        .filter("k = 50")
+        .collect()
+    } == {50.0}
+    # update with no matches is a clean no-op
+    res2 = TL.txn_update(spark, path, "k = -1", {"v": "0.0"})
+    assert res2["updated_rows"] == 0
+    assert TL.latest_version(path) == res["version"]
+
+
+def test_update_then_delete_then_optimize_compose(spark, tmp_path):
+    path = str(tmp_path / "t")
+    TL.txn_append(spark, _skew_df(spark, 0, 100, "a").coalesce(1), path, [])
+    TL.txn_update(spark, path, "k < 10", {"v": "v * -1"})
+    TL.txn_delete(spark, path, "v < 0 and k >= 5")  # kills updated 5..9
+    got = {r["k"]: r["v"] for r in TL.txn_read(spark, path).collect()}
+    assert set(got) == set(range(0, 5)) | set(range(10, 100))
+    assert got[3] == -3.0 and got[20] == 20.0
+    TL.txn_optimize(spark, path)
+    assert TL.snapshot_dv(path)[1] == {}
+    got2 = {r["k"]: r["v"] for r in TL.txn_read(spark, path).collect()}
+    assert got2 == got
+    assert TL.txn_count(spark, path) == 95
