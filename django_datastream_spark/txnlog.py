@@ -24,23 +24,30 @@ retries at the next version (no logical conflict) or raises
 read-compute-write cycle against the new snapshot — optimistic
 concurrency, not blocking).
 
-Conflict rules (Delta's isolation-level table, simplified to the two
-operation kinds this engine commits):
+Conflict rules (Delta's isolation-level table, per operation kind —
+"touches a file" means removes it OR lands a deletion vector on it):
 
 - **append** (no removes, no read dependency): NEVER conflicts;
   always rebases onto the latest version. Two concurrent ingest
-  writers both land.
-- **merge / rewrite**: conflicts if an intervening commit (a) removed
-  any file this transaction also removes (the rewrite raced another
-  rewrite of the same data), or (b) touched any PARTITION in this
-  transaction's footprint — adds OR removes, so an insert-only merge
-  still conflicts with a rival writing the same partition (two
+  writers both land. With ``app_txn`` stamps, a duplicate micro-batch
+  of the same writer app is refused instead (exactly-once sinks).
+- **merge / rewrite**: conflicts if an intervening commit (a) touched
+  any file this transaction touches (the rewrite raced another
+  rewrite/vector of the same data), or (b) touched any PARTITION in
+  this transaction's footprint — adds OR removes, so an insert-only
+  merge still conflicts with a rival writing the same partition (two
   insert-only merges of one fresh key cannot both land). Disjoint-
   partition merges rebase and both land. Isolation matches Delta's
   WriteSerializable: a partition a merge READ but wrote nothing to is
   not tracked, so a no-output decision can be stale under a racing
   delete there — callers needing full serializability declare such
   partitions explicitly via ``commit(partitions=...)``.
+- **delete / update** (deletion-vector commits): conflict only on
+  touched-file overlap — row-level ops on one file serialize; appends
+  into the same partition commute (the op applies to the snapshot it
+  read).
+- **optimize** (layout-only, dataChange=false): conflicts only on
+  touched-file overlap; commutes with appends — rows in == rows out.
 
 Data files are written RACE-FREE via a per-transaction staging
 directory then hard-linked into the table tree under unique names
