@@ -1272,49 +1272,95 @@ def txn_changes(
     from_version: int,
     to_version: int | None = None,
     schema=None,
+    change_types: bool = False,
 ) -> DataFrame:
-    """CHANGE DATA FEED over the commit log: the rows ADDED by commits
-    in ``(from_version, to_version]`` — an incremental consumer reads
-    only new data files instead of diffing snapshots or rescanning the
-    table (Delta's CDF restricted to the insert/append side; update
-    and delete "before images" would need per-row change files, which
-    vanilla parquet cannot express — documented, not emulated).
+    """CHANGE DATA FEED over the commit log: the row changes made by
+    commits in ``(from_version, to_version]`` — an incremental
+    consumer reads only the delta instead of diffing snapshots or
+    rescanning the table.
 
     Rows are tagged with the commit that introduced them
     (``_commit_version``) so a consumer can checkpoint "processed
-    through version V" and resume exactly. Files rewritten-away by a
-    LATER commit still appear for the commit that added them (history
-    is immutable); files whose adds lie in the range but were already
-    vacuumed raise on read, the same contract as Delta CDF past the
-    retention window.
+    through version V" and resume exactly. With ``change_types=True``
+    a ``_change_type`` column is added and the feed becomes Delta's
+    FULL CDF:
 
-    Granularity caveat: changes are FILE-level. A merge that rewrites
-    a file re-emits EVERY row of that file under the merge's version —
-    including rows the merge kept unchanged — because vanilla parquet
-    has no per-row change encoding. Consumers must be idempotent per
-    key (upsert semantics) rather than additive; for strictly
-    append-only tables (txn_append writers) every emitted row is
-    genuinely new and additive consumption is safe.
+    - append/merge adds → ``insert``
+    - ``txn_update`` adds → ``update_postimage``; its vectored-out
+      old rows → ``update_preimage``
+    - ``txn_delete`` vectored rows → ``delete``
 
-    At 100 TB: the log fold is metadata-sized, and the read is a
-    parquet scan of exactly the new files — incremental cost tracks
-    the delta, never the table."""
+    Before-images are expressible precisely BECAUSE deletes are
+    deletion vectors: the original file is still on disk (history is
+    immutable until vacuum) and the commit's sidecar lists exactly
+    the positions it killed — one semi-join recovers the rows. A file
+    already vacuumed raises on read, the same contract as Delta CDF
+    past the retention window.
+
+    Granularity caveat (merge only): a merge REWRITES files, so it
+    re-emits every surviving row of a conflict file as ``insert``
+    under its version; merge consumers must stay idempotent per key.
+    Append/delete/update commits emit exactly their true row deltas.
+
+    At 100 TB: the log fold is metadata-sized; inserts scan exactly
+    the new files, before-images scan only the files a vector touched
+    restricted by a position semi-join."""
     head = latest_version(table_root)
     to_v = head if to_version is None else to_version
     if not 0 <= from_version <= to_v <= head:
         raise ValueError(
             f"bad version range ({from_version}, {to_v}] with head {head}"
         )
+    from pyspark.sql import functions as F
+
     root = _local_root(table_root)
-    per_commit = []
+    parts = []
     for v in range(from_version + 1, to_v + 1):
         c = _read_commit(table_root, v)
         # layout-only commits (optimize: dataChange=false) re-add rows
         # that already streamed through an earlier version — emitting
         # them would double every compacted row for incremental readers
-        if c["adds"] and c.get("data_change", True):
-            per_commit.append((v, [os.path.join(root, f) for f in c["adds"]]))
-    if not per_commit:
+        if not c.get("data_change", True):
+            continue
+        add_type = (
+            "update_postimage" if c["op"] == "update" else "insert"
+        )
+        if c["adds"]:
+            r = spark.read.option("basePath", table_root)
+            if schema is not None:
+                r = r.schema(schema)
+            df = r.parquet(*(os.path.join(root, f) for f in c["adds"]))
+            if change_types:
+                df = df.withColumn("_change_type", F.lit(add_type))
+            parts.append(df.withColumn(
+                # cast: F.lit(python int) is IntegerType, but the
+                # empty-range branch types the column LongType — a
+                # checkpointing consumer appending both to one sink
+                # must see ONE schema
+                "_commit_version", F.lit(v).cast("long"),
+            ))
+        if change_types and c.get("deletes"):
+            pre_type = (
+                "update_preimage" if c["op"] == "update" else "delete"
+            )
+            touched = sorted(c["deletes"])
+            sidecars = sorted({e["dv"] for e in c["deletes"].values()})
+            raw = _read_files(
+                spark, table_root, touched, schema=schema, keep_meta=True
+            )
+            dvdf = spark.read.parquet(
+                *(os.path.join(root, s) for s in sidecars)
+            ).select(
+                F.col("file").alias("__file"), F.col("pos").alias("__pos")
+            )
+            pre = (
+                raw.join(dvdf, ["__file", "__pos"], "left_semi")
+                .drop("__file", "__pos")
+                .withColumn("_change_type", F.lit(pre_type))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+            parts.append(pre)
+    if not parts:
         if schema is None:
             raise ValueError(
                 f"{table_root}: no changes in ({from_version}, {to_v}]; "
@@ -1322,28 +1368,15 @@ def txn_changes(
             )
         from pyspark.sql import types as T
 
+        extra = [T.StructField("_change_type", T.StringType())] if (
+            change_types
+        ) else []
         empty_schema = T.StructType(
             list(schema.fields)
+            + extra
             + [T.StructField("_commit_version", T.LongType())]
         )
         return spark.createDataFrame([], empty_schema)
-    from pyspark.sql import functions as F
-
-    parts = []
-    for v, files in per_commit:
-        r = spark.read.option("basePath", table_root)
-        if schema is not None:
-            r = r.schema(schema)
-        parts.append(
-            r.parquet(*files).withColumn(
-                # cast: F.lit(python int) is IntegerType, but the
-                # empty-range branch types the column LongType — a
-                # checkpointing consumer appending both to one sink
-                # must see ONE schema
-                "_commit_version",
-                F.lit(v).cast("long"),
-            )
-        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

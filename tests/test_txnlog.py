@@ -1220,3 +1220,36 @@ def test_update_then_delete_then_optimize_compose(spark, tmp_path):
     got2 = {r["k"]: r["v"] for r in TL.txn_read(spark, path).collect()}
     assert got2 == got
     assert TL.txn_count(spark, path) == 95
+
+
+def test_full_cdf_emits_inserts_preimages_and_deletes(spark, tmp_path):
+    """change_types=True upgrades the feed to full CDF: deletion
+    vectors make before-images recoverable (old file still on disk +
+    this commit's position sidecar)."""
+    path = str(tmp_path / "t")
+    TL.txn_append(spark, _df(spark, [(1, "a", 1.0), (2, "a", 2.0)]), path, [])
+    TL.txn_delete(spark, path, "k = 1")                      # v2
+    TL.txn_update(spark, path, "k = 2", {"v": "v * 10"})     # v3
+    TL.txn_optimize(spark, path)                             # v4 (invisible)
+
+    cdf = TL.txn_changes(spark, path, from_version=0, change_types=True)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in cdf.collect()
+    )
+    assert got == [
+        (1, "insert", 1, 1.0),
+        (1, "insert", 2, 2.0),
+        (2, "delete", 1, 1.0),
+        (3, "update_postimage", 2, 20.0),
+        (3, "update_preimage", 2, 2.0),
+    ]
+    # range restriction: only the delete's change
+    only_del = TL.txn_changes(
+        spark, path, from_version=1, to_version=2, change_types=True
+    ).collect()
+    assert [(r["_change_type"], r["k"]) for r in only_del] == [("delete", 1)]
+    # the legacy insert-only shape is unchanged (no _change_type column)
+    legacy = TL.txn_changes(spark, path, from_version=0)
+    assert "_change_type" not in legacy.columns
+    assert legacy.count() == 3  # v1 two inserts + v3 postimage add
