@@ -892,7 +892,11 @@ def txn_update(
     hits = df.filter(condition)
     upd = hits
     for c, e in set_exprs.items():
-        upd = upd.withColumn(c, F.expr(e) if isinstance(e, str) else e)
+        expr = F.expr(e) if isinstance(e, str) else e
+        # UPDATE cannot change a column's type: cast the set-expr back
+        # to the table's dtype, or a literal like "-1.0" (DECIMAL in
+        # SQL) would write files whose schema diverges from the table
+        upd = upd.withColumn(c, expr.cast(df.schema[c].dataType))
     upd = upd.drop("__file", "__pos")
     part_cols = _partition_cols_of(files)
     tag = uuid.uuid4().hex[:12]
