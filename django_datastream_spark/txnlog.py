@@ -446,14 +446,24 @@ def _file_may_match(stats: dict | None, col: str, lo, hi) -> bool:
     return True
 
 
+def _norm_where(where: dict) -> dict[str, tuple]:
+    """Normalize a predicate spec: a scalar value means equality —
+    ``{col: v}`` ≡ ``{col: (v, v)}``."""
+    return {
+        c: (b if isinstance(b, tuple) else (b, b)) for c, b in where.items()
+    }
+
+
 def prune_files(
     table_root: str,
-    where: dict[str, tuple],
+    where: dict,
     version: int | None = None,
 ) -> tuple[int, list[str], list[str]]:
     """(version, kept files, pruned files) for a conjunction of range
     predicates ``{col: (lo, hi)}`` (either bound may be None for a
-    one-sided range). Kept ⊇ every file that can hold a matching row."""
+    one-sided range; a bare scalar means equality). Kept ⊇ every file
+    that can hold a matching row."""
+    where = _norm_where(where)
     v, m = snapshot_with_stats(table_root, version)
     kept, pruned = [], []
     for f in sorted(m):
@@ -689,6 +699,8 @@ def _read_files(
     if schema is not None:
         r = r.schema(schema)
     df = r.parquet(*(os.path.join(root, f) for f in rels))
+    if where:
+        where = _norm_where(where)
     sidecars = sorted(
         {e["dv"] for f in rels for e in (dv or {}).get(f, [])}
     )
@@ -745,6 +757,7 @@ def txn_read(
     v, m, dv = _fold(table_root, version)
     files = sorted(m)
     if where:
+        where = _norm_where(where)
         files = [
             f
             for f in files
@@ -1035,6 +1048,7 @@ def txn_count(
 
     if not where:
         return sum(_rows_of(f, m[f]) for f in m)
+    where = _norm_where(where)
 
     def _fully_inside(s: dict | None) -> bool:
         if s is None:

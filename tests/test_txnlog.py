@@ -1253,3 +1253,16 @@ def test_full_cdf_emits_inserts_preimages_and_deletes(spark, tmp_path):
     legacy = TL.txn_changes(spark, path, from_version=0)
     assert "_change_type" not in legacy.columns
     assert legacy.count() == 3  # v1 two inserts + v3 postimage add
+
+
+def test_where_scalar_means_equality(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for lo, hi in [(0, 100), (100, 200)]:
+        TL.txn_append(
+            spark, _skew_df(spark, lo, hi, "a").coalesce(1), path, []
+        )
+    _, kept, pruned = TL.prune_files(path, {"k": 150})
+    assert len(kept) == 1 and len(pruned) == 1
+    got = TL.txn_read(spark, path, where={"k": 150})
+    assert [r["k"] for r in got.collect()] == [150]
+    assert TL.txn_count(spark, path, where={"k": 150}) == 1
