@@ -18,8 +18,11 @@ stream has not consumed yet raises on replay — the same retention
 contract as Delta CDF.
 
 Options: ``path`` (table root, required), ``startingVersion``
-(default 0 = from table start; N = first batch begins at commit
-N+1).
+(default 0 = replay from table start; N = first batch begins at
+commit N+1; ``"latest"`` = only commits after stream start — the
+right entry point for a table whose history has been compacted and
+vacuumed past retention, where a from-0 replay would hit removed
+files).
 """
 
 from __future__ import annotations
@@ -113,9 +116,13 @@ class TxnTableStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("txn_table requires .option('path', ...)")
         self.root = _local_root(self.path)
-        self.start_v = int(
-            options.get("startingVersion", options.get("startingversion", 0))
+        sv = options.get(
+            "startingVersion", options.get("startingversion", "0")
         )
+        if str(sv).lower() == "latest":
+            self.start_v = TL.latest_version(self.path)
+        else:
+            self.start_v = int(sv)
         self.cols = [f.name for f in schema.fields]
 
     def initialOffset(self) -> dict:

@@ -108,3 +108,18 @@ def test_batch_read_points_to_txn_read(spark, tmp_path):
     txn_stream.register(spark)
     with pytest.raises(Exception, match="txn_read"):
         spark.read.format("txn_table").option("path", table).load().collect()
+
+
+def test_starting_version_latest_tails_only_new_commits(spark, tmp_path):
+    """'latest' starts at the head — the entry point for a table whose
+    early history was compacted and vacuumed (a from-0 replay would
+    hit removed files)."""
+    table = str(tmp_path / "t")
+    TL.txn_append(spark, _df(spark, [(1, "a", 1.0)]), table, [])
+    TL.txn_optimize(spark, table)  # layout-only, but advances head
+    cp, out = str(tmp_path / "cp"), str(tmp_path / "out")
+    got = _drain(spark, table, cp, out, starting="latest")
+    assert got.count() == 0  # nothing after stream start yet
+    TL.txn_append(spark, _df(spark, [(2, "a", 2.0)]), table, [])
+    got2 = _drain(spark, table, cp, out, starting="latest")
+    assert {r["k"] for r in got2.collect()} == {2}
