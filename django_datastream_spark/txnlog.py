@@ -89,6 +89,11 @@ from .operators.merge import _local_root
 
 TXN_DIR = "_txn_log"
 CHECKPOINT_EVERY = 10
+# data skipping indexes the FIRST N leaf columns (schema order), like
+# Delta's dataSkippingNumIndexedCols: on a 1000-column table, per-file
+# stats for every column would bloat each commit entry (and checkpoint)
+# far past metadata size — lead with the columns queries filter on
+STATS_MAX_COLS = 32
 
 
 class CommitConflictError(RuntimeError):
@@ -320,7 +325,10 @@ def collect_file_stats(
 
     Driver-side but metadata-sized: one footer read per file ADDED BY
     THIS COMMIT (bounded by the write job's task count, not table
-    size); the footers themselves were produced by the executors."""
+    size); the footers themselves were produced by the executors.
+    Only the first :data:`STATS_MAX_COLS` leaf columns are indexed
+    (Delta's dataSkippingNumIndexedCols) so wide tables keep commit
+    entries metadata-sized."""
     import pyarrow.parquet as pq
 
     root = _local_root(table_root)
@@ -333,7 +341,7 @@ def collect_file_stats(
         per: dict[str, dict | None] = {}
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
-            for ci in range(g.num_columns):
+            for ci in range(min(g.num_columns, STATS_MAX_COLS)):
                 col = g.column(ci)
                 name = col.path_in_schema
                 if "." in name:

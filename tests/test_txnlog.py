@@ -1266,3 +1266,24 @@ def test_where_scalar_means_equality(spark, tmp_path):
     got = TL.txn_read(spark, path, where={"k": 150})
     assert [r["k"] for r in got.collect()] == [150]
     assert TL.txn_count(spark, path, where={"k": 150}) == 1
+
+
+def test_stats_indexed_columns_are_capped(spark, tmp_path, monkeypatch):
+    """Wide tables must not bloat commit entries: only the first
+    STATS_MAX_COLS leaf columns carry stats; later columns stay
+    unprunable (conservative), pruning on early columns still works."""
+    monkeypatch.setattr(TL, "STATS_MAX_COLS", 3)
+    path = str(tmp_path / "t")
+    rows = [tuple([i] + [float(i + j) for j in range(5)]) for i in range(10)]
+    ddl = "k long, " + ", ".join(f"c{j} double" for j in range(5))
+    TL.txn_append(
+        spark, spark.createDataFrame(rows, ddl).coalesce(1), path, []
+    )
+    _, m = TL.snapshot_with_stats(path)
+    (st,) = m.values()
+    assert set(st["cols"]) == {"k", "c0", "c1"}  # first 3 leaves only
+    # early-column pruning works; late-column predicate keeps the file
+    assert TL.prune_files(path, {"k": (100, None)})[2]  # pruned
+    assert not TL.prune_files(path, {"c4": (1000.0, None)})[2]  # kept
+    # and the residual filter still makes the result exact
+    assert TL.txn_read(spark, path, where={"c4": (1000.0, None)}).count() == 0
