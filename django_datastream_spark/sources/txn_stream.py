@@ -123,13 +123,44 @@ class TxnTableStreamReader(DataSourceStreamReader):
             self.start_v = TL.latest_version(self.path)
         else:
             self.start_v = int(sv)
+        mfb = options.get(
+            "maxFilesPerBatch", options.get("maxfilesperbatch")
+        )
+        self.max_files = int(mfb) if mfb is not None else None
+        self._last_v: int | None = None
         self.cols = [f.name for f in schema.fields]
 
     def initialOffset(self) -> dict:
         return {"v": self.start_v}
 
     def latestOffset(self) -> dict:
-        return {"v": TL.latest_version(self.path)}
+        head = TL.latest_version(self.path)
+        if self.max_files is None:
+            return {"v": head}
+        # admission control (Delta's maxFilesPerTrigger): advance at
+        # most ~max_files of added data files per micro-batch so a
+        # long backlog drains as bounded batches instead of one giant
+        # one. The python DataSourceStreamReader API gives latestOffset
+        # no view of the checkpointed offset, so the FIRST call of a
+        # (re)started reader is unpaced (returns head — availableNow
+        # drains fully, restarts never stall below the committed
+        # offset); pacing applies from the second trigger on.
+        if self._last_v is None:
+            self._last_v = head
+            return {"v": head}
+        base = max(self._last_v, self.start_v)
+        v, budget = base, self.max_files
+        while v < head:
+            c = TL._read_commit(self.path, v + 1)
+            n = len(c["adds"]) if c.get("data_change", True) else 0
+            if n > budget and v > base:
+                break
+            budget -= n
+            v += 1
+            if budget <= 0:
+                break
+        self._last_v = v
+        return {"v": v}
 
     def partitions(self, start: dict, end: dict):
         out = []

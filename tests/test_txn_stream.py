@@ -123,3 +123,65 @@ def test_starting_version_latest_tails_only_new_commits(spark, tmp_path):
     TL.txn_append(spark, _df(spark, [(2, "a", 2.0)]), table, [])
     got2 = _drain(spark, table, cp, out, starting="latest")
     assert {r["k"] for r in got2.collect()} == {2}
+
+
+def test_max_files_per_batch_paces_a_mid_run_burst(spark, tmp_path):
+    """A burst of commits landing mid-run drains as bounded micro-
+    batches (admission control), not one giant batch; every row still
+    arrives exactly once. The first trigger of a (re)started reader is
+    deliberately unpaced — the python stream API gives latestOffset no
+    view of the checkpointed offset, and a paced first call would
+    strand availableNow restarts below the committed offset."""
+    import time
+
+    table = str(tmp_path / "t")
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    TL.txn_append(spark, _df(spark, [(0, "a", 0.0)]).coalesce(1), table, [])
+    txn_stream.register(spark)
+    q = (
+        spark.readStream.format("txn_table")
+        .option("path", table)
+        .option("maxFilesPerBatch", "2")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 1:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        # burst: 6 single-file commits land while the stream runs
+        for i in range(1, 7):
+            TL.txn_append(
+                spark, _df(spark, [(i, "a", float(i))]).coalesce(1),
+                table, [],
+            )
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() == 7:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        assert spark.read.parquet(out).count() == 7
+        # the burst was split: >= 3 post-burst batches carried data
+        # (6 files at <=2 per batch), visible in progress history
+        data_batches = [
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+        assert len(data_batches) >= 4  # initial + >=3 burst batches
+        assert max(
+            p["numInputRows"] for p in data_batches[1:]
+        ) <= 2, [p["numInputRows"] for p in data_batches]
+    finally:
+        q.stop()
+    got = {r["k"] for r in spark.read.parquet(out).collect()}
+    assert got == set(range(7))
