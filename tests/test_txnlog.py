@@ -1287,3 +1287,75 @@ def test_stats_indexed_columns_are_capped(spark, tmp_path, monkeypatch):
     assert not TL.prune_files(path, {"c4": (1000.0, None)})[2]  # kept
     # and the residual filter still makes the result exact
     assert TL.txn_read(spark, path, where={"c4": (1000.0, None)}).count() == 0
+
+
+def test_model_based_random_dml_sequences(spark, tmp_path):
+    """Random APPEND/DELETE/UPDATE/OPTIMIZE sequences applied to both
+    the table and a plain dict model must agree after every step —
+    and data-skipped reads must agree with the model under random
+    range predicates. Deterministic seed; ~25 ops."""
+    import random
+
+    rng = random.Random(20260814)
+    path = str(tmp_path / "t")
+    model: dict[int, tuple[float, int]] = {}  # k -> (v, gen)
+    next_k = 0
+
+    def table_state():
+        return {
+            r["k"]: (r["v"], r["gen"])
+            for r in TL.txn_read(
+                spark, path, schema="k long, v double, gen int"
+            ).collect()
+        }
+
+    for step in range(25):
+        op = rng.choice(["append", "append", "delete", "update", "optimize"])
+        if op == "append":
+            n = rng.randint(1, 8)
+            rows = [(next_k + j, float(rng.randint(0, 50)), 0)
+                    for j in range(n)]
+            next_k += n
+            TL.txn_append(
+                spark,
+                spark.createDataFrame(
+                    rows, "k long, v double, gen int"
+                ).coalesce(1),
+                path,
+                [],
+            )
+            model.update({k: (v, g) for k, v, g in rows})
+        elif op == "delete":
+            cut = rng.randint(0, 50)
+            TL.txn_delete(spark, path, f"v <= {cut} and gen = 0")
+            model = {
+                k: (v, g)
+                for k, (v, g) in model.items()
+                if not (v <= cut and g == 0)
+            }
+        elif op == "update":
+            mod = rng.randint(2, 5)
+            TL.txn_update(
+                spark, path, f"k % {mod} = 0", {"gen": "gen + 1"}
+            )
+            model = {
+                k: (v, g + 1 if k % mod == 0 else g)
+                for k, (v, g) in model.items()
+            }
+        else:
+            TL.txn_optimize(spark, path, target_file_bytes=10_000)
+        assert table_state() == model, f"divergence after step {step} ({op})"
+
+    # skipped reads agree with the model under random ranges
+    for _ in range(5):
+        lo = rng.randint(0, next_k)
+        hi = lo + rng.randint(0, 20)
+        got = {
+            r["k"]
+            for r in TL.txn_read(
+                spark, path, where={"k": (lo, hi)},
+                schema="k long, v double, gen int",
+            ).collect()
+        }
+        assert got == {k for k in model if lo <= k <= hi}
+    assert TL.txn_count(spark, path) == len(model)
