@@ -7255,3 +7255,60 @@ def q173(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@_declare(
+    "q174_txn_stream_sink",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) n,
+           CAST(MIN(event_id) AS BIGINT) mn,
+           CAST(MAX(event_id) AS BIGINT) mx
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q174(spark, sf_dir):
+    """The EXACTLY-ONCE txn sink inside the gate: events replays
+    through a file stream into ``streaming_sink`` (foreachBatch →
+    app-txn-stamped commits), then the WHOLE availableNow run is
+    repeated with a FRESH stream checkpoint — the worst-case
+    at-least-once redelivery, every batch re-offered.  The txn-read
+    aggregate must still hash-match one copy of the source table:
+    duplicates would break n/mn/mx per type.  Builder runs two bounded
+    streaming jobs (same exemption family as q155/q170)."""
+    import os as _os
+    import shutil as _sh
+
+    from .. import txnlog as TL
+
+    st, out, cp = _streaming_events(spark, sf_dir, "q174")
+    base = _os.path.dirname(out)
+    table = _os.path.join(base, "table")
+
+    def _run(cp_dir):
+        q = (
+            st.writeStream.foreachBatch(
+                TL.streaming_sink(table, [], app_id="q174")
+            )
+            .option("checkpointLocation", cp_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    _run(cp)
+    # wiped stream checkpoint: Spark re-delivers everything; the
+    # app-txn ledger must refuse every duplicate batch
+    cp2 = _os.path.join(base, "cp2")
+    _sh.rmtree(cp2, ignore_errors=True)
+    _run(cp2)
+    got = TL.txn_read(spark, table)
+    return (
+        got.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("event_id").cast("long").alias("mn"),
+            F.max("event_id").cast("long").alias("mx"),
+        )
+        .orderBy("event_type")
+    )
