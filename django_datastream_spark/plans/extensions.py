@@ -7312,3 +7312,114 @@ def q174(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@_declare(
+    "q175_txn_restore",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) n,
+           CAST(SUM(CASE WHEN event_type = 'error'
+                         THEN 1 ELSE 0 END) AS BIGINT) err_n,
+           CAST(MIN(event_id) AS BIGINT) mn,
+           CAST(MAX(event_id) AS BIGINT) mx
+    FROM events
+    WHERE day(ts) <= 20
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q175(spark, sf_dir):
+    """RESTORE inside the gate: on the three-commit txn table,
+    ``txn_delete`` vectors out every error row (v4), then the table is
+    restored to v2 (days 1-20, pre-delete).  The restore must BOTH
+    drop v3's files and drop the v4 vectors on the surviving files
+    (vector-state divergence cycles the file through remove+re-add) —
+    so the final read hash-matching days 1-20 of the SOURCE table
+    WITH its error rows proves file-set rollback and deletion-state
+    rollback in one aggregate (err_n pins the resurrection).  Builder
+    runs Spark jobs (same exemption family as q170)."""
+    from .. import txnlog as TL
+
+    root = _txn_events_table(spark, sf_dir, "q175")
+    res = TL.txn_delete(spark, root, "event_type = 'error'")
+    assert res["deleted_rows"] > 0  # non-vacuous at every gate SF
+    r = TL.txn_restore(root, 2)
+    assert r["files_removed"] > 0 and r["files_added"] > 0
+    got = TL.txn_read(spark, root)
+    return (
+        got.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).cast("long").alias("err_n"),
+            F.min("event_id").cast("long").alias("mn"),
+            F.max("event_id").cast("long").alias("mx"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_declare(
+    "q176_txn_schema_evolution",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) n,
+           CAST(SUM(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END)
+                AS BIGINT) src_n,
+           MIN(CASE WHEN day(ts) > 15 THEN UPPER(event_type) END) mn_src,
+           CAST(MIN(event_id) AS BIGINT) mn,
+           CAST(MAX(event_id) AS BIGINT) mx
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q176(spark, sf_dir):
+    """SCHEMA EVOLUTION inside the gate: days 1-15 of events commit
+    under the base schema, days 16-31 commit with an ADDED ``src``
+    column via ``merge_schema=True`` — the widened schema is recorded
+    in the log and a DEFAULT ``txn_read`` (no caller schema, no
+    mergeSchema footer sweep) must null-fill the pre-evolution rows.
+    ``src_n`` (non-null count) and ``mn_src`` hash-matching SQL that
+    recomputes the column from the day boundary prove both the
+    evolution commit and the schema-directed read.  Builder runs
+    Spark jobs (same exemption family as q170)."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from .. import txnlog as TL
+
+    base = _os.path.join(
+        _tmp.gettempdir(),
+        "q176_" + _hl.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    root = _os.path.join(base, "table")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    TL.txn_append(
+        spark, ev.filter(F.dayofmonth("ts") <= 15).coalesce(2), root, []
+    )
+    TL.txn_append(
+        spark,
+        ev.filter(F.dayofmonth("ts") > 15)
+        .withColumn("src", F.upper("event_type"))
+        .coalesce(2),
+        root,
+        [],
+        merge_schema=True,
+    )
+    got = TL.txn_read(spark, root)  # schema-directed: src null-fills
+    return (
+        got.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count("src").cast("long").alias("src_n"),
+            F.min("src").alias("mn_src"),
+            F.min("event_id").cast("long").alias("mn"),
+            F.max("event_id").cast("long").alias("mx"),
+        )
+        .orderBy("event_type")
+    )

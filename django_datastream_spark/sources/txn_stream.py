@@ -168,8 +168,14 @@ class TxnTableStreamReader(DataSourceStreamReader):
             c = TL._read_commit(self.path, v)
             if not c.get("data_change", True):
                 continue  # layout-only: rows already streamed
+            # a restore commit reinstates deletion vectors on its own
+            # adds — those positions are NOT live and must not stream
+            own_dv = {
+                f: [x["dv"] for x in (e if isinstance(e, list) else [e])]
+                for f, e in (c.get("deletes") or {}).items()
+            }
             for rel in c["adds"]:
-                out.append(InputPartition((v, rel)))
+                out.append(InputPartition((v, rel, own_dv.get(rel, []))))
         # pyspark substitutes [None] for an empty plan; read(None) must
         # still work (a range of optimize-only commits is legal)
         return out or [InputPartition(None)]
@@ -179,7 +185,15 @@ class TxnTableStreamReader(DataSourceStreamReader):
             return
         import pyarrow.parquet as pq
 
-        v, rel = partition.value
+        v, rel, dv_dirs = partition.value
+        dead: set[int] = set()
+        for d in dv_dirs:
+            sidecar = pq.read_table(
+                os.path.join(self.root, d), columns=["file", "pos"]
+            )
+            files = sidecar.column("file").to_pylist()
+            poss = sidecar.column("pos").to_pylist()
+            dead.update(p for f, p in zip(files, poss) if f == rel)
         full = os.path.join(self.root, rel)
         tbl = pq.read_table(full)
         cols = {}
@@ -195,6 +209,8 @@ class TxnTableStreamReader(DataSourceStreamReader):
                     part_vals[k] = val
         n = tbl.num_rows
         for i in range(n):
+            if i in dead:
+                continue
             row = []
             for name in self.cols:
                 if name == "_commit_version":

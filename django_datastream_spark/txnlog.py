@@ -244,6 +244,285 @@ def app_txn_watermarks(
     return wm
 
 
+class SchemaMismatchError(RuntimeError):
+    """Append schema is incompatible with the committed table schema
+    (type conflict, or new columns without ``merge_schema=True``)."""
+
+
+def table_schema_json(table_root: str, version: int | None = None) -> str | None:
+    """The committed table schema (StructType JSON) at ``version``
+    (default latest): the newest commit <= version carrying a
+    ``schema`` entry, falling back to the nearest checkpoint's.
+    ``None`` for tables that predate schema tracking (adopted logs) —
+    enforcement and schema-directed reads are then skipped, exactly
+    the pre-tracking behavior."""
+    log = _log_dir(table_root)
+    head = latest_version(table_root)
+    v = head if version is None else version
+    try:
+        cps = [
+            int(n[len("checkpoint-v"):-5])
+            for n in os.listdir(log)
+            if n.startswith("checkpoint-v") and n.endswith(".json")
+        ]
+    except FileNotFoundError:
+        cps = []
+    usable = [c for c in cps if c <= v]
+    floor = max(usable) if usable else 0
+    for i in range(v, floor, -1):
+        s = _read_commit(table_root, i).get("schema")
+        if s:
+            return s
+    if floor:
+        with open(os.path.join(log, f"checkpoint-v{floor:010d}.json")) as f:
+            return json.load(f).get("schema")
+    return None
+
+
+def table_schema(table_root: str, version: int | None = None):
+    """:func:`table_schema_json` parsed to a ``StructType`` (or None)."""
+    from pyspark.sql import types as T
+
+    s = table_schema_json(table_root, version)
+    return T.StructType.fromJson(json.loads(s)) if s else None
+
+
+def _nullable_json(schema) -> str:
+    """StructType → JSON with every top-level field nullable: the
+    recorded read schema must accept files that legally omit a column
+    (pre-evolution files, appends of a column subset)."""
+    from pyspark.sql import types as T
+
+    return json.dumps(
+        T.StructType(
+            [
+                T.StructField(f.name, f.dataType, True, f.metadata)
+                for f in schema.fields
+            ]
+        ).jsonValue()
+    )
+
+
+def _check_schema(table_root: str, df_schema, merge_schema: bool) -> str | None:
+    """Schema ENFORCEMENT at the append boundary (Delta's contract):
+    every appended column must exist in the committed schema with the
+    same type (nullability ignored; compared by ``simpleString`` so
+    nested nullability differences don't false-positive). Appending a
+    COLUMN SUBSET is legal — readers null-fill through the recorded
+    schema. New columns require ``merge_schema=True`` (EVOLUTION) and
+    return the widened schema JSON to record with the commit; returns
+    None when the committed schema already covers the append."""
+    cur = table_schema(table_root)
+    if cur is None:
+        # first schema-tracked append: record it only when the table
+        # holds no committed data, otherwise df may be a SUBSET of the
+        # real on-disk schema and recording it would silently drop
+        # columns from every future schema-directed read
+        _, files = snapshot(table_root)
+        return _nullable_json(df_schema) if not files else None
+    by_name = {f.name: f for f in cur.fields}
+    new = []
+    for f in df_schema.fields:
+        have = by_name.get(f.name)
+        if have is None:
+            new.append(f)
+        elif have.dataType.simpleString() != f.dataType.simpleString():
+            raise SchemaMismatchError(
+                f"column {f.name}: table has {have.dataType.simpleString()},"
+                f" append has {f.dataType.simpleString()} — cast before"
+                " appending (types never evolve implicitly)"
+            )
+    if not new:
+        return None
+    if not merge_schema:
+        raise SchemaMismatchError(
+            f"append adds columns {[f.name for f in new]} not in the table"
+            " schema; pass merge_schema=True to evolve"
+        )
+    from pyspark.sql import types as T
+
+    return _nullable_json(T.StructType(list(cur.fields) + new))
+
+
+class ConstraintViolationError(RuntimeError):
+    """A write would commit rows that fail an enforced CHECK
+    constraint; nothing was committed (staged files await vacuum)."""
+
+
+def table_constraints(
+    table_root: str, version: int | None = None
+) -> dict[str, str]:
+    """Enforced CHECK constraints at ``version``: name → SQL boolean
+    expression. Folded checkpoint-bounded like the file set (adds and
+    drops replay in commit order from the nearest checkpoint)."""
+    log = _log_dir(table_root)
+    head = latest_version(table_root)
+    v = head if version is None else version
+    try:
+        cps = [
+            int(n[len("checkpoint-v"):-5])
+            for n in os.listdir(log)
+            if n.startswith("checkpoint-v") and n.endswith(".json")
+        ]
+    except FileNotFoundError:
+        cps = []
+    usable = [c for c in cps if c <= v]
+    floor = max(usable) if usable else 0
+    out: dict[str, str] = {}
+    if floor:
+        with open(os.path.join(log, f"checkpoint-v{floor:010d}.json")) as f:
+            out = dict(json.load(f).get("constraints") or {})
+    for i in range(floor + 1, v + 1):
+        c = _read_commit(table_root, i)
+        cc = c.get("constraint")
+        if cc:
+            if cc.get("drop"):
+                out.pop(cc["name"], None)
+            else:
+                out[cc["name"]] = cc["expr"]
+    return out
+
+
+def _violations(spark, table_root, rels, constraints) -> str | None:
+    """First violated constraint name over the given staged files, or
+    None. SQL-standard CHECK semantics: NULL passes, only FALSE
+    violates. One scan evaluates every constraint (conditional sums in
+    a single hash aggregate — N rules cost one pass)."""
+    from pyspark.sql import functions as F
+
+    if not constraints or not rels:
+        return None
+    # schema-directed: a column-SUBSET append still evaluates
+    # constraints on its omitted columns (as NULL → passes)
+    df = _read_files(
+        spark, table_root, rels, schema=table_schema(table_root)
+    )
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(F.expr(e), F.lit(True)), 1).otherwise(0)
+        ).alias(n)
+        for n, e in constraints.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    for n in constraints:
+        if (row[n] or 0) > 0:
+            return n
+    return None
+
+
+def _enforce_constraints(spark, table_root, adds) -> None:
+    """Validate staged ``adds`` against the table's CHECK constraints;
+    on violation, unlink the staged files and raise. Runs on the
+    STAGED bytes, not the input plan — the (possibly expensive)
+    upstream DataFrame is never computed twice."""
+    cons = table_constraints(table_root)
+    bad = _violations(spark, table_root, adds, cons)
+    if bad is None:
+        return
+    root = _local_root(table_root)
+    for a in adds:
+        try:
+            os.unlink(os.path.join(root, a))
+        except OSError:
+            pass
+    raise ConstraintViolationError(
+        f"rows violate CHECK constraint {bad!r} ({cons[bad]}); "
+        "nothing committed"
+    )
+
+
+def txn_add_constraint(
+    spark: SparkSession,
+    table_root: str,
+    name: str,
+    expr: str,
+    writer: str = "",
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT (Delta CHECK parity): record an
+    enforced boolean SQL ``expr``; every subsequent append/update must
+    satisfy it (NULL passes, FALSE rejects — SQL CHECK semantics).
+    EXISTING data is validated first, in one scan — a constraint the
+    current rows violate is refused, so holders are never lied to.
+    Metadata-only commit (``data_change=False``)."""
+    init_table(table_root)
+    if name in table_constraints(table_root):
+        raise ValueError(f"constraint {name!r} already exists")
+    _, m = snapshot(table_root)
+    bad = _violations(spark, table_root, sorted(m), {name: expr})
+    if bad is not None:
+        raise ConstraintViolationError(
+            f"existing rows violate {name!r} ({expr}); constraint not added"
+        )
+    return commit(
+        table_root,
+        [],
+        [],
+        "add_constraint",
+        [],
+        base_version=latest_version(table_root),
+        writer=writer or "add_constraint",
+        stats={},
+        data_change=False,
+        constraint={"name": name, "expr": expr},
+    )
+
+
+def txn_drop_constraint(table_root: str, name: str, writer: str = "") -> int:
+    """ALTER TABLE DROP CONSTRAINT: stop enforcing ``name``."""
+    if name not in table_constraints(table_root):
+        raise ValueError(f"no constraint {name!r}")
+    return commit(
+        table_root,
+        [],
+        [],
+        "drop_constraint",
+        [],
+        base_version=latest_version(table_root),
+        writer=writer or "drop_constraint",
+        stats={},
+        data_change=False,
+        constraint={"name": name, "drop": True},
+    )
+
+
+def txn_set_schema(table_root: str, schema, writer: str = "") -> int:
+    """Explicit ALTER TABLE-style schema commit (metadata only, no
+    data files): set the recorded schema to ``schema``. Existing
+    columns must keep their types (same rule as append enforcement);
+    use it to add nullable columns up front, or to backfill schema
+    tracking onto an adopted pre-tracking table whose full schema the
+    caller knows. ``data_change=False`` — CDF and streaming consumers
+    skip it."""
+    cur = table_schema(table_root)
+    if cur is not None:
+        by_name = {f.name: f for f in schema.fields}
+        for f in cur.fields:
+            have = by_name.get(f.name)
+            if have is None:
+                raise SchemaMismatchError(
+                    f"new schema drops column {f.name}; column drops don't"
+                    " evolve (rewrite the table instead)"
+                )
+            if have.dataType.simpleString() != f.dataType.simpleString():
+                raise SchemaMismatchError(
+                    f"column {f.name}: {f.dataType.simpleString()} → "
+                    f"{have.dataType.simpleString()} type changes don't evolve"
+                )
+    init_table(table_root)
+    return commit(
+        table_root,
+        [],
+        [],
+        "set_schema",
+        [],
+        base_version=latest_version(table_root),
+        writer=writer or "set_schema",
+        stats={},
+        data_change=False,
+        schema_json=_nullable_json(schema),
+    )
+
+
 def _fold(
     table_root: str, version: int | None = None
 ) -> tuple[int, dict[str, dict | None], dict[str, list[dict]]]:
@@ -281,7 +560,9 @@ def _fold(
         for f in c["adds"]:
             files[f] = c_stats.get(f)
         for f, e in (c.get("deletes") or {}).items():
-            dv.setdefault(f, []).append(e)
+            # a value is one sidecar entry, or (restore commits) the
+            # whole reinstated entry list for that file
+            dv.setdefault(f, []).extend(e if isinstance(e, list) else [e])
     return v, files, dv
 
 
@@ -518,6 +799,9 @@ def _raw_commit(table_root: str, v: int, payload: dict) -> None:
                         # horizon or a long-stopped stream could replay
                         # a pre-checkpoint batch
                         "app_txns": app_txn_watermarks(table_root, v),
+                        # the schema must survive the fold horizon too
+                        "schema": table_schema_json(table_root, v),
+                        "constraints": table_constraints(table_root, v),
                     },
                     f,
                 )
@@ -537,8 +821,10 @@ def commit(
     max_retries: int = 50,
     stats: dict[str, dict] | None = None,
     data_change: bool = True,
-    deletes: dict[str, dict] | None = None,
+    deletes: dict[str, dict | list] | None = None,
     app_txn: tuple[str, int] | None = None,
+    schema_json: str | None = None,
+    constraint: dict | None = None,
 ) -> int:
     """Commit a transaction computed against ``base_version``. Returns
     the committed version. Appends always land (auto-rebase); rewrites
@@ -638,6 +924,12 @@ def commit(
             "app_txn": (
                 {"app": app_txn[0], "batch": app_txn[1]} if app_txn else None
             ),
+            # recorded only when this commit CHANGES the table schema
+            # (first data, evolution, set_schema); table_schema() finds
+            # the newest one — commits without it inherit
+            "schema": schema_json,
+            # add/drop of one CHECK constraint (metadata commits only)
+            "constraint": constraint,
         }
         try:
             _raw_commit(table_root, target, payload)
@@ -761,8 +1053,14 @@ def txn_read(
     to Spark at all, and the ranges are re-applied as row filters so
     the result is identical to filtering a full read (pruning is
     purely an I/O optimization). ``merge_schema=True`` reconciles
-    files written under evolved (column-added) schemas."""
+    files written under evolved (column-added) schemas; when the log
+    RECORDS a schema (schema-tracked tables) and the caller passes
+    none, the read is directed through the schema as of ``version`` —
+    pre-evolution files null-fill added columns with no mergeSchema
+    footer sweep, and time travel sees the schema of its era."""
     v, m, dv = _fold(table_root, version)
+    if schema is None:
+        schema = table_schema(table_root, v)
     files = sorted(m)
     if where:
         where = _norm_where(where)
@@ -826,7 +1124,14 @@ def txn_delete(
     files = sorted(m)
     if not files:
         return {"version": base_ver, "deleted_rows": 0, "files_touched": 0}
-    df = _read_files(spark, table_root, files, dv=dv, keep_meta=True)
+    df = _read_files(
+        spark,
+        table_root,
+        files,
+        schema=table_schema(table_root),
+        dv=dv,
+        keep_meta=True,
+    )
     hits = df.filter(condition).select("__file", "__pos")
     tag = uuid.uuid4().hex[:12]
     dv_rel = os.path.join("_dv", tag)
@@ -869,15 +1174,31 @@ def txn_append(
     table_root: str,
     partition_cols: list[str],
     writer: str = "",
+    merge_schema: bool = False,
 ) -> int:
     """Blind append: stage files, commit (never conflicts, auto-rebases
-    over any concurrent commit). Returns the committed version."""
+    over any concurrent commit). Returns the committed version.
+
+    Schema ENFORCEMENT applies (see :func:`_check_schema`): appended
+    columns must match the committed schema by type; a column subset
+    is fine (readers null-fill); NEW columns require
+    ``merge_schema=True``, which records the widened schema with this
+    commit (Delta's mergeSchema evolution)."""
     init_table(table_root)
+    evolved = _check_schema(table_root, df.schema, merge_schema)
     tag = uuid.uuid4().hex[:12]
     adds = stage_files(spark, df, table_root, partition_cols, tag)
+    _enforce_constraints(spark, table_root, adds)
     base = latest_version(table_root)
     return commit(
-        table_root, adds, [], "append", [], base_version=base, writer=writer
+        table_root,
+        adds,
+        [],
+        "append",
+        [],
+        base_version=base,
+        writer=writer,
+        schema_json=evolved,
     )
 
 
@@ -909,7 +1230,14 @@ def txn_update(
     files = sorted(m)
     if not files:
         return {"version": base_ver, "updated_rows": 0, "files_touched": 0}
-    df = _read_files(spark, table_root, files, dv=dv, keep_meta=True)
+    df = _read_files(
+        spark,
+        table_root,
+        files,
+        schema=table_schema(table_root),
+        dv=dv,
+        keep_meta=True,
+    )
     hits = df.filter(condition)
     upd = hits
     for c, e in set_exprs.items():
@@ -922,6 +1250,7 @@ def txn_update(
     part_cols = _partition_cols_of(files)
     tag = uuid.uuid4().hex[:12]
     adds = stage_files(spark, upd, table_root, part_cols, tag)
+    _enforce_constraints(spark, table_root, adds)  # updated rows too
     dv_rel = os.path.join("_dv", tag)
     hits.select(
         F.col("__file").alias("file"), F.col("__pos").alias("pos")
@@ -982,12 +1311,14 @@ def txn_append_batch(
     init_table(table_root)
     if app_txn_watermarks(table_root).get(app_id, -1) >= batch_id:
         return None
+    evolved = _check_schema(table_root, df.schema, merge_schema=False)
     # base is pinned BEFORE staging — the commit's rebase scan then
     # covers every rival commit that lands while our write job runs,
     # which is exactly where a racing retry of the same batch hides
     base = latest_version(table_root)
     tag = uuid.uuid4().hex[:12]
     adds = stage_files(spark, df, table_root, partition_cols, tag)
+    _enforce_constraints(spark, table_root, adds)
     try:
         return commit(
             table_root,
@@ -998,6 +1329,7 @@ def txn_append_batch(
             base_version=base,
             writer=f"{app_id}#{batch_id}",
             app_txn=(app_id, batch_id),
+            schema_json=evolved,
         )
     except CommitConflictError:
         # the rival retry landed first: drop our claim, not the data's
@@ -1198,7 +1530,9 @@ def txn_optimize(
             "skipped": True,
         }
     part_cols = _partition_cols_of(cand)
-    df = _read_files(spark, table_root, cand, dv=dv)
+    df = _read_files(
+        spark, table_root, cand, schema=table_schema(table_root), dv=dv
+    )
     total = sum(sizes[f] for f in cand)
     n_out = max(1, -(-total // target_file_bytes))  # ceil
     keys: list = list(part_cols)
@@ -1292,6 +1626,96 @@ def txn_vacuum(
     return delete_rel_files(table_root, orphans)
 
 
+def txn_restore(
+    table_root: str,
+    version: int,
+    writer: str = "",
+) -> dict:
+    """RESTORE TABLE TO VERSION AS OF ``version``: one commit that
+    swaps the live file set back to the old snapshot — removes every
+    file added since, re-adds every file dropped since (with its
+    recorded stats), and reinstates the old snapshot's deletion-vector
+    state on the re-added files. History stays append-only: the
+    restore is a NEW version on top (time travel to the undone
+    versions still works until vacuum), exactly Delta's RESTORE.
+
+    Metadata-only on the happy path — no data is read or written; the
+    old files must still exist on disk, so a restore deeper than your
+    ``txn_vacuum retain_versions`` window raises (same contract as
+    Delta: RESTORE past retention fails). The schema as of ``version``
+    is re-recorded when it differs, so schema evolution rolls back
+    with the data.
+
+    Conflicts: the commit removes every current file, so it serializes
+    against ANY concurrent rewrite/delete and racing appends into
+    overlapping partitions rebase under the normal rules (their rows
+    were not part of either snapshot and survive the restore).
+
+    Incremental consumers (:func:`txn_changes`, the ``txn_table``
+    stream) see the restore as file-granularity re-inserts of the
+    restored snapshot (minus its vectored rows) — the merge caveat:
+    consumers must stay idempotent per key.
+
+    Returns ``{"version", "restored_to", "files_added",
+    "files_removed"}``."""
+    head, cur, _cur_dv = _fold(table_root)
+    if not 0 <= version <= head:
+        raise ValueError(f"restore target {version} outside [0, {head}]")
+    old_v, old, old_dv = _fold(table_root, version)
+    root = _local_root(table_root)
+    adds = sorted(set(old) - set(cur))
+    removes = sorted(set(cur) - set(old))
+    # files present in BOTH snapshots whose vector state diverged must
+    # also cycle (remove + re-add) so the fold drops the newer vectors
+    for f in sorted(set(old) & set(cur)):
+        if old_dv.get(f, []) != _cur_dv.get(f, []):
+            adds.append(f)
+            removes.append(f)
+    missing = [
+        f for f in adds if not os.path.exists(os.path.join(root, f))
+    ] + [
+        os.path.join(e["dv"])
+        for f in adds
+        for e in old_dv.get(f, [])
+        if not os.path.isdir(os.path.join(root, e["dv"]))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot restore {table_root} to v{version}: "
+            f"{len(missing)} required files vacuumed (e.g. {missing[:3]})"
+        )
+    if not adds and not removes:
+        return {
+            "version": head,
+            "restored_to": old_v,
+            "files_added": 0,
+            "files_removed": 0,
+        }
+    old_schema = table_schema_json(table_root, old_v)
+    ver = commit(
+        table_root,
+        adds,
+        removes,
+        "restore",
+        [],
+        base_version=head,
+        writer=writer or f"restore@v{version}",
+        stats={f: s for f in adds if (s := old.get(f))},
+        deletes={f: old_dv[f] for f in adds if old_dv.get(f)},
+        schema_json=(
+            old_schema
+            if old_schema != table_schema_json(table_root, head)
+            else None
+        ),
+    )
+    return {
+        "version": ver,
+        "restored_to": old_v,
+        "files_added": len(adds),
+        "files_removed": len(removes),
+    }
+
+
 def txn_changes(
     spark: SparkSession,
     table_root: str,
@@ -1337,6 +1761,10 @@ def txn_changes(
         raise ValueError(
             f"bad version range ({from_version}, {to_v}] with head {head}"
         )
+    if schema is None:
+        # schema-tracked tables: one read schema for every commit in
+        # the range, so pre-evolution files union cleanly with evolved
+        schema = table_schema(table_root)
     from pyspark.sql import functions as F
 
     root = _local_root(table_root)
@@ -1351,11 +1779,23 @@ def txn_changes(
         add_type = (
             "update_postimage" if c["op"] == "update" else "insert"
         )
+        deletes = {
+            f: (e if isinstance(e, list) else [e])
+            for f, e in (c.get("deletes") or {}).items()
+        }
         if c["adds"]:
-            r = spark.read.option("basePath", table_root)
-            if schema is not None:
-                r = r.schema(schema)
-            df = r.parquet(*(os.path.join(root, f) for f in c["adds"]))
+            # a restore commit's vectors apply to its OWN adds
+            # (reinstated deletion state of re-added files): those rows
+            # are not live at this version and must not stream as
+            # inserts — subtract them in-plan
+            own_dv = {f: deletes[f] for f in c["adds"] if f in deletes}
+            df = _read_files(
+                spark,
+                table_root,
+                list(c["adds"]),
+                schema=schema,
+                dv=own_dv or None,
+            )
             if change_types:
                 df = df.withColumn("_change_type", F.lit(add_type))
             parts.append(df.withColumn(
@@ -1365,12 +1805,15 @@ def txn_changes(
                 # must see ONE schema
                 "_commit_version", F.lit(v).cast("long"),
             ))
-        if change_types and c.get("deletes"):
+        true_deletes = {f: es for f, es in deletes.items() if f not in c["adds"]}
+        if change_types and true_deletes:
             pre_type = (
                 "update_preimage" if c["op"] == "update" else "delete"
             )
-            touched = sorted(c["deletes"])
-            sidecars = sorted({e["dv"] for e in c["deletes"].values()})
+            touched = sorted(true_deletes)
+            sidecars = sorted(
+                {e["dv"] for es in true_deletes.values() for e in es}
+            )
             raw = _read_files(
                 spark, table_root, touched, schema=schema, keep_meta=True
             )

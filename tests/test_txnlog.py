@@ -700,12 +700,17 @@ def test_merge_schema_reads_evolved_table(spark, tmp_path):
         ),
         path,
         [],
+        merge_schema=True,
     )
     got = {
         r["k"]: r["note"]
         for r in TL.txn_read(spark, path, merge_schema=True).collect()
     }
     assert got == {1: None, 2: "new"}
+    # the widened schema is RECORDED: a default read (no mergeSchema
+    # footer sweep, no caller schema) sees the evolved column too
+    got2 = {r["k"]: r["note"] for r in TL.txn_read(spark, path).collect()}
+    assert got2 == {1: None, 2: "new"}
 
 
 # ---------------------------------------------------------------------------
@@ -1359,3 +1364,337 @@ def test_model_based_random_dml_sequences(spark, tmp_path):
         }
         assert got == {k for k in model if lo <= k <= hi}
     assert TL.txn_count(spark, path) == len(model)
+
+
+# ---------------------------------------------------------------------------
+# Schema tracking: enforcement at the append boundary, evolution, ALTER
+# ---------------------------------------------------------------------------
+
+
+def test_schema_enforcement_rejects_type_change(spark, tmp_path):
+    path = str(tmp_path / "t")
+    TL.txn_append(spark, _df(spark, [(1, "a", 1.0)]), path, ["p"])
+    with pytest.raises(TL.SchemaMismatchError, match="column v"):
+        TL.txn_append(
+            spark,
+            spark.createDataFrame([(2, "b", "oops")], "k long, p string, v string"),
+            path,
+            ["p"],
+        )
+    # merge_schema never legalizes a TYPE change
+    with pytest.raises(TL.SchemaMismatchError, match="column v"):
+        TL.txn_append(
+            spark,
+            spark.createDataFrame([(2, "b", "oops")], "k long, p string, v string"),
+            path,
+            ["p"],
+            merge_schema=True,
+        )
+    assert _rows(spark, path) == {1: ("a", 1.0)}
+
+
+def test_schema_evolution_requires_flag_and_rolls_forward(spark, tmp_path):
+    path = str(tmp_path / "t")
+    TL.txn_append(spark, _df(spark, [(1, "a", 1.0)]), path, ["p"])
+    wide = spark.createDataFrame(
+        [(2, "b", 2.0, "x")], "k long, p string, v double, note string"
+    )
+    with pytest.raises(TL.SchemaMismatchError, match="note"):
+        TL.txn_append(spark, wide, path, ["p"])
+    TL.txn_append(spark, wide, path, ["p"], merge_schema=True)
+    # a column-SUBSET append stays legal after evolution (null-filled)
+    TL.txn_append(spark, _df(spark, [(3, "c", 3.0)]), path, ["p"])
+    got = {
+        r["k"]: r["note"] for r in TL.txn_read(spark, path).collect()
+    }
+    assert got == {1: None, 2: "x", 3: None}
+    # time travel reads through the schema OF ITS ERA: v1 has no note
+    assert "note" not in TL.txn_read(spark, path, version=1).columns
+    assert "note" in TL.txn_read(spark, path, version=2).columns
+
+
+def test_schema_survives_checkpoint_fold(spark, tmp_path):
+    path = str(tmp_path / "t")
+    TL.txn_append(
+        spark,
+        spark.createDataFrame([(1, 1.0, "x")], "k long, v double, note string"),
+        path,
+        [],
+    )
+    for i in range(2, TL.CHECKPOINT_EVERY + 2):
+        TL.txn_append(
+            spark,
+            spark.createDataFrame([(i, float(i))], "k long, v double"),
+            path,
+            [],
+        )
+    assert TL.latest_version(path) > TL.CHECKPOINT_EVERY
+    s = TL.table_schema(path)
+    assert [f.name for f in s.fields] == ["k", "v", "note"]
+    got = {r["k"]: r["note"] for r in TL.txn_read(spark, path).collect()}
+    assert got[1] == "x" and got[2] is None
+
+
+def test_set_schema_alter_table_add_column(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "t")
+    TL.txn_append(spark, _df(spark, [(1, "a", 1.0)]), path, ["p"])
+    cur = TL.table_schema(path)
+    wider = T.StructType(
+        list(cur.fields) + [T.StructField("note", T.StringType())]
+    )
+    TL.txn_set_schema(path, wider)
+    # the new column reads back NULL everywhere; appends may now use it
+    assert {r["note"] for r in TL.txn_read(spark, path).collect()} == {None}
+    TL.txn_append(
+        spark,
+        spark.createDataFrame(
+            [(2, "b", 2.0, "y")], "k long, p string, v double, note string"
+        ),
+        path,
+        ["p"],
+    )
+    got = {r["k"]: r["note"] for r in TL.txn_read(spark, path).collect()}
+    assert got == {1: None, 2: "y"}
+    # column drops and type changes don't evolve
+    with pytest.raises(TL.SchemaMismatchError, match="drops column"):
+        TL.txn_set_schema(path, T.StructType(cur.fields[:2]))
+    # set_schema is metadata-only: CDF/stream consumers skip it
+    v = TL.latest_version(path)
+    hist = {
+        r["version"]: r["data_change"]
+        for r in TL.txn_history(spark, path).collect()
+    }
+    assert hist[2] is False and hist[v] is True
+
+
+def test_schema_not_recorded_onto_adopted_tables(spark, tmp_path):
+    """A table with pre-tracking committed data must NOT adopt the next
+    append's (possibly subset) schema as the table schema."""
+    path = str(tmp_path / "t")
+    _df(spark, [(1, "a", 1.0)]).write.parquet(path)
+    TL.init_table(path)  # adopts existing files, no schema recorded
+    assert TL.table_schema(path) is None
+    TL.txn_append(
+        spark,
+        spark.createDataFrame([(2,)], "k long"),
+        path,
+        [],
+    )
+    assert TL.table_schema(path) is None  # still unknown, not narrowed
+    # reads fall back to pre-tracking behavior (mergeSchema reconciles)
+    ks = {
+        r["k"] for r in TL.txn_read(spark, path, merge_schema=True).collect()
+    }
+    assert ks == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# RESTORE: snapshot rollback as a new commit
+# ---------------------------------------------------------------------------
+
+
+def test_restore_roundtrip_and_history(spark, tmp_path):
+    path = str(tmp_path / "t")
+    TL.txn_append(spark, _df(spark, [(1, "a", 1.0), (2, "a", 2.0)]), path, ["p"])
+    TL.txn_append(spark, _df(spark, [(3, "b", 3.0)]), path, ["p"])
+    r = TL.txn_restore(path, 1)
+    assert r["restored_to"] == 1 and r["files_removed"] >= 1
+    assert _rows(spark, path) == {1: ("a", 1.0), 2: ("a", 2.0)}
+    # history is append-only: the undone version is still reachable
+    assert _rows(spark, path, version=2) == {
+        1: ("a", 1.0), 2: ("a", 2.0), 3: ("b", 3.0)
+    }
+    ops = {r2["version"]: r2["op"] for r2 in TL.txn_history(spark, path).collect()}
+    assert ops[r["version"]] == "restore"
+    # restoring to the current state is a no-op commit-wise
+    r2 = TL.txn_restore(path, r["version"])
+    assert r2["files_added"] == 0 and r2["files_removed"] == 0
+    assert r2["version"] == r["version"]
+
+
+def test_restore_reinstates_deletion_vector_state(spark, tmp_path):
+    """Restore to a mid-DV snapshot: a file live in BOTH snapshots whose
+    vector state diverged must cycle so newer vectors drop."""
+    path = str(tmp_path / "t")
+    TL.txn_append(
+        spark,
+        _df(spark, [(k, "a", float(k)) for k in (1, 2, 3, 4)]).coalesce(1),
+        path,
+        [],
+    )
+    TL.txn_delete(spark, path, F.col("k") == 2)  # v2
+    TL.txn_delete(spark, path, F.col("k") == 3)  # v3
+    assert set(_rows(spark, path)) == {1, 4}
+    r = TL.txn_restore(path, 2)
+    assert set(_rows(spark, path)) == {1, 3, 4}
+    # count answers from metadata must agree post-restore
+    assert TL.txn_count(spark, path) == 3
+    # restore back to pre-delete state drops both vectors
+    TL.txn_restore(path, 1)
+    assert set(_rows(spark, path)) == {1, 2, 3, 4}
+    assert r["version"] >= 4
+
+
+def test_restore_past_vacuum_horizon_raises(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(4):
+        TL.txn_append(
+            spark, _df(spark, [(i, "a", float(i))]).coalesce(1), path, []
+        )
+    TL.txn_optimize(spark, path, target_file_bytes=1 << 30)  # rewrites all
+    TL.txn_vacuum(path)  # drops the superseded originals
+    with pytest.raises(ValueError, match="vacuumed"):
+        TL.txn_restore(path, 2)
+    # the current snapshot is untouched by the failed restore
+    assert set(_rows(spark, path)) == {0, 1, 2, 3}
+
+
+def test_restore_rolls_back_schema_evolution(spark, tmp_path):
+    path = str(tmp_path / "t")
+    TL.txn_append(spark, _df(spark, [(1, "a", 1.0)]), path, ["p"])
+    TL.txn_append(
+        spark,
+        spark.createDataFrame(
+            [(2, "b", 2.0, "x")], "k long, p string, v double, note string"
+        ),
+        path,
+        ["p"],
+        merge_schema=True,
+    )
+    TL.txn_restore(path, 1)
+    assert "note" not in TL.txn_read(spark, path).columns
+    # and the enforcement boundary reverted with it
+    with pytest.raises(TL.SchemaMismatchError, match="note"):
+        TL.txn_append(
+            spark,
+            spark.createDataFrame(
+                [(9, "z", 9.0, "y")],
+                "k long, p string, v double, note string",
+            ),
+            path,
+            ["p"],
+        )
+
+
+def test_restore_cdf_and_stream_skip_reinstated_vector_rows(spark, tmp_path):
+    """Incremental consumers across a restore commit: re-added files
+    stream as inserts MINUS the reinstated vectored rows."""
+    path = str(tmp_path / "t")
+    TL.txn_append(
+        spark,
+        _df(spark, [(k, "a", float(k)) for k in (1, 2, 3)]).coalesce(1),
+        path,
+        [],
+    )
+    TL.txn_delete(spark, path, F.col("k") == 2)  # v2
+    TL.txn_optimize(spark, path)                 # v3 materializes the DV
+    TL.txn_vacuum(path, retain_versions=1)       # keep v2's files alive
+    restored = TL.txn_restore(path, 2)["version"]
+    ch = TL.txn_changes(spark, path, restored - 1, restored)
+    assert {r["k"] for r in ch.collect()} == {1, 3}  # 2 stays dead
+    # the streaming source applies the same subtraction
+    from django_datastream_spark.sources import txn_stream as TS
+
+    TS.register(spark)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    (
+        spark.readStream.format("txn_table")
+        .schema("k long, p string, v double")
+        .option("path", path)
+        .option("startingVersion", restored - 1)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    assert {r["k"] for r in spark.read.parquet(out).collect()} == {1, 3}
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints: write-time enforcement (Delta ADD CONSTRAINT parity)
+# ---------------------------------------------------------------------------
+
+
+def test_constraint_enforced_on_append_and_nothing_commits(spark, tmp_path):
+    path = str(tmp_path / "t")
+    TL.txn_append(spark, _df(spark, [(1, "a", 1.0)]), path, ["p"])
+    TL.txn_add_constraint(spark, path, "v_pos", "v > 0")
+    v_before = TL.latest_version(path)
+    with pytest.raises(TL.ConstraintViolationError, match="v_pos"):
+        TL.txn_append(spark, _df(spark, [(2, "b", -5.0)]), path, ["p"])
+    # nothing committed, and the rejected staged files are not orphaned
+    assert TL.latest_version(path) == v_before
+    assert _rows(spark, path) == {1: ("a", 1.0)}
+    assert TL.txn_vacuum(path) == []
+    # a conforming append still lands
+    TL.txn_append(spark, _df(spark, [(3, "c", 3.0)]), path, ["p"])
+    assert set(_rows(spark, path)) == {1, 3}
+
+
+def test_constraint_null_passes_false_rejects(spark, tmp_path):
+    """SQL CHECK semantics: NULL evaluations pass, only FALSE rejects —
+    including columns an append legally omitted (null-filled)."""
+    path = str(tmp_path / "t")
+    TL.txn_append(
+        spark,
+        spark.createDataFrame([(1, 1.0, "x")], "k long, v double, note string"),
+        path,
+        [],
+    )
+    TL.txn_add_constraint(spark, path, "note_short", "length(note) < 5")
+    # subset append omits note entirely -> NULL -> passes
+    TL.txn_append(
+        spark, spark.createDataFrame([(2, 2.0)], "k long, v double"), path, []
+    )
+    with pytest.raises(TL.ConstraintViolationError, match="note_short"):
+        TL.txn_append(
+            spark,
+            spark.createDataFrame(
+                [(3, 3.0, "waytoolong")], "k long, v double, note string"
+            ),
+            path,
+            [],
+        )
+    ks = {r["k"] for r in TL.txn_read(spark, path).collect()}
+    assert ks == {1, 2}
+
+
+def test_add_constraint_validates_existing_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    TL.txn_append(spark, _df(spark, [(1, "a", -1.0)]), path, ["p"])
+    with pytest.raises(TL.ConstraintViolationError, match="existing rows"):
+        TL.txn_add_constraint(spark, path, "v_pos", "v > 0")
+    assert TL.table_constraints(path) == {}
+    with pytest.raises(ValueError, match="no constraint"):
+        TL.txn_drop_constraint(path, "v_pos")
+
+
+def test_constraint_drop_and_update_enforcement(spark, tmp_path):
+    path = str(tmp_path / "t")
+    TL.txn_append(spark, _df(spark, [(1, "a", 1.0), (2, "a", 2.0)]), path, ["p"])
+    TL.txn_add_constraint(spark, path, "v_pos", "v > 0")
+    # UPDATE writing violating rows is rejected too
+    with pytest.raises(TL.ConstraintViolationError, match="v_pos"):
+        TL.txn_update(spark, path, "k = 1", {"v": "-9.0"})
+    assert _rows(spark, path)[1] == ("a", 1.0)
+    TL.txn_drop_constraint(path, "v_pos")
+    TL.txn_update(spark, path, "k = 1", {"v": "-9.0"})
+    assert _rows(spark, path)[1] == ("a", -9.0)
+
+
+def test_constraints_survive_checkpoint_fold(spark, tmp_path):
+    path = str(tmp_path / "t")
+    TL.txn_append(spark, _df(spark, [(0, "a", 1.0)]), path, ["p"])
+    TL.txn_add_constraint(spark, path, "v_pos", "v > 0")
+    for i in range(1, TL.CHECKPOINT_EVERY + 1):
+        TL.txn_append(spark, _df(spark, [(i, "a", float(i))]), path, ["p"])
+    assert TL.latest_version(path) > TL.CHECKPOINT_EVERY
+    assert TL.table_constraints(path) == {"v_pos": "v > 0"}
+    with pytest.raises(TL.ConstraintViolationError, match="v_pos"):
+        TL.txn_append(spark, _df(spark, [(99, "z", 0.0)]), path, ["p"])
