@@ -1295,15 +1295,18 @@ def test_stats_indexed_columns_are_capped(spark, tmp_path, monkeypatch):
 
 
 def test_model_based_random_dml_sequences(spark, tmp_path):
-    """Random APPEND/DELETE/UPDATE/OPTIMIZE sequences applied to both
-    the table and a plain dict model must agree after every step —
-    and data-skipped reads must agree with the model under random
-    range predicates. Deterministic seed; ~25 ops."""
+    """Random APPEND/DELETE/UPDATE/OPTIMIZE/RESTORE sequences applied
+    to both the table and a plain dict model must agree after every
+    step — and data-skipped reads must agree with the model under
+    random range predicates. RESTORE picks any earlier version and the
+    model reverts to its recorded state there, so rollback correctness
+    composes with every other op. Deterministic seed; ~25 ops."""
     import random
 
     rng = random.Random(20260814)
     path = str(tmp_path / "t")
     model: dict[int, tuple[float, int]] = {}  # k -> (v, gen)
+    snaps: dict[int, dict] = {0: {}}  # committed version -> model state
     next_k = 0
 
     def table_state():
@@ -1315,7 +1318,9 @@ def test_model_based_random_dml_sequences(spark, tmp_path):
         }
 
     for step in range(25):
-        op = rng.choice(["append", "append", "delete", "update", "optimize"])
+        op = rng.choice(
+            ["append", "append", "delete", "update", "optimize", "restore"]
+        )
         if op == "append":
             n = rng.randint(1, 8)
             rows = [(next_k + j, float(rng.randint(0, 50)), 0)
@@ -1347,8 +1352,13 @@ def test_model_based_random_dml_sequences(spark, tmp_path):
                 k: (v, g + 1 if k % mod == 0 else g)
                 for k, (v, g) in model.items()
             }
+        elif op == "restore":
+            target = rng.choice(sorted(snaps))
+            TL.txn_restore(path, target)
+            model = dict(snaps[target])
         else:
             TL.txn_optimize(spark, path, target_file_bytes=10_000)
+        snaps[TL.latest_version(path)] = dict(model)
         assert table_state() == model, f"divergence after step {step} ({op})"
 
     # skipped reads agree with the model under random ranges
