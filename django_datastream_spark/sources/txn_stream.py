@@ -128,6 +128,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
         )
         self.max_files = int(mfb) if mfb is not None else None
         self._last_v: int | None = None
+        self.schema = schema
         self.cols = [f.name for f in schema.fields]
 
     def initialOffset(self) -> dict:
@@ -181,9 +182,18 @@ class TxnTableStreamReader(DataSourceStreamReader):
         return out or [InputPartition(None)]
 
     def read(self, partition):
+        """One data file → one Arrow RecordBatch (zero per-row Python):
+        pyarrow reads the file, reinstated-vector positions filter out
+        with a boolean mask, hive partition values and the commit tag
+        broadcast as constant columns, and every column CASTS to the
+        declared Spark type via its arrow equivalent — timestamps
+        relabel as UTC instants (instant-preserving regardless of the
+        session timezone, which per-row datetime tuples are not)."""
         if partition.value is None:
             return
+        import pyarrow as pa
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_type
 
         v, rel, dv_dirs = partition.value
         dead: set[int] = set()
@@ -194,11 +204,11 @@ class TxnTableStreamReader(DataSourceStreamReader):
             files = sidecar.column("file").to_pylist()
             poss = sidecar.column("pos").to_pylist()
             dead.update(p for f, p in zip(files, poss) if f == rel)
-        full = os.path.join(self.root, rel)
-        tbl = pq.read_table(full)
-        cols = {}
-        for name in tbl.schema.names:
-            cols[name] = tbl.column(name).to_pylist()
+        tbl = pq.read_table(os.path.join(self.root, rel))
+        if dead:
+            tbl = tbl.filter(
+                pa.array(i not in dead for i in range(tbl.num_rows))
+            )
         # hive-encoded partition values live in the dir name, not the file
         part_vals = {}
         d = os.path.dirname(rel)
@@ -208,20 +218,27 @@ class TxnTableStreamReader(DataSourceStreamReader):
                     k, val = seg.split("=", 1)
                     part_vals[k] = val
         n = tbl.num_rows
-        for i in range(n):
-            if i in dead:
-                continue
-            row = []
-            for name in self.cols:
-                if name == "_commit_version":
-                    row.append(v)
-                elif name in cols:
-                    row.append(cols[name][i])
-                elif name in part_vals:
-                    row.append(part_vals[name])
+        arrays = []
+        for f in self.schema.fields:
+            at = to_arrow_type(f.dataType)
+            if f.name == "_commit_version":
+                col = pa.array([v] * n, type=at)
+            elif f.name in tbl.schema.names:
+                src = tbl.column(f.name).combine_chunks()
+                if src.type.equals(at):
+                    col = src
+                elif pa.types.is_timestamp(src.type):
+                    # parquet values are UTC instants; relabel, don't
+                    # shift (naive -> tz-aware cast in arrow relabels)
+                    col = src.cast(pa.timestamp(src.type.unit, "UTC")).cast(at)
                 else:
-                    row.append(None)
-            yield tuple(row)
+                    col = src.cast(at)
+            elif f.name in part_vals:
+                col = pa.array([part_vals[f.name]] * n).cast(at)
+            else:
+                col = pa.nulls(n, type=at)
+            arrays.append(col)
+        yield pa.RecordBatch.from_arrays(arrays, self.cols)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the stream checkpoint
