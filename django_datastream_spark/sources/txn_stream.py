@@ -22,7 +22,12 @@ Options: ``path`` (table root, required), ``startingVersion``
 commit N+1; ``"latest"`` = only commits after stream start — the
 right entry point for a table whose history has been compacted and
 vacuumed past retention, where a from-0 replay would hit removed
-files).
+files), ``readChangeFeed`` (``true`` = Delta's CDF-as-a-stream: the
+schema gains ``_change_type`` and each micro-batch also emits the
+rows a commit vectored OUT of pre-existing files — ``delete`` rows
+and ``update_preimage``/``update_postimage`` pairs — recovered
+executor-side by keeping exactly the sidecar positions of the still
+on-disk original file; insert-only consumers just omit the option).
 """
 
 from __future__ import annotations
@@ -52,6 +57,10 @@ _ARROW_TO_DDL = {
     "large_binary": "binary",
     "date32[day]": "date",
 }
+
+
+def _truthy(v) -> bool:
+    return str(v).lower() in ("true", "1", "yes")
 
 
 def _sniff_ddl(table_root: str) -> str:
@@ -98,7 +107,12 @@ class TxnTableDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("txn_table requires .option('path', ...)")
-        return _sniff_ddl(path)
+        ddl = _sniff_ddl(path)
+        if _truthy(self.options.get(
+            "readChangeFeed", self.options.get("readchangefeed")
+        )):
+            ddl += ", _change_type string"
+        return ddl
 
     def streamReader(self, schema) -> "TxnTableStreamReader":
         return TxnTableStreamReader(self.options, schema)
@@ -127,6 +141,9 @@ class TxnTableStreamReader(DataSourceStreamReader):
             "maxFilesPerBatch", options.get("maxfilesperbatch")
         )
         self.max_files = int(mfb) if mfb is not None else None
+        self.cdf = _truthy(
+            options.get("readChangeFeed", options.get("readchangefeed"))
+        )
         self._last_v: int | None = None
         self.schema = schema
         self.cols = [f.name for f in schema.fields]
@@ -175,8 +192,28 @@ class TxnTableStreamReader(DataSourceStreamReader):
                 f: [x["dv"] for x in (e if isinstance(e, list) else [e])]
                 for f, e in (c.get("deletes") or {}).items()
             }
+            add_type = (
+                "update_postimage" if c["op"] == "update" else "insert"
+            )
             for rel in c["adds"]:
-                out.append(InputPartition((v, rel, own_dv.get(rel, []))))
+                out.append(
+                    InputPartition(
+                        (v, rel, own_dv.get(rel, []), add_type, False)
+                    )
+                )
+            if self.cdf:
+                # change-feed mode also emits the rows a commit
+                # vectored OUT of pre-existing files (deletes /
+                # update before-images): same file read, but KEEPING
+                # only the sidecar positions
+                pre_type = (
+                    "update_preimage" if c["op"] == "update" else "delete"
+                )
+                for rel, dirs in own_dv.items():
+                    if rel not in c["adds"]:
+                        out.append(
+                            InputPartition((v, rel, dirs, pre_type, True))
+                        )
         # pyspark substitutes [None] for an empty plan; read(None) must
         # still work (a range of optimize-only commits is legal)
         return out or [InputPartition(None)]
@@ -195,7 +232,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_type
 
-        v, rel, dv_dirs = partition.value
+        v, rel, dv_dirs, ctype, keep_dead = partition.value
         dead: set[int] = set()
         for d in dv_dirs:
             sidecar = pq.read_table(
@@ -205,7 +242,12 @@ class TxnTableStreamReader(DataSourceStreamReader):
             poss = sidecar.column("pos").to_pylist()
             dead.update(p for f, p in zip(files, poss) if f == rel)
         tbl = pq.read_table(os.path.join(self.root, rel))
-        if dead:
+        if keep_dead:
+            # before-image partition: emit ONLY the vectored positions
+            tbl = tbl.filter(
+                pa.array(i in dead for i in range(tbl.num_rows))
+            )
+        elif dead:
             tbl = tbl.filter(
                 pa.array(i not in dead for i in range(tbl.num_rows))
             )
@@ -223,6 +265,8 @@ class TxnTableStreamReader(DataSourceStreamReader):
             at = to_arrow_type(f.dataType)
             if f.name == "_commit_version":
                 col = pa.array([v] * n, type=at)
+            elif f.name == "_change_type" and self.cdf:
+                col = pa.array([ctype] * n, type=at)
             elif f.name in tbl.schema.names:
                 src = tbl.column(f.name).combine_chunks()
                 if src.type.equals(at):

@@ -185,3 +185,51 @@ def test_max_files_per_batch_paces_a_mid_run_burst(spark, tmp_path):
         q.stop()
     got = {r["k"] for r in spark.read.parquet(out).collect()}
     assert got == set(range(7))
+
+
+def test_read_change_feed_streams_full_cdf(spark, tmp_path):
+    """readChangeFeed=true: the stream emits the SAME change rows as
+    batch txn_changes(change_types=True) — inserts, delete rows, and
+    update pre/post image pairs, each tagged (_change_type,
+    _commit_version)."""
+    table = str(tmp_path / "t")
+    TL.txn_append(
+        spark, _df(spark, [(k, "a", float(k)) for k in (1, 2, 3)]).coalesce(1),
+        table, [],
+    )                                                    # v1: inserts
+    from pyspark.sql import functions as F
+
+    TL.txn_delete(spark, table, F.col("k") == 2)         # v2: delete
+    TL.txn_update(spark, table, "k = 3", {"v": "30.0"})  # v3: update
+    TL.txn_optimize(spark, table, target_file_bytes=1 << 30)  # v4: invisible
+
+    txn_stream.register(spark)
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = (
+        spark.readStream.format("txn_table")
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r["k"], r["_change_type"], r["_commit_version"], r["v"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["k"], r["_change_type"], r["_commit_version"], r["v"])
+        for r in TL.txn_changes(
+            spark, table, 0, change_types=True
+        ).collect()
+    }
+    assert got == want
+    assert (1, "insert", 1, 1.0) in got
+    assert (2, "delete", 2, 2.0) in got
+    assert (3, "update_preimage", 3, 3.0) in got
+    assert (3, "update_postimage", 3, 30.0) in got
+    assert not any(cv == 4 for _, _, cv, _ in got)  # optimize invisible
