@@ -1,14 +1,15 @@
 """DML soak for the txn log: concurrent APPEND writers race row-level
-DELETE/UPDATE writers and a periodic OPTIMIZE compactor against one
-table, with conflicting losers retrying — then the final state is
-checked against a sequential model replay of the operations that
-actually COMMITTED (the log is the ground truth).
+DELETE/UPDATE writers, a periodic OPTIMIZE compactor, and a periodic
+RESTORE roll-backer against one table — every append passing through
+an enforced CHECK constraint — with conflicting losers retrying; then
+the final state is checked against the log (the ground truth).
 
 Invariants verified:
 - commit versions are contiguous 1..head (no lost or torn commit)
-- final rows == model replay of committed ops in version order
+- no key duplicated (exactly-once appends through rebases + restores)
 - txn_count (metadata) == actual scan count
-- after optimize+vacuum the table still replays identically
+- a violating append still refuses mid-soak (constraint enforced)
+- after optimize+vacuum the table still reads identically
 
 Usage: python tools/soak_dml.py [appenders] [rounds]
 """
@@ -34,6 +35,7 @@ def main() -> None:
     spark = get_spark("txn-dml-soak")
     table = tempfile.mkdtemp(prefix="txndml-")
     TL.init_table(table)
+    TL.txn_add_constraint(spark, table, "v_nonneg", "v >= 0")
     errs: list[Exception] = []
     conflicts = {"n": 0}
 
@@ -112,12 +114,34 @@ def main() -> None:
                     errs.append(e)
                     return
 
+    def restorer() -> None:
+        _wait_for_data()
+        t0 = time.time()
+        # rollback needs history to roll back over
+        while TL.latest_version(table) < 4 and time.time() - t0 < 60:
+            time.sleep(0.3)
+        for _c in range(max(1, rounds // 2)):
+            time.sleep(1.0)
+            head = TL.latest_version(table)
+            target = max(1, head - 2)
+            for _attempt in range(10):
+                try:
+                    TL.txn_restore(table, target, writer="rst")
+                    break
+                except TL.CommitConflictError:
+                    conflicts["n"] += 1
+                    time.sleep(0.2)
+                except Exception as e:  # noqa: BLE001
+                    errs.append(e)
+                    return
+
     threads = [
         threading.Thread(target=appender, args=(w,)) for w in range(appenders)
     ] + [
         threading.Thread(target=deleter),
         threading.Thread(target=updater),
         threading.Thread(target=compactor),
+        threading.Thread(target=restorer),
     ]
     t0 = time.time()
     for t in threads:
@@ -145,6 +169,18 @@ def main() -> None:
     # no key duplicated (exactly-once appends, update preserves identity)
     scan_n = TL.txn_read(spark, table).count()
     assert scan_n == len(rows), (scan_n, len(rows))
+
+    # the CHECK constraint still enforces after the whole melee
+    try:
+        TL.txn_append(
+            spark,
+            spark.createDataFrame([(-1, -1.0, 0)], "k long, v double, gen int"),
+            table,
+            [],
+        )
+        raise AssertionError("violating append must refuse")
+    except TL.ConstraintViolationError:
+        pass
 
     # vacuum then re-read: identical
     removed = TL.txn_vacuum(table)
