@@ -233,6 +233,7 @@ def merge_into(
     when_not_matched: str = "insert",
     defer_conflict_delete: bool = False,
     txn: bool = False,
+    app_txn: tuple[str, int] | None = None,
 ) -> dict:
     """Merge ``source`` into the parquet table at ``target_path``.
 
@@ -255,6 +256,11 @@ def merge_into(
     writers — a lost race raises ``CommitConflictError`` and the caller
     re-runs this merge against the new snapshot. The result gains a
     ``"version"`` key.
+
+    ``app_txn=(app_id, batch_id)`` (txn only) stamps the merge commit
+    with a writer-app transaction id, making CDC upserts idempotent
+    per micro-batch exactly like ``txn_append_batch`` — the building
+    block of :func:`..txnlog.streaming_merge_sink`.
     """
     if when_matched not in ("update", "delete"):
         raise ValueError(f"when_matched={when_matched!r}")
@@ -285,7 +291,13 @@ def merge_into(
                     spark, src, target_path, partition_cols, tag
                 )
                 ver = TL.commit(
-                    target_path, adds, [], "merge", [], base_version=base_ver
+                    target_path,
+                    adds,
+                    [],
+                    "merge",
+                    [],
+                    base_version=base_ver,
+                    app_txn=app_txn,
                 )
                 return {"rewritten_files": 0, "inserted": True, "version": ver}
             return {
@@ -433,6 +445,7 @@ def merge_into(
             "merge",
             [],
             base_version=base_ver,
+            app_txn=app_txn,
         )
         # superseded files stay on disk regardless of
         # defer_conflict_delete: under multi-writer, eager deletion

@@ -1357,6 +1357,60 @@ def streaming_sink(table_root: str, partition_cols: list[str], app_id: str):
     return _sink
 
 
+def streaming_merge_sink(
+    table_root: str,
+    key_cols: list[str],
+    partition_cols: list[str],
+    app_id: str,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    max_retries: int = 20,
+):
+    """``foreachBatch`` adapter for EXACTLY-ONCE streaming UPSERT —
+    the CDC apply pattern: each micro-batch MERGEs into the txn table
+    keyed by ``key_cols``, stamped with ``(app_id, batch_id)``.
+
+    Idempotence is the app-txn ledger (same mechanism as
+    :func:`streaming_sink`): a replayed batch is skipped at the
+    watermark, and the lookup→commit race is closed by the commit's
+    rebase scan. A GENUINE rival writer (different app) conflicting on
+    the merge's read scope triggers a bounded re-run of the merge
+    against the new snapshot — upsert semantics make the retry safe.
+
+    Source batches must carry at most one row per key (the Delta
+    multiple-source-rows-matched contract; collapse upstream with a
+    window by sequence number first)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from .operators.merge import merge_into
+
+        spark = batch_df.sparkSession
+        for _ in range(max_retries):
+            if app_txn_watermarks(table_root).get(app_id, -1) >= batch_id:
+                return  # replayed batch already committed
+            try:
+                merge_into(
+                    spark,
+                    table_root,
+                    batch_df,
+                    key_cols,
+                    partition_cols,
+                    when_matched=when_matched,
+                    when_not_matched=when_not_matched,
+                    txn=True,
+                    app_txn=(app_id, batch_id),
+                )
+                return
+            except CommitConflictError:
+                continue  # duplicate batch (caught at the watermark
+                # next loop) or rival writer (re-run vs new snapshot)
+        raise CommitConflictError(
+            f"merge for batch {batch_id} gave up after {max_retries} re-runs"
+        )
+
+    return _sink
+
+
 def txn_count(
     spark: SparkSession,
     table_root: str,

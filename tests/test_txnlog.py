@@ -1708,3 +1708,51 @@ def test_constraints_survive_checkpoint_fold(spark, tmp_path):
     assert TL.table_constraints(path) == {"v_pos": "v > 0"}
     with pytest.raises(TL.ConstraintViolationError, match="v_pos"):
         TL.txn_append(spark, _df(spark, [(99, "z", 0.0)]), path, ["p"])
+
+
+def test_streaming_merge_sink_exactly_once_upsert(spark, tmp_path):
+    """CDC apply: a keyed stream MERGEs through streaming_merge_sink.
+    Later batches UPDATE keys earlier ones inserted; a full replay with
+    a wiped source checkpoint must change nothing (exactly-once), and
+    final state is last-write-wins per key."""
+    import pandas as pd
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    table = str(tmp_path / "table")
+    # f0: keys 1,2 v=0.x — f1: key 2 updated, key 3 new — f2: key 1 updated
+    pd.DataFrame(
+        {"k": [1, 2], "p": ["a", "a"], "v": [0.1, 0.2]}
+    ).to_parquet(os.path.join(src_dir, "f0.parquet"))
+    pd.DataFrame(
+        {"k": [2, 3], "p": ["a", "a"], "v": [2.0, 3.0]}
+    ).to_parquet(os.path.join(src_dir, "f1.parquet"))
+    pd.DataFrame(
+        {"k": [1], "p": ["a"], "v": [1.0]}
+    ).to_parquet(os.path.join(src_dir, "f2.parquet"))
+
+    def run(cp):
+        q = (
+            spark.readStream.schema("k long, p string, v double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+            .writeStream.foreachBatch(
+                TL.streaming_merge_sink(table, ["k"], ["p"], "cdc-app")
+            )
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    run(str(tmp_path / "cp1"))
+    assert _rows(spark, table) == {
+        1: ("a", 1.0), 2: ("a", 2.0), 3: ("a", 3.0)
+    }
+    # wiped checkpoint: every batch re-offered, all refused at the ledger
+    head = TL.latest_version(table)
+    run(str(tmp_path / "cp2"))
+    assert TL.latest_version(table) == head
+    assert _rows(spark, table) == {
+        1: ("a", 1.0), 2: ("a", 2.0), 3: ("a", 3.0)
+    }
