@@ -283,6 +283,7 @@ def merge_into(
         from .. import txnlog as TL
 
         TL.init_table(target_path)  # adopts a pre-txn table as v1
+        TL._check_partition_cols(target_path, partition_cols)
         tag = uuid.uuid4().hex[:12]
         base_ver, committed = TL.snapshot(target_path)
         if not committed:

@@ -485,6 +485,25 @@ def txn_drop_constraint(table_root: str, name: str, writer: str = "") -> int:
     )
 
 
+def _check_partition_cols(table_root: str, partition_cols) -> None:
+    """Partition layout is TABLE METADATA (Delta's contract): every
+    write must use the layout the committed files established. A mixed
+    root-level + hive-dir file set is not just ugly — Spark's
+    partition discovery silently DROPS the root-level files' rows when
+    both shapes meet one scan, so allowing a divergent append would be
+    committed data loss."""
+    _, files = snapshot(table_root)
+    if not files:
+        return
+    est = _partition_cols_of(sorted(files))
+    if list(partition_cols or []) != est:
+        raise ValueError(
+            f"table is partitioned by {est}; this write declares "
+            f"{list(partition_cols or [])} — partition layout is table "
+            "metadata and cannot vary per write"
+        )
+
+
 def txn_set_schema(table_root: str, schema, writer: str = "") -> int:
     """Explicit ALTER TABLE-style schema commit (metadata only, no
     data files): set the recorded schema to ``schema``. Existing
@@ -1186,6 +1205,7 @@ def txn_append(
     commit (Delta's mergeSchema evolution)."""
     init_table(table_root)
     evolved = _check_schema(table_root, df.schema, merge_schema)
+    _check_partition_cols(table_root, partition_cols)
     tag = uuid.uuid4().hex[:12]
     adds = stage_files(spark, df, table_root, partition_cols, tag)
     _enforce_constraints(spark, table_root, adds)
@@ -1312,6 +1332,7 @@ def txn_append_batch(
     if app_txn_watermarks(table_root).get(app_id, -1) >= batch_id:
         return None
     evolved = _check_schema(table_root, df.schema, merge_schema=False)
+    _check_partition_cols(table_root, partition_cols)
     # base is pinned BEFORE staging — the commit's rebase scan then
     # covers every rival commit that lands while our write job runs,
     # which is exactly where a racing retry of the same batch hides
@@ -1768,6 +1789,77 @@ def txn_restore(
         "files_added": len(adds),
         "files_removed": len(removes),
     }
+
+
+def txn_clone(
+    src_root: str,
+    dst_root: str,
+    version: int | None = None,
+) -> dict:
+    """CLONE TABLE: create a new independent txn table at ``dst_root``
+    from ``src_root``'s snapshot at ``version`` (default latest) —
+    ZERO-COPY where the filesystem allows it (data files and
+    deletion-vector sidecars hard-link; copy is the fallback), so
+    cloning a 100 TB table moves metadata, not bytes.  The clone's log
+    starts fresh (one ``clone`` commit carrying the snapshot's files,
+    stats, vector state, schema, and constraints), after which the two
+    tables share nothing logically: writes and vacuums on either side
+    never affect the other (a vacuum only unlinks its own root's
+    names; shared inodes persist until both sides drop them).  This is
+    the dev-branch / experiment pattern of Delta's SHALLOW CLONE with
+    none of its dangling-reference hazard.
+
+    Returns ``{"version", "files", "bytes"}`` (bytes = logical size)."""
+    if is_txn_table(dst_root) or os.path.isdir(dst_root):
+        raise ValueError(f"clone target {dst_root} already exists")
+    v, m, dv = _fold(src_root, version)
+    src = _local_root(src_root)
+    dst = _local_root(dst_root)
+    os.makedirs(dst, exist_ok=True)
+    init_table(dst_root)  # dst is empty: log only, no adopt commit
+    total = 0
+
+    def _link(rel: str) -> None:
+        s, d = os.path.join(src, rel), os.path.join(dst, rel)
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        try:
+            os.link(s, d)
+        except OSError:
+            shutil.copy2(s, d)  # cross-device fallback
+
+    for rel in sorted(m):
+        _link(rel)
+        total += os.path.getsize(os.path.join(dst, rel))
+    sidecar_dirs = sorted({e["dv"] for es in dv.values() for e in es})
+    for d_rel in sidecar_dirs:
+        for fn in os.listdir(os.path.join(src, d_rel)):
+            _link(os.path.join(d_rel, fn))
+    ver = commit(
+        dst_root,
+        sorted(m),
+        [],
+        "clone",
+        [],
+        base_version=latest_version(dst_root),
+        writer=f"clone#v{v}",
+        stats={f: s for f, s in m.items() if s},
+        deletes={f: es for f, es in dv.items() if es},
+        schema_json=table_schema_json(src_root, v),
+    )
+    for n, e in table_constraints(src_root, v).items():
+        ver = commit(
+            dst_root,
+            [],
+            [],
+            "add_constraint",
+            [],
+            base_version=ver,
+            writer="clone",
+            stats={},
+            data_change=False,
+            constraint={"name": n, "expr": e},
+        )
+    return {"version": ver, "files": len(m), "bytes": total}
 
 
 def txn_changes(

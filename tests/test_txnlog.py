@@ -1756,3 +1756,75 @@ def test_streaming_merge_sink_exactly_once_upsert(spark, tmp_path):
     assert _rows(spark, table) == {
         1: ("a", 1.0), 2: ("a", 2.0), 3: ("a", 3.0)
     }
+
+
+def test_txn_clone_zero_copy_independent(spark, tmp_path):
+    """Clone carries data, vector state, schema, and constraints;
+    afterwards the two tables are fully independent (writes and vacuum
+    on either side never affect the other)."""
+    src = str(tmp_path / "src")
+    TL.txn_append(
+        spark,
+        _df(spark, [(k, "a", float(k)) for k in (1, 2, 3, 4)]).coalesce(1),
+        src,
+        [],
+    )
+    TL.txn_delete(spark, src, F.col("k") == 2)
+    TL.txn_add_constraint(spark, src, "v_pos", "v >= 0")
+    TL.txn_append(
+        spark,
+        spark.createDataFrame(
+            [(5, "a", 5.0, "x")], "k long, p string, v double, note string"
+        ),
+        src,
+        [],
+        merge_schema=True,
+    )
+    dst = str(tmp_path / "dst")
+    r = TL.txn_clone(src, dst)
+    assert r["files"] >= 2
+    want = {
+        (row["k"], row["note"])
+        for row in TL.txn_read(spark, src).collect()
+    }
+    assert {
+        (row["k"], row["note"]) for row in TL.txn_read(spark, dst).collect()
+    } == want
+    assert 2 not in {row["k"] for row in TL.txn_read(spark, dst).collect()}
+    # schema + constraint rode along
+    assert "note" in [f.name for f in TL.table_schema(dst).fields]
+    with pytest.raises(TL.ConstraintViolationError):
+        TL.txn_append(spark, _df(spark, [(9, "z", -1.0)]), dst, [])
+    # divergent writes stay independent
+    TL.txn_append(spark, _df(spark, [(10, "b", 10.0)]), dst, [])
+    TL.txn_delete(spark, src, "k = 1")
+    src_ks = {row["k"] for row in TL.txn_read(spark, src).collect()}
+    dst_ks = {row["k"] for row in TL.txn_read(spark, dst).collect()}
+    assert src_ks == {3, 4, 5}
+    assert dst_ks == {1, 3, 4, 5, 10}
+    # vacuuming one side never breaks the other (shared inodes persist)
+    TL.txn_optimize(spark, src, target_file_bytes=1 << 30)
+    TL.txn_vacuum(src)
+    assert {row["k"] for row in TL.txn_read(spark, dst).collect()} == dst_ks
+    with pytest.raises(ValueError, match="already exists"):
+        TL.txn_clone(src, dst)
+
+
+def test_partition_layout_is_table_metadata(spark, tmp_path):
+    """A write whose partition_cols differ from the committed layout is
+    refused: Spark's partition discovery silently drops root-level
+    files when a scan mixes hive-dir and rootless shapes, so a
+    divergent append would be committed data loss."""
+    path = str(tmp_path / "t")
+    TL.txn_append(spark, _df(spark, [(1, "a", 1.0)]), path, ["p"])
+    with pytest.raises(ValueError, match="partition layout"):
+        TL.txn_append(spark, _df(spark, [(2, "b", 2.0)]), path, [])
+    flat = str(tmp_path / "flat")
+    TL.txn_append(spark, _df(spark, [(1, "a", 1.0)]), flat, [])
+    with pytest.raises(ValueError, match="partition layout"):
+        TL.txn_append(spark, _df(spark, [(2, "b", 2.0)]), flat, ["p"])
+    # matching layouts still land on both
+    TL.txn_append(spark, _df(spark, [(3, "c", 3.0)]), path, ["p"])
+    TL.txn_append(spark, _df(spark, [(3, "c", 3.0)]), flat, [])
+    assert set(_rows(spark, path)) == {1, 3}
+    assert set(_rows(spark, flat)) == {1, 3}
