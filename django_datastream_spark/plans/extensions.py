@@ -7423,3 +7423,52 @@ def q176(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@_declare(
+    "q177_txn_optimize_vacuum",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) n,
+           CAST(MIN(event_id) AS BIGINT) mn,
+           CAST(MAX(event_id) AS BIGINT) mx
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q177(spark, sf_dir):
+    """OPTIMIZE + VACUUM inside the gate: on the three-commit txn
+    table, ``txn_delete`` marks error rows dead via deletion vectors,
+    ``txn_optimize`` compacts the small files — MATERIALIZING the
+    vectors (rewritten files drop their dead rows, sidecars become
+    unreferenced) — and ``txn_vacuum(0)`` sweeps the superseded
+    originals.  The post-maintenance read must hash-match SQL that
+    excludes the same rows from the source table, proving the whole
+    maintenance path (DV fold -> compaction rewrite -> orphan sweep)
+    is byte-shuffling only, never row-changing.  The non-vacuous
+    asserts pin that compaction actually ran and vacuum actually
+    removed files at every gate SF.  Builder runs Spark jobs (same
+    exemption family as q170)."""
+    from .. import txnlog as TL
+
+    root = _txn_events_table(spark, sf_dir, "q177")
+    res = TL.txn_delete(spark, root, "event_type = 'error'")
+    if res["deleted_rows"] <= 0:
+        raise AssertionError("q177 must delete rows at every gate SF")
+    opt = TL.txn_optimize(spark, root)
+    if opt.get("skipped") or opt["rewritten_files"] < 2:
+        raise AssertionError("q177 optimize must compact the table")
+    swept = TL.txn_vacuum(root)
+    if not swept:
+        raise AssertionError("q177 vacuum must sweep superseded files")
+    got = TL.txn_read(spark, root)
+    return (
+        got.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("event_id").cast("long").alias("mn"),
+            F.max("event_id").cast("long").alias("mx"),
+        )
+        .orderBy("event_type")
+    )
