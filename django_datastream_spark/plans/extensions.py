@@ -7472,3 +7472,80 @@ def q177(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@_declare(
+    "q178_txn_metadata_count",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) full_n,
+           CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+                          AND ts < TIMESTAMP '2024-01-24 00:00:00'
+                         THEN 1 ELSE 0 END) AS BIGINT) window_n
+    FROM events WHERE event_type <> 'error'
+    """,
+)
+def q178(spark, sf_dir):
+    """Metadata-only COUNT inside the gate: after ``txn_delete`` marks
+    error rows dead, ``txn_count`` answers COUNT(*) from per-file row
+    counts minus the recorded deletion-vector counts (zero data I/O),
+    and the windowed form scans only the boundary files a range edge
+    cuts through (interior files count from metadata).  Both counts
+    must hash-match SQL over the source table minus the deleted rows —
+    the driver thereby pins that commit-time row/vector accounting
+    agrees with the bytes.  Builder runs Spark jobs (same exemption
+    family as q170)."""
+    import datetime as _dt
+
+    from .. import txnlog as TL
+
+    root = _txn_events_table(spark, sf_dir, "q178")
+    res = TL.txn_delete(spark, root, "event_type = 'error'")
+    if res["deleted_rows"] <= 0:
+        raise AssertionError("q178 must delete rows at every gate SF")
+    full_n = TL.txn_count(spark, root)
+    lo = _dt.datetime(2024, 1, 8)
+    hi = _dt.datetime(2024, 1, 23, 23, 59, 59, 999999)
+    window_n = TL.txn_count(spark, root, where={"ts": (lo, hi)})
+    return spark.range(1).select(
+        F.lit(full_n).cast("long").alias("full_n"),
+        F.lit(window_n).cast("long").alias("window_n"),
+    )
+
+
+@_declare(
+    "q179_txn_time_travel",
+    """
+    SELECT CAST(v.v AS BIGINT) ver,
+           CAST(COUNT(*) AS BIGINT) n,
+           CAST(MIN(event_id) AS BIGINT) mn,
+           CAST(MAX(event_id) AS BIGINT) mx
+    FROM events, (VALUES (1), (2), (3)) v(v)
+    WHERE day(ts) <= CASE v.v WHEN 1 THEN 10 WHEN 2 THEN 20 ELSE 31 END
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q179(spark, sf_dir):
+    """TIME TRAVEL inside the gate: every snapshot era of the
+    three-commit table reads back via ``txn_read(version=v)`` and the
+    per-era row counts + event_id ranges must hash-match SQL that
+    recomputes each era from its day boundary — i.e. each version is
+    exactly the cumulative file set its commit recorded, with no
+    leakage from later commits (snapshot isolation as the driver
+    sees it).  Builder runs Spark jobs (same exemption family as
+    q170)."""
+    from functools import reduce as _reduce
+
+    from .. import txnlog as TL
+
+    root = _txn_events_table(spark, sf_dir, "q179")
+    eras = [
+        TL.txn_read(spark, root, version=v)
+        .groupBy(F.lit(v).cast("long").alias("ver"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("event_id").cast("long").alias("mn"),
+            F.max("event_id").cast("long").alias("mx"),
+        )
+        for v in (1, 2, 3)
+    ]
+    return _reduce(lambda a, b: a.unionByName(b), eras).orderBy("ver")

@@ -77,7 +77,8 @@ def test_declaring_queries_runs_no_jobs(spark):
               "q172_txn_delete_vectors", "q173_txn_update_vectors",
               "q174_txn_stream_sink", "q175_txn_restore",
               "q176_txn_schema_evolution",
-              "q177_txn_optimize_vacuum"}
+              "q177_txn_optimize_vacuum",
+              "q178_txn_metadata_count", "q179_txn_time_travel"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
