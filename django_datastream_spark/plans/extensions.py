@@ -7549,3 +7549,62 @@ def q179(spark, sf_dir):
         for v in (1, 2, 3)
     ]
     return _reduce(lambda a, b: a.unionByName(b), eras).orderBy("ver")
+
+
+@_declare(
+    "q180_txn_bloom_lookup",
+    """
+    SELECT CAST(event_id AS BIGINT) event_id, event_type, value
+    FROM events
+    WHERE event_id = (SELECT MIN(event_id) FROM events
+                      WHERE day(ts) = 15)
+    """,
+)
+def q180(spark, sf_dir):
+    """BLOOM-FILTER point lookup inside the gate: events commit as
+    three files INTERLEAVED by ``event_id % 3`` — every file spans the
+    full key range, so min/max stats prune nothing — then
+    ``txn_bloom_build`` indexes event_id and a point lookup must (a)
+    provably skip files via the filter (non-vacuous assert) and (b)
+    hash-match SQL for the same key.  The probe key is data-derived
+    (min event_id of day 15) so the query is deterministic at every
+    gate SF.  Builder runs Spark jobs (same exemption family as
+    q170)."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from .. import txnlog as TL
+
+    base = _os.path.join(
+        _tmp.gettempdir(),
+        "q180_" + _hl.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    root = _os.path.join(base, "table")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    for r in (0, 1, 2):
+        TL.txn_append(
+            spark,
+            ev.filter(F.col("event_id") % 3 == r).coalesce(1),
+            root,
+            [],
+        )
+    TL.txn_bloom_build(spark, root, ["event_id"])
+    probe = (
+        ev.filter(F.dayofmonth("ts") == 15)
+        .agg(F.min("event_id"))
+        .collect()[0][0]
+    )
+    _, kept, pruned = TL.prune_files(root, {"event_id": int(probe)})
+    if not pruned:
+        raise AssertionError("q180 bloom must prune files at every SF")
+    got = TL.txn_read(spark, root, where={"event_id": int(probe)})
+    return got.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        "value",
+    )

@@ -773,13 +773,256 @@ def prune_files(
     that can hold a matching row."""
     where = _norm_where(where)
     v, m = snapshot_with_stats(table_root, version)
+    root = _local_root(table_root)
+    bloom_cache: dict = {}
     kept, pruned = [], []
     for f in sorted(m):
-        ok = all(
-            _file_may_match(m[f], c, lo, hi) for c, (lo, hi) in where.items()
-        )
+        ok = _keep_file(root, f, m[f], where, bloom_cache)
         (kept if ok else pruned).append(f)
     return v, kept, pruned
+
+
+def _keep_file(
+    root: str, rel: str, stats, where_norm: dict, bloom_cache: dict
+) -> bool:
+    """Conjunction of every skipping signal we have for one file:
+    min/max/null stats first (free — already folded), then the bloom
+    sidecar for equality bounds. False only on PROOF of no match."""
+    for c, (lo, hi) in where_norm.items():
+        if not _file_may_match(stats, c, lo, hi):
+            return False
+        if not _bloom_may_match(root, rel, c, lo, hi, bloom_cache):
+            return False
+    return True
+
+
+# ------------------------------------------------------------------ #
+# Bloom-filter point-lookup index — Delta's bloom filter index on    #
+# the plain-parquet log.  Min/max stats prune RANGES; they are       #
+# useless for equality on a high-cardinality column whose values     #
+# interleave across files (a UUID key spans [first, last] in every   #
+# file).  A per-file bloom filter answers "could value v be in this  #
+# file?" with no false negatives, so a point lookup at 100 TB scans  #
+# the handful of true-positive files instead of all of them.         #
+# ------------------------------------------------------------------ #
+
+_BLOOM_DIR = "_bloom"
+
+
+def _bloom_sidecar(rel: str) -> str:
+    """Root-relative sidecar path for a data file's bloom filters —
+    path-mirrored (``_bloom/<rel>.json``) so a sidecar's validity is
+    exactly "my data file still exists": data files are immutable
+    once committed (rewrites make NEW files), so no log entry is
+    needed and nothing can go stale."""
+    return os.path.join(_BLOOM_DIR, rel + ".json")
+
+
+def _bloom_key(v) -> str | None:
+    """Canonical hash key for a value; None for NULL (equality with
+    NULL is never true — not a bloom question).  Build and probe both
+    funnel through here so representations can't drift; timestamps
+    normalize to naive UTC, integral floats fold onto ints (a probe
+    for 5 must hit a DOUBLE column's 5.0)."""
+    import datetime
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "b:" + str(int(v))
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return "ts:" + v.isoformat(timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return "d:" + v.isoformat()
+    if isinstance(v, int):
+        return "i:" + str(v)
+    if isinstance(v, float):
+        return "i:" + str(int(v)) if v.is_integer() else "f:" + repr(v)
+    if isinstance(v, bytes):
+        return "x:" + v.hex()
+    return "s:" + str(v)
+
+
+def _bloom_positions(key: str, m: int, k: int) -> list[int]:
+    """k bit positions via double hashing off one md5 digest
+    (Kirsch–Mitzenmacher h1 + i·h2 — same FP math as k independent
+    hashes at one digest per key; md5 for speed + determinism, not
+    security)."""
+    import hashlib
+
+    d = hashlib.md5(key.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_load(root: str, rel: str, cache: dict):
+    """Parsed sidecar for ``rel`` (bitsets base64-decoded once), or
+    None.  ``cache`` is per-prune-call: one stat+read per file."""
+    if rel in cache:
+        return cache[rel]
+    import base64
+
+    side = None
+    try:
+        with open(os.path.join(root, _bloom_sidecar(rel))) as f:
+            raw = json.load(f)
+        side = {
+            c: {
+                "m": e["m"],
+                "k": e["k"],
+                "bits": base64.b64decode(e["bits"]),
+            }
+            for c, e in (raw.get("cols") or {}).items()
+        }
+    except (OSError, ValueError, KeyError):
+        side = None  # absent/corrupt sidecar = no statement: keep
+    cache[rel] = side
+    return side
+
+
+def _bloom_may_match(
+    root: str, rel: str, col: str, lo, hi, cache: dict
+) -> bool:
+    """False only when the file's bloom filter PROVES ``col = lo``
+    matches no row.  Only equality bounds consult the filter; absent
+    sidecar/column entries keep the file."""
+    if lo is None or hi is None or lo != hi:
+        return True
+    side = _bloom_load(root, rel, cache)
+    ent = side.get(col) if side else None
+    if ent is None:
+        return True
+    key = _bloom_key(lo)
+    if key is None:
+        return True
+    bits = ent["bits"]
+    for p in _bloom_positions(key, ent["m"], ent["k"]):
+        if not (bits[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
+
+
+def txn_bloom_build(
+    spark: SparkSession,
+    table_root: str,
+    cols: list[str],
+    bits_per_row: int = 10,
+    num_hashes: int = 7,
+) -> dict:
+    """Build per-file bloom filters over ``cols`` for point-lookup
+    data skipping (Delta's ``CREATE BLOOMFILTER INDEX``).
+
+    One distributed job, ONE TASK PER DATA FILE (the deletion-vector
+    write pattern): each task reads only the indexed columns of its
+    file via pyarrow, hashes every non-null value into a local bitset
+    (m = next power of two ≥ rows·bits_per_row, k = ``num_hashes`` —
+    ~0.8% FP at the 10/7 defaults), and writes the sidecar from the
+    executor (tmp + atomic rename).  Only (file, rows) pairs reach
+    the driver.  ~1.25 MB sidecar per 1M-row file at defaults.
+
+    The build is incremental and idempotent: files that already have
+    a sidecar covering ``cols`` are skipped, so re-running after an
+    append/optimize indexes only the new files.  Dead (deletion-
+    vectored) rows stay in the filter — that can only add false
+    positives, never wrong prunes.  Hive partition columns are not in
+    the file bytes and are skipped (partition pruning already covers
+    them exactly).  Readers need nothing special: ``txn_read`` /
+    ``prune_files`` consult sidecars automatically and treat a
+    missing one as "keep" — so lookups are always correct, merely
+    less pruned, while an index build is behind.  ``txn_vacuum``
+    sweeps sidecars whose data file is gone."""
+    if not cols:
+        raise ValueError("txn_bloom_build: cols must be non-empty")
+    init_table(table_root)
+    root = _local_root(table_root)
+    _, m, _dv = _fold(table_root)
+    cache: dict = {}
+    todo = []
+    for rel in sorted(m):
+        side = _bloom_load(root, rel, cache)
+        pcols = set(_partition_cols_of([rel]))
+        want = [c for c in cols if c not in pcols]
+        if want and not (side and all(c in side for c in want)):
+            todo.append(rel)
+    if not todo:
+        return {"indexed_files": 0, "skipped_files": len(m)}
+    bpr, k = int(bits_per_row), int(num_hashes)
+
+    def _build(batches):
+        import base64
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for rel in pdf["rel"]:
+                pcols = set(_partition_cols_of([rel]))
+                want = [c for c in cols if c not in pcols]
+                pf = pq.ParquetFile(os.path.join(root, rel))
+                have = [
+                    c for c in want if c in pf.schema_arrow.names
+                ]
+                rows = pf.metadata.num_rows
+                nbits = max(1024, 1 << max(0, rows * bpr - 1).bit_length())
+                sets = {
+                    c: np.zeros(nbits >> 3, dtype=np.uint8) for c in want
+                }
+                for batch in pf.iter_batches(
+                    columns=have, batch_size=65536
+                ):
+                    for c in have:
+                        arr = sets[c]
+                        for v in batch.column(c).to_pylist():
+                            key = _bloom_key(v)
+                            if key is None:
+                                continue
+                            d = hashlib.md5(key.encode()).digest()
+                            h1 = int.from_bytes(d[:8], "big")
+                            h2 = int.from_bytes(d[8:], "big") | 1
+                            for i in range(k):
+                                p = (h1 + i * h2) % nbits
+                                arr[p >> 3] |= 1 << (p & 7)
+                # absent columns (pre-evolution files) index as all-
+                # zero bitsets: every value of that column in this
+                # file IS NULL, so "no equality ever matches" is a
+                # true statement, not a false negative
+                payload = {
+                    "rows": rows,
+                    "cols": {
+                        c: {
+                            "m": nbits,
+                            "k": k,
+                            "bits": base64.b64encode(
+                                sets[c].tobytes()
+                            ).decode(),
+                        }
+                        for c in want
+                    },
+                }
+                dst = os.path.join(root, _bloom_sidecar(rel))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                tmp = dst + f".tmp-{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as f:
+                    json.dump(payload, f)
+                os.replace(tmp, dst)
+                out.append((rel, rows))
+            yield pd.DataFrame(out, columns=["rel", "rows"])
+
+    fdf = spark.createDataFrame(
+        [(r,) for r in todo], "rel string"
+    ).repartition(len(todo))
+    done = fdf.mapInPandas(_build, "rel string, rows long").collect()
+    return {
+        "indexed_files": len(done),
+        "skipped_files": len(m) - len(todo),
+        "indexed_rows": int(sum(r["rows"] for r in done)),
+    }
 
 
 def _raw_commit(table_root: str, v: int, payload: dict) -> None:
@@ -1083,13 +1326,12 @@ def txn_read(
     files = sorted(m)
     if where:
         where = _norm_where(where)
+        root = _local_root(table_root)
+        bloom_cache: dict = {}
         files = [
             f
             for f in files
-            if all(
-                _file_may_match(m[f], c, lo, hi)
-                for c, (lo, hi) in where.items()
-            )
+            if _keep_file(root, f, m[f], where, bloom_cache)
         ]
     if not files:
         if schema is None:
@@ -1698,7 +1940,22 @@ def txn_vacuum(
             except OSError:
                 continue  # vanished mid-scan: leave it alone
         orphans.append(rel)
-    return delete_rel_files(table_root, orphans)
+    removed = delete_rel_files(table_root, orphans)
+    # bloom sidecars follow their data file by name: sweep any whose
+    # file is gone (just-vacuumed or from an earlier crash window) —
+    # keep-on-exists otherwise, since immutable files never stale
+    bdir = os.path.join(root, _BLOOM_DIR)
+    for dirpath, _dirs, fs in os.walk(bdir):
+        for fn in fs:
+            p = os.path.join(dirpath, fn)
+            rel = os.path.relpath(p, bdir)
+            data = rel[:-5] if rel.endswith(".json") else None
+            if data and not os.path.exists(os.path.join(root, data)):
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+    return removed
 
 
 def txn_restore(

@@ -1828,3 +1828,106 @@ def test_partition_layout_is_table_metadata(spark, tmp_path):
     TL.txn_append(spark, _df(spark, [(3, "c", 3.0)]), flat, [])
     assert set(_rows(spark, path)) == {1, 3}
     assert set(_rows(spark, flat)) == {1, 3}
+
+
+# ------------------------------------------------------------------ #
+# Bloom-filter point-lookup index
+# ------------------------------------------------------------------ #
+def _interleaved_table(spark, path, nfiles=6, n=600):
+    """Commit ``nfiles`` files whose key ranges all span [0, n): id
+    i lands in file i % nfiles, so min/max stats prune NOTHING for a
+    point lookup — only the bloom filter can."""
+    rows = [
+        (i, f"u{i:05d}", float(i)) for i in range(n)
+    ]
+    for f in range(nfiles):
+        part = [r for r in rows if r[0] % nfiles == f]
+        TL.txn_append(
+            spark,
+            spark.createDataFrame(
+                part, "id long, uid string, v double"
+            ).coalesce(1),
+            path,
+            [],
+        )
+    return n
+
+
+def test_bloom_prunes_interleaved_point_lookup(spark, tmp_path):
+    """Stats can't prune interleaved keys; the bloom index keeps only
+    true-positive files (≤ FP slack) and the result is identical."""
+    path = str(tmp_path / "t")
+    n = _interleaved_table(spark, path)
+    # before the index: stats keep every file for a point lookup
+    _, kept0, pruned0 = TL.prune_files(path, {"id": 17})
+    assert pruned0 == [] and len(kept0) == 6
+    res = TL.txn_bloom_build(spark, path, ["id", "uid"])
+    assert res["indexed_files"] == 6 and res["indexed_rows"] == n
+    _, kept, pruned = TL.prune_files(path, {"id": 17})
+    assert len(kept) <= 2 and len(pruned) >= 4  # 1 true + FP slack
+    got = TL.txn_read(spark, path, where={"id": 17}).collect()
+    assert [(r["id"], r["uid"]) for r in got] == [(17, "u00017")]
+    # string column probes through the same index
+    _, kept_s, _ = TL.prune_files(path, {"uid": "u00017"})
+    assert len(kept_s) <= 2
+    got_s = TL.txn_read(spark, path, where={"uid": "u00017"}).collect()
+    assert [r["id"] for r in got_s] == [17]
+
+
+def test_bloom_absent_value_and_range_semantics(spark, tmp_path):
+    """A probe for a never-inserted value prunes everything (empty
+    result, zero I/O); RANGE predicates never consult the filter."""
+    path = str(tmp_path / "t")
+    _interleaved_table(spark, path)
+    TL.txn_bloom_build(spark, path, ["id"])
+    _, kept, _ = TL.prune_files(path, {"id": 10**9})
+    assert kept == []
+    assert TL.txn_read(spark, path, where={"id": 10**9}).count() == 0
+    # a genuine range keeps files by stats alone (bloom is equality-only)
+    _, kept_r, _ = TL.prune_files(path, {"id": (10, 20)})
+    assert len(kept_r) == 6
+
+
+def test_bloom_build_is_incremental_and_new_files_stay_safe(
+    spark, tmp_path
+):
+    """Post-index appends have no sidecar: lookups stay CORRECT
+    (keep-on-missing), and a re-build indexes only the new files."""
+    path = str(tmp_path / "t")
+    _interleaved_table(spark, path)
+    TL.txn_bloom_build(spark, path, ["id"])
+    TL.txn_append(
+        spark,
+        spark.createDataFrame(
+            [(10_000, "new", 1.0)], "id long, uid string, v double"
+        ).coalesce(1),
+        path,
+        [],
+    )
+    got = TL.txn_read(spark, path, where={"id": 10_000}).collect()
+    assert [r["uid"] for r in got] == ["new"]
+    res = TL.txn_bloom_build(spark, path, ["id"])
+    assert res["indexed_files"] == 1  # only the new file
+    _, kept, _ = TL.prune_files(path, {"id": 10_000})
+    assert len(kept) == 1
+
+
+def test_bloom_sidecars_swept_with_their_files(spark, tmp_path):
+    """Optimize supersedes the originals; vacuum removes them AND
+    their sidecars, leaving no dangling index entries."""
+    path = str(tmp_path / "t")
+    _interleaved_table(spark, path)
+    TL.txn_bloom_build(spark, path, ["id"])
+    root = TL._local_root(path)
+    n_side = sum(len(fs) for _, _, fs in os.walk(os.path.join(root, "_bloom")))
+    assert n_side == 6
+    TL.txn_optimize(spark, path)
+    TL.txn_vacuum(path)
+    left = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(root, "_bloom"))
+        for f in fs
+    ]
+    assert left == []  # every indexed original is gone
+    # correctness without any index: full answer still right
+    assert TL.txn_read(spark, path, where={"id": 17}).count() == 1
