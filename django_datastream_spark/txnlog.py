@@ -754,12 +754,31 @@ def _file_may_match(stats: dict | None, col: str, lo, hi) -> bool:
     return True
 
 
+_IN = object()  # sentinel: normalized IN-list bound, never a real lo
+
+
 def _norm_where(where: dict) -> dict[str, tuple]:
     """Normalize a predicate spec: a scalar value means equality —
-    ``{col: v}`` ≡ ``{col: (v, v)}``."""
-    return {
-        c: (b if isinstance(b, tuple) else (b, b)) for c, b in where.items()
-    }
+    ``{col: v}`` ≡ ``{col: (v, v)}`` — a tuple is an inclusive range
+    ``(lo, hi)``, and a list/set is an IN-list (normalized to
+    ``(_IN, values)``): the multi-key point lookup a CDC apply or
+    key backfill does, pruned per value through stats AND bloom."""
+    out = {}
+    for c, b in where.items():
+        if isinstance(b, (list, set, frozenset)):
+            out[c] = (_IN, tuple(b))
+        elif isinstance(b, tuple):
+            out[c] = b
+        else:
+            out[c] = (b, b)
+    return out
+
+
+def _bound_may_match(stats: dict | None, col: str, bound: tuple) -> bool:
+    """Stats-only keep test for one normalized bound (range or IN)."""
+    if bound[0] is _IN:
+        return any(_file_may_match(stats, col, v, v) for v in bound[1])
+    return _file_may_match(stats, col, bound[0], bound[1])
 
 
 def prune_files(
@@ -769,8 +788,9 @@ def prune_files(
 ) -> tuple[int, list[str], list[str]]:
     """(version, kept files, pruned files) for a conjunction of range
     predicates ``{col: (lo, hi)}`` (either bound may be None for a
-    one-sided range; a bare scalar means equality). Kept ⊇ every file
-    that can hold a matching row."""
+    one-sided range; a bare scalar means equality; a list/set means
+    IN — pruned per value through stats and bloom). Kept ⊇ every
+    file that can hold a matching row."""
     where = _norm_where(where)
     v, m = snapshot_with_stats(table_root, version)
     root = _local_root(table_root)
@@ -787,8 +807,19 @@ def _keep_file(
 ) -> bool:
     """Conjunction of every skipping signal we have for one file:
     min/max/null stats first (free — already folded), then the bloom
-    sidecar for equality bounds. False only on PROOF of no match."""
-    for c, (lo, hi) in where_norm.items():
+    sidecar for equality bounds. IN-lists test per value — a file
+    survives only if SOME value passes both signals. False only on
+    PROOF of no match."""
+    for c, bound in where_norm.items():
+        if bound[0] is _IN:
+            if not any(
+                _file_may_match(stats, c, v, v)
+                and _bloom_may_match(root, rel, c, v, v, bloom_cache)
+                for v in bound[1]
+            ):
+                return False
+            continue
+        lo, hi = bound
         if not _file_may_match(stats, c, lo, hi):
             return False
         if not _bloom_may_match(root, rel, c, lo, hi, bloom_cache):
@@ -1285,7 +1316,13 @@ def _read_files(
     if sidecars and not keep_meta:
         df = df.drop("__file", "__pos")
     if where:
-        for col, (lo, hi) in where.items():
+        for col, bound in where.items():
+            if bound[0] is _IN:
+                df = df.filter(
+                    F.col(col).isin(*bound[1]) if bound[1] else F.lit(False)
+                )
+                continue
+            lo, hi = bound
             if lo is not None:
                 df = df.filter(F.col(col) >= F.lit(lo))
             if hi is not None:
@@ -1314,7 +1351,9 @@ def txn_read(
     recorded stats prove no row satisfies every range are not handed
     to Spark at all, and the ranges are re-applied as row filters so
     the result is identical to filtering a full read (pruning is
-    purely an I/O optimization). ``merge_schema=True`` reconciles
+    purely an I/O optimization). A list/set value is an IN-list
+    (multi-key point lookup): files prune per value through stats
+    and the bloom index, and the residual filter is ``isin``. ``merge_schema=True`` reconciles
     files written under evolved (column-added) schemas; when the log
     RECORDS a schema (schema-tracked tables) and the caller passes
     none, the read is directed through the schema as of ``version`` —
@@ -1710,7 +1749,10 @@ def txn_count(
     def _fully_inside(s: dict | None) -> bool:
         if s is None:
             return False
-        for col, (lo, hi) in where.items():
+        for col, bound in where.items():
+            if bound[0] is _IN:
+                return False  # IN: per-row membership — always scan
+            lo, hi = bound
             cs = (s.get("cols") or {}).get(col)
             if cs is None or cs["t"] == "null":
                 return False
@@ -1730,7 +1772,7 @@ def txn_count(
     boundary = []
     for f in sorted(m):
         if not all(
-            _file_may_match(m[f], c, lo, hi) for c, (lo, hi) in where.items()
+            _bound_may_match(m[f], c, b) for c, b in where.items()
         ):
             continue  # provably empty for the range
         if _fully_inside(m[f]):
@@ -2091,6 +2133,11 @@ def txn_clone(
     for d_rel in sidecar_dirs:
         for fn in os.listdir(os.path.join(src, d_rel)):
             _link(os.path.join(d_rel, fn))
+    # bloom sidecars travel with their (immutable) files, so the
+    # clone keeps point-lookup skipping without a rebuild
+    for rel in sorted(m):
+        if os.path.exists(os.path.join(src, _bloom_sidecar(rel))):
+            _link(_bloom_sidecar(rel))
     ver = commit(
         dst_root,
         sorted(m),

@@ -1931,3 +1931,43 @@ def test_bloom_sidecars_swept_with_their_files(spark, tmp_path):
     assert left == []  # every indexed original is gone
     # correctness without any index: full answer still right
     assert TL.txn_read(spark, path, where={"id": 17}).count() == 1
+
+
+def test_clone_carries_bloom_index(spark, tmp_path):
+    """A clone links the bloom sidecars with the data files, so the
+    branch prunes point lookups immediately — and vacuuming the clone
+    never disturbs the source's index (independent names)."""
+    src = str(tmp_path / "src")
+    _interleaved_table(spark, src)
+    TL.txn_bloom_build(spark, src, ["id"])
+    dst = str(tmp_path / "dst")
+    TL.txn_clone(src, dst)
+    _, kept, pruned = TL.prune_files(dst, {"id": 17})
+    assert pruned and len(kept) <= 2
+    assert TL.txn_read(spark, dst, where={"id": 17}).count() == 1
+    TL.txn_optimize(spark, dst)
+    TL.txn_vacuum(dst)
+    # source index untouched by the clone's maintenance
+    _, kept_s, pruned_s = TL.prune_files(src, {"id": 17})
+    assert pruned_s and len(kept_s) <= 2
+
+
+def test_in_list_lookup_prunes_and_matches(spark, tmp_path):
+    """``where={col: [v1, v2]}`` — the multi-key CDC lookup: prunes
+    per value (stats ∧ bloom), residual-filters with isin, and
+    txn_count boundary-scans IN files (membership is per-row)."""
+    path = str(tmp_path / "t")
+    _interleaved_table(spark, path)
+    TL.txn_bloom_build(spark, path, ["id"])
+    _, kept, pruned = TL.prune_files(path, {"id": [17, 18]})
+    assert pruned and len(kept) <= 4  # ≤2 true files + FP slack
+    got = TL.txn_read(spark, path, where={"id": [17, 18]}).collect()
+    assert sorted(r["id"] for r in got) == [17, 18]
+    assert TL.txn_count(spark, path, where={"id": [17, 18]}) == 2
+    # empty IN-list: nothing matches, nothing scanned
+    assert TL.txn_read(spark, path, where={"id": []}).count() == 0
+    # IN composes with a range on another column
+    got2 = TL.txn_read(
+        spark, path, where={"id": [17, 18], "v": (18.0, None)}
+    ).collect()
+    assert [r["id"] for r in got2] == [18]
