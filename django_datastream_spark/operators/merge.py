@@ -310,9 +310,54 @@ def merge_into(
         # incorporated. keep_meta carries each row's source file from
         # the scan itself — input_file_name() stops resolving once the
         # deletion-vector anti-join adds a second file source.
-        existing_m = TL.txn_read(
-            spark, target_path, version=base_ver, keep_meta=True
-        )
+        #
+        # MERGE FILE PRUNING (Delta's): a file that provably holds
+        # NONE of the source's keys can neither conflict nor absorb
+        # an insert — rows outside the source key range (or key set)
+        # can't equal any source key, so dropping them changes
+        # neither the conflict-file semi-join nor the fresh anti-join.
+        # One tiny agg ships 2 scalars per key column to the driver;
+        # a single-column batch under 1,024 distinct keys sharpens to
+        # an IN-list probed through the bloom index when one is
+        # built. Stats-free files always survive (keep-on-missing),
+        # so a 100 TB CDC apply scans candidate files, not the table.
+        rng = src.agg(
+            *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(key_cols)],
+            *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(key_cols)],
+        ).collect()[0]
+        kw = {
+            c: (rng[f"mn_{i}"], rng[f"mx_{i}"])
+            for i, c in enumerate(key_cols)
+            if rng[f"mn_{i}"] is not None
+        }
+        if len(key_cols) == 1 and kw:
+            ks = src.select(key_cols[0]).distinct().limit(1025).collect()
+            vals = [r[0] for r in ks if r[0] is not None]
+            if vals and len(ks) <= 1024:
+                kw = {key_cols[0]: vals}
+        if kw:
+            _, kept, _ = TL.prune_files(
+                target_path, kw, version=base_ver
+            )
+            if not kept:
+                # no file can hold any source key: carry the schema
+                # through one committed file, residual-filtered to
+                # provably zero rows
+                kept = sorted(committed)[:1]
+            _, _, dvm = TL._fold(target_path, base_ver)
+            existing_m = TL._read_files(
+                spark,
+                target_path,
+                kept,
+                schema=TL.table_schema(target_path, base_ver),
+                dv=dvm,
+                where=kw,
+                keep_meta=True,
+            )
+        else:
+            existing_m = TL.txn_read(
+                spark, target_path, version=base_ver, keep_meta=True
+            )
         existing = existing_m.drop("__file", "__pos")
     else:
         fs, troot = _fs_and_path(spark, target_path)
@@ -352,18 +397,30 @@ def merge_into(
     src = src.select(*existing.columns)  # target schema is authoritative
 
     # partition-pruned scope: only partitions the source touches can
-    # hold matched rows (the partition-stable invariant)
-    touched = src.select(*partition_cols).distinct()
-    part_scope = existing.join(
-        F.broadcast(touched), partition_cols, "left_semi"
-    )
+    # hold matched rows (the partition-stable invariant); an
+    # unpartitioned table has no partition signal — the whole
+    # (file-pruned) scan is the scope
+    if partition_cols:
+        touched = src.select(*partition_cols).distinct()
+        part_scope = existing.join(
+            F.broadcast(touched), partition_cols, "left_semi"
+        )
+        key_scope_m = (
+            existing_m.join(
+                F.broadcast(touched), partition_cols, "left_semi"
+            )
+            if txn
+            else None
+        )
+    else:
+        part_scope = existing
+        key_scope_m = existing_m if txn else None
     if txn:
         conflict_rel = {
             r["__file"]
-            for r in existing_m.join(
-                F.broadcast(touched), partition_cols, "left_semi"
+            for r in key_scope_m.join(
+                F.broadcast(src.select(*key_cols)), key_cols, "left_semi"
             )
-            .join(F.broadcast(src.select(*key_cols)), key_cols, "left_semi")
             .select("__file")
             .distinct()
             .collect()  # metadata: file paths, bounded by touched parts

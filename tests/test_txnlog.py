@@ -1971,3 +1971,43 @@ def test_in_list_lookup_prunes_and_matches(spark, tmp_path):
         spark, path, where={"id": [17, 18], "v": (18.0, None)}
     ).collect()
     assert [r["id"] for r in got2] == [18]
+
+
+def test_merge_prunes_probe_scan_to_candidate_files(
+    spark, tmp_path, monkeypatch
+):
+    """A small CDC batch merges against only the files that may hold
+    its keys (stats ∧ bloom) — the probe scan reads candidate files,
+    not the table — and the result is identical to an unpruned
+    merge."""
+    path = str(tmp_path / "t")
+    _interleaved_table(spark, path)  # 6 files, ids interleaved % 6
+    TL.txn_bloom_build(spark, path, ["id"])
+    reads: list[list[str]] = []
+    orig = TL._read_files
+
+    def spy(spark_, root_, rels, **kw):
+        reads.append(sorted(rels))
+        return orig(spark_, root_, rels, **kw)
+
+    monkeypatch.setattr(TL, "_read_files", spy)
+    src = spark.createDataFrame(
+        [(17, "u-upd", -1.0), (10_000, "u-new", 0.5)],
+        "id long, uid string, v double",
+    )
+    res = merge_into(spark, path, src, ["id"], [], txn=True)
+    assert res["inserted"] and res["rewritten_files"] == 1
+    # the probe scan touched a bloom-candidate subset, never all 6
+    assert reads and all(len(r) <= 2 for r in reads)
+    got = {r["id"]: r["uid"] for r in TL.txn_read(spark, path).collect()}
+    assert got[17] == "u-upd" and got[10_000] == "u-new"
+    assert len(got) == 601
+    # disjoint-key batch: every file pruned, still a pure insert
+    reads.clear()
+    src2 = spark.createDataFrame(
+        [(20_000, "far", 1.0)], "id long, uid string, v double"
+    )
+    res2 = merge_into(spark, path, src2, ["id"], [], txn=True)
+    assert res2["inserted"] and res2["rewritten_files"] == 0
+    assert all(len(r) <= 1 for r in reads)  # schema-carrier file only
+    assert TL.txn_read(spark, path, where={"id": 20_000}).count() == 1
