@@ -980,6 +980,30 @@ def txn_bloom_build(
             todo.append(rel)
     if not todo:
         return {"indexed_files": 0, "skipped_files": len(m)}
+    done = _bloom_build_rels(
+        spark, table_root, todo, cols, bits_per_row, num_hashes
+    )
+    return {
+        "indexed_files": len(done),
+        "skipped_files": len(m) - len(todo),
+        "indexed_rows": int(sum(n for _, n in done)),
+    }
+
+
+def _bloom_build_rels(
+    spark: SparkSession,
+    table_root: str,
+    rels: list[str],
+    cols: list[str],
+    bits_per_row: int = 10,
+    num_hashes: int = 7,
+) -> list[tuple[str, int]]:
+    """The distributed sidecar build over an EXPLICIT file list — one
+    task per file; shared by :func:`txn_bloom_build` (committed files)
+    and :func:`stage_files` (write-time indexing of staged files that
+    are not yet committed, so the log fold can't list them).  Returns
+    ``(rel, rows)`` per sidecar written."""
+    root = _local_root(table_root)
     bpr, k = int(bits_per_row), int(num_hashes)
 
     def _build(batches):
@@ -1052,14 +1076,64 @@ def txn_bloom_build(
             yield pd.DataFrame(out, columns=["rel", "rows"])
 
     fdf = spark.createDataFrame(
-        [(r,) for r in todo], "rel string"
-    ).repartition(len(todo))
+        [(r,) for r in rels], "rel string"
+    ).repartition(len(rels))
     done = fdf.mapInPandas(_build, "rel string, rows long").collect()
-    return {
-        "indexed_files": len(done),
-        "skipped_files": len(m) - len(todo),
-        "indexed_rows": int(sum(r["rows"] for r in done)),
-    }
+    return [(r["rel"], int(r["rows"])) for r in done]
+
+
+def table_bloom_cols(
+    table_root: str, version: int | None = None
+) -> list[str]:
+    """The table's WRITE-TIME bloom-index columns at ``version``
+    (Delta's per-column bloom filter table property): every staged
+    write builds sidecars for these columns as part of the write, so
+    the index never lags the table.  Folded checkpoint-bounded like
+    constraints; latest setting wins; empty list = disabled."""
+    log = _log_dir(table_root)
+    head = latest_version(table_root)
+    v = head if version is None else version
+    try:
+        cps = [
+            int(n[len("checkpoint-v"):-5])
+            for n in os.listdir(log)
+            if n.startswith("checkpoint-v") and n.endswith(".json")
+        ]
+    except FileNotFoundError:
+        cps = []
+    usable = [c for c in cps if c <= v]
+    floor = max(usable) if usable else 0
+    out: list[str] = []
+    if floor:
+        with open(os.path.join(log, f"checkpoint-v{floor:010d}.json")) as f:
+            out = list(json.load(f).get("bloom_cols") or [])
+    for i in range(floor + 1, v + 1):
+        bc = _read_commit(table_root, i).get("bloom_cols")
+        if bc is not None:
+            out = list(bc)
+    return out
+
+
+def txn_set_bloom_cols(
+    table_root: str, cols: list[str], writer: str = ""
+) -> int:
+    """Set (or clear, with ``[]``) the write-time bloom-index columns
+    as one metadata commit.  Existing files are NOT back-indexed —
+    run :func:`txn_bloom_build` once for the backfill; from this
+    commit on, every writer indexes its own staged files."""
+    init_table(table_root)
+    return commit(
+        table_root,
+        [],
+        [],
+        "set_bloom_cols",
+        [],
+        base_version=latest_version(table_root),
+        writer=writer or "set_bloom_cols",
+        stats={},
+        data_change=False,
+        bloom_cols=list(cols),
+    )
 
 
 def _raw_commit(table_root: str, v: int, payload: dict) -> None:
@@ -1101,6 +1175,7 @@ def _raw_commit(table_root: str, v: int, payload: dict) -> None:
                         # the schema must survive the fold horizon too
                         "schema": table_schema_json(table_root, v),
                         "constraints": table_constraints(table_root, v),
+                        "bloom_cols": table_bloom_cols(table_root, v),
                     },
                     f,
                 )
@@ -1124,6 +1199,7 @@ def commit(
     app_txn: tuple[str, int] | None = None,
     schema_json: str | None = None,
     constraint: dict | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Commit a transaction computed against ``base_version``. Returns
     the committed version. Appends always land (auto-rebase); rewrites
@@ -1230,6 +1306,9 @@ def commit(
             # add/drop of one CHECK constraint (metadata commits only)
             "constraint": constraint,
         }
+        if bloom_cols is not None:
+            # write-time bloom-index property (latest setting wins)
+            payload["bloom_cols"] = bloom_cols
         try:
             _raw_commit(table_root, target, payload)
             return target
@@ -1268,6 +1347,13 @@ def stage_files(
             os.link(os.path.join(dirpath, fn), dest)
             out.append(os.path.relpath(dest, root))
     shutil.rmtree(stage)
+    # write-time bloom indexing: if the table declares bloom columns,
+    # every writer indexes its own staged files before committing —
+    # the index never lags the table.  A conflicted commit leaves the
+    # sidecars as orphans beside the staged files; vacuum sweeps both.
+    bc = table_bloom_cols(table_root) if is_txn_table(table_root) else []
+    if bc and out:
+        _bloom_build_rels(spark, table_root, out, bc)
     return out
 
 

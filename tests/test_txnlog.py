@@ -2011,3 +2011,70 @@ def test_merge_prunes_probe_scan_to_candidate_files(
     assert res2["inserted"] and res2["rewritten_files"] == 0
     assert all(len(r) <= 1 for r in reads)  # schema-carrier file only
     assert TL.txn_read(spark, path, where={"id": 20_000}).count() == 1
+
+
+def test_write_time_bloom_property(spark, tmp_path):
+    """``txn_set_bloom_cols`` makes every subsequent write index its
+    own staged files; the property folds through checkpoints and
+    clears with ``[]``."""
+    path = str(tmp_path / "t")
+    _interleaved_table(spark, path)  # v1..v6, no sidecars yet
+    root = TL._local_root(path)
+
+    def _sidecars():
+        return sum(
+            len(fs)
+            for _, _, fs in os.walk(os.path.join(root, "_bloom"))
+        )
+
+    assert _sidecars() == 0
+    TL.txn_set_bloom_cols(path, ["id"])  # v7
+    TL.txn_bloom_build(spark, path, ["id"])  # backfill existing
+    assert _sidecars() == 6
+
+    def _one(k):
+        return spark.createDataFrame(
+            [(k, f"u{k}", 1.0)], "id long, uid string, v double"
+        ).coalesce(1)
+
+    TL.txn_append(spark, _one(50_001), path, [])  # v8: self-indexes
+    assert _sidecars() == 7
+    _, kept, pruned = TL.prune_files(path, {"id": 50_001})
+    assert len(kept) == 1 and len(pruned) == 6
+    # cross the checkpoint boundary (CHECKPOINT_EVERY=10): the
+    # property must survive the fold
+    TL.txn_append(spark, _one(50_002), path, [])  # v9
+    TL.txn_append(spark, _one(50_003), path, [])  # v10 -> checkpoint
+    assert TL.table_bloom_cols(path) == ["id"]
+    TL.txn_append(spark, _one(50_004), path, [])  # v11: still indexes
+    assert _sidecars() == 10
+    # clearing stops write-time indexing (existing sidecars remain)
+    TL.txn_set_bloom_cols(path, [])
+    TL.txn_append(spark, _one(50_005), path, [])
+    assert _sidecars() == 10
+    assert TL.table_bloom_cols(path) == []
+
+
+def test_optimize_zorder_reindexes_under_bloom_property(spark, tmp_path):
+    """With the write-time property set, OPTIMIZE's rewritten files
+    index themselves (stage_files hook), so point lookups keep
+    pruning across compaction + vacuum."""
+    path = str(tmp_path / "t")
+    _interleaved_table(spark, path)
+    TL.txn_set_bloom_cols(path, ["id"])
+    TL.txn_bloom_build(spark, path, ["id"])  # backfill
+    TL.txn_optimize(spark, path, zorder_by=["id"])  # full re-cluster
+    TL.txn_vacuum(path)  # originals + their sidecars gone
+    root = TL._local_root(path)
+    live = {f for f in TL.snapshot(path)[1]}
+    side = {
+        os.path.relpath(os.path.join(dp, f), os.path.join(root, "_bloom"))
+        for dp, _, fs in os.walk(os.path.join(root, "_bloom"))
+        for f in fs
+    }
+    assert side == {f + ".json" for f in live}  # exactly the live set
+    # and the lookup still prunes: z-ordered files have tight ranges,
+    # bloom composes with stats
+    _, kept, pruned = TL.prune_files(path, {"id": 17})
+    assert len(kept) == 1
+    assert TL.txn_read(spark, path, where={"id": 17}).count() == 1
