@@ -7608,3 +7608,62 @@ def q180(spark, sf_dir):
         "event_type",
         "value",
     )
+
+
+@_declare(
+    "q181_txn_replace_where",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) n,
+           CAST(MIN(event_id) AS BIGINT) mn,
+           CAST(MAX(event_id) AS BIGINT) mx,
+           ROUND(SUM(CASE WHEN event_type = 'error'
+                          THEN -value ELSE value END), 4) sv
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q181(spark, sf_dir):
+    """replaceWhere inside the gate: events commit hive-partitioned by
+    event_type, then ``txn_overwrite_where`` atomically swaps the
+    ``error`` partition for a recomputed copy (value negated) in ONE
+    commit — and the per-type counts, id ranges and value sums must
+    hash-match SQL that applies the same recompute to the source
+    table, proving the swap replaced exactly the targeted partition
+    and preserved every other row byte-for-byte.  Builder runs Spark
+    jobs (same exemption family as q170)."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from .. import txnlog as TL
+
+    base = _os.path.join(
+        _tmp.gettempdir(),
+        "q181_" + _hl.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    root = _os.path.join(base, "table")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    TL.txn_append(spark, ev.coalesce(4), root, ["event_type"])
+    repl = ev.filter(F.col("event_type") == "error").withColumn(
+        "value", -F.col("value")
+    )
+    res = TL.txn_overwrite_where(
+        spark, root, repl, {"event_type": "error"}
+    )
+    if res["replaced_files"] < 1:
+        raise AssertionError("q181 must replace files at every SF")
+    got = TL.txn_read(spark, root)
+    return (
+        got.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("event_id").cast("long").alias("mn"),
+            F.max("event_id").cast("long").alias("mx"),
+            F.round(F.sum("value"), 4).alias("sv"),
+        )
+        .orderBy("event_type")
+    )

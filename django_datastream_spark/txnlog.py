@@ -1595,6 +1595,80 @@ def txn_append(
     )
 
 
+def txn_overwrite_where(
+    spark: SparkSession,
+    table_root: str,
+    df: DataFrame,
+    where: dict[str, object],
+    writer: str = "",
+) -> dict:
+    """Delta's ``replaceWhere``: atomically replace the contents of the
+    partitions selected by ``where`` ({partition_col: value}) with
+    ``df`` — ONE commit removes every file of the matched partitions
+    and adds the staged replacement, so readers see either the old
+    partition or the new one, never a mix and never an empty window.
+    This is the idempotent-backfill primitive at 100 TB: recompute a
+    day, swap it in, time travel keeps the old day until vacuum.
+
+    ``df`` must fall entirely inside the target partitions (checked
+    with one aggregate, Delta's constraint) and ``where`` keys must be
+    committed partition columns.  Conflicts follow the generic rules:
+    a rival commit touching the same partitions (append, merge,
+    rewrite) raises ``CommitConflictError``; disjoint partitions
+    commute.  Returns ``{"version", "replaced_files", "new_files"}``."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    init_table(table_root)
+    _, committed = snapshot(table_root)
+    layout = _partition_cols_of(sorted(committed)) if committed else None
+    if layout is not None:
+        bad = [c for c in where if c not in layout]
+        if bad:
+            raise ValueError(
+                f"where keys {bad} are not partition columns {layout}"
+            )
+    else:
+        layout = list(where)  # first write establishes the layout
+    evolved = _check_schema(table_root, df.schema, False)
+    # every replacement row must belong to the partitions it replaces
+    outside = df.filter(
+        ~functools.reduce(
+            lambda a, b: a & b,
+            [F.col(c) == F.lit(v) for c, v in where.items()],
+        )
+    )
+    if outside.take(1):
+        raise ValueError(
+            "replacement rows fall outside the overwritten partitions"
+        )
+    segs = {f"{c}={v}" for c, v in where.items()}
+    removes = sorted(
+        f
+        for f in committed
+        if segs <= set(f.split(os.sep)[:-1])
+    )
+    tag = uuid.uuid4().hex[:12]
+    adds = stage_files(spark, df, table_root, layout, tag)
+    _enforce_constraints(spark, table_root, adds)
+    ver = commit(
+        table_root,
+        adds,
+        removes,
+        "overwrite",
+        [],
+        base_version=latest_version(table_root),
+        writer=writer or "overwrite",
+        schema_json=evolved,
+    )
+    return {
+        "version": ver,
+        "replaced_files": len(removes),
+        "new_files": len(adds),
+    }
+
+
 def txn_update(
     spark: SparkSession,
     table_root: str,

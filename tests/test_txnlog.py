@@ -2078,3 +2078,56 @@ def test_optimize_zorder_reindexes_under_bloom_property(spark, tmp_path):
     _, kept, pruned = TL.prune_files(path, {"id": 17})
     assert len(kept) == 1
     assert TL.txn_read(spark, path, where={"id": 17}).count() == 1
+
+
+def test_overwrite_where_replaces_partition_atomically(spark, tmp_path):
+    """replaceWhere: one commit swaps a partition's contents; other
+    partitions untouched; time travel keeps the old state; rows
+    outside the target refuse; rival writers in the same partition
+    conflict, disjoint ones commute."""
+    path = str(tmp_path / "t")
+    TL.txn_append(
+        spark,
+        _df(spark, [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)]),
+        path,
+        ["p"],
+    )
+    res = TL.txn_overwrite_where(
+        spark, path, _df(spark, [(9, "a", 9.0)]), {"p": "a"}
+    )
+    assert res["replaced_files"] >= 1 and res["new_files"] >= 1
+    assert _rows(spark, path) == {9: ("a", 9.0), 3: ("b", 3.0)}
+    # time travel: pre-overwrite snapshot intact
+    assert _rows(spark, path, version=1) == {
+        1: ("a", 1.0), 2: ("a", 2.0), 3: ("b", 3.0),
+    }
+    # a replacement row outside the target partition refuses
+    with pytest.raises(ValueError, match="outside"):
+        TL.txn_overwrite_where(
+            spark, path, _df(spark, [(7, "b", 7.0)]), {"p": "a"}
+        )
+    # non-partition where key refuses
+    with pytest.raises(ValueError, match="not partition columns"):
+        TL.txn_overwrite_where(
+            spark, path, _df(spark, [(7, "a", 7.0)]), {"k": 7}
+        )
+    # rival in the SAME partition conflicts: stage an overwrite
+    # computed against the pre-append snapshot
+    base = TL.latest_version(path)
+    TL.txn_append(spark, _df(spark, [(10, "a", 10.0)]), path, ["p"])
+    tag = "race-ow"
+    adds = TL.stage_files(
+        spark, _df(spark, [(11, "a", 11.0)]), path, ["p"], tag
+    )
+    _, kept = TL.snapshot(path, version=base)
+    rm = [f for f in kept if "p=a" in f]
+    with pytest.raises(TL.CommitConflictError):
+        TL.commit(
+            path, adds, rm, "overwrite", [], base_version=base,
+        )
+    # disjoint partition commutes: overwrite p=b while p=a grew
+    res2 = TL.txn_overwrite_where(
+        spark, path, _df(spark, [(30, "b", 30.0)]), {"p": "b"}
+    )
+    got = _rows(spark, path)
+    assert got[30] == ("b", 30.0) and 3 not in got and got[10] == ("a", 10.0)
