@@ -807,13 +807,16 @@ def _keep_file(
 ) -> bool:
     """Conjunction of every skipping signal we have for one file:
     min/max/null stats first (free — already folded), then the bloom
-    sidecar for equality bounds. IN-lists test per value — a file
-    survives only if SOME value passes both signals. False only on
-    PROOF of no match."""
+    sidecar for equality bounds, plus the hive partition DIRECTORY for
+    predicates on partition columns (their values are in the path,
+    never in footers). IN-lists test per value — a file survives only
+    if SOME value passes every signal. False only on PROOF of no
+    match."""
     for c, bound in where_norm.items():
         if bound[0] is _IN:
             if not any(
                 _file_may_match(stats, c, v, v)
+                and _partition_may_match(rel, c, v)
                 and _bloom_may_match(root, rel, c, v, v, bloom_cache)
                 for v in bound[1]
             ):
@@ -822,8 +825,35 @@ def _keep_file(
         lo, hi = bound
         if not _file_may_match(stats, c, lo, hi):
             return False
+        if (
+            lo is not None
+            and lo == hi
+            and not _partition_may_match(rel, c, lo)
+        ):
+            return False
         if not _bloom_may_match(root, rel, c, lo, hi, bloom_cache):
             return False
+    return True
+
+
+def _partition_may_match(rel: str, col: str, value) -> bool:
+    """False only when ``rel`` lives under a ``col=<other>`` hive
+    directory that PROVABLY differs from ``value``.  Only plain
+    str/int values compare (their hive spelling is exact ``str(v)``);
+    escaped (%xx) or exotic spellings keep the file — pruning here is
+    I/O-only, the residual filter still applies."""
+    if value is None or isinstance(value, bool):
+        return True
+    if not isinstance(value, (str, int)):
+        return True
+    want = str(value)
+    if "%" in want:
+        return True
+    pre = col + "="
+    for seg in rel.split(os.sep)[:-1]:
+        if seg.startswith(pre):
+            got = seg[len(pre):]
+            return "%" in got or got == want
     return True
 
 

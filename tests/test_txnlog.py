@@ -2131,3 +2131,35 @@ def test_overwrite_where_replaces_partition_atomically(spark, tmp_path):
     )
     got = _rows(spark, path)
     assert got[30] == ("b", 30.0) and 3 not in got and got[10] == ("a", 10.0)
+
+
+def test_partition_directory_pruning(spark, tmp_path):
+    """Equality / IN on a hive partition column prunes by DIRECTORY
+    (partition values are in the path, never in footers); odd values
+    keep-on-doubt and results stay identical."""
+    path = str(tmp_path / "t")
+    TL.txn_append(
+        spark,
+        _df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)])
+        .repartition(3, "p"),
+        path,
+        ["p"],
+    )
+    _, kept, pruned = TL.prune_files(path, {"p": "a"})
+    assert len(kept) == 1 and len(pruned) == 2
+    assert _rows(spark, path) | {} == {
+        1: ("a", 1.0), 2: ("b", 2.0), 3: ("c", 3.0),
+    }
+    got = TL.txn_read(spark, path, where={"p": "a"}).collect()
+    assert [(r["k"], str(r["p"])) for r in got] == [(1, "a")]
+    _, kept_in, _ = TL.prune_files(path, {"p": ["a", "c"]})
+    assert len(kept_in) == 2
+    got_in = TL.txn_read(spark, path, where={"p": ["a", "c"]}).collect()
+    assert sorted(r["k"] for r in got_in) == [1, 3]
+    # absent partition value: everything pruned, empty result
+    _, kept_z, _ = TL.prune_files(path, {"p": "zz"})
+    assert kept_z == []
+    assert TL.txn_read(spark, path, where={"p": "zz"}).count() == 0
+    # non-str/int value on a partition column: keep-on-doubt
+    _, kept_f, _ = TL.prune_files(path, {"p": 1.5})
+    assert len(kept_f) == 3
