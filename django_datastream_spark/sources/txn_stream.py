@@ -214,6 +214,16 @@ class TxnTableStreamReader(DataSourceStreamReader):
                         out.append(
                             InputPartition((v, rel, dirs, pre_type, True))
                         )
+                if c["op"] == "overwrite" and c["removes"]:
+                    # replaceWhere retracts whole files: their LIVE
+                    # rows (minus pre-existing vectors) stream as
+                    # deletes — mirror of txn_changes' batch contract
+                    _, _, dv_prev = TL._fold(self.path, v - 1)
+                    for rel in c["removes"]:
+                        dirs = [e["dv"] for e in dv_prev.get(rel, [])]
+                        out.append(
+                            InputPartition((v, rel, dirs, "delete", False))
+                        )
         # pyspark substitutes [None] for an empty plan; read(None) must
         # still work (a range of optimize-only commits is legal)
         return out or [InputPartition(None)]

@@ -2475,6 +2475,30 @@ def txn_changes(
                 .withColumn("_commit_version", F.lit(v).cast("long"))
             )
             parts.append(pre)
+        if change_types and c["op"] == "overwrite" and c["removes"]:
+            # replaceWhere removes whole files: their still-live rows
+            # (minus pre-existing vectors) stream as ``delete`` so a
+            # CDF consumer RETRACTS the replaced partition instead of
+            # keeping it forever. (Merge keeps its documented
+            # idempotent-per-key contract — its removes re-emit as
+            # inserts of the surviving rows; an overwrite is a true
+            # retraction, so it must say so.)
+            _, _, dv_prev = _fold(table_root, v - 1)
+            prev_dv = {
+                f: dv_prev[f] for f in c["removes"] if dv_prev.get(f)
+            }
+            rm = (
+                _read_files(
+                    spark,
+                    table_root,
+                    list(c["removes"]),
+                    schema=schema,
+                    dv=prev_dv or None,
+                )
+                .withColumn("_change_type", F.lit("delete"))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+            parts.append(rm)
     if not parts:
         if schema is None:
             raise ValueError(

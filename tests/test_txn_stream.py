@@ -233,3 +233,54 @@ def test_read_change_feed_streams_full_cdf(spark, tmp_path):
     assert (3, "update_preimage", 3, 3.0) in got
     assert (3, "update_postimage", 3, 30.0) in got
     assert not any(cv == 4 for _, _, cv, _ in got)  # optimize invisible
+
+
+def test_overwrite_retracts_through_cdf_batch_and_stream(spark, tmp_path):
+    """replaceWhere through the change feed: the removed partition's
+    live rows emit as ``delete`` (pre-existing vectored rows do NOT
+    re-delete), the replacement emits as ``insert`` — identically in
+    batch txn_changes and the readChangeFeed stream."""
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "t")
+    TL.txn_append(
+        spark,
+        _df(spark, [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)])
+        .repartition(2, "p"),
+        table,
+        ["p"],
+    )                                                  # v1: inserts
+    TL.txn_delete(spark, table, F.col("k") == 2)       # v2: delete (a)
+    TL.txn_overwrite_where(
+        spark, table, _df(spark, [(9, "a", 9.0)]), {"p": "a"}
+    )                                                  # v3: replace a
+    ch = {
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in TL.txn_changes(
+            spark, table, 0, change_types=True
+        ).collect()
+    }
+    assert (1, "delete", 3) in ch       # live row of replaced files
+    assert (2, "delete", 2) in ch       # the vectored delete, at v2
+    assert (2, "delete", 3) not in ch   # dead row never re-deletes
+    assert (9, "insert", 3) in ch
+    assert (3, "delete", 3) not in ch   # other partition untouched
+    txn_stream.register(spark)
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = (
+        spark.readStream.format("txn_table")
+        .option("path", table)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == ch
