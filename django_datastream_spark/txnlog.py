@@ -578,6 +578,12 @@ def _fold(
         c_stats = c.get("stats") or {}
         for f in c["adds"]:
             files[f] = c_stats.get(f)
+        for f, s in (c.get("restat") or {}).items():
+            # ANALYZE backfill: stats recorded after the fact for a
+            # still-live file (adopted tables, legacy stat-less
+            # commits); never overrides commit-time stats
+            if f in files and files[f] is None:
+                files[f] = s
         for f, e in (c.get("deletes") or {}).items():
             # a value is one sidecar entry, or (restore commits) the
             # whole reinstated entry list for that file
@@ -1230,6 +1236,7 @@ def commit(
     schema_json: str | None = None,
     constraint: dict | None = None,
     bloom_cols: list[str] | None = None,
+    restat: dict[str, dict] | None = None,
 ) -> int:
     """Commit a transaction computed against ``base_version``. Returns
     the committed version. Appends always land (auto-rebase); rewrites
@@ -1339,6 +1346,9 @@ def commit(
         if bloom_cols is not None:
             # write-time bloom-index property (latest setting wins)
             payload["bloom_cols"] = bloom_cols
+        if restat:
+            # after-the-fact stats for still-live files (ANALYZE)
+            payload["restat"] = restat
         try:
             _raw_commit(table_root, target, payload)
             return target
@@ -2124,10 +2134,39 @@ def txn_optimize(
     }
 
 
+def txn_analyze(table_root: str, writer: str = "") -> dict:
+    """ANALYZE TABLE: record footer stats for committed files that
+    have NONE — adopted pre-txn tables, legacy stat-less commits,
+    clones of such — as one metadata ``restat`` commit, so data
+    skipping starts applying to them.  Footer reads only (no data
+    scan, driver-side, bounded by file count); commit-time stats are
+    never overridden.  Idempotent: a second run finds nothing."""
+    init_table(table_root)
+    _, m, _dv = _fold(table_root)
+    todo = sorted(f for f, s in m.items() if s is None)
+    if not todo:
+        return {"restatted": 0, "version": latest_version(table_root)}
+    stats = collect_file_stats(table_root, todo)
+    ver = commit(
+        table_root,
+        [],
+        [],
+        "restat",
+        [],
+        base_version=latest_version(table_root),
+        writer=writer or "analyze",
+        stats={},
+        data_change=False,
+        restat=stats,
+    )
+    return {"restatted": len(stats), "version": ver}
+
+
 def txn_vacuum(
     table_root: str,
     retain_versions: int = 0,
     min_age_s: float = 0.0,
+    dry_run: bool = False,
 ) -> list[str]:
     """Remove data files not referenced by any RETAINED snapshot —
     crashed-transaction orphans and rewritten-away files.
@@ -2143,7 +2182,9 @@ def txn_vacuum(
     The defaults (0, 0.0) are Delta's VACUUM(0h): only safe when no
     transaction is mid-write and no reader holds an old snapshot —
     run that form from a quiesced maintenance window.  Returns removed
-    root-relative paths."""
+    root-relative paths; ``dry_run=True`` returns what WOULD be
+    removed without touching anything (the operational safety check
+    before a destructive window)."""
     import time
 
     from .operators.merge import _list_data_files, delete_rel_files
@@ -2178,6 +2219,8 @@ def txn_vacuum(
             except OSError:
                 continue  # vanished mid-scan: leave it alone
         orphans.append(rel)
+    if dry_run:
+        return orphans
     removed = delete_rel_files(table_root, orphans)
     # bloom sidecars follow their data file by name: sweep any whose
     # file is gone (just-vacuumed or from an earlier crash window) —

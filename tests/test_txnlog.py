@@ -2163,3 +2163,38 @@ def test_partition_directory_pruning(spark, tmp_path):
     # non-str/int value on a partition column: keep-on-doubt
     _, kept_f, _ = TL.prune_files(path, {"p": 1.5})
     assert len(kept_f) == 3
+
+
+def test_analyze_backfills_stats_and_vacuum_dry_run(spark, tmp_path):
+    """ANALYZE records footer stats for stat-less (adopted) files as a
+    restat commit — data skipping starts applying — and vacuum's
+    dry_run previews removals without deleting."""
+    path = str(tmp_path / "t")
+    # adopt a plain-parquet table: its v1 adopt commit has no stats
+    _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]).coalesce(1).write.parquet(
+        path
+    )
+    TL.init_table(path)
+    _, m, _ = TL._fold(path)
+    assert all(s is None for s in m.values())
+    _, kept0, pruned0 = TL.prune_files(path, {"k": (100, None)})
+    assert pruned0 == []  # no stats: nothing prunes
+    res = TL.txn_analyze(path)
+    assert res["restatted"] == len(m) >= 1
+    _, kept1, pruned1 = TL.prune_files(path, {"k": (100, None)})
+    assert kept1 == [] and len(pruned1) == len(m)  # stats now prune
+    assert TL.txn_analyze(path)["restatted"] == 0  # idempotent
+    # restat survives the checkpoint fold
+    for i in range(3, 13):
+        TL.txn_append(
+            spark, _df(spark, [(i, "a", float(i))]).coalesce(1), path, []
+        )
+    _, m2, _ = TL._fold(path)
+    assert all(s is not None for s in m2.values())
+    # dry-run vacuum: preview only
+    TL.txn_optimize(spark, path)
+    would = TL.txn_vacuum(path, dry_run=True)
+    assert would
+    root = TL._local_root(path)
+    assert all(os.path.exists(os.path.join(root, f)) for f in would)
+    assert sorted(TL.txn_vacuum(path)) == sorted(would)
