@@ -425,6 +425,11 @@ def _enforce_constraints(spark, table_root, adds) -> None:
             os.unlink(os.path.join(root, a))
         except OSError:
             pass
+        try:
+            # write-time bloom sidecars follow their staged file
+            os.unlink(os.path.join(root, _bloom_sidecar(a)))
+        except OSError:
+            pass
     raise ConstraintViolationError(
         f"rows violate CHECK constraint {bad!r} ({cons[bad]}); "
         "nothing committed"
@@ -1113,7 +1118,7 @@ def _bloom_build_rels(
 
     fdf = spark.createDataFrame(
         [(r,) for r in rels], "rel string"
-    ).repartition(len(rels))
+    ).repartition(min(len(rels), 4096))  # cap task count; tasks loop
     done = fdf.mapInPandas(_build, "rel string, rows long").collect()
     return [(r["rel"], int(r["rows"])) for r in done]
 
