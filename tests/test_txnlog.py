@@ -2198,3 +2198,57 @@ def test_analyze_backfills_stats_and_vacuum_dry_run(spark, tmp_path):
     root = TL._local_root(path)
     assert all(os.path.exists(os.path.join(root, f)) for f in would)
     assert sorted(TL.txn_vacuum(path)) == sorted(would)
+
+
+def test_bloom_never_false_negative_across_types(spark, tmp_path):
+    """The load-bearing bloom invariant: every inserted value probes
+    as maybe-present — across ints, floats, unicode, timestamps,
+    dates, booleans and bytes — including the cross-type folds the
+    key normalizer guarantees (5 probes a DOUBLE 5.0, naive-UTC
+    probes an aware write)."""
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    rows = [
+        (i, v, f"s{i}-é中文 {i}", float(i) / 3.0,
+         dt.datetime(2024, 1, 1 + i % 27, i % 24, 30),
+         dt.date(2024, 1, 1 + i % 27), i % 2 == 0, bytes([i % 250, 7]))
+        for i, v in enumerate(
+            list(range(-50, 50)) + [10**12 + 7, -(10**12)]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "rid long, v long, s string, f double, t timestamp, "
+        "d date, b boolean, y binary",
+    )
+    TL.txn_append(spark, df.repartition(4), path, [])
+    TL.txn_bloom_build(
+        spark, path, ["v", "s", "f", "t", "d", "b", "y"]
+    )
+    root = TL._local_root(path)
+    _, m, _ = TL._fold(path)
+    cache: dict = {}
+    for i, v in enumerate([r[1] for r in rows]):
+        row = rows[i]
+        probes = {
+            "v": v, "s": row[2], "f": row[3], "t": row[4],
+            "d": row[5], "y": row[7],
+        }
+        # cross-type folds: int probes the double when integral
+        if row[3].is_integer():
+            probes["f"] = int(row[3])
+        for col, val in probes.items():
+            hit = any(
+                TL._bloom_may_match(root, rel, col, val, val, cache)
+                for rel in m
+            )
+            assert hit, f"false negative: {col}={val!r}"
+    # and a value never inserted is (overwhelmingly) pruned everywhere
+    miss = sum(
+        1 for rel in m
+        if not TL._bloom_may_match(
+            root, rel, "v", 987_654_321, 987_654_321, cache
+        )
+    )
+    assert miss == len(m)
