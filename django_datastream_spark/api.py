@@ -857,7 +857,31 @@ class Datastream:
         t.compact_streams()
         live = t.read_streams().select("stream_id")
 
-        if t._exists(t.points_raw_path):
+        if t.TXN_POINTS:
+            from . import txnlog as TL
+
+            if TL.is_txn_table(t.points_raw_path):
+                # dead-stream rows die by DELETION VECTORS (one commit,
+                # no partition rewrite); the id list is bounded by
+                # stream count — the same metadata scale as the
+                # streams table itself
+                dead = [
+                    r["stream_id"]
+                    for r in t.read_points_raw()
+                    .select("stream_id")
+                    .distinct()
+                    .join(live, "stream_id", "left_anti")
+                    .collect()
+                ]
+                if dead:
+                    TL.txn_delete(
+                        self.spark,
+                        t.points_raw_path,
+                        F.col("stream_id").isin(dead),
+                        writer="vacuum",
+                    )
+                TL.txn_vacuum(t.points_raw_path)
+        elif t._exists(t.points_raw_path):
             df = t.read_points_raw().join(live, "stream_id", "left_semi")
             t._swap_version(
                 "points_raw",

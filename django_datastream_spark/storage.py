@@ -214,6 +214,17 @@ class Tables:
     #: local-parquet trade; Delta/Iceberg share unchanged files)
     SNAPSHOT_RETAIN = 2
 
+    #: OPT-IN: route ``points_raw`` — the engine's hottest table —
+    #: through the transactional commit log (:mod:`.txnlog`) instead
+    #: of versioned snapshot dirs. Appends become ACID commits
+    #: (multi-writer safe, auto-rebasing), compaction becomes
+    #: ``txn_optimize`` (commutes with concurrent appends), dead-rows
+    #: cleanup becomes deletion vectors, and time travel runs over
+    #: the commit log (every version, not SNAPSHOT_RETAIN
+    #: generations). Default OFF: the plain-parquet path keeps its
+    #: documented single-writer contract and zero extra metadata.
+    TXN_POINTS = False
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
@@ -271,7 +282,18 @@ class Tables:
         new version is cut at every rewrite boundary (compaction,
         aggregate upsert, log compaction); plain appends accrete into
         the current snapshot — so time travel is at rewrite
-        granularity, like any snapshot-pointer table format."""
+        granularity, like any snapshot-pointer table format.  Under
+        ``TXN_POINTS``, ``points_raw`` versions are COMMIT versions —
+        every append/optimize/delete is time-travelable until
+        vacuum."""
+        if table == "points_raw" and self.TXN_POINTS:
+            from . import txnlog as TL
+
+            if not TL.is_txn_table(self.points_raw_path):
+                return []
+            return list(
+                range(1, TL.latest_version(self.points_raw_path) + 1)
+            )
         tdir = os.path.join(self.root, table)
         if not os.path.isdir(tdir):
             return []
@@ -289,6 +311,16 @@ class Tables:
         (raw stored rows — for the streams table that is the metadata
         log state at that snapshot). Raises ``ValueError`` if the
         version was never cut or was vacuumed by retention."""
+        if table == "points_raw" and self.TXN_POINTS:
+            from . import txnlog as TL
+
+            if version not in self.snapshot_versions(table):
+                raise ValueError(
+                    f"points_raw commit v{version} not in log"
+                )
+            return TL.txn_read(
+                self.spark, self.points_raw_path, version=version
+            )
         if version not in self.snapshot_versions(table):
             raise ValueError(
                 f"{table} v={version} not retained "
@@ -306,6 +338,10 @@ class Tables:
 
     @property
     def points_raw_path(self) -> str:
+        if self.TXN_POINTS:
+            # a txn table's root is FIXED: versioning lives in the
+            # commit log, not in v=<n> snapshot dirs
+            return os.path.join(self.root, "points_raw_txn")
         return self._data_dir("points_raw")
 
     @property
@@ -431,6 +467,14 @@ class Tables:
 
     # -- raw points ------------------------------------------------------------
     def read_points_raw(self) -> DataFrame:
+        if self.TXN_POINTS:
+            from . import txnlog as TL
+
+            if not TL.is_txn_table(self.points_raw_path):
+                return self.spark.createDataFrame(
+                    [], POINTS_RAW_SCHEMA
+                ).withColumn("p_date", F.to_date("ts"))
+            return TL.txn_read(self.spark, self.points_raw_path)
         if not self._exists(self.points_raw_path):
             return self.spark.createDataFrame([], POINTS_RAW_SCHEMA).withColumn(
                 "p_date", F.to_date("ts")
@@ -438,6 +482,17 @@ class Tables:
         return self.spark.read.parquet(self.points_raw_path)
 
     def append_points_raw(self, df: DataFrame) -> None:
+        if self.TXN_POINTS:
+            from . import txnlog as TL
+
+            TL.txn_append(
+                self.spark,
+                df.withColumn("p_date", F.to_date("ts")),
+                self.points_raw_path,
+                ["p_date"],
+                writer="ingest",
+            )
+            return
         (
             df.withColumn("p_date", F.to_date("ts"))
             .write.mode("append")
@@ -461,6 +516,18 @@ class Tables:
         Delta/Iceberg this is OPTIMIZE / rewrite_data_files. Returns the
         number of partitions compacted."""
         src = self.points_raw_path
+        if self.TXN_POINTS:
+            from . import txnlog as TL
+
+            if not TL.is_txn_table(src):
+                return 0
+            # txn path: OPTIMIZE commit — commutes with concurrent
+            # appends (no quiescence needed), superseded files stay
+            # for snapshot readers until txn_vacuum
+            res = TL.txn_optimize(
+                self.spark, src, target_file_bytes=target_file_bytes
+            )
+            return int(res.get("rewritten_files") or 0)
         if not self._exists(src):
             return 0
         parts: dict[str, list[str]] = {}
