@@ -132,3 +132,46 @@ def test_engine_time_travel_is_commit_granular(engine):
     assert first_commit.count() < now.count() == 20
     with pytest.raises(ValueError):
         engine.tables.read_table_at("points_raw", 999)
+
+
+def test_streaming_ingest_lands_as_commits(spark, tmp_path):
+    """StreamingIngest writes through append_points_raw, so with
+    TXN_POINTS each micro-batch is its own log commit — validation,
+    rejects and metadata advance behave identically."""
+    import json
+    import os
+
+    from django_datastream_spark.streaming.ingest import StreamingIngest
+
+    def iso(i):
+        return (T0 + dt.timedelta(seconds=i)).strftime(
+            "%Y-%m-%dT%H:%M:%S.000Z"
+        )
+
+    e = Datastream(spark, str(tmp_path / "store"))
+    e.tables.TXN_POINTS = True
+    sid = e.ensure_stream({"title": "s"})
+    src = str(tmp_path / "incoming")
+    ing = StreamingIngest(e, src, str(tmp_path / "cp"))
+    os.makedirs(src, exist_ok=True)
+    for b, rows in enumerate(
+        (
+            [
+                {"stream_id": sid, "ts": iso(0), "value": 1.0},
+                {"stream_id": sid, "ts": iso(1), "value": 2.0},
+            ],
+            [
+                {"stream_id": sid, "ts": iso(1), "value": 9.0},  # replay
+                {"stream_id": sid, "ts": iso(5), "value": 5.0},
+            ],
+        )
+    ):
+        with open(f"{src}/b{b}.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        ing.run_available()
+    pts = list(e.get_data(sid, "seconds"))
+    assert [p["v"] for p in pts] == [1.0, 2.0, 5.0]
+    hist = TL.txn_history(spark, e.tables.points_raw_path).collect()
+    appends = [r for r in hist if r["op"] == "append"]
+    assert len(appends) == 2  # one commit per micro-batch
