@@ -898,7 +898,27 @@ class Datastream:
                 .write.partitionBy("p_date")
                 .parquet(d),
             )
-        if t._exists(t.points_agg_path):
+        if t.TXN_AGG:
+            from . import txnlog as TL
+
+            if TL.is_txn_table(t.points_agg_path):
+                dead = [
+                    r["stream_id"]
+                    for r in t.read_points_agg()
+                    .select("stream_id")
+                    .distinct()
+                    .join(live, "stream_id", "left_anti")
+                    .collect()
+                ]
+                if dead:
+                    TL.txn_delete(
+                        self.spark,
+                        t.points_agg_path,
+                        F.col("stream_id").isin(dead),
+                        writer="vacuum",
+                    )
+                TL.txn_vacuum(t.points_agg_path)
+        elif t._exists(t.points_agg_path):
             agg = self.spark.read.parquet(t.points_agg_path).join(
                 live, "stream_id", "left_semi"
             )

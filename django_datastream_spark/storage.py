@@ -225,6 +225,17 @@ class Tables:
     #: documented single-writer contract and zero extra metadata.
     TXN_POINTS = False
 
+    #: OPT-IN: route ``points_agg`` through the commit log too. The
+    #: headline win is the conflicted aggregate upsert: instead of
+    #: dynamic partition overwrite (reader-unsafe, the documented
+    #: quiescence rule) or AGG_UPSERT_SNAPSHOT (O(partition dirs)
+    #: links), it becomes ONE snapshot-isolated ``overwrite`` commit —
+    #: readers keep the files of the snapshot they planned against,
+    #: and a racing writer loses the CAS and retries. Makes both
+    #: legacy trade-offs moot, exactly as the AGG_UPSERT_SNAPSHOT
+    #: docstring predicted a table format would.
+    TXN_AGG = False
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
@@ -350,6 +361,8 @@ class Tables:
 
     @property
     def points_agg_path(self) -> str:
+        if self.TXN_AGG:
+            return os.path.join(self.root, "points_agg_txn")
         return self._data_dir("points_agg")
 
     def _exists(self, path: str) -> bool:
@@ -664,6 +677,14 @@ class Tables:
 
     # -- aggregates --------------------------------------------------------------
     def read_points_agg(self) -> DataFrame:
+        if self.TXN_AGG:
+            from . import txnlog as TL
+
+            if not TL.is_txn_table(self.points_agg_path):
+                return self.spark.createDataFrame([], POINTS_AGG_SCHEMA)
+            return TL.txn_read(self.spark, self.points_agg_path).select(
+                *[f.name for f in POINTS_AGG_SCHEMA.fields]
+            )
         if not self._exists(self.points_agg_path):
             return self.spark.createDataFrame([], POINTS_AGG_SCHEMA)
         return self.spark.read.parquet(self.points_agg_path).select(
@@ -696,6 +717,9 @@ class Tables:
         )
         path = self.points_agg_path
         key = ["stream_id", "granularity", "bucket_ts"]
+        if self.TXN_AGG:
+            self._txn_upsert_points_agg(df, key)
+            return
         if not self._exists(path):
             df.write.mode("append").partitionBy("granularity", "p_date").parquet(path)
             return
@@ -747,6 +771,75 @@ class Tables:
                 path
             )
 
+    def _txn_upsert_points_agg(self, df, key) -> None:
+        """TXN_AGG form of the conflicted aggregate upsert: the
+        partitions that replace existing buckets rebuild into staged
+        files and land with their superseded files' removal as ONE
+        snapshot-isolated ``overwrite`` commit; fresh rows are a blind
+        append commit.  Readers keep the snapshot they planned against
+        (superseded files stay until ``txn_vacuum``); a racing writer
+        on the same partitions loses the CAS and must re-run.  Both
+        AGG_UPSERT_SNAPSHOT and the quiescence rule are moot here."""
+        import uuid as _uuid
+
+        from . import txnlog as TL
+
+        path = self.points_agg_path
+        parts = ["granularity", "p_date"]
+        if not TL.is_txn_table(path):
+            TL.txn_append(self.spark, df, path, parts, writer="agg")
+            return
+        base_ver, committed = TL.snapshot(path)
+        existing = TL.txn_read(
+            self.spark, path, version=base_ver
+        ).select(df.columns)
+        touched = df.select(*parts).distinct()
+        conflicts = (
+            existing.join(F.broadcast(touched), parts, "left_semi")
+            .join(F.broadcast(df.select(*key)), key, "left_semi")
+            .select(*parts)
+            .distinct()
+            .collect()  # metadata: bounded by touched-partition count
+        )
+        new_rows = df
+        if conflicts:
+            cdf = self.spark.createDataFrame(
+                [(r["granularity"], r["p_date"]) for r in conflicts],
+                "granularity string, p_date date",
+            )
+            keep = existing.join(
+                F.broadcast(cdf), parts, "left_semi"
+            ).join(df.select(*key), key, "left_anti")
+            out = keep.unionByName(
+                df.join(F.broadcast(cdf), parts, "left_semi")
+            )
+            segs = {
+                (f"granularity={r['granularity']}", f"p_date={r['p_date']}")
+                for r in conflicts
+            }
+            removes = sorted(
+                f
+                for f in committed
+                if any(
+                    set(s) <= set(f.split(os.sep)[:-1]) for s in segs
+                )
+            )
+            adds = TL.stage_files(
+                self.spark, out, path, parts, _uuid.uuid4().hex[:12]
+            )
+            TL.commit(
+                path,
+                adds,
+                removes,
+                "overwrite",
+                [],
+                base_version=base_ver,
+                writer="agg_upsert",
+            )
+            new_rows = df.join(F.broadcast(cdf), parts, "left_anti")
+        if new_rows.head(1):
+            TL.txn_append(self.spark, new_rows, path, parts, writer="agg")
+
     def _agg_upsert_snapshot(self, df, conflicts, rebuilt) -> None:
         """Snapshot-generation form of a conflicted aggregate upsert
         (AGG_UPSERT_SNAPSHOT): hardlink every unconflicted
@@ -788,10 +881,22 @@ class Tables:
         self._swap_version("points_agg", write)
 
     def append_points_agg(self, df: DataFrame) -> None:
+        out = df.select(
+            *[f.name for f in POINTS_AGG_SCHEMA.fields]
+        ).withColumn("p_date", F.to_date("bucket_ts"))
+        if self.TXN_AGG:
+            from . import txnlog as TL
+
+            TL.txn_append(
+                self.spark,
+                out,
+                self.points_agg_path,
+                ["granularity", "p_date"],
+                writer="agg",
+            )
+            return
         (
-            df.select(*[f.name for f in POINTS_AGG_SCHEMA.fields])
-            .withColumn("p_date", F.to_date("bucket_ts"))
-            .write.mode("append")
+            out.write.mode("append")
             .partitionBy("granularity", "p_date")
             .parquet(self.points_agg_path)
         )

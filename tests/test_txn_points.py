@@ -175,3 +175,57 @@ def test_streaming_ingest_lands_as_commits(spark, tmp_path):
     hist = TL.txn_history(spark, e.tables.points_raw_path).collect()
     appends = [r for r in hist if r["op"] == "append"]
     assert len(appends) == 2  # one commit per micro-batch
+
+
+def test_agg_upserts_are_snapshot_isolated_commits(spark, tmp_path):
+    """TXN_AGG: downsample → append more → downsample again (the
+    watermark-tail bucket recomputes = a conflicted upsert). The txn
+    engine's aggregates match a plain engine's exactly, and the
+    conflicted upsert shows up as one ``overwrite`` commit."""
+    def build(root, txn):
+        e = Datastream(spark, root)
+        if txn:
+            e.tables.TXN_POINTS = True
+            e.tables.TXN_AGG = True
+        sid = e.ensure_stream(
+            {"title": "x"}, highest_granularity="seconds"
+        )
+        e.append_multiple(
+            [
+                {"stream_id": sid, "timestamp": ts(i), "value": float(i)}
+                for i in range(90)
+            ]
+        )
+        e.downsample_streams(until=ts(90))
+        e.append_multiple(
+            [
+                {"stream_id": sid, "timestamp": ts(90 + i),
+                 "value": float(i)}
+                for i in range(90)
+            ]
+        )
+        e.downsample_streams(until=ts(3600))
+        return e, sid
+
+    plain, sid_p = build(str(tmp_path / "plain"), txn=False)
+    txn, sid_t = build(str(tmp_path / "txn"), txn=True)
+
+    def aggs(e, sid):
+        return [
+            (r["t"]["mean"], r["v"]["mean"], r["v"]["count"])
+            for r in e.get_data(
+                sid, "minutes",
+                value_downsamplers=["mean", "count"],
+                time_downsamplers=["mean"],
+            )
+        ]
+
+    assert aggs(plain, sid_p) == aggs(txn, sid_t)
+    ops = [
+        r["op"]
+        for r in TL.txn_history(
+            spark, txn.tables.points_agg_path
+        ).collect()
+    ]
+    assert "overwrite" in ops  # the tail-bucket recompute
+    assert "append" in ops
