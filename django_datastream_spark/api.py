@@ -42,6 +42,7 @@ from . import exceptions as exc
 from .granularity import BY_NAME, GRANULARITIES, Granularity, coarser_than
 from .operators import derive as derive_ops
 from .operators import downsample as ds_ops
+from . import storage
 from .storage import STREAMS_SCHEMA, Tables
 
 _UTC = _dt.timezone.utc
@@ -123,7 +124,10 @@ class Datapoints:
         }
 
     def __iter__(self):
-        for row in self.df.toLocalIterator():
+        # prefetch: toLocalIterator schedules one job per partition; without
+        # prefetch those run strictly serially against consumption (a
+        # 32-partition aggregate read = 32 sequential round trips)
+        for row in self.df.toLocalIterator(prefetchPartitions=True):
             d = row.asDict(recursive=True)
             if self._raw:
                 v = d["value"]
@@ -367,15 +371,16 @@ class Datastream:
             row["seq"] = base + i
         self.tables.bump_v(base + len(rows))
 
-        batch = self.spark.createDataFrame(
-            rows, self.tables.read_points_raw().drop("p_date").schema
+        batch = storage.local_rows_df(
+            self.spark, rows, self.tables.read_points_raw().drop("p_date").schema
         )
 
         if check_timestamp:
             # per-stream strict monotonicity: within-batch (lag window) and
             # vs the stored latest_ts (broadcast join) — one job, no loops.
             w = Window.partitionBy("stream_id").orderBy("ts")
-            latest = self.spark.createDataFrame(
+            latest = storage.local_rows_df(
+                self.spark,
                 [
                     (sid, m["latest_ts"])
                     for sid, m in metas.items()
@@ -742,8 +747,8 @@ class Datastream:
             by_src.setdefault(gname, []).append((sid, wm))
         for gname, members in by_src.items():
             wm_df = F.broadcast(
-                self.spark.createDataFrame(
-                    members, "stream_id string, _wm timestamp"
+                storage.local_rows_df(
+                    self.spark, members, "stream_id string, _wm timestamp"
                 )
             )
             src = _rng(
@@ -777,7 +782,7 @@ class Datastream:
             else:
                 bounds.append((sid, None))
         ids_df = F.broadcast(
-            self.spark.createDataFrame(bounds, "stream_id string, _lb timestamp")
+            storage.local_rows_df(self.spark, bounds, "stream_id string, _lb timestamp")
         )
         pts = self.tables.read_points_raw().select(
             "stream_id", "ts", "value", "value_nominal"
@@ -820,7 +825,7 @@ class Datastream:
         targets = [s["stream_id"] for s in self.find_streams(query_tags)]
         if not targets:
             return 0
-        tdf = self.spark.createDataFrame([(t,) for t in targets], "stream_id string")
+        tdf = storage.local_rows_df(self.spark, [(t,) for t in targets], "stream_id string")
         # dependency check as one join: any surviving stream deriving from
         # a target blocks the delete (no driver loop over the table)
         dep = (
@@ -1034,7 +1039,7 @@ class Datastream:
                     )
                 vb_rows.append((m["stream_id"], e))
             vb_df = F.broadcast(
-                self.spark.createDataFrame(vb_rows, "stream_id string, _vb timestamp")
+                storage.local_rows_df(self.spark, vb_rows, "stream_id string, _vb timestamp")
             )
             lb_src = lb_src.join(vb_df, "stream_id", "left")
             cand = F.coalesce(wm_days, F.col("earliest_ts"), F.col("_vb"))
@@ -1070,7 +1075,7 @@ class Datastream:
                 .collect()
             ]
             if vb:
-                vb_df = self.spark.createDataFrame(vb, "stream_id string, _vmax timestamp")
+                vb_df = storage.local_rows_df(self.spark, vb, "stream_id string, _vmax timestamp")
                 eff = (
                     eff.join(F.broadcast(vb_df), "stream_id", "left")
                     .withColumn("_eff", F.coalesce("_eff", "_vmax"))
@@ -1114,8 +1119,8 @@ class Datastream:
                 ]
                 v = None if (not lts or any(x is None for x in lts)) else min(lts)
                 clamp.append((m["stream_id"], v, True))
-            clamp_df = self.spark.createDataFrame(
-                clamp, "stream_id string, _clamp timestamp, _is_sum boolean"
+            clamp_df = storage.local_rows_df(
+                self.spark, clamp, "stream_id string, _clamp timestamp, _is_sum boolean"
             )
             eff = (
                 eff.join(F.broadcast(clamp_df), "stream_id", "left")
@@ -1137,7 +1142,19 @@ class Datastream:
         emitted = []
         prev_level: DataFrame | None = None
         levels: list[DataFrame] = []
+        # skip levels finer than the finest selected stream: level i can
+        # only carry rows for streams with _gidx < i, so every level at or
+        # below min(_gidx) is structurally empty. Building it anyway costs
+        # real driver time — the level plans are built through thousands
+        # of py4j round trips (~20 s profiled for a full 6-level run), and
+        # each empty level still pays a head(1) job + persist/unpersist.
+        # One tiny job on the persisted `sel` buys the bound.
+        min_gidx = sel.agg(F.min("_gidx")).collect()[0][0]
+        if min_gidx is None:
+            min_gidx = n_gran  # no streams selected — every level skips
         for i, g in enumerate(GRANULARITIES[1:], start=1):
+            if i <= min_gidx:
+                continue
             parts = []
             from_raw_ids = sel.filter(F.col("_gidx") == i - 1).select("stream_id")
             parts.append(

@@ -128,7 +128,9 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 def lang_marker_df(spark) -> DataFrame:
     rows = [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws]
-    return spark.createDataFrame(rows, "lang string, marker string")
+    from ..storage import local_rows_df
+
+    return local_rows_df(spark, rows, "lang string, marker string")
 
 
 def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -169,8 +169,12 @@ def build_derive_plan(
                 if r == role:
                     rows.append((s, m["stream_id"]))
         if not rows:
-            return spark.createDataFrame([], "stream_id string, derived_id string")
-        return spark.createDataFrame(rows, "stream_id string, derived_id string")
+            from .. import storage as _st
+
+            return _st.local_rows_df(spark, [], "stream_id string, derived_id string")
+        from .. import storage as _storage
+
+        return _storage.local_rows_df(spark, rows, "stream_id string, derived_id string")
 
     by_op: dict[str, list[dict]] = {}
     for m in derived_meta:

@@ -157,7 +157,9 @@ def read_committed(
             raise ValueError(
                 f"{target_path}: committed table is empty; pass schema"
             )
-        return spark.createDataFrame([], schema)
+        from ..storage import local_rows_df
+
+        return local_rows_df(spark, [], schema)
     r = spark.read.option("basePath", target_path)
     if schema is not None:
         r = r.schema(schema)

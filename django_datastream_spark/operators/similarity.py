@@ -271,8 +271,12 @@ def ivf_topk(
     corpus_cells = c.withColumn("cell", _ivf_assign_udf(cents)(F.col("_cv")))
 
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
-        list(enumerate(cents)), "cell int, centroid array<double>"
+    from ..storage import local_rows_df
+
+    cent_df = local_rows_df(
+        spark,
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
     )
 
     q = queries.select(

@@ -44,6 +44,32 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+
+def local_rows_df(spark: SparkSession, data, schema) -> DataFrame:
+    """Bounded driver-side rows -> DataFrame via pandas/Arrow.
+
+    ``createDataFrame(list, ...)`` builds a pickled Python RDD
+    (``Scan ExistingRDD``): every job that evaluates it — above all
+    every WRITE that includes one, even as a broadcast join input —
+    pays a Python-worker round trip per task (~5 s/write measured in
+    this container vs 0.2 s without). Routing through pandas turns the
+    same rows into an Arrow ``LocalTableScan``: plan-inlined, JVM-only,
+    broadcastable for free. Every metadata-bounded frame the engine
+    writes or joins against goes through here; unbounded data NEVER
+    should (this materializes ``data`` on the driver by definition).
+    """
+    import pandas as pd
+
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    cols = [f.name for f in schema.fields]
+    if data and isinstance(data[0], dict):
+        cells = [[r.get(c) for c in cols] for r in data]
+    else:
+        cells = [list(r) for r in data]
+    pdf = pd.DataFrame(cells if cells else None, columns=cols, dtype=object)
+    return spark.createDataFrame(pdf, schema)
+
 STREAMS_SCHEMA = T.StructType(
     [
         T.StructField("stream_id", T.StringType()),
@@ -384,7 +410,7 @@ class Tables:
     # -- streams metadata (MERGE-style log) ----------------------------------
     def read_streams_log(self) -> DataFrame:
         if not self._exists(self.streams_path):
-            return self.spark.createDataFrame([], STREAMS_LOG_SCHEMA)
+            return local_rows_df(self.spark, [], STREAMS_LOG_SCHEMA)
         return self.spark.read.schema(STREAMS_LOG_SCHEMA).parquet(self.streams_path)
 
     def read_streams(self) -> DataFrame:
@@ -409,7 +435,7 @@ class Tables:
             r["_v"] = v
             r.setdefault("_deleted", False)
             out.append(r)
-        df = self.spark.createDataFrame(out, STREAMS_LOG_SCHEMA)
+        df = local_rows_df(self.spark, out, STREAMS_LOG_SCHEMA)
         df.coalesce(1).write.mode("append").parquet(self.streams_path)
         self._maybe_compact_streams()
 
@@ -489,7 +515,7 @@ class Tables:
                 ).withColumn("p_date", F.to_date("ts"))
             return TL.txn_read(self.spark, self.points_raw_path)
         if not self._exists(self.points_raw_path):
-            return self.spark.createDataFrame([], POINTS_RAW_SCHEMA).withColumn(
+            return local_rows_df(self.spark, [], POINTS_RAW_SCHEMA).withColumn(
                 "p_date", F.to_date("ts")
             )
         return self.spark.read.parquet(self.points_raw_path)
@@ -581,7 +607,7 @@ class Tables:
     # -- derived points (versioned by seq) --------------------------------------
     def read_points_derived(self, latest_only: bool = True) -> DataFrame:
         if not self._exists(self.points_derived_path):
-            df = self.spark.createDataFrame([], POINTS_DERIVED_SCHEMA)
+            df = local_rows_df(self.spark, [], POINTS_DERIVED_SCHEMA)
         else:
             df = self.spark.read.parquet(self.points_derived_path).select(
                 *[f.name for f in POINTS_DERIVED_SCHEMA.fields]
@@ -620,8 +646,8 @@ class Tables:
             df.write.mode("append").partitionBy("p_date").parquet(path)
             return
         sid_df = F.broadcast(
-            self.spark.createDataFrame(
-                [(s,) for s in stream_ids], "stream_id string"
+            local_rows_df(
+                self.spark, [(s,) for s in stream_ids], "stream_id string"
             )
         )
         existing = self.spark.read.parquet(path).select(df.columns)
@@ -635,8 +661,8 @@ class Tables:
         if not touched:
             return
         tdf = F.broadcast(
-            self.spark.createDataFrame(
-                [(r["p_date"],) for r in touched], "p_date date"
+            local_rows_df(
+                self.spark, [(r["p_date"],) for r in touched], "p_date date"
             )
         )
         keep = existing.join(tdf, "p_date", "left_semi").join(
@@ -681,12 +707,12 @@ class Tables:
             from . import txnlog as TL
 
             if not TL.is_txn_table(self.points_agg_path):
-                return self.spark.createDataFrame([], POINTS_AGG_SCHEMA)
+                return local_rows_df(self.spark, [], POINTS_AGG_SCHEMA)
             return TL.txn_read(self.spark, self.points_agg_path).select(
                 *[f.name for f in POINTS_AGG_SCHEMA.fields]
             )
         if not self._exists(self.points_agg_path):
-            return self.spark.createDataFrame([], POINTS_AGG_SCHEMA)
+            return local_rows_df(self.spark, [], POINTS_AGG_SCHEMA)
         return self.spark.read.parquet(self.points_agg_path).select(
             *[f.name for f in POINTS_AGG_SCHEMA.fields]
         )
@@ -734,7 +760,8 @@ class Tables:
         )
         new_rows = df
         if conflicts:
-            cdf = self.spark.createDataFrame(
+            cdf = local_rows_df(
+                self.spark,
                 [(r["granularity"], r["p_date"]) for r in conflicts],
                 "granularity string, p_date date",
             )
@@ -803,7 +830,8 @@ class Tables:
         )
         new_rows = df
         if conflicts:
-            cdf = self.spark.createDataFrame(
+            cdf = local_rows_df(
+                self.spark,
                 [(r["granularity"], r["p_date"]) for r in conflicts],
                 "granularity string, p_date date",
             )
@@ -849,7 +877,8 @@ class Tables:
         retained generation), exactly like vacuum/compaction."""
         src = self.points_agg_path
         conflict_set = {(r["granularity"], str(r["p_date"])) for r in conflicts}
-        cdf = self.spark.createDataFrame(
+        cdf = local_rows_df(
+            self.spark,
             [(r["granularity"], r["p_date"]) for r in conflicts],
             "granularity string, p_date date",
         )

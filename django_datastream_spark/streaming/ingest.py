@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import storage
 from ..api import Datastream
 from ..granularity import BY_NAME
 
@@ -303,7 +304,8 @@ class StreamingIngest:
         if out is None:
             return None
         # suppress re-emission of the tail-to-tail deltas already stored
-        latest_derived = spark.createDataFrame(
+        latest_derived = storage.local_rows_df(
+            spark,
             [
                 (s["stream_id"], s["latest_ts"])
                 for s in metas
@@ -358,8 +360,8 @@ class StreamingIngest:
         if not batch_src.head(1):
             return None
         mapping = F.broadcast(
-            spark.createDataFrame(
-                src_to_derived, "stream_id string, derived_id string, _gran string"
+            storage.local_rows_df(
+                spark, src_to_derived, "stream_id string, derived_id string, _gran string"
             )
         )
         slot = F.coalesce(

@@ -1116,8 +1116,10 @@ def _bloom_build_rels(
                 out.append((rel, rows))
             yield pd.DataFrame(out, columns=["rel", "rows"])
 
-    fdf = spark.createDataFrame(
-        [(r,) for r in rels], "rel string"
+    from .storage import local_rows_df
+
+    fdf = local_rows_df(
+        spark, [(r,) for r in rels], "rel string"
     ).repartition(min(len(rels), 4096))  # cap task count; tasks loop
     done = fdf.mapInPandas(_build, "rel string, rows long").collect()
     return [(r["rel"], int(r["rows"])) for r in done]
@@ -1514,7 +1516,9 @@ def txn_read(
             raise ValueError(
                 f"{table_root}: empty at v{v}; pass schema for an empty frame"
             )
-        return spark.createDataFrame([], schema)
+        from .storage import local_rows_df
+
+        return local_rows_df(spark, [], schema)
     return _read_files(
         spark,
         table_root,
@@ -2024,9 +2028,11 @@ def txn_history(spark: SparkSession, table_root: str) -> "DataFrame":
         "n_added_files long, n_removed_files long, data_change boolean, "
         "partitions array<string>"
     )
-    df = spark.createDataFrame(rows, schema)
     from pyspark.sql import functions as F
 
+    from .storage import local_rows_df
+
+    df = local_rows_df(spark, rows, schema)
     return df.orderBy(F.desc("version"))
 
 
@@ -2563,7 +2569,9 @@ def txn_changes(
             + extra
             + [T.StructField("_commit_version", T.LongType())]
         )
-        return spark.createDataFrame([], empty_schema)
+        from .storage import local_rows_df
+
+        return local_rows_df(spark, [], empty_schema)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
