@@ -7667,3 +7667,119 @@ def q181(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@_declare(
+    "q182_engine_on_txn",
+    """
+    WITH h AS (
+        SELECT date_trunc('hour', ts) hb, SUM(value) v
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT CAST(e.ver AS BIGINT) ver,
+           CAST(date_trunc('day', hb) AS TIMESTAMP) b,
+           CAST(COUNT(*) AS BIGINT) c,
+           ROUND(SUM(v), 4) s
+    FROM h, (VALUES (1), (2), (3)) e(ver)
+    WHERE e.ver >= 2 OR hb < TIMESTAMP '2024-01-16 12:00:00'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q182(spark, sf_dir):
+    """The datastream ENGINE's hot table on the transactional layer,
+    inside the oracle gate (``Tables.TXN_POINTS``): hourly sums ingest
+    through ``append_multiple`` in two batches split at a fixed
+    mid-month instant — each batch lands as ONE log commit —
+    ``compact_points_raw`` becomes an OPTIMIZE commit (the split day
+    holds files from both batches, so compaction provably rewrites),
+    and all three commit versions read back through the engine's
+    ``read_table_at`` time travel.  Day-level rollups of every era
+    must hash-match SQL that recomputes each era from the split
+    boundary: era 1 = first batch, era 2 = both, era 3 = post-OPTIMIZE
+    (byte-shuffling only, identical rows to era 2).  Ingest volume is
+    CALENDAR-bounded (≤744 hour buckets at any SF), so the
+    driver-side dict hand-off is scaffolding-cheap at every scale; the
+    era aggregation happens in the RETURNED plan (JVM-side), not at
+    build time.  The engine-on-txn DOWNSAMPLE equivalence (conflicted
+    tail-bucket upsert landing as one snapshot-isolated overwrite
+    commit, TXN_AGG) is pinned exactly in tests/test_txn_points.py —
+    a full ingest→downsample→read cycle is ~40 driver-jobs and
+    container job latency would put it far outside the per-query
+    bench gate, so the gate carries the ops surface and pytest
+    carries the downsample algebra.  Non-vacuous asserts pin one
+    commit per batch, a real OPTIMIZE rewrite, and exact commit
+    versioning.  Builder runs Spark jobs (same exemption family as
+    q170)."""
+    import datetime as _dtm
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+    from functools import reduce as _reduce
+
+    from .. import txnlog as TL
+    from ..api import Datastream
+
+    _UTC = _dtm.timezone.utc
+    base = _os.path.join(
+        _tmp.gettempdir(),
+        "q182_" + _hl.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    _sh.rmtree(base, ignore_errors=True)
+
+    hourly = sorted(
+        (r["hb"], r["v"])
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("hour", "ts").alias("hb"))
+        .agg(F.sum("value").alias("v"))
+        .collect()
+    )
+    split = _dtm.datetime(2024, 1, 16, 12)
+
+    engine = Datastream(spark, _os.path.join(base, "store"))
+    engine.tables.TXN_POINTS = True
+    sid = engine.ensure_stream(
+        {"title": "hourly-total"}, highest_granularity="hours"
+    )
+    for phase in (0, 1):
+        rows = [
+            {
+                "stream_id": sid,
+                "timestamp": hb.replace(tzinfo=_UTC),
+                "value": float(v),
+            }
+            for hb, v in hourly
+            if (hb < split) == (phase == 0)
+        ]
+        if not rows:
+            raise AssertionError("q182 needs data on both sides of the split")
+        engine.append_multiple(rows)
+
+    root = engine.tables.points_raw_path
+    if not TL.is_txn_table(root) or TL.latest_version(root) != 2:
+        raise AssertionError("q182: each append batch must be one commit")
+    rewritten = engine.tables.compact_points_raw()
+    if rewritten < 2:
+        raise AssertionError(
+            "q182: OPTIMIZE must rewrite the split day's two batch files"
+        )
+    ops = [
+        r["op"] for r in TL.txn_history(spark, root).collect()
+    ]
+    if ops.count("append") != 2 or "optimize" not in ops:
+        raise AssertionError(f"q182: unexpected commit history {ops}")
+
+    eras = [
+        engine.tables.read_table_at("points_raw", v)
+        .groupBy(
+            F.lit(v).cast("long").alias("ver"),
+            F.date_trunc("day", "ts").alias("b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.round(F.sum("value"), 4).alias("s"),
+        )
+        for v in (1, 2, 3)
+    ]
+    return _reduce(lambda a, b: a.unionByName(b), eras).orderBy("ver", "b")

@@ -79,7 +79,8 @@ def test_declaring_queries_runs_no_jobs(spark):
               "q176_txn_schema_evolution",
               "q177_txn_optimize_vacuum",
               "q178_txn_metadata_count", "q179_txn_time_travel",
-              "q180_txn_bloom_lookup", "q181_txn_replace_where"}
+              "q180_txn_bloom_lookup", "q181_txn_replace_where",
+              "q182_engine_on_txn"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
