@@ -7754,7 +7754,10 @@ def q182(spark, sf_dir):
         ]
         if not rows:
             raise AssertionError("q182 needs data on both sides of the split")
-        engine.append_multiple(rows)
+        # rows are sorted hour buckets; skipping the monotonicity probe
+        # saves one validation job per batch (T1 stays pinned by q27 and
+        # the api tests — this query pins the COMMIT protocol)
+        engine.append_multiple(rows, check_timestamp=False)
 
     root = engine.tables.points_raw_path
     if not TL.is_txn_table(root) or TL.latest_version(root) != 2:

@@ -333,3 +333,59 @@ def test_agg_upsert_snapshot_keeps_pre_upsert_readers_safe(spark, tmp_path):
     v = t._current_version("points_agg")
     upsert([_agg_row("s", "hours", base + dt.timedelta(hours=9), 9.0)])
     assert t._current_version("points_agg") == v
+
+
+def test_local_rows_df_is_arrow_local_and_faithful(spark):
+    """Every bounded driver-side frame must be an Arrow LocalTableScan,
+    never a pickled-RDD ExistingRDD scan: an ExistingRDD inside a WRITE
+    plan (even as a broadcast join input) costs a fresh Python worker
+    per task (~5 s/write measured in this container; BENCH_NOTES.md
+    round 6). Pins plan shape AND value fidelity for the tricky types
+    the metadata tables carry (arrays, maps, tz-aware + naive
+    timestamps, None)."""
+    import datetime as dt
+
+    from django_datastream_spark.storage import (
+        STREAMS_LOG_SCHEMA,
+        local_rows_df,
+    )
+
+    utc = dt.timezone.utc
+    rows = [
+        {
+            "stream_id": "s1",
+            "value_type": "numeric",
+            "highest_granularity": "hours",
+            "value_downsamplers": ["mean", "count"],
+            "time_downsamplers": ["mean"],
+            "derived_from": None,
+            "derive_op": None,
+            "derive_args": None,
+            "tags": "{}",
+            "tags_flat": {"title": "x"},
+            "earliest_ts": dt.datetime(2024, 1, 1, tzinfo=utc),
+            "latest_ts": None,
+            "downsampled_until": {"days": dt.datetime(2024, 1, 2)},
+            "_v": 7,
+            "_deleted": False,
+        }
+    ]
+    df = local_rows_df(spark, rows, STREAMS_LOG_SCHEMA)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan and "ExistingRDD" not in plan
+    got = df.collect()[0].asDict(recursive=True)
+    assert got["value_downsamplers"] == ["mean", "count"]
+    assert got["tags_flat"] == {"title": "x"}
+    assert got["earliest_ts"] == dt.datetime(2024, 1, 1)
+    assert got["latest_ts"] is None
+    assert got["downsampled_until"] == {"days": dt.datetime(2024, 1, 2)}
+    assert got["_v"] == 7 and got["_deleted"] is False
+
+    # tuple rows + string schema + empty input
+    t = local_rows_df(
+        spark, [("a", 1), ("b", None)], "k string, n long"
+    )
+    assert "LocalTableScan" in t._jdf.queryExecution().executedPlan().toString()
+    assert [(r["k"], r["n"]) for r in t.collect()] == [("a", 1), ("b", None)]
+    empty = local_rows_df(spark, [], "k string, n long")
+    assert empty.count() == 0 and [f.name for f in empty.schema.fields] == ["k", "n"]
