@@ -407,103 +407,82 @@ class Datastream:
 
         self.tables.append_points_raw(batch)
 
-        # advance earliest/latest: MERGE only the touched stream rows
-        bounds = {
-            r["stream_id"]: (r["mn"], r["mx"])
-            for r in batch.groupBy("stream_id")
-            .agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
-            .collect()
-        }
-        changed = []
-        for sid, (mn, mx) in bounds.items():
-            s = dict(metas[sid])
-            s["earliest_ts"] = (
-                mn if s["earliest_ts"] is None else min(s["earliest_ts"], mn)
+        # Stream-metadata maintenance is a DATAFRAME PLAN, the same
+        # stats-⋈-streams merge the streaming path runs (ingest.py) —
+        # never a per-touched-stream driver loop. earliest/latest
+        # advance via least/greatest; the WATERMARK ROLLBACK (finality
+        # healing for late-landing data — check_timestamp=False on the
+        # stream itself, or the stream feeding a DERIVED stream whose
+        # old slots a late point retroactively changes) lowers each
+        # granularity's downsampled_until to the bucket of the
+        # earliest new point, all inside transform_values. Dependent
+        # derived streams get their floor by exploding derived_from
+        # and joining against the batch stats — so a batch appending
+        # to multiple sources of one derived stream takes the MIN
+        # source floor in one hash-agg, the elementwise-min contract
+        # the old driver merge enforced by hand. Nothing stream-count-
+        # sized crosses the driver. Known edge (unchanged): a bucket
+        # whose rows ALL vanish under the recompute re-emits nothing,
+        # so its stale aggregate row survives — upsert has no delete
+        # clause; operators/merge.merge_into(when_matched='delete') is
+        # the general repair tool if that case matters.
+        from .streaming.ingest import _bucket_by_name
+
+        stats = batch.groupBy("stream_id").agg(
+            F.min("ts").alias("_mn"), F.max("ts").alias("_mx")
+        )
+        streams_df = self._streams()
+        # rollback floor per affected stream: its own batch min, plus
+        # (for derived streams) the min over its sources' batch mins
+        dep_floor = (
+            streams_df.filter(F.col("derive_op").isNotNull())
+            .select("stream_id", F.explode("derived_from").alias("_src"))
+            .join(
+                stats.select(
+                    F.col("stream_id").alias("_src"), F.col("_mn")
+                ),
+                "_src",
             )
-            s["latest_ts"] = mx if s["latest_ts"] is None else max(s["latest_ts"], mx)
-            changed.append(s)
-
-        # WATERMARK ROLLBACK — finality healing for late-landing data.
-        # Two ways a new point can land below an already-advanced
-        # aggregate watermark: (a) this batch used check_timestamp=False
-        # on the appended stream itself; (b) the appended stream feeds a
-        # DERIVED stream (e.g. counter_derivative's reset source — a
-        # monotonic reset append can still precede the data source's
-        # frontier and retroactively change old derived slots). In both
-        # cases the affected stream's downsampled_until entries roll
-        # back to the bucket of the earliest new point, so the next
-        # downsample run recomputes and RE-UPSERTS those buckets instead
-        # of points_agg silently diverging from raw. (Streaming-
-        # materialized derived slots heal on the next incremental batch
-        # or via backprocess_streams(materialize=True).) Known edge:
-        # a bucket whose rows ALL vanish under the recompute (a reset
-        # suppressing the bucket's only delta) re-emits nothing, so its
-        # stale aggregate row survives — upsert has no delete clause;
-        # operators/merge.merge_into(when_matched='delete') is the
-        # general repair tool if that case matters for a deployment.
-        dep_rows = [
-            r.asDict(recursive=True)
-            for r in self._streams()
-            .filter(F.col("derive_op").isNotNull())
-            .filter(
-                F.arrays_overlap(
-                    F.col("derived_from"),
-                    F.array(*[F.lit(x) for x in sids]),
-                )
+            .select("stream_id", "_mn")
+        )
+        floors = (
+            stats.select("stream_id", "_mn")
+            .unionByName(dep_floor)
+            .groupBy("stream_id")
+            .agg(F.min("_mn").alias("_floor"))
+        )
+        merged = (
+            streams_df.join(floors, "stream_id")
+            .join(stats, "stream_id", "left")  # _mn/_mx null on dep-only rows
+            .withColumn(
+                "earliest_ts",
+                F.least(
+                    F.coalesce(F.col("earliest_ts"), F.col("_mn")),
+                    F.col("_mn"),
+                ),
             )
-            .collect()  # bounded by derived-stream fan-in
-        ]
-        rollback: dict[str, dict] = {}
-
-        def _nv(t):
-            # stored map values collect back tz-naive (session UTC);
-            # normalize both sides before comparing
-            return t if t.tzinfo is None else t.astimezone(_UTC).replace(tzinfo=None)
-
-        def _roll(meta_row: dict, floor_ts) -> None:
-            wm = dict(meta_row.get("downsampled_until") or {})
-            hit = False
-            for gname, val in wm.items():
-                if val is None:
-                    continue
-                b = _nv(BY_NAME[gname].round_timestamp(floor_ts))
-                if b < _nv(val):
-                    wm[gname] = b
-                    hit = True
-            if hit:
-                rb = rollback.get(
-                    meta_row["stream_id"], dict(meta_row)
-                )
-                cur = rb.get("downsampled_until") or {}
-                # elementwise MIN of the accumulated floor and this
-                # roll's floor — a batch appending to MULTIPLE sources
-                # of one derived stream calls _roll once per source,
-                # and a later (higher) floor must never raise an
-                # earlier (lower) one back up, or the buckets between
-                # the two floors stay stale
-                merged = dict(cur)
-                for g, v in wm.items():
-                    c = merged.get(g)
-                    merged[g] = (
-                        min(c, v) if c is not None and v is not None else v
-                    )
-                rb["downsampled_until"] = merged
-                rollback[meta_row["stream_id"]] = rb
-
-        for sid, (mn, _mx) in bounds.items():
-            _roll(metas[sid], mn)
-            for d in dep_rows:
-                if sid in (d.get("derived_from") or []):
-                    _roll(d, mn)
-        # merge rollbacks into the same upsert batch (self rows) or add
-        # dependent rows alongside
-        by_id = {c["stream_id"]: c for c in changed}
-        for sid, rb in rollback.items():
-            if sid in by_id:
-                by_id[sid]["downsampled_until"] = rb["downsampled_until"]
-            else:
-                changed.append(rb)
-        self.tables.upsert_streams(changed)
+            .withColumn(
+                "latest_ts",
+                F.greatest(
+                    F.coalesce(F.col("latest_ts"), F.col("_mx")),
+                    F.col("_mx"),
+                ),
+            )
+            # least() would SKIP nulls, so never-downsampled (null)
+            # entries are explicitly preserved — a floor on a never-run
+            # granularity would wrongly mark unseen history final
+            .withColumn(
+                "downsampled_until",
+                F.transform_values(
+                    "downsampled_until",
+                    lambda g, v: F.when(v.isNull(), v).otherwise(
+                        F.least(v, _bucket_by_name(g, F.col("_floor")))
+                    ),
+                ),
+            )
+            .drop("_mn", "_mx", "_floor")
+        )
+        self.tables.upsert_streams_df(merged)
 
     # ------------------------------------------------------------------
     # derived streams as computed views (W1–W4)

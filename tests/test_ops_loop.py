@@ -275,3 +275,124 @@ def test_wide_batch_metadata_stays_plan_side(spark, tmp_path, monkeypatch):
     assert m["latest_ts"] == (T0 + dt.timedelta(seconds=100)).replace(
         tzinfo=None
     )
+
+
+def test_wide_append_multiple_metadata_stays_plan_side(
+    spark, tmp_path, monkeypatch
+):
+    """Batch-facade twin of the streaming guard above (VERDICT r6 #2):
+    ``api.append_multiple`` must merge earliest/latest/finality through
+    ``upsert_streams_df`` (stats ⋈ streams plan), never via an
+    ``upsert_streams`` list sized by the batch's distinct stream count.
+    Also pins the derived-stream rollback staying plan-side: a source
+    append landing below a derived stream's finality floor lowers that
+    floor through the exploded derived_from join, with no dep-row
+    collect."""
+    from django_datastream_spark import storage as storage_mod
+
+    engine = Datastream(spark, str(tmp_path / "store"))
+    n = 1500
+    sids = [f"bat-{i:05d}" for i in range(n)]
+    engine.tables.upsert_streams(
+        [
+            {
+                "stream_id": s,
+                "value_type": "numeric",
+                "highest_granularity": "seconds",
+                "value_downsamplers": ["mean", "count"],
+                "time_downsamplers": ["first", "last"],
+                "derived_from": None,
+                "derive_op": None,
+                "derive_args": None,
+                "tags": "{}",
+                "tags_flat": {},
+                "earliest_ts": None,
+                "latest_ts": None,
+                "downsampled_until": None,
+            }
+            for s in sids
+        ]
+    )
+
+    calls = {"dict": [], "df": 0}
+    orig_list = storage_mod.Tables.upsert_streams
+    orig_df = storage_mod.Tables.upsert_streams_df
+
+    def spy_list(self, rows):
+        calls["dict"].append(len(rows))
+        return orig_list(self, rows)
+
+    def spy_df(self, df):
+        calls["df"] += 1
+        return orig_df(self, df)
+
+    monkeypatch.setattr(storage_mod.Tables, "upsert_streams", spy_list)
+    monkeypatch.setattr(storage_mod.Tables, "upsert_streams_df", spy_df)
+
+    engine.append_multiple(
+        [
+            {
+                "stream_id": s,
+                "value": float(i),
+                "timestamp": T0 + dt.timedelta(seconds=i % 7),
+            }
+            for i, s in enumerate(sids)
+        ]
+    )
+    assert calls["df"] == 1
+    assert all(c < 100 for c in calls["dict"]), calls["dict"]
+
+    sample = {s: i for i, s in enumerate(sids) if i % 400 == 0}
+    metas = {
+        r["stream_id"]: r
+        for r in engine._streams()
+        .filter(F.col("stream_id").isin(list(sample)))
+        .collect()
+    }
+    for s, i in sample.items():
+        want = (T0 + dt.timedelta(seconds=i % 7)).replace(tzinfo=None)
+        assert metas[s]["earliest_ts"] == want
+        assert metas[s]["latest_ts"] == want
+
+    # derived-stream rollback through the plan: downsample to advance
+    # the derived stream's floor, then append a LATE point to its
+    # source with check_timestamp=False — the derived stream's
+    # downsampled_until must roll back to the late bucket
+    src, drv_src = sids[0], sids[1]
+    drv = engine.ensure_stream(
+        {"name": "drv-roll"},
+        value_downsamplers=["mean", "count"],
+        highest_granularity="seconds",
+        derive_from=[src],
+        derive_op="sum",
+    )
+    engine.append_multiple(
+        [
+            {
+                "stream_id": src,
+                "value": 5.0,
+                "timestamp": T0 + dt.timedelta(hours=2),
+            }
+        ]
+    )
+    engine.downsample_streams(until=T0 + dt.timedelta(hours=3))
+    before = (
+        engine._streams().filter(F.col("stream_id") == drv).collect()[0]
+    )["downsampled_until"]
+    assert any(v is not None for v in (before or {}).values())
+    engine.append_multiple(
+        [
+            {
+                "stream_id": src,
+                "value": 1.0,
+                "timestamp": T0 + dt.timedelta(minutes=30),
+            }
+        ],
+        check_timestamp=False,
+    )
+    after = (
+        engine._streams().filter(F.col("stream_id") == drv).collect()[0]
+    )["downsampled_until"]
+    for g, v in (after or {}).items():
+        if before.get(g) is not None:
+            assert v <= before[g], (g, v, before[g])
