@@ -12,7 +12,14 @@ emulates with a coordinator on S3):
   REMOVES, the operation kind, and the partition values it touched.
 - ``checkpoint-v0000000040.json`` — full snapshot every
   ``CHECKPOINT_EVERY`` commits so readers fold O(10) tail commits, not
-  the whole history (Delta's parquet checkpoint, JSON here).
+  the whole history. Small tables inline the file list in the JSON;
+  past :data:`PARQUET_CHECKPOINT_AT` live files the list moves to a
+  sibling PARQUET checkpoint (one row per live file: rel + stats + dv,
+  Delta's parquet checkpoint) that loads as a columnar scan — and the
+  fold itself stays an Arrow table end to end (:func:`_fold_arrow`),
+  with data skipping executed as a distributed Spark job past
+  :data:`DISTRIBUTED_PRUNE_AT` files, so neither the checkpoint parse
+  nor the prune is ever an O(n_files) driver-Python loop.
 
 Commit protocol (``commit``): write the payload to a temp file, then
 ``os.link`` it to the target version name — link fails atomically if a
@@ -89,6 +96,19 @@ from .operators.merge import _local_root
 
 TXN_DIR = "_txn_log"
 CHECKPOINT_EVERY = 10
+# Live-file count at which checkpoints switch from inline JSON to a
+# sibling PARQUET file (one row per live file: rel + stats/dv as JSON
+# strings).  Delta's parquet checkpoint exists for the same reason: at
+# millions of files a single JSON blob is a multi-GB driver parse per
+# cold read, while a parquet checkpoint loads as a columnar scan and
+# (above DISTRIBUTED_PRUNE_AT) prunes as a distributed job.  Below the
+# threshold the legacy inline-JSON checkpoint is still written — both
+# formats stay readable forever.
+PARQUET_CHECKPOINT_AT = 512
+# Snapshot file count at which txn_read's data skipping runs as a
+# Spark mapInPandas job (stats + bloom + partition tests executor-side,
+# only SURVIVORS returned to the driver) instead of a driver loop.
+DISTRIBUTED_PRUNE_AT = 10_000
 # data skipping indexes the FIRST N leaf columns (schema order), like
 # Delta's dataSkippingNumIndexedCols: on a 1000-column table, per-file
 # stats for every column would bloat each commit entry (and checkpoint)
@@ -547,18 +567,48 @@ def txn_set_schema(table_root: str, schema, writer: str = "") -> int:
     )
 
 
-def _fold(
-    table_root: str, version: int | None = None
-) -> tuple[int, dict[str, dict | None], dict[str, list[dict]]]:
-    """One checkpoint-bounded log fold: (version, file → stats,
-    file → deletion-vector entries)."""
+_FILES_SCHEMA = None  # lazily built pyarrow schema (import cost)
+
+
+def _files_schema():
+    global _FILES_SCHEMA
+    if _FILES_SCHEMA is None:
+        import pyarrow as pa
+
+        _FILES_SCHEMA = pa.schema(
+            [
+                ("rel", pa.string()),
+                ("stats", pa.string()),  # JSON per-file stats, or null
+                ("dv", pa.string()),  # JSON deletion-vector entries, or null
+            ]
+        )
+    return _FILES_SCHEMA
+
+
+def _fold_arrow(table_root: str, version: int | None = None):
+    """The SCALE-PATH fold: (version, pyarrow.Table[rel, stats, dv])
+    with stats/dv as JSON strings (null = none).  The checkpoint loads
+    as one columnar parquet read (or, for legacy inline-JSON
+    checkpoints, one parse) and each tail commit applies as a
+    vectorized is_in mask plus a Python rebuild of ONLY the rows that
+    commit touched — so fold cost is O(tail activity) in Python and
+    O(live files) only in Arrow, never an O(n_files) Python loop.
+    Everything metadata-shaped (txn_read, checkpoint writing, the dict
+    compat :func:`_fold`) builds on this."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    schema = _files_schema()
     log = _log_dir(table_root)
     head = latest_version(table_root)
     v = head if version is None else version
     if v > head:
         raise ValueError(f"version {v} > latest {head}")
-    start, files = 0, {}
-    dv: dict[str, list[dict]] = {}
+    start = 0
+    tbl = pa.Table.from_pydict(
+        {"rel": [], "stats": [], "dv": []}, schema=schema
+    )
     try:
         cps = [
             int(n[len("checkpoint-v"):-5])
@@ -572,28 +622,120 @@ def _fold(
         start = max(usable)
         with open(os.path.join(log, f"checkpoint-v{start:010d}.json")) as f:
             cp = json.load(f)
-        cp_stats = cp.get("stats") or {}
-        files = {f: cp_stats.get(f) for f in cp["files"]}
-        dv = {f: list(es) for f, es in (cp.get("dv") or {}).items()}
+        fp = cp.get("files_parquet")
+        if fp:
+            tbl = pq.read_table(os.path.join(log, fp))
+        else:
+            rels = cp["files"]
+            cp_stats = cp.get("stats") or {}
+            cp_dv = cp.get("dv") or {}
+            tbl = pa.Table.from_pydict(
+                {
+                    "rel": rels,
+                    "stats": [
+                        json.dumps(cp_stats[f]) if cp_stats.get(f) else None
+                        for f in rels
+                    ],
+                    "dv": [
+                        json.dumps(cp_dv[f]) if cp_dv.get(f) else None
+                        for f in rels
+                    ],
+                },
+                schema=schema,
+            )
     for i in range(start + 1, v + 1):
         c = _read_commit(table_root, i)
-        for f in c["removes"]:
+        removes = set(c["removes"])
+        restat = c.get("restat") or {}
+        deletes = c.get("deletes") or {}
+        adds = c["adds"]
+        touched = removes | set(restat) | set(deletes) | set(adds)
+        if not touched:
+            continue
+        mask = pc.is_in(
+            tbl.column("rel"),
+            value_set=pa.array(sorted(touched), pa.string()),
+        )
+        keepers = tbl.filter(pc.invert(mask))
+        sub = tbl.filter(mask)
+        # rebuild the touched rows with EXACTLY the dict-fold
+        # semantics, in its order: removes → adds → restat → deletes
+        files: dict[str, str | None] = {}
+        dvm: dict[str, str | None] = {}
+        for rel, st_j, dv_j in zip(
+            sub.column("rel").to_pylist(),
+            sub.column("stats").to_pylist(),
+            sub.column("dv").to_pylist(),
+        ):
+            files[rel] = st_j
+            dvm[rel] = dv_j
+        for f in removes:
             files.pop(f, None)
-            dv.pop(f, None)  # rewrite supersedes the vector
+            dvm.pop(f, None)  # rewrite supersedes the vector
         c_stats = c.get("stats") or {}
-        for f in c["adds"]:
-            files[f] = c_stats.get(f)
-        for f, s in (c.get("restat") or {}).items():
+        for f in adds:
+            files[f] = (
+                json.dumps(c_stats[f]) if c_stats.get(f) else None
+            )
+        for f, s in restat.items():
             # ANALYZE backfill: stats recorded after the fact for a
-            # still-live file (adopted tables, legacy stat-less
-            # commits); never overrides commit-time stats
+            # still-live file; never overrides commit-time stats
             if f in files and files[f] is None:
-                files[f] = s
-        for f, e in (c.get("deletes") or {}).items():
-            # a value is one sidecar entry, or (restore commits) the
-            # whole reinstated entry list for that file
-            dv.setdefault(f, []).extend(e if isinstance(e, list) else [e])
-    return v, files, dv
+                files[f] = json.dumps(s)
+        for f, e in deletes.items():
+            if f not in files:
+                continue  # vector on a non-live file: meaningless
+            cur = json.loads(dvm.get(f) or "null") or []
+            cur.extend(e if isinstance(e, list) else [e])
+            dvm[f] = json.dumps(cur)
+        if files:
+            add_tbl = pa.Table.from_pydict(
+                {
+                    "rel": list(files),
+                    "stats": [files[f] for f in files],
+                    "dv": [dvm.get(f) for f in files],
+                },
+                schema=schema,
+            )
+            tbl = pa.concat_tables([keepers, add_tbl])
+        else:
+            tbl = keepers
+    return v, tbl
+
+
+def _dv_from_arrow(tbl) -> dict[str, list[dict]]:
+    """file → deletion-vector entries from a fold table — vectorized
+    null filter first, so the Python cost is bounded by the DV'd file
+    count (row-level-op activity), not table size."""
+    import pyarrow.compute as pc
+
+    sub = tbl.filter(pc.is_valid(tbl.column("dv")))
+    out = {}
+    for rel, dv_j in zip(
+        sub.column("rel").to_pylist(), sub.column("dv").to_pylist()
+    ):
+        es = json.loads(dv_j)
+        if es:
+            out[rel] = es
+    return out
+
+
+def _fold(
+    table_root: str, version: int | None = None
+) -> tuple[int, dict[str, dict | None], dict[str, list[dict]]]:
+    """One checkpoint-bounded log fold: (version, file → stats,
+    file → deletion-vector entries).  The DICT compat view of
+    :func:`_fold_arrow` — right for the metadata-sized ops that need
+    per-file Python anyway (vacuum walks the directory, restore diffs
+    two snapshots, clone links every file); the scan path (txn_read)
+    stays on the Arrow table and never builds these dicts."""
+    v, tbl = _fold_arrow(table_root, version)
+    files: dict[str, dict | None] = {}
+    for rel, st_j in zip(
+        tbl.column("rel").to_pylist(), tbl.column("stats").to_pylist()
+    ):
+        files[rel] = json.loads(st_j) if st_j else None
+    return v, files, _dv_from_arrow(tbl)
 
 
 def _stat_value(v):
@@ -1198,30 +1340,56 @@ def _raw_commit(table_root: str, v: int, payload: dict) -> None:
         # A missing checkpoint only means longer folds until the next
         # multiple of CHECKPOINT_EVERY.
         try:
-            _, m, dv = _fold(table_root, v)
+            _, tbl = _fold_arrow(table_root, v)
+            header = {
+                "version": v,
+                # writer-app watermarks must survive the fold
+                # horizon or a long-stopped stream could replay
+                # a pre-checkpoint batch
+                "app_txns": app_txn_watermarks(table_root, v),
+                # the schema must survive the fold horizon too
+                "schema": table_schema_json(table_root, v),
+                "constraints": table_constraints(table_root, v),
+                "bloom_cols": table_bloom_cols(table_root, v),
+            }
+            if tbl.num_rows >= PARQUET_CHECKPOINT_AT:
+                # PARQUET checkpoint: one row per live file (rel +
+                # stats/dv JSON) built vectorized from the previous
+                # checkpoint + tail, never an O(n_files) Python loop.
+                # `.pq` (not `.parquet`) so vacuum's data-file walk
+                # can never mistake it for an orphaned data file.
+                # Write order is parquet THEN header (which references
+                # it): a crash between leaves an unreferenced sidecar
+                # next to a still-valid older checkpoint — readers are
+                # unaffected, and checkpoint content is a pure fold,
+                # so any writer regenerates it at the next multiple.
+                import pyarrow.parquet as pq
+
+                fp = f"checkpoint-v{v:010d}.files.pq"
+                fptmp = os.path.join(
+                    log, f".{fp}.tmp-{uuid.uuid4().hex[:8]}"
+                )
+                pq.write_table(tbl, fptmp)
+                os.replace(fptmp, os.path.join(log, fp))
+                header["files_parquet"] = fp
+            else:
+                # legacy inline-JSON checkpoint (small tables): stats
+                # and deletion vectors ride through checkpoints or
+                # pruning/deletes would silently stop applying at the
+                # first fold
+                files: dict[str, dict | None] = {}
+                for rel, st_j in zip(
+                    tbl.column("rel").to_pylist(),
+                    tbl.column("stats").to_pylist(),
+                ):
+                    files[rel] = json.loads(st_j) if st_j else None
+                header["files"] = sorted(files)
+                header["stats"] = {k: s for k, s in files.items() if s}
+                header["dv"] = _dv_from_arrow(tbl)
             cp = os.path.join(log, f"checkpoint-v{v:010d}.json")
             cptmp = cp + f".tmp-{uuid.uuid4().hex}"
             with open(cptmp, "w") as f:
-                json.dump(
-                    {
-                        "version": v,
-                        "files": sorted(m),
-                        # stats and deletion vectors ride through
-                        # checkpoints or pruning/deletes would silently
-                        # stop applying at the first fold
-                        "stats": {k: s for k, s in m.items() if s},
-                        "dv": {k: es for k, es in dv.items() if es},
-                        # writer-app watermarks must survive the fold
-                        # horizon or a long-stopped stream could replay
-                        # a pre-checkpoint batch
-                        "app_txns": app_txn_watermarks(table_root, v),
-                        # the schema must survive the fold horizon too
-                        "schema": table_schema_json(table_root, v),
-                        "constraints": table_constraints(table_root, v),
-                        "bloom_cols": table_bloom_cols(table_root, v),
-                    },
-                    f,
-                )
+                json.dump(header, f)
             os.replace(cptmp, cp)
         except OSError:
             pass
@@ -1469,6 +1637,98 @@ def _read_files(
     return df
 
 
+def _prune_arrow_local(
+    table_root: str, tbl, where_norm: dict
+) -> tuple[list[str], dict[str, list[dict]]]:
+    """Driver-side prune over the Arrow fold table (small snapshots):
+    same per-file keep test, stats JSON parsed lazily per row, dv
+    parsed only for survivors."""
+    root = _local_root(table_root)
+    cache: dict = {}
+    kept, dv = [], {}
+    for rel, st_j, dv_j in zip(
+        tbl.column("rel").to_pylist(),
+        tbl.column("stats").to_pylist(),
+        tbl.column("dv").to_pylist(),
+    ):
+        stats = json.loads(st_j) if st_j else None
+        if _keep_file(root, rel, stats, where_norm, cache):
+            kept.append(rel)
+            if dv_j:
+                es = json.loads(dv_j)
+                if es:
+                    dv[rel] = es
+    return sorted(kept), dv
+
+
+def _prune_arrow_distributed(
+    spark: SparkSession, table_root: str, tbl, where_norm: dict
+) -> tuple[list[str], dict[str, list[dict]]]:
+    """Data skipping as a SPARK JOB (snapshots past
+    :data:`DISTRIBUTED_PRUNE_AT`): the fold table ships to executors
+    via Arrow, each task runs the same conservative keep test —
+    min/max stats, hive partition dirs, and bloom sidecars (opened
+    executor-side, so the point-lookup index reads in parallel too) —
+    and ONLY SURVIVORS return to the driver. The full live-file list
+    never materializes in driver Python; driver cost is bounded by the
+    post-prune file count, which is what the scan needs anyway."""
+    import math
+
+    root = _local_root(table_root)
+    # the _IN sentinel is identity-compared; ship a neutral encoding
+    # and rebuild against the executor's own module instance
+    ser = {
+        c: (("in", list(b[1])) if b[0] is _IN else ("range", b[0], b[1]))
+        for c, b in where_norm.items()
+    }
+
+    def _task(batches):
+        import json as _json
+
+        import pandas as _pd
+
+        from django_datastream_spark import txnlog as TL
+
+        wn = {
+            c: (
+                (TL._IN, tuple(s[1]))
+                if s[0] == "in"
+                else (s[1], s[2])
+            )
+            for c, s in ser.items()
+        }
+        cache: dict = {}
+        for pdf in batches:
+            keep_rel, keep_dv = [], []
+            for rel, st_j, dv_j in zip(
+                pdf["rel"], pdf["stats"], pdf["dv"]
+            ):
+                stats = (
+                    _json.loads(st_j)
+                    if isinstance(st_j, str) and st_j
+                    else None
+                )
+                if TL._keep_file(root, rel, stats, wn, cache):
+                    keep_rel.append(rel)
+                    keep_dv.append(
+                        dv_j if isinstance(dv_j, str) else None
+                    )
+            yield _pd.DataFrame({"rel": keep_rel, "dv": keep_dv})
+
+    n = tbl.num_rows
+    fdf = spark.createDataFrame(tbl.to_pandas()).repartition(
+        max(8, min(1024, math.ceil(n / 20_000)))
+    )
+    kept, dv = [], {}
+    for r in fdf.mapInPandas(_task, "rel string, dv string").collect():
+        kept.append(r["rel"])
+        if r["dv"]:
+            es = json.loads(r["dv"])
+            if es:
+                dv[r["rel"]] = es
+    return sorted(kept), dv
+
+
 def txn_read(
     spark: SparkSession,
     table_root: str,
@@ -1498,19 +1758,20 @@ def txn_read(
     none, the read is directed through the schema as of ``version`` —
     pre-evolution files null-fill added columns with no mergeSchema
     footer sweep, and time travel sees the schema of its era."""
-    v, m, dv = _fold(table_root, version)
+    v, tbl = _fold_arrow(table_root, version)
     if schema is None:
         schema = table_schema(table_root, v)
-    files = sorted(m)
     if where:
         where = _norm_where(where)
-        root = _local_root(table_root)
-        bloom_cache: dict = {}
-        files = [
-            f
-            for f in files
-            if _keep_file(root, f, m[f], where, bloom_cache)
-        ]
+        if tbl.num_rows >= DISTRIBUTED_PRUNE_AT:
+            files, dv = _prune_arrow_distributed(
+                spark, table_root, tbl, where
+            )
+        else:
+            files, dv = _prune_arrow_local(table_root, tbl, where)
+    else:
+        files = sorted(tbl.column("rel").to_pylist())
+        dv = _dv_from_arrow(tbl)
     if not files:
         if schema is None:
             raise ValueError(

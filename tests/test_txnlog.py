@@ -359,7 +359,7 @@ def test_checkpoint_failure_does_not_fail_landed_commit(
     def boom(*a, **k):
         raise OSError("disk full during checkpoint")
 
-    monkeypatch.setattr(TL, "_fold", boom)
+    monkeypatch.setattr(TL, "_fold_arrow", boom)
     v = TL.commit(
         path, [], [], "append", [], base_version=TL.CHECKPOINT_EVERY - 1
     )
