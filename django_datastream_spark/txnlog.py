@@ -121,6 +121,119 @@ class CommitConflictError(RuntimeError):
     the read-compute-write cycle against the current snapshot."""
 
 
+class LogStore:
+    """Pluggable I/O for the COMMIT LOG (Delta's LogStore seam) — the
+    one integration point an object-store deployment replaces.
+
+    The protocol's entire mutual-exclusion burden rests on
+    :meth:`put_if_absent`: atomically publish COMPLETE content at a
+    path iff nothing exists there, raising ``FileExistsError`` when a
+    rival already took the name (a torn or partial file must never
+    become visible).  Everything else is plain read/list/overwrite of
+    metadata-sized objects.
+
+    Contracts per backend:
+
+    - **Local / HDFS / ABFS** (:class:`LocalLogStore`, the default):
+      create-exclusive via hard-link from a temp file — these
+      filesystems provide atomic create-if-absent natively.
+    - **S3**: implement ``put_if_absent`` as a conditional PUT with
+      ``If-None-Match: *`` (supported natively since late 2024 —
+      a 412 response maps to ``FileExistsError``); ``list`` via
+      ListObjectsV2 (strongly consistent); ``put_atomic`` is a plain
+      PUT (single-object puts are atomic).  Before conditional PUT,
+      the standard recipe was an external coordinator holding the
+      name→winner mapping (Delta's S3DynamoDBLogStore); such a
+      coordinator also satisfies this interface.
+
+    Scope: the seam covers the LOG (commit files + checkpoints) — the
+    race-sensitive part of the protocol.  Data-file staging and vacuum
+    walk the table filesystem directly; on an object store those are
+    plain unique-name puts/deletes (no atomicity needed beyond one
+    object) wired through Spark's own Hadoop filesystem layer.
+    """
+
+    def list(self, dirpath: str) -> list[str]:
+        """Names in ``dirpath`` ([] when it doesn't exist)."""
+        raise NotImplementedError
+
+    def read(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        """Atomically create ``path`` with ``data`` iff absent; raise
+        ``FileExistsError`` if a rival won the name. THE commit point."""
+        raise NotImplementedError
+
+    def put_atomic(self, path: str, data: bytes) -> None:
+        """Atomically (over)write ``path`` — for derived, idempotent
+        artifacts (checkpoints), where last-writer-wins is correct."""
+        raise NotImplementedError
+
+
+class LocalLogStore(LogStore):
+    """Default store: POSIX rename/link semantics (local FS; HDFS and
+    ABFS honor the same create-exclusive contract)."""
+
+    def list(self, dirpath: str) -> list[str]:
+        try:
+            return os.listdir(dirpath)
+        except FileNotFoundError:
+            return []
+
+    def read(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        d = os.path.dirname(path)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        try:
+            # link fails atomically if a competing writer took the
+            # name, and the linked content is already complete
+            os.link(tmp, path)
+        finally:
+            os.unlink(tmp)
+
+    def put_atomic(self, path: str, data: bytes) -> None:
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+
+_LOG_STORE: LogStore = LocalLogStore()
+
+
+def get_log_store() -> LogStore:
+    return _LOG_STORE
+
+
+def set_log_store(store: LogStore) -> LogStore:
+    """Install a LogStore (returns the previous one, for restoring)."""
+    global _LOG_STORE
+    prev = _LOG_STORE
+    _LOG_STORE = store
+    return prev
+
+
+def _cp_list(log: str) -> list[int]:
+    """Checkpoint versions present in the log, via the store."""
+    return [
+        int(n[len("checkpoint-v"):-5])
+        for n in _LOG_STORE.list(log)
+        if n.startswith("checkpoint-v") and n.endswith(".json")
+    ]
+
+
+def _read_checkpoint(log: str, v: int) -> dict:
+    return json.loads(
+        _LOG_STORE.read(os.path.join(log, f"checkpoint-v{v:010d}.json"))
+    )
+
+
 def _log_dir(table_root: str) -> str:
     return os.path.join(_local_root(table_root), TXN_DIR)
 
@@ -187,19 +300,16 @@ def init_table(table_root: str) -> None:
 def latest_version(table_root: str) -> int:
     log = _log_dir(table_root)
     best = 0
-    try:
-        names = os.listdir(log)
-    except FileNotFoundError:
-        return 0
-    for n in names:
+    for n in _LOG_STORE.list(log):
         if n.startswith("v") and n.endswith(".json"):
             best = max(best, int(n[1:-5]))
     return best
 
 
 def _read_commit(table_root: str, v: int) -> dict:
-    with open(os.path.join(_log_dir(table_root), _vname(v))) as f:
-        return json.load(f)
+    return json.loads(
+        _LOG_STORE.read(os.path.join(_log_dir(table_root), _vname(v)))
+    )
 
 
 def snapshot(table_root: str, version: int | None = None) -> tuple[int, set[str]]:
@@ -241,19 +351,11 @@ def app_txn_watermarks(
     head = latest_version(table_root)
     v = head if version is None else version
     start, wm = 0, {}
-    try:
-        cps = [
-            int(n[len("checkpoint-v"):-5])
-            for n in os.listdir(log)
-            if n.startswith("checkpoint-v") and n.endswith(".json")
-        ]
-    except FileNotFoundError:
-        cps = []
+    cps = _cp_list(log)
     usable = [c for c in cps if c <= v]
     if usable:
         start = max(usable)
-        with open(os.path.join(log, f"checkpoint-v{start:010d}.json")) as f:
-            wm = dict(json.load(f).get("app_txns") or {})
+        wm = dict(_read_checkpoint(log, start).get("app_txns") or {})
     for i in range(start + 1, v + 1):
         c = _read_commit(table_root, i)
         at = c.get("app_txn")
@@ -279,14 +381,7 @@ def table_schema_json(table_root: str, version: int | None = None) -> str | None
     log = _log_dir(table_root)
     head = latest_version(table_root)
     v = head if version is None else version
-    try:
-        cps = [
-            int(n[len("checkpoint-v"):-5])
-            for n in os.listdir(log)
-            if n.startswith("checkpoint-v") and n.endswith(".json")
-        ]
-    except FileNotFoundError:
-        cps = []
+    cps = _cp_list(log)
     usable = [c for c in cps if c <= v]
     floor = max(usable) if usable else 0
     for i in range(v, floor, -1):
@@ -294,8 +389,7 @@ def table_schema_json(table_root: str, version: int | None = None) -> str | None
         if s:
             return s
     if floor:
-        with open(os.path.join(log, f"checkpoint-v{floor:010d}.json")) as f:
-            return json.load(f).get("schema")
+        return _read_checkpoint(log, floor).get("schema")
     return None
 
 
@@ -378,20 +472,12 @@ def table_constraints(
     log = _log_dir(table_root)
     head = latest_version(table_root)
     v = head if version is None else version
-    try:
-        cps = [
-            int(n[len("checkpoint-v"):-5])
-            for n in os.listdir(log)
-            if n.startswith("checkpoint-v") and n.endswith(".json")
-        ]
-    except FileNotFoundError:
-        cps = []
+    cps = _cp_list(log)
     usable = [c for c in cps if c <= v]
     floor = max(usable) if usable else 0
     out: dict[str, str] = {}
     if floor:
-        with open(os.path.join(log, f"checkpoint-v{floor:010d}.json")) as f:
-            out = dict(json.load(f).get("constraints") or {})
+        out = dict(_read_checkpoint(log, floor).get("constraints") or {})
     for i in range(floor + 1, v + 1):
         c = _read_commit(table_root, i)
         cc = c.get("constraint")
@@ -609,22 +695,16 @@ def _fold_arrow(table_root: str, version: int | None = None):
     tbl = pa.Table.from_pydict(
         {"rel": [], "stats": [], "dv": []}, schema=schema
     )
-    try:
-        cps = [
-            int(n[len("checkpoint-v"):-5])
-            for n in os.listdir(log)
-            if n.startswith("checkpoint-v") and n.endswith(".json")
-        ]
-    except FileNotFoundError:
-        cps = []
+    cps = _cp_list(log)
     usable = [c for c in cps if c <= v]
     if usable:
         start = max(usable)
-        with open(os.path.join(log, f"checkpoint-v{start:010d}.json")) as f:
-            cp = json.load(f)
+        cp = _read_checkpoint(log, start)
         fp = cp.get("files_parquet")
         if fp:
-            tbl = pq.read_table(os.path.join(log, fp))
+            tbl = pq.read_table(
+                pa.BufferReader(_LOG_STORE.read(os.path.join(log, fp)))
+            )
         else:
             rels = cp["files"]
             cp_stats = cp.get("stats") or {}
@@ -1278,20 +1358,12 @@ def table_bloom_cols(
     log = _log_dir(table_root)
     head = latest_version(table_root)
     v = head if version is None else version
-    try:
-        cps = [
-            int(n[len("checkpoint-v"):-5])
-            for n in os.listdir(log)
-            if n.startswith("checkpoint-v") and n.endswith(".json")
-        ]
-    except FileNotFoundError:
-        cps = []
+    cps = _cp_list(log)
     usable = [c for c in cps if c <= v]
     floor = max(usable) if usable else 0
     out: list[str] = []
     if floor:
-        with open(os.path.join(log, f"checkpoint-v{floor:010d}.json")) as f:
-            out = list(json.load(f).get("bloom_cols") or [])
+        out = list(_read_checkpoint(log, floor).get("bloom_cols") or [])
     for i in range(floor + 1, v + 1):
         bc = _read_commit(table_root, i).get("bloom_cols")
         if bc is not None:
@@ -1322,15 +1394,14 @@ def txn_set_bloom_cols(
 
 
 def _raw_commit(table_root: str, v: int, payload: dict) -> None:
-    """The atomic commit point: temp-write + hard-link CAS."""
+    """The atomic commit point, through the LogStore seam: the store's
+    ``put_if_absent`` IS the CAS (FileExistsError = lost race, handled
+    by :func:`commit`'s rebase loop)."""
     log = _log_dir(table_root)
-    tmp = os.path.join(log, f".tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w") as f:
-        json.dump(payload, f)
-    try:
-        os.link(tmp, os.path.join(log, _vname(v)))
-    finally:
-        os.unlink(tmp)
+    _LOG_STORE.put_if_absent(
+        os.path.join(log, _vname(v)),
+        json.dumps(payload).encode("utf-8"),
+    )
     if v % CHECKPOINT_EVERY == 0:
         # checkpoints are derived + idempotent (any writer may (re)write
         # one; content is a pure fold of commits <= v) and BEST-EFFORT:
@@ -1363,14 +1434,15 @@ def _raw_commit(table_root: str, v: int, payload: dict) -> None:
                 # next to a still-valid older checkpoint — readers are
                 # unaffected, and checkpoint content is a pure fold,
                 # so any writer regenerates it at the next multiple.
+                import pyarrow as pa
                 import pyarrow.parquet as pq
 
                 fp = f"checkpoint-v{v:010d}.files.pq"
-                fptmp = os.path.join(
-                    log, f".{fp}.tmp-{uuid.uuid4().hex[:8]}"
+                buf = pa.BufferOutputStream()
+                pq.write_table(tbl, buf)
+                _LOG_STORE.put_atomic(
+                    os.path.join(log, fp), buf.getvalue().to_pybytes()
                 )
-                pq.write_table(tbl, fptmp)
-                os.replace(fptmp, os.path.join(log, fp))
                 header["files_parquet"] = fp
             else:
                 # legacy inline-JSON checkpoint (small tables): stats
@@ -1386,11 +1458,10 @@ def _raw_commit(table_root: str, v: int, payload: dict) -> None:
                 header["files"] = sorted(files)
                 header["stats"] = {k: s for k, s in files.items() if s}
                 header["dv"] = _dv_from_arrow(tbl)
-            cp = os.path.join(log, f"checkpoint-v{v:010d}.json")
-            cptmp = cp + f".tmp-{uuid.uuid4().hex}"
-            with open(cptmp, "w") as f:
-                json.dump(header, f)
-            os.replace(cptmp, cp)
+            _LOG_STORE.put_atomic(
+                os.path.join(log, f"checkpoint-v{v:010d}.json"),
+                json.dumps(header).encode("utf-8"),
+            )
         except OSError:
             pass
 
