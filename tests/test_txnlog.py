@@ -2252,3 +2252,64 @@ def test_bloom_never_false_negative_across_types(spark, tmp_path):
         )
     )
     assert miss == len(m)
+
+
+def test_restore_past_bloom_rebuild_keeps_sidecar_era_correct(
+    spark, tmp_path
+):
+    """RESTORE past a bloom rebuild (VERDICT r6 #8): OPTIMIZE rewrites
+    the originals, a rebuild indexes the NEW files, then a restore
+    brings the OLD files back. Sidecars are path-mirrored to immutable
+    files, so each era's files carry their own-era filters — the
+    restored reader must prune through the old sidecars (pruning still
+    present, result exact) and never consult a new-era filter for an
+    old file."""
+    path = str(tmp_path / "t")
+    _interleaved_table(spark, path)
+    TL.txn_bloom_build(spark, path, ["id"])
+    pre = TL.latest_version(path)
+    TL.txn_optimize(spark, path)
+    res = TL.txn_bloom_build(spark, path, ["id"])
+    assert res["indexed_files"] >= 1  # the rewritten era got indexed
+    r = TL.txn_restore(path, pre)
+    assert r["restored_to"] == pre
+    # old-era sidecars still prune the point lookup, exactly
+    _, kept, pruned = TL.prune_files(path, {"id": 17})
+    assert pruned and len(kept) <= 2
+    got = TL.txn_read(spark, path, where={"id": 17}).collect()
+    assert [(x["id"], x["uid"]) for x in got] == [(17, "u00017")]
+    # conservative contract holds table-wide: pruned scan ≡ full scan
+    assert {
+        x["id"] for x in TL.txn_read(spark, path).collect()
+    } == set(range(600))
+    # an absent key still prunes everything through the old filters
+    _, kept_a, _ = TL.prune_files(path, {"id": 10**9})
+    assert kept_a == []
+
+
+def test_vacuum_source_after_clone_keeps_clone_index_valid(
+    spark, tmp_path
+):
+    """Clone-then-vacuum-SOURCE (VERDICT r6 #8): the clone hard-links
+    data files and bloom sidecars under its own root, so a source-side
+    rewrite + vacuum (which unlinks the SOURCE names) must leave the
+    clone's index fully consultable — shared inodes persist until both
+    sides drop them."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _interleaved_table(spark, src)
+    TL.txn_bloom_build(spark, src, ["id"])
+    TL.txn_clone(src, dst)
+    TL.txn_optimize(spark, src)
+    TL.txn_vacuum(src)  # source-era names (data + sidecars) vanish
+    root = TL._local_root(src)
+    assert not any(
+        fs for _, _, fs in os.walk(os.path.join(root, "_bloom"))
+    )
+    # the clone still prunes AND answers exactly through its links
+    _, kept, pruned = TL.prune_files(dst, {"id": 17})
+    assert pruned and len(kept) <= 2
+    got = TL.txn_read(spark, dst, where={"id": 17}).collect()
+    assert [(x["id"], x["uid"]) for x in got] == [(17, "u00017")]
+    # and the source's own post-rewrite reads stay exact
+    assert TL.txn_read(spark, src, where={"id": 17}).count() == 1
