@@ -6337,22 +6337,28 @@ def _streaming_events(spark, sf_dir, key, n_links=1):
     return st, _os.path.join(base, "out"), _os.path.join(base, "cp")
 
 
-def _run_bounded(stream_df, out, cp, key, state_partitions=None):
+def _run_bounded(stream_df, out, cp, key, state_partitions=8, provider=None):
     """Run an availableNow replay to parquet.  ``state_partitions``
-    temporarily overrides spark.sql.shuffle.partitions for the stream:
-    a streaming query's STATE STORE count is fixed from that conf at
+    scopes spark.sql.shuffle.partitions around the stream start: a
+    streaming query's STATE STORE count is fixed from that conf at
     first start, and each partition pays a per-batch snapshot/commit
-    — at gate scale (1e5 rows) 32 stores cost more in commit overhead
-    than the data (measured: q160 18.6 s -> 10.6 s just by 32 -> 4).
-    A 100 TB deployment sizes it UP with volume instead; it is the
-    knob, not a constant.  The conf is restored after termination
-    (batch queries in the shared bench session read it at plan time,
-    so a scoped set-restore around a blocking stream is safe)."""
+    — at gate scale (1e5 rows) the stores cost more in commit overhead
+    than the data (measured: q160 18.6 s -> 10.6 s going 32 -> 4, and
+    q155 13.2 s -> 2.0 s going a bare session's 200 -> 8, so 8 is the
+    DEFAULT for every gate replay — a cold driver session must land
+    these in single-digit seconds).  A 100 TB deployment sizes it UP
+    with keyspace volume instead; it is the knob, not a constant.
+    ``provider="rocksdb"`` selects the RocksDB state store (the
+    at-scale option; see session.streaming_state for the measured
+    trade-off).  Confs restore after termination (batch queries in the
+    shared bench session read them at plan time, so a scoped
+    set-restore around a blocking stream is safe)."""
+    from ..session import streaming_state
+
     spark = stream_df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
+    with streaming_state(
+        spark, provider=provider, state_partitions=state_partitions
+    ):
         q = (
             stream_df.writeStream.format("parquet")
             .option("path", out)
@@ -6364,8 +6370,6 @@ def _run_bounded(stream_df, out, cp, key, state_partitions=None):
         if not q.awaitTermination(600):
             q.stop()
             raise RuntimeError(f"{key} streaming replay exceeded 600 s")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @_declare(

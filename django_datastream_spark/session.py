@@ -98,3 +98,76 @@ def _ship_package(spark: SparkSession) -> None:
         spark._dds_pkg_shipped = True
     except Exception:
         pass  # closures are written self-contained; this is extra insurance
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+class streaming_state:
+    """Scope the two streaming STATE-STORE knobs around a stream start
+    (``with streaming_state(spark, provider="rocksdb",
+    state_partitions=8): q = df.writeStream...start()``):
+
+    - ``state_partitions`` → ``spark.sql.shuffle.partitions``, which a
+      streaming query reads ONCE at first start to fix its state-store
+      count forever (it is not AQE-coalesced). Each store pays a
+      per-micro-batch snapshot/commit, so at small replay scale fewer
+      stores beat parallelism (measured: q155 13.2 s → 2.0 s going
+      200 → 8 in a cold session); a 100 TB deployment sizes it UP with
+      keyspace volume instead.
+    - ``provider="rocksdb"`` → the RocksDB state store
+      (:data:`ROCKSDB_PROVIDER`, bundled with Spark). The HDFS-backed
+      default keeps every store's state in executor heap and snapshots
+      whole maps per batch — fine for bounded replays, but at 100×
+      state (large-keyspace dedup/joins) RocksDB keeps state off-heap
+      with incremental changelog uploads and is the standard answer.
+      At gate scale it measures slightly SLOWER (q155 2.0 s → 2.9 s,
+      q160 3.6 s → 4.7 s — JNI + compaction overhead with ~1e5 rows of
+      state), which is why it is an option, not the default.
+
+    Both confs restore on exit; batch queries in a shared session read
+    shuffle.partitions at plan time, so a scoped set-restore around a
+    blocking stream never leaks into them. NOTE the scope must cover
+    the STREAM START (the conf snapshot moment) — wrapping only
+    awaitTermination sets nothing.
+    """
+
+    def __init__(self, spark, provider=None, state_partitions=None):
+        self.spark = spark
+        self.provider = provider
+        self.state_partitions = state_partitions
+        self._prev: dict[str, str | None] = {}
+
+    def __enter__(self):
+        conf = self.spark.conf
+        if self.state_partitions is not None:
+            self._prev["spark.sql.shuffle.partitions"] = conf.get(
+                "spark.sql.shuffle.partitions"
+            )
+            conf.set(
+                "spark.sql.shuffle.partitions", str(self.state_partitions)
+            )
+        if self.provider is not None:
+            key = "spark.sql.streaming.stateStore.providerClass"
+            try:
+                self._prev[key] = conf.get(key)
+            except Exception:
+                self._prev[key] = None
+            conf.set(
+                key,
+                ROCKSDB_PROVIDER
+                if self.provider == "rocksdb"
+                else self.provider,
+            )
+        return self
+
+    def __exit__(self, *exc):
+        for key, val in self._prev.items():
+            if val is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, val)
+        return False

@@ -914,3 +914,88 @@ def test_running_fn_sorts_across_arrow_chunks():
     assert list(out["seq_no"]) == [1, 2, 3, 4]
     assert list(out["running_value"]) == [10.0, 30.0, 60.0, 100.0]
     assert st.val == (4, 100.0)
+
+
+@pytest.mark.parametrize("provider", [None, "rocksdb"])
+def test_state_store_providers_agree(spark, tmp_path, provider):
+    """The RocksDB state store option (VERDICT r6 #7): a stateful
+    availableNow replay (watermarked tumbling agg + dropDuplicates)
+    produces identical results under the HDFS-backed default and
+    RocksDB, and the streaming_state scope restores both confs on
+    exit. RocksDB is the at-scale answer (off-heap state, incremental
+    changelog) — see session.streaming_state for the measured
+    small-scale trade-off."""
+    from django_datastream_spark.session import streaming_state
+
+    src = str(tmp_path / f"src-{provider}")
+    os.makedirs(src)
+    rows = []
+    for i in range(200):
+        rows.append((f"k{i % 37}", T0 + dt.timedelta(seconds=i), float(i)))
+        if i % 5 == 0:  # duplicates for the dedup state
+            rows.append(
+                (f"k{i % 37}", T0 + dt.timedelta(seconds=i), float(i))
+            )
+    spark.createDataFrame(
+        rows, "k string, ts timestamp, v double"
+    ).coalesce(2).write.parquet(src, mode="overwrite")
+
+    stream = spark.readStream.schema(
+        "k string, ts timestamp, v double"
+    ).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 second")
+        .dropDuplicates(["k", "ts"])
+        .groupBy(F.window("ts", "60 seconds"), "k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    out = str(tmp_path / f"out-{provider}")
+    cp = str(tmp_path / f"cp-{provider}")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    with streaming_state(spark, provider=provider, state_partitions=4):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+    # confs restored
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
+    if provider is not None:
+        default_provider = (
+            "org.apache.spark.sql.execution.streaming."
+            "state.HDFSBackedStateStoreProvider"
+        )
+        assert (
+            spark.conf.get(
+                "spark.sql.streaming.stateStore.providerClass",
+                default_provider,
+            )
+            != "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+
+    got = {
+        (r["k"], r["window"]["start"].isoformat(), r["n"], r["s"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # exact recompute: watermark-closed 60s buckets only (append mode
+    # emits a bucket once the watermark passes its end: max ts 199s,
+    # delay 1s => frontier 198s closes buckets ending at 60/120/180)
+    import collections
+
+    expect = collections.defaultdict(lambda: [0, 0.0])
+    for k, ts, v in set(rows):  # set() = dedup exactly
+        b = (ts - T0).total_seconds() // 60 * 60
+        if b + 60 <= 198:
+            key = (k, (T0 + dt.timedelta(seconds=b)))
+            expect[key][0] += 1
+            expect[key][1] += v
+    want = {
+        (k, t.replace(tzinfo=None).isoformat(), n, s)
+        for (k, t), (n, s) in expect.items()
+    }
+    assert got == want
