@@ -843,8 +843,64 @@ def _stat_value(v):
     return None
 
 
+# Commit-adds count at which footer-stat collection runs as a Spark
+# job (one task batch per file) instead of a driver loop: an OPTIMIZE
+# or bulk backfill of a 100 TB table can add tens of thousands of
+# files in ONE commit, and even footer-only reads add up.
+DISTRIBUTED_STATS_AT = 64
+
+
+def _stats_of_file(root: str, rel: str) -> dict | None:
+    """Footer stats for one file (None = unreadable footer, file stays
+    unprunable). Module-level so the distributed collector's tasks can
+    run it unchanged."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(os.path.join(root, rel)).metadata
+    except Exception:
+        return None  # unreadable footer: file stays unprunable
+    per: dict[str, dict | None] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(min(g.num_columns, STATS_MAX_COLS)):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested leaves: not prunable here
+            if name in per and per[name] is None:
+                continue  # already poisoned for this file
+            st = col.statistics
+            nulls = st.null_count if st is not None else None
+            if st is None or not st.has_min_max:
+                if nulls is not None and nulls == g.num_rows:
+                    new: dict | None = {"t": "null", "nulls": nulls}
+                else:
+                    new = None  # non-null values with no min/max
+            else:
+                try:
+                    # pyarrow raises for physical types it cannot
+                    # cast statistics for (e.g. INT96) even when
+                    # has_min_max reports true
+                    mn, mx = _stat_value(st.min), _stat_value(st.max)
+                except Exception:
+                    mn = mx = None
+                if mn is None or mx is None or mn[0] != mx[0]:
+                    new = None
+                else:
+                    new = {
+                        "t": mn[0],
+                        "min": mn[1],
+                        "max": mx[1],
+                        "nulls": nulls,
+                    }
+            per[name] = _merge_col_stats(per.get(name), new)
+    cols = {k: v for k, v in per.items() if v is not None}
+    return {"rows": md.num_rows, "cols": cols}
+
+
 def collect_file_stats(
-    table_root: str, rel_paths: list[str]
+    table_root: str, rel_paths: list[str], spark: SparkSession | None = None
 ) -> dict[str, dict]:
     """Per-file column stats from parquet FOOTERS (no data scan).
 
@@ -856,58 +912,48 @@ def collect_file_stats(
     column is recorded as ``{"t": "null"}``: a range predicate can
     prune the file outright, since SQL comparisons never match NULL.
 
-    Driver-side but metadata-sized: one footer read per file ADDED BY
-    THIS COMMIT (bounded by the write job's task count, not table
-    size); the footers themselves were produced by the executors.
-    Only the first :data:`STATS_MAX_COLS` leaf columns are indexed
+    With ``spark`` and ≥ :data:`DISTRIBUTED_STATS_AT` files, the
+    footer reads run as one Spark job (one task batch per file, the
+    bloom-build pattern) and only (rel, stats JSON) rows return —
+    write paths pass their session through so a many-file OPTIMIZE or
+    backfill commit never serializes footer reads on the driver.
+    Driver fallback is bounded by the write job's task count. Only
+    the first :data:`STATS_MAX_COLS` leaf columns are indexed
     (Delta's dataSkippingNumIndexedCols) so wide tables keep commit
     entries metadata-sized."""
-    import pyarrow.parquet as pq
-
     root = _local_root(table_root)
-    out: dict[str, dict] = {}
+    if spark is not None and len(rel_paths) >= DISTRIBUTED_STATS_AT:
+
+        def _task(batches):
+            import json as _json
+
+            import pandas as _pd
+
+            from django_datastream_spark import txnlog as TL
+
+            for pdf in batches:
+                rels, stats = [], []
+                for rel in pdf["rel"]:
+                    s = TL._stats_of_file(root, rel)
+                    rels.append(rel)
+                    stats.append(_json.dumps(s) if s is not None else None)
+                yield _pd.DataFrame({"rel": rels, "stats": stats})
+
+        from .storage import local_rows_df
+
+        fdf = local_rows_df(
+            spark, [(r,) for r in rel_paths], "rel string"
+        ).repartition(min(len(rel_paths), 4096))
+        out = {}
+        for r in fdf.mapInPandas(_task, "rel string, stats string").collect():
+            if r["stats"]:
+                out[r["rel"]] = json.loads(r["stats"])
+        return out
+    out = {}
     for rel in rel_paths:
-        try:
-            md = pq.ParquetFile(os.path.join(root, rel)).metadata
-        except Exception:
-            continue  # unreadable footer: file stays unprunable
-        per: dict[str, dict | None] = {}
-        for rg in range(md.num_row_groups):
-            g = md.row_group(rg)
-            for ci in range(min(g.num_columns, STATS_MAX_COLS)):
-                col = g.column(ci)
-                name = col.path_in_schema
-                if "." in name:
-                    continue  # nested leaves: not prunable here
-                if name in per and per[name] is None:
-                    continue  # already poisoned for this file
-                st = col.statistics
-                nulls = st.null_count if st is not None else None
-                if st is None or not st.has_min_max:
-                    if nulls is not None and nulls == g.num_rows:
-                        new: dict | None = {"t": "null", "nulls": nulls}
-                    else:
-                        new = None  # non-null values with no min/max
-                else:
-                    try:
-                        # pyarrow raises for physical types it cannot
-                        # cast statistics for (e.g. INT96) even when
-                        # has_min_max reports true
-                        mn, mx = _stat_value(st.min), _stat_value(st.max)
-                    except Exception:
-                        mn = mx = None
-                    if mn is None or mx is None or mn[0] != mx[0]:
-                        new = None
-                    else:
-                        new = {
-                            "t": mn[0],
-                            "min": mn[1],
-                            "max": mx[1],
-                            "nulls": nulls,
-                        }
-                per[name] = _merge_col_stats(per.get(name), new)
-        cols = {k: v for k, v in per.items() if v is not None}
-        out[rel] = {"rows": md.num_rows, "cols": cols}
+        s = _stats_of_file(root, rel)
+        if s is not None:
+            out[rel] = s
     return out
 
 
@@ -1972,6 +2018,7 @@ def txn_append(
         [],
         base_version=base,
         writer=writer,
+        stats=collect_file_stats(table_root, adds, spark=spark),
         schema_json=evolved,
     )
 
@@ -2041,6 +2088,7 @@ def txn_overwrite_where(
         [],
         base_version=latest_version(table_root),
         writer=writer or "overwrite",
+        stats=collect_file_stats(table_root, adds, spark=spark),
         schema_json=evolved,
     )
     return {
@@ -2128,6 +2176,7 @@ def txn_update(
         [],
         base_version=base_ver,
         writer=writer or "update",
+        stats=collect_file_stats(table_root, adds, spark=spark),
         deletes=deletes,
     )
     return {
@@ -2177,6 +2226,7 @@ def txn_append_batch(
             [],
             base_version=base,
             writer=f"{app_id}#{batch_id}",
+            stats=collect_file_stats(table_root, adds, spark=spark),
             app_txn=(app_id, batch_id),
             schema_json=evolved,
         )
@@ -2466,6 +2516,7 @@ def txn_optimize(
         [],
         base_version=base_ver,
         writer=writer or "optimize",
+        stats=collect_file_stats(table_root, adds, spark=spark),
         data_change=False,  # same rows, new layout: CDF/stream invisible
     )
     return {
@@ -2477,19 +2528,24 @@ def txn_optimize(
     }
 
 
-def txn_analyze(table_root: str, writer: str = "") -> dict:
+def txn_analyze(
+    table_root: str, writer: str = "", spark: SparkSession | None = None
+) -> dict:
     """ANALYZE TABLE: record footer stats for committed files that
     have NONE — adopted pre-txn tables, legacy stat-less commits,
     clones of such — as one metadata ``restat`` commit, so data
     skipping starts applying to them.  Footer reads only (no data
-    scan, driver-side, bounded by file count); commit-time stats are
-    never overridden.  Idempotent: a second run finds nothing."""
+    scan); pass ``spark`` to distribute them when the backlog is an
+    entire adopted table (an un-analyzed 100 TB adoption is the one
+    place the todo list is table-sized, not commit-sized).
+    Commit-time stats are never overridden.  Idempotent: a second run
+    finds nothing."""
     init_table(table_root)
     _, m, _dv = _fold(table_root)
     todo = sorted(f for f, s in m.items() if s is None)
     if not todo:
         return {"restatted": 0, "version": latest_version(table_root)}
-    stats = collect_file_stats(table_root, todo)
+    stats = collect_file_stats(table_root, todo, spark=spark)
     ver = commit(
         table_root,
         [],

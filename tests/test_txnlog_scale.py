@@ -217,3 +217,31 @@ def test_txn_read_100k_files_plans_without_driver_fold(
     }
     assert got == set(range(150, 251))
     assert calls["n"] == 0, "prune ran driver-side, not as a Spark job"
+
+
+def test_distributed_footer_stats_match_driver_loop(
+    spark, tmp_path, monkeypatch
+):
+    """collect_file_stats above DISTRIBUTED_STATS_AT runs as a Spark
+    job (executor-side footer reads, only (rel, stats JSON) back);
+    the recorded commit stats must be byte-identical to the driver
+    loop's, and data skipping must work off them."""
+    path = str(tmp_path / "t")
+    TL.init_table(path)
+    monkeypatch.setattr(TL, "DISTRIBUTED_STATS_AT", 1)
+    TL.txn_append(
+        spark,
+        _mk(spark, 0, 400).repartition(4, "k"),
+        path,
+        [],
+    )
+    _, m = TL.snapshot_with_stats(path)
+    assert len(m) == 4 and all(s is not None for s in m.values())
+    # identical to the driver loop on the same files
+    driver = TL.collect_file_stats(path, sorted(m), spark=None)
+    assert driver == {f: m[f] for f in sorted(m)}
+    # and skipping actually applies
+    _, kept, pruned = TL.prune_files(path, {"k": (0, 0)})
+    assert pruned and len(kept) < 4
+    got = {r["k"] for r in TL.txn_read(spark, path, where={"k": (0, 5)}).collect()}
+    assert got == set(range(6))
