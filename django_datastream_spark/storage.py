@@ -249,7 +249,10 @@ class Tables:
     #: the commit log (every version, not SNAPSHOT_RETAIN
     #: generations). Default OFF: the plain-parquet path keeps its
     #: documented single-writer contract and zero extra metadata.
-    TXN_POINTS = False
+    #: ``SPARK_GRAFT_TXN=1`` in the environment flips BOTH txn flags
+    #: process-wide (the measured-decision switch — see
+    #: BENCH_NOTES.md "engine-on-txn" for the recorded trade-off).
+    TXN_POINTS = os.environ.get("SPARK_GRAFT_TXN", "") == "1"
 
     #: OPT-IN: route ``points_agg`` through the commit log too. The
     #: headline win is the conflicted aggregate upsert: instead of
@@ -260,7 +263,7 @@ class Tables:
     #: and a racing writer loses the CAS and retries. Makes both
     #: legacy trade-offs moot, exactly as the AGG_UPSERT_SNAPSHOT
     #: docstring predicted a table format would.
-    TXN_AGG = False
+    TXN_AGG = os.environ.get("SPARK_GRAFT_TXN", "") == "1"
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -397,6 +400,42 @@ class Tables:
             for n in os.listdir(path)
         )
 
+    def _migrate_plain_to_txn(self, table: str, txn_root: str) -> None:
+        """Zero-copy upgrade for the SPARK_GRAFT_TXN=1 flip over an
+        EXISTING plain store: hard-link the plain table's current
+        snapshot files into the txn root (partition dirs preserved)
+        and adopt them as commit 1, so the first txn-mode READ sees
+        the full history instead of an empty fresh table.  Idempotent
+        (no-op once the txn log exists) and metadata-only — bytes are
+        shared inodes; the plain snapshot dirs stay untouched as the
+        rollback path (flip the flag back).  Runs under the plain
+        path's documented single-writer quiescence rule, like every
+        generation swap."""
+        from . import txnlog as TL
+
+        if TL.is_txn_table(txn_root):
+            return
+        plain = self._data_dir(table)
+        if not self._exists(plain):
+            return
+        import shutil
+
+        for dirpath, _dirs, files in os.walk(plain):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, fn)
+                rel = os.path.relpath(src, plain)
+                dst = os.path.join(txn_root, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                try:
+                    os.link(src, dst)
+                except FileExistsError:
+                    pass  # idempotent re-entry after a partial link pass
+                except OSError:
+                    shutil.copy2(src, dst)  # cross-device fallback
+        TL.init_table(txn_root)  # adopts the linked files as commit 1
+
     def _next_v(self) -> int:
         self._v_counter = max(self._v_counter + 1, time.time_ns())
         return self._v_counter
@@ -509,6 +548,7 @@ class Tables:
         if self.TXN_POINTS:
             from . import txnlog as TL
 
+            self._migrate_plain_to_txn("points_raw", self.points_raw_path)
             if not TL.is_txn_table(self.points_raw_path):
                 return self.spark.createDataFrame(
                     [], POINTS_RAW_SCHEMA
@@ -524,6 +564,7 @@ class Tables:
         if self.TXN_POINTS:
             from . import txnlog as TL
 
+            self._migrate_plain_to_txn("points_raw", self.points_raw_path)
             TL.txn_append(
                 self.spark,
                 df.withColumn("p_date", F.to_date("ts")),
@@ -558,6 +599,7 @@ class Tables:
         if self.TXN_POINTS:
             from . import txnlog as TL
 
+            self._migrate_plain_to_txn("points_raw", src)
             if not TL.is_txn_table(src):
                 return 0
             # txn path: OPTIMIZE commit — commutes with concurrent
@@ -706,6 +748,7 @@ class Tables:
         if self.TXN_AGG:
             from . import txnlog as TL
 
+            self._migrate_plain_to_txn("points_agg", self.points_agg_path)
             if not TL.is_txn_table(self.points_agg_path):
                 return local_rows_df(self.spark, [], POINTS_AGG_SCHEMA)
             return TL.txn_read(self.spark, self.points_agg_path).select(
@@ -744,6 +787,7 @@ class Tables:
         path = self.points_agg_path
         key = ["stream_id", "granularity", "bucket_ts"]
         if self.TXN_AGG:
+            self._migrate_plain_to_txn("points_agg", self.points_agg_path)
             self._txn_upsert_points_agg(df, key)
             return
         if not self._exists(path):

@@ -75,12 +75,20 @@ def test_streams_log_auto_compaction_can_be_disabled(spark, tmp_path):
     ) + dt.timedelta(seconds=11)
 
 
-def test_compact_points_raw_rewrites_only_fat_partitions(spark, tmp_path):
+def test_compact_points_raw_rewrites_only_fat_partitions(
+    spark, tmp_path, monkeypatch
+):
     """Partition-bounded OPTIMIZE: only partitions past the file-count
     threshold are rewritten, others are hardlinked unchanged; data and a
-    pre-planned reader survive the snapshot swap."""
+    pre-planned reader survive the snapshot swap.  PLAIN-path machinery
+    by design (txn mode compacts via txn_optimize, covered in
+    test_txn_points/test_txnlog) — pinned so SPARK_GRAFT_TXN=1 runs of
+    the suite still exercise it."""
     from django_datastream_spark.api import Datastream
+    from django_datastream_spark.storage import Tables
 
+    monkeypatch.setattr(Tables, "TXN_POINTS", False)
+    monkeypatch.setattr(Tables, "TXN_AGG", False)
     engine = Datastream(spark, str(tmp_path / "store"))
     sid = engine.ensure_stream({"title": "cf"})
     d0 = dt.datetime(2024, 1, 1, tzinfo=UTC)
@@ -202,13 +210,19 @@ def test_upsert_points_agg_appends_unless_keys_collide(spark, tmp_path):
         assert got[base.replace(tzinfo=None) + dt.timedelta(hours=i)] == expect
 
 
-def test_time_travel_reads_prior_snapshot(spark, tmp_path):
+def test_time_travel_reads_prior_snapshot(spark, tmp_path, monkeypatch):
     """Snapshot retention + read_table_at: each rewrite boundary cuts a
-    version; retained versions read back exactly, vacuumed ones raise."""
+    version; retained versions read back exactly, vacuumed ones raise.
+    PLAIN-path snapshot-pointer machinery by design (txn mode time
+    travel is commit-granular, covered in test_txn_points) — pinned so
+    SPARK_GRAFT_TXN=1 suite runs still exercise it."""
     import datetime as dt2
 
     from django_datastream_spark.api import Datastream
+    from django_datastream_spark.storage import Tables
 
+    monkeypatch.setattr(Tables, "TXN_POINTS", False)
+    monkeypatch.setattr(Tables, "TXN_AGG", False)
     engine = Datastream(spark, str(tmp_path / "store"))
     t = engine.tables
     t.SNAPSHOT_RETAIN = 3
@@ -265,15 +279,22 @@ def test_snapshot_retention_vacuums_old_generations(spark, tmp_path):
         t.read_table_at("demo", vs[0] - 1)
 
 
-def test_agg_upsert_snapshot_keeps_pre_upsert_readers_safe(spark, tmp_path):
+def test_agg_upsert_snapshot_keeps_pre_upsert_readers_safe(
+    spark, tmp_path, monkeypatch
+):
     """AGG_UPSERT_SNAPSHOT: a conflicted aggregate upsert lands in a
     NEW snapshot generation (untouched partitions hardlinked,
     conflicted ones rewritten, pointer swapped), so a reader that
     planned against the previous generation still collects every row
     AFTER the upsert — the guarantee vacuum/compaction already give,
-    extended to the one remaining in-place rewrite."""
+    extended to the one remaining in-place rewrite.  PLAIN-path
+    machinery by design (TXN_AGG makes the flag moot — one overwrite
+    commit, covered in test_txn_points); pinned so SPARK_GRAFT_TXN=1
+    suite runs still exercise it."""
     from django_datastream_spark.storage import POINTS_AGG_SCHEMA, Tables
 
+    monkeypatch.setattr(Tables, "TXN_POINTS", False)
+    monkeypatch.setattr(Tables, "TXN_AGG", False)
     t = Tables(spark, str(tmp_path / "store"))
     t.AGG_UPSERT_SNAPSHOT = True
     base = dt.datetime(2024, 1, 1, tzinfo=UTC)

@@ -229,3 +229,35 @@ def test_agg_upserts_are_snapshot_isolated_commits(spark, tmp_path):
     ]
     assert "overwrite" in ops  # the tail-bucket recompute
     assert "append" in ops
+
+
+def test_mode_flip_adopts_existing_plain_store(spark, tmp_path):
+    """Turning txn mode ON over an EXISTING plain store (the
+    SPARK_GRAFT_TXN=1 upgrade path) must adopt the committed files on
+    the FIRST READ — not silently show an empty table until the first
+    append triggers adoption — and subsequent appends commit through
+    the log on top of the adopted history."""
+    plain = Datastream(spark, str(tmp_path / "store"))
+    sid = _ingest(plain, n=50)
+    agg_rows_before = plain.tables.read_points_agg().count()
+
+    upgraded = Datastream(spark, str(tmp_path / "store"))
+    upgraded.tables.TXN_POINTS = True
+    upgraded.tables.TXN_AGG = True
+    # read BEFORE any write: the adoption commit must happen here
+    got = [
+        p["v"] for p in upgraded.get_data(sid, "seconds")
+    ]
+    assert got == [float(i) for i in range(50)]
+    assert TL.is_txn_table(upgraded.tables.points_raw_path)
+    # agg table adopts on read too (empty or not)
+    assert upgraded.tables.read_points_agg().count() == agg_rows_before
+
+    # post-flip appends are log commits over the adopted base
+    v0 = TL.latest_version(upgraded.tables.points_raw_path)
+    upgraded.append_multiple(
+        [{"stream_id": sid, "timestamp": ts(50), "value": 50.0}]
+    )
+    assert TL.latest_version(upgraded.tables.points_raw_path) > v0
+    got = [p["v"] for p in upgraded.get_data(sid, "seconds")]
+    assert got == [float(i) for i in range(51)]
