@@ -262,14 +262,27 @@ def pvm_frame(payload: bytes, k: int, index=None) -> np.ndarray:
 # signature + chunk walk with CRC32 verification, IDAT inflate, and the five
 # scanline filters (None/Sub/Up/Average/Paeth) reconstructed per the spec
 # (RFC 2083 §6). Supported: bit depth 8, color types 0 (gray), 2 (RGB),
-# 3 (palette), 4 (gray+alpha), 6 (RGBA), no interlace. The encoder applies
-# the genuine forward filters so round-trip tests exercise every unfilter
-# branch, and arithmetic oracles (q158) verify the whole
-# bytes->inflate->unfilter->feature path, not just the plumbing.
+# 3 (palette), 4 (gray+alpha), 6 (RGBA), sequential AND Adam7 interlaced
+# (each of the 7 passes is an independently filtered sub-image scattered
+# back on the (x0,y0,dx,dy) grid — spec §8.2). The encoder applies the
+# genuine forward filters (optionally per-pass, interlace=True) so
+# round-trip tests exercise every unfilter branch, and arithmetic oracles
+# (q158) verify the whole bytes->inflate->unfilter->feature path, not
+# just the plumbing.
 # ---------------------------------------------------------------------------
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2).
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 def _png_chunks(payload: bytes):
@@ -305,50 +318,16 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def parse_png(payload: bytes) -> np.ndarray:
-    """Parse a PNG payload -> uint8 array (h, w, channels).
-
-    Real decode: CRC-checked chunk walk, zlib inflate of the IDAT
-    stream, scanline unfiltering. Palette images are expanded through
-    PLTE to RGB. Sub is reconstructed as a per-lane cumulative sum
-    mod 256 (addition commutes with cumsum under wraparound); Up is a
-    vector add against the prior reconstructed row; Average/Paeth are
-    sequential in x by definition, so they loop pixels but vectorize
-    the byte lanes."""
-    import zlib
-
-    ihdr = plte = None
-    idat = []
-    for ctype, data in _png_chunks(payload):
-        if ctype == b"IHDR":
-            ihdr = data
-        elif ctype == b"PLTE":
-            plte = data
-        elif ctype == b"IDAT":
-            idat.append(data)
-    if ihdr is None or len(ihdr) < 13:
-        raise ValueError("missing/short IHDR")
-    w, h, depth, ctype_i, comp, filt, interlace = struct.unpack(
-        ">IIBBBBB", ihdr[:13]
-    )
-    if depth != 8:
-        raise ValueError(f"only bit depth 8 supported (got {depth})")
-    if ctype_i not in _PNG_CHANNELS:
-        raise ValueError(f"unsupported color type {ctype_i}")
-    if comp != 0 or filt != 0:
-        raise ValueError("unsupported compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7 interlace not supported")
-    if w <= 0 or h <= 0:
-        raise ValueError(f"invalid dimensions {w}x{h}")
-    nch = _PNG_CHANNELS[ctype_i]
-    raw = zlib.decompress(b"".join(idat))
+def _unfilter_scanlines(raw: np.ndarray, w: int, h: int, nch: int) -> np.ndarray:
+    """Reconstruct ``h`` filtered scanlines of ``w`` pixels -> uint8
+    (h, w, nch). ``raw`` is the (h, stride+1) filtered byte grid (filter
+    byte first). Sub is reconstructed as a per-lane cumulative sum mod
+    256 (addition commutes with cumsum under wraparound); Up is a vector
+    add against the prior reconstructed row; Average/Paeth are
+    sequential in x by definition, so they loop pixels but vectorize the
+    byte lanes. Shared by the sequential path and each Adam7 pass (a
+    pass is just a smaller image with its own filter context)."""
     stride = w * nch
-    if len(raw) != h * (stride + 1):
-        raise ValueError(
-            f"IDAT size mismatch ({len(raw)} != {h * (stride + 1)})"
-        )
-    raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
     filters, rows = raw[:, 0], raw[:, 1:].astype(np.int64)
     out = np.zeros((h, stride), np.int64)
     prev = np.zeros(stride, np.int64)
@@ -376,7 +355,76 @@ def parse_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"unknown filter type {f} on row {y}")
         prev = rec & 0xFF
         out[y] = prev
-    px = out.astype(np.uint8).reshape(h, w, nch)
+    return out.astype(np.uint8).reshape(h, w, nch)
+
+
+def parse_png(payload: bytes) -> np.ndarray:
+    """Parse a PNG payload -> uint8 array (h, w, channels).
+
+    Real decode: CRC-checked chunk walk, zlib inflate of the IDAT
+    stream, scanline unfiltering (``_unfilter_scanlines``). Palette
+    images are expanded through PLTE to RGB. Adam7-interlaced images
+    decode each of the 7 passes as an independent sub-image (its own
+    filter context, per spec §8.2) and scatter the pixels back onto
+    the (x0, y0, dx, dy) grid."""
+    import zlib
+
+    ihdr = plte = None
+    idat = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("missing/short IHDR")
+    w, h, depth, ctype_i, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if depth != 8:
+        raise ValueError(f"only bit depth 8 supported (got {depth})")
+    if ctype_i not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported color type {ctype_i}")
+    if comp != 0 or filt != 0:
+        raise ValueError("unsupported compression/filter method")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown interlace method {interlace}")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid dimensions {w}x{h}")
+    nch = _PNG_CHANNELS[ctype_i]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if interlace == 0:
+        if len(raw) != h * (stride + 1):
+            raise ValueError(
+                f"IDAT size mismatch ({len(raw)} != {h * (stride + 1)})"
+            )
+        px = _unfilter_scanlines(
+            np.frombuffer(raw, np.uint8).reshape(h, stride + 1), w, h, nch
+        )
+    else:  # Adam7
+        px = np.zeros((h, w, nch), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes zero bytes
+            pstride = pw * nch
+            nbytes = ph * (pstride + 1)
+            if len(raw) - pos < nbytes:
+                raise ValueError("truncated Adam7 pass data")
+            sub = np.frombuffer(raw[pos : pos + nbytes], np.uint8)
+            pos += nbytes
+            px[y0::dy, x0::dx] = _unfilter_scanlines(
+                sub.reshape(ph, pstride + 1), pw, ph, nch
+            )
+        if pos != len(raw):
+            raise ValueError(
+                f"IDAT size mismatch ({len(raw)} != {pos} across 7 passes)"
+            )
     if ctype_i == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("palette image without a valid PLTE")
@@ -388,21 +436,12 @@ def parse_png(payload: bytes) -> np.ndarray:
     return px
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 4) -> bytes:
-    """Encode (h, w) or (h, w, {1,2,3,4}) uint8 -> PNG, applying the
-    REAL forward filter ``filter_type`` (0..4) to every scanline so the
-    decoder's corresponding unfilter branch is genuinely exercised."""
-    import zlib
-
-    if not 0 <= filter_type <= 4:
-        raise ValueError(f"filter_type must be 0..4 (got {filter_type})")
-    a = np.asarray(arr, np.uint8)
-    if a.ndim == 2:
-        a = a[:, :, None]
+def _filter_scanlines(a: np.ndarray, filter_type: int) -> bytes:
+    """Forward-filter an (h, w, nch) uint8 image's scanlines with the
+    given filter -> the raw pre-DEFLATE byte stream (filter byte +
+    filtered bytes per row). Shared by the sequential encoder and each
+    Adam7 pass (whose filter context starts fresh, per spec)."""
     h, w, nch = a.shape
-    ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(nch)
-    if ctype is None:
-        raise ValueError(f"unsupported channel count {nch}")
     flat = a.reshape(h, w * nch).astype(np.int64)
     stride = w * nch
     lines = []
@@ -428,6 +467,36 @@ def encode_png(arr: np.ndarray, filter_type: int = 4) -> bytes:
                 filt[x] = cur[x] - _paeth(int(pa), int(pb), int(pc))
         lines.append(bytes([filter_type]) + (filt & 0xFF).astype(np.uint8).tobytes())
         prev = cur
+    return b"".join(lines)
+
+
+def encode_png(
+    arr: np.ndarray, filter_type: int = 4, interlace: bool = False
+) -> bytes:
+    """Encode (h, w) or (h, w, {1,2,3,4}) uint8 -> PNG, applying the
+    REAL forward filter ``filter_type`` (0..4) to every scanline so the
+    decoder's corresponding unfilter branch is genuinely exercised.
+    ``interlace=True`` writes Adam7: the 7 passes extracted on the spec
+    grid, each filtered independently, concatenated into one IDAT."""
+    import zlib
+
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"filter_type must be 0..4 (got {filter_type})")
+    a = np.asarray(arr, np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nch = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}.get(nch)
+    if ctype is None:
+        raise ValueError(f"unsupported channel count {nch}")
+    if interlace:
+        raw = b"".join(
+            _filter_scanlines(np.ascontiguousarray(a[y0::dy, x0::dx]), filter_type)
+            for x0, y0, dx, dy in _ADAM7
+            if a[y0::dy, x0::dx].size
+        )
+    else:
+        raw = _filter_scanlines(a, filter_type)
 
     def chunk(ctype_b: bytes, data: bytes) -> bytes:
         return (
@@ -437,8 +506,8 @@ def encode_png(arr: np.ndarray, filter_type: int = 4) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype_b + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    idat = zlib.compress(b"".join(lines), 6)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, int(interlace))
+    idat = zlib.compress(raw, 6)
     return (
         PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -467,9 +536,9 @@ def png_to_ppm(payload: bytes) -> bytes:
 #
 # GIF's compression is variable-width LZW (GIF89a spec appendix), a pure
 # dictionary coder — no external libs needed. Implemented: GIF87a
-# single-frame, global color table, 8-bit color depth, no interlace, no
-# extensions (GIF89a graphic-control blocks are SKIPPED on read;
-# interlace raises). Encode is palette-based and LOSSLESS for images
+# single-frame, global color table, 8-bit color depth, sequential and
+# 4-pass interlaced row order, no extensions (GIF89a graphic-control
+# blocks are SKIPPED on read). Encode is palette-based and LOSSLESS for images
 # with <= 256 distinct colors, so the roundtrip law is exact equality —
 # the strongest oracle a codec can have (q169).
 # ---------------------------------------------------------------------------
@@ -477,14 +546,29 @@ def png_to_ppm(payload: bytes) -> bytes:
 GIF_SIGS = (b"GIF87a", b"GIF89a")
 
 
-def encode_gif(arr: np.ndarray) -> bytes:
+def _gif_interlace_order(h: int) -> list[int]:
+    """Row storage order for an interlaced GIF (spec appendix E):
+    pass 1 = rows 0,8,16…, pass 2 = 4,12…, pass 3 = 2,6…, pass 4 = odd."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
+def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
     """Encode (h, w, 3) uint8 RGB (<= 256 distinct colors) -> GIF87a
     with a REAL variable-width LZW compressor (clear/EOI codes, width
-    growth at table fill, 12-bit cap with table reset)."""
+    growth at table fill, 12-bit cap with table reset).
+    ``interlace=True`` stores rows in 4-pass order with the image
+    descriptor's interlace flag set."""
     a = np.asarray(arr, np.uint8)
     if a.ndim != 3 or a.shape[2] != 3:
         raise ValueError("expected (h, w, 3) RGB")
     h, w = a.shape[:2]
+    if interlace:
+        a = a[np.asarray(_gif_interlace_order(h), np.int64)]
     flat = a.reshape(-1, 3)
     colors, idx = np.unique(flat, axis=0, return_inverse=True)
     if len(colors) > 256:
@@ -497,7 +581,11 @@ def encode_gif(arr: np.ndarray) -> bytes:
     out += struct.pack("<HH", w, h)
     out += bytes([0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0])
     out += pal.tobytes()
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += (
+        b"\x2c"
+        + struct.pack("<HHHH", 0, 0, w, h)
+        + bytes([0x40 if interlace else 0x00])
+    )
     min_code = max(2, depth)
     out.append(min_code)
     # --- LZW ---
@@ -555,8 +643,8 @@ def encode_gif(arr: np.ndarray) -> bytes:
 def parse_gif(payload: bytes) -> np.ndarray:
     """Decode a GIF -> uint8 (h, w, 3): real variable-width LZW with
     clear-code resets and deferred-code handling (the KwKwK case).
-    Single-frame; 89a extension blocks are skipped; interlace and
-    local color tables raise ValueError."""
+    Single-frame; 89a extension blocks are skipped; interlaced row
+    order is restored; local color tables raise ValueError."""
     if payload[:6] not in GIF_SIGS:
         raise ValueError("not a GIF payload")
     if len(payload) < 13:
@@ -583,8 +671,7 @@ def parse_gif(payload: bytes) -> np.ndarray:
         raise ValueError("truncated image descriptor")
     ix, iy, iw, ih = struct.unpack("<HHHH", payload[pos + 1 : pos + 9])
     iflags = payload[pos + 9]
-    if iflags & 0x40:
-        raise ValueError("interlaced GIF not supported")
+    interlaced = bool(iflags & 0x40)
     if iflags & 0x80:
         raise ValueError("local color tables not supported")
     if (ix, iy, iw, ih) != (0, 0, w, h):
@@ -661,6 +748,11 @@ def parse_gif(payload: bytes) -> np.ndarray:
     if len(out) != w * h:
         raise ValueError(f"LZW output {len(out)} != {w * h} pixels")
     idx = np.asarray(out, np.int64).reshape(h, w)
+    if interlaced:
+        # stored rows are in 4-pass order; scatter back to display order
+        disp = np.empty_like(idx)
+        disp[np.asarray(_gif_interlace_order(h), np.int64)] = idx
+        idx = disp
     if int(idx.max(initial=0)) >= len(pal):
         raise ValueError("palette index out of range")
     return pal[idx]

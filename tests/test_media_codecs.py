@@ -294,7 +294,7 @@ def test_png_crc_and_truncation_rejected():
         mc.parse_png(b"\x89PNX" + b"\x00" * 32)
 
 
-def test_png_interlace_and_depth_rejected():
+def test_png_bad_interlace_and_depth_rejected():
     import zlib
 
     def chunk(t, d):
@@ -303,7 +303,10 @@ def test_png_interlace_and_depth_rejected():
             + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
         )
 
-    for depth, interlace, msg in [(16, 0, "bit depth"), (8, 1, "interlace")]:
+    for depth, interlace, msg in [
+        (16, 0, "bit depth"),
+        (8, 2, "interlace"),  # Adam7 (=1) is supported; method 2 is not
+    ]:
         p = (
             mc.PNG_SIG
             + chunk(
@@ -315,6 +318,65 @@ def test_png_interlace_and_depth_rejected():
         )
         with pytest.raises(ValueError, match=msg):
             mc.parse_png(p)
+
+
+@pytest.mark.parametrize("nch", [1, 2, 3, 4])
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_png_adam7_roundtrip_every_filter_and_colortype(nch, ft):
+    rng = np.random.default_rng(100 + nch * 10 + ft)
+    a = rng.integers(0, 256, size=(13, 17, nch), dtype=np.uint8)
+    p = mc.encode_png(a, ft, interlace=True)
+    # IHDR interlace byte really is 1 (offset: sig + len + type + w/h/depth/ct/comp/filt)
+    assert p[len(mc.PNG_SIG) + 8 + 12] == 1
+    out = mc.parse_png(p)
+    assert out.shape == a.shape and (out == a).all()
+
+
+@pytest.mark.parametrize(
+    "h,w",
+    # every Adam7 edge class: sub-8x8 images where whole passes are empty,
+    # single row/column, exact pass-grid multiples, and odd remainders
+    [(1, 1), (1, 9), (9, 1), (2, 3), (4, 4), (7, 5), (8, 8), (9, 10), (16, 16)],
+)
+def test_png_adam7_odd_dimensions(h, w):
+    rng = np.random.default_rng(h * 100 + w)
+    a = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (mc.parse_png(mc.encode_png(a, 4, interlace=True)) == a).all()
+
+
+def test_png_adam7_matches_sequential_decode():
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 256, size=(21, 19, 3), dtype=np.uint8)
+    seq = mc.parse_png(mc.encode_png(a, 2))
+    ilc = mc.parse_png(mc.encode_png(a, 2, interlace=True))
+    assert (seq == ilc).all()
+
+
+def test_png_adam7_truncated_pass_rejected():
+    import zlib
+
+    a = np.zeros((9, 9, 3), np.uint8)
+    p = bytearray(mc.encode_png(a, 0, interlace=True))
+    # rebuild with one byte shaved off the raw (pre-DEFLATE) stream:
+    # decode chunks, deflate a shorter stream, re-chunk
+    raw = zlib.decompress(
+        b"".join(d for t, d in mc._png_chunks(bytes(p)) if t == b"IDAT")
+    )
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    short = (
+        mc.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 9, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(raw[:-1]))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="Adam7|IDAT size"):
+        mc.parse_png(short)
 
 
 def test_png_features_match_ppm_features_same_pixels():
@@ -542,6 +604,23 @@ def test_gif_roundtrip_exact_and_12bit_reset():
     pal = np.unique(rng.integers(0, 256, (256, 3), np.uint8), axis=0)
     noise = pal[rng.integers(0, len(pal), (120, 120))]
     assert (mc.parse_gif(mc.encode_gif(noise)) == noise).all()
+
+
+@pytest.mark.parametrize("h,w", [(1, 3), (2, 3), (3, 2), (7, 5), (8, 8), (17, 9)])
+def test_gif_interlaced_roundtrip(h, w):
+    rng = np.random.default_rng(h * 31 + w)
+    pal = rng.integers(0, 256, (8, 3), np.uint8)
+    img = pal[rng.integers(0, 8, (h, w))]
+    p = mc.encode_gif(img, interlace=True)
+    # image descriptor flag byte carries the interlace bit
+    gct = 2 << (p[10] & 0x07)
+    assert p[13 + gct * 3 + 9] & 0x40
+    assert (mc.parse_gif(p) == img).all()
+    # row storage order really is the 4-pass permutation
+    order = mc._gif_interlace_order(h)
+    assert sorted(order) == list(range(h)) and (
+        h < 3 or order != list(range(h))  # identity only below 3 rows
+    )
 
 
 def test_gif_rejects_invalid():
