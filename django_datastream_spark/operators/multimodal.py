@@ -19,8 +19,9 @@ Decode story, honestly split by format class:
   q169's closed-form oracle must match exactly.
 - **Baseline JPEG is decoded for REAL as well**: the Huffman entropy
   coder, zigzag RLE, dequantization, and 8x8 IDCT are implemented from
-  the spec in pure numpy (:mod:`jpeg_codec` — SOF0, 8-bit, 4:4:4;
-  progressive/subsampled files quarantine with the reason).
+  the spec in pure numpy (:mod:`jpeg_codec` — SOF0 baseline AND SOF2
+  progressive with successive approximation, 8-bit, 4:4:4;
+  subsampled/arithmetic files quarantine with the reason).
   ``extract_jpeg_features`` runs it; q168 pins the whole
   Huffman->dequant->IDCT path against an arithmetic oracle via
   exactly-representable planted coefficients.

@@ -7790,3 +7790,95 @@ def q182(spark, sf_dir):
         for v in (1, 2, 3)
     ]
     return _reduce(lambda a, b: a.unionByName(b), eras).orderBy("ver", "b")
+
+
+# --------------------------------------------------------------------------
+# Q183: REAL progressive-JPEG (SOF2) decode — same closed form as q168
+# --------------------------------------------------------------------------
+@_declare(
+    "q183_jpeg_progressive_decode",
+    """
+    WITH d AS (SELECT doc_id,
+                      (doc_id % 11) - 5 k00,
+                      (doc_id % 7) - 3 k01,
+                      ((doc_id // 7) % 7) - 3 k10,
+                      (doc_id % 5) - 2 k22,
+                      ((doc_id // 3) % 3) - 1 k77
+               FROM documents WHERE doc_id < 150),
+    px AS (
+      SELECT d.doc_id,
+        LEAST(255, GREATEST(0, FLOOR(
+          d.k00 * 16 * sqrt(1.0/8) * sqrt(1.0/8)
+          + d.k01 * 18 * sqrt(1.0/8)
+              * (0.5 * cos((2*y.y + 1) * 1 * pi() / 16))
+          + d.k10 * 18 * (0.5 * cos((2*x.x + 1) * 1 * pi() / 16))
+              * sqrt(1.0/8)
+          + d.k22 * 24 * (0.5 * cos((2*x.x + 1) * 2 * pi() / 16))
+              * (0.5 * cos((2*y.y + 1) * 2 * pi() / 16))
+          + d.k77 * 44 * (0.5 * cos((2*x.x + 1) * 7 * pi() / 16))
+              * (0.5 * cos((2*y.y + 1) * 7 * pi() / 16))
+          + 128.5))) p
+      FROM d
+      CROSS JOIN (SELECT unnest(range(0, 8)) x) x
+      CROSS JOIN (SELECT unnest(range(0, 8)) y) y)
+    SELECT doc_id media_id,
+           ROUND(AVG(p * 1.0), 4) luma_mean,
+           ROUND(SQRT(AVG(p * p) - AVG(p) * AVG(p)), 4) luma_std
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q183(spark, sf_dir):
+    """REAL progressive-JPEG (SOF2) decode, arithmetically verified:
+    the q168 construction, but the planted post-quantization
+    coefficients ship through the FULL progressive scan script —
+    interleaved DC first scan at Al=1, DC refinement, AC 1..63 first
+    pass with EOB-run coding, and the AC refinement correction-bit
+    protocol (jpeg_codec._emit_progressive; T.81 Annex G).  An extra
+    k77 term plants the (7,7) coefficient so the AC scans carry
+    63-position runs (ZRL + EOB-run interplay) and negatives exercise
+    the two's-complement refinement merge.  Successive approximation
+    reassembles the exact integers, so the decoder's output is the
+    same closed form clip(floor(IDCT(K*Q) + 128.5)) the DuckDB oracle
+    recomputes with cos() — a hash match proves the multi-scan
+    Huffman decode, EOBRUN skip, refinement bits, dequantization, and
+    IDCT to the bit.  Quant step at (7,7) is 16+2*(7+7)=44.
+    Map-only: synth and decode are Arrow-batched stages, no
+    shuffle."""
+    from ..operators.multimodal import extract_jpeg_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 150
+    )
+
+    def synth(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from django_datastream_spark.operators.jpeg_codec import (
+            encode_gray_from_coeffs,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                q = _np.zeros((1, 1, 8, 8), _np.int64)
+                q[0, 0, 0, 0] = (did % 11) - 5
+                q[0, 0, 0, 1] = (did % 7) - 3
+                q[0, 0, 1, 0] = ((did // 7) % 7) - 3
+                q[0, 0, 2, 2] = (did % 5) - 2
+                q[0, 0, 7, 7] = ((did // 3) % 3) - 1
+                payloads.append(
+                    encode_gray_from_coeffs(q, progressive=True)
+                )
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    feats = extract_jpeg_features(media)
+    return feats.select(
+        "media_id",
+        F.round("luma_mean", 4).alias("luma_mean"),
+        F.round("luma_std", 4).alias("luma_std"),
+    ).orderBy("media_id")

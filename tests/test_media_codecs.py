@@ -552,14 +552,66 @@ def test_jpeg_rejects_unsupported_modes():
     good = bytearray(jc.encode_jpeg(np.zeros((8, 8), np.uint8)))
     with pytest.raises(ValueError, match="no SOI"):
         jc.parse_jpeg(b"GIF89a")
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF2: now a progressive frame whose (baseline-shaped)
+    # scan header Ss=0/Se=63 is illegal — DC and AC never share a
+    # progressive scan (T.81 G.1.1.1.1)
     i = bytes(good).find(b"\xff\xc0")
     prog = good.copy()
     prog[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="Ss=0 requires Se=0"):
         jc.parse_jpeg(bytes(prog))
+    # SOF1 (extended sequential) stays out of scope
+    seq = good.copy()
+    seq[i + 1] = 0xC1
+    with pytest.raises(ValueError, match="SOF0 / progressive SOF2"):
+        jc.parse_jpeg(bytes(seq))
     with pytest.raises(ValueError, match="missing EOI"):
         jc.parse_jpeg(bytes(good[:-2]))
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    """Progressive transmission is coefficient-lossless: SOF2 with the
+    full scan script (DC first/refine at Al=1, AC first/refine with
+    EOB runs and correction bits) decodes bit-identically to the SOF0
+    encoding of the same image."""
+    rng = np.random.default_rng(11)
+    for shape in ((8, 8), (13, 21), (24, 32)):
+        a = rng.integers(0, 256, shape, np.uint8)
+        base = jc.parse_jpeg(jc.encode_jpeg(a))
+        prog = jc.parse_jpeg(jc.encode_jpeg(a, progressive=True))
+        assert (base == prog).all(), shape
+    rgb = rng.integers(0, 256, (17, 19, 3), np.uint8)
+    base3 = jc.parse_jpeg(jc.encode_jpeg(rgb))
+    prog3 = jc.parse_jpeg(jc.encode_jpeg(rgb, progressive=True))
+    assert (base3 == prog3).all()
+
+
+def test_jpeg_progressive_planted_coefficients_decode_exactly():
+    """The q183 law: planted post-quantization coefficients survive
+    the SOF2 scan script losslessly, so decode == the closed-form
+    IDCT — including negatives (sign bits + two's-complement
+    refinement) and sparse high-frequency positions (EOB runs)."""
+    rng = np.random.default_rng(7)
+    q = np.zeros((3, 4, 8, 8), np.int64)
+    q[..., 0, 0] = rng.integers(-6, 7, (3, 4))
+    q[..., 0, 1] = rng.integers(-3, 4, (3, 4))
+    q[..., 3, 5] = rng.integers(-2, 3, (3, 4))
+    q[..., 7, 7] = rng.integers(-1, 2, (3, 4))  # deep-band: long runs
+    dec_b = jc.parse_jpeg(jc.encode_gray_from_coeffs(q))
+    dec_p = jc.parse_jpeg(jc.encode_gray_from_coeffs(q, progressive=True))
+    assert (dec_b == dec_p).all()
+
+
+def test_jpeg_progressive_eobrun_spans_blocks():
+    # all-zero AC everywhere except one late block: the AC-first scan
+    # must code one multi-block EOB run and the decoder must skip
+    # exactly that many blocks
+    q = np.zeros((2, 8, 8, 8), np.int64)
+    q[..., 0, 0] = 3
+    q[1, 6, 2, 2] = -2
+    dec_b = jc.parse_jpeg(jc.encode_gray_from_coeffs(q))
+    dec_p = jc.parse_jpeg(jc.encode_gray_from_coeffs(q, progressive=True))
+    assert (dec_b == dec_p).all()
 
 
 def test_jpeg_spark_stage_and_quarantine(spark):
