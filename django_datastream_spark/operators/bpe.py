@@ -1,0 +1,329 @@
+"""Byte-level BPE tokenizer — distributed corpus reduction, incremental
+merge training, Arrow-batched encoding.
+
+The reference engine (wlanslovenija/django-datastream) has no tokenizer;
+this belongs to the LLM-training-data operator suite next to the
+token-count heuristics in ``functions/text.py`` — the real subword
+algorithm those heuristics approximate.
+
+Scale design (100 TB):
+
+- **The corpus-sized step is ONE shuffle.** Regex pre-tokenization
+  (GPT-2-style pattern) runs inside ``mapInPandas`` with a per-batch
+  local ``Counter``, so each task emits its DISTINCT words only —
+  map-side combine in Python before the single ``groupBy(word).sum``
+  shuffle. Heaps' law bounds the distinct-word table (millions of rows
+  at 100 TB, not trillions) and ``min_count`` truncates the tail
+  explicitly. This is the SAME reduction every industrial BPE trainer
+  performs: HuggingFace tokenizers and SentencePiece both train from a
+  word-frequency dict, never the raw stream.
+
+- **The merge loop is vocabulary-sized, incremental, and heap-driven.**
+  It runs driver-side on the word-frequency dict (documented bounded
+  input, like ``append_multiple``'s row list): a lazy max-heap over
+  pair counts plus a pair→words index means each merge touches only
+  the words containing the merged pair — no full recount per
+  iteration. Ties break deterministically (highest count, then
+  lexicographically smallest pair) so training is reproducible across
+  cluster runs.
+
+- **Encoding is an Arrow-batched pandas UDF with a word memo.** The
+  rank table ships once per executor via closure capture; a per-batch
+  ``word -> tokens`` dict makes the greedy merge loop run once per
+  DISTINCT word per batch (Zipf puts the hit rate near 99%).
+
+Byte-level means tokens are ``bytes`` and any UTF-8 text round-trips
+exactly — ``decode(encode(text)) == text`` with no unknown-token
+escape hatch (q185 pins this per-document with an md5 oracle).
+"""
+
+from __future__ import annotations
+
+import heapq
+import re
+from collections import Counter
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: GPT-2-style pre-tokenization: contraction suffixes, space-prefixed
+#: letter runs, digit runs, punctuation runs, then whitespace (kept, so
+#: nothing is dropped and detokenization is exact concatenation).
+#: Spelled with Python-re unicode classes: letters = [^\W\d_].
+_PRETOKEN = re.compile(
+    r"'(?:[sdmt]|ll|ve|re)| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+(?!\S)|\s+"
+)
+
+
+def pretokenize(text: str) -> list[str]:
+    """Split text into pre-tokens whose concatenation is the input."""
+    return _PRETOKEN.findall(text)
+
+
+# ---------------------------------------------------------------------------
+# distributed word counting
+# ---------------------------------------------------------------------------
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus -> (word binary, cnt long), the trainer's input.
+
+    Map-side: each Arrow batch pre-tokenizes and counts locally, so the
+    shuffle carries per-task DISTINCT words (Heaps-bounded), not one row
+    per token occurrence."""
+
+    def count_batches(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            c: Counter = Counter()
+            for text in pdf[text_col]:
+                if text is None:
+                    continue
+                for tok in _PRETOKEN.findall(str(text)):
+                    c[tok.encode("utf-8")] += 1
+            if c:
+                yield pd.DataFrame(
+                    {"word": list(c.keys()), "cnt": list(c.values())}
+                )
+
+    local = df.select(text_col).mapInPandas(
+        count_batches, "word binary, cnt long"
+    )
+    return local.groupBy("word").agg(F.sum("cnt").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# training — incremental pair maintenance over the word-frequency dict
+# ---------------------------------------------------------------------------
+def train_from_counts(
+    counts: Iterable[tuple[bytes, int]],
+    num_merges: int,
+    min_pair_count: int = 2,
+) -> list[tuple[bytes, bytes]]:
+    """Classic BPE merge learning with incremental updates.
+
+    ``counts``: (utf-8 word, frequency) pairs (the collected output of
+    :func:`word_counts` — vocabulary-sized by contract). Returns the
+    ordered merge list; token i's id is 256 + its merge rank.
+
+    Each iteration pops the true-max pair from a lazily-invalidated
+    heap (stale entries are re-checked against the live count), then
+    re-symbolizes ONLY the words containing that pair, updating pair
+    counts and the pair→words index by full per-word subtract/add —
+    O(word length) per touched word, immune to the positional-delta
+    bookkeeping bugs of the textbook incremental variant."""
+    words: list[list[bytes]] = []
+    freqs: list[int] = []
+    for wb, cnt in counts:
+        if len(wb) < 2:
+            continue  # no pairs to learn from
+        words.append([wb[i : i + 1] for i in range(len(wb))])
+        freqs.append(int(cnt))
+
+    pair_counts: Counter = Counter()
+    pair_where: dict[tuple[bytes, bytes], set[int]] = {}
+    for wi, sym in enumerate(words):
+        wc = freqs[wi]
+        for p in zip(sym, sym[1:]):
+            pair_counts[p] += wc
+            pair_where.setdefault(p, set()).add(wi)
+
+    # lazy max-heap: (-count, pair); stale entries skipped on pop
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def push(p):
+        c = pair_counts.get(p, 0)
+        if c > 0:
+            heapq.heappush(heap, (-c, p))
+
+    merges: list[tuple[bytes, bytes]] = []
+    for _ in range(num_merges):
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if pair_counts.get(p, 0) == -negc:
+                best = (p, -negc)
+                break
+        if best is None or best[1] < min_pair_count:
+            break
+        (a, b), _c = best
+        merges.append((a, b))
+        merged = a + b
+        touched = set()
+        for wi in list(pair_where.get((a, b), ())):
+            sym = words[wi]
+            wc = freqs[wi]
+            old_pairs = Counter(zip(sym, sym[1:]))
+            new_sym: list[bytes] = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    new_sym.append(merged)
+                    i += 2
+                else:
+                    new_sym.append(sym[i])
+                    i += 1
+            words[wi] = new_sym
+            new_pairs = Counter(zip(new_sym, new_sym[1:]))
+            for p, c in old_pairs.items():
+                pair_counts[p] -= c * wc
+                if p not in new_pairs:
+                    pair_where.get(p, set()).discard(wi)
+                touched.add(p)
+            for p, c in new_pairs.items():
+                pair_counts[p] += c * wc
+                pair_where.setdefault(p, set()).add(wi)
+                touched.add(p)
+        pair_counts.pop((a, b), None)
+        pair_where.pop((a, b), None)
+        for p in touched:
+            push(p)  # lazy refresh; stale duplicates are skipped on pop
+    return merges
+
+
+class BPETokenizer:
+    """Frozen byte-level BPE: 256 base byte tokens + ordered merges."""
+
+    def __init__(self, merges: list[tuple[bytes, bytes]]):
+        self.merges = list(merges)
+        self.ranks: dict[tuple[bytes, bytes], int] = {
+            p: i for i, p in enumerate(self.merges)
+        }
+        # token id space: 0..255 raw bytes, 256+rank for merged tokens
+        self.token_ids: dict[bytes, int] = {
+            bytes([i]): i for i in range(256)
+        }
+        for i, (a, b) in enumerate(self.merges):
+            self.token_ids[a + b] = 256 + i
+
+    @property
+    def vocab_size(self) -> int:
+        return 256 + len(self.merges)
+
+    def encode_word(self, wb: bytes) -> list[bytes]:
+        """Greedy lowest-rank merging (the GPT-2 encoder loop)."""
+        sym = [wb[i : i + 1] for i in range(len(wb))]
+        ranks = self.ranks
+        while len(sym) > 1:
+            best_rank = None
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank = r
+            if best_rank is None:
+                break
+            a, b = self.merges[best_rank]
+            merged = a + b
+            out: list[bytes] = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    def encode(self, text: str, memo: dict | None = None) -> list[bytes]:
+        out: list[bytes] = []
+        for pre in _PRETOKEN.findall(text):
+            wb = pre.encode("utf-8")
+            if memo is not None:
+                toks = memo.get(wb)
+                if toks is None:
+                    toks = self.encode_word(wb)
+                    memo[wb] = toks
+            else:
+                toks = self.encode_word(wb)
+            out.extend(toks)
+        return out
+
+    def encode_ids(self, text: str, memo: dict | None = None) -> list[int]:
+        return [self.token_ids[t] for t in self.encode(text, memo)]
+
+    @staticmethod
+    def decode(tokens: Iterable[bytes]) -> str:
+        return b"".join(tokens).decode("utf-8")
+
+    # -- persistence as plain rows (rank, left hex, right hex) ---------
+    def to_rows(self) -> list[tuple[int, str, str]]:
+        return [
+            (i, a.hex(), b.hex()) for i, (a, b) in enumerate(self.merges)
+        ]
+
+    @classmethod
+    def from_rows(cls, rows) -> "BPETokenizer":
+        ordered = sorted(rows, key=lambda r: r[0])
+        return cls(
+            [(bytes.fromhex(a), bytes.fromhex(b)) for _, a, b in ordered]
+        )
+
+
+def train(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 512,
+    min_count: int = 1,
+    min_pair_count: int = 2,
+) -> BPETokenizer:
+    """End-to-end training: one distributed word-count shuffle, then the
+    vocabulary-sized merge loop on the driver. ``min_count`` drops
+    tail words BEFORE collect — the explicit Heaps-law truncation knob
+    for huge corpora (the collect is bounded by the distinct-word
+    vocabulary, not the corpus)."""
+    if vocab_size < 256:
+        raise ValueError("byte-level vocab_size must be >= 256")
+    wc = word_counts(df, text_col)
+    if min_count > 1:
+        wc = wc.filter(F.col("cnt") >= min_count)
+    # deterministic collect order not required: training sorts by count
+    # with a full lexicographic tie-break internally
+    rows = [(bytes(r["word"]), r["cnt"]) for r in wc.collect()]
+    return BPETokenizer(
+        train_from_counts(rows, vocab_size - 256, min_pair_count)
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed encoding
+# ---------------------------------------------------------------------------
+def encode_column(
+    df: DataFrame,
+    tokenizer: BPETokenizer,
+    text_col: str = "text",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Append ``out_col`` (array<binary> BPE tokens) and
+    ``<out_col>_n`` (token count). Arrow-batched; the merge table rides
+    the closure (vocab-sized), and a per-batch word memo collapses the
+    greedy loop to once per distinct word."""
+    merges = tokenizer.merges
+    cols = df.columns
+
+    def encode_batches(batches) -> Iterator:
+        import pandas as pd
+
+        tok = BPETokenizer(merges)
+        memo: dict = {}
+        for pdf in batches:
+            toks, ns = [], []
+            for text in pdf[text_col]:
+                if text is None:
+                    toks.append(None)
+                    ns.append(None)
+                    continue
+                t = tok.encode(str(text), memo)
+                toks.append(t)
+                ns.append(len(t))
+            out = pdf[cols].copy()
+            out[out_col] = toks
+            out[out_col + "_n"] = pd.array(ns, dtype="Int64")
+            yield out
+
+    in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in df.schema.fields)
+    schema = f"{in_schema}, {out_col} array<binary>, {out_col}_n long"
+    return df.mapInPandas(encode_batches, schema)

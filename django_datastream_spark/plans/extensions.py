@@ -7882,3 +7882,113 @@ def q183(spark, sf_dir):
         F.round("luma_mean", 4).alias("luma_mean"),
         F.round("luma_std", 4).alias("luma_std"),
     ).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# Q184/Q185: byte-level BPE tokenizer (train/encode/decode) in the gate
+# --------------------------------------------------------------------------
+@_declare(
+    "q184_bpe_roundtrip_md5",
+    """
+    SELECT doc_id, md5(text) AS rt_md5
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q184(spark, sf_dir):
+    """Byte-level BPE round trip, md5-pinned per document: TRAIN on the
+    corpus (one distributed word-count shuffle -> vocabulary-sized
+    incremental merge loop, operators/bpe.py), ENCODE every document
+    with the trained merges (Arrow-batched greedy loop with a
+    distinct-word memo), DECODE by concatenation, and hash the
+    reconstruction.  The DuckDB oracle hashes the ORIGINAL text, so a
+    hash match proves the tokenizer is exactly lossless end to end —
+    pre-tokenizer drops nothing, byte-level splitting covers all of
+    UTF-8, and greedy merging never corrupts a boundary.  Non-vacuous:
+    asserts that the trained merges actually fire (corpus tokens <
+    corpus bytes) so an identity "tokenizer" cannot pass.  Training
+    determinism (count-then-lexicographic tie-break) makes the merges
+    cluster-reproducible; the trainer itself is differentially tested
+    against a naive full-recount reference in tests/test_bpe.py."""
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = bpe.train(docs, "text", vocab_size=384, min_pair_count=2)
+    if not tok.merges:
+        raise AssertionError("q184: training must learn merges")
+    enc = bpe.encode_column(docs, tok, "text")
+
+    def rebuild(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for toks in pdf["tokens"]:
+                if toks is None:
+                    outs.append(None)
+                else:
+                    outs.append(
+                        b"".join(bytes(t) for t in toks).decode("utf-8")
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "rt": outs,
+                    "n_tok": pdf["tokens_n"],
+                    "n_bytes": [
+                        None if t is None else len(t.encode())
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    rt = enc.mapInPandas(
+        rebuild, "doc_id long, rt string, n_tok long, n_bytes long"
+    )
+    rt = rt.cache()
+    tot = rt.agg(
+        F.sum("n_tok").alias("t"), F.sum("n_bytes").alias("b")
+    ).collect()[0]
+    if not (tot["t"] and tot["b"] and tot["t"] < tot["b"]):
+        raise AssertionError(
+            f"q184: merges must compress ({tot['t']} !< {tot['b']})"
+        )
+    return rt.select(
+        "doc_id", F.md5(F.encode("rt", "UTF-8")).alias("rt_md5")
+    ).orderBy("doc_id")
+
+
+@_declare(
+    "q185_bpe_base_token_law",
+    """
+    SELECT doc_id,
+           strlen(text) AS n_tok,
+           strlen(text) AS tok_bytes
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q185(spark, sf_dir):
+    """The zero-merge BPE law: a base tokenizer (vocab 256, no learned
+    merges) must emit EXACTLY one token per UTF-8 byte, and the
+    tokens' total byte length must equal the document's byte length —
+    both recomputed by DuckDB as strlen(text).  Pins the
+    pre-tokenizer's conservation property (regex partition of the
+    input: contractions, letter/digit/punct runs, kept whitespace)
+    and the Arrow encode stage's null/empty handling, independent of
+    training."""
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = bpe.BPETokenizer([])
+    enc = bpe.encode_column(docs, tok, "text")
+    return (
+        enc.select(
+            "doc_id",
+            F.col("tokens_n").alias("n_tok"),
+            F.aggregate(
+                "tokens",
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + F.octet_length(t),
+            ).alias("tok_bytes"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,180 @@
+"""Byte-level BPE: differential (naive reference vs incremental
+trainer), round-trip totality, determinism, and the Spark stages."""
+
+import random
+from collections import Counter
+
+import pytest
+
+from django_datastream_spark.operators import bpe
+
+
+# ---------------------------------------------------------------------------
+# naive reference trainer: full pair recount every iteration
+# ---------------------------------------------------------------------------
+def naive_train(counts, num_merges, min_pair_count=2):
+    words = {}
+    for wb, c in counts:
+        if len(wb) >= 2:
+            words[wb] = (
+                tuple(wb[i : i + 1] for i in range(len(wb))),
+                words.get(wb, (None, 0))[1] + c,
+            )
+    syms = [[list(s), c] for s, c in words.values()]
+    merges = []
+    for _ in range(num_merges):
+        pc = Counter()
+        for s, c in syms:
+            for p in zip(s, s[1:]):
+                pc[p] += c
+        if not pc:
+            break
+        # highest count, then lexicographically smallest pair
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (a, b) = best[0]
+        merges.append((a, b))
+        for entry in syms:
+            s = entry[0]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            entry[0] = out
+    return merges
+
+
+CORPUS = (
+    "the quick brown fox jumps over the lazy dog "
+    "the theatre of the absurd is the thing "
+    "spark shuffles the partitions, the partitions shuffle back"
+).split()
+
+
+def test_incremental_trainer_matches_naive_reference():
+    counts = list(Counter(w.encode() for w in CORPUS).items())
+    for nm in (1, 5, 20, 60):
+        assert bpe.train_from_counts(counts, nm) == naive_train(counts, nm)
+
+
+def test_incremental_matches_naive_on_random_corpora():
+    rng = random.Random(42)
+    alphabet = "abcdeé中 .'"
+    for trial in range(8):
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 9)))
+            for _ in range(rng.randint(5, 60))
+        ]
+        counts = list(
+            Counter(
+                w.encode() for w in words for _ in range(rng.randint(1, 4))
+            ).items()
+        )
+        nm = rng.randint(1, 40)
+        assert bpe.train_from_counts(counts, nm) == naive_train(
+            counts, nm
+        ), (trial, counts, nm)
+
+
+def test_training_is_input_order_invariant():
+    counts = list(Counter(w.encode() for w in CORPUS).items())
+    shuffled = counts[::-1]
+    random.Random(7).shuffle(shuffled)
+    assert bpe.train_from_counts(counts, 30) == bpe.train_from_counts(
+        shuffled, 30
+    )
+
+
+def test_pretokenize_concat_is_identity():
+    for text in (
+        "hello world",
+        "  leading and trailing  ",
+        "don't stop-me now!!  x9y",
+        "naïve café — 中文测试 🚀🚀",
+        "tabs\tand\nnewlines\r\n mixed   runs",
+        "",
+    ):
+        assert "".join(bpe.pretokenize(text)) == text
+
+
+def test_encode_decode_roundtrip_exact():
+    counts = list(Counter(w.encode() for w in CORPUS).items())
+    tok = bpe.BPETokenizer(bpe.train_from_counts(counts, 40))
+    for text in (
+        " ".join(CORPUS),
+        "unseen wörds, emoji 🎯 and ideographs 漢字 survive byte-level",
+        "",
+        "\x00\x7f control bytes too",
+    ):
+        toks = tok.encode(text)
+        assert bpe.BPETokenizer.decode(toks) == text
+        assert all(isinstance(t, bytes) for t in toks)
+
+
+def test_trained_tokenizer_compresses_and_ids_are_stable():
+    counts = list(Counter(w.encode() for w in CORPUS).items())
+    tok = bpe.BPETokenizer(bpe.train_from_counts(counts, 40))
+    text = " ".join(CORPUS)
+    n_tok = len(tok.encode(text))
+    n_bytes = len(text.encode())
+    assert n_tok < n_bytes * 0.8  # merges actually fire
+    ids = tok.encode_ids(text)
+    assert len(ids) == n_tok
+    assert max(ids) >= 256  # merged tokens in use
+    assert tok.vocab_size == 256 + len(tok.merges)
+    # persistence round-trips the merge order exactly
+    tok2 = bpe.BPETokenizer.from_rows(tok.to_rows()[::-1])
+    assert tok2.merges == tok.merges
+
+
+def test_greedy_encode_prefers_lowest_rank():
+    # merges: (a,b) rank 0, (ab,c) rank 1, (b,c) rank 2 — encoding
+    # "abc" must apply rank 0 then rank 1, never (b,c)
+    a, b, c = b"a", b"b", b"c"
+    tok = bpe.BPETokenizer([(a, b), (a + b, c), (b, c)])
+    assert tok.encode_word(b"abc") == [b"abc"]
+    assert tok.encode_word(b"bc") == [b"bc"]
+    assert tok.encode_word(b"xbcx") == [b"x", b"bc", b"x"]
+
+
+def test_spark_word_counts_match_local(spark):
+    rows = [(i, t) for i, t in enumerate(
+        [" ".join(CORPUS), "the fox, the dog!", None, ""]
+    )]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        bytes(r["word"]): r["cnt"]
+        for r in bpe.word_counts(df, "text").collect()
+    }
+    want = Counter()
+    for _, t in rows:
+        if t:
+            for p in bpe.pretokenize(t):
+                want[p.encode()] += 1
+    assert got == dict(want)
+
+
+def test_spark_encode_column_matches_local_and_roundtrips(spark):
+    texts = [" ".join(CORPUS), "wholly unseen wörds 🎯", None, ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    tok = bpe.train(df, vocab_size=300, min_pair_count=2)
+    out = {
+        r["doc_id"]: r
+        for r in bpe.encode_column(df, tok, "text").collect()
+    }
+    for i, t in enumerate(texts):
+        if t is None:
+            assert out[i]["tokens"] is None and out[i]["tokens_n"] is None
+            continue
+        local = tok.encode(t)
+        got = [bytes(x) for x in out[i]["tokens"]]
+        assert got == local
+        assert out[i]["tokens_n"] == len(local)
+        assert bpe.BPETokenizer.decode(got) == t

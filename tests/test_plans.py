@@ -80,7 +80,10 @@ def test_declaring_queries_runs_no_jobs(spark):
               "q177_txn_optimize_vacuum",
               "q178_txn_metadata_count", "q179_txn_time_travel",
               "q180_txn_bloom_lookup", "q181_txn_replace_where",
-              "q182_engine_on_txn"}
+              "q182_engine_on_txn",
+              # q184 TRAINS the BPE tokenizer (word-count shuffle +
+              # collect) and asserts compression before returning
+              "q184_bpe_roundtrip_md5"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
