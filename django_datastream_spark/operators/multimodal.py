@@ -298,6 +298,39 @@ def extract_wav_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
+def extract_flac_features(media: DataFrame) -> DataFrame:
+    """REAL compressed-audio feature extraction: the from-spec FLAC
+    decoder (operators/flac_codec — Rice partitions, FIXED/LPC
+    prediction, stereo decorrelation, CRC-8/16 + PCM-MD5 verification)
+    feeding the same signal-feature contract as
+    :func:`extract_wav_features`. Arrow-batched mapInPandas, no
+    shuffle; corrupt payloads quarantine as decode_err rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from django_datastream_spark.operators.flac_codec import (
+            flac_features,
+        )
+
+        nulls = {
+            "sample_rate": None, "channels": None, "duration_ms": None,
+            "rms": None, "peak": None, "zcr": None,
+        }
+        for pdf in batches:
+            rows = []
+            for p in pdf["content"]:
+                try:
+                    rows.append(
+                        {**flac_features(p or b""), "decode_err": None}
+                    )
+                except Exception as e:  # noqa: BLE001 — quarantine
+                    rows.append({**nulls, "decode_err": str(e)[:200]})
+            out = pd.DataFrame(rows)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
 def extract_image_features(media: DataFrame, fmt: str) -> DataFrame:
     """REAL image feature extraction, one Arrow-batched implementation
     for every decodable format — ``fmt`` in {"ppm", "png", "jpeg",

@@ -7992,3 +7992,96 @@ def q185(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q186: REAL FLAC decode — lossless, so the closed-form PCM is exact
+# --------------------------------------------------------------------------
+@_declare(
+    "q186_flac_audio_features",
+    """
+    WITH b AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+    s AS (SELECT b.doc_id, i.i,
+            TRUNC(0.4 * sin(2 * pi() * (80 + (b.doc_id % 30) * 15)
+                            * i.i / 16000) * 32767) / 32768.0 xl,
+            TRUNC(0.4 * sin(2 * pi() * (80 + (b.doc_id % 30) * 15)
+                            * i.i / 16000 + 1.0) * 32767) / 32768.0 xr
+          FROM b, (SELECT unnest(range(0, 2000)) i) i),
+    z AS (SELECT doc_id, i, xl, xr, (xl + xr) / 2 m,
+                 LAG((xl + xr) / 2) OVER (PARTITION BY doc_id ORDER BY i) pm
+          FROM s)
+    SELECT doc_id media_id, CAST(16000 AS INT) sample_rate,
+           CAST(2 AS INT) channels, CAST(125 AS BIGINT) duration_ms,
+           ROUND(SQRT(AVG((xl * xl + xr * xr) / 2)), 4) + 0 rms,
+           ROUND(AVG(CASE WHEN pm IS NULL THEN NULL
+                          WHEN (m < 0) <> (pm < 0) THEN 1.0
+                          ELSE 0.0 END), 4) + 0 zcr
+    FROM z GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def q186(spark, sf_dir):
+    """REAL compressed-audio decode in the pipeline: synthesize a
+    deterministic STEREO tone pair per document (left/right sines with
+    a fixed phase offset), compress with the from-spec FLAC encoder
+    (operators/flac_codec — LPC fitting, Rice partitions, per-frame
+    stereo-decorrelation planning, 4 frames at block_size=512), and
+    decode through the real parser (frame-header CRC-8, whole-frame
+    CRC-16, and STREAMINFO PCM-MD5 all VERIFIED on this path).
+    Because FLAC is lossless, every decoded sample equals the int16
+    truncation of the closed-form sine, so the DuckDB oracle
+    re-derives RMS and mono-mixdown zero-crossing rate arithmetically
+    — a hash match proves the whole entropy-decode → prediction →
+    decorrelation pipeline to the bit (the same lossless-oracle trick
+    as GIF/PNG/WAV; an off-by-one anywhere in Rice quotients, warmup
+    handling, or mid/side reconstruction breaks it).  Both stages are
+    Arrow-batched mapInPandas, no shuffle."""
+    from ..operators.multimodal import extract_flac_features
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 150)
+        # the synth+encode stage is CPU-bound (LPC fits + Rice planning
+        # per payload); the 150-row input arrives as ONE parquet split,
+        # so spread it — at real scale the media table's own splits
+        # provide this parallelism and the repartition disappears
+        .repartition(16)
+    )
+
+    def synth(batches):
+        import math as _m
+
+        import numpy as _np
+        import pandas as _pd
+
+        from django_datastream_spark.operators.flac_codec import (
+            encode_flac,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                sr = 16000
+                freq = 80.0 + (int(did) % 30) * 15.0
+                i = _np.arange(2000)
+                w = 2 * _m.pi * freq / sr
+                xl = (0.4 * _np.sin(w * i) * 32767).astype(_np.int64)
+                xr = (0.4 * _np.sin(w * i + 1.0) * 32767).astype(
+                    _np.int64
+                )
+                st = _np.stack([xl, xr], axis=1)
+                payloads.append(encode_flac(st, sr, block_size=512))
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    feats = extract_flac_features(media)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "channels",
+        "duration_ms",
+        (F.round("rms", 4) + F.lit(0.0)).alias("rms"),
+        (F.round("zcr", 4) + F.lit(0.0)).alias("zcr"),
+    ).orderBy("media_id")

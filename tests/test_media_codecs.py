@@ -723,3 +723,194 @@ def test_gif_decoder_total_on_garbage(data):
             mc.parse_gif(payload)
         except ValueError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# FLAC — real Rice/LPC lossless codec, exact round-trip laws
+# ---------------------------------------------------------------------------
+from django_datastream_spark.operators import flac_codec as fl
+
+
+def test_flac_roundtrips_exactly_across_shapes():
+    rng = np.random.default_rng(3)
+    cases = [
+        (rng.integers(-32768, 32768, 5000), 44100, 16, 1024),  # noise
+        (np.full(3000, -123), 8000, 16, 512),                  # constant
+        ((10000 * np.sin(np.arange(7000) * 0.01)).astype(int), 48000, 16, 4096),
+        (rng.integers(-128, 128, 700), 16000, 8, 256),
+        (rng.integers(-(1 << 23), 1 << 23, 900), 96000, 24, 256),
+        (rng.integers(-32768, 32768, 1), 44100, 16, 4096),     # single sample
+    ]
+    for x, sr, bps, bs in cases:
+        x = np.asarray(x, np.int64)
+        p = fl.encode_flac(x, sr, bps=bps, block_size=bs)
+        gsr, gch, y = fl.parse_flac(p)
+        assert gsr == sr and gch == 1 and (y == x).all(), (bps, bs)
+
+
+def test_flac_stereo_modes_agree():
+    rng = np.random.default_rng(5)
+    t = np.arange(5000)
+    l = (9000 * np.sin(t * 0.011)).astype(np.int64)
+    noisy = np.stack([l, l + rng.integers(-40, 40, len(t))], axis=1)
+    ident = np.stack([l, l], axis=1)
+    for st in (noisy, ident):
+        ms = fl.encode_flac(st, 44100, mid_side=True)
+        ind = fl.encode_flac(st, 44100, mid_side=False)
+        for p in (ms, ind):
+            sr, ch, y = fl.parse_flac(p)
+            assert ch == 2 and (y.reshape(-1, 2) == st).all()
+        # decorrelation planning considers independent too, so it can
+        # never lose; identical channels make it win outright (side is
+        # a CONSTANT-zero subframe)
+        assert len(ms) <= len(ind)
+    assert len(fl.encode_flac(ident, 44100, mid_side=True)) < len(
+        fl.encode_flac(ident, 44100, mid_side=False)
+    )
+
+
+def test_flac_left_right_side_decode():
+    """The encoder emits mid/side; hand-build left/side and right/side
+    frames by patching the channel assignment is fragile — instead
+    round-trip through the decoder law: decode(mid/side) equals the
+    original, and a stream re-encoded independent decodes identically
+    (the two decorrelation paths already covered); left/side and
+    right/side are pinned by construction below via subframe algebra."""
+    # exercise the decoder's left/side + right/side reconstructions by
+    # crafting a 1-block stream manually from the encoder's pieces
+    rng = np.random.default_rng(8)
+    left = rng.integers(-2000, 2000, 512).astype(np.int64)
+    right = left + rng.integers(-30, 30, 512)
+
+    for mode_code, ch0, ch1, bps0, bps1 in (
+        (0b1000, left, left - right, 16, 17),   # left/side
+        (0b1001, left - right, right, 17, 16),  # right/side
+    ):
+        hdr = fl._BitWriter()
+        hdr.put(0b11111111111110, 14)
+        hdr.put(0, 2)
+        hdr.put(0b0111, 4)
+        hdr.put(0b0000, 4)
+        hdr.put(mode_code, 4)
+        hdr.put(0b100, 3)
+        hdr.put(0, 1)
+        hdr.align()
+        head = bytes(hdr.out) + fl._coded_number(0)
+        import struct as _st
+
+        head += _st.pack(">H", 511)
+        head += bytes([fl.crc8(head)])
+        w = fl._BitWriter()
+        fl._write_subframe(w, ch0, bps0, 512, True)
+        fl._write_subframe(w, ch1, bps1, 512, True)
+        w.align()
+        frame = head + w.bytes()
+        frame += _st.pack(">H", fl.crc16(frame))
+
+        si = fl._BitWriter()
+        si.put(512, 16)
+        si.put(512, 16)
+        si.put(0, 48)
+        si.put(44100, 20)
+        si.put(1, 3)  # 2 channels
+        si.put(15, 5)  # 16 bps
+        si.put(512, 36)
+        si.align()
+        payload = (
+            b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+            + si.bytes() + b"\x00" * 16 + frame
+        )
+        sr, ch, y = fl.parse_flac(payload)
+        got = y.reshape(-1, 2)
+        assert (got[:, 0] == left).all() and (got[:, 1] == right).all(), (
+            mode_code
+        )
+
+
+def test_flac_crc_and_md5_are_verified():
+    x = np.arange(-500, 500, dtype=np.int64) * 13 % 4001 - 2000
+    p = bytearray(fl.encode_flac(x, 22050, block_size=256))
+    # flip a bit inside frame data (past 42-byte header zone)
+    p2 = p.copy()
+    p2[80] ^= 0x10
+    with pytest.raises(ValueError):
+        fl.parse_flac(bytes(p2))
+    # corrupt the STREAMINFO md5: frames decode, whole-stream check fires
+    p3 = p.copy()
+    p3[26] ^= 0xFF  # inside the 16 md5 bytes (STREAMINFO body 8+18..8+34)
+    with pytest.raises(ValueError, match="MD5"):
+        fl.parse_flac(bytes(p3))
+    assert (fl.parse_flac(bytes(p))[2] == x).all()
+
+
+def test_flac_rejects_unsupported_and_is_total():
+    with pytest.raises(ValueError, match="fLaC"):
+        fl.parse_flac(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError):
+        fl.encode_flac(np.zeros((0,)), 44100)
+    with pytest.raises(ValueError, match="range"):
+        fl.encode_flac(np.array([40000]), 44100, bps=16)
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=hst.binary(max_size=400))
+def test_flac_decoder_total_on_garbage(data):
+    for payload in (data, b"fLaC" + data):
+        try:
+            fl.parse_flac(payload)
+        except ValueError:
+            pass
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n=hst.integers(1, 3000),
+    seed=hst.integers(0, 10_000),
+    bs=hst.sampled_from([192, 256, 576, 1024, 4096]),
+    ch=hst.integers(1, 2),
+)
+def test_flac_roundtrip_property(n, seed, bs, ch):
+    rng = np.random.default_rng(seed)
+    kind = seed % 3
+    if kind == 0:
+        x = rng.integers(-32768, 32768, (n, ch))
+    elif kind == 1:  # smooth
+        t = np.arange(n)[:, None]
+        x = (
+            12000 * np.sin(t * (0.002 + 0.01 * rng.random(ch))[None, :])
+        ).astype(np.int64)
+    else:  # piecewise constant with spikes
+        x = np.repeat(
+            rng.integers(-3000, 3000, ((n + 49) // 50, ch)), 50, axis=0
+        )[:n]
+        if n > 10:
+            x[rng.integers(0, n, 5)] = rng.integers(-32768, 32768, (5, ch))
+    x = np.asarray(x, np.int64).reshape(n, ch)
+    p = fl.encode_flac(x, 44100, block_size=bs)
+    sr, gch, y = fl.parse_flac(p)
+    assert gch == ch and (y.reshape(-1, ch) == x).all()
+
+
+def test_flac_spark_stage_and_quarantine(spark):
+    rng = np.random.default_rng(2)
+    sigs = [
+        (3000 * np.sin(np.arange(2000) * (0.01 + 0.003 * i))).astype(np.int64)
+        for i in range(3)
+    ]
+    rows = [
+        (i, bytearray(fl.encode_flac(s, 16000, block_size=512)))
+        for i, s in enumerate(sigs)
+    ]
+    rows.append((99, bytearray(b"not a flac")))
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r["media_id"]: r.asDict()
+        for r in mm.extract_flac_features(media).collect()
+    }
+    for i, s in enumerate(sigs):
+        xf = s / 32768.0
+        assert got[i]["decode_err"] is None
+        assert got[i]["sample_rate"] == 16000
+        assert got[i]["duration_ms"] == 125
+        assert got[i]["rms"] == pytest.approx(float(np.sqrt(np.mean(xf**2))))
+    assert got[99]["decode_err"] is not None and got[99]["rms"] is None
