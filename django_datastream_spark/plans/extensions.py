@@ -8085,3 +8085,78 @@ def q186(spark, sf_dir):
         (F.round("rms", 4) + F.lit(0.0)).alias("rms"),
         (F.round("zcr", 4) + F.lit(0.0)).alias("zcr"),
     ).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# Q187: WARC shard ingest (Common Crawl layout) — md5-exact body oracle
+# --------------------------------------------------------------------------
+@_declare(
+    "q187_warc_ingest",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) body_len,
+           md5(text) body_md5,
+           CAST(200 AS INT) http_status
+    FROM documents WHERE doc_id < 300 AND text IS NOT NULL
+    ORDER BY doc_id
+    """,
+)
+def q187(spark, sf_dir):
+    """WARC ingest end to end: documents are packed 10-per-shard into
+    genuine WARC/1.0 shards (response records wrapping an HTTP/1.1
+    payload; EVEN shards use Common Crawl's per-record-gzip-member
+    layout, odd shards plain — both real-world framings in one gate),
+    then parsed back by the Arrow-batched flat-map source
+    (sources/warc.read_warc_records: CRLF framing, Content-Length
+    bodies, gzip-member loop, HTTP status/header split).  The DuckDB
+    oracle recomputes each record's body length and md5 from the
+    source text, so a hash match proves byte-exact extraction through
+    shard packing, gzip, WARC framing, and HTTP splitting.  Scale
+    shape: pack is one applyInPandas over shard groups, parse is a
+    shuffle-free flat-map over shard rows — exactly how a 100 TB
+    crawl lands."""
+    from ..sources.warc import build_warc, read_warc_records
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter((F.col("doc_id") < 300) & F.col("text").isNotNull())
+        .withColumn("shard_id", (F.col("doc_id") / 10).cast("long"))
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        sid = int(pdf["shard_id"].iloc[0])
+        recs = []
+        for _, row in pdf.sort_values("doc_id").iterrows():
+            recs.append(
+                {
+                    "warc_type": "response",
+                    "target_uri": f"http://corpus.test/doc/{int(row['doc_id'])}",
+                    "warc_date": "2024-03-01T00:00:00Z",
+                    "record_id": f"<urn:uuid:{int(row['doc_id']):032x}>",
+                    "http_status": 200,
+                    "http_content_type": "text/plain; charset=utf-8",
+                    "body": str(row["text"]).encode("utf-8"),
+                }
+            )
+        shard = build_warc(recs, gzip_members=(sid % 2 == 0))
+        return pd.DataFrame({"shard_id": [sid], "content": [shard]})
+
+    shards = docs.groupBy("shard_id").applyInPandas(
+        pack, "shard_id long, content binary"
+    )
+    recs = read_warc_records(shards)
+    return (
+        recs.filter(F.col("parse_err").isNull())
+        .select(
+            F.regexp_extract("target_uri", r"doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("body_len"),
+            F.md5("body").alias("body_md5"),
+            "http_status",
+        )
+        .orderBy("doc_id")
+    )
