@@ -8160,3 +8160,81 @@ def q187(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q188: WebDataset (tar) shard ingest + sample reassembly — md5 oracle
+# --------------------------------------------------------------------------
+@_declare(
+    "q188_webdataset_ingest",
+    """
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) txt_len,
+           md5(text) txt_md5,
+           lang cls
+    FROM documents WHERE doc_id < 240 AND text IS NOT NULL
+    ORDER BY doc_id
+    """,
+)
+def q188(spark, sf_dir):
+    """WebDataset ingest end to end: documents pack 8-per-shard into
+    POSIX tar shards (two members per sample — ``{id}.txt`` payload
+    and ``{id}.cls`` label, the WebDataset pairing rule; every third
+    shard is gzipped), then the flat-map source
+    (sources/tar.read_webdataset) streams members back out and a
+    groupBy(sample_key) PIVOTS them into samples — the reassembly a
+    multimodal training loader performs, done as ONE narrow
+    aggregation whose width is members-per-sample, never corpus size.
+    DuckDB recomputes each sample's text length, md5, and label from
+    the source table, so a hash match proves byte-exact member
+    extraction and correct first-dot key grouping through tar (and
+    gzip) framing."""
+    from ..sources.tar import build_webdataset, read_webdataset
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .filter((F.col("doc_id") < 240) & F.col("text").isNotNull())
+        .withColumn("shard_id", (F.col("doc_id") / 8).cast("long"))
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        sid = int(pdf["shard_id"].iloc[0])
+        members = []
+        for _, row in pdf.sort_values("doc_id").iterrows():
+            did = int(row["doc_id"])
+            members.append(
+                (f"{did:08d}.txt", str(row["text"]).encode("utf-8"))
+            )
+            members.append(
+                (f"{did:08d}.cls", str(row["lang"]).encode("utf-8"))
+            )
+        shard = build_webdataset(members, gzipped=(sid % 3 == 0))
+        return pd.DataFrame({"shard_id": [sid], "content": [shard]})
+
+    shards = docs.groupBy("shard_id").applyInPandas(
+        pack, "shard_id long, content binary"
+    )
+    members = read_webdataset(shards).filter(F.col("parse_err").isNull())
+    samples = members.groupBy("sample_key").agg(
+        F.max(
+            F.when(F.col("ext") == "txt", F.col("member_len"))
+        ).alias("txt_len"),
+        F.max(
+            F.when(F.col("ext") == "txt", F.md5("member_bytes"))
+        ).alias("txt_md5"),
+        F.max(
+            F.when(
+                F.col("ext") == "cls",
+                F.col("member_bytes").cast("string"),
+            )
+        ).alias("cls"),
+    )
+    return samples.select(
+        F.col("sample_key").cast("long").alias("doc_id"),
+        "txt_len",
+        "txt_md5",
+        "cls",
+    ).orderBy("doc_id")

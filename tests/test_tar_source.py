@@ -1,0 +1,79 @@
+"""Tar/WebDataset source: round trips, key grouping rule, quarantine,
+totality."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+from django_datastream_spark.sources import tar as wds
+
+
+def _members(n=3):
+    out = []
+    for i in range(n):
+        out.append((f"{i:06d}.txt", f"caption number {i}".encode()))
+        out.append((f"{i:06d}.json", b'{"idx": %d}' % i))
+        out.append((f"{i:06d}.img.ppm", bytes([i, 255, 0]) * (i + 1)))
+    return out
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_webdataset_roundtrip(gz):
+    members = _members(3)
+    shard = wds.build_webdataset(members, gzipped=gz)
+    got = wds.parse_webdataset(shard)
+    assert len(got) == 9
+    for (name, data), g in zip(members, got):
+        key, ext = wds.split_sample_key(name)
+        assert (g["sample_key"], g["ext"]) == (key, ext)
+        assert g["member_bytes"] == data
+    # WebDataset key rule: first dot splits, so .img.ppm keeps a
+    # compound extension under the same sample key
+    assert got[2]["sample_key"] == "000000" and got[2]["ext"] == "img.ppm"
+
+
+def test_split_sample_key_with_directories():
+    assert wds.split_sample_key("a/b/000.x.y") == ("a/b/000", "x.y")
+    assert wds.split_sample_key("plain") == ("plain", "")
+
+
+def test_webdataset_malformed_raises():
+    with pytest.raises(ValueError, match="tar"):
+        wds.parse_webdataset(b"definitely not a tar shard" * 40)
+    with pytest.raises(ValueError, match="gzip"):
+        wds.parse_webdataset(b"\x1f\x8b" + b"\x00" * 30)
+    with pytest.raises(ValueError, match="no members"):
+        wds.parse_webdataset(b"\x00" * 1024)  # just end-of-archive
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=hst.binary(max_size=1200))
+def test_webdataset_total_on_garbage(data):
+    try:
+        wds.parse_webdataset(data)
+    except ValueError:
+        pass
+
+
+def test_webdataset_spark_flatmap_and_quarantine(spark):
+    shards = [
+        (0, wds.build_webdataset(_members(2))),
+        (1, wds.build_webdataset(_members(1), gzipped=True)),
+        (2, b"junk" * 200),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in shards],
+        "shard_id long, content binary",
+    )
+    rows = wds.read_webdataset(df).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    assert len(by_shard[0]) == 6 and len(by_shard[1]) == 3
+    assert by_shard[2][0]["parse_err"] is not None
+    got = {
+        (r["sample_key"], r["ext"]): bytes(r["member_bytes"])
+        for r in by_shard[0]
+    }
+    for name, data in _members(2):
+        assert got[wds.split_sample_key(name)] == data
