@@ -44,7 +44,7 @@ import re
 from collections import Counter
 from typing import Iterable, Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: GPT-2-style pre-tokenization: contraction suffixes, space-prefixed
@@ -327,3 +327,86 @@ def encode_column(
                           for f in df.schema.fields)
     schema = f"{in_schema}, {out_col} array<binary>, {out_col}_n long"
     return df.mapInPandas(encode_batches, schema)
+
+
+# ---------------------------------------------------------------------------
+# token-level sequence packing (the pretraining data layout)
+# ---------------------------------------------------------------------------
+def token_offsets(
+    enc: DataFrame, id_col: str = "doc_id", n_col: str = "tokens_n"
+) -> DataFrame:
+    """Global token start offset per document in ``id_col`` order — a
+    DISTRIBUTED prefix sum, never a single-partition window: range-
+    partition by id, cumsum inside each partition, then add per-
+    partition base offsets (one bounded collect of partition totals,
+    O(#partitions) driver rows at any corpus size)."""
+    d = (
+        enc.filter(F.col(n_col).isNotNull())
+        .repartitionByRange(F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy(id_col)
+    d = d.withColumn(
+        "_local", F.sum(n_col).over(w) - F.col(n_col)
+    )
+    ptot = sorted(
+        d.groupBy("_pid").agg(F.sum(n_col).alias("t")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    acc, rows = 0, []
+    for r in ptot:
+        rows.append((r["_pid"], acc))
+        acc += r["t"] or 0
+    if not rows:
+        rows = [(0, 0)]
+    spark = enc.sparkSession
+    base = spark.createDataFrame(rows, "_pid int, _base long")
+    return (
+        d.join(F.broadcast(base), "_pid")
+        .withColumn("tok_start", F.col("_base") + F.col("_local"))
+        .drop("_pid", "_local", "_base")
+    )
+
+
+def pack_token_blocks(
+    enc: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Pack the corpus token stream (documents concatenated in
+    ``id_col`` order) into fixed-length training blocks of ``seq_len``
+    tokens — documents SPLIT across block boundaries, exactly how
+    pretraining batches are laid out. Fully JVM-side after the encode
+    stage: posexplode to token granularity (linear, no skew — block
+    keys are uniform by construction), one groupBy(block) with an
+    ordered binary reassembly. Returns (block_id, n_tokens, n_docs,
+    first_doc, block_bytes)."""
+    d = token_offsets(enc, id_col, tokens_col + "_n")
+    tok = d.select(
+        F.col(id_col),
+        "tok_start",
+        F.posexplode(tokens_col).alias("pos", "tok"),
+    ).withColumn("gpos", F.col("tok_start") + F.col("pos"))
+    blk = tok.withColumn(
+        "block_id", F.floor(F.col("gpos") / seq_len)
+    )
+    return (
+        blk.groupBy("block_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(id_col).alias("first_doc"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("gpos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                F.lit(b""),
+                lambda acc, t: F.concat(acc, t),
+            ).alias("block_bytes"),
+        )
+        .orderBy("block_id")
+    )

@@ -8238,3 +8238,76 @@ def q188(spark, sf_dir):
         "txt_md5",
         "cls",
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Q189: tokenize -> fixed-length block packing, byte-exact block oracle
+# --------------------------------------------------------------------------
+@_declare(
+    "q189_token_block_packing",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents
+               WHERE doc_id < 240 AND text IS NOT NULL),
+    corpus AS (SELECT string_agg(text, '' ORDER BY doc_id) c,
+                      SUM(strlen(text)) tot FROM d),
+    off AS (SELECT doc_id, strlen(text) n,
+                   SUM(strlen(text)) OVER (ORDER BY doc_id)
+                     - strlen(text) s
+            FROM d),
+    blocks AS (SELECT i.i b, substr(c, CAST(i.i * 512 + 1 AS BIGINT),
+                                    512) blk
+               FROM corpus,
+                    (SELECT unnest(range(0, CAST(ceil(tot / 512.0) AS
+                                                 BIGINT)))
+                     FROM corpus) i(i)),
+    span AS (SELECT b.b,
+                    CAST(COUNT(*) AS BIGINT) n_docs,
+                    MIN(o.doc_id) first_doc
+             FROM blocks b
+             JOIN off o
+               ON o.s < b.b * 512 + strlen(b.blk)
+              AND o.s + o.n > b.b * 512
+             GROUP BY b.b)
+    SELECT b.b block_id,
+           CAST(strlen(b.blk) AS BIGINT) n_tokens,
+           s.n_docs, s.first_doc,
+           md5(b.blk) block_md5
+    FROM blocks b JOIN span s ON b.b = s.b
+    ORDER BY block_id
+    """,
+)
+def q189(spark, sf_dir):
+    """The pretraining data layout, end to end: tokenize documents
+    (byte-level BPE base vocabulary so the DuckDB oracle can rebuild
+    the token stream as raw bytes), concatenate the corpus in doc_id
+    order, and pack it into fixed 512-token training blocks with
+    documents SPLIT across block boundaries
+    (operators/bpe.pack_token_blocks).  Everything after the Arrow
+    encode stage is JVM-side: a DISTRIBUTED prefix sum for document
+    start offsets (range partition -> per-partition cumsum ->
+    partition-base add; the partition-totals collect is O(#partitions)
+    at any corpus size — no single-partition window), a linear
+    posexplode to token granularity, and one groupBy(block) whose keys
+    are uniform by construction.  The oracle rebuilds every block from
+    the corpus string with byte substrings (the corpus is ASCII at all
+    SFs, verified, so VARCHAR substr == byte substr) — block md5s,
+    token counts, and doc-span counts must all hash-match.  Builder
+    runs the offsets collect (two-pass prefix sum), so it sits in the
+    no-jobs-at-build exemption family."""
+    from ..operators import bpe
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter((F.col("doc_id") < 240) & F.col("text").isNotNull())
+    )
+    tok = bpe.BPETokenizer([])  # base vocab: token == byte, oracle-able
+    enc = bpe.encode_column(docs, tok, "text")
+    blocks = bpe.pack_token_blocks(enc, seq_len=512)
+    return blocks.select(
+        "block_id",
+        "n_tokens",
+        "n_docs",
+        "first_doc",
+        F.md5("block_bytes").alias("block_md5"),
+    ).orderBy("block_id")

@@ -178,3 +178,46 @@ def test_spark_encode_column_matches_local_and_roundtrips(spark):
         assert got == local
         assert out[i]["tokens_n"] == len(local)
         assert bpe.BPETokenizer.decode(got) == t
+
+
+def test_token_offsets_distributed_prefix_sum(spark):
+    rows = [(i, "x" * ((i * 7) % 13 + 1)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = bpe.BPETokenizer([])
+    enc = bpe.encode_column(df, tok, "text")
+    got = {
+        r["doc_id"]: r["tok_start"]
+        for r in bpe.token_offsets(enc).collect()
+    }
+    acc = 0
+    for i, t in rows:
+        assert got[i] == acc, i
+        acc += len(t)
+
+
+def test_pack_token_blocks_matches_local_repack(spark):
+    texts = ["alpha beta ", "gamma", " delta epsilon zeta", "", "eta!"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    tok = bpe.BPETokenizer([])  # base vocab: 1 token per byte
+    enc = bpe.encode_column(df, tok, "text")
+    blocks = bpe.pack_token_blocks(enc, seq_len=7).collect()
+    corpus = "".join(texts).encode()
+    # block b holds bytes [7b, 7b+7)
+    assert len(blocks) == (len(corpus) + 6) // 7
+    for r in blocks:
+        b = r["block_id"]
+        want = corpus[7 * b : 7 * b + 7]
+        assert bytes(r["block_bytes"]) == want, b
+        assert r["n_tokens"] == len(want)
+        # doc span: docs overlapping the byte range (empty doc never)
+        spans, acc = [], 0
+        for i, t in enumerate(texts):
+            spans.append((i, acc, acc + len(t)))
+            acc += len(t)
+        docs_in = [
+            i for i, s, e in spans if s < 7 * b + len(want) and e > 7 * b
+        ]
+        assert r["n_docs"] == len(docs_in)
+        assert r["first_doc"] == min(docs_in)

@@ -82,8 +82,10 @@ def test_declaring_queries_runs_no_jobs(spark):
               "q180_txn_bloom_lookup", "q181_txn_replace_where",
               "q182_engine_on_txn",
               # q184 TRAINS the BPE tokenizer (word-count shuffle +
-              # collect) and asserts compression before returning
-              "q184_bpe_roundtrip_md5"}
+              # collect) and asserts compression before returning;
+              # q189's distributed prefix sum collects partition
+              # totals (two-pass algorithm, O(#partitions) rows)
+              "q184_bpe_roundtrip_md5", "q189_token_block_packing"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
