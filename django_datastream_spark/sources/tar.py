@@ -48,13 +48,27 @@ def split_sample_key(name: str) -> tuple[str, str]:
 
 
 def parse_webdataset(payload: bytes) -> list[dict]:
-    """Tar (or gzipped tar) shard -> ordered member dicts. Total:
-    malformed inputs raise ValueError."""
+    """Tar shard (plain, .gz, .bz2, or .xz — all stdlib) -> ordered
+    member dicts. Total: malformed inputs raise ValueError."""
     if payload[:2] == b"\x1f\x8b":
         try:
             payload = zlib.decompress(payload, wbits=31)
         except zlib.error as e:
             raise ValueError(f"bad gzip shard: {e}") from e
+    elif payload[:3] == b"BZh":
+        import bz2
+
+        try:
+            payload = bz2.decompress(payload)
+        except OSError as e:
+            raise ValueError(f"bad bz2 shard: {e}") from e
+    elif payload[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        try:
+            payload = lzma.decompress(payload)
+        except lzma.LZMAError as e:
+            raise ValueError(f"bad xz shard: {e}") from e
     try:
         tf = tarfile.open(fileobj=io.BytesIO(payload), mode="r:")
     except tarfile.TarError as e:

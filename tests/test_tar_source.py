@@ -32,6 +32,22 @@ def test_webdataset_roundtrip(gz):
     assert got[2]["sample_key"] == "000000" and got[2]["ext"] == "img.ppm"
 
 
+def test_webdataset_bz2_and_xz_shards():
+    import bz2
+    import lzma
+
+    members = _members(2)
+    plain = wds.build_webdataset(members)
+    for comp in (bz2.compress, lzma.compress):
+        got = wds.parse_webdataset(comp(plain))
+        assert len(got) == 6
+        assert got[0]["member_bytes"] == members[0][1]
+    with pytest.raises(ValueError, match="bz2"):
+        wds.parse_webdataset(b"BZh" + b"\x01" * 20)
+    with pytest.raises(ValueError, match="xz"):
+        wds.parse_webdataset(b"\xfd7zXZ\x00" + b"\x02" * 20)
+
+
 def test_split_sample_key_with_directories():
     assert wds.split_sample_key("a/b/000.x.y") == ("a/b/000", "x.y")
     assert wds.split_sample_key("plain") == ("plain", "")
