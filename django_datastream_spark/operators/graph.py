@@ -97,3 +97,77 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     return nodes.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def k_core(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Core decomposition over undirected canonical (a, b) edges ->
+    (node, core) for every node with >= 1 edge (isolated nodes are
+    core 0 and never appear in an edge list).
+
+    Distributed peeling: for k = 1, 2, ... repeatedly drop nodes whose
+    remaining degree is < k (each drop assigns core = k-1), until the
+    edge set empties. Like connected components (q45 family), the
+    convergence loop is driver-side BY NECESSITY — Spark has no
+    recursive SQL — but every round is one degree hash-agg plus one
+    anti-join, each round's edge set is lineage-truncated with an
+    eager localCheckpoint (the CC fixpoint's discipline — a growing
+    logical plan, not the data, is what kills iterative jobs), and
+    the round count is bounded by the degeneracy of
+    the graph (tiny for real corpora: web graphs ~ hundreds), never by
+    node count. Peeling at stage k removes nodes in NON-INCREASING
+    edge volume, so per-round cost shrinks monotonically."""
+    e = (
+        edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    # the surviving NODE set is tracked separately from the edge set: a
+    # node whose last edge disappears mid-peel still exists and must be
+    # assigned core k-1 at the stage that isolated it (star centers,
+    # tree roots — the easy-to-lose case)
+    nodes = (
+        e.select(F.col("x").alias("n"))
+        .unionAll(e.select(F.col("y").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cores = []
+    k = 1
+    while not nodes.isEmpty():
+        while True:
+            deg = (
+                e.select(F.col("x").alias("n"))
+                .unionAll(e.select(F.col("y").alias("n")))
+                .groupBy("n")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            low = (
+                nodes.join(deg, "n", "left")
+                .filter(F.coalesce(F.col("d"), F.lit(0)) < k)
+                .select("n")
+                .localCheckpoint(eager=True)
+            )
+            if low.isEmpty():
+                break
+            cores.append(
+                low.select(
+                    F.col("n").alias("node"),
+                    F.lit(k - 1).cast("int").alias("core"),
+                )
+            )
+            nodes = nodes.join(low, "n", "left_anti").localCheckpoint(
+                eager=True
+            )
+            e = (
+                e.join(low.withColumnRenamed("n", "x"), "x", "left_anti")
+                .join(low.withColumnRenamed("n", "y"), "y", "left_anti")
+                .select("x", "y")
+                .localCheckpoint(eager=True)
+            )
+        k += 1
+    if not cores:
+        return spark.createDataFrame([], "node long, core int")
+    from functools import reduce
+
+    return reduce(lambda p, q: p.unionByName(q), cores)

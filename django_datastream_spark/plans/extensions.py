@@ -8311,3 +8311,68 @@ def q189(spark, sf_dir):
         "first_doc",
         F.md5("block_bytes").alias("block_md5"),
     ).orderBy("block_id")
+
+
+# --------------------------------------------------------------------------
+# Q190: k-core decomposition — constructed graph, closed-form cores
+# --------------------------------------------------------------------------
+@_declare(
+    "q190_k_core",
+    """
+    SELECT doc_id AS node,
+           CAST(CASE WHEN doc_id % 12 < s THEN s - 1
+                     WHEN 12 - s >= 3 THEN 2
+                     ELSE 1 END AS INT) core
+    FROM (SELECT doc_id, 3 + ((doc_id // 12) % 6) s
+          FROM documents WHERE doc_id < 240)
+    ORDER BY node
+    """,
+)
+def q190(spark, sf_dir):
+    """Core decomposition (operators/graph.k_core — distributed
+    peeling with lineage-truncated rounds) verified BY CONSTRUCTION:
+    240 nodes form 20 disjoint groups of 12; the first s = 3 +
+    (group % 6) nodes of each group are a CLIQUE (core exactly s-1),
+    the remaining 12-s nodes a CYCLE (core exactly 2) or, when only
+    two remain, a single EDGE (core 1).  Every core number is a
+    closed form of doc_id, so the DuckDB oracle needs no graph
+    algorithm at all — peel-order bugs, the isolated-mid-peel node
+    case (cycle nodes isolate their neighbours as they unravel), and
+    off-by-one core assignment all break the hash.  Builder runs the
+    driver-side peel fixpoint (q45 exemption family: Spark has no
+    recursive SQL, the convergence loop IS the operator)."""
+    from ..operators.graph import k_core
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 240)
+        .withColumn("g", F.floor(F.col("doc_id") / 12))
+        .withColumn("p", F.col("doc_id") % 12)
+        .withColumn("s", (F.lit(3) + F.col("g") % 6).cast("long"))
+    )
+    u, v = d.alias("u"), d.alias("v")
+    clique = u.join(
+        v,
+        (F.col("u.g") == F.col("v.g"))
+        & (F.col("u.p") < F.col("v.p"))
+        & (F.col("v.p") < F.col("u.s")),
+    ).select(
+        F.col("u.doc_id").alias("a"), F.col("v.doc_id").alias("b")
+    )
+    ring = d.filter(F.col("p") >= F.col("s")).select(
+        F.col("doc_id").alias("a"),
+        (
+            F.col("g") * 12
+            + F.col("s")
+            + (F.col("p") - F.col("s") + 1) % (F.lit(12) - F.col("s"))
+        ).alias("b"),
+    )
+    edges = (
+        clique.unionByName(ring)
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    return k_core(edges).orderBy("node")

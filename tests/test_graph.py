@@ -54,3 +54,45 @@ def test_orientation_drops_self_loops_and_is_total(spark):
     o = orient_edges(df).collect()
     assert len(o) == 2
     assert all(r["src"] != r["dst"] for r in o)
+
+
+def test_k_core_matches_naive_peeling(spark):
+    import random
+
+    from django_datastream_spark.operators.graph import k_core
+
+    rng = random.Random(11)
+    nodes = list(range(30))
+    edges = set()
+    # random graph + one planted 5-clique to force a >=4 core
+    for _ in range(45):
+        u, v = rng.sample(nodes, 2)
+        edges.add((min(u, v), max(u, v)))
+    for i in range(5):
+        for j in range(i + 1, 5):
+            edges.add((100 + i, 100 + j))
+    df = spark.createDataFrame(sorted(edges), "a long, b long")
+    got = {r["node"]: r["core"] for r in k_core(df).collect()}
+
+    # naive reference peeling: peel nodes with remaining degree < k
+    # (including nodes isolated by earlier peels) until none remain
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {}
+    k = 1
+    while adj:
+        while True:
+            low = [n for n, ns in adj.items() if len(ns) < k]
+            if not low:
+                break
+            for n in low:
+                want[n] = k - 1
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+        k += 1
+        if k > 100:
+            raise AssertionError("naive peeling did not converge")
+    assert got == want
+    assert all(got[100 + i] == 4 for i in range(5))  # planted clique

@@ -85,7 +85,9 @@ def test_declaring_queries_runs_no_jobs(spark):
               # collect) and asserts compression before returning;
               # q189's distributed prefix sum collects partition
               # totals (two-pass algorithm, O(#partitions) rows)
-              "q184_bpe_roundtrip_md5", "q189_token_block_packing"}
+              "q184_bpe_roundtrip_md5", "q189_token_block_packing",
+              # q190 runs the k-core peel fixpoint (q45 family)
+              "q190_k_core"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
