@@ -93,3 +93,21 @@ def test_webdataset_spark_flatmap_and_quarantine(spark):
     }
     for name, data in _members(2):
         assert got[wds.split_sample_key(name)] == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    payloads=hst.lists(hst.binary(max_size=300), min_size=1, max_size=5),
+    gz=hst.booleans(),
+)
+def test_webdataset_roundtrip_adversarial_payloads(payloads, gz):
+    """Member bytes containing tar magic, NULs, or 512-byte-aligned
+    padding patterns must round-trip exactly (size-framed, like WARC)."""
+    members = [
+        (f"{i:05d}.bin", b"ustar\x00" + b"\x00" * 100 + p)
+        for i, p in enumerate(payloads)
+    ]
+    got = wds.parse_webdataset(wds.build_webdataset(members, gzipped=gz))
+    assert len(got) == len(members)
+    for (name, data), g in zip(members, got):
+        assert g["member_bytes"] == data

@@ -110,3 +110,26 @@ def test_warc_spark_flatmap_and_quarantine(spark):
         assert got0[i]["http_status"] == 200
     (bad,) = by_shard[2]
     assert bad["parse_err"] is not None and bad["rec_seq"] == -1
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    bodies=hst.lists(hst.binary(max_size=200), min_size=1, max_size=6),
+    gz=hst.booleans(),
+)
+def test_warc_roundtrip_adversarial_bodies(bodies, gz):
+    """Content-Length framing must survive bodies that CONTAIN the
+    framing: CRLF pairs, fake 'WARC/1.0' version lines, gzip magic."""
+    recs = [
+        {
+            "warc_type": "resource",
+            "target_uri": f"http://x/{i}",
+            "content_type": "application/octet-stream",
+            "body": b"\r\n\r\nWARC/1.0\r\n\x1f\x8b" + b,
+        }
+        for i, b in enumerate(bodies)
+    ]
+    got = warc.parse_warc(warc.build_warc(recs, gzip_members=gz))
+    assert len(got) == len(recs)
+    for r, g in zip(recs, got):
+        assert g["body"] == r["body"]
