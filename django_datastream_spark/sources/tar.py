@@ -149,3 +149,24 @@ def read_webdataset(shards: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return shards.mapInPandas(run, WDS_MEMBER_SCHEMA)
+
+
+def read_webdataset_dir(spark, path: str) -> DataFrame:
+    """Directory (or glob) of .tar / .tar.{gz,bz2,xz} shard FILES ->
+    member rows via the built-in ``binaryFile`` source (cluster-side
+    listing + reads, one shard per task); shard key = xxhash64(path)."""
+    from pyspark.sql import functions as F
+
+    shards = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(
+            F.xxhash64("path").alias("shard_id"),
+            F.col("content"),
+            F.col("path").alias("shard_path"),
+        )
+    )
+    members = read_webdataset(shards.select("shard_id", "content"))
+    return members.join(
+        F.broadcast(shards.select("shard_id", "shard_path")), "shard_id"
+    )

@@ -247,3 +247,28 @@ def read_warc_records(shards: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return shards.mapInPandas(run, WARC_RECORD_SCHEMA)
+
+
+def read_warc_dir(spark, path: str) -> DataFrame:
+    """Directory (or glob) of .warc / .warc.gz shard FILES -> record
+    rows, via Spark's built-in ``binaryFile`` source: file listing and
+    reads happen on the cluster, one shard per task, filename kept as
+    the shard key (xxhash64 of the path — stable across runs, no
+    driver-side listing). This is the deployment entry point; the
+    DataFrame overload :func:`read_warc_records` stays the composable
+    core."""
+    from pyspark.sql import functions as F
+
+    shards = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(
+            F.xxhash64("path").alias("shard_id"),
+            F.col("content"),
+            F.col("path").alias("shard_path"),
+        )
+    )
+    recs = read_warc_records(shards.select("shard_id", "content"))
+    return recs.join(
+        F.broadcast(shards.select("shard_id", "shard_path")), "shard_id"
+    )

@@ -111,3 +111,18 @@ def test_webdataset_roundtrip_adversarial_payloads(payloads, gz):
     assert len(got) == len(members)
     for (name, data), g in zip(members, got):
         assert g["member_bytes"] == data
+
+
+def test_read_webdataset_dir_binary_file_source(spark, tmp_path):
+    d = tmp_path / "wds"
+    d.mkdir()
+    (d / "s0.tar").write_bytes(wds.build_webdataset(_members(2)))
+    (d / "s1.tar.gz").write_bytes(
+        wds.build_webdataset(_members(1), gzipped=True)
+    )
+    rows = wds.read_webdataset_dir(spark, str(d)).collect()
+    assert len(rows) == 9  # 6 + 3 members
+    assert {r["shard_path"].rsplit("/", 1)[-1] for r in rows} == {
+        "s0.tar", "s1.tar.gz"
+    }
+    assert all(r["parse_err"] is None for r in rows)

@@ -133,3 +133,20 @@ def test_warc_roundtrip_adversarial_bodies(bodies, gz):
     assert len(got) == len(recs)
     for r, g in zip(recs, got):
         assert g["body"] == r["body"]
+
+
+def test_read_warc_dir_binary_file_source(spark, tmp_path):
+    d = tmp_path / "shards"
+    d.mkdir()
+    (d / "a.warc").write_bytes(warc.build_warc(_recs(2)))
+    (d / "b.warc.gz").write_bytes(
+        warc.build_warc(_recs(3), gzip_members=True)
+    )
+    rows = warc.read_warc_dir(spark, str(d)).collect()
+    assert len(rows) == 5
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["shard_path"].rsplit("/", 1)[-1], []).append(r)
+    assert len(by_file["a.warc"]) == 2
+    assert len(by_file["b.warc.gz"]) == 3
+    assert all(r["parse_err"] is None for r in rows)
