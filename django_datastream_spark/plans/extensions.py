@@ -8376,3 +8376,97 @@ def q190(spark, sf_dir):
         .distinct()
     )
     return k_core(edges).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# Q191: WARC -> HTML -> text extraction, the crawl-to-corpus pipeline
+# --------------------------------------------------------------------------
+@_declare(
+    "q191_html_text_extraction",
+    """
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS text_md5,
+           CAST(2 AS INT) n_links
+    FROM documents WHERE doc_id < 300 AND text IS NOT NULL
+    ORDER BY doc_id
+    """,
+)
+def q191(spark, sf_dir):
+    """The crawl-to-corpus pipeline end to end: each document becomes
+    a full HTML page (title, nav boilerplate, script/style noise, the
+    text in a <p>, two links), pages pack into WARC response shards
+    (gzip members on even shards), the WARC source streams the records
+    back out, and functions/html.extract_html_text recovers the prose
+    — boilerplate stripped, entities decoded, whitespace normalized
+    the way every extractor normalizes.  The DuckDB oracle applies the
+    SAME normalization (trim + collapse runs of whitespace) to the
+    source text, so the md5 match proves script/style subtrees leak
+    nothing, block segmentation reassembles the paragraph exactly, and
+    the WARC/HTTP framing is byte-clean underneath.  Titles and link
+    counts are closed forms.  Three Arrow flat-map stages, one narrow
+    join — no shuffle beyond the shard pack."""
+    from ..functions.html import extract_html_text
+    from ..sources.warc import build_warc, read_warc_records
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter((F.col("doc_id") < 300) & F.col("text").isNotNull())
+        .withColumn("shard_id", (F.col("doc_id") / 10).cast("long"))
+    )
+
+    def pack(pdf):
+        import html as _html
+
+        import pandas as pd
+
+        sid = int(pdf["shard_id"].iloc[0])
+        recs = []
+        for _, row in pdf.sort_values("doc_id").iterrows():
+            did = int(row["doc_id"])
+            page = (
+                f"<html><head><title>Doc {did}</title>"
+                "<style>p { margin: 0 }</style>"
+                "<script>trackPageView();</script></head>"
+                "<body><nav><a href='/home'></a><a href='/next'></a>"
+                f"</nav><p>{_html.escape(str(row['text']))}</p>"
+                "</body></html>"
+            )
+            recs.append(
+                {
+                    "warc_type": "response",
+                    "target_uri": f"http://corpus.test/page/{did}",
+                    "http_status": 200,
+                    "http_content_type": "text/html; charset=utf-8",
+                    "body": page.encode("utf-8"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "shard_id": [sid],
+                "content": [build_warc(recs, gzip_members=(sid % 2 == 0))],
+            }
+        )
+
+    shards = docs.groupBy("shard_id").applyInPandas(
+        pack, "shard_id long, content binary"
+    )
+    recs = read_warc_records(shards).filter(F.col("parse_err").isNull())
+    pages = recs.select(
+        F.regexp_extract("target_uri", r"page/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("body").cast("string").alias("html"),
+    )
+    ext = extract_html_text(pages, "html", "doc_id")
+    return (
+        ext.filter(F.col("parse_err").isNull())
+        .select(
+            "doc_id",
+            "title",
+            F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+            "n_links",
+        )
+        .orderBy("doc_id")
+    )
