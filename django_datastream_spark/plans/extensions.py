@@ -8470,3 +8470,58 @@ def q191(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q192: URL canonicalization — constructed messy URLs, closed-form clean
+# --------------------------------------------------------------------------
+@_declare(
+    "q192_url_canonicalization",
+    """
+    SELECT doc_id,
+           'http://www' || CAST(doc_id % 5 AS VARCHAR)
+             || '.example.com/cat/item/' || CAST(doc_id AS VARCHAR)
+             || '?a=' || CAST(doc_id % 3 AS VARCHAR) || '&b=1'
+             AS canonical_url,
+           'example.com' AS domain
+    FROM documents WHERE doc_id < 400 ORDER BY doc_id
+    """,
+)
+def q192(spark, sf_dir):
+    """URL canonicalization (functions/urls — the crawl-dedup key):
+    each doc_id constructs a deliberately MESSY absolute URL —
+    uppercase scheme/host, explicit default port, dot-segments in the
+    path, unsorted query with a tracking parameter, a fragment — and
+    the canonicalizer must reduce every one to the closed-form clean
+    URL the DuckDB oracle spells with string concatenation.  Pins
+    scheme/host lowercasing, :80 stripping, /cat/N/../ resolution
+    (note the resolved path is independent of the junk segment),
+    tracking-param drop, parameter sorting, and fragment removal in
+    one hash.  Registrable-domain extraction rides along as a
+    constant.  Map-only Arrow stage, no shuffle."""
+    from ..functions.urls import canonicalize_urls
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 400)
+        .withColumn(
+            "url",
+            F.concat(
+                F.lit("HTTP://WWW"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".Example.COM:80/cat/"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("/../item/"),
+                F.col("doc_id").cast("string"),
+                F.lit("?utm_source=feed&b=1&a="),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit("#frag"),
+            ),
+        )
+    )
+    return (
+        canonicalize_urls(docs, "url")
+        .select("doc_id", "canonical_url", "domain")
+        .orderBy("doc_id")
+    )
