@@ -165,7 +165,23 @@ def k_core(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
                 .select("x", "y")
                 .localCheckpoint(eager=True)
             )
-        k += 1
+        # every stage in (k, dmin+1) would peel nothing (all remaining
+        # degrees are >= dmin >= k) — jump straight to the first stage
+        # that removes anything; exact, and collapses the no-op rounds
+        # a stepwise k pays on graphs with degree gaps
+        row = (
+            e.select(F.col("x").alias("n"))
+            .unionAll(e.select(F.col("y").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.min("d").alias("m"))
+            .collect()
+        )
+        dmin = row[0]["m"]
+        if dmin is None:
+            k += 1  # only isolated survivors remain; next pass sweeps
+        else:
+            k = max(k + 1, int(dmin) + 1)
     if not cores:
         return spark.createDataFrame([], "node long, core int")
     from functools import reduce
