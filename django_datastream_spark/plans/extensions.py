@@ -8525,3 +8525,159 @@ def q192(spark, sf_dir):
         .select("doc_id", "canonical_url", "domain")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q193: the WHOLE corpus-build pipeline in one DAG, end-to-end oracle
+# --------------------------------------------------------------------------
+@_declare(
+    "q193_crawl_to_training_blocks",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             doc_id % 200 AS page,
+             trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+      FROM documents WHERE doc_id < 240 AND text IS NOT NULL),
+    dedup AS (
+      SELECT * FROM raw
+      WHERE doc_id = (SELECT MIN(r2.doc_id) FROM raw r2
+                      WHERE r2.page = raw.page)),
+    kept AS (SELECT doc_id, norm FROM dedup WHERE strlen(norm) >= 150),
+    corpus AS (SELECT string_agg(norm, '' ORDER BY doc_id) c,
+                      SUM(strlen(norm)) tot FROM kept),
+    off AS (SELECT doc_id, strlen(norm) n,
+                   SUM(strlen(norm)) OVER (ORDER BY doc_id)
+                     - strlen(norm) s
+            FROM kept),
+    blocks AS (SELECT i.i b, substr(c, CAST(i.i * 256 + 1 AS BIGINT),
+                                    256) blk
+               FROM corpus,
+                    (SELECT unnest(range(0, CAST(ceil(tot / 256.0)
+                                                 AS BIGINT)))
+                     FROM corpus) i(i)),
+    span AS (SELECT b.b, CAST(COUNT(*) AS BIGINT) n_docs,
+                    MIN(o.doc_id) first_doc
+             FROM blocks b JOIN off o
+               ON o.s < b.b * 256 + strlen(b.blk)
+              AND o.s + o.n > b.b * 256
+             GROUP BY b.b)
+    SELECT b.b block_id, CAST(strlen(b.blk) AS BIGINT) n_tokens,
+           s.n_docs, s.first_doc, md5(b.blk) block_md5
+    FROM blocks b JOIN span s ON b.b = s.b
+    ORDER BY block_id
+    """,
+)
+def q193(spark, sf_dir):
+    """The COMPLETE crawl-to-training-data pipeline as ONE Spark DAG —
+    every stage a round-7 operator, the final block hashes pinned end
+    to end:
+
+      1. docs -> full HTML pages inside WARC response shards (even
+         shards gzip-membered), with DELIBERATE URL collisions: page
+         id = doc_id % 200, so 40 of 240 docs are crawl duplicates;
+      2. sources/warc.read_warc_records parses the shards;
+      3. functions/html.extract_html_text strips
+         title/nav/script/style boilerplate and normalizes
+         whitespace;
+      4. functions/urls.canonicalize_urls reduces the messy target
+         URIs (case, :80, dot-segments, utm params) to the crawl
+         dedup key; groupBy(canonical) keeps the min-doc_id fetch —
+         exact URL-level dedup;
+      5. a quality gate keeps documents with >= 150 normalized chars;
+      6. survivors tokenize (byte-level BPE base vocab) and pack into
+         256-token training blocks via the distributed prefix sum
+         (operators/bpe.pack_token_blocks).
+
+    The DuckDB oracle recomputes the SAME pipeline declaratively
+    (normalization, modular-page dedup, length gate, corpus concat,
+    byte substrings), so the final md5s certify every operator AND
+    their composition — a wrong survivor set, a dropped space, or an
+    off-by-one block boundary all break the hash.  Builder runs the
+    prefix-sum collect (q189 exemption family)."""
+    from ..functions.html import extract_html_text
+    from ..functions.urls import canonicalize_urls
+    from ..operators import bpe
+    from ..sources.warc import build_warc, read_warc_records
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter((F.col("doc_id") < 240) & F.col("text").isNotNull())
+        .withColumn("shard_id", (F.col("doc_id") / 10).cast("long"))
+    )
+
+    def pack(pdf):
+        import html as _html
+
+        import pandas as pd
+
+        sid = int(pdf["shard_id"].iloc[0])
+        recs = []
+        for _, row in pdf.sort_values("doc_id").iterrows():
+            did = int(row["doc_id"])
+            page = (
+                f"<html><head><title>Page {did % 200}</title>"
+                "<script>t();</script></head><body>"
+                "<nav><a href='/home'></a></nav>"
+                f"<p>{_html.escape(str(row['text']))}</p></body></html>"
+            )
+            recs.append(
+                {
+                    "warc_type": "response",
+                    "target_uri": (
+                        f"HTTP://Corpus.TEST:80/x/../page/{did % 200}"
+                        "?utm_source=crawl"
+                    ),
+                    "record_id": f"<urn:doc:{did}>",
+                    "http_status": 200,
+                    "http_content_type": "text/html; charset=utf-8",
+                    "body": page.encode("utf-8"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "shard_id": [sid],
+                "content": [build_warc(recs, gzip_members=(sid % 2 == 0))],
+            }
+        )
+
+    shards = docs.groupBy("shard_id").applyInPandas(
+        pack, "shard_id long, content binary"
+    )
+    recs = (
+        read_warc_records(shards)
+        .filter(F.col("parse_err").isNull())
+        .select(
+            F.regexp_extract("record_id", r"urn:doc:(\d+)", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.col("body").cast("string").alias("html"),
+        )
+    )
+    ext = extract_html_text(
+        recs.select("doc_id", "html"), "html", "doc_id"
+    ).filter(F.col("parse_err").isNull())
+    urls = canonicalize_urls(
+        recs.select("doc_id", "url"), "url"
+    ).select("doc_id", "canonical_url")
+    pages = ext.join(urls, "doc_id")
+    # URL-level dedup: the min-doc_id fetch of each canonical URL wins
+    winners = pages.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = (
+        pages.join(winners, ["canonical_url", "doc_id"])
+        .filter(F.octet_length("text") >= 150)
+        .select("doc_id", "text")
+    )
+    tok = bpe.BPETokenizer([])  # base vocab: token == byte, oracle-able
+    enc = bpe.encode_column(kept, tok, "text")
+    blocks = bpe.pack_token_blocks(enc, seq_len=256)
+    return blocks.select(
+        "block_id",
+        "n_tokens",
+        "n_docs",
+        "first_doc",
+        F.md5("block_bytes").alias("block_md5"),
+    ).orderBy("block_id")

@@ -86,6 +86,7 @@ def test_declaring_queries_runs_no_jobs(spark):
               # q189's distributed prefix sum collects partition
               # totals (two-pass algorithm, O(#partitions) rows)
               "q184_bpe_roundtrip_md5", "q189_token_block_packing",
+              "q193_crawl_to_training_blocks",
               # q190 runs the k-core peel fixpoint (q45 family)
               "q190_k_core"}
     sc = spark.sparkContext
