@@ -170,3 +170,93 @@ def read_webdataset_dir(spark, path: str) -> DataFrame:
     return members.join(
         F.broadcast(shards.select("shard_id", "shard_path")), "shard_id"
     )
+
+
+def parse_zip_shard(payload: bytes) -> list[dict]:
+    """ZIP shard -> ordered member dicts (same contract as
+    :func:`parse_webdataset` — document dumps ship as zips as often
+    as tars; stdlib ``zipfile`` handles stored and deflate members).
+    Total: malformed inputs raise ValueError."""
+    import zipfile
+
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+    except (zipfile.BadZipFile, OSError) as e:
+        raise ValueError(f"not a zip shard: {e}") from e
+    out = []
+    try:
+        for info in zf.infolist():
+            if info.is_dir():
+                continue
+            try:
+                data = zf.read(info.filename)
+            except (zipfile.BadZipFile, OSError, RuntimeError) as e:
+                raise ValueError(
+                    f"corrupt zip member {info.filename!r}: {e}"
+                ) from e
+            key, ext = split_sample_key(info.filename)
+            out.append(
+                {"sample_key": key, "ext": ext, "member_bytes": data}
+            )
+    finally:
+        zf.close()
+    if not out:
+        raise ValueError("no members in shard")
+    return out
+
+
+def build_zip_shard(
+    members: list[tuple[str, bytes]], compress: bool = True
+) -> bytes:
+    """Serialize (name, bytes) members into a ZIP shard (deflate or
+    stored), deterministic timestamps."""
+    import zipfile
+
+    buf = io.BytesIO()
+    method = zipfile.ZIP_DEFLATED if compress else zipfile.ZIP_STORED
+    with zipfile.ZipFile(buf, "w", method) as zf:
+        for name, data in members:
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = method
+            zf.writestr(info, data)
+    return buf.getvalue()
+
+
+def read_zip_shards(shards: DataFrame) -> DataFrame:
+    """Shard table (``shard_id long, content binary``) -> one row per
+    ZIP member (:data:`WDS_MEMBER_SCHEMA`), Arrow-batched flat-map
+    with per-shard quarantine — the zip twin of
+    :func:`read_webdataset`."""
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for sid, payload in zip(pdf["shard_id"], pdf["content"]):
+                try:
+                    members = parse_zip_shard(bytes(payload or b""))
+                except ValueError as e:
+                    rows.append(
+                        {
+                            "shard_id": sid, "sample_key": None,
+                            "ext": None, "member_bytes": None,
+                            "member_len": None,
+                            "parse_err": str(e)[:200],
+                        }
+                    )
+                    continue
+                for m in members:
+                    rows.append(
+                        {
+                            "shard_id": sid,
+                            "sample_key": m["sample_key"],
+                            "ext": m["ext"],
+                            "member_bytes": m["member_bytes"],
+                            "member_len": len(m["member_bytes"]),
+                            "parse_err": None,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return shards.mapInPandas(run, WDS_MEMBER_SCHEMA)

@@ -126,3 +126,42 @@ def test_read_webdataset_dir_binary_file_source(spark, tmp_path):
         "s0.tar", "s1.tar.gz"
     }
     assert all(r["parse_err"] is None for r in rows)
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_zip_shard_roundtrip(compress):
+    members = _members(3)
+    shard = wds.build_zip_shard(members, compress=compress)
+    got = wds.parse_zip_shard(shard)
+    assert len(got) == 9
+    for (name, data), g in zip(members, got):
+        assert g["member_bytes"] == data
+        assert (g["sample_key"], g["ext"]) == wds.split_sample_key(name)
+
+
+def test_zip_shard_malformed_and_spark(spark):
+    with pytest.raises(ValueError, match="zip"):
+        wds.parse_zip_shard(b"PK\x03\x04 nope")
+    with pytest.raises(ValueError, match="no members"):
+        wds.parse_zip_shard(_empty_zip())
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(wds.build_zip_shard(_members(2)))),
+            (1, bytearray(b"not a zip")),
+        ],
+        "shard_id long, content binary",
+    )
+    rows = wds.read_zip_shards(df).collect()
+    ok = [r for r in rows if r["shard_id"] == 0]
+    assert len(ok) == 6 and all(r["parse_err"] is None for r in ok)
+    (bad,) = [r for r in rows if r["shard_id"] == 1]
+    assert bad["parse_err"] is not None
+
+
+def _empty_zip():
+    import io as _io
+    import zipfile as _zf
+
+    buf = _io.BytesIO()
+    _zf.ZipFile(buf, "w").close()
+    return buf.getvalue()
