@@ -756,3 +756,197 @@ def parse_gif(payload: bytes) -> np.ndarray:
     if int(idx.max(initial=0)) >= len(pal):
         raise ValueError("palette index out of range")
     return pal[idx]
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows DIB) — 24-bit BI_RGB + 8-bit paletted, incl. REAL RLE8
+# ---------------------------------------------------------------------------
+def _bmp_headers(w: int, h: int, bpp: int, compression: int,
+                 img_size: int, palette: bytes) -> bytes:
+    off = 14 + 40 + len(palette)
+    file_hdr = b"BM" + struct.pack("<IHHI", off + img_size, 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, compression, img_size,
+        2835, 2835, len(palette) // 4, 0,
+    )
+    return file_hdr + info + palette
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) RGB uint8 -> 24-bit BI_RGB BMP (bottom-up rows, BGR
+    byte order, 4-byte row padding — the classic layout)."""
+    a = np.asarray(arr, np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) RGB")
+    h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    pad = b"\x00" * (stride - w * 3)
+    for r in range(h - 1, -1, -1):  # bottom-up
+        rows += a[r, :, ::-1].tobytes() + pad  # BGR
+    return _bmp_headers(w, h, 24, 0, len(rows), b"") + bytes(rows)
+
+
+def encode_bmp_rle8(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """(h, w) palette indices + (n, 3) RGB palette -> BI_RLE8 BMP.
+    Emits runs (count, index), ABSOLUTE mode for non-repeating
+    stretches of >= 3 (word-aligned per spec), end-of-line and
+    end-of-bitmap escapes — every decoder branch except delta, which
+    real encoders reserve for sparse icons."""
+    ix = np.asarray(indices, np.uint8)
+    if ix.ndim != 2:
+        raise ValueError("expected (h, w) indices")
+    pal = np.asarray(palette, np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or len(pal) > 256:
+        raise ValueError("palette must be (n<=256, 3)")
+    h, w = ix.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    pal_bytes = b"".join(
+        bytes([b, g, r, 0]) for r, g, b in pal.tolist()
+    ) + b"\x00" * 4 * (256 - len(pal))
+    out = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = ix[r].tolist()
+        # split into maximal runs
+        runs = []
+        i = 0
+        while i < w:
+            j = i + 1
+            while j < w and row[j] == row[i]:
+                j += 1
+            runs.append((j - i, row[i]))
+            i = j
+        # merge stretches of short runs into absolute chunks
+        i = 0
+        while i < len(runs):
+            if runs[i][0] >= 3 or (
+                i + 1 >= len(runs) and runs[i][0] >= 1
+            ):
+                n, v = runs[i]
+                while n > 255:
+                    out += bytes([255, v])
+                    n -= 255
+                if n:
+                    out += bytes([n, v])
+                i += 1
+                continue
+            # collect literal pixels across consecutive short runs
+            lit = []
+            while i < len(runs) and runs[i][0] < 3:
+                lit.extend([runs[i][1]] * runs[i][0])
+                i += 1
+            while len(lit) >= 3:
+                chunk = lit[: min(len(lit), 255)]
+                lit = lit[len(chunk) :]
+                out += bytes([0, len(chunk)]) + bytes(chunk)
+                if len(chunk) & 1:
+                    out += b"\x00"  # word alignment
+            for v in lit:  # <3 leftovers: absolute is illegal, use runs
+                out += bytes([1, v])
+        out += b"\x00\x00"  # end of line
+    out[-2:] = b"\x00\x01"  # last EOL becomes end of bitmap
+    return _bmp_headers(w, h, 8, 1, len(out), pal_bytes) + bytes(out)
+
+
+def parse_bmp(payload: bytes) -> np.ndarray:
+    """Decode BMP -> uint8 (h, w, 3). Supports 24-bit BI_RGB and
+    8-bit paletted BI_RGB / BI_RLE8 (runs, absolute mode with word
+    alignment, EOL/EOB/delta escapes), bottom-up and top-down rows.
+    Total: malformed inputs raise ValueError."""
+    try:
+        return _parse_bmp_inner(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed BMP structure: {e}") from e
+
+
+def _parse_bmp_inner(payload: bytes) -> np.ndarray:
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:
+        raise ValueError("pre-BITMAPINFOHEADER BMPs unsupported")
+    w, h = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    (comp,) = struct.unpack("<I", payload[30:34])
+    (ncolors,) = struct.unpack("<I", payload[46:50])
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0 or planes != 1:
+        raise ValueError("invalid BMP dimensions")
+    if bpp == 24 and comp == 0:
+        stride = (w * 3 + 3) & ~3
+        need = data_off + stride * h
+        if len(payload) < need:
+            raise ValueError("truncated 24-bit pixel data")
+        img = np.frombuffer(
+            payload[data_off : data_off + stride * h], np.uint8
+        ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+        return img if top_down else img[::-1]
+    if bpp == 8 and comp in (0, 1):
+        n = ncolors or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            payload[pal_off : pal_off + 4 * n], np.uint8
+        )
+        if len(pal) < 4 * n:
+            raise ValueError("truncated palette")
+        pal = pal.reshape(n, 4)[:, :3][:, ::-1]  # BGRA -> RGB
+        if comp == 0:
+            stride = (w + 3) & ~3
+            if len(payload) < data_off + stride * h:
+                raise ValueError("truncated 8-bit pixel data")
+            ix = np.frombuffer(
+                payload[data_off : data_off + stride * h], np.uint8
+            ).reshape(h, stride)[:, :w]
+        else:  # BI_RLE8 (always bottom-up per spec)
+            if top_down:
+                raise ValueError("top-down RLE8 is illegal")
+            ix = np.zeros((h, w), np.uint8)
+            pos, x, y = data_off, 0, 0
+            while True:
+                if pos + 2 > len(payload):
+                    raise ValueError("truncated RLE8 stream")
+                cnt, val = payload[pos], payload[pos + 1]
+                pos += 2
+                if cnt > 0:  # run
+                    if y >= h or x + cnt > w:
+                        raise ValueError("RLE8 run overflows row")
+                    ix[y, x : x + cnt] = val
+                    x += cnt
+                elif val == 0:  # end of line
+                    x, y = 0, y + 1
+                elif val == 1:  # end of bitmap
+                    break
+                elif val == 2:  # delta
+                    if pos + 2 > len(payload):
+                        raise ValueError("truncated RLE8 delta")
+                    x += payload[pos]
+                    y += payload[pos + 1]
+                    pos += 2
+                    if x > w or y > h:
+                        raise ValueError("RLE8 delta out of bounds")
+                else:  # absolute mode: val literal indices
+                    if pos + val > len(payload):
+                        raise ValueError("truncated RLE8 absolute run")
+                    if y >= h or x + val > w:
+                        raise ValueError("RLE8 absolute overflows row")
+                    ix[y, x : x + val] = np.frombuffer(
+                        payload[pos : pos + val], np.uint8
+                    )
+                    x += val
+                    pos += val + (val & 1)  # word alignment
+            ix = ix[::-1]  # stored bottom-up
+            if int(ix.max(initial=0)) >= n:
+                raise ValueError("palette index out of range")
+            return pal[ix]
+        if int(ix.max(initial=0)) >= n:
+            raise ValueError("palette index out of range")
+        img = pal[ix]
+        return img if top_down else img[::-1]
+    raise ValueError(
+        f"unsupported BMP variant (bpp={bpp}, compression={comp})"
+    )

@@ -8681,3 +8681,91 @@ def q193(spark, sf_dir):
         "first_doc",
         F.md5("block_bytes").alias("block_md5"),
     ).orderBy("block_id")
+
+
+# --------------------------------------------------------------------------
+# Q194: REAL BMP/RLE8 decode — lossless, closed-form palette oracle
+# --------------------------------------------------------------------------
+@_declare(
+    "q194_bmp_rle8_stats",
+    """
+    WITH px AS (
+      SELECT d.doc_id,
+             ((d.doc_id + r.r * 2 + c.c // 5) % 24) ix
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d
+      CROSS JOIN (SELECT unnest(range(0, 12)) r) r
+      CROSS JOIN (SELECT unnest(range(0, 30)) c) c),
+    ch AS (SELECT doc_id,
+                  (ix * 9) % 256 pr,
+                  (ix * 9 + 40) % 256 pg,
+                  (ix * 9 + 80) % 256 pb
+           FROM px),
+    lm AS (SELECT doc_id, pr, pg, pb,
+                  0.299 * pr + 0.587 * pg + 0.114 * pb luma
+           FROM ch)
+    SELECT doc_id media_id,
+           CAST(30 AS INT) width, CAST(12 AS INT) height,
+           ROUND(AVG(pr * 1.0), 4) mean_r,
+           ROUND(AVG(pg * 1.0), 4) mean_g,
+           ROUND(AVG(pb * 1.0), 4) mean_b,
+           ROUND(AVG(luma), 4) luma_mean,
+           ROUND(SQRT(AVG(luma * luma) - AVG(luma) * AVG(luma)), 4)
+             luma_std
+    FROM lm GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q194(spark, sf_dir):
+    """REAL BMP decode with RLE8 decompression, exactly verified: each
+    document gets a 30x12 paletted image whose index at (r, c) is a
+    closed form with 5-pixel horizontal runs (so the RLE encoder emits
+    real run packets, 255-splits, absolute-mode literals at run
+    boundaries, per-row EOL and the final EOB), the palette maps index
+    i to closed-form RGB, and the true bottom-up row order must be
+    undone.  BMP+RLE8 is lossless, so the DuckDB oracle recounts every
+    channel arithmetically — a wrong run length, a missed word
+    alignment in absolute mode, or an un-flipped row order breaks the
+    hash (the same construction discipline as the GIF/PNG oracles).
+    Map-only: synth and decode are Arrow-batched stages."""
+    from ..operators.multimodal import extract_image_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 150
+    )
+
+    def synth(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from django_datastream_spark.operators.media_codecs import (
+            encode_bmp_rle8,
+        )
+
+        pal = _np.stack(
+            [
+                (_np.arange(24) * 9) % 256,
+                (_np.arange(24) * 9 + 40) % 256,
+                (_np.arange(24) * 9 + 80) % 256,
+            ],
+            axis=1,
+        ).astype(_np.uint8)
+        r = _np.arange(12)[:, None]
+        c = _np.arange(30)[None, :]
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                ix = ((int(did) + r * 2 + c // 5) % 24).astype(_np.uint8)
+                payloads.append(encode_bmp_rle8(ix, pal))
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    feats = extract_image_features(media, "bmp")
+    return feats.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("luma_mean", 4).alias("luma_mean"),
+        F.round("luma_std", 4).alias("luma_std"),
+    ).orderBy("media_id")

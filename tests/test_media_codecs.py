@@ -914,3 +914,90 @@ def test_flac_spark_stage_and_quarantine(spark):
         assert got[i]["duration_ms"] == 125
         assert got[i]["rms"] == pytest.approx(float(np.sqrt(np.mean(xf**2))))
     assert got[99]["decode_err"] is not None and got[99]["rms"] is None
+
+
+# ---------------------------------------------------------------------------
+# BMP — 24-bit + paletted RLE8, lossless round-trip laws
+# ---------------------------------------------------------------------------
+def test_bmp_24bit_roundtrip_and_padding():
+    rng = np.random.default_rng(6)
+    for shape in ((7, 11, 3), (1, 1, 3), (5, 4, 3)):  # odd + aligned strides
+        a = rng.integers(0, 256, shape, np.uint8)
+        assert (mc.parse_bmp(mc.encode_bmp(a)) == a).all(), shape
+
+
+def test_bmp_rle8_runs_absolute_and_alignment():
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 256, (40, 3), np.uint8)
+    # long runs, literal stretches (odd + even lengths), 255+ runs
+    ix = np.zeros((6, 300), np.uint8)
+    ix[0] = 5  # 300-long run: splits at 255
+    ix[1, :7] = [1, 2, 3, 4, 5, 6, 7]  # odd absolute chunk (padding)
+    ix[2, :4] = [8, 9, 10, 11]  # even absolute chunk
+    ix[3] = np.arange(300) % 37  # long literal: 255-chunk + tail
+    ix[4, ::2] = 3  # alternating: short runs
+    dec = mc.parse_bmp(mc.encode_bmp_rle8(ix, pal))
+    assert (dec == pal[ix]).all()
+
+
+def test_bmp_rle8_delta_escape_decodes():
+    # hand-build a stream using the delta escape (encoder never emits
+    # it): 4x4, run of 2, delta (+1, +2), run of 1, EOB
+    pal = np.zeros((256, 3), np.uint8)
+    pal[7] = (255, 0, 0)
+    pal[9] = (0, 255, 0)
+    pal_bytes = b"".join(bytes([b, g, r, 0]) for r, g, b in pal.tolist())
+    stream = bytes([2, 7, 0, 2, 1, 2, 1, 9, 0, 1])
+    payload = mc._bmp_headers(4, 4, 8, 1, len(stream), pal_bytes) + stream
+    img = mc.parse_bmp(payload)
+    assert (img[3, 0] == (255, 0, 0)).all() and (img[3, 1] == (255, 0, 0)).all()
+    assert (img[1, 3] == (0, 255, 0)).all()  # bottom-up: y=2 -> row 1
+    assert (img[0] == 0).all()
+
+
+def test_bmp_top_down_and_rejections():
+    rng = np.random.default_rng(8)
+    a = rng.integers(0, 256, (3, 5, 3), np.uint8)
+    p = bytearray(mc.encode_bmp(a))
+    import struct as _st
+
+    # flip height negative (top-down) and reverse rows: same image
+    p2 = bytearray(p)
+    p2[22:26] = _st.pack("<i", -3)
+    rows = mc.parse_bmp(bytes(p2))
+    assert (rows == a[::-1]).all()
+    with pytest.raises(ValueError, match="not a BMP"):
+        mc.parse_bmp(b"PNG?")
+    bad = bytearray(p)
+    bad[28] = 16  # bpp 16
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        mc.parse_bmp(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        mc.parse_bmp(bytes(p[:-4]))
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=hst.binary(max_size=300))
+def test_bmp_decoder_total_on_garbage(data):
+    for payload in (data, b"BM" + data):
+        try:
+            mc.parse_bmp(payload)
+        except ValueError:
+            pass
+
+
+def test_bmp_spark_stage(spark):
+    rng = np.random.default_rng(9)
+    imgs = [rng.integers(0, 256, (6, 9, 3), np.uint8) for _ in range(3)]
+    rows = [(i, bytearray(mc.encode_bmp(a))) for i, a in enumerate(imgs)]
+    rows.append((99, bytearray(b"junk")))
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r["media_id"]: r.asDict()
+        for r in mm.extract_image_features(media, "bmp").collect()
+    }
+    for i, a in enumerate(imgs):
+        assert got[i]["decode_err"] is None
+        assert (got[i]["width"], got[i]["height"]) == (9, 6)
+        assert got[i]["mean_g"] == pytest.approx(float(a[..., 1].mean()))
+    assert got[99]["decode_err"] is not None
