@@ -8769,3 +8769,45 @@ def q194(spark, sf_dir):
         F.round("luma_mean", 4).alias("luma_mean"),
         F.round("luma_std", 4).alias("luma_std"),
     ).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# Q195: mojibake repair — planted cp1252 damage, md5-exact restoration
+# --------------------------------------------------------------------------
+@_declare(
+    "q195_mojibake_repair",
+    """
+    SELECT doc_id,
+           md5(text || ' Café — déjà vu €9') AS fixed_md5,
+           CAST(TRUE AS BOOLEAN) was_fixed
+    FROM documents WHERE doc_id < 400 AND text IS NOT NULL
+    ORDER BY doc_id
+    """,
+)
+def q195(spark, sf_dir):
+    """Encoding repair in the gate: every document gets the CLASSIC
+    corruption appended — ``' Café — déjà vu €9'`` as its UTF-8 bytes
+    misread through cp1252 (``' CafÃ© â€” dÃ©jÃ\\xa0 vu â‚¬9'``, em
+    dash and euro exercising the 0x80–0x9F cp1252-only range) — and
+    functions/encoding.repair_text_encoding must restore the exact
+    clean suffix while leaving the ASCII body untouched.  The DuckDB
+    oracle hashes the clean concatenation directly, so the md5 match
+    proves the inverse round trip repairs precisely the damaged bytes
+    and nothing else; ``was_fixed`` must be TRUE on every row (the
+    appended damage guarantees a repair fires).  Map-only Arrow
+    stage, no shuffle."""
+    from ..functions.encoding import repair_text_encoding
+
+    moji = "Café — déjà vu €9".encode("utf-8").decode("cp1252")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter((F.col("doc_id") < 400) & F.col("text").isNotNull())
+        .withColumn("text", F.concat("text", F.lit(" " + moji)))
+    )
+    rep = repair_text_encoding(docs, "text")
+    return rep.select(
+        "doc_id",
+        F.md5(F.encode("text_fixed", "UTF-8")).alias("fixed_md5"),
+        "was_fixed",
+    ).orderBy("doc_id")
