@@ -8811,3 +8811,88 @@ def q195(spark, sf_dir):
         F.md5(F.encode("text_fixed", "UTF-8")).alias("fixed_md5"),
         "was_fixed",
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Q196: EXIF extract + GPS strip — the image-privacy pass, exact oracle
+# --------------------------------------------------------------------------
+@_declare(
+    "q196_exif_extract_strip",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 8 + 1 AS INT) orientation,
+           '2024:03:01 12:00:' || lpad(CAST(doc_id % 60 AS VARCHAR),
+                                       2, '0') taken_at,
+           (doc_id % 90) + 0.25 gps_lat,
+           -((doc_id % 180) + 0.5) gps_lon,
+           CAST(TRUE AS BOOLEAN) gps_stripped
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def q196(spark, sf_dir):
+    """The image-privacy pass, end to end: each document gets a real
+    JPEG carrying a genuine APP1/Exif segment (TIFF IFDs, alternating
+    II/MM byte orders, GPS sub-IFD with hemisphere refs + D/M/S
+    rationals chosen so the decimal recovery is EXACT — .25 deg = 15
+    min, .5 deg = 30 min), operators/exif parses orientation,
+    timestamp, and signed-decimal GPS, then strip_exif removes the
+    segment by surgery and a second parse must find NOTHING
+    (gps_stripped pinned TRUE via the re-parse, not trust).  All
+    metadata is a closed form of doc_id, so the DuckDB oracle spells
+    the expected values directly; a wrong IFD offset, a byte-order
+    slip, or a DMS sign error breaks the hash.  Two Arrow stages plus
+    one narrow join, no shuffle beyond it."""
+    from ..operators.exif import (
+        build_exif_app1,
+        extract_exif,
+        insert_app1,
+        strip_exif_column,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
+
+    def synth(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from django_datastream_spark.operators.jpeg_codec import (
+            encode_gray_from_coeffs,
+        )
+
+        q = _np.zeros((1, 1, 8, 8), _np.int64)
+        q[0, 0, 0, 0] = 3
+        base = encode_gray_from_coeffs(q)
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                app1 = build_exif_app1(
+                    make="SynthCam",
+                    orientation=did % 8 + 1,
+                    datetime=f"2024:03:01 12:00:{did % 60:02d}",
+                    gps=((did % 90) + 0.25, -((did % 180) + 0.5)),
+                    byte_order="II" if did % 2 == 0 else "MM",
+                )
+                payloads.append(insert_app1(base, app1))
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    tagged = extract_exif(media).select(
+        F.col("media_id").alias("doc_id"),
+        "orientation",
+        "taken_at",
+        "gps_lat",
+        "gps_lon",
+    )
+    scrubbed = extract_exif(
+        strip_exif_column(media).select("media_id", "content")
+    ).select(
+        F.col("media_id").alias("doc_id"),
+        (F.col("gps_lat").isNull() & F.col("gps_lon").isNull()
+         & F.col("orientation").isNull()).alias("gps_stripped"),
+    )
+    return tagged.join(scrubbed, "doc_id").orderBy("doc_id")
