@@ -8896,3 +8896,76 @@ def q196(spark, sf_dir):
          & F.col("orientation").isNull()).alias("gps_stripped"),
     )
     return tagged.join(scrubbed, "doc_id").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Q197: PDF text extraction — built PDFs, md5-exact text recovery
+# --------------------------------------------------------------------------
+@_declare(
+    "q197_pdf_text_extraction",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS text_md5
+    FROM documents WHERE doc_id < 300 AND text IS NOT NULL
+    ORDER BY doc_id
+    """,
+)
+def q197(spark, sf_dir):
+    """PDF ingestion for a document corpus: each document's text
+    word-wraps into 72-column lines, pages of 12 lines, and becomes a
+    GENUINE PDF 1.4 (operators/pdf_codec.build_simple_pdf — real
+    object graph, Flate content streams, valid xref), then the
+    extractor walks Catalog→Pages→Kids→Contents, inflates the
+    streams, interprets the BT/Tj/T* text operators, and the lines
+    rejoin with single spaces.  Because greedy wrapping splits ONLY
+    at whitespace, the rejoined text equals the whitespace-collapsed
+    source exactly, and the DuckDB oracle applies the same collapse —
+    an md5 match certifies object scanning, stream extents under
+    binary Flate data, string unescaping, and page ordering in one
+    hash.  Two Arrow stages, no shuffle."""
+    from ..operators.pdf_codec import (
+        build_simple_pdf,
+        extract_pdf_text_column,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter((F.col("doc_id") < 300) & F.col("text").isNotNull())
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                words = str(t).split()
+                lines, cur = [], ""
+                for w in words:
+                    if cur and len(cur) + 1 + len(w) > 72:
+                        lines.append(cur)
+                        cur = w
+                    else:
+                        cur = f"{cur} {w}" if cur else w
+                if cur:
+                    lines.append(cur)
+                pages = [
+                    lines[i : i + 12] for i in range(0, len(lines), 12)
+                ] or [[]]
+                payloads.append(build_simple_pdf(pages))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "content": payloads}
+            )
+
+    pdfs = docs.mapInPandas(synth, "doc_id long, content binary")
+    ext = extract_pdf_text_column(pdfs).filter(
+        F.col("parse_err").isNull()
+    )
+    rejoined = F.regexp_replace(
+        F.regexp_replace("text", r"[\n\f]", " "), r"\s+", " "
+    )
+    return ext.select(
+        "doc_id",
+        F.md5(F.encode(F.trim(rejoined), "UTF-8")).alias("text_md5"),
+    ).orderBy("doc_id")

@@ -1,0 +1,107 @@
+"""PDF subset codec: build/extract round trips, string-syntax edge
+cases, page order, filters, totality."""
+
+import re
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+from django_datastream_spark.operators import pdf_codec as pc
+
+
+def test_pdf_roundtrip_multipage_and_escapes():
+    pages = [
+        ["Hello (nested (parens)) fine", "back\\slash", "tab\tkept"],
+        ["page two — em dash €", "café, naïve"],
+        [],
+    ]
+    got = pc.extract_pdf_text(pc.build_simple_pdf(pages))
+    assert got == pages
+
+
+def test_pdf_octal_and_hex_strings_decode():
+    # hand-build a content stream exercising octal escapes, hex
+    # strings, TJ arrays with kerning numbers, and the ' operator
+    content = (
+        b"BT /F1 12 Tf 72 720 Td 14 TL\n"
+        b"(\\101\\102\\103) Tj\n"          # ABC via octal
+        b"T*\n[(kern) -250 (ed)] TJ\n"     # TJ array joins pieces
+        b"(next line) '\n"
+        b"T*\n<48692074 68 657265> Tj\n"   # hex: 'Hi there'
+        b"ET"
+    )
+    flate = zlib.compress(content)
+    pdf = pc.build_simple_pdf([["placeholder"]])
+    # swap the placeholder page's stream for our hand-built one
+    m = re.search(rb"stream\r?\n(.*?)\nendstream", pdf, re.S)
+    old = m.group(1)
+    pdf2 = pdf.replace(old, flate).replace(
+        b"/Length %d" % len(old), b"/Length %d" % len(flate)
+    )
+    got = pc.extract_pdf_text(pdf2)
+    assert got == [["ABC", "kerned", "next line", "Hi there"]]
+
+
+def test_pdf_page_order_follows_kids_not_file_order():
+    pages = [["first"], ["second"], ["third"]]
+    pdf = pc.build_simple_pdf(pages)
+    assert pc.extract_pdf_text(pdf) == pages  # kids order == built order
+
+
+def test_pdf_rejections():
+    with pytest.raises(ValueError, match="not a PDF"):
+        pc.extract_pdf_text(b"HTML <p>nope</p>")
+    with pytest.raises(ValueError, match="no PDF objects"):
+        pc.extract_pdf_text(b"%PDF-1.4\njunk only")
+    pdf = pc.build_simple_pdf([["x"]])
+    dct = pdf.replace(b"/FlateDecode", b"/DCTDecode")
+    with pytest.raises(ValueError, match="unsupported stream filter"):
+        pc.extract_pdf_text(dct)
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=hst.binary(max_size=400))
+def test_pdf_total_on_garbage(data):
+    for payload in (data, b"%PDF-1.4\n" + data):
+        try:
+            pc.extract_pdf_text(payload)
+        except ValueError:
+            pass
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    lines=hst.lists(
+        hst.text(
+            alphabet=hst.characters(min_codepoint=32, max_codepoint=255),
+            max_size=60,
+        ),
+        max_size=8,
+    )
+)
+def test_pdf_roundtrip_property(lines):
+    # restrict to strictly-cp1252-encodable text (WinAnsi glyph set);
+    # anything else is legitimately lossy through a WinAnsi font
+    from hypothesis import assume
+
+    try:
+        for ln in lines:
+            ln.encode("cp1252", errors="strict")
+    except UnicodeEncodeError:
+        assume(False)
+    got = pc.extract_pdf_text(pc.build_simple_pdf([lines]))
+    assert got == [lines]
+
+
+def test_pdf_spark_stage(spark):
+    rows = [
+        (0, bytearray(pc.build_simple_pdf([["a", "b"], ["c"]]))),
+        (1, bytearray(b"not a pdf")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r for r in pc.extract_pdf_text_column(df).collect()}
+    assert got[0]["n_pages"] == 2 and got[0]["n_lines"] == 3
+    assert got[0]["text"] == "a\nb\fc"
+    assert got[1]["parse_err"] is not None
