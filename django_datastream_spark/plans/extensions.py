@@ -8969,3 +8969,82 @@ def q197(spark, sf_dir):
         "doc_id",
         F.md5(F.encode(F.trim(rejoined), "UTF-8")).alias("text_md5"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Q198: product quantization — exact-on-codebook-points ADC oracle
+# --------------------------------------------------------------------------
+@_declare(
+    "q198_pq_adc_topk",
+    """
+    WITH v AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 1.0 WHEN 1 THEN 0.0
+                             WHEN 2 THEN -1.0 ELSE 0.5 END x1,
+             CASE doc_id % 4 WHEN 0 THEN 0.0 WHEN 1 THEN 1.0
+                             WHEN 2 THEN 0.0 ELSE 0.5 END x2,
+             CASE (doc_id // 4) % 4 WHEN 0 THEN 2.0 WHEN 1 THEN 0.0
+                                    WHEN 2 THEN 1.0 ELSE -2.0 END x3,
+             CASE (doc_id // 4) % 4 WHEN 0 THEN 0.0 WHEN 1 THEN 2.0
+                                    WHEN 2 THEN 1.0 ELSE 0.0 END x4
+      FROM documents WHERE doc_id < 64),
+    scored AS (
+      SELECT q.doc_id query_id, c.doc_id neighbor_id,
+             q.x1*c.x1 + q.x2*c.x2 + q.x3*c.x3 + q.x4*c.x4 adc_score,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.doc_id
+               ORDER BY q.x1*c.x1 + q.x2*c.x2 + q.x3*c.x3 + q.x4*c.x4
+                        DESC, c.doc_id ASC) rk
+      FROM (SELECT * FROM v WHERE doc_id < 16) q
+      JOIN v c ON c.doc_id <> q.doc_id)
+    SELECT query_id, CAST(rk AS INT) rank, neighbor_id, adc_score
+    FROM scored WHERE rk <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def q198(spark, sf_dir):
+    """Product quantization in the gate, EXACTLY oracled: vectors are
+    constructed ON the codebook points (each of 64 docs concatenates
+    one codeword from each of two subspace books), so PQ encoding is
+    lossless and the asymmetric-distance (ADC) score equals the true
+    dot product — DuckDB recomputes the whole top-3 by brute-force
+    arithmetic, ties broken by neighbor id exactly as the operator
+    does.  A wrong nearest-codeword assignment, a LUT built against
+    the wrong subspace, or an off-by-one in the batch top-k merge all
+    break the hash.  (Recall of TRAINED codebooks on non-lattice data
+    is pinned in tests/test_clustering.py, the same split as the
+    IVF/LSH family: gate = arithmetic, pytest = statistics.)  Scale
+    shape: encode is one Arrow matmul pass (dim*4/m bytes per vector
+    — the 100 TB memory story); scoring emits per-batch top-k only."""
+    from ..operators import similarity as sim
+
+    books = [
+        [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.5, 0.5]],
+        [[2.0, 0.0], [0.0, 2.0], [1.0, 1.0], [-2.0, 0.0]],
+    ]
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 64)
+        .withColumn("a", (F.col("doc_id") % 4).cast("int"))
+        .withColumn("b", ((F.col("doc_id") / 4).cast("long") % 4).cast("int"))
+    )
+    b0 = F.array(*[
+        F.array(*[F.lit(x) for x in row]) for row in books[0]
+    ])
+    b1 = F.array(*[
+        F.array(*[F.lit(x) for x in row]) for row in books[1]
+    ])
+    vecs = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.concat(
+            b0[F.col("a")], b1[F.col("b")]
+        ).alias("embedding"),
+    )
+    codes = sim.pq_encode(vecs, books)
+    top = sim.pq_adc_topk(
+        vecs.filter(F.col("vec_id") < 16), codes, books, k=3
+    )
+    return top.select(
+        "query_id", "rank", "neighbor_id", "adc_score"
+    ).orderBy("query_id", "rank")

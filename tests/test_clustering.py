@@ -7,6 +7,7 @@ plan."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -143,3 +144,78 @@ def test_suggested_k_contract():
 
     with pytest.raises(ValueError):
         suggested_k(10, target_cluster_size=0)
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+def test_pq_roundtrip_exact_on_codebook_points(spark):
+    """Vectors lying exactly on codebook points encode losslessly, so
+    ADC == exact dot product and PQ top-k == brute force."""
+    import numpy as np
+
+    from django_datastream_spark.operators import similarity as sim
+
+    # 4 codewords per subspace, m=2, dsub=2 — vectors are codeword
+    # concatenations chosen by closed form
+    books = [
+        [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.5, 0.5]],
+        [[2.0, 0.0], [0.0, 2.0], [1.0, 1.0], [-2.0, 0.0]],
+    ]
+    rows = []
+    for i in range(40):
+        a, b = books[0][i % 4], books[1][(i // 4) % 4]
+        rows.append((i, [*a, *b]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes = sim.pq_encode(df, books)
+    got_codes = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    for i in range(40):
+        assert got_codes[i] == [i % 4, (i // 4) % 4]
+    top = sim.pq_adc_topk(df.limit(5), codes, books, k=3)
+    got = {(r["query_id"], r["rank"]): r for r in top.collect()}
+    X = np.array([v for _, v in rows])
+    for q in range(5):
+        s = X @ X[q]
+        s[q] = -1e18  # exclude self
+        order = np.lexsort((np.arange(40), -s))[:3]
+        for rk in range(3):
+            assert got[(q, rk + 1)]["neighbor_id"] == order[rk], (q, rk)
+            assert got[(q, rk + 1)]["adc_score"] == pytest.approx(
+                float(s[order[rk]])
+            )
+
+
+def test_pq_trained_recall_at_k(spark):
+    """Standard PQ evaluation: the exact nearest neighbor must appear
+    in the ADC top-k. (Recall@1 is the WRONG metric under
+    quantization: same-cell points share codes, so ADC legitimately
+    ties them — k gives the reranker its shortlist, which is how PQ
+    is deployed.)"""
+    import numpy as np
+
+    from django_datastream_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(5)
+    # 20 well-separated triplets: each point's exact NN is a sibling
+    centers = rng.normal(size=(20, 16)) * 3
+    X = np.vstack([
+        c + rng.normal(size=(3, 16)) * 0.05 for c in centers
+    ])
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    books = sim.pq_train_codebooks(df, m=4, n_codes=32, seed=7)
+    assert len(books) == 4 and len(books[0]) == 32
+    codes = sim.pq_encode(df, books)
+    top = sim.pq_adc_topk(df, codes, books, k=5).collect()
+    shortlist = {}
+    for r in top:
+        shortlist.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = 0
+    for q in range(len(X)):
+        s = X @ X[q]
+        s[q] = -1e18
+        hits += int(int(np.argmax(s)) in shortlist[q])
+    assert hits >= int(0.85 * len(X)), hits
