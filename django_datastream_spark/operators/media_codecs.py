@@ -1,6 +1,8 @@
 """REAL media codecs implemented from their specs — WAV (RIFF/PCM16),
 PPM (P6), PNG (DEFLATE via stdlib zlib), GIF87a (variable-width LZW),
-and the PVM video container; baseline JPEG lives in :mod:`jpeg_codec`.
+BMP (24-bit + paletted RLE8), and the PVM video container; JPEG
+(baseline + progressive) lives in :mod:`jpeg_codec`, FLAC in
+:mod:`flac_codec`, PDF in :mod:`pdf_codec`, EXIF in :mod:`exif`.
 
 The container ships no media libraries, but none of these formats
 need one: the chunk walks, LZW/DEFLATE entropy stages, filters, and

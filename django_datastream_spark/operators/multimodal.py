@@ -25,6 +25,12 @@ Decode story, honestly split by format class:
   ``extract_jpeg_features`` runs it; q168 pins the whole
   Huffman->dequant->IDCT path against an arithmetic oracle via
   exactly-representable planted coefficients.
+- **BMP is decoded for REAL including RLE8** (:func:`media_codecs.parse_bmp`
+  — run/absolute/delta escapes, q194's lossless palette oracle), and
+  **FLAC is decoded for REAL** (:mod:`flac_codec` — Rice/LPC with
+  CRC-8/16 + PCM-MD5 verification, q186); **PDF text** extracts via
+  :mod:`pdf_codec` (q197) and **EXIF** parses/strips via
+  :mod:`exif` (q196, the GPS privacy pass).
 - **MP3/H.264 stay stubbed** — MDCT/CABAC decoders are out of scope
   for this container: ``decode_image(fake=True)`` keeps the
   deterministic byte-statistics stand-in for pipelines that only need
