@@ -1001,3 +1001,93 @@ def test_bmp_spark_stage(spark):
         assert (got[i]["width"], got[i]["height"]) == (9, 6)
         assert got[i]["mean_g"] == pytest.approx(float(a[..., 1].mean()))
     assert got[99]["decode_err"] is not None
+
+
+# ---------------------------------------------------------------------------
+# cross-format confusion: every parser rejects every OTHER format
+# ---------------------------------------------------------------------------
+def _format_zoo():
+    """One small VALID payload per format we can synthesize."""
+    import io as _io
+    import wave as _wave
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (6, 8, 3), np.uint8)
+    gray = rng.integers(0, 256, (8, 8), np.uint8)
+    pal = rng.integers(0, 256, (16, 3), np.uint8)
+    ix = rng.integers(0, 16, (6, 8), np.uint8)
+    pcm = rng.integers(-3000, 3000, 500).astype(np.int64)
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm.astype("<i2").tobytes())
+
+    from django_datastream_spark.operators import flac_codec as _fl
+    from django_datastream_spark.operators import jpeg_codec as _jc
+    from django_datastream_spark.operators import pdf_codec as _pc
+    from django_datastream_spark.sources import tar as _wds
+    from django_datastream_spark.sources import warc as _warc
+
+    return {
+        "ppm": mc.encode_ppm(img),
+        "png": mc.encode_png(img),
+        "gif": mc.encode_gif(img),
+        "bmp": mc.encode_bmp(img),
+        "bmp_rle": mc.encode_bmp_rle8(ix, pal),
+        "jpeg": _jc.encode_jpeg(gray),
+        "jpeg_prog": _jc.encode_jpeg(gray, progressive=True),
+        "wav": buf.getvalue(),
+        "flac": _fl.encode_flac(pcm, 8000, block_size=256),
+        "pdf": _pc.build_simple_pdf([["hello"]]),
+        "warc": _warc.build_warc(
+            [{"warc_type": "resource", "target_uri": "http://x/1",
+              "content_type": "application/octet-stream",
+              "body": b"abc"}]
+        ),
+        "tar": _wds.build_webdataset([("0.txt", b"abc")]),
+        "zip": _wds.build_zip_shard([("0.txt", b"abc")]),
+    }
+
+
+def test_cross_format_confusion_matrix():
+    """Feed every format's VALID bytes to every OTHER parser: the
+    wrong parser must raise ValueError — never crash with a raw
+    exception, hang, or silently 'succeed' on foreign data. (tar is
+    the one honest exception: a tar archive is unmagic'd, so formats
+    with leading free-form bytes can't be told apart — the zoo has no
+    such collision.)"""
+    from django_datastream_spark.operators import flac_codec as _fl
+    from django_datastream_spark.operators import jpeg_codec as _jc
+    from django_datastream_spark.operators import pdf_codec as _pc
+    from django_datastream_spark.sources import tar as _wds
+    from django_datastream_spark.sources import warc as _warc
+
+    parsers = {
+        "ppm": mc.parse_ppm,
+        "png": mc.parse_png,
+        "gif": mc.parse_gif,
+        "bmp": mc.parse_bmp,
+        "jpeg": _jc.parse_jpeg,
+        "wav": mc.parse_wav,
+        "flac": _fl.parse_flac,
+        "pdf": _pc.extract_pdf_text,
+        "warc": _warc.parse_warc,
+        "zip": _wds.parse_zip_shard,
+        "tar": _wds.parse_webdataset,
+    }
+    accepts = {  # parser -> zoo keys it legitimately accepts
+        "ppm": {"ppm"}, "png": {"png"}, "gif": {"gif"},
+        "bmp": {"bmp", "bmp_rle"}, "jpeg": {"jpeg", "jpeg_prog"},
+        "wav": {"wav"}, "flac": {"flac"}, "pdf": {"pdf"},
+        "warc": {"warc"}, "zip": {"zip"}, "tar": {"tar"},
+    }
+    zoo = _format_zoo()
+    for pname, parse in parsers.items():
+        for fmt, payload in zoo.items():
+            if fmt in accepts[pname]:
+                parse(payload)  # must succeed
+                continue
+            with pytest.raises(ValueError):
+                parse(payload)
