@@ -678,3 +678,111 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc_score")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    codebooks,
+    centroids,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ: the memory story (PQ codes) COMPOSED with the pruning
+    story (IVF cells) — each query ADC-scores only the codes whose
+    cell is among its ``n_probe`` nearest centroids, so a probe
+    touches n_probe/n_cells of the corpus at dim*4/m bytes per vector.
+    ``centroids``/``codebooks`` are plain nested lists (persistable
+    index state; train with :func:`_ivf_centroids` /
+    :func:`pq_train_codebooks`, or supply known ones). This variant
+    quantizes RAW vectors (IVF-Flat-PQ); the residual-quantizing
+    refinement changes only what pq_encode is fed. Returns
+    (query_id, rank, neighbor_id, adc_score)."""
+    import numpy as np
+
+    C = np.array(centroids, np.float64)
+    enc = pq_encode(corpus, codebooks, id_col, vec_col)
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.array(list(pdf["_v"]), np.float64)
+            d = ((X[:, None, :] - C[None]) ** 2).sum(-1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["_id"], "cell": d.argmin(1)}
+            )
+
+    cells = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).mapInPandas(assign, "vec_id long, cell int")
+    coded = enc.join(cells, "vec_id")
+
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).cast("array<double>"),
+    ).collect()
+    if not q_rows:
+        raise ValueError("empty query set")
+    B = [np.array(b, np.float64) for b in codebooks]
+    m = len(B)
+    dsub = B[0].shape[1]
+    qids = [int(r["qid"]) for r in q_rows]
+    Q = np.array([r[1] for r in q_rows], np.float64)
+    dq = ((Q[:, None, :] - C[None]) ** 2).sum(-1)
+    probes = np.argsort(dq, axis=1, kind="stable")[:, :n_probe]
+    probe_sets = [set(int(c) for c in row) for row in probes]
+    luts = np.stack(
+        [Q[:, j * dsub : (j + 1) * dsub] @ B[j].T for j in range(m)],
+        axis=1,
+    )
+    all_probed = sorted({c for s in probe_sets for c in s})
+    pruned = coded.filter(F.col("cell").isin(all_probed))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            Cd = np.array(list(pdf["codes"]), np.int64)
+            ids = pdf["vec_id"].to_numpy()
+            cell = pdf["cell"].to_numpy()
+            scores = np.zeros((len(qids), len(Cd)))
+            for j in range(m):
+                scores += luts[:, j, :][:, Cd[:, j]]
+            rows = []
+            for qi, qid in enumerate(qids):
+                mask = np.isin(cell, list(probe_sets[qi]))
+                if exclude_self:
+                    mask &= ids != qid
+                cand_ids = ids[mask]
+                cand_s = scores[qi][mask]
+                if not len(cand_ids):
+                    continue
+                top = np.argsort(-cand_s, kind="stable")[:k]
+                for t in top:
+                    rows.append(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": int(cand_ids[t]),
+                            "adc_score": float(cand_s[t]),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    partial = pruned.mapInPandas(
+        run, "query_id long, neighbor_id long, adc_score double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_score")
+    )

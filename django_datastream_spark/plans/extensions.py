@@ -9048,3 +9048,95 @@ def q198(spark, sf_dir):
     return top.select(
         "query_id", "rank", "neighbor_id", "adc_score"
     ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# Q199: IVF-PQ — cell-pruned ADC search, construction-exact oracle
+# --------------------------------------------------------------------------
+@_declare(
+    "q199_ivfpq_topk",
+    """
+    WITH v AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN 10.0 ELSE 0.0 END
+               + CASE WHEN (doc_id % 4 + 1) % 4 = 0
+                      THEN 0.25 * ((doc_id // 4) % 3) ELSE 0.0 END x1,
+             CASE WHEN doc_id % 4 = 1 THEN 10.0 ELSE 0.0 END
+               + CASE WHEN (doc_id % 4 + 1) % 4 = 1
+                      THEN 0.25 * ((doc_id // 4) % 3) ELSE 0.0 END x2,
+             CASE WHEN doc_id % 4 = 2 THEN 10.0 ELSE 0.0 END
+               + CASE WHEN (doc_id % 4 + 1) % 4 = 2
+                      THEN 0.25 * ((doc_id // 4) % 3) ELSE 0.0 END x3,
+             CASE WHEN doc_id % 4 = 3 THEN 10.0 ELSE 0.0 END
+               + CASE WHEN (doc_id % 4 + 1) % 4 = 3
+                      THEN 0.25 * ((doc_id // 4) % 3) ELSE 0.0 END x4
+      FROM documents WHERE doc_id < 64),
+    scored AS (
+      SELECT q.doc_id query_id, c.doc_id neighbor_id,
+             q.x1*c.x1 + q.x2*c.x2 + q.x3*c.x3 + q.x4*c.x4 adc_score,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.doc_id
+               ORDER BY q.x1*c.x1 + q.x2*c.x2 + q.x3*c.x3 + q.x4*c.x4
+                        DESC, c.doc_id ASC) rk
+      FROM (SELECT * FROM v WHERE doc_id < 16) q
+      JOIN v c ON c.doc_id <> q.doc_id)
+    SELECT query_id, CAST(rk AS INT) rank, neighbor_id, adc_score
+    FROM scored WHERE rk <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def q199(spark, sf_dir):
+    """IVF-PQ composed: 64 vectors in 4 ORTHOGONAL cells (10*e_c plus
+    a small in-cell perturbation on the next axis), PQ codebooks
+    enumerating every occurring subvector (lossless encode), and the
+    search probing only 2 of 4 cells per query.  The construction
+    guarantees every true neighbor shares the query's cell (same-cell
+    dots ~100, cross-cell <= 2.5), so the HALF-corpus probe must still
+    reproduce the brute-force top-3 the DuckDB oracle computes over
+    ALL pairs — pruning that changed any answer, a wrong cell
+    assignment, or a probe-set slip breaks the hash while the pruning
+    ratio stays honest (2/4 cells scanned).  Trained-codebook recall
+    on non-lattice data is pinned in tests/test_clustering.py."""
+    from ..operators import similarity as sim
+
+    books = [
+        [[10.0, 0.0], [0.0, 10.0], [0.0, 0.0],
+         [10.0, 0.25], [10.0, 0.5], [0.25, 0.0], [0.5, 0.0],
+         [0.0, 0.25], [0.0, 0.5], [0.25, 10.0], [0.5, 10.0]],
+        [[10.0, 0.0], [0.0, 10.0], [0.0, 0.0],
+         [10.0, 0.25], [10.0, 0.5], [0.25, 0.0], [0.5, 0.0],
+         [0.0, 0.25], [0.0, 0.5], [0.25, 10.0], [0.5, 10.0]],
+    ]
+    cents = [
+        [10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0],
+        [0.0, 0.0, 10.0, 0.0], [0.0, 0.0, 0.0, 10.0],
+    ]
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 64)
+        .withColumn("c", (F.col("doc_id") % 4).cast("int"))
+        .withColumn(
+            "kk", ((F.col("doc_id") / 4).cast("long") % 3).cast("double")
+        )
+    )
+    comps = [
+        (
+            F.when(F.col("c") == j, F.lit(10.0)).otherwise(F.lit(0.0))
+            + F.when(
+                (F.col("c") + 1) % 4 == j, 0.25 * F.col("kk")
+            ).otherwise(F.lit(0.0))
+        )
+        for j in range(4)
+    ]
+    vecs = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(*comps).alias("embedding"),
+    )
+    top = sim.ivfpq_topk(
+        vecs.filter(F.col("vec_id") < 16), vecs, 3, books, cents,
+        n_probe=2,
+    )
+    return top.select(
+        "query_id", "rank", "neighbor_id", "adc_score"
+    ).orderBy("query_id", "rank")

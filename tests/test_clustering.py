@@ -219,3 +219,68 @@ def test_pq_trained_recall_at_k(spark):
         s[q] = -1e18
         hits += int(int(np.argmax(s)) in shortlist[q])
     assert hits >= int(0.85 * len(X)), hits
+
+
+def test_ivfpq_full_probe_equals_pure_pq(spark):
+    import numpy as np
+
+    from django_datastream_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(60, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    books = sim.pq_train_codebooks(df, m=2, n_codes=16, seed=3)
+    cents = [[float(x) for x in c] for c in rng.normal(size=(4, 8))]
+    codes = sim.pq_encode(df, books)
+    pure = sim.pq_adc_topk(df.limit(10), codes, books, k=3).collect()
+    full = sim.ivfpq_topk(
+        df.limit(10), df, 3, books, cents, n_probe=4
+    ).collect()
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in rows
+    )
+    assert key(pure) == key(full)
+
+
+def test_ivfpq_partial_probe_prunes_but_keeps_neighbors(spark):
+    """Constructed cells: 4 orthogonal 10*e_c groups; every query's
+    true top neighbors share its cell, so probing 2 of 4 cells must
+    return exactly the brute-force answer while scanning half the
+    corpus."""
+    import numpy as np
+
+    from django_datastream_spark.operators import similarity as sim
+
+    books = [
+        [[10.0, 0.0], [0.0, 10.0], [0.0, 0.0],
+         [10.0, 0.25], [10.0, 0.5], [0.25, 0.0], [0.5, 0.0],
+         [0.0, 0.25], [0.0, 0.5], [0.25, 10.0], [0.5, 10.0]],
+        [[10.0, 0.0], [0.0, 10.0], [0.0, 0.0],
+         [10.0, 0.25], [10.0, 0.5], [0.25, 0.0], [0.5, 0.0],
+         [0.0, 0.25], [0.0, 0.5], [0.25, 10.0], [0.5, 10.0]],
+    ]
+    cents = [
+        [10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0], [0, 0, 0, 10.0]
+    ]
+    rows = []
+    for i in range(64):
+        c, kk = i % 4, (i // 4) % 3
+        v = [0.0] * 4
+        v[c] = 10.0
+        v[(c + 1) % 4] += 0.25 * kk
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = sim.ivfpq_topk(
+        df.limit(16), df, 3, books, cents, n_probe=2
+    ).collect()
+    X = np.array([v for _, v in rows])
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in top}
+    for q in range(16):
+        s = X @ X[q]
+        s[q] = -1e18
+        order = np.lexsort((np.arange(64), -s))[:3]
+        for rk in range(3):
+            assert got[(q, rk + 1)] == order[rk], (q, rk)

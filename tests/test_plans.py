@@ -88,7 +88,10 @@ def test_declaring_queries_runs_no_jobs(spark):
               "q184_bpe_roundtrip_md5", "q189_token_block_packing",
               "q193_crawl_to_training_blocks",
               # q190 runs the k-core peel fixpoint (q45 family)
-              "q190_k_core"}
+              "q190_k_core",
+              # q198/q199 collect the BOUNDED query side (ADC LUTs are
+              # built driver-side by API contract, like the ANN family)
+              "q198_pq_adc_topk", "q199_ivfpq_topk"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
