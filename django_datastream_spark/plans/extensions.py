@@ -9140,3 +9140,85 @@ def q199(spark, sf_dir):
     return top.select(
         "query_id", "rank", "neighbor_id", "adc_score"
     ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# Q200: block-level exact dedup after packing — cross-doc repetition
+# --------------------------------------------------------------------------
+@_declare(
+    "q200_block_dedup",
+    """
+    WITH d AS (SELECT doc_id,
+                      rpad(substr(text, 1, 128), 128, '.') norm
+               FROM documents
+               WHERE doc_id < 192 AND text IS NOT NULL),
+    rep AS (SELECT doc_id, CASE WHEN doc_id % 3 = 2
+                                THEN (SELECT norm FROM d d2
+                                      WHERE d2.doc_id = d.doc_id - 1)
+                                ELSE norm END norm
+            FROM d),
+    corpus AS (SELECT string_agg(norm, '' ORDER BY doc_id) c,
+                      SUM(strlen(norm)) tot FROM rep),
+    blocks AS (SELECT i.i b, substr(c, CAST(i.i * 128 + 1 AS BIGINT),
+                                    128) blk
+               FROM corpus,
+                    (SELECT unnest(range(0, CAST(ceil(tot / 128.0)
+                                                 AS BIGINT)))
+                     FROM corpus) i(i)),
+    grp AS (SELECT md5(blk) h, MIN(b) keeper,
+                   CAST(COUNT(*) AS BIGINT) n_copies
+            FROM blocks GROUP BY md5(blk))
+    SELECT keeper AS block_id, h AS block_md5, n_copies
+    FROM grp ORDER BY block_id
+    """,
+)
+def q200(spark, sf_dir):
+    """Dedup AFTER packing — the pass that catches cross-document
+    repetition exact-dedup misses at doc granularity: every third
+    document is REPLACED by a copy of its predecessor's normalized
+    prefix (planted duplication), texts truncate-and-pad to exactly
+    128 bytes so packed 128-token blocks ALIGN with documents (every
+    planted copy provably collapses at any SF), and identical
+    blocks collapse by content hash keeping the lowest block id.  The
+    oracle rebuilds the same corpus, blocks, and hash groups in SQL —
+    a survivor set that differs by one block, a wrong keeper, or a
+    duplicate count off by one breaks the hash.  Uses the q189
+    packing machinery (distributed prefix sum + posexplode groupBy),
+    then ONE more hash aggregate — the dedup itself is a single
+    shuffle at any scale (q189 exemption family for the offsets
+    collect)."""
+    from ..operators import bpe
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter((F.col("doc_id") < 192) & F.col("text").isNotNull())
+        .withColumn(
+            "norm", F.rpad(F.substring("text", 1, 128), 128, ".")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id")
+    # planted duplication: doc_id % 3 == 2 repeats its predecessor
+    # (window over the 192-row bounded slice; the corpus-sized pack
+    # below still uses the distributed prefix sum)
+    rep = docs.withColumn(
+        "norm",
+        F.when(
+            F.col("doc_id") % 3 == 2, F.lag("norm", 1).over(w)
+        ).otherwise(F.col("norm")),
+    ).select("doc_id", F.col("norm").alias("text"))
+    tok = bpe.BPETokenizer([])
+    enc = bpe.encode_column(rep, tok, "text")
+    blocks = bpe.pack_token_blocks(enc, seq_len=128)
+    return (
+        blocks.withColumn("block_md5", F.md5("block_bytes"))
+        .groupBy("block_md5")
+        .agg(
+            F.min("block_id").alias("block_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("block_id", "block_md5", "n_copies")
+        .orderBy("block_id")
+    )

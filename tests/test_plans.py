@@ -91,7 +91,8 @@ def test_declaring_queries_runs_no_jobs(spark):
               "q190_k_core",
               # q198/q199 collect the BOUNDED query side (ADC LUTs are
               # built driver-side by API contract, like the ANN family)
-              "q198_pq_adc_topk", "q199_ivfpq_topk"}
+              "q198_pq_adc_topk", "q199_ivfpq_topk",
+              "q200_block_dedup"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
