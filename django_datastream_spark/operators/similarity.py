@@ -8,6 +8,12 @@
                          split), then exact rerank inside buckets. The
                          100 TB path: candidate generation is an equi-join
                          on bucket keys, never a cross join.
+- ``ivf_topk``         — inverted-file cells (bounded-sample KMeans index,
+                         persisted centroids), n_probe cells per query.
+- ``pq_*`` / ``ivfpq_topk`` — product quantization: uint8 codes at
+                         dim*4/m bytes per vector (the MEMORY lever) with
+                         LUT/ADC scoring, optionally composed with IVF
+                         cell pruning (both ANN levers at once).
 
 Vectors are cast to float64 and reduced with sequential folds so results
 are deterministic and oracle-reproducible.
