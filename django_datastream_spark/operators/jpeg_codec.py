@@ -13,8 +13,13 @@ subset:
   and the AC refinement correction-bit protocol (T.81 Annex G)
 - 1 (grayscale) or 3 (YCbCr 4:4:4, i.e. no chroma subsampling)
   components
-- no restart markers, no arithmetic coding, no hierarchical mode
-  (all raise ValueError with the reason)
+- **restart markers** (DRI/RSTn), both directions: the encoder can
+  emit a restart interval (predictors reset, writer byte-aligned,
+  RST(m mod 8) between MCU groups) and the decoder verifies marker
+  order and resets DC predictors / EOB runs at every boundary — the
+  camera-JPEG resilience feature
+- no arithmetic coding, no hierarchical mode (raise ValueError with
+  the reason)
 
 Two deliberate design choices keep it honest and verifiable:
 
@@ -188,6 +193,22 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def expect_rst(self, m: int) -> None:
+        """Consume an RST(m) marker at a restart boundary: discard the
+        partial byte (encoder pads with 1s), then require FFD0+m."""
+        self.acc = 0
+        self.n = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated at restart boundary")
+        if self.data[self.pos] != 0xFF or (
+            self.data[self.pos + 1] != 0xD0 + (m & 7)
+        ):
+            raise ValueError(
+                f"expected RST{m & 7} at restart boundary, got "
+                f"0x{self.data[self.pos]:02X}{self.data[self.pos + 1]:02X}"
+            )
+        self.pos += 2
+
 
 def _receive_extend(r: _BitReader, size: int) -> int:
     if size == 0:
@@ -322,33 +343,58 @@ def _encode_block_zz(
     return dc
 
 
-def _emit_sequential(coefs) -> bytes:
+def _rst_boundary(out: bytearray, wri: _BitWriter, rst_idx: int) -> int:
+    """Flush the writer, append its bytes + RST(idx%8); returns the
+    next restart index. The caller continues with a FRESH writer."""
+    out += wri.flush()
+    out += bytes([0xFF, 0xD0 + (rst_idx & 7)])
+    return rst_idx + 1
+
+
+def _emit_sequential(coefs, restart_interval: int = 0) -> bytes:
     dc_codes = _canonical_codes(*_DC_SPEC)
     ac_codes = _canonical_codes(*_AC_SPEC)
     bh, bw = coefs[0].shape[:2]
+    out = bytearray()
     wri = _BitWriter()
     preds = [0] * len(coefs)
+    mcu = 0
+    rst = 0
+    total = bh * bw
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                rst = _rst_boundary(out, wri, rst)
+                wri = _BitWriter()
+                preds = [0] * len(coefs)
             for ci, zz in enumerate(coefs):
                 preds[ci] = _encode_block_zz(
                     wri, zz[by, bx], preds[ci], dc_codes, ac_codes
                 )
-    return wri.flush()
+            mcu += 1
+    out += wri.flush()
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
 # encoder — progressive scans (T.81 Annex G)
 # ---------------------------------------------------------------------------
-def _emit_dc_first(coefs, al: int) -> bytes:
+def _emit_dc_first(coefs, al: int, restart_interval: int = 0) -> bytes:
     """Interleaved DC scan, Ah=0: code DIFF of the point-transformed
     (arithmetic shift) DC across all components in MCU order."""
     dc_codes = _canonical_codes(*_DC_SPEC)
+    out = bytearray()
     wri = _BitWriter()
     preds = [0] * len(coefs)
     bh, bw = coefs[0].shape[:2]
+    mcu = rst = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                rst = _rst_boundary(out, wri, rst)
+                wri = _BitWriter()
+                preds = [0] * len(coefs)
+            mcu += 1
             for ci, zz in enumerate(coefs):
                 v = int(zz[by, bx, 0]) >> al
                 diff = v - preds[ci]
@@ -362,27 +408,37 @@ def _emit_dc_first(coefs, al: int) -> bytes:
                     wri.put(
                         diff if diff >= 0 else diff + (1 << cat) - 1, cat
                     )
-    return wri.flush()
+    out += wri.flush()
+    return bytes(out)
 
 
-def _emit_dc_refine(coefs, al: int) -> bytes:
+def _emit_dc_refine(coefs, al: int, restart_interval: int = 0) -> bytes:
     """DC refinement scan (Ah=Al+1): one raw bit per block per
     component — bit Al of the DC coefficient, no Huffman coding."""
+    out = bytearray()
     wri = _BitWriter()
     bh, bw = coefs[0].shape[:2]
+    mcu = rst = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                rst = _rst_boundary(out, wri, rst)
+                wri = _BitWriter()
+            mcu += 1
             for zz in coefs:
                 wri.put((int(zz[by, bx, 0]) >> al) & 1, 1)
-    return wri.flush()
+    out += wri.flush()
+    return bytes(out)
 
 
-def _emit_ac_first(coef, ss: int, se: int, al: int) -> bytes:
+def _emit_ac_first(coef, ss: int, se: int, al: int,
+                   restart_interval: int = 0) -> bytes:
     """Single-component AC band scan, Ah=0: run-length + EOB-run
     coding of point-transformed coefficients. EOB runs accumulate
     across blocks (up to the 0x7FFF cap), exercising the decoder's
     multi-block skip."""
     ac_codes = _canonical_codes(*_AC_SPEC)
+    out = bytearray()
     wri = _BitWriter()
     eobrun = 0
 
@@ -398,8 +454,14 @@ def _emit_ac_first(coef, ss: int, se: int, al: int) -> bytes:
         eobrun = 0
 
     bh, bw = coef.shape[:2]
+    mcu = rst = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                flush_eob()  # EOB runs cannot cross restart boundaries
+                rst = _rst_boundary(out, wri, rst)
+                wri = _BitWriter()
+            mcu += 1
             band = [
                 _point_ac(int(v), al) for v in coef[by, bx, ss : se + 1]
             ]
@@ -430,10 +492,12 @@ def _emit_ac_first(coef, ss: int, se: int, al: int) -> bytes:
             if last < len(band) - 1:
                 eobrun += 1  # trailing zeros end in an EOB for this block
     flush_eob()
-    return wri.flush()
+    out += wri.flush()
+    return bytes(out)
 
 
-def _emit_ac_refine(coef, ss: int, se: int, al: int) -> bytes:
+def _emit_ac_refine(coef, ss: int, se: int, al: int,
+                    restart_interval: int = 0) -> bytes:
     """Single-component AC refinement scan (Ah=Al+1): newly-nonzero
     coefficients code as (run, 1) + sign; history-nonzero positions
     contribute buffered correction bits that flush after the next
@@ -441,10 +505,16 @@ def _emit_ac_refine(coef, ss: int, se: int, al: int) -> bytes:
     except EOB runs flush per block so correction bits never cross a
     block boundary)."""
     ac_codes = _canonical_codes(*_AC_SPEC)
+    out = bytearray()
     wri = _BitWriter()
     bh, bw = coef.shape[:2]
+    mcu = rst = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                rst = _rst_boundary(out, wri, rst)
+                wri = _BitWriter()
+            mcu += 1
             band = [int(v) for v in coef[by, bx, ss : se + 1]]
             absv = [abs(v) >> al for v in band]
             # last newly-nonzero index; runs past it fold into the EOB
@@ -484,7 +554,8 @@ def _emit_ac_refine(coef, ss: int, se: int, al: int) -> bytes:
                 wri.put(code, length)
                 for b in buf:
                     wri.put(b, 1)
-    return wri.flush()
+    out += wri.flush()
+    return bytes(out)
 
 
 #: the progressive scan script: DC first at Al=1, DC refine, then per
@@ -494,23 +565,24 @@ _DC_AL = 1
 _AC_AL = 1
 
 
-def _emit_progressive(coefs) -> bytes:
+def _emit_progressive(coefs, restart_interval: int = 0) -> bytes:
     ncomp = len(coefs)
     out = bytearray()
+    ri = restart_interval
     all_specs = [(c + 1, 0 if c == 0 else 1, 0 if c == 0 else 1)
                  for c in range(ncomp)]
     out += _sos_header(all_specs, 0, 0, 0, _DC_AL)
-    out += _emit_dc_first(coefs, _DC_AL)
+    out += _emit_dc_first(coefs, _DC_AL, ri)
     out += _sos_header(all_specs, 0, 0, _DC_AL, 0)
-    out += _emit_dc_refine(coefs, 0)
+    out += _emit_dc_refine(coefs, 0, ri)
     for c in range(ncomp):
         spec = [all_specs[c]]
         out += _sos_header(spec, 1, 63, 0, _AC_AL)
-        out += _emit_ac_first(coefs[c], 1, 63, _AC_AL)
+        out += _emit_ac_first(coefs[c], 1, 63, _AC_AL, ri)
     for c in range(ncomp):
         spec = [all_specs[c]]
         out += _sos_header(spec, 1, 63, _AC_AL, 0)
-        out += _emit_ac_refine(coefs[c], 1, 63, 0)
+        out += _emit_ac_refine(coefs[c], 1, 63, 0, ri)
     return bytes(out)
 
 
@@ -530,7 +602,8 @@ def _ycbcr_to_rgb(a: np.ndarray) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
-def encode_jpeg(arr: np.ndarray, progressive: bool = False) -> bytes:
+def encode_jpeg(arr: np.ndarray, progressive: bool = False,
+                restart_interval: int = 0) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) RGB uint8 -> JPEG
     (4:4:4, our embedded tables). ``progressive=True`` emits SOF2
     with a 2+2*ncomp scan script (DC first/refine, per-component AC
@@ -548,8 +621,10 @@ def encode_jpeg(arr: np.ndarray, progressive: bool = False) -> bytes:
     coefs = _quantize_planes(a, gray)
     sof = 0xFFC2 if progressive else 0xFFC0
     head = _frame_headers(h, w, len(coefs), sof)
+    if restart_interval:
+        head += _seg(0xFFDD, struct.pack(">H", restart_interval))
     if progressive:
-        body = _emit_progressive(coefs)
+        body = _emit_progressive(coefs, restart_interval)
     else:
         ncomp = len(coefs)
         scomp = b""
@@ -558,7 +633,7 @@ def encode_jpeg(arr: np.ndarray, progressive: bool = False) -> bytes:
             scomp += bytes([c + 1, (t << 4) | t])
         body = (
             _seg(0xFFDA, bytes([ncomp]) + scomp + b"\x00\x3f\x00")
-            + _emit_sequential(coefs)
+            + _emit_sequential(coefs, restart_interval)
         )
     return head + body + b"\xff\xd9"
 
@@ -628,7 +703,8 @@ def _scan_end(payload: bytes, start: int) -> int:
             i = j + 1
             continue
         if 0xD0 <= nxt <= 0xD7:
-            raise ValueError("restart markers unsupported")
+            i = j + 2  # restart marker: entropy data continues
+            continue
         return j
 
 
@@ -647,12 +723,19 @@ def _read_symbol(r: _BitReader, table: dict) -> int:
     raise ValueError("invalid Huffman code in scan")
 
 
-def _decode_seq_scan(r, scan, comps, coefs, dec):
+def _decode_seq_scan(r, scan, comps, coefs, dec,
+                     restart_interval: int = 0):
     """Baseline single-scan: interleaved DC+AC per block."""
     bh, bw = coefs[0].shape[:2]
     preds = [0] * len(comps)
+    mcu = rst = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                r.expect_rst(rst)
+                rst += 1
+                preds = [0] * len(comps)
+            mcu += 1
             for ci, (cid, tdc, tac) in enumerate(scan):
                 dc_tab = dec.get((0, tdc))
                 ac_tab = dec.get((1, tac))
@@ -678,13 +761,20 @@ def _decode_seq_scan(r, scan, comps, coefs, dec):
                     k += 1
 
 
-def _decode_dc_scan(r, scan, coefs, comp_idx, dec, ah, al):
+def _decode_dc_scan(r, scan, coefs, comp_idx, dec, ah, al,
+                    restart_interval: int = 0):
     """Progressive DC scan (first or refinement), interleaved over the
     scan's components (MCU = one block each at 1x1 sampling)."""
     bh, bw = coefs[0].shape[:2]
     preds = [0] * len(scan)
+    mcu = rst = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                r.expect_rst(rst)
+                rst += 1
+                preds = [0] * len(scan)
+            mcu += 1
             for si, (cid, tdc, _tac) in enumerate(scan):
                 zz = coefs[comp_idx[cid]][by, bx]
                 if ah == 0:  # first
@@ -699,12 +789,19 @@ def _decode_dc_scan(r, scan, coefs, comp_idx, dec, ah, al):
                         zz[0] |= 1 << al
 
 
-def _decode_ac_first(r, coef, ac_tab, ss, se, al, state):
+def _decode_ac_first(r, coef, ac_tab, ss, se, al, state,
+                     restart_interval: int = 0):
     """Progressive AC band, Ah=0: run-length + EOB-run (state carries
     the eobrun across blocks of this scan)."""
     bh, bw = coef.shape[:2]
+    mcu = rst = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                r.expect_rst(rst)
+                rst += 1
+                state["eobrun"] = 0  # runs never cross a boundary
+            mcu += 1
             if state["eobrun"] > 0:
                 state["eobrun"] -= 1
                 continue
@@ -729,7 +826,8 @@ def _decode_ac_first(r, coef, ac_tab, ss, se, al, state):
                 k += 1
 
 
-def _decode_ac_refine(r, coef, ac_tab, ss, se, al, state):
+def _decode_ac_refine(r, coef, ac_tab, ss, se, al, state,
+                      restart_interval: int = 0):
     """Progressive AC refinement (T.81 G.2 / the libjpeg discipline):
     newly-nonzero values arrive as (run, 1) + sign; every nonzero-
     history coefficient passed on the way reads a correction bit."""
@@ -741,8 +839,14 @@ def _decode_ac_refine(r, coef, ac_tab, ss, se, al, state):
         if c and r.bit() and not (c & p1):
             zz[k] = c + (p1 if c >= 0 else m1)
 
+    mcu = rst = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                r.expect_rst(rst)
+                rst += 1
+                state["eobrun"] = 0
+            mcu += 1
             zz = coef[by, bx]
             k = ss
             if state["eobrun"] == 0:
@@ -796,6 +900,7 @@ def _parse_jpeg_inner(payload: bytes) -> np.ndarray:
     coefs = None
     comp_idx: dict[int, int] = {}
     saw_scan = False
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -855,8 +960,10 @@ def _parse_jpeg_inner(payload: bytes) -> np.ndarray:
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline SOF0 / progressive SOF2")
-        elif marker == 0xDD:
-            raise ValueError("restart markers unsupported")
+        elif marker == 0xDD:  # DRI
+            if ln != 4:
+                raise ValueError("malformed DRI segment")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — decode the scan inline
             if sof is None:
                 raise ValueError("SOS before SOF")
@@ -882,13 +989,15 @@ def _parse_jpeg_inner(payload: bytes) -> np.ndarray:
                     raise ValueError("baseline scan must cover 0..63")
                 if len(scan) != len(sof[2]):
                     raise ValueError("scan/frame component mismatch")
-                _decode_seq_scan(r, scan, sof[2], coefs, dec)
+                _decode_seq_scan(r, scan, sof[2], coefs, dec,
+                                 restart_interval)
             elif ss == 0:  # DC scan
                 if se != 0:
                     raise ValueError(
                         "progressive scan with Ss=0 requires Se=0"
                     )
-                _decode_dc_scan(r, scan, coefs, comp_idx, dec, ah, al)
+                _decode_dc_scan(r, scan, coefs, comp_idx, dec, ah, al,
+                                 restart_interval)
             else:  # AC band scan
                 if len(scan) != 1:
                     raise ValueError(
@@ -902,7 +1011,8 @@ def _parse_jpeg_inner(payload: bytes) -> np.ndarray:
                     raise ValueError("missing Huffman table")
                 state = {"eobrun": 0}
                 fn = _decode_ac_first if ah == 0 else _decode_ac_refine
-                fn(r, coefs[comp_idx[cid]], ac_tab, ss, se, al, state)
+                fn(r, coefs[comp_idx[cid]], ac_tab, ss, se, al, state,
+                   restart_interval)
             saw_scan = True
             pos = end
             continue

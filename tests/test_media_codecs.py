@@ -1091,3 +1091,32 @@ def test_cross_format_confusion_matrix():
                 continue
             with pytest.raises(ValueError):
                 parse(payload)
+
+
+def test_jpeg_restart_markers_roundtrip_and_verify():
+    """DRI/RSTn both directions: encodings with any restart interval
+    decode identically to the unmarked encoding (predictor resets and
+    byte alignment are transparent), in BOTH modes; a wrong marker
+    index at a boundary is a hard error, not a resync guess."""
+    rng = np.random.default_rng(12)
+    a = rng.integers(0, 256, (24, 40), np.uint8)
+    for prog in (False, True):
+        base = jc.parse_jpeg(jc.encode_jpeg(a, progressive=prog))
+        for ri in (1, 3, 7):
+            p = jc.encode_jpeg(a, progressive=prog, restart_interval=ri)
+            assert (jc.parse_jpeg(p) == base).all(), (prog, ri)
+    rgb = rng.integers(0, 256, (17, 19, 3), np.uint8)
+    b0 = jc.parse_jpeg(jc.encode_jpeg(rgb))
+    assert (jc.parse_jpeg(
+        jc.encode_jpeg(rgb, restart_interval=2)
+    ) == b0).all()
+    assert (jc.parse_jpeg(
+        jc.encode_jpeg(rgb, progressive=True, restart_interval=2)
+    ) == b0).all()
+    # corrupt the FIRST restart marker's index (FFD0 -> FFD5)
+    p = bytearray(jc.encode_jpeg(a, restart_interval=2))
+    i = bytes(p).find(b"\xff\xd0")
+    assert i > 0
+    p[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="RST"):
+        jc.parse_jpeg(bytes(p))
