@@ -696,6 +696,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the memory story (PQ codes) COMPOSED with the pruning
     story (IVF cells) — each query ADC-scores only the codes whose
@@ -703,30 +704,46 @@ def ivfpq_topk(
     touches n_probe/n_cells of the corpus at dim*4/m bytes per vector.
     ``centroids``/``codebooks`` are plain nested lists (persistable
     index state; train with :func:`_ivf_centroids` /
-    :func:`pq_train_codebooks`, or supply known ones). This variant
-    quantizes RAW vectors (IVF-Flat-PQ); the residual-quantizing
-    refinement changes only what pq_encode is fed. Returns
-    (query_id, rank, neighbor_id, adc_score)."""
+    :func:`pq_train_codebooks`, or supply known ones).
+
+    ``residual=True`` quantizes ``x - centroid[cell]`` instead of the
+    raw vector (classic IVF-ADC): the codebooks then only need to
+    span cell-local displacements, which is where PQ accuracy comes
+    from at scale, and scoring adds the exact ``dot(q, centroid)``
+    term per cell. Cell assignment + encoding is ONE Arrow pass (no
+    join). Returns (query_id, rank, neighbor_id, adc_score)."""
     import numpy as np
 
     C = np.array(centroids, np.float64)
-    enc = pq_encode(corpus, codebooks, id_col, vec_col)
+    Bs = [np.array(b, np.float64) for b in codebooks]
+    m_ = len(Bs)
+    dsub_ = Bs[0].shape[1]
 
-    def assign(batches):
+    def assign_encode(batches):
         import pandas as pd
 
         for pdf in batches:
             X = np.array(list(pdf["_v"]), np.float64)
             d = ((X[:, None, :] - C[None]) ** 2).sum(-1)
+            cell = d.argmin(1)
+            V = X - C[cell] if residual else X
+            codes = np.empty((len(V), m_), np.int32)
+            for j in range(m_):
+                sub = V[:, j * dsub_ : (j + 1) * dsub_]
+                dd = -2 * sub @ Bs[j].T + (Bs[j] ** 2).sum(1)[None, :]
+                codes[:, j] = dd.argmin(1)
             yield pd.DataFrame(
-                {"vec_id": pdf["_id"], "cell": d.argmin(1)}
+                {
+                    "vec_id": pdf["_id"],
+                    "cell": cell,
+                    "codes": list(codes),
+                }
             )
 
-    cells = corpus.select(
+    coded = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    ).mapInPandas(assign, "vec_id long, cell int")
-    coded = enc.join(cells, "vec_id")
+    ).mapInPandas(assign_encode, "vec_id long, cell int, codes array<int>")
 
     q_rows = queries.select(
         F.col(id_col).alias("qid"),
@@ -746,6 +763,7 @@ def ivfpq_topk(
         [Q[:, j * dsub : (j + 1) * dsub] @ B[j].T for j in range(m)],
         axis=1,
     )
+    qc_dot = Q @ C.T  # exact query·centroid term for residual mode
     all_probed = sorted({c for s in probe_sets for c in s})
     pruned = coded.filter(F.col("cell").isin(all_probed))
 
@@ -759,6 +777,8 @@ def ivfpq_topk(
             scores = np.zeros((len(qids), len(Cd)))
             for j in range(m):
                 scores += luts[:, j, :][:, Cd[:, j]]
+            if residual:
+                scores += qc_dot[:, cell]
             rows = []
             for qi, qid in enumerate(qids):
                 mask = np.isin(cell, list(probe_sets[qi]))
