@@ -952,3 +952,360 @@ def _parse_bmp_inner(payload: bytes) -> np.ndarray:
     raise ValueError(
         f"unsupported BMP variant (bpp={bpp}, compression={comp})"
     )
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline 6.0) — uncompressed / PackBits / LZW strips
+# ---------------------------------------------------------------------------
+#: tag ids (TIFF 6.0 baseline)
+_T_WIDTH, _T_HEIGHT, _T_BPS, _T_COMP = 256, 257, 258, 259
+_T_PHOTO, _T_STRIP_OFF, _T_SPP, _T_RPS, _T_STRIP_CNT = (
+    262, 273, 277, 278, 279,
+)
+_T_PLANAR = 284
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Apple PackBits: literal runs (n>=0: n+1 bytes) and repeats
+    (n in -1..-127: next byte 1-n times)."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        j = i + 1
+        while j < n and row[j] == row[i]:
+            j += 1
+        run = j - i
+        if run >= 2:
+            while run > 0:
+                take = min(run, 128)
+                out += bytes([(257 - take) & 0xFF, row[i]])
+                run -= take
+            i = j
+            continue
+        # literal stretch: until the next >=3 repeat (2-repeats inside a
+        # literal cost the same either way; 3 breaks even at run coding)
+        k = i + 1
+        while k < n:
+            if k + 2 < n and row[k] == row[k + 1] == row[k + 2]:
+                break
+            k += 1
+        lit = row[i:k]
+        while lit:
+            take = lit[:128]
+            out += bytes([len(take) - 1]) + take
+            lit = lit[len(take):]
+        i = k
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < expect:
+        if i >= len(data):
+            raise ValueError("truncated PackBits stream")
+        n = data[i]
+        i += 1
+        if n < 128:  # literal n+1
+            if i + n + 1 > len(data):
+                raise ValueError("truncated PackBits literal")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n == 128:  # noop
+            continue
+        else:  # repeat next byte 257-n times
+            if i >= len(data):
+                raise ValueError("truncated PackBits repeat")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+    if len(out) != expect:
+        raise ValueError("PackBits output overruns strip size")
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW: MSB-first bit packing, 9-bit start, Clear=256,
+    EOI=257, and the EARLY-CHANGE rule (width bumps one code sooner
+    than GIF because the encoder reserves headroom for the next
+    emit)."""
+    out = _BitWriterMSB()
+    CLEAR, EOI = 256, 257
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out.put(CLEAR, width)
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        out.put(table[w], width)
+        table[w + c] = next_code
+        next_code += 1
+        # early change: bump width when next_code+1 would overflow
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:  # table nearly full: reset
+            out.put(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        out.put(table[w], width)
+    out.put(EOI, width)
+    return out.flush()
+
+
+def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
+    r = _BitReaderMSB(data)
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while len(out) < expect:
+        code = r.read(width)
+        if code == EOI:
+            break
+        if code == CLEAR:
+            reset()
+            continue
+        if prev is None:
+            if code >= len(table) or not table[code]:
+                raise ValueError("bad initial LZW code")
+            entry = table[code]
+        elif code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        prev = entry
+        # early change, decoder side: the decoder's table LAGS the
+        # encoder by one add (an entry completes only when the next
+        # code reveals its first byte), so the width bump fires at
+        # 2^w - 2 where the encoder fired at next_code == 2^w - 1
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) != expect:
+        raise ValueError(
+            f"LZW strip decoded {len(out)} bytes, expected {expect}"
+        )
+    return bytes(out)
+
+
+class _BitWriterMSB:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, v: int, width: int) -> None:
+        self.acc = (self.acc << width) | (v & ((1 << width) - 1))
+        self.n += width
+        while self.n >= 8:
+            self.n -= 8
+            self.out.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.out.append((self.acc << (8 - self.n)) & 0xFF)
+            self.acc = self.n = 0
+        return bytes(self.out)
+
+
+class _BitReaderMSB:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, width: int) -> int:
+        end = self.pos + width
+        if end > len(self.data) * 8:
+            raise ValueError("truncated LZW stream")
+        v = 0
+        p = self.pos
+        while width > 0:
+            b = self.data[p >> 3]
+            avail = 8 - (p & 7)
+            take = min(avail, width)
+            v = (v << take) | ((b >> (avail - take)) & ((1 << take) - 1))
+            p += take
+            width -= take
+        self.pos = p
+        return v
+
+
+def encode_tiff(
+    arr: np.ndarray, compression: str = "packbits",
+    rows_per_strip: int = 8,
+) -> bytes:
+    """(h, w, 3) RGB or (h, w) gray uint8 -> baseline TIFF 6.0
+    (little-endian, chunky, strips). compression: 'none' | 'packbits'
+    | 'lzw'."""
+    a = np.asarray(arr, np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError("expected (h, w) gray or (h, w, 3) RGB")
+    h, w = a.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    spp = 1 if gray else 3
+    comp_id = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        raw = a[y0 : y0 + rows_per_strip].tobytes()
+        if compression == "packbits":
+            strips.append(_packbits_encode(raw))
+        elif compression == "lzw":
+            strips.append(_tiff_lzw_encode(raw))
+        else:
+            strips.append(raw)
+    nstrips = len(strips)
+
+    # layout: header(8) + IFD + tag arrays + strip data
+    tags = []  # (tag, type, count, value_or_offset_fixup)
+    def short(v): return (3, 1, v)
+    def long_(v): return (4, 1, v)
+
+    entries = [
+        (_T_WIDTH, *short(w)),
+        (_T_HEIGHT, *short(h)),
+        (_T_BPS, 3, spp, "BPS"),
+        (_T_COMP, *short(comp_id)),
+        (_T_PHOTO, *short(1 if gray else 2)),
+        (_T_STRIP_OFF, 4, nstrips, "OFF"),
+        (_T_SPP, *short(spp)),
+        (_T_RPS, *short(rows_per_strip)),
+        (_T_STRIP_CNT, 4, nstrips, "CNT"),
+        (_T_PLANAR, *short(1)),
+    ]
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    tail = bytearray()
+    tail_base = ifd_off + ifd_size
+
+    def alloc(raw: bytes) -> int:
+        off = tail_base + len(tail)
+        tail.extend(raw)
+        return off
+
+    bps_off = None
+    if spp == 3:
+        bps_off = alloc(struct.pack("<HHH", 8, 8, 8))
+    # strip tables (patched after data placement)
+    cnt_off = alloc(struct.pack("<" + "I" * nstrips,
+                                *[len(s) for s in strips]))
+    off_off = alloc(struct.pack("<" + "I" * nstrips, *([0] * nstrips)))
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(alloc(s))
+    tail[off_off - tail_base : off_off - tail_base + 4 * nstrips] = (
+        struct.pack("<" + "I" * nstrips, *strip_offsets)
+    )
+
+    ifd = struct.pack("<H", len(entries))
+    for (tag, typ, cnt, val) in entries:
+        if val == "BPS":
+            v = 8 if spp == 1 else bps_off
+        elif val == "OFF":
+            v = strip_offsets[0] if nstrips == 1 else off_off
+        elif val == "CNT":
+            v = len(strips[0]) if nstrips == 1 else cnt_off
+        else:
+            v = val
+        if typ == 3 and not isinstance(val, str):
+            ifd += struct.pack("<HHIHH", tag, typ, cnt, v, 0)
+        else:
+            ifd += struct.pack("<HHII", tag, typ, cnt, v)
+    ifd += struct.pack("<I", 0)
+    return b"II*\x00" + struct.pack("<I", ifd_off) + ifd + bytes(tail)
+
+
+def parse_tiff(payload: bytes) -> np.ndarray:
+    """Decode baseline TIFF -> uint8 (h, w) or (h, w, 3). Supports
+    both byte orders, chunky planar, 8-bit gray/RGB, strips with
+    compression none/PackBits/LZW (TIFF-variant with early change).
+    Total: malformed inputs raise ValueError."""
+    try:
+        return _parse_tiff_inner(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed TIFF structure: {e}") from e
+
+
+def _parse_tiff_inner(payload: bytes) -> np.ndarray:
+    from django_datastream_spark.operators.exif import _parse_ifd
+
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack(e + "I", payload[4:8])
+    tags = _parse_ifd(payload, e, ifd_off)
+
+    def one(tag, default=None):
+        v = tags.get(tag, default)
+        if isinstance(v, list):
+            return v[0] if v else default
+        return v
+
+    w = int(one(_T_WIDTH) or 0)
+    h = int(one(_T_HEIGHT) or 0)
+    if w <= 0 or h <= 0:
+        raise ValueError("missing/invalid dimensions")
+    spp = int(one(_T_SPP, 1))
+    bps = tags.get(_T_BPS, [8])
+    bps = bps if isinstance(bps, list) else [bps]
+    if any(int(b) != 8 for b in bps):
+        raise ValueError("only 8 bits per sample supported")
+    if spp not in (1, 3):
+        raise ValueError("only 1 or 3 samples per pixel")
+    if int(one(_T_PLANAR, 1)) != 1:
+        raise ValueError("planar configuration 2 unsupported")
+    comp = int(one(_T_COMP, 1))
+    if comp not in (1, 5, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    rps = int(one(_T_RPS, h))
+    offs = tags.get(_T_STRIP_OFF)
+    cnts = tags.get(_T_STRIP_CNT)
+    if offs is None or cnts is None:
+        raise ValueError("missing strip tables")
+    offs = offs if isinstance(offs, list) else [offs]
+    cnts = cnts if isinstance(cnts, list) else [cnts]
+    if len(offs) != len(cnts):
+        raise ValueError("strip table length mismatch")
+    out = bytearray()
+    for i, (o, c) in enumerate(zip(offs, cnts)):
+        raw = payload[int(o) : int(o) + int(c)]
+        if len(raw) < int(c):
+            raise ValueError("truncated strip data")
+        rows = min(rps, h - i * rps)
+        expect = rows * w * spp
+        if comp == 1:
+            if len(raw) < expect:
+                raise ValueError("short uncompressed strip")
+            out += raw[:expect]
+        elif comp == 32773:
+            out += _packbits_decode(raw, expect)
+        else:
+            out += _tiff_lzw_decode(raw, expect)
+    px = np.frombuffer(bytes(out), np.uint8)
+    if len(px) != h * w * spp:
+        raise ValueError("strip data does not cover the image")
+    return px.reshape(h, w) if spp == 1 else px.reshape(h, w, 3)

@@ -340,13 +340,13 @@ def extract_flac_features(media: DataFrame) -> DataFrame:
 def extract_image_features(media: DataFrame, fmt: str) -> DataFrame:
     """REAL image feature extraction, one Arrow-batched implementation
     for every decodable format — ``fmt`` in {"ppm", "png", "jpeg",
-    "gif", "bmp"} picks the decoder inside the executor closure (each is a
+    "gif", "bmp", "tiff"} picks the decoder inside the executor closure (each is a
     genuine from-the-spec implementation in media_codecs/jpeg_codec).
     All formats share the feature contract (dims, channel means, BT.601
     luma mean/std; grayscale replicates); corrupt payloads quarantine
     as decode_err rows, never task failures. Map-only: one batch pass,
     no shuffle."""
-    if fmt not in ("ppm", "png", "jpeg", "gif", "bmp"):
+    if fmt not in ("ppm", "png", "jpeg", "gif", "bmp", "tiff"):
         raise ValueError(f"unsupported format {fmt!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -362,6 +362,7 @@ def extract_image_features(media: DataFrame, fmt: str) -> DataFrame:
                 "png": mc.parse_png,
                 "gif": mc.parse_gif,
                 "bmp": mc.parse_bmp,
+                "tiff": mc.parse_tiff,
             }[fmt]
         nulls = {
             "width": None, "height": None, "mean_r": None, "mean_g": None,

@@ -9222,3 +9222,95 @@ def q200(spark, sf_dir):
         .select("block_id", "block_md5", "n_copies")
         .orderBy("block_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q201: REAL TIFF decode (PackBits + LZW strips) — lossless oracle
+# --------------------------------------------------------------------------
+@_declare(
+    "q201_tiff_strip_stats",
+    """
+    WITH px AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 3 + r.r + c.c // 6) % 40) ix
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d
+      CROSS JOIN (SELECT unnest(range(0, 14)) r) r
+      CROSS JOIN (SELECT unnest(range(0, 24)) c) c),
+    ch AS (SELECT doc_id,
+                  (ix * 6 + 3) % 256 pr,
+                  (ix * 6 + 53) % 256 pg,
+                  (ix * 6 + 103) % 256 pb
+           FROM px),
+    lm AS (SELECT doc_id, pr, pg, pb,
+                  0.299 * pr + 0.587 * pg + 0.114 * pb luma
+           FROM ch)
+    SELECT doc_id media_id,
+           CAST(24 AS INT) width, CAST(14 AS INT) height,
+           ROUND(AVG(pr * 1.0), 4) mean_r,
+           ROUND(AVG(pg * 1.0), 4) mean_g,
+           ROUND(AVG(pb * 1.0), 4) mean_b,
+           ROUND(AVG(luma), 4) luma_mean,
+           ROUND(SQRT(AVG(luma * luma) - AVG(luma) * AVG(luma)), 4)
+             luma_std
+    FROM lm GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q201(spark, sf_dir):
+    """REAL TIFF decode, exactly verified: each document gets a 24x14
+    RGB image whose pixels are a closed form with 6-pixel horizontal
+    runs, cut into 4-row STRIPS and compressed with PackBits on even
+    docs and TIFF-variant LZW (MSB packing, 9->12-bit codes, the
+    EARLY-CHANGE width rule) on odd docs — both real baseline-TIFF
+    entropy stages, multi-strip reassembly, and the IFD walk (shared
+    with the EXIF parser) all inside the loop.  Both codings are
+    lossless, so the DuckDB oracle recounts every channel
+    arithmetically; a PackBits literal/run boundary slip or an LZW
+    early-change off-by-one corrupts pixels and breaks the hash.
+    Map-only: synth and decode are Arrow-batched stages."""
+    from ..operators.multimodal import extract_image_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 150
+    )
+
+    def synth(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from django_datastream_spark.operators.media_codecs import (
+            encode_tiff,
+        )
+
+        r = _np.arange(14)[:, None]
+        c = _np.arange(24)[None, :]
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ix = ((did * 3 + r + c // 6) % 40).astype(_np.int64)
+                img = _np.stack(
+                    [
+                        (ix * 6 + 3) % 256,
+                        (ix * 6 + 53) % 256,
+                        (ix * 6 + 103) % 256,
+                    ],
+                    axis=-1,
+                ).astype(_np.uint8)
+                comp = "packbits" if did % 2 == 0 else "lzw"
+                payloads.append(
+                    encode_tiff(img, comp, rows_per_strip=4)
+                )
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id long, content binary")
+    feats = extract_image_features(media, "tiff")
+    return feats.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("luma_mean", 4).alias("luma_mean"),
+        F.round("luma_std", 4).alias("luma_std"),
+    ).orderBy("media_id")
