@@ -397,6 +397,18 @@ def extract_gif_features(media: DataFrame) -> DataFrame:
     return extract_image_features(media, "gif")
 
 
+def extract_bmp_features(media: DataFrame) -> DataFrame:
+    """BMP decode through the shared extractor (24-bit + paletted
+    RLE8 — q194's lossless palette oracle pins it)."""
+    return extract_image_features(media, "bmp")
+
+
+def extract_tiff_features(media: DataFrame) -> DataFrame:
+    """TIFF decode through the shared extractor (strips, PackBits +
+    early-change LZW — q201's lossless oracle pins it)."""
+    return extract_image_features(media, "tiff")
+
+
 def extract_jpeg_features(media: DataFrame) -> DataFrame:
     """Baseline-JPEG decode through the shared extractor (Huffman ->
     dequant -> IDCT — q168's planted-coefficient oracle pins it)."""
