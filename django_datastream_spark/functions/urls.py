@@ -136,3 +136,120 @@ def canonicalize_urls(
     return df.mapInPandas(
         run, f"{in_schema}, {out_col} string, domain string, url_err string"
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt evaluation (RFC 9309) — the crawl-compliance filter
+# ---------------------------------------------------------------------------
+def _robots_rules(body: str, agent: str) -> list[tuple[bool, str]]:
+    """Parse a robots.txt body -> the [(is_allow, pattern)] group for
+    ``agent`` (most-specific matching User-agent group; '*' fallback),
+    per RFC 9309 grouping rules."""
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[bool, str]] = []
+    in_rules = False
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_rules:  # a new group starts
+                groups.append((agents, rules))
+                agents, rules = [], []
+                in_rules = False
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_rules = True
+            if val:  # empty Disallow means allow-all: no rule
+                rules.append((key == "allow", val))
+        # crawl-delay/sitemap etc. are ignored for matching
+    if agents or rules:
+        groups.append((agents, rules))
+    al = agent.lower()
+    best: list[tuple[bool, str]] | None = None
+    best_len = -1
+    for ags, rs in groups:
+        for a in ags:
+            if a == "*" and best_len < 0:
+                best = rs
+            elif a != "*" and a in al and len(a) > best_len:
+                best, best_len = rs, len(a)
+    return best or []
+
+
+def _robots_match(pattern: str, path: str) -> int:
+    """RFC 9309 pattern match ('*' wildcard, '$' end anchor); returns
+    the pattern LENGTH on match (the longest-match precedence key) or
+    -1."""
+    import re
+
+    anchored = pattern.endswith("$")
+    pat = pattern[:-1] if anchored else pattern
+    rx = ".*".join(re.escape(seg) for seg in pat.split("*"))
+    if anchored:
+        rx += "$"
+    return len(pattern) if re.match(rx, path) else -1
+
+
+def robots_decision(body: str, url: str, agent: str = "*") -> bool:
+    """RFC 9309 longest-match decision (Allow wins length ties) —
+    stricter than the stdlib robotparser, which still implements the
+    1994 first-match rule."""
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(url)
+    path = parts.path or "/"
+    if parts.query:
+        path += "?" + parts.query
+    best_len, best_allow = -1, True
+    for is_allow, pattern in _robots_rules(body, agent):
+        ml = _robots_match(pattern, path)
+        if ml > best_len or (ml == best_len and is_allow and not best_allow):
+            if ml >= 0:
+                best_len, best_allow = ml, is_allow
+    return best_allow
+
+
+def robots_allowed(
+    df: DataFrame,
+    robots_col: str = "robots_txt",
+    url_col: str = "url",
+    agent: str = "*",
+    out_col: str = "allowed",
+) -> DataFrame:
+    """Append ``out_col``: whether ``agent`` may fetch ``url_col``
+    under the row's ``robots_col`` body — RFC 9309 semantics
+    (longest-match precedence, Allow wins ties, '*'/'$' patterns,
+    most-specific agent group), which the stdlib parser does NOT
+    implement (it is first-match). A crawl pipeline joins each record
+    to its host's robots body and filters on this BEFORE ingestion; a
+    NULL/empty body allows everything (the protocol default).
+    Arrow-batched with a per-batch rule memo keyed by the body (hosts
+    repeat heavily under Zipf), shuffle-free."""
+    cols = df.columns
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            allowed = []
+            for body, u in zip(pdf[robots_col], pdf[url_col]):
+                if u is None:
+                    allowed.append(None)
+                    continue
+                if body is None or not str(body).strip():
+                    allowed.append(True)
+                    continue
+                allowed.append(robots_decision(str(body), str(u), agent))
+            out = pdf[cols].copy()
+            out[out_col] = pd.array(allowed, dtype="boolean")
+            yield out
+
+    in_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return df.mapInPandas(run, f"{in_schema}, {out_col} boolean")

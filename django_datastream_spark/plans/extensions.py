@@ -9314,3 +9314,65 @@ def q201(spark, sf_dir):
         F.round("luma_mean", 4).alias("luma_mean"),
         F.round("luma_std", 4).alias("luma_std"),
     ).orderBy("media_id")
+
+
+# --------------------------------------------------------------------------
+# Q202: robots.txt compliance (RFC 9309) — constructed rules, closed form
+# --------------------------------------------------------------------------
+@_declare(
+    "q202_robots_compliance",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 5 IN (0, 2, 4) AS BOOLEAN) allowed
+    FROM documents WHERE doc_id < 500 ORDER BY doc_id
+    """,
+)
+def q202(spark, sf_dir):
+    """Crawl compliance in the gate: five URL shapes per doc_id run
+    against a robots.txt exercising every RFC 9309 mechanism —
+    longest-match precedence (the /private/ok/ Allow overrides the
+    shorter /private/ Disallow), '*' wildcards with the '$' end
+    anchor (/*.pdf$ blocks .pdf but NOT .pdf.txt), and the plain
+    prefix rule.  functions/urls.robots_decision implements RFC 9309
+    proper — the stdlib parser still applies the 1994 FIRST-match
+    rule and would flip the /private/ok/ case, so a silent fallback
+    to it breaks the hash.  The verdict per shape is a closed form of
+    doc_id % 5.  Map-only Arrow stage, no shuffle."""
+    from ..functions.urls import robots_allowed
+
+    robots = (
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/ok/\n"
+        "Disallow: /*.pdf$\n"
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 500)
+        .withColumn("m", (F.col("doc_id") % 5).cast("int"))
+        .withColumn(
+            "url",
+            F.concat(
+                F.lit("http://corpus.test"),
+                F.when(F.col("m") == 0, F.concat(
+                    F.lit("/page/"), F.col("doc_id").cast("string")))
+                .when(F.col("m") == 1, F.concat(
+                    F.lit("/private/"), F.col("doc_id").cast("string")))
+                .when(F.col("m") == 2, F.concat(
+                    F.lit("/private/ok/"), F.col("doc_id").cast("string")))
+                .when(F.col("m") == 3, F.concat(
+                    F.lit("/file/"), F.col("doc_id").cast("string"),
+                    F.lit(".pdf")))
+                .otherwise(F.concat(
+                    F.lit("/file/"), F.col("doc_id").cast("string"),
+                    F.lit(".pdf.txt"))),
+            ),
+        )
+        .withColumn("robots_txt", F.lit(robots))
+    )
+    return (
+        robots_allowed(docs, "robots_txt", "url")
+        .select("doc_id", "allowed")
+        .orderBy("doc_id")
+    )

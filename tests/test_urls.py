@@ -72,3 +72,55 @@ def test_canonicalize_urls_spark_stage(spark):
     assert got[0]["domain"] == "example.org"
     assert got[1]["canonical_url"] is None and got[1]["url_err"]
     assert got[2]["url_err"] == "null url"
+
+
+def test_robots_decision_rfc9309():
+    from django_datastream_spark.functions.urls import robots_decision
+
+    robots = (
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/ok/\n"     # LONGER than the Disallow: wins
+        "Disallow: /tmp\n"
+        "Disallow: /*.pdf$\n"       # wildcard + anchor
+        "Allow: /downloads/*.pdf$\n"
+    )
+    cases = {
+        "http://h.io/public/page": True,
+        "http://h.io/private/x": False,
+        "http://h.io/private/ok/y": True,   # longest-match, NOT stdlib
+        "http://h.io/tmpfile": False,       # prefix rule
+        "http://h.io/doc.pdf": False,
+        "http://h.io/doc.pdf.html": True,   # $ anchor holds
+        "http://h.io/downloads/a.pdf": True,
+    }
+    for u, want in cases.items():
+        assert robots_decision(robots, u) is want, u
+    # agent groups: most-specific wins over *
+    grouped = (
+        "User-agent: badbot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /secret/\n"
+    )
+    assert robots_decision(grouped, "http://h.io/x", "BadBot/1.0") is False
+    assert robots_decision(grouped, "http://h.io/x", "goodbot") is True
+    assert robots_decision(grouped, "http://h.io/secret/x", "goodbot") is False
+    # empty Disallow allows everything
+    assert robots_decision("User-agent: *\nDisallow:\n", "http://h.io/a")
+
+
+def test_robots_allowed_spark_stage(spark):
+    from django_datastream_spark.functions.urls import robots_allowed
+
+    robots = "User-agent: *\nDisallow: /private/\n"
+    rows = [
+        (0, robots, "http://h.io/public/page"),
+        (1, robots, "http://h.io/private/x"),
+        (2, None, "http://h.io/anything"),
+        (3, robots, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, robots_txt string, url string"
+    )
+    got = {r["doc_id"]: r["allowed"] for r in robots_allowed(df).collect()}
+    assert got[0] is True and got[1] is False
+    assert got[2] is True and got[3] is None
