@@ -9376,3 +9376,53 @@ def q202(spark, sf_dir):
         .select("doc_id", "allowed")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q203: tolerant JSON repair — constructed damage, canonical-string oracle
+# --------------------------------------------------------------------------
+@_declare(
+    "q203_json_repair",
+    """
+    SELECT doc_id,
+           '{"id": ' || CAST(doc_id AS VARCHAR)
+             || ', "ok": true, "src": "crawl", "tags": ['
+             || CAST(doc_id % 7 AS VARCHAR) || ', '
+             || CAST(doc_id % 3 AS VARCHAR) || ']}' AS meta_fixed
+    FROM documents WHERE doc_id < 500 ORDER BY doc_id
+    """,
+)
+def q203(spark, sf_dir):
+    """Scraped-metadata JSON repair in the gate: every document gets
+    an almost-JSON blob with the four classic corruptions — single
+    quotes, an unquoted key, trailing commas in both the array and
+    the object, and a Python True — and
+    functions/encoding.repair_json must emit the CANONICAL form
+    (double quotes, sorted keys, JSON literals) that the DuckDB
+    oracle spells with string concatenation.  Exact string equality
+    (hashed) pins the tokenizer: a regex-based "fixer" that touched a
+    comma inside a string, missed the identifier key, or emitted
+    unsorted keys breaks the hash.  Map-only Arrow stage, no
+    shuffle."""
+    from ..functions.encoding import repair_json_column
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 500)
+        .withColumn(
+            "meta",
+            F.concat(
+                F.lit("{'id': "), F.col("doc_id").cast("string"),
+                F.lit(", 'tags': ["),
+                (F.col("doc_id") % 7).cast("string"), F.lit(", "),
+                (F.col("doc_id") % 3).cast("string"),
+                F.lit(",], 'ok': True, src: 'crawl',}"),
+            ),
+        )
+    )
+    return (
+        repair_json_column(docs, "meta")
+        .select("doc_id", "meta_fixed")
+        .orderBy("doc_id")
+    )

@@ -65,3 +65,64 @@ def test_repair_spark_stage(spark):
     assert got[1]["text_fixed"] == "untouched ascii"
     assert got[1]["was_fixed"] is False
     assert got[2]["text_fixed"] is None and got[2]["was_fixed"] is None
+
+
+# ---------------------------------------------------------------------------
+# tolerant JSON repair
+# ---------------------------------------------------------------------------
+def test_repair_json_cases():
+    import json
+
+    from django_datastream_spark.functions.encoding import repair_json
+
+    cases = [
+        ("{'a': 1, 'b': [2, 3,],}", {"a": 1, "b": [2, 3]}),
+        ("{key: 'val', flag: True, x: None}",
+         {"key": "val", "flag": True, "x": None}),
+        ('{"clean": "already", "n": 1.5}', {"clean": "already", "n": 1.5}),
+        ("{'s': 'it\\'s, [not] a } bracket'}",
+         {"s": "it's, [not] a } bracket"}),
+        ("{'u': '\\u00e9', 'nl': 'a\\nb'}", {"u": "é", "nl": "a\nb"}),
+        ("[1, 2, 3,]", [1, 2, 3]),
+    ]
+    for raw, want in cases:
+        assert json.loads(repair_json(raw)) == want, raw
+    # canonical: sorted keys, deterministic string
+    assert repair_json("{'b': 1, 'a': 2}") == '{"a": 2, "b": 1}'
+
+
+def test_repair_json_rejects_garbage():
+    from django_datastream_spark.functions.encoding import repair_json
+
+    for bad in ("{'a': }", "not json at all", "{]", "{'x': 'unterminated}"):
+        with pytest.raises(ValueError):
+            repair_json(bad)
+
+
+@settings(max_examples=40, deadline=None)
+@given(s=hst.text(max_size=120))
+def test_repair_json_total_and_idempotent(s):
+    from django_datastream_spark.functions.encoding import repair_json
+
+    try:
+        fixed = repair_json(s)
+    except ValueError:
+        return
+    assert repair_json(fixed) == fixed  # canonical form is a fixed point
+
+
+def test_repair_json_spark_stage(spark):
+    from django_datastream_spark.functions.encoding import (
+        repair_json_column,
+    )
+
+    rows = [
+        (0, "{'id': 7, 'tags': ['a', 'b',], 'ok': True,}"),
+        (1, "utter garbage {{{"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, meta string")
+    got = {r["doc_id"]: r for r in repair_json_column(df).collect()}
+    assert got[0]["meta_fixed"] == '{"id": 7, "ok": true, "tags": ["a", "b"]}'
+    assert got[1]["meta_fixed"] is None and got[1]["json_err"]
+    assert got[2]["json_err"] == "null json"
