@@ -105,6 +105,20 @@ def repair_json(s: str) -> str:
             content, i = _read_quoted(s, i)
             out.append(json.dumps(content))
         elif c.isalpha() or c == "_":
+            # exponent tail of a number already emitted (1.5e3, 2E+10):
+            # digits stream through the fall-through branch one char at
+            # a time, so a numeric predecessor is a single digit chunk
+            if c in "eE" and out and out[-1][-1:].isdigit():
+                j = i + 1
+                if j < n and s[j] in "+-":
+                    j += 1
+                k = j
+                while k < n and s[k].isdigit():
+                    k += 1
+                if k > j:
+                    out.append(s[i:k])
+                    i = k
+                    continue
             j = i
             while j < n and (s[j].isalnum() or s[j] == "_"):
                 j += 1

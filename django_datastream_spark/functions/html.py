@@ -141,8 +141,11 @@ def extract_html_text(
                     )
             yield pd.DataFrame(rows)
 
+    # id column keeps ITS OWN type (string/int doc ids pass through
+    # typed instead of hitting an Arrow cast error — r7 ADVICE)
+    id_t = df.schema[id_col].dataType.simpleString()
     return df.mapInPandas(
         run,
-        f"{id_col} long, title string, text string, n_links int, "
+        f"{id_col} {id_t}, title string, text string, n_links int, "
         "text_ratio double, parse_err string",
     )

@@ -262,23 +262,45 @@ class BPETokenizer:
         )
 
 
+#: hard ceiling on the driver-side word-count collect. 4M distinct
+#: words (~hundreds of MB of rows) trains any realistic tokenizer;
+#: anything past it means min_count is mis-set for the corpus, and the
+#: right response is an error naming the knob — not a driver OOM.
+MAX_TRAIN_WORDS = 4_000_000
+
+
 def train(
     df: DataFrame,
     text_col: str = "text",
     vocab_size: int = 512,
     min_count: int = 1,
     min_pair_count: int = 2,
+    max_words: int = MAX_TRAIN_WORDS,
 ) -> BPETokenizer:
     """End-to-end training: one distributed word-count shuffle, then the
     vocabulary-sized merge loop on the driver. ``min_count`` drops
     tail words BEFORE collect — the explicit Heaps-law truncation knob
     for huge corpora (the collect is bounded by the distinct-word
-    vocabulary, not the corpus)."""
+    vocabulary, not the corpus). ``max_words`` is the safety rail on
+    that bound: the distinct-word count is measured FIRST (one cheap
+    distributed count), and if it exceeds ``max_words`` training
+    raises with remediation text instead of collecting an unbounded
+    row set onto the driver."""
     if vocab_size < 256:
         raise ValueError("byte-level vocab_size must be >= 256")
     wc = word_counts(df, text_col)
     if min_count > 1:
         wc = wc.filter(F.col("cnt") >= min_count)
+    if max_words is not None:
+        n_words = wc.count()
+        if n_words > max_words:
+            raise ValueError(
+                f"bpe.train would collect {n_words} distinct words onto "
+                f"the driver (max_words={max_words}). Raise min_count "
+                f"(currently {min_count}) to truncate the Heaps-law "
+                "tail before the collect, or pass a larger max_words "
+                "if the driver genuinely has the memory."
+            )
     # deterministic collect order not required: training sorts by count
     # with a full lexicographic tie-break internally
     rows = [(bytes(r["word"]), r["cnt"]) for r in wc.collect()]

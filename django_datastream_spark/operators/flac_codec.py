@@ -772,11 +772,16 @@ def _parse_flac_inner(payload: bytes, verify_md5: bool):
 
     out = []
     expect_fno = 0
+    # ONE reader for the whole audio region: the lazy unpackbits view
+    # and one-bit index it builds for the Rice fast path are O(file)
+    # each — rebuilding them per frame made decode O(frames * size)
+    # (r7 ADVICE). Per-frame positioning is just a bitpos reset.
+    r = _BitReader(payload)
     while pos < len(payload):
         if pos + 2 > len(payload):
             break
         frame_start = pos
-        r = _BitReader(payload, pos * 8)
+        r.bitpos = pos * 8
         sync = r.read(14)
         if sync != 0b11111111111110:
             raise ValueError("lost frame sync")

@@ -183,7 +183,10 @@ def k_core(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         else:
             k = max(k + 1, int(dmin) + 1)
     if not cores:
-        return spark.createDataFrame([], "node long, core int")
+        # empty graph: node type must still follow the edge columns
+        # (string ids etc.), not a hardcoded long (r7 ADVICE)
+        node_t = edges.schema[a].dataType.simpleString()
+        return spark.createDataFrame([], f"node {node_t}, core int")
     from functools import reduce
 
     return reduce(lambda p, q: p.unionByName(q), cores)

@@ -675,9 +675,10 @@ def parse_jpeg(payload: bytes) -> np.ndarray:
     (h, w) or (h, w, 3). Supports 8-bit, 1 or 3 components at 1x1
     sampling, tables from the file's own DQT/DHT segments (standard
     or custom), multi-scan progressive files with spectral selection,
-    successive approximation, and EOB runs. Chroma subsampling,
-    restart markers, arithmetic coding, and the other SOF processes
-    raise ValueError — as does EVERY malformed input (total over
+    successive approximation, EOB runs, and restart markers
+    (DRI/RSTn). Chroma subsampling, arithmetic coding, and the other
+    SOF processes raise ValueError — as does EVERY malformed input
+    (total over
     arbitrary bytes: short segment bodies surface as struct/index
     errors inside and are normalized here, never leaked)."""
     try:

@@ -84,6 +84,15 @@ def test_repair_json_cases():
          {"s": "it's, [not] a } bracket"}),
         ("{'u': '\\u00e9', 'nl': 'a\\nb'}", {"u": "é", "nl": "a\nb"}),
         ("[1, 2, 3,]", [1, 2, 3]),
+        # scientific notation must survive the tokenizer — the 'e' is
+        # an exponent, not a bare identifier (r7 ADVICE: 1.5e3 was
+        # being split into 1.5"e3" and quarantined)
+        ('{"n": 1e3}', {"n": 1000.0}),
+        ('{"n": 1.5e3}', {"n": 1500.0}),
+        ("{'big': 2E+10, 'small': 4e-2}", {"big": 2e10, "small": 0.04}),
+        ("[1e5, 1.25E-1,]", [100000.0, 0.125]),
+        # but a bare identifier that merely STARTS with e still quotes
+        ("{e3: 1, ex: 2}", {"e3": 1, "ex": 2}),
     ]
     for raw, want in cases:
         assert json.loads(repair_json(raw)) == want, raw

@@ -96,3 +96,14 @@ def test_k_core_matches_naive_peeling(spark):
             raise AssertionError("naive peeling did not converge")
     assert got == want
     assert all(got[100 + i] == 4 for i in range(5))  # planted clique
+
+
+def test_k_core_empty_graph_keeps_node_type_of_edges(spark):
+    from django_datastream_spark.operators.graph import k_core
+
+    # string node ids, no edges survive the self-loop filter: the
+    # empty result must carry the EDGE column's type, not long
+    df = spark.createDataFrame([("u", "u")], "a string, b string")
+    out = k_core(df)
+    assert out.schema["node"].dataType.simpleString() == "string"
+    assert out.count() == 0

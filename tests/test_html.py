@@ -59,3 +59,13 @@ def test_extract_html_text_spark_stage(spark):
     assert got[0]["title"] == "t0" and got[0]["text"] == "hello world"
     assert got[1]["n_links"] == 1 and got[1]["text"] == "solo\ny"
     assert got[2]["parse_err"] == "null html"
+
+
+def test_extract_html_text_string_doc_id_passes_through_typed(spark):
+    df = spark.createDataFrame(
+        [("doc-a", "<p>hi</p>")], "doc_id string, html string"
+    )
+    out = extract_html_text(df)
+    assert out.schema["doc_id"].dataType.simpleString() == "string"
+    row = out.collect()[0]
+    assert row["doc_id"] == "doc-a" and row["text"] == "hi"

@@ -71,26 +71,30 @@ def test_pdf_total_on_garbage(data):
             pass
 
 
+def _cp1252_alphabet() -> str:
+    # strictly-cp1252-encodable alphabet (WinAnsi glyph set) built up
+    # front: anything else is legitimately lossy through a WinAnsi
+    # font, and assume()-filtering it instead trips hypothesis's
+    # filter-too-much health check seed-dependently (r7 judge repro,
+    # seed 59756248007668812767769957133834394379)
+    out = []
+    for cp in range(32, 256):
+        try:
+            chr(cp).encode("cp1252", errors="strict")
+        except UnicodeEncodeError:
+            continue
+        out.append(chr(cp))
+    return "".join(out)
+
+
 @settings(max_examples=20, deadline=None)
 @given(
     lines=hst.lists(
-        hst.text(
-            alphabet=hst.characters(min_codepoint=32, max_codepoint=255),
-            max_size=60,
-        ),
+        hst.text(alphabet=_cp1252_alphabet(), max_size=60),
         max_size=8,
     )
 )
 def test_pdf_roundtrip_property(lines):
-    # restrict to strictly-cp1252-encodable text (WinAnsi glyph set);
-    # anything else is legitimately lossy through a WinAnsi font
-    from hypothesis import assume
-
-    try:
-        for ln in lines:
-            ln.encode("cp1252", errors="strict")
-    except UnicodeEncodeError:
-        assume(False)
     got = pc.extract_pdf_text(pc.build_simple_pdf([lines]))
     assert got == [lines]
 
