@@ -660,7 +660,10 @@ def pq_adc_topk(
                 cand_s = s[mask]
                 if not len(cand_ids):
                     continue
-                top = np.argsort(-cand_s, kind="stable")[:k]
+                # lexsort = total order (score desc, id asc): batch
+                # winners don't depend on row order within the batch,
+                # matching the final window's tie-break exactly
+                top = np.lexsort((cand_ids, -cand_s))[:k]
                 for t in top:
                     rows.append(
                         {
@@ -788,7 +791,10 @@ def ivfpq_topk(
                 cand_s = scores[qi][mask]
                 if not len(cand_ids):
                     continue
-                top = np.argsort(-cand_s, kind="stable")[:k]
+                # lexsort = total order (score desc, id asc): batch
+                # winners don't depend on row order within the batch,
+                # matching the final window's tie-break exactly
+                top = np.lexsort((cand_ids, -cand_s))[:k]
                 for t in top:
                     rows.append(
                         {

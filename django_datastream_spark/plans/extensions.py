@@ -9426,3 +9426,268 @@ def q203(spark, sf_dir):
         .select("doc_id", "meta_fixed")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Q204–Q206: persistent ANN index tier (operators/ann_index) — the
+# build-once/query-many embedding-tier shape, state in the txn log
+# --------------------------------------------------------------------------
+_ANN_BOOKS = [
+    [[10.0, 0.0], [0.0, 10.0], [0.0, 0.0],
+     [10.0, 0.25], [10.0, 0.5], [0.25, 0.0], [0.5, 0.0],
+     [0.0, 0.25], [0.0, 0.5], [0.25, 10.0], [0.5, 10.0]],
+    [[10.0, 0.0], [0.0, 10.0], [0.0, 0.0],
+     [10.0, 0.25], [10.0, 0.5], [0.25, 0.0], [0.5, 0.0],
+     [0.0, 0.25], [0.0, 0.5], [0.25, 10.0], [0.5, 10.0]],
+]
+_ANN_CENTS = [
+    [10.0, 0.0, 0.0, 0.0], [0.0, 10.0, 0.0, 0.0],
+    [0.0, 0.0, 10.0, 0.0], [0.0, 0.0, 0.0, 10.0],
+]
+
+# DuckDB CTE: q199's orthogonal-cell construction (64 vectors, cell =
+# doc_id%4, in-cell perturbation 0.25*((doc_id//4)%3) on the next axis)
+_ANN_V_CTE = """
+    v AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN 10.0 ELSE 0.0 END
+               + CASE WHEN (doc_id % 4 + 1) % 4 = 0
+                      THEN 0.25 * ((doc_id // 4) % 3) ELSE 0.0 END x1,
+             CASE WHEN doc_id % 4 = 1 THEN 10.0 ELSE 0.0 END
+               + CASE WHEN (doc_id % 4 + 1) % 4 = 1
+                      THEN 0.25 * ((doc_id // 4) % 3) ELSE 0.0 END x2,
+             CASE WHEN doc_id % 4 = 2 THEN 10.0 ELSE 0.0 END
+               + CASE WHEN (doc_id % 4 + 1) % 4 = 2
+                      THEN 0.25 * ((doc_id // 4) % 3) ELSE 0.0 END x3,
+             CASE WHEN doc_id % 4 = 3 THEN 10.0 ELSE 0.0 END
+               + CASE WHEN (doc_id % 4 + 1) % 4 = 3
+                      THEN 0.25 * ((doc_id // 4) % 3) ELSE 0.0 END x4
+      FROM documents WHERE doc_id < 64)
+"""
+
+
+def _ann_vecs(spark, sf_dir, upto: int = 64):
+    """The q199 orthogonal-cell vectors, built from documents.doc_id."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < upto)
+        .withColumn("c", (F.col("doc_id") % 4).cast("int"))
+        .withColumn(
+            "kk", ((F.col("doc_id") / 4).cast("long") % 3).cast("double")
+        )
+    )
+    comps = [
+        (
+            F.when(F.col("c") == j, F.lit(10.0)).otherwise(F.lit(0.0))
+            + F.when(
+                (F.col("c") + 1) % 4 == j, 0.25 * F.col("kk")
+            ).otherwise(F.lit(0.0))
+        )
+        for j in range(4)
+    ]
+    return docs.select(
+        F.col("doc_id").alias("vec_id"), F.array(*comps).alias("embedding")
+    )
+
+
+def _ann_workdir(key: str, sf_dir: str) -> str:
+    """Fresh per-call index root under /tmp (q170's discipline)."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+
+    base = _os.path.join(
+        _tmp.gettempdir(),
+        f"{key}_" + _hl.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    return _os.path.join(base, "index")
+
+
+@_declare(
+    "q204_ann_index_reload",
+    f"""
+    WITH {_ANN_V_CTE},
+    scored AS (
+      SELECT q.doc_id query_id, c.doc_id neighbor_id,
+             q.x1*c.x1 + q.x2*c.x2 + q.x3*c.x3 + q.x4*c.x4 adc_score,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.doc_id
+               ORDER BY q.x1*c.x1 + q.x2*c.x2 + q.x3*c.x3 + q.x4*c.x4
+                        DESC, c.doc_id ASC) rk
+      FROM (SELECT * FROM v WHERE doc_id < 16) q
+      JOIN v c ON c.doc_id <> q.doc_id)
+    SELECT query_id, CAST(rk AS INT) rank, neighbor_id, adc_score
+    FROM scored WHERE rk <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def q204(spark, sf_dir):
+    """The PERSISTENT ANN tier: q199's IVF-PQ search served from an
+    index committed to the transaction log (operators/ann_index) and
+    RELOADED — build_ann_index writes the model (codebooks+centroids)
+    and the cell-partitioned uint8-codes table as txn commits, then
+    query_ann_index reconstructs everything from disk with NO
+    retraining and must reproduce q199's construction-exact top-3
+    hash-for-hash. What that pins: the model round trip (a codeword
+    written/read wrong moves a score), the binary uint8 code packing,
+    and the probe-pruned codes read (txn_read where={'cell': probed}
+    skips non-probed cell partitions at the FILE level — the
+    build-once/query-many 100 TB serving shape, where each query
+    touches n_probe/n_cells of the stored codes). NOTE: the builder
+    RUNS Spark jobs (index build + reload; by-name exemption in
+    test_declaring_queries_runs_no_jobs)."""
+    from ..operators import ann_index as AI
+
+    root = _ann_workdir("q204", sf_dir)
+    vecs = _ann_vecs(spark, sf_dir)
+    AI.build_ann_index(
+        spark, root, vecs, codebooks=_ANN_BOOKS, centroids=_ANN_CENTS
+    )
+    top = AI.query_ann_index(
+        spark, root, vecs.filter(F.col("vec_id") < 16), k=3, n_probe=2
+    )
+    return top.select(
+        "query_id", "rank", "neighbor_id", "adc_score"
+    ).orderBy("query_id", "rank")
+
+
+@_declare(
+    "q205_ann_index_time_travel",
+    f"""
+    WITH {_ANN_V_CTE},
+    eras AS (SELECT 1 ver, 48 upto UNION ALL SELECT 2, 64),
+    scored AS (
+      SELECT e.ver, q.doc_id query_id, c.doc_id neighbor_id,
+             q.x1*c.x1 + q.x2*c.x2 + q.x3*c.x3 + q.x4*c.x4 adc_score,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.ver, q.doc_id
+               ORDER BY q.x1*c.x1 + q.x2*c.x2 + q.x3*c.x3 + q.x4*c.x4
+                        DESC, c.doc_id ASC) rk
+      FROM eras e
+      CROSS JOIN (SELECT * FROM v WHERE doc_id < 16) q
+      JOIN v c ON c.doc_id <> q.doc_id AND c.doc_id < e.upto)
+    SELECT CAST(ver AS INT) ver, query_id, CAST(rk AS INT) rank,
+           neighbor_id, adc_score
+    FROM scored WHERE rk <= 3
+    ORDER BY ver, query_id, rank
+    """,
+)
+def q205(spark, sf_dir):
+    """Index versions ARE commits: build the index over the first 48
+    vectors (codes commit v1), add_vectors the remaining 16 (encoded
+    with the PERSISTED model, codes commit v2), then serve the SAME
+    queries at version=1 and at latest. The oracle recomputes both
+    eras by brute force: v1 answers must come exclusively from the
+    first 48 (snapshot isolation over index growth — a time-travel
+    read that leaked an added vector breaks the hash), v2 answers
+    from the full corpus. This is the incremental-growth story of a
+    100 TB embedding tier: appends are cheap commits, every commit is
+    a queryable index, and reproducing yesterday's retrieval run is a
+    version pin, not a rebuild. (Builder runs Spark jobs; by-name
+    exemption in test_declaring_queries_runs_no_jobs.)"""
+    from ..operators import ann_index as AI
+
+    root = _ann_workdir("q205", sf_dir)
+    vecs = _ann_vecs(spark, sf_dir)
+    first = vecs.filter(F.col("vec_id") < 48)
+    rest = vecs.filter(F.col("vec_id") >= 48)
+    v1 = AI.build_ann_index(
+        spark, root, first, codebooks=_ANN_BOOKS, centroids=_ANN_CENTS
+    )
+    AI.add_vectors(spark, root, rest)
+    queries = vecs.filter(F.col("vec_id") < 16)
+    at_v1 = AI.query_ann_index(
+        spark, root, queries, k=3, n_probe=2, version=v1
+    ).withColumn("ver", F.lit(1))
+    at_v2 = AI.query_ann_index(
+        spark, root, queries, k=3, n_probe=2
+    ).withColumn("ver", F.lit(2))
+    return (
+        at_v1.unionByName(at_v2)
+        .select("ver", "query_id", "rank", "neighbor_id", "adc_score")
+        .orderBy("ver", "query_id", "rank")
+    )
+
+
+@_declare(
+    "q206_embedding_capstone",
+    f"""
+    WITH {_ANN_V_CTE},
+    m AS (SELECT doc_id, doc_id % 4 cell,
+                 sqrt(x1*x1 + x2*x2 + x3*x3 + x4*x4) nrm,
+                 x1, x2, x3, x4
+          FROM v),
+    dup AS (SELECT DISTINCT b.doc_id FROM m a JOIN m b
+            ON a.cell = b.cell AND a.doc_id < b.doc_id
+            WHERE (a.x1*b.x1 + a.x2*b.x2 + a.x3*b.x3 + a.x4*b.x4)
+                  / (a.nrm * b.nrm) >= 0.9999),
+    top1 AS (SELECT q.doc_id, MAX(q.x1*c.x1 + q.x2*c.x2 + q.x3*c.x3
+                                  + q.x4*c.x4) best
+             FROM m q JOIN m c
+               ON c.doc_id <> q.doc_id AND c.cell = q.cell
+             GROUP BY q.doc_id)
+    SELECT CAST(m.cell AS INT) cell,
+           CAST(COUNT(*) AS BIGINT) n,
+           CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) n_dup,
+           ROUND(SUM(CASE WHEN dup.doc_id IS NULL THEN top1.best
+                          ELSE 0.0 END), 4) surv_top1_sum
+    FROM m LEFT JOIN dup ON m.doc_id = dup.doc_id
+           JOIN top1 ON m.doc_id = top1.doc_id
+    GROUP BY m.cell ORDER BY cell
+    """,
+)
+def q206(spark, sf_dir):
+    """The EMBEDDING-PIPELINE capstone (q193's mirror for the vector
+    path), one DAG over the persisted ANN tier: deterministic embed
+    (the orthogonal-cell construction) → build_ann_index (IVF-PQ
+    state committed to the txn log) → cluster assignment READ BACK
+    from the persisted codes table (cell = cid, no re-assignment) →
+    SemDeDup within cells at 0.9999 (construction: exact twins have
+    cosine 1.0, nearest non-twins ≈ 0.9997 — the threshold separates
+    provably) → survivors' top-1 retrieval served by query_ann_index
+    at n_probe=1 (own cell only; answer-preserving by construction:
+    same-cell dots ~100, cross-cell ≤ 2.5) → per-cell stats. The
+    oracle recomputes every stage by brute arithmetic, so the final
+    hash certifies embed, persisted build/reload, cell assignment,
+    semantic dedup, AND pruned ANN serving composed. (Builder runs
+    Spark jobs; by-name exemption in
+    test_declaring_queries_runs_no_jobs.)"""
+    from .. import txnlog as TL
+    from ..operators import ann_index as AI
+    from ..operators import clustering as cl
+
+    root = _ann_workdir("q206", sf_dir)
+    vecs = _ann_vecs(spark, sf_dir)
+    AI.build_ann_index(
+        spark, root, vecs, codebooks=_ANN_BOOKS, centroids=_ANN_CENTS
+    )
+    cells = TL.txn_read(spark, AI.codes_root(root)).select(
+        "vec_id", F.col("cell").cast("int").alias("cid")
+    )
+    assigned = vecs.join(F.broadcast(cells), "vec_id")
+    marked = cl.semdedup(assigned, threshold=0.9999)
+    survivors = marked.filter(~F.col("is_dup")).select("vec_id")
+    top1 = AI.query_ann_index(
+        spark, root,
+        vecs.join(F.broadcast(survivors), "vec_id"),
+        k=1, n_probe=1,
+    ).select(
+        F.col("query_id").alias("vec_id"),
+        F.col("adc_score").alias("best"),
+    )
+    return (
+        marked.join(F.broadcast(top1), "vec_id", "left")
+        .groupBy(F.col("cid").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup"),
+            F.round(
+                F.sum(F.coalesce(F.col("best"), F.lit(0.0))), 4
+            ).alias("surv_top1_sum"),
+        )
+        .orderBy("cell")
+    )

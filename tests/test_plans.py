@@ -92,7 +92,12 @@ def test_declaring_queries_runs_no_jobs(spark):
               # q198/q199 collect the BOUNDED query side (ADC LUTs are
               # built driver-side by API contract, like the ANN family)
               "q198_pq_adc_topk", "q199_ivfpq_topk",
-              "q200_block_dedup"}
+              "q200_block_dedup",
+              # q204-q206 BUILD the persisted ANN index (txn commits)
+              # then serve from it — lakehouse execution in the gate,
+              # same family as q170-q182
+              "q204_ann_index_reload", "q205_ann_index_time_travel",
+              "q206_embedding_capstone"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
