@@ -9691,3 +9691,226 @@ def q206(spark, sf_dir):
         )
         .orderBy("cell")
     )
+
+
+# --------------------------------------------------------------------------
+# Q207–Q209: Delta Lake interop (sources/delta) — read an external
+# lakehouse format in place, time-travel it, adopt it zero-copy
+# --------------------------------------------------------------------------
+def _delta_fixture(spark, sf_dir, key):
+    """Build (fresh per call) a REAL _delta_log tree whose rows are a
+    closed form of documents.doc_id: v0 = hive part files for
+    doc_id<200 (val = doc_id*0.5), v1 = doc_id in [200,300), parquet
+    CHECKPOINT at v1, v2 = rewrite of part=0's first file with val
+    +1000 (remove + add). Returns the table root."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    from ..sources import delta as DLT
+
+    base = _os.path.join(
+        _tmp.gettempdir(),
+        f"{key}_" + _hl.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    root = _os.path.join(base, "table")
+    ids = sorted(
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 300)
+        .collect()
+    )
+
+    def write(rel, rows, bump=0.0):
+        _os.makedirs(
+            _os.path.dirname(_os.path.join(root, rel)), exist_ok=True
+        )
+        _pq.write_table(
+            _pa.table(
+                {
+                    "doc_id": _pa.array(rows, _pa.int64()),
+                    "val": _pa.array(
+                        [i * 0.5 + bump for i in rows], _pa.float64()
+                    ),
+                }
+            ),
+            _os.path.join(root, rel),
+        )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("part", IntegerType()),
+            StructField("val", DoubleType()),
+        ]
+    )
+    meta = {
+        "metaData": {
+            "id": key,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema.json(),
+            "partitionColumns": ["part"],
+            "configuration": {},
+        }
+    }
+    proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+    def add(rel, p):
+        return {
+            "add": {
+                "path": rel,
+                "partitionValues": {"part": str(p)},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+
+    acts = [proto, meta]
+    for p in range(4):
+        rows = [i for i in ids if i < 200 and i % 4 == p]
+        write(f"part={p}/f0.parquet", rows)
+        acts.append(add(f"part={p}/f0.parquet", p))
+    DLT.write_delta_commit(root, 0, acts)
+    acts1 = []
+    for p in range(4):
+        rows = [i for i in ids if 200 <= i < 300 and i % 4 == p]
+        write(f"part={p}/f1.parquet", rows)
+        acts1.append(add(f"part={p}/f1.parquet", p))
+    DLT.write_delta_commit(root, 1, acts1)
+    DLT.write_delta_checkpoint(root, 1)
+    rows0 = [i for i in ids if i < 200 and i % 4 == 0]
+    write("part=0/f2.parquet", rows0, bump=1000.0)
+    DLT.write_delta_commit(
+        root, 2,
+        [{"remove": {"path": "part=0/f0.parquet", "dataChange": True,
+                     "deletionTimestamp": 0}},
+         add("part=0/f2.parquet", 0)],
+    )
+    return root
+
+
+@_declare(
+    "q207_delta_read",
+    """
+    SELECT doc_id, CAST(doc_id % 4 AS INT) part,
+           ROUND(CASE WHEN doc_id < 200 AND doc_id % 4 = 0
+                      THEN doc_id * 0.5 + 1000
+                      ELSE doc_id * 0.5 END, 4) val
+    FROM documents WHERE doc_id < 300 ORDER BY doc_id
+    """,
+)
+def q207(spark, sf_dir):
+    """EXTERNAL-FORMAT interop: a Delta Lake table (REAL _delta_log —
+    JSON commits, a parquet CHECKPOINT with struct/map action columns,
+    an add+remove rewrite) read IN PLACE by sources/delta.read_delta:
+    protocol gate, checkpoint + JSON-tail fold, live-set computation,
+    declared-schema scan with hive partition materialization. The
+    rows are a closed form of documents.doc_id, so the oracle
+    recomputes the LIVE set (post-rewrite vals on part 0's first era)
+    by arithmetic — a fold that resurrected the removed file, missed
+    the checkpoint tail, or typed the partition column wrong breaks
+    the hash. (Builder writes the fixture tree + collects the bounded
+    id list; by-name exemption in
+    test_declaring_queries_runs_no_jobs.)"""
+    from ..sources import delta as DLT
+
+    root = _delta_fixture(spark, sf_dir, "q207")
+    return (
+        DLT.read_delta(spark, root)
+        .select("doc_id", "part", F.round("val", 4).alias("val"))
+        .orderBy("doc_id")
+    )
+
+
+@_declare(
+    "q208_delta_time_travel",
+    """
+    WITH eras AS (SELECT 0 ver, 200 upto, FALSE bumped
+                  UNION ALL SELECT 1, 300, FALSE
+                  UNION ALL SELECT 2, 300, TRUE)
+    SELECT CAST(e.ver AS INT) ver, CAST(d.doc_id % 4 AS INT) part,
+           CAST(COUNT(*) AS BIGINT) n,
+           ROUND(SUM(CASE WHEN e.bumped AND d.doc_id < 200
+                               AND d.doc_id % 4 = 0
+                          THEN d.doc_id * 0.5 + 1000
+                          ELSE d.doc_id * 0.5 END), 4) sum_val
+    FROM eras e JOIN documents d ON d.doc_id < e.upto
+    GROUP BY e.ver, d.doc_id % 4 ORDER BY ver, part
+    """,
+)
+def q208(spark, sf_dir):
+    """Delta TIME TRAVEL: the same table served at version 0 (before
+    the append), 1 (before the rewrite; this read goes THROUGH the
+    parquet checkpoint), and 2 (latest) — each era aggregated per
+    partition and all three oracled by the era's closed form. A
+    version pin that leaked a later commit (or lost the pre-rewrite
+    vals) breaks the hash. (Builder writes the fixture tree; by-name
+    exemption in test_declaring_queries_runs_no_jobs.)"""
+    from ..sources import delta as DLT
+
+    root = _delta_fixture(spark, sf_dir, "q208")
+    eras = []
+    for v in (0, 1, 2):
+        eras.append(
+            DLT.read_delta(spark, root, version=v)
+            .groupBy("part")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("val"), 4).alias("sum_val"),
+            )
+            .withColumn("ver", F.lit(v))
+        )
+    out = eras[0]
+    for e in eras[1:]:
+        out = out.unionByName(e)
+    return out.select("ver", "part", "n", "sum_val").orderBy(
+        "ver", "part"
+    )
+
+
+@_declare(
+    "q209_delta_adopt",
+    """
+    SELECT CAST(doc_id % 4 AS INT) part, CAST(COUNT(*) AS BIGINT) n,
+           ROUND(SUM(CASE WHEN doc_id < 200 AND doc_id % 4 = 0
+                          THEN doc_id * 0.5 + 1000
+                          ELSE doc_id * 0.5 END), 4) sum_val
+    FROM documents WHERE doc_id BETWEEN 80 AND 249
+    GROUP BY doc_id % 4 ORDER BY part
+    """,
+)
+def q209(spark, sf_dir):
+    """ZERO-COPY MIGRATION: adopt_delta commits the Delta snapshot's
+    live files into the engine's OWN txn table (no byte rewritten,
+    footer stats collected at adopt), then the engine-native
+    txn_read serves a range query WITH data skipping over the adopted
+    files. The oracle recomputes the filtered aggregate from the
+    closed form — an adopt that picked up the delta-removed file, or
+    skipping that dropped a live file, breaks the hash. (Builder
+    writes the fixture + runs the adopt; by-name exemption in
+    test_declaring_queries_runs_no_jobs.)"""
+    from .. import txnlog as TL
+    from ..sources import delta as DLT
+
+    root = _delta_fixture(spark, sf_dir, "q209")
+    DLT.adopt_delta(spark, root, root)
+    got = TL.txn_read(spark, root, where={"doc_id": (80, 249)})
+    return (
+        got.select(F.col("part").cast("int").alias("part"), "doc_id", "val")
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("val"), 4).alias("sum_val"),
+        )
+        .orderBy("part")
+    )

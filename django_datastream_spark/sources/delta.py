@@ -1,0 +1,462 @@
+"""Delta Lake TABLE READER — external-lakehouse interop, from the
+PUBLIC protocol spec (delta-io/delta PROTOCOL.md), no delta-spark jar.
+
+A user migrating from an existing lakehouse has tables whose truth is
+a ``_delta_log``: newline-delimited JSON commits
+(``00000000000000000000.json`` …) carrying ``protocol`` / ``metaData``
+/ ``add`` / ``remove`` actions, optionally compacted into parquet
+checkpoints (``…checkpoint.parquet`` + ``_last_checkpoint``). This
+module reads that format directly:
+
+- :func:`delta_snapshot` — fold the log (newest usable checkpoint ≤
+  version, then the JSON tail) into the LIVE file list + metadata,
+  snapshot-isolated at any ``version`` (time travel).
+- :func:`read_delta` — the snapshot as a DataFrame: data files read
+  by Spark's parquet scan (pushdown/pruning intact), partition
+  columns materialized from the log's ``partitionValues`` (Delta does
+  NOT store partition columns in data files), schema from
+  ``metaData.schemaString`` (a Spark JSON schema — loads verbatim).
+- :func:`adopt_delta` — ZERO-COPY migration: commit the Delta
+  snapshot's live files into one of this engine's txn tables
+  (:mod:`..txnlog`) without rewriting a byte; from there every engine
+  feature (skipping, bloom, DML, streaming) applies.
+
+Honest boundaries (checked, never guessed): ``protocol`` reader
+versions above 2 and reader table features beyond this module's
+support raise; ``delta.columnMapping.mode`` other than ``none``
+raises; a ``remove`` carrying a deletion vector raises. Multi-part
+checkpoints are supported; a corrupt/unreadable checkpoint falls back
+to the pure-JSON fold (the log is self-sufficient).
+
+Scale notes: the fold is metadata-plane (one JSON parse per tail
+commit + one columnar checkpoint read — same shape as this engine's
+own txn fold); the data scan is one ``parquet`` load per PARTITION
+VALUE COMBINATION when the layout is not hive-style, but Delta
+writers emit hive-style paths (``p=1/part-….parquet``), detected here
+and read as ONE scan with ``basePath`` so Spark derives partition
+columns itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.parse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_LOG = "_delta_log"
+_SUPPORTED_READER_FEATURES = {
+    # reader-version-3 tables list the features they need; we can
+    # serve these (they don't change how adds/removes fold)
+    "timestampNtz", "vacuumProtocolCheck", "v2Checkpoint",
+}
+
+
+class DeltaUnsupportedError(RuntimeError):
+    """The table needs a reader capability this module doesn't have —
+    fail closed rather than return wrong rows."""
+
+
+def _log_dir(root: str) -> str:
+    return os.path.join(root, _LOG)
+
+
+def _commit_versions(root: str) -> list[int]:
+    out = []
+    try:
+        names = os.listdir(_log_dir(root))
+    except FileNotFoundError:
+        raise DeltaUnsupportedError(f"{root}: no _delta_log") from None
+    for n in names:
+        if n.endswith(".json") and len(n) == 25 and n[:20].isdigit():
+            out.append(int(n[:20]))
+    return sorted(out)
+
+
+def _checkpoint_parts(root: str, v: int) -> list[str]:
+    """Checkpoint file(s) for version v: classic single-file
+    ``{v}.checkpoint.parquet`` or multi-part
+    ``{v}.checkpoint.{i}.{n}.parquet``."""
+    log = _log_dir(root)
+    single = os.path.join(log, f"{v:020d}.checkpoint.parquet")
+    if os.path.exists(single):
+        return [single]
+    parts = sorted(
+        os.path.join(log, n)
+        for n in os.listdir(log)
+        if n.startswith(f"{v:020d}.checkpoint.")
+        and n.endswith(".parquet")
+    )
+    return parts
+
+
+def _last_checkpoint_version(root: str, version: int | None) -> int | None:
+    """Newest checkpoint ≤ version: via ``_last_checkpoint`` when it
+    qualifies, else a listing scan (time travel often needs an OLDER
+    checkpoint than the advertised last one)."""
+    log = _log_dir(root)
+    cands = set()
+    try:
+        with open(os.path.join(log, "_last_checkpoint")) as f:
+            cands.add(int(json.load(f)["version"]))
+    except (OSError, ValueError, KeyError):
+        pass
+    for n in os.listdir(log):
+        if ".checkpoint." in n and n.endswith(".parquet"):
+            head = n.split(".checkpoint.")[0]
+            if head.isdigit():
+                cands.add(int(head))
+    ok = [c for c in cands if version is None or c <= version]
+    return max(ok) if ok else None
+
+
+def _check_protocol(proto: dict) -> None:
+    r = int(proto.get("minReaderVersion", 1))
+    if r <= 2:
+        return
+    feats = set(proto.get("readerFeatures") or [])
+    unsupported = feats - _SUPPORTED_READER_FEATURES
+    if unsupported:
+        raise DeltaUnsupportedError(
+            f"table requires reader features {sorted(unsupported)} "
+            "(deletion vectors / column mapping / row tracking are "
+            "not implemented — fail closed)"
+        )
+
+
+def _apply_action(state: dict, action: dict) -> None:
+    if "protocol" in action:
+        _check_protocol(action["protocol"])
+        state["protocol"] = action["protocol"]
+    elif "metaData" in action:
+        md = action["metaData"]
+        mode = (md.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mode != "none":
+            raise DeltaUnsupportedError(
+                f"delta.columnMapping.mode={mode} not supported"
+            )
+        state["metaData"] = md
+    elif "add" in action:
+        a = action["add"]
+        if a.get("deletionVector"):
+            raise DeltaUnsupportedError(
+                "deletion vectors not supported (add)"
+            )
+        state["files"][a["path"]] = a
+    elif "remove" in action:
+        state["files"].pop(action["remove"]["path"], None)
+
+
+def _demap(action: dict) -> dict:
+    """pyarrow reads parquet map<string,string> columns back as lists
+    of (k, v) pairs; the JSON path yields dicts — normalize to dicts
+    so the fold sees one shape."""
+    out = dict(action)
+    for key in ("partitionValues", "configuration"):
+        v = out.get(key)
+        if isinstance(v, list):
+            out[key] = dict(v)
+    return out
+
+
+def _fold_checkpoint(state: dict, parts: list[str]) -> None:
+    import pyarrow.parquet as pq
+
+    for p in parts:
+        tbl = pq.read_table(p)
+        cols = set(tbl.column_names)
+        rows = tbl.to_pylist()
+        for row in rows:
+            for key in ("protocol", "metaData", "add", "remove"):
+                if key in cols and row.get(key) is not None:
+                    _apply_action(state, {key: _demap(row[key])})
+
+
+def delta_snapshot(
+    root: str, version: int | None = None
+) -> tuple[int, dict, list[dict]]:
+    """(version, metaData, live add-actions) at ``version`` (default
+    latest). Fold = newest usable checkpoint ≤ version + JSON tail."""
+    versions = _commit_versions(root)
+    if not versions and _last_checkpoint_version(root, None) is None:
+        raise DeltaUnsupportedError(f"{root}: empty _delta_log")
+    head = (versions[-1] if versions else None) if version is None else version
+    cp = _last_checkpoint_version(root, head)
+    if head is None:
+        head = cp
+    usable = [v for v in versions if v <= head]
+    if not usable and cp is None:
+        raise ValueError(f"{root}: no commit ≤ version {head}")
+    state: dict = {"files": {}, "metaData": None, "protocol": None}
+    start = 0
+    if cp is not None:
+        parts = _checkpoint_parts(root, cp)
+        if parts:
+            try:
+                _fold_checkpoint(state, parts)
+                start = cp + 1
+            except DeltaUnsupportedError:
+                raise
+            except Exception:
+                # corrupt checkpoint: the JSON log is self-sufficient
+                state = {"files": {}, "metaData": None, "protocol": None}
+                start = 0
+    for v in versions:
+        if v < start or v > head:
+            continue
+        with open(
+            os.path.join(_log_dir(root), f"{v:020d}.json"),
+            encoding="utf-8",
+        ) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    _apply_action(state, json.loads(line))
+    if state["metaData"] is None:
+        raise DeltaUnsupportedError(f"{root}: log has no metaData action")
+    actual = max(usable + ([cp] if cp is not None else []))
+    return actual, state["metaData"], sorted(
+        state["files"].values(), key=lambda a: a["path"]
+    )
+
+
+def delta_schema(md: dict) -> StructType:
+    """metaData.schemaString IS a Spark JSON schema."""
+    return StructType.fromJson(json.loads(md["schemaString"]))
+
+
+def _file_path(root: str, rel: str) -> str:
+    # add.path is URL-encoded and relative to the table root
+    return os.path.join(root, urllib.parse.unquote(rel))
+
+
+def _hive_layout(adds: list[dict], part_cols: list[str]) -> bool:
+    """True when every file path encodes every partition column as a
+    hive-style ``col=value`` directory matching its partitionValues —
+    the layout Delta writers emit, enabling a single basePath scan."""
+    for a in adds:
+        segs = urllib.parse.unquote(a["path"]).split("/")[:-1]
+        found = {}
+        for s in segs:
+            if "=" in s:
+                k, _, val = s.partition("=")
+                found[k] = urllib.parse.unquote(val)
+        pv = a.get("partitionValues") or {}
+        for c in part_cols:
+            want = pv.get(c)
+            got = found.get(c)
+            if want is None:
+                if got not in (None, "__HIVE_DEFAULT_PARTITION__"):
+                    return False
+            elif got != want:
+                return False
+    return True
+
+
+def read_delta(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """The Delta snapshot as a DataFrame (declared schema, partition
+    columns materialized, column order = table schema)."""
+    _v, md, adds = delta_snapshot(root, version)
+    schema = delta_schema(md)
+    part_cols = list(md.get("partitionColumns") or [])
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    if not adds:
+        from ..storage import local_rows_df
+
+        return local_rows_df(spark, [], schema)
+    paths = [_file_path(root, a["path"]) for a in adds]
+    if not part_cols:
+        return spark.read.schema(data_schema).parquet(*paths).select(
+            *[F.col(f.name) for f in schema.fields]
+        )
+    if _hive_layout(adds, part_cols):
+        # one scan; Spark derives partition columns from the dirs.
+        # partition values type per the DECLARED schema, not inference
+        df = (
+            spark.read.option("basePath", root)
+            .schema(schema)
+            .parquet(*paths)
+        )
+        return df.select(*[F.col(f.name) for f in schema.fields])
+    # non-hive layout: partitionValues is the only truth — group files
+    # by their value combination (metadata-bounded) and union
+    by_combo: dict[tuple, list[str]] = {}
+    for a, p in zip(adds, paths):
+        pv = a.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        by_combo.setdefault(key, []).append(p)
+    pieces = []
+    for key, group in sorted(by_combo.items()):
+        df = spark.read.schema(data_schema).parquet(*group)
+        for c, raw in zip(part_cols, key):
+            typ = schema[c].dataType
+            df = df.withColumn(
+                c,
+                F.lit(raw).cast(typ) if raw is not None
+                else F.lit(None).cast(typ),
+            )
+        pieces.append(df.select(*[F.col(f.name) for f in schema.fields]))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def delta_versions(root: str) -> list[int]:
+    return _commit_versions(root)
+
+
+def adopt_delta(
+    spark: SparkSession,
+    delta_root: str,
+    txn_root: str,
+    version: int | None = None,
+    writer: str = "delta-adopt",
+) -> int:
+    """ZERO-COPY migration: commit the Delta snapshot's live files
+    into one of this engine's txn tables. Data files are referenced in
+    place via relative symlink-free paths — the txn table root IS the
+    delta root's files (txn_root must sit so the files are reachable);
+    simplest contract: ``txn_root == delta_root`` (the engine's log
+    lives in ``_txn`` alongside ``_delta_log``, both describing the
+    same immutable parquet files). Non-hive layouts adopt fine (the
+    engine records explicit file lists, not directory scans).
+
+    Skipping stats are collected from the files' own parquet FOOTERS
+    at adopt time (one footer pass, no data scan — the engine's
+    normal commit path and its exact stats format), so data skipping
+    works immediately on the adopted table. Raises on partitioned
+    tables whose partition columns are absent from the data files
+    (the engine's readers would silently drop them — fail closed)."""
+    from .. import txnlog as TL
+
+    if os.path.abspath(txn_root) != os.path.abspath(delta_root):
+        raise ValueError(
+            "zero-copy adopt requires txn_root == delta_root "
+            "(both logs describe the same files)"
+        )
+    _v, md, adds = delta_snapshot(delta_root, version)
+    part_cols = list(md.get("partitionColumns") or [])
+    if part_cols and not _hive_layout(adds, part_cols):
+        raise DeltaUnsupportedError(
+            "adopt of a non-hive-layout partitioned Delta table would "
+            "lose partition columns; read_delta + rewrite instead"
+        )
+    if TL.is_txn_table(txn_root):
+        raise ValueError(f"{txn_root}: already a txn table")
+    rels = [urllib.parse.unquote(a["path"]) for a in adds]
+    # init_table would adopt EVERY parquet under the root (including
+    # delta-removed files); commit the live list explicitly instead
+    os.makedirs(os.path.join(txn_root, TL.TXN_DIR), exist_ok=True)
+    return TL.commit(
+        txn_root,
+        rels,
+        [],
+        "adopt-delta",
+        [],
+        base_version=0,
+        writer=writer,
+        stats=TL.collect_file_stats(txn_root, rels, spark=spark),
+        schema_json=None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# spec-conformant log WRITER — interop fixture (tests + gate queries
+# build real _delta_log trees with it; it is not a Delta writer
+# product feature, the engine's own write path is the txn log)
+# ---------------------------------------------------------------------------
+def write_delta_commit(root: str, version: int, actions: list[dict]) -> None:
+    """Write one commit file: newline-delimited JSON actions, exactly
+    the PROTOCOL.md layout."""
+    log = _log_dir(root)
+    os.makedirs(log, exist_ok=True)
+    path = os.path.join(log, f"{version:020d}.json")
+    if os.path.exists(path):
+        raise FileExistsError(path)
+    body = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(body + "\n")
+
+
+def write_delta_checkpoint(root: str, version: int) -> None:
+    """Fold commits ≤ version into a classic single-file parquet
+    checkpoint (+ ``_last_checkpoint``) with the spec's column layout:
+    one action per row, struct columns ``protocol`` / ``metaData`` /
+    ``add`` (each row non-null in exactly one)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    _v, md, adds = delta_snapshot(root, version)
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ]
+    )
+    n = 2 + len(adds)
+    proto_rows = [{"minReaderVersion": 1, "minWriterVersion": 2}] + [
+        None
+    ] * (n - 1)
+    meta_rows = [None] + [
+        {
+            "id": md.get("id", "meta"),
+            "format": {"provider": "parquet"},
+            "schemaString": md["schemaString"],
+            "partitionColumns": list(md.get("partitionColumns") or []),
+            "configuration": sorted(
+                (md.get("configuration") or {}).items()
+            ),
+        }
+    ] + [None] * (n - 2)
+    add_rows = [None, None] + [
+        {
+            "path": a["path"],
+            "partitionValues": sorted(
+                (a.get("partitionValues") or {}).items()
+            ),
+            "size": int(a.get("size", 0)),
+            "modificationTime": int(a.get("modificationTime", 0)),
+            "dataChange": bool(a.get("dataChange", True)),
+            "stats": a.get("stats"),
+        }
+        for a in adds
+    ]
+    tbl = pa.table(
+        {
+            "protocol": pa.array(proto_rows, proto_t),
+            "metaData": pa.array(meta_rows, meta_t),
+            "add": pa.array(add_rows, add_t),
+        }
+    )
+    log = _log_dir(root)
+    pq.write_table(
+        tbl, os.path.join(log, f"{version:020d}.checkpoint.parquet")
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": version, "size": n}, f)

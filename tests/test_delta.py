@@ -1,0 +1,259 @@
+"""Delta Lake reader interop: log fold (JSON + checkpoint), snapshot
+isolation / time travel, hive and non-hive partition materialization,
+fail-closed unsupported features, and zero-copy adopt into the txn
+layer. Tables are built as REAL _delta_log trees via the module's
+spec-conformant writer fixtures."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, IntegerType, LongType, StructField, StructType,
+)
+
+from django_datastream_spark.sources import delta as DL
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("part", IntegerType()),
+        StructField("val", DoubleType()),
+    ]
+)
+
+
+def _write_data(root, rel, ids, with_part=False):
+    os.makedirs(os.path.dirname(os.path.join(root, rel)), exist_ok=True)
+    cols = {
+        "doc_id": pa.array([int(i) for i in ids], pa.int64()),
+        "val": pa.array([float(i) * 0.5 for i in ids], pa.float64()),
+    }
+    if with_part:
+        cols["part"] = pa.array([int(i) % 2 for i in ids], pa.int32())
+    pq.write_table(pa.table(cols), os.path.join(root, rel))
+
+
+def _meta(partitioned=True):
+    fields = (
+        [f for f in SCHEMA.fields]
+        if partitioned
+        else [f for f in SCHEMA.fields if f.name != "part"]
+    )
+    return {
+        "metaData": {
+            "id": "test-table",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": StructType(fields).json(),
+            "partitionColumns": ["part"] if partitioned else [],
+            "configuration": {},
+        }
+    }
+
+
+_PROTO = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+
+def _add(path, pv=None):
+    return {
+        "add": {
+            "path": path,
+            "partitionValues": pv or {},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+    }
+
+
+def _build_hive_table(root):
+    """v0: parts 0/1 with ids 0..9; v1: add ids 10..13 to part=0;
+    v2: REWRITE part=1's original file (val bumped)."""
+    even = [i for i in range(10) if i % 2 == 0]
+    odd = [i for i in range(10) if i % 2 == 1]
+    _write_data(root, "part=0/f0.parquet", even)
+    _write_data(root, "part=1/f1.parquet", odd)
+    DL.write_delta_commit(
+        root, 0,
+        [_PROTO, _meta(),
+         _add("part=0/f0.parquet", {"part": "0"}),
+         _add("part=1/f1.parquet", {"part": "1"})],
+    )
+    _write_data(root, "part=0/f2.parquet", [10, 12])
+    DL.write_delta_commit(
+        root, 1, [_add("part=0/f2.parquet", {"part": "0"})]
+    )
+    # rewrite: odd ids with val + 100
+    rel = "part=1/f3.parquet"
+    os.makedirs(os.path.join(root, "part=1"), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(odd, pa.int64()),
+                "val": pa.array([i * 0.5 + 100 for i in odd], pa.float64()),
+            }
+        ),
+        os.path.join(root, rel),
+    )
+    DL.write_delta_commit(
+        root, 2,
+        [{"remove": {"path": "part=1/f1.parquet", "dataChange": True,
+                     "deletionTimestamp": 0}},
+         _add(rel, {"part": "1"})],
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r["doc_id"], r["part"], r["val"])
+        for r in df.collect()
+    )
+
+
+def test_read_latest_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _build_hive_table(root)
+    got = DL.read_delta(spark, root)
+    assert got.schema == SCHEMA
+    want = [(i, i % 2, i * 0.5) for i in [0, 2, 4, 6, 8, 10, 12]] + [
+        (i, 1, i * 0.5 + 100) for i in [1, 3, 5, 7, 9]
+    ]
+    assert _rows(got) == sorted(want)
+    # v0: original ten rows, original vals
+    v0 = DL.read_delta(spark, root, version=0)
+    assert _rows(v0) == sorted((i, i % 2, i * 0.5) for i in range(10))
+    # v1: + the appended evens, still pre-rewrite vals
+    v1 = DL.read_delta(spark, root, version=1)
+    assert _rows(v1) == sorted(
+        (i, i % 2, i * 0.5) for i in list(range(10)) + [10, 12]
+    )
+    assert DL.delta_versions(root) == [0, 1, 2]
+
+
+def test_unpartitioned_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _write_data(root, "a.parquet", range(5), with_part=True)
+    DL.write_delta_commit(
+        root, 0, [_PROTO, _meta(partitioned=False), _add("a.parquet")]
+    )
+    got = DL.read_delta(spark, root)
+    assert sorted(r["doc_id"] for r in got.collect()) == list(range(5))
+    assert [f.name for f in got.schema.fields] == ["doc_id", "val"]
+
+
+def test_checkpoint_fold_and_log_cleanup(spark, tmp_path):
+    """After a checkpoint at v1, the spec allows deleting commits
+    <= v1 — the reader must serve latest from checkpoint + tail."""
+    root = str(tmp_path / "t")
+    _build_hive_table(root)
+    before = _rows(DL.read_delta(spark, root))
+    DL.write_delta_checkpoint(root, 1)
+    for v in (0, 1):
+        os.unlink(os.path.join(root, "_delta_log", f"{v:020d}.json"))
+    assert _rows(DL.read_delta(spark, root)) == before
+    # and time travel TO the checkpoint version still works
+    v1 = DL.read_delta(spark, root, version=1)
+    assert len(v1.collect()) == 12
+
+
+def test_corrupt_checkpoint_falls_back_to_json(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _build_hive_table(root)
+    before = _rows(DL.read_delta(spark, root))
+    DL.write_delta_checkpoint(root, 1)
+    cp = os.path.join(
+        root, "_delta_log", f"{1:020d}.checkpoint.parquet"
+    )
+    with open(cp, "wb") as f:
+        f.write(b"not parquet")
+    assert _rows(DL.read_delta(spark, root)) == before
+
+
+def test_unsupported_features_fail_closed(spark, tmp_path):
+    root = str(tmp_path / "t3")
+    _write_data(root, "a.parquet", [1])
+    DL.write_delta_commit(
+        root, 0,
+        [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["deletionVectors"]}},
+         _meta(partitioned=False), _add("a.parquet")],
+    )
+    with pytest.raises(DL.DeltaUnsupportedError, match="deletionVectors"):
+        DL.read_delta(spark, root)
+
+    root2 = str(tmp_path / "t4")
+    _write_data(root2, "a.parquet", [1])
+    md = _meta(partitioned=False)
+    md["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+    DL.write_delta_commit(root2, 0, [_PROTO, md, _add("a.parquet")])
+    with pytest.raises(DL.DeltaUnsupportedError, match="columnMapping"):
+        DL.read_delta(spark, root2)
+
+    root3 = str(tmp_path / "t5")
+    _write_data(root3, "a.parquet", [1])
+    bad = _add("a.parquet")
+    bad["add"]["deletionVector"] = {"storageType": "u"}
+    DL.write_delta_commit(
+        root3, 0, [_PROTO, _meta(partitioned=False), bad]
+    )
+    with pytest.raises(DL.DeltaUnsupportedError, match="deletion vectors"):
+        DL.read_delta(spark, root3)
+
+    with pytest.raises(DL.DeltaUnsupportedError, match="no _delta_log"):
+        DL.read_delta(spark, str(tmp_path / "missing"))
+
+
+def test_non_hive_layout_uses_partition_values(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _write_data(root, "f-a.parquet", [0, 2])
+    _write_data(root, "f-b.parquet", [1, 3])
+    DL.write_delta_commit(
+        root, 0,
+        [_PROTO, _meta(),
+         _add("f-a.parquet", {"part": "0"}),
+         _add("f-b.parquet", {"part": "1"})],
+    )
+    got = DL.read_delta(spark, root)
+    assert got.schema == SCHEMA  # declared type, not inference
+    assert _rows(got) == sorted(
+        [(0, 0, 0.0), (2, 0, 1.0), (1, 1, 0.5), (3, 1, 1.5)]
+    )
+
+
+def test_adopt_delta_zero_copy(spark, tmp_path):
+    from django_datastream_spark import txnlog as TL
+
+    root = str(tmp_path / "t")
+    _build_hive_table(root)
+    want = _rows(DL.read_delta(spark, root))
+    v = DL.adopt_delta(spark, root, root)
+    assert v == 1
+    got = TL.txn_read(spark, root)
+    assert sorted(
+        (r["doc_id"], int(r["part"]), r["val"]) for r in got.collect()
+    ) == want
+    # data skipping works immediately (footer stats at adopt)
+    _, m = TL.snapshot_with_stats(root)
+    assert any(s and "doc_id" in s["cols"] for s in m.values())
+    pruned = TL.txn_read(spark, root, where={"doc_id": (10, 13)})
+    assert sorted(r["doc_id"] for r in pruned.collect()) == [10, 12]
+    # delta-removed file was NOT adopted
+    _, files = TL.snapshot(root)
+    assert "part=1/f1.parquet" not in files
+    with pytest.raises(ValueError, match="already a txn table"):
+        DL.adopt_delta(spark, root, root)
+
+
+def test_adopt_rejects_non_hive_partitioned(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _write_data(root, "flat.parquet", [0])
+    DL.write_delta_commit(
+        root, 0, [_PROTO, _meta(), _add("flat.parquet", {"part": "0"})]
+    )
+    with pytest.raises(DL.DeltaUnsupportedError, match="non-hive"):
+        DL.adopt_delta(spark, root, root)
+    with pytest.raises(ValueError, match="txn_root == delta_root"):
+        DL.adopt_delta(spark, root, str(tmp_path / "elsewhere"))

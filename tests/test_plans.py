@@ -97,7 +97,11 @@ def test_declaring_queries_runs_no_jobs(spark):
               # then serve from it — lakehouse execution in the gate,
               # same family as q170-q182
               "q204_ann_index_reload", "q205_ann_index_time_travel",
-              "q206_embedding_capstone"}
+              "q206_embedding_capstone",
+              # q207-q209 WRITE the Delta fixture tree (+ q209 adopts
+              # it into a txn table) before reading it
+              "q207_delta_read", "q208_delta_time_travel",
+              "q209_delta_adopt"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
