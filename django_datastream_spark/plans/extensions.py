@@ -9914,3 +9914,36 @@ def q209(spark, sf_dir):
         )
         .orderBy("part")
     )
+
+
+@_declare(
+    "q210_delta_changes",
+    """
+    SELECT CAST(1 AS INT) ver, doc_id, ROUND(doc_id * 0.5, 4) val
+    FROM documents WHERE doc_id >= 200 AND doc_id < 300
+    UNION ALL
+    SELECT CAST(2 AS INT) ver, doc_id, ROUND(doc_id * 0.5 + 1000, 4) val
+    FROM documents WHERE doc_id < 200 AND doc_id % 4 = 0
+    ORDER BY ver, doc_id
+    """,
+)
+def q210(spark, sf_dir):
+    """INCREMENTAL Delta consumption (sources/delta.delta_changes —
+    the txn_changes twin for EXTERNAL tables): the rows added by
+    commits (0, 2], each tagged with its commit version, the rewrite
+    commit consumed under explicit on_remove='ignore' semantics
+    (fail-closed is the default, pinned by test). The oracle
+    recomputes both commits' closed forms — a feed that attributed a
+    row to the wrong commit, leaked the compaction-style skip rule,
+    or re-read commit-0 rows breaks the hash. (Builder writes the
+    fixture tree; by-name exemption in
+    test_declaring_queries_runs_no_jobs.)"""
+    from ..sources import delta as DLT
+
+    root = _delta_fixture(spark, sf_dir, "q210")
+    ch = DLT.delta_changes(spark, root, 0, 2, on_remove="ignore")
+    return ch.select(
+        F.col("_commit_version").cast("int").alias("ver"),
+        "doc_id",
+        F.round("val", 4).alias("val"),
+    ).orderBy("ver", "doc_id")

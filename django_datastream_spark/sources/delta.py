@@ -264,6 +264,14 @@ def read_delta(
     """The Delta snapshot as a DataFrame (declared schema, partition
     columns materialized, column order = table schema)."""
     _v, md, adds = delta_snapshot(root, version)
+    return _scan_adds(spark, root, md, adds)
+
+
+def _scan_adds(
+    spark: SparkSession, root: str, md: dict, adds: list[dict]
+) -> DataFrame:
+    """Scan a list of add-actions under the table's declared schema —
+    the shared data path of :func:`read_delta` / :func:`delta_changes`."""
     schema = delta_schema(md)
     part_cols = list(md.get("partitionColumns") or [])
     data_schema = StructType(
@@ -313,6 +321,96 @@ def read_delta(
 
 def delta_versions(root: str) -> list[int]:
     return _commit_versions(root)
+
+
+def delta_changes(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+    on_remove: str = "error",
+) -> DataFrame:
+    """INCREMENTAL consumption of an external Delta table: the rows
+    ADDED by commits in ``(from_version, to_version]``, tagged with
+    ``_commit_version`` so a consumer checkpoints "processed through
+    V" and resumes exactly — the same contract as the engine's own
+    :func:`..txnlog.txn_changes` and Spark's Delta streaming source.
+
+    Semantics match that source: ``dataChange=false`` adds
+    (compaction) are skipped — same rows, new bytes, not a change;
+    a ``remove`` action in the range means a rewrite or delete
+    happened, which an append-only consumer cannot represent —
+    ``on_remove='error'`` (default) fails closed exactly like the
+    Delta source without ``ignoreChanges``; ``on_remove='ignore'``
+    skips them (the consumer accepts possible re-emission semantics
+    upstream). The JSON commits for the range must still exist — a
+    range cleaned up past a checkpoint raises, the same contract as
+    Delta CDF past retention."""
+    if on_remove not in ("error", "ignore"):
+        raise ValueError(f"on_remove={on_remove!r}")
+    versions = _commit_versions(root)
+    head = max(versions) if versions else -1
+    to_v = head if to_version is None else to_version
+    if not 0 <= from_version <= to_v <= head:
+        raise ValueError(
+            f"bad version range ({from_version}, {to_v}] with head {head}"
+        )
+    missing = [
+        v for v in range(from_version + 1, to_v + 1) if v not in versions
+    ]
+    if missing:
+        raise ValueError(
+            f"{root}: commits {missing} cleaned up — incremental "
+            "changes past log cleanup are unrecoverable (re-read the "
+            "snapshot instead)"
+        )
+    # metaData as of to_v (schema for the scan)
+    _v, md, _adds = delta_snapshot(root, to_v)
+    pieces = []
+    for v in range(from_version + 1, to_v + 1):
+        adds_v = []
+        with open(
+            os.path.join(_log_dir(root), f"{v:020d}.json"),
+            encoding="utf-8",
+        ) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    a = action["add"]
+                    if a.get("deletionVector"):
+                        raise DeltaUnsupportedError(
+                            "deletion vectors not supported (add)"
+                        )
+                    if a.get("dataChange", True):
+                        adds_v.append(a)
+                elif "remove" in action and action["remove"].get(
+                    "dataChange", True
+                ):
+                    if on_remove == "error":
+                        raise ValueError(
+                            f"{root}: commit {v} removes "
+                            f"{action['remove']['path']} — rewrites/"
+                            "deletes cannot stream as appends (pass "
+                            "on_remove='ignore' to accept re-emission)"
+                        )
+        if adds_v:
+            pieces.append(
+                _scan_adds(spark, root, md, adds_v).withColumn(
+                    "_commit_version", F.lit(v).cast("long")
+                )
+            )
+    if not pieces:
+        from ..storage import local_rows_df
+
+        schema = delta_schema(md).add("_commit_version", "long")
+        return local_rows_df(spark, [], schema)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def adopt_delta(

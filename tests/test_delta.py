@@ -257,3 +257,40 @@ def test_adopt_rejects_non_hive_partitioned(spark, tmp_path):
         DL.adopt_delta(spark, root, root)
     with pytest.raises(ValueError, match="txn_root == delta_root"):
         DL.adopt_delta(spark, root, str(tmp_path / "elsewhere"))
+
+
+def test_delta_changes_incremental(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _build_hive_table(root)
+    # (0, 1]: exactly the appended evens, tagged with their commit
+    ch = DL.delta_changes(spark, root, 0, 1)
+    rows = sorted(
+        (r["doc_id"], r["part"], r["_commit_version"])
+        for r in ch.collect()
+    )
+    assert rows == [(10, 0, 1), (12, 0, 1)]
+    # the rewrite commit fails closed by default...
+    with pytest.raises(ValueError, match="rewrites"):
+        DL.delta_changes(spark, root, 0).collect()
+    # ...and streams its adds under ignore semantics
+    ch2 = DL.delta_changes(spark, root, 1, on_remove="ignore")
+    got = sorted(
+        (r["doc_id"], r["val"], r["_commit_version"])
+        for r in ch2.collect()
+    )
+    assert got == [(i, i * 0.5 + 100, 2) for i in [1, 3, 5, 7, 9]]
+    # empty range yields an empty, correctly-typed frame
+    empty = DL.delta_changes(spark, root, 2)
+    assert empty.count() == 0
+    assert "_commit_version" in empty.columns
+    with pytest.raises(ValueError, match="bad version range"):
+        DL.delta_changes(spark, root, 5)
+
+
+def test_delta_changes_past_cleanup_raises(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _build_hive_table(root)
+    DL.write_delta_checkpoint(root, 1)
+    os.unlink(os.path.join(root, "_delta_log", f"{1:020d}.json"))
+    with pytest.raises(ValueError, match="cleaned up"):
+        DL.delta_changes(spark, root, 0, 2)
