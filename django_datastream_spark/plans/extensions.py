@@ -9947,3 +9947,169 @@ def q210(spark, sf_dir):
         "doc_id",
         F.round("val", 4).alias("val"),
     ).orderBy("ver", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Q211–Q212: Iceberg interop (sources/iceberg over sources/avro_lite)
+# --------------------------------------------------------------------------
+def _iceberg_fixture(spark, sf_dir, key):
+    """REAL Iceberg v2 metadata tree (JSON metadata + AVRO manifest
+    lists/manifests via the from-spec avro_lite codec) whose rows are
+    the SAME closed form as the Delta fixture: s1 = doc_id<200 in 4
+    bucket files (val = doc_id*0.5), s2 = bucket-0 file DELETED and
+    rewritten with val+1000 (A files EXISTING) + files for
+    doc_id in [200,300). Returns the table root."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from ..sources import iceberg as IB
+
+    base = _os.path.join(
+        _tmp.gettempdir(),
+        f"{key}_" + _hl.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    root = _os.path.join(base, "table")
+    ids = sorted(
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 300)
+        .collect()
+    )
+
+    def write(rel, rows, bump=0.0):
+        full = _os.path.join(root, rel)
+        _os.makedirs(_os.path.dirname(full), exist_ok=True)
+        _pq.write_table(
+            _pa.table(
+                {
+                    "doc_id": _pa.array(rows, _pa.int64()),
+                    "val": _pa.array(
+                        [i * 0.5 + bump for i in rows], _pa.float64()
+                    ),
+                }
+            ),
+            full,
+        )
+
+    fields = [
+        {"id": 1, "name": "doc_id", "required": True, "type": "long"},
+        {"id": 2, "name": "val", "required": False, "type": "double"},
+    ]
+    a_files = []
+    for p in range(4):
+        rel = f"data/a{p}.parquet"
+        write(rel, [i for i in ids if i < 200 and i % 4 == p])
+        a_files.append(rel)
+    IB.write_manifest(
+        root, "m1.avro", [(1, rel) for rel in a_files], 1
+    )
+    IB.write_manifest_list(root, "snap-1.avro", ["m1.avro"], 1)
+    # s2: a0 deleted + rewritten (+1000), the rest existing, new files
+    write("data/a0b.parquet",
+          [i for i in ids if i < 200 and i % 4 == 0], bump=1000.0)
+    new_files = []
+    for p in range(4):
+        rel = f"data/b{p}.parquet"
+        write(rel, [i for i in ids if 200 <= i < 300 and i % 4 == p])
+        new_files.append(rel)
+    IB.write_manifest(
+        root, "m2.avro",
+        [(2, "data/a0.parquet")]
+        + [(0, rel) for rel in a_files[1:]]
+        + [(1, "data/a0b.parquet")],
+        2,
+    )
+    IB.write_manifest(
+        root, "m3.avro", [(1, rel) for rel in new_files], 2
+    )
+    IB.write_manifest_list(
+        root, "snap-2.avro", ["m2.avro", "m3.avro"], 2
+    )
+    IB.write_metadata(
+        root, 2, fields,
+        [
+            {"snapshot-id": 1, "manifest-list": "metadata/snap-1.avro"},
+            {"snapshot-id": 2, "manifest-list": "metadata/snap-2.avro"},
+        ],
+        current_snapshot_id=2,
+    )
+    return root
+
+
+@_declare(
+    "q211_iceberg_read",
+    """
+    SELECT doc_id,
+           ROUND(CASE WHEN doc_id < 200 AND doc_id % 4 = 0
+                      THEN doc_id * 0.5 + 1000
+                      ELSE doc_id * 0.5 END, 4) val
+    FROM documents WHERE doc_id < 300 ORDER BY doc_id
+    """,
+)
+def q211(spark, sf_dir):
+    """Iceberg interop (the SECOND external lakehouse format): a real
+    v2 metadata tree — JSON table metadata, AVRO manifest list, TWO
+    manifests (one carrying EXISTING + DELETED entries for the
+    rewrite, one the appended files), all avro decoded by the
+    from-spec avro_lite codec — read in place by
+    sources/iceberg.read_iceberg. The oracle recomputes the live set
+    from the closed form: a fold that kept the DELETED entry, dropped
+    an EXISTING one, or mis-decoded an avro varint breaks the hash.
+    (Builder writes the fixture tree; by-name exemption in
+    test_declaring_queries_runs_no_jobs.)"""
+    from ..sources import iceberg as IB
+
+    root = _iceberg_fixture(spark, sf_dir, "q211")
+    return (
+        IB.read_iceberg(spark, root)
+        .select("doc_id", F.round("val", 4).alias("val"))
+        .orderBy("doc_id")
+    )
+
+
+@_declare(
+    "q212_iceberg_time_travel",
+    """
+    WITH eras AS (SELECT 1 snap, 200 upto, FALSE bumped
+                  UNION ALL SELECT 2, 300, TRUE)
+    SELECT CAST(e.snap AS INT) snap, CAST(COUNT(*) AS BIGINT) n,
+           ROUND(SUM(CASE WHEN e.bumped AND d.doc_id < 200
+                               AND d.doc_id % 4 = 0
+                          THEN d.doc_id * 0.5 + 1000
+                          ELSE d.doc_id * 0.5 END), 4) sum_val
+    FROM eras e JOIN documents d ON d.doc_id < e.upto
+    GROUP BY e.snap ORDER BY snap
+    """,
+)
+def q212(spark, sf_dir):
+    """Iceberg TIME TRAVEL: snapshot 1 (pre-rewrite, pre-append) vs
+    the current snapshot, each a COMPLETE manifest-list fold (no
+    delta replay — the spec's snapshot model), aggregated and oracled
+    per era. A snapshot pin that leaked the rewrite or the appended
+    files breaks the hash. (Builder writes the fixture tree; by-name
+    exemption in test_declaring_queries_runs_no_jobs.)"""
+    from ..sources import iceberg as IB
+
+    root = _iceberg_fixture(spark, sf_dir, "q212")
+    eras = []
+    for snap in (1, 2):
+        eras.append(
+            IB.read_iceberg(spark, root, snapshot_id=snap)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("val"), 4).alias("sum_val"),
+            )
+            .withColumn("snap", F.lit(snap))
+        )
+    return (
+        eras[0].unionByName(eras[1])
+        .select("snap", "n", "sum_val")
+        .orderBy("snap")
+    )

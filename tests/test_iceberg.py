@@ -1,0 +1,263 @@
+"""Iceberg reader + avro_lite codec: container round trips, snapshot
+fold over manifest lists, time travel, fail-closed boundaries, and
+the schema mapping."""
+
+import io
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from django_datastream_spark.sources import avro_lite as AV
+from django_datastream_spark.sources import iceberg as IB
+
+
+# ---------------------------------------------------------------------------
+# avro_lite
+# ---------------------------------------------------------------------------
+AVRO_SCHEMA = {
+    "type": "record",
+    "name": "e",
+    "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "n", "type": "long"},
+        {"name": "u", "type": ["null", "string"]},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "bytes"}},
+        {
+            "name": "sub",
+            "type": {
+                "type": "record",
+                "name": "sub",
+                "fields": [{"name": "x", "type": "double"}],
+            },
+        },
+    ],
+}
+AVRO_RECS = [
+    {"s": "héllo", "n": -12345678901, "u": None, "arr": [1, -2, 3],
+     "m": {"k": b"\x00\xff"}, "sub": {"x": 1.5}},
+    {"s": "", "n": 0, "u": "set", "arr": [], "m": {},
+     "sub": {"x": -0.25}},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_container_roundtrip(codec):
+    recs = AVRO_RECS * 700  # multiple blocks
+    data = AV.write_container(AVRO_SCHEMA, recs, codec=codec)
+    schema, got = AV.read_container(data)
+    assert schema == AVRO_SCHEMA and got == recs
+    assert AV.read_container(AV.write_container(AVRO_SCHEMA, []))[1] == []
+
+
+def test_avro_negative_block_count_read():
+    """Spec: a negative item count in array/map blocks is followed by
+    the block's byte size — accepted on read."""
+    body = io.BytesIO()
+    AV._write_long(body, -2)  # two items, negative form
+    inner = io.BytesIO()
+    AV.write_value(inner, "long", 7)
+    AV.write_value(inner, "long", 8)
+    AV._write_long(body, len(inner.getvalue()))
+    body.write(inner.getvalue())
+    AV._write_long(body, 0)
+    got = AV.read_value(
+        io.BytesIO(body.getvalue()), {"type": "array", "items": "long"}
+    )
+    assert got == [7, 8]
+
+
+def test_avro_rejections():
+    with pytest.raises(AV.AvroError, match="magic"):
+        AV.read_container(b"nope")
+    with pytest.raises(AV.AvroError, match="codec"):
+        AV.write_container(AVRO_SCHEMA, [], codec="snappy")
+    data = bytearray(AV.write_container(AVRO_SCHEMA, AVRO_RECS))
+    data[-1] ^= 0xFF  # corrupt the trailing sync marker
+    with pytest.raises(AV.AvroError, match="sync"):
+        AV.read_container(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# iceberg fixture
+# ---------------------------------------------------------------------------
+FIELDS = [
+    {"id": 1, "name": "doc_id", "required": True, "type": "long"},
+    {"id": 2, "name": "val", "required": False, "type": "double"},
+]
+
+
+def _data(root, rel, ids):
+    full = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(ids), pa.int64()),
+                "val": pa.array([i * 0.5 for i in ids], pa.float64()),
+            }
+        ),
+        full,
+    )
+
+
+def _build_table(root):
+    """s1: files A+B; s2: B deleted, C added (A existing)."""
+    _data(root, "data/A.parquet", range(0, 5))
+    _data(root, "data/B.parquet", range(5, 10))
+    _data(root, "data/C.parquet", range(10, 15))
+    IB.write_manifest(
+        root, "m1.avro", [(1, "data/A.parquet"), (1, "data/B.parquet")], 1
+    )
+    IB.write_manifest_list(root, "snap-1.avro", ["m1.avro"], 1)
+    IB.write_manifest(
+        root, "m2.avro", [(0, "data/A.parquet"), (2, "data/B.parquet")], 2
+    )
+    IB.write_manifest(root, "m3.avro", [(1, "data/C.parquet")], 2)
+    IB.write_manifest_list(root, "snap-2.avro", ["m2.avro", "m3.avro"], 2)
+    snaps = [
+        {"snapshot-id": 1, "manifest-list": "metadata/snap-1.avro"},
+        {"snapshot-id": 2, "manifest-list": "metadata/snap-2.avro"},
+    ]
+    IB.write_metadata(root, 2, FIELDS, snaps, current_snapshot_id=2)
+
+
+def test_read_current_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _build_table(root)
+    got = IB.read_iceberg(spark, root)
+    assert [f.name for f in got.schema.fields] == ["doc_id", "val"]
+    assert sorted(r["doc_id"] for r in got.collect()) == (
+        list(range(0, 5)) + list(range(10, 15))
+    )
+    old = IB.read_iceberg(spark, root, snapshot_id=1)
+    assert sorted(r["doc_id"] for r in old.collect()) == list(range(10))
+    snaps = IB.iceberg_snapshots(root)
+    assert [s["snapshot_id"] for s in snaps] == [1, 2]
+    assert [s["is_current"] for s in snaps] == [False, True]
+    with pytest.raises(ValueError, match="no snapshot 99"):
+        IB.read_iceberg(spark, root, snapshot_id=99)
+
+
+def test_version_hint_fallback(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _build_table(root)
+    with open(
+        os.path.join(root, "metadata", "version-hint.text"), "w"
+    ) as f:
+        f.write("42")  # stale hint: v42 doesn't exist
+    assert IB.iceberg_metadata(root)["current-snapshot-id"] == 2
+
+
+def test_fail_closed_boundaries(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _build_table(root)
+    # delete manifest (content=1) in a new snapshot
+    mp = os.path.join(root, "metadata", "m2.avro")
+    recs = [
+        {
+            "manifest_path": "metadata/m2.avro",
+            "manifest_length": os.path.getsize(mp),
+            "partition_spec_id": 0,
+            "content": 1,
+            "added_snapshot_id": 3,
+        }
+    ]
+    with open(os.path.join(root, "metadata", "snap-3.avro"), "wb") as f:
+        f.write(AV.write_container(IB._MANIFEST_LIST_SCHEMA, recs))
+    snaps = [
+        {"snapshot-id": 3, "manifest-list": "metadata/snap-3.avro"},
+    ]
+    IB.write_metadata(root, 3, FIELDS, snaps, current_snapshot_id=3)
+    with pytest.raises(IB.IcebergUnsupportedError, match="DELETE manifests"):
+        IB.read_iceberg(spark, root)
+
+    # format-version 3
+    root2 = str(tmp_path / "t2")
+    os.makedirs(os.path.join(root2, "metadata"))
+    with open(
+        os.path.join(root2, "metadata", "v1.metadata.json"), "w"
+    ) as f:
+        json.dump({"format-version": 3}, f)
+    with pytest.raises(IB.IcebergUnsupportedError, match="format-version"):
+        IB.iceberg_metadata(root2)
+
+    with pytest.raises(IB.IcebergUnsupportedError, match="no metadata"):
+        IB.iceberg_metadata(str(tmp_path / "missing"))
+
+
+def test_non_parquet_and_delete_file_fail_closed(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _data(root, "data/A.parquet", range(3))
+    # hand-write a manifest with an ORC file
+    recs = [
+        {
+            "status": 1,
+            "snapshot_id": 1,
+            "data_file": {
+                "content": 0,
+                "file_path": "data/A.orc",
+                "file_format": "ORC",
+                "record_count": 0,
+                "file_size_in_bytes": 0,
+            },
+        }
+    ]
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+    with open(os.path.join(root, "metadata", "m1.avro"), "wb") as f:
+        f.write(AV.write_container(IB._MANIFEST_SCHEMA, recs))
+    IB.write_manifest_list(root, "snap-1.avro", ["m1.avro"], 1)
+    IB.write_metadata(
+        root, 1,
+        FIELDS,
+        [{"snapshot-id": 1, "manifest-list": "metadata/snap-1.avro"}],
+        current_snapshot_id=1,
+    )
+    with pytest.raises(IB.IcebergUnsupportedError, match="ORC"):
+        IB.read_iceberg(spark, root)
+
+
+def test_schema_mapping():
+    md = {
+        "format-version": 2,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "a", "required": True,
+                     "type": "long"},
+                    {"id": 2, "name": "b", "required": False,
+                     "type": "decimal(10, 2)"},
+                    {"id": 3, "name": "c", "required": False,
+                     "type": {"type": "list", "element": "string"}},
+                    {"id": 4, "name": "d", "required": False,
+                     "type": {"type": "map", "key": "string",
+                              "value": "double"}},
+                    {"id": 5, "name": "e", "required": False,
+                     "type": {"type": "struct", "fields": [
+                         {"id": 6, "name": "x", "required": True,
+                          "type": "int"}]}},
+                ],
+            }
+        ],
+    }
+    s = IB.iceberg_schema(md)
+    assert s.simpleString() == (
+        "struct<a:bigint,b:decimal(10,2),c:array<string>,"
+        "d:map<string,double>,e:struct<x:int>>"
+    )
+    assert not s["a"].nullable and s["b"].nullable
+    bad = {
+        "format-version": 2,
+        "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "z", "required": False, "type": "variant"}
+        ]}],
+    }
+    with pytest.raises(IB.IcebergUnsupportedError, match="variant"):
+        IB.iceberg_schema(bad)

@@ -101,7 +101,10 @@ def test_declaring_queries_runs_no_jobs(spark):
               # q207-q209 WRITE the Delta fixture tree (+ q209 adopts
               # it into a txn table) before reading it
               "q207_delta_read", "q208_delta_time_travel",
-              "q209_delta_adopt", "q210_delta_changes"}
+              "q209_delta_adopt", "q210_delta_changes",
+              # q211-q212 write the Iceberg fixture tree (metadata
+              # JSON + avro manifests) before reading it
+              "q211_iceberg_read", "q212_iceberg_time_travel"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
