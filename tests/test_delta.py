@@ -294,3 +294,55 @@ def test_delta_changes_past_cleanup_raises(spark, tmp_path):
     os.unlink(os.path.join(root, "_delta_log", f"{1:020d}.json"))
     with pytest.raises(ValueError, match="cleaned up"):
         DL.delta_changes(spark, root, 0, 2)
+
+
+def test_read_delta_where_prunes_and_stays_exact(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for k, (lo, hi) in enumerate([(0, 9), (10, 19), (20, 29)]):
+        ids = list(range(lo, hi + 1))
+        _write_data(root, f"f{k}.parquet", ids)
+    adds = []
+    for k, (lo, hi) in enumerate([(0, 9), (10, 19), (20, 29)]):
+        a = _add(f"f{k}.parquet")
+        a["add"]["stats"] = json.dumps(
+            {"numRecords": 10, "minValues": {"doc_id": lo},
+             "maxValues": {"doc_id": hi}}
+        )
+        adds.append(a)
+    DL.write_delta_commit(
+        root, 0, [_PROTO, _meta(partitioned=False)] + adds
+    )
+    got = DL.read_delta(spark, root, where={"doc_id": (12, 25)})
+    assert sorted(r["doc_id"] for r in got.collect()) == list(
+        range(12, 26)
+    )
+    # the pruning decision itself: file 0 provably out, others kept
+    _v, md, live = DL.delta_snapshot(root)
+    keep = [
+        a["path"] for a in live
+        if DL._add_may_match(a, {"doc_id": (12, 25)}, set())
+    ]
+    assert keep == ["f1.parquet", "f2.parquet"]
+    # open bounds + missing stats stay conservative
+    nostat = {"add": {"path": "x", "partitionValues": {}}}
+    assert DL._add_may_match(nostat["add"], {"doc_id": (12, None)}, set())
+    # result equals filtering a full read
+    full = DL.read_delta(spark, root).filter(
+        (F.col("doc_id") >= 12) & (F.col("doc_id") <= 25)
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in full.collect()
+    )
+
+
+def test_read_delta_where_prunes_partitions(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _build_hive_table(root)
+    _v, md, live = DL.delta_snapshot(root)
+    keep = [
+        a["path"] for a in live
+        if DL._add_may_match(a, {"part": (1, 1)}, {"part"})
+    ]
+    assert keep == ["part=1/f3.parquet"]
+    got = DL.read_delta(spark, root, where={"part": (1, 1)})
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 3, 5, 7, 9]
