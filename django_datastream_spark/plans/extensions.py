@@ -10113,3 +10113,42 @@ def q212(spark, sf_dir):
         .select("snap", "n", "sum_val")
         .orderBy("snap")
     )
+
+
+@_declare(
+    "q213_iceberg_adopt",
+    """
+    SELECT CAST(doc_id % 4 AS INT) part, CAST(COUNT(*) AS BIGINT) n,
+           ROUND(SUM(CASE WHEN doc_id < 200 AND doc_id % 4 = 0
+                          THEN doc_id * 0.5 + 1000
+                          ELSE doc_id * 0.5 END), 4) sum_val
+    FROM documents WHERE doc_id BETWEEN 80 AND 249
+    GROUP BY doc_id % 4 ORDER BY part
+    """,
+)
+def q213(spark, sf_dir):
+    """ZERO-COPY Iceberg migration (q209's twin for the second
+    format): adopt_iceberg commits the snapshot's live files —
+    through the avro manifest fold — into the engine's txn table (no
+    byte rewritten, footer stats at adopt), then engine-native
+    txn_read serves a range query WITH data skipping over the adopted
+    files. Same closed form as q209, so any divergence between the
+    two formats' adoption paths shows up as a hash mismatch against
+    the SAME oracle. (Builder writes the fixture + runs the adopt;
+    by-name exemption in test_declaring_queries_runs_no_jobs.)"""
+    from .. import txnlog as TL
+    from ..sources import iceberg as IB
+
+    root = _iceberg_fixture(spark, sf_dir, "q213")
+    IB.adopt_iceberg(spark, root, root)
+    got = TL.txn_read(spark, root, where={"doc_id": (80, 249)})
+    return (
+        got.select((F.col("doc_id") % 4).cast("int").alias("part"),
+                   "doc_id", "val")
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("val"), 4).alias("sum_val"),
+        )
+        .orderBy("part")
+    )

@@ -396,3 +396,52 @@ def write_metadata(
         os.path.join(_meta_dir(root), "version-hint.text"), "w"
     ) as f:
         f.write(str(version))
+
+
+def adopt_iceberg(
+    spark: SparkSession,
+    iceberg_root: str,
+    txn_root: str,
+    snapshot_id: int | None = None,
+    writer: str = "iceberg-adopt",
+) -> int:
+    """ZERO-COPY migration (the :func:`.delta.adopt_delta` twin):
+    commit the Iceberg snapshot's live files into one of this
+    engine's txn tables without rewriting a byte. Simpler than the
+    Delta case: Iceberg data files carry EVERY column (identity
+    partition sources included), so any layout adopts. Requires
+    ``txn_root == iceberg_root`` (both metadata trees describe the
+    same immutable files); skipping stats come from the files' own
+    parquet footers at adopt time."""
+    from .. import txnlog as TL
+
+    if os.path.abspath(txn_root) != os.path.abspath(iceberg_root):
+        raise ValueError(
+            "zero-copy adopt requires txn_root == iceberg_root "
+            "(both metadata trees describe the same files)"
+        )
+    if TL.is_txn_table(txn_root):
+        raise ValueError(f"{txn_root}: already a txn table")
+    md, files = iceberg_live_files(iceberg_root, snapshot_id)
+    root_abs = os.path.abspath(iceberg_root)
+    rels = []
+    for f in files:
+        fa = os.path.abspath(f)
+        if not fa.startswith(root_abs + os.sep):
+            raise IcebergUnsupportedError(
+                f"live file {f} outside the table root — cannot adopt "
+                "in place"
+            )
+        rels.append(os.path.relpath(fa, root_abs))
+    os.makedirs(os.path.join(txn_root, TL.TXN_DIR), exist_ok=True)
+    return TL.commit(
+        txn_root,
+        sorted(rels),
+        [],
+        "adopt-iceberg",
+        [],
+        base_version=0,
+        writer=writer,
+        stats=TL.collect_file_stats(txn_root, sorted(rels), spark=spark),
+        schema_json=None,
+    )

@@ -261,3 +261,28 @@ def test_schema_mapping():
     }
     with pytest.raises(IB.IcebergUnsupportedError, match="variant"):
         IB.iceberg_schema(bad)
+
+
+def test_adopt_iceberg_zero_copy(spark, tmp_path):
+    from django_datastream_spark import txnlog as TL
+
+    root = str(tmp_path / "t")
+    _build_table(root)
+    want = sorted(
+        r["doc_id"] for r in IB.read_iceberg(spark, root).collect()
+    )
+    v = IB.adopt_iceberg(spark, root, root)
+    assert v == 1
+    got = TL.txn_read(spark, root)
+    assert sorted(r["doc_id"] for r in got.collect()) == want
+    # deleted file not adopted; skipping live immediately
+    _, files = TL.snapshot(root)
+    assert "data/B.parquet" not in files
+    pruned = TL.txn_read(spark, root, where={"doc_id": (11, 13)})
+    assert sorted(r["doc_id"] for r in pruned.collect()) == [11, 12, 13]
+    with pytest.raises(ValueError, match="already a txn table"):
+        IB.adopt_iceberg(spark, root, root)
+    root2 = str(tmp_path / "u")
+    _build_table(root2)
+    with pytest.raises(ValueError, match="txn_root == iceberg_root"):
+        IB.adopt_iceberg(spark, root2, str(tmp_path / "x"))

@@ -104,7 +104,8 @@ def test_declaring_queries_runs_no_jobs(spark):
               "q209_delta_adopt", "q210_delta_changes",
               # q211-q212 write the Iceberg fixture tree (metadata
               # JSON + avro manifests) before reading it
-              "q211_iceberg_read", "q212_iceberg_time_travel"}
+              "q211_iceberg_read", "q212_iceberg_time_travel",
+              "q213_iceberg_adopt"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
