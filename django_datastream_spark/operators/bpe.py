@@ -291,19 +291,24 @@ def train(
     wc = word_counts(df, text_col)
     if min_count > 1:
         wc = wc.filter(F.col("cnt") >= min_count)
-    if max_words is not None:
-        n_words = wc.count()
-        if n_words > max_words:
-            raise ValueError(
-                f"bpe.train would collect {n_words} distinct words onto "
-                f"the driver (max_words={max_words}). Raise min_count "
-                f"(currently {min_count}) to truncate the Heaps-law "
-                "tail before the collect, or pass a larger max_words "
-                "if the driver genuinely has the memory."
-            )
     # deterministic collect order not required: training sorts by count
-    # with a full lexicographic tie-break internally
-    rows = [(bytes(r["word"]), r["cnt"]) for r in wc.collect()]
+    # with a full lexicographic tie-break internally. The cap rides the
+    # SAME job as the collect (limit max_words+1, check the overflow
+    # row) — driver memory is bounded identically to a pre-count, but
+    # the word-count shuffle runs once, not twice.
+    if max_words is not None:
+        collected = wc.limit(max_words + 1).collect()
+        if len(collected) > max_words:
+            raise ValueError(
+                f"bpe.train would collect more than max_words="
+                f"{max_words} distinct words onto the driver. Raise "
+                f"min_count (currently {min_count}) to truncate the "
+                "Heaps-law tail before the collect, or pass a larger "
+                "max_words if the driver genuinely has the memory."
+            )
+    else:
+        collected = wc.collect()
+    rows = [(bytes(r["word"]), r["cnt"]) for r in collected]
     return BPETokenizer(
         train_from_counts(rows, vocab_size - 256, min_pair_count)
     )
