@@ -264,6 +264,30 @@ def index_versions(spark: SparkSession, root: str) -> list[int]:
     return list(range(1, TL.latest_version(codes_root(root)) + 1))
 
 
+def remove_vectors(
+    spark: SparkSession, root: str, vec_ids, writer: str = ""
+) -> int:
+    """DELETE vectors from the index WITHOUT rebuilding it — the
+    right-to-be-forgotten path of a 100 TB embedding tier: the codes
+    table takes a deletion-vector commit (no uint8 file rewritten;
+    see :func:`..txnlog.txn_delete`), queries at the new version stop
+    returning the ids immediately, and time travel to pre-delete
+    versions still serves them until vacuum. ``vec_ids`` is a bounded
+    id list (point deletes) or a Column/SQL condition over the codes
+    schema for set deletes. Returns the new index version."""
+    from pyspark.sql import Column
+
+    if isinstance(vec_ids, (Column, str)):
+        cond = vec_ids
+    else:
+        ids = [int(i) for i in vec_ids]
+        if not ids:
+            return TL.latest_version(codes_root(root))
+        cond = F.col("vec_id").isin(ids)
+    res = TL.txn_delete(spark, codes_root(root), cond, writer=writer)
+    return res["version"]
+
+
 def query_ann_index(
     spark: SparkSession,
     root: str,

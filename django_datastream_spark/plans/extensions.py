@@ -10152,3 +10152,58 @@ def q213(spark, sf_dir):
         )
         .orderBy("part")
     )
+
+
+@_declare(
+    "q214_ann_index_remove",
+    f"""
+    WITH {_ANN_V_CTE},
+    eras AS (SELECT 1 ver, FALSE removed UNION ALL SELECT 2, TRUE),
+    scored AS (
+      SELECT e.ver, q.doc_id query_id, c.doc_id neighbor_id,
+             q.x1*c.x1 + q.x2*c.x2 + q.x3*c.x3 + q.x4*c.x4 adc_score,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.ver, q.doc_id
+               ORDER BY q.x1*c.x1 + q.x2*c.x2 + q.x3*c.x3 + q.x4*c.x4
+                        DESC, c.doc_id ASC) rk
+      FROM eras e
+      CROSS JOIN (SELECT * FROM v WHERE doc_id < 8) q
+      JOIN v c ON c.doc_id <> q.doc_id
+             AND NOT (e.removed AND c.doc_id IN (4, 5, 6, 7)))
+    SELECT CAST(ver AS INT) ver, query_id, CAST(rk AS INT) rank,
+           neighbor_id, adc_score
+    FROM scored WHERE rk <= 3
+    ORDER BY ver, query_id, rank
+    """,
+)
+def q214(spark, sf_dir):
+    """Index DELETION without rebuild (the embedding tier's
+    right-to-be-forgotten path): remove_vectors takes a deletion-
+    vector commit on the codes table — no uint8 file rewritten — and
+    the SAME queries are served at the pre-delete version (removed
+    ids still answer: history is immutable until vacuum) and at
+    latest (removed ids provably gone). Both eras brute-force-oracled
+    on the q199 construction; a DV that leaked a removed id into the
+    new version, or a version pin that lost one from the old, breaks
+    the hash. (Builder runs the build + delete; by-name exemption in
+    test_declaring_queries_runs_no_jobs.)"""
+    from ..operators import ann_index as AI
+
+    root = _ann_workdir("q214", sf_dir)
+    vecs = _ann_vecs(spark, sf_dir)
+    v1 = AI.build_ann_index(
+        spark, root, vecs, codebooks=_ANN_BOOKS, centroids=_ANN_CENTS
+    )
+    AI.remove_vectors(spark, root, [4, 5, 6, 7])
+    queries = vecs.filter(F.col("vec_id") < 8)
+    at_v1 = AI.query_ann_index(
+        spark, root, queries, k=3, n_probe=2, version=v1
+    ).withColumn("ver", F.lit(1))
+    at_v2 = AI.query_ann_index(
+        spark, root, queries, k=3, n_probe=2
+    ).withColumn("ver", F.lit(2))
+    return (
+        at_v1.unionByName(at_v2)
+        .select("ver", "query_id", "rank", "neighbor_id", "adc_score")
+        .orderBy("ver", "query_id", "rank")
+    )

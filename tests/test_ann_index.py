@@ -219,3 +219,43 @@ def test_error_paths(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="query dim"):
         AI.query_ann_index(spark, root, bad, k=3)
+
+
+def test_remove_vectors_deletion_vector_path(spark, tmp_path):
+    from django_datastream_spark import txnlog as TL
+
+    root = str(tmp_path / "idx")
+    vecs = _orthocell_vecs(spark)
+    v1 = AI.build_ann_index(
+        spark, root, vecs, codebooks=BOOKS, centroids=CENTS
+    )
+    queries = vecs.filter(F.col("vec_id") < 8)
+    before = AI.query_ann_index(spark, root, queries, k=3, n_probe=2)
+    gone = {
+        r["neighbor_id"] for r in before.filter(F.col("rank") == 1).collect()
+    }
+    v2 = AI.remove_vectors(spark, root, sorted(gone))
+    assert v2 == v1 + 1
+    # no uint8 file was rewritten: the delete is a deletion vector
+    _, files_before = TL.snapshot(AI.codes_root(root), v1)
+    _, files_after = TL.snapshot(AI.codes_root(root), v2)
+    assert files_before <= files_after  # only DV sidecars added
+    after = AI.query_ann_index(spark, root, queries, k=3, n_probe=2)
+    hit = {r["neighbor_id"] for r in after.collect()}
+    assert not (hit & gone)  # removed ids never come back
+    # equivalent to an index built without them
+    root2 = str(tmp_path / "ref")
+    AI.build_ann_index(
+        spark, root2,
+        vecs.filter(~F.col("vec_id").isin(sorted(gone))),
+        codebooks=BOOKS, centroids=CENTS,
+    )
+    want = AI.query_ann_index(spark, root2, queries, k=3, n_probe=2)
+    assert _rows(after) == _rows(want)
+    # time travel to pre-delete still serves the removed ids
+    at_v1 = AI.query_ann_index(
+        spark, root, queries, k=3, n_probe=2, version=v1
+    )
+    assert _rows(at_v1) == _rows(before)
+    # empty removal is a no-op version-wise
+    assert AI.remove_vectors(spark, root, []) == v2
