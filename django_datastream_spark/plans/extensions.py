@@ -10207,3 +10207,44 @@ def q214(spark, sf_dir):
         .select("ver", "query_id", "rank", "neighbor_id", "adc_score")
         .orderBy("ver", "query_id", "rank")
     )
+
+
+@_declare(
+    "q215_iceberg_changes",
+    """
+    SELECT CAST(1 AS INT) snap, doc_id, ROUND(doc_id * 0.5, 4) val
+    FROM documents WHERE doc_id < 200
+    UNION ALL
+    SELECT CAST(2 AS INT) snap, doc_id,
+           ROUND(CASE WHEN doc_id < 200 THEN doc_id * 0.5 + 1000
+                      ELSE doc_id * 0.5 END, 4) val
+    FROM documents
+    WHERE (doc_id < 200 AND doc_id % 4 = 0)
+       OR (doc_id >= 200 AND doc_id < 300)
+    ORDER BY snap, doc_id
+    """,
+)
+def q215(spark, sf_dir):
+    """INCREMENTAL Iceberg consumption (q210's twin, via the spec's
+    own bookkeeping: ADDED-status manifest entries attributed by
+    snapshot id): snapshot 1's adds stream in full; snapshot 2 — a
+    rewrite — fails closed by default (pinned by test) and under
+    explicit on_remove='ignore' streams ONLY its ADDED files (the
+    bumped rewrite + the appended ids), never re-emitting the
+    EXISTING carried-over entries. Both eras closed-form oracled.
+    (Builder writes the fixture tree; by-name exemption in
+    test_declaring_queries_runs_no_jobs.)"""
+    from ..sources import iceberg as IB
+
+    root = _iceberg_fixture(spark, sf_dir, "q215")
+    s1 = IB.iceberg_changes(spark, root, None, 1).select(
+        F.lit(1).alias("snap"), "doc_id",
+        F.round("val", 4).alias("val"),
+    )
+    s2 = IB.iceberg_changes(
+        spark, root, 1, on_remove="ignore"
+    ).select(
+        F.lit(2).alias("snap"), "doc_id",
+        F.round("val", 4).alias("val"),
+    )
+    return s1.unionByName(s2).orderBy("snap", "doc_id")

@@ -286,3 +286,30 @@ def test_adopt_iceberg_zero_copy(spark, tmp_path):
     _build_table(root2)
     with pytest.raises(ValueError, match="txn_root == iceberg_root"):
         IB.adopt_iceberg(spark, root2, str(tmp_path / "x"))
+
+
+def test_iceberg_changes_incremental(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _build_table(root)
+    # from the beginning through s1: exactly A+B, tagged snapshot 1
+    ch = IB.iceberg_changes(spark, root, None, 1)
+    rows = sorted(
+        (r["doc_id"], r["_snapshot_id"]) for r in ch.collect()
+    )
+    assert rows == [(i, 1) for i in range(10)]
+    # s2 deletes B: fail closed by default...
+    with pytest.raises(ValueError, match="rewrites"):
+        IB.iceberg_changes(spark, root, 1)
+    # ...and under ignore semantics stream its ADDED file only
+    ch2 = IB.iceberg_changes(spark, root, 1, on_remove="ignore")
+    got = sorted(
+        (r["doc_id"], r["_snapshot_id"]) for r in ch2.collect()
+    )
+    assert got == [(i, 2) for i in range(10, 15)]
+    # EXISTING entries (A carried into s2) are NOT re-emitted
+    assert not any(d < 5 for d, _ in got)
+    # empty range: typed empty frame
+    empty = IB.iceberg_changes(spark, root, 2)
+    assert empty.count() == 0 and "_snapshot_id" in empty.columns
+    with pytest.raises(ValueError, match="no snapshot 9"):
+        IB.iceberg_changes(spark, root, 9)

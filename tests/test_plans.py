@@ -105,7 +105,8 @@ def test_declaring_queries_runs_no_jobs(spark):
               # q211-q212 write the Iceberg fixture tree (metadata
               # JSON + avro manifests) before reading it
               "q211_iceberg_read", "q212_iceberg_time_travel",
-              "q213_iceberg_adopt", "q214_ann_index_remove"}
+              "q213_iceberg_adopt", "q214_ann_index_remove",
+              "q215_iceberg_changes"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
