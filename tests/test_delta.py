@@ -10,6 +10,8 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as hst
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType, IntegerType, LongType, StructField, StructType,
@@ -346,3 +348,50 @@ def test_read_delta_where_prunes_partitions(spark, tmp_path):
     assert keep == ["part=1/f3.parquet"]
     got = DL.read_delta(spark, root, where={"part": (1, 1)})
     assert sorted(r["doc_id"] for r in got.collect()) == [1, 3, 5, 7, 9]
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=hst.binary(max_size=200))
+def test_delta_total_on_garbage_log(tmp_path_factory, data):
+    """A garbage commit file fails closed (JSON/protocol errors), never
+    returns a wrong live set silently."""
+    root = str(tmp_path_factory.mktemp("g"))
+    os.makedirs(os.path.join(root, "_delta_log"), exist_ok=True)
+    with open(
+        os.path.join(root, "_delta_log", f"{0:020d}.json"), "wb"
+    ) as f:
+        f.write(data)
+    try:
+        DL.delta_snapshot(root)
+    except (DL.DeltaUnsupportedError, ValueError, KeyError,
+            TypeError, AttributeError, UnicodeDecodeError):
+        pass
+
+
+def test_delta_multipart_checkpoint_read(spark, tmp_path):
+    """Reader accepts the spec's multi-part checkpoint layout
+    ({v}.checkpoint.{i}.{n}.parquet) — split a fixture checkpoint's
+    rows across two parts and fold through them."""
+    import pyarrow.parquet as _pq
+
+    root = str(tmp_path / "t")
+    _build_hive_table(root)
+    before = _rows(DL.read_delta(spark, root))
+    DL.write_delta_checkpoint(root, 1)
+    log = os.path.join(root, "_delta_log")
+    single = os.path.join(log, f"{1:020d}.checkpoint.parquet")
+    tbl = _pq.read_table(single)
+    half = tbl.num_rows // 2
+    _pq.write_table(
+        tbl.slice(0, half),
+        os.path.join(log, f"{1:020d}.checkpoint.0000000001.0000000002.parquet"),
+    )
+    _pq.write_table(
+        tbl.slice(half),
+        os.path.join(log, f"{1:020d}.checkpoint.0000000002.0000000002.parquet"),
+    )
+    os.unlink(single)
+    # log cleanup below the checkpoint forces the multi-part fold
+    for v in (0, 1):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    assert _rows(DL.read_delta(spark, root)) == before

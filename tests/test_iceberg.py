@@ -9,6 +9,8 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as hst
 
 from django_datastream_spark.sources import avro_lite as AV
 from django_datastream_spark.sources import iceberg as IB
@@ -313,3 +315,32 @@ def test_iceberg_changes_incremental(spark, tmp_path):
     assert empty.count() == 0 and "_snapshot_id" in empty.columns
     with pytest.raises(ValueError, match="no snapshot 9"):
         IB.iceberg_changes(spark, root, 9)
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=hst.binary(max_size=300))
+def test_avro_reader_total_on_garbage(data):
+    """Totality: arbitrary bytes (raw, and wrapped in a valid magic)
+    either parse or raise AvroError/ValueError — never hang, never
+    leak a foreign exception type."""
+    for payload in (data, b"Obj\x01" + data):
+        try:
+            AV.read_container(payload)
+        except (AV.AvroError, ValueError):
+            pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=hst.binary(max_size=200))
+def test_iceberg_total_on_garbage_metadata(spark, tmp_path_factory, data):
+    root = str(tmp_path_factory.mktemp("g"))
+    os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+    with open(
+        os.path.join(root, "metadata", "v1.metadata.json"), "wb"
+    ) as f:
+        f.write(data)
+    try:
+        IB.iceberg_live_files(root)
+    except (IB.IcebergUnsupportedError, ValueError, KeyError,
+            TypeError, AttributeError, OSError):
+        pass  # fail closed on any malformed metadata, never wrong rows
