@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import struct
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -191,10 +192,15 @@ def iceberg_snapshots(root: str) -> list[dict]:
 
 
 def iceberg_live_files(
-    root: str, snapshot_id: int | None = None
+    root: str, snapshot_id: int | None = None,
+    where: dict | None = None,
 ) -> tuple[dict, list[str]]:
     """(metadata, live data-file paths) at a snapshot (default:
-    current). One pass over the snapshot's complete manifest list."""
+    current). One pass over the snapshot's complete manifest list.
+    ``where={col: (lo, hi)}`` prunes files through the manifests'
+    recorded lower/upper bounds (spec Appendix D single-value binary,
+    decoded per the column's declared type) — Iceberg's own data
+    skipping, conservative: missing/unmapped bounds keep the file."""
     md = iceberg_metadata(root)
     snaps = md.get("snapshots", [])
     if not snaps:
@@ -233,22 +239,70 @@ def iceberg_live_files(
                 raise IcebergUnsupportedError(
                     f"file_format {fmt} not supported"
                 )
+            if where and not _entry_may_match(df, where, md):
+                continue
             files.append(_resolve(root, md, df["file_path"]))
     return md, sorted(set(files))
 
 
+def _bounds_dict(raw) -> dict:
+    if isinstance(raw, list):
+        return {e["key"]: e["value"] for e in raw}
+    return raw or {}
+
+
+def _entry_may_match(df: dict, where: dict, md: dict) -> bool:
+    """Conservative keep test against a data_file's recorded bounds:
+    False only when the bounds PROVE no row satisfies every range."""
+    fields = {
+        f["name"]: (f["id"], f["type"])
+        for f in _current_schema(md)["fields"]
+        if isinstance(f["type"], str)
+    }
+    lo_map = _bounds_dict(df.get("lower_bounds"))
+    hi_map = _bounds_dict(df.get("upper_bounds"))
+    for col, (lo, hi) in where.items():
+        if col not in fields:
+            continue
+        fid, typ = fields[col]
+        f_lo = (
+            _decode_bound(lo_map[fid], typ) if fid in lo_map else None
+        )
+        f_hi = (
+            _decode_bound(hi_map[fid], typ) if fid in hi_map else None
+        )
+        if lo is not None and f_hi is not None and f_hi < lo:
+            return False  # whole file below the range
+        if hi is not None and f_lo is not None and f_lo > hi:
+            return False  # whole file above the range
+    return True
+
+
 def read_iceberg(
-    spark: SparkSession, root: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    root: str,
+    snapshot_id: int | None = None,
+    where: dict | None = None,
 ) -> DataFrame:
     """The Iceberg snapshot as a DataFrame under the table's declared
-    schema (data files carry every column — plain parquet scan)."""
-    md, files = iceberg_live_files(root, snapshot_id)
+    schema (data files carry every column — plain parquet scan).
+    ``where={col: (lo, hi)}`` enables manifest-bounds DATA SKIPPING
+    (see :func:`iceberg_live_files`); the bounds re-apply as row
+    filters so the result equals filtering a full read."""
+    md, files = iceberg_live_files(root, snapshot_id, where=where)
     schema = iceberg_schema(md)
     if not files:
         from ..storage import local_rows_df
 
         return local_rows_df(spark, [], schema)
-    return spark.read.schema(schema).parquet(*files).select(
+    df = spark.read.schema(schema).parquet(*files)
+    if where:
+        for col, (lo, hi) in where.items():
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+    return df.select(
         *[F.col(f.name) for f in schema.fields]
     )
 
@@ -270,6 +324,23 @@ _MANIFEST_LIST_SCHEMA = {
     ],
 }
 
+# bounds maps are int-keyed (field id -> single-value binary), which
+# avro models as array<record{key, value}> (the spec's k*_v* shape)
+_BOUNDS_T = [
+    "null",
+    {
+        "type": "array",
+        "items": {
+            "type": "record",
+            "name": "kv",
+            "fields": [
+                {"name": "key", "type": "int"},
+                {"name": "value", "type": "bytes"},
+            ],
+        },
+    },
+]
+
 _MANIFEST_SCHEMA = {
     "type": "record",
     "name": "manifest_entry",
@@ -287,6 +358,8 @@ _MANIFEST_SCHEMA = {
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "lower_bounds", "type": _BOUNDS_T},
+                    {"name": "upper_bounds", "type": _BOUNDS_T},
                 ],
             },
         },
@@ -294,15 +367,107 @@ _MANIFEST_SCHEMA = {
 }
 
 
+def _encode_bound(v, iceberg_type: str) -> bytes | None:
+    """Spec Appendix D single-value binary serialization (the subset
+    this reader prunes on)."""
+    if v is None:
+        return None
+    if iceberg_type in ("int",):
+        return struct.pack("<i", int(v))
+    if iceberg_type in ("long", "date"):
+        return (
+            struct.pack("<q", int(v))
+            if iceberg_type == "long"
+            else struct.pack("<i", int(v))
+        )
+    if iceberg_type == "float":
+        return struct.pack("<f", float(v))
+    if iceberg_type == "double":
+        return struct.pack("<d", float(v))
+    if iceberg_type == "string":
+        return str(v).encode("utf-8")
+    return None
+
+
+def _decode_bound(raw: bytes, iceberg_type: str):
+    try:
+        if iceberg_type == "int" or iceberg_type == "date":
+            return struct.unpack("<i", raw)[0]
+        if iceberg_type == "long":
+            return struct.unpack("<q", raw)[0]
+        if iceberg_type == "float":
+            return struct.unpack("<f", raw)[0]
+        if iceberg_type == "double":
+            return struct.unpack("<d", raw)[0]
+        if iceberg_type == "string":
+            return raw.decode("utf-8")
+    except (struct.error, UnicodeDecodeError):
+        return None
+    return None  # unmapped type: never prune on it
+
+
+def _footer_bounds(full: str, fields: list[dict]) -> tuple:
+    """(lower_bounds, upper_bounds) kv-lists from a parquet footer for
+    the mapped primitive columns — what a real Iceberg writer stamps."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(full).metadata
+    except Exception:
+        return None, None
+    by_name = {
+        f["name"]: (f["id"], f["type"])
+        for f in fields
+        if isinstance(f["type"], str)
+    }
+    lo: dict[int, bytes] = {}
+    hi: dict[int, bytes] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in by_name or col.statistics is None:
+                continue
+            st = col.statistics
+            if not st.has_min_max:
+                continue
+            fid, typ = by_name[name]
+            lo_b = _encode_bound(st.min, typ)
+            hi_b = _encode_bound(st.max, typ)
+            if lo_b is None or hi_b is None:
+                continue
+            cur_lo = lo.get(fid)
+            if cur_lo is None or _decode_bound(lo_b, typ) < _decode_bound(
+                cur_lo, typ
+            ):
+                lo[fid] = lo_b
+            cur_hi = hi.get(fid)
+            if cur_hi is None or _decode_bound(hi_b, typ) > _decode_bound(
+                cur_hi, typ
+            ):
+                hi[fid] = hi_b
+    tolist = lambda d: (  # noqa: E731
+        [{"key": k, "value": v} for k, v in sorted(d.items())] or None
+    )
+    return tolist(lo), tolist(hi)
+
+
 def write_manifest(
     root: str, name: str, entries: list[tuple[int, str]],
     snapshot_id: int, codec: str = "deflate",
+    schema_fields: list[dict] | None = None,
 ) -> str:
-    """entries: (status, table-relative data path). Returns the
-    manifest's absolute path."""
+    """entries: (status, table-relative data path). When
+    ``schema_fields`` is given, per-file lower/upper bounds are
+    computed from the parquet footers and stamped (what a real
+    Iceberg writer records). Returns the manifest's absolute path."""
     recs = []
     for status, rel in entries:
         full = os.path.join(root, rel)
+        lo = hi = None
+        if schema_fields and os.path.exists(full):
+            lo, hi = _footer_bounds(full, schema_fields)
         recs.append(
             {
                 "status": status,
@@ -317,6 +482,8 @@ def write_manifest(
                         if os.path.exists(full)
                         else 0
                     ),
+                    "lower_bounds": lo,
+                    "upper_bounds": hi,
                 },
             }
         )

@@ -344,3 +344,45 @@ def test_iceberg_total_on_garbage_metadata(spark, tmp_path_factory, data):
     except (IB.IcebergUnsupportedError, ValueError, KeyError,
             TypeError, AttributeError, OSError):
         pass  # fail closed on any malformed metadata, never wrong rows
+
+
+def test_iceberg_where_prunes_via_manifest_bounds(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _data(root, "data/lo.parquet", range(0, 10))
+    _data(root, "data/mid.parquet", range(10, 20))
+    _data(root, "data/hi.parquet", range(20, 30))
+    IB.write_manifest(
+        root, "m1.avro",
+        [(1, "data/lo.parquet"), (1, "data/mid.parquet"),
+         (1, "data/hi.parquet")],
+        1, schema_fields=FIELDS,
+    )
+    IB.write_manifest_list(root, "snap-1.avro", ["m1.avro"], 1)
+    IB.write_metadata(
+        root, 1, FIELDS,
+        [{"snapshot-id": 1, "manifest-list": "metadata/snap-1.avro"}],
+        current_snapshot_id=1,
+    )
+    # file-level pruning decision
+    _md, files = IB.iceberg_live_files(root, where={"doc_id": (12, 22)})
+    assert [os.path.basename(f) for f in files] == [
+        "hi.parquet", "mid.parquet"
+    ]
+    # and the read equals filtering a full read
+    got = IB.read_iceberg(spark, root, where={"doc_id": (12, 22)})
+    assert sorted(r["doc_id"] for r in got.collect()) == list(
+        range(12, 23)
+    )
+    # double bounds prune too (val = doc_id * 0.5)
+    _md, files2 = IB.iceberg_live_files(root, where={"val": (None, 2.0)})
+    assert [os.path.basename(f) for f in files2] == ["lo.parquet"]
+    # manifests WITHOUT bounds stay conservative (everything kept)
+    root2 = str(tmp_path / "u")
+    _build_table(root2)
+    _md2, all_files = IB.iceberg_live_files(
+        root2, where={"doc_id": (100, 200)}
+    )
+    assert len(all_files) == 2  # nothing pruned, filter is residual
+    assert IB.read_iceberg(
+        spark, root2, where={"doc_id": (100, 200)}
+    ).count() == 0
