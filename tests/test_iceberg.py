@@ -386,3 +386,72 @@ def test_iceberg_where_prunes_via_manifest_bounds(spark, tmp_path):
     assert IB.read_iceberg(
         spark, root2, where={"doc_id": (100, 200)}
     ).count() == 0
+
+
+# recursive schema+value strategy: every avro_lite type constructor
+_PRIM_STRATS = {
+    "boolean": hst.booleans(),
+    "int": hst.integers(-2**31, 2**31 - 1),
+    "long": hst.integers(-2**63, 2**63 - 1),
+    "double": hst.floats(allow_nan=False, allow_infinity=False),
+    "string": hst.text(max_size=20),
+    "bytes": hst.binary(max_size=20),
+}
+
+
+def _schema_and_value(depth=0):
+    prims = hst.sampled_from(sorted(_PRIM_STRATS))
+    if depth >= 2:
+        return prims.map(lambda t: (t, _PRIM_STRATS[t]))
+    sub = hst.deferred(lambda: _schema_and_value(depth + 1))
+
+    def mk_record(subs):
+        fields = [
+            {"name": f"f{i}", "type": s} for i, (s, _) in enumerate(subs)
+        ]
+        vals = hst.tuples(*[v for _, v in subs]).map(
+            lambda t: {f"f{i}": x for i, x in enumerate(t)}
+        )
+        return (
+            {"type": "record",
+             "name": f"r{depth}_{len(subs)}", "fields": fields},
+            vals,
+        )
+
+    return hst.one_of(
+        prims.map(lambda t: (t, _PRIM_STRATS[t])),
+        sub.map(lambda sv: (
+            {"type": "array", "items": sv[0]},
+            hst.lists(sv[1], max_size=4),
+        )),
+        sub.map(lambda sv: (
+            {"type": "map", "values": sv[0]},
+            hst.dictionaries(hst.text(max_size=8), sv[1], max_size=4),
+        )),
+        sub.map(lambda sv: (
+            ["null", sv[0]],
+            hst.one_of(hst.none(), sv[1]),
+        )),
+        hst.lists(sub, min_size=1, max_size=3).map(mk_record),
+    )
+
+
+@settings(max_examples=120, deadline=None)
+@given(data=hst.data())
+def test_avro_roundtrip_generated_schemas(data):
+    """Property: ANY schema avro_lite can express round-trips any
+    value of that schema, through the full container layer, both
+    codecs."""
+    schema, val_strat = data.draw(_schema_and_value())
+    recs = data.draw(hst.lists(val_strat, max_size=5))
+    wrapper = {
+        "type": "record",
+        "name": "top",
+        "fields": [{"name": "v", "type": schema}],
+    }
+    rows = [{"v": r} for r in recs]
+    codec = data.draw(hst.sampled_from(["null", "deflate"]))
+    out = AV.write_container(wrapper, rows, codec=codec)
+    got_schema, got = AV.read_container(out)
+    assert got_schema == wrapper
+    assert got == rows
