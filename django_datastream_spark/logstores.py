@@ -91,7 +91,21 @@ class SqliteCoordinatedLogStore(LogStore):
 
     # -- LogStore interface -------------------------------------------
     def put_if_absent(self, path: str, data: bytes) -> None:
-        # fast-path check (optimization only — the claim decides)
+        # A canonical object with NO claim row predates this
+        # coordinator database (a table first written via
+        # LocalLogStore, or a recreated DB) — the claim insert would
+        # succeed and publish would OVERWRITE a committed version
+        # (a silently lost commit). Fail closed instead: between
+        # writers sharing ONE coordinator DB the claim alone decides,
+        # so this check only ever fires on out-of-band objects.
+        # Deployment rule (documented): a coordinator DB must live as
+        # long as the objects it guards.
+        with self._db() as con:
+            claimed = con.execute(
+                "SELECT 1 FROM claims WHERE path = ?", (path,)
+            ).fetchone()
+        if claimed is None and os.path.exists(path):
+            raise FileExistsError(path)
         staged = f"{path}.staged-{uuid.uuid4().hex}"
         self._put_object(staged, data)  # COMPLETE before the claim
         if self.fail_after_stage:

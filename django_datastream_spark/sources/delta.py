@@ -79,18 +79,45 @@ def _commit_versions(root: str) -> list[int]:
 def _checkpoint_parts(root: str, v: int) -> list[str]:
     """Checkpoint file(s) for version v: classic single-file
     ``{v}.checkpoint.parquet`` or multi-part
-    ``{v}.checkpoint.{i}.{n}.parquet``."""
+    ``{v}.checkpoint.{i}.{n}.parquet``. Multi-part sets are VALIDATED
+    against the part count encoded in the names — a cleaned-up or
+    half-written set must not fold silently as a partial snapshot
+    (it would drop live files); an incomplete set raises and the
+    caller falls back to the pure-JSON fold (or fails closed when the
+    tail was cleaned up past the checkpoint)."""
+    import re as _re
+
     log = _log_dir(root)
     single = os.path.join(log, f"{v:020d}.checkpoint.parquet")
     if os.path.exists(single):
         return [single]
-    parts = sorted(
-        os.path.join(log, n)
-        for n in os.listdir(log)
-        if n.startswith(f"{v:020d}.checkpoint.")
-        and n.endswith(".parquet")
+    by_n: dict[int, dict[int, str]] = {}
+    pat = _re.compile(
+        rf"{v:020d}\.checkpoint\.(\d+)\.(\d+)\.parquet\Z"
     )
-    return parts
+    stray = []
+    for name in os.listdir(log):
+        m = pat.match(name)
+        if m:
+            i, n = int(m.group(1)), int(m.group(2))
+            by_n.setdefault(n, {})[i] = os.path.join(log, name)
+        elif name.startswith(f"{v:020d}.checkpoint.") and name.endswith(
+            ".parquet"
+        ):
+            stray.append(name)
+    for n, parts in sorted(by_n.items()):
+        if set(parts) == set(range(1, n + 1)):
+            return [parts[i] for i in range(1, n + 1)]
+    if by_n or stray:
+        # recoverable (ValueError, not DeltaUnsupportedError): the
+        # caller falls back to the pure-JSON fold when the tail covers
+        raise ValueError(
+            f"{root}: multi-part checkpoint {v} is incomplete "
+            f"(found parts {sorted((i, n) for n, d in by_n.items() for i in d)}"
+            f"{' + unparseable ' + str(stray) if stray else ''}) — "
+            "refusing to fold a partial snapshot"
+        )
+    return []
 
 
 def _last_checkpoint_version(root: str, version: int | None) -> int | None:
@@ -185,17 +212,29 @@ def delta_snapshot(
     versions = _commit_versions(root)
     if not versions and _last_checkpoint_version(root, None) is None:
         raise DeltaUnsupportedError(f"{root}: empty _delta_log")
-    head = (versions[-1] if versions else None) if version is None else version
+    head_avail = max(
+        versions + [c for c in [_last_checkpoint_version(root, None)]
+                    if c is not None]
+    )
+    if version is not None and version > head_avail:
+        # Delta raises on a pin past the newest commit — a clamped
+        # read would silently change once that version lands
+        raise ValueError(
+            f"{root}: version {version} does not exist "
+            f"(newest is {head_avail})"
+        )
+    head = head_avail if version is None else version
     cp = _last_checkpoint_version(root, head)
-    if head is None:
-        head = cp
     usable = [v for v in versions if v <= head]
     if not usable and cp is None:
         raise ValueError(f"{root}: no commit ≤ version {head}")
     state: dict = {"files": {}, "metaData": None, "protocol": None}
     start = 0
     if cp is not None:
-        parts = _checkpoint_parts(root, cp)
+        try:
+            parts = _checkpoint_parts(root, cp)
+        except ValueError:
+            parts = []  # incomplete multi-part set: try the JSON fold
         if parts:
             try:
                 _fold_checkpoint(state, parts)
@@ -206,6 +245,16 @@ def delta_snapshot(
                 # corrupt checkpoint: the JSON log is self-sufficient
                 state = {"files": {}, "metaData": None, "protocol": None}
                 start = 0
+    # the fold range must be contiguous in the JSON log — a cleaned-up
+    # commit inside it means the snapshot CANNOT be reconstructed
+    gap = [v for v in range(start, head + 1) if v not in set(versions)]
+    if gap:
+        raise DeltaUnsupportedError(
+            f"{root}: commits {gap[:5]}{'…' if len(gap) > 5 else ''} "
+            f"missing from the JSON log (fold range {start}..{head}) — "
+            "checkpoint unusable and tail cleaned up; snapshot "
+            "unreconstructable"
+        )
     for v in versions:
         if v < start or v > head:
             continue
@@ -388,7 +437,7 @@ def delta_versions(root: str) -> list[int]:
 def delta_changes(
     spark: SparkSession,
     root: str,
-    from_version: int,
+    from_version: int | None,
     to_version: int | None = None,
     on_remove: str = "error",
 ) -> DataFrame:
@@ -407,13 +456,20 @@ def delta_changes(
     skips them (the consumer accepts possible re-emission semantics
     upstream). The JSON commits for the range must still exist — a
     range cleaned up past a checkpoint raises, the same contract as
-    Delta CDF past retention."""
+    Delta CDF past retention.
+
+    ``from_version=None`` (or ``-1``) consumes FROM THE BEGINNING —
+    commit 0 (the table-creating commit, which carries the initial
+    adds) is part of the feed, mirroring
+    :func:`.iceberg.iceberg_changes`'s ``from_snapshot=None``."""
     if on_remove not in ("error", "ignore"):
         raise ValueError(f"on_remove={on_remove!r}")
+    if from_version is None:
+        from_version = -1
     versions = _commit_versions(root)
     head = max(versions) if versions else -1
     to_v = head if to_version is None else to_version
-    if not 0 <= from_version <= to_v <= head:
+    if not -1 <= from_version <= to_v <= head:
         raise ValueError(
             f"bad version range ({from_version}, {to_v}] with head {head}"
         )

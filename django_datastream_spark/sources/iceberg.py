@@ -525,7 +525,26 @@ def write_metadata(
     snapshots: list[dict],
     current_snapshot_id: int | None,
 ) -> None:
-    """snapshots: [{"snapshot-id": n, "manifest-list": relpath}]."""
+    """snapshots: [{"snapshot-id": n, "manifest-list": relpath}]
+    oldest→newest. What real writers maintain is stamped too: each
+    snapshot's ``parent-snapshot-id`` (list order, unless the entry
+    carries an explicit one) and the chronological ``snapshot-log`` —
+    the lineage bookkeeping :func:`_lineage_chain` orders history by
+    (snapshot ids themselves are random longs in the wild)."""
+    snaps_out = []
+    prev_id = None
+    for i, s in enumerate(snapshots):
+        entry = {
+            "snapshot-id": s["snapshot-id"],
+            "timestamp-ms": s.get("timestamp-ms", i),
+            "manifest-list": s["manifest-list"],
+            "summary": {"operation": s.get("operation", "append")},
+        }
+        parent = s.get("parent-snapshot-id", prev_id)
+        if parent is not None:
+            entry["parent-snapshot-id"] = parent
+        snaps_out.append(entry)
+        prev_id = s["snapshot-id"]
     md = {
         "format-version": 2,
         "table-uuid": "00000000-0000-0000-0000-000000000000",
@@ -544,14 +563,13 @@ def write_metadata(
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": []}],
         "current-snapshot-id": current_snapshot_id,
-        "snapshots": [
+        "snapshots": snaps_out,
+        "snapshot-log": [
             {
+                "timestamp-ms": s.get("timestamp-ms", i),
                 "snapshot-id": s["snapshot-id"],
-                "timestamp-ms": s.get("timestamp-ms", 0),
-                "manifest-list": s["manifest-list"],
-                "summary": {"operation": s.get("operation", "append")},
             }
-            for s in snapshots
+            for i, s in enumerate(snapshots)
         ],
     }
     os.makedirs(_meta_dir(root), exist_ok=True)
@@ -614,6 +632,53 @@ def adopt_iceberg(
     )
 
 
+def _lineage_chain(md: dict, to_sid: int) -> list[dict]:
+    """Snapshots oldest→newest along the LINEAGE ending at ``to_sid``.
+
+    Real Iceberg snapshot ids are random longs (not monotonic), so
+    history order must come from the spec's own bookkeeping, never a
+    numeric sort: primarily each snapshot's ``parent-snapshot-id``
+    chain; for (v1) metadata whose snapshots carry no parent ids at
+    all, the metadata's ``snapshot-log`` (the chronological list
+    writers maintain). A table exposing neither raises — guessing an
+    order would silently drop or double-count snapshots."""
+    by_id = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+    if to_sid not in by_id:
+        raise ValueError(f"no snapshot {to_sid}")
+    any_parent = any(
+        "parent-snapshot-id" in s and s["parent-snapshot-id"] is not None
+        for s in by_id.values()
+    )
+    if any_parent:
+        chain, seen = [], set()
+        cur = by_id[to_sid]
+        while True:
+            sid = cur["snapshot-id"]
+            if sid in seen:
+                raise IcebergUnsupportedError(
+                    f"parent-snapshot-id cycle at {sid}"
+                )
+            seen.add(sid)
+            chain.append(cur)
+            parent = cur.get("parent-snapshot-id")
+            if parent is None or parent not in by_id:
+                break  # root, or parent expired out of the metadata
+            cur = by_id[parent]
+        chain.reverse()
+        return chain
+    log = md.get("snapshot-log") or []
+    ordered = [
+        e["snapshot-id"] for e in log if e.get("snapshot-id") in by_id
+    ]
+    if ordered and to_sid in ordered:
+        return [by_id[s] for s in ordered[: ordered.index(to_sid) + 1]]
+    raise IcebergUnsupportedError(
+        "metadata has neither parent-snapshot-id chains nor a usable "
+        "snapshot-log — snapshot history order is undeterminable "
+        "(snapshot ids are random longs, not a timeline)"
+    )
+
+
 def iceberg_changes(
     spark: SparkSession,
     root: str,
@@ -637,21 +702,27 @@ def iceberg_changes(
     if on_remove not in ("error", "ignore"):
         raise ValueError(f"on_remove={on_remove!r}")
     md = iceberg_metadata(root)
-    snaps = sorted(
-        md.get("snapshots", []), key=lambda s: s["snapshot-id"]
-    )
-    ids = [s["snapshot-id"] for s in snaps]
+    ids = [s["snapshot-id"] for s in md.get("snapshots", [])]
     if to_snapshot is None:
         to_snapshot = md.get("current-snapshot-id")
-    take = [
-        s for s in snaps
-        if (from_snapshot is None or s["snapshot-id"] > from_snapshot)
-        and s["snapshot-id"] <= to_snapshot
-    ]
-    if from_snapshot is not None and from_snapshot not in ids:
-        raise ValueError(f"{root}: no snapshot {from_snapshot}")
     if to_snapshot not in ids:
         raise ValueError(f"{root}: no snapshot {to_snapshot}")
+    # history order comes from the lineage chain (parent ids /
+    # snapshot-log) — snapshot ids are random longs, never sortable
+    chain = _lineage_chain(md, to_snapshot)
+    if from_snapshot is None:
+        take = chain
+    else:
+        if from_snapshot not in ids:
+            raise ValueError(f"{root}: no snapshot {from_snapshot}")
+        chain_ids = [s["snapshot-id"] for s in chain]
+        if from_snapshot not in chain_ids:
+            raise ValueError(
+                f"{root}: snapshot {from_snapshot} is not an ancestor "
+                f"of {to_snapshot} — the incremental range is not a "
+                "lineage segment (branch/rollback in between)"
+            )
+        take = chain[chain_ids.index(from_snapshot) + 1 :]
     schema = iceberg_schema(md)
     pieces = []
     for s in take:

@@ -395,3 +395,66 @@ def test_delta_multipart_checkpoint_read(spark, tmp_path):
     for v in (0, 1):
         os.unlink(os.path.join(log, f"{v:020d}.json"))
     assert _rows(DL.read_delta(spark, root)) == before
+
+
+def test_incomplete_multipart_checkpoint(spark, tmp_path):
+    """A multi-part checkpoint missing a part must NEVER fold as a
+    partial snapshot: with the JSON tail intact it falls back to the
+    pure-JSON fold; with the tail cleaned up it fails closed."""
+    import pyarrow.parquet as _pq
+
+    root = str(tmp_path / "t")
+    _build_hive_table(root)
+    before = _rows(DL.read_delta(spark, root))
+    DL.write_delta_checkpoint(root, 1)
+    log = os.path.join(root, "_delta_log")
+    single = os.path.join(log, f"{1:020d}.checkpoint.parquet")
+    tbl = _pq.read_table(single)
+    # only part 1 of 2 exists
+    _pq.write_table(
+        tbl.slice(0, tbl.num_rows // 2),
+        os.path.join(
+            log, f"{1:020d}.checkpoint.0000000001.0000000002.parquet"
+        ),
+    )
+    os.unlink(single)
+    with pytest.raises(ValueError, match="incomplete"):
+        DL._checkpoint_parts(root, 1)
+    # JSON log intact: the fold recovers through it
+    assert _rows(DL.read_delta(spark, root)) == before
+    # tail cleaned up past the (broken) checkpoint: fail closed
+    for v in (0, 1):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    with pytest.raises(DL.DeltaUnsupportedError, match="missing"):
+        DL.read_delta(spark, root)
+
+
+def test_version_past_head_raises(spark, tmp_path):
+    """A pin at a not-yet-existing version must raise (Delta's
+    contract), never clamp — a clamped read would silently change
+    once that version is later committed."""
+    root = str(tmp_path / "t")
+    _build_hive_table(root)
+    with pytest.raises(ValueError, match="does not exist"):
+        DL.delta_snapshot(root, version=99)
+    with pytest.raises(ValueError, match="does not exist"):
+        DL.read_delta(spark, root, version=3)
+    # the newest real version still pins fine
+    assert DL.delta_snapshot(root, version=2)[0] == 2
+
+
+def test_delta_changes_from_beginning(spark, tmp_path):
+    """from_version=None / -1 makes commit 0 (the table-creating
+    commit, carrying the initial adds) reachable through the feed."""
+    root = str(tmp_path / "t")
+    _build_hive_table(root)
+    for fv in (None, -1):
+        ch = DL.delta_changes(spark, root, fv, 1)
+        got = sorted(
+            (r["doc_id"], r["_commit_version"]) for r in ch.collect()
+        )
+        assert got == sorted(
+            [(i, 0) for i in range(10)] + [(10, 1), (12, 1)]
+        )
+    with pytest.raises(ValueError, match="bad version range"):
+        DL.delta_changes(spark, root, -2)

@@ -455,3 +455,82 @@ def test_avro_roundtrip_generated_schemas(data):
     got_schema, got = AV.read_container(out)
     assert got_schema == wrapper
     assert got == rows
+
+
+def _build_nonmonotonic_table(root):
+    """Same shape as _build_table but with REALISTIC snapshot ids:
+    random longs where the OLDER snapshot has the LARGER id, so any
+    numeric-sort ordering reads history backwards."""
+    s1, s2 = 9_000_000_000_000_000_002, 42
+    _data(root, "data/A.parquet", range(0, 5))
+    _data(root, "data/B.parquet", range(5, 10))
+    _data(root, "data/C.parquet", range(10, 15))
+    IB.write_manifest(
+        root, "m1.avro",
+        [(1, "data/A.parquet"), (1, "data/B.parquet")], s1,
+    )
+    IB.write_manifest_list(root, "snap-1.avro", ["m1.avro"], s1)
+    IB.write_manifest(root, "m3.avro", [(1, "data/C.parquet")], s2)
+    IB.write_manifest_list(
+        root, "snap-2.avro", ["m1.avro", "m3.avro"], s2
+    )
+    snaps = [
+        {"snapshot-id": s1, "manifest-list": "metadata/snap-1.avro"},
+        {"snapshot-id": s2, "manifest-list": "metadata/snap-2.avro"},
+    ]
+    IB.write_metadata(root, 2, FIELDS, snaps, current_snapshot_id=s2)
+    return s1, s2
+
+
+def test_changes_nonmonotonic_snapshot_ids(spark, tmp_path):
+    """Incremental consumption must order history by the LINEAGE
+    (parent-snapshot-id chain / snapshot-log), never by numeric
+    snapshot id — ids are random longs in real tables. Here the
+    older snapshot's id is numerically LARGER."""
+    root = str(tmp_path / "t")
+    s1, s2 = _build_nonmonotonic_table(root)
+    # from the beginning: both snapshots, in lineage order
+    ch = IB.iceberg_changes(spark, root, None)
+    got = sorted(
+        (r["doc_id"], r["_snapshot_id"]) for r in ch.collect()
+    )
+    assert got == sorted(
+        [(i, s1) for i in range(10)] + [(i, s2) for i in range(10, 15)]
+    )
+    # from s1 (the OLDER snapshot despite its larger id): only s2
+    ch2 = IB.iceberg_changes(spark, root, s1)
+    got2 = sorted(
+        (r["doc_id"], r["_snapshot_id"]) for r in ch2.collect()
+    )
+    assert got2 == [(i, s2) for i in range(10, 15)]
+    # s2 is NOT an ancestor of s1 — a reversed range must raise,
+    # not silently return an empty/backwards feed
+    with pytest.raises(ValueError, match="ancestor"):
+        IB.iceberg_changes(spark, root, s2, s1)
+
+
+def test_changes_requires_lineage_bookkeeping(spark, tmp_path):
+    """Metadata exposing NEITHER parent-snapshot-id chains NOR a
+    snapshot-log has no determinable history order — fail closed
+    instead of guessing (numeric order would be wrong)."""
+    root = str(tmp_path / "t")
+    _build_nonmonotonic_table(root)
+    mpath = os.path.join(root, "metadata", "v2.metadata.json")
+    with open(mpath) as f:
+        md = json.load(f)
+    md.pop("snapshot-log", None)
+    for s in md["snapshots"]:
+        s.pop("parent-snapshot-id", None)
+    with open(mpath, "w") as f:
+        json.dump(md, f)
+    with pytest.raises(IB.IcebergUnsupportedError, match="lineage|snapshot-log"):
+        IB.iceberg_changes(spark, root, None).collect()
+    # snapshot-log alone restores an order (v1-writer tables)
+    md["snapshot-log"] = [
+        {"timestamp-ms": 1, "snapshot-id": 9_000_000_000_000_000_002},
+        {"timestamp-ms": 2, "snapshot-id": 42},
+    ]
+    with open(mpath, "w") as f:
+        json.dump(md, f)
+    ch = IB.iceberg_changes(spark, root, 9_000_000_000_000_000_002)
+    assert sorted(r["doc_id"] for r in ch.collect()) == list(range(10, 15))

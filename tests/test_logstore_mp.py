@@ -267,3 +267,28 @@ def test_crash_after_claim_recovery_through_txn_fold(tmp_path):
         assert files == {"a.parquet", "b.parquet"}
     finally:
         TL.set_log_store(prev)
+
+
+def test_preexisting_canonical_object_fails_closed(tmp_path):
+    """A canonical object the coordinator DB has never heard of (a
+    table previously written via LocalLogStore, or a recreated DB)
+    must make put_if_absent FAIL, not silently overwrite a committed
+    version — the coordinator DB must live as long as the objects it
+    guards, and this check is the tripwire when it didn't."""
+    db = str(tmp_path / "coord.db")
+    target = str(tmp_path / "tbl" / "_txn" / "00000000000000000001.json")
+    os.makedirs(os.path.dirname(target))
+    with open(target, "wb") as f:
+        f.write(b"committed-elsewhere")
+    s = SqliteCoordinatedLogStore(db)
+    with pytest.raises(FileExistsError):
+        s.put_if_absent(target, b"usurper")
+    with open(target, "rb") as f:
+        assert f.read() == b"committed-elsewhere"
+    # but an object THIS coordinator published keeps the normal
+    # contract: second put raises, content is the first writer's
+    fresh = str(tmp_path / "tbl" / "_txn" / "00000000000000000002.json")
+    s.put_if_absent(fresh, b"first")
+    with pytest.raises(FileExistsError):
+        s.put_if_absent(fresh, b"second")
+    assert s.read(fresh) == b"first"
