@@ -28,13 +28,21 @@ raises; a ``remove`` carrying a deletion vector raises. Multi-part
 checkpoints are supported; a corrupt/unreadable checkpoint falls back
 to the pure-JSON fold (the log is self-sufficient).
 
-Scale notes: the fold is metadata-plane (one JSON parse per tail
-commit + one columnar checkpoint read — same shape as this engine's
-own txn fold); the data scan is one ``parquet`` load per PARTITION
-VALUE COMBINATION when the layout is not hive-style, but Delta
-writers emit hive-style paths (``p=1/part-….parquet``), detected here
-and read as ONE scan with ``basePath`` so Spark derives partition
-columns itself.
+Scale notes (mirrors the engine's own txn fold design,
+``txnlog.PARQUET_CHECKPOINT_AT`` / ``DISTRIBUTED_PRUNE_AT``): the
+checkpoint fold is COLUMNAR — add actions stay an Arrow table end to
+end (the tail's JSON commits fold as dicts, bounded by the checkpoint
+interval), so a 10⁵–10⁶-add snapshot resolves without materializing
+actions as driver Python objects; ``where=`` data skipping runs the
+per-file stats test as a DISTRIBUTED Spark job above
+:data:`DISTRIBUTED_PRUNE_AT` files, so only SURVIVING paths return to
+the driver. The data scan is one ``parquet`` load per PARTITION VALUE
+COMBINATION when the layout is not hive-style, but Delta writers emit
+hive-style paths (``p=1/part-….parquet``), detected here and read as
+ONE scan with ``basePath`` so Spark derives partition columns itself.
+(One ``spark.read.parquet(*paths)`` call carries the surviving file
+list — fine to ~10⁵ paths; past that, prune harder or adopt the table
+into the txn layer, whose scan is built for it.)
 """
 
 from __future__ import annotations
@@ -53,6 +61,42 @@ _SUPPORTED_READER_FEATURES = {
     # serve these (they don't change how adds/removes fold)
     "timestampNtz", "vacuumProtocolCheck", "v2Checkpoint",
 }
+
+#: snapshots with at least this many live adds run ``where=`` data
+#: skipping as a distributed Spark job (mirror of
+#: ``txnlog.DISTRIBUTED_PRUNE_AT``); below it, a driver loop is faster
+#: than a job launch.
+DISTRIBUTED_PRUNE_AT = 10_000
+
+
+def _adds_arrow_schema():
+    """Canonical Arrow layout for live add-actions — the columnar
+    in-memory form the fold produces (checkpoint columns cast into it,
+    JSON-tail adds appended into it)."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+            (
+                "deletionVector",
+                pa.struct(
+                    [
+                        ("storageType", pa.string()),
+                        ("pathOrInlineDv", pa.string()),
+                        ("offset", pa.int32()),
+                        ("sizeInBytes", pa.int32()),
+                        ("cardinality", pa.int64()),
+                    ]
+                ),
+            ),
+        ]
+    )
 
 
 class DeltaUnsupportedError(RuntimeError):
@@ -175,8 +219,14 @@ def _apply_action(state: dict, action: dict) -> None:
                 "deletion vectors not supported (add)"
             )
         state["files"][a["path"]] = a
+        state["tombstones"].discard(a["path"])
     elif "remove" in action:
-        state["files"].pop(action["remove"]["path"], None)
+        p = action["remove"]["path"]
+        state["files"].pop(p, None)
+        # the removed file may live in the CHECKPOINT's (columnar) add
+        # set rather than this dict — record the tombstone so the
+        # merge step can filter it out of the Arrow side too
+        state["tombstones"].add(p)
 
 
 def _demap(action: dict) -> dict:
@@ -191,24 +241,133 @@ def _demap(action: dict) -> dict:
     return out
 
 
-def _fold_checkpoint(state: dict, parts: list[str]) -> None:
+def _project_struct(arr, target):
+    """Cast a struct array onto ``target`` (a struct type): known
+    fields cast by NAME, missing fields null-fill, extra fields drop —
+    checkpoint writers add columns (tags, stats_parsed, …) freely, so
+    positional struct casts don't work."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    have = (
+        {f.name for f in arr.type} if pa.types.is_struct(arr.type) else set()
+    )
+    children = []
+    for f in target:
+        if f.name in have:
+            child = arr.field(f.name)
+            if pa.types.is_struct(f.type):
+                child = _project_struct(child, f.type)
+            elif not child.type.equals(f.type):
+                child = child.cast(f.type)
+            children.append(child)
+        else:
+            children.append(pa.nulls(len(arr), f.type))
+    mask = None
+    if arr.null_count:
+        mask = pc.is_null(arr)
+    return pa.StructArray.from_arrays(
+        children, fields=list(target), mask=mask
+    )
+
+
+def _fold_checkpoint_arrow(parts: list[str]):
+    """COLUMNAR checkpoint fold: (protocol, metaData, adds) where adds
+    is an Arrow table in the canonical layout. The checkpoint's add
+    rows are already the complete live set (its removes are tombstones
+    for files NOT in the add set), so no per-row fold is needed — and
+    the actions never materialize as driver Python objects, which is
+    the difference between milliseconds and minutes at 10⁵–10⁶ files."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    schema = _adds_arrow_schema()
+    proto = meta = None
+    chunks = []
     for p in parts:
-        tbl = pq.read_table(p)
-        cols = set(tbl.column_names)
-        rows = tbl.to_pylist()
-        for row in rows:
-            for key in ("protocol", "metaData", "add", "remove"):
-                if key in cols and row.get(key) is not None:
-                    _apply_action(state, {key: _demap(row[key])})
+        names = set(pq.ParquetFile(p).schema_arrow.names)
+        cols = [c for c in ("protocol", "metaData", "add") if c in names]
+        tbl = pq.read_table(p, columns=cols)
+        for key in ("protocol", "metaData"):
+            if key in names:
+                col = tbl.column(key).combine_chunks()
+                mask = pc.is_valid(col)
+                if pc.any(mask).as_py():
+                    # ≤ 1 row per checkpoint — a scalar materialize
+                    val = col.filter(mask).to_pylist()[0]
+                    if key == "protocol":
+                        proto = _demap(val)
+                    else:
+                        meta = _demap(val)
+        if "add" in names:
+            col = tbl.column("add").combine_chunks()
+            sub = col.filter(pc.is_valid(col))
+            if len(sub):
+                proj = _project_struct(sub, pa.struct(list(schema)))
+                chunks.append(
+                    pa.Table.from_arrays(
+                        [proj.field(i) for i in range(len(schema))],
+                        schema=schema,
+                    )
+                )
+    adds = (
+        pa.concat_tables(chunks)
+        if chunks
+        else pa.table(
+            {f.name: pa.nulls(0, f.type) for f in schema}, schema=schema
+        )
+    )
+    return proto, meta, adds
 
 
-def delta_snapshot(
-    root: str, version: int | None = None
-) -> tuple[int, dict, list[dict]]:
-    """(version, metaData, live add-actions) at ``version`` (default
-    latest). Fold = newest usable checkpoint ≤ version + JSON tail."""
+def _adds_from_dicts(adds: list[dict]):
+    """JSON-tail add actions (dicts) → the canonical Arrow layout."""
+    import pyarrow as pa
+
+    schema = _adds_arrow_schema()
+    dv_keys = [f.name for f in schema.field("deletionVector").type]
+    rows = []
+    for a in adds:
+        dv = a.get("deletionVector")
+        rows.append(
+            {
+                "path": a["path"],
+                "partitionValues": sorted(
+                    (a.get("partitionValues") or {}).items()
+                ),
+                "size": a.get("size"),
+                "modificationTime": a.get("modificationTime"),
+                "dataChange": a.get("dataChange", True),
+                "stats": a.get("stats")
+                if isinstance(a.get("stats"), (str, type(None)))
+                else json.dumps(a.get("stats")),
+                "deletionVector": (
+                    {k: dv.get(k) for k in dv_keys} if dv else None
+                ),
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+def _check_arrow_adds(adds) -> None:
+    """Fail-closed sweep over the columnar add set (vectorized): any
+    deletion vector present raises until the read path supports it."""
+    import pyarrow.compute as pc
+
+    col = adds.column("deletionVector")
+    if col.null_count < len(col):
+        raise DeltaUnsupportedError("deletion vectors not supported (add)")
+    del pc
+
+
+def delta_snapshot_arrow(root: str, version: int | None = None):
+    """The COLUMNAR snapshot fold — (version, metaData, adds) with
+    adds an Arrow table in :func:`_adds_arrow_schema` layout, sorted
+    by path. This is the scale path: the checkpoint never leaves
+    Arrow, only the JSON tail (bounded by the checkpoint interval)
+    folds as Python dicts. :func:`delta_snapshot` is the list-of-dicts
+    compatibility wrapper."""
     versions = _commit_versions(root)
     if not versions and _last_checkpoint_version(root, None) is None:
         raise DeltaUnsupportedError(f"{root}: empty _delta_log")
@@ -228,7 +387,11 @@ def delta_snapshot(
     usable = [v for v in versions if v <= head]
     if not usable and cp is None:
         raise ValueError(f"{root}: no commit ≤ version {head}")
-    state: dict = {"files": {}, "metaData": None, "protocol": None}
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cp_adds = None
+    proto = meta = None
     start = 0
     if cp is not None:
         try:
@@ -237,13 +400,19 @@ def delta_snapshot(
             parts = []  # incomplete multi-part set: try the JSON fold
         if parts:
             try:
-                _fold_checkpoint(state, parts)
+                proto, meta, cp_adds = _fold_checkpoint_arrow(parts)
+                if proto is not None:
+                    _apply_action(
+                        {"files": {}, "tombstones": set()},
+                        {"protocol": proto},
+                    )
+                _check_arrow_adds(cp_adds)
                 start = cp + 1
             except DeltaUnsupportedError:
                 raise
             except Exception:
                 # corrupt checkpoint: the JSON log is self-sufficient
-                state = {"files": {}, "metaData": None, "protocol": None}
+                proto = meta = cp_adds = None
                 start = 0
     # the fold range must be contiguous in the JSON log — a cleaned-up
     # commit inside it means the snapshot CANNOT be reconstructed
@@ -254,6 +423,18 @@ def delta_snapshot(
             f"missing from the JSON log (fold range {start}..{head}) — "
             "checkpoint unusable and tail cleaned up; snapshot "
             "unreconstructable"
+        )
+    state: dict = {
+        "files": {},
+        "tombstones": set(),
+        "metaData": meta,
+        "protocol": proto,
+    }
+    if meta is not None:
+        # the columnar path skipped _apply_action for metaData —
+        # re-run its validation (columnMapping etc.) on the dict
+        _apply_action(
+            {"files": {}, "tombstones": set()}, {"metaData": meta}
         )
     for v in versions:
         if v < start or v > head:
@@ -268,10 +449,41 @@ def delta_snapshot(
                     _apply_action(state, json.loads(line))
     if state["metaData"] is None:
         raise DeltaUnsupportedError(f"{root}: log has no metaData action")
-    actual = max(usable + ([cp] if cp is not None else []))
-    return actual, state["metaData"], sorted(
-        state["files"].values(), key=lambda a: a["path"]
+    tail = _adds_from_dicts(
+        sorted(state["files"].values(), key=lambda a: a["path"])
     )
+    if cp_adds is not None and cp_adds.num_rows:
+        touched = set(state["files"]) | state["tombstones"]
+        if touched:
+            mask = pc.invert(
+                pc.is_in(
+                    cp_adds.column("path"),
+                    value_set=pa.array(sorted(touched), pa.string()),
+                )
+            )
+            cp_adds = cp_adds.filter(mask)
+        adds = pa.concat_tables([cp_adds, tail]).sort_by("path")
+    else:
+        adds = tail
+    actual = max(usable + ([cp] if cp is not None else []))
+    return actual, state["metaData"], adds
+
+
+def delta_snapshot(
+    root: str, version: int | None = None
+) -> tuple[int, dict, list[dict]]:
+    """(version, metaData, live add-actions) at ``version`` (default
+    latest) — the list-of-dicts COMPATIBILITY form of
+    :func:`delta_snapshot_arrow` (which big-table callers should use:
+    this wrapper materializes every action as a Python dict)."""
+    actual, md, adds = delta_snapshot_arrow(root, version)
+    out = []
+    for row in adds.to_pylist():
+        a = {k: v for k, v in row.items() if v is not None}
+        if "partitionValues" not in a:
+            a["partitionValues"] = {}
+        out.append(_demap(a))
+    return actual, md, out
 
 
 def delta_schema(md: dict) -> StructType:
@@ -284,18 +496,19 @@ def _file_path(root: str, rel: str) -> str:
     return os.path.join(root, urllib.parse.unquote(rel))
 
 
-def _hive_layout(adds: list[dict], part_cols: list[str]) -> bool:
+def _hive_layout(
+    rels: list[str], pvs: list[dict], part_cols: list[str]
+) -> bool:
     """True when every file path encodes every partition column as a
     hive-style ``col=value`` directory matching its partitionValues —
     the layout Delta writers emit, enabling a single basePath scan."""
-    for a in adds:
-        segs = urllib.parse.unquote(a["path"]).split("/")[:-1]
+    for rel, pv in zip(rels, pvs):
+        segs = urllib.parse.unquote(rel).split("/")[:-1]
         found = {}
         for s in segs:
             if "=" in s:
                 k, _, val = s.partition("=")
                 found[k] = urllib.parse.unquote(val)
-        pv = a.get("partitionValues") or {}
         for c in part_cols:
             want = pv.get(c)
             got = found.get(c)
@@ -325,15 +538,17 @@ def read_delta(
     a file without stats (or with non-comparable stat types) is kept.
     At 100 TB this is the difference between scanning a day and
     scanning the table — the same contract as the engine's own
-    ``txn_read(where=...)``."""
-    _v, md, adds = delta_snapshot(root, version)
+    ``txn_read(where=...)``. Past :data:`DISTRIBUTED_PRUNE_AT` live
+    files the stats test runs as a Spark job and only survivors
+    return to the driver (the ``txnlog`` threshold design)."""
+    _v, md, adds = delta_snapshot_arrow(root, version)
+    part_cols = set(md.get("partitionColumns") or [])
     if where:
-        part_cols = set(md.get("partitionColumns") or [])
-        adds = [
-            a for a in adds
-            if _add_may_match(a, where, part_cols)
-        ]
-    df = _scan_adds(spark, root, md, adds)
+        if adds.num_rows >= DISTRIBUTED_PRUNE_AT:
+            adds = _prune_adds_distributed(spark, adds, where, part_cols)
+        else:
+            adds = _prune_adds_local(adds, where, part_cols)
+    df = _scan_adds_arrow(spark, root, md, adds)
     if where:
         for col, bound in where.items():
             lo, hi = bound
@@ -344,18 +559,90 @@ def read_delta(
     return df
 
 
-def _add_may_match(a: dict, where: dict, part_cols: set) -> bool:
-    """Conservative keep test for one add-action: False only when the
-    file's recorded stats or partition value PROVE no row satisfies
-    every ``lo <= col <= hi``. Any coercion/comparison doubt keeps."""
-    stats = a.get("stats")
+def _prune_adds_local(adds, where: dict, part_cols: set):
+    """Driver-loop data skipping (below the distributed threshold):
+    boolean-mask the Arrow add set without materializing it."""
+    import pyarrow as pa
+
+    mask = [
+        _may_match(
+            dict(pv or []), st, where, part_cols
+        )
+        for pv, st in zip(
+            adds.column("partitionValues").to_pylist(),
+            adds.column("stats").to_pylist(),
+        )
+    ]
+    return adds.filter(pa.array(mask, pa.bool_()))
+
+
+def _prune_adds_distributed(
+    spark: SparkSession, adds, where: dict, part_cols: set
+):
+    """Data skipping as a SPARK JOB (mirror of
+    ``txnlog._prune_arrow_distributed``): the (path, partitionValues,
+    stats) columns ship to executors via Arrow, each task runs the
+    same conservative keep test, and ONLY SURVIVING paths return to
+    the driver — the full stats column never parses driver-side."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ship = adds.select(["path", "partitionValues", "stats"])
+    n = ship.num_rows
+    fdf = spark.createDataFrame(ship).repartition(
+        max(8, min(1024, math.ceil(n / 20_000)))
+    )
+    wser = {c: (b[0], b[1]) for c, b in where.items()}
+    pcols = set(part_cols)
+
+    def _task(batches):
+        import pandas as _pd
+
+        from django_datastream_spark.sources import delta as DL
+
+        for pdf in batches:
+            keep = []
+            for path, pv, st in zip(
+                pdf["path"], pdf["partitionValues"], pdf["stats"]
+            ):
+                d = dict(pv) if pv is not None else {}
+                if DL._may_match(d, st, wser, pcols):
+                    keep.append(path)
+            yield _pd.DataFrame({"path": keep})
+
+    kept = [
+        r["path"] for r in fdf.mapInPandas(_task, "path string").collect()
+    ]
+    return adds.filter(
+        pc.is_in(
+            adds.column("path"),
+            value_set=pa.array(sorted(kept), pa.string()),
+        )
+    )
+
+
+def _may_match(pv: dict, stats, where: dict, part_cols: set) -> bool:
+    """Conservative keep test for one add-action's recorded metadata:
+    False only when the file's stats or partition value PROVE no row
+    satisfies every ``lo <= col <= hi``. Any coercion/comparison doubt
+    keeps."""
     j = None
+    if stats is not None and not isinstance(stats, str):
+        # numpy/pandas NaN from the distributed path
+        try:
+            import math as _math
+
+            if isinstance(stats, float) and _math.isnan(stats):
+                stats = None
+        except TypeError:
+            pass
     if stats:
         try:
             j = json.loads(stats) if isinstance(stats, str) else stats
         except ValueError:
             j = None
-    pv = a.get("partitionValues") or {}
     for col, (lo, hi) in where.items():
         if col in part_cols:
             raw = pv.get(col)
@@ -378,26 +665,54 @@ def _add_may_match(a: dict, where: dict, part_cols: set) -> bool:
     return True
 
 
+def _scan_adds_arrow(spark, root: str, md: dict, adds) -> DataFrame:
+    """Arrow-form entry to the shared scan: only the path column (and,
+    for partitioned tables, partitionValues) materializes — never
+    stats or the full actions."""
+    rels = adds.column("path").to_pylist()
+    pvs = None
+    if md.get("partitionColumns"):
+        pvs = [
+            dict(x or [])
+            for x in adds.column("partitionValues").to_pylist()
+        ]
+    return _scan_paths(spark, root, md, rels, pvs)
+
+
 def _scan_adds(
     spark: SparkSession, root: str, md: dict, adds: list[dict]
 ) -> DataFrame:
-    """Scan a list of add-actions under the table's declared schema —
-    the shared data path of :func:`read_delta` / :func:`delta_changes`."""
+    """dict-form entry (per-commit tails in :func:`delta_changes`)."""
+    return _scan_paths(
+        spark, root, md,
+        [a["path"] for a in adds],
+        [a.get("partitionValues") or {} for a in adds],
+    )
+
+
+def _scan_paths(
+    spark: SparkSession, root: str, md: dict,
+    rels: list[str], pvs: list[dict] | None,
+) -> DataFrame:
+    """Scan a file list under the table's declared schema — the shared
+    data path of :func:`read_delta` / :func:`delta_changes`. One
+    ``spark.read.parquet(*paths)`` call carries the list (fine to
+    ~10⁵ paths; prune harder or adopt into the txn layer past that)."""
     schema = delta_schema(md)
     part_cols = list(md.get("partitionColumns") or [])
     data_schema = StructType(
         [f for f in schema.fields if f.name not in part_cols]
     )
-    if not adds:
+    if not rels:
         from ..storage import local_rows_df
 
         return local_rows_df(spark, [], schema)
-    paths = [_file_path(root, a["path"]) for a in adds]
+    paths = [_file_path(root, r) for r in rels]
     if not part_cols:
         return spark.read.schema(data_schema).parquet(*paths).select(
             *[F.col(f.name) for f in schema.fields]
         )
-    if _hive_layout(adds, part_cols):
+    if _hive_layout(rels, pvs, part_cols):
         # one scan; Spark derives partition columns from the dirs.
         # partition values type per the DECLARED schema, not inference
         df = (
@@ -409,8 +724,7 @@ def _scan_adds(
     # non-hive layout: partitionValues is the only truth — group files
     # by their value combination (metadata-bounded) and union
     by_combo: dict[tuple, list[str]] = {}
-    for a, p in zip(adds, paths):
-        pv = a.get("partitionValues") or {}
+    for pv, p in zip(pvs, paths):
         key = tuple(pv.get(c) for c in part_cols)
         by_combo.setdefault(key, []).append(p)
     pieces = []
@@ -560,16 +874,23 @@ def adopt_delta(
             "zero-copy adopt requires txn_root == delta_root "
             "(both logs describe the same files)"
         )
-    _v, md, adds = delta_snapshot(delta_root, version)
+    _v, md, adds = delta_snapshot_arrow(delta_root, version)
     part_cols = list(md.get("partitionColumns") or [])
-    if part_cols and not _hive_layout(adds, part_cols):
-        raise DeltaUnsupportedError(
-            "adopt of a non-hive-layout partitioned Delta table would "
-            "lose partition columns; read_delta + rewrite instead"
-        )
+    raw_rels = adds.column("path").to_pylist()
+    if part_cols:
+        pvs = [
+            dict(x or [])
+            for x in adds.column("partitionValues").to_pylist()
+        ]
+        if not _hive_layout(raw_rels, pvs, part_cols):
+            raise DeltaUnsupportedError(
+                "adopt of a non-hive-layout partitioned Delta table "
+                "would lose partition columns; read_delta + rewrite "
+                "instead"
+            )
     if TL.is_txn_table(txn_root):
         raise ValueError(f"{txn_root}: already a txn table")
-    rels = [urllib.parse.unquote(a["path"]) for a in adds]
+    rels = [urllib.parse.unquote(r) for r in raw_rels]
     # init_table would adopt EVERY parquet under the root (including
     # delta-removed files); commit the live list explicitly instead
     os.makedirs(os.path.join(txn_root, TL.TXN_DIR), exist_ok=True)

@@ -42,6 +42,13 @@ class IcebergUnsupportedError(RuntimeError):
     """Table needs a reader capability this module doesn't implement."""
 
 
+#: snapshots with at least this many manifests decode them as a
+#: DISTRIBUTED Spark job (manifests are independent — one task each)
+#: instead of a serial driver loop; mirrors the engine's own
+#: ``txnlog.DISTRIBUTED_PRUNE_AT`` threshold design.
+DISTRIBUTED_MANIFESTS_AT = 16
+
+
 def _meta_dir(root: str) -> str:
     return os.path.join(root, "metadata")
 
@@ -191,16 +198,62 @@ def iceberg_snapshots(root: str) -> list[dict]:
     ]
 
 
+def _decode_manifest_files(
+    root: str, md: dict, man_path: str, where: dict | None,
+) -> list[str]:
+    """One manifest → its live (non-DELETED) data-file paths, bounds-
+    pruned when ``where`` is given. Pure function of the manifest file
+    — the unit of distribution for big snapshots."""
+    _s, entries = AV.read_container_file(man_path)
+    fields = (
+        {
+            f["name"]: (f["id"], f["type"])
+            for f in _current_schema(md)["fields"]
+            if isinstance(f["type"], str)
+        }
+        if where
+        else None
+    )
+    out = []
+    for e in entries:
+        status = int(e.get("status") or 0)
+        if status == 2:  # DELETED
+            continue
+        df = e["data_file"]
+        if int(df.get("content") or 0) != 0:
+            raise IcebergUnsupportedError(
+                "delete data files not supported"
+            )
+        fmt = str(df.get("file_format", "PARQUET")).upper()
+        if fmt != "PARQUET":
+            raise IcebergUnsupportedError(
+                f"file_format {fmt} not supported"
+            )
+        if where and not _entry_may_match(df, where, fields):
+            continue
+        out.append(_resolve(root, md, df["file_path"]))
+    return out
+
+
 def iceberg_live_files(
     root: str, snapshot_id: int | None = None,
     where: dict | None = None,
+    spark: SparkSession | None = None,
 ) -> tuple[dict, list[str]]:
     """(metadata, live data-file paths) at a snapshot (default:
     current). One pass over the snapshot's complete manifest list.
     ``where={col: (lo, hi)}`` prunes files through the manifests'
     recorded lower/upper bounds (spec Appendix D single-value binary,
     decoded per the column's declared type) — Iceberg's own data
-    skipping, conservative: missing/unmapped bounds keep the file."""
+    skipping, conservative: missing/unmapped bounds keep the file.
+
+    Scale: manifests are independent, so past
+    :data:`DISTRIBUTED_MANIFESTS_AT` of them (and given ``spark``)
+    the per-manifest Avro decode + bounds prune runs as a DISTRIBUTED
+    Spark job — one task per manifest, only surviving file paths
+    return to the driver. A real 100 TB table keeps hundreds of MB of
+    manifests; serial driver decode there is minutes of single-thread
+    CPU, the job is seconds."""
     md = iceberg_metadata(root)
     snaps = md.get("snapshots", [])
     if not snaps:
@@ -217,32 +270,60 @@ def iceberg_live_files(
         raise ValueError(f"{root}: no snapshot {sid}")
     mlist_path = _resolve(root, md, snap["manifest-list"])
     _schema, manifests = AV.read_container_file(mlist_path)
-    files: list[str] = []
+    man_paths = []
     for mf in manifests:
         if int(mf.get("content") or 0) != 0:
             raise IcebergUnsupportedError(
                 "DELETE manifests (v2 row-level deletes) not supported"
             )
-        man_path = _resolve(root, md, mf["manifest_path"])
-        _s, entries = AV.read_container_file(man_path)
-        for e in entries:
-            status = int(e.get("status") or 0)
-            if status == 2:  # DELETED
-                continue
-            df = e["data_file"]
-            if int(df.get("content") or 0) != 0:
-                raise IcebergUnsupportedError(
-                    "delete data files not supported"
-                )
-            fmt = str(df.get("file_format", "PARQUET")).upper()
-            if fmt != "PARQUET":
-                raise IcebergUnsupportedError(
-                    f"file_format {fmt} not supported"
-                )
-            if where and not _entry_may_match(df, where, md):
-                continue
-            files.append(_resolve(root, md, df["file_path"]))
+        man_paths.append(_resolve(root, md, mf["manifest_path"]))
+    if spark is not None and len(man_paths) >= DISTRIBUTED_MANIFESTS_AT:
+        files = _decode_manifests_distributed(
+            spark, root, md, man_paths, where
+        )
+    else:
+        files = []
+        for mp in man_paths:
+            files.extend(_decode_manifest_files(root, md, mp, where))
     return md, sorted(set(files))
+
+
+def _decode_manifests_distributed(
+    spark: SparkSession, root: str, md: dict,
+    man_paths: list[str], where: dict | None,
+) -> list[str]:
+    """Per-manifest Avro decode as a Spark job: each task runs the
+    same pure :func:`_decode_manifest_files` against its manifests
+    (metadata dict broadcast via closure — a few KB), unsupported
+    features still FAIL CLOSED (task exceptions propagate), and only
+    surviving data-file paths return to the driver."""
+    import pandas as _pd
+
+    md_json = json.dumps(md)
+    wser = (
+        {c: (b[0], b[1]) for c, b in where.items()} if where else None
+    )
+
+    def _task(batches):
+        import json as _json
+
+        from django_datastream_spark.sources import iceberg as IB
+
+        m = _json.loads(md_json)
+        for pdf in batches:
+            out = []
+            for mp in pdf["m"]:
+                out.extend(
+                    IB._decode_manifest_files(root, m, mp, wser)
+                )
+            yield _pd.DataFrame({"f": out})
+
+    fdf = spark.createDataFrame(
+        [(p,) for p in man_paths], "m string"
+    ).repartition(max(8, min(1024, len(man_paths))))
+    return [
+        r["f"] for r in fdf.mapInPandas(_task, "f string").collect()
+    ]
 
 
 def _bounds_dict(raw) -> dict:
@@ -251,14 +332,11 @@ def _bounds_dict(raw) -> dict:
     return raw or {}
 
 
-def _entry_may_match(df: dict, where: dict, md: dict) -> bool:
-    """Conservative keep test against a data_file's recorded bounds:
-    False only when the bounds PROVE no row satisfies every range."""
-    fields = {
-        f["name"]: (f["id"], f["type"])
-        for f in _current_schema(md)["fields"]
-        if isinstance(f["type"], str)
-    }
+def _entry_may_match(df: dict, where: dict, fields: dict) -> bool:
+    """Conservative keep test against a data_file's recorded bounds
+    (``fields``: name → (field-id, type), hoisted by the caller so the
+    map builds once per manifest, not once per entry): False only when
+    the bounds PROVE no row satisfies every range."""
     lo_map = _bounds_dict(df.get("lower_bounds"))
     hi_map = _bounds_dict(df.get("upper_bounds"))
     for col, (lo, hi) in where.items():
@@ -288,8 +366,13 @@ def read_iceberg(
     schema (data files carry every column — plain parquet scan).
     ``where={col: (lo, hi)}`` enables manifest-bounds DATA SKIPPING
     (see :func:`iceberg_live_files`); the bounds re-apply as row
-    filters so the result equals filtering a full read."""
-    md, files = iceberg_live_files(root, snapshot_id, where=where)
+    filters so the result equals filtering a full read. (One
+    ``spark.read.parquet(*files)`` call carries the surviving list —
+    fine to ~10⁵ paths; prune harder or adopt into the txn layer past
+    that.)"""
+    md, files = iceberg_live_files(
+        root, snapshot_id, where=where, spark=spark
+    )
     schema = iceberg_schema(md)
     if not files:
         from ..storage import local_rows_df
@@ -607,7 +690,7 @@ def adopt_iceberg(
         )
     if TL.is_txn_table(txn_root):
         raise ValueError(f"{txn_root}: already a txn table")
-    md, files = iceberg_live_files(iceberg_root, snapshot_id)
+    md, files = iceberg_live_files(iceberg_root, snapshot_id, spark=spark)
     root_abs = os.path.abspath(iceberg_root)
     rels = []
     for f in files:

@@ -322,12 +322,13 @@ def test_read_delta_where_prunes_and_stays_exact(spark, tmp_path):
     _v, md, live = DL.delta_snapshot(root)
     keep = [
         a["path"] for a in live
-        if DL._add_may_match(a, {"doc_id": (12, 25)}, set())
+        if DL._may_match(a.get("partitionValues") or {}, a.get("stats"),
+                 {"doc_id": (12, 25)}, set())
     ]
     assert keep == ["f1.parquet", "f2.parquet"]
     # open bounds + missing stats stay conservative
     nostat = {"add": {"path": "x", "partitionValues": {}}}
-    assert DL._add_may_match(nostat["add"], {"doc_id": (12, None)}, set())
+    assert DL._may_match({}, None, {"doc_id": (12, None)}, set())
     # result equals filtering a full read
     full = DL.read_delta(spark, root).filter(
         (F.col("doc_id") >= 12) & (F.col("doc_id") <= 25)
@@ -343,7 +344,8 @@ def test_read_delta_where_prunes_partitions(spark, tmp_path):
     _v, md, live = DL.delta_snapshot(root)
     keep = [
         a["path"] for a in live
-        if DL._add_may_match(a, {"part": (1, 1)}, {"part"})
+        if DL._may_match(a.get("partitionValues") or {}, a.get("stats"),
+                 {"part": (1, 1)}, {"part"})
     ]
     assert keep == ["part=1/f3.parquet"]
     got = DL.read_delta(spark, root, where={"part": (1, 1)})
