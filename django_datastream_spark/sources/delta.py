@@ -24,7 +24,12 @@ module reads that format directly:
 Honest boundaries (checked, never guessed): ``protocol`` reader
 versions above 2 and reader table features beyond this module's
 support raise; ``delta.columnMapping.mode`` other than ``none``
-raises; a ``remove`` carrying a deletion vector raises. Multi-part
+raises. DELETION VECTORS read: descriptors (inline / uuid-sidecar /
+absolute-path) decode through :mod:`.roaring` (portable
+RoaringBitmapArray, CRC-verified) and subtract as a
+``(__file, __pos)`` anti-join over parquet ``_metadata.row_index`` —
+the same shape as the engine's own ``txnlog`` DV read; unknown
+storage types and format versions still fail closed. Multi-part
 checkpoints are supported; a corrupt/unreadable checkpoint falls back
 to the pure-JSON fold (the log is self-sufficient).
 
@@ -60,6 +65,9 @@ _SUPPORTED_READER_FEATURES = {
     # reader-version-3 tables list the features they need; we can
     # serve these (they don't change how adds/removes fold)
     "timestampNtz", "vacuumProtocolCheck", "v2Checkpoint",
+    # deletion vectors READ: descriptors decode through
+    # sources/roaring.py and apply as a (__file, __pos) anti-join
+    "deletionVectors",
 }
 
 #: snapshots with at least this many live adds run ``where=`` data
@@ -214,10 +222,6 @@ def _apply_action(state: dict, action: dict) -> None:
         state["metaData"] = md
     elif "add" in action:
         a = action["add"]
-        if a.get("deletionVector"):
-            raise DeltaUnsupportedError(
-                "deletion vectors not supported (add)"
-            )
         state["files"][a["path"]] = a
         state["tombstones"].discard(a["path"])
     elif "remove" in action:
@@ -351,14 +355,34 @@ def _adds_from_dicts(adds: list[dict]):
 
 
 def _check_arrow_adds(adds) -> None:
-    """Fail-closed sweep over the columnar add set (vectorized): any
-    deletion vector present raises until the read path supports it."""
+    """Fail-closed sweep over the columnar add set (vectorized):
+    deletion vectors are supported, but only the spec's three storage
+    types with complete descriptors — anything else raises here, at
+    fold time, rather than deep in a scan task."""
+    import pyarrow as pa
     import pyarrow.compute as pc
 
-    col = adds.column("deletionVector")
-    if col.null_count < len(col):
-        raise DeltaUnsupportedError("deletion vectors not supported (add)")
-    del pc
+    col = adds.column("deletionVector").combine_chunks()
+    if col.null_count >= len(col):
+        return
+    present = pc.is_valid(col)
+    st = col.field("storageType")
+    ok = pc.fill_null(
+        pc.is_in(st, value_set=pa.array(["u", "i", "p"])), False
+    )
+    bad = pc.filter(st, pc.and_(present, pc.invert(ok)))
+    if len(bad):
+        raise DeltaUnsupportedError(
+            f"deletion vector storageType {bad[0].as_py()!r} "
+            "unsupported"
+        )
+    for fname in ("pathOrInlineDv", "sizeInBytes"):
+        missing = pc.and_(present, pc.is_null(col.field(fname)))
+        if pc.any(missing).as_py():
+            raise DeltaUnsupportedError(
+                f"deletion vector descriptor missing {fname} — "
+                "refusing to guess which rows are deleted"
+            )
 
 
 def delta_snapshot_arrow(root: str, version: int | None = None):
@@ -406,7 +430,6 @@ def delta_snapshot_arrow(root: str, version: int | None = None):
                         {"files": {}, "tombstones": set()},
                         {"protocol": proto},
                     )
-                _check_arrow_adds(cp_adds)
                 start = cp + 1
             except DeltaUnsupportedError:
                 raise
@@ -465,6 +488,7 @@ def delta_snapshot_arrow(root: str, version: int | None = None):
         adds = pa.concat_tables([cp_adds, tail]).sort_by("path")
     else:
         adds = tail
+    _check_arrow_adds(adds)
     actual = max(usable + ([cp] if cp is not None else []))
     return actual, state["metaData"], adds
 
@@ -548,7 +572,7 @@ def read_delta(
             adds = _prune_adds_distributed(spark, adds, where, part_cols)
         else:
             adds = _prune_adds_local(adds, where, part_cols)
-    df = _scan_adds_arrow(spark, root, md, adds)
+    df = _scan_snapshot_arrow(spark, root, md, adds)
     if where:
         for col, bound in where.items():
             lo, hi = bound
@@ -665,6 +689,95 @@ def _may_match(pv: dict, stats, where: dict, part_cols: set) -> bool:
     return True
 
 
+def _scan_snapshot_arrow(spark, root: str, md: dict, adds) -> DataFrame:
+    """DV-aware scan of an Arrow add set: files without deletion
+    vectors take the plain scan; files WITH them scan once with row
+    identity (``_metadata.file_path``/``row_index``) and anti-join
+    their decoded positions — decode happens EXECUTOR-side, one task
+    per descriptor batch, so multi-GB vector sets never visit the
+    driver (mirror of ``txnlog._read_files``)."""
+    import pyarrow.compute as pc
+
+    dvc = adds.column("deletionVector").combine_chunks()
+    if dvc.null_count >= adds.num_rows:
+        return _scan_adds_arrow(spark, root, md, adds)
+    dirty_mask = pc.is_valid(dvc)
+    dirty = adds.filter(dirty_mask)
+    clean = adds.filter(pc.invert(dirty_mask))
+    df = _scan_with_dv(spark, root, md, dirty)
+    if clean.num_rows:
+        df = _scan_adds_arrow(spark, root, md, clean).unionByName(df)
+    return df
+
+
+def _scan_with_dv(spark, root: str, md: dict, dirty) -> DataFrame:
+    """Scan DV-carrying adds minus their deleted positions."""
+    schema = delta_schema(md)
+    rels = dirty.column("path").to_pylist()
+    pvs = None
+    if md.get("partitionColumns"):
+        pvs = [
+            dict(x or [])
+            for x in dirty.column("partitionValues").to_pylist()
+        ]
+    base = _scan_paths(spark, root, md, rels, pvs, keep_meta=True)
+    deleted = _dv_positions_frame(spark, root, dirty)
+    out = base.join(deleted, ["__file", "__pos"], "left_anti")
+    return out.select(*[F.col(f.name) for f in schema.fields])
+
+
+def _dv_positions_frame(spark, root: str, dirty) -> DataFrame:
+    """Deleted (``__file``, ``__pos``) rows for DV-carrying adds. Only
+    the DESCRIPTORS (a path + 4 ints each) leave the driver; the
+    bitmap bytes decode executor-side and each decode verifies the
+    descriptor's cardinality — a truncated or mismatched vector fails
+    the job instead of resurrecting rows."""
+    descs = []
+    for rel, dv in zip(
+        dirty.column("path").to_pylist(),
+        dirty.column("deletionVector").to_pylist(),
+    ):
+        descs.append(
+            (
+                urllib.parse.unquote(rel),
+                dv["storageType"],
+                dv["pathOrInlineDv"],
+                dv.get("offset"),
+                int(dv["sizeInBytes"]),
+                int(dv["cardinality"]) if dv.get("cardinality") is not None
+                else -1,
+            )
+        )
+    ddf = spark.createDataFrame(
+        descs, "f string, st string, p string, off int, sz int, card long"
+    ).repartition(min(64, max(1, len(descs))))
+
+    def _explode(batches):
+        import pandas as _pd
+
+        from django_datastream_spark.sources import roaring as RB
+
+        for pdf in batches:
+            for f, st, p, off, sz, card in zip(
+                pdf["f"], pdf["st"], pdf["p"], pdf["off"], pdf["sz"],
+                pdf["card"],
+            ):
+                pos = RB.dv_positions(
+                    root, st, p,
+                    None if _pd.isna(off) else int(off), int(sz),
+                )
+                if card >= 0 and len(pos) != card:
+                    raise ValueError(
+                        f"deletion vector for {f}: decoded "
+                        f"{len(pos)} positions, descriptor says {card}"
+                    )
+                yield _pd.DataFrame(
+                    {"__file": f, "__pos": pos.astype("int64")}
+                )
+
+    return ddf.mapInPandas(_explode, "__file string, __pos long")
+
+
 def _scan_adds_arrow(spark, root: str, md: dict, adds) -> DataFrame:
     """Arrow-form entry to the shared scan: only the path column (and,
     for partitioned tables, partitionValues) materializes — never
@@ -682,35 +795,60 @@ def _scan_adds_arrow(spark, root: str, md: dict, adds) -> DataFrame:
 def _scan_adds(
     spark: SparkSession, root: str, md: dict, adds: list[dict]
 ) -> DataFrame:
-    """dict-form entry (per-commit tails in :func:`delta_changes`)."""
-    return _scan_paths(
-        spark, root, md,
-        [a["path"] for a in adds],
-        [a.get("partitionValues") or {} for a in adds],
-    )
+    """dict-form entry (per-commit tails in :func:`delta_changes`) —
+    routes through the DV-aware scan."""
+    return _scan_snapshot_arrow(spark, root, md, _adds_from_dicts(adds))
 
 
 def _scan_paths(
     spark: SparkSession, root: str, md: dict,
     rels: list[str], pvs: list[dict] | None,
+    keep_meta: bool = False,
 ) -> DataFrame:
     """Scan a file list under the table's declared schema — the shared
     data path of :func:`read_delta` / :func:`delta_changes`. One
     ``spark.read.parquet(*paths)`` call carries the list (fine to
-    ~10⁵ paths; prune harder or adopt into the txn layer past that)."""
+    ~10⁵ paths; prune harder or adopt into the txn layer past that).
+    ``keep_meta=True`` appends the ``__file`` (table-relative path) /
+    ``__pos`` (row index) identity columns the deletion-vector
+    anti-join needs."""
     schema = delta_schema(md)
     part_cols = list(md.get("partitionColumns") or [])
     data_schema = StructType(
         [f for f in schema.fields if f.name not in part_cols]
     )
+    prefix = "file:" + os.path.abspath(root) + os.sep
+    meta_cols = (
+        [
+            F.expr(
+                f"substring(_metadata.file_path, {len(prefix) + 1})"
+            ).alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        ]
+        if keep_meta
+        else []
+    )
     if not rels:
         from ..storage import local_rows_df
 
-        return local_rows_df(spark, [], schema)
+        out_schema = schema
+        if keep_meta:
+            out_schema = StructType(
+                schema.fields
+                + [
+                    StructType.fromDDL(
+                        "__file string, __pos long"
+                    ).fields[0],
+                    StructType.fromDDL(
+                        "__file string, __pos long"
+                    ).fields[1],
+                ]
+            )
+        return local_rows_df(spark, [], out_schema)
     paths = [_file_path(root, r) for r in rels]
     if not part_cols:
         return spark.read.schema(data_schema).parquet(*paths).select(
-            *[F.col(f.name) for f in schema.fields]
+            *[F.col(f.name) for f in schema.fields], *meta_cols
         )
     if _hive_layout(rels, pvs, part_cols):
         # one scan; Spark derives partition columns from the dirs.
@@ -720,7 +858,9 @@ def _scan_paths(
             .schema(schema)
             .parquet(*paths)
         )
-        return df.select(*[F.col(f.name) for f in schema.fields])
+        return df.select(
+            *[F.col(f.name) for f in schema.fields], *meta_cols
+        )
     # non-hive layout: partitionValues is the only truth — group files
     # by their value combination (metadata-bounded) and union
     by_combo: dict[tuple, list[str]] = {}
@@ -737,7 +877,11 @@ def _scan_paths(
                 F.lit(raw).cast(typ) if raw is not None
                 else F.lit(None).cast(typ),
             )
-        pieces.append(df.select(*[F.col(f.name) for f in schema.fields]))
+        pieces.append(
+            df.select(
+                *[F.col(f.name) for f in schema.fields], *meta_cols
+            )
+        )
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
@@ -812,9 +956,16 @@ def delta_changes(
                 action = json.loads(line)
                 if "add" in action:
                     a = action["add"]
-                    if a.get("deletionVector"):
-                        raise DeltaUnsupportedError(
-                            "deletion vectors not supported (add)"
+                    if a.get("deletionVector") and on_remove == "error":
+                        # a DV on an add means rows of an already-
+                        # emitted file were vectored out — a rewrite,
+                        # same contract as a remove action
+                        raise ValueError(
+                            f"{root}: commit {v} adds a deletion "
+                            f"vector on {a['path']} — deletes cannot "
+                            "stream as appends (pass "
+                            "on_remove='ignore' to accept re-emission "
+                            "of the file's LIVE rows)"
                         )
                     if a.get("dataChange", True):
                         adds_v.append(a)
@@ -946,6 +1097,15 @@ def write_delta_checkpoint(root: str, version: int) -> None:
             ("configuration", pa.map_(pa.string(), pa.string())),
         ]
     )
+    dv_t = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+        ]
+    )
     add_t = pa.struct(
         [
             ("path", pa.string()),
@@ -954,6 +1114,7 @@ def write_delta_checkpoint(root: str, version: int) -> None:
             ("modificationTime", pa.int64()),
             ("dataChange", pa.bool_()),
             ("stats", pa.string()),
+            ("deletionVector", dv_t),
         ]
     )
     n = 2 + len(adds)
@@ -981,6 +1142,17 @@ def write_delta_checkpoint(root: str, version: int) -> None:
             "modificationTime": int(a.get("modificationTime", 0)),
             "dataChange": bool(a.get("dataChange", True)),
             "stats": a.get("stats"),
+            "deletionVector": (
+                {
+                    k: a["deletionVector"].get(k)
+                    for k in (
+                        "storageType", "pathOrInlineDv", "offset",
+                        "sizeInBytes", "cardinality",
+                    )
+                }
+                if a.get("deletionVector")
+                else None
+            ),
         }
         for a in adds
     ]

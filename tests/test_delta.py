@@ -180,11 +180,21 @@ def test_unsupported_features_fail_closed(spark, tmp_path):
     DL.write_delta_commit(
         root, 0,
         [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["typeWidening"]}},
+         _meta(partitioned=False), _add("a.parquet")],
+    )
+    with pytest.raises(DL.DeltaUnsupportedError, match="typeWidening"):
+        DL.read_delta(spark, root)
+    # deletionVectors is a SUPPORTED reader feature now
+    root_dv = str(tmp_path / "t3dv")
+    _write_data(root_dv, "a.parquet", [1])
+    DL.write_delta_commit(
+        root_dv, 0,
+        [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
                        "readerFeatures": ["deletionVectors"]}},
          _meta(partitioned=False), _add("a.parquet")],
     )
-    with pytest.raises(DL.DeltaUnsupportedError, match="deletionVectors"):
-        DL.read_delta(spark, root)
+    assert [r["doc_id"] for r in DL.read_delta(spark, root_dv).collect()] == [1]
 
     root2 = str(tmp_path / "t4")
     _write_data(root2, "a.parquet", [1])
@@ -197,12 +207,24 @@ def test_unsupported_features_fail_closed(spark, tmp_path):
     root3 = str(tmp_path / "t5")
     _write_data(root3, "a.parquet", [1])
     bad = _add("a.parquet")
-    bad["add"]["deletionVector"] = {"storageType": "u"}
+    bad["add"]["deletionVector"] = {
+        "storageType": "z", "pathOrInlineDv": "x", "sizeInBytes": 4,
+    }
     DL.write_delta_commit(
         root3, 0, [_PROTO, _meta(partitioned=False), bad]
     )
-    with pytest.raises(DL.DeltaUnsupportedError, match="deletion vectors"):
+    with pytest.raises(DL.DeltaUnsupportedError, match="storageType"):
         DL.read_delta(spark, root3)
+    # incomplete descriptor: fail closed at fold time
+    root3b = str(tmp_path / "t5b")
+    _write_data(root3b, "a.parquet", [1])
+    bad2 = _add("a.parquet")
+    bad2["add"]["deletionVector"] = {"storageType": "u"}
+    DL.write_delta_commit(
+        root3b, 0, [_PROTO, _meta(partitioned=False), bad2]
+    )
+    with pytest.raises(DL.DeltaUnsupportedError, match="missing"):
+        DL.read_delta(spark, root3b)
 
     with pytest.raises(DL.DeltaUnsupportedError, match="no _delta_log"):
         DL.read_delta(spark, str(tmp_path / "missing"))

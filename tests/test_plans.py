@@ -106,7 +106,9 @@ def test_declaring_queries_runs_no_jobs(spark):
               # JSON + avro manifests) before reading it
               "q211_iceberg_read", "q212_iceberg_time_travel",
               "q213_iceberg_adopt", "q214_ann_index_remove",
-              "q215_iceberg_changes"}
+              "q215_iceberg_changes",
+              # q216 writes the deletion-vector Delta fixture tree
+              "q216_delta_dv_read"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
