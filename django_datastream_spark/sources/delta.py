@@ -215,9 +215,12 @@ def _apply_action(state: dict, action: dict) -> None:
         mode = (md.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         )
-        if mode != "none":
+        if mode not in ("none", "name"):
+            # id mode matches by parquet field id — not implemented;
+            # name mode is (physical-name scan + logical rename)
             raise DeltaUnsupportedError(
-                f"delta.columnMapping.mode={mode} not supported"
+                f"delta.columnMapping.mode={mode} not supported "
+                "(mode=name is)"
             )
         state["metaData"] = md
     elif "add" in action:
@@ -566,12 +569,24 @@ def read_delta(
     files the stats test runs as a Spark job and only survivors
     return to the driver (the ``txnlog`` threshold design)."""
     _v, md, adds = delta_snapshot_arrow(root, version)
+    mapping = _column_mapping(md)
     part_cols = set(md.get("partitionColumns") or [])
     if where:
+        # under name mapping the log's partitionValues and stats keys
+        # are PHYSICAL — translate the prune predicate (residual row
+        # filters below stay logical: they run after the rename)
+        pwhere = (
+            {mapping.get(c, c): b for c, b in where.items()}
+            if mapping
+            else where
+        )
+        ppart = (
+            {mapping.get(c, c) for c in part_cols} if mapping else part_cols
+        )
         if adds.num_rows >= DISTRIBUTED_PRUNE_AT:
-            adds = _prune_adds_distributed(spark, adds, where, part_cols)
+            adds = _prune_adds_distributed(spark, adds, pwhere, ppart)
         else:
-            adds = _prune_adds_local(adds, where, part_cols)
+            adds = _prune_adds_local(adds, pwhere, ppart)
     df = _scan_snapshot_arrow(spark, root, md, adds)
     if where:
         for col, bound in where.items():
@@ -689,6 +704,53 @@ def _may_match(pv: dict, stats, where: dict, part_cols: set) -> bool:
     return True
 
 
+def _column_mapping(md: dict) -> dict | None:
+    """logical → physical top-level name map when
+    ``delta.columnMapping.mode=name`` (else None). Under name mapping
+    the parquet files, the hive partition dirs, ``add.partitionValues``
+    keys and ``add.stats`` column keys all use PHYSICAL names
+    (``col-<uuid>``); only the declared schema carries the logical
+    ones. Nested mapped fields are not implemented — fail closed."""
+    mode = (md.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+    if mode == "none":
+        return None
+    sch = json.loads(md["schemaString"])
+    mapping = {}
+    for f in sch["fields"]:
+        meta = f.get("metadata") or {}
+        phys = meta.get("delta.columnMapping.physicalName")
+        if not phys:
+            raise DeltaUnsupportedError(
+                f"columnMapping.mode=name but field {f['name']!r} "
+                "carries no physicalName"
+            )
+        if not isinstance(f.get("type"), str):
+            raise DeltaUnsupportedError(
+                f"columnMapping over nested field {f['name']!r} not "
+                "supported (top-level primitives only)"
+            )
+        mapping[f["name"]] = phys
+    return mapping
+
+
+def _physicalize_md(md: dict, mapping: dict) -> dict:
+    """A metaData twin whose schema/partitionColumns use PHYSICAL
+    names — the coordinate system the files and the log's
+    partitionValues actually live in."""
+    sch = json.loads(md["schemaString"])
+    for f in sch["fields"]:
+        f["name"] = mapping[f["name"]]
+        f["metadata"] = {}
+    out = dict(md)
+    out["schemaString"] = json.dumps(sch)
+    out["partitionColumns"] = [
+        mapping[c] for c in (md.get("partitionColumns") or [])
+    ]
+    return out
+
+
 def _scan_snapshot_arrow(spark, root: str, md: dict, adds) -> DataFrame:
     """DV-aware scan of an Arrow add set: files without deletion
     vectors take the plain scan; files WITH them scan once with row
@@ -698,15 +760,24 @@ def _scan_snapshot_arrow(spark, root: str, md: dict, adds) -> DataFrame:
     driver (mirror of ``txnlog._read_files``)."""
     import pyarrow.compute as pc
 
+    mapping = _column_mapping(md)
+    logical = [f.name for f in delta_schema(md).fields]
+    if mapping:
+        md = _physicalize_md(md, mapping)
     dvc = adds.column("deletionVector").combine_chunks()
     if dvc.null_count >= adds.num_rows:
-        return _scan_adds_arrow(spark, root, md, adds)
-    dirty_mask = pc.is_valid(dvc)
-    dirty = adds.filter(dirty_mask)
-    clean = adds.filter(pc.invert(dirty_mask))
-    df = _scan_with_dv(spark, root, md, dirty)
-    if clean.num_rows:
-        df = _scan_adds_arrow(spark, root, md, clean).unionByName(df)
+        df = _scan_adds_arrow(spark, root, md, adds)
+    else:
+        dirty_mask = pc.is_valid(dvc)
+        dirty = adds.filter(dirty_mask)
+        clean = adds.filter(pc.invert(dirty_mask))
+        df = _scan_with_dv(spark, root, md, dirty)
+        if clean.num_rows:
+            df = _scan_adds_arrow(spark, root, md, clean).unionByName(df)
+    if mapping:
+        df = df.select(
+            *[F.col(mapping[name]).alias(name) for name in logical]
+        )
     return df
 
 
@@ -1026,6 +1097,12 @@ def adopt_delta(
             "(both logs describe the same files)"
         )
     _v, md, adds = delta_snapshot_arrow(delta_root, version)
+    if _column_mapping(md):
+        raise DeltaUnsupportedError(
+            "adopt of a columnMapping table would expose physical "
+            "column names through the txn layer; read_delta + rewrite "
+            "instead"
+        )
     part_cols = list(md.get("partitionColumns") or [])
     raw_rels = adds.column("path").to_pylist()
     if part_cols:

@@ -107,8 +107,8 @@ def test_declaring_queries_runs_no_jobs(spark):
               "q211_iceberg_read", "q212_iceberg_time_travel",
               "q213_iceberg_adopt", "q214_ann_index_remove",
               "q215_iceberg_changes",
-              # q216 writes the deletion-vector Delta fixture tree
-              "q216_delta_dv_read"}
+              # q216/q217 write Delta fixture trees (DV / columnMapping)
+              "q216_delta_dv_read", "q217_delta_column_mapping"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
