@@ -10536,3 +10536,77 @@ def q217(spark, sf_dir):
         )
         .orderBy("part")
     )
+
+
+# --------------------------------------------------------------------------
+# Q218: publish an engine txn table AS Iceberg (write-side interop) —
+# round-tripped through the from-spec reader, incl. schema evolution
+# --------------------------------------------------------------------------
+@_declare(
+    "q218_publish_iceberg",
+    """
+    SELECT 1 era, CAST(COUNT(*) AS BIGINT) n,
+           ROUND(SUM(doc_id * 0.5), 4) sum_val,
+           CAST(0 AS BIGINT) n_tagged
+    FROM documents WHERE doc_id < 200
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), ROUND(SUM(doc_id * 0.5), 4),
+           CAST(SUM(CASE WHEN doc_id >= 200 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM documents WHERE doc_id < 300
+    ORDER BY era
+    """,
+)
+def q218(spark, sf_dir):
+    """WRITE-SIDE interop (round-8 What's-missing #2): an engine txn
+    table (two commits, the second evolving the schema with a ``tag``
+    column) publishes AS an Iceberg metadata tree over the same data
+    files — snapshots with non-monotonic ids + parent chain, ADDED
+    manifests with footer bounds, two schemas with stable field ids —
+    then THIS repo's from-spec reader serves both eras: era 1 time
+    travel (pre-evolution rows null-fill ``tag`` under the current
+    schema), era 2 current. The oracle recomputes both eras from
+    documents; a publish that lost a file, mis-attributed a snapshot,
+    or broke the schema mapping breaks the hash. (Builder runs txn
+    commits + the publish; by-name exemption in
+    test_declaring_queries_runs_no_jobs.)"""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from .. import txnlog as TL
+    from ..sources import iceberg as IB
+
+    base = _os.path.join(
+        _tmp.gettempdir(),
+        "q218_" + _hl.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    root = _os.path.join(base, "table")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d1 = docs.filter(F.col("doc_id") < 200).select(
+        "doc_id", (F.col("doc_id") * 0.5).alias("val")
+    )
+    d2 = docs.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 300)
+    ).select(
+        "doc_id", (F.col("doc_id") * 0.5).alias("val"),
+        F.concat(F.lit("t"), F.col("doc_id")).alias("tag"),
+    )
+    v1 = TL.txn_append(spark, d1, root, [])
+    TL.txn_append(spark, d2, root, [], merge_schema=True)
+    res = IB.publish_iceberg(spark, root)
+    eras = []
+    for era, sid in ((1, res["snapshots"][v1]), (2, None)):
+        eras.append(
+            IB.read_iceberg(spark, root, snapshot_id=sid)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("val"), 4).alias("sum_val"),
+                F.count("tag").alias("n_tagged"),
+            )
+            .withColumn("era", F.lit(era))
+        )
+    out = eras[0].unionByName(eras[1])
+    return out.select("era", "n", "sum_val", "n_tagged").orderBy("era")

@@ -537,16 +537,21 @@ def _footer_bounds(full: str, fields: list[dict]) -> tuple:
 
 
 def write_manifest(
-    root: str, name: str, entries: list[tuple[int, str]],
+    root: str, name: str, entries: list[tuple],
     snapshot_id: int, codec: str = "deflate",
     schema_fields: list[dict] | None = None,
 ) -> str:
-    """entries: (status, table-relative data path). When
-    ``schema_fields`` is given, per-file lower/upper bounds are
+    """entries: (status, table-relative data path[, entry snapshot
+    id]) — the optional third element overrides the per-entry
+    ``snapshot_id`` (an EXISTING entry keeps the id of the snapshot
+    that originally added it; a DELETED one carries the deleter's).
+    When ``schema_fields`` is given, per-file lower/upper bounds are
     computed from the parquet footers and stamped (what a real
     Iceberg writer records). Returns the manifest's absolute path."""
     recs = []
-    for status, rel in entries:
+    for entry in entries:
+        status, rel = entry[0], entry[1]
+        entry_sid = entry[2] if len(entry) > 2 else snapshot_id
         full = os.path.join(root, rel)
         lo = hi = None
         if schema_fields and os.path.exists(full):
@@ -554,7 +559,7 @@ def write_manifest(
         recs.append(
             {
                 "status": status,
-                "snapshot_id": snapshot_id,
+                "snapshot_id": entry_sid,
                 "data_file": {
                     "content": 0,
                     "file_path": rel,
@@ -578,11 +583,18 @@ def write_manifest(
 
 
 def write_manifest_list(
-    root: str, name: str, manifest_names: list[str], snapshot_id: int,
+    root: str, name: str, manifest_names: list, snapshot_id: int,
     codec: str = "deflate",
 ) -> str:
+    """manifest_names: name strings, or (name, added_snapshot_id)
+    pairs — a manifest carried forward unchanged keeps the id of the
+    snapshot that first wrote it (Iceberg's fast-append reuse), which
+    is exactly what :func:`iceberg_changes` attributes by."""
     recs = []
     for mn in manifest_names:
+        added_sid = snapshot_id
+        if isinstance(mn, tuple):
+            mn, added_sid = mn
         mp = os.path.join(_meta_dir(root), mn)
         recs.append(
             {
@@ -590,7 +602,7 @@ def write_manifest_list(
                 "manifest_length": os.path.getsize(mp),
                 "partition_spec_id": 0,
                 "content": 0,
-                "added_snapshot_id": snapshot_id,
+                "added_snapshot_id": added_sid,
             }
         )
     path = os.path.join(_meta_dir(root), name)
@@ -607,6 +619,8 @@ def write_metadata(
     schema_fields: list[dict],
     snapshots: list[dict],
     current_snapshot_id: int | None,
+    schemas: list[list[dict]] | None = None,
+    current_schema_id: int | None = None,
 ) -> None:
     """snapshots: [{"snapshot-id": n, "manifest-list": relpath}]
     oldest→newest. What real writers maintain is stamped too: each
@@ -634,14 +648,16 @@ def write_metadata(
         "location": root,
         "last-sequence-number": len(snapshots),
         "last-updated-ms": 0,
-        "last-column-id": len(schema_fields),
-        "current-schema-id": 0,
+        "last-column-id": max(
+            (f["id"] for ss in (schemas or [schema_fields]) for f in ss),
+            default=len(schema_fields),
+        ),
+        "current-schema-id": (
+            current_schema_id if current_schema_id is not None else 0
+        ),
         "schemas": [
-            {
-                "type": "struct",
-                "schema-id": 0,
-                "fields": schema_fields,
-            }
+            {"type": "struct", "schema-id": i, "fields": ss}
+            for i, ss in enumerate(schemas or [schema_fields])
         ],
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": []}],
@@ -871,3 +887,213 @@ def iceberg_changes(
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# write-side interop: publish an engine/txn table AS Iceberg
+# ---------------------------------------------------------------------------
+_SPARK_TO_ICE = {
+    "boolean": "boolean",
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "binary": "binary",
+    "date": "date",
+    "timestamp_ntz": "timestamp",
+    "timestamp": "timestamptz",
+}
+
+
+def _spark_fields_to_ice(struct, name_to_id: dict) -> list[dict]:
+    """Spark StructType → Iceberg schema fields with STABLE field ids
+    (``name_to_id`` accumulates across schema versions — Iceberg
+    requires a column to keep its id through evolution)."""
+    out = []
+    for f in struct.fields:
+        tn = f.dataType.typeName()
+        if tn == "decimal":
+            ice = f"decimal({f.dataType.precision}, {f.dataType.scale})"
+        elif tn in _SPARK_TO_ICE:
+            ice = _SPARK_TO_ICE[tn]
+        else:
+            raise IcebergUnsupportedError(
+                f"cannot publish column {f.name!r} of Spark type {tn} "
+                "as Iceberg (primitive columns only)"
+            )
+        if f.name not in name_to_id:
+            name_to_id[f.name] = len(name_to_id) + 1
+        out.append(
+            {
+                "id": name_to_id[f.name],
+                "name": f.name,
+                "required": False,
+                "type": ice,
+            }
+        )
+    return out
+
+
+def _publish_sid(root: str, v: int) -> int:
+    """Deterministic, intentionally NON-monotonic snapshot ids (real
+    ids are random longs; generating monotonic ones would let a
+    numeric-sort consumer accidentally pass)."""
+    import hashlib
+
+    h = hashlib.md5(f"{os.path.basename(root)}:{v}".encode()).hexdigest()
+    return int(h[:15], 16) | 1  # positive, 60-bit
+
+
+def publish_iceberg(
+    spark: SparkSession,
+    txn_root: str,
+    versions: list[int] | None = None,
+) -> dict:
+    """ZERO-COPY write-side interop (the inverse of
+    :func:`adopt_iceberg`): publish an engine txn table AS a valid
+    Iceberg metadata tree over the SAME data files — ``metadata/``
+    grows next to ``_txn`` and any Iceberg reader (including this
+    module's, which is how the gate verifies it) serves the table,
+    with every published txn version a time-travelable snapshot.
+
+    Mapping: txn version → snapshot (deterministic non-monotonic id,
+    parent chain in version order); a version's NEW files → an ADDED
+    manifest stamped with footer bounds (so Iceberg-side data skipping
+    works); carried-over files reuse the adder's manifest unchanged
+    (fast-append, and :func:`iceberg_changes` attribution stays
+    correct) unless some of its files were removed — then a pruned
+    manifest with EXISTING survivors + DELETED tombstones replaces it
+    for that snapshot. Schema evolution publishes one schema per
+    distinct committed schema with STABLE field ids;
+    ``current-schema-id`` is the newest.
+
+    Fail-closed boundaries: live deletion vectors (Iceberg data files
+    would resurrect the rows — OPTIMIZE first), hive-partitioned
+    layouts (Iceberg data files must carry every column), untracked
+    schemas, non-primitive columns. Re-publishing after new commits
+    writes the next metadata version; manifests are content-stable so
+    re-publish is idempotent."""
+    from .. import txnlog as TL
+
+    if not TL.is_txn_table(txn_root):
+        raise ValueError(f"{txn_root}: not a txn table")
+    head = TL.latest_version(txn_root)
+    vs = sorted(versions) if versions else list(range(1, head + 1))
+    if not vs or vs[0] < 1 or vs[-1] > head:
+        raise ValueError(f"versions {vs} out of range 1..{head}")
+
+    name_to_id: dict[str, int] = {}
+    schemas: list[list[dict]] = []
+    schema_key_to_id: dict[str, int] = {}
+    snaps_meta = []
+    added_at: dict[str, int] = {}
+    full_added: dict[int, set] = {}
+    added_manifest: dict[int, str] = {}
+    prev_live: set = set()
+    sid_of = {v: _publish_sid(txn_root, v) for v in vs}
+    prev_sid = None
+    cur_schema_id = 0
+    for v in vs:
+        _ver, dvs = TL.snapshot_dv(txn_root, v)
+        if any(dvs.values()):
+            raise IcebergUnsupportedError(
+                f"txn version {v} carries live deletion vectors — "
+                "Iceberg data files would resurrect the deleted rows; "
+                "run txn_optimize (rewrites vectors away) and publish "
+                "the optimized version"
+            )
+        _ver, live = TL.snapshot(txn_root, v)
+        if any("=" in seg for rel in live
+               for seg in rel.split(os.sep)[:-1]):
+            raise IcebergUnsupportedError(
+                "hive-partitioned txn layout: partition columns are "
+                "not IN the data files, which Iceberg requires — "
+                "publish is file-reference only"
+            )
+        st = TL.table_schema(txn_root, v)
+        if st is None:
+            raise IcebergUnsupportedError(
+                f"txn version {v} records no schema — publish needs "
+                "schema-tracked tables (append via txn_append)"
+            )
+        fields = _spark_fields_to_ice(st, name_to_id)
+        key = json.dumps(fields, sort_keys=True)
+        if key not in schema_key_to_id:
+            schema_key_to_id[key] = len(schemas)
+            schemas.append(fields)
+        cur_schema_id = schema_key_to_id[key]
+        sid = sid_of[v]
+        new = sorted(live - prev_live)
+        gone = sorted(prev_live - live)
+        for rel in new:
+            added_at[rel] = v
+        full_added[v] = set(new)
+        mlist: list = []
+        if new:
+            name = f"pub-added-{v}.avro"
+            write_manifest(
+                txn_root, name, [(1, r) for r in new], sid,
+                schema_fields=fields,
+            )
+            added_manifest[v] = name
+            mlist.append((name, sid))
+        by_adder: dict[int, set] = {}
+        for rel in live:
+            w = added_at[rel]
+            if w != v:
+                by_adder.setdefault(w, set()).add(rel)
+        gone_by_adder: dict[int, set] = {}
+        for rel in gone:
+            gone_by_adder.setdefault(added_at[rel], set()).add(rel)
+        for w in sorted(by_adder):
+            surv = by_adder[w]
+            if (
+                surv == full_added.get(w)
+                and w in added_manifest
+                and w not in gone_by_adder
+            ):
+                mlist.append((added_manifest[w], sid_of[w]))
+            else:
+                name = f"pub-prune-{w}-at-{v}.avro"
+                entries = [(0, r, sid_of[w]) for r in sorted(surv)] + [
+                    (2, r, sid) for r in sorted(gone_by_adder.get(w, ()))
+                ]
+                write_manifest(
+                    txn_root, name, entries, sid, schema_fields=fields
+                )
+                mlist.append((name, sid))
+        # a deleting version whose adder has NO survivors still needs
+        # the tombstones recorded in ITS manifest list
+        for w, gset in sorted(gone_by_adder.items()):
+            if w not in by_adder:
+                name = f"pub-prune-{w}-at-{v}.avro"
+                write_manifest(
+                    txn_root, name,
+                    [(2, r, sid) for r in sorted(gset)],
+                    sid, schema_fields=fields,
+                )
+                mlist.append((name, sid))
+        lname = f"pub-snap-{v}.avro"
+        write_manifest_list(txn_root, lname, mlist, sid)
+        snaps_meta.append(
+            {
+                "snapshot-id": sid,
+                "manifest-list": os.path.join("metadata", lname),
+                "timestamp-ms": v,
+                "parent-snapshot-id": prev_sid,
+                "operation": "append" if not gone else "overwrite",
+            }
+        )
+        prev_sid = sid
+        prev_live = live
+    existing = _metadata_versions(root=txn_root) if os.path.isdir(
+        _meta_dir(txn_root)
+    ) else []
+    meta_v = (max(existing) + 1) if existing else 1
+    write_metadata(
+        txn_root, meta_v, schemas[cur_schema_id], snaps_meta,
+        current_snapshot_id=sid_of[vs[-1]],
+        schemas=schemas, current_schema_id=cur_schema_id,
+    )
+    return {"metadata_version": meta_v, "snapshots": dict(sid_of)}

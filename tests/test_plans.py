@@ -108,7 +108,9 @@ def test_declaring_queries_runs_no_jobs(spark):
               "q213_iceberg_adopt", "q214_ann_index_remove",
               "q215_iceberg_changes",
               # q216/q217 write Delta fixture trees (DV / columnMapping)
-              "q216_delta_dv_read", "q217_delta_column_mapping"}
+              "q216_delta_dv_read", "q217_delta_column_mapping",
+              # q218 runs txn commits + the Iceberg publish
+              "q218_publish_iceberg"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds

@@ -1,0 +1,167 @@
+"""publish_iceberg — write-side lakehouse interop: an engine txn
+table published AS a real Iceberg metadata tree over the same data
+files, round-tripped through this repo's own from-spec reader.
+Covers: per-version snapshots (time travel == txn time travel),
+manifest reuse vs pruned EXISTING/DELETED manifests on removal,
+schema evolution with stable field ids, the incremental changes feed
+over intentionally NON-monotonic snapshot ids, and the fail-closed
+boundaries (live deletion vectors, hive layouts)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from django_datastream_spark import txnlog as TL
+from django_datastream_spark.sources import iceberg as IB
+
+
+def _mkdf(spark, ids, extra=False):
+    df = spark.range(0, 0).select()  # placeholder, replaced below
+    rows = [(int(i), float(i) * 0.5) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, val double")
+    if extra:
+        df = df.withColumn("tag", F.concat(F.lit("t"), F.col("doc_id")))
+    return df
+
+
+def _rows(df, cols=("doc_id", "val")):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_publish_roundtrip_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v1 = TL.txn_append(spark, _mkdf(spark, range(10)), root, [])
+    v2 = TL.txn_append(spark, _mkdf(spark, range(10, 20)), root, [])
+    res = IB.publish_iceberg(spark, root)
+    assert set(res["snapshots"]) == {v1, v2}
+    # current snapshot == txn head, byte-for-byte rows
+    got = IB.read_iceberg(spark, root)
+    assert _rows(got) == _rows(TL.txn_read(spark, root))
+    # snapshot time travel == txn time travel
+    for v, sid in res["snapshots"].items():
+        a = IB.read_iceberg(spark, root, snapshot_id=sid)
+        b = TL.txn_read(spark, root, version=v)
+        assert _rows(a) == _rows(b), v
+    # snapshot ids are non-monotonic by design — the lineage chain,
+    # not numeric order, must carry history (regression guard)
+    sids = [res["snapshots"][v] for v in sorted(res["snapshots"])]
+    chain = IB._lineage_chain(IB.iceberg_metadata(root), sids[-1])
+    assert [s["snapshot-id"] for s in chain] == sids
+
+
+def test_publish_changes_feed_matches_txn_commits(spark, tmp_path):
+    root = str(tmp_path / "t")
+    TL.txn_append(spark, _mkdf(spark, range(10)), root, [])
+    TL.txn_append(spark, _mkdf(spark, range(10, 25)), root, [])
+    res = IB.publish_iceberg(spark, root)
+    sid1, sid2 = res["snapshots"][1], res["snapshots"][2]
+    ch = IB.iceberg_changes(spark, root, None)
+    got = sorted(
+        (r["doc_id"], r["_snapshot_id"]) for r in ch.collect()
+    )
+    assert got == sorted(
+        [(i, sid1) for i in range(10)] + [(i, sid2) for i in range(10, 25)]
+    )
+    inc = IB.iceberg_changes(spark, root, sid1)
+    assert sorted(r["doc_id"] for r in inc.collect()) == list(range(10, 25))
+
+
+def test_publish_optimize_version_prunes_manifests(spark, tmp_path):
+    """txn OPTIMIZE rewrites files (removes + adds, dataChange=false);
+    the published snapshot must carry DELETED tombstones + the new
+    file, and every era must still read exactly its rows."""
+    root = str(tmp_path / "t")
+    TL.txn_append(spark, _mkdf(spark, range(10)).repartition(4), root, [])
+    TL.txn_append(spark, _mkdf(spark, range(10, 20)), root, [])
+    TL.txn_optimize(spark, root)
+    head = TL.latest_version(root)
+    res = IB.publish_iceberg(spark, root)
+    for v, sid in res["snapshots"].items():
+        assert _rows(IB.read_iceberg(spark, root, snapshot_id=sid)) == (
+            _rows(TL.txn_read(spark, root, version=v))
+        ), v
+    # the optimize snapshot is a rewrite: the changes feed fails
+    # closed crossing it, exactly like a Delta rewrite
+    with pytest.raises(ValueError, match="deletes|rewrites"):
+        IB.iceberg_changes(
+            spark, root, res["snapshots"][1], res["snapshots"][head]
+        ).collect()
+
+
+def test_publish_schema_evolution_stable_ids(spark, tmp_path):
+    root = str(tmp_path / "t")
+    TL.txn_append(spark, _mkdf(spark, range(5)), root, [])
+    TL.txn_append(
+        spark, _mkdf(spark, range(5, 10), extra=True), root, [],
+        merge_schema=True,
+    )
+    res = IB.publish_iceberg(spark, root)
+    md = IB.iceberg_metadata(root)
+    assert len(md["schemas"]) == 2
+    # stable ids: doc_id/val keep ids 1/2 in BOTH schemas; tag gets 3
+    for s in md["schemas"]:
+        by_name = {f["name"]: f["id"] for f in s["fields"]}
+        assert by_name["doc_id"] == 1 and by_name["val"] == 2
+    assert {f["name"]: f["id"] for f in md["schemas"][1]["fields"]}[
+        "tag"
+    ] == 3
+    assert md["current-schema-id"] == 1
+    # current read: evolved schema, pre-evolution rows null-fill tag
+    got = IB.read_iceberg(spark, root)
+    assert [f.name for f in got.schema.fields] == ["doc_id", "val", "tag"]
+    rows = sorted((r["doc_id"], r["tag"]) for r in got.collect())
+    assert rows == sorted(
+        [(i, None) for i in range(5)] + [(i, f"t{i}") for i in range(5, 10)]
+    )
+    # time travel to the pre-evolution snapshot under current schema
+    old = IB.read_iceberg(
+        spark, root, snapshot_id=res["snapshots"][1]
+    )
+    assert sorted(r["doc_id"] for r in old.collect()) == list(range(5))
+
+
+def test_publish_bounds_enable_skipping(spark, tmp_path):
+    root = str(tmp_path / "t")
+    TL.txn_append(spark, _mkdf(spark, range(100)).repartition(1), root, [])
+    TL.txn_append(
+        spark, _mkdf(spark, range(100, 200)).repartition(1), root, []
+    )
+    IB.publish_iceberg(spark, root)
+    md, all_files = IB.iceberg_live_files(root)
+    md, pruned = IB.iceberg_live_files(root, where={"doc_id": (120, 150)})
+    assert len(pruned) < len(all_files)
+    got = IB.read_iceberg(spark, root, where={"doc_id": (120, 150)})
+    assert sorted(r["doc_id"] for r in got.collect()) == list(
+        range(120, 151)
+    )
+
+
+def test_publish_fails_closed(spark, tmp_path):
+    # live deletion vectors
+    root = str(tmp_path / "dv")
+    TL.txn_append(spark, _mkdf(spark, range(10)), root, [])
+    TL.txn_delete(spark, root, F.col("doc_id") < 3)
+    with pytest.raises(IB.IcebergUnsupportedError, match="deletion vector"):
+        IB.publish_iceberg(spark, root)
+    # hive partitioned layout
+    root2 = str(tmp_path / "hive")
+    df = _mkdf(spark, range(10)).withColumn(
+        "p", (F.col("doc_id") % 2).cast("int")
+    )
+    TL.txn_append(spark, df, root2, ["p"])
+    with pytest.raises(IB.IcebergUnsupportedError, match="hive"):
+        IB.publish_iceberg(spark, root2)
+    # not a txn table
+    with pytest.raises(ValueError, match="not a txn table"):
+        IB.publish_iceberg(spark, str(tmp_path / "nope"))
+
+
+def test_republish_after_new_commits(spark, tmp_path):
+    root = str(tmp_path / "t")
+    TL.txn_append(spark, _mkdf(spark, range(5)), root, [])
+    r1 = IB.publish_iceberg(spark, root)
+    assert r1["metadata_version"] == 1
+    TL.txn_append(spark, _mkdf(spark, range(5, 12)), root, [])
+    r2 = IB.publish_iceberg(spark, root)
+    assert r2["metadata_version"] == 2
+    got = IB.read_iceberg(spark, root)
+    assert sorted(r["doc_id"] for r in got.collect()) == list(range(12))
