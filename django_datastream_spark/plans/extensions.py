@@ -10610,3 +10610,133 @@ def q218(spark, sf_dir):
         )
     out = eras[0].unionByName(eras[1])
     return out.select("era", "n", "sum_val", "n_tagged").orderBy("era")
+
+
+# --------------------------------------------------------------------------
+# Q219–Q220: EXTERNAL lakehouse tables as streaming sources
+# (sources/external_stream) — delta_table exactly-once into the
+# engine, iceberg_table lineage-ordered replay
+# --------------------------------------------------------------------------
+@_declare(
+    "q219_delta_stream_ingest",
+    """
+    SELECT ver, CAST(COUNT(*) AS BIGINT) n, ROUND(SUM(val), 4) sum_val
+    FROM (
+      SELECT 0 ver, doc_id * 0.5 val FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT 1, doc_id * 0.5 FROM documents
+      WHERE doc_id >= 200 AND doc_id < 300
+      UNION ALL
+      SELECT 2, doc_id * 0.5 + 1000 FROM documents
+      WHERE doc_id < 200 AND doc_id % 4 = 0
+    ) GROUP BY ver ORDER BY ver
+    """,
+)
+def q219(spark, sf_dir):
+    """EXTERNAL Delta table → engine, streaming, EXACTLY-ONCE: the
+    q207 fixture streams through readStream.format('delta_table')
+    (offsets = commit versions, one task per file, rewrite commit
+    consumed under explicit ignoreChanges) into the app-txn-stamped
+    txn sink — then the WHOLE availableNow run repeats with a FRESH
+    stream checkpoint (worst-case redelivery, every batch re-offered).
+    The landed table must hash-match ONE copy of each commit's rows:
+    a duplicate batch, a missed commit, or wrong version attribution
+    breaks n/sum per ver. (Builder writes the fixture + runs two
+    bounded streaming jobs; by-name exemption + q174 family.)"""
+    import os as _os
+    import shutil as _sh
+
+    from .. import txnlog as TL
+    from ..sources import external_stream as XS
+
+    root = _delta_fixture(spark, sf_dir, "q219")
+    XS.register(spark)
+    base = _os.path.dirname(root)
+    dest = _os.path.join(base, "dest")
+
+    def _run(cp):
+        q = (
+            spark.readStream.format("delta_table")
+            .option("path", root)
+            .option("ignoreChanges", "true")
+            .load()
+            .writeStream.foreachBatch(
+                TL.streaming_sink(dest, [], app_id="q219")
+            )
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    _run(_os.path.join(base, "cp1"))
+    cp2 = _os.path.join(base, "cp2")
+    _sh.rmtree(cp2, ignore_errors=True)
+    _run(cp2)  # full redelivery: the app-txn ledger must refuse it
+    got = TL.txn_read(spark, dest)
+    return (
+        got.groupBy(
+            F.col("_commit_version").cast("int").alias("ver")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("val"), 4).alias("sum_val"),
+        )
+        .orderBy("ver")
+    )
+
+
+@_declare(
+    "q220_iceberg_stream_ingest",
+    """
+    SELECT snap, CAST(COUNT(*) AS BIGINT) n, ROUND(SUM(val), 4) sum_val
+    FROM (
+      SELECT 1 snap, doc_id * 0.5 val FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT 2, CASE WHEN doc_id < 200 THEN doc_id * 0.5 + 1000
+                     ELSE doc_id * 0.5 END
+      FROM documents
+      WHERE (doc_id < 200 AND doc_id % 4 = 0)
+         OR (doc_id >= 200 AND doc_id < 300)
+    ) GROUP BY snap ORDER BY snap
+    """,
+)
+def q220(spark, sf_dir):
+    """EXTERNAL Iceberg table as a STREAM: the q211 fixture replays
+    through readStream.format('iceberg_table') — offsets are LINEAGE
+    positions (parent-chain/snapshot-log, never numeric id order),
+    each snapshot's batch is exactly its ADDED manifest entries
+    (DELETED tombstones consumed under explicit ignoreChanges,
+    EXISTING carried entries never re-emitted), one task per data
+    file. Aggregated per _snapshot_id and oracled by both snapshots'
+    closed forms. (Builder writes the fixture + runs one bounded
+    streaming job; by-name exemption, q155 family.)"""
+    import os as _os
+
+    from ..sources import external_stream as XS
+
+    root = _iceberg_fixture(spark, sf_dir, "q220")
+    XS.register(spark)
+    base = _os.path.dirname(root)
+    out = _os.path.join(base, "out")
+    q = (
+        spark.readStream.format("iceberg_table")
+        .option("path", root)
+        .option("ignoreChanges", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", _os.path.join(base, "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    got = spark.read.parquet(out)
+    return (
+        got.groupBy(F.col("_snapshot_id").cast("int").alias("snap"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("val"), 4).alias("sum_val"),
+        )
+        .orderBy("snap")
+    )

@@ -1,0 +1,432 @@
+"""EXTERNAL lakehouse tables as Structured Streaming sources:
+``readStream.format("delta_table")`` / ``format("iceberg_table")`` —
+the streaming legs of :mod:`.delta` / :mod:`.iceberg`, built on the
+same machinery as the engine's own :mod:`.txn_stream`.
+
+Offsets are the formats' own bookkeeping, so checkpoint recovery
+replays any batch exactly (the replayability contract):
+
+- Delta: COMMIT VERSIONS. A micro-batch covers the ``dataChange``
+  adds of commits in ``(start, end]``, tagged ``_commit_version``.
+- Iceberg: the LINEAGE CHAIN position (parent-snapshot-id walk /
+  snapshot-log — snapshot ids are random longs, never ordered
+  numerically). Offsets carry (position, snapshot-id) so a rewritten
+  or rolled-back history is DETECTED on replay instead of silently
+  re-feeding different data; batches tag ``_snapshot_id``.
+
+Scale shape (same as txn_stream): the driver folds only metadata;
+every InputPartition is ONE data file read executor-side via pyarrow
+— a snapshot that added 10k files becomes 10k parallel tasks and the
+bytes never touch the driver. Delta deletion vectors decode
+EXECUTOR-side from their descriptors (:mod:`.roaring`) and mask the
+file's rows, so a DV'd commit streams its live rows.
+
+Rewrites (removes / DELETED entries / DV'd re-adds) cannot stream as
+appends: they FAIL CLOSED by default, exactly like the Delta source
+without ``ignoreChanges``; ``.option("ignoreChanges", "true")``
+accepts re-emission semantics (the consumer dedups upstream —
+pair with the engine's exactly-once txn sink, q161-style).
+
+Options: ``path`` (table root, required); Delta ``startingVersion``
+(default ``-1`` = from the beginning incl. commit 0; ``N`` = first
+batch begins at N+1; ``latest``); Iceberg ``startingSnapshot``
+(default from the beginning; a snapshot id = strictly after it;
+``latest``); ``ignoreChanges``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.parse
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def _truthy(v) -> bool:
+    return str(v).lower() in ("true", "1", "yes")
+
+
+def _arrow_batch(tbl, schema, consts: dict, part_vals: dict):
+    """One pyarrow table → one RecordBatch under the declared Spark
+    schema: constants broadcast, hive/partition values typed per the
+    declared field, timestamps relabeled as UTC instants (the
+    txn_stream rule)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    n = tbl.num_rows
+    arrays = []
+    names = []
+    for f in schema.fields:
+        at = to_arrow_type(f.dataType)
+        if f.name in consts:
+            col = pa.array([consts[f.name]] * n, type=at)
+        elif f.name in tbl.schema.names:
+            src = tbl.column(f.name).combine_chunks()
+            if src.type.equals(at):
+                col = src
+            elif pa.types.is_timestamp(src.type):
+                col = src.cast(
+                    pa.timestamp(src.type.unit, "UTC")
+                ).cast(at)
+            else:
+                col = src.cast(at)
+        elif f.name in part_vals:
+            col = pa.array([part_vals[f.name]] * n).cast(at)
+        else:
+            col = pa.nulls(n, type=at)
+        arrays.append(col)
+        names.append(f.name)
+    return pa.RecordBatch.from_arrays(arrays, names)
+
+
+# ---------------------------------------------------------------------------
+# Delta
+# ---------------------------------------------------------------------------
+class DeltaTableDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "delta_table"
+
+    def schema(self):
+        from . import delta as DL
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("delta_table requires .option('path', ...)")
+        _v, md, _adds = DL.delta_snapshot_arrow(path)
+        if DL._column_mapping(md):
+            raise DL.DeltaUnsupportedError(
+                "streaming a columnMapping table is not supported; "
+                "batch read_delta is"
+            )
+        return StructType(
+            DL.delta_schema(md).fields
+            + [StructField("_commit_version", LongType())]
+        )
+
+    def streamReader(self, schema):
+        return DeltaTableStreamReader(self.options, schema)
+
+    def reader(self, schema):
+        raise NotImplementedError(
+            "batch reads go through sources.delta.read_delta; this "
+            "format is the STREAMING leg"
+        )
+
+
+class DeltaTableStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema):
+        from . import delta as DL
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("delta_table requires .option('path', ...)")
+        sv = options.get(
+            "startingVersion", options.get("startingversion", "-1")
+        )
+        if str(sv).lower() == "latest":
+            vs = DL._commit_versions(self.path)
+            self.start_v = max(vs) if vs else -1
+        else:
+            self.start_v = int(sv)
+        self.ignore_changes = _truthy(
+            options.get("ignoreChanges", options.get("ignorechanges"))
+        )
+        self.schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"v": self.start_v}
+
+    def latestOffset(self) -> dict:
+        from . import delta as DL
+
+        vs = DL._commit_versions(self.path)
+        return {"v": max(vs) if vs else self.start_v}
+
+    def partitions(self, start: dict, end: dict):
+        from . import delta as DL
+
+        out = []
+        versions = set(DL._commit_versions(self.path))
+        for v in range(start["v"] + 1, end["v"] + 1):
+            if v not in versions:
+                raise ValueError(
+                    f"{self.path}: commit {v} cleaned up — streaming "
+                    "replay past log cleanup is unrecoverable"
+                )
+            with open(
+                os.path.join(
+                    self.path, DL._LOG, f"{v:020d}.json"
+                ),
+                encoding="utf-8",
+            ) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "add" in action:
+                        a = action["add"]
+                        if not a.get("dataChange", True):
+                            continue  # compaction: rows already seen
+                        dv = a.get("deletionVector")
+                        if dv and not self.ignore_changes:
+                            raise ValueError(
+                                f"{self.path}: commit {v} adds a "
+                                f"deletion vector on {a['path']} — "
+                                "deletes cannot stream as appends "
+                                "(.option('ignoreChanges','true') "
+                                "accepts re-emission of live rows)"
+                            )
+                        dv_t = (
+                            (
+                                dv["storageType"],
+                                dv["pathOrInlineDv"],
+                                dv.get("offset"),
+                                int(dv["sizeInBytes"]),
+                            )
+                            if dv
+                            else None
+                        )
+                        out.append(
+                            InputPartition(
+                                (
+                                    v,
+                                    urllib.parse.unquote(a["path"]),
+                                    sorted(
+                                        (
+                                            a.get("partitionValues")
+                                            or {}
+                                        ).items()
+                                    ),
+                                    dv_t,
+                                )
+                            )
+                        )
+                    elif "remove" in action and action["remove"].get(
+                        "dataChange", True
+                    ):
+                        if not self.ignore_changes:
+                            raise ValueError(
+                                f"{self.path}: commit {v} removes "
+                                f"{action['remove']['path']} — "
+                                "rewrites/deletes cannot stream as "
+                                "appends (.option('ignoreChanges',"
+                                "'true') to accept re-emission)"
+                            )
+        return out or [InputPartition(None)]
+
+    def read(self, partition):
+        if partition.value is None:
+            return
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from . import roaring as RB
+
+        v, rel, pv_items, dv_t = partition.value
+        tbl = pq.read_table(os.path.join(self.path, rel))
+        if dv_t is not None:
+            st, p, off, sz = dv_t
+            dead = RB.dv_positions(self.path, st, p, off, sz)
+            mask = np.ones(tbl.num_rows, bool)
+            mask[dead[dead < tbl.num_rows]] = False
+            tbl = tbl.filter(pa.array(mask))
+        yield _arrow_batch(
+            tbl, self.schema, {"_commit_version": v}, dict(pv_items)
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the stream checkpoint
+
+
+# ---------------------------------------------------------------------------
+# Iceberg
+# ---------------------------------------------------------------------------
+class IcebergTableDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_table"
+
+    def schema(self):
+        from . import iceberg as IB
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "iceberg_table requires .option('path', ...)"
+            )
+        md = IB.iceberg_metadata(path)
+        return StructType(
+            IB.iceberg_schema(md).fields
+            + [StructField("_snapshot_id", LongType())]
+        )
+
+    def streamReader(self, schema):
+        return IcebergTableStreamReader(self.options, schema)
+
+    def reader(self, schema):
+        raise NotImplementedError(
+            "batch reads go through sources.iceberg.read_iceberg; "
+            "this format is the STREAMING leg"
+        )
+
+
+class IcebergTableStreamReader(DataSourceStreamReader):
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError(
+                "iceberg_table requires .option('path', ...)"
+            )
+        self.ignore_changes = _truthy(
+            options.get("ignoreChanges", options.get("ignorechanges"))
+        )
+        self.schema = schema
+        ss = options.get(
+            "startingSnapshot", options.get("startingsnapshot")
+        )
+        chain = self._chain()
+        if ss is None:
+            self._start = {"n": 0, "sid": None}
+        elif str(ss).lower() == "latest":
+            self._start = {
+                "n": len(chain),
+                "sid": chain[-1]["snapshot-id"] if chain else None,
+            }
+        else:
+            sids = [s["snapshot-id"] for s in chain]
+            if int(ss) not in sids:
+                raise ValueError(
+                    f"{self.path}: startingSnapshot {ss} not in the "
+                    "current lineage"
+                )
+            n = sids.index(int(ss)) + 1
+            self._start = {"n": n, "sid": int(ss)}
+
+    def _chain(self):
+        from . import iceberg as IB
+
+        md = IB.iceberg_metadata(self.path)
+        self._md = md
+        cur = md.get("current-snapshot-id")
+        if cur is None or not md.get("snapshots"):
+            return []
+        return IB._lineage_chain(md, cur)
+
+    def initialOffset(self) -> dict:
+        return dict(self._start)
+
+    def latestOffset(self) -> dict:
+        chain = self._chain()
+        return {
+            "n": len(chain),
+            "sid": chain[-1]["snapshot-id"] if chain else None,
+        }
+
+    def partitions(self, start: dict, end: dict):
+        from . import avro_lite as AV
+        from . import iceberg as IB
+
+        chain = self._chain()
+        md = self._md
+        # replay safety: the checkpointed (position, sid) pairs must
+        # still name the same lineage — a rollback/rewrite raises
+        for off in (start, end):
+            n, sid = off.get("n", 0), off.get("sid")
+            if n > len(chain):
+                raise ValueError(
+                    f"{self.path}: lineage shrank below checkpointed "
+                    f"position {n} (rollback?) — replay unsafe"
+                )
+            if n and sid is not None and (
+                chain[n - 1]["snapshot-id"] != sid
+            ):
+                raise ValueError(
+                    f"{self.path}: snapshot at lineage position "
+                    f"{n - 1} changed ({chain[n - 1]['snapshot-id']} "
+                    f"!= checkpointed {sid}) — history rewritten, "
+                    "replay unsafe"
+                )
+        out = []
+        for idx in range(start.get("n", 0), end.get("n", 0)):
+            snap = chain[idx]
+            sid = snap["snapshot-id"]
+            mlist = IB._resolve(self.path, md, snap["manifest-list"])
+            _s, manifests = AV.read_container_file(mlist)
+            for mf in manifests:
+                if int(mf.get("content") or 0) != 0:
+                    raise IB.IcebergUnsupportedError(
+                        "DELETE manifests not supported"
+                    )
+                if (
+                    mf.get("added_snapshot_id") is not None
+                    and mf["added_snapshot_id"] != sid
+                ):
+                    continue
+                man = IB._resolve(self.path, md, mf["manifest_path"])
+                _s2, entries = AV.read_container_file(man)
+                for e in entries:
+                    if e.get("snapshot_id") not in (None, sid):
+                        continue
+                    status = int(e.get("status") or 0)
+                    if status == 2:
+                        if not self.ignore_changes:
+                            raise ValueError(
+                                f"{self.path}: snapshot {sid} deletes "
+                                f"{e['data_file']['file_path']} — "
+                                "rewrites cannot stream as appends "
+                                "(.option('ignoreChanges','true') to "
+                                "accept re-emission)"
+                            )
+                        continue
+                    if status != 1:
+                        continue  # EXISTING: carried, not a change
+                    df = e["data_file"]
+                    if int(df.get("content") or 0) != 0:
+                        raise IB.IcebergUnsupportedError(
+                            "delete data files not supported"
+                        )
+                    if str(
+                        df.get("file_format", "PARQUET")
+                    ).upper() != "PARQUET":
+                        raise IB.IcebergUnsupportedError(
+                            f"file_format {df.get('file_format')}"
+                        )
+                    out.append(
+                        InputPartition(
+                            (
+                                sid,
+                                IB._resolve(
+                                    self.path, md, df["file_path"]
+                                ),
+                            )
+                        )
+                    )
+        return out or [InputPartition(None)]
+
+    def read(self, partition):
+        if partition.value is None:
+            return
+        import pyarrow.parquet as pq
+
+        sid, full = partition.value
+        tbl = pq.read_table(full)
+        yield _arrow_batch(tbl, self.schema, {"_snapshot_id": sid}, {})
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def register(spark) -> None:
+    """Idempotent registration of both external streaming formats."""
+    spark.dataSource.register(DeltaTableDataSource)
+    spark.dataSource.register(IcebergTableDataSource)

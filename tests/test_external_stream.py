@@ -1,0 +1,199 @@
+"""External lakehouse tables as streaming sources (delta_table /
+iceberg_table): offset replay, lineage-ordered Iceberg batches over
+non-monotonic snapshot ids, rollback detection, DV/rewrite
+fail-closed, and the exactly-once landing into an engine txn table
+under doubled replay (q174's worst-case redelivery shape)."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from django_datastream_spark import txnlog as TL
+from django_datastream_spark.sources import delta as DL
+from django_datastream_spark.sources import external_stream as XS
+from django_datastream_spark.sources import iceberg as IB
+from tests.test_delta import _build_hive_table
+from tests.test_delta_dv import _dv_commit_actions
+from tests.test_iceberg import FIELDS, _build_nonmonotonic_table, _data
+
+
+def _drain(spark, fmt, table, cp, out, **opts):
+    XS.register(spark)
+    r = spark.readStream.format(fmt).option("path", table)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    q = (
+        r.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    return spark.read.parquet(out)
+
+
+def test_delta_stream_replays_then_tails(spark, tmp_path):
+    table = str(tmp_path / "t")
+    _build_hive_table(table)  # v0,v1 adds; v2 rewrite
+    cp, out = str(tmp_path / "cp"), str(tmp_path / "out")
+    # rewrite commit fails closed mid-stream by default
+    with pytest.raises(Exception, match="cannot stream as appends"):
+        _drain(spark, "delta_table", table, cp, out)
+    shutil.rmtree(cp, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    got = _drain(
+        spark, "delta_table", table, cp, out, ignoreChanges="true"
+    )
+    rows = sorted(
+        (r["doc_id"], r["part"], r["_commit_version"])
+        for r in got.collect()
+    )
+    want = sorted(
+        [(i, i % 2, 0) for i in range(10)]
+        + [(10, 0, 1), (12, 0, 1)]
+        + [(i, 1, 2) for i in [1, 3, 5, 7, 9]]  # rewrite re-emission
+    )
+    assert rows == want
+    # a NEW commit tails incrementally through the same checkpoint
+    from tests.test_delta import _add, _write_data
+
+    _write_data(table, "part=0/f9.parquet", [20, 22])
+    DL.write_delta_commit(
+        table, 3, [_add("part=0/f9.parquet", {"part": "0"})]
+    )
+    got2 = _drain(
+        spark, "delta_table", table, cp, out, ignoreChanges="true"
+    )
+    new = [
+        (r["doc_id"], r["_commit_version"])
+        for r in got2.filter("_commit_version = 3").collect()
+    ]
+    assert sorted(new) == [(20, 3), (22, 3)]
+    assert got2.count() == len(want) + 2
+
+
+def test_delta_stream_applies_deletion_vectors(spark, tmp_path):
+    from tests.test_delta import _PROTO, _add, _meta, _write_data
+
+    table = str(tmp_path / "t")
+    _write_data(table, "a.parquet", range(10))
+    DL.write_delta_commit(
+        table, 0, [_PROTO, _meta(partitioned=False), _add("a.parquet")]
+    )
+    DL.write_delta_commit(
+        table, 1, _dv_commit_actions(table, "a.parquet", [1, 3], "u")
+    )
+    cp, out = str(tmp_path / "cp"), str(tmp_path / "out")
+    got = _drain(
+        spark, "delta_table", table, cp, out, ignoreChanges="true"
+    )
+    v1 = sorted(
+        r["doc_id"]
+        for r in got.filter("_commit_version = 1").collect()
+    )
+    assert v1 == [0, 2, 4, 5, 6, 7, 8, 9]  # live rows only
+
+
+def test_iceberg_stream_orders_by_lineage(spark, tmp_path):
+    table = str(tmp_path / "t")
+    s1, s2 = _build_nonmonotonic_table(table)  # older id LARGER
+    cp, out = str(tmp_path / "cp"), str(tmp_path / "out")
+    got = _drain(spark, "iceberg_table", table, cp, out)
+    rows = sorted(
+        (r["doc_id"], r["_snapshot_id"]) for r in got.collect()
+    )
+    assert rows == sorted(
+        [(i, s1) for i in range(10)] + [(i, s2) for i in range(10, 15)]
+    )
+    # grow the table by a third snapshot; only it streams next
+    s3 = 7
+    _data(table, "data/D.parquet", range(15, 18))
+    IB.write_manifest(table, "m4.avro", [(1, "data/D.parquet")], s3)
+    IB.write_manifest_list(
+        table, "snap-3.avro",
+        [("m1.avro", s1), ("m3.avro", s2), ("m4.avro", s3)], s3,
+    )
+    snaps = [
+        {"snapshot-id": s1, "manifest-list": "metadata/snap-1.avro"},
+        {"snapshot-id": s2, "manifest-list": "metadata/snap-2.avro"},
+        {"snapshot-id": s3, "manifest-list": "metadata/snap-3.avro"},
+    ]
+    IB.write_metadata(table, 3, FIELDS, snaps, current_snapshot_id=s3)
+    got2 = _drain(spark, "iceberg_table", table, cp, out)
+    assert got2.count() == 18
+    assert sorted(
+        r["doc_id"] for r in got2.filter(f"_snapshot_id = {s3}").collect()
+    ) == [15, 16, 17]
+
+
+def test_iceberg_stream_detects_history_rewrite(spark, tmp_path):
+    table = str(tmp_path / "t")
+    s1, s2 = _build_nonmonotonic_table(table)
+    cp, out = str(tmp_path / "cp"), str(tmp_path / "out")
+    _drain(spark, "iceberg_table", table, cp, out)
+    # rewrite history: drop s2, replace by a different lineage
+    mpath = os.path.join(table, "metadata", "v2.metadata.json")
+    with open(mpath) as f:
+        md = json.load(f)
+    md["snapshots"] = [
+        s for s in md["snapshots"] if s["snapshot-id"] == s1
+    ]
+    md["current-snapshot-id"] = s1
+    md["snapshot-log"] = md["snapshot-log"][:1]
+    with open(mpath, "w") as f:
+        json.dump(md, f)
+    _data(table, "data/E.parquet", range(100, 103))
+    IB.write_manifest(table, "m9.avro", [(1, "data/E.parquet")], 99)
+    IB.write_manifest_list(
+        table, "snap-9.avro", [("m1.avro", s1), ("m9.avro", 99)], 99
+    )
+    snaps = [
+        {"snapshot-id": s1, "manifest-list": "metadata/snap-1.avro"},
+        {"snapshot-id": 99, "manifest-list": "metadata/snap-9.avro"},
+    ]
+    IB.write_metadata(table, 3, FIELDS, snaps, current_snapshot_id=99)
+    with pytest.raises(Exception, match="history rewritten|replay unsafe"):
+        _drain(spark, "iceberg_table", table, cp, out)
+
+
+def test_external_stream_lands_exactly_once(spark, tmp_path):
+    """delta_table → engine txn sink under the WORST-CASE redelivery:
+    the whole availableNow run repeats with a fresh stream checkpoint
+    (every batch re-offered); the app-txn ledger must refuse the
+    duplicates and the landed table equal ONE copy of the source."""
+    table = str(tmp_path / "src")
+    _build_hive_table(table)
+    XS.register(spark)
+    dest = str(tmp_path / "dest")
+
+    def _run(cp_dir):
+        q = (
+            spark.readStream.format("delta_table")
+            .option("path", table)
+            .option("ignoreChanges", "true")
+            .load()
+            .writeStream.foreachBatch(
+                TL.streaming_sink(dest, [], app_id="xs-test")
+            )
+            .option("checkpointLocation", cp_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    _run(str(tmp_path / "cp1"))
+    once = sorted(
+        (r["doc_id"], r["_commit_version"])
+        for r in TL.txn_read(spark, dest).collect()
+    )
+    _run(str(tmp_path / "cp2"))  # fresh checkpoint: full re-delivery
+    twice = sorted(
+        (r["doc_id"], r["_commit_version"])
+        for r in TL.txn_read(spark, dest).collect()
+    )
+    assert twice == once
+    assert len(once) == 17  # 10 + 2 + 5 (rewrite re-emission)

@@ -110,7 +110,9 @@ def test_declaring_queries_runs_no_jobs(spark):
               # q216/q217 write Delta fixture trees (DV / columnMapping)
               "q216_delta_dv_read", "q217_delta_column_mapping",
               # q218 runs txn commits + the Iceberg publish
-              "q218_publish_iceberg"}
+              "q218_publish_iceberg",
+              # q219/q220 run bounded external-stream replays
+              "q219_delta_stream_ingest", "q220_iceberg_stream_ingest"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
