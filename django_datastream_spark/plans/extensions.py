@@ -10785,3 +10785,70 @@ def q221(spark, sf_dir):
     return AI.query_ann_index_distributed(
         spark, root, vecs, k=1, n_probe=1
     ).orderBy("query_id")
+
+
+# --------------------------------------------------------------------------
+# Q222: publish an engine txn table AS Delta — incl. REAL deletion-
+# vector export (txn sidecars → spec-framed descriptors)
+# --------------------------------------------------------------------------
+@_declare(
+    "q222_publish_delta",
+    """
+    SELECT 0 ver, CAST(COUNT(*) AS BIGINT) n,
+           ROUND(SUM(doc_id * 0.5), 4) sum_val
+    FROM documents WHERE doc_id < 200
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT), ROUND(SUM(doc_id * 0.5), 4)
+    FROM documents WHERE doc_id < 200 AND doc_id % 5 <> 0
+    ORDER BY ver
+    """,
+)
+def q222(spark, sf_dir):
+    """WRITE-SIDE Delta interop (q218's twin, closing the round-8
+    follow-on): an engine txn table — append, then a txn DELETE that
+    leaves deletion-vector sidecars — publishes AS a _delta_log over
+    the same files; the txn vectors export as spec-framed
+    RoaringBitmapArray descriptors in one CRC-checked sidecar, the
+    protocol auto-upgrades to reader 3 + deletionVectors, and the
+    from-spec Delta reader serves BOTH eras (pre-delete via Delta time
+    travel, post-delete with the vectors applied). Oracled by the
+    deleted-id closed forms — an export that resurrected a deleted row
+    or leaked the delete into era 0 breaks the hash. (Builder runs txn
+    commits + the publish; by-name exemption in
+    test_declaring_queries_runs_no_jobs.)"""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from .. import txnlog as TL
+    from ..sources import delta as DLT
+
+    base = _os.path.join(
+        _tmp.gettempdir(),
+        "q222_" + _hl.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    root = _os.path.join(base, "table")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = docs.filter(F.col("doc_id") < 200).select(
+        "doc_id", (F.col("doc_id") * 0.5).alias("val")
+    )
+    TL.txn_append(spark, d.repartition(4), root, [])
+    TL.txn_delete(spark, root, F.col("doc_id") % 5 == 0)
+    DLT.publish_delta(spark, root)
+    eras = []
+    for v in (0, 1):
+        eras.append(
+            DLT.read_delta(spark, root, version=v)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("val"), 4).alias("sum_val"),
+            )
+            .withColumn("ver", F.lit(v))
+        )
+    return (
+        eras[0].unionByName(eras[1])
+        .select("ver", "n", "sum_val")
+        .orderBy("ver")
+    )

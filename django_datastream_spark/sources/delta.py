@@ -1246,3 +1246,243 @@ def write_delta_checkpoint(root: str, version: int) -> None:
     )
     with open(os.path.join(log, "_last_checkpoint"), "w") as f:
         json.dump({"version": version, "size": n}, f)
+
+
+# ---------------------------------------------------------------------------
+# write-side interop: publish an engine/txn table AS Delta
+# ---------------------------------------------------------------------------
+def _delta_stats_json(st: dict | None) -> str | None:
+    """txn footer-stats entry ({"rows", "cols": {c: {t,min,max,
+    nulls}}}) → Delta add.stats JSON (numRecords/minValues/maxValues/
+    nullCount). Conservative: all-null columns record only nullCount,
+    unusable columns drop (read-side pruning keeps such files)."""
+    if not st:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for c, e in (st.get("cols") or {}).items():
+        if not isinstance(e, dict):
+            continue
+        if e.get("nulls") is not None:
+            nulls[c] = e["nulls"]
+        if e.get("t") == "null":
+            continue
+        if "min" in e:
+            mins[c] = e["min"]
+        if "max" in e:
+            maxs[c] = e["max"]
+    try:
+        return json.dumps(
+            {
+                "numRecords": st.get("rows"),
+                "minValues": mins,
+                "maxValues": maxs,
+                "nullCount": nulls,
+            },
+            sort_keys=True,
+            default=str,
+        )
+    except (TypeError, ValueError):
+        return None  # unserializable stat: the file just isn't pruned
+
+
+def _hive_pv(rel: str, part_cols: list[str]) -> dict:
+    found = {}
+    for seg in rel.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, _, val = seg.partition("=")
+            found[k] = urllib.parse.unquote(val)
+    return {c: found.get(c) for c in part_cols}
+
+
+def publish_delta(
+    spark: SparkSession, txn_root: str, checkpoint: bool = False
+) -> dict:
+    """ZERO-COPY write-side interop (the :func:`..iceberg
+    .publish_iceberg` twin and the inverse of :func:`adopt_delta`):
+    publish an engine txn table AS a valid ``_delta_log`` over the
+    SAME data files — any Delta reader (including this module's, which
+    is how the gate verifies it) serves the table, every txn version a
+    time-travelable Delta version (txn ``v`` → Delta commit ``v-1``).
+
+    Mapping per version: the live-set diff becomes remove/add actions
+    (layout-only txn OPTIMIZE publishes as ``dataChange=false``, so
+    Delta streaming consumers skip it exactly like txn_stream does);
+    txn footer stats translate to ``add.stats`` (Delta-side data
+    skipping works immediately); hive partition dirs become
+    ``partitionValues`` (neither system stores partition columns in
+    data files — layouts match); schema changes re-emit ``metaData``.
+    DELETION VECTORS translate for real: a version whose DV state
+    changed re-adds the file with a spec-framed descriptor — all of a
+    version's vectors packed into ONE ``deletion_vector_<uuid>.bin``
+    sidecar at per-file offsets (:func:`..roaring.write_dv_file_multi`),
+    and the protocol auto-selects reader 3 + ``deletionVectors`` only
+    when some version actually needs it.
+
+    Re-publish after new txn commits appends only the missing Delta
+    commits (version arithmetic is fixed, so the call is idempotent).
+    Scale note: this is a metadata-plane export — one pass over commit
+    diffs; sidecar positions for DV'd files do pass through the driver
+    (bounded by DV cardinality, an offline-export path)."""
+    import uuid as _uuid
+
+    from .. import txnlog as TL
+    from ..operators.merge import _local_root
+    from . import roaring as RB
+
+    if not TL.is_txn_table(txn_root):
+        raise ValueError(f"{txn_root}: not a txn table")
+    head = TL.latest_version(txn_root)
+    root = _local_root(txn_root)
+    published = _commit_versions(txn_root) if os.path.isdir(
+        _log_dir(txn_root)
+    ) else []
+    start = (max(published) + 2) if published else 1  # txn v of next
+    if start > head:
+        return {"delta_versions": len(published), "published": []}
+    # protocol needs to know up front whether ANY version carries DVs
+    any_dv = any(
+        any(TL.snapshot_dv(txn_root, v)[1].values())
+        for v in range(1, head + 1)
+    )
+    proto = (
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+        if any_dv
+        else {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    prev_live: set = set()
+    prev_dv: dict = {}
+    prev_schema = None
+    part_cols: list[str] = []
+    if start > 1:
+        _v, prev_live = TL.snapshot(txn_root, start - 1)
+        _v, prev_dv = TL.snapshot_dv(txn_root, start - 1)
+        prev_schema = TL.table_schema_json(txn_root, start - 1)
+        _v0, md0, _a = delta_snapshot_arrow(txn_root)
+        part_cols = list(md0.get("partitionColumns") or [])
+    done = []
+    for v in range(start, head + 1):
+        _ver, stats_map = TL.snapshot_with_stats(txn_root, v)
+        live = set(stats_map)
+        _ver, dv_map = TL.snapshot_dv(txn_root, v)
+        schema_json = TL.table_schema_json(txn_root, v)
+        if schema_json is None:
+            raise DeltaUnsupportedError(
+                f"txn version {v} records no schema — publish needs "
+                "schema-tracked tables (append via txn_append)"
+            )
+        c = TL._read_commit(txn_root, v)
+        dc = bool(c.get("data_change", True))
+        if v == start and not published:
+            part_cols = sorted(
+                {
+                    seg.partition("=")[0]
+                    for rel in live
+                    for seg in rel.split(os.sep)[:-1]
+                    if "=" in seg
+                }
+            )
+        acts: list[dict] = []
+        if v == 1:
+            acts.append({"protocol": proto})
+        if schema_json != prev_schema:
+            acts.append(
+                {
+                    "metaData": {
+                        "id": os.path.basename(
+                            os.path.abspath(txn_root)
+                        ),
+                        "format": {
+                            "provider": "parquet", "options": {}
+                        },
+                        "schemaString": schema_json,
+                        "partitionColumns": part_cols,
+                        "configuration": {},
+                    }
+                }
+            )
+        new = live - prev_live
+        gone = prev_live - live
+        dv_changed = {
+            f
+            for f in live
+            if f not in new
+            and (dv_map.get(f) or []) != (prev_dv.get(f) or [])
+        }
+        # one sidecar per published version carries every vector
+        descs: dict[str, dict] = {}
+        need_dv = sorted(
+            f for f in (new | dv_changed) if dv_map.get(f)
+        )
+        if need_dv:
+            per_key = {}
+            import pyarrow.parquet as _pq
+
+            for f in need_dv:
+                dead: set[int] = set()
+                for e in dv_map[f]:
+                    t = _pq.read_table(
+                        os.path.join(root, e["dv"]),
+                        columns=["file", "pos"],
+                    )
+                    dead.update(
+                        p
+                        for ff, p in zip(
+                            t.column("file").to_pylist(),
+                            t.column("pos").to_pylist(),
+                        )
+                        if ff == f
+                    )
+                per_key[f] = sorted(dead)
+            u = _uuid.UUID(
+                int=int.from_bytes(
+                    __import__("hashlib")
+                    .md5(f"{txn_root}:{v}".encode())
+                    .digest(),
+                    "big",
+                )
+            )
+            offs = RB.write_dv_file_multi(
+                os.path.join(root, f"deletion_vector_{u}.bin"),
+                per_key,
+            )
+            for f, (off, size, card) in offs.items():
+                descs[f] = {
+                    "storageType": "u",
+                    "pathOrInlineDv": RB.make_uuid_descriptor_path(u),
+                    "offset": off,
+                    "sizeInBytes": size,
+                    "cardinality": card,
+                }
+        for f in sorted(gone | dv_changed):
+            acts.append(
+                {"remove": {"path": f, "dataChange": dc}}
+            )
+        for f in sorted(new | dv_changed):
+            add = {
+                "path": f,
+                "partitionValues": _hive_pv(f, part_cols),
+                "size": (
+                    os.path.getsize(os.path.join(root, f))
+                    if os.path.exists(os.path.join(root, f))
+                    else 0
+                ),
+                "modificationTime": 0,
+                "dataChange": dc,
+                "stats": _delta_stats_json(stats_map.get(f)),
+            }
+            if f in descs:
+                add["deletionVector"] = descs[f]
+            acts.append({"add": add})
+        write_delta_commit(txn_root, v - 1, acts)
+        done.append(v - 1)
+        prev_live, prev_dv, prev_schema = live, dv_map, schema_json
+    if checkpoint and done:
+        write_delta_checkpoint(txn_root, done[-1])
+    return {"delta_versions": done[-1] + 1, "published": done}
