@@ -130,13 +130,15 @@ def _commit_versions(root: str) -> list[int]:
 
 def _checkpoint_parts(root: str, v: int) -> list[str]:
     """Checkpoint file(s) for version v: classic single-file
-    ``{v}.checkpoint.parquet`` or multi-part
-    ``{v}.checkpoint.{i}.{n}.parquet``. Multi-part sets are VALIDATED
-    against the part count encoded in the names — a cleaned-up or
-    half-written set must not fold silently as a partial snapshot
-    (it would drop live files); an incomplete set raises and the
-    caller falls back to the pure-JSON fold (or fails closed when the
-    tail was cleaned up past the checkpoint)."""
+    ``{v}.checkpoint.parquet``, multi-part
+    ``{v}.checkpoint.{i}.{n}.parquet``, or a V2 UUID-named manifest
+    ``{v}.checkpoint.{uuid}.parquet`` (whose ``sidecar`` actions the
+    fold resolves separately). Multi-part sets are VALIDATED against
+    the part count encoded in the names — a cleaned-up or half-written
+    set must not fold silently as a partial snapshot (it would drop
+    live files); an incomplete set raises and the caller falls back to
+    the pure-JSON fold (or fails closed when the tail was cleaned up
+    past the checkpoint)."""
     import re as _re
 
     log = _log_dir(root)
@@ -147,12 +149,18 @@ def _checkpoint_parts(root: str, v: int) -> list[str]:
     pat = _re.compile(
         rf"{v:020d}\.checkpoint\.(\d+)\.(\d+)\.parquet\Z"
     )
+    v2pat = _re.compile(
+        rf"{v:020d}\.checkpoint\.[A-Za-z0-9-]+\.parquet\Z"
+    )
     stray = []
+    v2 = []
     for name in os.listdir(log):
         m = pat.match(name)
         if m:
             i, n = int(m.group(1)), int(m.group(2))
             by_n.setdefault(n, {})[i] = os.path.join(log, name)
+        elif v2pat.match(name):
+            v2.append(os.path.join(log, name))
         elif name.startswith(f"{v:020d}.checkpoint.") and name.endswith(
             ".parquet"
         ):
@@ -160,6 +168,11 @@ def _checkpoint_parts(root: str, v: int) -> list[str]:
     for n, parts in sorted(by_n.items()):
         if set(parts) == set(range(1, n + 1)):
             return [parts[i] for i in range(1, n + 1)]
+    if v2 and not by_n:
+        # a V2 checkpoint is one self-consistent manifest; multiple
+        # UUID-named manifests for the same version are equivalent by
+        # spec — pick deterministically
+        return [sorted(v2)[0]]
     if by_n or stray:
         # recoverable (ValueError, not DeltaUnsupportedError): the
         # caller falls back to the pure-JSON fold when the tail covers
@@ -292,9 +305,43 @@ def _fold_checkpoint_arrow(parts: list[str]):
     schema = _adds_arrow_schema()
     proto = meta = None
     chunks = []
+    parts = list(parts)
+    seen_sidecars = False
     for p in parts:
         names = set(pq.ParquetFile(p).schema_arrow.names)
+        if "sidecar" in names and not seen_sidecars:
+            # V2 checkpoint manifest: its sidecar actions name the
+            # files (in _delta_log/_sidecars/) holding the add/remove
+            # set — append them as further parts of this same fold
+            side = pq.read_table(p, columns=["sidecar"]).column(
+                "sidecar"
+            ).combine_chunks()
+            mask = pc.is_valid(side)
+            if pc.any(mask).as_py():
+                seen_sidecars = True
+                log = os.path.dirname(p)
+                for s in side.filter(mask).to_pylist():
+                    sp = s.get("path")
+                    if not sp:
+                        # malformed manifest: recoverable — the caller
+                        # falls back to the pure-JSON fold
+                        raise ValueError(
+                            "v2 checkpoint sidecar action without path"
+                        )
+                    full = (
+                        sp
+                        if os.path.isabs(sp)
+                        else os.path.join(log, "_sidecars", sp)
+                    )
+                    if not os.path.exists(full):
+                        raise ValueError(
+                            f"v2 checkpoint sidecar {sp} missing — "
+                            "refusing to fold a partial snapshot"
+                        )
+                    parts.append(full)
         cols = [c for c in ("protocol", "metaData", "add") if c in names]
+        if not cols:
+            continue
         tbl = pq.read_table(p, columns=cols)
         for key in ("protocol", "metaData"):
             if key in names:

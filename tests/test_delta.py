@@ -482,3 +482,71 @@ def test_delta_changes_from_beginning(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="bad version range"):
         DL.delta_changes(spark, root, -2)
+
+
+def test_v2_checkpoint_with_sidecars(spark, tmp_path):
+    """V2 (UUID-named) checkpoint: protocol/metaData live in the
+    manifest, the add set lives in _delta_log/_sidecars/ files named
+    by sidecar actions. Fold through it after log cleanup; a missing
+    sidecar fails closed instead of dropping live files."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    root = str(tmp_path / "t")
+    _build_hive_table(root)
+    before = _rows(DL.read_delta(spark, root))
+    DL.write_delta_checkpoint(root, 2)
+    log = os.path.join(root, "_delta_log")
+    classic = os.path.join(log, f"{2:020d}.checkpoint.parquet")
+    tbl = _pq.read_table(classic)
+    os.unlink(classic)
+    # split: adds → two sidecars, protocol/metaData stay in the manifest
+    import pyarrow.compute as _pc
+
+    adds = tbl.filter(_pc.is_valid(tbl.column("add")))
+    scalars = tbl.filter(_pc.is_null(tbl.column("add")))
+    os.makedirs(os.path.join(log, "_sidecars"), exist_ok=True)
+    half = max(1, adds.num_rows // 2)
+    side_names = []
+    for i, piece in enumerate((adds.slice(0, half), adds.slice(half))):
+        name = f"s{i}.parquet"
+        _pq.write_table(
+            piece.select(["add"]),
+            os.path.join(log, "_sidecars", name),
+        )
+        side_names.append(name)
+    side_t = _pa.struct(
+        [("path", _pa.string()), ("sizeInBytes", _pa.int64())]
+    )
+    n = scalars.num_rows + len(side_names)
+    manifest = _pa.table(
+        {
+            "protocol": _pa.concat_arrays(
+                [scalars.column("protocol").combine_chunks(),
+                 _pa.nulls(len(side_names),
+                           scalars.column("protocol").type)]
+            ),
+            "metaData": _pa.concat_arrays(
+                [scalars.column("metaData").combine_chunks(),
+                 _pa.nulls(len(side_names),
+                           scalars.column("metaData").type)]
+            ),
+            "sidecar": _pa.array(
+                [None] * scalars.num_rows
+                + [{"path": s, "sizeInBytes": 1} for s in side_names],
+                side_t,
+            ),
+        }
+    )
+    assert manifest.num_rows == n
+    uuid_name = f"{2:020d}.checkpoint.0f0e-aa11-bb22.parquet"
+    _pq.write_table(manifest, os.path.join(log, uuid_name))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 2}, f)
+    for v in (0, 1, 2):
+        os.unlink(os.path.join(log, f"{v:020d}.json"))
+    assert _rows(DL.read_delta(spark, root)) == before
+    # a missing sidecar must fail closed, never fold partially
+    os.unlink(os.path.join(log, "_sidecars", side_names[1]))
+    with pytest.raises(DL.DeltaUnsupportedError, match="sidecar|missing"):
+        DL.read_delta(spark, root)
