@@ -10852,3 +10852,78 @@ def q222(spark, sf_dir):
         .select("ver", "n", "sum_val")
         .orderBy("ver")
     )
+
+
+# --------------------------------------------------------------------------
+# Q223: Iceberg v2 POSITION-DELETE round trip — txn DVs exported as
+# merge-on-read deletes, read back era-correct
+# --------------------------------------------------------------------------
+@_declare(
+    "q223_iceberg_position_deletes",
+    """
+    SELECT 1 era, CAST(COUNT(*) AS BIGINT) n,
+           ROUND(SUM(doc_id * 0.5), 4) sum_val
+    FROM documents WHERE doc_id < 200
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT), ROUND(SUM(doc_id * 0.5), 4)
+    FROM documents WHERE doc_id < 200 AND doc_id % 5 <> 0
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT), ROUND(SUM(doc_id * 0.5), 4)
+    FROM documents
+    WHERE (doc_id < 200 AND doc_id % 5 <> 0)
+       OR (doc_id >= 200 AND doc_id < 230)
+    ORDER BY era
+    """,
+)
+def q223(spark, sf_dir):
+    """ICEBERG MERGE-ON-READ (q222's Iceberg twin): a txn table with
+    an append, a deletion-vector DELETE, and a post-delete append
+    publishes as a v2 tree whose second snapshot carries a POSITION-
+    DELETE parquet behind a content=1 manifest; read_iceberg applies
+    it under the spec's sequence-number rule — era 1 pre-delete, era
+    2 post-delete, era 3 with LATER rows whose files the older delete
+    must NOT touch (their sequence number is newer, though their
+    row positions collide). Oracled by the three closed forms.
+    (Builder runs txn commits + the publish; by-name exemption in
+    test_declaring_queries_runs_no_jobs.)"""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from .. import txnlog as TL
+    from ..sources import iceberg as IB
+
+    base = _os.path.join(
+        _tmp.gettempdir(),
+        "q223_" + _hl.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    root = _os.path.join(base, "table")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d1 = docs.filter(F.col("doc_id") < 200).select(
+        "doc_id", (F.col("doc_id") * 0.5).alias("val")
+    )
+    d3 = docs.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 230)
+    ).select("doc_id", (F.col("doc_id") * 0.5).alias("val"))
+    TL.txn_append(spark, d1.repartition(4), root, [])
+    TL.txn_delete(spark, root, F.col("doc_id") % 5 == 0)
+    TL.txn_append(spark, d3, root, [])
+    res = IB.publish_iceberg(spark, root)
+    eras = []
+    for era, v in ((1, 1), (2, 2), (3, 3)):
+        eras.append(
+            IB.read_iceberg(
+                spark, root, snapshot_id=res["snapshots"][v]
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("val"), 4).alias("sum_val"),
+            )
+            .withColumn("era", F.lit(era))
+        )
+    out = eras[0]
+    for e in eras[1:]:
+        out = out.unionByName(e)
+    return out.select("era", "n", "sum_val").orderBy("era")

@@ -363,14 +363,20 @@ class IcebergTableStreamReader(DataSourceStreamReader):
             mlist = IB._resolve(self.path, md, snap["manifest-list"])
             _s, manifests = AV.read_container_file(mlist)
             for mf in manifests:
-                if int(mf.get("content") or 0) != 0:
-                    raise IB.IcebergUnsupportedError(
-                        "DELETE manifests not supported"
-                    )
                 if (
                     mf.get("added_snapshot_id") is not None
                     and mf["added_snapshot_id"] != sid
                 ):
+                    continue
+                if int(mf.get("content") or 0) != 0:
+                    if not self.ignore_changes:
+                        raise ValueError(
+                            f"{self.path}: snapshot {sid} adds a "
+                            "DELETE manifest — row-level deletes "
+                            "cannot stream as appends "
+                            "(.option('ignoreChanges','true') to "
+                            "accept re-emission semantics)"
+                        )
                     continue
                 man = IB._resolve(self.path, md, mf["manifest_path"])
                 _s2, entries = AV.read_container_file(man)

@@ -198,12 +198,18 @@ def iceberg_snapshots(root: str) -> list[dict]:
     ]
 
 
-def _decode_manifest_files(
+def _decode_manifest_entries(
     root: str, md: dict, man_path: str, where: dict | None,
-) -> list[str]:
-    """One manifest → its live (non-DELETED) data-file paths, bounds-
-    pruned when ``where`` is given. Pure function of the manifest file
-    — the unit of distribution for big snapshots."""
+    content: int, mf_seq: int,
+) -> tuple[list, list]:
+    """One manifest → ``(data, deletes)``: ``data`` = live
+    (non-DELETED) data entries as (raw file_path, sequence number),
+    bounds-pruned when ``where`` is given; ``deletes`` = POSITION-
+    delete files (v2 merge-on-read) from a ``content=1`` manifest.
+    ``mf_seq`` (the manifest-list entry's sequence number) is
+    inherited by entries whose own is null, the spec's inheritance
+    rule. Equality deletes fail closed. Pure function of the manifest
+    file — the unit of distribution for big snapshots."""
     _s, entries = AV.read_container_file(man_path)
     fields = (
         {
@@ -211,53 +217,60 @@ def _decode_manifest_files(
             for f in _current_schema(md)["fields"]
             if isinstance(f["type"], str)
         }
-        if where
+        if where and content == 0
         else None
     )
-    out = []
+    data, dels = [], []
     for e in entries:
         status = int(e.get("status") or 0)
         if status == 2:  # DELETED
             continue
         df = e["data_file"]
-        if int(df.get("content") or 0) != 0:
-            raise IcebergUnsupportedError(
-                "delete data files not supported"
-            )
         fmt = str(df.get("file_format", "PARQUET")).upper()
         if fmt != "PARQUET":
             raise IcebergUnsupportedError(
                 f"file_format {fmt} not supported"
             )
-        if where and not _entry_may_match(df, where, fields):
-            continue
-        out.append(_resolve(root, md, df["file_path"]))
-    return out
+        c = int(df.get("content") or 0)
+        seq = e.get("sequence_number")
+        seq = int(mf_seq) if seq is None else int(seq)
+        if content == 0:
+            if c != 0:
+                raise IcebergUnsupportedError(
+                    f"content={c} entry inside a DATA manifest"
+                )
+            if where and not _entry_may_match(df, where, fields):
+                continue
+            data.append((df["file_path"], seq))
+        elif c == 1:
+            dels.append((df["file_path"], seq))
+        elif c == 2:
+            raise IcebergUnsupportedError(
+                "equality deletes not supported (position deletes are)"
+            )
+        else:
+            raise IcebergUnsupportedError(
+                "data entry inside a DELETE manifest"
+            )
+    return data, dels
 
 
-def iceberg_live_files(
+def _snapshot_files(
     root: str, snapshot_id: int | None = None,
     where: dict | None = None,
     spark: SparkSession | None = None,
-) -> tuple[dict, list[str]]:
-    """(metadata, live data-file paths) at a snapshot (default:
-    current). One pass over the snapshot's complete manifest list.
-    ``where={col: (lo, hi)}`` prunes files through the manifests'
-    recorded lower/upper bounds (spec Appendix D single-value binary,
-    decoded per the column's declared type) — Iceberg's own data
-    skipping, conservative: missing/unmapped bounds keep the file.
-
-    Scale: manifests are independent, so past
-    :data:`DISTRIBUTED_MANIFESTS_AT` of them (and given ``spark``)
-    the per-manifest Avro decode + bounds prune runs as a DISTRIBUTED
-    Spark job — one task per manifest, only surviving file paths
-    return to the driver. A real 100 TB table keeps hundreds of MB of
-    manifests; serial driver decode there is minutes of single-thread
-    CPU, the job is seconds."""
+) -> tuple[dict, dict, list]:
+    """(metadata, data: {raw path → sequence number}, deletes:
+    [(raw path, sequence number)]) at a snapshot (default current).
+    One pass over the snapshot's complete manifest list; ``where``
+    bounds-prunes DATA files only (delete files are small and must
+    always apply). Distribution as before: past
+    :data:`DISTRIBUTED_MANIFESTS_AT` manifests (and given ``spark``)
+    the per-manifest Avro decode runs as one task each."""
     md = iceberg_metadata(root)
     snaps = md.get("snapshots", [])
     if not snaps:
-        return md, []
+        return md, {}, []
     sid = (
         md.get("current-snapshot-id")
         if snapshot_id is None
@@ -270,33 +283,83 @@ def iceberg_live_files(
         raise ValueError(f"{root}: no snapshot {sid}")
     mlist_path = _resolve(root, md, snap["manifest-list"])
     _schema, manifests = AV.read_container_file(mlist_path)
-    man_paths = []
+    mans = []
     for mf in manifests:
-        if int(mf.get("content") or 0) != 0:
+        content = int(mf.get("content") or 0)
+        if content not in (0, 1):
             raise IcebergUnsupportedError(
-                "DELETE manifests (v2 row-level deletes) not supported"
+                f"manifest content={content} unknown"
             )
-        man_paths.append(_resolve(root, md, mf["manifest_path"]))
-    if spark is not None and len(man_paths) >= DISTRIBUTED_MANIFESTS_AT:
-        files = _decode_manifests_distributed(
-            spark, root, md, man_paths, where
+        mans.append(
+            (
+                _resolve(root, md, mf["manifest_path"]),
+                content,
+                int(mf.get("sequence_number") or 0),
+            )
+        )
+    if spark is not None and len(mans) >= DISTRIBUTED_MANIFESTS_AT:
+        pairs = _decode_manifests_distributed(
+            spark, root, md, mans, where
         )
     else:
-        files = []
-        for mp in man_paths:
-            files.extend(_decode_manifest_files(root, md, mp, where))
-    return md, sorted(set(files))
+        pairs = []
+        for mp, content, seq in mans:
+            d, x = _decode_manifest_entries(
+                root, md, mp, where, content, seq
+            )
+            pairs.extend(("d", p, q) for p, q in d)
+            pairs.extend(("x", p, q) for p, q in x)
+    data: dict = {}
+    dels: list = []
+    for kind, p, q in pairs:
+        if kind == "d":
+            data[p] = max(q, data.get(p, q))
+        else:
+            dels.append((p, q))
+    return md, data, sorted(set(dels))
+
+
+def iceberg_live_files(
+    root: str, snapshot_id: int | None = None,
+    where: dict | None = None,
+    spark: SparkSession | None = None,
+) -> tuple[dict, list[str]]:
+    """(metadata, live data-file paths) at a snapshot (default:
+    current). ``where={col: (lo, hi)}`` prunes files through the
+    manifests' recorded lower/upper bounds (spec Appendix D
+    single-value binary, decoded per the column's declared type) —
+    Iceberg's own data skipping, conservative: missing/unmapped
+    bounds keep the file. A snapshot carrying POSITION DELETES raises
+    here (the flat file list would resurrect deleted rows) — use
+    :func:`read_iceberg`, which applies them.
+
+    Scale: manifests are independent, so past
+    :data:`DISTRIBUTED_MANIFESTS_AT` of them (and given ``spark``)
+    the per-manifest Avro decode + bounds prune runs as a DISTRIBUTED
+    Spark job — one task per manifest, only surviving file paths
+    return to the driver. A real 100 TB table keeps hundreds of MB of
+    manifests; serial driver decode there is minutes of single-thread
+    CPU, the job is seconds."""
+    md, data, dels = _snapshot_files(
+        root, snapshot_id, where=where, spark=spark
+    )
+    if dels:
+        raise IcebergUnsupportedError(
+            "snapshot carries position deletes — a flat file list "
+            "would resurrect deleted rows; read_iceberg applies them"
+        )
+    return md, sorted(_resolve(root, md, p) for p in data)
 
 
 def _decode_manifests_distributed(
     spark: SparkSession, root: str, md: dict,
-    man_paths: list[str], where: dict | None,
-) -> list[str]:
+    mans: list[tuple], where: dict | None,
+) -> list[tuple]:
     """Per-manifest Avro decode as a Spark job: each task runs the
-    same pure :func:`_decode_manifest_files` against its manifests
+    same pure :func:`_decode_manifest_entries` against its manifests
     (metadata dict broadcast via closure — a few KB), unsupported
     features still FAIL CLOSED (task exceptions propagate), and only
-    surviving data-file paths return to the driver."""
+    surviving (kind, raw path, seq) rows return to the driver."""
     import pandas as _pd
 
     md_json = json.dumps(md)
@@ -311,18 +374,31 @@ def _decode_manifests_distributed(
 
         m = _json.loads(md_json)
         for pdf in batches:
-            out = []
-            for mp in pdf["m"]:
-                out.extend(
-                    IB._decode_manifest_files(root, m, mp, wser)
+            ks, fs, qs = [], [], []
+            for mp, content, seq in zip(
+                pdf["m"], pdf["c"], pdf["q"]
+            ):
+                d, x = IB._decode_manifest_entries(
+                    root, m, mp, wser, int(content), int(seq)
                 )
-            yield _pd.DataFrame({"f": out})
+                for p, q in d:
+                    ks.append("d")
+                    fs.append(p)
+                    qs.append(q)
+                for p, q in x:
+                    ks.append("x")
+                    fs.append(p)
+                    qs.append(q)
+            yield _pd.DataFrame({"k": ks, "f": fs, "q": qs})
 
     fdf = spark.createDataFrame(
-        [(p,) for p in man_paths], "m string"
-    ).repartition(max(8, min(1024, len(man_paths))))
+        [(p, c, q) for p, c, q in mans], "m string, c int, q long"
+    ).repartition(max(8, min(1024, len(mans))))
     return [
-        r["f"] for r in fdf.mapInPandas(_task, "f string").collect()
+        (r["k"], r["f"], r["q"])
+        for r in fdf.mapInPandas(
+            _task, "k string, f string, q long"
+        ).collect()
     ]
 
 
@@ -369,16 +445,62 @@ def read_iceberg(
     filters so the result equals filtering a full read. (One
     ``spark.read.parquet(*files)`` call carries the surviving list —
     fine to ~10⁵ paths; prune harder or adopt into the txn layer past
-    that.)"""
-    md, files = iceberg_live_files(
+    that.)
+
+    POSITION DELETES (v2 merge-on-read — the modern-writer default)
+    apply for real: delete parquets read as a normal Spark scan, the
+    spec's sequence-number rule (a delete applies to data files whose
+    sequence number is ≤ the delete's) enforced through a broadcast
+    of the metadata-bounded per-file map, and the rows subtracted as
+    a (file, pos) anti-join over ``_metadata.row_index`` — the same
+    shape as the Delta DV and txnlog reads. Equality deletes fail
+    closed."""
+    md, data, dels = _snapshot_files(
         root, snapshot_id, where=where, spark=spark
     )
     schema = iceberg_schema(md)
-    if not files:
+    if not data:
         from ..storage import local_rows_df
 
         return local_rows_df(spark, [], schema)
+    files = sorted(_resolve(root, md, p) for p in data)
     df = spark.read.schema(schema).parquet(*files)
+    if dels:
+        base = df.select(
+            "*",
+            F.expr("substring(_metadata.file_path, 6)").alias("__af"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        seq_rows = [
+            (raw, os.path.abspath(_resolve(root, md, raw)), int(q))
+            for raw, q in data.items()
+        ]
+        seqdf = spark.createDataFrame(
+            seq_rows, "raw string, af string, fseq long"
+        )
+        pieces = []
+        for raw, dseq in dels:
+            pieces.append(
+                spark.read.parquet(_resolve(root, md, raw)).select(
+                    F.col("file_path"),
+                    F.col("pos"),
+                    F.lit(int(dseq)).alias("dseq"),
+                )
+            )
+        dd = pieces[0]
+        for p in pieces[1:]:
+            dd = dd.unionByName(p)
+        hits = (
+            dd.join(
+                F.broadcast(seqdf),
+                dd["file_path"] == seqdf["raw"],
+            )
+            .filter(F.col("dseq") >= F.col("fseq"))
+            .select(F.col("af").alias("__af"), F.col("pos").alias("__pos"))
+        )
+        df = base.join(hits, ["__af", "__pos"], "left_anti").select(
+            *[F.col(f.name) for f in schema.fields]
+        )
     if where:
         for col, (lo, hi) in where.items():
             if lo is not None:
@@ -404,6 +526,7 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "partition_spec_id", "type": "int"},
         {"name": "content", "type": "int"},
         {"name": "added_snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
     ],
 }
 
@@ -540,6 +663,7 @@ def write_manifest(
     root: str, name: str, entries: list[tuple],
     snapshot_id: int, codec: str = "deflate",
     schema_fields: list[dict] | None = None,
+    entry_content: int = 0,
 ) -> str:
     """entries: (status, table-relative data path[, entry snapshot
     id]) — the optional third element overrides the per-entry
@@ -561,7 +685,7 @@ def write_manifest(
                 "status": status,
                 "snapshot_id": entry_sid,
                 "data_file": {
-                    "content": 0,
+                    "content": entry_content,
                     "file_path": rel,
                     "file_format": "PARQUET",
                     "record_count": 0,
@@ -592,17 +716,21 @@ def write_manifest_list(
     is exactly what :func:`iceberg_changes` attributes by."""
     recs = []
     for mn in manifest_names:
-        added_sid = snapshot_id
+        added_sid, content, seq = snapshot_id, 0, None
         if isinstance(mn, tuple):
-            mn, added_sid = mn
+            if len(mn) == 2:
+                mn, added_sid = mn
+            else:
+                mn, added_sid, content, seq = mn
         mp = os.path.join(_meta_dir(root), mn)
         recs.append(
             {
                 "manifest_path": os.path.join("metadata", mn),
                 "manifest_length": os.path.getsize(mp),
                 "partition_spec_id": 0,
-                "content": 0,
+                "content": content,
                 "added_snapshot_id": added_sid,
+                "sequence_number": seq,
             }
         )
     path = os.path.join(_meta_dir(root), name)
@@ -830,16 +958,23 @@ def iceberg_changes(
         _sch, manifests = AV.read_container_file(mlist)
         added: list[str] = []
         for mf in manifests:
-            if int(mf.get("content") or 0) != 0:
-                raise IcebergUnsupportedError(
-                    "DELETE manifests (v2 row-level deletes) not "
-                    "supported"
-                )
             # only manifests this snapshot added can carry its entries
             if (
                 mf.get("added_snapshot_id") is not None
                 and mf["added_snapshot_id"] != sid
             ):
+                continue
+            if int(mf.get("content") or 0) != 0:
+                # a delete manifest added by a consumed snapshot means
+                # rows were vectored out — the rewrite contract, same
+                # as a DELETED data entry
+                if on_remove == "error":
+                    raise ValueError(
+                        f"{root}: snapshot {sid} adds a DELETE "
+                        "manifest — row-level deletes cannot stream "
+                        "as appends (pass on_remove='ignore' to "
+                        "accept re-emission semantics)"
+                    )
                 continue
             man = _resolve(root, md, mf["manifest_path"])
             _s2, entries = AV.read_container_file(man)
@@ -968,10 +1103,14 @@ def publish_iceberg(
     distinct committed schema with STABLE field ids;
     ``current-schema-id`` is the newest.
 
-    Fail-closed boundaries: live deletion vectors (Iceberg data files
-    would resurrect the rows — OPTIMIZE first), hive-partitioned
-    layouts (Iceberg data files must carry every column), untracked
-    schemas, non-primitive columns. Re-publishing after new commits
+    DELETION VECTORS export for real: a DV-carrying snapshot ships
+    its full current vector state as a v2 POSITION-DELETE parquet
+    behind a ``content=1`` manifest with the spec's sequence-number
+    rule stamped — the published tree is a merge-on-read table and
+    :func:`read_iceberg` applies the deletes era-correctly.
+    Fail-closed boundaries: hive-partitioned layouts (Iceberg data
+    files must carry every column), untracked schemas, non-primitive
+    columns. Re-publishing after new commits
     writes the next metadata version; manifests are content-stable so
     re-publish is idempotent."""
     from .. import txnlog as TL
@@ -994,15 +1133,9 @@ def publish_iceberg(
     sid_of = {v: _publish_sid(txn_root, v) for v in vs}
     prev_sid = None
     cur_schema_id = 0
+    pos_of = {v: i + 1 for i, v in enumerate(vs)}
     for v in vs:
         _ver, dvs = TL.snapshot_dv(txn_root, v)
-        if any(dvs.values()):
-            raise IcebergUnsupportedError(
-                f"txn version {v} carries live deletion vectors — "
-                "Iceberg data files would resurrect the deleted rows; "
-                "run txn_optimize (rewrites vectors away) and publish "
-                "the optimized version"
-            )
         _ver, live = TL.snapshot(txn_root, v)
         if any("=" in seg for rel in live
                for seg in rel.split(os.sep)[:-1]):
@@ -1037,7 +1170,7 @@ def publish_iceberg(
                 schema_fields=fields,
             )
             added_manifest[v] = name
-            mlist.append((name, sid))
+            mlist.append((name, sid, 0, pos_of[v]))
         by_adder: dict[int, set] = {}
         for rel in live:
             w = added_at[rel]
@@ -1053,7 +1186,7 @@ def publish_iceberg(
                 and w in added_manifest
                 and w not in gone_by_adder
             ):
-                mlist.append((added_manifest[w], sid_of[w]))
+                mlist.append((added_manifest[w], sid_of[w], 0, pos_of[w]))
             else:
                 name = f"pub-prune-{w}-at-{v}.avro"
                 entries = [(0, r, sid_of[w]) for r in sorted(surv)] + [
@@ -1062,7 +1195,7 @@ def publish_iceberg(
                 write_manifest(
                     txn_root, name, entries, sid, schema_fields=fields
                 )
-                mlist.append((name, sid))
+                mlist.append((name, sid, 0, pos_of[v]))
         # a deleting version whose adder has NO survivors still needs
         # the tombstones recorded in ITS manifest list
         for w, gset in sorted(gone_by_adder.items()):
@@ -1073,7 +1206,65 @@ def publish_iceberg(
                     [(2, r, sid) for r in sorted(gset)],
                     sid, schema_fields=fields,
                 )
-                mlist.append((name, sid))
+                mlist.append((name, sid, 0, pos_of[v]))
+        # DELETION VECTORS export as v2 POSITION DELETES: each
+        # DV-carrying snapshot ships its FULL current vector state as
+        # one delete parquet (complete-snapshot semantics make
+        # cumulative-per-snapshot trivially era-correct) behind a
+        # content=1 manifest whose sequence number (= this snapshot's
+        # position) is >= every live data file's, so the spec's
+        # dseq >= fseq application rule engages exactly
+        if any(dvs.get(f) for f in live):
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            from ..operators.merge import _local_root as _lr
+
+            data_root = _lr(txn_root)
+            rows_f: list[str] = []
+            rows_p: list[int] = []
+            for f in sorted(live):
+                entries = dvs.get(f) or []
+                if not entries:
+                    continue
+                dead: set[int] = set()
+                for e in entries:
+                    t = _pq.read_table(
+                        os.path.join(data_root, e["dv"]),
+                        columns=["file", "pos"],
+                    )
+                    dead.update(
+                        p
+                        for ff, p in zip(
+                            t.column("file").to_pylist(),
+                            t.column("pos").to_pylist(),
+                        )
+                        if ff == f
+                    )
+                for p in sorted(dead):
+                    rows_f.append(f)
+                    rows_p.append(int(p))
+            if rows_f:
+                del_rel = f"pub-deletes/del-{v}.parquet"
+                full = os.path.join(txn_root, del_rel)
+                os.makedirs(os.path.dirname(full), exist_ok=True)
+                _pq.write_table(
+                    _pa.table(
+                        {
+                            "file_path": _pa.array(
+                                rows_f, _pa.string()
+                            ),
+                            "pos": _pa.array(rows_p, _pa.int64()),
+                        }
+                    ),
+                    full,
+                )
+                dman = f"pub-delman-{v}.avro"
+                write_manifest(
+                    txn_root, dman, [(1, del_rel)], sid,
+                    entry_content=1,
+                )
+                mlist.append((dman, sid, 1, pos_of[v]))
         lname = f"pub-snap-{v}.avro"
         write_manifest_list(txn_root, lname, mlist, sid)
         snaps_meta.append(

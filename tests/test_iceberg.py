@@ -174,7 +174,48 @@ def test_fail_closed_boundaries(spark, tmp_path):
         {"snapshot-id": 3, "manifest-list": "metadata/snap-3.avro"},
     ]
     IB.write_metadata(root, 3, FIELDS, snaps, current_snapshot_id=3)
-    with pytest.raises(IB.IcebergUnsupportedError, match="DELETE manifests"):
+    # a DELETE manifest whose entries are plain data files is
+    # malformed — fail closed (position deletes proper are SUPPORTED
+    # now; equality deletes pinned below)
+    with pytest.raises(
+        IB.IcebergUnsupportedError, match="DELETE manifest"
+    ):
+        IB.read_iceberg(spark, root)
+    # equality deletes (content=2 entries) stay fail-closed
+    recs_eq = [
+        {
+            "status": 1,
+            "snapshot_id": 4,
+            "data_file": {
+                "content": 2,
+                "file_path": "data/eq.parquet",
+                "file_format": "PARQUET",
+                "record_count": 0,
+                "file_size_in_bytes": 0,
+            },
+        }
+    ]
+    with open(os.path.join(root, "metadata", "meq.avro"), "wb") as f:
+        f.write(AV.write_container(IB._MANIFEST_SCHEMA, recs_eq))
+    recs4 = [
+        {
+            "manifest_path": "metadata/meq.avro",
+            "manifest_length": os.path.getsize(
+                os.path.join(root, "metadata", "meq.avro")
+            ),
+            "partition_spec_id": 0,
+            "content": 1,
+            "added_snapshot_id": 4,
+        }
+    ]
+    with open(os.path.join(root, "metadata", "snap-4.avro"), "wb") as f:
+        f.write(AV.write_container(IB._MANIFEST_LIST_SCHEMA, recs4))
+    IB.write_metadata(
+        root, 4, FIELDS,
+        [{"snapshot-id": 4, "manifest-list": "metadata/snap-4.avro"}],
+        current_snapshot_id=4,
+    )
+    with pytest.raises(IB.IcebergUnsupportedError, match="equality"):
         IB.read_iceberg(spark, root)
 
     # format-version 3
@@ -534,3 +575,55 @@ def test_changes_requires_lineage_bookkeeping(spark, tmp_path):
         json.dump(md, f)
     ch = IB.iceberg_changes(spark, root, 9_000_000_000_000_000_002)
     assert sorted(r["doc_id"] for r in ch.collect()) == list(range(10, 15))
+
+
+def test_position_deletes_external_shape_sequence_rule(spark, tmp_path):
+    """Hand-built merge-on-read table in the shape an EXTERNAL v2
+    writer produces: per-entry sequence numbers null (inherited from
+    the manifest-list entry), delete file at sequence 2 — it must
+    apply to the seq-1 data file and NOT to the seq-3 one."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "t")
+    _data(root, "data/A.parquet", range(0, 5))
+    _data(root, "data/B.parquet", range(5, 10))
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array(
+                    ["data/A.parquet", "data/A.parquet",
+                     "data/B.parquet"],
+                    pa.string(),
+                ),
+                "pos": pa.array([0, 2, 1], pa.int64()),
+            }
+        ),
+        os.path.join(root, "data", "del.parquet"),
+    )
+    IB.write_manifest(root, "mA.avro", [(1, "data/A.parquet")], 1)
+    IB.write_manifest(root, "mB.avro", [(1, "data/B.parquet")], 1)
+    IB.write_manifest(
+        root, "mD.avro", [(1, "data/del.parquet")], 1, entry_content=1
+    )
+    IB.write_manifest_list(
+        root, "snap-1.avro",
+        [("mA.avro", 1, 0, 1), ("mD.avro", 1, 1, 2),
+         ("mB.avro", 1, 0, 3)],
+        1,
+    )
+    IB.write_metadata(
+        root, 1, FIELDS,
+        [{"snapshot-id": 1, "manifest-list": "metadata/snap-1.avro"}],
+        current_snapshot_id=1,
+    )
+    got = IB.read_iceberg(spark, root)
+    # A loses pos 0 and 2 (ids 0, 2); B is NEWER than the delete —
+    # its pos 1 (id 6) must survive
+    assert sorted(r["doc_id"] for r in got.collect()) == [
+        1, 3, 4, 5, 6, 7, 8, 9,
+    ]
+    # where= pruning composes with delete application
+    got2 = IB.read_iceberg(spark, root, where={"doc_id": (0, 4)})
+    assert sorted(r["doc_id"] for r in got2.collect()) == [1, 3, 4]

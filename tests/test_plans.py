@@ -115,8 +115,8 @@ def test_declaring_queries_runs_no_jobs(spark):
               "q219_delta_stream_ingest", "q220_iceberg_stream_ingest",
               # q221 builds the persisted ANN index (q204 family)
               "q221_ann_distributed_query",
-              # q222 runs txn commits + the Delta publish
-              "q222_publish_delta"}
+              # q222/q223 run txn commits + lakehouse publishes
+              "q222_publish_delta", "q223_iceberg_position_deletes"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds

@@ -136,12 +136,6 @@ def test_publish_bounds_enable_skipping(spark, tmp_path):
 
 
 def test_publish_fails_closed(spark, tmp_path):
-    # live deletion vectors
-    root = str(tmp_path / "dv")
-    TL.txn_append(spark, _mkdf(spark, range(10)), root, [])
-    TL.txn_delete(spark, root, F.col("doc_id") < 3)
-    with pytest.raises(IB.IcebergUnsupportedError, match="deletion vector"):
-        IB.publish_iceberg(spark, root)
     # hive partitioned layout
     root2 = str(tmp_path / "hive")
     df = _mkdf(spark, range(10)).withColumn(
@@ -165,3 +159,70 @@ def test_republish_after_new_commits(spark, tmp_path):
     assert r2["metadata_version"] == 2
     got = IB.read_iceberg(spark, root)
     assert sorted(r["doc_id"] for r in got.collect()) == list(range(12))
+
+
+def test_publish_exports_dvs_as_position_deletes(spark, tmp_path):
+    """txn deletion vectors publish as v2 POSITION DELETES: the
+    published tree is a merge-on-read table, read_iceberg applies the
+    deletes era-correctly, and the flat-list API refuses (it would
+    resurrect rows)."""
+    root = str(tmp_path / "t")
+    TL.txn_append(spark, _mkdf(spark, range(20)).repartition(2), root, [])
+    TL.txn_delete(spark, root, F.col("doc_id") % 3 == 0)
+    res = IB.publish_iceberg(spark, root)
+    want = [i for i in range(20) if i % 3 != 0]
+    # era-exact vs txn time travel
+    s1, s2 = res["snapshots"][1], res["snapshots"][2]
+    assert sorted(
+        r["doc_id"]
+        for r in IB.read_iceberg(spark, root, snapshot_id=s1).collect()
+    ) == list(range(20))
+    assert sorted(
+        r["doc_id"]
+        for r in IB.read_iceberg(spark, root, snapshot_id=s2).collect()
+    ) == want
+    # flat file list refuses on the delete-carrying snapshot
+    with pytest.raises(IB.IcebergUnsupportedError, match="position deletes"):
+        IB.iceberg_live_files(root, snapshot_id=s2)
+    # a LATER append must not be touched by the older delete file
+    # (sequence-number rule): republish after new rows land
+    TL.txn_append(spark, _mkdf(spark, [0, 3, 21]), root, [])
+    res2 = IB.publish_iceberg(spark, root)
+    got = sorted(
+        r["doc_id"]
+        for r in IB.read_iceberg(
+            spark, root, snapshot_id=res2["snapshots"][3]
+        ).collect()
+    )
+    # new 0 and 3 survive even though positions 0/1 of older files
+    # are deleted — their file's sequence number is newer
+    assert got == sorted(want + [0, 3, 21])
+    # second delete grows the state; all three eras stay exact
+    TL.txn_delete(spark, root, F.col("doc_id") == 21)
+    res3 = IB.publish_iceberg(spark, root)
+    assert sorted(
+        r["doc_id"]
+        for r in IB.read_iceberg(
+            spark, root, snapshot_id=res3["snapshots"][4]
+        ).collect()
+    ) == sorted(want + [0, 3])
+    assert sorted(
+        r["doc_id"]
+        for r in IB.read_iceberg(
+            spark, root, snapshot_id=res2["snapshots"][3]
+        ).collect()
+    ) == sorted(want + [0, 3, 21])
+
+
+def test_position_deletes_distributed_decode(spark, tmp_path, monkeypatch):
+    """The distributed manifest-decode path carries delete manifests
+    too (kind-tagged rows)."""
+    from django_datastream_spark.sources import iceberg as IBm
+
+    root = str(tmp_path / "t")
+    TL.txn_append(spark, _mkdf(spark, range(12)).repartition(3), root, [])
+    TL.txn_delete(spark, root, F.col("doc_id") < 4)
+    IB.publish_iceberg(spark, root)
+    monkeypatch.setattr(IBm, "DISTRIBUTED_MANIFESTS_AT", 1)
+    got = IB.read_iceberg(spark, root)
+    assert sorted(r["doc_id"] for r in got.collect()) == list(range(4, 12))
