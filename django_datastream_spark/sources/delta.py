@@ -599,6 +599,7 @@ def read_delta(
     root: str,
     version: int | None = None,
     where: dict | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """The Delta snapshot as a DataFrame (declared schema, partition
     columns materialized, column order = table schema).
@@ -614,7 +615,13 @@ def read_delta(
     scanning the table — the same contract as the engine's own
     ``txn_read(where=...)``. Past :data:`DISTRIBUTED_PRUNE_AT` live
     files the stats test runs as a Spark job and only survivors
-    return to the driver (the ``txnlog`` threshold design)."""
+    return to the driver (the ``txnlog`` threshold design).
+    ``timestamp_ms`` pins AS OF TIMESTAMP (mutually exclusive with
+    ``version``; resolution per :func:`delta_version_at`)."""
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp_ms, not both")
+        version = delta_version_at(root, timestamp_ms)
     _v, md, adds = delta_snapshot_arrow(root, version)
     mapping = _column_mapping(md)
     part_cols = set(md.get("partitionColumns") or [])
@@ -1008,6 +1015,51 @@ def _scan_paths(
 
 def delta_versions(root: str) -> list[int]:
     return _commit_versions(root)
+
+
+def _commit_timestamp_ms(root: str, v: int) -> int:
+    """A commit's timestamp: ``commitInfo.timestamp`` when the commit
+    carries one (in-commit timestamps — what real writers stamp),
+    else the commit file's modification time — the spec's resolution
+    order."""
+    path = os.path.join(_log_dir(root), f"{v:020d}.json")
+    try:
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    ts = action["commitInfo"].get("timestamp")
+                    if ts is not None:
+                        return int(ts)
+    except (OSError, ValueError):
+        pass
+    return int(os.path.getmtime(path) * 1000)
+
+
+def delta_version_at(root: str, timestamp_ms: int) -> int:
+    """AS OF TIMESTAMP resolution: the newest commit whose timestamp
+    is <= the pin (Delta's rule). Raises when the pin predates the
+    oldest RECONSTRUCTIBLE commit — never silently serves a later
+    state."""
+    versions = _commit_versions(root)
+    if not versions:
+        raise DeltaUnsupportedError(
+            f"{root}: no JSON commits — timestamp travel needs the "
+            "commit files (cleaned up past retention)"
+        )
+    cand = [
+        v for v in versions
+        if _commit_timestamp_ms(root, v) <= int(timestamp_ms)
+    ]
+    if not cand:
+        raise ValueError(
+            f"{root}: timestamp {timestamp_ms} predates the oldest "
+            f"available commit"
+        )
+    return max(cand)
 
 
 def delta_changes(

@@ -184,6 +184,40 @@ def iceberg_schema(md: dict) -> T.StructType:
     )
 
 
+def iceberg_snapshot_at(root: str, timestamp_ms: int) -> int:
+    """AS OF TIMESTAMP resolution: the last snapshot-log entry at or
+    before the pin (the spec's rule — the log is the chronological
+    record writers maintain); lineage-chain timestamps are the
+    fallback for logless metadata. Raises when the pin predates the
+    oldest recorded state."""
+    md = iceberg_metadata(root)
+    by_id = {s["snapshot-id"] for s in md.get("snapshots", [])}
+    log = [
+        e for e in (md.get("snapshot-log") or [])
+        if e.get("snapshot-id") in by_id
+        and e.get("timestamp-ms") is not None
+    ]
+    if not log:
+        cur = md.get("current-snapshot-id")
+        if cur is None:
+            raise IcebergUnsupportedError(f"{root}: table has no snapshots")
+        log = [
+            {
+                "timestamp-ms": s.get("timestamp-ms"),
+                "snapshot-id": s["snapshot-id"],
+            }
+            for s in _lineage_chain(md, cur)
+            if s.get("timestamp-ms") is not None
+        ]
+    cand = [e for e in log if e["timestamp-ms"] <= int(timestamp_ms)]
+    if not cand:
+        raise ValueError(
+            f"{root}: timestamp {timestamp_ms} predates the oldest "
+            "recorded snapshot"
+        )
+    return cand[-1]["snapshot-id"]
+
+
 def iceberg_snapshots(root: str) -> list[dict]:
     """(snapshot-id, timestamp-ms, is_current) for every snapshot."""
     md = iceberg_metadata(root)
@@ -437,6 +471,7 @@ def read_iceberg(
     root: str,
     snapshot_id: int | None = None,
     where: dict | None = None,
+    as_of_timestamp_ms: int | None = None,
 ) -> DataFrame:
     """The Iceberg snapshot as a DataFrame under the table's declared
     schema (data files carry every column — plain parquet scan).
@@ -454,7 +489,15 @@ def read_iceberg(
     of the metadata-bounded per-file map, and the rows subtracted as
     a (file, pos) anti-join over ``_metadata.row_index`` — the same
     shape as the Delta DV and txnlog reads. Equality deletes fail
-    closed."""
+    closed. ``as_of_timestamp_ms`` pins AS OF TIMESTAMP (mutually
+    exclusive with ``snapshot_id``; resolution per
+    :func:`iceberg_snapshot_at`)."""
+    if as_of_timestamp_ms is not None:
+        if snapshot_id is not None:
+            raise ValueError(
+                "pass snapshot_id OR as_of_timestamp_ms, not both"
+            )
+        snapshot_id = iceberg_snapshot_at(root, as_of_timestamp_ms)
     md, data, dels = _snapshot_files(
         root, snapshot_id, where=where, spark=spark
     )

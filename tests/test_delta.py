@@ -550,3 +550,32 @@ def test_v2_checkpoint_with_sidecars(spark, tmp_path):
     os.unlink(os.path.join(log, "_sidecars", side_names[1]))
     with pytest.raises(DL.DeltaUnsupportedError, match="sidecar|missing"):
         DL.read_delta(spark, root)
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """AS OF TIMESTAMP: commitInfo.timestamp resolution (in-commit
+    timestamps preferred over file mtime), newest-commit-at-or-before
+    rule, before-first raises."""
+    root = str(tmp_path / "t")
+    _write_data(root, "a.parquet", [1])
+    _write_data(root, "b.parquet", [2])
+    DL.write_delta_commit(
+        root, 0,
+        [{"commitInfo": {"timestamp": 1000}}, _PROTO,
+         _meta(partitioned=False), _add("a.parquet")],
+    )
+    DL.write_delta_commit(
+        root, 1,
+        [{"commitInfo": {"timestamp": 3000}}, _add("b.parquet")],
+    )
+    assert DL.delta_version_at(root, 1000) == 0
+    assert DL.delta_version_at(root, 2999) == 0
+    assert DL.delta_version_at(root, 3000) == 1
+    got = DL.read_delta(spark, root, timestamp_ms=2000)
+    assert sorted(r["doc_id"] for r in got.collect()) == [1]
+    got2 = DL.read_delta(spark, root, timestamp_ms=99999)
+    assert sorted(r["doc_id"] for r in got2.collect()) == [1, 2]
+    with pytest.raises(ValueError, match="predates"):
+        DL.read_delta(spark, root, timestamp_ms=999)
+    with pytest.raises(ValueError, match="not both"):
+        DL.read_delta(spark, root, version=0, timestamp_ms=1000)

@@ -627,3 +627,35 @@ def test_position_deletes_external_shape_sequence_rule(spark, tmp_path):
     # where= pruning composes with delete application
     got2 = IB.read_iceberg(spark, root, where={"doc_id": (0, 4)})
     assert sorted(r["doc_id"] for r in got2.collect()) == [1, 3, 4]
+
+
+def test_iceberg_timestamp_time_travel(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _data(root, "data/A.parquet", range(0, 5))
+    _data(root, "data/B.parquet", range(5, 10))
+    IB.write_manifest(root, "m1.avro", [(1, "data/A.parquet")], 11)
+    IB.write_manifest_list(root, "s1.avro", ["m1.avro"], 11)
+    IB.write_manifest(root, "m2.avro", [(1, "data/B.parquet")], 7)
+    IB.write_manifest_list(
+        root, "s2.avro", [("m1.avro", 11), ("m2.avro", 7)], 7
+    )
+    IB.write_metadata(
+        root, 2, FIELDS,
+        [
+            {"snapshot-id": 11, "manifest-list": "metadata/s1.avro",
+             "timestamp-ms": 1000},
+            {"snapshot-id": 7, "manifest-list": "metadata/s2.avro",
+             "timestamp-ms": 3000},
+        ],
+        current_snapshot_id=7,
+    )
+    assert IB.iceberg_snapshot_at(root, 1500) == 11
+    assert IB.iceberg_snapshot_at(root, 3000) == 7
+    got = IB.read_iceberg(spark, root, as_of_timestamp_ms=2999)
+    assert sorted(r["doc_id"] for r in got.collect()) == list(range(5))
+    with pytest.raises(ValueError, match="predates"):
+        IB.read_iceberg(spark, root, as_of_timestamp_ms=10)
+    with pytest.raises(ValueError, match="not both"):
+        IB.read_iceberg(
+            spark, root, snapshot_id=7, as_of_timestamp_ms=3000
+        )
