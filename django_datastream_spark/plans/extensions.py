@@ -10927,3 +10927,127 @@ def q223(spark, sf_dir):
     for e in eras[1:]:
         out = out.unionByName(e)
     return out.select("era", "n", "sum_val").orderBy("era")
+
+
+# --------------------------------------------------------------------------
+# Q224: Delta columnMapping.mode=id — parquet FIELD-ID matching
+# (files from before a column rename keep reading)
+# --------------------------------------------------------------------------
+@_declare(
+    "q224_delta_column_mapping_id",
+    """
+    SELECT CAST(doc_id % 2 AS INT) part, CAST(COUNT(*) AS BIGINT) n,
+           ROUND(SUM(doc_id * 0.5), 4) sum_val
+    FROM documents WHERE doc_id < 160
+    GROUP BY doc_id % 2 ORDER BY part
+    """,
+)
+def q224(spark, sf_dir):
+    """COLUMN MAPPING mode=id (q217's harder sibling): the two part
+    files carry DIFFERENT physical column names (one written before a
+    rename, one after) but the same parquet FIELD IDS — name matching
+    cannot read this table, id matching must. The read returns the
+    logical schema with every row present; a reader that matched by
+    name (all-null columns from the pre-rename file) breaks the hash.
+    (Builder writes the fixture tree; by-name exemption in
+    test_declaring_queries_runs_no_jobs.)"""
+    import hashlib as _hl
+    import json as _json
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    from ..sources import delta as DLT
+
+    p_part = "col-p1"
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True,
+                        {"delta.columnMapping.id": 1,
+                         "delta.columnMapping.physicalName": "col-d-new"}),
+            StructField("part", IntegerType(), True,
+                        {"delta.columnMapping.id": 2,
+                         "delta.columnMapping.physicalName": p_part}),
+            StructField("val", DoubleType(), True,
+                        {"delta.columnMapping.id": 3,
+                         "delta.columnMapping.physicalName": "col-v-new"}),
+        ]
+    )
+    base = _os.path.join(
+        _tmp.gettempdir(),
+        "q224_" + _hl.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    root = _os.path.join(base, "table")
+    ids = sorted(
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 160)
+        .collect()
+    )
+
+    def write(rel, rows, names):
+        dname, vname = names
+        _os.makedirs(
+            _os.path.dirname(_os.path.join(root, rel)), exist_ok=True
+        )
+        sch = _pa.schema(
+            [
+                _pa.field(dname, _pa.int64(),
+                          metadata={b"PARQUET:field_id": b"1"}),
+                _pa.field(vname, _pa.float64(),
+                          metadata={b"PARQUET:field_id": b"3"}),
+            ]
+        )
+        _pq.write_table(
+            _pa.table(
+                {
+                    dname: _pa.array(rows, _pa.int64()),
+                    vname: _pa.array(
+                        [i * 0.5 for i in rows], _pa.float64()
+                    ),
+                },
+                schema=sch,
+            ),
+            _os.path.join(root, rel),
+        )
+
+    # part 0: PRE-rename physical names; part 1: post-rename
+    write(f"{p_part}=0/f0.parquet",
+          [i for i in ids if i % 2 == 0], ("col-d-old", "col-v-old"))
+    write(f"{p_part}=1/f1.parquet",
+          [i for i in ids if i % 2 == 1], ("col-d-new", "col-v-new"))
+    acts = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "q224",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema.json(),
+            "partitionColumns": ["part"],
+            "configuration": {"delta.columnMapping.mode": "id"},
+        }},
+    ]
+    for p in range(2):
+        acts.append({"add": {
+            "path": f"{p_part}={p}/f{p}.parquet",
+            "partitionValues": {p_part: str(p)},
+            "size": 1, "modificationTime": 0, "dataChange": True,
+            "stats": _json.dumps({}),
+        }})
+    DLT.write_delta_commit(root, 0, acts)
+    got = DLT.read_delta(spark, root)
+    return (
+        got.groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("val"), 4).alias("sum_val"),
+        )
+        .orderBy("part")
+    )

@@ -228,12 +228,9 @@ def _apply_action(state: dict, action: dict) -> None:
         mode = (md.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         )
-        if mode not in ("none", "name"):
-            # id mode matches by parquet field id — not implemented;
-            # name mode is (physical-name scan + logical rename)
+        if mode not in ("none", "name", "id"):
             raise DeltaUnsupportedError(
-                f"delta.columnMapping.mode={mode} not supported "
-                "(mode=name is)"
+                f"delta.columnMapping.mode={mode} not supported"
             )
         state["metaData"] = md
     elif "add" in action:
@@ -630,12 +627,14 @@ def read_delta(
         # are PHYSICAL — translate the prune predicate (residual row
         # filters below stay logical: they run after the rename)
         pwhere = (
-            {mapping.get(c, c): b for c, b in where.items()}
+            {mapping["phys"].get(c, c): b for c, b in where.items()}
             if mapping
             else where
         )
         ppart = (
-            {mapping.get(c, c) for c in part_cols} if mapping else part_cols
+            {mapping["phys"].get(c, c) for c in part_cols}
+            if mapping
+            else part_cols
         )
         if adds.num_rows >= DISTRIBUTED_PRUNE_AT:
             adds = _prune_adds_distributed(spark, adds, pwhere, ppart)
@@ -759,25 +758,28 @@ def _may_match(pv: dict, stats, where: dict, part_cols: set) -> bool:
 
 
 def _column_mapping(md: dict) -> dict | None:
-    """logical → physical top-level name map when
-    ``delta.columnMapping.mode=name`` (else None). Under name mapping
-    the parquet files, the hive partition dirs, ``add.partitionValues``
-    keys and ``add.stats`` column keys all use PHYSICAL names
-    (``col-<uuid>``); only the declared schema carries the logical
-    ones. Nested mapped fields are not implemented — fail closed."""
+    """Column-mapping descriptor when ``delta.columnMapping.mode`` is
+    ``name`` or ``id`` (else None): ``{"mode", "phys": logical →
+    physicalName, "ids": logical → field id (id mode)}``. Under BOTH
+    modes the hive partition dirs, ``add.partitionValues`` keys and
+    ``add.stats`` column keys use PHYSICAL names (``col-<uuid>``);
+    under ``name`` the parquet columns match by physical name, under
+    ``id`` by the parquet FIELD ID (so files written before a rename
+    keep reading — physical names may differ per file). Nested mapped
+    fields are not implemented — fail closed."""
     mode = (md.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
     if mode == "none":
         return None
     sch = json.loads(md["schemaString"])
-    mapping = {}
+    mapping = {"mode": mode, "phys": {}, "ids": {}}
     for f in sch["fields"]:
         meta = f.get("metadata") or {}
         phys = meta.get("delta.columnMapping.physicalName")
         if not phys:
             raise DeltaUnsupportedError(
-                f"columnMapping.mode=name but field {f['name']!r} "
+                f"columnMapping.mode={mode} but field {f['name']!r} "
                 "carries no physicalName"
             )
         if not isinstance(f.get("type"), str):
@@ -785,22 +787,41 @@ def _column_mapping(md: dict) -> dict | None:
                 f"columnMapping over nested field {f['name']!r} not "
                 "supported (top-level primitives only)"
             )
-        mapping[f["name"]] = phys
+        mapping["phys"][f["name"]] = phys
+        if mode == "id":
+            fid = meta.get("delta.columnMapping.id")
+            if fid is None:
+                raise DeltaUnsupportedError(
+                    f"columnMapping.mode=id but field {f['name']!r} "
+                    "carries no delta.columnMapping.id"
+                )
+            mapping["ids"][f["name"]] = int(fid)
     return mapping
 
 
 def _physicalize_md(md: dict, mapping: dict) -> dict:
-    """A metaData twin whose schema/partitionColumns use PHYSICAL
-    names — the coordinate system the files and the log's
-    partitionValues actually live in."""
+    """A metaData twin in the coordinate system the files and the
+    log's partitionValues actually live in. ``name`` mode: every
+    field renamed to its physical name. ``id`` mode: DATA fields keep
+    their logical name but carry ``parquet.field.id`` metadata (Spark
+    matches parquet columns by id when
+    ``spark.sql.parquet.fieldId.read.enabled`` is on — the scan path
+    enables it); PARTITION fields rename physically (they come from
+    dir names / partitionValues, which use physical names)."""
     sch = json.loads(md["schemaString"])
+    part = set(md.get("partitionColumns") or [])
     for f in sch["fields"]:
-        f["name"] = mapping[f["name"]]
-        f["metadata"] = {}
+        if mapping["mode"] == "name" or f["name"] in part:
+            f["name"] = mapping["phys"][f["name"]]
+            f["metadata"] = {}
+        else:
+            f["metadata"] = {
+                "parquet.field.id": mapping["ids"][f["name"]]
+            }
     out = dict(md)
     out["schemaString"] = json.dumps(sch)
     out["partitionColumns"] = [
-        mapping[c] for c in (md.get("partitionColumns") or [])
+        mapping["phys"][c] for c in (md.get("partitionColumns") or [])
     ]
     return out
 
@@ -817,6 +838,20 @@ def _scan_snapshot_arrow(spark, root: str, md: dict, adds) -> DataFrame:
     mapping = _column_mapping(md)
     logical = [f.name for f in delta_schema(md).fields]
     if mapping:
+        part = set(md.get("partitionColumns") or [])
+        if mapping["mode"] == "name":
+            scanned = {c: mapping["phys"][c] for c in logical}
+        else:
+            # id mode: the parquet scan matches data columns by FIELD
+            # ID; the conf is read at EXECUTION, so it must stay on
+            # (harmless for schemas without field-id metadata)
+            spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
+            scanned = {
+                c: (mapping["phys"][c] if c in part else c)
+                for c in logical
+            }
         md = _physicalize_md(md, mapping)
     dvc = adds.column("deletionVector").combine_chunks()
     if dvc.null_count >= adds.num_rows:
@@ -830,7 +865,7 @@ def _scan_snapshot_arrow(spark, root: str, md: dict, adds) -> DataFrame:
             df = _scan_adds_arrow(spark, root, md, clean).unionByName(df)
     if mapping:
         df = df.select(
-            *[F.col(mapping[name]).alias(name) for name in logical]
+            *[F.col(scanned[name]).alias(name) for name in logical]
         )
     return df
 

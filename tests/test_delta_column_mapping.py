@@ -1,8 +1,9 @@
 """Delta ``columnMapping.mode=name`` reads: parquet files, hive dirs,
 partitionValues and stats all live in PHYSICAL (col-<uuid>) space;
 the reader scans there and renames to the logical schema. id mode
-stays fail-closed; adopt fails closed (the txn layer would expose
-physical names)."""
+matches parquet columns by FIELD ID (files from before a rename keep
+reading); adopt fails closed (the txn layer would expose physical
+names)."""
 
 import json
 import os
@@ -148,11 +149,78 @@ def test_name_mapping_with_deletion_vector(spark, tmp_path):
     ]
 
 
-def test_id_mapping_fails_closed(spark, tmp_path):
+def _write_with_ids(root, rel, ids, names):
+    """Physical parquet carrying FIELD IDS — what id-mode writers
+    emit. ``names``: (doc_col, val_col) physical names (they VARY
+    per file after renames; ids are the stable identity)."""
+    full = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    dname, vname = names
+    sch = pa.schema(
+        [
+            pa.field(dname, pa.int64(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field(vname, pa.float64(),
+                     metadata={b"PARQUET:field_id": b"3"}),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                dname: pa.array([int(i) for i in ids], pa.int64()),
+                vname: pa.array([i * 0.5 for i in ids], pa.float64()),
+            },
+            schema=sch,
+        ),
+        full,
+    )
+
+
+def test_id_mapping_reads_by_field_id(spark, tmp_path):
+    """mode=id: parquet columns match by FIELD ID, so files written
+    BEFORE a column rename (different physical names, same ids) read
+    correctly — the case name-matching cannot handle."""
+    root = str(tmp_path / "t")
+    even = [0, 2, 4, 6, 8]
+    odd = [1, 3, 5, 7, 9]
+    # pre-rename file: physical names col-old-d/col-old-v
+    _write_with_ids(
+        root, f"{P_PART}=0/f0.parquet", even, ("col-old-d", "col-old-v")
+    )
+    # post-rename file: different physical names, same field ids
+    _write_with_ids(
+        root, f"{P_PART}=1/f1.parquet", odd, (P_DOC, P_VAL)
+    )
+    DL.write_delta_commit(
+        root, 0,
+        [_PROTO, _meta("id"),
+         _add(f"{P_PART}=0/f0.parquet", 0,
+              {"minValues": {P_DOC: 0}, "maxValues": {P_DOC: 8}}),
+         _add(f"{P_PART}=1/f1.parquet", 1,
+              {"minValues": {P_DOC: 1}, "maxValues": {P_DOC: 9}})],
+    )
+    got = DL.read_delta(spark, root)
+    assert [f.name for f in got.schema.fields] == ["doc_id", "part", "val"]
+    rows = sorted(
+        (r["doc_id"], r["part"], r["val"]) for r in got.collect()
+    )
+    assert rows == sorted((i, i % 2, i * 0.5) for i in range(10))
+    # logical where= still prunes through physical stats/partitions
+    got2 = DL.read_delta(spark, root, where={"part": (0, 0)})
+    assert sorted(r["doc_id"] for r in got2.collect()) == even
+
+
+def test_id_mapping_without_ids_fails_closed(spark, tmp_path):
     root = str(tmp_path / "t")
     _write_phys(root, "a.parquet", [1])
-    DL.write_delta_commit(root, 0, [_PROTO, _meta("id"), _add("a.parquet", 0)])
-    with pytest.raises(DL.DeltaUnsupportedError, match="mode=id"):
+    md = _meta("id")
+    # strip the column-mapping ids from the schema metadata
+    sch = json.loads(md["metaData"]["schemaString"])
+    for f in sch["fields"]:
+        f["metadata"].pop("delta.columnMapping.id", None)
+    md["metaData"]["schemaString"] = json.dumps(sch)
+    DL.write_delta_commit(root, 0, [_PROTO, md, _add("a.parquet", 0)])
+    with pytest.raises(DL.DeltaUnsupportedError, match="columnMapping.id"):
         DL.read_delta(spark, root)
 
 
