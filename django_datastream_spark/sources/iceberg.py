@@ -178,10 +178,46 @@ def _to_spark_type(t) -> T.DataType:
     raise IcebergUnsupportedError(f"unsupported iceberg type {t!r}")
 
 
-def iceberg_schema(md: dict) -> T.StructType:
-    return _to_spark_type(
+def iceberg_schema(md: dict, with_field_ids: bool = False) -> T.StructType:
+    """The current schema as a Spark StructType.
+    ``with_field_ids=True`` stamps each TOP-LEVEL field's Iceberg id
+    as ``parquet.field.id`` metadata so the parquet scan matches
+    columns by FIELD ID — Iceberg's actual column identity (names
+    change on rename; ids never do)."""
+    st = _to_spark_type(
         {"type": "struct", "fields": _current_schema(md)["fields"]}
     )
+    if not with_field_ids:
+        return st
+    fields = _current_schema(md)["fields"]
+    return T.StructType(
+        [
+            T.StructField(
+                f.name, f.dataType, f.nullable,
+                {"parquet.field.id": int(fd["id"])},
+            )
+            for f, fd in zip(st.fields, fields)
+        ]
+    )
+
+
+def _files_carry_field_ids(paths: list[str]) -> bool:
+    """Sniff ONE data file's footer: real Iceberg writers stamp
+    parquet field ids (the spec requires them); files adopted from
+    this engine's own write path don't. Field-id matching only
+    engages when the files actually carry ids — an id-less file under
+    an id-keyed schema would read as nulls."""
+    import pyarrow.parquet as pq
+
+    for p in sorted(paths)[:1]:
+        try:
+            sch = pq.ParquetFile(p).schema_arrow
+        except Exception:
+            return False
+        for f in sch:
+            if f.metadata and b"PARQUET:field_id" in f.metadata:
+                return True
+    return False
 
 
 def iceberg_snapshot_at(root: str, timestamp_ms: int) -> int:
@@ -507,7 +543,16 @@ def read_iceberg(
 
         return local_rows_df(spark, [], schema)
     files = sorted(_resolve(root, md, p) for p in data)
-    df = spark.read.schema(schema).parquet(*files)
+    # column identity: Iceberg resolves parquet columns by FIELD ID
+    # (a renamed column keeps its id; old files keep the old NAME) —
+    # scan with id-keyed schema when the files carry ids, else fall
+    # back to name matching (zero-copy-published engine files)
+    if _files_carry_field_ids(files):
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        scan_schema = iceberg_schema(md, with_field_ids=True)
+    else:
+        scan_schema = schema
+    df = spark.read.schema(scan_schema).parquet(*files)
     if dels:
         base = df.select(
             "*",

@@ -659,3 +659,69 @@ def test_iceberg_timestamp_time_travel(spark, tmp_path):
         IB.read_iceberg(
             spark, root, snapshot_id=7, as_of_timestamp_ms=3000
         )
+
+
+def test_read_resolves_renamed_columns_by_field_id(spark, tmp_path):
+    """Iceberg column identity is the FIELD ID: after a rename the
+    current schema carries the new name while old data files keep the
+    old parquet column name (with the same id). Name matching would
+    silently return nulls; the reader must resolve by id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    # pre-rename file: column named "amount", field id 2
+    sch = pa.schema(
+        [
+            pa.field("doc_id", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("amount", pa.float64(),
+                     metadata={b"PARQUET:field_id": b"2"}),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([1, 2], pa.int64()),
+             "amount": pa.array([0.5, 1.0], pa.float64())},
+            schema=sch,
+        ),
+        os.path.join(root, "data", "old.parquet"),
+    )
+    # post-rename file: column named "val" (current), same id
+    sch2 = pa.schema(
+        [
+            pa.field("doc_id", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("val", pa.float64(),
+                     metadata={b"PARQUET:field_id": b"2"}),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([3], pa.int64()),
+             "val": pa.array([1.5], pa.float64())},
+            schema=sch2,
+        ),
+        os.path.join(root, "data", "new.parquet"),
+    )
+    IB.write_manifest(
+        root, "m1.avro",
+        [(1, "data/old.parquet"), (1, "data/new.parquet")], 1,
+    )
+    IB.write_manifest_list(root, "s1.avro", ["m1.avro"], 1)
+    # current schema: field 2 is NOW CALLED "val"
+    IB.write_metadata(
+        root, 1,
+        [
+            {"id": 1, "name": "doc_id", "required": False,
+             "type": "long"},
+            {"id": 2, "name": "val", "required": False,
+             "type": "double"},
+        ],
+        [{"snapshot-id": 1, "manifest-list": "metadata/s1.avro"}],
+        current_snapshot_id=1,
+    )
+    got = IB.read_iceberg(spark, root)
+    rows = sorted((r["doc_id"], r["val"]) for r in got.collect())
+    assert rows == [(1, 0.5), (2, 1.0), (3, 1.5)]
