@@ -11051,3 +11051,131 @@ def q224(spark, sf_dir):
         )
         .orderBy("part")
     )
+
+
+# --------------------------------------------------------------------------
+# Q225: Delta CHANGE DATA FEED read (cdc actions + _change_data files)
+# --------------------------------------------------------------------------
+@_declare(
+    "q225_delta_cdf",
+    """
+    SELECT ver, ct, CAST(COUNT(*) AS BIGINT) n,
+           ROUND(SUM(val), 4) sum_val
+    FROM (
+      SELECT 0 ver, 'insert' ct, doc_id * 0.5 val
+      FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT 1, 'update_preimage', doc_id * 0.5
+      FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0
+      UNION ALL
+      SELECT 1, 'update_postimage', doc_id * 0.5 + 500
+      FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0
+    ) GROUP BY ver, ct ORDER BY ver, ct
+    """,
+)
+def q225(spark, sf_dir):
+    """CHANGE DATA FEED read (delta.enableChangeDataFeed tables): an
+    UPDATE commit's cdc action serves its _change_data file's exact
+    pre/post images (the add/remove rewrite in the same commit is
+    ignored for CDC, per spec) while the CDF-less insert commit emits
+    inserts — both tagged with commit version and change type,
+    oracled by the closed forms. A reader that reconstructed the
+    update from add/remove (re-emitting all 200 rows) or leaked the
+    rewrite add breaks the hash. (Builder writes the fixture tree;
+    by-name exemption in test_declaring_queries_runs_no_jobs.)"""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    from ..sources import delta as DLT
+
+    base = _os.path.join(
+        _tmp.gettempdir(),
+        "q225_" + _hl.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    root = _os.path.join(base, "table")
+    ids = sorted(
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+        .collect()
+    )
+    upd = [i for i in ids if i % 7 == 0]
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("val", DoubleType())]
+    )
+
+    def write(rel, cols):
+        _os.makedirs(
+            _os.path.dirname(_os.path.join(root, rel)), exist_ok=True
+        )
+        _pq.write_table(_pa.table(cols), _os.path.join(root, rel))
+
+    write("f0.parquet", {
+        "doc_id": _pa.array(ids, _pa.int64()),
+        "val": _pa.array([i * 0.5 for i in ids], _pa.float64()),
+    })
+    DLT.write_delta_commit(
+        root, 0,
+        [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+         {"metaData": {
+             "id": "q225",
+             "format": {"provider": "parquet", "options": {}},
+             "schemaString": schema.json(),
+             "partitionColumns": [],
+             "configuration": {"delta.enableChangeDataFeed": "true"},
+         }},
+         {"add": {"path": "f0.parquet", "partitionValues": {},
+                  "size": 1, "modificationTime": 0,
+                  "dataChange": True}}],
+    )
+    write("f1.parquet", {
+        "doc_id": _pa.array(ids, _pa.int64()),
+        "val": _pa.array(
+            [i * 0.5 + (500 if i % 7 == 0 else 0) for i in ids],
+            _pa.float64(),
+        ),
+    })
+    write("_change_data/cdc-0.parquet", {
+        "doc_id": _pa.array(upd + upd, _pa.int64()),
+        "val": _pa.array(
+            [i * 0.5 for i in upd] + [i * 0.5 + 500 for i in upd],
+            _pa.float64(),
+        ),
+        "_change_type": _pa.array(
+            ["update_preimage"] * len(upd)
+            + ["update_postimage"] * len(upd),
+            _pa.string(),
+        ),
+    })
+    DLT.write_delta_commit(
+        root, 1,
+        [{"remove": {"path": "f0.parquet", "dataChange": True}},
+         {"add": {"path": "f1.parquet", "partitionValues": {},
+                  "size": 1, "modificationTime": 0,
+                  "dataChange": True}},
+         {"cdc": {"path": "_change_data/cdc-0.parquet",
+                  "partitionValues": {}, "size": 1,
+                  "dataChange": False}}],
+    )
+    feed = DLT.delta_cdf(spark, root, None)
+    return (
+        feed.groupBy(
+            F.col("_commit_version").cast("int").alias("ver"),
+            F.col("_change_type").alias("ct"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("val"), 4).alias("sum_val"),
+        )
+        .orderBy("ver", "ct")
+    )

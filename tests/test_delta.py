@@ -579,3 +579,72 @@ def test_timestamp_time_travel(spark, tmp_path):
         DL.read_delta(spark, root, timestamp_ms=999)
     with pytest.raises(ValueError, match="not both"):
         DL.read_delta(spark, root, version=0, timestamp_ms=1000)
+
+
+def test_delta_cdf_reads_change_data_files(spark, tmp_path):
+    """CHANGE DATA FEED: a commit carrying cdc actions serves exactly
+    its _change_data rows (update pre/post images), add/remove
+    ignored for CDC; CDF-less insert commits emit inserts; CDF-less
+    deletes fail closed."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    root = str(tmp_path / "t")
+    _write_data(root, "a.parquet", range(5))
+    DL.write_delta_commit(
+        root, 0, [_PROTO, _meta(partitioned=False), _add("a.parquet")]
+    )
+    # v1: an UPDATE commit — rewrite a.parquet bumping id 2's val,
+    # with the cdc file recording the exact pre/post images
+    os.makedirs(os.path.join(root, "_change_data"), exist_ok=True)
+    ids = list(range(5))
+    _pq.write_table(
+        _pa.table(
+            {
+                "doc_id": _pa.array(ids, _pa.int64()),
+                "val": _pa.array(
+                    [i * 0.5 if i != 2 else 99.0 for i in ids],
+                    _pa.float64(),
+                ),
+            }
+        ),
+        os.path.join(root, "b.parquet"),
+    )
+    _pq.write_table(
+        _pa.table(
+            {
+                "doc_id": _pa.array([2, 2], _pa.int64()),
+                "val": _pa.array([1.0, 99.0], _pa.float64()),
+                "_change_type": _pa.array(
+                    ["update_preimage", "update_postimage"],
+                    _pa.string(),
+                ),
+            }
+        ),
+        os.path.join(root, "_change_data", "cdc-0.parquet"),
+    )
+    DL.write_delta_commit(
+        root, 1,
+        [{"remove": {"path": "a.parquet", "dataChange": True}},
+         _add("b.parquet"),
+         {"cdc": {"path": "_change_data/cdc-0.parquet",
+                  "partitionValues": {}, "size": 1,
+                  "dataChange": False}}],
+    )
+    feed = DL.delta_cdf(spark, root, None)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["doc_id"], r["val"])
+        for r in feed.collect()
+    )
+    assert got == sorted(
+        [(0, "insert", i, i * 0.5) for i in range(5)]
+        + [(1, "update_preimage", 2, 1.0),
+           (1, "update_postimage", 2, 99.0)]
+    )
+    # a CDF-less delete commit fails closed
+    DL.write_delta_commit(
+        root, 2,
+        [{"remove": {"path": "b.parquet", "dataChange": True}}],
+    )
+    with pytest.raises(ValueError, match="no cdc actions"):
+        DL.delta_cdf(spark, root, 1)

@@ -117,8 +117,8 @@ def test_declaring_queries_runs_no_jobs(spark):
               "q221_ann_distributed_query",
               # q222/q223 run txn commits + lakehouse publishes
               "q222_publish_delta", "q223_iceberg_position_deletes",
-              # q224 writes the id-mapping Delta fixture tree
-              "q224_delta_column_mapping_id"}
+              # q224/q225 write Delta fixture trees (id-mapping / CDF)
+              "q224_delta_column_mapping_id", "q225_delta_cdf"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
