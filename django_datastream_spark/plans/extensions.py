@@ -11179,3 +11179,112 @@ def q225(spark, sf_dir):
         )
         .orderBy("ver", "ct")
     )
+
+
+# --------------------------------------------------------------------------
+# Q226: Iceberg v2 EQUALITY deletes — null-safe value matching under
+# the strict sequence rule
+# --------------------------------------------------------------------------
+@_declare(
+    "q226_iceberg_equality_deletes",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) n, ROUND(SUM(val), 4) sum_val,
+           CAST(SUM(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) n_mod9
+    FROM (
+      SELECT doc_id, doc_id * 0.5 val FROM documents
+      WHERE doc_id < 200 AND doc_id % 9 <> 0
+      UNION ALL
+      SELECT doc_id, doc_id * 0.5 + 1000 FROM documents
+      WHERE doc_id < 40 AND doc_id % 9 = 0
+    )
+    """,
+)
+def q226(spark, sf_dir):
+    """EQUALITY deletes (Iceberg v2 merge-on-read's second kind): an
+    equality-delete file on doc_id (seq 2) removes the %9==0 rows
+    from the seq-1 data file, while a seq-3 file RE-INSERTS some of
+    those very ids (bumped vals) — the strict dseq > fseq rule must
+    keep them. The single-hash aggregate counts surviving %9 rows, so
+    a reader that applied the delete to the newer file (or missed a
+    match in the older one) breaks it. (Builder writes the fixture
+    tree; by-name exemption in test_declaring_queries_runs_no_jobs.)"""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from ..sources import iceberg as IB
+
+    base = _os.path.join(
+        _tmp.gettempdir(),
+        "q226_" + _hl.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    root = _os.path.join(base, "table")
+    ids = sorted(
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+        .collect()
+    )
+    fields = [
+        {"id": 1, "name": "doc_id", "required": False, "type": "long"},
+        {"id": 2, "name": "val", "required": False, "type": "double"},
+    ]
+
+    def write(rel, rows, bump=0.0):
+        full = _os.path.join(root, rel)
+        _os.makedirs(_os.path.dirname(full), exist_ok=True)
+        _pq.write_table(
+            _pa.table(
+                {
+                    "doc_id": _pa.array(rows, _pa.int64()),
+                    "val": _pa.array(
+                        [i * 0.5 + bump for i in rows], _pa.float64()
+                    ),
+                }
+            ),
+            full,
+        )
+
+    write("data/A.parquet", ids)
+    dead = [i for i in ids if i % 9 == 0]
+    _os.makedirs(_os.path.join(root, "data"), exist_ok=True)
+    _pq.write_table(
+        _pa.table({"doc_id": _pa.array(dead, _pa.int64())}),
+        _os.path.join(root, "data", "eqdel.parquet"),
+    )
+    reins = [i for i in dead if i < 40]
+    write("data/B.parquet", reins, bump=1000.0)
+    IB.write_manifest(root, "mA.avro", [(1, "data/A.parquet")], 1,
+                      schema_fields=fields)
+    IB.write_manifest(
+        root, "mE.avro", [(1, "data/eqdel.parquet")], 1,
+        entry_content=2, equality_ids=[1],
+    )
+    IB.write_manifest(root, "mB.avro", [(1, "data/B.parquet")], 1,
+                      schema_fields=fields)
+    IB.write_manifest_list(
+        root, "s1.avro",
+        [("mA.avro", 1, 0, 1), ("mE.avro", 1, 1, 2),
+         ("mB.avro", 1, 0, 3)],
+        1,
+    )
+    IB.write_metadata(
+        root, 1, fields,
+        [{"snapshot-id": 1, "manifest-list": "metadata/s1.avro"}],
+        current_snapshot_id=1,
+    )
+    got = IB.read_iceberg(spark, root)
+    return got.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("val"), 4).alias("sum_val"),
+        F.sum(
+            (F.col("doc_id") % 9 == 0).cast("long")
+        ).alias("n_mod9"),
+    )

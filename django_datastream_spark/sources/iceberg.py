@@ -18,9 +18,10 @@ Layout read directly:
   table schema — no partition materialization step.
 
 Honest boundaries (fail closed, never guess): format-version > 2;
-DELETE manifests (``content=1``) and delete data files (position /
-equality, ``data_file.content != 0``); non-parquet file formats;
-schema types outside the mapped set. ``write_iceberg_*`` fixtures
+non-parquet file formats; schema types outside the mapped set;
+malformed delete manifests. V2 MERGE-ON-READ is supported in
+:func:`read_iceberg`: position deletes (sequence rule dseq >= fseq)
+and equality deletes (null-safe match, strictly dseq > fseq). ``write_iceberg_*`` fixtures
 build real metadata/manifest trees for tests and gate queries.
 """
 
@@ -313,10 +314,16 @@ def _decode_manifest_entries(
                 continue
             data.append((df["file_path"], seq))
         elif c == 1:
-            dels.append((df["file_path"], seq))
+            dels.append(("p", df["file_path"], seq, None))
         elif c == 2:
-            raise IcebergUnsupportedError(
-                "equality deletes not supported (position deletes are)"
+            eq = df.get("equality_ids")
+            if not eq:
+                raise IcebergUnsupportedError(
+                    "equality delete file without equality_ids"
+                )
+            dels.append(
+                ("e", df["file_path"], seq,
+                 ",".join(str(int(x)) for x in eq))
             )
         else:
             raise IcebergUnsupportedError(
@@ -368,24 +375,24 @@ def _snapshot_files(
             )
         )
     if spark is not None and len(mans) >= DISTRIBUTED_MANIFESTS_AT:
-        pairs = _decode_manifests_distributed(
+        rows = _decode_manifests_distributed(
             spark, root, md, mans, where
         )
     else:
-        pairs = []
+        rows = []
         for mp, content, seq in mans:
             d, x = _decode_manifest_entries(
                 root, md, mp, where, content, seq
             )
-            pairs.extend(("d", p, q) for p, q in d)
-            pairs.extend(("x", p, q) for p, q in x)
+            rows.extend(("d", p, q, None) for p, q in d)
+            rows.extend(x)
     data: dict = {}
     dels: list = []
-    for kind, p, q in pairs:
+    for kind, p, q, eq in rows:
         if kind == "d":
             data[p] = max(q, data.get(p, q))
         else:
-            dels.append((p, q))
+            dels.append((kind, p, q, eq))
     return md, data, sorted(set(dels))
 
 
@@ -444,7 +451,7 @@ def _decode_manifests_distributed(
 
         m = _json.loads(md_json)
         for pdf in batches:
-            ks, fs, qs = [], [], []
+            ks, fs, qs, es = [], [], [], []
             for mp, content, seq in zip(
                 pdf["m"], pdf["c"], pdf["q"]
             ):
@@ -455,19 +462,23 @@ def _decode_manifests_distributed(
                     ks.append("d")
                     fs.append(p)
                     qs.append(q)
-                for p, q in x:
-                    ks.append("x")
+                    es.append(None)
+                for k2, p, q, eq in x:
+                    ks.append(k2)
                     fs.append(p)
                     qs.append(q)
-            yield _pd.DataFrame({"k": ks, "f": fs, "q": qs})
+                    es.append(eq)
+            yield _pd.DataFrame(
+                {"k": ks, "f": fs, "q": qs, "e": es}
+            )
 
     fdf = spark.createDataFrame(
         [(p, c, q) for p, c, q in mans], "m string, c int, q long"
     ).repartition(max(8, min(1024, len(mans))))
     return [
-        (r["k"], r["f"], r["q"])
+        (r["k"], r["f"], r["q"], r["e"])
         for r in fdf.mapInPandas(
-            _task, "k string, f string, q long"
+            _task, "k string, f string, q long, e string"
         ).collect()
     ]
 
@@ -566,29 +577,90 @@ def read_iceberg(
         seqdf = spark.createDataFrame(
             seq_rows, "raw string, af string, fseq long"
         )
-        pieces = []
-        for raw, dseq in dels:
-            pieces.append(
-                spark.read.parquet(_resolve(root, md, raw)).select(
-                    F.col("file_path"),
-                    F.col("pos"),
-                    F.lit(int(dseq)).alias("dseq"),
+        pos_dels = [d for d in dels if d[0] == "p"]
+        eq_dels = [d for d in dels if d[0] == "e"]
+        if pos_dels:
+            pieces = []
+            for _k, raw, dseq, _e in pos_dels:
+                pieces.append(
+                    spark.read.parquet(
+                        _resolve(root, md, raw)
+                    ).select(
+                        F.col("file_path"),
+                        F.col("pos"),
+                        F.lit(int(dseq)).alias("dseq"),
+                    )
+                )
+            dd = pieces[0]
+            for p in pieces[1:]:
+                dd = dd.unionByName(p)
+            hits = (
+                dd.join(
+                    F.broadcast(seqdf),
+                    dd["file_path"] == seqdf["raw"],
+                )
+                .filter(F.col("dseq") >= F.col("fseq"))
+                .select(
+                    F.col("af").alias("__af"),
+                    F.col("pos").alias("__pos"),
                 )
             )
-        dd = pieces[0]
-        for p in pieces[1:]:
-            dd = dd.unionByName(p)
-        hits = (
-            dd.join(
-                F.broadcast(seqdf),
-                dd["file_path"] == seqdf["raw"],
+            base = base.join(hits, ["__af", "__pos"], "left_anti")
+        if eq_dels:
+            # EQUALITY deletes: a row is deleted when its values in
+            # the delete's equality columns match a delete row (null
+            # equals null) AND the data file's sequence number is
+            # STRICTLY below the delete's — the spec's rule. One
+            # anti-join per distinct equality-column set.
+            id_to_name = {
+                int(f["id"]): f["name"]
+                for f in _current_schema(md)["fields"]
+            }
+            base = base.join(
+                F.broadcast(
+                    seqdf.select(
+                        F.col("af").alias("__af"),
+                        F.col("fseq").alias("__fseq"),
+                    )
+                ),
+                "__af",
             )
-            .filter(F.col("dseq") >= F.col("fseq"))
-            .select(F.col("af").alias("__af"), F.col("pos").alias("__pos"))
-        )
-        df = base.join(hits, ["__af", "__pos"], "left_anti").select(
-            *[F.col(f.name) for f in schema.fields]
-        )
+            by_cols: dict = {}
+            for _k, raw, dseq, eq in eq_dels:
+                try:
+                    names = tuple(
+                        id_to_name[int(x)] for x in eq.split(",")
+                    )
+                except KeyError as exc:
+                    raise IcebergUnsupportedError(
+                        f"equality delete references unknown field "
+                        f"id {exc}"
+                    ) from None
+                by_cols.setdefault(names, []).append((raw, dseq))
+            for names, group in sorted(by_cols.items()):
+                pieces = []
+                for raw, dseq in group:
+                    pieces.append(
+                        spark.read.parquet(
+                            _resolve(root, md, raw)
+                        ).select(
+                            *[
+                                F.col(n).alias(f"__eq_{n}")
+                                for n in names
+                            ],
+                            F.lit(int(dseq)).alias("__dseq"),
+                        )
+                    )
+                ed = pieces[0]
+                for p in pieces[1:]:
+                    ed = ed.unionByName(p)
+                cond = F.col("__dseq") > F.col("__fseq")
+                for n in names:
+                    cond = cond & F.col(n).eqNullSafe(
+                        F.col(f"__eq_{n}")
+                    )
+                base = base.join(ed, cond, "left_anti")
+        df = base.select(*[F.col(f.name) for f in schema.fields])
     if where:
         for col, (lo, hi) in where.items():
             if lo is not None:
@@ -654,6 +726,13 @@ _MANIFEST_SCHEMA = {
                     {"name": "file_size_in_bytes", "type": "long"},
                     {"name": "lower_bounds", "type": _BOUNDS_T},
                     {"name": "upper_bounds", "type": _BOUNDS_T},
+                    {
+                        "name": "equality_ids",
+                        "type": [
+                            "null",
+                            {"type": "array", "items": "int"},
+                        ],
+                    },
                 ],
             },
         },
@@ -752,6 +831,7 @@ def write_manifest(
     snapshot_id: int, codec: str = "deflate",
     schema_fields: list[dict] | None = None,
     entry_content: int = 0,
+    equality_ids: list[int] | None = None,
 ) -> str:
     """entries: (status, table-relative data path[, entry snapshot
     id]) — the optional third element overrides the per-entry
@@ -784,6 +864,7 @@ def write_manifest(
                     ),
                     "lower_bounds": lo,
                     "upper_bounds": hi,
+                    "equality_ids": equality_ids,
                 },
             }
         )

@@ -725,3 +725,89 @@ def test_read_resolves_renamed_columns_by_field_id(spark, tmp_path):
     got = IB.read_iceberg(spark, root)
     rows = sorted((r["doc_id"], r["val"]) for r in got.collect())
     assert rows == [(1, 0.5), (2, 1.0), (3, 1.5)]
+
+
+def test_equality_deletes_apply_with_sequence_rule(spark, tmp_path):
+    """V2 EQUALITY deletes: rows matching the delete file's values in
+    the equality columns (null equals null) disappear from data files
+    whose sequence number is STRICTLY below the delete's; newer files
+    keep matching rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    # data A (seq 1): ids 0..4 with one NULL doc_id row
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, None], pa.int64()),
+                "val": pa.array(
+                    [0.0, 0.5, 1.0, 1.5, 9.9], pa.float64()
+                ),
+            }
+        ),
+        os.path.join(root, "data", "A.parquet"),
+    )
+    # data B (seq 3): re-inserts id 1 AFTER the delete — must survive
+    _data(root, "data/B.parquet", [1, 7])
+    # equality delete (seq 2) on doc_id: deletes 1, 3 and NULL
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 3, None], pa.int64())}),
+        os.path.join(root, "data", "eqdel.parquet"),
+    )
+    IB.write_manifest(root, "mA.avro", [(1, "data/A.parquet")], 1)
+    IB.write_manifest(root, "mB.avro", [(1, "data/B.parquet")], 1)
+    IB.write_manifest(
+        root, "mE.avro", [(1, "data/eqdel.parquet")], 1,
+        entry_content=2, equality_ids=[1],
+    )
+    IB.write_manifest_list(
+        root, "s1.avro",
+        [("mA.avro", 1, 0, 1), ("mE.avro", 1, 1, 2),
+         ("mB.avro", 1, 0, 3)],
+        1,
+    )
+    IB.write_metadata(
+        root, 1, FIELDS,
+        [{"snapshot-id": 1, "manifest-list": "metadata/s1.avro"}],
+        current_snapshot_id=1,
+    )
+    got = IB.read_iceberg(spark, root)
+    rows = sorted(
+        (r["doc_id"], r["val"]) for r in got.collect()
+        if r["doc_id"] is not None
+    )
+    nulls = [r for r in got.collect() if r["doc_id"] is None]
+    # A loses 1, 3 and the NULL row; B's 1 and 7 survive (seq 3 > 2)
+    assert rows == [(0, 0.0), (1, 0.5), (2, 1.0), (7, 3.5)]
+    assert nulls == []
+    # composes with a position delete in the same snapshot
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array(["data/B.parquet"], pa.string()),
+                "pos": pa.array([1], pa.int64()),
+            }
+        ),
+        os.path.join(root, "data", "posdel.parquet"),
+    )
+    IB.write_manifest(
+        root, "mP.avro", [(1, "data/posdel.parquet")], 1,
+        entry_content=1,
+    )
+    IB.write_manifest_list(
+        root, "s2.avro",
+        [("mA.avro", 1, 0, 1), ("mE.avro", 1, 1, 2),
+         ("mB.avro", 1, 0, 3), ("mP.avro", 1, 1, 4)],
+        1,
+    )
+    IB.write_metadata(
+        root, 2, FIELDS,
+        [{"snapshot-id": 1, "manifest-list": "metadata/s2.avro"}],
+        current_snapshot_id=1,
+    )
+    got2 = IB.read_iceberg(spark, root)
+    assert sorted(
+        r["doc_id"] for r in got2.collect()
+    ) == [0, 1, 2]  # B also loses pos 1 (id 7)

@@ -118,7 +118,9 @@ def test_declaring_queries_runs_no_jobs(spark):
               # q222/q223 run txn commits + lakehouse publishes
               "q222_publish_delta", "q223_iceberg_position_deletes",
               # q224/q225 write Delta fixture trees (id-mapping / CDF)
-              "q224_delta_column_mapping_id", "q225_delta_cdf"}
+              "q224_delta_column_mapping_id", "q225_delta_cdf",
+              # q226 writes the equality-delete Iceberg fixture tree
+              "q226_iceberg_equality_deletes"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
