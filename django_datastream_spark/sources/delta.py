@@ -1222,7 +1222,14 @@ def adopt_delta(
     normal commit path and its exact stats format), so data skipping
     works immediately on the adopted table. Raises on partitioned
     tables whose partition columns are absent from the data files
-    (the engine's readers would silently drop them — fail closed)."""
+    (the engine's readers would silently drop them — fail closed).
+
+    DELETION VECTORS adopt by CONVERSION: each DV'd add's positions
+    decode (executor-side) into a txn ``_dv`` sidecar and the commit
+    records them as engine deletion vectors — zero data-file bytes
+    rewritten, and the adopted table's reads subtract exactly the
+    same rows the Delta reads did (adopting the files WITHOUT the
+    vectors would silently resurrect deleted rows)."""
     from .. import txnlog as TL
 
     if os.path.abspath(txn_root) != os.path.abspath(delta_root):
@@ -1253,6 +1260,37 @@ def adopt_delta(
     if TL.is_txn_table(txn_root):
         raise ValueError(f"{txn_root}: already a txn table")
     rels = [urllib.parse.unquote(r) for r in raw_rels]
+    # deletion vectors convert into the engine's own sidecar form —
+    # adopting the files bare would RESURRECT the deleted rows
+    deletes = None
+    import pyarrow.compute as pc
+
+    dvc = adds.column("deletionVector").combine_chunks()
+    if dvc.null_count < adds.num_rows:
+        import uuid as _uuid
+
+        dirty = adds.filter(pc.is_valid(dvc))
+        dv_rel = os.path.join("_dv", f"adopt-{_uuid.uuid4().hex[:12]}")
+        (
+            _dv_positions_frame(spark, delta_root, dirty)
+            .select(
+                F.col("__file").alias("file"),
+                F.col("__pos").alias("pos"),
+            )
+            .write.parquet(os.path.join(delta_root, dv_rel))
+        )
+        per = {
+            r["file"]: r["n"]
+            for r in spark.read.parquet(
+                os.path.join(delta_root, dv_rel)
+            )
+            .groupBy("file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        deletes = {
+            f: {"dv": dv_rel, "n": int(n)} for f, n in per.items()
+        }
     # init_table would adopt EVERY parquet under the root (including
     # delta-removed files); commit the live list explicitly instead
     os.makedirs(os.path.join(txn_root, TL.TXN_DIR), exist_ok=True)
@@ -1265,6 +1303,7 @@ def adopt_delta(
         base_version=0,
         writer=writer,
         stats=TL.collect_file_stats(txn_root, rels, spark=spark),
+        deletes=deletes,
         schema_json=None,
     )
 

@@ -990,7 +990,10 @@ def adopt_iceberg(
     commit the Iceberg snapshot's live files into one of this
     engine's txn tables without rewriting a byte. Simpler than the
     Delta case: Iceberg data files carry EVERY column (identity
-    partition sources included), so any layout adopts. Requires
+    partition sources included), so any layout adopts. POSITION
+    deletes convert into engine ``_dv`` sidecars under the spec's
+    sequence rule (bare adoption would resurrect deleted rows);
+    equality deletes fail closed. Requires
     ``txn_root == iceberg_root`` (both metadata trees describe the
     same immutable files); skipping stats come from the files' own
     parquet footers at adopt time."""
@@ -1003,17 +1006,75 @@ def adopt_iceberg(
         )
     if TL.is_txn_table(txn_root):
         raise ValueError(f"{txn_root}: already a txn table")
-    md, files = iceberg_live_files(iceberg_root, snapshot_id, spark=spark)
+    md, data, dels = _snapshot_files(
+        iceberg_root, snapshot_id, spark=spark
+    )
+    if any(k == "e" for k, _p, _q, _e in dels):
+        raise IcebergUnsupportedError(
+            "equality deletes cannot adopt zero-copy (row positions "
+            "are unknown without a scan); read_iceberg + rewrite"
+        )
     root_abs = os.path.abspath(iceberg_root)
     rels = []
-    for f in files:
-        fa = os.path.abspath(f)
+    raw_to_rel = {}
+    for raw in data:
+        fa = os.path.abspath(_resolve(iceberg_root, md, raw))
         if not fa.startswith(root_abs + os.sep):
             raise IcebergUnsupportedError(
-                f"live file {f} outside the table root — cannot adopt "
-                "in place"
+                f"live file {raw} outside the table root — cannot "
+                "adopt in place"
             )
-        rels.append(os.path.relpath(fa, root_abs))
+        rel = os.path.relpath(fa, root_abs)
+        rels.append(rel)
+        raw_to_rel[raw] = rel
+    # POSITION deletes convert into the engine's own _dv sidecar —
+    # adopting the files bare would resurrect the deleted rows
+    deletes = None
+    if dels:
+        import uuid as _uuid
+
+        seq_rows = [
+            (raw, raw_to_rel[raw], int(q)) for raw, q in data.items()
+        ]
+        seqdf = spark.createDataFrame(
+            seq_rows, "raw string, rel string, fseq long"
+        )
+        pieces = []
+        for _k, raw, dseq, _e in dels:
+            pieces.append(
+                spark.read.parquet(
+                    _resolve(iceberg_root, md, raw)
+                ).select(
+                    F.col("file_path"),
+                    F.col("pos"),
+                    F.lit(int(dseq)).alias("dseq"),
+                )
+            )
+        dd = pieces[0]
+        for p in pieces[1:]:
+            dd = dd.unionByName(p)
+        dv_rel = os.path.join("_dv", f"adopt-{_uuid.uuid4().hex[:12]}")
+        (
+            dd.join(
+                F.broadcast(seqdf), dd["file_path"] == seqdf["raw"]
+            )
+            .filter(F.col("dseq") >= F.col("fseq"))
+            .select(F.col("rel").alias("file"), F.col("pos"))
+            .distinct()
+            .write.parquet(os.path.join(iceberg_root, dv_rel))
+        )
+        per = {
+            r["file"]: r["n"]
+            for r in spark.read.parquet(
+                os.path.join(iceberg_root, dv_rel)
+            )
+            .groupBy("file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        deletes = {
+            f: {"dv": dv_rel, "n": int(n)} for f, n in per.items()
+        }
     os.makedirs(os.path.join(txn_root, TL.TXN_DIR), exist_ok=True)
     return TL.commit(
         txn_root,
@@ -1024,6 +1085,7 @@ def adopt_iceberg(
         base_version=0,
         writer=writer,
         stats=TL.collect_file_stats(txn_root, sorted(rels), spark=spark),
+        deletes=deletes,
         schema_json=None,
     )
 

@@ -236,3 +236,26 @@ def test_dv_cardinality_mismatch_fails(spark, tmp_path):
     DL.write_delta_commit(root, 1, acts)
     with pytest.raises(Exception, match="cardinality|descriptor says"):
         DL.read_delta(spark, root).collect()
+
+
+def test_adopt_delta_converts_dvs_to_txn_sidecars(spark, tmp_path):
+    """Zero-copy adopt of a DV-carrying table CONVERTS the vectors
+    into engine _dv sidecars — the adopted txn read subtracts exactly
+    the rows the Delta read did (bare adoption would resurrect
+    them)."""
+    from django_datastream_spark import txnlog as TL
+
+    root = str(tmp_path / "t")
+    _build_dv_table(root, "u")
+    want = sorted(
+        r["doc_id"] for r in DL.read_delta(spark, root).collect()
+    )
+    assert want == [0, 2, 4, 6, 7, 8, 9]
+    DL.adopt_delta(spark, root, root)
+    got = sorted(
+        r["doc_id"] for r in TL.txn_read(spark, root).collect()
+    )
+    assert got == want
+    # the vectors are REAL engine DVs: visible to snapshot_dv
+    _v, dv = TL.snapshot_dv(root)
+    assert dv and all(e[0]["n"] > 0 for e in dv.values())

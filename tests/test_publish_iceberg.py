@@ -7,6 +7,7 @@ schema evolution with stable field ids, the incremental changes feed
 over intentionally NON-monotonic snapshot ids, and the fail-closed
 boundaries (live deletion vectors, hive layouts)."""
 
+import os
 import pytest
 from pyspark.sql import functions as F
 
@@ -226,3 +227,23 @@ def test_position_deletes_distributed_decode(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(IBm, "DISTRIBUTED_MANIFESTS_AT", 1)
     got = IB.read_iceberg(spark, root)
     assert sorted(r["doc_id"] for r in got.collect()) == list(range(4, 12))
+
+
+def test_adopt_iceberg_converts_position_deletes(spark, tmp_path):
+    """Adopting a merge-on-read snapshot converts its position
+    deletes into engine _dv sidecars — round trip: txn table → publish
+    (DVs → position deletes) → wipe the txn log → adopt back → same
+    rows."""
+    import shutil
+
+    root = str(tmp_path / "t")
+    TL.txn_append(spark, _mkdf(spark, range(20)).repartition(2), root, [])
+    TL.txn_delete(spark, root, F.col("doc_id") % 4 == 0)
+    want = sorted(r["doc_id"] for r in TL.txn_read(spark, root).collect())
+    IB.publish_iceberg(spark, root)
+    shutil.rmtree(os.path.join(root, TL.TXN_DIR))
+    IB.adopt_iceberg(spark, root, root)
+    got = sorted(r["doc_id"] for r in TL.txn_read(spark, root).collect())
+    assert got == want
+    _v, dv = TL.snapshot_dv(root)
+    assert dv and sum(e[0]["n"] for e in dv.values()) == 5
