@@ -11288,3 +11288,46 @@ def q226(spark, sf_dir):
             (F.col("doc_id") % 9 == 0).cast("long")
         ).alias("n_mod9"),
     )
+
+
+# --------------------------------------------------------------------------
+# Q227: zero-copy adopt of a DV-carrying Delta table — vectors convert
+# into engine deletion vectors (bare adoption would resurrect rows)
+# --------------------------------------------------------------------------
+@_declare(
+    "q227_delta_dv_adopt",
+    """
+    SELECT CAST(doc_id % 4 AS INT) part, CAST(COUNT(*) AS BIGINT) n,
+           ROUND(SUM(doc_id * 0.5), 4) sum_val
+    FROM documents
+    WHERE doc_id < 200
+      AND NOT (doc_id % 4 = 0 AND doc_id % 8 = 0)
+      AND NOT (doc_id % 4 = 1 AND doc_id % 8 = 1)
+    GROUP BY doc_id % 4 ORDER BY part
+    """,
+)
+def q227(spark, sf_dir):
+    """ADOPT + DELETION VECTORS composed: the q216 fixture (uuid and
+    inline vectors over two files) adopts ZERO-COPY into a txn table —
+    the Delta vectors CONVERT into engine _dv sidecars on the adopt
+    commit — and the engine-native txn_read aggregate must equal the
+    deleted-id closed form. A bare adoption (files without vectors)
+    resurrects the %8 rows and breaks the hash; a conversion that
+    dropped a live row breaks it the other way. (Builder writes the
+    fixture + runs the adopt; by-name exemption in
+    test_declaring_queries_runs_no_jobs.)"""
+    from .. import txnlog as TL
+    from ..sources import delta as DLT
+
+    root = _delta_dv_fixture(spark, sf_dir, "q227")
+    DLT.adopt_delta(spark, root, root)
+    got = TL.txn_read(spark, root)
+    return (
+        got.select(F.col("part").cast("int").alias("part"), "val")
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("val"), 4).alias("sum_val"),
+        )
+        .orderBy("part")
+    )

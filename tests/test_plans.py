@@ -120,7 +120,9 @@ def test_declaring_queries_runs_no_jobs(spark):
               # q224/q225 write Delta fixture trees (id-mapping / CDF)
               "q224_delta_column_mapping_id", "q225_delta_cdf",
               # q226 writes the equality-delete Iceberg fixture tree
-              "q226_iceberg_equality_deletes"}
+              "q226_iceberg_equality_deletes",
+              # q227 writes the DV fixture + runs the adopt
+              "q227_delta_dv_adopt"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
