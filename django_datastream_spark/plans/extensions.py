@@ -11053,36 +11053,11 @@ def q224(spark, sf_dir):
     )
 
 
-# --------------------------------------------------------------------------
-# Q225: Delta CHANGE DATA FEED read (cdc actions + _change_data files)
-# --------------------------------------------------------------------------
-@_declare(
-    "q225_delta_cdf",
-    """
-    SELECT ver, ct, CAST(COUNT(*) AS BIGINT) n,
-           ROUND(SUM(val), 4) sum_val
-    FROM (
-      SELECT 0 ver, 'insert' ct, doc_id * 0.5 val
-      FROM documents WHERE doc_id < 200
-      UNION ALL
-      SELECT 1, 'update_preimage', doc_id * 0.5
-      FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0
-      UNION ALL
-      SELECT 1, 'update_postimage', doc_id * 0.5 + 500
-      FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0
-    ) GROUP BY ver, ct ORDER BY ver, ct
-    """,
-)
-def q225(spark, sf_dir):
-    """CHANGE DATA FEED read (delta.enableChangeDataFeed tables): an
-    UPDATE commit's cdc action serves its _change_data file's exact
-    pre/post images (the add/remove rewrite in the same commit is
-    ignored for CDC, per spec) while the CDF-less insert commit emits
-    inserts — both tagged with commit version and change type,
-    oracled by the closed forms. A reader that reconstructed the
-    update from add/remove (re-emitting all 200 rows) or leaked the
-    rewrite add breaks the hash. (Builder writes the fixture tree;
-    by-name exemption in test_declaring_queries_runs_no_jobs.)"""
+def _delta_cdf_fixture(spark, sf_dir, key):
+    """CDF fixture shared by q225 (batch delta_cdf) and q228 (the
+    streaming change feed): v0 inserts doc_id<200 (val=doc_id*0.5);
+    v1 UPDATES the %7==0 rows (val+500) as a rewrite commit carrying
+    the cdc action + _change_data file with exact pre/post images."""
     import hashlib as _hl
     import os as _os
     import shutil as _sh
@@ -11098,7 +11073,7 @@ def q225(spark, sf_dir):
 
     base = _os.path.join(
         _tmp.gettempdir(),
-        "q225_" + _hl.md5(sf_dir.encode()).hexdigest()[:10],
+        f"{key}_" + _hl.md5(sf_dir.encode()).hexdigest()[:10],
     )
     _sh.rmtree(base, ignore_errors=True)
     root = _os.path.join(base, "table")
@@ -11128,7 +11103,7 @@ def q225(spark, sf_dir):
         root, 0,
         [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
          {"metaData": {
-             "id": "q225",
+             "id": key,
              "format": {"provider": "parquet", "options": {}},
              "schemaString": schema.json(),
              "partitionColumns": [],
@@ -11167,6 +11142,42 @@ def q225(spark, sf_dir):
                   "partitionValues": {}, "size": 1,
                   "dataChange": False}}],
     )
+    return root
+
+
+# --------------------------------------------------------------------------
+# Q225: Delta CHANGE DATA FEED read (cdc actions + _change_data files)
+# --------------------------------------------------------------------------
+@_declare(
+    "q225_delta_cdf",
+    """
+    SELECT ver, ct, CAST(COUNT(*) AS BIGINT) n,
+           ROUND(SUM(val), 4) sum_val
+    FROM (
+      SELECT 0 ver, 'insert' ct, doc_id * 0.5 val
+      FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT 1, 'update_preimage', doc_id * 0.5
+      FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0
+      UNION ALL
+      SELECT 1, 'update_postimage', doc_id * 0.5 + 500
+      FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0
+    ) GROUP BY ver, ct ORDER BY ver, ct
+    """,
+)
+def q225(spark, sf_dir):
+    """CHANGE DATA FEED read (delta.enableChangeDataFeed tables): an
+    UPDATE commit's cdc action serves its _change_data file's exact
+    pre/post images (the add/remove rewrite in the same commit is
+    ignored for CDC, per spec) while the CDF-less insert commit emits
+    inserts — both tagged with commit version and change type,
+    oracled by the closed forms. A reader that reconstructed the
+    update from add/remove (re-emitting all 200 rows) or leaked the
+    rewrite add breaks the hash. (Builder writes the fixture tree;
+    by-name exemption in test_declaring_queries_runs_no_jobs.)"""
+    from ..sources import delta as DLT
+
+    root = _delta_cdf_fixture(spark, sf_dir, "q225")
     feed = DLT.delta_cdf(spark, root, None)
     return (
         feed.groupBy(
@@ -11330,4 +11341,76 @@ def q227(spark, sf_dir):
             F.round(F.sum("val"), 4).alias("sum_val"),
         )
         .orderBy("part")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q228: STREAMING change feed, paced — readChangeFeed=true +
+# maxFilesPerTrigger=1 drained slice-per-run through one checkpoint
+# --------------------------------------------------------------------------
+@_declare(
+    "q228_delta_cdf_stream",
+    """
+    SELECT ver, ct, CAST(COUNT(*) AS BIGINT) n,
+           ROUND(SUM(val), 4) sum_val
+    FROM (
+      SELECT 0 ver, 'insert' ct, doc_id * 0.5 val
+      FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT 1, 'update_preimage', doc_id * 0.5
+      FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0
+      UNION ALL
+      SELECT 1, 'update_postimage', doc_id * 0.5 + 500
+      FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0
+    ) GROUP BY ver, ct ORDER BY ver, ct
+    """,
+)
+def q228(spark, sf_dir):
+    """The STREAMING change feed under admission control: the q225
+    fixture replays through readStream.format('delta_table') with
+    readChangeFeed=true AND maxFilesPerTrigger=1 — each availableNow
+    run drains ONE paced slice (the Python source API caps a run at
+    one captured latestOffset), so the full feed takes repeated runs
+    resuming from ONE checkpoint. The landed rows must equal the
+    batch delta_cdf feed exactly: a pacing cursor that skipped or
+    re-planned a commit across restarts, an insert tagged from the
+    wrong commit, or a cdc file served twice all break the per-
+    (version, change-type) hash. (Builder writes the fixture + runs
+    bounded streaming jobs; by-name exemption, q219 family.)"""
+    import os as _os
+
+    from ..sources import external_stream as XS
+
+    root = _delta_cdf_fixture(spark, sf_dir, "q228")
+    XS.register(spark)
+    base = _os.path.dirname(root)
+    cp, out = _os.path.join(base, "cp"), _os.path.join(base, "out")
+    for _ in range(4):  # 2 slices + the caught-up check run
+        q = (
+            spark.readStream.format("delta_table")
+            .option("path", root)
+            .option("readChangeFeed", "true")
+            .option("maxFilesPerTrigger", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        landed = spark.read.parquet(out)
+        if landed.agg(F.max("_commit_version")).first()[0] == 1:
+            break
+    return (
+        spark.read.parquet(out)
+        .groupBy(
+            F.col("_commit_version").cast("int").alias("ver"),
+            F.col("_change_type").alias("ct"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("val"), 4).alias("sum_val"),
+        )
+        .orderBy("ver", "ct")
     )

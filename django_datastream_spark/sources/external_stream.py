@@ -32,6 +32,33 @@ Options: ``path`` (table root, required); Delta ``startingVersion``
 batch begins at N+1; ``latest``); Iceberg ``startingSnapshot``
 (default from the beginning; a snapshot id = strictly after it;
 ``latest``); ``ignoreChanges``.
+
+CHANGE DATA FEED mode (Delta): ``.option("readChangeFeed", "true")``
+streams the row-level change feed instead of the append feed — the
+schema gains ``_change_type``, commits carrying ``cdc`` actions serve
+exactly those ``_change_data`` files (pre/post images; the same
+commit's add/remove rewrite is ignored for CDC, per spec), CDF-less
+append commits emit their adds as ``insert`` rows, and a CDF-less
+delete/rewrite commit FAILS CLOSED (without cdc files its row-level
+changes cannot be reconstructed; ``ignoreChanges`` does not apply —
+CDF is exact or it is an error). Mirrors the batch
+:func:`.delta.delta_cdf` contract.
+
+PACING: ``maxFilesPerTrigger`` (Delta, counts the batch's data/cdc
+files) and ``maxSnapshotsPerTrigger`` (Iceberg — the offset is a
+lineage position, so a snapshot is the finest admissible unit) bound
+each micro-batch, always admitting at least one commit/snapshot. The
+Python DataSource API has no admission-control handshake
+(``latestOffset`` takes no start offset), so pacing is CURSOR-
+emulated: the reader tracks the last planned batch end, and a restart
+is safe because Spark reconstructs the offset log's last batch
+through ``partitions(start, end)`` BEFORE the next ``latestOffset``
+— the cursor is always current when pacing decides. One trigger-
+shape caveat: under ``Trigger.AvailableNow`` Spark captures ONE
+``latestOffset`` per run, so a paced run drains a single slice and
+terminates; re-running resumes from the checkpoint, and repeated
+runs drain everything exactly-once. Unset (default) = unbounded
+batches, availableNow drains fully in one run.
 """
 
 from __future__ import annotations
@@ -45,7 +72,12 @@ from pyspark.sql.datasource import (
     DataSourceStreamReader,
     InputPartition,
 )
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 
 def _truthy(v) -> bool:
@@ -106,9 +138,15 @@ class DeltaTableDataSource(DataSource):
                 "streaming a columnMapping table is not supported; "
                 "batch read_delta is"
             )
+        fields = list(DL.delta_schema(md).fields)
+        if _truthy(
+            self.options.get(
+                "readChangeFeed", self.options.get("readchangefeed")
+            )
+        ):
+            fields.append(StructField("_change_type", StringType()))
         return StructType(
-            DL.delta_schema(md).fields
-            + [StructField("_commit_version", LongType())]
+            fields + [StructField("_commit_version", LongType())]
         )
 
     def streamReader(self, schema):
@@ -139,20 +177,87 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         self.ignore_changes = _truthy(
             options.get("ignoreChanges", options.get("ignorechanges"))
         )
+        self.cdf = _truthy(
+            options.get("readChangeFeed", options.get("readchangefeed"))
+        )
+        mft = options.get(
+            "maxFilesPerTrigger", options.get("maxfilespertrigger")
+        )
+        self.max_files = int(mft) if mft is not None else None
+        if self.max_files is not None and self.max_files < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
+        # pacing cursor: the stream's current position. On a RESTART,
+        # Spark reconstructs the offset log's last batch through
+        # partitions(start, end) BEFORE the next latestOffset, so the
+        # cursor is always set by then; a None cursor in latestOffset
+        # can only mean a FRESH stream, whose position is start_v.
+        self._cursor: int | None = None
+        self._counts: dict[int, int] = {}
         self.schema = schema
 
     def initialOffset(self) -> dict:
+        self._cursor = self.start_v
         return {"v": self.start_v}
+
+    def _commit_actions(self, v: int) -> list[dict]:
+        from . import delta as DL
+
+        out = []
+        with open(
+            os.path.join(self.path, DL._LOG, f"{v:020d}.json"),
+            encoding="utf-8",
+        ) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    out.append(json.loads(line))
+        return out
+
+    def _file_count(self, v: int) -> int:
+        """Files a commit would contribute to a micro-batch (data-
+        changing adds; in CDF mode the cdc files supersede the adds),
+        for admission control only — gaps count 0 and fail later in
+        partitions with the real message."""
+        if v in self._counts:
+            return self._counts[v]
+        try:
+            actions = self._commit_actions(v)
+        except FileNotFoundError:
+            return 0
+        adds = sum(
+            1
+            for a in actions
+            if "add" in a and a["add"].get("dataChange", True)
+        )
+        if self.cdf:
+            cdc = sum(1 for a in actions if "cdc" in a)
+            n = cdc if cdc else adds
+        else:
+            n = adds
+        self._counts[v] = n
+        return n
 
     def latestOffset(self) -> dict:
         from . import delta as DL
 
         vs = DL._commit_versions(self.path)
-        return {"v": max(vs) if vs else self.start_v}
+        head = max(vs) if vs else self.start_v
+        cursor = self.start_v if self._cursor is None else self._cursor
+        if self.max_files is None or cursor >= head:
+            return {"v": head}
+        end, taken = cursor, 0
+        for v in range(cursor + 1, head + 1):
+            n = self._file_count(v)
+            if end > cursor and taken + n > self.max_files:
+                break
+            taken += n
+            end = v
+        return {"v": end}
 
     def partitions(self, start: dict, end: dict):
         from . import delta as DL
 
+        self._cursor = max(self._cursor or start["v"], end["v"])
         out = []
         versions = set(DL._commit_versions(self.path))
         for v in range(start["v"] + 1, end["v"] + 1):
@@ -161,67 +266,116 @@ class DeltaTableStreamReader(DataSourceStreamReader):
                     f"{self.path}: commit {v} cleaned up — streaming "
                     "replay past log cleanup is unrecoverable"
                 )
-            with open(
-                os.path.join(
-                    self.path, DL._LOG, f"{v:020d}.json"
-                ),
-                encoding="utf-8",
-            ) as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    action = json.loads(line)
-                    if "add" in action:
-                        a = action["add"]
-                        if not a.get("dataChange", True):
-                            continue  # compaction: rows already seen
-                        dv = a.get("deletionVector")
-                        if dv and not self.ignore_changes:
-                            raise ValueError(
-                                f"{self.path}: commit {v} adds a "
-                                f"deletion vector on {a['path']} — "
-                                "deletes cannot stream as appends "
-                                "(.option('ignoreChanges','true') "
-                                "accepts re-emission of live rows)"
-                            )
-                        dv_t = (
-                            (
-                                dv["storageType"],
-                                dv["pathOrInlineDv"],
-                                dv.get("offset"),
-                                int(dv["sizeInBytes"]),
-                            )
-                            if dv
-                            else None
-                        )
-                        out.append(
-                            InputPartition(
-                                (
-                                    v,
-                                    urllib.parse.unquote(a["path"]),
-                                    sorted(
-                                        (
-                                            a.get("partitionValues")
-                                            or {}
-                                        ).items()
-                                    ),
-                                    dv_t,
-                                )
-                            )
-                        )
-                    elif "remove" in action and action["remove"].get(
-                        "dataChange", True
-                    ):
-                        if not self.ignore_changes:
-                            raise ValueError(
-                                f"{self.path}: commit {v} removes "
-                                f"{action['remove']['path']} — "
-                                "rewrites/deletes cannot stream as "
-                                "appends (.option('ignoreChanges',"
-                                "'true') to accept re-emission)"
-                            )
+            if self.cdf:
+                out.extend(self._cdf_partitions(v))
+            else:
+                out.extend(self._append_partitions(v))
         return out or [InputPartition(None)]
+
+    def _append_partitions(self, v: int):
+        out = []
+        for action in self._commit_actions(v):
+            if "add" in action:
+                a = action["add"]
+                if not a.get("dataChange", True):
+                    continue  # compaction: rows already seen
+                dv = a.get("deletionVector")
+                if dv and not self.ignore_changes:
+                    raise ValueError(
+                        f"{self.path}: commit {v} adds a "
+                        f"deletion vector on {a['path']} — "
+                        "deletes cannot stream as appends "
+                        "(.option('ignoreChanges','true') "
+                        "accepts re-emission of live rows)"
+                    )
+                dv_t = (
+                    (
+                        dv["storageType"],
+                        dv["pathOrInlineDv"],
+                        dv.get("offset"),
+                        int(dv["sizeInBytes"]),
+                    )
+                    if dv
+                    else None
+                )
+                out.append(
+                    InputPartition(
+                        (
+                            v,
+                            urllib.parse.unquote(a["path"]),
+                            sorted(
+                                (a.get("partitionValues") or {}).items()
+                            ),
+                            dv_t,
+                            None,
+                        )
+                    )
+                )
+            elif "remove" in action and action["remove"].get(
+                "dataChange", True
+            ):
+                if not self.ignore_changes:
+                    raise ValueError(
+                        f"{self.path}: commit {v} removes "
+                        f"{action['remove']['path']} — "
+                        "rewrites/deletes cannot stream as "
+                        "appends (.option('ignoreChanges',"
+                        "'true') to accept re-emission)"
+                    )
+        return out
+
+    def _cdf_partitions(self, v: int):
+        """One commit's CHANGE-FEED partitions: cdc files verbatim
+        (change type travels IN the file), else adds as inserts, else
+        fail closed — same rules as the batch delta_cdf."""
+        cdc, adds, removes, dvd = [], [], False, False
+        for action in self._commit_actions(v):
+            if "cdc" in action:
+                cdc.append(action["cdc"])
+            elif "add" in action and action["add"].get(
+                "dataChange", True
+            ):
+                adds.append(action["add"])
+                if action["add"].get("deletionVector"):
+                    dvd = True
+            elif "remove" in action and action["remove"].get(
+                "dataChange", True
+            ):
+                removes = True
+        if cdc:
+            return [
+                InputPartition(
+                    (
+                        v,
+                        urllib.parse.unquote(c["path"]),
+                        sorted(
+                            (c.get("partitionValues") or {}).items()
+                        ),
+                        None,
+                        None,  # _change_type lives in the cdc file
+                    )
+                )
+                for c in cdc
+            ]
+        if removes or dvd:
+            raise ValueError(
+                f"{self.path}: commit {v} deletes/rewrites rows but "
+                "wrote no cdc actions — its row-level changes cannot "
+                "be reconstructed (enable CDF at write time; "
+                "ignoreChanges does not apply to the change feed)"
+            )
+        return [
+            InputPartition(
+                (
+                    v,
+                    urllib.parse.unquote(a["path"]),
+                    sorted((a.get("partitionValues") or {}).items()),
+                    None,
+                    "insert",
+                )
+            )
+            for a in adds
+        ]
 
     def read(self, partition):
         if partition.value is None:
@@ -232,7 +386,7 @@ class DeltaTableStreamReader(DataSourceStreamReader):
 
         from . import roaring as RB
 
-        v, rel, pv_items, dv_t = partition.value
+        v, rel, pv_items, dv_t, ctype = partition.value
         tbl = pq.read_table(os.path.join(self.path, rel))
         if dv_t is not None:
             st, p, off, sz = dv_t
@@ -240,9 +394,10 @@ class DeltaTableStreamReader(DataSourceStreamReader):
             mask = np.ones(tbl.num_rows, bool)
             mask[dead[dead < tbl.num_rows]] = False
             tbl = tbl.filter(pa.array(mask))
-        yield _arrow_batch(
-            tbl, self.schema, {"_commit_version": v}, dict(pv_items)
-        )
+        consts = {"_commit_version": v}
+        if ctype is not None:
+            consts["_change_type"] = ctype
+        yield _arrow_batch(tbl, self.schema, consts, dict(pv_items))
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the stream checkpoint
@@ -290,6 +445,18 @@ class IcebergTableStreamReader(DataSourceStreamReader):
         self.ignore_changes = _truthy(
             options.get("ignoreChanges", options.get("ignorechanges"))
         )
+        mst = options.get(
+            "maxSnapshotsPerTrigger",
+            options.get("maxsnapshotspertrigger"),
+        )
+        self.max_snaps = int(mst) if mst is not None else None
+        if self.max_snaps is not None and self.max_snaps < 1:
+            raise ValueError("maxSnapshotsPerTrigger must be >= 1")
+        # pacing cursor (lineage position) — same contract as the
+        # Delta reader's: a restart reconstructs the last batch via
+        # partitions() before the next latestOffset, so None here can
+        # only mean a fresh stream at the starting position.
+        self._cursor: int | None = None
         self.schema = schema
         ss = options.get(
             "startingSnapshot", options.get("startingsnapshot")
@@ -323,19 +490,29 @@ class IcebergTableStreamReader(DataSourceStreamReader):
         return IB._lineage_chain(md, cur)
 
     def initialOffset(self) -> dict:
+        self._cursor = self._start["n"]
         return dict(self._start)
 
     def latestOffset(self) -> dict:
         chain = self._chain()
+        n = len(chain)
+        cursor = (
+            self._start["n"] if self._cursor is None else self._cursor
+        )
+        if self.max_snaps is not None and cursor < n:
+            n = min(cursor + self.max_snaps, n)
         return {
-            "n": len(chain),
-            "sid": chain[-1]["snapshot-id"] if chain else None,
+            "n": n,
+            "sid": chain[n - 1]["snapshot-id"] if n else None,
         }
 
     def partitions(self, start: dict, end: dict):
         from . import avro_lite as AV
         from . import iceberg as IB
 
+        self._cursor = max(
+            self._cursor or start.get("n", 0), end.get("n", 0)
+        )
         chain = self._chain()
         md = self._md
         # replay safety: the checkpointed (position, sid) pairs must

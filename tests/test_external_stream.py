@@ -197,3 +197,198 @@ def test_external_stream_lands_exactly_once(spark, tmp_path):
     )
     assert twice == once
     assert len(once) == 17  # 10 + 2 + 5 (rewrite re-emission)
+
+
+def _offset_versions(cp, key):
+    """The per-batch source offsets recorded in a stream checkpoint:
+    [(batch_id, offset[key])...] in batch order."""
+    import glob
+
+    out = []
+    for p in sorted(
+        glob.glob(os.path.join(cp, "offsets", "*")),
+        key=lambda p: int(os.path.basename(p)),
+    ):
+        if not os.path.basename(p).isdigit():
+            continue
+        with open(p) as f:
+            last = [ln for ln in f.read().splitlines() if ln.strip()][-1]
+        off = json.loads(last)
+        if isinstance(off, str):
+            off = json.loads(off)
+        out.append((int(os.path.basename(p)), off[key]))
+    return out
+
+
+def test_delta_stream_change_feed(spark, tmp_path):
+    """readChangeFeed=true streams the CDF: the cdc commit serves its
+    _change_data file's exact pre/post images (the same commit's
+    add/remove rewrite ignored for CDC), the CDF-less append commit
+    emits inserts — and a CDF-less delete commit fails closed even
+    under ignoreChanges (the change feed is exact or an error)."""
+    from tests.test_delta import _PROTO, _add, _meta, _write_data
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = str(tmp_path / "t")
+    _write_data(table, "f0.parquet", range(6))
+    DL.write_delta_commit(
+        table, 0, [_PROTO, _meta(partitioned=False), _add("f0.parquet")]
+    )
+    # v1: UPDATE ids 1,3 (val + 100) — rewrite + cdc pre/post images
+    _write_data(table, "f1.parquet", range(6))
+    tbl = pq.read_table(os.path.join(table, "f1.parquet"))
+    vals = [
+        v + (100.0 if i in (1, 3) else 0.0)
+        for i, v in zip(tbl.column("doc_id").to_pylist(),
+                        tbl.column("val").to_pylist())
+    ]
+    pq.write_table(
+        pa.table({"doc_id": tbl.column("doc_id"),
+                  "val": pa.array(vals, pa.float64())}),
+        os.path.join(table, "f1.parquet"),
+    )
+    os.makedirs(os.path.join(table, "_change_data"), exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 3, 1, 3], pa.int64()),
+            "val": pa.array([0.5, 1.5, 100.5, 101.5], pa.float64()),
+            "_change_type": pa.array(
+                ["update_preimage"] * 2 + ["update_postimage"] * 2
+            ),
+        }),
+        os.path.join(table, "_change_data", "cdc-0.parquet"),
+    )
+    DL.write_delta_commit(
+        table, 1,
+        [{"remove": {"path": "f0.parquet", "dataChange": True}},
+         _add("f1.parquet"),
+         {"cdc": {"path": "_change_data/cdc-0.parquet",
+                  "partitionValues": {}, "size": 1,
+                  "dataChange": False}}],
+    )
+    cp, out = str(tmp_path / "cp"), str(tmp_path / "out")
+    got = _drain(
+        spark, "delta_table", table, cp, out, readChangeFeed="true"
+    )
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["doc_id"], r["val"])
+        for r in got.collect()
+    )
+    assert rows == sorted(
+        [(0, "insert", i, i * 0.5) for i in range(6)]
+        + [(1, "update_preimage", 1, 0.5),
+           (1, "update_preimage", 3, 1.5),
+           (1, "update_postimage", 1, 100.5),
+           (1, "update_postimage", 3, 101.5)]
+    )
+    # v2: a DELETE without cdc actions — CDF cannot reconstruct it,
+    # and ignoreChanges does NOT soften the change feed
+    DL.write_delta_commit(
+        table, 2, [{"remove": {"path": "f1.parquet", "dataChange": True}}]
+    )
+    with pytest.raises(Exception, match="wrote no cdc actions"):
+        _drain(
+            spark, "delta_table", table, cp, out,
+            readChangeFeed="true", ignoreChanges="true",
+        )
+
+
+def test_delta_stream_paced(spark, tmp_path):
+    """maxFilesPerTrigger bounds each micro-batch: a fresh continuous
+    stream advances the offset by at most the file budget per batch
+    (always admitting >= 1 commit), and under availableNow a paced
+    run drains one slice, the next run resuming from the checkpoint
+    without loss or duplication."""
+    from tests.test_delta import _PROTO, _add, _meta, _write_data
+
+    table = str(tmp_path / "t")
+    _write_data(table, "f0.parquet", [0])
+    DL.write_delta_commit(
+        table, 0, [_PROTO, _meta(partitioned=False), _add("f0.parquet")]
+    )
+    for v, ids in ((1, [1, 2]), (2, [3, 4]), (3, [5, 6])):
+        rels = []
+        for i in ids:
+            rel = f"f{v}_{i}.parquet"
+            _write_data(table, rel, [i])
+            rels.append(rel)
+        DL.write_delta_commit(table, v, [_add(r) for r in rels])
+    XS.register(spark)
+
+    # continuous (processingTime) pacing: drain with budget 2 —
+    # commit 0 (1 file) + commit 1 (2 files) exceed it, so batch 0
+    # ends at v0; each later commit is exactly the budget
+    cp, out = str(tmp_path / "cp"), str(tmp_path / "out")
+    q = (
+        spark.readStream.format("delta_table")
+        .option("path", table)
+        .option("maxFilesPerTrigger", "2")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == list(range(7))
+    assert _offset_versions(cp, "v") == [(0, 0), (1, 1), (2, 2), (3, 3)]
+
+    # availableNow with pacing: one paced slice per run; repeated
+    # runs drain everything exactly once through one checkpoint
+    cp2, out2 = str(tmp_path / "cp2"), str(tmp_path / "out2")
+    seen = -1
+    for _ in range(10):
+        got = _drain(
+            spark, "delta_table", table, cp2, out2,
+            maxFilesPerTrigger="2",
+        )
+        offs = _offset_versions(cp2, "v")
+        if offs[-1][1] == 3:
+            break
+        assert offs[-1][1] > seen
+        seen = offs[-1][1]
+    rows = sorted(
+        (r["doc_id"], r["_commit_version"]) for r in got.collect()
+    )
+    assert rows == [(0, 0), (1, 1), (2, 1), (3, 2), (4, 2), (5, 3), (6, 3)]
+    # first paced run stopped at v0 (budget 2 can't admit v1's 2
+    # files on top of v0's 1): slice-per-run, no dupes, no loss
+    assert _offset_versions(cp2, "v")[0] == (0, 0)
+
+
+def test_iceberg_stream_paced(spark, tmp_path):
+    """maxSnapshotsPerTrigger=1: one snapshot per micro-batch (the
+    lineage position is the finest admissible unit), lineage order
+    preserved under pacing."""
+    table = str(tmp_path / "t")
+    s1, s2 = _build_nonmonotonic_table(table)
+    XS.register(spark)
+    cp, out = str(tmp_path / "cp"), str(tmp_path / "out")
+    q = (
+        spark.readStream.format("iceberg_table")
+        .option("path", table)
+        .option("maxSnapshotsPerTrigger", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        (r["doc_id"], r["_snapshot_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows == sorted(
+        [(i, s1) for i in range(10)] + [(i, s2) for i in range(10, 15)]
+    )
+    assert _offset_versions(cp, "n") == [(0, 1), (1, 2)]

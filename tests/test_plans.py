@@ -122,7 +122,9 @@ def test_declaring_queries_runs_no_jobs(spark):
               # q226 writes the equality-delete Iceberg fixture tree
               "q226_iceberg_equality_deletes",
               # q227 writes the DV fixture + runs the adopt
-              "q227_delta_dv_adopt"}
+              "q227_delta_dv_adopt",
+              # q228 writes the CDF fixture + runs paced stream jobs
+              "q228_delta_cdf_stream"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
