@@ -11414,3 +11414,78 @@ def q228(spark, sf_dir):
         )
         .orderBy("ver", "ct")
     )
+
+
+# --------------------------------------------------------------------------
+# Q229: STREAMING Delta WRITER — delta_table source → foreachBatch
+# delta_streaming_sink, exactly-once via SetTransaction under
+# worst-case redelivery, served back by the Delta reader
+# --------------------------------------------------------------------------
+@_declare(
+    "q229_delta_stream_sink",
+    """
+    SELECT ver, CAST(COUNT(*) AS BIGINT) n, ROUND(SUM(val), 4) sum_val
+    FROM (
+      SELECT 0 ver, doc_id * 0.5 val FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT 1, doc_id * 0.5 FROM documents
+      WHERE doc_id >= 200 AND doc_id < 300
+      UNION ALL
+      SELECT 2, doc_id * 0.5 + 1000 FROM documents
+      WHERE doc_id < 200 AND doc_id % 4 = 0
+    ) GROUP BY ver ORDER BY ver
+    """,
+)
+def q229(spark, sf_dir):
+    """The WRITE-side streaming interop capstone: the q219 fixture
+    streams through readStream.format('delta_table') into
+    delta_streaming_sink — a NEW external Delta table written commit
+    by commit, each carrying the spec's SetTransaction ledger entry —
+    then the WHOLE availableNow run repeats with a FRESH stream
+    checkpoint (worst-case redelivery, every batch re-offered; the
+    ledger must refuse each one), and the landed table is served by
+    read_delta. A duplicate batch doubles a ver's n; a lost commit-
+    race retry or dropped add breaks sum_val; stats/partition
+    plumbing errors break the scan. Oracle = q219's closed form — the
+    two sinks (engine txn vs external Delta) must agree exactly.
+    (Builder writes fixtures + runs two bounded streaming jobs;
+    by-name exemption, q219 family.)"""
+    import os as _os
+    import shutil as _sh
+
+    from ..sources import delta as DLT
+    from ..sources import external_stream as XS
+
+    root = _delta_fixture(spark, sf_dir, "q229")
+    XS.register(spark)
+    base = _os.path.dirname(root)
+    dest = _os.path.join(base, "dest")
+
+    def _run(cp):
+        q = (
+            spark.readStream.format("delta_table")
+            .option("path", root)
+            .option("ignoreChanges", "true")
+            .load()
+            .writeStream.foreachBatch(
+                DLT.delta_streaming_sink(dest, "q229-app")
+            )
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    _run(_os.path.join(base, "cp1"))
+    cp2 = _os.path.join(base, "cp2")
+    _sh.rmtree(cp2, ignore_errors=True)
+    _run(cp2)  # full redelivery: the SetTransaction ledger refuses it
+    got = DLT.read_delta(spark, dest)
+    return (
+        got.groupBy(F.col("_commit_version").cast("int").alias("ver"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("val"), 4).alias("sum_val"),
+        )
+        .orderBy("ver")
+    )

@@ -1326,17 +1326,53 @@ def write_delta_commit(root: str, version: int, actions: list[dict]) -> None:
         f.write(body + "\n")
 
 
+def _fold_protocol(root: str, version: int) -> dict:
+    """The protocol in force at ``version``, folded from the JSON
+    commits (last protocol action wins; default 1/2 if none)."""
+    proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+    for v in sorted(_commit_versions(root)):
+        if v > version:
+            break
+        try:
+            with open(
+                os.path.join(_log_dir(root), f"{v:020d}.json"),
+                encoding="utf-8",
+            ) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    action = json.loads(line)
+                    if "protocol" in action:
+                        proto = action["protocol"]
+        except FileNotFoundError:
+            continue
+    return proto
+
+
 def write_delta_checkpoint(root: str, version: int) -> None:
     """Fold commits ≤ version into a classic single-file parquet
     checkpoint (+ ``_last_checkpoint``) with the spec's column layout:
     one action per row, struct columns ``protocol`` / ``metaData`` /
-    ``add`` (each row non-null in exactly one)."""
+    ``add`` / ``txn`` (each row non-null in exactly one). The
+    protocol row is the FOLDED protocol (a DV-bearing table
+    checkpoints reader 3 / writer 7 + features, not a hardcoded 1/2),
+    and transaction identifiers are carried as the spec requires —
+    the latest SetTransaction version per appId survives log cleanup,
+    so idempotent streaming writers keep their ledger."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     _v, md, adds = delta_snapshot(root, version)
+    proto = _fold_protocol(root, version)
+    ledger = last_txn_versions(root, through=version)
     proto_t = pa.struct(
-        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        [
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ]
     )
     meta_t = pa.struct(
         [
@@ -1367,10 +1403,23 @@ def write_delta_checkpoint(root: str, version: int) -> None:
             ("deletionVector", dv_t),
         ]
     )
-    n = 2 + len(adds)
-    proto_rows = [{"minReaderVersion": 1, "minWriterVersion": 2}] + [
-        None
-    ] * (n - 1)
+    txn_t = pa.struct(
+        [
+            ("appId", pa.string()),
+            ("version", pa.int64()),
+            ("lastUpdated", pa.int64()),
+        ]
+    )
+    txns = sorted(ledger.items())
+    n = 2 + len(adds) + len(txns)
+    proto_rows = [
+        {
+            "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+            "minWriterVersion": int(proto.get("minWriterVersion", 2)),
+            "readerFeatures": proto.get("readerFeatures"),
+            "writerFeatures": proto.get("writerFeatures"),
+        }
+    ] + [None] * (n - 1)
     meta_rows = [None] + [
         {
             "id": md.get("id", "meta"),
@@ -1405,12 +1454,17 @@ def write_delta_checkpoint(root: str, version: int) -> None:
             ),
         }
         for a in adds
+    ] + [None] * len(txns)
+    txn_rows = [None] * (2 + len(adds)) + [
+        {"appId": app, "version": int(ver), "lastUpdated": None}
+        for app, ver in txns
     ]
     tbl = pa.table(
         {
             "protocol": pa.array(proto_rows, proto_t),
             "metaData": pa.array(meta_rows, meta_t),
             "add": pa.array(add_rows, add_t),
+            "txn": pa.array(txn_rows, txn_t),
         }
     )
     log = _log_dir(root)
@@ -1773,3 +1827,233 @@ def delta_cdf(
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# write-side interop: idempotent STREAMING writer (SetTransaction)
+# ---------------------------------------------------------------------------
+def last_txn_versions(root: str, through: int | None = None) -> dict:
+    """The writer ledger — latest SetTransaction (``txn`` action)
+    version per ``appId``, folded exactly like a snapshot: checkpoint
+    base (the spec requires checkpoints to carry transaction
+    identifiers; a conformant checkpoint without a ``txn`` column has
+    none) + the JSON tail. This is what makes an idempotent streaming
+    writer idempotent ACROSS log cleanup."""
+    import pyarrow.parquet as pq
+
+    versions = _commit_versions(root)
+    head = max(versions) if versions else -1
+    cp = _last_checkpoint_version(root, through)
+    to_v = (
+        max(head, -1 if cp is None else cp)
+        if through is None
+        else through
+    )
+    ledger: dict[str, int] = {}
+    lo = 0
+    if cp is not None:
+        for part in _checkpoint_parts(root, cp):
+            pf = pq.ParquetFile(part)
+            if "txn" not in pf.schema_arrow.names:
+                continue
+            col = pq.read_table(part, columns=["txn"]).column(
+                "txn"
+            ).combine_chunks()
+            for row in col.to_pylist():
+                if row and row.get("appId") is not None:
+                    ledger[row["appId"]] = int(row["version"])
+        lo = cp + 1
+    missing = [v for v in range(lo, to_v + 1) if v not in versions]
+    if missing:
+        raise ValueError(
+            f"{root}: commits {missing} cleaned up below the ledger "
+            "fold — transaction identifiers unrecoverable"
+        )
+    for v in range(lo, to_v + 1):
+        with open(
+            os.path.join(_log_dir(root), f"{v:020d}.json"),
+            encoding="utf-8",
+        ) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "txn" in action:
+                    t = action["txn"]
+                    if t.get("appId") is not None:
+                        ledger[t["appId"]] = int(t["version"])
+    return ledger
+
+
+def delta_streaming_sink(
+    root: str,
+    app_id: str,
+    partition_by: list[str] | None = None,
+):
+    """An EXACTLY-ONCE streaming sink writing an EXTERNAL Delta table
+    — the write-side twin of ``readStream.format('delta_table')`` and
+    the streaming leg of :func:`publish_delta`. Returns a
+    ``foreachBatch`` callable.
+
+    Idempotence is the Delta spec's own mechanism (Transaction
+    Identifiers): every commit carries ``{"txn": {appId, version:
+    batchId}}``, and a batch whose id is ≤ the ledger's entry for
+    ``app_id`` is a REPLAY — dropped without writing, so worst-case
+    redelivery (a rebuilt stream checkpoint re-offering every batch)
+    lands one copy. The ledger folds checkpoint + tail
+    (:func:`last_txn_versions`), so cleanup-safe once checkpoints are
+    written. Any Delta reader serves the result; concurrent writers
+    race on the commit file itself (atomic create) and losers re-fold
+    before retrying, the LogStore contract.
+
+    The first commit creates the table (protocol 1/2, metaData from
+    the batch schema, ``partition_by`` as partitionColumns — hive
+    layout, so the data files exclude partition columns exactly like
+    the batch reader expects); later batches must match the table's
+    schema and partitioning. Scale shape: the data write is Spark's
+    own distributed parquet write into a staging dir inside the table
+    (same filesystem — renames, not copies); only the per-file
+    METADATA (footer stats via :func:`..txnlog.collect_file_stats`,
+    distributed above its threshold) passes the driver."""
+
+    def _sink(df, batch_id: int) -> None:
+        import shutil
+        import time as _time
+        import uuid as _uuid
+
+        from .. import txnlog as TL
+
+        spark = df.sparkSession
+        part_cols = list(partition_by or [])
+        try:
+            versions = _commit_versions(root)
+            cp0 = _last_checkpoint_version(root, None)
+        except DeltaUnsupportedError:
+            versions, cp0 = [], None  # fresh table: no _delta_log yet
+        md = None
+        if versions or cp0 is not None:
+            _v, md, _adds = delta_snapshot_arrow(root)
+            table_parts = list(md.get("partitionColumns") or [])
+            if partition_by is not None and part_cols != table_parts:
+                raise ValueError(
+                    f"{root}: partition_by {part_cols} != table's "
+                    f"partitionColumns {table_parts}"
+                )
+            part_cols = table_parts
+            want = [
+                (f.name, f.dataType) for f in delta_schema(md).fields
+            ]
+            got = [(f.name, f.dataType) for f in df.schema.fields]
+            if sorted(want) != sorted(got):
+                raise ValueError(
+                    f"{root}: batch schema {got} does not match the "
+                    f"table schema {want} (schema evolution is not "
+                    "part of the streaming sink contract)"
+                )
+            if last_txn_versions(root).get(app_id, -1) >= batch_id:
+                return  # replayed batch: the ledger refuses it
+        missing = [c for c in part_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition columns {missing} not in batch")
+
+        staging = os.path.join(root, f"_staging_{_uuid.uuid4().hex}")
+        try:
+            w = df.write.mode("overwrite")
+            if part_cols:
+                w = w.partitionBy(*part_cols)
+            w.parquet(staging)
+            rels = []
+            for dirpath, _dirs, files in os.walk(staging):
+                for fn in files:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    src = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(src, staging)
+                    dst = os.path.join(root, rel)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.replace(src, dst)
+                    rels.append(rel)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+        stats = TL.collect_file_stats(root, rels, spark)
+        now_ms = int(_time.time() * 1000)
+        adds = []
+        for rel in sorted(rels):
+            st = stats.get(rel)
+            if st and st.get("rows") == 0:
+                os.remove(os.path.join(root, rel))
+                continue  # an empty task output: not a data file
+            pv = _hive_pv(rel, part_cols)
+            pv = {
+                k: (None if v == "__HIVE_DEFAULT_PARTITION__" else v)
+                for k, v in pv.items()
+            }
+            adds.append(
+                {
+                    "add": {
+                        "path": rel.replace(os.sep, "/"),
+                        "partitionValues": pv,
+                        "size": os.path.getsize(
+                            os.path.join(root, rel)
+                        ),
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                        "stats": _delta_stats_json(st),
+                    }
+                }
+            )
+
+        head_actions: list[dict] = []
+        if md is None:
+            head_actions = [
+                {"protocol": {"minReaderVersion": 1,
+                              "minWriterVersion": 2}},
+                {"metaData": {
+                    "id": _uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": part_cols,
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }},
+            ]
+        actions = head_actions + adds + [
+            {"txn": {"appId": app_id, "version": int(batch_id),
+                     "lastUpdated": now_ms}}
+        ]
+        for _attempt in range(64):
+            try:
+                vs = _commit_versions(root)
+                cp = _last_checkpoint_version(root, None)
+            except DeltaUnsupportedError:
+                vs, cp = [], None
+            v = max(max(vs, default=-1), -1 if cp is None else cp) + 1
+            try:
+                write_delta_commit(root, v, actions)
+                return
+            except FileExistsError:
+                # lost the commit race: re-fold the ledger — the
+                # winner may have been a replica landing THIS batch
+                if last_txn_versions(root).get(app_id, -1) >= batch_id:
+                    for a in adds:  # orphan our duplicate data files
+                        p = os.path.join(root, a["add"]["path"])
+                        if os.path.exists(p):
+                            os.remove(p)
+                    return
+                if md is None and _commit_versions(root):
+                    # someone else CREATED the table under us — our
+                    # queued metaData would clobber theirs; fail the
+                    # batch (Spark retries it, which re-enters the
+                    # existing-table path and validates schemas)
+                    raise ValueError(
+                        f"{root}: table created concurrently — "
+                        "retry the batch against the existing table"
+                    )
+        raise RuntimeError(
+            f"{root}: could not commit batch {batch_id} after 64 "
+            "attempts (livelocked on concurrent writers)"
+        )
+
+    return _sink

@@ -124,7 +124,9 @@ def test_declaring_queries_runs_no_jobs(spark):
               # q227 writes the DV fixture + runs the adopt
               "q227_delta_dv_adopt",
               # q228 writes the CDF fixture + runs paced stream jobs
-              "q228_delta_cdf_stream"}
+              "q228_delta_cdf_stream",
+              # q229 streams the q219 fixture into the Delta sink
+              "q229_delta_stream_sink"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
