@@ -11489,3 +11489,77 @@ def q229(spark, sf_dir):
         )
         .orderBy("ver")
     )
+
+
+# --------------------------------------------------------------------------
+# Q230: Delta MAINTENANCE cycle — many small sink commits, then
+# OPTIMIZE ZORDER (dataChange=false) → checkpoint → log cleanup →
+# VACUUM, and the table still reads hash-exact
+# --------------------------------------------------------------------------
+@_declare(
+    "q230_delta_maintenance",
+    """
+    SELECT CAST(doc_id % 3 AS INT) part, CAST(COUNT(*) AS BIGINT) n,
+           ROUND(SUM(doc_id * 0.5), 4) sum_val,
+           CAST(MIN(doc_id) AS BIGINT) lo, CAST(MAX(doc_id) AS BIGINT) hi
+    FROM documents WHERE doc_id < 300
+    GROUP BY doc_id % 3 ORDER BY part
+    """,
+)
+def q230(spark, sf_dir):
+    """The LONG-RUNNING-SINK maintenance cycle as one gate: 5 paced
+    sink batches land doc_id<300 as many small hive files; OPTIMIZE
+    ZORDER BY doc_id compacts them (dataChange=false — same rows, new
+    layout) with fresh footer stats; a checkpoint + cleanup_delta_log
+    drop every JSON commit (the snapshot AND SetTransaction ledger
+    must fold from the checkpoint alone); vacuum_delta reclaims the
+    superseded originals. The final read groups per partition with
+    min/max — a compaction that lost or doubled rows, a vacuum that
+    deleted a live file, or a checkpoint that mis-folded protocol/
+    adds/txn all break the hash. (Builder writes + maintains the
+    table; by-name exemption, q219 family.)"""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from ..sources import delta as DLT
+
+    base = _os.path.join(
+        _tmp.gettempdir(),
+        "q230_" + _hl.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    root = _os.path.join(base, "table")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            (F.col("doc_id") * 0.5).alias("val"),
+            (F.col("doc_id") % 3).cast("int").alias("part"),
+        )
+    )
+    sink = DLT.delta_streaming_sink(
+        root, "q230-app", partition_by=["part"], checkpoint_every=None
+    )
+    for b in range(5):
+        sink(docs.filter(F.col("doc_id") % 5 == b), b)
+    DLT.optimize_delta(
+        spark, root, target_file_bytes=1 << 30, zorder_by=["doc_id"]
+    )
+    DLT.write_delta_checkpoint(root, max(DLT.delta_versions(root)))
+    DLT.cleanup_delta_log(root)
+    DLT.vacuum_delta(root, keep_versions=1)
+    got = DLT.read_delta(spark, root)
+    return (
+        got.groupBy(F.col("part").cast("int").alias("part"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("val"), 4).alias("sum_val"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+        .orderBy("part")
+    )

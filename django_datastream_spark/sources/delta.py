@@ -1890,6 +1890,7 @@ def delta_streaming_sink(
     root: str,
     app_id: str,
     partition_by: list[str] | None = None,
+    checkpoint_every: int | None = 10,
 ):
     """An EXACTLY-ONCE streaming sink writing an EXTERNAL Delta table
     — the write-side twin of ``readStream.format('delta_table')`` and
@@ -1915,7 +1916,13 @@ def delta_streaming_sink(
     own distributed parquet write into a staging dir inside the table
     (same filesystem — renames, not copies); only the per-file
     METADATA (footer stats via :func:`..txnlog.collect_file_stats`,
-    distributed above its threshold) passes the driver."""
+    distributed above its threshold) passes the driver.
+    ``checkpoint_every`` (default 10, the Delta writers' cadence)
+    writes a parquet checkpoint after every Nth commit, keeping
+    snapshot folds O(checkpoint + tail) and the SetTransaction
+    ledger safe across :func:`cleanup_delta_log`; pair with
+    :func:`optimize_delta` / :func:`vacuum_delta` for the small-file
+    and reclaim sides of long-running-sink maintenance."""
 
     def _sink(df, batch_id: int) -> None:
         import shutil
@@ -2032,6 +2039,11 @@ def delta_streaming_sink(
             v = max(max(vs, default=-1), -1 if cp is None else cp) + 1
             try:
                 write_delta_commit(root, v, actions)
+                if checkpoint_every and (v + 1) % checkpoint_every == 0:
+                    # the Delta writers' own cadence (every 10th
+                    # commit): keeps snapshot folds O(checkpoint +
+                    # tail) and makes the ledger cleanup-safe
+                    write_delta_checkpoint(root, v)
                 return
             except FileExistsError:
                 # lost the commit race: re-fold the ledger — the
@@ -2057,3 +2069,233 @@ def delta_streaming_sink(
         )
 
     return _sink
+
+
+# ---------------------------------------------------------------------------
+# maintenance for Delta tables this engine writes: OPTIMIZE / VACUUM /
+# log cleanup — the small-file story for streaming-sink tables
+# ---------------------------------------------------------------------------
+def _move_staged_parquet(staging: str, root: str) -> list[str]:
+    """Rename Spark's staged parquet output into the table root,
+    preserving hive dirs; returns the table-relative paths. Same
+    filesystem, so these are renames, not copies."""
+    rels = []
+    for dirpath, _dirs, files in os.walk(staging):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            src = os.path.join(dirpath, fn)
+            rel = os.path.relpath(src, staging)
+            dst = os.path.join(root, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+            rels.append(rel)
+    return rels
+
+
+def optimize_delta(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 << 20,
+    zorder_by: list[str] | None = None,
+) -> dict:
+    """OPTIMIZE [ZORDER BY] for an external Delta table — the
+    :func:`..txnlog.txn_optimize` shape on the Delta log, and the
+    maintenance companion of :func:`delta_streaming_sink` (a paced
+    streaming writer's natural pathology is many small files; at
+    100 TB that is the difference between a scan of 10⁶ files and
+    10⁴).
+
+    Candidates: live files under ``target_file_bytes``, plus every
+    DV-carrying file (rewriting one MATERIALIZES its deletions —
+    dead rows and the vector go away together); with ``zorder_by``,
+    all live files (re-clustering rewrites the layout). They are read
+    back in ONE distributed job through the DV-aware scan,
+    range-partitioned on (partition cols, z-key) and sorted within
+    tasks for tight row-group stats, then committed as
+    remove+add with ``dataChange=false`` — same rows, new bytes, so
+    streaming consumers and the CDF skip the commit entirely.
+    Superseded originals stay on disk for time travel;
+    :func:`vacuum_delta` reclaims them. Fresh footer stats are
+    recorded on the new adds, so data skipping benefits immediately.
+
+    Fails (no retry) if a concurrent commit wins the log race —
+    rerun; compaction commutes with appends but not with a rival
+    rewrite of the same files."""
+    import time as _time
+
+    from .. import txnlog as TL
+
+    _v, md, adds = delta_snapshot(root)
+    part_cols = list(md.get("partitionColumns") or [])
+    sizes = {}
+    for a in adds:
+        try:
+            sizes[a["path"]] = os.path.getsize(
+                os.path.join(root, a["path"])
+            )
+        except OSError:
+            sizes[a["path"]] = target_file_bytes
+    if zorder_by:
+        cand = list(adds)
+    else:
+        cand = [
+            a
+            for a in adds
+            if sizes[a["path"]] < target_file_bytes
+            or a.get("deletionVector")
+        ]
+    if len(cand) < 2 and not any(a.get("deletionVector") for a in cand):
+        return {"rewritten_files": 0, "new_files": 0, "skipped": True}
+    df = _scan_adds(spark, root, md, cand)
+    total = sum(sizes[a["path"]] for a in cand)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    keys: list = list(part_cols)
+    if zorder_by:
+        from ..layout import zorder_key
+
+        joined, z = zorder_key(df, zorder_by)
+        df = joined.withColumn("_z", z).select(*df.columns, "_z")
+        keys.append("_z")
+    if keys:
+        out = df.repartitionByRange(n_out, *keys).sortWithinPartitions(
+            *keys
+        )
+        if zorder_by:
+            out = out.drop("_z")
+    else:
+        out = df.coalesce(min(n_out, len(cand)))
+
+    import shutil
+    import uuid as _uuid
+
+    staging = os.path.join(root, f"_staging_{_uuid.uuid4().hex}")
+    try:
+        w = out.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(staging)
+        rels = _move_staged_parquet(staging, root)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    stats = TL.collect_file_stats(root, rels, spark)
+    now_ms = int(_time.time() * 1000)
+    actions = [
+        {"remove": {"path": a["path"], "dataChange": False,
+                    "deletionTimestamp": now_ms}}
+        for a in sorted(cand, key=lambda a: a["path"])
+    ]
+    kept = []
+    for rel in sorted(rels):
+        st = stats.get(rel)
+        if st and st.get("rows") == 0:
+            os.remove(os.path.join(root, rel))
+            continue
+        kept.append(rel)
+        actions.append(
+            {"add": {
+                "path": rel.replace(os.sep, "/"),
+                "partitionValues": _hive_pv(rel, part_cols),
+                "size": os.path.getsize(os.path.join(root, rel)),
+                "modificationTime": now_ms,
+                "dataChange": False,
+                "stats": _delta_stats_json(st),
+            }}
+        )
+    head = max(delta_versions(root))
+    write_delta_commit(root, head + 1, actions)
+    return {
+        "version": head + 1,
+        "rewritten_files": len(cand),
+        "new_files": len(kept),
+        "bytes_before": total,
+        "skipped": False,
+    }
+
+
+def vacuum_delta(root: str, keep_versions: int = 1) -> dict:
+    """Reclaim data files and DV sidecars unreferenced by the newest
+    ``keep_versions`` snapshots — Delta VACUUM with a version-count
+    retention (this engine's logs carry no trustworthy wall-clock).
+    Time travel to vacuumed versions, and streaming replay across
+    them, become unrecoverable — exactly Delta's contract.
+
+    Driver-side listing + referenced-set fold (metadata-plane; the
+    fold is the same columnar snapshot every reader does). Never
+    touches ``_delta_log`` (:func:`cleanup_delta_log` is the log
+    side) or ``_change_data`` (the CDF keeps its own feed)."""
+    try:
+        versions = set(delta_versions(root))
+    except DeltaUnsupportedError:
+        versions = set()
+    cp = _last_checkpoint_version(root, None)
+    if cp is not None:
+        versions.add(cp)  # a cleaned log folds from the checkpoint
+    if not versions:
+        return {"removed_files": 0, "kept_versions": []}
+    keep = sorted(versions)[-max(1, keep_versions):]
+    referenced: set = set()
+    for v in keep:
+        _ver, _md, adds = delta_snapshot(root, v)
+        for a in adds:
+            referenced.add(os.path.normpath(a["path"]))
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                from . import roaring as RB
+
+                referenced.add(
+                    os.path.normpath(
+                        RB.dv_relative_path(dv["pathOrInlineDv"])
+                    )
+                )
+    removed = []
+    for dirpath, dirs, files in os.walk(root, topdown=True):
+        rel_dir = os.path.relpath(dirpath, root)
+        if rel_dir.split(os.sep)[0] in ("_delta_log", "_change_data"):
+            dirs[:] = []
+            continue
+        for fn in files:
+            if fn.startswith("_staging_") or fn.startswith("."):
+                continue
+            rel = os.path.normpath(
+                os.path.join("" if rel_dir == "." else rel_dir, fn)
+            )
+            if not (
+                fn.endswith(".parquet")
+                or fn.startswith("deletion_vector_")
+            ):
+                continue
+            if rel not in referenced:
+                os.remove(os.path.join(root, rel))
+                removed.append(rel)
+    # prune emptied hive dirs
+    for dirpath, dirs, files in os.walk(root, topdown=False):
+        if dirpath != root and not os.listdir(dirpath):
+            os.rmdir(dirpath)
+    return {"removed_files": len(removed), "kept_versions": keep}
+
+
+def cleanup_delta_log(root: str) -> dict:
+    """Metadata cleanup: drop JSON commits (and older checkpoints)
+    at or below the newest checkpoint — the snapshot folds from the
+    checkpoint alone, and :func:`last_txn_versions` keeps the writer
+    ledger because checkpoints carry the ``txn`` column. Time travel
+    and streaming replay below the checkpoint become unrecoverable
+    (they raise, never mis-read)."""
+    cp = _last_checkpoint_version(root, None)
+    if cp is None:
+        return {"removed_commits": 0, "checkpoint": None}
+    log = _log_dir(root)
+    removed = 0
+    for n in os.listdir(log):
+        full = os.path.join(log, n)
+        if n.endswith(".json") and n.split(".")[0].isdigit():
+            if int(n.split(".")[0]) <= cp:
+                os.remove(full)
+                removed += 1
+        elif ".checkpoint." in n and n.endswith(".parquet"):
+            head = n.split(".checkpoint.")[0]
+            if head.isdigit() and int(head) < cp:
+                os.remove(full)
+    return {"removed_commits": removed, "checkpoint": cp}

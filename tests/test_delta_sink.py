@@ -174,3 +174,130 @@ def test_sink_through_real_stream_exactly_once(spark, tmp_path):
     _run(str(tmp_path / "cp2"))
     _run(str(tmp_path / "cp2"))
     assert _read_ids(spark, dest) == list(range(12))
+
+
+def test_optimize_compacts_and_streams_skip_it(spark, tmp_path):
+    """OPTIMIZE rewrites many small sink files into few, dataChange=
+    false: reads are unchanged (including per-partition), streaming
+    consumers skip the compaction commit entirely, and a fresh
+    full replay still serves every original commit's rows."""
+    from django_datastream_spark.sources import external_stream as XS
+
+    root = str(tmp_path / "t")
+    sink = DL.delta_streaming_sink(root, "opt-app", partition_by=["part"])
+    for b in range(4):
+        sink(_batch(spark, range(b * 4, b * 4 + 4)), b)
+    _v, _md, adds0 = DL.delta_snapshot(root)
+    res = DL.optimize_delta(spark, root, target_file_bytes=1 << 20)
+    assert not res["skipped"]
+    assert res["rewritten_files"] == len(adds0)
+    _v, _md, adds1 = DL.delta_snapshot(root)
+    assert len(adds1) < len(adds0)
+    assert all(json.loads(a["stats"])["numRecords"] > 0 for a in adds1)
+    assert _read_ids(spark, root) == list(range(16))
+    # time travel to the pre-OPTIMIZE version still reads (originals
+    # stay on disk until vacuum)
+    pre = res["version"] - 1
+    assert sorted(
+        r["doc_id"]
+        for r in DL.read_delta(spark, root, version=pre).collect()
+    ) == list(range(16))
+    # streaming: the compaction commit contributes NOTHING (its adds
+    # are dataChange=false), so a fresh replay emits exactly the
+    # original 4 commits' rows
+    XS.register(spark)
+    q = (
+        spark.readStream.format("delta_table")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == 16
+    assert got.agg({"_commit_version": "max"}).first()[0] == 3
+
+
+def test_optimize_materializes_deletion_vectors(spark, tmp_path):
+    from tests.test_delta import _PROTO, _add, _meta, _write_data
+    from tests.test_delta_dv import _dv_commit_actions
+
+    root = str(tmp_path / "t")
+    _write_data(root, "a.parquet", range(10))
+    DL.write_delta_commit(
+        root, 0, [_PROTO, _meta(partitioned=False), _add("a.parquet")]
+    )
+    DL.write_delta_commit(
+        root, 1, _dv_commit_actions(root, "a.parquet", [2, 5], "u")
+    )
+    res = DL.optimize_delta(spark, root, target_file_bytes=1)
+    assert not res["skipped"]  # DV'd file rewrites even when "big"
+    _v, _md, adds = DL.delta_snapshot(root)
+    assert all(not a.get("deletionVector") for a in adds)
+    assert _read_ids(spark, root) == [0, 1, 3, 4, 6, 7, 8, 9]
+
+
+def test_vacuum_and_log_cleanup(spark, tmp_path):
+    root = str(tmp_path / "t")
+    sink = DL.delta_streaming_sink(
+        root, "vac-app", partition_by=["part"], checkpoint_every=None
+    )
+    for b in range(3):
+        sink(_batch(spark, range(b * 3, b * 3 + 3)), b)
+    DL.optimize_delta(spark, root, target_file_bytes=1 << 20)
+    n_files = len(glob.glob(os.path.join(root, "part=*", "*.parquet")))
+    res = DL.vacuum_delta(root, keep_versions=1)
+    assert res["removed_files"] > 0
+    left = glob.glob(os.path.join(root, "part=*", "*.parquet"))
+    assert len(left) < n_files
+    assert _read_ids(spark, root) == list(range(9))
+    # time travel below the kept window now fails on missing files
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        DL.read_delta(spark, root, version=0).collect()
+    # checkpoint + log cleanup: snapshot and LEDGER survive
+    head = max(DL.delta_versions(root))
+    DL.write_delta_checkpoint(root, head)
+    res2 = DL.cleanup_delta_log(root)
+    assert res2["removed_commits"] == head + 1
+    assert _read_ids(spark, root) == list(range(9))
+    assert DL.last_txn_versions(root) == {"vac-app": 2}
+    sink(_batch(spark, [99]), 2)  # replay: refused post-cleanup
+    assert _read_ids(spark, root) == list(range(9))
+    sink(_batch(spark, [99]), 3)
+    assert _read_ids(spark, root) == list(range(9)) + [99]
+
+
+def test_sink_auto_checkpoints(spark, tmp_path):
+    root = str(tmp_path / "t")
+    sink = DL.delta_streaming_sink(root, "ck-app", checkpoint_every=2)
+    for b in range(4):
+        sink(_batch(spark, [b]), b)
+    cps = glob.glob(
+        os.path.join(root, "_delta_log", "*.checkpoint.parquet")
+    )
+    assert sorted(os.path.basename(p) for p in cps) == [
+        f"{1:020d}.checkpoint.parquet",
+        f"{3:020d}.checkpoint.parquet",
+    ]
+    assert _read_ids(spark, root) == [0, 1, 2, 3]
+
+
+def test_vacuum_after_log_cleanup(spark, tmp_path):
+    """vacuum on a CLEANED log must fold the live set from the
+    checkpoint (a json-only version listing is empty there) — the r9
+    bug class where vacuum deleted every live file."""
+    root = str(tmp_path / "t")
+    sink = DL.delta_streaming_sink(root, "vc-app", checkpoint_every=None)
+    for b in range(3):
+        sink(_batch(spark, range(b * 2, b * 2 + 2)), b)
+    DL.write_delta_checkpoint(root, max(DL.delta_versions(root)))
+    DL.cleanup_delta_log(root)
+    res = DL.vacuum_delta(root, keep_versions=1)
+    assert res["kept_versions"] == [2]
+    assert _read_ids(spark, root) == list(range(6))

@@ -126,7 +126,9 @@ def test_declaring_queries_runs_no_jobs(spark):
               # q228 writes the CDF fixture + runs paced stream jobs
               "q228_delta_cdf_stream",
               # q229 streams the q219 fixture into the Delta sink
-              "q229_delta_stream_sink"}
+              "q229_delta_stream_sink",
+              # q230 runs the sink + optimize/vacuum maintenance cycle
+              "q230_delta_maintenance"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
