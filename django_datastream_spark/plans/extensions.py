@@ -11492,6 +11492,80 @@ def q229(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Q231: STREAMING Iceberg WRITER — Delta source → foreachBatch
+# iceberg_streaming_sink (snapshot-summary ledger), exactly-once
+# under worst-case redelivery, served back by the Iceberg reader
+# --------------------------------------------------------------------------
+@_declare(
+    "q231_iceberg_stream_sink",
+    """
+    SELECT ver, CAST(COUNT(*) AS BIGINT) n, ROUND(SUM(val), 4) sum_val
+    FROM (
+      SELECT 0 ver, doc_id * 0.5 val FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT 1, doc_id * 0.5 FROM documents
+      WHERE doc_id >= 200 AND doc_id < 300
+      UNION ALL
+      SELECT 2, doc_id * 0.5 + 1000 FROM documents
+      WHERE doc_id < 200 AND doc_id % 4 = 0
+    ) GROUP BY ver ORDER BY ver
+    """,
+)
+def q231(spark, sf_dir):
+    """q229's CROSS-FORMAT twin: the q219 Delta fixture streams
+    through readStream.format('delta_table') into
+    iceberg_streaming_sink — each batch appends one Iceberg snapshot
+    whose SUMMARY carries the engine-app/batch ledger (the spec's
+    place for engine bookkeeping), manifests carry footer bounds,
+    the parent chain extends in lineage order with non-monotonic
+    ids. The whole availableNow run then repeats with a FRESH stream
+    checkpoint (worst-case redelivery; the summary ledger must
+    refuse every batch), and read_iceberg serves the landed table.
+    Oracle = q219's closed form — Delta source, Iceberg sink, engine
+    txn sink all agree exactly. (Builder writes fixtures + runs two
+    bounded streaming jobs; by-name exemption, q219 family.)"""
+    import os as _os
+    import shutil as _sh
+
+    from ..sources import external_stream as XS
+    from ..sources import iceberg as IB
+
+    root = _delta_fixture(spark, sf_dir, "q231")
+    XS.register(spark)
+    base = _os.path.dirname(root)
+    dest = _os.path.join(base, "dest")
+
+    def _run(cp):
+        q = (
+            spark.readStream.format("delta_table")
+            .option("path", root)
+            .option("ignoreChanges", "true")
+            .load()
+            .writeStream.foreachBatch(
+                IB.iceberg_streaming_sink(dest, "q231-app")
+            )
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    _run(_os.path.join(base, "cp1"))
+    cp2 = _os.path.join(base, "cp2")
+    _sh.rmtree(cp2, ignore_errors=True)
+    _run(cp2)  # full redelivery: the summary ledger refuses it
+    got = IB.read_iceberg(spark, dest)
+    return (
+        got.groupBy(F.col("_commit_version").cast("int").alias("ver"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("val"), 4).alias("sum_val"),
+        )
+        .orderBy("ver")
+    )
+
+
+# --------------------------------------------------------------------------
 # Q230: Delta MAINTENANCE cycle — many small sink commits, then
 # OPTIMIZE ZORDER (dataChange=false) → checkpoint → log cleanup →
 # VACUUM, and the table still reads hash-exact

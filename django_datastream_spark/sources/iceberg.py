@@ -932,7 +932,13 @@ def write_metadata(
             "snapshot-id": s["snapshot-id"],
             "timestamp-ms": s.get("timestamp-ms", i),
             "manifest-list": s["manifest-list"],
-            "summary": {"operation": s.get("operation", "append")},
+            # extra summary keys pass through — snapshot summary
+            # properties are where Iceberg writers keep engine
+            # bookkeeping (the streaming sink's idempotence ledger)
+            "summary": {
+                "operation": s.get("operation", "append"),
+                **(s.get("summary") or {}),
+            },
         }
         parent = s.get("parent-snapshot-id", prev_id)
         if parent is not None:
@@ -1519,3 +1525,216 @@ def publish_iceberg(
         schemas=schemas, current_schema_id=cur_schema_id,
     )
     return {"metadata_version": meta_v, "snapshots": dict(sid_of)}
+
+
+# ---------------------------------------------------------------------------
+# write-side interop: idempotent STREAMING writer (snapshot summary)
+# ---------------------------------------------------------------------------
+def last_sink_batch(root: str, app_id: str) -> int:
+    """The Iceberg sink's idempotence ledger: the largest batch id a
+    lineage snapshot's summary records for ``app_id`` (-1 = none).
+    Snapshot summary properties are where Iceberg engines keep
+    exactly this bookkeeping (Flink's checkpoint id, Spark's epoch);
+    the ledger lives in the metadata JSON, so reading it costs no
+    manifest decode."""
+    try:
+        md = iceberg_metadata(root)
+    except IcebergUnsupportedError:
+        return -1
+    cur = md.get("current-snapshot-id")
+    if cur is None or not md.get("snapshots"):
+        return -1
+    best = -1
+    for s in _lineage_chain(md, cur):
+        summ = s.get("summary") or {}
+        if summ.get("engine-app-id") == app_id:
+            try:
+                best = max(best, int(summ["engine-batch-id"]))
+            except (KeyError, ValueError):
+                pass
+    return best
+
+
+def iceberg_streaming_sink(root: str, app_id: str):
+    """An EXACTLY-ONCE streaming sink writing an EXTERNAL Iceberg
+    table — :func:`..sources.delta.delta_streaming_sink`'s twin.
+    Returns a ``foreachBatch`` callable.
+
+    Each batch appends ONE snapshot: data files written by Spark's
+    distributed parquet write (moved into ``data/``, all columns in
+    the files — the table is unpartitioned, spec ``[]``; Iceberg
+    partition transforms are out of scope), an ADDED manifest
+    stamped with footer bounds (data skipping works immediately),
+    previous manifests carried forward unchanged (fast-append, so
+    :func:`iceberg_changes` attribution stays exact), and the
+    snapshot summary carrying ``engine-app-id``/``engine-batch-id``
+    — the spec's place for engine bookkeeping and this sink's
+    idempotence ledger (:func:`last_sink_batch`): a replayed batch
+    is refused without writing. The parent chain and snapshot-log
+    extend in lineage order with non-monotonic snapshot ids, exactly
+    what the reader and streaming source order by.
+
+    SINGLE-WRITER contract: the metadata pointer swap is a plain
+    file write — real multi-writer Iceberg needs a catalog's atomic
+    compare-and-swap, which a filesystem table cannot provide (the
+    spec says the same). One streaming query per table."""
+
+    def _sink(df, batch_id: int) -> None:
+        import shutil
+        import time as _time
+        import uuid as _uuid
+
+        from . import avro_lite as AV
+
+        md = None
+        try:
+            md = iceberg_metadata(root)
+        except IcebergUnsupportedError:
+            pass
+        name_to_id: dict[str, int] = {}
+        if md is not None:
+            if last_sink_batch(root, app_id) >= batch_id:
+                return  # replayed batch: the ledger refuses it
+            want = [
+                (f.name, f.dataType)
+                for f in iceberg_schema(md).fields
+            ]
+            got = [(f.name, f.dataType) for f in df.schema.fields]
+            if sorted(want) != sorted(got):
+                raise ValueError(
+                    f"{root}: batch schema {got} does not match the "
+                    f"table schema {want} (schema evolution is not "
+                    "part of the streaming sink contract)"
+                )
+            name_to_id = {
+                f["name"]: f["id"] for f in _current_schema(md)["fields"]
+            }
+        fields = _spark_fields_to_ice(df.schema, name_to_id)
+
+        # data: distributed write, renamed under data/
+        staging = os.path.join(root, f"_staging_{_uuid.uuid4().hex}")
+        rels = []
+        try:
+            df.write.mode("overwrite").parquet(staging)
+            os.makedirs(os.path.join(root, "data"), exist_ok=True)
+            for fn in sorted(os.listdir(staging)):
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = os.path.join("data", fn)
+                os.replace(
+                    os.path.join(staging, fn), os.path.join(root, rel)
+                )
+                rels.append(rel)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        import pyarrow.parquet as _pq
+
+        kept = []
+        for r in rels:
+            full = os.path.join(root, r)
+            if _pq.ParquetFile(full).metadata.num_rows > 0:
+                kept.append(r)
+            else:
+                os.remove(full)  # an empty task output: not a data file
+        rels = kept
+
+        import hashlib as _hl
+
+        sid = (
+            int(
+                _hl.md5(
+                    f"{root}:{app_id}:{batch_id}".encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            | 1
+        )
+        man_name = f"sink-{_uuid.uuid4().hex[:12]}.avro"
+        write_manifest(
+            root, man_name, [(1, r) for r in rels], sid,
+            schema_fields=fields,
+        )
+
+        # carry the previous manifest list forward + the new manifest
+        carried: list = []
+        snapshots: list[dict] = []
+        schemas_fields: list[list[dict]] = [fields]
+        cur_schema_id = 0
+        if md is not None:
+            cur = md.get("current-snapshot-id")
+            chain = (
+                _lineage_chain(md, cur)
+                if cur is not None and md.get("snapshots")
+                else []
+            )
+            for s in chain:
+                summ = dict(s.get("summary") or {})
+                op = summ.pop("operation", "append")
+                ml = s["manifest-list"]
+                snapshots.append(
+                    {
+                        "snapshot-id": s["snapshot-id"],
+                        "manifest-list": (
+                            ml
+                            if not os.path.isabs(ml)
+                            else os.path.join(
+                                "metadata", os.path.basename(ml)
+                            )
+                        ),
+                        "timestamp-ms": s.get("timestamp-ms", 0),
+                        "operation": op,
+                        "summary": summ,
+                    }
+                )
+            if chain:
+                mlist_path = _resolve(root, md, chain[-1]["manifest-list"])
+                _s, recs = AV.read_container_file(mlist_path)
+                for r in recs:
+                    carried.append(
+                        (
+                            os.path.basename(r["manifest_path"]),
+                            r.get("added_snapshot_id"),
+                            int(r.get("content") or 0),
+                            r.get("sequence_number"),
+                        )
+                    )
+            schemas_fields = [
+                s["fields"] for s in md.get("schemas") or [
+                    {"fields": fields}
+                ]
+            ]
+            cur_schema_id = int(md.get("current-schema-id") or 0)
+
+        seq = len(snapshots) + 1
+        mlist_name = f"snap-{sid}.avro"
+        write_manifest_list(
+            root, mlist_name, carried + [(man_name, sid, 0, seq)], sid
+        )
+        now_ms = max(
+            int(_time.time() * 1000),
+            max((s["timestamp-ms"] for s in snapshots), default=0) + 1,
+        )
+        snapshots.append(
+            {
+                "snapshot-id": sid,
+                "manifest-list": os.path.join("metadata", mlist_name),
+                "timestamp-ms": now_ms,
+                "operation": "append",
+                "summary": {
+                    "engine-app-id": app_id,
+                    "engine-batch-id": str(int(batch_id)),
+                },
+            }
+        )
+        next_v = (_metadata_versions(root) or [0])[-1] + 1
+        write_metadata(
+            root,
+            next_v,
+            schemas_fields[cur_schema_id],
+            snapshots,
+            current_snapshot_id=sid,
+            schemas=schemas_fields,
+            current_schema_id=cur_schema_id,
+        )
+
+    return _sink

@@ -1,0 +1,166 @@
+"""Idempotent STREAMING writer for external Iceberg tables
+(iceberg_streaming_sink): snapshot-summary ledger exactly-once under
+replay, lineage-ordered snapshot chain with non-monotonic ids,
+manifest carry-forward (fast-append), footer bounds on new
+manifests, and the full source→sink round trip."""
+
+import os
+
+import pytest
+
+from django_datastream_spark.sources import avro_lite as AV
+from django_datastream_spark.sources import iceberg as IB
+
+
+def _batch(spark, ids):
+    rows = [(int(i), float(i) * 0.5) for i in ids]
+    return spark.createDataFrame(rows, "doc_id long, val double")
+
+
+def _read_ids(spark, root, snapshot_id=None):
+    df = IB.read_iceberg(spark, root, snapshot_id=snapshot_id)
+    return sorted(r["doc_id"] for r in df.collect())
+
+
+def test_iceberg_sink_creates_appends_refuses_replay(spark, tmp_path):
+    root = str(tmp_path / "t")
+    sink = IB.iceberg_streaming_sink(root, "app-1")
+    sink(_batch(spark, range(6)), 0)
+    sink(_batch(spark, range(6, 10)), 1)
+    assert _read_ids(spark, root) == list(range(10))
+    md = IB.iceberg_metadata(root)
+    chain = IB._lineage_chain(md, md["current-snapshot-id"])
+    assert len(chain) == 2
+    assert chain[0].get("parent-snapshot-id") is None
+    assert chain[1]["parent-snapshot-id"] == chain[0]["snapshot-id"]
+    # time travel to the first snapshot
+    assert _read_ids(
+        spark, root, snapshot_id=chain[0]["snapshot-id"]
+    ) == list(range(6))
+    # REPLAY both batches: the summary ledger refuses them
+    sink(_batch(spark, range(6)), 0)
+    sink(_batch(spark, range(6, 10)), 1)
+    md2 = IB.iceberg_metadata(root)
+    assert len(md2["snapshots"]) == 2
+    assert _read_ids(spark, root) == list(range(10))
+    assert IB.last_sink_batch(root, "app-1") == 1
+    # new batch appends; snapshot 2's manifest list CARRIES the old
+    # manifests unchanged (fast-append) + one new ADDED manifest
+    sink(_batch(spark, [50]), 2)
+    md3 = IB.iceberg_metadata(root)
+    chain3 = IB._lineage_chain(md3, md3["current-snapshot-id"])
+    mlist = IB._resolve(root, md3, chain3[-1]["manifest-list"])
+    _s, recs = AV.read_container_file(mlist)
+    assert len(recs) == 3
+    sids = {r["added_snapshot_id"] for r in recs}
+    assert sids == {c["snapshot-id"] for c in chain3}
+    assert _read_ids(spark, root) == list(range(10)) + [50]
+
+
+def test_iceberg_sink_changes_attribution_and_bounds(spark, tmp_path):
+    """iceberg_changes over a sink-written table attributes each row
+    to exactly the snapshot that appended it, and new manifests carry
+    footer bounds (manifest-level data skipping works)."""
+    root = str(tmp_path / "t")
+    sink = IB.iceberg_streaming_sink(root, "app-c")
+    sink(_batch(spark, range(5)), 0)
+    sink(_batch(spark, range(100, 103)), 1)
+    md = IB.iceberg_metadata(root)
+    chain = IB._lineage_chain(md, md["current-snapshot-id"])
+    ch = IB.iceberg_changes(spark, root, None)
+    got = sorted(
+        (r["doc_id"], r["_snapshot_id"]) for r in ch.collect()
+    )
+    assert got == sorted(
+        [(i, chain[0]["snapshot-id"]) for i in range(5)]
+        + [(i, chain[1]["snapshot-id"]) for i in range(100, 103)]
+    )
+    # bounds: a doc_id filter prunes the first snapshot's files
+    mlist = IB._resolve(root, md, chain[-1]["manifest-list"])
+    _s, recs = AV.read_container_file(mlist)
+    man = IB._resolve(root, md, recs[0]["manifest_path"])
+    _s2, entries = AV.read_container_file(man)
+    assert entries[0]["data_file"]["lower_bounds"] is not None
+
+
+def test_iceberg_sink_schema_guard(spark, tmp_path):
+    root = str(tmp_path / "t")
+    sink = IB.iceberg_streaming_sink(root, "app-g")
+    sink(_batch(spark, range(3)), 0)
+    bad = spark.createDataFrame([(1, "x")], "doc_id long, tag string")
+    with pytest.raises(ValueError, match="does not match the"):
+        IB.iceberg_streaming_sink(root, "app-g")(bad, 1)
+
+
+def test_iceberg_sink_streams_back(spark, tmp_path):
+    """Sink-written snapshots replay through the iceberg_table
+    streaming source in lineage order, exactly once per snapshot."""
+    from django_datastream_spark.sources import external_stream as XS
+
+    root = str(tmp_path / "t")
+    sink = IB.iceberg_streaming_sink(root, "app-s")
+    sink(_batch(spark, range(4)), 0)
+    sink(_batch(spark, range(4, 7)), 1)
+    XS.register(spark)
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = (
+        spark.readStream.format("iceberg_table")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    md = IB.iceberg_metadata(root)
+    chain = IB._lineage_chain(md, md["current-snapshot-id"])
+    rows = sorted(
+        (r["doc_id"], r["_snapshot_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows == sorted(
+        [(i, chain[0]["snapshot-id"]) for i in range(4)]
+        + [(i, chain[1]["snapshot-id"]) for i in range(4, 7)]
+    )
+
+
+def test_delta_source_to_iceberg_sink_exactly_once(spark, tmp_path):
+    """Cross-format round trip: Delta source → Iceberg sink, then the
+    whole availableNow run repeats with a fresh stream checkpoint —
+    the snapshot-summary ledger must refuse every replayed batch."""
+    from django_datastream_spark.sources import delta as DL
+    from django_datastream_spark.sources import external_stream as XS
+    from tests.test_delta import _PROTO, _add, _meta, _write_data
+
+    src = str(tmp_path / "src")
+    _write_data(src, "f0.parquet", range(6))
+    DL.write_delta_commit(
+        src, 0, [_PROTO, _meta(partitioned=False), _add("f0.parquet")]
+    )
+    _write_data(src, "f1.parquet", range(6, 9))
+    DL.write_delta_commit(src, 1, [_add("f1.parquet")])
+    XS.register(spark)
+    dest = str(tmp_path / "dest")
+
+    def _run(cp):
+        q = (
+            spark.readStream.format("delta_table")
+            .option("path", src)
+            .load()
+            .writeStream.foreachBatch(
+                IB.iceberg_streaming_sink(dest, "xfmt-app")
+            )
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    _run(str(tmp_path / "cp1"))
+    assert _read_ids(spark, dest) == list(range(9))
+    _run(str(tmp_path / "cp2"))  # fresh checkpoint: full redelivery
+    assert _read_ids(spark, dest) == list(range(9))
+    md = IB.iceberg_metadata(dest)
+    assert len(md["snapshots"]) == 1  # one batch landed once

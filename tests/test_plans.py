@@ -128,7 +128,9 @@ def test_declaring_queries_runs_no_jobs(spark):
               # q229 streams the q219 fixture into the Delta sink
               "q229_delta_stream_sink",
               # q230 runs the sink + optimize/vacuum maintenance cycle
-              "q230_delta_maintenance"}
+              "q230_delta_maintenance",
+              # q231 streams the q219 fixture into the Iceberg sink
+              "q231_iceberg_stream_sink"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
