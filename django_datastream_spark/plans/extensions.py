@@ -11566,6 +11566,65 @@ def q231(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Q232: Iceberg MAINTENANCE cycle — sink snapshots, OPTIMIZE as a
+# replace snapshot, expire to the horizon — reads stay hash-exact
+# --------------------------------------------------------------------------
+@_declare(
+    "q232_iceberg_maintenance",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) n, ROUND(SUM(doc_id * 0.5), 4) sum_val,
+           CAST(MIN(doc_id) AS BIGINT) lo, CAST(MAX(doc_id) AS BIGINT) hi,
+           CAST(COUNT(DISTINCT doc_id % 5) AS BIGINT) n_batches
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def q232(spark, sf_dir):
+    """q230's ICEBERG twin: 5 sink batches land doc_id<300 as
+    per-snapshot small files; optimize_iceberg compacts them into a
+    REPLACE snapshot (skipped by every incremental path — the spec's
+    append-scan rule); expire_snapshots drops the pre-compaction
+    history and reclaims the superseded originals, stamping the
+    engine.expired-positions property that keeps streaming offsets
+    absolute. The final read aggregates with min/max — a compaction
+    that lost or doubled rows, an expiry that deleted a live file or
+    a shared manifest mid-walk (the r9 fast-append bug class), or a
+    broken property fold all break the hash. (Builder writes +
+    maintains the table; by-name exemption, q219 family.)"""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from ..sources import iceberg as IB
+
+    base = _os.path.join(
+        _tmp.gettempdir(),
+        "q232_" + _hl.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    root = _os.path.join(base, "table")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", (F.col("doc_id") * 0.5).alias("val"))
+    )
+    sink = IB.iceberg_streaming_sink(root, "q232-app")
+    for b in range(5):
+        sink(docs.filter(F.col("doc_id") % 5 == b), b)
+    IB.optimize_iceberg(spark, root, target_file_bytes=1 << 30)
+    IB.expire_snapshots(root, keep_snapshots=1)
+    got = IB.read_iceberg(spark, root)
+    return got.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("val"), 4).alias("sum_val"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+        F.countDistinct(F.col("doc_id") % 5).alias("n_batches"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Q230: Delta MAINTENANCE cycle — many small sink commits, then
 # OPTIMIZE ZORDER (dataChange=false) → checkpoint → log cleanup →
 # VACUUM, and the table still reads hash-exact

@@ -463,10 +463,10 @@ class IcebergTableStreamReader(DataSourceStreamReader):
         )
         chain = self._chain()
         if ss is None:
-            self._start = {"n": 0, "sid": None}
+            self._start = {"n": self._base, "sid": None}
         elif str(ss).lower() == "latest":
             self._start = {
-                "n": len(chain),
+                "n": self._base + len(chain),
                 "sid": chain[-1]["snapshot-id"] if chain else None,
             }
         else:
@@ -476,7 +476,7 @@ class IcebergTableStreamReader(DataSourceStreamReader):
                     f"{self.path}: startingSnapshot {ss} not in the "
                     "current lineage"
                 )
-            n = sids.index(int(ss)) + 1
+            n = self._base + sids.index(int(ss)) + 1
             self._start = {"n": n, "sid": int(ss)}
 
     def _chain(self):
@@ -484,6 +484,14 @@ class IcebergTableStreamReader(DataSourceStreamReader):
 
         md = IB.iceberg_metadata(self.path)
         self._md = md
+        # lineage positions are ABSOLUTE: expire_snapshots counts the
+        # positions it dropped in this table property, so offsets in
+        # old checkpoints keep meaning the same snapshots
+        self._base = int(
+            (md.get("properties") or {}).get(
+                "engine.expired-positions", 0
+            )
+        )
         cur = md.get("current-snapshot-id")
         if cur is None or not md.get("snapshots"):
             return []
@@ -495,15 +503,19 @@ class IcebergTableStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         chain = self._chain()
-        n = len(chain)
+        n = self._base + len(chain)
         cursor = (
             self._start["n"] if self._cursor is None else self._cursor
         )
         if self.max_snaps is not None and cursor < n:
             n = min(cursor + self.max_snaps, n)
+        idx = n - self._base
         return {
             "n": n,
-            "sid": chain[n - 1]["snapshot-id"] if n else None,
+            "sid": (
+                chain[idx - 1]["snapshot-id"] if 0 < idx <= len(chain)
+                else None
+            ),
         }
 
     def partitions(self, start: dict, end: dict):
@@ -515,28 +527,49 @@ class IcebergTableStreamReader(DataSourceStreamReader):
         )
         chain = self._chain()
         md = self._md
+        base = self._base
         # replay safety: the checkpointed (position, sid) pairs must
-        # still name the same lineage — a rollback/rewrite raises
+        # still name the same lineage — a rollback/rewrite raises,
+        # and a position below the expiry horizon means snapshots the
+        # consumer never saw are GONE (unrecoverable, never silent)
+        if start.get("n", 0) < base and start.get("n", 0) < end.get(
+            "n", 0
+        ):
+            raise ValueError(
+                f"{self.path}: checkpointed position {start.get('n')} "
+                f"is below the expiry horizon {base} — unconsumed "
+                "snapshots were expired; replay unrecoverable "
+                "(re-read the snapshot instead)"
+            )
         for off in (start, end):
             n, sid = off.get("n", 0), off.get("sid")
-            if n > len(chain):
+            idx = n - base
+            if idx > len(chain):
                 raise ValueError(
                     f"{self.path}: lineage shrank below checkpointed "
                     f"position {n} (rollback?) — replay unsafe"
                 )
-            if n and sid is not None and (
-                chain[n - 1]["snapshot-id"] != sid
+            if idx > 0 and sid is not None and (
+                chain[idx - 1]["snapshot-id"] != sid
             ):
                 raise ValueError(
                     f"{self.path}: snapshot at lineage position "
-                    f"{n - 1} changed ({chain[n - 1]['snapshot-id']} "
+                    f"{n - 1} changed ({chain[idx - 1]['snapshot-id']} "
                     f"!= checkpointed {sid}) — history rewritten, "
                     "replay unsafe"
                 )
         out = []
-        for idx in range(start.get("n", 0), end.get("n", 0)):
+        for idx in range(
+            max(0, start.get("n", 0) - base), end.get("n", 0) - base
+        ):
             snap = chain[idx]
             sid = snap["snapshot-id"]
+            if (snap.get("summary") or {}).get("operation") == (
+                "replace"
+            ):
+                # compaction: same rows, new layout — the incremental
+                # append scan skips it (Delta's dataChange=false)
+                continue
             mlist = IB._resolve(self.path, md, snap["manifest-list"])
             _s, manifests = AV.read_container_file(mlist)
             for mf in manifests:

@@ -918,6 +918,8 @@ def write_metadata(
     current_snapshot_id: int | None,
     schemas: list[list[dict]] | None = None,
     current_schema_id: int | None = None,
+    properties: dict | None = None,
+    last_sequence_number: int | None = None,
 ) -> None:
     """snapshots: [{"snapshot-id": n, "manifest-list": relpath}]
     oldest→newest. What real writers maintain is stamped too: each
@@ -949,7 +951,12 @@ def write_metadata(
         "format-version": 2,
         "table-uuid": "00000000-0000-0000-0000-000000000000",
         "location": root,
-        "last-sequence-number": len(snapshots),
+        "properties": properties or {},
+        "last-sequence-number": (
+            len(snapshots)
+            if last_sequence_number is None
+            else last_sequence_number
+        ),
         "last-updated-ms": 0,
         "last-column-id": max(
             (f["id"] for ss in (schemas or [schema_fields]) for f in ss),
@@ -1191,6 +1198,11 @@ def iceberg_changes(
     pieces = []
     for s in take:
         sid = s["snapshot-id"]
+        if (s.get("summary") or {}).get("operation") == "replace":
+            # compaction/rewrite snapshots carry no NEW rows — the
+            # spec's incremental append scan skips them entirely
+            # (the Delta twin: dataChange=false)
+            continue
         mlist = _resolve(root, md, s["manifest-list"])
         _sch, manifests = AV.read_container_file(mlist)
         added: list[str] = []
@@ -1660,7 +1672,11 @@ def iceberg_streaming_sink(root: str, app_id: str):
         snapshots: list[dict] = []
         schemas_fields: list[list[dict]] = [fields]
         cur_schema_id = 0
+        props: dict = {}
+        last_seq = 0
         if md is not None:
+            props = dict(md.get("properties") or {})
+            last_seq = int(md.get("last-sequence-number") or 0)
             cur = md.get("current-snapshot-id")
             chain = (
                 _lineage_chain(md, cur)
@@ -1705,7 +1721,7 @@ def iceberg_streaming_sink(root: str, app_id: str):
             ]
             cur_schema_id = int(md.get("current-schema-id") or 0)
 
-        seq = len(snapshots) + 1
+        seq = last_seq + 1
         mlist_name = f"snap-{sid}.avro"
         write_manifest_list(
             root, mlist_name, carried + [(man_name, sid, 0, seq)], sid
@@ -1735,6 +1751,279 @@ def iceberg_streaming_sink(root: str, app_id: str):
             current_snapshot_id=sid,
             schemas=schemas_fields,
             current_schema_id=cur_schema_id,
+            properties=props,
+            last_sequence_number=seq,
         )
 
     return _sink
+
+
+# ---------------------------------------------------------------------------
+# maintenance: OPTIMIZE (compaction as a replace snapshot) and
+# snapshot expiry — the Delta maintenance twins
+# ---------------------------------------------------------------------------
+def optimize_iceberg(
+    spark: SparkSession, root: str, target_file_bytes: int = 128 << 20
+) -> dict:
+    """Compact small live data files into one REPLACE snapshot —
+    :func:`..sources.delta.optimize_delta`'s twin and the maintenance
+    companion of :func:`iceberg_streaming_sink` (a per-batch snapshot
+    writer's natural pathology is many small files).
+
+    The new snapshot's single consolidated manifest records the
+    compacted output as ADDED, the untouched files as EXISTING (each
+    keeping its original adder's snapshot id, so
+    :func:`iceberg_changes` attribution stays exact on full replays)
+    and the superseded originals as DELETED tombstones; its summary
+    operation is ``replace``, which the incremental paths
+    (:func:`iceberg_changes`, the ``iceberg_table`` streaming source)
+    skip entirely — same rows, new layout, exactly Delta's
+    ``dataChange=false``. Time travel to pre-compaction snapshots
+    still reads (originals stay on disk until
+    :func:`expire_snapshots`). Fails closed while merge-on-read
+    DELETE FILES are live — compacting under them would need the
+    sequence-rule re-application; materialize the deletes first."""
+    import shutil
+    import time as _time
+    import uuid as _uuid
+
+    md, data, dels = _snapshot_files(root, spark=spark)
+    if dels:
+        raise IcebergUnsupportedError(
+            "live merge-on-read delete files — compaction under them "
+            "is out of scope (rewrite via read+publish instead)"
+        )
+    if not data:
+        return {"rewritten_files": 0, "new_files": 0, "skipped": True}
+    sizes = {}
+    for p in data:
+        try:
+            sizes[p] = os.path.getsize(_resolve(root, md, p))
+        except OSError:
+            sizes[p] = target_file_bytes
+    cand = sorted(p for p in data if sizes[p] < target_file_bytes)
+    if len(cand) < 2:
+        return {"rewritten_files": 0, "new_files": 0, "skipped": True}
+    # per-file original adder (EXISTING entries keep it) — one pass
+    # over the current manifest list
+    cur_sid = md["current-snapshot-id"]
+    snap = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == cur_sid
+    )
+    adder: dict[str, int] = {}
+    _s, manifests = AV.read_container_file(
+        _resolve(root, md, snap["manifest-list"])
+    )
+    for mf in manifests:
+        man = _resolve(root, md, mf["manifest_path"])
+        _s2, entries = AV.read_container_file(man)
+        for e in entries:
+            if int(e.get("status") or 0) != 2:
+                adder[e["data_file"]["file_path"]] = e.get(
+                    "snapshot_id"
+                ) or mf.get("added_snapshot_id")
+
+    schema = iceberg_schema(md)
+    files = [_resolve(root, md, p) for p in cand]
+    if _files_carry_field_ids(files):
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        scan_schema = iceberg_schema(md, with_field_ids=True)
+    else:
+        scan_schema = schema
+    df = spark.read.schema(scan_schema).parquet(*files).select(
+        *[F.col(f.name) for f in schema.fields]
+    )
+    total = sum(sizes[p] for p in cand)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    out = df.coalesce(min(n_out, len(cand)))
+    staging = os.path.join(root, f"_staging_{_uuid.uuid4().hex}")
+    rels = []
+    try:
+        out.write.mode("overwrite").parquet(staging)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        for fn in sorted(os.listdir(staging)):
+            if fn.endswith(".parquet"):
+                rel = os.path.join("data", fn)
+                os.replace(
+                    os.path.join(staging, fn), os.path.join(root, rel)
+                )
+                rels.append(rel)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    import hashlib as _hl
+
+    sid = (
+        int(
+            _hl.md5(
+                f"{root}:optimize:{cur_sid}:{len(md['snapshots'])}"
+                .encode()
+            ).hexdigest()[:15],
+            16,
+        )
+        | 1
+    )
+    fields = _current_schema(md)["fields"]
+    keep = sorted(set(data) - set(cand))
+    entries = (
+        [(1, r, sid) for r in rels]
+        + [(0, p, adder.get(p, cur_sid)) for p in keep]
+        + [(2, p, sid) for p in cand]
+    )
+    man_name = f"optimize-{_uuid.uuid4().hex[:12]}.avro"
+    write_manifest(root, man_name, entries, sid, schema_fields=fields)
+    last_seq = int(md.get("last-sequence-number") or 0) + 1
+    mlist_name = f"snap-{sid}.avro"
+    write_manifest_list(
+        root, mlist_name, [(man_name, sid, 0, last_seq)], sid
+    )
+    chain = _lineage_chain(md, cur_sid)
+    snapshots = []
+    for s in chain:
+        summ = dict(s.get("summary") or {})
+        op = summ.pop("operation", "append")
+        snapshots.append(
+            {
+                "snapshot-id": s["snapshot-id"],
+                "manifest-list": s["manifest-list"],
+                "timestamp-ms": s.get("timestamp-ms", 0),
+                "operation": op,
+                "summary": summ,
+            }
+        )
+    now_ms = max(
+        int(_time.time() * 1000),
+        max((s["timestamp-ms"] for s in snapshots), default=0) + 1,
+    )
+    snapshots.append(
+        {
+            "snapshot-id": sid,
+            "manifest-list": os.path.join("metadata", mlist_name),
+            "timestamp-ms": now_ms,
+            "operation": "replace",
+            "summary": {},
+        }
+    )
+    schemas_fields = [
+        s["fields"] for s in md.get("schemas") or [{"fields": fields}]
+    ]
+    next_v = (_metadata_versions(root) or [0])[-1] + 1
+    write_metadata(
+        root,
+        next_v,
+        fields,
+        snapshots,
+        current_snapshot_id=sid,
+        schemas=schemas_fields,
+        current_schema_id=int(md.get("current-schema-id") or 0),
+        properties=dict(md.get("properties") or {}),
+        last_sequence_number=last_seq,
+    )
+    return {
+        "snapshot_id": sid,
+        "rewritten_files": len(cand),
+        "new_files": len(rels),
+        "bytes_before": total,
+        "skipped": False,
+    }
+
+
+def expire_snapshots(root: str, keep_snapshots: int = 1) -> dict:
+    """Drop all but the newest ``keep_snapshots`` lineage snapshots
+    and reclaim the files only they referenced — Iceberg's
+    expireSnapshots, the :func:`..sources.delta.vacuum_delta` +
+    :func:`..sources.delta.cleanup_delta_log` twin in one (an Iceberg
+    snapshot owns both the metadata and the data references).
+
+    The kept chain's entries are preserved verbatim (ids, summaries —
+    the sink's ledger survives — and the oldest kept snapshot keeps
+    its parent id even though the parent is gone, exactly like real
+    expiry; :func:`_lineage_chain` treats it as the root). The table
+    property ``engine.expired-positions`` counts every position ever
+    expired, so the streaming source's lineage-position offsets stay
+    ABSOLUTE: caught-up consumers resume exactly, and one checkpointed
+    before the horizon raises instead of silently re-reading different
+    history. Time travel to expired snapshots raises (their manifest
+    lists are gone)."""
+    md = iceberg_metadata(root)
+    cur = md.get("current-snapshot-id")
+    if cur is None or not md.get("snapshots"):
+        return {"expired": 0, "removed_files": 0}
+    chain = _lineage_chain(md, cur)
+    keep = chain[-max(1, keep_snapshots):]
+    keep_ids = {s["snapshot-id"] for s in keep}
+    drop = [s for s in md["snapshots"] if s["snapshot-id"] not in keep_ids]
+    if not drop:
+        return {"expired": 0, "removed_files": 0}
+
+    def _walk(snap):
+        """(manifest-list, manifests, data/delete files) one snapshot
+        references, as root-relative resolved paths."""
+        out = {os.path.normpath(_resolve(root, md, snap["manifest-list"]))}
+        _s, mans = AV.read_container_file(
+            _resolve(root, md, snap["manifest-list"])
+        )
+        for mf in mans:
+            mp = os.path.normpath(_resolve(root, md, mf["manifest_path"]))
+            out.add(mp)
+            _s2, entries = AV.read_container_file(mp)
+            for e in entries:
+                if int(e.get("status") or 0) != 2:
+                    out.add(
+                        os.path.normpath(
+                            _resolve(
+                                root, md, e["data_file"]["file_path"]
+                            )
+                        )
+                    )
+        return out
+
+    referenced: set = set()
+    for s in keep:
+        referenced |= _walk(s)
+    dropped: set = set()
+    for s in drop:  # union BEFORE deleting: fast-append shares
+        dropped |= _walk(s)  # manifests across snapshots
+    removed = 0
+    rootn = os.path.normpath(root) + os.sep
+    for p in sorted(dropped - referenced):
+        if p.startswith(rootn) and os.path.exists(p):
+            os.remove(p)
+            removed += 1
+    n_expired = len([s for s in chain if s["snapshot-id"] not in keep_ids])
+    props = dict(md.get("properties") or {})
+    props["engine.expired-positions"] = str(
+        int(props.get("engine.expired-positions", 0)) + n_expired
+    )
+    snapshots = []
+    for i, s in enumerate(keep):
+        summ = dict(s.get("summary") or {})
+        op = summ.pop("operation", "append")
+        entry = {
+            "snapshot-id": s["snapshot-id"],
+            "manifest-list": s["manifest-list"],
+            "timestamp-ms": s.get("timestamp-ms", 0),
+            "operation": op,
+            "summary": summ,
+        }
+        if i == 0 and s.get("parent-snapshot-id") is not None:
+            # real expiry keeps the (now-dangling) parent pointer
+            entry["parent-snapshot-id"] = s["parent-snapshot-id"]
+        snapshots.append(entry)
+    fields = _current_schema(md)["fields"]
+    schemas_fields = [
+        s["fields"] for s in md.get("schemas") or [{"fields": fields}]
+    ]
+    next_v = (_metadata_versions(root) or [0])[-1] + 1
+    write_metadata(
+        root,
+        next_v,
+        fields,
+        snapshots,
+        current_snapshot_id=cur,
+        schemas=schemas_fields,
+        current_schema_id=int(md.get("current-schema-id") or 0),
+        properties=props,
+        last_sequence_number=int(md.get("last-sequence-number") or 0),
+    )
+    return {"expired": len(drop), "removed_files": removed}

@@ -164,3 +164,144 @@ def test_delta_source_to_iceberg_sink_exactly_once(spark, tmp_path):
     assert _read_ids(spark, dest) == list(range(9))
     md = IB.iceberg_metadata(dest)
     assert len(md["snapshots"]) == 1  # one batch landed once
+
+
+def test_optimize_iceberg_compacts_and_incrementals_skip(spark, tmp_path):
+    """Compaction = one REPLACE snapshot: reads unchanged, time
+    travel intact, iceberg_changes and the streaming source skip it
+    (same rows, new layout), attribution on full replay exact."""
+    from django_datastream_spark.sources import external_stream as XS
+
+    root = str(tmp_path / "t")
+    sink = IB.iceberg_streaming_sink(root, "app-o")
+    for b in range(3):
+        sink(_batch(spark, range(b * 4, b * 4 + 4)), b)
+    md0 = IB.iceberg_metadata(root)
+    chain0 = IB._lineage_chain(md0, md0["current-snapshot-id"])
+    res = IB.optimize_iceberg(spark, root, target_file_bytes=1 << 20)
+    assert not res["skipped"]
+    assert _read_ids(spark, root) == list(range(12))
+    # fewer live files now
+    _md, data, _d = IB._snapshot_files(root)
+    assert len(data) == res["new_files"] < res["rewritten_files"]
+    # time travel to pre-compaction snapshots
+    assert _read_ids(
+        spark, root, snapshot_id=chain0[-1]["snapshot-id"]
+    ) == list(range(12))
+    assert _read_ids(
+        spark, root, snapshot_id=chain0[0]["snapshot-id"]
+    ) == list(range(4))
+    # incremental consumption SKIPS the replace snapshot but keeps
+    # exact attribution for the original appends
+    ch = IB.iceberg_changes(spark, root, None)
+    got = sorted((r["doc_id"], r["_snapshot_id"]) for r in ch.collect())
+    want = sorted(
+        (i, chain0[b]["snapshot-id"])
+        for b in range(3)
+        for i in range(b * 4, b * 4 + 4)
+    )
+    assert got == want
+    # streaming full replay: 12 rows, none from the replace snapshot
+    XS.register(spark)
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = (
+        spark.readStream.format("iceberg_table")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    landed = spark.read.parquet(out)
+    assert landed.count() == 12
+    sids = {r["_snapshot_id"] for r in landed.collect()}
+    assert sids == {c["snapshot-id"] for c in chain0}
+    # the sink's ledger survived the metadata rewrite
+    assert IB.last_sink_batch(root, "app-o") == 2
+
+
+def test_expire_snapshots_and_absolute_stream_offsets(spark, tmp_path):
+    """OPTIMIZE then EXPIRE: the superseded originals (referenced only
+    by expired snapshots) are reclaimed; a CAUGHT-UP stream resumes
+    across expiry (positions are absolute via the
+    engine.expired-positions property) while a checkpoint below the
+    horizon raises; the sink keeps appending after expiry."""
+    import glob
+
+    from django_datastream_spark.sources import external_stream as XS
+
+    root = str(tmp_path / "t")
+    sink = IB.iceberg_streaming_sink(root, "app-e")
+    for b in range(3):
+        sink(_batch(spark, range(b * 3, b * 3 + 3)), b)
+    XS.register(spark)
+
+    def _drain(cp, out, **opts):
+        r = spark.readStream.format("iceberg_table").option("path", root)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        q = (
+            r.load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        return spark.read.parquet(out)
+
+    # consumer A catches up fully; consumer B consumes only snap 1
+    a_cp, a_out = str(tmp_path / "acp"), str(tmp_path / "aout")
+    assert _drain(a_cp, a_out).count() == 9
+    b_cp, b_out = str(tmp_path / "bcp"), str(tmp_path / "bout")
+    assert _drain(
+        b_cp, b_out, maxSnapshotsPerTrigger="1"
+    ).count() == 3
+
+    # compact, then expire everything but the replace snapshot: the
+    # superseded originals lose their last reference and are removed
+    IB.optimize_iceberg(spark, root, target_file_bytes=1 << 20)
+    n_before = len(glob.glob(os.path.join(root, "data", "*.parquet")))
+    res = IB.expire_snapshots(root, keep_snapshots=1)
+    assert res["expired"] == 3 and res["removed_files"] > 0
+    md = IB.iceberg_metadata(root)
+    assert len(md["snapshots"]) == 1
+    assert md["properties"]["engine.expired-positions"] == "3"
+    assert _read_ids(spark, root) == list(range(9))
+    assert len(
+        glob.glob(os.path.join(root, "data", "*.parquet"))
+    ) < n_before
+    # time travel to an expired snapshot raises
+    with pytest.raises(Exception):
+        IB.read_iceberg(spark, root, snapshot_id=12345).collect()
+    # sink appends post-expiry; consumer A resumes EXACTLY (skipping
+    # the replace snapshot, landing only the new rows), positions
+    # unshifted across the horizon
+    sink(_batch(spark, [100, 101]), 3)
+    got = _drain(a_cp, a_out)
+    assert got.count() == 11
+    md2 = IB.iceberg_metadata(root)
+    chain2 = IB._lineage_chain(md2, md2["current-snapshot-id"])
+    new_sid = chain2[-1]["snapshot-id"]
+    assert sorted(
+        r["doc_id"]
+        for r in got.filter(f"_snapshot_id = {new_sid}").collect()
+    ) == [100, 101]
+    # consumer B (below the horizon) fails loudly, never silently
+    with pytest.raises(Exception, match="expiry horizon|expired"):
+        q = (
+            spark.readStream.format("iceberg_table")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", b_out)
+            .option("checkpointLocation", b_cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise AssertionError("stream hung")

@@ -130,7 +130,9 @@ def test_declaring_queries_runs_no_jobs(spark):
               # q230 runs the sink + optimize/vacuum maintenance cycle
               "q230_delta_maintenance",
               # q231 streams the q219 fixture into the Iceberg sink
-              "q231_iceberg_stream_sink"}
+              "q231_iceberg_stream_sink",
+              # q232 runs the Iceberg sink + optimize/expire cycle
+              "q232_iceberg_maintenance"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
