@@ -1315,15 +1315,22 @@ def adopt_delta(
 # ---------------------------------------------------------------------------
 def write_delta_commit(root: str, version: int, actions: list[dict]) -> None:
     """Write one commit file: newline-delimited JSON actions, exactly
-    the PROTOCOL.md layout."""
+    the PROTOCOL.md layout. The write goes through the installed
+    :class:`..txnlog.LogStore` ``put_if_absent`` — the version name is
+    THE commit point (atomic create-if-absent, ``FileExistsError`` =
+    lost the race), so external Delta writes get the same local/HDFS/
+    S3-conditional-PUT/coordinator story as the engine's own log; the
+    old exists()-then-write had a TOCTOU window two writers could both
+    pass."""
+    from .. import txnlog as TL
+
     log = _log_dir(root)
     os.makedirs(log, exist_ok=True)
     path = os.path.join(log, f"{version:020d}.json")
-    if os.path.exists(path):
-        raise FileExistsError(path)
-    body = "\n".join(json.dumps(a, sort_keys=True) for a in actions)
-    with open(path, "w", encoding="utf-8") as f:
-        f.write(body + "\n")
+    body = (
+        "\n".join(json.dumps(a, sort_keys=True) for a in actions) + "\n"
+    ).encode("utf-8")
+    TL.get_log_store().put_if_absent(path, body)
 
 
 def _fold_protocol(root: str, version: int) -> dict:
@@ -1467,12 +1474,24 @@ def write_delta_checkpoint(root: str, version: int) -> None:
             "txn": pa.array(txn_rows, txn_t),
         }
     )
+    import io
+
+    from .. import txnlog as TL
+
     log = _log_dir(root)
-    pq.write_table(
-        tbl, os.path.join(log, f"{version:020d}.checkpoint.parquet")
+    # checkpoints are DERIVED, idempotent artifacts: last-writer-wins
+    # (put_atomic), never a commit point
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf)
+    store = TL.get_log_store()
+    store.put_atomic(
+        os.path.join(log, f"{version:020d}.checkpoint.parquet"),
+        buf.getvalue(),
     )
-    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
-        json.dump({"version": version, "size": n}, f)
+    store.put_atomic(
+        os.path.join(log, "_last_checkpoint"),
+        json.dumps({"version": version, "size": n}).encode(),
+    )
 
 
 # ---------------------------------------------------------------------------

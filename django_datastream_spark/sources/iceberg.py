@@ -920,6 +920,7 @@ def write_metadata(
     current_schema_id: int | None = None,
     properties: dict | None = None,
     last_sequence_number: int | None = None,
+    atomic_new: bool = False,
 ) -> None:
     """snapshots: [{"snapshot-id": n, "manifest-list": relpath}]
     oldest→newest. What real writers maintain is stamped too: each
@@ -982,9 +983,23 @@ def write_metadata(
         ],
     }
     os.makedirs(_meta_dir(root), exist_ok=True)
-    with open(
-        os.path.join(_meta_dir(root), f"v{version}.metadata.json"), "w"
-    ) as f:
+    vpath = os.path.join(_meta_dir(root), f"v{version}.metadata.json")
+    if atomic_new:
+        # Iceberg's filesystem-table commit point IS the rename-
+        # without-overwrite of the next version file (what
+        # HadoopTableOperations does): route it through the installed
+        # LogStore so a racing writer gets FileExistsError, never a
+        # clobbered pointer
+        from .. import txnlog as TL
+
+        store = TL.get_log_store()
+        store.put_if_absent(vpath, json.dumps(md).encode())
+        store.put_atomic(
+            os.path.join(_meta_dir(root), "version-hint.text"),
+            str(version).encode(),
+        )
+        return
+    with open(vpath, "w") as f:
         json.dump(md, f)
     with open(
         os.path.join(_meta_dir(root), "version-hint.text"), "w"
@@ -1667,92 +1682,123 @@ def iceberg_streaming_sink(root: str, app_id: str):
             schema_fields=fields,
         )
 
-        # carry the previous manifest list forward + the new manifest
-        carried: list = []
-        snapshots: list[dict] = []
-        schemas_fields: list[list[dict]] = [fields]
-        cur_schema_id = 0
-        props: dict = {}
-        last_seq = 0
-        if md is not None:
-            props = dict(md.get("properties") or {})
-            last_seq = int(md.get("last-sequence-number") or 0)
-            cur = md.get("current-snapshot-id")
-            chain = (
-                _lineage_chain(md, cur)
-                if cur is not None and md.get("snapshots")
-                else []
-            )
-            for s in chain:
-                summ = dict(s.get("summary") or {})
-                op = summ.pop("operation", "append")
-                ml = s["manifest-list"]
-                snapshots.append(
-                    {
-                        "snapshot-id": s["snapshot-id"],
-                        "manifest-list": (
-                            ml
-                            if not os.path.isabs(ml)
-                            else os.path.join(
-                                "metadata", os.path.basename(ml)
-                            )
-                        ),
-                        "timestamp-ms": s.get("timestamp-ms", 0),
-                        "operation": op,
-                        "summary": summ,
-                    }
+        # commit loop: build the post-append view from the CURRENT
+        # metadata and CAS the next version file; losing the race
+        # (FileExistsError) re-folds — a replica may have landed THIS
+        # batch, else rebuild on the winner's metadata and retry
+        for _attempt in range(64):
+            carried: list = []
+            snapshots: list[dict] = []
+            schemas_fields: list[list[dict]] = [fields]
+            cur_schema_id = 0
+            props: dict = {}
+            last_seq = 0
+            if md is not None:
+                props = dict(md.get("properties") or {})
+                last_seq = int(md.get("last-sequence-number") or 0)
+                cur = md.get("current-snapshot-id")
+                chain = (
+                    _lineage_chain(md, cur)
+                    if cur is not None and md.get("snapshots")
+                    else []
                 )
-            if chain:
-                mlist_path = _resolve(root, md, chain[-1]["manifest-list"])
-                _s, recs = AV.read_container_file(mlist_path)
-                for r in recs:
-                    carried.append(
-                        (
-                            os.path.basename(r["manifest_path"]),
-                            r.get("added_snapshot_id"),
-                            int(r.get("content") or 0),
-                            r.get("sequence_number"),
-                        )
+                for s in chain:
+                    summ = dict(s.get("summary") or {})
+                    op = summ.pop("operation", "append")
+                    ml = s["manifest-list"]
+                    snapshots.append(
+                        {
+                            "snapshot-id": s["snapshot-id"],
+                            "manifest-list": (
+                                ml
+                                if not os.path.isabs(ml)
+                                else os.path.join(
+                                    "metadata", os.path.basename(ml)
+                                )
+                            ),
+                            "timestamp-ms": s.get("timestamp-ms", 0),
+                            "operation": op,
+                            "summary": summ,
+                        }
                     )
-            schemas_fields = [
-                s["fields"] for s in md.get("schemas") or [
-                    {"fields": fields}
+                if chain:
+                    mlist_path = _resolve(
+                        root, md, chain[-1]["manifest-list"]
+                    )
+                    _s, recs = AV.read_container_file(mlist_path)
+                    for r in recs:
+                        carried.append(
+                            (
+                                os.path.basename(r["manifest_path"]),
+                                r.get("added_snapshot_id"),
+                                int(r.get("content") or 0),
+                                r.get("sequence_number"),
+                            )
+                        )
+                schemas_fields = [
+                    s["fields"] for s in md.get("schemas") or [
+                        {"fields": fields}
+                    ]
                 ]
-            ]
-            cur_schema_id = int(md.get("current-schema-id") or 0)
+                cur_schema_id = int(md.get("current-schema-id") or 0)
 
-        seq = last_seq + 1
-        mlist_name = f"snap-{sid}.avro"
-        write_manifest_list(
-            root, mlist_name, carried + [(man_name, sid, 0, seq)], sid
-        )
-        now_ms = max(
-            int(_time.time() * 1000),
-            max((s["timestamp-ms"] for s in snapshots), default=0) + 1,
-        )
-        snapshots.append(
-            {
-                "snapshot-id": sid,
-                "manifest-list": os.path.join("metadata", mlist_name),
-                "timestamp-ms": now_ms,
-                "operation": "append",
-                "summary": {
-                    "engine-app-id": app_id,
-                    "engine-batch-id": str(int(batch_id)),
-                },
-            }
-        )
-        next_v = (_metadata_versions(root) or [0])[-1] + 1
-        write_metadata(
-            root,
-            next_v,
-            schemas_fields[cur_schema_id],
-            snapshots,
-            current_snapshot_id=sid,
-            schemas=schemas_fields,
-            current_schema_id=cur_schema_id,
-            properties=props,
-            last_sequence_number=seq,
+            seq = last_seq + 1
+            mlist_name = f"snap-{sid}.avro"
+            write_manifest_list(
+                root, mlist_name,
+                carried + [(man_name, sid, 0, seq)], sid,
+            )
+            now_ms = max(
+                int(_time.time() * 1000),
+                max(
+                    (s["timestamp-ms"] for s in snapshots), default=0
+                ) + 1,
+            )
+            snapshots.append(
+                {
+                    "snapshot-id": sid,
+                    "manifest-list": os.path.join(
+                        "metadata", mlist_name
+                    ),
+                    "timestamp-ms": now_ms,
+                    "operation": "append",
+                    "summary": {
+                        "engine-app-id": app_id,
+                        "engine-batch-id": str(int(batch_id)),
+                    },
+                }
+            )
+            next_v = (_metadata_versions(root) or [0])[-1] + 1
+            try:
+                write_metadata(
+                    root,
+                    next_v,
+                    schemas_fields[cur_schema_id],
+                    snapshots,
+                    current_snapshot_id=sid,
+                    schemas=schemas_fields,
+                    current_schema_id=cur_schema_id,
+                    properties=props,
+                    last_sequence_number=seq,
+                    atomic_new=True,
+                )
+                return
+            except FileExistsError:
+                md = iceberg_metadata(root)
+                if last_sink_batch(root, app_id) >= batch_id:
+                    # a replica landed THIS batch first: orphan our
+                    # duplicate data files + manifest
+                    for r in rels:
+                        p = os.path.join(root, r)
+                        if os.path.exists(p):
+                            os.remove(p)
+                    mp = os.path.join(_meta_dir(root), man_name)
+                    if os.path.exists(mp):
+                        os.remove(mp)
+                    return
+        raise RuntimeError(
+            f"{root}: could not commit batch {batch_id} after 64 "
+            "attempts (livelocked on concurrent writers)"
         )
 
     return _sink
@@ -1918,6 +1964,7 @@ def optimize_iceberg(
         current_schema_id=int(md.get("current-schema-id") or 0),
         properties=dict(md.get("properties") or {}),
         last_sequence_number=last_seq,
+        atomic_new=True,  # a racing commit surfaces, never clobbers
     )
     return {
         "snapshot_id": sid,
@@ -2025,5 +2072,6 @@ def expire_snapshots(root: str, keep_snapshots: int = 1) -> dict:
         current_schema_id=int(md.get("current-schema-id") or 0),
         properties=props,
         last_sequence_number=int(md.get("last-sequence-number") or 0),
+        atomic_new=True,  # a racing commit surfaces, never clobbers
     )
     return {"expired": len(drop), "removed_files": removed}

@@ -301,3 +301,42 @@ def test_vacuum_after_log_cleanup(spark, tmp_path):
     res = DL.vacuum_delta(root, keep_versions=1)
     assert res["kept_versions"] == [2]
     assert _read_ids(spark, root) == list(range(6))
+
+
+def test_engine_txn_to_delta_sink_continuous_export(spark, tmp_path):
+    """The engine→lakehouse EXPORT loop: an engine txn table streams
+    through the txn_table source into delta_streaming_sink — new
+    engine commits tail incrementally into the external Delta table
+    through one checkpoint, exactly once."""
+    from django_datastream_spark import txnlog as TL
+    from django_datastream_spark.sources import txn_stream
+
+    src = str(tmp_path / "engine")
+    TL.txn_append(spark, _batch(spark, range(6)), src, [])
+    txn_stream.register(spark)
+    dest = str(tmp_path / "delta")
+
+    def _run(cp):
+        q = (
+            spark.readStream.format("txn_table")
+            .option("path", src)
+            .load()
+            .writeStream.foreachBatch(
+                DL.delta_streaming_sink(dest, "export-app")
+            )
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    cp = str(tmp_path / "cp")
+    _run(cp)
+    assert _read_ids(spark, dest) == list(range(6))
+    # a NEW engine commit tails through the same checkpoint
+    TL.txn_append(spark, _batch(spark, [50, 51]), src, [])
+    _run(cp)
+    assert _read_ids(spark, dest) == list(range(6)) + [50, 51]
+    # worst-case redelivery: fresh stream checkpoint, ledger refuses
+    _run(str(tmp_path / "cp2"))
+    assert _read_ids(spark, dest) == list(range(6)) + [50, 51]

@@ -305,3 +305,55 @@ def test_expire_snapshots_and_absolute_stream_offsets(spark, tmp_path):
         )
         if not q.awaitTermination(300):
             raise AssertionError("stream hung")
+
+
+def test_iceberg_sink_retries_lost_metadata_cas(spark, tmp_path):
+    """The metadata version file is the commit point (Iceberg's
+    rename-without-overwrite): when a rival takes vN, the sink
+    re-folds on the winner's metadata and retries at vN+1 — the batch
+    lands once, on top of the winner's history."""
+    import shutil
+
+    root = str(tmp_path / "t")
+    sink = IB.iceberg_streaming_sink(root, "app-cas")
+    sink(_batch(spark, range(4)), 0)
+    # a rival writer publishes v2 first (a valid no-op commit: same
+    # content as v1 — what re-folding must tolerate)
+    meta = os.path.join(root, "metadata")
+    shutil.copyfile(
+        os.path.join(meta, "v1.metadata.json"),
+        os.path.join(meta, "v2.metadata.json"),
+    )
+    sink(_batch(spark, range(4, 6)), 1)
+    assert _read_ids(spark, root) == list(range(6))
+    assert sorted(IB._metadata_versions(root)) == [1, 2, 3]
+    assert IB.last_sink_batch(root, "app-cas") == 1
+
+
+def test_sinks_through_coordinated_logstore(spark, tmp_path):
+    """Both external sinks route their commit points through the
+    installed LogStore: under the coordinator-backed store (the S3
+    recipe), a Delta commit and an Iceberg metadata CAS both publish
+    and read back exactly."""
+    from django_datastream_spark import txnlog as TL
+    from django_datastream_spark.logstores import (
+        SqliteCoordinatedLogStore,
+    )
+    from django_datastream_spark.sources import delta as DL
+
+    prev = TL.set_log_store(
+        SqliteCoordinatedLogStore(str(tmp_path / "coord.db"))
+    )
+    try:
+        droot = str(tmp_path / "d")
+        DL.delta_streaming_sink(droot, "co-app")(_batch(spark, range(3)), 0)
+        assert sorted(
+            r["doc_id"] for r in DL.read_delta(spark, droot).collect()
+        ) == [0, 1, 2]
+        iroot = str(tmp_path / "i")
+        IB.iceberg_streaming_sink(iroot, "co-app")(
+            _batch(spark, range(3)), 0
+        )
+        assert _read_ids(spark, iroot) == [0, 1, 2]
+    finally:
+        TL.set_log_store(prev)
