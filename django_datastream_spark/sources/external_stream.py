@@ -29,9 +29,10 @@ pair with the engine's exactly-once txn sink, q161-style).
 
 Options: ``path`` (table root, required); Delta ``startingVersion``
 (default ``-1`` = from the beginning incl. commit 0; ``N`` = first
-batch begins at N+1; ``latest``); Iceberg ``startingSnapshot``
-(default from the beginning; a snapshot id = strictly after it;
-``latest``); ``ignoreChanges``.
+batch begins at N+1; ``latest``) or ``startingTimestamp`` (first
+commit at/after it; a future timestamp = only new commits); Iceberg
+``startingSnapshot`` (default from the beginning; a snapshot id =
+strictly after it; ``latest``); ``ignoreChanges``.
 
 CHANGE DATA FEED mode (Delta): ``.option("readChangeFeed", "true")``
 streams the row-level change feed instead of the append feed — the
@@ -44,8 +45,8 @@ changes cannot be reconstructed; ``ignoreChanges`` does not apply —
 CDF is exact or it is an error). Mirrors the batch
 :func:`.delta.delta_cdf` contract.
 
-PACING: ``maxFilesPerTrigger`` (Delta, counts the batch's data/cdc
-files) and ``maxSnapshotsPerTrigger`` (Iceberg — the offset is a
+PACING: ``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` (Delta,
+counting the batch's data/cdc files or their logged sizes) and ``maxSnapshotsPerTrigger`` (Iceberg — the offset is a
 lineage position, so a snapshot is the finest admissible unit) bound
 each micro-batch, always admitting at least one commit/snapshot. The
 Python DataSource API has no admission-control handshake
@@ -167,9 +168,29 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("delta_table requires .option('path', ...)")
         sv = options.get(
-            "startingVersion", options.get("startingversion", "-1")
+            "startingVersion", options.get("startingversion")
         )
-        if str(sv).lower() == "latest":
+        st = options.get(
+            "startingTimestamp", options.get("startingtimestamp")
+        )
+        if sv is not None and st is not None:
+            raise ValueError(
+                "pass startingVersion OR startingTimestamp, not both"
+            )
+        if st is not None:
+            # first batch starts at the first commit AT/after the
+            # timestamp (Delta's startingTimestamp contract)
+            vs = sorted(DL._commit_versions(self.path))
+            after = [
+                v for v in vs
+                if DL._commit_timestamp_ms(self.path, v) >= int(st)
+            ]
+            self.start_v = (after[0] - 1) if after else (
+                vs[-1] if vs else -1
+            )
+        elif sv is None:
+            self.start_v = -1
+        elif str(sv).lower() == "latest":
             vs = DL._commit_versions(self.path)
             self.start_v = max(vs) if vs else -1
         else:
@@ -186,13 +207,19 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         self.max_files = int(mft) if mft is not None else None
         if self.max_files is not None and self.max_files < 1:
             raise ValueError("maxFilesPerTrigger must be >= 1")
+        mbt = options.get(
+            "maxBytesPerTrigger", options.get("maxbytespertrigger")
+        )
+        self.max_bytes = int(mbt) if mbt is not None else None
+        if self.max_bytes is not None and self.max_bytes < 1:
+            raise ValueError("maxBytesPerTrigger must be >= 1")
         # pacing cursor: the stream's current position. On a RESTART,
         # Spark reconstructs the offset log's last batch through
         # partitions(start, end) BEFORE the next latestOffset, so the
         # cursor is always set by then; a None cursor in latestOffset
         # can only mean a FRESH stream, whose position is start_v.
         self._cursor: int | None = None
-        self._counts: dict[int, int] = {}
+        self._counts: dict[int, tuple[int, int]] = {}
         self.schema = schema
 
     def initialOffset(self) -> dict:
@@ -213,29 +240,32 @@ class DeltaTableStreamReader(DataSourceStreamReader):
                     out.append(json.loads(line))
         return out
 
-    def _file_count(self, v: int) -> int:
-        """Files a commit would contribute to a micro-batch (data-
-        changing adds; in CDF mode the cdc files supersede the adds),
-        for admission control only — gaps count 0 and fail later in
-        partitions with the real message."""
+    def _commit_load(self, v: int) -> tuple[int, int]:
+        """(files, bytes) a commit would contribute to a micro-batch
+        (data-changing adds; in CDF mode the cdc files supersede the
+        adds), for admission control only — gaps count 0 and fail
+        later in partitions with the real message."""
         if v in self._counts:
             return self._counts[v]
         try:
             actions = self._commit_actions(v)
         except FileNotFoundError:
-            return 0
-        adds = sum(
-            1
+            return (0, 0)
+        adds = [
+            a["add"]
             for a in actions
             if "add" in a and a["add"].get("dataChange", True)
-        )
+        ]
+        picked: list[dict] = adds
         if self.cdf:
-            cdc = sum(1 for a in actions if "cdc" in a)
-            n = cdc if cdc else adds
-        else:
-            n = adds
-        self._counts[v] = n
-        return n
+            cdc = [a["cdc"] for a in actions if "cdc" in a]
+            picked = cdc if cdc else adds
+        load = (
+            len(picked),
+            sum(int(p.get("size") or 0) for p in picked),
+        )
+        self._counts[v] = load
+        return load
 
     def latestOffset(self) -> dict:
         from . import delta as DL
@@ -243,14 +273,24 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         vs = DL._commit_versions(self.path)
         head = max(vs) if vs else self.start_v
         cursor = self.start_v if self._cursor is None else self._cursor
-        if self.max_files is None or cursor >= head:
+        if (
+            self.max_files is None and self.max_bytes is None
+        ) or cursor >= head:
             return {"v": head}
-        end, taken = cursor, 0
+        end, taken_f, taken_b = cursor, 0, 0
         for v in range(cursor + 1, head + 1):
-            n = self._file_count(v)
-            if end > cursor and taken + n > self.max_files:
+            n_f, n_b = self._commit_load(v)
+            over = (
+                self.max_files is not None
+                and taken_f + n_f > self.max_files
+            ) or (
+                self.max_bytes is not None
+                and taken_b + n_b > self.max_bytes
+            )
+            if end > cursor and over:
                 break
-            taken += n
+            taken_f += n_f
+            taken_b += n_b
             end = v
         return {"v": end}
 

@@ -2075,3 +2075,47 @@ def expire_snapshots(root: str, keep_snapshots: int = 1) -> dict:
         atomic_new=True,  # a racing commit surfaces, never clobbers
     )
     return {"expired": len(drop), "removed_files": removed}
+
+
+def remove_orphan_files(root: str) -> dict:
+    """Iceberg's removeOrphanFiles: delete files under ``data/`` that
+    NO snapshot references — the debris of crashed writers (a sink
+    that died between the data move and the metadata CAS, a lost-race
+    replica whose cleanup was interrupted). Metadata-plane walk only;
+    never touches ``metadata/`` or anything a snapshot (current or
+    historical) still names, so time travel is unaffected."""
+    md = iceberg_metadata(root)
+    referenced: set = set()
+    for s in md.get("snapshots", []):
+        mlist = os.path.normpath(_resolve(root, md, s["manifest-list"]))
+        referenced.add(mlist)
+        _s, mans = AV.read_container_file(mlist)
+        for mf in mans:
+            mp = os.path.normpath(
+                _resolve(root, md, mf["manifest_path"])
+            )
+            referenced.add(mp)
+            _s2, entries = AV.read_container_file(mp)
+            for e in entries:
+                referenced.add(
+                    os.path.normpath(
+                        _resolve(root, md, e["data_file"]["file_path"])
+                    )
+                )
+    data_dir = os.path.join(root, "data")
+    removed = 0
+    if os.path.isdir(data_dir):
+        for dirpath, _dirs, files in os.walk(data_dir):
+            for fn in files:
+                full = os.path.normpath(os.path.join(dirpath, fn))
+                if full not in referenced:
+                    os.remove(full)
+                    removed += 1
+    # leftover staging dirs from crashed writes
+    import shutil
+
+    for n in os.listdir(root):
+        if n.startswith("_staging_"):
+            shutil.rmtree(os.path.join(root, n), ignore_errors=True)
+            removed += 1
+    return {"removed": removed}

@@ -392,3 +392,59 @@ def test_iceberg_stream_paced(spark, tmp_path):
         [(i, s1) for i in range(10)] + [(i, s2) for i in range(10, 15)]
     )
     assert _offset_versions(cp, "n") == [(0, 1), (1, 2)]
+
+
+def test_delta_stream_starting_timestamp_and_byte_pacing(spark, tmp_path):
+    """startingTimestamp begins at the first commit AT/after the pin
+    (a future pin = only commits that arrive later), and
+    maxBytesPerTrigger paces on the adds' logged sizes."""
+    import pyarrow.parquet as pq
+
+    from tests.test_delta import _PROTO, _meta, _write_data
+
+    table = str(tmp_path / "t")
+
+    def _sized_add(rel, ts):
+        return {"add": {"path": rel, "partitionValues": {},
+                        "size": os.path.getsize(os.path.join(table, rel)),
+                        "modificationTime": ts, "dataChange": True}}
+
+    _write_data(table, "f0.parquet", [0, 1])
+    DL.write_delta_commit(
+        table, 0, [_PROTO, _meta(partitioned=False),
+                   {"commitInfo": {"timestamp": 1000}},
+                   _sized_add("f0.parquet", 1000)],
+    )
+    for v, ids, ts in ((1, [2, 3], 2000), (2, [4, 5], 3000)):
+        rel = f"f{v}.parquet"
+        _write_data(table, rel, ids)
+        DL.write_delta_commit(
+            table, v,
+            [{"commitInfo": {"timestamp": ts}}, _sized_add(rel, ts)],
+        )
+    XS.register(spark)
+    # starting at ts=2000: commits 1 and 2 only
+    cp, out = str(tmp_path / "cp"), str(tmp_path / "out")
+    got = _drain(
+        spark, "delta_table", table, cp, out, startingTimestamp="2000"
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == [2, 3, 4, 5]
+    # byte pacing: budget of one file's size → one commit per batch
+    one = os.path.getsize(os.path.join(table, "f0.parquet"))
+    cp2, out2 = str(tmp_path / "cp2"), str(tmp_path / "out2")
+    q = (
+        spark.readStream.format("delta_table")
+        .option("path", table)
+        .option("maxBytesPerTrigger", str(one))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", cp2)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.parquet(out2).count() == 6
+    assert _offset_versions(cp2, "v") == [(0, 0), (1, 1), (2, 2)]

@@ -357,3 +357,29 @@ def test_sinks_through_coordinated_logstore(spark, tmp_path):
         assert _read_ids(spark, iroot) == [0, 1, 2]
     finally:
         TL.set_log_store(prev)
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """Crashed-writer debris (unreferenced data files, staging dirs)
+    is reclaimed; every referenced file — current AND historical —
+    survives, so time travel still reads."""
+    import glob
+
+    root = str(tmp_path / "t")
+    sink = IB.iceberg_streaming_sink(root, "app-or")
+    sink(_batch(spark, range(4)), 0)
+    sink(_batch(spark, range(4, 6)), 1)
+    # debris: an orphan data file + a leftover staging dir
+    with open(os.path.join(root, "data", "orphan.parquet"), "wb") as f:
+        f.write(b"not really parquet")
+    os.makedirs(os.path.join(root, "_staging_dead"), exist_ok=True)
+    res = IB.remove_orphan_files(root)
+    assert res["removed"] == 2
+    assert not os.path.exists(os.path.join(root, "data", "orphan.parquet"))
+    assert not glob.glob(os.path.join(root, "_staging_*"))
+    md = IB.iceberg_metadata(root)
+    chain = IB._lineage_chain(md, md["current-snapshot-id"])
+    assert _read_ids(spark, root) == list(range(6))
+    assert _read_ids(
+        spark, root, snapshot_id=chain[0]["snapshot-id"]
+    ) == list(range(4))
