@@ -1910,6 +1910,7 @@ def delta_streaming_sink(
     app_id: str,
     partition_by: list[str] | None = None,
     checkpoint_every: int | None = 10,
+    merge_schema: bool = False,
 ):
     """An EXACTLY-ONCE streaming sink writing an EXTERNAL Delta table
     — the write-side twin of ``readStream.format('delta_table')`` and
@@ -1958,6 +1959,7 @@ def delta_streaming_sink(
         except DeltaUnsupportedError:
             versions, cp0 = [], None  # fresh table: no _delta_log yet
         md = None
+        evolved_meta = None
         if versions or cp0 is not None:
             _v, md, _adds = delta_snapshot_arrow(root)
             table_parts = list(md.get("partitionColumns") or [])
@@ -1972,11 +1974,37 @@ def delta_streaming_sink(
             ]
             got = [(f.name, f.dataType) for f in df.schema.fields]
             if sorted(want) != sorted(got):
-                raise ValueError(
-                    f"{root}: batch schema {got} does not match the "
-                    f"table schema {want} (schema evolution is not "
-                    "part of the streaming sink contract)"
-                )
+                want_d = dict(want)
+                conflicts = [
+                    n for n, t in got
+                    if n in want_d and want_d[n] != t
+                ]
+                if conflicts or not merge_schema:
+                    raise ValueError(
+                        f"{root}: batch schema {got} does not match "
+                        f"the table schema {want}"
+                        + (
+                            f" (type conflicts on {conflicts})"
+                            if conflicts
+                            else " (additive evolution needs "
+                            "merge_schema=True)"
+                        )
+                    )
+                # additive evolution (Delta's mergeSchema): new batch
+                # columns APPEND to the table schema; a batch missing
+                # existing columns just writes files without them
+                # (the declared-schema read null-fills)
+                extra = [
+                    f for f in df.schema.fields if f.name not in want_d
+                ]
+                if extra:
+                    evolved = StructType(
+                        delta_schema(md).fields + extra
+                    )
+                    evolved_meta = dict(md)
+                    evolved_meta["schemaString"] = json.dumps(
+                        evolved.jsonValue()
+                    )
             if last_txn_versions(root).get(app_id, -1) >= batch_id:
                 return  # replayed batch: the ledger refuses it
         missing = [c for c in part_cols if c not in df.columns]
@@ -2032,6 +2060,8 @@ def delta_streaming_sink(
             )
 
         head_actions: list[dict] = []
+        if evolved_meta is not None:
+            head_actions = [{"metaData": evolved_meta}]
         if md is None:
             head_actions = [
                 {"protocol": {"minReaderVersion": 1,

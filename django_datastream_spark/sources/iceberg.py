@@ -1582,7 +1582,9 @@ def last_sink_batch(root: str, app_id: str) -> int:
     return best
 
 
-def iceberg_streaming_sink(root: str, app_id: str):
+def iceberg_streaming_sink(
+    root: str, app_id: str, merge_schema: bool = False
+):
     """An EXACTLY-ONCE streaming sink writing an EXTERNAL Iceberg
     table — :func:`..sources.delta.delta_streaming_sink`'s twin.
     Returns a ``foreachBatch`` callable.
@@ -1619,24 +1621,55 @@ def iceberg_streaming_sink(root: str, app_id: str):
         except IcebergUnsupportedError:
             pass
         name_to_id: dict[str, int] = {}
+        evolved_fields = None
         if md is not None:
             if last_sink_batch(root, app_id) >= batch_id:
                 return  # replayed batch: the ledger refuses it
+            existing_ice = _current_schema(md)["fields"]
+            name_to_id = {f["name"]: f["id"] for f in existing_ice}
             want = [
                 (f.name, f.dataType)
                 for f in iceberg_schema(md).fields
             ]
             got = [(f.name, f.dataType) for f in df.schema.fields]
             if sorted(want) != sorted(got):
-                raise ValueError(
-                    f"{root}: batch schema {got} does not match the "
-                    f"table schema {want} (schema evolution is not "
-                    "part of the streaming sink contract)"
+                want_d = dict(want)
+                conflicts = [
+                    n for n, t in got
+                    if n in want_d and want_d[n] != t
+                ]
+                if conflicts or not merge_schema:
+                    raise ValueError(
+                        f"{root}: batch schema {got} does not match "
+                        f"the table schema {want}"
+                        + (
+                            f" (type conflicts on {conflicts})"
+                            if conflicts
+                            else " (additive evolution needs "
+                            "merge_schema=True)"
+                        )
+                    )
+                # additive evolution: new columns get FRESH field ids
+                # (a column keeps its id forever — the spec's rule),
+                # appended as a NEW schema entry; old files read back
+                # null-filled for them
+                new = T.StructType(
+                    [
+                        f for f in df.schema.fields
+                        if f.name not in want_d
+                    ]
                 )
-            name_to_id = {
-                f["name"]: f["id"] for f in _current_schema(md)["fields"]
-            }
-        fields = _spark_fields_to_ice(df.schema, name_to_id)
+                if len(new.fields):
+                    next_id = max(f["id"] for f in existing_ice) + 1
+                    new_ice = []
+                    for nf in _spark_fields_to_ice(new, {}):
+                        new_ice.append({**nf, "id": next_id})
+                        name_to_id[nf["name"]] = next_id
+                        next_id += 1
+                    evolved_fields = list(existing_ice) + new_ice
+            fields = evolved_fields or existing_ice
+        else:
+            fields = _spark_fields_to_ice(df.schema, name_to_id)
 
         # data: distributed write, renamed under data/
         staging = os.path.join(root, f"_staging_{_uuid.uuid4().hex}")
@@ -1741,6 +1774,17 @@ def iceberg_streaming_sink(root: str, app_id: str):
                     ]
                 ]
                 cur_schema_id = int(md.get("current-schema-id") or 0)
+                if evolved_fields is not None:
+                    keys = [
+                        json.dumps(x, sort_keys=True)
+                        for x in schemas_fields
+                    ]
+                    key = json.dumps(evolved_fields, sort_keys=True)
+                    if key in keys:
+                        cur_schema_id = keys.index(key)
+                    else:
+                        schemas_fields.append(evolved_fields)
+                        cur_schema_id = len(schemas_fields) - 1
 
             seq = last_seq + 1
             mlist_name = f"snap-{sid}.avro"

@@ -340,3 +340,35 @@ def test_engine_txn_to_delta_sink_continuous_export(spark, tmp_path):
     # worst-case redelivery: fresh stream checkpoint, ledger refuses
     _run(str(tmp_path / "cp2"))
     assert _read_ids(spark, dest) == list(range(6)) + [50, 51]
+
+
+def test_sink_merge_schema_evolution(spark, tmp_path):
+    """merge_schema=True: a new batch column APPENDS to the table
+    schema (old rows null-fill), a batch missing existing columns
+    still writes, and type conflicts always raise."""
+    root = str(tmp_path / "t")
+    DL.delta_streaming_sink(root, "ev-app")(_batch(spark, range(4)), 0)
+    plus = spark.createDataFrame(
+        [(10, 5.0, 0, "x"), (11, 5.5, 1, "y")],
+        "doc_id long, val double, part int, tag string",
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        DL.delta_streaming_sink(root, "ev-app")(plus, 1)
+    DL.delta_streaming_sink(root, "ev-app", merge_schema=True)(plus, 1)
+    got = DL.read_delta(spark, root)
+    assert [f.name for f in got.schema.fields] == [
+        "doc_id", "val", "part", "tag"
+    ]
+    rows = {r["doc_id"]: r["tag"] for r in got.collect()}
+    assert rows[10] == "x" and rows[0] is None
+    # a batch missing 'val' writes; reads null-fill it
+    sub = spark.createDataFrame(
+        [(20, 0, "z")], "doc_id long, part int, tag string"
+    )
+    DL.delta_streaming_sink(root, "ev-app", merge_schema=True)(sub, 2)
+    r20 = DL.read_delta(spark, root).filter("doc_id = 20").first()
+    assert r20["val"] is None and r20["tag"] == "z"
+    # type conflict refuses even under merge_schema
+    bad = spark.createDataFrame([(1, "s", 0)], "doc_id long, val string, part int")
+    with pytest.raises(ValueError, match="type conflicts"):
+        DL.delta_streaming_sink(root, "ev-app", merge_schema=True)(bad, 3)

@@ -383,3 +383,30 @@ def test_remove_orphan_files(spark, tmp_path):
     assert _read_ids(
         spark, root, snapshot_id=chain[0]["snapshot-id"]
     ) == list(range(4))
+
+
+def test_iceberg_sink_merge_schema_evolution(spark, tmp_path):
+    """merge_schema=True appends a NEW schema entry whose added
+    columns carry FRESH field ids (columns keep ids forever); old
+    files null-fill, time travel reads each era under the current
+    schema, and type conflicts always raise."""
+    root = str(tmp_path / "t")
+    IB.iceberg_streaming_sink(root, "ev-app")(_batch(spark, range(3)), 0)
+    plus = spark.createDataFrame(
+        [(10, 5.0, "x")], "doc_id long, val double, tag string"
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        IB.iceberg_streaming_sink(root, "ev-app")(plus, 1)
+    IB.iceberg_streaming_sink(root, "ev-app", merge_schema=True)(plus, 1)
+    md = IB.iceberg_metadata(root)
+    assert len(md["schemas"]) == 2
+    cur = IB._current_schema(md)["fields"]
+    assert [f["name"] for f in cur] == ["doc_id", "val", "tag"]
+    ids = {f["name"]: f["id"] for f in cur}
+    assert ids["tag"] == max(ids.values())  # fresh id, never reused
+    got = IB.read_iceberg(spark, root)
+    rows = {r["doc_id"]: r["tag"] for r in got.collect()}
+    assert rows[10] == "x" and rows[0] is None
+    bad = spark.createDataFrame([(1, "s")], "doc_id long, val string")
+    with pytest.raises(ValueError, match="type conflicts"):
+        IB.iceberg_streaming_sink(root, "ev-app", merge_schema=True)(bad, 2)
