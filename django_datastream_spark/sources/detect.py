@@ -1,0 +1,93 @@
+"""Format auto-detection: one entry point that opens ANY table this
+engine can read — its own transaction-log tables, external Delta and
+Iceberg trees, or a plain parquet directory — by looking at the
+layout markers each format defines (``_txn``, ``_delta_log``,
+``metadata/v*.metadata.json``). The detection order puts the engine's
+own log first: an adopted external table carries BOTH its original
+log and ``_txn``, and the txn view is the one the engine maintains
+(deletion vectors, later commits) after adoption."""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def detect_table_format(path: str) -> str:
+    """'txn' | 'delta' | 'iceberg' | 'parquet' (never guesses: a
+    directory with no marker and no parquet files raises)."""
+    from .. import txnlog as TL
+
+    if TL.is_txn_table(path):
+        return "txn"
+    if os.path.isdir(os.path.join(path, "_delta_log")):
+        return "delta"
+    meta = os.path.join(path, "metadata")
+    if os.path.isdir(meta) and any(
+        re.fullmatch(r"v\d+\.metadata\.json", n)
+        for n in os.listdir(meta)
+    ):
+        return "iceberg"
+    if os.path.isdir(path) and any(
+        n.endswith(".parquet")
+        for _d, _s, fs in os.walk(path)
+        for n in fs
+    ):
+        return "parquet"
+    raise ValueError(
+        f"{path}: no table here — expected a _txn, _delta_log, "
+        "metadata/v*.metadata.json marker or parquet files"
+    )
+
+
+def open_table(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    snapshot_id: int | None = None,
+    as_of_timestamp_ms: int | None = None,
+) -> DataFrame:
+    """Open ``path`` as a DataFrame whatever its format. Time-travel
+    pins pass through to the matching reader (``version`` for
+    txn/Delta, ``snapshot_id`` for Iceberg, ``as_of_timestamp_ms``
+    for any of the three); a pin the detected format cannot express
+    raises instead of being ignored."""
+    fmt = detect_table_format(path)
+    if fmt == "txn":
+        from .. import txnlog as TL
+
+        if snapshot_id is not None:
+            raise ValueError("snapshot_id is an Iceberg pin")
+        if as_of_timestamp_ms is not None:
+            raise ValueError(
+                "txn tables pin by version (the txn log records no "
+                "trustworthy wall-clock)"
+            )
+        return TL.txn_read(spark, path, version=version)
+    if fmt == "delta":
+        from . import delta as DL
+
+        if snapshot_id is not None:
+            raise ValueError("snapshot_id is an Iceberg pin")
+        return DL.read_delta(
+            spark, path, version=version,
+            timestamp_ms=as_of_timestamp_ms,
+        )
+    if fmt == "iceberg":
+        from . import iceberg as IB
+
+        if version is not None:
+            raise ValueError(
+                "version is a txn/Delta pin; Iceberg uses snapshot_id"
+            )
+        return IB.read_iceberg(
+            spark, path, snapshot_id=snapshot_id,
+            as_of_timestamp_ms=as_of_timestamp_ms,
+        )
+    if version is not None or snapshot_id is not None or (
+        as_of_timestamp_ms is not None
+    ):
+        raise ValueError("plain parquet has no versions to pin")
+    return spark.read.parquet(path)

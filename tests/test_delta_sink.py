@@ -372,3 +372,36 @@ def test_sink_merge_schema_evolution(spark, tmp_path):
     bad = spark.createDataFrame([(1, "s", 0)], "doc_id long, val string, part int")
     with pytest.raises(ValueError, match="type conflicts"):
         DL.delta_streaming_sink(root, "ev-app", merge_schema=True)(bad, 3)
+
+
+def test_sink_exactly_once_under_adversarial_replay_schedule(spark, tmp_path):
+    """Property (md5-deterministic schedule): any interleaving of
+    fresh batches and replays — including repeated and stale ones —
+    lands EXACTLY one copy of each batch, in both sinks."""
+    import hashlib
+
+    from django_datastream_spark.sources import iceberg as IB
+
+    droot = str(tmp_path / "d")
+    iroot = str(tmp_path / "i")
+    batches = {b: list(range(b * 10, b * 10 + 3)) for b in range(5)}
+    # schedule: after each fresh batch, replay a md5-chosen prefix
+    schedule = []
+    for b in range(5):
+        schedule.append(b)
+        h = hashlib.md5(f"replay:{b}".encode()).digest()
+        for k in range(h[0] % 3):
+            schedule.append(h[k + 1] % (b + 1))  # any already-sent id
+    for b in schedule:
+        df = _batch(spark, batches[b])
+        DL.delta_streaming_sink(droot, "adv")(df, b)
+        IB.iceberg_streaming_sink(iroot, "adv")(
+            df.drop("part"), b
+        )
+    want = sorted(i for ids in batches.values() for i in ids)
+    assert _read_ids(spark, droot) == want
+    assert sorted(
+        r["doc_id"] for r in IB.read_iceberg(spark, iroot).collect()
+    ) == want
+    assert DL.last_txn_versions(droot) == {"adv": 4}
+    assert IB.last_sink_batch(iroot, "adv") == 4
