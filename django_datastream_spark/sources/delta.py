@@ -1542,6 +1542,16 @@ def _hive_pv(rel: str, part_cols: list[str]) -> dict:
     return {c: found.get(c) for c in part_cols}
 
 
+def _pv_of(rel: str, part_cols: list[str]) -> dict:
+    """partitionValues for a file Spark's own writer staged: hive
+    dirs decoded, the null sentinel mapped back to a null value (the
+    spec stores null partition values as null, not the dir name)."""
+    return {
+        k: (None if v == "__HIVE_DEFAULT_PARTITION__" else v)
+        for k, v in _hive_pv(rel, part_cols).items()
+    }
+
+
 def publish_delta(
     spark: SparkSession, txn_root: str, checkpoint: bool = False
 ) -> dict:
@@ -2039,16 +2049,11 @@ def delta_streaming_sink(
             if st and st.get("rows") == 0:
                 os.remove(os.path.join(root, rel))
                 continue  # an empty task output: not a data file
-            pv = _hive_pv(rel, part_cols)
-            pv = {
-                k: (None if v == "__HIVE_DEFAULT_PARTITION__" else v)
-                for k, v in pv.items()
-            }
             adds.append(
                 {
                     "add": {
                         "path": rel.replace(os.sep, "/"),
-                        "partitionValues": pv,
+                        "partitionValues": _pv_of(rel, part_cols),
                         "size": os.path.getsize(
                             os.path.join(root, rel)
                         ),
@@ -2245,7 +2250,7 @@ def optimize_delta(
         actions.append(
             {"add": {
                 "path": rel.replace(os.sep, "/"),
-                "partitionValues": _hive_pv(rel, part_cols),
+                "partitionValues": _pv_of(rel, part_cols),
                 "size": os.path.getsize(os.path.join(root, rel)),
                 "modificationTime": now_ms,
                 "dataChange": False,

@@ -405,3 +405,29 @@ def test_sink_exactly_once_under_adversarial_replay_schedule(spark, tmp_path):
     ) == want
     assert DL.last_txn_versions(droot) == {"adv": 4}
     assert IB.last_sink_batch(iroot, "adv") == 4
+
+
+def test_sink_null_partition_values(spark, tmp_path):
+    """A null in a partition column lands as the hive sentinel dir
+    but its add records a NULL partitionValue (the spec's rule), and
+    the read restores the null — through the sink AND a later
+    OPTIMIZE rewrite."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(0, 0.0, 0), (1, 0.5, None), (2, 1.0, 1)],
+        "doc_id long, val double, part int",
+    )
+    DL.delta_streaming_sink(root, "np-app", partition_by=["part"])(df, 0)
+    _v, _md, adds = DL.delta_snapshot(root)
+    assert any(a["partitionValues"]["part"] is None for a in adds)
+    got = {
+        r["doc_id"]: r["part"]
+        for r in DL.read_delta(spark, root).collect()
+    }
+    assert got == {0: 0, 1: None, 2: 1}
+    DL.optimize_delta(spark, root, target_file_bytes=1 << 20)
+    got2 = {
+        r["doc_id"]: r["part"]
+        for r in DL.read_delta(spark, root).collect()
+    }
+    assert got2 == got
