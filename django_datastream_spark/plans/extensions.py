@@ -11566,6 +11566,85 @@ def q231(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Q233: ENGINE HISTORY → Delta CDF — publish_delta(change_data_feed)
+# ships _change_data for DV versions; any CDF consumer replays the
+# engine's exact row-level changes
+# --------------------------------------------------------------------------
+@_declare(
+    "q233_publish_cdf",
+    """
+    SELECT ver, ct, CAST(COUNT(*) AS BIGINT) n,
+           ROUND(SUM(val), 4) sum_val
+    FROM (
+      SELECT 0 ver, 'insert' ct, doc_id * 0.5 val
+      FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT 1, 'delete', doc_id * 0.5
+      FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0
+      UNION ALL
+      SELECT 2, 'update_preimage', doc_id * 0.5
+      FROM documents WHERE doc_id < 200 AND doc_id % 7 = 1
+        AND doc_id % 3 <> 0
+      UNION ALL
+      SELECT 2, 'update_postimage', doc_id * 0.5 + 500
+      FROM documents WHERE doc_id < 200 AND doc_id % 7 = 1
+        AND doc_id % 3 <> 0
+    ) GROUP BY ver, ct ORDER BY ver, ct
+    """,
+)
+def q233(spark, sf_dir):
+    """The CDC migration loop CLOSED: an engine history (append →
+    DV delete → DV update) publishes AS a Delta table WITH the change
+    feed — each row-rewriting version ships its _change_data file
+    (exact pre/post images recovered from the deletion vectors; no
+    cdc was ever 'recorded', the immutable log reconstructs it) — and
+    the standard delta_cdf read serves it, hash-matched against the
+    closed forms. A publish that dropped a change file, tagged the
+    wrong version, or leaked the DV'd adds into the feed breaks the
+    hash. (Builder runs txn commits + the publish; by-name exemption,
+    q219 family.)"""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from .. import txnlog as TL
+    from ..sources import delta as DLT
+
+    base = _os.path.join(
+        _tmp.gettempdir(),
+        "q233_" + _hl.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    root = _os.path.join(base, "table")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", (F.col("doc_id") * 0.5).alias("val"))
+    )
+    TL.txn_append(spark, docs, root, [])
+    TL.txn_delete(spark, root, F.col("doc_id") % 3 == 0)
+    TL.txn_update(
+        spark, root, F.col("doc_id") % 7 == 1,
+        {"val": F.col("val") + 500},
+    )
+    DLT.publish_delta(spark, root, change_data_feed=True)
+    feed = DLT.delta_cdf(spark, root, None)
+    return (
+        feed.groupBy(
+            F.col("_commit_version").cast("int").alias("ver"),
+            F.col("_change_type").alias("ct"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("val"), 4).alias("sum_val"),
+        )
+        .orderBy("ver", "ct")
+    )
+
+
+# --------------------------------------------------------------------------
 # Q232: Iceberg MAINTENANCE cycle — sink snapshots, OPTIMIZE as a
 # replace snapshot, expire to the horizon — reads stay hash-exact
 # --------------------------------------------------------------------------

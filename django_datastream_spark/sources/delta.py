@@ -1552,8 +1552,55 @@ def _pv_of(rel: str, part_cols: list[str]) -> dict:
     }
 
 
+def _export_change_data(
+    spark, txn_root: str, root: str, v: int, part_cols: list[str]
+) -> list[str]:
+    """One txn version's row-level changes as ``_change_data``
+    parquet shards (full row images + ``_change_type``, hive layout
+    matching the table, era schema so old shards read like old data
+    files). Exact for append/delete/update (deletion vectors make
+    before-images recoverable); merge re-emits surviving rows of
+    rewritten files as inserts — txn_changes' documented caveat."""
+    import shutil
+    import uuid as _uuid
+
+    from .. import txnlog as TL
+
+    ch = TL.txn_changes(
+        spark, txn_root, v - 1, v,
+        schema=TL.table_schema(txn_root, v),
+        change_types=True,
+    ).drop("_commit_version")
+    staging = os.path.join(root, f"_staging_{_uuid.uuid4().hex}")
+    rels: list[str] = []
+    try:
+        w = ch.write.mode("overwrite")
+        if part_cols:
+            w = w.partitionBy(*part_cols)
+        w.parquet(staging)
+        dest_base = os.path.join("_change_data", f"cdc-{v - 1}")
+        for dirpath, _d, files in os.walk(staging):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                rel_in = os.path.relpath(
+                    os.path.join(dirpath, fn), staging
+                )
+                rel = os.path.join(dest_base, rel_in)
+                dst = os.path.join(root, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(os.path.join(dirpath, fn), dst)
+                rels.append(rel)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return sorted(rels)
+
+
 def publish_delta(
-    spark: SparkSession, txn_root: str, checkpoint: bool = False
+    spark: SparkSession,
+    txn_root: str,
+    checkpoint: bool = False,
+    change_data_feed: bool = False,
 ) -> dict:
     """ZERO-COPY write-side interop (the :func:`..iceberg
     .publish_iceberg` twin and the inverse of :func:`adopt_delta`):
@@ -1659,7 +1706,11 @@ def publish_delta(
                         },
                         "schemaString": schema_json,
                         "partitionColumns": part_cols,
-                        "configuration": {},
+                        "configuration": (
+                            {"delta.enableChangeDataFeed": "true"}
+                            if change_data_feed
+                            else {}
+                        ),
                     }
                 }
             )
@@ -1736,6 +1787,23 @@ def publish_delta(
             if f in descs:
                 add["deletionVector"] = descs[f]
             acts.append({"add": add})
+        if change_data_feed and dc and (gone or dv_changed):
+            # a version that deletes/rewrites rows ships its EXACT
+            # change description — delta_cdf then serves these files
+            # instead of failing closed on the DV'd adds
+            for rel in _export_change_data(
+                spark, txn_root, root, v, part_cols
+            ):
+                acts.append(
+                    {"cdc": {
+                        "path": rel.replace(os.sep, "/"),
+                        "partitionValues": _pv_of(rel, part_cols),
+                        "size": os.path.getsize(
+                            os.path.join(root, rel)
+                        ),
+                        "dataChange": False,
+                    }}
+                )
         write_delta_commit(txn_root, v - 1, acts)
         done.append(v - 1)
         prev_live, prev_dv, prev_schema = live, dv_map, schema_json

@@ -132,7 +132,9 @@ def test_declaring_queries_runs_no_jobs(spark):
               # q231 streams the q219 fixture into the Iceberg sink
               "q231_iceberg_stream_sink",
               # q232 runs the Iceberg sink + optimize/expire cycle
-              "q232_iceberg_maintenance"}
+              "q232_iceberg_maintenance",
+              # q233 runs txn commits + the CDF publish
+              "q233_publish_cdf"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds

@@ -166,3 +166,48 @@ def test_publish_fails_closed_without_schema(spark, tmp_path):
     TL.commit(root, ["a.parquet"], [], "adopt", [], base_version=0)
     with pytest.raises(DL.DeltaUnsupportedError, match="schema"):
         DL.publish_delta(spark, root)
+
+
+def test_publish_with_change_data_feed(spark, tmp_path):
+    """publish_delta(change_data_feed=True) ships _change_data files
+    for every row-deleting/rewriting version, so delta_cdf serves the
+    ENGINE's exact row-level history (instead of failing closed on
+    the DV'd adds) — and it must agree with txn_changes
+    change-for-change."""
+    from django_datastream_spark import txnlog as TL
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i) * 0.5) for i in range(10)], "doc_id long, val double"
+    )
+    TL.txn_append(spark, df, root, [])                      # txn v1
+    TL.txn_delete(spark, root, F.col("doc_id") % 3 == 0)    # txn v2
+    TL.txn_update(                                          # txn v3
+        spark, root, F.col("doc_id") == 1, {"val": F.lit(100.0)}
+    )
+    DL.publish_delta(spark, root, change_data_feed=True)
+    md = DL.delta_snapshot(root)[1]
+    assert (md.get("configuration") or {}).get(
+        "delta.enableChangeDataFeed"
+    ) == "true"
+    feed = sorted(
+        (r["_commit_version"], r["_change_type"], r["doc_id"], r["val"])
+        for r in DL.delta_cdf(spark, root, None).collect()
+    )
+    want = sorted(
+        (r["_commit_version"] - 1, r["_change_type"], r["doc_id"], r["val"])
+        for r in TL.txn_changes(
+            spark, root, 0, change_types=True
+        ).collect()
+    )
+    assert feed == want
+    # spot-check semantics: v2 deletes exactly the %3 rows, v3 carries
+    # the update pre/post images
+    assert [(t, d) for v, t, d, _ in feed if v == 1] == [
+        ("delete", 0), ("delete", 3), ("delete", 6), ("delete", 9)
+    ]
+    v2 = sorted((t, d, x) for v, t, d, x in feed if v == 2)
+    assert v2 == [
+        ("update_postimage", 1, 100.0), ("update_preimage", 1, 0.5)
+    ]
