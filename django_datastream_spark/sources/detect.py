@@ -91,3 +91,36 @@ def open_table(
     ):
         raise ValueError("plain parquet has no versions to pin")
     return spark.read.parquet(path)
+
+
+def open_stream(spark: SparkSession, path: str, **options):
+    """The streaming twin of :func:`open_table`: a ``readStream``
+    DataFrame over ``path`` whatever its format — the engine's own
+    txn log (``txn_table``), external Delta (``delta_table``) or
+    Iceberg (``iceberg_table``), each registered on demand; extra
+    ``options`` pass through to the source (``ignoreChanges``,
+    ``maxFilesPerTrigger``, ``readChangeFeed``, ...). Plain parquet
+    directories raise — a bare directory has no commit protocol, so
+    nothing defines what 'new data' means (Spark's own file source
+    exists for that trade-off)."""
+    fmt = detect_table_format(path)
+    if fmt == "parquet":
+        raise ValueError(
+            f"{path}: plain parquet has no commit log to stream from "
+            "(use spark.readStream with Spark's file source, or adopt "
+            "the directory into a txn table)"
+        )
+    if fmt == "txn":
+        from . import txn_stream
+
+        txn_stream.register(spark)
+        name = "txn_table"
+    else:
+        from . import external_stream
+
+        external_stream.register(spark)
+        name = f"{fmt}_table"
+    r = spark.readStream.format(name).option("path", path)
+    for k, v in options.items():
+        r = r.option(k, str(v))
+    return r.load()

@@ -74,3 +74,42 @@ def test_open_table_rejects_wrong_pins(spark, tmp_path):
     _df(spark, range(2)).write.parquet(p)
     with pytest.raises(ValueError, match="no versions"):
         DT.open_table(spark, p, version=1)
+
+
+def test_open_stream_all_formats(spark, tmp_path):
+    def _drain(df, cp, out):
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        return spark.read.parquet(out)
+
+    t = str(tmp_path / "t")
+    TL.txn_append(spark, _df(spark, range(3)), t, [])
+    got = _drain(
+        DT.open_stream(spark, t),
+        str(tmp_path / "tc"), str(tmp_path / "to"),
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == [0, 1, 2]
+    d = str(tmp_path / "d")
+    DL.delta_streaming_sink(d, "a")(_df(spark, range(2)), 0)
+    got = _drain(
+        DT.open_stream(spark, d, maxFilesPerTrigger=5),
+        str(tmp_path / "dc"), str(tmp_path / "do"),
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == [0, 1]
+    i = str(tmp_path / "i")
+    IB.iceberg_streaming_sink(i, "a")(_df(spark, range(2)), 0)
+    got = _drain(
+        DT.open_stream(spark, i),
+        str(tmp_path / "ic"), str(tmp_path / "io"),
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == [0, 1]
+    p = str(tmp_path / "p")
+    _df(spark, range(2)).write.parquet(p)
+    with pytest.raises(ValueError, match="no commit log"):
+        DT.open_stream(spark, p)
