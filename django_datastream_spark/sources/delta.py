@@ -1334,10 +1334,25 @@ def write_delta_commit(root: str, version: int, actions: list[dict]) -> None:
 
 
 def _fold_protocol(root: str, version: int) -> dict:
-    """The protocol in force at ``version``, folded from the JSON
-    commits (last protocol action wins; default 1/2 if none)."""
+    """The protocol in force at ``version``: the newest checkpoint's
+    protocol row (a cleaned log may hold the ONLY copy of a feature
+    upgrade — re-deriving from surviving JSON commits would silently
+    downgrade a DV table to 1/2) + the JSON tail, last action wins."""
     proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+    lo = 0
+    cp = _last_checkpoint_version(root, version)
+    if cp is not None:
+        cp_proto, _m, _a = _fold_checkpoint_arrow(
+            _checkpoint_parts(root, cp)
+        )
+        if cp_proto:
+            proto = {
+                k: v for k, v in cp_proto.items() if v is not None
+            }
+        lo = cp + 1
     for v in sorted(_commit_versions(root)):
+        if v < lo:
+            continue
         if v > version:
             break
         try:
@@ -1578,22 +1593,13 @@ def _export_change_data(
         if part_cols:
             w = w.partitionBy(*part_cols)
         w.parquet(staging)
-        dest_base = os.path.join("_change_data", f"cdc-{v - 1}")
-        for dirpath, _d, files in os.walk(staging):
-            for fn in files:
-                if not fn.endswith(".parquet"):
-                    continue
-                rel_in = os.path.relpath(
-                    os.path.join(dirpath, fn), staging
-                )
-                rel = os.path.join(dest_base, rel_in)
-                dst = os.path.join(root, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.replace(os.path.join(dirpath, fn), dst)
-                rels.append(rel)
+        rels = _move_staged_parquet(
+            staging, root,
+            dest_base=os.path.join("_change_data", f"cdc-{v - 1}"),
+        )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
-    return sorted(rels)
+    return rels
 
 
 def publish_delta(
@@ -2095,17 +2101,7 @@ def delta_streaming_sink(
             if part_cols:
                 w = w.partitionBy(*part_cols)
             w.parquet(staging)
-            rels = []
-            for dirpath, _dirs, files in os.walk(staging):
-                for fn in files:
-                    if not fn.endswith(".parquet"):
-                        continue
-                    src = os.path.join(dirpath, fn)
-                    rel = os.path.relpath(src, staging)
-                    dst = os.path.join(root, rel)
-                    os.makedirs(os.path.dirname(dst), exist_ok=True)
-                    os.replace(src, dst)
-                    rels.append(rel)
+            rels = _move_staged_parquet(staging, root)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
@@ -2197,22 +2193,28 @@ def delta_streaming_sink(
 # maintenance for Delta tables this engine writes: OPTIMIZE / VACUUM /
 # log cleanup — the small-file story for streaming-sink tables
 # ---------------------------------------------------------------------------
-def _move_staged_parquet(staging: str, root: str) -> list[str]:
-    """Rename Spark's staged parquet output into the table root,
-    preserving hive dirs; returns the table-relative paths. Same
-    filesystem, so these are renames, not copies."""
+def _move_staged_parquet(
+    staging: str, root: str, dest_base: str = ""
+) -> list[str]:
+    """Rename Spark's staged parquet output into the table root
+    (under ``dest_base`` if given), preserving hive dirs; returns the
+    table-relative paths. Same filesystem, so these are renames, not
+    copies. The ONE copy of this loop — sink, OPTIMIZE and CDF export
+    all route through it."""
     rels = []
     for dirpath, _dirs, files in os.walk(staging):
         for fn in files:
             if not fn.endswith(".parquet"):
                 continue
             src = os.path.join(dirpath, fn)
-            rel = os.path.relpath(src, staging)
+            rel = os.path.join(
+                dest_base, os.path.relpath(src, staging)
+            )
             dst = os.path.join(root, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.replace(src, dst)
             rels.append(rel)
-    return rels
+    return sorted(rels)
 
 
 def optimize_delta(
@@ -2325,10 +2327,14 @@ def optimize_delta(
                 "stats": _delta_stats_json(st),
             }}
         )
-    head = max(delta_versions(root))
-    write_delta_commit(root, head + 1, actions)
+    # commit at the FOLDED version + 1: a rival commit during the
+    # rewrite job (a DV delete on a candidate, a second optimize)
+    # then surfaces as FileExistsError instead of silently landing on
+    # top of state the rewrite never saw — and the fold's version is
+    # checkpoint-aware, so a cleaned JSON log still optimizes
+    write_delta_commit(root, _v + 1, actions)
     return {
-        "version": head + 1,
+        "version": _v + 1,
         "rewritten_files": len(cand),
         "new_files": len(kept),
         "bytes_before": total,
@@ -2374,11 +2380,14 @@ def vacuum_delta(root: str, keep_versions: int = 1) -> dict:
     removed = []
     for dirpath, dirs, files in os.walk(root, topdown=True):
         rel_dir = os.path.relpath(dirpath, root)
-        if rel_dir.split(os.sep)[0] in ("_delta_log", "_change_data"):
-            dirs[:] = []
+        top = rel_dir.split(os.sep)[0]
+        if top in ("_delta_log", "_change_data") or top.startswith(
+            "_staging_"
+        ):
+            dirs[:] = []  # a live writer may be staging here
             continue
         for fn in files:
-            if fn.startswith("_staging_") or fn.startswith("."):
+            if fn.startswith("."):
                 continue
             rel = os.path.normpath(
                 os.path.join("" if rel_dir == "." else rel_dir, fn)

@@ -1557,21 +1557,24 @@ def publish_iceberg(
 # ---------------------------------------------------------------------------
 # write-side interop: idempotent STREAMING writer (snapshot summary)
 # ---------------------------------------------------------------------------
-def last_sink_batch(root: str, app_id: str) -> int:
-    """The Iceberg sink's idempotence ledger: the largest batch id a
-    lineage snapshot's summary records for ``app_id`` (-1 = none).
-    Snapshot summary properties are where Iceberg engines keep
-    exactly this bookkeeping (Flink's checkpoint id, Spark's epoch);
-    the ledger lives in the metadata JSON, so reading it costs no
-    manifest decode."""
+def _ledger_from_md(md: dict, app_id: str) -> int:
+    """Largest batch id recorded for ``app_id`` in this metadata:
+    lineage snapshot summaries, floored by the
+    ``engine.sink-ledger.<app>`` table property that
+    :func:`expire_snapshots` folds expired summaries into (so the
+    ledger survives expiring the sink's own snapshots)."""
+    best = -1
     try:
-        md = iceberg_metadata(root)
-    except IcebergUnsupportedError:
-        return -1
+        best = int(
+            (md.get("properties") or {}).get(
+                f"engine.sink-ledger.{app_id}", -1
+            )
+        )
+    except (TypeError, ValueError):
+        pass
     cur = md.get("current-snapshot-id")
     if cur is None or not md.get("snapshots"):
-        return -1
-    best = -1
+        return best
     for s in _lineage_chain(md, cur):
         summ = s.get("summary") or {}
         if summ.get("engine-app-id") == app_id:
@@ -1580,6 +1583,21 @@ def last_sink_batch(root: str, app_id: str) -> int:
             except (KeyError, ValueError):
                 pass
     return best
+
+
+def last_sink_batch(root: str, app_id: str) -> int:
+    """The Iceberg sink's idempotence ledger: the largest batch id a
+    lineage snapshot's summary records for ``app_id`` (-1 = none).
+    Snapshot summary properties are where Iceberg engines keep
+    exactly this bookkeeping (Flink's checkpoint id, Spark's epoch);
+    the ledger lives in the metadata JSON, so reading it costs no
+    manifest decode — and it survives snapshot expiry through the
+    ``engine.sink-ledger.<app>`` table property."""
+    try:
+        md = iceberg_metadata(root)
+    except IcebergUnsupportedError:
+        return -1
+    return _ledger_from_md(md, app_id)
 
 
 def iceberg_streaming_sink(
@@ -1615,15 +1633,19 @@ def iceberg_streaming_sink(
 
         from . import avro_lite as AV
 
-        md = None
+        md, cur_v = None, None
         try:
-            md = iceberg_metadata(root)
+            vs_now = _metadata_versions(root)
+            if vs_now:
+                cur_v = vs_now[-1]
+                md = iceberg_metadata(root, version=cur_v)
         except IcebergUnsupportedError:
             pass
+        creating = md is None
         name_to_id: dict[str, int] = {}
         evolved_fields = None
         if md is not None:
-            if last_sink_batch(root, app_id) >= batch_id:
+            if _ledger_from_md(md, app_id) >= batch_id:
                 return  # replayed batch: the ledger refuses it
             existing_ice = _current_schema(md)["fields"]
             name_to_id = {f["name"]: f["id"] for f in existing_ice}
@@ -1709,11 +1731,17 @@ def iceberg_streaming_sink(
             )
             | 1
         )
-        man_name = f"sink-{_uuid.uuid4().hex[:12]}.avro"
+        token = _uuid.uuid4().hex[:12]
+        man_name = f"sink-{token}.avro"
         write_manifest(
             root, man_name, [(1, r) for r in rels], sid,
             schema_fields=fields,
         )
+        # WRITER-unique manifest-list name: two replicas of the same
+        # batch share the deterministic sid, and a shared name would
+        # let the LOSER overwrite the winner's committed manifest
+        # list before its CAS fails
+        mlist_name = f"snap-{sid}-{token}.avro"
 
         # commit loop: build the post-append view from the CURRENT
         # metadata and CAS the next version file; losing the race
@@ -1787,7 +1815,6 @@ def iceberg_streaming_sink(
                         cur_schema_id = len(schemas_fields) - 1
 
             seq = last_seq + 1
-            mlist_name = f"snap-{sid}.avro"
             write_manifest_list(
                 root, mlist_name,
                 carried + [(man_name, sid, 0, seq)], sid,
@@ -1812,7 +1839,11 @@ def iceberg_streaming_sink(
                     },
                 }
             )
-            next_v = (_metadata_versions(root) or [0])[-1] + 1
+            # pin the CAS to the metadata we actually READ: a rival
+            # landing between the read and a fresh listing would
+            # otherwise be silently erased from our rebuilt snapshot
+            # list (the listing would hand us rival_v + 1)
+            next_v = (cur_v or 0) + 1
             try:
                 write_metadata(
                     root,
@@ -1828,18 +1859,30 @@ def iceberg_streaming_sink(
                 )
                 return
             except FileExistsError:
-                md = iceberg_metadata(root)
-                if last_sink_batch(root, app_id) >= batch_id:
+                cur_v = _metadata_versions(root)[-1]
+                md = iceberg_metadata(root, version=cur_v)
+                if _ledger_from_md(md, app_id) >= batch_id:
                     # a replica landed THIS batch first: orphan our
-                    # duplicate data files + manifest
+                    # duplicate data files, manifest and manifest list
                     for r in rels:
                         p = os.path.join(root, r)
                         if os.path.exists(p):
                             os.remove(p)
-                    mp = os.path.join(_meta_dir(root), man_name)
-                    if os.path.exists(mp):
-                        os.remove(mp)
+                    for n in (man_name, mlist_name):
+                        mp = os.path.join(_meta_dir(root), n)
+                        if os.path.exists(mp):
+                            os.remove(mp)
                     return
+                if creating:
+                    # someone else CREATED the table under us — our
+                    # manifest's field ids were assigned blind to the
+                    # winner's schema; fail the batch (Spark retries
+                    # it through the existing-table path, which
+                    # validates schemas and reuses the table's ids)
+                    raise ValueError(
+                        f"{root}: table created concurrently — "
+                        "retry the batch against the existing table"
+                    ) from None
         raise RuntimeError(
             f"{root}: could not commit batch {batch_id} after 64 "
             "attempts (livelocked on concurrent writers)"
@@ -1877,7 +1920,15 @@ def optimize_iceberg(
     import time as _time
     import uuid as _uuid
 
-    md, data, dels = _snapshot_files(root, spark=spark)
+    # list the version FIRST, then fold from exactly that metadata:
+    # the commit below pins its CAS to cur_v + 1, so a rival landing
+    # during the (long) rewrite job surfaces as FileExistsError
+    # instead of being erased from a fresher listing
+    cur_v = _metadata_versions(root)[-1]
+    md = iceberg_metadata(root, version=cur_v)
+    _md2, data, dels = _snapshot_files(
+        root, md.get("current-snapshot-id"), spark=spark
+    )
     if dels:
         raise IcebergUnsupportedError(
             "live merge-on-read delete files — compaction under them "
@@ -1997,7 +2048,7 @@ def optimize_iceberg(
     schemas_fields = [
         s["fields"] for s in md.get("schemas") or [{"fields": fields}]
     ]
-    next_v = (_metadata_versions(root) or [0])[-1] + 1
+    next_v = cur_v + 1
     write_metadata(
         root,
         next_v,
@@ -2036,7 +2087,8 @@ def expire_snapshots(root: str, keep_snapshots: int = 1) -> dict:
     before the horizon raises instead of silently re-reading different
     history. Time travel to expired snapshots raises (their manifest
     lists are gone)."""
-    md = iceberg_metadata(root)
+    cur_v = _metadata_versions(root)[-1]
+    md = iceberg_metadata(root, version=cur_v)
     cur = md.get("current-snapshot-id")
     if cur is None or not md.get("snapshots"):
         return {"expired": 0, "removed_files": 0}
@@ -2086,6 +2138,27 @@ def expire_snapshots(root: str, keep_snapshots: int = 1) -> dict:
     props["engine.expired-positions"] = str(
         int(props.get("engine.expired-positions", 0)) + n_expired
     )
+    # fold the streaming sink's summary ledger into table properties
+    # BEFORE the carrying snapshots go away — otherwise expiring past
+    # the sink's last snapshot would reset its idempotence watermark
+    # and a rebuilt stream checkpoint would re-apply every batch
+    apps: dict[str, int] = {}
+    for sn in chain:
+        summ = sn.get("summary") or {}
+        app = summ.get("engine-app-id")
+        if app is not None:
+            try:
+                b = int(summ["engine-batch-id"])
+            except (KeyError, ValueError):
+                continue
+            apps[app] = max(apps.get(app, -1), b)
+    for app, b in apps.items():
+        key = f"engine.sink-ledger.{app}"
+        try:
+            prev = int(props.get(key, -1))
+        except (TypeError, ValueError):
+            prev = -1
+        props[key] = str(max(prev, b))
     snapshots = []
     for i, s in enumerate(keep):
         summ = dict(s.get("summary") or {})
@@ -2105,7 +2178,7 @@ def expire_snapshots(root: str, keep_snapshots: int = 1) -> dict:
     schemas_fields = [
         s["fields"] for s in md.get("schemas") or [{"fields": fields}]
     ]
-    next_v = (_metadata_versions(root) or [0])[-1] + 1
+    next_v = cur_v + 1
     write_metadata(
         root,
         next_v,
@@ -2121,7 +2194,7 @@ def expire_snapshots(root: str, keep_snapshots: int = 1) -> dict:
     return {"expired": len(drop), "removed_files": removed}
 
 
-def remove_orphan_files(root: str) -> dict:
+def remove_orphan_files(root: str, staging_grace_s: int = 3600) -> dict:
     """Iceberg's removeOrphanFiles: delete files under ``data/`` that
     NO snapshot references — the debris of crashed writers (a sink
     that died between the data move and the metadata CAS, a lost-race
@@ -2155,11 +2228,16 @@ def remove_orphan_files(root: str) -> dict:
                 if full not in referenced:
                     os.remove(full)
                     removed += 1
-    # leftover staging dirs from crashed writes
+    # leftover staging dirs from crashed writes — but NEVER one a
+    # live sink batch may still be writing into: only dirs untouched
+    # for ``staging_grace_s`` qualify as debris
     import shutil
+    import time as _time
 
+    cutoff = _time.time() - staging_grace_s
     for n in os.listdir(root):
-        if n.startswith("_staging_"):
-            shutil.rmtree(os.path.join(root, n), ignore_errors=True)
+        full = os.path.join(root, n)
+        if n.startswith("_staging_") and os.path.getmtime(full) < cutoff:
+            shutil.rmtree(full, ignore_errors=True)
             removed += 1
     return {"removed": removed}

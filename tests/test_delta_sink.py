@@ -431,3 +431,58 @@ def test_sink_null_partition_values(spark, tmp_path):
         for r in DL.read_delta(spark, root).collect()
     }
     assert got2 == got
+
+
+def test_optimize_after_log_cleanup_and_vacuum_spares_staging(spark, tmp_path):
+    """optimize_delta on a CLEANED log commits at the checkpoint-aware
+    folded version + 1 (a json-only head listing crashed here), the
+    rewritten checkpoint still carries the folded protocol, and
+    vacuum never descends into a live writer's _staging_ subtree."""
+    root = str(tmp_path / "t")
+    sink = DL.delta_streaming_sink(root, "oc-app", checkpoint_every=None)
+    for b in range(3):
+        sink(_batch(spark, range(b * 2, b * 2 + 2)), b)
+    DL.write_delta_checkpoint(root, max(DL.delta_versions(root)))
+    DL.cleanup_delta_log(root)
+    res = DL.optimize_delta(spark, root, target_file_bytes=1 << 20)
+    assert not res["skipped"] and res["version"] == 3
+    assert _read_ids(spark, root) == list(range(6))
+    # a live writer's staged (unreferenced) file survives vacuum
+    staged = os.path.join(root, "_staging_live", "part=0")
+    os.makedirs(staged, exist_ok=True)
+    with open(os.path.join(staged, "f.parquet"), "wb") as f:
+        f.write(b"mid-write")
+    DL.vacuum_delta(root, keep_versions=1)
+    assert os.path.exists(os.path.join(staged, "f.parquet"))
+    assert _read_ids(spark, root) == list(range(6))
+
+
+def test_checkpoint_protocol_survives_log_cleanup(spark, tmp_path):
+    """_fold_protocol starts from the checkpoint's protocol row: after
+    cleanup deletes the commit that carried the feature upgrade, a
+    LATER checkpoint must not downgrade a DV table to reader 1/2."""
+    import pyarrow.parquet as pq
+
+    from tests.test_delta import _add, _meta, _write_data
+
+    root = str(tmp_path / "t")
+    _write_data(root, "a.parquet", range(4))
+    DL.write_delta_commit(
+        root, 0,
+        [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["deletionVectors"],
+                       "writerFeatures": ["deletionVectors"]}},
+         _meta(partitioned=False), _add("a.parquet")],
+    )
+    DL.write_delta_checkpoint(root, 0)
+    DL.cleanup_delta_log(root)  # the protocol commit is GONE
+    _write_data(root, "b.parquet", [9])
+    DL.write_delta_commit(root, 1, [_add("b.parquet")])
+    DL.write_delta_checkpoint(root, 1)
+    cp = os.path.join(root, "_delta_log", f"{1:020d}.checkpoint.parquet")
+    protos = [
+        p for p in pq.read_table(cp, columns=["protocol"])
+        .column("protocol").to_pylist() if p
+    ]
+    assert protos[0]["minReaderVersion"] == 3
+    assert protos[0]["readerFeatures"] == ["deletionVectors"]

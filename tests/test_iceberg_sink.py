@@ -271,6 +271,11 @@ def test_expire_snapshots_and_absolute_stream_offsets(spark, tmp_path):
     md = IB.iceberg_metadata(root)
     assert len(md["snapshots"]) == 1
     assert md["properties"]["engine.expired-positions"] == "3"
+    # the sink's idempotence ledger survives expiring its snapshots
+    # (folded into the sink-ledger table property)
+    assert IB.last_sink_batch(root, "app-e") == 2
+    sink(_batch(spark, range(9)), 2)  # replay of batch 2: refused
+    assert _read_ids(spark, root) == list(range(9))
     assert _read_ids(spark, root) == list(range(9))
     assert len(
         glob.glob(os.path.join(root, "data", "*.parquet"))
@@ -307,26 +312,38 @@ def test_expire_snapshots_and_absolute_stream_offsets(spark, tmp_path):
             raise AssertionError("stream hung")
 
 
-def test_iceberg_sink_retries_lost_metadata_cas(spark, tmp_path):
+def test_iceberg_sink_retries_lost_metadata_cas(spark, tmp_path, monkeypatch):
     """The metadata version file is the commit point (Iceberg's
-    rename-without-overwrite): when a rival takes vN, the sink
-    re-folds on the winner's metadata and retries at vN+1 — the batch
-    lands once, on top of the winner's history."""
+    rename-without-overwrite): a rival landing BETWEEN our metadata
+    read and our CAS makes the CAS fail — the sink re-folds on the
+    winner's metadata (keeping the winner's snapshot!) and retries at
+    the next version; the batch lands once, on top of the winner's
+    history."""
     import shutil
 
     root = str(tmp_path / "t")
     sink = IB.iceberg_streaming_sink(root, "app-cas")
     sink(_batch(spark, range(4)), 0)
-    # a rival writer publishes v2 first (a valid no-op commit: same
-    # content as v1 — what re-folding must tolerate)
+    # the rival publishes v2 (a valid no-op commit: same content as
+    # v1); our sink's INITIAL listing raced ahead of it — simulate by
+    # hiding v2 from the first listing only
     meta = os.path.join(root, "metadata")
     shutil.copyfile(
         os.path.join(meta, "v1.metadata.json"),
         os.path.join(meta, "v2.metadata.json"),
     )
-    sink(_batch(spark, range(4, 6)), 1)
+    real = IB._metadata_versions
+    calls = {"n": 0}
+
+    def flaky(r):
+        out = real(r)
+        calls["n"] += 1
+        return [v for v in out if v <= 1] if calls["n"] == 1 else out
+
+    monkeypatch.setattr(IB, "_metadata_versions", flaky)
+    sink(_batch(spark, range(4, 6)), 1)  # CAS at v2 fails -> retry v3
     assert _read_ids(spark, root) == list(range(6))
-    assert sorted(IB._metadata_versions(root)) == [1, 2, 3]
+    assert sorted(real(root)) == [1, 2, 3]
     assert IB.last_sink_batch(root, "app-cas") == 1
 
 
@@ -369,14 +386,20 @@ def test_remove_orphan_files(spark, tmp_path):
     sink = IB.iceberg_streaming_sink(root, "app-or")
     sink(_batch(spark, range(4)), 0)
     sink(_batch(spark, range(4, 6)), 1)
-    # debris: an orphan data file + a leftover staging dir
+    # debris: an orphan data file, an OLD staging dir (crashed
+    # writer) and a FRESH staging dir (live writer mid-batch)
     with open(os.path.join(root, "data", "orphan.parquet"), "wb") as f:
         f.write(b"not really parquet")
-    os.makedirs(os.path.join(root, "_staging_dead"), exist_ok=True)
+    dead = os.path.join(root, "_staging_dead")
+    os.makedirs(dead, exist_ok=True)
+    os.utime(dead, (0, 0))  # crashed long ago
+    live = os.path.join(root, "_staging_live")
+    os.makedirs(live, exist_ok=True)
     res = IB.remove_orphan_files(root)
     assert res["removed"] == 2
     assert not os.path.exists(os.path.join(root, "data", "orphan.parquet"))
-    assert not glob.glob(os.path.join(root, "_staging_*"))
+    assert not os.path.exists(dead)
+    assert os.path.exists(live)  # grace window protects live writers
     md = IB.iceberg_metadata(root)
     chain = IB._lineage_chain(md, md["current-snapshot-id"])
     assert _read_ids(spark, root) == list(range(6))
