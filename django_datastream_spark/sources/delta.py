@@ -1333,42 +1333,68 @@ def write_delta_commit(root: str, version: int, actions: list[dict]) -> None:
     TL.get_log_store().put_if_absent(path, body)
 
 
-def _fold_protocol(root: str, version: int) -> dict:
-    """The protocol in force at ``version``: the newest checkpoint's
-    protocol row (a cleaned log may hold the ONLY copy of a feature
-    upgrade — re-deriving from surviving JSON commits would silently
-    downgrade a DV table to 1/2) + the JSON tail, last action wins."""
+def _fold_proto_txn(
+    root: str, version: int
+) -> tuple[dict, dict, list]:
+    """(protocol, SetTransaction ledger) at ``version`` in ONE pass:
+    the newest checkpoint's protocol/txn COLUMNS (column-pruned reads
+    — a cleaned log may hold the only copy of a feature upgrade or a
+    writer's watermark; a spec-conformant checkpoint without a txn
+    column has none) + a single walk of the JSON tail."""
+    import pyarrow.parquet as pq
+
     proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+    ledger: dict[str, int] = {}
     lo = 0
     cp = _last_checkpoint_version(root, version)
     if cp is not None:
-        cp_proto, _m, _a = _fold_checkpoint_arrow(
-            _checkpoint_parts(root, cp)
-        )
-        if cp_proto:
-            proto = {
-                k: v for k, v in cp_proto.items() if v is not None
-            }
+        for part in _checkpoint_parts(root, cp):
+            pf = pq.ParquetFile(part)
+            names = set(pf.schema_arrow.names)
+            cols = [c for c in ("protocol", "txn") if c in names]
+            if not cols:
+                continue
+            tbl = pq.read_table(part, columns=cols)
+            if "protocol" in names:
+                for row in tbl.column("protocol").to_pylist():
+                    if row:
+                        proto = {
+                            k: v for k, v in row.items()
+                            if v is not None
+                        }
+            if "txn" in names:
+                for row in tbl.column("txn").to_pylist():
+                    if row and row.get("appId") is not None:
+                        ledger[row["appId"]] = int(row["version"])
         lo = cp + 1
-    for v in sorted(_commit_versions(root)):
+    versions = _commit_versions(root)
+    missing = [v for v in range(lo, version + 1) if v not in versions]
+    for v in sorted(versions):
         if v < lo:
             continue
         if v > version:
             break
-        try:
-            with open(
-                os.path.join(_log_dir(root), f"{v:020d}.json"),
-                encoding="utf-8",
-            ) as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    action = json.loads(line)
-                    if "protocol" in action:
-                        proto = action["protocol"]
-        except FileNotFoundError:
-            continue
+        with open(
+            os.path.join(_log_dir(root), f"{v:020d}.json"),
+            encoding="utf-8",
+        ) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "protocol" in action:
+                    proto = action["protocol"]
+                elif "txn" in action:
+                    t = action["txn"]
+                    if t.get("appId") is not None:
+                        ledger[t["appId"]] = int(t["version"])
+    return proto, ledger, missing
+
+
+def _fold_protocol(root: str, version: int) -> dict:
+    """The protocol in force at ``version`` (checkpoint row + tail)."""
+    proto, _ledger, _missing = _fold_proto_txn(root, version)
     return proto
 
 
@@ -1386,8 +1412,7 @@ def write_delta_checkpoint(root: str, version: int) -> None:
     import pyarrow.parquet as pq
 
     _v, md, adds = delta_snapshot(root, version)
-    proto = _fold_protocol(root, version)
-    ledger = last_txn_versions(root, through=version)
+    proto, ledger, _missing = _fold_proto_txn(root, version)
     proto_t = pa.struct(
         [
             ("minReaderVersion", pa.int32()),
@@ -1942,8 +1967,6 @@ def last_txn_versions(root: str, through: int | None = None) -> dict:
     identifiers; a conformant checkpoint without a ``txn`` column has
     none) + the JSON tail. This is what makes an idempotent streaming
     writer idempotent ACROSS log cleanup."""
-    import pyarrow.parquet as pq
-
     versions = _commit_versions(root)
     head = max(versions) if versions else -1
     cp = _last_checkpoint_version(root, through)
@@ -1952,40 +1975,12 @@ def last_txn_versions(root: str, through: int | None = None) -> dict:
         if through is None
         else through
     )
-    ledger: dict[str, int] = {}
-    lo = 0
-    if cp is not None:
-        for part in _checkpoint_parts(root, cp):
-            pf = pq.ParquetFile(part)
-            if "txn" not in pf.schema_arrow.names:
-                continue
-            col = pq.read_table(part, columns=["txn"]).column(
-                "txn"
-            ).combine_chunks()
-            for row in col.to_pylist():
-                if row and row.get("appId") is not None:
-                    ledger[row["appId"]] = int(row["version"])
-        lo = cp + 1
-    missing = [v for v in range(lo, to_v + 1) if v not in versions]
+    _proto, ledger, missing = _fold_proto_txn(root, to_v)
     if missing:
         raise ValueError(
             f"{root}: commits {missing} cleaned up below the ledger "
             "fold — transaction identifiers unrecoverable"
         )
-    for v in range(lo, to_v + 1):
-        with open(
-            os.path.join(_log_dir(root), f"{v:020d}.json"),
-            encoding="utf-8",
-        ) as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                action = json.loads(line)
-                if "txn" in action:
-                    t = action["txn"]
-                    if t.get("appId") is not None:
-                        ledger[t["appId"]] = int(t["version"])
     return ledger
 
 
