@@ -799,6 +799,104 @@ class Datastream:
     # ------------------------------------------------------------------
     # delete (S5)
     # ------------------------------------------------------------------
+    # ------------------------------------------------------------------
+    # external-table catalog (lakehouse interop served BY NAME)
+    # ------------------------------------------------------------------
+    def register_external_table(
+        self, name: str, path: str, format: str | None = None
+    ) -> dict:
+        """Register an external/adopted lakehouse table under a NAME,
+        so the facade (and anything built on it — SQL views, the HTTP
+        layer) serves it uniformly with the engine's own streams
+        instead of requiring path-oriented library calls.
+
+        The format is DETECTED (sources/detect.py) unless pinned;
+        detection runs at registration so a bogus path fails here, not
+        at first read. Idempotent for the same (path, format);
+        re-registering a name to a DIFFERENT path raises (silent
+        repointing would change every downstream consumer)."""
+        from .sources import detect as DET
+
+        fmt = format or DET.detect_table_format(path)
+        if fmt not in ("txn", "delta", "iceberg", "parquet"):
+            raise ValueError(f"unknown table format {fmt!r}")
+        cat = self.tables.read_external_catalog()
+        prev = cat.get(name)
+        entry = {"path": path, "format": fmt}
+        if prev is not None and prev != entry:
+            raise exc.DatastreamError(
+                f"external table {name!r} is already registered to "
+                f"{prev['path']} ({prev['format']}) — unregister first"
+            )
+        cat[name] = entry
+        self.tables.write_external_catalog(cat)
+        return dict(entry, name=name)
+
+    def unregister_external_table(self, name: str) -> bool:
+        cat = self.tables.read_external_catalog()
+        if name not in cat:
+            return False
+        del cat[name]
+        self.tables.write_external_catalog(cat)
+        return True
+
+    def external_tables(self) -> list[dict]:
+        """Catalog listing: [{name, path, format}] sorted by name."""
+        return [
+            dict(e, name=n)
+            for n, e in sorted(
+                self.tables.read_external_catalog().items()
+            )
+        ]
+
+    def _external_entry(self, name: str) -> dict:
+        cat = self.tables.read_external_catalog()
+        if name not in cat:
+            raise exc.StreamNotFound(f"external table {name!r}")
+        return cat[name]
+
+    def external_table(
+        self,
+        name: str,
+        version: int | None = None,
+        snapshot_id: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+    ) -> DataFrame:
+        """The registered table as a DataFrame (time-travel pins pass
+        through to the matching reader, wrong-format pins raise —
+        detect.open_table's contract)."""
+        from .sources import detect as DET
+
+        e = self._external_entry(name)
+        return DET.open_table(
+            self.spark,
+            e["path"],
+            version=version,
+            snapshot_id=snapshot_id,
+            as_of_timestamp_ms=as_of_timestamp_ms,
+        )
+
+    def external_stream(self, name: str, **options) -> DataFrame:
+        """The registered table as a STREAMING DataFrame
+        (detect.open_stream: txn_table / delta_table / iceberg_table
+        source by detected format; options pass through)."""
+        from .sources import detect as DET
+
+        e = self._external_entry(name)
+        return DET.open_stream(self.spark, e["path"], **options)
+
+    def attach_external_views(self, prefix: str = "") -> list[str]:
+        """Create/refresh a SQL temp view per registered table —
+        ``spark.sql(f"SELECT ... FROM {prefix}{name}")`` serves the
+        external table through the same session catalog the engine's
+        own tables use. Returns the view names."""
+        out = []
+        for e in self.external_tables():
+            view = f"{prefix}{e['name']}"
+            self.external_table(e["name"]).createOrReplaceTempView(view)
+            out.append(view)
+        return out
+
     def delete_streams(self, query_tags: dict | None = None) -> int:
         streams = self._streams()
         targets = [s["stream_id"] for s in self.find_streams(query_tags)]

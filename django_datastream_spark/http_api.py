@@ -174,3 +174,72 @@ def stream_datapoints(
         "granularity": gran,
         "datapoints": json.loads(json.dumps(datapoints)),  # ensure JSON-safe
     }
+
+
+def list_tables(
+    engine: Datastream,
+    limit: int = 100,
+    offset: int = 0,
+) -> dict[str, Any]:
+    """GET /api/v1/table/ — the EXTERNAL-TABLE catalog (engine
+    extension): every registered lakehouse table, with its detected
+    format, served by name alongside the stream endpoints."""
+    tables = engine.external_tables()
+    total = len(tables)
+    page = tables[offset : offset + limit]
+    return {
+        "meta": {"limit": limit, "offset": offset, "total_count": total},
+        "objects": page,
+    }
+
+
+def table_rows(
+    engine: Datastream,
+    name: str,
+    params: dict[str, str] | None = None,
+    limit: int = 100,
+    offset: int = 0,
+) -> dict[str, Any]:
+    """GET /api/v1/table/<name>/ — rows of a registered external
+    table (arbitrary schema → JSON with ISO timestamps), deterministic
+    limit/offset pagination over the table's sorted column order.
+    ``version`` / ``snapshot_id`` / ``as_of`` (epoch ms) pin time
+    travel, exactly like the library calls."""
+    p = params or {}
+    df = engine.external_table(
+        name,
+        version=int(p["version"]) if "version" in p else None,
+        snapshot_id=(
+            int(p["snapshot_id"]) if "snapshot_id" in p else None
+        ),
+        as_of_timestamp_ms=int(p["as_of"]) if "as_of" in p else None,
+    )
+    cols = df.columns
+    rows = (
+        df.orderBy(*cols).offset(offset).limit(limit).collect()
+    )
+    objects = [
+        json.loads(
+            json.dumps(r.asDict(recursive=True), default=_json_default)
+        )
+        for r in rows
+    ]
+    return {
+        "meta": {
+            "limit": limit,
+            "offset": offset,
+            "columns": cols,
+            "name": name,
+        },
+        "objects": objects,
+    }
+
+
+def _json_default(v):
+    if isinstance(v, _dt.datetime):
+        return _iso(v)
+    if isinstance(v, (bytes, bytearray)):
+        import base64
+
+        return base64.b64encode(bytes(v)).decode("ascii")
+    return str(v)

@@ -11775,3 +11775,51 @@ def q230(spark, sf_dir):
         )
         .orderBy("part")
     )
+
+
+@_declare(
+    "q234_catalog_external_table",
+    """
+    SELECT doc_id, CAST(doc_id % 4 AS INT) part,
+           ROUND(CASE WHEN doc_id < 200 AND doc_id % 4 = 0
+                      THEN doc_id * 0.5 + 1000
+                      ELSE doc_id * 0.5 END, 4) val
+    FROM documents WHERE doc_id < 300 ORDER BY doc_id
+    """,
+)
+def q234(spark, sf_dir):
+    """ENGINE CATALOG over external tables: the q207 Delta fixture
+    registered BY NAME in a Datastream store's external-table catalog
+    and served through the facade (Datastream.external_table →
+    detect.open_table) — plus the SQL-view leg (attach_external_views;
+    the returned plan reads through spark.sql over the attached view).
+    Hash-exact vs q207's closed form proves the by-name path IS the
+    direct read: format detection, catalog persistence (re-open of a
+    fresh Datastream over the same root), and the session-catalog view
+    all serve identical rows. (Builder writes the fixture tree +
+    catalog; by-name exemption in
+    test_declaring_queries_runs_no_jobs.)"""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from ..api import Datastream
+
+    root = _delta_fixture(spark, sf_dir, "q234")
+    store = _os.path.join(
+        _tmp.gettempdir(),
+        "q234_store_" + _hl.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    _sh.rmtree(store, ignore_errors=True)
+    ds = Datastream(spark, store)
+    ds.register_external_table("docs_delta", root)
+    # catalog persists: a FRESH engine over the same root serves it
+    ds2 = Datastream(spark, store)
+    assert [e["name"] for e in ds2.external_tables()] == ["docs_delta"]
+    views = ds2.attach_external_views(prefix="ext_")
+    assert views == ["ext_docs_delta"]
+    return spark.sql(
+        "SELECT doc_id, part, ROUND(val, 4) AS val "
+        "FROM ext_docs_delta ORDER BY doc_id"
+    )

@@ -60,6 +60,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from .fileio import FileIO, io_for
+
 _LOG = "_delta_log"
 _SUPPORTED_READER_FEATURES = {
     # reader-version-3 tables list the features they need; we can
@@ -116,19 +118,36 @@ def _log_dir(root: str) -> str:
     return os.path.join(root, _LOG)
 
 
-def _commit_versions(root: str) -> list[int]:
+def _commit_versions(
+    root: str, io: FileIO | None = None, after: int | None = None
+) -> list[int]:
+    """Commit versions in the log, via the FileIO seam. ``after``
+    lists only versions > it — zero-padded names are key-ordered, so
+    an object store serves this as a StartAfter range listing (the
+    streaming sources' per-trigger cursor)."""
+    io = io or io_for(root)
     out = []
+    log = _log_dir(root)
     try:
-        names = os.listdir(_log_dir(root))
+        names = io.list_dir(
+            log,
+            start_after=(
+                f"{after:020d}.json" if after is not None else None
+            ),
+        )
     except FileNotFoundError:
         raise DeltaUnsupportedError(f"{root}: no _delta_log") from None
+    if not names and not io.is_dir(log):
+        raise DeltaUnsupportedError(f"{root}: no _delta_log")
     for n in names:
         if n.endswith(".json") and len(n) == 25 and n[:20].isdigit():
             out.append(int(n[:20]))
     return sorted(out)
 
 
-def _checkpoint_parts(root: str, v: int) -> list[str]:
+def _checkpoint_parts(
+    root: str, v: int, io: FileIO | None = None
+) -> list[str]:
     """Checkpoint file(s) for version v: classic single-file
     ``{v}.checkpoint.parquet``, multi-part
     ``{v}.checkpoint.{i}.{n}.parquet``, or a V2 UUID-named manifest
@@ -141,9 +160,10 @@ def _checkpoint_parts(root: str, v: int) -> list[str]:
     past the checkpoint)."""
     import re as _re
 
+    io = io or io_for(root)
     log = _log_dir(root)
     single = os.path.join(log, f"{v:020d}.checkpoint.parquet")
-    if os.path.exists(single):
+    if io.exists(single):
         return [single]
     by_n: dict[int, dict[int, str]] = {}
     pat = _re.compile(
@@ -154,7 +174,7 @@ def _checkpoint_parts(root: str, v: int) -> list[str]:
     )
     stray = []
     v2 = []
-    for name in os.listdir(log):
+    for name in io.list_dir(log):
         m = pat.match(name)
         if m:
             i, n = int(m.group(1)), int(m.group(2))
@@ -185,18 +205,30 @@ def _checkpoint_parts(root: str, v: int) -> list[str]:
     return []
 
 
-def _last_checkpoint_version(root: str, version: int | None) -> int | None:
+def _last_checkpoint_version(
+    root: str, version: int | None, io: FileIO | None = None
+) -> int | None:
     """Newest checkpoint ≤ version: via ``_last_checkpoint`` when it
     qualifies, else a listing scan (time travel often needs an OLDER
     checkpoint than the advertised last one)."""
+    io = io or io_for(root)
     log = _log_dir(root)
     cands = set()
     try:
-        with open(os.path.join(log, "_last_checkpoint")) as f:
-            cands.add(int(json.load(f)["version"]))
+        cands.add(
+            int(
+                json.loads(
+                    io.read_text(os.path.join(log, "_last_checkpoint"))
+                )["version"]
+            )
+        )
     except (OSError, ValueError, KeyError):
         pass
-    for n in os.listdir(log):
+    try:
+        names = io.list_dir(log)
+    except FileNotFoundError:
+        names = []
+    for n in names:
         if ".checkpoint." in n and n.endswith(".parquet"):
             head = n.split(".checkpoint.")[0]
             if head.isdigit():
@@ -288,7 +320,9 @@ def _project_struct(arr, target):
     )
 
 
-def _fold_checkpoint_arrow(parts: list[str]):
+def _fold_checkpoint_arrow(
+    parts: list[str], io: FileIO | None = None
+):
     """COLUMNAR checkpoint fold: (protocol, metaData, adds) where adds
     is an Arrow table in the canonical layout. The checkpoint's add
     rows are already the complete live set (its removes are tombstones
@@ -299,18 +333,24 @@ def _fold_checkpoint_arrow(parts: list[str]):
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    if io is None and parts:
+        io = io_for(parts[0])
     schema = _adds_arrow_schema()
     proto = meta = None
     chunks = []
     parts = list(parts)
     seen_sidecars = False
     for p in parts:
-        names = set(pq.ParquetFile(p).schema_arrow.names)
+        names = set(
+            pq.ParquetFile(io.parquet_source(p)).schema_arrow.names
+        )
         if "sidecar" in names and not seen_sidecars:
             # V2 checkpoint manifest: its sidecar actions name the
             # files (in _delta_log/_sidecars/) holding the add/remove
             # set — append them as further parts of this same fold
-            side = pq.read_table(p, columns=["sidecar"]).column(
+            side = pq.read_table(
+                io.parquet_source(p), columns=["sidecar"]
+            ).column(
                 "sidecar"
             ).combine_chunks()
             mask = pc.is_valid(side)
@@ -330,7 +370,7 @@ def _fold_checkpoint_arrow(parts: list[str]):
                         if os.path.isabs(sp)
                         else os.path.join(log, "_sidecars", sp)
                     )
-                    if not os.path.exists(full):
+                    if not io.exists(full):
                         raise ValueError(
                             f"v2 checkpoint sidecar {sp} missing — "
                             "refusing to fold a partial snapshot"
@@ -339,7 +379,7 @@ def _fold_checkpoint_arrow(parts: list[str]):
         cols = [c for c in ("protocol", "metaData", "add") if c in names]
         if not cols:
             continue
-        tbl = pq.read_table(p, columns=cols)
+        tbl = pq.read_table(io.parquet_source(p), columns=cols)
         for key in ("protocol", "metaData"):
             if key in names:
                 col = tbl.column(key).combine_chunks()
@@ -356,12 +396,12 @@ def _fold_checkpoint_arrow(parts: list[str]):
             sub = col.filter(pc.is_valid(col))
             if len(sub):
                 proj = _project_struct(sub, pa.struct(list(schema)))
-                chunks.append(
-                    pa.Table.from_arrays(
-                        [proj.field(i) for i in range(len(schema))],
-                        schema=schema,
-                    )
+                part = pa.Table.from_arrays(
+                    [proj.field(i) for i in range(len(schema))],
+                    schema=schema,
                 )
+                part = _fill_from_parsed(part, sub)
+                chunks.append(part)
     adds = (
         pa.concat_tables(chunks)
         if chunks
@@ -370,6 +410,85 @@ def _fold_checkpoint_arrow(parts: list[str]):
         )
     )
     return proto, meta, adds
+
+
+def _fill_from_parsed(part, sub):
+    """Struct-stats COMPATIBILITY: a legal writer choice is to
+    checkpoint only the PARSED forms (``add.stats_parsed`` /
+    ``add.partitionValues_parsed`` — typed structs) and omit the JSON
+    string ``stats`` / the string map ``partitionValues``. The
+    canonical fold would then carry nulls and ``where=`` data skipping
+    silently degrades to a full scan (the difference between a day and
+    the whole table at 10⁵ files). Translate the parsed structs back
+    into the skipping forms the shared prune path consumes.
+
+    Scale note: the translation is PER-ROW (json.dumps of each file's
+    stats) and runs ONLY when the string forms are absent — the
+    columnar fast path of spec-typical checkpoints is untouched, and
+    the work is bounded by one checkpoint part's rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    addf = {f.name for f in sub.type}
+    idx_stats = part.schema.get_field_index("stats")
+    if (
+        "stats_parsed" in addf
+        and part.column("stats").null_count == part.num_rows
+    ):
+        parsed = sub.field("stats_parsed")
+        if parsed.null_count < len(parsed):
+            out = []
+            for row in parsed.to_pylist():
+                if row is None:
+                    out.append(None)
+                    continue
+                j = {}
+                if row.get("numRecords") is not None:
+                    j["numRecords"] = int(row["numRecords"])
+                for k in ("minValues", "maxValues", "nullCount"):
+                    if row.get(k) is not None:
+                        j[k] = row[k]
+                # default=str: dates/timestamps/decimals serialize to
+                # their string forms — _may_match compares those
+                # conservatively (doubt keeps the file)
+                out.append(json.dumps(j, default=str))
+            part = part.set_column(
+                idx_stats, "stats", pa.array(out, pa.string())
+            )
+    idx_pv = part.schema.get_field_index("partitionValues")
+    pv_col = part.column("partitionValues").combine_chunks()
+    pv_all_empty = all(
+        v is None or len(v) == 0 for v in pv_col.to_pylist()
+    )
+    if "partitionValues_parsed" in addf and pv_all_empty:
+        parsed = sub.field("partitionValues_parsed")
+        if parsed.null_count < len(parsed):
+            rows = []
+            for row in parsed.to_pylist():
+                if row is None:
+                    rows.append(None)
+                    continue
+                rows.append(
+                    [
+                        (
+                            k,
+                            None
+                            if v is None
+                            else (
+                                str(v).lower()
+                                if isinstance(v, bool)
+                                else str(v)
+                            ),
+                        )
+                        for k, v in row.items()
+                    ]
+                )
+            part = part.set_column(
+                idx_pv,
+                "partitionValues",
+                pa.array(rows, pa.map_(pa.string(), pa.string())),
+            )
+    return part
 
 
 def _adds_from_dicts(adds: list[dict]):
@@ -432,18 +551,21 @@ def _check_arrow_adds(adds) -> None:
             )
 
 
-def delta_snapshot_arrow(root: str, version: int | None = None):
+def delta_snapshot_arrow(
+    root: str, version: int | None = None, io: FileIO | None = None
+):
     """The COLUMNAR snapshot fold — (version, metaData, adds) with
     adds an Arrow table in :func:`_adds_arrow_schema` layout, sorted
     by path. This is the scale path: the checkpoint never leaves
     Arrow, only the JSON tail (bounded by the checkpoint interval)
     folds as Python dicts. :func:`delta_snapshot` is the list-of-dicts
     compatibility wrapper."""
-    versions = _commit_versions(root)
-    if not versions and _last_checkpoint_version(root, None) is None:
+    io = io or io_for(root)
+    versions = _commit_versions(root, io)
+    if not versions and _last_checkpoint_version(root, None, io) is None:
         raise DeltaUnsupportedError(f"{root}: empty _delta_log")
     head_avail = max(
-        versions + [c for c in [_last_checkpoint_version(root, None)]
+        versions + [c for c in [_last_checkpoint_version(root, None, io)]
                     if c is not None]
     )
     if version is not None and version > head_avail:
@@ -454,7 +576,7 @@ def delta_snapshot_arrow(root: str, version: int | None = None):
             f"(newest is {head_avail})"
         )
     head = head_avail if version is None else version
-    cp = _last_checkpoint_version(root, head)
+    cp = _last_checkpoint_version(root, head, io)
     usable = [v for v in versions if v <= head]
     if not usable and cp is None:
         raise ValueError(f"{root}: no commit ≤ version {head}")
@@ -466,12 +588,12 @@ def delta_snapshot_arrow(root: str, version: int | None = None):
     start = 0
     if cp is not None:
         try:
-            parts = _checkpoint_parts(root, cp)
+            parts = _checkpoint_parts(root, cp, io)
         except ValueError:
             parts = []  # incomplete multi-part set: try the JSON fold
         if parts:
             try:
-                proto, meta, cp_adds = _fold_checkpoint_arrow(parts)
+                proto, meta, cp_adds = _fold_checkpoint_arrow(parts, io)
                 if proto is not None:
                     _apply_action(
                         {"files": {}, "tombstones": set()},
@@ -509,14 +631,12 @@ def delta_snapshot_arrow(root: str, version: int | None = None):
     for v in versions:
         if v < start or v > head:
             continue
-        with open(
-            os.path.join(_log_dir(root), f"{v:020d}.json"),
-            encoding="utf-8",
-        ) as f:
-            for line in f:
-                line = line.strip()
-                if line:
-                    _apply_action(state, json.loads(line))
+        for line in io.read_text(
+            os.path.join(_log_dir(root), f"{v:020d}.json")
+        ).splitlines():
+            line = line.strip()
+            if line:
+                _apply_action(state, json.loads(line))
     if state["metaData"] is None:
         raise DeltaUnsupportedError(f"{root}: log has no metaData action")
     tail = _adds_from_dicts(
@@ -562,9 +682,23 @@ def delta_schema(md: dict) -> StructType:
     return StructType.fromJson(json.loads(md["schemaString"]))
 
 
-def _file_path(root: str, rel: str) -> str:
-    # add.path is URL-encoded and relative to the table root
-    return os.path.join(root, urllib.parse.unquote(rel))
+def _file_path(root: str, rel: str, io: FileIO | None = None) -> str:
+    # add.path is URL-encoded and relative to the table root; the
+    # result feeds Spark's JVM scan, so translate through the data
+    # plane (identity for POSIX, bucket URI for object stores)
+    io = io or io_for(root)
+    return os.path.join(io.spark_path(root), urllib.parse.unquote(rel))
+
+
+# The spec stores add/remove/cdc paths as percent-encoded relative
+# URIs. Encode only what URI path syntax requires (space, '%', '?',
+# '#', brackets); everything Hadoop leaves literal stays literal so
+# our logs byte-match what delta-spark would write for the same file.
+_PATH_SAFE = "/=+&$@;:,'()*!~-._"
+
+
+def _quote_rel(rel: str) -> str:
+    return urllib.parse.quote(rel.replace(os.sep, "/"), safe=_PATH_SAFE)
 
 
 def _hive_layout(
@@ -911,6 +1045,9 @@ def _dv_positions_frame(spark, root: str, dirty) -> DataFrame:
     ddf = spark.createDataFrame(
         descs, "f string, st string, p string, off int, sz int, card long"
     ).repartition(min(64, max(1, len(descs))))
+    # resolve DRIVER-side and capture: the scheme registry does not
+    # exist in executor workers (the FileIO object itself is picklable)
+    io = io_for(root)
 
     def _explode(batches):
         import pandas as _pd
@@ -925,6 +1062,7 @@ def _dv_positions_frame(spark, root: str, dirty) -> DataFrame:
                 pos = RB.dv_positions(
                     root, st, p,
                     None if _pd.isna(off) else int(off), int(sz),
+                    io=io,
                 )
                 if card >= 0 and len(pos) != card:
                     raise ValueError(
@@ -972,16 +1110,25 @@ def _scan_paths(
     ``keep_meta=True`` appends the ``__file`` (table-relative path) /
     ``__pos`` (row index) identity columns the deletion-vector
     anti-join needs."""
+    io = io_for(root)
+    data_root = io.spark_path(root)
     schema = delta_schema(md)
     part_cols = list(md.get("partitionColumns") or [])
     data_schema = StructType(
         [f for f in schema.fields if f.name not in part_cols]
     )
-    prefix = "file:" + os.path.abspath(root) + os.sep
+    prefix = "file:" + os.path.abspath(data_root) + os.sep
     meta_cols = (
         [
+            # _metadata.file_path is a percent-encoded URI; DV
+            # descriptors carry the DECODED relative path — decode
+            # here or names with spaces/'%' never join and deleted
+            # rows silently resurrect. url_decode also maps '+' to
+            # space (form semantics); a literal '+' in a file URI is
+            # unencoded, so protect it first.
             F.expr(
-                f"substring(_metadata.file_path, {len(prefix) + 1})"
+                "url_decode(replace(substring(_metadata.file_path, "
+                f"{len(prefix) + 1}), '+', '%2B'))"
             ).alias("__file"),
             F.col("_metadata.row_index").alias("__pos"),
         ]
@@ -1005,7 +1152,7 @@ def _scan_paths(
                 ]
             )
         return local_rows_df(spark, [], out_schema)
-    paths = [_file_path(root, r) for r in rels]
+    paths = [_file_path(root, r, io) for r in rels]
     if not part_cols:
         return spark.read.schema(data_schema).parquet(*paths).select(
             *[F.col(f.name) for f in schema.fields], *meta_cols
@@ -1014,7 +1161,7 @@ def _scan_paths(
         # one scan; Spark derives partition columns from the dirs.
         # partition values type per the DECLARED schema, not inference
         df = (
-            spark.read.option("basePath", root)
+            spark.read.option("basePath", data_root)
             .schema(schema)
             .parquet(*paths)
         )
@@ -1052,26 +1199,28 @@ def delta_versions(root: str) -> list[int]:
     return _commit_versions(root)
 
 
-def _commit_timestamp_ms(root: str, v: int) -> int:
+def _commit_timestamp_ms(
+    root: str, v: int, io: FileIO | None = None
+) -> int:
     """A commit's timestamp: ``commitInfo.timestamp`` when the commit
     carries one (in-commit timestamps — what real writers stamp),
     else the commit file's modification time — the spec's resolution
     order."""
+    io = io or io_for(root)
     path = os.path.join(_log_dir(root), f"{v:020d}.json")
     try:
-        with open(path, encoding="utf-8") as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                action = json.loads(line)
-                if "commitInfo" in action:
-                    ts = action["commitInfo"].get("timestamp")
-                    if ts is not None:
-                        return int(ts)
+        for line in io.read_text(path).splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if "commitInfo" in action:
+                ts = action["commitInfo"].get("timestamp")
+                if ts is not None:
+                    return int(ts)
     except (OSError, ValueError):
         pass
-    return int(os.path.getmtime(path) * 1000)
+    return int(io.mtime(path) * 1000)
 
 
 def delta_version_at(root: str, timestamp_ms: int) -> int:
@@ -1147,14 +1296,13 @@ def delta_changes(
         )
     # metaData as of to_v (schema for the scan)
     _v, md, _adds = delta_snapshot(root, to_v)
+    io = io_for(root)
     pieces = []
     for v in range(from_version + 1, to_v + 1):
         adds_v = []
-        with open(
-            os.path.join(_log_dir(root), f"{v:020d}.json"),
-            encoding="utf-8",
-        ) as f:
-            for line in f:
+        for line in io.read_text(
+            os.path.join(_log_dir(root), f"{v:020d}.json")
+        ).splitlines():
                 line = line.strip()
                 if not line:
                     continue
@@ -1343,18 +1491,19 @@ def _fold_proto_txn(
     column has none) + a single walk of the JSON tail."""
     import pyarrow.parquet as pq
 
+    io = io_for(root)
     proto = {"minReaderVersion": 1, "minWriterVersion": 2}
     ledger: dict[str, int] = {}
     lo = 0
-    cp = _last_checkpoint_version(root, version)
+    cp = _last_checkpoint_version(root, version, io)
     if cp is not None:
-        for part in _checkpoint_parts(root, cp):
-            pf = pq.ParquetFile(part)
+        for part in _checkpoint_parts(root, cp, io):
+            pf = pq.ParquetFile(io.parquet_source(part))
             names = set(pf.schema_arrow.names)
             cols = [c for c in ("protocol", "txn") if c in names]
             if not cols:
                 continue
-            tbl = pq.read_table(part, columns=cols)
+            tbl = pq.read_table(io.parquet_source(part), columns=cols)
             if "protocol" in names:
                 for row in tbl.column("protocol").to_pylist():
                     if row:
@@ -1367,28 +1516,26 @@ def _fold_proto_txn(
                     if row and row.get("appId") is not None:
                         ledger[row["appId"]] = int(row["version"])
         lo = cp + 1
-    versions = _commit_versions(root)
+    versions = _commit_versions(root, io)
     missing = [v for v in range(lo, version + 1) if v not in versions]
     for v in sorted(versions):
         if v < lo:
             continue
         if v > version:
             break
-        with open(
-            os.path.join(_log_dir(root), f"{v:020d}.json"),
-            encoding="utf-8",
-        ) as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                action = json.loads(line)
-                if "protocol" in action:
-                    proto = action["protocol"]
-                elif "txn" in action:
-                    t = action["txn"]
-                    if t.get("appId") is not None:
-                        ledger[t["appId"]] = int(t["version"])
+        for line in io.read_text(
+            os.path.join(_log_dir(root), f"{v:020d}.json")
+        ).splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if "protocol" in action:
+                proto = action["protocol"]
+            elif "txn" in action:
+                t = action["txn"]
+                if t.get("appId") is not None:
+                    ledger[t["appId"]] = int(t["version"])
     return proto, ledger, missing
 
 
@@ -1690,6 +1837,25 @@ def publish_delta(
         if any_dv
         else {"minReaderVersion": 1, "minWriterVersion": 2}
     )
+    # Re-publish: the already-committed protocol governs — if a NEW
+    # version carries DVs but the published log predates the feature,
+    # an upgraded protocol action must land in that commit (protocol
+    # actions are valid in any commit, per spec), else spec-conformant
+    # readers honoring protocol 1/2 ignore the deletionVector field
+    # and silently resurrect deleted rows.
+    proto_upgrade: dict | None = None
+    if start > 1:
+        committed = _fold_protocol(txn_root, start - 2)  # delta ver
+        feats = set(committed.get("readerFeatures") or [])
+        new_dv = any(
+            any(TL.snapshot_dv(txn_root, v)[1].values())
+            for v in range(start, head + 1)
+        )
+        if new_dv and (
+            int(committed.get("minReaderVersion", 1)) < 3
+            or "deletionVectors" not in feats
+        ):
+            proto_upgrade = proto  # the DV-capable protocol
     prev_live: set = set()
     prev_dv: dict = {}
     prev_schema = None
@@ -1725,6 +1891,8 @@ def publish_delta(
         acts: list[dict] = []
         if v == 1:
             acts.append({"protocol": proto})
+        elif v == start and proto_upgrade is not None:
+            acts.append({"protocol": proto_upgrade})
         if schema_json != prev_schema:
             acts.append(
                 {
@@ -1800,12 +1968,12 @@ def publish_delta(
                 }
         for f in sorted(gone | dv_changed):
             acts.append(
-                {"remove": {"path": f, "dataChange": dc}}
+                {"remove": {"path": _quote_rel(f), "dataChange": dc}}
             )
         for f in sorted(new | dv_changed):
             add = {
-                "path": f,
-                "partitionValues": _hive_pv(f, part_cols),
+                "path": _quote_rel(f),
+                "partitionValues": _pv_of(f, part_cols),
                 "size": (
                     os.path.getsize(os.path.join(root, f))
                     if os.path.exists(os.path.join(root, f))
@@ -1827,7 +1995,7 @@ def publish_delta(
             ):
                 acts.append(
                     {"cdc": {
-                        "path": rel.replace(os.sep, "/"),
+                        "path": _quote_rel(rel),
                         "partitionValues": _pv_of(rel, part_cols),
                         "size": os.path.getsize(
                             os.path.join(root, rel)
@@ -1893,14 +2061,13 @@ def delta_cdf(
             + [StructType.fromDDL("_change_type string").fields[0]]
         ).jsonValue()
     )
+    io = io_for(root)
     pieces = []
     for v in range(from_version + 1, to_v + 1):
         cdc_v, adds_v, removes_v, dv_v = [], [], False, False
-        with open(
-            os.path.join(_log_dir(root), f"{v:020d}.json"),
-            encoding="utf-8",
-        ) as f:
-            for line in f:
+        for line in io.read_text(
+            os.path.join(_log_dir(root), f"{v:020d}.json")
+        ).splitlines():
                 line = line.strip()
                 if not line:
                     continue
@@ -2111,7 +2278,7 @@ def delta_streaming_sink(
             adds.append(
                 {
                     "add": {
-                        "path": rel.replace(os.sep, "/"),
+                        "path": _quote_rel(rel),
                         "partitionValues": _pv_of(rel, part_cols),
                         "size": os.path.getsize(
                             os.path.join(root, rel)
@@ -2251,7 +2418,7 @@ def optimize_delta(
     for a in adds:
         try:
             sizes[a["path"]] = os.path.getsize(
-                os.path.join(root, a["path"])
+                _file_path(root, a["path"])
             )
         except OSError:
             sizes[a["path"]] = target_file_bytes
@@ -2314,7 +2481,7 @@ def optimize_delta(
         kept.append(rel)
         actions.append(
             {"add": {
-                "path": rel.replace(os.sep, "/"),
+                "path": _quote_rel(rel),
                 "partitionValues": _pv_of(rel, part_cols),
                 "size": os.path.getsize(os.path.join(root, rel)),
                 "modificationTime": now_ms,
@@ -2362,7 +2529,9 @@ def vacuum_delta(root: str, keep_versions: int = 1) -> dict:
     for v in keep:
         _ver, _md, adds = delta_snapshot(root, v)
         for a in adds:
-            referenced.add(os.path.normpath(a["path"]))
+            referenced.add(
+                os.path.normpath(urllib.parse.unquote(a["path"]))
+            )
             dv = a.get("deletionVector")
             if dv and dv.get("storageType") == "u":
                 from . import roaring as RB
@@ -2376,9 +2545,16 @@ def vacuum_delta(root: str, keep_versions: int = 1) -> dict:
     for dirpath, dirs, files in os.walk(root, topdown=True):
         rel_dir = os.path.relpath(dirpath, root)
         top = rel_dir.split(os.sep)[0]
-        if top in ("_delta_log", "_change_data") or top.startswith(
-            "_staging_"
-        ):
+        # _dv / _txn_log: the engine's own txn layer (adopt/publish
+        # require txn_root == delta_root, so dual-log roots are the
+        # NORMAL product of this module's workflows — their sidecars
+        # are .parquet but never Delta-referenced); metadata /
+        # pub-deletes: a coexisting Iceberg view of the same files.
+        # Deleting any of these corrupts the sibling log's reads.
+        if top in (
+            "_delta_log", "_change_data", "_dv", "_txn_log",
+            "metadata", "pub-deletes",
+        ) or top.startswith("_staging_"):
             dirs[:] = []  # a live writer may be staging here
             continue
         for fn in files:
@@ -2402,22 +2578,33 @@ def vacuum_delta(root: str, keep_versions: int = 1) -> dict:
     return {"removed_files": len(removed), "kept_versions": keep}
 
 
-def cleanup_delta_log(root: str) -> dict:
+def cleanup_delta_log(root: str, keep_commits: int = 0) -> dict:
     """Metadata cleanup: drop JSON commits (and older checkpoints)
     at or below the newest checkpoint — the snapshot folds from the
     checkpoint alone, and :func:`last_txn_versions` keeps the writer
     ledger because checkpoints carry the ``txn`` column. Time travel
     and streaming replay below the checkpoint become unrecoverable
-    (they raise, never mis-read)."""
+    (they raise, never mis-read).
+
+    ``keep_commits`` is the RETENTION knob (Delta's log-retention
+    duration, expressed in commits): the newest N JSON commits stay
+    even below the checkpoint, so live streaming consumers lagging up
+    to N commits — and stream RESTARTS, which re-plan their last
+    batch from the offset log — keep replaying. Retention must exceed
+    max consumer lag + batch span; the external-churn soak
+    (tools/soak_external.py) exercises exactly this race."""
     cp = _last_checkpoint_version(root, None)
     if cp is None:
         return {"removed_commits": 0, "checkpoint": None}
+    head = max(_commit_versions(root), default=cp)
+    # keep the NEWEST keep_commits JSONs: versions > head - keep stay
+    floor = head - max(0, int(keep_commits))
     log = _log_dir(root)
     removed = 0
     for n in os.listdir(log):
         full = os.path.join(log, n)
         if n.endswith(".json") and n.split(".")[0].isdigit():
-            if int(n.split(".")[0]) <= cp:
+            if int(n.split(".")[0]) <= min(cp, floor):
                 os.remove(full)
                 removed += 1
         elif ".checkpoint." in n and n.endswith(".parquet"):

@@ -17,25 +17,34 @@ from pyspark.sql import DataFrame, SparkSession
 
 def detect_table_format(path: str) -> str:
     """'txn' | 'delta' | 'iceberg' | 'parquet' (never guesses: a
-    directory with no marker and no parquet files raises)."""
+    directory with no marker and no parquet files raises). Layout
+    probes go through the FileIO seam, so object-store-resident
+    tables detect too (the txn probe stays POSIX — the engine's own
+    log is local/FUSE by its LogStore contract)."""
     from .. import txnlog as TL
+    from .fileio import io_for
 
-    if TL.is_txn_table(path):
+    io = io_for(path)
+    if "://" not in path and TL.is_txn_table(path):
         return "txn"
-    if os.path.isdir(os.path.join(path, "_delta_log")):
+    if io.is_dir(os.path.join(path, "_delta_log")):
         return "delta"
     meta = os.path.join(path, "metadata")
-    if os.path.isdir(meta) and any(
+    if io.is_dir(meta) and any(
         re.fullmatch(r"v\d+\.metadata\.json", n)
-        for n in os.listdir(meta)
+        for n in io.list_dir(meta)
     ):
         return "iceberg"
-    if os.path.isdir(path) and any(
-        n.endswith(".parquet")
-        for _d, _s, fs in os.walk(path)
-        for n in fs
-    ):
-        return "parquet"
+    names = io.list_dir(path) if io.is_dir(path) else []
+    stack = [os.path.join(path, n) for n in names]
+    while stack:
+        p2 = stack.pop()
+        if p2.endswith(".parquet"):
+            return "parquet"
+        if io.is_dir(p2):
+            stack.extend(
+                os.path.join(p2, n) for n in io.list_dir(p2)
+            )
     raise ValueError(
         f"{path}: no table here — expected a _txn, _delta_log, "
         "metadata/v*.metadata.json marker or parquet files"
@@ -90,7 +99,9 @@ def open_table(
         as_of_timestamp_ms is not None
     ):
         raise ValueError("plain parquet has no versions to pin")
-    return spark.read.parquet(path)
+    from .fileio import io_for
+
+    return spark.read.parquet(io_for(path).spark_path(path))
 
 
 def open_stream(spark: SparkSession, path: str, **options):

@@ -80,6 +80,16 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from .fileio import decode_fileio, io_for
+
+
+def _option_io(options, path):
+    """The FileIO serving this source: the ``fileio`` option when set
+    (required for custom schemes — DataSource methods run in worker
+    processes with no scheme registry), else scheme resolution."""
+    enc = options.get("fileio")
+    return decode_fileio(enc) if enc else io_for(path)
+
 
 def _truthy(v) -> bool:
     return str(v).lower() in ("true", "1", "yes")
@@ -133,7 +143,9 @@ class DeltaTableDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("delta_table requires .option('path', ...)")
-        _v, md, _adds = DL.delta_snapshot_arrow(path)
+        _v, md, _adds = DL.delta_snapshot_arrow(
+            path, io=_option_io(self.options, path)
+        )
         if DL._column_mapping(md):
             raise DL.DeltaUnsupportedError(
                 "streaming a columnMapping table is not supported; "
@@ -167,6 +179,16 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("delta_table requires .option('path', ...)")
+        # from the fileio option when set, else scheme resolution;
+        # pickled to executors with the reader
+        self._io = _option_io(options, self.path)
+        # LISTING CURSOR: commit names are zero-padded (key-ordered),
+        # so each trigger lists only names AFTER the newest version
+        # seen — O(new commits) per micro-batch, not O(log size).
+        # Object stores serve this as a StartAfter range listing.
+        self._known_head: int | None = None
+        self._versions: set[int] = set()
+        self._actions: dict[int, list] = {}
         sv = options.get(
             "startingVersion", options.get("startingversion")
         )
@@ -180,7 +202,7 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         if st is not None:
             # first batch starts at the first commit AT/after the
             # timestamp (Delta's startingTimestamp contract)
-            vs = sorted(DL._commit_versions(self.path))
+            vs = sorted(self._list_versions())
             after = [
                 v for v in vs
                 if DL._commit_timestamp_ms(self.path, v) >= int(st)
@@ -191,7 +213,7 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         elif sv is None:
             self.start_v = -1
         elif str(sv).lower() == "latest":
-            vs = DL._commit_versions(self.path)
+            vs = self._list_versions()
             self.start_v = max(vs) if vs else -1
         else:
             self.start_v = int(sv)
@@ -226,18 +248,39 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         self._cursor = self.start_v
         return {"v": self.start_v}
 
-    def _commit_actions(self, v: int) -> list[dict]:
+    def _list_versions(self) -> set[int]:
+        """All commit versions, maintained INCREMENTALLY: the first
+        call lists the whole log; later calls list only names after
+        the newest seen (commit files are immutable and append-only,
+        so everything cached stays true)."""
         from . import delta as DL
 
+        new = DL._commit_versions(
+            self.path, self._io, after=self._known_head
+        )
+        self._versions.update(new)
+        if self._versions:
+            self._known_head = max(self._versions)
+        return self._versions
+
+    def _commit_actions(self, v: int, pop: bool = False) -> list[dict]:
+        """Parsed actions of one commit, cached so a version parsed
+        for pacing (latestOffset) is not re-parsed when partitions()
+        plans it; ``pop`` drops the cache entry (plan time — each
+        version is planned once)."""
+        from . import delta as DL
+
+        if v in self._actions:
+            return self._actions.pop(v) if pop else self._actions[v]
         out = []
-        with open(
-            os.path.join(self.path, DL._LOG, f"{v:020d}.json"),
-            encoding="utf-8",
-        ) as f:
-            for line in f:
-                line = line.strip()
-                if line:
-                    out.append(json.loads(line))
+        for line in self._io.read_text(
+            os.path.join(self.path, DL._LOG, f"{v:020d}.json")
+        ).splitlines():
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+        if not pop:
+            self._actions[v] = out
         return out
 
     def _commit_load(self, v: int) -> tuple[int, int]:
@@ -268,9 +311,7 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         return load
 
     def latestOffset(self) -> dict:
-        from . import delta as DL
-
-        vs = DL._commit_versions(self.path)
+        vs = self._list_versions()
         head = max(vs) if vs else self.start_v
         cursor = self.start_v if self._cursor is None else self._cursor
         if (
@@ -295,11 +336,9 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         return {"v": end}
 
     def partitions(self, start: dict, end: dict):
-        from . import delta as DL
-
         self._cursor = max(self._cursor or start["v"], end["v"])
         out = []
-        versions = set(DL._commit_versions(self.path))
+        versions = self._list_versions()
         for v in range(start["v"] + 1, end["v"] + 1):
             if v not in versions:
                 raise ValueError(
@@ -314,7 +353,7 @@ class DeltaTableStreamReader(DataSourceStreamReader):
 
     def _append_partitions(self, v: int):
         out = []
-        for action in self._commit_actions(v):
+        for action in self._commit_actions(v, pop=True):
             if "add" in action:
                 a = action["add"]
                 if not a.get("dataChange", True):
@@ -334,6 +373,7 @@ class DeltaTableStreamReader(DataSourceStreamReader):
                         dv["pathOrInlineDv"],
                         dv.get("offset"),
                         int(dv["sizeInBytes"]),
+                        int(dv["cardinality"]),
                     )
                     if dv
                     else None
@@ -369,7 +409,7 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         (change type travels IN the file), else adds as inserts, else
         fail closed — same rules as the batch delta_cdf."""
         cdc, adds, removes, dvd = [], [], False, False
-        for action in self._commit_actions(v):
+        for action in self._commit_actions(v, pop=True):
             if "cdc" in action:
                 cdc.append(action["cdc"])
             elif "add" in action and action["add"].get(
@@ -427,12 +467,29 @@ class DeltaTableStreamReader(DataSourceStreamReader):
         from . import roaring as RB
 
         v, rel, pv_items, dv_t, ctype = partition.value
-        tbl = pq.read_table(os.path.join(self.path, rel))
+        tbl = pq.read_table(
+            os.path.join(self._io.spark_path(self.path), rel)
+        )
         if dv_t is not None:
-            st, p, off, sz = dv_t
-            dead = RB.dv_positions(self.path, st, p, off, sz)
+            st, p, off, sz, card = dv_t
+            dead = RB.dv_positions(
+                self.path, st, p, off, sz, io=self._io
+            )
+            # fail closed, matching the batch read's contract
+            # (_dv_positions_frame): a truncated or mismatched vector
+            # must kill the job, never stream dead rows as live
+            if len(dead) != card:
+                raise ValueError(
+                    f"{rel}: deletion vector decoded {len(dead)} "
+                    f"positions, descriptor says {card}"
+                )
+            if len(dead) and int(dead.max()) >= tbl.num_rows:
+                raise ValueError(
+                    f"{rel}: deletion vector position {int(dead.max())} "
+                    f">= file row count {tbl.num_rows}"
+                )
             mask = np.ones(tbl.num_rows, bool)
-            mask[dead[dead < tbl.num_rows]] = False
+            mask[dead] = False
             tbl = tbl.filter(pa.array(mask))
         consts = {"_commit_version": v}
         if ctype is not None:
@@ -459,7 +516,9 @@ class IcebergTableDataSource(DataSource):
             raise ValueError(
                 "iceberg_table requires .option('path', ...)"
             )
-        md = IB.iceberg_metadata(path)
+        md = IB.iceberg_metadata(
+            path, io=_option_io(self.options, path)
+        )
         return StructType(
             IB.iceberg_schema(md).fields
             + [StructField("_snapshot_id", LongType())]
@@ -482,6 +541,8 @@ class IcebergTableStreamReader(DataSourceStreamReader):
             raise ValueError(
                 "iceberg_table requires .option('path', ...)"
             )
+        # from the fileio option when set, else scheme resolution
+        self._io = _option_io(options, self.path)
         self.ignore_changes = _truthy(
             options.get("ignoreChanges", options.get("ignorechanges"))
         )
@@ -522,7 +583,7 @@ class IcebergTableStreamReader(DataSourceStreamReader):
     def _chain(self):
         from . import iceberg as IB
 
-        md = IB.iceberg_metadata(self.path)
+        md = IB.iceberg_metadata(self.path, io=self._io)
         self._md = md
         # lineage positions are ABSOLUTE: expire_snapshots counts the
         # positions it dropped in this table property, so offsets in
@@ -611,7 +672,7 @@ class IcebergTableStreamReader(DataSourceStreamReader):
                 # append scan skips it (Delta's dataChange=false)
                 continue
             mlist = IB._resolve(self.path, md, snap["manifest-list"])
-            _s, manifests = AV.read_container_file(mlist)
+            _s, manifests = AV.read_container_file(mlist, io=self._io)
             for mf in manifests:
                 if (
                     mf.get("added_snapshot_id") is not None
@@ -629,7 +690,9 @@ class IcebergTableStreamReader(DataSourceStreamReader):
                         )
                     continue
                 man = IB._resolve(self.path, md, mf["manifest_path"])
-                _s2, entries = AV.read_container_file(man)
+                _s2, entries = AV.read_container_file(
+                    man, io=self._io
+                )
                 for e in entries:
                     if e.get("snapshot_id") not in (None, sid):
                         continue
@@ -675,7 +738,7 @@ class IcebergTableStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         sid, full = partition.value
-        tbl = pq.read_table(full)
+        tbl = pq.read_table(self._io.spark_path(full))
         yield _arrow_batch(tbl, self.schema, {"_snapshot_id": sid}, {})
 
     def commit(self, end: dict) -> None:

@@ -1,0 +1,310 @@
+"""Read-side storage seam for the external-lakehouse metadata plane.
+
+The WRITE side already has its seam (txnlog.LogStore: the commit CAS +
+put_if_absent recipe, logstores.py for non-POSIX deployments). This is
+the symmetric READ abstraction — Iceberg's own design vocabulary calls
+it FileIO: every *metadata* byte a reader touches (Delta ``_delta_log``
+listings / commit JSONs / checkpoint parquet, Iceberg metadata JSON /
+manifest Avro, deletion-vector sidecars — including decodes that run
+INSIDE executor tasks) goes through one small injectable interface,
+so a table resident on an object store needs a ~100-line adapter, not
+a FUSE mount.
+
+The DATA plane stays with Spark: ``spark.read.parquet`` accepts any
+Hadoop-compatible URI, so :meth:`FileIO.spark_path` only translates a
+table path into the URI the JVM scan should use (identity for POSIX;
+an s3a:// mapping for a real bucket; the backing dir for the test
+double). This mirrors real deployments — metadata via an object SDK,
+data via the Hadoop filesystem layer.
+
+Resolution: public readers accept ``io=`` explicitly; when omitted,
+:func:`io_for` dispatches on the path's URI scheme through a process-
+local registry (plain paths and ``file:`` → :class:`LocalFileIO`).
+EXECUTOR-SIDE code must never call :func:`io_for` — the registry is
+driver-local; closures capture the resolved FileIO object instead
+(every FileIO here is picklable by design).
+
+:class:`FakeObjectStore` is the deployment double the interop suites
+parameterize over: object-store semantics only (flat keys, whole-object
+GET, ranged GET, prefix listing with ``start_after`` — S3
+ListObjectsV2's StartAfter), list-after-write consistent, injectable
+latency and per-call failures, and op counters so tests can pin
+listing-cursor behavior (O(new commits) per streaming trigger, not
+O(log size)).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+
+class FileIO:
+    """Read-only storage verbs for the metadata plane.
+
+    Paths are full table-space paths (whatever the user handed the
+    reader, e.g. ``/data/tbl/_delta_log`` or ``fake://tbl/metadata``);
+    implementations own the mapping to their storage. All instances
+    must be picklable — executor tasks receive them in closures.
+    """
+
+    # -- listing -------------------------------------------------------
+    def list_dir(
+        self, path: str, start_after: str | None = None
+    ) -> list[str]:
+        """Sorted child NAMES directly under ``path`` (files and
+        "directories"), or [] when nothing is there. ``start_after``
+        returns only names strictly greater — object stores serve
+        this natively (key-range listing); callers use it to list
+        O(new) instead of O(all) on hot logs. Raises FileNotFoundError
+        only when the parent itself is missing AND the store can tell
+        (object stores can't — they return [])."""
+        raise NotImplementedError
+
+    # -- reads ---------------------------------------------------------
+    def read_bytes(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def read_range(self, path: str, offset: int, length: int) -> bytes:
+        """``length`` bytes at ``offset`` (short only at EOF)."""
+        raise NotImplementedError
+
+    def read_text(self, path: str, encoding: str = "utf-8") -> str:
+        return self.read_bytes(path).decode(encoding)
+
+    # -- cheap predicates ----------------------------------------------
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def mtime(self, path: str) -> float:
+        """Last-modified, seconds since epoch (S3 LastModified)."""
+        raise NotImplementedError
+
+    def is_dir(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def size(self, path: str) -> int:
+        raise NotImplementedError
+
+    # -- plane translation ----------------------------------------------
+    def spark_path(self, path: str) -> str:
+        """The URI Spark's JVM data plane scans for this path."""
+        raise NotImplementedError
+
+    def parquet_source(self, path: str):
+        """What ``pyarrow.parquet.read_table`` should be handed for a
+        METADATA parquet (checkpoints, DV position sidecars). Default:
+        buffer the object (object-store realistic — metadata files are
+        small); LocalFileIO returns the path so Arrow can mmap."""
+        import pyarrow as pa
+
+        return pa.BufferReader(self.read_bytes(path))
+
+
+class LocalFileIO(FileIO):
+    """POSIX paths (and FUSE mounts) — the default."""
+
+    def list_dir(self, path, start_after=None):
+        names = sorted(os.listdir(path))
+        if start_after is not None:
+            names = [n for n in names if n > start_after]
+        return names
+
+    def read_bytes(self, path):
+        with open(path, "rb") as f:
+            return f.read()
+
+    def read_range(self, path, offset, length):
+        with open(path, "rb") as f:
+            f.seek(offset)
+            return f.read(length)
+
+    def exists(self, path):
+        return os.path.exists(path)
+
+    def mtime(self, path):
+        return os.path.getmtime(path)
+
+    def is_dir(self, path):
+        return os.path.isdir(path)
+
+    def size(self, path):
+        return os.path.getsize(path)
+
+    def spark_path(self, path):
+        return path
+
+    def parquet_source(self, path):
+        return path  # let Arrow mmap local metadata
+
+
+class FakeObjectStoreError(ConnectionError):
+    """Injected object-store failure (tests only)."""
+
+
+class FakeObjectStore(FileIO):
+    """Object-store double over a backing directory.
+
+    Honest object semantics at the API: flat keys, whole/ranged GET,
+    prefix listing with ``start_after``, no rename, no directories
+    ("is_dir" = some key has the prefix — exactly what an S3 client
+    fakes). The backing directory is an implementation detail — it
+    makes the store multiprocess-visible (executor tasks see the same
+    objects) and lets Spark's data plane scan the same bytes via
+    :meth:`spark_path`, mirroring s3a over the same bucket.
+
+    ``scheme://`` paths map as ``scheme://a/b`` → ``backing/a/b``.
+    Injection: ``latency_s`` sleeps per API call (object-store RTT);
+    ``fail_substr`` raises :class:`FakeObjectStoreError` on any call
+    whose path contains it. ``counters`` tallies per-verb API calls
+    driver-side (executor copies tally into their own forked copy —
+    pin driver-side behavior with them, e.g. the listing cursor).
+    """
+
+    def __init__(
+        self,
+        scheme: str,
+        backing_dir: str,
+        latency_s: float = 0.0,
+        fail_substr: str | None = None,
+    ):
+        self.scheme = scheme
+        self.backing = os.path.abspath(backing_dir)
+        self.latency_s = latency_s
+        self.fail_substr = fail_substr
+        self.counters: dict[str, int] = {}
+        self._lock = threading.Lock()
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        del d["_lock"]
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__.update(d)
+        self._lock = threading.Lock()
+
+    def _hit(self, verb: str, path: str) -> None:
+        if self.latency_s:
+            time.sleep(self.latency_s)
+        with self._lock:
+            self.counters[verb] = self.counters.get(verb, 0) + 1
+        if self.fail_substr and self.fail_substr in path:
+            raise FakeObjectStoreError(
+                f"injected object-store failure: {verb} {path}"
+            )
+
+    def _resolve(self, path: str) -> str:
+        pre = self.scheme + "://"
+        if not path.startswith(pre):
+            raise ValueError(
+                f"{path!r} is not a {pre} path — this store only "
+                "serves its own scheme"
+            )
+        key = path[len(pre):].strip("/")
+        return os.path.join(self.backing, key) if key else self.backing
+
+    # -- test/tool setup helper (writers stay out of the read seam) ----
+    def put_bytes(self, path: str, data: bytes) -> None:
+        full = self._resolve(path)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        with open(full, "wb") as f:
+            f.write(data)
+
+    # -- FileIO ---------------------------------------------------------
+    def list_dir(self, path, start_after=None):
+        self._hit("list", path)
+        full = self._resolve(path)
+        # object stores have no directories: empty "dir" == no keys
+        if not os.path.isdir(full):
+            return []
+        names = sorted(os.listdir(full))
+        if start_after is not None:
+            names = [n for n in names if n > start_after]
+        return names
+
+    def read_bytes(self, path):
+        self._hit("get", path)
+        full = self._resolve(path)
+        try:
+            with open(full, "rb") as f:
+                return f.read()
+        except IsADirectoryError:
+            raise FileNotFoundError(path) from None
+
+    def read_range(self, path, offset, length):
+        self._hit("get_range", path)
+        full = self._resolve(path)
+        with open(full, "rb") as f:
+            f.seek(offset)
+            return f.read(length)
+
+    def exists(self, path):
+        self._hit("head", path)
+        full = self._resolve(path)
+        return os.path.exists(full)
+
+    def mtime(self, path):
+        self._hit("head", path)
+        return os.path.getmtime(self._resolve(path))
+
+    def is_dir(self, path):
+        self._hit("list", path)
+        return os.path.isdir(self._resolve(path))
+
+    def size(self, path):
+        self._hit("head", path)
+        return os.path.getsize(self._resolve(path))
+
+    def spark_path(self, path):
+        return self._resolve(path)
+
+
+_LOCAL = LocalFileIO()
+_REGISTRY: dict[str, FileIO] = {}
+
+
+def register_fileio(scheme: str, io: FileIO) -> None:
+    """Driver-local scheme registration (tests, deployments)."""
+    _REGISTRY[scheme] = io
+
+
+def unregister_fileio(scheme: str) -> None:
+    _REGISTRY.pop(scheme, None)
+
+
+def io_for(path: str) -> FileIO:
+    """Resolve the FileIO serving ``path`` by URI scheme. Plain paths
+    and ``file:`` URIs are POSIX; anything else must have been
+    registered (or passed explicitly as ``io=``) — unknown schemes
+    fail with guidance instead of mangling the path through ``os``."""
+    if "://" in path:
+        scheme = path.split("://", 1)[0]
+        if scheme in _REGISTRY:
+            return _REGISTRY[scheme]
+        if scheme == "file":
+            return _LOCAL
+        raise ValueError(
+            f"no FileIO registered for scheme {scheme!r} "
+            f"({path}) — register_fileio() or pass io= explicitly"
+        )
+    return _REGISTRY.get("", _LOCAL)
+
+
+def encode_fileio(io: FileIO) -> str:
+    """Serialize a FileIO for transport through string-only channels
+    (DataSource options: the Python DataSource API constructs sources
+    in WORKER processes, where the driver's scheme registry does not
+    exist). pickle+base64 — every FileIO here is picklable by design."""
+    import base64
+    import pickle
+
+    return base64.b64encode(pickle.dumps(io)).decode("ascii")
+
+
+def decode_fileio(s: str) -> FileIO:
+    import base64
+    import pickle
+
+    return pickle.loads(base64.b64decode(s.encode("ascii")))

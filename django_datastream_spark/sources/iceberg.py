@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import avro_lite as AV
+from .fileio import FileIO, io_for
 
 
 class IcebergUnsupportedError(RuntimeError):
@@ -54,13 +55,18 @@ def _meta_dir(root: str) -> str:
     return os.path.join(root, "metadata")
 
 
-def _metadata_versions(root: str) -> list[int]:
+def _metadata_versions(
+    root: str, io: FileIO | None = None
+) -> list[int]:
+    io = io or io_for(root)
     try:
-        names = os.listdir(_meta_dir(root))
+        names = io.list_dir(_meta_dir(root))
     except FileNotFoundError:
         raise IcebergUnsupportedError(
             f"{root}: no metadata directory"
         ) from None
+    if not names and not io.is_dir(_meta_dir(root)):
+        raise IcebergUnsupportedError(f"{root}: no metadata directory")
     out = []
     for n in names:
         m = re.fullmatch(r"v(\d+)\.metadata\.json", n)
@@ -69,16 +75,20 @@ def _metadata_versions(root: str) -> list[int]:
     return sorted(out)
 
 
-def iceberg_metadata(root: str, version: int | None = None) -> dict:
+def iceberg_metadata(
+    root: str, version: int | None = None, io: FileIO | None = None
+) -> dict:
     """The table-metadata JSON (latest by default: version-hint.text
     when present and valid, else the newest v*.metadata.json)."""
+    io = io or io_for(root)
     if version is None:
         try:
-            with open(
-                os.path.join(_meta_dir(root), "version-hint.text")
-            ) as f:
-                version = int(f.read().strip())
-            if not os.path.exists(
+            version = int(
+                io.read_text(
+                    os.path.join(_meta_dir(root), "version-hint.text")
+                ).strip()
+            )
+            if not io.exists(
                 os.path.join(
                     _meta_dir(root), f"v{version}.metadata.json"
                 )
@@ -87,15 +97,15 @@ def iceberg_metadata(root: str, version: int | None = None) -> dict:
         except (OSError, ValueError):
             version = None
     if version is None:
-        vs = _metadata_versions(root)
+        vs = _metadata_versions(root, io)
         if not vs:
             raise IcebergUnsupportedError(f"{root}: no metadata files")
         version = vs[-1]
-    with open(
-        os.path.join(_meta_dir(root), f"v{version}.metadata.json"),
-        encoding="utf-8",
-    ) as f:
-        md = json.load(f)
+    md = json.loads(
+        io.read_text(
+            os.path.join(_meta_dir(root), f"v{version}.metadata.json")
+        )
+    )
     fv = int(md.get("format-version", 1))
     if fv > 2:
         raise IcebergUnsupportedError(f"format-version {fv} > 2")
@@ -202,7 +212,9 @@ def iceberg_schema(md: dict, with_field_ids: bool = False) -> T.StructType:
     )
 
 
-def _files_carry_field_ids(paths: list[str]) -> bool:
+def _files_carry_field_ids(
+    paths: list[str], io: FileIO | None = None
+) -> bool:
     """Sniff ONE data file's footer: real Iceberg writers stamp
     parquet field ids (the spec requires them); files adopted from
     this engine's own write path don't. Field-id matching only
@@ -212,7 +224,8 @@ def _files_carry_field_ids(paths: list[str]) -> bool:
 
     for p in sorted(paths)[:1]:
         try:
-            sch = pq.ParquetFile(p).schema_arrow
+            src = io.parquet_source(p) if io is not None else p
+            sch = pq.ParquetFile(src).schema_arrow
         except Exception:
             return False
         for f in sch:
@@ -271,7 +284,7 @@ def iceberg_snapshots(root: str) -> list[dict]:
 
 def _decode_manifest_entries(
     root: str, md: dict, man_path: str, where: dict | None,
-    content: int, mf_seq: int,
+    content: int, mf_seq: int, io: FileIO | None = None,
 ) -> tuple[list, list]:
     """One manifest → ``(data, deletes)``: ``data`` = live
     (non-DELETED) data entries as (raw file_path, sequence number),
@@ -281,7 +294,7 @@ def _decode_manifest_entries(
     inherited by entries whose own is null, the spec's inheritance
     rule. Equality deletes fail closed. Pure function of the manifest
     file — the unit of distribution for big snapshots."""
-    _s, entries = AV.read_container_file(man_path)
+    _s, entries = AV.read_container_file(man_path, io=io)
     fields = (
         {
             f["name"]: (f["id"], f["type"])
@@ -358,8 +371,9 @@ def _snapshot_files(
     )
     if snap is None:
         raise ValueError(f"{root}: no snapshot {sid}")
+    io = io_for(root)
     mlist_path = _resolve(root, md, snap["manifest-list"])
-    _schema, manifests = AV.read_container_file(mlist_path)
+    _schema, manifests = AV.read_container_file(mlist_path, io=io)
     mans = []
     for mf in manifests:
         content = int(mf.get("content") or 0)
@@ -382,7 +396,7 @@ def _snapshot_files(
         rows = []
         for mp, content, seq in mans:
             d, x = _decode_manifest_entries(
-                root, md, mp, where, content, seq
+                root, md, mp, where, content, seq, io=io
             )
             rows.extend(("d", p, q, None) for p, q in d)
             rows.extend(x)
@@ -443,6 +457,9 @@ def _decode_manifests_distributed(
     wser = (
         {c: (b[0], b[1]) for c, b in where.items()} if where else None
     )
+    # resolve DRIVER-side and capture: the scheme registry does not
+    # exist in executor workers (the FileIO object itself is picklable)
+    io = io_for(root)
 
     def _task(batches):
         import json as _json
@@ -456,7 +473,7 @@ def _decode_manifests_distributed(
                 pdf["m"], pdf["c"], pdf["q"]
             ):
                 d, x = IB._decode_manifest_entries(
-                    root, m, mp, wser, int(content), int(seq)
+                    root, m, mp, wser, int(content), int(seq), io=io
                 )
                 for p, q in d:
                     ks.append("d")
@@ -553,7 +570,10 @@ def read_iceberg(
         from ..storage import local_rows_df
 
         return local_rows_df(spark, [], schema)
-    files = sorted(_resolve(root, md, p) for p in data)
+    io = io_for(root)
+    files = sorted(
+        io.spark_path(_resolve(root, md, p)) for p in data
+    )
     # column identity: Iceberg resolves parquet columns by FIELD ID
     # (a renamed column keeps its id; old files keep the old NAME) —
     # scan with id-keyed schema when the files carry ids, else fall
@@ -567,11 +587,23 @@ def read_iceberg(
     if dels:
         base = df.select(
             "*",
-            F.expr("substring(_metadata.file_path, 6)").alias("__af"),
+            # decode the URI: __af joins against os.path.abspath
+            # (raw) names — undecoded, a path with a space/'%' never
+            # matches and position deletes silently stop applying
+            F.expr(
+                "url_decode(replace(substring(_metadata.file_path, 6),"
+                " '+', '%2B'))"
+            ).alias("__af"),
             F.col("_metadata.row_index").alias("__pos"),
         )
         seq_rows = [
-            (raw, os.path.abspath(_resolve(root, md, raw)), int(q))
+            (
+                raw,
+                os.path.abspath(
+                    io.spark_path(_resolve(root, md, raw))
+                ),
+                int(q),
+            )
             for raw, q in data.items()
         ]
         seqdf = spark.createDataFrame(
@@ -584,7 +616,7 @@ def read_iceberg(
             for _k, raw, dseq, _e in pos_dels:
                 pieces.append(
                     spark.read.parquet(
-                        _resolve(root, md, raw)
+                        io.spark_path(_resolve(root, md, raw))
                     ).select(
                         F.col("file_path"),
                         F.col("pos"),
@@ -642,7 +674,7 @@ def read_iceberg(
                 for raw, dseq in group:
                     pieces.append(
                         spark.read.parquet(
-                            _resolve(root, md, raw)
+                            io.spark_path(_resolve(root, md, raw))
                         ).select(
                             *[
                                 F.col(n).alias(f"__eq_{n}")
@@ -826,12 +858,235 @@ def _footer_bounds(full: str, fields: list[dict]) -> tuple:
     return tolist(lo), tolist(hi)
 
 
+
+# ---------------------------------------------------------------------------
+# partition TRANSFORMS for publish (write-side fidelity: external
+# engines prune via the spec's transforms; reads here are bounds-based
+# and transform-agnostic either way)
+# ---------------------------------------------------------------------------
+_EPOCH_DATE = None  # set lazily (datetime import)
+
+
+def _parse_partition_spec(spec: list[dict], fields: list[dict]) -> list[dict]:
+    """Validate a user partition spec against the published schema and
+    return the parsed form: [{name, source, source_id, transform,
+    kind, param, src_type, result_avro}].
+
+    MONOTONIC transforms only (identity, truncate[W], year/month/day/
+    hour): a published file's partition tuple is derived from its
+    parquet FOOTER bounds, which is sound exactly when the transform
+    preserves order — transform(min)==transform(max) proves every row
+    maps to that value. ``bucket[N]`` hashes, so no footer can prove a
+    file is single-bucket: it raises with remediation instead of
+    publishing tuples that silently mis-prune on external engines."""
+    import re as _re
+
+    by_name = {f["name"]: f for f in fields}
+    out = []
+    for i, e in enumerate(spec):
+        src, t = e["source"], e["transform"]
+        if src not in by_name:
+            raise IcebergUnsupportedError(
+                f"partition source column {src!r} is not in the "
+                "published schema"
+            )
+        f = by_name[src]
+        typ = f["type"]
+        parsed = {
+            "name": e.get("name") or (
+                src if t == "identity" else f"{src}_{t.split('[')[0]}"
+            ),
+            "source": src,
+            "source_id": int(f["id"]),
+            "field_id": 1000 + i,
+            "src_type": typ,
+        }
+        if _re.fullmatch(r"bucket\[\d+\]", t):
+            raise IcebergUnsupportedError(
+                f"bucket transform {t!r} cannot be published from "
+                "footer bounds (hashing is not monotonic — a file's "
+                "min/max cannot prove it is single-bucket). "
+                "Remediation: materialize the bucket as a real column "
+                "(repartition the table by the bucket hash, store it, "
+                "publish with identity on that column), or pick a "
+                "monotonic transform (truncate[W], day/month/year/hour)"
+            )
+        m = _re.fullmatch(r"truncate\[(\d+)\]", t)
+        if m:
+            if typ not in ("int", "long", "string"):
+                raise IcebergUnsupportedError(
+                    f"truncate over {typ} is not supported (int/long/"
+                    "string per the spec subset published here)"
+                )
+            parsed.update(
+                kind="truncate", param=int(m.group(1)),
+                transform=t, result_avro=(
+                    "string" if typ == "string"
+                    else ("int" if typ == "int" else "long")
+                ),
+            )
+        elif t == "identity":
+            avro = {
+                "int": "int", "long": "long", "string": "string",
+                "date": "int", "timestamp": "long",
+                "timestamptz": "long", "double": "double",
+                "float": "float", "boolean": "boolean",
+            }.get(typ)
+            if avro is None:
+                raise IcebergUnsupportedError(
+                    f"identity over {typ} is not supported"
+                )
+            parsed.update(
+                kind="identity", param=None, transform=t,
+                result_avro=avro,
+            )
+        elif t in ("year", "month", "day", "hour"):
+            if typ not in ("date", "timestamp", "timestamptz"):
+                raise IcebergUnsupportedError(
+                    f"{t} transform needs a date/timestamp source, "
+                    f"got {typ}"
+                )
+            if t == "hour" and typ == "date":
+                raise IcebergUnsupportedError("hour of a date")
+            parsed.update(
+                kind=t, param=None, transform=t, result_avro="int"
+            )
+        else:
+            raise IcebergUnsupportedError(
+                f"unknown partition transform {t!r}"
+            )
+        out.append(parsed)
+    return out
+
+
+def _apply_transform(kind: str, param, v):
+    """One monotonic transform, spec semantics (floored division for
+    negatives; epoch-relative ordinals for time transforms)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if kind == "identity":
+        return v
+    if kind == "truncate":
+        if isinstance(v, str):
+            return v[:param]
+        return v - (v % param)  # python % floors: matches the spec
+    if isinstance(v, _dt.datetime):
+        ts = v if v.tzinfo else v.replace(tzinfo=_dt.timezone.utc)
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        if kind == "hour":
+            return int((ts - epoch).total_seconds() // 3600)
+        d = ts.date()
+    elif isinstance(v, _dt.date):
+        d = v
+    else:
+        raise IcebergUnsupportedError(
+            f"{kind} transform over non-temporal value {v!r}"
+        )
+    if kind == "year":
+        return d.year - 1970
+    if kind == "month":
+        return (d.year - 1970) * 12 + (d.month - 1)
+    if kind == "day":
+        return (d - _dt.date(1970, 1, 1)).days
+    raise IcebergUnsupportedError(f"transform kind {kind!r}")
+
+
+def _avro_partition_value(parsed: dict, v):
+    """Transformed value → its avro-encodable form (date→days,
+    timestamp→micros; ordinals/ints pass through)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(v, _dt.datetime):
+        ts = v if v.tzinfo else v.replace(tzinfo=_dt.timezone.utc)
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        return int((ts - epoch).total_seconds() * 1_000_000)
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    return v
+
+
+def _footer_minmax(full: str, col: str):
+    """(min, max) python values of one column across a parquet
+    footer's row groups (None, None when stats are absent)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(full).metadata
+    except Exception:
+        return None, None
+    mn = mx = None
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            if c.path_in_schema != col or c.statistics is None:
+                continue
+            st = c.statistics
+            if not st.has_min_max:
+                continue
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+    return mn, mx
+
+
+def _file_partition_tuple(
+    root: str, rel: str, spec_fields: list[dict]
+) -> dict:
+    """The file's partition record, VERIFIED from footer bounds:
+    transform(min) must equal transform(max) — otherwise the file
+    spans partitions and publishing a tuple would mis-prune on
+    external engines, so it raises with remediation."""
+    full = os.path.join(root, rel)
+    out = {}
+    for pf in spec_fields:
+        mn, mx = _footer_minmax(full, pf["source"])
+        if mn is None or mx is None:
+            raise IcebergUnsupportedError(
+                f"{rel}: no footer stats for partition source "
+                f"{pf['source']!r} — cannot derive its partition "
+                "value (rewrite the file with statistics enabled)"
+            )
+        lo = _apply_transform(pf["kind"], pf["param"], mn)
+        hi = _apply_transform(pf["kind"], pf["param"], mx)
+        if lo != hi:
+            raise IcebergUnsupportedError(
+                f"{rel}: spans partition values {lo!r}..{hi!r} of "
+                f"{pf['transform']} over {pf['source']!r} — each "
+                "Iceberg data file must map to ONE partition tuple. "
+                "Remediation: rewrite the table clustered by the "
+                "transform (txn_optimize with zorder_by/repartition "
+                "on the source column at transform granularity), "
+                "then re-publish"
+            )
+        out[pf["name"]] = _avro_partition_value(pf, lo)
+    return out
+
+
+def partition_spec_json(spec_fields: list[dict]) -> list[dict]:
+    """The parsed spec as the metadata JSON ``partition-specs``
+    fields array."""
+    return [
+        {
+            "name": pf["name"],
+            "transform": pf["transform"],
+            "source-id": pf["source_id"],
+            "field-id": pf["field_id"],
+        }
+        for pf in spec_fields
+    ]
+
+
 def write_manifest(
     root: str, name: str, entries: list[tuple],
     snapshot_id: int, codec: str = "deflate",
     schema_fields: list[dict] | None = None,
     entry_content: int = 0,
     equality_ids: list[int] | None = None,
+    partition_spec_fields: list[dict] | None = None,
 ) -> str:
     """entries: (status, table-relative data path[, entry snapshot
     id]) — the optional third element overrides the per-entry
@@ -848,30 +1103,56 @@ def write_manifest(
         lo = hi = None
         if schema_fields and os.path.exists(full):
             lo, hi = _footer_bounds(full, schema_fields)
+        df_rec = {
+            "content": entry_content,
+            "file_path": rel,
+            "file_format": "PARQUET",
+            "record_count": 0,
+            "file_size_in_bytes": (
+                os.path.getsize(full)
+                if os.path.exists(full)
+                else 0
+            ),
+            "lower_bounds": lo,
+            "upper_bounds": hi,
+            "equality_ids": equality_ids,
+        }
+        if partition_spec_fields:
+            # footer-VERIFIED tuple (raises on a partition-spanning
+            # file); a tombstone whose file is already gone carries
+            # nulls — the entry is DELETED, nothing prunes by it
+            df_rec["partition"] = (
+                _file_partition_tuple(root, rel, partition_spec_fields)
+                if os.path.exists(full)
+                else {pf["name"]: None for pf in partition_spec_fields}
+            )
         recs.append(
             {
                 "status": status,
                 "snapshot_id": entry_sid,
-                "data_file": {
-                    "content": entry_content,
-                    "file_path": rel,
-                    "file_format": "PARQUET",
-                    "record_count": 0,
-                    "file_size_in_bytes": (
-                        os.path.getsize(full)
-                        if os.path.exists(full)
-                        else 0
-                    ),
-                    "lower_bounds": lo,
-                    "upper_bounds": hi,
-                    "equality_ids": equality_ids,
-                },
+                "data_file": df_rec,
             }
+        )
+    schema = _MANIFEST_SCHEMA
+    if partition_spec_fields:
+        import copy as _copy
+
+        schema = _copy.deepcopy(_MANIFEST_SCHEMA)
+        part_t = {
+            "type": "record",
+            "name": "r102",
+            "fields": [
+                {"name": pf["name"], "type": ["null", pf["result_avro"]]}
+                for pf in partition_spec_fields
+            ],
+        }
+        schema["fields"][2]["type"]["fields"].insert(
+            2, {"name": "partition", "type": part_t}
         )
     path = os.path.join(_meta_dir(root), name)
     os.makedirs(_meta_dir(root), exist_ok=True)
     with open(path, "wb") as f:
-        f.write(AV.write_container(_MANIFEST_SCHEMA, recs, codec=codec))
+        f.write(AV.write_container(schema, recs, codec=codec))
     return path
 
 
@@ -921,6 +1202,7 @@ def write_metadata(
     properties: dict | None = None,
     last_sequence_number: int | None = None,
     atomic_new: bool = False,
+    partition_spec_fields: list[dict] | None = None,
 ) -> None:
     """snapshots: [{"snapshot-id": n, "manifest-list": relpath}]
     oldest→newest. What real writers maintain is stamped too: each
@@ -971,7 +1253,21 @@ def write_metadata(
             for i, ss in enumerate(schemas or [schema_fields])
         ],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": (
+                    partition_spec_json(partition_spec_fields)
+                    if partition_spec_fields
+                    else []
+                ),
+            }
+        ],
+        "last-partition-id": (
+            999 + len(partition_spec_fields)
+            if partition_spec_fields
+            else 999
+        ),
         "current-snapshot-id": current_snapshot_id,
         "snapshots": snaps_out,
         "snapshot-log": [
@@ -1348,6 +1644,7 @@ def publish_iceberg(
     spark: SparkSession,
     txn_root: str,
     versions: list[int] | None = None,
+    partition_spec: list[dict] | None = None,
 ) -> dict:
     """ZERO-COPY write-side interop (the inverse of
     :func:`adopt_iceberg`): publish an engine txn table AS a valid
@@ -1385,6 +1682,20 @@ def publish_iceberg(
     vs = sorted(versions) if versions else list(range(1, head + 1))
     if not vs or vs[0] < 1 or vs[-1] > head:
         raise ValueError(f"versions {vs} out of range 1..{head}")
+    if partition_spec and any(
+        any(TL.snapshot_dv(txn_root, v)[1].values()) for v in vs
+    ):
+        # a partitioned spec makes external engines PRUNE delete
+        # files by partition — exporting the DV state as one global
+        # position-delete file under that spec could silently skip
+        # applying deletes. Fail closed.
+        raise IcebergUnsupportedError(
+            "partition_spec with deletion vectors: position-delete "
+            "export is table-global and a partition-pruning reader "
+            "could skip it — publish without partition_spec, or "
+            "rewrite the deletes away (txn_optimize) first"
+        )
+    spec_fields: list[dict] | None = None
 
     name_to_id: dict[str, int] = {}
     schemas: list[list[dict]] = []
@@ -1415,6 +1726,8 @@ def publish_iceberg(
                 "schema-tracked tables (append via txn_append)"
             )
         fields = _spark_fields_to_ice(st, name_to_id)
+        if partition_spec and spec_fields is None:
+            spec_fields = _parse_partition_spec(partition_spec, fields)
         key = json.dumps(fields, sort_keys=True)
         if key not in schema_key_to_id:
             schema_key_to_id[key] = len(schemas)
@@ -1432,6 +1745,7 @@ def publish_iceberg(
             write_manifest(
                 txn_root, name, [(1, r) for r in new], sid,
                 schema_fields=fields,
+                partition_spec_fields=spec_fields,
             )
             added_manifest[v] = name
             mlist.append((name, sid, 0, pos_of[v]))
@@ -1457,7 +1771,8 @@ def publish_iceberg(
                     (2, r, sid) for r in sorted(gone_by_adder.get(w, ()))
                 ]
                 write_manifest(
-                    txn_root, name, entries, sid, schema_fields=fields
+                    txn_root, name, entries, sid, schema_fields=fields,
+                    partition_spec_fields=spec_fields,
                 )
                 mlist.append((name, sid, 0, pos_of[v]))
         # a deleting version whose adder has NO survivors still needs
@@ -1469,6 +1784,7 @@ def publish_iceberg(
                     txn_root, name,
                     [(2, r, sid) for r in sorted(gset)],
                     sid, schema_fields=fields,
+                    partition_spec_fields=spec_fields,
                 )
                 mlist.append((name, sid, 0, pos_of[v]))
         # DELETION VECTORS export as v2 POSITION DELETES: each
@@ -1550,6 +1866,7 @@ def publish_iceberg(
         txn_root, meta_v, schemas[cur_schema_id], snaps_meta,
         current_snapshot_id=sid_of[vs[-1]],
         schemas=schemas, current_schema_id=cur_schema_id,
+        partition_spec_fields=spec_fields,
     )
     return {"metadata_version": meta_v, "snapshots": dict(sid_of)}
 

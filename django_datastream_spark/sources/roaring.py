@@ -281,23 +281,33 @@ def write_dv_file_multi(path: str, per_key: dict) -> dict:
     return out
 
 
-def read_dv_file(path: str, offset: int, size_in_bytes: int) -> np.ndarray:
-    with open(path, "rb") as f:
-        version = f.read(1)
-        if not version or version[0] != DV_FILE_VERSION:
-            raise ValueError(
-                f"{path}: DV file format version "
-                f"{version[0] if version else '??'} unsupported"
-            )
-        f.seek(offset)
-        (dsize,) = struct.unpack(">i", f.read(4))
-        if dsize != size_in_bytes:
-            raise ValueError(
-                f"{path}@{offset}: stored dataSize {dsize} != descriptor "
-                f"sizeInBytes {size_in_bytes}"
-            )
-        data = f.read(dsize)
-        (crc,) = struct.unpack(">I", f.read(4))
+def read_dv_file(
+    path: str, offset: int, size_in_bytes: int, io=None
+) -> np.ndarray:
+    """Decode one framed vector — two RANGED reads (version byte +
+    the descriptor's exact frame), never the whole sidecar: a DV file
+    packs many vectors and an object store serves byte ranges."""
+    if io is None:
+        from .fileio import io_for
+
+        io = io_for(path)
+    version = io.read_range(path, 0, 1)
+    if not version or version[0] != DV_FILE_VERSION:
+        raise ValueError(
+            f"{path}: DV file format version "
+            f"{version[0] if version else '??'} unsupported"
+        )
+    frame = io.read_range(path, offset, 4 + size_in_bytes + 4)
+    if len(frame) < 4 + size_in_bytes + 4:
+        raise ValueError(f"{path}@{offset}: truncated DV frame")
+    (dsize,) = struct.unpack(">i", frame[:4])
+    if dsize != size_in_bytes:
+        raise ValueError(
+            f"{path}@{offset}: stored dataSize {dsize} != descriptor "
+            f"sizeInBytes {size_in_bytes}"
+        )
+    data = frame[4:4 + dsize]
+    (crc,) = struct.unpack(">I", frame[4 + dsize:4 + dsize + 4])
     if zlib.crc32(data) & 0xFFFFFFFF != crc:
         raise ValueError(f"{path}@{offset}: DV checksum mismatch")
     return decode_dv_data(data)
@@ -325,9 +335,11 @@ def make_uuid_descriptor_path(u: _uuid.UUID, prefix: str = "") -> str:
 
 def dv_positions(
     root: str, storage_type: str, path_or_inline: str,
-    offset: int | None, size_in_bytes: int,
+    offset: int | None, size_in_bytes: int, io=None,
 ) -> np.ndarray:
-    """Decode one descriptor to its deleted row positions."""
+    """Decode one descriptor to its deleted row positions. ``io`` is
+    the FileIO serving sidecar reads — EXECUTOR-side callers must pass
+    the driver-resolved instance (the scheme registry is driver-local)."""
     if storage_type == "i":
         data = z85_decode(path_or_inline)[:size_in_bytes]
         return decode_dv_data(data)
@@ -339,4 +351,4 @@ def dv_positions(
         raise ValueError(
             f"deletion vector storageType {storage_type!r} unsupported"
         )
-    return read_dv_file(path, offset or 1, size_in_bytes)
+    return read_dv_file(path, offset or 1, size_in_bytes, io=io)

@@ -394,6 +394,32 @@ class Tables:
             return os.path.join(self.root, "points_agg_txn")
         return self._data_dir("points_agg")
 
+    # -- external-table catalog (lakehouse interop by NAME) -----------
+    @property
+    def external_catalog_path(self) -> str:
+        return os.path.join(self.root, "external_tables.json")
+
+    def read_external_catalog(self) -> dict:
+        """name → {path, format} for every registered external table
+        (empty when none). One small JSON object, atomic-replaced —
+        the catalog is engine metadata, not a data table."""
+        import json as _json
+
+        try:
+            with open(self.external_catalog_path, encoding="utf-8") as f:
+                return _json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def write_external_catalog(self, catalog: dict) -> None:
+        import json as _json
+        import uuid as _uuid
+
+        tmp = self.external_catalog_path + f".tmp-{_uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            _json.dump(catalog, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.external_catalog_path)
+
     def _exists(self, path: str) -> bool:
         return os.path.isdir(path) and any(
             n.endswith(".parquet") or n.startswith(_PART_MARKERS)

@@ -1725,8 +1725,15 @@ def _read_files(
         prefix = "file:" + os.path.abspath(root) + os.sep
         df = df.select(
             "*",
+            # _metadata.file_path is percent-encoded; decode so
+            # __file IS the raw relative path — DV sidecars persist
+            # this value and commit delete-maps key on it, so it must
+            # match the live set's raw rel paths even when file or
+            # hive-dir names carry spaces/'%'. '+' is unencoded in a
+            # file URI; protect it from url_decode's form semantics.
             F.expr(
-                f"substring(_metadata.file_path, {len(prefix) + 1})"
+                "url_decode(replace(substring(_metadata.file_path, "
+                f"{len(prefix) + 1}), '+', '%2B'))"
             ).alias("__file"),
             F.col("_metadata.row_index").alias("__pos"),
         )

@@ -648,3 +648,170 @@ def test_delta_cdf_reads_change_data_files(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no cdc actions"):
         DL.delta_cdf(spark, root, 1)
+
+
+def test_checkpoint_with_only_parsed_stats_still_skips(spark, tmp_path):
+    """A legal writer choice: checkpoint adds carrying ONLY
+    stats_parsed / partitionValues_parsed (typed structs), no JSON
+    string forms. The fold must translate them back so where= data
+    skipping keeps working (silent no-skip at 10⁵ files is the bug)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    root = str(tmp_path / "t")
+    even = [0, 2, 4, 6]
+    odd = [11, 13, 15]
+    _write_data(root, "part=0/a.parquet", even)
+    _write_data(root, "part=1/b.parquet", odd)
+
+    stats_t = pa.struct(
+        [
+            ("numRecords", pa.int64()),
+            ("minValues", pa.struct([("doc_id", pa.int64())])),
+            ("maxValues", pa.struct([("doc_id", pa.int64())])),
+            ("nullCount", pa.struct([("doc_id", pa.int64())])),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues_parsed", pa.struct([("part", pa.int32())])),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats_parsed", stats_t),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+        ]
+    )
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+
+    def _st(lo, hi, n):
+        return {
+            "numRecords": n,
+            "minValues": {"doc_id": lo},
+            "maxValues": {"doc_id": hi},
+            "nullCount": {"doc_id": 0},
+        }
+
+    adds = [
+        {"path": "part=0/a.parquet",
+         "partitionValues_parsed": {"part": 0},
+         "size": 1, "modificationTime": 0, "dataChange": True,
+         "stats_parsed": _st(0, 6, len(even))},
+        {"path": "part=1/b.parquet",
+         "partitionValues_parsed": {"part": 1},
+         "size": 1, "modificationTime": 0, "dataChange": True,
+         "stats_parsed": _st(11, 15, len(odd))},
+    ]
+    md = _meta()["metaData"]
+    rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+         "metaData": None, "add": None},
+        {"protocol": None, "metaData": md, "add": None},
+    ] + [{"protocol": None, "metaData": None, "add": a} for a in adds]
+    tbl = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("protocol", proto_t), ("metaData", meta_t), ("add", add_t)]
+        ),
+    )
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    pq_.write_table(
+        tbl, os.path.join(log, f"{0:020d}.checkpoint.parquet")
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        f.write('{"version": 0}')
+
+    # reads hash-exact: partition column materializes from the parsed map
+    got = sorted(
+        (r["doc_id"], r["part"])
+        for r in DL.read_delta(spark, root).collect()
+    )
+    assert got == sorted(
+        [(i, 0) for i in even] + [(i, 1) for i in odd]
+    )
+    # data skipping actually prunes through the translated stats
+    _v, _md, arrow_adds = DL.delta_snapshot_arrow(root)
+    assert arrow_adds.column("stats").null_count == 0
+    pruned = DL._prune_adds_local(arrow_adds, {"doc_id": (11, 15)}, {"part"})
+    assert pruned.num_rows == 1
+    # and through the partition values
+    pruned2 = DL._prune_adds_local(arrow_adds, {"part": (1, 1)}, {"part"})
+    assert pruned2.num_rows == 1
+    got2 = sorted(
+        r["doc_id"]
+        for r in DL.read_delta(spark, root, where={"doc_id": (11, 15)})
+        .collect()
+    )
+    assert got2 == odd
+
+
+def test_checkpoint_without_any_stats_reads_with_no_skip(spark, tmp_path):
+    """A checkpoint carrying neither stats form still reads correctly
+    — skipping just keeps every file (documented degradation)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    root = str(tmp_path / "t")
+    _write_data(root, "a.parquet", [1, 2, 3])
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+        ]
+    )
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    md = _meta(partitioned=False)["metaData"]
+    rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+         "metaData": None, "add": None},
+        {"protocol": None, "metaData": md, "add": None},
+        {"protocol": None, "metaData": None,
+         "add": {"path": "a.parquet", "partitionValues": [],
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    tbl = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("protocol", proto_t), ("metaData", meta_t), ("add", add_t)]
+        ),
+    )
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    pq_.write_table(
+        tbl, os.path.join(log, f"{0:020d}.checkpoint.parquet")
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        f.write('{"version": 0}')
+    assert sorted(
+        r["doc_id"] for r in DL.read_delta(spark, root).collect()
+    ) == [1, 2, 3]
+    # no stats: the prune keeps everything (conservative, not wrong)
+    _v, _md, arrow_adds = DL.delta_snapshot_arrow(root)
+    pruned = DL._prune_adds_local(arrow_adds, {"doc_id": (99, 100)}, set())
+    assert pruned.num_rows == 1

@@ -486,3 +486,27 @@ def test_checkpoint_protocol_survives_log_cleanup(spark, tmp_path):
     ]
     assert protos[0]["minReaderVersion"] == 3
     assert protos[0]["readerFeatures"] == ["deletionVectors"]
+
+
+def test_cleanup_retention_keeps_newest_commits(spark, tmp_path):
+    """keep_commits: the log-retention knob the external churn soak
+    motivated — live streaming consumers lagging up to N commits (and
+    stream restarts re-planning their last batch) keep replaying."""
+    root = str(tmp_path / "t")
+    sink = DL.delta_streaming_sink(root, "app", checkpoint_every=None)
+    for b in range(6):
+        sink(
+            spark.createDataFrame([(b, float(b))], "k long, v double"),
+            b,
+        )
+    DL.write_delta_checkpoint(root, 5)
+    res = DL.cleanup_delta_log(root, keep_commits=3)
+    assert res["removed_commits"] == 3  # 0,1,2 gone; 3,4,5 retained
+    assert DL.delta_versions(root) == [3, 4, 5]
+    # retained tail still serves incremental replay
+    ch = DL.delta_changes(spark, root, 2, on_remove="ignore")
+    assert sorted(r["k"] for r in ch.collect()) == [3, 4, 5]
+    # no retention: everything at/below the checkpoint goes
+    res2 = DL.cleanup_delta_log(root)
+    assert DL.delta_versions(root) == []
+    assert res2["removed_commits"] == 3

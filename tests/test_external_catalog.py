@@ -1,0 +1,129 @@
+"""The engine catalog over external tables — lakehouse interop served
+BY NAME through the Datastream facade (register → external_table /
+external_stream / SQL views / HTTP), instead of path-oriented library
+calls. VERDICT r9 item 6."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from django_datastream_spark import exceptions as exc
+from django_datastream_spark import http_api, txnlog as TL
+from django_datastream_spark.api import Datastream
+from django_datastream_spark.sources import delta as DL
+from tests.test_delta import _build_hive_table
+from tests.test_iceberg import _build_nonmonotonic_table
+
+
+def _mkds(spark, tmp_path):
+    return Datastream(spark, str(tmp_path / "store"))
+
+
+def test_register_detects_and_persists(spark, tmp_path):
+    ds = _mkds(spark, tmp_path)
+    droot = str(tmp_path / "d")
+    _build_hive_table(droot)
+    iroot = str(tmp_path / "i")
+    _build_nonmonotonic_table(iroot)
+    troot = str(tmp_path / "t")
+    TL.txn_append(
+        spark,
+        spark.createDataFrame([(1, 1.0)], "doc_id long, val double"),
+        troot, [],
+    )
+    assert ds.register_external_table("d", droot)["format"] == "delta"
+    assert ds.register_external_table("i", iroot)["format"] == "iceberg"
+    assert ds.register_external_table("t", troot)["format"] == "txn"
+    # persisted: a fresh facade over the same store sees all three
+    ds2 = Datastream(spark, ds.tables.root)
+    assert [e["name"] for e in ds2.external_tables()] == ["d", "i", "t"]
+    # by-name read == direct read, for each format
+    a = sorted(map(tuple, ds2.external_table("d").collect()))
+    b = sorted(map(tuple, DL.read_delta(spark, droot).collect()))
+    assert a == b
+    assert ds2.external_table("t").count() == 1
+    assert ds2.external_table("i").count() > 0
+
+
+def test_register_conflicts_and_unregister(spark, tmp_path):
+    ds = _mkds(spark, tmp_path)
+    droot = str(tmp_path / "d")
+    _build_hive_table(droot)
+    ds.register_external_table("d", droot)
+    # idempotent same spec
+    ds.register_external_table("d", droot)
+    other = str(tmp_path / "other")
+    _build_hive_table(other)
+    with pytest.raises(exc.DatastreamError, match="already registered"):
+        ds.register_external_table("d", other)
+    assert ds.unregister_external_table("d") is True
+    assert ds.unregister_external_table("d") is False
+    with pytest.raises(exc.StreamNotFound):
+        ds.external_table("d")
+    with pytest.raises(ValueError, match="no table here"):
+        ds.register_external_table("x", str(tmp_path / "empty"))
+
+
+def test_time_travel_pins_pass_through(spark, tmp_path):
+    ds = _mkds(spark, tmp_path)
+    droot = str(tmp_path / "d")
+    _build_hive_table(droot)
+    ds.register_external_table("d", droot)
+    v0 = sorted(
+        r["doc_id"] for r in ds.external_table("d", version=0).collect()
+    )
+    assert v0 == list(range(10))
+    # a wrong-format pin raises instead of being ignored
+    with pytest.raises(ValueError, match="Iceberg"):
+        ds.external_table("d", snapshot_id=123)
+
+
+def test_external_stream_by_name(spark, tmp_path):
+    ds = _mkds(spark, tmp_path)
+    droot = str(tmp_path / "d")
+    _build_hive_table(droot)
+    ds.register_external_table("d", droot)
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    q = (
+        ds.external_stream("d", ignoreChanges="true")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert "_commit_version" in got.columns
+
+
+def test_http_table_endpoints(spark, tmp_path):
+    ds = _mkds(spark, tmp_path)
+    droot = str(tmp_path / "d")
+    _build_hive_table(droot)
+    ds.register_external_table("docs", droot)
+    listing = http_api.list_tables(ds)
+    assert listing["meta"]["total_count"] == 1
+    assert listing["objects"][0]["name"] == "docs"
+    assert listing["objects"][0]["format"] == "delta"
+    page = http_api.table_rows(ds, "docs", limit=5, offset=0)
+    assert len(page["objects"]) == 5
+    assert page["meta"]["columns"] == ds.external_table("docs").columns
+    page2 = http_api.table_rows(ds, "docs", limit=5, offset=5)
+    assert page["objects"] != page2["objects"]
+    pinned = http_api.table_rows(
+        ds, "docs", params={"version": "0"}, limit=100
+    )
+    assert len(pinned["objects"]) == 10
+
+
+def test_attach_external_views_sql(spark, tmp_path):
+    ds = _mkds(spark, tmp_path)
+    droot = str(tmp_path / "d")
+    _build_hive_table(droot)
+    ds.register_external_table("docs", droot)
+    assert ds.attach_external_views(prefix="ext_") == ["ext_docs"]
+    n = spark.sql("SELECT COUNT(*) AS n FROM ext_docs").collect()[0]["n"]
+    assert n == ds.external_table("docs").count()

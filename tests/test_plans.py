@@ -134,7 +134,9 @@ def test_declaring_queries_runs_no_jobs(spark):
               # q232 runs the Iceberg sink + optimize/expire cycle
               "q232_iceberg_maintenance",
               # q233 runs txn commits + the CDF publish
-              "q233_publish_cdf"}
+              "q233_publish_cdf",
+              # q234 builds the Delta fixture + the catalog store
+              "q234_catalog_external_table"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
