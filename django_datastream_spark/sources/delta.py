@@ -1042,12 +1042,34 @@ def _dv_positions_frame(spark, root: str, dirty) -> DataFrame:
                 else -1,
             )
         )
-    ddf = spark.createDataFrame(
-        descs, "f string, st string, p string, off int, sz int, card long"
-    ).repartition(min(64, max(1, len(descs))))
     # resolve DRIVER-side and capture: the scheme registry does not
     # exist in executor workers (the FileIO object itself is picklable)
     io = io_for(root)
+    if not getattr(io, "executor_safe", True):
+        # driver-only FileIO (HadoopFileIO): decode the vectors here
+        # and ship positions as rows — bounded by total DV cardinality,
+        # the documented trade for SDK-less object-store access (a
+        # picklable store keeps the executor-side path below)
+        import pandas as _pd
+
+        from . import roaring as RB
+
+        frames = []
+        for f, st, p_, off, sz, card in descs:
+            pos = RB.dv_positions(root, st, p_, off, sz, io=io)
+            if card >= 0 and len(pos) != card:
+                raise ValueError(
+                    f"deletion vector for {f}: decoded {len(pos)} "
+                    f"positions, descriptor says {card}"
+                )
+            frames.append(
+                _pd.DataFrame({"__file": f, "__pos": pos.astype("int64")})
+            )
+        pdf = _pd.concat(frames, ignore_index=True)
+        return spark.createDataFrame(pdf, "__file string, __pos long")
+    ddf = spark.createDataFrame(
+        descs, "f string, st string, p string, off int, sz int, card long"
+    ).repartition(min(64, max(1, len(descs))))
 
     def _explode(batches):
         import pandas as _pd
@@ -1117,7 +1139,7 @@ def _scan_paths(
     data_schema = StructType(
         [f for f in schema.fields if f.name not in part_cols]
     )
-    prefix = "file:" + os.path.abspath(data_root) + os.sep
+    prefix = io.file_uri(root) + os.sep
     meta_cols = (
         [
             # _metadata.file_path is a percent-encoded URI; DV

@@ -92,6 +92,20 @@ class FileIO:
         """The URI Spark's JVM data plane scans for this path."""
         raise NotImplementedError
 
+    def file_uri(self, path: str) -> str:
+        """The DECODED form of the ``_metadata.file_path`` URI Spark
+        reports for a file at ``path`` — what row-identity joins
+        (deletion vectors, position deletes) compare against. Default
+        handles plain POSIX paths and scheme URIs (Hadoop normalizes
+        an empty authority to ``scheme:/path``)."""
+        p = self.spark_path(path)
+        if "://" not in p:
+            return "file:" + os.path.abspath(p)
+        scheme, rest = p.split("://", 1)
+        if rest.startswith("/"):  # empty authority: file:///x -> file:/x
+            return f"{scheme}:/{rest.lstrip('/')}"
+        return p
+
     def parquet_source(self, path: str):
         """What ``pyarrow.parquet.read_table`` should be handed for a
         METADATA parquet (checkpoints, DV position sidecars). Default:
@@ -134,6 +148,9 @@ class LocalFileIO(FileIO):
 
     def spark_path(self, path):
         return path
+
+    def file_uri(self, path):
+        return "file:" + os.path.abspath(path)
 
     def parquet_source(self, path):
         return path  # let Arrow mmap local metadata
@@ -260,6 +277,9 @@ class FakeObjectStore(FileIO):
     def spark_path(self, path):
         return self._resolve(path)
 
+    def file_uri(self, path):
+        return "file:" + self._resolve(path)
+
 
 _LOCAL = LocalFileIO()
 _REGISTRY: dict[str, FileIO] = {}
@@ -308,3 +328,116 @@ def decode_fileio(s: str) -> FileIO:
     import pickle
 
     return pickle.loads(base64.b64decode(s.encode("ascii")))
+
+
+class HadoopFileIO(FileIO):
+    """Metadata reads through the JVM's Hadoop FileSystem layer — the
+    DEPLOYMENT adapter: any URI the Spark runtime can scan (s3a://,
+    gs://, abfss://, hdfs://, file://) serves metadata through the
+    same connectors and credentials the data plane already uses, so an
+    object-store-resident lakehouse table reads with ZERO extra
+    configuration.
+
+    DRIVER-ONLY by construction (``executor_safe = False``): the py4j
+    gateway does not exist in executor Python workers, so this object
+    refuses to pickle with a pointed error. Readers honor the flag —
+    deletion-vector and manifest decodes that normally run executor-
+    side fall back to a driver-side decode (bounded by descriptor
+    count; for executor-side decode at scale, provide a picklable
+    SDK-backed FileIO instead — boto3/gcsfs shaped like
+    FakeObjectStore). The streaming sources require a picklable
+    FileIO for the same reason.
+    """
+
+    executor_safe = False
+
+    def __init__(self, spark):
+        self._spark = spark
+
+    def __getstate__(self):
+        raise TypeError(
+            "HadoopFileIO is driver-only (py4j gateway) — executor-"
+            "side metadata decode needs a picklable FileIO (e.g. an "
+            "SDK-backed store shaped like FakeObjectStore)"
+        )
+
+    # -- jvm plumbing ---------------------------------------------------
+    def _jvm(self):
+        return self._spark._jvm
+
+    def _jpath(self, path: str):
+        return self._jvm().org.apache.hadoop.fs.Path(path)
+
+    def _fs(self, path: str):
+        jvm = self._jvm()
+        uri = self._jpath(path).toUri()
+        conf = self._spark._jsc.hadoopConfiguration()
+        return jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf)
+
+    # -- FileIO ----------------------------------------------------------
+    def list_dir(self, path, start_after=None):
+        fs = self._fs(path)
+        p = self._jpath(path)
+        if not fs.exists(p):
+            raise FileNotFoundError(path)
+        names = sorted(
+            st.getPath().getName() for st in fs.listStatus(p)
+        )
+        if start_after is not None:
+            names = [n for n in names if n > start_after]
+        return names
+
+    def read_bytes(self, path):
+        fs = self._fs(path)
+        p = self._jpath(path)
+        if not fs.exists(p):
+            raise FileNotFoundError(path)
+        stream = fs.open(p)
+        try:
+            data = self._jvm().org.apache.commons.io.IOUtils.toByteArray(
+                stream
+            )
+        finally:
+            stream.close()
+        return bytes(data)
+
+    def read_range(self, path, offset, length):
+        fs = self._fs(path)
+        p = self._jpath(path)
+        if not fs.exists(p):
+            raise FileNotFoundError(path)
+        size = fs.getFileStatus(p).getLen()
+        n = max(0, min(int(length), int(size) - int(offset)))
+        if n == 0:
+            return b""
+        stream = fs.open(p)
+        try:
+            stream.seek(int(offset))
+            data = self._jvm().org.apache.commons.io.IOUtils.toByteArray(
+                stream, n
+            )
+        finally:
+            stream.close()
+        return bytes(data)
+
+    def exists(self, path):
+        return bool(self._fs(path).exists(self._jpath(path)))
+
+    def mtime(self, path):
+        return (
+            self._fs(path)
+            .getFileStatus(self._jpath(path))
+            .getModificationTime()
+            / 1000.0
+        )
+
+    def is_dir(self, path):
+        fs = self._fs(path)
+        p = self._jpath(path)
+        return bool(fs.exists(p) and fs.getFileStatus(p).isDirectory())
+
+    def size(self, path):
+        return int(self._fs(path).getFileStatus(self._jpath(path)).getLen())
+
+    def spark_path(self, path):
+        return path  # the data plane already speaks Hadoop URIs

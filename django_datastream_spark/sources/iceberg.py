@@ -388,7 +388,11 @@ def _snapshot_files(
                 int(mf.get("sequence_number") or 0),
             )
         )
-    if spark is not None and len(mans) >= DISTRIBUTED_MANIFESTS_AT:
+    if (
+        spark is not None
+        and len(mans) >= DISTRIBUTED_MANIFESTS_AT
+        and getattr(io, "executor_safe", True)
+    ):
         rows = _decode_manifests_distributed(
             spark, root, md, mans, where
         )
@@ -587,23 +591,17 @@ def read_iceberg(
     if dels:
         base = df.select(
             "*",
-            # decode the URI: __af joins against os.path.abspath
-            # (raw) names — undecoded, a path with a space/'%' never
-            # matches and position deletes silently stop applying
+            # row identity: the FULL decoded file URI (a path with a
+            # space/'%' must still match; URI roots — s3a://, file://
+            # — must not break prefix arithmetic). The join side
+            # canonicalizes through FileIO.file_uri.
             F.expr(
-                "url_decode(replace(substring(_metadata.file_path, 6),"
-                " '+', '%2B'))"
+                "url_decode(replace(_metadata.file_path, '+', '%2B'))"
             ).alias("__af"),
             F.col("_metadata.row_index").alias("__pos"),
         )
         seq_rows = [
-            (
-                raw,
-                os.path.abspath(
-                    io.spark_path(_resolve(root, md, raw))
-                ),
-                int(q),
-            )
+            (raw, io.file_uri(_resolve(root, md, raw)), int(q))
             for raw, q in data.items()
         ]
         seqdf = spark.createDataFrame(

@@ -346,3 +346,59 @@ def test_streaming_listing_cursor_lists_o_new_per_trigger(fake_store):
         triggers += 1
         assert triggers < 2 * n
     assert store.counters.get("get", 0) - base_get <= 2 * (n + 3)
+
+
+# ── HadoopFileIO: metadata through the JVM Hadoop layer ──────────────
+@pytest.fixture
+def hadoop_io(spark):
+    """HadoopFileIO registered for file:// URIs (the local Hadoop
+    filesystem stands in for s3a/gs/abfss — same FileSystem API)."""
+    h = FIO.HadoopFileIO(spark)
+    FIO.register_fileio("file", h)
+    try:
+        yield h
+    finally:
+        FIO.unregister_fileio("file")
+
+
+def test_hadoop_fileio_verbs(spark, hadoop_io, tmp_path):
+    d = tmp_path / "x"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"hello world")
+    (d / "b.bin").write_bytes(b"zz")
+    u = f"file://{d}"
+    assert hadoop_io.list_dir(u) == ["a.bin", "b.bin"]
+    assert hadoop_io.list_dir(u, start_after="a.bin") == ["b.bin"]
+    assert hadoop_io.read_bytes(f"{u}/a.bin") == b"hello world"
+    assert hadoop_io.read_range(f"{u}/a.bin", 6, 5) == b"world"
+    assert hadoop_io.read_range(f"{u}/a.bin", 6, 99) == b"world"  # EOF
+    assert hadoop_io.exists(f"{u}/a.bin")
+    assert not hadoop_io.exists(f"{u}/c.bin")
+    assert hadoop_io.is_dir(u)
+    assert hadoop_io.size(f"{u}/b.bin") == 2
+    with pytest.raises(FileNotFoundError):
+        hadoop_io.list_dir(f"file://{tmp_path}/missing")
+    # driver-only: refuses to pickle with a pointed error
+    with pytest.raises(TypeError, match="driver-only"):
+        pickle.dumps(hadoop_io)
+
+
+def test_delta_reads_via_hadoop_fileio(spark, hadoop_io, tmp_path):
+    """Batch Delta reads over a Hadoop URI — incl. deletion vectors,
+    which fall back to the driver-side decode (executor workers have
+    no py4j gateway)."""
+    posix = str(tmp_path / "t")
+    _build_dv_table(posix, "u")
+    u = f"file://{posix}"
+    assert _ids(DL.read_delta(spark, u)) == [0, 2, 4, 6, 7, 8, 9]
+    assert DL.delta_versions(u) == [0, 1, 2]
+    assert _ids(DL.read_delta(spark, u, version=0)) == list(range(10))
+
+
+def test_iceberg_reads_via_hadoop_fileio(spark, hadoop_io, tmp_path):
+    posix = str(tmp_path / "t")
+    _build_nonmonotonic_table(posix)
+    u = f"file://{posix}"
+    want = sorted(map(tuple, IB.read_iceberg(spark, posix).collect()))
+    got = sorted(map(tuple, IB.read_iceberg(spark, u).collect()))
+    assert want == got and want
