@@ -20,9 +20,7 @@
    Delta log, and the Iceberg position-delete path.
 """
 
-import json
 import os
-import shutil
 
 import pytest
 from pyspark.sql import functions as F

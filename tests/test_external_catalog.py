@@ -3,8 +3,6 @@ BY NAME through the Datastream facade (register → external_table /
 external_stream / SQL views / HTTP), instead of path-oriented library
 calls. VERDICT r9 item 6."""
 
-import os
-
 import pytest
 from pyspark.sql import functions as F
 
