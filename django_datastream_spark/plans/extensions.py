@@ -11823,3 +11823,98 @@ def q234(spark, sf_dir):
         "SELECT doc_id, part, ROUND(val, 4) AS val "
         "FROM ext_docs_delta ORDER BY doc_id"
     )
+
+
+@_declare(
+    "q235_fileio_object_store",
+    """
+    SELECT doc_id, CAST(doc_id % 4 AS INT) part,
+           ROUND(CASE WHEN doc_id < 200 AND doc_id % 4 = 0
+                      THEN doc_id * 0.5 + 1000
+                      ELSE doc_id * 0.5 END, 4) val
+    FROM documents WHERE doc_id < 300 ORDER BY doc_id
+    """,
+)
+def q235(spark, sf_dir):
+    """READ-SIDE FileIO seam under the driver contract: the q207
+    Delta fixture served through a registered FakeObjectStore —
+    object verbs only (flat keys, whole/ranged GET, StartAfter
+    listing); the ``fake…://`` root does not exist as a POSIX path,
+    so ANY metadata read still touching os.*/open — driver or
+    executor (checkpoint fold, commit JSONs, DV sidecars) — fails
+    outright instead of passing. Hash-exact vs q207's closed form
+    proves the seam is the read path, not a wrapper. (Builder writes
+    the fixture tree; by-name exemption in
+    test_declaring_queries_runs_no_jobs.)"""
+    import hashlib as _hl
+    import os as _os
+
+    from ..sources import delta as DLT
+    from ..sources import fileio as FIO
+
+    root = _delta_fixture(spark, sf_dir, "q235")
+    scheme = "fakeq235" + _hl.md5(sf_dir.encode()).hexdigest()[:6]
+    store = FIO.FakeObjectStore(scheme, _os.path.dirname(root))
+    FIO.register_fileio(scheme, store)
+    try:
+        df = (
+            DLT.read_delta(spark, f"{scheme}://table")
+            .select("doc_id", "part", F.round("val", 4).alias("val"))
+            .orderBy("doc_id")
+        )
+        # force the metadata fold NOW (while the scheme is registered);
+        # the data-plane scan in the returned plan reads the backing
+        # parquet via spark_path, needing no registry at execution
+        df.schema
+        return df
+    finally:
+        FIO.unregister_fileio(scheme)
+
+
+@_declare(
+    "q236_fileio_hadoop_uri",
+    """
+    WITH eras AS (SELECT 0 ver, 200 upto, FALSE bumped
+                  UNION ALL SELECT 2, 300, TRUE)
+    SELECT CAST(e.ver AS INT) ver, CAST(COUNT(*) AS BIGINT) n,
+           ROUND(SUM(CASE WHEN e.bumped AND d.doc_id < 200
+                               AND d.doc_id % 4 = 0
+                          THEN d.doc_id * 0.5 + 1000
+                          ELSE d.doc_id * 0.5 END), 4) sum_val
+    FROM eras e JOIN documents d ON d.doc_id < e.upto
+    GROUP BY e.ver ORDER BY ver
+    """,
+)
+def q236(spark, sf_dir):
+    """HadoopFileIO under the driver contract: the q208 fixture read
+    over a ``file://`` URI ROOT through the JVM FileSystem layer (the
+    s3a/gs/abfss deployment shape — local fs stands in, same API),
+    incl. time travel whose v0 era folds through commit JSONs and the
+    head through the parquet checkpoint, all fetched via Hadoop
+    open/listStatus instead of os.*. Two eras aggregated, oracled by
+    their closed forms. (Builder writes the fixture tree; by-name
+    exemption in test_declaring_queries_runs_no_jobs.)"""
+    from ..sources import delta as DLT
+    from ..sources import fileio as FIO
+
+    root = _delta_fixture(spark, sf_dir, "q236")
+    FIO.register_fileio("file", FIO.HadoopFileIO(spark))
+    try:
+        u = f"file://{root}"
+        eras = []
+        for ver in (0, 2):
+            eras.append(
+                DLT.read_delta(spark, u, version=ver)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.round(F.sum("val"), 4).alias("sum_val"),
+                )
+                .select(
+                    F.lit(ver).cast("int").alias("ver"), "n", "sum_val"
+                )
+            )
+        out = eras[0].unionByName(eras[1]).orderBy("ver")
+        out.schema  # fold both eras' metadata while registered
+        return out
+    finally:
+        FIO.unregister_fileio("file")

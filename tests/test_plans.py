@@ -136,7 +136,9 @@ def test_declaring_queries_runs_no_jobs(spark):
               # q233 runs txn commits + the CDF publish
               "q233_publish_cdf",
               # q234 builds the Delta fixture + the catalog store
-              "q234_catalog_external_table"}
+              "q234_catalog_external_table",
+              # q235/q236 build Delta fixtures read through FileIO
+              "q235_fileio_object_store", "q236_fileio_hadoop_uri"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
