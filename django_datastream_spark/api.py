@@ -820,25 +820,31 @@ class Datastream:
         fmt = format or DET.detect_table_format(path)
         if fmt not in ("txn", "delta", "iceberg", "parquet"):
             raise ValueError(f"unknown table format {fmt!r}")
-        cat = self.tables.read_external_catalog()
-        prev = cat.get(name)
         entry = {"path": path, "format": fmt}
-        if prev is not None and prev != entry:
-            raise exc.DatastreamError(
-                f"external table {name!r} is already registered to "
-                f"{prev['path']} ({prev['format']}) — unregister first"
-            )
-        cat[name] = entry
-        self.tables.write_external_catalog(cat)
+
+        def _apply(cat: dict) -> dict:
+            prev = cat.get(name)
+            if prev is not None and prev != entry:
+                raise exc.DatastreamError(
+                    f"external table {name!r} is already registered "
+                    f"to {prev['path']} ({prev['format']}) — "
+                    "unregister first"
+                )
+            cat[name] = entry
+            return cat
+
+        self.tables.mutate_external_catalog(_apply)
         return dict(entry, name=name)
 
     def unregister_external_table(self, name: str) -> bool:
-        cat = self.tables.read_external_catalog()
-        if name not in cat:
-            return False
-        del cat[name]
-        self.tables.write_external_catalog(cat)
-        return True
+        hit = {"n": False}
+
+        def _apply(cat: dict) -> dict:
+            hit["n"] = cat.pop(name, None) is not None
+            return cat
+
+        self.tables.mutate_external_catalog(_apply)
+        return hit["n"]
 
     def external_tables(self) -> list[dict]:
         """Catalog listing: [{name, path, format}] sorted by name."""

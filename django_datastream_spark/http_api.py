@@ -215,9 +215,17 @@ def table_rows(
         as_of_timestamp_ms=int(p["as_of"]) if "as_of" in p else None,
     )
     cols = df.columns
-    rows = (
-        df.orderBy(*cols).offset(offset).limit(limit).collect()
-    )
+    # deterministic pagination over ORDERABLE columns only — Spark
+    # cannot sort by map-typed expressions, and legal Delta/Iceberg
+    # schemas carry them
+    from pyspark.sql.types import MapType
+
+    sortable = [
+        f.name for f in df.schema.fields
+        if not isinstance(f.dataType, MapType)
+    ]
+    page_df = df.orderBy(*sortable) if sortable else df
+    rows = page_df.offset(offset).limit(limit).collect()
     objects = [
         json.loads(
             json.dumps(r.asDict(recursive=True), default=_json_default)

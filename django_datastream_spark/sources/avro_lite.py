@@ -306,13 +306,11 @@ def read_container(data: bytes) -> tuple[dict, list]:
 
 def read_container_file(path: str, io=None) -> tuple[dict, list]:
     """``io``: the FileIO serving the read (executor-side callers
-    pass the driver-resolved instance); default POSIX/scheme lookup."""
-    if io is not None:
-        return read_container(io.read_bytes(path))
-    from .fileio import io_for
+    pass the driver-resolved instance); default POSIX/scheme lookup.
+    One whole-object GET either way — Avro containers decode from
+    bytes."""
+    if io is None:
+        from .fileio import io_for
 
-    _io = io_for(path)
-    if type(_io).__name__ != "LocalFileIO":
-        return read_container(_io.read_bytes(path))
-    with open(path, "rb") as f:
-        return read_container(f.read())
+        io = io_for(path)
+    return read_container(io.read_bytes(path))

@@ -456,11 +456,13 @@ def _fill_from_parsed(part, sub):
                 idx_stats, "stats", pa.array(out, pa.string())
             )
     idx_pv = part.schema.get_field_index("partitionValues")
-    pv_col = part.column("partitionValues").combine_chunks()
-    pv_all_empty = all(
-        v is None or len(v) == 0 for v in pv_col.to_pylist()
+    # cheap set-membership FIRST: spec-typical checkpoints (no parsed
+    # columns) must never pay a per-row to_pylist here
+    pv_all_empty = "partitionValues_parsed" in addf and all(
+        v is None or len(v) == 0
+        for v in part.column("partitionValues").to_pylist()
     )
-    if "partitionValues_parsed" in addf and pv_all_empty:
+    if pv_all_empty:
         parsed = sub.field("partitionValues_parsed")
         if parsed.null_count < len(parsed):
             rows = []
@@ -1143,14 +1145,17 @@ def _scan_paths(
     meta_cols = (
         [
             # _metadata.file_path is a percent-encoded URI; DV
-            # descriptors carry the DECODED relative path — decode
-            # here or names with spaces/'%' never join and deleted
-            # rows silently resurrect. url_decode also maps '+' to
-            # space (form semantics); a literal '+' in a file URI is
-            # unencoded, so protect it first.
+            # descriptors carry the DECODED relative path. Decode the
+            # FULL path FIRST, then slice by the DECODED prefix —
+            # slicing the encoded form by a decoded prefix length
+            # mis-aligns whenever the table ROOT contains an
+            # encodable character (a space in a parent dir) and the
+            # anti-join would silently resurrect deleted rows.
+            # url_decode maps '+' to space (form semantics); a
+            # literal '+' in a file URI is unencoded — protect it.
             F.expr(
-                "url_decode(replace(substring(_metadata.file_path, "
-                f"{len(prefix) + 1}), '+', '%2B'))"
+                "substring(url_decode(replace(_metadata.file_path, "
+                f"'+', '%2B')), {len(prefix) + 1})"
             ).alias("__file"),
             F.col("_metadata.row_index").alias("__pos"),
         ]
@@ -2352,7 +2357,10 @@ def delta_streaming_sink(
                 # winner may have been a replica landing THIS batch
                 if last_txn_versions(root).get(app_id, -1) >= batch_id:
                     for a in adds:  # orphan our duplicate data files
-                        p = os.path.join(root, a["add"]["path"])
+                        # add.path is percent-encoded; decode before
+                        # touching the filesystem or names with '%'
+                        # leak the loser's duplicates until vacuum
+                        p = _file_path(root, a["add"]["path"])
                         if os.path.exists(p):
                             os.remove(p)
                     return

@@ -37,14 +37,21 @@ def detect_table_format(path: str) -> str:
         return "iceberg"
     names = io.list_dir(path) if io.is_dir(path) else []
     stack = [os.path.join(path, n) for n in names]
-    while stack:
+    seen: set[str] = set()
+    budget = 100_000  # cycle/size backstop (symlinked dirs loop)
+    while stack and budget > 0:
+        budget -= 1
         p2 = stack.pop()
-        if p2.endswith(".parquet"):
-            return "parquet"
+        real = os.path.realpath(p2) if "://" not in p2 else p2
+        if real in seen:
+            continue
+        seen.add(real)
         if io.is_dir(p2):
             stack.extend(
                 os.path.join(p2, n) for n in io.list_dir(p2)
             )
+        elif p2.endswith(".parquet"):
+            return "parquet"
     raise ValueError(
         f"{path}: no table here — expected a _txn, _delta_log, "
         "metadata/v*.metadata.json marker or parquet files"

@@ -205,7 +205,8 @@ class DeltaTableStreamReader(DataSourceStreamReader):
             vs = sorted(self._list_versions())
             after = [
                 v for v in vs
-                if DL._commit_timestamp_ms(self.path, v) >= int(st)
+                if DL._commit_timestamp_ms(self.path, v, self._io)
+                >= int(st)
             ]
             self.start_v = (after[0] - 1) if after else (
                 vs[-1] if vs else -1

@@ -439,5 +439,61 @@ class HadoopFileIO(FileIO):
     def size(self, path):
         return int(self._fs(path).getFileStatus(self._jpath(path)).getLen())
 
+    def parquet_source(self, path):
+        """A SEEKABLE ranged reader — footer sniffs must not buffer a
+        whole (possibly multi-GB) data file through the driver."""
+        import pyarrow as pa
+
+        return pa.PythonFile(_RangeFile(self, path), mode="r")
+
     def spark_path(self, path):
         return path  # the data plane already speaks Hadoop URIs
+
+
+class _RangeFile:
+    """Minimal seekable file-like over FileIO.read_range (what
+    pyarrow.PythonFile needs for footer-only parquet reads)."""
+
+    def __init__(self, io: FileIO, path: str):
+        self._io = io
+        self._path = path
+        self._pos = 0
+        self._size = io.size(path)
+
+    def size(self):
+        return self._size
+
+    def tell(self):
+        return self._pos
+
+    def seek(self, offset, whence=0):
+        if whence == 0:
+            self._pos = offset
+        elif whence == 1:
+            self._pos += offset
+        else:
+            self._pos = self._size + offset
+        return self._pos
+
+    def read(self, n=-1):
+        if n is None or n < 0:
+            n = self._size - self._pos
+        data = self._io.read_range(self._path, self._pos, n)
+        self._pos += len(data)
+        return data
+
+    def readable(self):
+        return True
+
+    def seekable(self):
+        return True
+
+    def writable(self):
+        return False
+
+    def close(self):
+        pass
+
+    @property
+    def closed(self):
+        return False

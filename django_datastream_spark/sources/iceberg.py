@@ -575,14 +575,16 @@ def read_iceberg(
 
         return local_rows_df(spark, [], schema)
     io = io_for(root)
-    files = sorted(
-        io.spark_path(_resolve(root, md, p)) for p in data
-    )
+    raw_files = sorted(_resolve(root, md, p) for p in data)
+    files = [io.spark_path(f) for f in raw_files]
     # column identity: Iceberg resolves parquet columns by FIELD ID
     # (a renamed column keeps its id; old files keep the old NAME) —
     # scan with id-keyed schema when the files carry ids, else fall
-    # back to name matching (zero-copy-published engine files)
-    if _files_carry_field_ids(files):
+    # back to name matching (zero-copy-published engine files). The
+    # footer sniff goes through the seam with the UNtranslated path:
+    # on a URI root a bare pq.ParquetFile(path) would raise and the
+    # silent fallback would read a renamed column as nulls.
+    if _files_carry_field_ids(raw_files, io):
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         scan_schema = iceberg_schema(md, with_field_ids=True)
     else:
@@ -911,6 +913,10 @@ def _parse_partition_spec(spec: list[dict], fields: list[dict]) -> list[dict]:
             )
         m = _re.fullmatch(r"truncate\[(\d+)\]", t)
         if m:
+            if int(m.group(1)) < 1:
+                raise IcebergUnsupportedError(
+                    "truncate width must be >= 1"
+                )
             if typ not in ("int", "long", "string"):
                 raise IcebergUnsupportedError(
                     f"truncate over {typ} is not supported (int/long/"

@@ -420,6 +420,23 @@ class Tables:
             _json.dump(catalog, f, indent=1, sort_keys=True)
         os.replace(tmp, self.external_catalog_path)
 
+    def mutate_external_catalog(self, fn) -> dict:
+        """Atomic read-modify-write of the catalog under an exclusive
+        flock — os.replace alone prevents torn writes, not LOST
+        UPDATES (two concurrent registrations would last-writer-win).
+        ``fn`` receives the current dict and returns the new one."""
+        import fcntl
+
+        lock = self.external_catalog_path + ".lock"
+        with open(lock, "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                cat = fn(self.read_external_catalog())
+                self.write_external_catalog(cat)
+                return cat
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+
     def _exists(self, path: str) -> bool:
         return os.path.isdir(path) and any(
             n.endswith(".parquet") or n.startswith(_PART_MARKERS)

@@ -1731,9 +1731,12 @@ def _read_files(
             # match the live set's raw rel paths even when file or
             # hive-dir names carry spaces/'%'. '+' is unencoded in a
             # file URI; protect it from url_decode's form semantics.
+            # decode the FULL path, then slice by the decoded
+            # prefix — encoded-slice arithmetic mis-aligns when the
+            # table ROOT itself contains an encodable character
             F.expr(
-                "url_decode(replace(substring(_metadata.file_path, "
-                f"{len(prefix) + 1}), '+', '%2B'))"
+                "substring(url_decode(replace(_metadata.file_path, "
+                f"'+', '%2B')), {len(prefix) + 1})"
             ).alias("__file"),
             F.col("_metadata.row_index").alias("__pos"),
         )

@@ -125,3 +125,18 @@ def test_attach_external_views_sql(spark, tmp_path):
     assert ds.attach_external_views(prefix="ext_") == ["ext_docs"]
     n = spark.sql("SELECT COUNT(*) AS n FROM ext_docs").collect()[0]["n"]
     assert n == ds.external_table("docs").count()
+
+
+def test_http_table_rows_with_map_column(spark, tmp_path):
+    """Legal Delta/Iceberg schemas carry map columns — pagination must
+    order by the orderable columns only, not 500."""
+    ds = _mkds(spark, tmp_path)
+    root = str(tmp_path / "m")
+    df = spark.createDataFrame(
+        [(1, {"a": "x"}), (2, {"b": "y"})],
+        "doc_id long, tags map<string,string>",
+    )
+    TL.txn_append(spark, df, root, [])
+    ds.register_external_table("m", root)
+    page = http_api.table_rows(ds, "m", limit=10)
+    assert [o["doc_id"] for o in page["objects"]] == [1, 2]

@@ -402,3 +402,118 @@ def test_iceberg_reads_via_hadoop_fileio(spark, hadoop_io, tmp_path):
     want = sorted(map(tuple, IB.read_iceberg(spark, posix).collect()))
     got = sorted(map(tuple, IB.read_iceberg(spark, u).collect()))
     assert want == got and want
+
+
+# ── round-10 self-review regressions ─────────────────────────────────
+def test_dv_antijoin_with_space_in_table_ROOT(spark, tmp_path):
+    """The decode-then-slice fix: a root whose PARENT path contains an
+    encodable char mis-aligned the old encoded-slice arithmetic and
+    silently resurrected deleted rows — at both the delta and txn
+    layers."""
+    base = tmp_path / "dir with space"
+    base.mkdir()
+    root = str(base / "t")
+    _build_dv_table(root, "u")
+    assert _ids(DL.read_delta(spark, root)) == [0, 2, 4, 6, 7, 8, 9]
+    # txn layer: delete through _read_files' __file identity
+    from django_datastream_spark import txnlog as TL
+    from pyspark.sql import functions as F
+
+    troot = str(base / "txn")
+    TL.txn_append(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "doc_id long, val double"
+        ),
+        troot, [],
+    )
+    TL.txn_delete(spark, troot, F.col("doc_id") < 3)
+    assert _ids(TL.txn_read(spark, troot)) == list(range(3, 10))
+
+
+def test_starting_timestamp_resolves_through_shipped_fileio(fake_store):
+    from django_datastream_spark.sources.external_stream import (
+        DeltaTableStreamReader,
+    )
+
+    store, posix, fake = fake_store
+    _build_hive_table(posix)
+    ts1 = DL._commit_timestamp_ms(posix, 1)
+    rdr = DeltaTableStreamReader(
+        {
+            "path": fake,
+            "startingTimestamp": str(ts1),
+            "fileio": FIO.encode_fileio(store),
+        },
+        None,
+    )
+    assert rdr.start_v == 0  # first batch begins at commit 1
+
+
+def test_field_id_sniff_through_the_seam(fake_store):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    store, posix, fake = fake_store
+    os.makedirs(posix, exist_ok=True)
+    sch = pa.schema(
+        [pa.field("doc_id", pa.int64(), metadata={b"PARQUET:field_id": b"1"})]
+    )
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64())}, schema=sch),
+        os.path.join(posix, "a.parquet"),
+    )
+    assert IB._files_carry_field_ids([f"{fake}/a.parquet"], store)
+    assert store.counters.get("get", 0) >= 1  # sniffed via object GET
+
+
+def test_truncate_zero_width_rejected():
+    fields = [{"id": 1, "name": "k", "required": False, "type": "long"}]
+    with pytest.raises(IB.IcebergUnsupportedError, match=">= 1"):
+        IB._parse_partition_spec(
+            [{"source": "k", "transform": "truncate[0]"}], fields
+        )
+
+
+def test_detect_survives_symlink_cycle(tmp_path):
+    from django_datastream_spark.sources import detect as DET
+
+    d = tmp_path / "d"
+    d.mkdir()
+    (d / "loop").symlink_to(d)
+    with pytest.raises(ValueError, match="no table here"):
+        DET.detect_table_format(str(d))
+    # a DIRECTORY named x.parquet is not a parquet file
+    d2 = tmp_path / "d2"
+    (d2 / "x.parquet").mkdir(parents=True)
+    with pytest.raises(ValueError, match="no table here"):
+        DET.detect_table_format(str(d2))
+
+
+def test_catalog_concurrent_registration_loses_nothing(spark, tmp_path):
+    import threading
+
+    from django_datastream_spark.api import Datastream
+
+    droot = str(tmp_path / "d")
+    _build_hive_table(droot)
+    ds = Datastream(spark, str(tmp_path / "store"))
+    errs = []
+
+    def reg(i):
+        try:
+            Datastream(spark, str(tmp_path / "store")).register_external_table(
+                f"t{i}", droot
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=reg, args=(i,)) for i in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert [e["name"] for e in ds.external_tables()] == [
+        f"t{i}" for i in range(8)
+    ]

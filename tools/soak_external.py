@@ -28,9 +28,12 @@ Invariants at the end (and progressively):
   and AFTER expire_snapshots (Iceberg summary→property fold);
 - the final table scan equals the produced set exactly.
 
-Usage: python tools/soak_external.py [rounds] [fmt]
+Usage: python tools/soak_external.py [rounds] [fmt] [pace]
   rounds: sink batches per format (default 60; raise for long soaks)
   fmt: delta | iceberg | both (default both)
+  pace: maxFilesPerTrigger / maxSnapshotsPerTrigger for the reader
+        (default 3 / 2; raise for long-horizon runs so reader wall
+        stays O(commits/pace))
 """
 
 from __future__ import annotations
@@ -111,7 +114,7 @@ def _drain_paced(spark, fmt_name, table, cp, out, opts, stop_at_rows):
             return n
 
 
-def soak_delta(spark, rounds: int) -> dict:
+def soak_delta(spark, rounds: int, pace: int = 3) -> dict:
     from django_datastream_spark.sources import delta as DL
 
     root = tempfile.mkdtemp(prefix="soak-delta-")
@@ -193,7 +196,7 @@ def soak_delta(spark, rounds: int) -> dict:
         t.start()
     n = _drain_paced(
         spark, "delta_table", root, cp, out,
-        {"maxFilesPerTrigger": 3},
+        {"maxFilesPerTrigger": pace},
         lambda: len(produced) if done["flag"] else len(produced) + 1,
     )
     for t in threads:
@@ -217,7 +220,7 @@ def soak_delta(spark, rounds: int) -> dict:
     return {"format": "delta", "rows": n, "commits": before + 1}
 
 
-def soak_iceberg(spark, rounds: int) -> dict:
+def soak_iceberg(spark, rounds: int, pace: int = 2) -> dict:
     from django_datastream_spark.sources import iceberg as IB
 
     root = tempfile.mkdtemp(prefix="soak-ice-")
@@ -295,7 +298,7 @@ def soak_iceberg(spark, rounds: int) -> dict:
         t.start()
     n = _drain_paced(
         spark, "iceberg_table", root, cp, out,
-        {"maxSnapshotsPerTrigger": 2},
+        {"maxSnapshotsPerTrigger": pace},
         lambda: len(produced) if done["flag"] else len(produced) + 1,
     )
     for t in threads:
@@ -331,9 +334,11 @@ def main() -> None:
     out = []
     t0 = time.time()
     if fmt in ("delta", "both"):
-        out.append(soak_delta(spark, rounds))
+        pace = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+        out.append(soak_delta(spark, rounds, pace))
     if fmt in ("iceberg", "both"):
-        out.append(soak_iceberg(spark, rounds))
+        pace = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+        out.append(soak_iceberg(spark, rounds, pace))
     print(json.dumps({
         "soak": "external", "rounds": rounds,
         "wall_s": round(time.time() - t0, 1), "results": out,
