@@ -48,6 +48,16 @@ ONE scan with ``basePath`` so Spark derives partition columns itself.
 (One ``spark.read.parquet(*paths)`` call carries the surviving file
 list — fine to ~10⁵ paths; past that, prune harder or adopt the table
 into the txn layer, whose scan is built for it.)
+
+STORAGE REACH: every metadata read goes through the injectable
+read-side FileIO seam (:mod:`.fileio` — scheme registry or explicit
+``io=``; executor-side decodes capture the driver-resolved object),
+so object-store-resident tables read without a FUSE mount
+(:class:`.fileio.HadoopFileIO` for s3a/gs/abfss via the JVM
+connectors). The WRITE side (publish/sink/OPTIMIZE/VACUUM) remains
+POSIX-rooted by design — its commit points route through the
+LogStore seam, but data staging uses hard links; an object-store
+write path is a deliberate non-goal of this module version.
 """
 
 from __future__ import annotations
