@@ -815,11 +815,26 @@ class Datastream:
         at first read. Idempotent for the same (path, format);
         re-registering a name to a DIFFERENT path raises (silent
         repointing would change every downstream consumer)."""
+        import re as _re
+
         from .sources import detect as DET
 
-        fmt = format or DET.detect_table_format(path)
-        if fmt not in ("txn", "delta", "iceberg", "parquet"):
-            raise ValueError(f"unknown table format {fmt!r}")
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(
+                f"external table name {name!r} must be a valid SQL "
+                "identifier (it becomes a view name)"
+            )
+        if format is not None:
+            # a PIN must be backed by its own marker (dual-log roots
+            # carry several views; the pin decides which one serves)
+            if not DET.format_marker_present(path, format):
+                raise ValueError(
+                    f"{path}: no {format} marker — cannot register "
+                    f"{name!r} with that format pin"
+                )
+            fmt = format
+        else:
+            fmt = DET.detect_table_format(path)
         entry = {"path": path, "format": fmt}
 
         def _apply(cat: dict) -> dict:
@@ -880,6 +895,7 @@ class Datastream:
             version=version,
             snapshot_id=snapshot_id,
             as_of_timestamp_ms=as_of_timestamp_ms,
+            format=e["format"],  # the registered pin decides the view
         )
 
     def external_stream(self, name: str, **options) -> DataFrame:
@@ -889,7 +905,9 @@ class Datastream:
         from .sources import detect as DET
 
         e = self._external_entry(name)
-        return DET.open_stream(self.spark, e["path"], **options)
+        return DET.open_stream(
+            self.spark, e["path"], format=e["format"], **options
+        )
 
     def attach_external_views(self, prefix: str = "") -> list[str]:
         """Create/refresh a SQL temp view per registered table —

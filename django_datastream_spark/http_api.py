@@ -216,13 +216,24 @@ def table_rows(
     )
     cols = df.columns
     # deterministic pagination over ORDERABLE columns only — Spark
-    # cannot sort by map-typed expressions, and legal Delta/Iceberg
-    # schemas carry them
-    from pyspark.sql.types import MapType
+    # cannot sort by map-typed expressions at ANY nesting depth, and
+    # legal Delta/Iceberg schemas carry them. Stateless offset
+    # pagination re-sorts per request by construction (a cursor-based
+    # API is the scale path; this endpoint mirrors the reference's
+    # tastypie limit/offset contract).
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _orderable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
 
     sortable = [
-        f.name for f in df.schema.fields
-        if not isinstance(f.dataType, MapType)
+        f.name for f in df.schema.fields if _orderable(f.dataType)
     ]
     page_df = df.orderBy(*sortable) if sortable else df
     rows = page_df.offset(offset).limit(limit).collect()

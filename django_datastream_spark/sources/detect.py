@@ -27,6 +27,15 @@ def detect_table_format(path: str) -> str:
     io = io_for(path)
     if "://" not in path and TL.is_txn_table(path):
         return "txn"
+    if "://" in path and io.is_dir(os.path.join(path, TL.TXN_DIR)):
+        # a txn marker on an object-store root: the engine's own log
+        # is POSIX/FUSE by its LogStore contract — falling through to
+        # the parquet walk would serve DELETED/pre-compaction rows
+        raise ValueError(
+            f"{path}: carries a {TL.TXN_DIR} marker — engine txn "
+            "tables are POSIX-rooted (open via a local mount), and a "
+            "blind parquet read would resurrect deleted rows"
+        )
     if io.is_dir(os.path.join(path, "_delta_log")):
         return "delta"
     meta = os.path.join(path, "metadata")
@@ -58,19 +67,58 @@ def detect_table_format(path: str) -> str:
     )
 
 
+def format_marker_present(path: str, fmt: str) -> bool:
+    """Does ``path`` carry ``fmt``'s own layout marker? (Dual-log
+    roots — the normal product of adopt/publish — carry several; a
+    caller PINNING a format validates against that format's marker,
+    not the detection order.)"""
+    from .. import txnlog as TL
+    from .fileio import io_for
+
+    io = io_for(path)
+    if fmt == "txn":
+        return "://" not in path and TL.is_txn_table(path)
+    if fmt == "delta":
+        return io.is_dir(os.path.join(path, "_delta_log"))
+    if fmt == "iceberg":
+        meta = os.path.join(path, "metadata")
+        return io.is_dir(meta) and any(
+            re.fullmatch(r"v\d+\.metadata\.json", n)
+            for n in io.list_dir(meta)
+        )
+    if fmt == "parquet":
+        try:
+            return detect_table_format(path) == "parquet"
+        except ValueError:
+            return False
+    raise ValueError(f"unknown table format {fmt!r}")
+
+
 def open_table(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     snapshot_id: int | None = None,
     as_of_timestamp_ms: int | None = None,
+    format: str | None = None,
 ) -> DataFrame:
     """Open ``path`` as a DataFrame whatever its format. Time-travel
     pins pass through to the matching reader (``version`` for
     txn/Delta, ``snapshot_id`` for Iceberg, ``as_of_timestamp_ms``
     for any of the three); a pin the detected format cannot express
-    raises instead of being ignored."""
-    fmt = detect_table_format(path)
+    raises instead of being ignored. ``format`` pins the reader for
+    DUAL-LOG roots (adopt/publish leave several views over one file
+    set — detection order would otherwise always pick the txn/Delta
+    view); a pin without its marker raises."""
+    if format is not None:
+        if not format_marker_present(path, format):
+            raise ValueError(
+                f"{path}: no {format} marker here — the pinned "
+                "format cannot serve this root"
+            )
+        fmt = format
+    else:
+        fmt = detect_table_format(path)
     if fmt == "txn":
         from .. import txnlog as TL
 
@@ -121,7 +169,7 @@ def open_stream(spark: SparkSession, path: str, **options):
     directories raise — a bare directory has no commit protocol, so
     nothing defines what 'new data' means (Spark's own file source
     exists for that trade-off)."""
-    fmt = detect_table_format(path)
+    fmt = options.pop("format", None) or detect_table_format(path)
     if fmt == "parquet":
         raise ValueError(
             f"{path}: plain parquet has no commit log to stream from "
@@ -139,6 +187,16 @@ def open_stream(spark: SparkSession, path: str, **options):
         external_stream.register(spark)
         name = f"{fmt}_table"
     r = spark.readStream.format(name).option("path", path)
+    if name != "txn_table" and "fileio" not in options:
+        # Python DataSource methods run in WORKER processes with no
+        # scheme registry — ship the resolved FileIO when it is not
+        # the plain-path default (and fail with the pickling error's
+        # guidance when it cannot travel, e.g. HadoopFileIO)
+        from .fileio import LocalFileIO, encode_fileio, io_for
+
+        io = io_for(path)
+        if not isinstance(io, LocalFileIO):
+            options = dict(options, fileio=encode_fileio(io))
     for k, v in options.items():
         r = r.option(k, str(v))
     return r.load()

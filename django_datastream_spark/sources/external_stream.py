@@ -273,10 +273,25 @@ class DeltaTableStreamReader(DataSourceStreamReader):
 
         if v in self._actions:
             return self._actions.pop(v) if pop else self._actions[v]
+        try:
+            text = self._io.read_text(
+                os.path.join(self.path, DL._LOG, f"{v:020d}.json")
+            )
+        except FileNotFoundError:
+            if pop:
+                # plan time: the version WAS listed (cache) but its
+                # JSON is gone — log cleanup outran this consumer.
+                # Keep the informative diagnosis the pre-cache code
+                # gave instead of a raw FileNotFoundError mid-batch.
+                raise ValueError(
+                    f"{self.path}: commit {v} cleaned up — streaming "
+                    "replay past log cleanup is unrecoverable "
+                    "(size cleanup retention above max consumer lag: "
+                    "cleanup_delta_log(keep_commits=...))"
+                ) from None
+            raise
         out = []
-        for line in self._io.read_text(
-            os.path.join(self.path, DL._LOG, f"{v:020d}.json")
-        ).splitlines():
+        for line in text.splitlines():
             line = line.strip()
             if line:
                 out.append(json.loads(line))

@@ -156,8 +156,12 @@ class LocalFileIO(FileIO):
         return path  # let Arrow mmap local metadata
 
 
-class FakeObjectStoreError(ConnectionError):
-    """Injected object-store failure (tests only)."""
+class FakeObjectStoreError(RuntimeError):
+    """Injected object-store failure (tests only). Deliberately NOT
+    an OSError subclass: the readers' metadata fallbacks catch
+    OSError (missing _last_checkpoint, absent version-hint), and an
+    injected fault must propagate through them, not vanish into the
+    fallback path it was built to test."""
 
 
 class FakeObjectStore(FileIO):

@@ -140,3 +140,89 @@ def test_http_table_rows_with_map_column(spark, tmp_path):
     ds.register_external_table("m", root)
     page = http_api.table_rows(ds, "m", limit=10)
     assert [o["doc_id"] for o in page["objects"]] == [1, 2]
+
+
+def test_format_pin_decides_the_view_on_dual_log_roots(spark, tmp_path):
+    """adopt/publish leave several views over ONE file set; the
+    registered format must pick the view (detection order would
+    always serve txn/Delta first) — and a pin without its marker
+    raises at registration."""
+    from django_datastream_spark.sources import iceberg as IB
+
+    root = str(tmp_path / "t")
+    TL.txn_append(
+        spark,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(6)], "doc_id long, val double"
+        ),
+        root, [],
+    )
+    IB.publish_iceberg(spark, root)
+    ds = _mkds(spark, tmp_path)
+    ds.register_external_table("ice", root, format="iceberg")
+    ds.register_external_table("txn", root, format="txn")
+    # the iceberg pin serves iceberg pins (snapshot_id works)
+    sid = IB.iceberg_snapshots(root)[-1]["snapshot_id"]
+    got = ds.external_table("ice", snapshot_id=sid)
+    assert sorted(r["doc_id"] for r in got.collect()) == list(range(6))
+    # the txn name serves txn pins on the same root
+    assert ds.external_table("txn", version=1).count() == 6
+    # a pin without its marker refuses registration
+    with pytest.raises(ValueError, match="no delta marker"):
+        ds.register_external_table("nope", root, format="delta")
+
+
+def test_register_rejects_non_identifier_names(spark, tmp_path):
+    ds = _mkds(spark, tmp_path)
+    root = str(tmp_path / "d")
+    _build_hive_table(root)
+    with pytest.raises(ValueError, match="SQL identifier"):
+        ds.register_external_table("my-table", root)
+
+
+def test_http_table_rows_with_nested_map(spark, tmp_path):
+    ds = _mkds(spark, tmp_path)
+    root = str(tmp_path / "m")
+    df = spark.createDataFrame(
+        [(1, [{"a": "x"}]), (2, [{"b": "y"}])],
+        "doc_id long, tags array<map<string,string>>",
+    )
+    TL.txn_append(spark, df, root, [])
+    ds.register_external_table("m", root)
+    page = http_api.table_rows(ds, "m", limit=10)
+    assert [o["doc_id"] for o in page["objects"]] == [1, 2]
+
+
+def test_external_stream_ships_fileio_for_custom_schemes(
+    spark, tmp_path
+):
+    """A registered object-store table streams through the facade:
+    open_stream ships the resolved FileIO to the DataSource worker
+    processes automatically."""
+    import os
+
+    from django_datastream_spark.sources import fileio as FIO
+    from tests.test_delta import _build_hive_table as _bht
+
+    scheme = f"cat{os.getpid()}"
+    backing = str(tmp_path / "bucket")
+    posix = os.path.join(backing, "t")
+    _bht(posix)
+    store = FIO.FakeObjectStore(scheme, backing)
+    FIO.register_fileio(scheme, store)
+    try:
+        ds = _mkds(spark, tmp_path)
+        ds.register_external_table("obj", f"{scheme}://t")
+        out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+        q = (
+            ds.external_stream("obj", ignoreChanges="true")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        assert spark.read.parquet(out).count() > 0
+    finally:
+        FIO.unregister_fileio(scheme)

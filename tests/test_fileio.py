@@ -517,3 +517,57 @@ def test_catalog_concurrent_registration_loses_nothing(spark, tmp_path):
     assert [e["name"] for e in ds.external_tables()] == [
         f"t{i}" for i in range(8)
     ]
+
+
+def test_injected_failure_propagates_through_oserror_fallbacks(
+    spark, fake_store
+):
+    """FakeObjectStoreError must NOT be an OSError: the readers'
+    metadata fallbacks (missing _last_checkpoint etc.) catch OSError,
+    and an injected fault has to surface, not vanish into them."""
+    store, posix, fake = fake_store
+    _build_hive_table(posix)
+    assert not isinstance(FIO.FakeObjectStoreError("x"), OSError)
+    store.fail_substr = "_delta_log"
+    with pytest.raises(FIO.FakeObjectStoreError):
+        DL.delta_versions(fake)
+    store.fail_substr = None
+
+
+def test_txn_marker_on_uri_root_fails_loud(fake_store):
+    from django_datastream_spark.sources import detect as DET
+
+    store, posix, fake = fake_store
+    os.makedirs(os.path.join(posix, "_txn_log"), exist_ok=True)
+    with open(os.path.join(posix, "_txn_log", "x"), "w") as f:
+        f.write("marker")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"x": pa.array([1])}),
+        os.path.join(posix, "data.parquet"),
+    )
+    with pytest.raises(ValueError, match="POSIX-rooted"):
+        DET.detect_table_format(fake)
+
+
+def test_stream_cleaned_up_commit_diagnosis_survives_the_cache(
+    fake_store
+):
+    from django_datastream_spark.sources.external_stream import (
+        DeltaTableStreamReader,
+    )
+
+    store, posix, fake = fake_store
+    _build_hive_table(posix)
+    rdr = DeltaTableStreamReader(
+        {"path": fake, "fileio": FIO.encode_fileio(store),
+         "ignoreChanges": "true"},
+        None,
+    )
+    rdr.initialOffset()
+    rdr.latestOffset()  # caches versions {0,1,2}
+    os.unlink(os.path.join(posix, "_delta_log", f"{1:020d}.json"))
+    with pytest.raises(ValueError, match="cleaned up"):
+        rdr.partitions({"v": 0}, {"v": 2})
