@@ -46,6 +46,47 @@ class ChaosError(RuntimeError):
     """Injected crash (failure-injection hooks only)."""
 
 
+class FileIOLogStore(LogStore):
+    """A LogStore over a :class:`..sources.fileio.FileIO` — the round-
+    11 unification: commit points and data/sidecar writes share ONE
+    storage object. The FileIO's ``put_if_absent`` must be a true
+    conditional PUT (S3 If-None-Match, POSIX link-CAS, the fake
+    store's create-exclusive); a store without one needs
+    :class:`SqliteCoordinatedLogStore` instead — same rule as ever."""
+
+    def __init__(self, io):
+        self.io = io
+
+    def list(self, dirpath: str) -> list[str]:
+        try:
+            return self.io.list_dir(dirpath)
+        except FileNotFoundError:
+            return []
+
+    def read(self, path: str) -> bytes:
+        return self.io.read_bytes(path)
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        self.io.put_if_absent(path, data)
+
+    def put_atomic(self, path: str, data: bytes) -> None:
+        self.io.put_atomic(path, data)
+
+
+def log_store_for(io) -> LogStore:
+    """The LogStore a write path should commit through for a root
+    served by ``io``: POSIX roots keep the PROCESS-GLOBAL store
+    (``txnlog.get_log_store()`` — deployments swap it for the
+    coordinator store, and that override must keep governing local
+    tables); any other FileIO commits through itself."""
+    from .sources.fileio import LocalFileIO
+    from .txnlog import get_log_store
+
+    if type(io) is LocalFileIO:
+        return get_log_store()
+    return FileIOLogStore(io)
+
+
 class SqliteCoordinatedLogStore(LogStore):
     """Coordinator-backed store: object-store puts + SQLite CAS.
 

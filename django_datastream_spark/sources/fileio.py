@@ -1,14 +1,25 @@
-"""Read-side storage seam for the external-lakehouse metadata plane.
+"""Storage seam for the external-lakehouse metadata plane — READ and
+WRITE.
 
-The WRITE side already has its seam (txnlog.LogStore: the commit CAS +
-put_if_absent recipe, logstores.py for non-POSIX deployments). This is
-the symmetric READ abstraction — Iceberg's own design vocabulary calls
-it FileIO: every *metadata* byte a reader touches (Delta ``_delta_log``
-listings / commit JSONs / checkpoint parquet, Iceberg metadata JSON /
-manifest Avro, deletion-vector sidecars — including decodes that run
-INSIDE executor tasks) goes through one small injectable interface,
-so a table resident on an object store needs a ~100-line adapter, not
-a FUSE mount.
+Iceberg's own design vocabulary calls this FileIO: every *metadata*
+byte a reader touches (Delta ``_delta_log`` listings / commit JSONs /
+checkpoint parquet, Iceberg metadata JSON / manifest Avro, deletion-
+vector sidecars — including decodes that run INSIDE executor tasks)
+goes through one small injectable interface, so a table resident on
+an object store needs a ~100-line adapter, not a FUSE mount.
+
+Since round 11 the seam carries the WRITE verbs too, unified with the
+commit-point contract of :class:`..txnlog.LogStore`: ``put_if_absent``
+is the conditional PUT that decides a commit race (S3 now serves this
+natively via ``If-None-Match: *``; stores without it use
+:class:`..logstores.SqliteCoordinatedLogStore`), ``put_atomic`` lands
+derived idempotent artifacts (checkpoints, version hints),
+``put_bytes``/``delete``/``delete_prefix``/``move_file``/
+``walk_files`` cover sidecars, staged-data promotion and maintenance
+(VACUUM / orphan removal). Commit + data now share ONE storage
+object: :func:`..logstores.log_store_for` adapts any FileIO into the
+LogStore the write paths use, so ``publish``/sinks/OPTIMIZE/VACUUM
+run end-to-end on a root that has no POSIX path.
 
 The DATA plane stays with Spark: ``spark.read.parquet`` accepts any
 Hadoop-compatible URI, so :meth:`FileIO.spark_path` only translates a
@@ -41,12 +52,23 @@ import time
 
 
 class FileIO:
-    """Read-only storage verbs for the metadata plane.
+    """Storage verbs for the metadata plane (reads + writes).
 
     Paths are full table-space paths (whatever the user handed the
     reader, e.g. ``/data/tbl/_delta_log`` or ``fake://tbl/metadata``);
     implementations own the mapping to their storage. All instances
     must be picklable — executor tasks receive them in closures.
+
+    WRITE contract (round 11): ``put_bytes``/``put_atomic`` are plain
+    single-object puts (atomic per object — a reader sees the old
+    bytes or the new, never a torn write); ``put_if_absent`` is THE
+    commit point (conditional PUT: create-if-absent, raising
+    ``FileExistsError`` when the name exists — losing a commit race
+    must surface, never last-writer-wins); ``delete`` is idempotent
+    like S3 DeleteObject (missing is success); object stores
+    implement ``makedirs``/``remove_empty_dirs`` as no-ops (they have
+    no directories) and ``move_file`` as server-side copy + delete
+    (no rename verb exists there).
     """
 
     # -- listing -------------------------------------------------------
@@ -85,6 +107,66 @@ class FileIO:
         raise NotImplementedError
 
     def size(self, path: str) -> int:
+        raise NotImplementedError
+
+    # -- writes (the write-side seam, round 11) -------------------------
+    def put_bytes(self, path: str, data: bytes) -> None:
+        """Plain single-object put — atomic per object, last writer
+        wins (S3 PutObject). Parents spring into existence."""
+        raise NotImplementedError
+
+    def put_atomic(self, path: str, data: bytes) -> None:
+        """Derived idempotent artifacts (checkpoints, hints):
+        last-writer-wins is correct. Same atomicity as put_bytes;
+        split out so POSIX stores can use tmp+rename while object
+        stores alias it to a plain put."""
+        self.put_bytes(path, data)
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        """Conditional PUT — the COMMIT POINT. Create ``path`` with
+        ``data`` iff no object exists there; raise
+        ``FileExistsError(path)`` otherwise (= lost the commit race).
+        S3 serves this natively (``If-None-Match: *``); POSIX via the
+        ``os.link`` CAS; stores with neither need a coordinator
+        (:class:`..logstores.SqliteCoordinatedLogStore`)."""
+        raise NotImplementedError
+
+    def delete(self, path: str, missing_ok: bool = True) -> None:
+        """Delete one object. Idempotent by default (S3 DeleteObject
+        on a missing key succeeds); ``missing_ok=False`` raises
+        ``FileNotFoundError`` when nothing was there."""
+        raise NotImplementedError
+
+    def delete_prefix(self, path: str) -> None:
+        """Recursively delete everything under ``path`` (list +
+        batched deletes on an object store, rmtree on POSIX).
+        Missing prefix is success."""
+        raise NotImplementedError
+
+    def makedirs(self, path: str) -> None:
+        """Ensure ``path`` exists as a directory on stores that HAVE
+        directories; a no-op on object stores (keys imply their
+        prefixes)."""
+        raise NotImplementedError
+
+    def move_file(self, src: str, dst: str) -> None:
+        """Move one object within THIS store (staged-data promotion).
+        POSIX: rename. Object stores: server-side copy + delete —
+        callers must treat the move as non-atomic (the commit point
+        is put_if_absent on the log, never a data-file move)."""
+        raise NotImplementedError
+
+    def walk_files(self, path: str) -> list[str]:
+        """Every file under ``path`` (recursive) as sorted
+        ``path``-relative paths; [] when nothing is there. One
+        recursive listing on object stores; maintenance (VACUUM,
+        orphan removal) sizes on this being metadata-plane."""
+        raise NotImplementedError
+
+    def remove_empty_dirs(self, path: str) -> None:
+        """Prune empty directories under ``path`` (never ``path``
+        itself). No-op on object stores — there is nothing to
+        prune."""
         raise NotImplementedError
 
     # -- plane translation ----------------------------------------------
@@ -145,6 +227,69 @@ class LocalFileIO(FileIO):
 
     def size(self, path):
         return os.path.getsize(path)
+
+    # -- writes ---------------------------------------------------------
+    def put_bytes(self, path, data):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(data)
+
+    def put_atomic(self, path, data):
+        import uuid
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def put_if_absent(self, path, data):
+        # the os.link CAS (txnlog.LocalLogStore's recipe): content
+        # lands COMPLETE under a unique name, then link atomically
+        # claims the target — link fails iff the name exists
+        import uuid
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        try:
+            os.link(tmp, path)
+        finally:
+            os.unlink(tmp)
+
+    def delete(self, path, missing_ok=True):
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            if not missing_ok:
+                raise
+
+    def delete_prefix(self, path):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+    def makedirs(self, path):
+        os.makedirs(path, exist_ok=True)
+
+    def move_file(self, src, dst):
+        os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+        os.replace(src, dst)
+
+    def walk_files(self, path):
+        out = []
+        for dirpath, _dirs, files in os.walk(path):
+            for fn in files:
+                out.append(
+                    os.path.relpath(os.path.join(dirpath, fn), path)
+                )
+        return sorted(out)
+
+    def remove_empty_dirs(self, path):
+        for dirpath, _dirs, files in os.walk(path, topdown=False):
+            if dirpath != path and not os.listdir(dirpath):
+                os.rmdir(dirpath)
 
     def spark_path(self, path):
         return path
@@ -226,12 +371,85 @@ class FakeObjectStore(FileIO):
         key = path[len(pre):].strip("/")
         return os.path.join(self.backing, key) if key else self.backing
 
-    # -- test/tool setup helper (writers stay out of the read seam) ----
+    # -- writes (object semantics: puts are atomic per object, no
+    # rename — move is server-side copy + delete, like S3 CopyObject;
+    # put_if_absent models S3's conditional PUT, If-None-Match: *) ----
     def put_bytes(self, path: str, data: bytes) -> None:
+        self._hit("put", path)
         full = self._resolve(path)
         os.makedirs(os.path.dirname(full), exist_ok=True)
-        with open(full, "wb") as f:
+        tmp = full + f".put-{os.getpid()}-{threading.get_ident()}"
+        with open(tmp, "wb") as f:
             f.write(data)
+        os.replace(tmp, full)  # single-object PUT: old bytes or new
+
+    def put_if_absent(self, path: str, data: bytes) -> None:
+        self._hit("put_if_absent", path)
+        full = self._resolve(path)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        tmp = full + f".cas-{os.getpid()}-{threading.get_ident()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        try:
+            os.link(tmp, full)  # atomic create-if-absent on backing
+        except FileExistsError:
+            raise FileExistsError(path) from None
+        finally:
+            os.unlink(tmp)
+
+    def delete(self, path, missing_ok=True):
+        self._hit("delete", path)
+        try:
+            os.unlink(self._resolve(path))
+        except FileNotFoundError:
+            if not missing_ok:
+                raise FileNotFoundError(path) from None
+
+    def delete_prefix(self, path):
+        # one recursive listing + batched deletes in a real store
+        self._hit("delete_prefix", path)
+        import shutil
+
+        shutil.rmtree(self._resolve(path), ignore_errors=True)
+
+    def makedirs(self, path):
+        pass  # no directories: keys imply their prefixes
+
+    def move_file(self, src, dst):
+        # server-side CopyObject + DeleteObject — never a rename
+        self._hit("copy_object", dst)
+        self._hit("delete", src)
+        s, d = self._resolve(src), self._resolve(dst)
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        try:
+            os.link(s, d)  # objects are immutable once put: cheap copy
+        except FileExistsError:
+            os.unlink(d)
+            os.link(s, d)
+        except OSError:
+            import shutil
+
+            shutil.copyfile(s, d)
+        os.unlink(s)
+
+    def walk_files(self, path):
+        self._hit("list", path)  # one recursive ListObjects
+        full = self._resolve(path)
+        out = []
+        for dirpath, _dirs, files in os.walk(full):
+            for fn in files:
+                out.append(
+                    os.path.relpath(os.path.join(dirpath, fn), full)
+                )
+        return sorted(out)
+
+    def remove_empty_dirs(self, path):
+        # the STORE has no directories; the backing dir does — prune
+        # them so spark_path scans don't see ghost hive dirs
+        full = self._resolve(path)
+        for dirpath, _dirs, files in os.walk(full, topdown=False):
+            if dirpath != full and not os.listdir(dirpath):
+                os.rmdir(dirpath)
 
     # -- FileIO ---------------------------------------------------------
     def list_dir(self, path, start_after=None):
@@ -380,6 +598,14 @@ class HadoopFileIO(FileIO):
 
     # -- FileIO ----------------------------------------------------------
     def list_dir(self, path, start_after=None):
+        """NOTE: Hadoop's listStatus has no server-side StartAfter —
+        this lists the WHOLE directory and filters client-side, so
+        the streaming sources' O(new-commits)-per-trigger cursor
+        degrades to O(log size) per trigger on this adapter. Size
+        hot-log retention accordingly (cleanup_delta_log
+        keep_commits), or serve streaming through an object-SDK
+        FileIO whose listing is a true key-range scan
+        (FakeObjectStore models one; PyArrowFileIO on S3 is one)."""
         fs = self._fs(path)
         p = self._jpath(path)
         if not fs.exists(p):
@@ -390,6 +616,86 @@ class HadoopFileIO(FileIO):
         if start_after is not None:
             names = [n for n in names if n > start_after]
         return names
+
+    # -- writes (through the same JVM connectors/credentials as the
+    # data plane) -------------------------------------------------------
+    def put_bytes(self, path, data):
+        stream = self._fs(path).create(self._jpath(path), True)
+        try:
+            stream.write(bytearray(data))
+        finally:
+            stream.close()
+
+    def put_if_absent(self, path, data):
+        """create(overwrite=false) — ATOMIC on HDFS/ABFS/local; on
+        s3a it is a client-side exists-then-write (no conditional PUT
+        through Hadoop), so racing commit writers on raw s3a need the
+        coordinator LogStore instead — the same honest boundary
+        txnlog.LocalLogStore documents."""
+        fs = self._fs(path)
+        p = self._jpath(path)
+        try:
+            stream = fs.create(p, False)
+        except Exception as e:  # noqa: BLE001 — py4j wraps the java IOE
+            if "exists" in str(e).lower():
+                raise FileExistsError(path) from None
+            raise
+        try:
+            stream.write(bytearray(data))
+        finally:
+            stream.close()
+
+    def delete(self, path, missing_ok=True):
+        existed = bool(
+            self._fs(path).delete(self._jpath(path), False)
+        )
+        if not existed and not missing_ok:
+            raise FileNotFoundError(path)
+
+    def delete_prefix(self, path):
+        self._fs(path).delete(self._jpath(path), True)
+
+    def makedirs(self, path):
+        self._fs(path).mkdirs(self._jpath(path))
+
+    def move_file(self, src, dst):
+        fs = self._fs(dst)
+        dp = self._jpath(dst)
+        parent = dp.getParent()
+        if parent is not None:
+            fs.mkdirs(parent)
+        if not fs.rename(self._jpath(src), dp):
+            raise OSError(f"rename failed: {src} -> {dst}")
+
+    def walk_files(self, path):
+        fs = self._fs(path)
+        p = self._jpath(path)
+        if not fs.exists(p):
+            return []
+        base = p.toUri().getPath()
+        out = []
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            fp = it.next().getPath().toUri().getPath()
+            out.append(os.path.relpath(fp, base))
+        return sorted(out)
+
+    def remove_empty_dirs(self, path):
+        fs = self._fs(path)
+
+        def _prune(jp) -> bool:  # returns "now empty"
+            st = fs.listStatus(jp)
+            empty = True
+            for s in st:
+                if s.isDirectory() and _prune(s.getPath()):
+                    fs.delete(s.getPath(), False)
+                else:
+                    empty = False
+            return empty
+
+        p = self._jpath(path)
+        if fs.exists(p):
+            _prune(p)
 
     def read_bytes(self, path):
         fs = self._fs(path)
