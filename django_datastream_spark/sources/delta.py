@@ -50,14 +50,22 @@ list — fine to ~10⁵ paths; past that, prune harder or adopt the table
 into the txn layer, whose scan is built for it.)
 
 STORAGE REACH: every metadata read goes through the injectable
-read-side FileIO seam (:mod:`.fileio` — scheme registry or explicit
-``io=``; executor-side decodes capture the driver-resolved object),
-so object-store-resident tables read without a FUSE mount
+FileIO seam (:mod:`.fileio` — scheme registry or explicit ``io=``;
+executor-side decodes capture the driver-resolved object), so
+object-store-resident tables read without a FUSE mount
 (:class:`.fileio.HadoopFileIO` for s3a/gs/abfss via the JVM
-connectors). The WRITE side (publish/sink/OPTIMIZE/VACUUM) remains
-POSIX-rooted by design — its commit points route through the
-LogStore seam, but data staging uses hard links; an object-store
-write path is a deliberate non-goal of this module version.
+connectors). Since round 11 the WRITE side routes through the same
+seam: the streaming sink, OPTIMIZE, VACUUM, log cleanup, checkpoint
+and CDF-export staging all run on a root with no POSIX path — data
+stages through Spark's own writers at ``FileIO.spark_path`` and
+promotes via ``move_file`` (rename on POSIX, server-side copy +
+delete on object stores — safe because no reader follows a data file
+until the log's ``put_if_absent`` commit references it), and commit
+points go through :func:`..logstores.log_store_for` so commit + data
+share one storage object. :func:`publish_delta` itself still
+requires a POSIX ``txn_root`` (the engine's txn layer is the
+remaining POSIX-rooted tier), but every byte it writes — commits,
+checkpoints, DV sidecars, CDF shards — goes through the seam.
 """
 
 from __future__ import annotations
@@ -1498,24 +1506,30 @@ def adopt_delta(
 # build real _delta_log trees with it; it is not a Delta writer
 # product feature, the engine's own write path is the txn log)
 # ---------------------------------------------------------------------------
-def write_delta_commit(root: str, version: int, actions: list[dict]) -> None:
+def write_delta_commit(
+    root: str, version: int, actions: list[dict],
+    io: FileIO | None = None,
+) -> None:
     """Write one commit file: newline-delimited JSON actions, exactly
-    the PROTOCOL.md layout. The write goes through the installed
-    :class:`..txnlog.LogStore` ``put_if_absent`` — the version name is
-    THE commit point (atomic create-if-absent, ``FileExistsError`` =
-    lost the race), so external Delta writes get the same local/HDFS/
-    S3-conditional-PUT/coordinator story as the engine's own log; the
-    old exists()-then-write had a TOCTOU window two writers could both
-    pass."""
-    from .. import txnlog as TL
+    the PROTOCOL.md layout. The write goes through the root's commit-
+    point store (:func:`..logstores.log_store_for`) ``put_if_absent``
+    — the version name is THE commit point (atomic create-if-absent,
+    ``FileExistsError`` = lost the race), so external Delta writes get
+    the same local/HDFS/S3-conditional-PUT/coordinator story as the
+    engine's own log; the old exists()-then-write had a TOCTOU window
+    two writers could both pass. POSIX roots commit through the
+    process-global LogStore (deployment overrides keep governing);
+    object-store roots commit through their own FileIO."""
+    from ..logstores import log_store_for
 
+    io = io or io_for(root)
     log = _log_dir(root)
-    os.makedirs(log, exist_ok=True)
+    io.makedirs(log)
     path = os.path.join(log, f"{version:020d}.json")
     body = (
         "\n".join(json.dumps(a, sort_keys=True) for a in actions) + "\n"
     ).encode("utf-8")
-    TL.get_log_store().put_if_absent(path, body)
+    log_store_for(io).put_if_absent(path, body)
 
 
 def _fold_proto_txn(
@@ -1698,16 +1712,16 @@ def write_delta_checkpoint(root: str, version: int) -> None:
             "txn": pa.array(txn_rows, txn_t),
         }
     )
-    import io
+    import io as _io
 
-    from .. import txnlog as TL
+    from ..logstores import log_store_for
 
     log = _log_dir(root)
     # checkpoints are DERIVED, idempotent artifacts: last-writer-wins
     # (put_atomic), never a commit point
-    buf = io.BytesIO()
+    buf = _io.BytesIO()
     pq.write_table(tbl, buf)
-    store = TL.get_log_store()
+    store = log_store_for(io_for(root))
     store.put_atomic(
         os.path.join(log, f"{version:020d}.checkpoint.parquet"),
         buf.getvalue(),
@@ -1785,11 +1799,11 @@ def _export_change_data(
     files). Exact for append/delete/update (deletion vectors make
     before-images recoverable); merge re-emits surviving rows of
     rewritten files as inserts — txn_changes' documented caveat."""
-    import shutil
     import uuid as _uuid
 
     from .. import txnlog as TL
 
+    io = io_for(root)
     ch = TL.txn_changes(
         spark, txn_root, v - 1, v,
         schema=TL.table_schema(txn_root, v),
@@ -1801,13 +1815,14 @@ def _export_change_data(
         w = ch.write.mode("overwrite")
         if part_cols:
             w = w.partitionBy(*part_cols)
-        w.parquet(staging)
+        w.parquet(io.spark_path(staging))
         rels = _move_staged_parquet(
             staging, root,
             dest_base=os.path.join("_change_data", f"cdc-{v - 1}"),
+            io=io,
         )
     finally:
-        shutil.rmtree(staging, ignore_errors=True)
+        io.delete_prefix(staging)
     return rels
 
 
@@ -1853,7 +1868,8 @@ def publish_delta(
         raise ValueError(f"{txn_root}: not a txn table")
     head = TL.latest_version(txn_root)
     root = _local_root(txn_root)
-    published = _commit_versions(txn_root) if os.path.isdir(
+    io = io_for(root)
+    published = _commit_versions(txn_root) if io.is_dir(
         _log_dir(txn_root)
     ) else []
     start = (max(published) + 2) if published else 1  # txn v of next
@@ -1971,7 +1987,7 @@ def publish_delta(
                 dead: set[int] = set()
                 for e in dv_map[f]:
                     t = _pq.read_table(
-                        os.path.join(root, e["dv"]),
+                        io.parquet_source(os.path.join(root, e["dv"])),
                         columns=["file", "pos"],
                     )
                     dead.update(
@@ -1993,7 +2009,7 @@ def publish_delta(
             )
             offs = RB.write_dv_file_multi(
                 os.path.join(root, f"deletion_vector_{u}.bin"),
-                per_key,
+                per_key, io=io,
             )
             for f, (off, size, card) in offs.items():
                 descs[f] = {
@@ -2012,8 +2028,8 @@ def publish_delta(
                 "path": _quote_rel(f),
                 "partitionValues": _pv_of(f, part_cols),
                 "size": (
-                    os.path.getsize(os.path.join(root, f))
-                    if os.path.exists(os.path.join(root, f))
+                    io.size(os.path.join(root, f))
+                    if io.exists(os.path.join(root, f))
                     else 0
                 ),
                 "modificationTime": 0,
@@ -2034,9 +2050,7 @@ def publish_delta(
                     {"cdc": {
                         "path": _quote_rel(rel),
                         "partitionValues": _pv_of(rel, part_cols),
-                        "size": os.path.getsize(
-                            os.path.join(root, rel)
-                        ),
+                        "size": io.size(os.path.join(root, rel)),
                         "dataChange": False,
                     }}
                 )
@@ -2228,12 +2242,12 @@ def delta_streaming_sink(
     and reclaim sides of long-running-sink maintenance."""
 
     def _sink(df, batch_id: int) -> None:
-        import shutil
         import time as _time
         import uuid as _uuid
 
         from .. import txnlog as TL
 
+        io = io_for(root)
         spark = df.sparkSession
         part_cols = list(partition_by or [])
         try:
@@ -2299,27 +2313,25 @@ def delta_streaming_sink(
             w = df.write.mode("overwrite")
             if part_cols:
                 w = w.partitionBy(*part_cols)
-            w.parquet(staging)
-            rels = _move_staged_parquet(staging, root)
+            w.parquet(io.spark_path(staging))
+            rels = _move_staged_parquet(staging, root, io=io)
         finally:
-            shutil.rmtree(staging, ignore_errors=True)
+            io.delete_prefix(staging)
 
-        stats = TL.collect_file_stats(root, rels, spark)
+        stats = TL.collect_file_stats(root, rels, spark, io=io)
         now_ms = int(_time.time() * 1000)
         adds = []
         for rel in sorted(rels):
             st = stats.get(rel)
             if st and st.get("rows") == 0:
-                os.remove(os.path.join(root, rel))
+                io.delete(os.path.join(root, rel))
                 continue  # an empty task output: not a data file
             adds.append(
                 {
                     "add": {
                         "path": _quote_rel(rel),
                         "partitionValues": _pv_of(rel, part_cols),
-                        "size": os.path.getsize(
-                            os.path.join(root, rel)
-                        ),
+                        "size": io.size(os.path.join(root, rel)),
                         "modificationTime": now_ms,
                         "dataChange": True,
                         "stats": _delta_stats_json(st),
@@ -2355,7 +2367,7 @@ def delta_streaming_sink(
                 vs, cp = [], None
             v = max(max(vs, default=-1), -1 if cp is None else cp) + 1
             try:
-                write_delta_commit(root, v, actions)
+                write_delta_commit(root, v, actions, io=io)
                 if checkpoint_every and (v + 1) % checkpoint_every == 0:
                     # the Delta writers' own cadence (every 10th
                     # commit): keeps snapshot folds O(checkpoint +
@@ -2368,11 +2380,13 @@ def delta_streaming_sink(
                 if last_txn_versions(root).get(app_id, -1) >= batch_id:
                     for a in adds:  # orphan our duplicate data files
                         # add.path is percent-encoded; decode before
-                        # touching the filesystem or names with '%'
-                        # leak the loser's duplicates until vacuum
-                        p = _file_path(root, a["add"]["path"])
-                        if os.path.exists(p):
-                            os.remove(p)
+                        # touching the store or names with '%' leak
+                        # the loser's duplicates until vacuum
+                        p = os.path.join(
+                            root,
+                            urllib.parse.unquote(a["add"]["path"]),
+                        )
+                        io.delete(p)
                     return
                 if md is None and _commit_versions(root):
                     # someone else CREATED the table under us — our
@@ -2396,26 +2410,27 @@ def delta_streaming_sink(
 # log cleanup — the small-file story for streaming-sink tables
 # ---------------------------------------------------------------------------
 def _move_staged_parquet(
-    staging: str, root: str, dest_base: str = ""
+    staging: str, root: str, dest_base: str = "",
+    io: FileIO | None = None,
 ) -> list[str]:
-    """Rename Spark's staged parquet output into the table root
+    """Promote Spark's staged parquet output into the table root
     (under ``dest_base`` if given), preserving hive dirs; returns the
-    table-relative paths. Same filesystem, so these are renames, not
-    copies. The ONE copy of this loop — sink, OPTIMIZE and CDF export
-    all route through it."""
+    table-relative paths. POSIX: same-filesystem renames. Object
+    stores: server-side copy + delete per file (``FileIO.move_file``)
+    — never atomic, which is fine because NO reader follows a data
+    file until the log commit (put_if_absent) references it. The ONE
+    copy of this loop — sink, OPTIMIZE and CDF export all route
+    through it."""
+    io = io or io_for(root)
     rels = []
-    for dirpath, _dirs, files in os.walk(staging):
-        for fn in files:
-            if not fn.endswith(".parquet"):
-                continue
-            src = os.path.join(dirpath, fn)
-            rel = os.path.join(
-                dest_base, os.path.relpath(src, staging)
-            )
-            dst = os.path.join(root, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.replace(src, dst)
-            rels.append(rel)
+    for rel0 in io.walk_files(staging):
+        if not rel0.endswith(".parquet"):
+            continue
+        rel = os.path.join(dest_base, rel0)
+        io.move_file(
+            os.path.join(staging, rel0), os.path.join(root, rel)
+        )
+        rels.append(rel)
     return sorted(rels)
 
 
@@ -2452,13 +2467,14 @@ def optimize_delta(
 
     from .. import txnlog as TL
 
+    io = io_for(root)
     _v, md, adds = delta_snapshot(root)
     part_cols = list(md.get("partitionColumns") or [])
     sizes = {}
     for a in adds:
         try:
-            sizes[a["path"]] = os.path.getsize(
-                _file_path(root, a["path"])
+            sizes[a["path"]] = io.size(
+                os.path.join(root, urllib.parse.unquote(a["path"]))
             )
         except OSError:
             sizes[a["path"]] = target_file_bytes
@@ -2492,7 +2508,6 @@ def optimize_delta(
     else:
         out = df.coalesce(min(n_out, len(cand)))
 
-    import shutil
     import uuid as _uuid
 
     staging = os.path.join(root, f"_staging_{_uuid.uuid4().hex}")
@@ -2500,12 +2515,12 @@ def optimize_delta(
         w = out.write.mode("overwrite")
         if part_cols:
             w = w.partitionBy(*part_cols)
-        w.parquet(staging)
-        rels = _move_staged_parquet(staging, root)
+        w.parquet(io.spark_path(staging))
+        rels = _move_staged_parquet(staging, root, io=io)
     finally:
-        shutil.rmtree(staging, ignore_errors=True)
+        io.delete_prefix(staging)
 
-    stats = TL.collect_file_stats(root, rels, spark)
+    stats = TL.collect_file_stats(root, rels, spark, io=io)
     now_ms = int(_time.time() * 1000)
     actions = [
         {"remove": {"path": a["path"], "dataChange": False,
@@ -2516,14 +2531,14 @@ def optimize_delta(
     for rel in sorted(rels):
         st = stats.get(rel)
         if st and st.get("rows") == 0:
-            os.remove(os.path.join(root, rel))
+            io.delete(os.path.join(root, rel))
             continue
         kept.append(rel)
         actions.append(
             {"add": {
                 "path": _quote_rel(rel),
                 "partitionValues": _pv_of(rel, part_cols),
-                "size": os.path.getsize(os.path.join(root, rel)),
+                "size": io.size(os.path.join(root, rel)),
                 "modificationTime": now_ms,
                 "dataChange": False,
                 "stats": _delta_stats_json(st),
@@ -2534,7 +2549,7 @@ def optimize_delta(
     # then surfaces as FileExistsError instead of silently landing on
     # top of state the rewrite never saw — and the fold's version is
     # checkpoint-aware, so a cleaned JSON log still optimizes
-    write_delta_commit(root, _v + 1, actions)
+    write_delta_commit(root, _v + 1, actions, io=io)
     return {
         "version": _v + 1,
         "rewritten_files": len(cand),
@@ -2552,9 +2567,12 @@ def vacuum_delta(root: str, keep_versions: int = 1) -> dict:
     them, become unrecoverable — exactly Delta's contract.
 
     Driver-side listing + referenced-set fold (metadata-plane; the
-    fold is the same columnar snapshot every reader does). Never
-    touches ``_delta_log`` (:func:`cleanup_delta_log` is the log
-    side) or ``_change_data`` (the CDF keeps its own feed)."""
+    fold is the same columnar snapshot every reader does; the listing
+    is ONE recursive ``walk_files`` — a single recursive ListObjects
+    on an object store). Never touches ``_delta_log``
+    (:func:`cleanup_delta_log` is the log side) or ``_change_data``
+    (the CDF keeps its own feed)."""
+    io = io_for(root)
     try:
         versions = set(delta_versions(root))
     except DeltaUnsupportedError:
@@ -2582,39 +2600,34 @@ def vacuum_delta(root: str, keep_versions: int = 1) -> dict:
                     )
                 )
     removed = []
-    for dirpath, dirs, files in os.walk(root, topdown=True):
-        rel_dir = os.path.relpath(dirpath, root)
-        top = rel_dir.split(os.sep)[0]
+    for rel in io.walk_files(root):
+        rel = os.path.normpath(rel)
+        top = rel.split(os.sep)[0]
         # _dv / _txn_log: the engine's own txn layer (adopt/publish
         # require txn_root == delta_root, so dual-log roots are the
         # NORMAL product of this module's workflows — their sidecars
         # are .parquet but never Delta-referenced); metadata /
         # pub-deletes: a coexisting Iceberg view of the same files.
         # Deleting any of these corrupts the sibling log's reads.
+        # _staging_*: a live writer may be staging here.
         if top in (
             "_delta_log", "_change_data", "_dv", "_txn_log",
             "metadata", "pub-deletes",
         ) or top.startswith("_staging_"):
-            dirs[:] = []  # a live writer may be staging here
             continue
-        for fn in files:
-            if fn.startswith("."):
-                continue
-            rel = os.path.normpath(
-                os.path.join("" if rel_dir == "." else rel_dir, fn)
-            )
-            if not (
-                fn.endswith(".parquet")
-                or fn.startswith("deletion_vector_")
-            ):
-                continue
-            if rel not in referenced:
-                os.remove(os.path.join(root, rel))
-                removed.append(rel)
-    # prune emptied hive dirs
-    for dirpath, dirs, files in os.walk(root, topdown=False):
-        if dirpath != root and not os.listdir(dirpath):
-            os.rmdir(dirpath)
+        fn = os.path.basename(rel)
+        if fn.startswith("."):
+            continue
+        if not (
+            fn.endswith(".parquet")
+            or fn.startswith("deletion_vector_")
+        ):
+            continue
+        if rel not in referenced:
+            io.delete(os.path.join(root, rel))
+            removed.append(rel)
+    # prune emptied hive dirs (no-op on object stores)
+    io.remove_empty_dirs(root)
     return {"removed_files": len(removed), "kept_versions": keep}
 
 
@@ -2633,6 +2646,7 @@ def cleanup_delta_log(root: str, keep_commits: int = 0) -> dict:
     batch from the offset log — keep replaying. Retention must exceed
     max consumer lag + batch span; the external-churn soak
     (tools/soak_external.py) exercises exactly this race."""
+    io = io_for(root)
     cp = _last_checkpoint_version(root, None)
     if cp is None:
         return {"removed_commits": 0, "checkpoint": None}
@@ -2641,14 +2655,14 @@ def cleanup_delta_log(root: str, keep_commits: int = 0) -> dict:
     floor = head - max(0, int(keep_commits))
     log = _log_dir(root)
     removed = 0
-    for n in os.listdir(log):
+    for n in io.list_dir(log):
         full = os.path.join(log, n)
         if n.endswith(".json") and n.split(".")[0].isdigit():
             if int(n.split(".")[0]) <= min(cp, floor):
-                os.remove(full)
+                io.delete(full)
                 removed += 1
         elif ".checkpoint." in n and n.endswith(".parquet"):
-            head = n.split(".checkpoint.")[0]
-            if head.isdigit() and int(head) < cp:
-                os.remove(full)
+            cp_v = n.split(".checkpoint.")[0]
+            if cp_v.isdigit() and int(cp_v) < cp:
+                io.delete(full)
     return {"removed_commits": removed, "checkpoint": cp}

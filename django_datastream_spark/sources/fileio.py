@@ -189,13 +189,14 @@ class FileIO:
         return p
 
     def parquet_source(self, path: str):
-        """What ``pyarrow.parquet.read_table`` should be handed for a
-        METADATA parquet (checkpoints, DV position sidecars). Default:
-        buffer the object (object-store realistic — metadata files are
-        small); LocalFileIO returns the path so Arrow can mmap."""
+        """What ``pyarrow.parquet`` should be handed for a parquet at
+        ``path``. Default: a SEEKABLE ranged reader — footer sniffs
+        and stats collection must not buffer a whole (possibly
+        multi-GB) data file; LocalFileIO returns the path so Arrow
+        can mmap."""
         import pyarrow as pa
 
-        return pa.BufferReader(self.read_bytes(path))
+        return pa.PythonFile(_RangeFile(self, path), mode="r")
 
 
 class LocalFileIO(FileIO):
@@ -748,13 +749,6 @@ class HadoopFileIO(FileIO):
 
     def size(self, path):
         return int(self._fs(path).getFileStatus(self._jpath(path)).getLen())
-
-    def parquet_source(self, path):
-        """A SEEKABLE ranged reader — footer sniffs must not buffer a
-        whole (possibly multi-GB) data file through the driver."""
-        import pyarrow as pa
-
-        return pa.PythonFile(_RangeFile(self, path), mode="r")
 
     def spark_path(self, path):
         return path  # the data plane already speaks Hadoop URIs

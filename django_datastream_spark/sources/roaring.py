@@ -257,27 +257,36 @@ def write_dv_file(path: str, positions) -> tuple[int, int, int]:
     return offset, len(data), card
 
 
-def write_dv_file_multi(path: str, per_key: dict) -> dict:
+def write_dv_file_multi(path: str, per_key: dict, io=None) -> dict:
     """Write MANY vectors into one DV file (the spec's layout: each
     vector at its own offset behind the single version byte) —
     ``{key: positions}`` → ``{key: (offset, sizeInBytes,
     cardinality)}``. One sidecar per commit instead of one per file is
-    exactly what real writers do."""
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    exactly what real writers do. The sidecar is built in memory
+    (bounded by DV cardinality — metadata-sized) and lands as ONE
+    object put through the FileIO seam, so object-store roots get an
+    atomic sidecar, not a streamed partial write."""
+    import io as _io
+
+    if io is None:
+        from .fileio import io_for
+
+        io = io_for(path)
     out = {}
-    with open(path, "wb") as f:
-        f.write(bytes([DV_FILE_VERSION]))
-        for key in sorted(per_key):
-            positions = per_key[key]
-            data = encode_dv_data(positions)
-            offset = f.tell()
-            f.write(struct.pack(">i", len(data)))
-            f.write(data)
-            f.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
-            card = len(np.unique(np.asarray(
-                list(positions) if not isinstance(positions, np.ndarray)
-                else positions, dtype=np.uint64)))
-            out[key] = (offset, len(data), card)
+    f = _io.BytesIO()
+    f.write(bytes([DV_FILE_VERSION]))
+    for key in sorted(per_key):
+        positions = per_key[key]
+        data = encode_dv_data(positions)
+        offset = f.tell()
+        f.write(struct.pack(">i", len(data)))
+        f.write(data)
+        f.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
+        card = len(np.unique(np.asarray(
+            list(positions) if not isinstance(positions, np.ndarray)
+            else positions, dtype=np.uint64)))
+        out[key] = (offset, len(data), card)
+    io.put_bytes(path, f.getvalue())
     return out
 
 

@@ -850,14 +850,21 @@ def _stat_value(v):
 DISTRIBUTED_STATS_AT = 64
 
 
-def _stats_of_file(root: str, rel: str) -> dict | None:
+def _stats_of_file(root: str, rel: str, io=None) -> dict | None:
     """Footer stats for one file (None = unreadable footer, file stays
     unprunable). Module-level so the distributed collector's tasks can
-    run it unchanged."""
+    run it unchanged. ``io`` (a picklable FileIO) serves the footer
+    through the storage seam — ranged reads, so an object-store file
+    never buffers whole for its footer."""
     import pyarrow.parquet as pq
 
     try:
-        md = pq.ParquetFile(os.path.join(root, rel)).metadata
+        src = (
+            io.parquet_source(os.path.join(root, rel))
+            if io is not None
+            else os.path.join(root, rel)
+        )
+        md = pq.ParquetFile(src).metadata
     except Exception:
         return None  # unreadable footer: file stays unprunable
     per: dict[str, dict | None] = {}
@@ -900,7 +907,8 @@ def _stats_of_file(root: str, rel: str) -> dict | None:
 
 
 def collect_file_stats(
-    table_root: str, rel_paths: list[str], spark: SparkSession | None = None
+    table_root: str, rel_paths: list[str],
+    spark: SparkSession | None = None, io=None,
 ) -> dict[str, dict]:
     """Per-file column stats from parquet FOOTERS (no data scan).
 
@@ -920,8 +928,18 @@ def collect_file_stats(
     Driver fallback is bounded by the write job's task count. Only
     the first :data:`STATS_MAX_COLS` leaf columns are indexed
     (Delta's dataSkippingNumIndexedCols) so wide tables keep commit
-    entries metadata-sized."""
-    root = _local_root(table_root)
+    entries metadata-sized.
+
+    ``io``: route footer reads through a FileIO (object-store roots).
+    A picklable io ships into the distributed tasks; a driver-only
+    one (HadoopFileIO) forces the bounded driver loop — the same
+    ``executor_safe`` rule the DV/manifest decodes honor."""
+    if io is not None:
+        root = table_root
+        if not getattr(io, "executor_safe", True):
+            spark = None  # driver-only io: bounded driver fallback
+    else:
+        root = _local_root(table_root)
     if spark is not None and len(rel_paths) >= DISTRIBUTED_STATS_AT:
 
         def _task(batches):
@@ -934,7 +952,7 @@ def collect_file_stats(
             for pdf in batches:
                 rels, stats = [], []
                 for rel in pdf["rel"]:
-                    s = TL._stats_of_file(root, rel)
+                    s = TL._stats_of_file(root, rel, io=io)
                     rels.append(rel)
                     stats.append(_json.dumps(s) if s is not None else None)
                 yield _pd.DataFrame({"rel": rels, "stats": stats})
@@ -951,7 +969,7 @@ def collect_file_stats(
         return out
     out = {}
     for rel in rel_paths:
-        s = _stats_of_file(root, rel)
+        s = _stats_of_file(root, rel, io=io)
         if s is not None:
             out[rel] = s
     return out
