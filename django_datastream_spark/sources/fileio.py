@@ -517,6 +517,17 @@ def unregister_fileio(scheme: str) -> None:
     _REGISTRY.pop(scheme, None)
 
 
+def norm_path(path: str) -> str:
+    """``os.path.normpath`` that survives URI schemes —
+    ``normpath('fake://a//b')`` would collapse the scheme separator
+    to ``fake:/a/b`` and break every registry lookup downstream.
+    Normalize only the part after ``scheme://``."""
+    if "://" in path:
+        scheme, rest = path.split("://", 1)
+        return scheme + "://" + os.path.normpath(rest)
+    return os.path.normpath(path)
+
+
 def io_for(path: str) -> FileIO:
     """Resolve the FileIO serving ``path`` by URI scheme. Plain paths
     and ``file:`` URIs are POSIX; anything else must have been

@@ -38,6 +38,7 @@ from pyspark.sql import types as T
 
 from . import avro_lite as AV
 from .fileio import FileIO, io_for
+from .fileio import norm_path as _np
 
 
 class IcebergUnsupportedError(RuntimeError):
@@ -811,13 +812,17 @@ def _decode_bound(raw: bytes, iceberg_type: str):
     return None  # unmapped type: never prune on it
 
 
-def _footer_bounds(full: str, fields: list[dict]) -> tuple:
+def _footer_bounds(full: str, fields: list[dict], io=None) -> tuple:
     """(lower_bounds, upper_bounds) kv-lists from a parquet footer for
-    the mapped primitive columns — what a real Iceberg writer stamps."""
+    the mapped primitive columns — what a real Iceberg writer stamps.
+    ``io`` routes the footer read through the storage seam (ranged
+    reads — an object-store data file never buffers whole)."""
     import pyarrow.parquet as pq
 
     try:
-        md = pq.ParquetFile(full).metadata
+        md = pq.ParquetFile(
+            io.parquet_source(full) if io is not None else full
+        ).metadata
     except Exception:
         return None, None
     by_name = {
@@ -1013,13 +1018,15 @@ def _avro_partition_value(parsed: dict, v):
     return v
 
 
-def _footer_minmax(full: str, col: str):
+def _footer_minmax(full: str, col: str, io=None):
     """(min, max) python values of one column across a parquet
     footer's row groups (None, None when stats are absent)."""
     import pyarrow.parquet as pq
 
     try:
-        md = pq.ParquetFile(full).metadata
+        md = pq.ParquetFile(
+            io.parquet_source(full) if io is not None else full
+        ).metadata
     except Exception:
         return None, None
     mn = mx = None
@@ -1038,7 +1045,7 @@ def _footer_minmax(full: str, col: str):
 
 
 def _file_partition_tuple(
-    root: str, rel: str, spec_fields: list[dict]
+    root: str, rel: str, spec_fields: list[dict], io=None
 ) -> dict:
     """The file's partition record, VERIFIED from footer bounds:
     transform(min) must equal transform(max) — otherwise the file
@@ -1047,7 +1054,7 @@ def _file_partition_tuple(
     full = os.path.join(root, rel)
     out = {}
     for pf in spec_fields:
-        mn, mx = _footer_minmax(full, pf["source"])
+        mn, mx = _footer_minmax(full, pf["source"], io=io)
         if mn is None or mx is None:
             raise IcebergUnsupportedError(
                 f"{rel}: no footer stats for partition source "
@@ -1098,24 +1105,25 @@ def write_manifest(
     that originally added it; a DELETED one carries the deleter's).
     When ``schema_fields`` is given, per-file lower/upper bounds are
     computed from the parquet footers and stamped (what a real
-    Iceberg writer records). Returns the manifest's absolute path."""
+    Iceberg writer records). Returns the manifest's absolute path.
+    All reads and the manifest write go through the root's FileIO."""
+    io = io_for(root)
     recs = []
     for entry in entries:
         status, rel = entry[0], entry[1]
         entry_sid = entry[2] if len(entry) > 2 else snapshot_id
         full = os.path.join(root, rel)
+        present = io.exists(full)
         lo = hi = None
-        if schema_fields and os.path.exists(full):
-            lo, hi = _footer_bounds(full, schema_fields)
+        if schema_fields and present:
+            lo, hi = _footer_bounds(full, schema_fields, io=io)
         df_rec = {
             "content": entry_content,
             "file_path": rel,
             "file_format": "PARQUET",
             "record_count": 0,
             "file_size_in_bytes": (
-                os.path.getsize(full)
-                if os.path.exists(full)
-                else 0
+                io.size(full) if present else 0
             ),
             "lower_bounds": lo,
             "upper_bounds": hi,
@@ -1126,8 +1134,10 @@ def write_manifest(
             # file); a tombstone whose file is already gone carries
             # nulls — the entry is DELETED, nothing prunes by it
             df_rec["partition"] = (
-                _file_partition_tuple(root, rel, partition_spec_fields)
-                if os.path.exists(full)
+                _file_partition_tuple(
+                    root, rel, partition_spec_fields, io=io
+                )
+                if present
                 else {pf["name"]: None for pf in partition_spec_fields}
             )
         recs.append(
@@ -1154,9 +1164,8 @@ def write_manifest(
             2, {"name": "partition", "type": part_t}
         )
     path = os.path.join(_meta_dir(root), name)
-    os.makedirs(_meta_dir(root), exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(AV.write_container(schema, recs, codec=codec))
+    io.makedirs(_meta_dir(root))
+    io.put_bytes(path, AV.write_container(schema, recs, codec=codec))
     return path
 
 
@@ -1168,6 +1177,7 @@ def write_manifest_list(
     pairs — a manifest carried forward unchanged keeps the id of the
     snapshot that first wrote it (Iceberg's fast-append reuse), which
     is exactly what :func:`iceberg_changes` attributes by."""
+    io = io_for(root)
     recs = []
     for mn in manifest_names:
         added_sid, content, seq = snapshot_id, 0, None
@@ -1180,7 +1190,7 @@ def write_manifest_list(
         recs.append(
             {
                 "manifest_path": os.path.join("metadata", mn),
-                "manifest_length": os.path.getsize(mp),
+                "manifest_length": io.size(mp),
                 "partition_spec_id": 0,
                 "content": content,
                 "added_snapshot_id": added_sid,
@@ -1188,10 +1198,9 @@ def write_manifest_list(
             }
         )
     path = os.path.join(_meta_dir(root), name)
-    with open(path, "wb") as f:
-        f.write(
-            AV.write_container(_MANIFEST_LIST_SCHEMA, recs, codec=codec)
-        )
+    io.put_bytes(
+        path, AV.write_container(_MANIFEST_LIST_SCHEMA, recs, codec=codec)
+    )
     return path
 
 
@@ -1282,29 +1291,29 @@ def write_metadata(
             for i, s in enumerate(snapshots)
         ],
     }
-    os.makedirs(_meta_dir(root), exist_ok=True)
+    io = io_for(root)
+    io.makedirs(_meta_dir(root))
     vpath = os.path.join(_meta_dir(root), f"v{version}.metadata.json")
     if atomic_new:
         # Iceberg's filesystem-table commit point IS the rename-
         # without-overwrite of the next version file (what
-        # HadoopTableOperations does): route it through the installed
-        # LogStore so a racing writer gets FileExistsError, never a
-        # clobbered pointer
-        from .. import txnlog as TL
+        # HadoopTableOperations does): route it through the root's
+        # commit-point store so a racing writer gets FileExistsError,
+        # never a clobbered pointer
+        from ..logstores import log_store_for
 
-        store = TL.get_log_store()
+        store = log_store_for(io)
         store.put_if_absent(vpath, json.dumps(md).encode())
         store.put_atomic(
             os.path.join(_meta_dir(root), "version-hint.text"),
             str(version).encode(),
         )
         return
-    with open(vpath, "w") as f:
-        json.dump(md, f)
-    with open(
-        os.path.join(_meta_dir(root), "version-hint.text"), "w"
-    ) as f:
-        f.write(str(version))
+    io.put_bytes(vpath, json.dumps(md).encode())
+    io.put_atomic(
+        os.path.join(_meta_dir(root), "version-hint.text"),
+        str(version).encode(),
+    )
 
 
 def adopt_iceberg(
@@ -1814,7 +1823,9 @@ def publish_iceberg(
                 dead: set[int] = set()
                 for e in entries:
                     t = _pq.read_table(
-                        os.path.join(data_root, e["dv"]),
+                        io_for(data_root).parquet_source(
+                            os.path.join(data_root, e["dv"])
+                        ),
                         columns=["file", "pos"],
                     )
                     dead.update(
@@ -1829,9 +1840,11 @@ def publish_iceberg(
                     rows_f.append(f)
                     rows_p.append(int(p))
             if rows_f:
+                import io as _bio
+
                 del_rel = f"pub-deletes/del-{v}.parquet"
                 full = os.path.join(txn_root, del_rel)
-                os.makedirs(os.path.dirname(full), exist_ok=True)
+                buf = _bio.BytesIO()
                 _pq.write_table(
                     _pa.table(
                         {
@@ -1841,8 +1854,11 @@ def publish_iceberg(
                             "pos": _pa.array(rows_p, _pa.int64()),
                         }
                     ),
-                    full,
+                    buf,
                 )
+                # one object put through the seam (bounded by DV
+                # cardinality — metadata-sized)
+                io_for(txn_root).put_bytes(full, buf.getvalue())
                 dman = f"pub-delman-{v}.avro"
                 write_manifest(
                     txn_root, dman, [(1, del_rel)], sid,
@@ -1862,9 +1878,9 @@ def publish_iceberg(
         )
         prev_sid = sid
         prev_live = live
-    existing = _metadata_versions(root=txn_root) if os.path.isdir(
-        _meta_dir(txn_root)
-    ) else []
+    existing = _metadata_versions(root=txn_root) if io_for(
+        txn_root
+    ).is_dir(_meta_dir(txn_root)) else []
     meta_v = (max(existing) + 1) if existing else 1
     write_metadata(
         txn_root, meta_v, schemas[cur_schema_id], snaps_meta,
@@ -1948,12 +1964,12 @@ def iceberg_streaming_sink(
     spec says the same). One streaming query per table."""
 
     def _sink(df, batch_id: int) -> None:
-        import shutil
         import time as _time
         import uuid as _uuid
 
         from . import avro_lite as AV
 
+        io = io_for(root)
         md, cur_v = None, None
         try:
             vs_now = _metadata_versions(root)
@@ -2014,31 +2030,34 @@ def iceberg_streaming_sink(
         else:
             fields = _spark_fields_to_ice(df.schema, name_to_id)
 
-        # data: distributed write, renamed under data/
+        # data: distributed write, promoted under data/ (rename on
+        # POSIX, server-side copy+delete on object stores — no reader
+        # follows a file until the metadata CAS references it)
         staging = os.path.join(root, f"_staging_{_uuid.uuid4().hex}")
         rels = []
         try:
-            df.write.mode("overwrite").parquet(staging)
-            os.makedirs(os.path.join(root, "data"), exist_ok=True)
-            for fn in sorted(os.listdir(staging)):
-                if not fn.endswith(".parquet"):
+            df.write.mode("overwrite").parquet(io.spark_path(staging))
+            io.makedirs(os.path.join(root, "data"))
+            for fn in io.walk_files(staging):
+                if not fn.endswith(".parquet") or os.sep in fn:
                     continue
                 rel = os.path.join("data", fn)
-                os.replace(
+                io.move_file(
                     os.path.join(staging, fn), os.path.join(root, rel)
                 )
                 rels.append(rel)
         finally:
-            shutil.rmtree(staging, ignore_errors=True)
+            io.delete_prefix(staging)
         import pyarrow.parquet as _pq
 
         kept = []
         for r in rels:
             full = os.path.join(root, r)
-            if _pq.ParquetFile(full).metadata.num_rows > 0:
+            src = io.parquet_source(full)
+            if _pq.ParquetFile(src).metadata.num_rows > 0:
                 kept.append(r)
             else:
-                os.remove(full)  # an empty task output: not a data file
+                io.delete(full)  # an empty task output: not a data file
         rels = kept
 
         import hashlib as _hl
@@ -2186,13 +2205,9 @@ def iceberg_streaming_sink(
                     # a replica landed THIS batch first: orphan our
                     # duplicate data files, manifest and manifest list
                     for r in rels:
-                        p = os.path.join(root, r)
-                        if os.path.exists(p):
-                            os.remove(p)
+                        io.delete(os.path.join(root, r))
                     for n in (man_name, mlist_name):
-                        mp = os.path.join(_meta_dir(root), n)
-                        if os.path.exists(mp):
-                            os.remove(mp)
+                        io.delete(os.path.join(_meta_dir(root), n))
                     return
                 if creating:
                     # someone else CREATED the table under us — our
@@ -2237,7 +2252,6 @@ def optimize_iceberg(
     :func:`expire_snapshots`). Fails closed while merge-on-read
     DELETE FILES are live — compacting under them would need the
     sequence-rule re-application; materialize the deletes first."""
-    import shutil
     import time as _time
     import uuid as _uuid
 
@@ -2245,6 +2259,7 @@ def optimize_iceberg(
     # the commit below pins its CAS to cur_v + 1, so a rival landing
     # during the (long) rewrite job surfaces as FileExistsError
     # instead of being erased from a fresher listing
+    io = io_for(root)
     cur_v = _metadata_versions(root)[-1]
     md = iceberg_metadata(root, version=cur_v)
     _md2, data, dels = _snapshot_files(
@@ -2260,7 +2275,7 @@ def optimize_iceberg(
     sizes = {}
     for p in data:
         try:
-            sizes[p] = os.path.getsize(_resolve(root, md, p))
+            sizes[p] = io.size(_resolve(root, md, p))
         except OSError:
             sizes[p] = target_file_bytes
     cand = sorted(p for p in data if sizes[p] < target_file_bytes)
@@ -2286,8 +2301,9 @@ def optimize_iceberg(
                 ) or mf.get("added_snapshot_id")
 
     schema = iceberg_schema(md)
-    files = [_resolve(root, md, p) for p in cand]
-    if _files_carry_field_ids(files):
+    raw_files = [_resolve(root, md, p) for p in cand]
+    files = [io.spark_path(f) for f in raw_files]
+    if _files_carry_field_ids(raw_files, io):
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         scan_schema = iceberg_schema(md, with_field_ids=True)
     else:
@@ -2301,17 +2317,17 @@ def optimize_iceberg(
     staging = os.path.join(root, f"_staging_{_uuid.uuid4().hex}")
     rels = []
     try:
-        out.write.mode("overwrite").parquet(staging)
-        os.makedirs(os.path.join(root, "data"), exist_ok=True)
-        for fn in sorted(os.listdir(staging)):
-            if fn.endswith(".parquet"):
+        out.write.mode("overwrite").parquet(io.spark_path(staging))
+        io.makedirs(os.path.join(root, "data"))
+        for fn in io.walk_files(staging):
+            if fn.endswith(".parquet") and os.sep not in fn:
                 rel = os.path.join("data", fn)
-                os.replace(
+                io.move_file(
                     os.path.join(staging, fn), os.path.join(root, rel)
                 )
                 rels.append(rel)
     finally:
-        shutil.rmtree(staging, ignore_errors=True)
+        io.delete_prefix(staging)
 
     import hashlib as _hl
 
@@ -2423,18 +2439,18 @@ def expire_snapshots(root: str, keep_snapshots: int = 1) -> dict:
     def _walk(snap):
         """(manifest-list, manifests, data/delete files) one snapshot
         references, as root-relative resolved paths."""
-        out = {os.path.normpath(_resolve(root, md, snap["manifest-list"]))}
+        out = {_np(_resolve(root, md, snap["manifest-list"]))}
         _s, mans = AV.read_container_file(
             _resolve(root, md, snap["manifest-list"])
         )
         for mf in mans:
-            mp = os.path.normpath(_resolve(root, md, mf["manifest_path"]))
+            mp = _np(_resolve(root, md, mf["manifest_path"]))
             out.add(mp)
             _s2, entries = AV.read_container_file(mp)
             for e in entries:
                 if int(e.get("status") or 0) != 2:
                     out.add(
-                        os.path.normpath(
+                        _np(
                             _resolve(
                                 root, md, e["data_file"]["file_path"]
                             )
@@ -2448,11 +2464,12 @@ def expire_snapshots(root: str, keep_snapshots: int = 1) -> dict:
     dropped: set = set()
     for s in drop:  # union BEFORE deleting: fast-append shares
         dropped |= _walk(s)  # manifests across snapshots
+    io = io_for(root)
     removed = 0
-    rootn = os.path.normpath(root) + os.sep
+    rootn = _np(root) + os.sep
     for p in sorted(dropped - referenced):
-        if p.startswith(rootn) and os.path.exists(p):
-            os.remove(p)
+        if p.startswith(rootn) and io.exists(p):
+            io.delete(p)
             removed += 1
     n_expired = len([s for s in chain if s["snapshot-id"] not in keep_ids])
     props = dict(md.get("properties") or {})
@@ -2525,40 +2542,51 @@ def remove_orphan_files(root: str, staging_grace_s: int = 3600) -> dict:
     md = iceberg_metadata(root)
     referenced: set = set()
     for s in md.get("snapshots", []):
-        mlist = os.path.normpath(_resolve(root, md, s["manifest-list"]))
+        mlist = _np(_resolve(root, md, s["manifest-list"]))
         referenced.add(mlist)
         _s, mans = AV.read_container_file(mlist)
         for mf in mans:
-            mp = os.path.normpath(
+            mp = _np(
                 _resolve(root, md, mf["manifest_path"])
             )
             referenced.add(mp)
             _s2, entries = AV.read_container_file(mp)
             for e in entries:
                 referenced.add(
-                    os.path.normpath(
+                    _np(
                         _resolve(root, md, e["data_file"]["file_path"])
                     )
                 )
+    io = io_for(root)
     data_dir = os.path.join(root, "data")
     removed = 0
-    if os.path.isdir(data_dir):
-        for dirpath, _dirs, files in os.walk(data_dir):
-            for fn in files:
-                full = os.path.normpath(os.path.join(dirpath, fn))
-                if full not in referenced:
-                    os.remove(full)
-                    removed += 1
+    for rel in io.walk_files(data_dir):
+        full = _np(os.path.join(data_dir, rel))
+        if full not in referenced:
+            io.delete(full)
+            removed += 1
     # leftover staging dirs from crashed writes — but NEVER one a
     # live sink batch may still be writing into: only dirs untouched
-    # for ``staging_grace_s`` qualify as debris
-    import shutil
+    # for ``staging_grace_s`` qualify as debris (mtime of the newest
+    # object inside, object-store style: prefixes have no mtime)
     import time as _time
 
     cutoff = _time.time() - staging_grace_s
-    for n in os.listdir(root):
+    for n in io.list_dir(root):
+        if not n.startswith("_staging_"):
+            continue
         full = os.path.join(root, n)
-        if n.startswith("_staging_") and os.path.getmtime(full) < cutoff:
-            shutil.rmtree(full, ignore_errors=True)
+        try:
+            newest = max(
+                (
+                    io.mtime(os.path.join(full, r))
+                    for r in io.walk_files(full)
+                ),
+                default=io.mtime(full) if io.exists(full) else 0.0,
+            )
+        except OSError:
+            continue  # racing writer finished/cleaned mid-walk
+        if newest < cutoff:
+            io.delete_prefix(full)
             removed += 1
     return {"removed": removed}
