@@ -28,12 +28,18 @@ Invariants at the end (and progressively):
   and AFTER expire_snapshots (Iceberg summary→property fold);
 - the final table scan equals the produced set exactly.
 
-Usage: python tools/soak_external.py [rounds] [fmt] [pace]
+Usage: python tools/soak_external.py [rounds] [fmt] [pace] [store]
   rounds: sink batches per format (default 60; raise for long soaks)
   fmt: delta | iceberg | both (default both)
   pace: maxFilesPerTrigger / maxSnapshotsPerTrigger for the reader
         (default 3 / 2; raise for long-horizon runs so reader wall
         stays O(commits/pace))
+  store: posix (default) | fake — ``fake`` runs the WHOLE chain (sink,
+        maintenance, paced reader, time travel) against a
+        FakeObjectStore root with no POSIX path: every write is an
+        object verb, the commit point is the store's conditional PUT,
+        and the paced reader's worker processes get the pickled store
+        via the ``fileio`` option. The round-11 write-seam soak.
 """
 
 from __future__ import annotations
@@ -44,10 +50,32 @@ import sys
 import tempfile
 import threading
 import time
+import uuid
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from django_datastream_spark.session import get_spark  # noqa: E402
+
+
+def _make_root(prefix: str, fake: bool):
+    """(root, extra reader options, cleanup) — a POSIX tmpdir, or a
+    FakeObjectStore root registered under a fresh scheme."""
+    from django_datastream_spark.sources import fileio as FIO
+
+    if not fake:
+        root = tempfile.mkdtemp(prefix=prefix)
+        shutil.rmtree(root)
+        return root, {}, lambda: None
+    scheme = f"soak{uuid.uuid4().hex[:8]}"
+    backing = tempfile.mkdtemp(prefix=prefix + "backing-")
+    store = FIO.FakeObjectStore(scheme, backing)
+    FIO.register_fileio(scheme, store)
+
+    def _cleanup():
+        FIO.unregister_fileio(scheme)
+        shutil.rmtree(backing, ignore_errors=True)
+
+    return f"{scheme}://tbl", {"fileio": FIO.encode_fileio(store)}, _cleanup
 
 
 def _reader_offset(cp: str, key: str) -> int:
@@ -114,11 +142,10 @@ def _drain_paced(spark, fmt_name, table, cp, out, opts, stop_at_rows):
             return n
 
 
-def soak_delta(spark, rounds: int, pace: int = 3) -> dict:
+def soak_delta(spark, rounds: int, pace: int = 3, fake: bool = False) -> dict:
     from django_datastream_spark.sources import delta as DL
 
-    root = tempfile.mkdtemp(prefix="soak-delta-")
-    shutil.rmtree(root)
+    root, reader_opts, cleanup = _make_root("soak-delta-", fake)
     sink = DL.delta_streaming_sink(root, "soak", checkpoint_every=None)
     produced: set[int] = set()
     done = {"flag": False}
@@ -196,7 +223,7 @@ def soak_delta(spark, rounds: int, pace: int = 3) -> dict:
         t.start()
     n = _drain_paced(
         spark, "delta_table", root, cp, out,
-        {"maxFilesPerTrigger": pace},
+        {"maxFilesPerTrigger": pace, **reader_opts},
         lambda: len(produced) if done["flag"] else len(produced) + 1,
     )
     for t in threads:
@@ -217,14 +244,17 @@ def soak_delta(spark, rounds: int, pace: int = 3) -> dict:
     before = max(DL.delta_versions(root))
     sink(df_of(0), 0)
     assert max(DL.delta_versions(root)) == before, "ledger floor lost"
-    return {"format": "delta", "rows": n, "commits": before + 1}
+    cleanup()
+    return {
+        "format": "delta", "rows": n, "commits": before + 1,
+        "store": "fake" if fake else "posix",
+    }
 
 
-def soak_iceberg(spark, rounds: int, pace: int = 2) -> dict:
+def soak_iceberg(spark, rounds: int, pace: int = 2, fake: bool = False) -> dict:
     from django_datastream_spark.sources import iceberg as IB
 
-    root = tempfile.mkdtemp(prefix="soak-ice-")
-    shutil.rmtree(root)
+    root, reader_opts, cleanup = _make_root("soak-ice-", fake)
     sink = IB.iceberg_streaming_sink(root, "soak")
     produced: set[int] = set()
     done = {"flag": False}
@@ -298,7 +328,7 @@ def soak_iceberg(spark, rounds: int, pace: int = 2) -> dict:
         t.start()
     n = _drain_paced(
         spark, "iceberg_table", root, cp, out,
-        {"maxSnapshotsPerTrigger": pace},
+        {"maxSnapshotsPerTrigger": pace, **reader_opts},
         lambda: len(produced) if done["flag"] else len(produced) + 1,
     )
     for t in threads:
@@ -318,9 +348,11 @@ def soak_iceberg(spark, rounds: int, pace: int = 2) -> dict:
     before = len(IB.iceberg_snapshots(root))
     sink(df_of(0), 0)
     assert len(IB.iceberg_snapshots(root)) == before, "ledger floor lost"
+    cleanup()
     return {
         "format": "iceberg", "rows": n,
         "batches": rounds, "snapshots_kept": before,
+        "store": "fake" if fake else "posix",
     }
 
 
@@ -329,18 +361,20 @@ def main() -> None:
 
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 60
     fmt = sys.argv[2] if len(sys.argv) > 2 else "both"
+    fake = len(sys.argv) > 4 and sys.argv[4] == "fake"
     spark = get_spark("external-soak")
     spark.sparkContext.setLogLevel("ERROR")
     out = []
     t0 = time.time()
     if fmt in ("delta", "both"):
         pace = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-        out.append(soak_delta(spark, rounds, pace))
+        out.append(soak_delta(spark, rounds, pace, fake=fake))
     if fmt in ("iceberg", "both"):
         pace = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-        out.append(soak_iceberg(spark, rounds, pace))
+        out.append(soak_iceberg(spark, rounds, pace, fake=fake))
     print(json.dumps({
         "soak": "external", "rounds": rounds,
+        "store": "fake" if fake else "posix",
         "wall_s": round(time.time() - t0, 1), "results": out,
     }))
     spark.stop()
