@@ -765,6 +765,217 @@ class HadoopFileIO(FileIO):
         return path  # the data plane already speaks Hadoop URIs
 
 
+class PyArrowFileIO(FileIO):
+    """FileIO over a ``pyarrow.fs.FileSystem`` — the PICKLABLE
+    deployment adapter for real remote schemes (HadoopFileIO's
+    documented gap): Arrow filesystems serialize, so executor-side
+    DV/manifest/footer decodes run distributed against s3://, gs://,
+    hdfs:// — no py4j gateway, no driver fallback, no new dependency
+    (pyarrow ships with Spark's Arrow integration).
+
+    Path mapping mirrors :class:`FakeObjectStore`'s ergonomics:
+    ``scheme``/``base`` map table-space paths ``scheme://k`` to the
+    filesystem-native path ``base/k`` (S3FileSystem speaks
+    ``bucket/key``, LocalFileSystem a POSIX dir); ``scheme=None``
+    passes paths through verbatim. ``spark_scheme`` names the URI
+    scheme the JVM data plane should scan (``s3://…`` → ``s3a://…``);
+    when unset, ``spark_path`` returns the filesystem-native path —
+    right for LocalFileSystem, where that path IS scannable.
+
+    HONEST BOUNDARY — ``put_if_absent``: pyarrow.fs has no
+    conditional create, so the COMMIT-POINT verb works only where the
+    filesystem itself can provide one (LocalFileSystem → the POSIX
+    link-CAS). Remote schemes raise with guidance: commit through a
+    coordinator (:class:`..logstores.SqliteCoordinatedLogStore`) or
+    an SDK-backed FileIO with a real conditional PUT; every other
+    read/write verb works everywhere.
+    """
+
+    executor_safe = True
+
+    def __init__(
+        self,
+        fs=None,
+        scheme: str | None = None,
+        base: str = "",
+        spark_scheme: str | None = None,
+    ):
+        if fs is None:
+            from pyarrow.fs import LocalFileSystem
+
+            fs = LocalFileSystem()
+        self.fs = fs
+        self.scheme = scheme
+        self.base = base.rstrip("/")
+        self.spark_scheme = spark_scheme
+
+    def _key(self, path: str) -> str:
+        if self.scheme is None:
+            return path
+        pre = self.scheme + "://"
+        if not path.startswith(pre):
+            raise ValueError(
+                f"{path!r} is not a {pre} path — this FileIO only "
+                "serves its own scheme"
+            )
+        key = path[len(pre):].strip("/")
+        if not self.base:
+            return key
+        return f"{self.base}/{key}" if key else self.base
+
+    def _info(self, path: str):
+        return self.fs.get_file_info(self._key(path))
+
+    # -- reads ----------------------------------------------------------
+    def list_dir(self, path, start_after=None):
+        from pyarrow.fs import FileSelector, FileType
+
+        p = self._key(path)
+        infos = self.fs.get_file_info(
+            FileSelector(p, recursive=False, allow_not_found=True)
+        )
+        if not infos and self.fs.get_file_info(p).type == FileType.NotFound:
+            raise FileNotFoundError(path)
+        names = sorted(i.base_name for i in infos)
+        if start_after is not None:
+            names = [n for n in names if n > start_after]
+        return names
+
+    def read_bytes(self, path):
+        with self.fs.open_input_stream(self._key(path)) as f:
+            return f.read()
+
+    def read_range(self, path, offset, length):
+        with self.fs.open_input_file(self._key(path)) as f:
+            f.seek(offset)
+            return f.read(length)
+
+    def exists(self, path):
+        from pyarrow.fs import FileType
+
+        return self._info(path).type != FileType.NotFound
+
+    def mtime(self, path):
+        info = self._info(path)
+        if info.mtime_ns is not None:
+            return info.mtime_ns / 1e9
+        raise OSError(f"{path}: filesystem records no mtime")
+
+    def is_dir(self, path):
+        from pyarrow.fs import FileType
+
+        return self._info(path).type == FileType.Directory
+
+    def size(self, path):
+        info = self._info(path)
+        if info.size is None:
+            raise FileNotFoundError(path)
+        return int(info.size)
+
+    # -- writes ---------------------------------------------------------
+    def put_bytes(self, path, data):
+        p = self._key(path)
+        parent = p.rsplit("/", 1)[0] if "/" in p else ""
+        if parent:
+            self.fs.create_dir(parent, recursive=True)
+        with self.fs.open_output_stream(p) as f:
+            f.write(data)
+
+    def put_if_absent(self, path, data):
+        from pyarrow.fs import LocalFileSystem
+
+        if isinstance(self.fs, LocalFileSystem):
+            return LocalFileIO().put_if_absent(self._key(path), data)
+        raise NotImplementedError(
+            "pyarrow.fs exposes no conditional PUT — commit through "
+            "a coordinator LogStore (logstores."
+            "SqliteCoordinatedLogStore) or an SDK-backed FileIO with "
+            "a real If-None-Match put; PyArrowFileIO serves every "
+            "other verb"
+        )
+
+    def delete(self, path, missing_ok=True):
+        try:
+            self.fs.delete_file(self._key(path))
+        except FileNotFoundError:
+            if not missing_ok:
+                raise FileNotFoundError(path) from None
+
+    def delete_prefix(self, path):
+        try:
+            self.fs.delete_dir(self._key(path))
+        except FileNotFoundError:
+            pass
+
+    def makedirs(self, path):
+        self.fs.create_dir(self._key(path), recursive=True)
+
+    def move_file(self, src, dst):
+        # Arrow's move: rename where the fs has one, copy+delete on
+        # object stores — the same promotion contract as ever
+        d = self._key(dst)
+        parent = d.rsplit("/", 1)[0] if "/" in d else ""
+        if parent:
+            self.fs.create_dir(parent, recursive=True)
+        self.fs.move(self._key(src), d)
+
+    def walk_files(self, path):
+        from pyarrow.fs import FileSelector, FileType
+
+        p = self._key(path)
+        infos = self.fs.get_file_info(
+            FileSelector(p, recursive=True, allow_not_found=True)
+        )
+        base = p.rstrip("/") + "/"
+        return sorted(
+            i.path[len(base):]
+            for i in infos
+            if i.type == FileType.File and i.path.startswith(base)
+        )
+
+    def remove_empty_dirs(self, path):
+        from pyarrow.fs import FileSelector, FileType
+
+        p = self._key(path)
+        infos = self.fs.get_file_info(
+            FileSelector(p, recursive=True, allow_not_found=True)
+        )
+        files = [i.path for i in infos if i.type != FileType.Directory]
+        dirs = sorted(
+            (i.path for i in infos if i.type == FileType.Directory),
+            key=len,
+            reverse=True,  # deepest first
+        )
+        empty: set = set()
+        for d in dirs:
+            pre = d.rstrip("/") + "/"
+            if not any(f.startswith(pre) for f in files) and not any(
+                o.startswith(pre) and o not in empty for o in dirs
+            ):
+                self.fs.delete_dir(d)
+                empty.add(d)
+
+    # -- plane translation ----------------------------------------------
+    def spark_path(self, path):
+        if self.scheme is None:
+            return path
+        if self.spark_scheme is not None:
+            pre = self.scheme + "://"
+            return self.spark_scheme + "://" + path[len(pre):]
+        return self._key(path)  # fs-native (LocalFileSystem: POSIX)
+
+    def file_uri(self, path):
+        p = self.spark_path(path)
+        if "://" not in p:
+            return "file:" + os.path.abspath(p)
+        return super().file_uri(path)
+
+    def parquet_source(self, path):
+        # Arrow's own ranged reader — footer sniffs never buffer the
+        # whole object
+        return self.fs.open_input_file(self._key(path))
+
+
 class _RangeFile:
     """Minimal seekable file-like over FileIO.read_range (what
     pyarrow.PythonFile needs for footer-only parquet reads)."""
