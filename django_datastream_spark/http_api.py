@@ -43,6 +43,25 @@ def _parse_ts(v: str | None) -> _dt.datetime | None:
         return _dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
 
 
+def _encode_cursor(payload: dict) -> str:
+    """Opaque page cursor: URL-safe base64 of the JSON key payload.
+    Opaque BY CONTRACT — clients must round-trip it unmodified."""
+    import base64
+
+    return base64.urlsafe_b64encode(
+        json.dumps(payload, default=_json_default).encode()
+    ).decode("ascii")
+
+
+def _decode_cursor(s: str) -> dict:
+    import base64
+
+    try:
+        return json.loads(base64.urlsafe_b64decode(s.encode("ascii")))
+    except Exception:
+        raise ValueError(f"malformed cursor {s!r}") from None
+
+
 def list_streams(
     engine: Datastream,
     query_tags: dict | None = None,
@@ -132,7 +151,14 @@ def stream_datapoints(
     offset: int = 0,
 ) -> dict[str, Any]:
     """GET /api/v1/stream/<uuid>/ — datapoints with the reference's query
-    params, serialized ISO-8601."""
+    params, serialized ISO-8601.
+
+    Pagination: tastypie ``limit``/``offset`` for reference parity, or
+    KEYSET via ``cursor`` (the previous response's ``meta.next_cursor``)
+    — the scale path: the cursor becomes a time-range predicate pushed
+    into the parquet scan (``start_exclusive``/``end_exclusive``
+    through the engine), so each page costs one pruned scan + limit
+    instead of a deepening offset."""
     p = params or {}
     gran_param = p.get("granularity", p.get("g", "seconds"))
     if gran_param not in _GRANULARITY_ALIASES:
@@ -140,14 +166,27 @@ def stream_datapoints(
 
         raise UnsupportedGranularity(gran_param)
     gran = _GRANULARITY_ALIASES[gran_param]
+    reverse = p.get("reverse", p.get("r", "")) in ("1", "true", "True")
+    sx = _parse_ts(p.get("start_exclusive", p.get("sx")))
+    ex = _parse_ts(p.get("end_exclusive", p.get("ex")))
+    cursor = p.get("cursor")
+    if cursor:
+        cur_ts = _parse_ts(_decode_cursor(cursor)["t"])
+        # the page boundary narrows the range from the cursor side
+        # (forward: everything strictly after the last row; reverse:
+        # strictly before)
+        if reverse:
+            ex = cur_ts if ex is None else min(ex, cur_ts)
+        else:
+            sx = cur_ts if sx is None else max(sx, cur_ts)
     dps = engine.get_data(
         stream_id,
         gran,
         start=_parse_ts(p.get("start", p.get("s"))),
         end=_parse_ts(p.get("end", p.get("e"))),
-        start_exclusive=_parse_ts(p.get("start_exclusive", p.get("sx"))),
-        end_exclusive=_parse_ts(p.get("end_exclusive", p.get("ex"))),
-        reverse=p.get("reverse", p.get("r", "")) in ("1", "true", "True"),
+        start_exclusive=sx,
+        end_exclusive=ex,
+        reverse=reverse,
         value_downsamplers=(
             p["value_downsamplers"].split(",") if "value_downsamplers" in p
             else (p["v"].split(",") if "v" in p else None)
@@ -157,19 +196,30 @@ def stream_datapoints(
             else (p["t"].split(",") if "t" in p else None)
         ),
     )
-    # LIMIT/OFFSET evaluated engine-side (Spark offset+limit → one job)
-    page_df = dps.df.offset(offset).limit(limit)
+    # LIMIT/OFFSET evaluated engine-side (Spark offset+limit → one job);
+    # cursor mode never pays an offset
+    page_df = (
+        dps.df.limit(limit) if cursor else dps.df.offset(offset).limit(limit)
+    )
     paged = type(dps)(page_df, dps._raw, dps._reverse, dps._nominal)
     datapoints = []
+    last_key = None
     for d in paged:
         t = d["t"]
         out_t = _iso(t) if isinstance(t, _dt.datetime) else {
             k: _iso(v) for k, v in t.items()
         }
         v = d["v"]
+        last_key = t if isinstance(t, _dt.datetime) else d.get("bucket")
         datapoints.append({"t": out_t, "v": v})
+    meta: dict[str, Any] = {"limit": limit, "offset": offset}
+    meta["next_cursor"] = (
+        _encode_cursor({"t": _iso(last_key)})
+        if len(datapoints) == limit and last_key is not None
+        else None
+    )
     return {
-        "meta": {"limit": limit, "offset": offset},
+        "meta": meta,
         "stream_id": stream_id,
         "granularity": gran,
         "datapoints": json.loads(json.dumps(datapoints)),  # ensure JSON-safe
@@ -201,10 +251,25 @@ def table_rows(
     offset: int = 0,
 ) -> dict[str, Any]:
     """GET /api/v1/table/<name>/ — rows of a registered external
-    table (arbitrary schema → JSON with ISO timestamps), deterministic
-    limit/offset pagination over the table's sorted column order.
+    table (arbitrary schema → JSON with ISO timestamps).
     ``version`` / ``snapshot_id`` / ``as_of`` (epoch ms) pin time
-    travel, exactly like the library calls."""
+    travel, exactly like the library calls.
+
+    Pagination, two modes:
+
+    - tastypie ``limit``/``offset`` (reference parity): stateless,
+      re-sorts per request by construction; deterministic ONLY when
+      the orderable columns form a unique key — duplicate sort tuples
+      can straddle page boundaries across requests.
+    - KEYSET via ``cursor`` (the previous response's
+      ``meta.next_cursor``) — the scale path: the cursor's key tuple
+      becomes a lexicographic ``>`` predicate whose leading-column
+      bound PUSHES into the parquet scan, and the page is a pruned
+      scan + top-K instead of an ever-deepening offset. The key is
+      the table's atomic orderable columns in schema order; rows
+      whose ENTIRE key tuple duplicates the cursor's are skipped
+      (exact pagination needs a unique key — same caveat as offset
+      mode, stated here instead of hidden)."""
     p = params or {}
     df = engine.external_table(
         name,
@@ -217,11 +282,14 @@ def table_rows(
     cols = df.columns
     # deterministic pagination over ORDERABLE columns only — Spark
     # cannot sort by map-typed expressions at ANY nesting depth, and
-    # legal Delta/Iceberg schemas carry them. Stateless offset
-    # pagination re-sorts per request by construction (a cursor-based
-    # API is the scale path; this endpoint mirrors the reference's
-    # tastypie limit/offset contract).
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    # legal Delta/Iceberg schemas carry them.
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        AtomicType,
+        MapType,
+        StructType,
+    )
 
     def _orderable(dt) -> bool:
         if isinstance(dt, MapType):
@@ -235,23 +303,88 @@ def table_rows(
     sortable = [
         f.name for f in df.schema.fields if _orderable(f.dataType)
     ]
-    page_df = df.orderBy(*sortable) if sortable else df
-    rows = page_df.offset(offset).limit(limit).collect()
+    # the cursor KEY: atomic orderable columns whose JSON forms
+    # round-trip through a cast (binary does not; arrays/structs
+    # stay sort-only)
+    from pyspark.sql.types import BinaryType
+
+    key_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, AtomicType)
+        and not isinstance(f.dataType, BinaryType)
+    ]
+    cursor = p.get("cursor")
+    meta: dict[str, Any] = {
+        "limit": limit,
+        "offset": offset,
+        "columns": cols,
+        "name": name,
+    }
+    if cursor and key_cols:
+        key = _decode_cursor(cursor)["k"]
+        page_df = _keyset_page_df(df, key_cols, key)
+        rows = page_df.limit(limit).collect()
+    else:
+        page_df = df.orderBy(*sortable) if sortable else df
+        rows = page_df.offset(offset).limit(limit).collect()
     objects = [
         json.loads(
             json.dumps(r.asDict(recursive=True), default=_json_default)
         )
         for r in rows
     ]
-    return {
-        "meta": {
-            "limit": limit,
-            "offset": offset,
-            "columns": cols,
-            "name": name,
-        },
-        "objects": objects,
-    }
+    if key_cols and len(rows) == limit:
+        last = rows[-1].asDict()
+        meta["next_cursor"] = _encode_cursor(
+            {
+                "k": {
+                    c: (
+                        last[c].isoformat()  # full precision, not _iso
+                        if isinstance(last[c], (_dt.datetime, _dt.date))
+                        else last[c]
+                    )
+                    for c in key_cols
+                }
+            }
+        )
+    else:
+        meta["next_cursor"] = None
+    return {"meta": meta, "objects": objects}
+
+
+def _keyset_page_df(df, key_cols: list[str], key: dict):
+    """The keyset page plan: rows strictly after the cursor's key
+    tuple in (key_cols) lexicographic order, sorted. The leading
+    column's range bound is conjoined EXPLICITLY so it reaches the
+    parquet scan as a PUSHED filter (the OR-chain alone is not
+    pushable); with ``limit`` on top Spark plans a TakeOrdered top-K
+    over the pruned scan — no global re-sort, no deepening offset."""
+    from pyspark.sql import functions as F
+
+    in_key = [c for c in key_cols if c in key]
+
+    def _lit(c):
+        return F.lit(key[c]).cast(df.schema[c].dataType)
+
+    def _gt(c):
+        # nulls sort FIRST in Spark asc: "greater than null" is
+        # simply "not null"; a plain > against a null literal would
+        # be null (false) and silently end pagination
+        if key[c] is None:
+            return F.col(c).isNotNull()
+        return F.col(c) > _lit(c)
+
+    # lexicographic strictly-greater over the key tuple
+    gt = F.lit(False)
+    for c in reversed(in_key):
+        gt = _gt(c) | (F.col(c).eqNullSafe(_lit(c)) & gt)
+    # skip the pushable bound when the cursor's leading value is null
+    # (every value satisfies "≥ null-first")
+    lead = in_key[0] if in_key else None
+    if lead is not None and key[lead] is not None:
+        gt = (F.col(lead) >= _lit(lead)) & gt
+    return df.filter(gt).orderBy(*key_cols)
 
 
 def _json_default(v):

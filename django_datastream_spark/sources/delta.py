@@ -466,10 +466,21 @@ def _fill_from_parsed(part, sub):
                 for k in ("minValues", "maxValues", "nullCount"):
                     if row.get(k) is not None:
                         j[k] = row[k]
-                # default=str: dates/timestamps/decimals serialize to
-                # their string forms — _may_match compares those
-                # conservatively (doubt keeps the file)
-                out.append(json.dumps(j, default=str))
+                # dates/timestamps serialize ISO-'T' (isoformat) —
+                # delta-spark's JSON-stats form and what where=
+                # bounds use; str(datetime) would emit the space
+                # separator, and ' ' < 'T' makes lexicographic
+                # pruning WRONGLY drop files sharing the bound's
+                # date. _may_match also normalizes the separator as
+                # a belt-and-braces guard for foreign stats.
+                out.append(json.dumps(
+                    j,
+                    default=lambda o: (
+                        o.isoformat()
+                        if hasattr(o, "isoformat")
+                        else str(o)
+                    ),
+                ))
             part = part.set_column(
                 idx_stats, "stats", pa.array(out, pa.string())
             )
@@ -902,13 +913,38 @@ def _may_match(pv: dict, stats, where: dict, part_cols: set) -> bool:
         else:
             continue
         try:
-            if lo is not None and mx is not None and type(lo)(mx) < lo:
+            if lo is not None and mx is not None and (
+                _cmp_val(mx, lo) < _cmp_val(lo, lo)
+            ):
                 return False  # whole file below the range
-            if hi is not None and mn is not None and type(hi)(mn) > hi:
+            if hi is not None and mn is not None and (
+                _cmp_val(mn, hi) > _cmp_val(hi, hi)
+            ):
                 return False  # whole file above the range
         except (TypeError, ValueError):
             continue  # non-comparable stat types: keep
     return True
+
+
+def _cmp_val(v, like):
+    """Coerce ``v`` to ``like``'s type for a bound comparison, with
+    the TEMPORAL-STRING guard: ISO datetimes appear with either 'T'
+    or ' ' at position 10 depending on the writer, and comparing
+    mixed separators lexicographically mis-orders same-date values
+    (' ' < 'T'), wrongly pruning a file whose max shares the bound's
+    date. Normalize the separator to 'T' on both sides; genuinely
+    non-comparable values still raise and the caller keeps the
+    file."""
+    out = type(like)(v)
+    if (
+        isinstance(out, str)
+        and len(out) >= 11
+        and out[10] in (" ", "T")
+        and out[:10].replace("-", "").isdigit()
+        and out.count("-", 0, 10) == 2
+    ):
+        return out[:10] + "T" + out[11:]
+    return out
 
 
 def _column_mapping(md: dict) -> dict | None:
