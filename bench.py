@@ -55,6 +55,15 @@ def run() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # box-state stamp (VERDICT r10 "what's wrong" #2): a contended run
+    # (bench taken right after a 45-min pytest, a racing soak) differs
+    # ~10% from an idle-box run even best-of-3 — record the 1-min load
+    # average so an artifact self-identifies its conditions instead of
+    # needing forensics next round.
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
     line = json.dumps(
         {
             "metric": "declared_queries_total_wall",
@@ -65,6 +74,8 @@ def run() -> None:
             "runs_per_query": runs,
             "total_median": round(sum(medians.values()), 3),
             "sf": sf_val,
+            "loadavg_1m_at_end": load1,
+            "cpus": os.cpu_count(),
         }
     )
     # artifact hardening (BENCH_r04/r05 parsed as null driver-side):

@@ -155,9 +155,24 @@ class Datastream:
     VALUE_TYPES = ("numeric", "nominal", "graph")
     DERIVE_OPERATORS = ("sum", "derivative", "counter_reset", "counter_derivative")
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        attach_views: bool = False,
+        view_prefix: str = "ext_",
+    ):
+        """``attach_views=True`` (opt-in) re-attaches every table in
+        the persisted external catalog as a SQL temp view at
+        construction — a fresh engine over an existing store serves
+        ``SELECT * FROM ext_<name>`` with no manual
+        :meth:`attach_external_views` call. Opt-in because temp views
+        are SESSION-scoped: an engine built on a shared session would
+        otherwise silently (re)bind names there."""
         self.spark = spark
         self.tables = Tables(spark, root)
+        if attach_views:
+            self.attach_external_views(prefix=view_prefix)
 
     # ------------------------------------------------------------------
     # stream discovery / creation (S4, ensure_stream)
@@ -913,13 +928,45 @@ class Datastream:
         """Create/refresh a SQL temp view per registered table —
         ``spark.sql(f"SELECT ... FROM {prefix}{name}")`` serves the
         external table through the same session catalog the engine's
-        own tables use. Returns the view names."""
+        own tables use. Returns the view names. (Construct with
+        ``attach_views=True`` to run this automatically.)"""
         out = []
         for e in self.external_tables():
             view = f"{prefix}{e['name']}"
             self.external_table(e["name"]).createOrReplaceTempView(view)
             out.append(view)
         return out
+
+    def external_table_view(
+        self,
+        name: str,
+        version: int | None = None,
+        snapshot_id: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+        view: str | None = None,
+    ) -> str:
+        """TIME TRAVEL on the SQL surface: attach one registered
+        table AT a pinned era as a temp view and return the view
+        name (default ``<name>_v<version>`` / ``_s<snapshot>`` /
+        ``_t<ms>``; pass ``view=`` to choose). The pin resolves at
+        attach time and the view stays frozen on it — exactly the
+        library call's contract, reachable from ``spark.sql``."""
+        if view is None:
+            if version is not None:
+                view = f"{name}_v{version}"
+            elif snapshot_id is not None:
+                view = f"{name}_s{snapshot_id}"
+            elif as_of_timestamp_ms is not None:
+                view = f"{name}_t{as_of_timestamp_ms}"
+            else:
+                view = name
+        self.external_table(
+            name,
+            version=version,
+            snapshot_id=snapshot_id,
+            as_of_timestamp_ms=as_of_timestamp_ms,
+        ).createOrReplaceTempView(view)
+        return view
 
     def delete_streams(self, query_tags: dict | None = None) -> int:
         streams = self._streams()

@@ -226,3 +226,40 @@ def test_external_stream_ships_fileio_for_custom_schemes(
         assert spark.read.parquet(out).count() > 0
     finally:
         FIO.unregister_fileio(scheme)
+
+
+def test_views_attach_on_construction(spark, tmp_path):
+    """VERDICT r10 item 5: a FRESH engine over an existing store
+    serves SELECT * FROM ext_<name> with no manual attach."""
+    ds = _mkds(spark, tmp_path)
+    droot = str(tmp_path / "d")
+    _build_hive_table(droot)
+    ds.register_external_table("docs", droot)
+    # new engine, same store, opt-in flag — views come up by themselves
+    ds2 = Datastream(spark, str(tmp_path / "store"), attach_views=True)
+    got = spark.sql("SELECT count(*) AS n FROM ext_docs").collect()[0]["n"]
+    assert got == ds2.external_table("docs").count()
+    spark.catalog.dropTempView("ext_docs")
+
+
+def test_external_table_view_time_travel(spark, tmp_path):
+    """Time travel reachable from the SQL surface, pinned at attach
+    time (the library call's contract through spark.sql)."""
+    ds = _mkds(spark, tmp_path)
+    droot = str(tmp_path / "d")
+    _build_hive_table(droot)
+    ds.register_external_table("docs", droot)
+    v0 = ds.external_table_view("docs", version=0)
+    assert v0 == "docs_v0"
+    n0 = spark.sql("SELECT count(*) AS n FROM docs_v0").collect()[0]["n"]
+    assert n0 == ds.external_table("docs", version=0).count()
+    head = ds.external_table("docs").count()
+    assert n0 != head  # the pin really froze an older era
+    custom = ds.external_table_view("docs", version=0, view="docs_old")
+    assert custom == "docs_old"
+    assert (
+        spark.sql("SELECT count(*) AS n FROM docs_old").collect()[0]["n"]
+        == n0
+    )
+    for v in ("docs_v0", "docs_old"):
+        spark.catalog.dropTempView(v)
