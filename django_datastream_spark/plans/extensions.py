@@ -11918,3 +11918,121 @@ def q236(spark, sf_dir):
         return out
     finally:
         FIO.unregister_fileio("file")
+
+
+@_declare(
+    "q237_fileio_write_chain",
+    """
+    SELECT CAST(doc_id % 3 AS INT) part, CAST(COUNT(*) AS BIGINT) n,
+           ROUND(SUM(doc_id * 0.5), 4) sum_val,
+           CAST(MIN(doc_id) AS BIGINT) lo, CAST(MAX(doc_id) AS BIGINT) hi
+    FROM documents WHERE doc_id < 300
+    GROUP BY doc_id % 3 ORDER BY part
+    """,
+)
+def q237(spark, sf_dir):
+    """WRITE-SIDE FileIO seam under the driver contract (round 11):
+    q230's ENTIRE maintenance cycle — 5 paced sink batches, OPTIMIZE
+    ZORDER, checkpoint, log cleanup, VACUUM — runs against a
+    registered FakeObjectStore root that does not exist as a POSIX
+    path: data stages through Spark at spark_path and promotes via
+    server-side copy+delete, every commit is the store's conditional
+    PUT, maintenance lists/deletes through object verbs. Hash-exact
+    vs q230's closed form proves the write seam is the write path,
+    not a wrapper; ANY residual os.*/open on table-space paths fails
+    outright. (Builder writes + maintains the table; by-name
+    exemption, q230 family.)"""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from ..sources import delta as DLT
+    from ..sources import fileio as FIO
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    backing = _os.path.join(_tmp.gettempdir(), f"q237_{tag}")
+    _sh.rmtree(backing, ignore_errors=True)
+    _os.makedirs(backing)
+    scheme = f"fakeq237{tag[:6]}"
+    store = FIO.FakeObjectStore(scheme, backing)
+    FIO.register_fileio(scheme, store)
+    try:
+        root = f"{scheme}://table"
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < 300)
+            .select(
+                "doc_id",
+                (F.col("doc_id") * 0.5).alias("val"),
+                (F.col("doc_id") % 3).cast("int").alias("part"),
+            )
+        )
+        sink = DLT.delta_streaming_sink(
+            root, "q237-app", partition_by=["part"], checkpoint_every=None
+        )
+        for b in range(5):
+            sink(docs.filter(F.col("doc_id") % 5 == b), b)
+            sink(docs.filter(F.col("doc_id") % 5 == b), b)  # replay
+        DLT.optimize_delta(
+            spark, root, target_file_bytes=1 << 30, zorder_by=["doc_id"]
+        )
+        DLT.write_delta_checkpoint(root, max(DLT.delta_versions(root)))
+        DLT.cleanup_delta_log(root)
+        DLT.vacuum_delta(root, keep_versions=1)
+        got = DLT.read_delta(spark, root)
+        df = (
+            got.groupBy(F.col("part").cast("int").alias("part"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("val"), 4).alias("sum_val"),
+                F.min("doc_id").alias("lo"),
+                F.max("doc_id").alias("hi"),
+            )
+            .orderBy("part")
+        )
+        df.schema  # fold metadata while the scheme is registered
+        return df
+    finally:
+        FIO.unregister_fileio(scheme)
+
+
+@_declare(
+    "q238_fileio_pyarrow",
+    """
+    SELECT doc_id, CAST(doc_id % 4 AS INT) part,
+           ROUND(CASE WHEN doc_id < 200 AND doc_id % 4 = 0
+                      THEN doc_id * 0.5 + 1000
+                      ELSE doc_id * 0.5 END, 4) val
+    FROM documents WHERE doc_id < 300 ORDER BY doc_id
+    """,
+)
+def q238(spark, sf_dir):
+    """PyArrowFileIO under the driver contract (round 11): the q207
+    Delta fixture served through the PICKLABLE pyarrow.fs adapter
+    behind a registered scheme (LocalFileSystem stands in for
+    S3/GCS/HDFS — same API, same pickle path into executor tasks).
+    Hash-exact vs q235's closed form proves the adapter serves the
+    same bytes the fake object store and POSIX reads do. (Builder
+    writes the fixture tree; by-name exemption, q235 family.)"""
+    import hashlib as _hl
+    import os as _os
+
+    from ..sources import delta as DLT
+    from ..sources import fileio as FIO
+
+    root = _delta_fixture(spark, sf_dir, "q238")
+    scheme = "pafsq238" + _hl.md5(sf_dir.encode()).hexdigest()[:6]
+    io = FIO.PyArrowFileIO(scheme=scheme, base=_os.path.dirname(root))
+    FIO.register_fileio(scheme, io)
+    try:
+        df = (
+            DLT.read_delta(spark, f"{scheme}://table")
+            .select("doc_id", "part", F.round("val", 4).alias("val"))
+            .orderBy("doc_id")
+        )
+        df.schema  # fold metadata while the scheme is registered
+        return df
+    finally:
+        FIO.unregister_fileio(scheme)

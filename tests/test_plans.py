@@ -138,7 +138,11 @@ def test_declaring_queries_runs_no_jobs(spark):
               # q234 builds the Delta fixture + the catalog store
               "q234_catalog_external_table",
               # q235/q236 build Delta fixtures read through FileIO
-              "q235_fileio_object_store", "q236_fileio_hadoop_uri"}
+              "q235_fileio_object_store", "q236_fileio_hadoop_uri",
+              # q237 runs q230's maintenance cycle on the fake object
+              # store (write-side FileIO seam); q238 builds the Delta
+              # fixture read through PyArrowFileIO
+              "q237_fileio_write_chain", "q238_fileio_pyarrow"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
