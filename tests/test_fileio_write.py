@@ -297,3 +297,59 @@ def test_iceberg_metadata_cas_on_object_store(fake_store):
         IB.write_metadata(root, 1, [
             {"id": 1, "name": "k", "type": "long", "required": False}
         ], [], None, atomic_new=True)
+
+
+# ── HadoopFileIO: write verbs through the JVM connectors ─────────────
+def test_delta_write_chain_via_hadoop_fileio(spark, tmp_path):
+    """The deployment adapter's WRITE verbs (create/rename/delete via
+    the JVM FileSystem) drive the same chain over a file:// URI root —
+    the s3a/gs/abfss shape with the local connector standing in.
+    collect_file_stats honors executor_safe=False (bounded driver
+    fallback), so the whole chain stays driver-only as documented."""
+    io = FIO.HadoopFileIO(spark)
+    FIO.register_fileio("file", io)
+    try:
+        root = f"file://{tmp_path}/tbl"
+        sink = DL.delta_streaming_sink(root, "app", checkpoint_every=None)
+        for b in range(3):
+            df = spark.createDataFrame(
+                [(b * 10 + j, float(j)) for j in range(10)],
+                "k long, v double",
+            ).coalesce(1)
+            sink(df, b)
+            sink(df, b)  # replay refused
+        want = list(range(30))
+        assert sorted(
+            r["k"] for r in DL.read_delta(spark, root).collect()
+        ) == want
+        DL.optimize_delta(spark, root, target_file_bytes=1 << 22)
+        head = max(DL.delta_versions(root))
+        DL.write_delta_checkpoint(root, head)
+        DL.cleanup_delta_log(root, keep_commits=1)
+        DL.vacuum_delta(root, keep_versions=1)
+        assert sorted(
+            r["k"] for r in DL.read_delta(spark, root).collect()
+        ) == want
+    finally:
+        FIO.unregister_fileio("file")
+
+
+def test_hadoop_fileio_commit_point_cas(spark, tmp_path):
+    """create(overwrite=false) through the JVM — atomic on the local
+    connector (and HDFS/ABFS); the racing writer surfaces as
+    FileExistsError, never a clobbered commit."""
+    io = FIO.HadoopFileIO(spark)
+    p = f"file://{tmp_path}/log/v1.json"
+    io.put_if_absent(p, b"winner")
+    with pytest.raises(FileExistsError):
+        io.put_if_absent(p, b"loser")
+    assert io.read_bytes(p) == b"winner"
+    io.put_bytes(p, b"rewritten")
+    assert io.read_bytes(p) == b"rewritten"
+    io.move_file(p, f"file://{tmp_path}/log2/v1.json")
+    assert not io.exists(p)
+    assert io.walk_files(f"file://{tmp_path}") == ["log2/v1.json"]
+    io.delete(f"file://{tmp_path}/log2/v1.json")
+    io.delete(f"file://{tmp_path}/log2/v1.json")  # idempotent
+    io.remove_empty_dirs(f"file://{tmp_path}")
+    assert io.walk_files(f"file://{tmp_path}") == []
