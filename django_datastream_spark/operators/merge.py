@@ -106,7 +106,16 @@ def _rel_file(root: str, uri_or_path: str) -> str:
 
 
 def _list_data_files(root: str) -> set[str]:
-    """All .parquet data files under ``root``, root-relative."""
+    """All .parquet data files under ``root``, root-relative. Roots
+    served by a registered FileIO list through the seam (one
+    recursive listing)."""
+    from ..sources.fileio import LocalFileIO, io_for
+
+    io = io_for(root)
+    if type(io) is not LocalFileIO:
+        return {
+            r for r in io.walk_files(root) if r.endswith(".parquet")
+        }
     root = _local_root(root)
     out: set[str] = set()
     for dirpath, _dirs, files in os.walk(root):
@@ -172,6 +181,17 @@ def delete_rel_files(target_path: str, rels: list[str]) -> list[str]:
     passing an explicit list (derived from one directory listing)
     avoids the list-again-then-delete TOCTOU a keep-set API invites.
     Returns the paths actually removed (missing files are skipped)."""
+    from ..sources.fileio import LocalFileIO, io_for
+
+    io = io_for(target_path)
+    if type(io) is not LocalFileIO:
+        removed = []
+        for rel in rels:
+            if io.exists(os.path.join(target_path, rel)):
+                io.delete(os.path.join(target_path, rel))
+                removed.append(rel)
+        io.remove_empty_dirs(target_path)
+        return removed
     root = _local_root(target_path)
     removed = []
     for rel in rels:

@@ -1461,11 +1461,15 @@ def adopt_delta(
     vectors would silently resurrect deleted rows)."""
     from .. import txnlog as TL
 
-    if os.path.abspath(txn_root) != os.path.abspath(delta_root):
+    def _canon(p):
+        return p if "://" in p else os.path.abspath(p)
+
+    if _canon(txn_root) != _canon(delta_root):
         raise ValueError(
             "zero-copy adopt requires txn_root == delta_root "
             "(both logs describe the same files)"
         )
+    a_io = io_for(delta_root)
     _v, md, adds = delta_snapshot_arrow(delta_root, version)
     if _column_mapping(md):
         raise DeltaUnsupportedError(
@@ -1506,12 +1510,14 @@ def adopt_delta(
                 F.col("__file").alias("file"),
                 F.col("__pos").alias("pos"),
             )
-            .write.parquet(os.path.join(delta_root, dv_rel))
+            .write.parquet(
+                a_io.spark_path(os.path.join(delta_root, dv_rel))
+            )
         )
         per = {
             r["file"]: r["n"]
             for r in spark.read.parquet(
-                os.path.join(delta_root, dv_rel)
+                a_io.spark_path(os.path.join(delta_root, dv_rel))
             )
             .groupBy("file")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -1522,7 +1528,7 @@ def adopt_delta(
         }
     # init_table would adopt EVERY parquet under the root (including
     # delta-removed files); commit the live list explicitly instead
-    os.makedirs(os.path.join(txn_root, TL.TXN_DIR), exist_ok=True)
+    a_io.makedirs(os.path.join(txn_root, TL.TXN_DIR))
     return TL.commit(
         txn_root,
         rels,
@@ -1862,6 +1868,25 @@ def _export_change_data(
     return rels
 
 
+def _dv_sidecar_tables(root: str, dv_rel: str, io: FileIO, _pq):
+    """(file, pos) tables of one txn deletion-vector sidecar — a
+    Spark-written DIRECTORY of parquet parts (or, defensively, a
+    single file), every byte through the seam."""
+    base = os.path.join(root, dv_rel)
+    if io.is_dir(base):
+        parts = [
+            os.path.join(base, n)
+            for n in io.walk_files(base)
+            if n.endswith(".parquet")
+        ]
+    else:
+        parts = [base]
+    for part in parts:
+        yield _pq.read_table(
+            io.parquet_source(part), columns=["file", "pos"]
+        )
+
+
 def publish_delta(
     spark: SparkSession,
     txn_root: str,
@@ -1897,13 +1922,12 @@ def publish_delta(
     import uuid as _uuid
 
     from .. import txnlog as TL
-    from ..operators.merge import _local_root
     from . import roaring as RB
 
     if not TL.is_txn_table(txn_root):
         raise ValueError(f"{txn_root}: not a txn table")
     head = TL.latest_version(txn_root)
-    root = _local_root(txn_root)
+    root = TL._root(txn_root)  # FileIO-aware (object-store txn roots)
     io = io_for(root)
     published = _commit_versions(txn_root) if io.is_dir(
         _log_dir(txn_root)
@@ -2022,18 +2046,19 @@ def publish_delta(
             for f in need_dv:
                 dead: set[int] = set()
                 for e in dv_map[f]:
-                    t = _pq.read_table(
-                        io.parquet_source(os.path.join(root, e["dv"])),
-                        columns=["file", "pos"],
-                    )
-                    dead.update(
-                        p
-                        for ff, p in zip(
-                            t.column("file").to_pylist(),
-                            t.column("pos").to_pylist(),
+                    # txn DV sidecars are Spark-written DIRECTORIES
+                    # of parquet parts: iterate them through the seam
+                    for t in _dv_sidecar_tables(
+                        root, e["dv"], io, _pq
+                    ):
+                        dead.update(
+                            p
+                            for ff, p in zip(
+                                t.column("file").to_pylist(),
+                                t.column("pos").to_pylist(),
+                            )
+                            if ff == f
                         )
-                        if ff == f
-                    )
                 per_key[f] = sorted(dead)
             u = _uuid.UUID(
                 int=int.from_bytes(

@@ -156,6 +156,13 @@ class FileIO:
         is put_if_absent on the log, never a data-file move)."""
         raise NotImplementedError
 
+    def copy_file(self, src: str, dst: str) -> None:
+        """Copy one object within THIS store (zero-copy clone's
+        share-don't-move primitive). Default: read + put — overridden
+        where the store has a cheaper form (POSIX hard link, S3
+        CopyObject)."""
+        self.put_bytes(dst, self.read_bytes(src))
+
     def walk_files(self, path: str) -> list[str]:
         """Every file under ``path`` (recursive) as sorted
         ``path``-relative paths; [] when nothing is there. One
@@ -277,6 +284,15 @@ class LocalFileIO(FileIO):
     def move_file(self, src, dst):
         os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
         os.replace(src, dst)
+
+    def copy_file(self, src, dst):
+        import shutil
+
+        os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+        try:
+            os.link(src, dst)  # zero-copy share (immutable files)
+        except OSError:
+            shutil.copy2(src, dst)  # cross-device fallback
 
     def walk_files(self, path):
         out = []
@@ -432,6 +448,21 @@ class FakeObjectStore(FileIO):
 
             shutil.copyfile(s, d)
         os.unlink(s)
+
+    def copy_file(self, src, dst):
+        # server-side CopyObject: no byte transfer through the client
+        self._hit("copy_object", dst)
+        s, d = self._resolve(src), self._resolve(dst)
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        try:
+            os.link(s, d)  # objects are immutable once put
+        except FileExistsError:
+            os.unlink(d)
+            os.link(s, d)
+        except OSError:
+            import shutil
+
+            shutil.copyfile(s, d)
 
     def walk_files(self, path):
         self._hit("list", path)  # one recursive ListObjects

@@ -1398,12 +1398,18 @@ def adopt_iceberg(
             .filter(F.col("dseq") >= F.col("fseq"))
             .select(F.col("rel").alias("file"), F.col("pos"))
             .distinct()
-            .write.parquet(os.path.join(iceberg_root, dv_rel))
+            .write.parquet(
+                io_for(iceberg_root).spark_path(
+                    os.path.join(iceberg_root, dv_rel)
+                )
+            )
         )
         per = {
             r["file"]: r["n"]
             for r in spark.read.parquet(
-                os.path.join(iceberg_root, dv_rel)
+                io_for(iceberg_root).spark_path(
+                    os.path.join(iceberg_root, dv_rel)
+                )
             )
             .groupBy("file")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -1412,7 +1418,7 @@ def adopt_iceberg(
         deletes = {
             f: {"dv": dv_rel, "n": int(n)} for f, n in per.items()
         }
-    os.makedirs(os.path.join(txn_root, TL.TXN_DIR), exist_ok=True)
+    io_for(txn_root).makedirs(os.path.join(txn_root, TL.TXN_DIR))
     return TL.commit(
         txn_root,
         sorted(rels),
@@ -1811,31 +1817,31 @@ def publish_iceberg(
             import pyarrow as _pa
             import pyarrow.parquet as _pq
 
-            from ..operators.merge import _local_root as _lr
+            from .. import txnlog as _TL
 
-            data_root = _lr(txn_root)
+            data_root = _TL._root(txn_root)  # FileIO-aware
             rows_f: list[str] = []
             rows_p: list[int] = []
+            from .delta import _dv_sidecar_tables
+
+            d_io = io_for(data_root)
             for f in sorted(live):
                 entries = dvs.get(f) or []
                 if not entries:
                     continue
                 dead: set[int] = set()
                 for e in entries:
-                    t = _pq.read_table(
-                        io_for(data_root).parquet_source(
-                            os.path.join(data_root, e["dv"])
-                        ),
-                        columns=["file", "pos"],
-                    )
-                    dead.update(
-                        p
-                        for ff, p in zip(
-                            t.column("file").to_pylist(),
-                            t.column("pos").to_pylist(),
+                    for t in _dv_sidecar_tables(
+                        data_root, e["dv"], d_io, _pq
+                    ):
+                        dead.update(
+                            p
+                            for ff, p in zip(
+                                t.column("file").to_pylist(),
+                                t.column("pos").to_pylist(),
+                            )
+                            if ff == f
                         )
-                        if ff == f
-                    )
                 for p in sorted(dead):
                     rows_f.append(f)
                     rows_p.append(int(p))

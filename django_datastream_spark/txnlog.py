@@ -219,23 +219,64 @@ def set_log_store(store: LogStore) -> LogStore:
     return prev
 
 
+def _io(table_root: str):
+    """The FileIO serving this table root (scheme registry; plain
+    paths and file: URIs → LocalFileIO)."""
+    from .sources.fileio import io_for
+
+    return io_for(table_root)
+
+
+def _is_local(io) -> bool:
+    from .sources.fileio import LocalFileIO
+
+    return type(io) is LocalFileIO
+
+
+def _root(table_root: str) -> str:
+    """Storage-agnostic table root: POSIX paths and file: URIs
+    normalize through :func:`..operators.merge._local_root`; a path
+    whose scheme has a REGISTERED FileIO stays verbatim — the FileIO
+    owns the mapping, and every filesystem touch below goes through
+    it. Unregistered remote schemes still raise with guidance
+    (io_for's contract)."""
+    if "://" in table_root and not table_root.startswith("file:"):
+        _io(table_root)  # raises for unregistered schemes
+        return table_root
+    return _local_root(table_root)
+
+
+def _store(path: str) -> LogStore:
+    """The commit-point store for ``path``: POSIX roots keep the
+    PROCESS-GLOBAL store (so set_log_store deployment overrides —
+    the S3 coordinator recipe — keep governing local tables); roots
+    served by any other FileIO commit through that FileIO (its
+    conditional PUT), unifying commit + data on one storage object."""
+    io = _io(path)
+    if _is_local(io):
+        return _LOG_STORE
+    from .logstores import FileIOLogStore
+
+    return FileIOLogStore(io)
+
+
 def _cp_list(log: str) -> list[int]:
     """Checkpoint versions present in the log, via the store."""
     return [
         int(n[len("checkpoint-v"):-5])
-        for n in _LOG_STORE.list(log)
+        for n in _store(log).list(log)
         if n.startswith("checkpoint-v") and n.endswith(".json")
     ]
 
 
 def _read_checkpoint(log: str, v: int) -> dict:
     return json.loads(
-        _LOG_STORE.read(os.path.join(log, f"checkpoint-v{v:010d}.json"))
+        _store(log).read(os.path.join(log, f"checkpoint-v{v:010d}.json"))
     )
 
 
 def _log_dir(table_root: str) -> str:
-    return os.path.join(_local_root(table_root), TXN_DIR)
+    return os.path.join(_root(table_root), TXN_DIR)
 
 
 def _vname(v: int) -> str:
@@ -243,7 +284,7 @@ def _vname(v: int) -> str:
 
 
 def is_txn_table(table_root: str) -> bool:
-    return os.path.isdir(_log_dir(table_root))
+    return _io(table_root).is_dir(_log_dir(table_root))
 
 
 def init_table(table_root: str) -> None:
@@ -259,9 +300,47 @@ def init_table(table_root: str) -> None:
     racing initializer either wins the rename or sees the winner's
     complete log; no window where the log exists without the adoption
     commit (which would make pre-existing data silently invisible)."""
-    root = _local_root(table_root)
-    os.makedirs(root, exist_ok=True)
+    root = _root(table_root)
+    io = _io(table_root)
     log = _log_dir(table_root)
+    if not _is_local(io):
+        # OBJECT-STORE init: there is no directory rename, but none is
+        # needed — the adopt commit (or, for an empty table, a marker
+        # object that makes the log prefix visible) lands via ONE
+        # conditional PUT, so the log becomes visible atomically WITH
+        # its adoption commit; a racing initializer loses the CAS and
+        # the winner's log is authoritative. The marker's name never
+        # matches v*.json / checkpoint-v*, so every fold ignores it.
+        if io.is_dir(log):
+            return
+        existing = sorted(
+            rel
+            for rel in (io.walk_files(root) if io.is_dir(root) else [])
+            if rel.endswith(".parquet")
+            and not rel.split(os.sep)[0].startswith(("_", "."))
+        )
+        try:
+            if existing:
+                io.put_if_absent(
+                    os.path.join(log, _vname(1)),
+                    json.dumps(
+                        {
+                            "version": 1,
+                            "op": "adopt",
+                            "adds": existing,
+                            "removes": [],
+                            "partitions": [],
+                            "writer": "init",
+                            "base_version": 0,
+                        }
+                    ).encode("utf-8"),
+                )
+            else:
+                io.put_if_absent(os.path.join(log, ".init"), b"")
+        except FileExistsError:
+            pass  # lost the init race: the winner's log governs
+        return
+    os.makedirs(root, exist_ok=True)
     if os.path.isdir(log):
         return
     from .operators.merge import _list_data_files, read_manifest
@@ -300,7 +379,7 @@ def init_table(table_root: str) -> None:
 def latest_version(table_root: str) -> int:
     log = _log_dir(table_root)
     best = 0
-    for n in _LOG_STORE.list(log):
+    for n in _store(log).list(log):
         if n.startswith("v") and n.endswith(".json"):
             best = max(best, int(n[1:-5]))
     return best
@@ -308,7 +387,9 @@ def latest_version(table_root: str) -> int:
 
 def _read_commit(table_root: str, v: int) -> dict:
     return json.loads(
-        _LOG_STORE.read(os.path.join(_log_dir(table_root), _vname(v)))
+        _store(table_root).read(
+            os.path.join(_log_dir(table_root), _vname(v))
+        )
     )
 
 
@@ -525,15 +606,16 @@ def _enforce_constraints(spark, table_root, adds) -> None:
     bad = _violations(spark, table_root, adds, cons)
     if bad is None:
         return
-    root = _local_root(table_root)
+    root = _root(table_root)
+    io = _io(table_root)
     for a in adds:
         try:
-            os.unlink(os.path.join(root, a))
+            io.delete(os.path.join(root, a))
         except OSError:
             pass
         try:
             # write-time bloom sidecars follow their staged file
-            os.unlink(os.path.join(root, _bloom_sidecar(a)))
+            io.delete(os.path.join(root, _bloom_sidecar(a)))
         except OSError:
             pass
     raise ConstraintViolationError(
@@ -703,7 +785,7 @@ def _fold_arrow(table_root: str, version: int | None = None):
         fp = cp.get("files_parquet")
         if fp:
             tbl = pq.read_table(
-                pa.BufferReader(_LOG_STORE.read(os.path.join(log, fp)))
+                pa.BufferReader(_store(log).read(os.path.join(log, fp)))
             )
         else:
             rels = cp["files"]
@@ -934,8 +1016,14 @@ def collect_file_stats(
     A picklable io ships into the distributed tasks; a driver-only
     one (HadoopFileIO) forces the bounded driver loop — the same
     ``executor_safe`` rule the DV/manifest decodes honor."""
+    if io is None:
+        cand = _io(table_root)
+        if not _is_local(cand):
+            io = cand  # non-POSIX root: footer reads need the seam
     if io is not None:
-        root = table_root
+        root = table_root if "://" in table_root else _local_root(
+            table_root
+        )
         if not getattr(io, "executor_safe", True):
             spark = None  # driver-only io: bounded driver fallback
     else:
@@ -1090,17 +1178,20 @@ def prune_files(
     file that can hold a matching row."""
     where = _norm_where(where)
     v, m = snapshot_with_stats(table_root, version)
-    root = _local_root(table_root)
+    root = _root(table_root)
+    io = _io(table_root)
+    io = None if _is_local(io) else io
     bloom_cache: dict = {}
     kept, pruned = [], []
     for f in sorted(m):
-        ok = _keep_file(root, f, m[f], where, bloom_cache)
+        ok = _keep_file(root, f, m[f], where, bloom_cache, io=io)
         (kept if ok else pruned).append(f)
     return v, kept, pruned
 
 
 def _keep_file(
-    root: str, rel: str, stats, where_norm: dict, bloom_cache: dict
+    root: str, rel: str, stats, where_norm: dict, bloom_cache: dict,
+    io=None,
 ) -> bool:
     """Conjunction of every skipping signal we have for one file:
     min/max/null stats first (free — already folded), then the bloom
@@ -1114,7 +1205,9 @@ def _keep_file(
             if not any(
                 _file_may_match(stats, c, v, v)
                 and _partition_may_match(rel, c, v)
-                and _bloom_may_match(root, rel, c, v, v, bloom_cache)
+                and _bloom_may_match(
+                    root, rel, c, v, v, bloom_cache, io=io
+                )
                 for v in bound[1]
             ):
                 return False
@@ -1128,7 +1221,9 @@ def _keep_file(
             and not _partition_may_match(rel, c, lo)
         ):
             return False
-        if not _bloom_may_match(root, rel, c, lo, hi, bloom_cache):
+        if not _bloom_may_match(
+            root, rel, c, lo, hi, bloom_cache, io=io
+        ):
             return False
     return True
 
@@ -1216,17 +1311,24 @@ def _bloom_positions(key: str, m: int, k: int) -> list[int]:
     return [(h1 + i * h2) % m for i in range(k)]
 
 
-def _bloom_load(root: str, rel: str, cache: dict):
+def _bloom_load(root: str, rel: str, cache: dict, io=None):
     """Parsed sidecar for ``rel`` (bitsets base64-decoded once), or
-    None.  ``cache`` is per-prune-call: one stat+read per file."""
+    None.  ``cache`` is per-prune-call: one stat+read per file.
+    ``io`` routes the read through the storage seam (non-POSIX
+    roots); executor tasks pass their captured instance."""
     if rel in cache:
         return cache[rel]
     import base64
 
     side = None
     try:
-        with open(os.path.join(root, _bloom_sidecar(rel))) as f:
-            raw = json.load(f)
+        if io is not None:
+            raw = json.loads(io.read_text(
+                os.path.join(root, _bloom_sidecar(rel))
+            ))
+        else:
+            with open(os.path.join(root, _bloom_sidecar(rel))) as f:
+                raw = json.load(f)
         side = {
             c: {
                 "m": e["m"],
@@ -1242,14 +1344,14 @@ def _bloom_load(root: str, rel: str, cache: dict):
 
 
 def _bloom_may_match(
-    root: str, rel: str, col: str, lo, hi, cache: dict
+    root: str, rel: str, col: str, lo, hi, cache: dict, io=None
 ) -> bool:
     """False only when the file's bloom filter PROVES ``col = lo``
     matches no row.  Only equality bounds consult the filter; absent
     sidecar/column entries keep the file."""
     if lo is None or hi is None or lo != hi:
         return True
-    side = _bloom_load(root, rel, cache)
+    side = _bloom_load(root, rel, cache, io=io)
     ent = side.get(col) if side else None
     if ent is None:
         return True
@@ -1295,12 +1397,14 @@ def txn_bloom_build(
     if not cols:
         raise ValueError("txn_bloom_build: cols must be non-empty")
     init_table(table_root)
-    root = _local_root(table_root)
+    root = _root(table_root)
+    bio = _io(table_root)
+    bio = None if _is_local(bio) else bio
     _, m, _dv = _fold(table_root)
     cache: dict = {}
     todo = []
     for rel in sorted(m):
-        side = _bloom_load(root, rel, cache)
+        side = _bloom_load(root, rel, cache, io=bio)
         pcols = set(_partition_cols_of([rel]))
         want = [c for c in cols if c not in pcols]
         if want and not (side and all(c in side for c in want)):
@@ -1330,7 +1434,9 @@ def _bloom_build_rels(
     and :func:`stage_files` (write-time indexing of staged files that
     are not yet committed, so the log fold can't list them).  Returns
     ``(rel, rows)`` per sidecar written."""
-    root = _local_root(table_root)
+    root = _root(table_root)
+    io = _io(table_root)
+    io = None if _is_local(io) else io  # captured by the build tasks
     bpr, k = int(bits_per_row), int(num_hashes)
 
     def _build(batches):
@@ -1347,7 +1453,11 @@ def _bloom_build_rels(
                 pcols = set(_partition_cols_of([rel]))
                 want = [c for c in cols if c not in pcols]
                 try:
-                    pf = pq.ParquetFile(os.path.join(root, rel))
+                    pf = pq.ParquetFile(
+                        io.parquet_source(os.path.join(root, rel))
+                        if io is not None
+                        else os.path.join(root, rel)
+                    )
                 except (OSError, ValueError):
                     # a racing optimize+vacuum unlinked the file
                     # between snapshot and task: it is superseded, its
@@ -1394,14 +1504,29 @@ def _bloom_build_rels(
                     },
                 }
                 dst = os.path.join(root, _bloom_sidecar(rel))
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                tmp = dst + f".tmp-{uuid.uuid4().hex[:8]}"
-                with open(tmp, "w") as f:
-                    json.dump(payload, f)
-                os.replace(tmp, dst)
+                if io is not None:
+                    io.put_atomic(dst, json.dumps(payload).encode())
+                else:
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    tmp = dst + f".tmp-{uuid.uuid4().hex[:8]}"
+                    with open(tmp, "w") as f:
+                        json.dump(payload, f)
+                    os.replace(tmp, dst)
                 out.append((rel, rows))
             yield pd.DataFrame(out, columns=["rel", "rows"])
 
+    if io is not None and not getattr(io, "executor_safe", True):
+        # driver-only FileIO (HadoopFileIO): the build loops driver-
+        # side, bounded by the staged/backfill file count
+        import pandas as _pd
+
+        done_pdf = _pd.concat(
+            list(_build([_pd.DataFrame({"rel": rels})])),
+            ignore_index=True,
+        )
+        return [
+            (r["rel"], int(r["rows"])) for _i, r in done_pdf.iterrows()
+        ]
     from .storage import local_rows_df
 
     fdf = local_rows_df(
@@ -1462,7 +1587,8 @@ def _raw_commit(table_root: str, v: int, payload: dict) -> None:
     ``put_if_absent`` IS the CAS (FileExistsError = lost race, handled
     by :func:`commit`'s rebase loop)."""
     log = _log_dir(table_root)
-    _LOG_STORE.put_if_absent(
+    store = _store(table_root)
+    store.put_if_absent(
         os.path.join(log, _vname(v)),
         json.dumps(payload).encode("utf-8"),
     )
@@ -1504,7 +1630,7 @@ def _raw_commit(table_root: str, v: int, payload: dict) -> None:
                 fp = f"checkpoint-v{v:010d}.files.pq"
                 buf = pa.BufferOutputStream()
                 pq.write_table(tbl, buf)
-                _LOG_STORE.put_atomic(
+                store.put_atomic(
                     os.path.join(log, fp), buf.getvalue().to_pybytes()
                 )
                 header["files_parquet"] = fp
@@ -1522,7 +1648,7 @@ def _raw_commit(table_root: str, v: int, payload: dict) -> None:
                 header["files"] = sorted(files)
                 header["stats"] = {k: s for k, s in files.items() if s}
                 header["dv"] = _dv_from_arrow(tbl)
-            _LOG_STORE.put_atomic(
+            store.put_atomic(
                 os.path.join(log, f"checkpoint-v{v:010d}.json"),
                 json.dumps(header).encode("utf-8"),
             )
@@ -1679,24 +1805,22 @@ def stage_files(
     dir, then hard-link each data file into the table tree under a
     unique ``txn-<tag>`` name. Returns the exact root-relative paths
     this transaction added — unaffected by concurrent writers."""
-    root = _local_root(table_root)
+    root = _root(table_root)
+    io = _io(table_root)
     stage = os.path.join(root, f".staging-{tag}")
     w = df.write.mode("overwrite")
     if partition_cols:
         w = w.partitionBy(*partition_cols)
-    w.parquet(stage)
+    w.parquet(io.spark_path(stage))
     out: list[str] = []
-    for dirpath, _dirs, files in os.walk(stage):
-        for fn in files:
-            if not fn.endswith(".parquet"):
-                continue
-            rel_dir = os.path.relpath(dirpath, stage)
-            dest_dir = root if rel_dir == "." else os.path.join(root, rel_dir)
-            os.makedirs(dest_dir, exist_ok=True)
-            dest = os.path.join(dest_dir, f"txn-{tag}-{fn}")
-            os.link(os.path.join(dirpath, fn), dest)
-            out.append(os.path.relpath(dest, root))
-    shutil.rmtree(stage)
+    for rel0 in io.walk_files(stage):
+        if not rel0.endswith(".parquet"):
+            continue
+        d, fn = os.path.split(rel0)
+        rel = os.path.join(d, f"txn-{tag}-{fn}")
+        io.move_file(os.path.join(stage, rel0), os.path.join(root, rel))
+        out.append(rel)
+    io.delete_prefix(stage)
     # write-time bloom indexing: if the table declares bloom columns,
     # every writer indexes its own staged files before committing —
     # the index never lags the table.  A conflicted commit leaves the
@@ -1727,20 +1851,22 @@ def _read_files(
     to record new vectors)."""
     from pyspark.sql import functions as F
 
-    root = _local_root(table_root)
-    r = spark.read.option("basePath", table_root)
+    root = _root(table_root)
+    io = _io(table_root)
+    sroot = io.spark_path(root)
+    r = spark.read.option("basePath", sroot)
     if merge_schema:
         r = r.option("mergeSchema", "true")
     if schema is not None:
         r = r.schema(schema)
-    df = r.parquet(*(os.path.join(root, f) for f in rels))
+    df = r.parquet(*(os.path.join(sroot, f) for f in rels))
     if where:
         where = _norm_where(where)
     sidecars = sorted(
         {e["dv"] for f in rels for e in (dv or {}).get(f, [])}
     )
     if sidecars or keep_meta:
-        prefix = "file:" + os.path.abspath(root) + os.sep
+        prefix = io.file_uri(root) + os.sep
         df = df.select(
             "*",
             # _metadata.file_path is percent-encoded; decode so
@@ -1760,7 +1886,7 @@ def _read_files(
         )
     if sidecars:
         dvdf = spark.read.parquet(
-            *(os.path.join(root, s) for s in sidecars)
+            *(os.path.join(sroot, s) for s in sidecars)
         ).select(
             F.col("file").alias("__file"), F.col("pos").alias("__pos")
         )
@@ -1788,7 +1914,9 @@ def _prune_arrow_local(
     """Driver-side prune over the Arrow fold table (small snapshots):
     same per-file keep test, stats JSON parsed lazily per row, dv
     parsed only for survivors."""
-    root = _local_root(table_root)
+    root = _root(table_root)
+    io = _io(table_root)
+    io = None if _is_local(io) else io
     cache: dict = {}
     kept, dv = [], {}
     for rel, st_j, dv_j in zip(
@@ -1797,7 +1925,7 @@ def _prune_arrow_local(
         tbl.column("dv").to_pylist(),
     ):
         stats = json.loads(st_j) if st_j else None
-        if _keep_file(root, rel, stats, where_norm, cache):
+        if _keep_file(root, rel, stats, where_norm, cache, io=io):
             kept.append(rel)
             if dv_j:
                 es = json.loads(dv_j)
@@ -1819,7 +1947,9 @@ def _prune_arrow_distributed(
     post-prune file count, which is what the scan needs anyway."""
     import math
 
-    root = _local_root(table_root)
+    root = _root(table_root)
+    io = _io(table_root)
+    io = None if _is_local(io) else io  # captured by the task below
     # the _IN sentinel is identity-compared; ship a neutral encoding
     # and rebuild against the executor's own module instance
     ser = {
@@ -1853,7 +1983,7 @@ def _prune_arrow_distributed(
                     if isinstance(st_j, str) and st_j
                     else None
                 )
-                if TL._keep_file(root, rel, stats, wn, cache):
+                if TL._keep_file(root, rel, stats, wn, cache, io=io):
                     keep_rel.append(rel)
                     keep_dv.append(
                         dv_j if isinstance(dv_j, str) else None
@@ -1908,11 +2038,15 @@ def txn_read(
         schema = table_schema(table_root, v)
     if where:
         where = _norm_where(where)
-        if tbl.num_rows >= DISTRIBUTED_PRUNE_AT:
+        if tbl.num_rows >= DISTRIBUTED_PRUNE_AT and getattr(
+            _io(table_root), "executor_safe", True
+        ):
             files, dv = _prune_arrow_distributed(
                 spark, table_root, tbl, where
             )
         else:
+            # small snapshot — or a driver-only FileIO (HadoopFileIO)
+            # that cannot ship into tasks: bounded driver loop
             files, dv = _prune_arrow_local(table_root, tbl, where)
     else:
         files = sorted(tbl.column("rel").to_pylist())
@@ -1966,7 +2100,8 @@ def txn_delete(
     from pyspark.sql import functions as F
 
     init_table(table_root)
-    root = _local_root(table_root)
+    root = _root(table_root)
+    io = _io(table_root)
     base_ver, m, dv = _fold(table_root)
     files = sorted(m)
     if not files:
@@ -1982,7 +2117,7 @@ def txn_delete(
     hits = df.filter(condition).select("__file", "__pos")
     tag = uuid.uuid4().hex[:12]
     dv_rel = os.path.join("_dv", tag)
-    dv_dir = os.path.join(root, dv_rel)
+    dv_dir = io.spark_path(os.path.join(root, dv_rel))
     hits.select(
         F.col("__file").alias("file"), F.col("__pos").alias("pos")
     ).write.parquet(dv_dir)
@@ -1994,7 +2129,7 @@ def txn_delete(
         .collect()  # per-FILE counts: bounded by file count, not rows
     }
     if not per:
-        shutil.rmtree(dv_dir, ignore_errors=True)
+        io.delete_prefix(os.path.join(root, dv_rel))
         return {"version": base_ver, "deleted_rows": 0, "files_touched": 0}
     deletes = {f: {"dv": dv_rel, "n": int(n)} for f, n in per.items()}
     ver = commit(
@@ -2149,7 +2284,8 @@ def txn_update(
     from pyspark.sql import functions as F
 
     init_table(table_root)
-    root = _local_root(table_root)
+    root = _root(table_root)
+    io = _io(table_root)
     base_ver, m, dv = _fold(table_root)
     files = sorted(m)
     if not files:
@@ -2178,20 +2314,21 @@ def txn_update(
     dv_rel = os.path.join("_dv", tag)
     hits.select(
         F.col("__file").alias("file"), F.col("__pos").alias("pos")
-    ).write.parquet(os.path.join(root, dv_rel))
+    ).write.parquet(io.spark_path(os.path.join(root, dv_rel)))
     per = {
         r["file"]: r["n"]
-        for r in spark.read.parquet(os.path.join(root, dv_rel))
+        for r in spark.read.parquet(
+            io.spark_path(os.path.join(root, dv_rel))
+        )
         .groupBy("file")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()  # bounded by touched file count
     }
     if not per:
-        shutil.rmtree(os.path.join(root, dv_rel), ignore_errors=True)
-        delete_adds = [os.path.join(root, a) for a in adds]
-        for a in delete_adds:
+        io.delete_prefix(os.path.join(root, dv_rel))
+        for a in adds:
             try:
-                os.unlink(a)
+                io.delete(os.path.join(root, a))
             except OSError:
                 pass
         return {"version": base_ver, "updated_rows": 0, "files_touched": 0}
@@ -2357,14 +2494,18 @@ def txn_count(
     import pyarrow.parquet as pq
 
     v, m, dv = _fold(table_root, version)
-    root = _local_root(table_root)
+    root = _root(table_root)
+    io = _io(table_root)
 
     def _rows_of(f: str, s: dict | None) -> int:
         live = sum(e["n"] for e in dv.get(f, []))
         if s is not None and "rows" in s:
             return s["rows"] - live
         return (
-            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows - live
+            pq.ParquetFile(
+                io.parquet_source(os.path.join(root, f))
+            ).metadata.num_rows
+            - live
         )
 
     if not where:
@@ -2490,13 +2631,14 @@ def txn_optimize(
     recorded by ``commit`` as usual, so data skipping gets the full
     benefit of the new clustering immediately."""
     init_table(table_root)
-    root = _local_root(table_root)
+    root = _root(table_root)
+    io = _io(table_root)
     base_ver, m, dv = _fold(table_root)
     files = sorted(m)
     sizes = {}
     for f in files:
         try:
-            sizes[f] = os.path.getsize(os.path.join(root, f))
+            sizes[f] = io.size(os.path.join(root, f))
         except OSError:
             sizes[f] = target_file_bytes  # vanished/odd: not a candidate
     if zorder_by:
@@ -2630,7 +2772,8 @@ def txn_vacuum(
     # be swept regardless of its age, which is exactly the mid-write
     # sweep min_age_s exists to prevent
     listed = _list_data_files(table_root)
-    root = _local_root(table_root)
+    root = _root(table_root)
+    io = _io(table_root)
     cutoff = time.time() - min_age_s
     orphans = []
     for rel in sorted(listed - keep):
@@ -2641,7 +2784,7 @@ def txn_vacuum(
                 continue
         if min_age_s > 0:
             try:
-                if os.path.getmtime(os.path.join(root, rel)) > cutoff:
+                if io.mtime(os.path.join(root, rel)) > cutoff:
                     continue  # too fresh — possibly in-flight
             except OSError:
                 continue  # vanished mid-scan: leave it alone
@@ -2653,16 +2796,13 @@ def txn_vacuum(
     # file is gone (just-vacuumed or from an earlier crash window) —
     # keep-on-exists otherwise, since immutable files never stale
     bdir = os.path.join(root, _BLOOM_DIR)
-    for dirpath, _dirs, fs in os.walk(bdir):
-        for fn in fs:
-            p = os.path.join(dirpath, fn)
-            rel = os.path.relpath(p, bdir)
-            data = rel[:-5] if rel.endswith(".json") else None
-            if data and not os.path.exists(os.path.join(root, data)):
-                try:
-                    os.unlink(p)
-                except OSError:
-                    pass
+    for rel in io.walk_files(bdir) if io.is_dir(bdir) else []:
+        data = rel[:-5] if rel.endswith(".json") else None
+        if data and not io.exists(os.path.join(root, data)):
+            try:
+                io.delete(os.path.join(bdir, rel))
+            except OSError:
+                pass
     return removed
 
 
@@ -2702,7 +2842,8 @@ def txn_restore(
     if not 0 <= version <= head:
         raise ValueError(f"restore target {version} outside [0, {head}]")
     old_v, old, old_dv = _fold(table_root, version)
-    root = _local_root(table_root)
+    root = _root(table_root)
+    io = _io(table_root)
     adds = sorted(set(old) - set(cur))
     removes = sorted(set(cur) - set(old))
     # files present in BOTH snapshots whose vector state diverged must
@@ -2712,12 +2853,12 @@ def txn_restore(
             adds.append(f)
             removes.append(f)
     missing = [
-        f for f in adds if not os.path.exists(os.path.join(root, f))
+        f for f in adds if not io.exists(os.path.join(root, f))
     ] + [
         os.path.join(e["dv"])
         for f in adds
         for e in old_dv.get(f, [])
-        if not os.path.isdir(os.path.join(root, e["dv"]))
+        if not io.is_dir(os.path.join(root, e["dv"]))
     ]
     if missing:
         raise ValueError(
@@ -2775,34 +2916,39 @@ def txn_clone(
     none of its dangling-reference hazard.
 
     Returns ``{"version", "files", "bytes"}`` (bytes = logical size)."""
-    if is_txn_table(dst_root) or os.path.isdir(dst_root):
+    if is_txn_table(dst_root) or _io(dst_root).is_dir(_root(dst_root)):
         raise ValueError(f"clone target {dst_root} already exists")
     v, m, dv = _fold(src_root, version)
-    src = _local_root(src_root)
-    dst = _local_root(dst_root)
-    os.makedirs(dst, exist_ok=True)
+    src = _root(src_root)
+    dst = _root(dst_root)
+    src_io = _io(src_root)
+    dst_io = _io(dst_root)
+    dst_io.makedirs(dst)
     init_table(dst_root)  # dst is empty: log only, no adopt commit
     total = 0
 
     def _link(rel: str) -> None:
-        s, d = os.path.join(src, rel), os.path.join(dst, rel)
-        os.makedirs(os.path.dirname(d), exist_ok=True)
-        try:
-            os.link(s, d)
-        except OSError:
-            shutil.copy2(s, d)  # cross-device fallback
+        sp, d = os.path.join(src, rel), os.path.join(dst, rel)
+        if src_io is dst_io:
+            src_io.copy_file(sp, d)  # same store: link / CopyObject
+        else:
+            # cross-store clone: one GET + one PUT per file through
+            # the driver — bounded by the snapshot's file count; for
+            # 100 TB cross-store moves use a distributed copy first
+            # and adopt, not clone
+            dst_io.put_bytes(d, src_io.read_bytes(sp))
 
     for rel in sorted(m):
         _link(rel)
-        total += os.path.getsize(os.path.join(dst, rel))
+        total += dst_io.size(os.path.join(dst, rel))
     sidecar_dirs = sorted({e["dv"] for es in dv.values() for e in es})
     for d_rel in sidecar_dirs:
-        for fn in os.listdir(os.path.join(src, d_rel)):
+        for fn in src_io.walk_files(os.path.join(src, d_rel)):
             _link(os.path.join(d_rel, fn))
     # bloom sidecars travel with their (immutable) files, so the
     # clone keeps point-lookup skipping without a rebuild
     for rel in sorted(m):
-        if os.path.exists(os.path.join(src, _bloom_sidecar(rel))):
+        if src_io.exists(os.path.join(src, _bloom_sidecar(rel))):
             _link(_bloom_sidecar(rel))
     ver = commit(
         dst_root,
@@ -2883,7 +3029,8 @@ def txn_changes(
         schema = table_schema(table_root)
     from pyspark.sql import functions as F
 
-    root = _local_root(table_root)
+    root = _root(table_root)
+    sroot = _io(table_root).spark_path(root)
     parts = []
     for v in range(from_version + 1, to_v + 1):
         c = _read_commit(table_root, v)
@@ -2934,7 +3081,7 @@ def txn_changes(
                 spark, table_root, touched, schema=schema, keep_meta=True
             )
             dvdf = spark.read.parquet(
-                *(os.path.join(root, s) for s in sidecars)
+                *(os.path.join(sroot, s) for s in sidecars)
             ).select(
                 F.col("file").alias("__file"), F.col("pos").alias("__pos")
             )
