@@ -12036,3 +12036,73 @@ def q238(spark, sf_dir):
         return df
     finally:
         FIO.unregister_fileio(scheme)
+
+
+@_declare(
+    "q239_txn_object_store_publish",
+    """
+    SELECT CAST(doc_id % 3 AS INT) part, CAST(COUNT(*) AS BIGINT) n,
+           ROUND(SUM(doc_id * 0.5), 4) sum_val,
+           CAST(MIN(doc_id) AS BIGINT) lo, CAST(MAX(doc_id) AS BIGINT) hi
+    FROM documents WHERE doc_id < 300 AND doc_id % 5 <> 0
+    GROUP BY doc_id % 3 ORDER BY part
+    """,
+)
+def q239(spark, sf_dir):
+    """The ENGINE'S OWN txn tier on an object store (round 11 — the
+    r10 verdict's produce→publish leg): a txn table is CREATED on a
+    registered FakeObjectStore root (txn_append staging via
+    spark_path + server-side promotion, commit via the store's
+    conditional PUT), rows are deleted via DELETION VECTORS
+    (executor-written sidecars behind object verbs), the table is
+    PUBLISHED as a valid _delta_log over the same objects (protocol
+    3/7, spec-framed DV sidecar), and the Delta READER serves the
+    aggregate hash-exact vs the closed form. No byte of the chain has
+    a POSIX path. (Builder writes + publishes the table; by-name
+    exemption, q237 family.)"""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from .. import txnlog as TL
+    from ..sources import delta as DLT
+    from ..sources import fileio as FIO
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:10]
+    backing = _os.path.join(_tmp.gettempdir(), f"q239_{tag}")
+    _sh.rmtree(backing, ignore_errors=True)
+    _os.makedirs(backing)
+    scheme = f"fakeq239{tag[:6]}"
+    store = FIO.FakeObjectStore(scheme, backing)
+    FIO.register_fileio(scheme, store)
+    try:
+        root = f"{scheme}://table"
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < 300)
+            .select(
+                "doc_id",
+                (F.col("doc_id") * 0.5).alias("val"),
+                (F.col("doc_id") % 3).cast("int").alias("part"),
+            )
+        )
+        TL.txn_append(spark, docs, root, ["part"])
+        TL.txn_delete(spark, root, F.col("doc_id") % 5 == 0)
+        DLT.publish_delta(spark, root, checkpoint=True)
+        got = DLT.read_delta(spark, root)
+        df = (
+            got.groupBy(F.col("part").cast("int").alias("part"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("val"), 4).alias("sum_val"),
+                F.min("doc_id").alias("lo"),
+                F.max("doc_id").alias("hi"),
+            )
+            .orderBy("part")
+        )
+        df.schema  # fold metadata while the scheme is registered
+        return df
+    finally:
+        FIO.unregister_fileio(scheme)

@@ -142,7 +142,10 @@ def test_declaring_queries_runs_no_jobs(spark):
               # q237 runs q230's maintenance cycle on the fake object
               # store (write-side FileIO seam); q238 builds the Delta
               # fixture read through PyArrowFileIO
-              "q237_fileio_write_chain", "q238_fileio_pyarrow"}
+              "q237_fileio_write_chain", "q238_fileio_pyarrow",
+              # q239 creates + publishes a txn table on the fake
+              # object store (write-side seam through the txn tier)
+              "q239_txn_object_store_publish"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
