@@ -62,10 +62,11 @@ promotes via ``move_file`` (rename on POSIX, server-side copy +
 delete on object stores — safe because no reader follows a data file
 until the log's ``put_if_absent`` commit references it), and commit
 points go through :func:`..logstores.log_store_for` so commit + data
-share one storage object. :func:`publish_delta` itself still
-requires a POSIX ``txn_root`` (the engine's txn layer is the
-remaining POSIX-rooted tier), but every byte it writes — commits,
-checkpoints, DV sidecars, CDF shards — goes through the seam.
+share one storage object. The engine's txn tier itself is seam-
+routed too (txnlog ``_root``/``_store``/``_io``), so the FULL
+produce→publish→read chain — txn_append with deletion vectors,
+:func:`publish_delta`, :func:`read_delta` — runs on a root with no
+POSIX path (tests/test_txn_object_store.py, gate q239).
 """
 
 from __future__ import annotations

@@ -81,6 +81,18 @@ window instead of listing-and-footer-probing millions. Pruning is
 always CONSERVATIVE (files without usable stats are kept) and the
 predicate is re-applied to the surviving rows, so ``where`` never
 changes results — only I/O.
+
+STORAGE REACH (round 11): every filesystem touch resolves a per-root
+FileIO (:func:`_root` / :func:`_io` / :func:`_store`) — POSIX tables
+keep the exact historic behavior including the process-global
+LogStore override, while a root whose scheme has a registered FileIO
+(object stores) runs the WHOLE tier through object verbs: commits
+via the store's conditional PUT, staging promoted with server-side
+copy+delete, footers/bloom sidecars through ranged reads, object-
+store init via one conditional PUT (an adopt commit, or a ``.init``
+log marker for empty tables) instead of a directory rename. Driver-
+only adapters (HadoopFileIO) degrade the distributed prune/bloom
+build to bounded driver loops — the ``executor_safe`` rule.
 """
 
 from __future__ import annotations
