@@ -53,11 +53,17 @@ def _encode_cursor(payload: dict) -> str:
     ).decode("ascii")
 
 
-def _decode_cursor(s: str) -> dict:
+def _decode_cursor(s: str, want_key: str) -> dict:
+    """Decode + validate: the payload must carry ``want_key`` (a
+    stream cursor pasted into the table endpoint — or vice versa —
+    is malformed HERE, not a KeyError five frames deeper)."""
     import base64
 
     try:
-        return json.loads(base64.urlsafe_b64decode(s.encode("ascii")))
+        out = json.loads(base64.urlsafe_b64decode(s.encode("ascii")))
+        if not isinstance(out, dict) or want_key not in out:
+            raise ValueError
+        return out
     except Exception:
         raise ValueError(f"malformed cursor {s!r}") from None
 
@@ -171,7 +177,7 @@ def stream_datapoints(
     ex = _parse_ts(p.get("end_exclusive", p.get("ex")))
     cursor = p.get("cursor")
     if cursor:
-        cur_ts = _parse_ts(_decode_cursor(cursor)["t"])
+        cur_ts = _parse_ts(_decode_cursor(cursor, "t")["t"])
         # the page boundary narrows the range from the cursor side
         # (forward: everything strictly after the last row; reverse:
         # strictly before)
@@ -213,8 +219,11 @@ def stream_datapoints(
         last_key = t if isinstance(t, _dt.datetime) else d.get("bucket")
         datapoints.append({"t": out_t, "v": v})
     meta: dict[str, Any] = {"limit": limit, "offset": offset}
+    # FULL-precision boundary (isoformat keeps microseconds) — the
+    # display form _iso() truncates to whole seconds, which would
+    # re-serve or skip every sub-second row at a page edge
     meta["next_cursor"] = (
-        _encode_cursor({"t": _iso(last_key)})
+        _encode_cursor({"t": last_key.isoformat()})
         if len(datapoints) == limit and last_key is not None
         else None
     )
@@ -322,11 +331,17 @@ def table_rows(
         "name": name,
     }
     if cursor and key_cols:
-        key = _decode_cursor(cursor)["k"]
+        key = _decode_cursor(cursor, "k")["k"]
         page_df = _keyset_page_df(df, key_cols, key)
         rows = page_df.limit(limit).collect()
     else:
-        page_df = df.orderBy(*sortable) if sortable else df
+        # key columns LEAD the sort (remaining orderable columns only
+        # break ties): the next_cursor handed out below is then
+        # consistent with the cursor pages' ordering — a sort led by
+        # a non-key column (array/binary) would make the cursor skip
+        # and repeat rows across the mode switch
+        order = key_cols + [c for c in sortable if c not in key_cols]
+        page_df = df.orderBy(*order) if order else df
         rows = page_df.offset(offset).limit(limit).collect()
     objects = [
         json.loads(

@@ -190,7 +190,22 @@ def delete_rel_files(target_path: str, rels: list[str]) -> list[str]:
             if io.exists(os.path.join(target_path, rel)):
                 io.delete(os.path.join(target_path, rel))
                 removed.append(rel)
-        io.remove_empty_dirs(target_path)
+        # prune ONLY the deleted files' now-empty ancestor dirs —
+        # a whole-root empty-dir sweep would race a concurrent
+        # writer's momentarily-empty staging/_temporary dirs (the
+        # exact window txn_vacuum's min_age_s protects)
+        for d in sorted(
+            {os.path.dirname(r) for r in removed if os.path.dirname(r)},
+            key=len,
+            reverse=True,
+        ):
+            cur = d
+            while cur:
+                full = os.path.join(target_path, cur)
+                if io.walk_files(full):
+                    break
+                io.delete_prefix(full)
+                cur = os.path.dirname(cur)
         return removed
     root = _local_root(target_path)
     removed = []

@@ -914,38 +914,51 @@ def _may_match(pv: dict, stats, where: dict, part_cols: set) -> bool:
         else:
             continue
         try:
-            if lo is not None and mx is not None and (
-                _cmp_val(mx, lo) < _cmp_val(lo, lo)
-            ):
-                return False  # whole file below the range
-            if hi is not None and mn is not None and (
-                _cmp_val(mn, hi) > _cmp_val(hi, hi)
-            ):
-                return False  # whole file above the range
+            if lo is not None and mx is not None:
+                a, b = _cmp_pair(mx, lo)
+                if a < b:
+                    return False  # whole file below the range
+            if hi is not None and mn is not None:
+                a, b = _cmp_pair(mn, hi)
+                if a > b:
+                    return False  # whole file above the range
         except (TypeError, ValueError):
             continue  # non-comparable stat types: keep
     return True
 
 
-def _cmp_val(v, like):
-    """Coerce ``v`` to ``like``'s type for a bound comparison, with
+def _temporalish(s: str) -> bool:
+    return (
+        len(s) >= 11
+        and s[10] in (" ", "T")
+        and s[:10].replace("-", "").isdigit()
+        and s.count("-", 0, 10) == 2
+    )
+
+
+def _cmp_pair(v, bound):
+    """Coerce ``v`` to ``bound``'s type for a bound comparison, with
     the TEMPORAL-STRING guard: ISO datetimes appear with either 'T'
     or ' ' at position 10 depending on the writer, and comparing
     mixed separators lexicographically mis-orders same-date values
     (' ' < 'T'), wrongly pruning a file whose max shares the bound's
-    date. Normalize the separator to 'T' on both sides; genuinely
-    non-comparable values still raise and the caller keeps the
-    file."""
-    out = type(like)(v)
+    date. The separator normalizes to 'T' ONLY when BOTH sides are
+    temporal-shaped — normalizing one side of an ordinary string
+    column's comparison would itself mis-order (pruning must stay
+    conservative for arbitrary strings). Genuinely non-comparable
+    values still raise and the caller keeps the file."""
+    out = type(bound)(v)
     if (
         isinstance(out, str)
-        and len(out) >= 11
-        and out[10] in (" ", "T")
-        and out[:10].replace("-", "").isdigit()
-        and out.count("-", 0, 10) == 2
+        and isinstance(bound, str)
+        and _temporalish(out)
+        and _temporalish(bound)
     ):
-        return out[:10] + "T" + out[11:]
-    return out
+        return (
+            out[:10] + "T" + out[11:],
+            bound[:10] + "T" + bound[11:],
+        )
+    return out, bound
 
 
 def _column_mapping(md: dict) -> dict | None:

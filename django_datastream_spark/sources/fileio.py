@@ -434,20 +434,8 @@ class FakeObjectStore(FileIO):
 
     def move_file(self, src, dst):
         # server-side CopyObject + DeleteObject — never a rename
-        self._hit("copy_object", dst)
-        self._hit("delete", src)
-        s, d = self._resolve(src), self._resolve(dst)
-        os.makedirs(os.path.dirname(d), exist_ok=True)
-        try:
-            os.link(s, d)  # objects are immutable once put: cheap copy
-        except FileExistsError:
-            os.unlink(d)
-            os.link(s, d)
-        except OSError:
-            import shutil
-
-            shutil.copyfile(s, d)
-        os.unlink(s)
+        self.copy_file(src, dst)
+        self.delete(src)
 
     def copy_file(self, src, dst):
         # server-side CopyObject: no byte transfer through the client
@@ -680,7 +668,16 @@ class HadoopFileIO(FileIO):
         try:
             stream = fs.create(p, False)
         except Exception as e:  # noqa: BLE001 — py4j wraps the java IOE
-            if "exists" in str(e).lower():
+            je = getattr(e, "java_exception", None)
+            cls = je.getClass().getName() if je is not None else ""
+            # lost race iff the java class says so, or the target
+            # verifiably exists — never on wording alone (an ABFS
+            # lease error's message also contains "exists")
+            if (
+                "AlreadyExists" in cls
+                or "AlreadyBeingCreated" in cls
+                or ("exists" in str(e).lower() and fs.exists(p))
+            ):
                 raise FileExistsError(path) from None
             raise
         try:
@@ -911,6 +908,23 @@ class PyArrowFileIO(FileIO):
             self.fs.create_dir(parent, recursive=True)
         with self.fs.open_output_stream(p) as f:
             f.write(data)
+
+    def put_atomic(self, path, data):
+        # open_output_stream truncates IN PLACE — a concurrent reader
+        # of a version hint / checkpoint would see a torn write. Land
+        # the bytes complete under a tmp name, then move (rename on
+        # filesystems; on object stores the final copy is one atomic
+        # object put either way).
+        import uuid as _uuid
+
+        p = self._key(path)
+        parent = p.rsplit("/", 1)[0] if "/" in p else ""
+        if parent:
+            self.fs.create_dir(parent, recursive=True)
+        tmp = p + f".tmp-{_uuid.uuid4().hex}"
+        with self.fs.open_output_stream(tmp) as f:
+            f.write(data)
+        self.fs.move(tmp, p)
 
     def put_if_absent(self, path, data):
         from pyarrow.fs import LocalFileSystem

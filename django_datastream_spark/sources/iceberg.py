@@ -2578,10 +2578,13 @@ def remove_orphan_files(root: str, staging_grace_s: int = 3600) -> dict:
     import time as _time
 
     cutoff = _time.time() - staging_grace_s
+    staging_swept = 0
     for n in io.list_dir(root):
         if not n.startswith("_staging_"):
             continue
         full = os.path.join(root, n)
+        if not io.is_dir(full):
+            continue  # vanished mid-listing: nothing to sweep
         try:
             newest = max(
                 (
@@ -2594,5 +2597,7 @@ def remove_orphan_files(root: str, staging_grace_s: int = 3600) -> dict:
             continue  # racing writer finished/cleaned mid-walk
         if newest < cutoff:
             io.delete_prefix(full)
-            removed += 1
-    return {"removed": removed}
+            staging_swept += 1
+    # "removed" stays DATA-file count (the docstring's contract);
+    # swept staging debris reports separately
+    return {"removed": removed, "staging_dirs": staging_swept}

@@ -259,17 +259,13 @@ def _root(table_root: str) -> str:
 
 
 def _store(path: str) -> LogStore:
-    """The commit-point store for ``path``: POSIX roots keep the
-    PROCESS-GLOBAL store (so set_log_store deployment overrides —
-    the S3 coordinator recipe — keep governing local tables); roots
-    served by any other FileIO commit through that FileIO (its
-    conditional PUT), unifying commit + data on one storage object."""
-    io = _io(path)
-    if _is_local(io):
-        return _LOG_STORE
-    from .logstores import FileIOLogStore
+    """The commit-point store for ``path`` — ONE copy of the routing
+    rule (:func:`..logstores.log_store_for`): POSIX roots keep the
+    process-global store (deployment overrides keep governing), any
+    other FileIO commits through itself."""
+    from .logstores import log_store_for
 
-    return FileIOLogStore(io)
+    return log_store_for(_io(path))
 
 
 def _cp_list(log: str) -> list[int]:

@@ -396,7 +396,9 @@ def test_remove_orphan_files(spark, tmp_path):
     live = os.path.join(root, "_staging_live")
     os.makedirs(live, exist_ok=True)
     res = IB.remove_orphan_files(root)
-    assert res["removed"] == 2
+    # "removed" counts DATA files; swept staging debris separately
+    assert res["removed"] == 1
+    assert res["staging_dirs"] == 1
     assert not os.path.exists(os.path.join(root, "data", "orphan.parquet"))
     assert not os.path.exists(dead)
     assert os.path.exists(live)  # grace window protects live writers
