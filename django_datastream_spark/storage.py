@@ -33,6 +33,20 @@ t_sum_epoch, frequencies) plus their finished presentation values, so a
 coarser granularity can be computed by merging the next-finer aggregates
 without rescanning raw data — the property that makes the downsample
 cascade O(raw + Σ aggregates) instead of O(6 × raw) at 100 TB.
+
+STORAGE-REACH BOUNDARY (deliberate, round 11): the external lakehouse
+tier AND the engine's txn tier are FileIO-seam-routed — they run on
+object-store roots with no POSIX path (sources/fileio.py, txnlog's
+``_root``/``_store``). THIS module — the Datastream STORE root itself
+(the ``_CURRENT`` pointer swap via ``os.replace``, the flock'd
+external-catalog RMW) — remains POSIX-rooted: its pointer swap and
+file lock have no object-store equivalent without a coordinator. A
+deployment that wants the engine on S3 runs ``SPARK_GRAFT_TXN=1`` —
+the POINTS/AGGREGATE data tables then ride the txn tier, whose commit
+CAS is object-store-capable — leaving only the streams registry,
+pointer files and catalog POSIX-resident (pure metadata, kB-scale:
+mount or local disk both serve it). Documented here so the boundary
+is a stated contract, not an accident of ``os.`` calls.
 """
 
 from __future__ import annotations
