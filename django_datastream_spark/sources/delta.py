@@ -2646,7 +2646,9 @@ def vacuum_delta(root: str, keep_versions: int = 1) -> dict:
     is ONE recursive ``walk_files`` — a single recursive ListObjects
     on an object store). Never touches ``_delta_log``
     (:func:`cleanup_delta_log` is the log side) or ``_change_data``
-    (the CDF keeps its own feed)."""
+    (the CDF keeps its own feed). On a multi-log root, files a
+    sibling txn/Iceberg tree still references are spared — see
+    ``refsets.py`` for the cross-log retention contract."""
     io = io_for(root)
     try:
         versions = set(delta_versions(root))
@@ -2674,6 +2676,14 @@ def vacuum_delta(root: str, keep_versions: int = 1) -> dict:
                         RB.dv_relative_path(dv["pathOrInlineDv"])
                     )
                 )
+    # MULTI-LOG roots: a file this log's retention drops may still be
+    # referenced by a coexisting txn/Iceberg tree's remaining history
+    # (adopt/publish/convert products) — deleting it would corrupt
+    # the sibling's reads. Protected until EVERY log lets go
+    # (refsets.py, the stated cross-log retention contract).
+    from .refsets import is_protected, sibling_referenced
+
+    sib_files, sib_dirs = sibling_referenced(root, exclude="delta")
     removed = []
     for rel in io.walk_files(root):
         rel = os.path.normpath(rel)
@@ -2698,7 +2708,9 @@ def vacuum_delta(root: str, keep_versions: int = 1) -> dict:
             or fn.startswith("deletion_vector_")
         ):
             continue
-        if rel not in referenced:
+        if rel not in referenced and not is_protected(
+            rel, sib_files, sib_dirs
+        ):
             io.delete(os.path.join(root, rel))
             removed.append(rel)
     # prune emptied hive dirs (no-op on object stores)

@@ -2473,8 +2473,18 @@ def expire_snapshots(root: str, keep_snapshots: int = 1) -> dict:
     io = io_for(root)
     removed = 0
     rootn = _np(root) + os.sep
+    # MULTI-LOG roots: never reclaim a file a coexisting Delta/txn
+    # tree's remaining history still references (refsets.py — the
+    # cross-log retention contract for adopt/publish/convert roots)
+    from .refsets import is_protected, sibling_referenced
+
+    sib_files, sib_dirs = sibling_referenced(root, exclude="iceberg")
     for p in sorted(dropped - referenced):
-        if p.startswith(rootn) and io.exists(p):
+        if (
+            p.startswith(rootn)
+            and not is_protected(p[len(rootn):], sib_files, sib_dirs)
+            and io.exists(p)
+        ):
             io.delete(p)
             removed += 1
     n_expired = len([s for s in chain if s["snapshot-id"] not in keep_ids])
@@ -2566,9 +2576,16 @@ def remove_orphan_files(root: str, staging_grace_s: int = 3600) -> dict:
     io = io_for(root)
     data_dir = os.path.join(root, "data")
     removed = 0
+    # files a coexisting Delta/txn tree still references are not
+    # orphans, whatever this log thinks (refsets.py)
+    from .refsets import is_protected, sibling_referenced
+
+    sib_files, sib_dirs = sibling_referenced(root, exclude="iceberg")
     for rel in io.walk_files(data_dir):
         full = _np(os.path.join(data_dir, rel))
-        if full not in referenced:
+        if full not in referenced and not is_protected(
+            os.path.join("data", rel), sib_files, sib_dirs
+        ):
             io.delete(full)
             removed += 1
     # leftover staging dirs from crashed writes — but NEVER one a

@@ -2761,7 +2761,15 @@ def txn_vacuum(
     run that form from a quiesced maintenance window.  Returns removed
     root-relative paths; ``dry_run=True`` returns what WOULD be
     removed without touching anything (the operational safety check
-    before a destructive window)."""
+    before a destructive window).
+
+    On a MULTI-LOG root (a published or converted table whose
+    ``_delta_log`` / ``metadata/`` describe the same files), files a
+    sibling log's remaining history references are NOT removed — see
+    ``sources/refsets.py`` for the cross-log retention contract
+    (reclaiming a shared file requires tightening retention on every
+    log: :func:`txn_log_cleanup` here,
+    ``cleanup_delta_log`` / ``expire_snapshots`` on the siblings)."""
     import time
 
     from .operators.merge import _list_data_files, delete_rel_files
@@ -2782,9 +2790,25 @@ def txn_vacuum(
     listed = _list_data_files(table_root)
     root = _root(table_root)
     io = _io(table_root)
+    # MULTI-LOG roots (adopt/publish/convert products): never treat a
+    # sibling log's metadata plane as data (_delta_log checkpoints and
+    # CDF/position-delete exports are spec-named .parquet), and never
+    # delete a data file the sibling's remaining history still
+    # references — each log reclaims only what EVERY coexisting log
+    # has let go (sources/refsets.py, the stated retention contract)
+    from .sources.refsets import is_protected, sibling_referenced
+
+    _SIBLING_META = ("_delta_log", "_change_data", "metadata",
+                     "pub-deletes")
+    sib_files, sib_dirs = sibling_referenced(root, exclude="txn")
     cutoff = time.time() - min_age_s
     orphans = []
     for rel in sorted(listed - keep):
+        top = rel.split(os.sep)[0]
+        if top in _SIBLING_META or top.startswith("_staging_"):
+            continue
+        if is_protected(rel, sib_files, sib_dirs):
+            continue
         if rel.startswith("_dv" + os.sep):
             # deletion-vector sidecars are referenced by DIRECTORY in
             # the log; keep every file under a retained vector's dir
@@ -2812,6 +2836,61 @@ def txn_vacuum(
             except OSError:
                 pass
     return removed
+
+
+def txn_log_cleanup(table_root: str, keep_commits: int = 0) -> dict:
+    """Metadata cleanup — the txn tier's RETENTION KNOB (the
+    ``cleanup_delta_log`` twin): drop commit JSONs at or below the
+    newest checkpoint, plus superseded older checkpoints (and their
+    ``.files.pq`` sidecars). The snapshot, schema, constraints and
+    writer-app watermarks all fold from the checkpoint alone (the
+    checkpoint header carries them for exactly this reason); time
+    travel and incremental replay below the horizon RAISE, never
+    mis-read.
+
+    ``keep_commits`` keeps the newest N commit JSONs even below the
+    checkpoint (live streaming consumers lagging up to N commits keep
+    replaying) — size it past max consumer lag, the same rule the
+    external churn soak pins for the Delta twin.
+
+    This is also what lets a SIBLING log on a multi-log root reclaim
+    shared files: ``sources/refsets.py`` protects everything this
+    log's remaining commits reference, so shrinking the log here is
+    the sanctioned way to release history (vacuum alone removes data
+    files but leaves the commits — and therefore the references —
+    behind)."""
+    log = _log_dir(table_root)
+    io = _io(table_root)
+    cps = sorted(_cp_list(log))
+    if not cps:
+        return {"removed_commits": 0, "checkpoint": None}
+    cp = cps[-1]
+    head = latest_version(table_root)
+    floor = head - max(0, int(keep_commits))
+    removed = 0
+    for n in _store(log).list(log):
+        full = os.path.join(log, n)
+        if n.startswith("v") and n.endswith(".json"):
+            v = int(n[1:-5])
+            # the HEAD commit always stays: latest_version() derives
+            # the head from commit JSONs (the checkpoint is a fold
+            # accelerator, not the version authority)
+            if v <= min(cp, floor) and v != head:
+                io.delete(full)
+                removed += 1
+        elif n.startswith("checkpoint-v") and n.endswith(".json"):
+            v = int(n[len("checkpoint-v"):-5])
+            if v < cp:
+                hdr = None
+                try:
+                    hdr = json.loads(_store(log).read(full))
+                except (OSError, json.JSONDecodeError):
+                    pass
+                io.delete(full)
+                fp = (hdr or {}).get("files_parquet")
+                if fp:
+                    io.delete(os.path.join(log, fp))
+    return {"removed_commits": removed, "checkpoint": cp}
 
 
 def txn_restore(
