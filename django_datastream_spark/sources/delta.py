@@ -1553,7 +1553,208 @@ def adopt_delta(
         writer=writer,
         stats=TL.collect_file_stats(txn_root, rels, spark=spark),
         deletes=deletes,
-        schema_json=None,
+        # the Delta logical schema carries into the txn tier (what
+        # publish_iceberg needs for schema-tracked conversion) —
+        # EXCEPT for hive layouts, where partition columns are not IN
+        # the files and the recorded read schema must stay file-shaped
+        schema_json=(
+            None if part_cols else TL._nullable_json(delta_schema(md))
+        ),
+    )
+
+
+_MIRROR_OPS_DELTA = ("adopt-delta", "adopt-delta-refresh")
+
+
+def refresh_adopt_delta(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    writer: str = "delta-adopt-refresh",
+) -> int:
+    """INCREMENTAL re-adopt (the conversion tier's tracking verb):
+    advance a txn MIRROR of this root's Delta log to the snapshot at
+    ``version`` (default latest) as ONE new txn commit — live-set diff
+    plus deletion-vector growth, zero data bytes rewritten. With
+    :func:`adopt_delta` (initial) and ``publish_iceberg`` (export)
+    this is what makes ``sources.convert.convert_delta_to_iceberg``
+    re-runnable: each call maps new Delta commits to one new txn
+    version, which republish turns into one new Iceberg snapshot.
+
+    Fail-closed boundaries: the txn table must be a PURE mirror
+    (every commit op in ``adopt-delta``/``adopt-delta-refresh`` —
+    a table the engine wrote to since adoption would be clobbered);
+    per surviving file the Delta vector must be a SUPERSET of the
+    mirrored one (vectors only grow under normal operation; a RESTORE
+    that un-deleted rows cannot be expressed through the txn tier's
+    union fold); the adopt-time columnMapping/hive-layout rules
+    re-apply.
+
+    Scale note: the diff is metadata-plane (one Delta snapshot fold +
+    one txn fold); DV positions pass through the driver bounded by
+    changed-vector cardinality — the same documented bound as
+    ``publish_delta``'s sidecar export. Returns the committed txn
+    version (the unchanged head when the mirror is already current).
+    """
+    import uuid as _uuid
+
+    from .. import txnlog as TL
+    from . import roaring as RB
+
+    if not TL.is_txn_table(root):
+        raise ValueError(
+            f"{root}: not a txn table — adopt_delta first"
+        )
+    head = TL.latest_version(root)
+    for v in range(1, head + 1):
+        op = TL._read_commit(root, v).get("op")
+        if op not in _MIRROR_OPS_DELTA:
+            raise ValueError(
+                f"{root}: txn table diverged from its Delta mirror at "
+                f"v{v} (op={op!r}) — refresh would clobber engine "
+                "writes; keep converted mirrors read-only, or re-adopt "
+                "into a fresh root"
+            )
+    a_io = io_for(root)
+    _v, md, adds = delta_snapshot_arrow(root, version)
+    if _column_mapping(md):
+        raise DeltaUnsupportedError(
+            "refresh of a columnMapping table would expose physical "
+            "column names through the txn layer; read_delta + rewrite "
+            "instead"
+        )
+    part_cols = list(md.get("partitionColumns") or [])
+    raw_rels = adds.column("path").to_pylist()
+    if part_cols:
+        pvs = [
+            dict(x or [])
+            for x in adds.column("partitionValues").to_pylist()
+        ]
+        if not _hive_layout(raw_rels, pvs, part_cols):
+            raise DeltaUnsupportedError(
+                "refresh of a non-hive-layout partitioned Delta table "
+                "would lose partition columns; read_delta + rewrite "
+                "instead"
+            )
+    # current Delta DV position sets (driver-side, bounded by DV
+    # cardinality — the publish-side bound)
+    dv_now: dict[str, set] = {}
+    for raw, dv in zip(
+        raw_rels, adds.column("deletionVector").to_pylist()
+    ):
+        if not dv:
+            continue
+        dv = dict(dv) if not isinstance(dv, dict) else dv
+        pos = RB.dv_positions(
+            root,
+            dv["storageType"],
+            dv["pathOrInlineDv"],
+            dv.get("offset"),
+            int(dv["sizeInBytes"]),
+            io=a_io,
+        )
+        card = dv.get("cardinality")
+        if card is not None and len(pos) != int(card):
+            raise ValueError(
+                f"deletion vector for {raw}: decoded {len(pos)} "
+                f"positions, descriptor says {card}"
+            )
+        dv_now[urllib.parse.unquote(raw)] = {int(p) for p in pos}
+    rels = {urllib.parse.unquote(r) for r in raw_rels}
+    _hv, live = TL.snapshot(root)
+    _hv, dvm = TL.snapshot_dv(root)
+    import pyarrow.parquet as _pq
+
+    dead_mirror: dict[str, set] = {}
+    for f, es in dvm.items():
+        dead: set = set()
+        for e in es:
+            for t in _dv_sidecar_tables(root, e["dv"], a_io, _pq):
+                dead.update(
+                    p
+                    for ff, p in zip(
+                        t.column("file").to_pylist(),
+                        t.column("pos").to_pylist(),
+                    )
+                    if ff == f
+                )
+        dead_mirror[f] = dead
+    adds_l = sorted(rels - live)
+    removes_l = sorted(live - rels)
+    changed: dict[str, set] = {}
+    for f in sorted(rels):
+        dd = dv_now.get(f, set())
+        if f in live:
+            td = dead_mirror.get(f, set())
+            if dd == td:
+                continue
+            if not dd >= td:
+                raise DeltaUnsupportedError(
+                    f"deletion vector for {f} SHRANK since adoption "
+                    "(a RESTORE un-deleted rows) — the txn fold "
+                    "unions vectors and cannot un-delete; re-adopt "
+                    "into a fresh mirror"
+                )
+            changed[f] = dd
+        elif dd:
+            changed[f] = dd  # new file arriving with a vector
+    schema_now = (
+        None if part_cols else TL._nullable_json(delta_schema(md))
+    )
+    schema_rec = (
+        schema_now
+        if schema_now is not None
+        and schema_now != TL.table_schema_json(root)
+        else None
+    )
+    if not adds_l and not removes_l and not changed and not schema_rec:
+        return head  # mirror already current: no empty commits
+    deletes = None
+    if changed:
+        import io as _bio
+
+        import pyarrow as _pa
+
+        dv_rel = os.path.join(
+            "_dv", f"refresh-{_uuid.uuid4().hex[:12]}"
+        )
+        rows_f: list[str] = []
+        rows_p: list[int] = []
+        for f in sorted(changed):
+            for p in sorted(changed[f]):
+                rows_f.append(f)
+                rows_p.append(int(p))
+        buf = _bio.BytesIO()
+        _pq.write_table(
+            _pa.table(
+                {
+                    "file": _pa.array(rows_f, _pa.string()),
+                    "pos": _pa.array(rows_p, _pa.int64()),
+                }
+            ),
+            buf,
+        )
+        # a DIRECTORY of parts like every txn sidecar (vacuum keeps
+        # sidecars by their dir; a bare file would not be retained)
+        a_io.put_bytes(
+            os.path.join(root, dv_rel, "part-00000.parquet"),
+            buf.getvalue(),
+        )
+        deletes = {
+            f: {"dv": dv_rel, "n": len(ps)}
+            for f, ps in changed.items()
+        }
+    return TL.commit(
+        root,
+        adds_l,
+        removes_l,
+        "adopt-delta-refresh",
+        [],
+        base_version=head,
+        writer=writer,
+        stats=TL.collect_file_stats(root, adds_l, spark=spark),
+        deletes=deletes,
+        schema_json=schema_rec,
     )
 
 

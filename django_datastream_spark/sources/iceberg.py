@@ -1429,7 +1429,188 @@ def adopt_iceberg(
         writer=writer,
         stats=TL.collect_file_stats(txn_root, sorted(rels), spark=spark),
         deletes=deletes,
-        schema_json=None,
+        # Iceberg data files carry EVERY column, so the table schema
+        # is always file-shaped — record it (schema-tracked adoption
+        # is what publish_delta/convert need downstream)
+        schema_json=TL._nullable_json(iceberg_schema(md)),
+    )
+
+
+_MIRROR_OPS_ICE = ("adopt-iceberg", "adopt-iceberg-refresh")
+
+
+def refresh_adopt_iceberg(
+    spark: SparkSession,
+    root: str,
+    snapshot_id: int | None = None,
+    writer: str = "iceberg-adopt-refresh",
+) -> int:
+    """INCREMENTAL re-adopt, the :func:`.delta.refresh_adopt_delta`
+    twin: advance a txn MIRROR of this root's Iceberg tree to the
+    snapshot at ``snapshot_id`` (default current) as ONE new txn
+    commit — live-set diff plus position-delete growth, zero data
+    bytes rewritten. The tracking verb behind
+    ``sources.convert.convert_iceberg_to_delta``.
+
+    Fail-closed boundaries: pure-mirror lineage (ops
+    ``adopt-iceberg``/``adopt-iceberg-refresh`` only), equality
+    deletes (row positions unknown without a scan), per-file delete
+    sets that SHRANK since adoption (an Iceberg rollback un-deleting
+    rows cannot be expressed through the txn union fold). Position
+    deletes decode driver-side here — delete files are
+    metadata-sized by construction, the same bound
+    :func:`publish_iceberg` documents for its export."""
+    import uuid as _uuid
+
+    from .. import txnlog as TL
+
+    if not TL.is_txn_table(root):
+        raise ValueError(
+            f"{root}: not a txn table — adopt_iceberg first"
+        )
+    head = TL.latest_version(root)
+    for v in range(1, head + 1):
+        op = TL._read_commit(root, v).get("op")
+        if op not in _MIRROR_OPS_ICE:
+            raise ValueError(
+                f"{root}: txn table diverged from its Iceberg mirror "
+                f"at v{v} (op={op!r}) — refresh would clobber engine "
+                "writes; keep converted mirrors read-only, or "
+                "re-adopt into a fresh root"
+            )
+    md, data, dels = _snapshot_files(root, snapshot_id, spark=spark)
+    if any(k == "e" for k, _p, _q, _e in dels):
+        raise IcebergUnsupportedError(
+            "equality deletes cannot refresh zero-copy (row positions "
+            "are unknown without a scan); read_iceberg + rewrite"
+        )
+    io = io_for(root)
+    rootn = _np(root)
+    raw_to_rel: dict[str, str] = {}
+    fseq: dict[str, int] = {}
+    for raw, q in data.items():
+        fa = _np(_resolve(root, md, raw))
+        if not fa.startswith(rootn + os.sep):
+            raise IcebergUnsupportedError(
+                f"live file {raw} outside the table root — cannot "
+                "refresh in place"
+            )
+        rel = os.path.normpath(fa[len(rootn) + 1:])
+        raw_to_rel[raw] = rel
+        fseq[raw] = int(q)
+    # current per-file dead position sets under the spec's
+    # dseq >= fseq rule (driver-side; delete files are metadata-sized)
+    import pyarrow.parquet as _pq
+
+    dv_now: dict[str, set] = {}
+    for _k, dpath, dseq, _e in dels:
+        src = io.parquet_source(_resolve(root, md, dpath))
+        t = _pq.read_table(src, columns=["file_path", "pos"])
+        for fp, pos in zip(
+            t.column("file_path").to_pylist(),
+            t.column("pos").to_pylist(),
+        ):
+            if fp in fseq and int(dseq) >= fseq[fp]:
+                dv_now.setdefault(
+                    raw_to_rel[fp], set()
+                ).add(int(pos))
+    rels = set(raw_to_rel.values())
+    _hv, live = TL.snapshot(root)
+    _hv, dvm = TL.snapshot_dv(root)
+    from .delta import _dv_sidecar_tables
+
+    dead_mirror: dict[str, set] = {}
+    for f, es in dvm.items():
+        dead: set = set()
+        for e in es:
+            for t in _dv_sidecar_tables(root, e["dv"], io, _pq):
+                dead.update(
+                    p
+                    for ff, p in zip(
+                        t.column("file").to_pylist(),
+                        t.column("pos").to_pylist(),
+                    )
+                    if ff == f
+                )
+        dead_mirror[f] = dead
+    adds_l = sorted(rels - live)
+    removes_l = sorted(live - rels)
+    changed: dict[str, set] = {}
+    for f in sorted(rels):
+        dd = dv_now.get(f, set())
+        if f in live:
+            td = dead_mirror.get(f, set())
+            if dd == td:
+                continue
+            if not dd >= td:
+                raise IcebergUnsupportedError(
+                    f"position-delete set for {f} SHRANK since "
+                    "adoption (a rollback un-deleted rows) — the txn "
+                    "fold unions vectors and cannot un-delete; "
+                    "re-adopt into a fresh mirror"
+                )
+            changed[f] = dd
+        elif dd:
+            changed[f] = dd
+    schema_now = None
+    try:
+        from .. import txnlog as _TLn
+
+        schema_now = _TLn._nullable_json(iceberg_schema(md))
+    except IcebergUnsupportedError:
+        pass
+    schema_rec = (
+        schema_now
+        if schema_now is not None
+        and schema_now != TL.table_schema_json(root)
+        else None
+    )
+    if not adds_l and not removes_l and not changed and not schema_rec:
+        return head
+    deletes = None
+    if changed:
+        import io as _bio
+
+        import pyarrow as _pa
+
+        dv_rel = os.path.join(
+            "_dv", f"refresh-{_uuid.uuid4().hex[:12]}"
+        )
+        rows_f: list[str] = []
+        rows_p: list[int] = []
+        for f in sorted(changed):
+            for p in sorted(changed[f]):
+                rows_f.append(f)
+                rows_p.append(int(p))
+        buf = _bio.BytesIO()
+        _pq.write_table(
+            _pa.table(
+                {
+                    "file": _pa.array(rows_f, _pa.string()),
+                    "pos": _pa.array(rows_p, _pa.int64()),
+                }
+            ),
+            buf,
+        )
+        io.put_bytes(
+            os.path.join(root, dv_rel, "part-00000.parquet"),
+            buf.getvalue(),
+        )
+        deletes = {
+            f: {"dv": dv_rel, "n": len(ps)}
+            for f, ps in changed.items()
+        }
+    return TL.commit(
+        root,
+        adds_l,
+        removes_l,
+        "adopt-iceberg-refresh",
+        [],
+        base_version=head,
+        writer=writer,
+        stats=TL.collect_file_stats(root, adds_l, spark=spark),
+        deletes=deletes,
+        schema_json=schema_rec,
     )
 
 
@@ -1664,6 +1845,7 @@ def publish_iceberg(
     txn_root: str,
     versions: list[int] | None = None,
     partition_spec: list[dict] | None = None,
+    properties: dict | None = None,
 ) -> dict:
     """ZERO-COPY write-side interop (the inverse of
     :func:`adopt_iceberg`): publish an engine txn table AS a valid
@@ -1888,11 +2070,29 @@ def publish_iceberg(
         txn_root
     ).is_dir(_meta_dir(txn_root)) else []
     meta_v = (max(existing) + 1) if existing else 1
+    # a RE-publish must carry the existing table properties forward —
+    # expire_snapshots' expired-positions counter and the streaming
+    # sink's folded ledger live there; clobbering them would reset
+    # stream offsets / idempotence floors. Caller-passed properties
+    # (the conversion stamp) override on key collision.
+    props: dict = {}
+    if existing:
+        try:
+            props.update(
+                iceberg_metadata(
+                    txn_root, version=max(existing)
+                ).get("properties")
+                or {}
+            )
+        except (OSError, ValueError, KeyError):
+            pass
+    props.update(properties or {})
     write_metadata(
         txn_root, meta_v, schemas[cur_schema_id], snaps_meta,
         current_snapshot_id=sid_of[vs[-1]],
         schemas=schemas, current_schema_id=cur_schema_id,
         partition_spec_fields=spec_fields,
+        properties=props or None,
     )
     return {"metadata_version": meta_v, "snapshots": dict(sid_of)}
 
