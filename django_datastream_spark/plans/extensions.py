@@ -12106,3 +12106,290 @@ def q239(spark, sf_dir):
         return df
     finally:
         FIO.unregister_fileio(scheme)
+
+
+@_declare(
+    "q240_convert_delta_to_iceberg",
+    """
+    WITH deleted AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS pos
+        FROM documents WHERE doc_id < 150
+      ) WHERE pos IN (0, 2)
+    ),
+    era1 AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id < 300
+        AND doc_id NOT IN (SELECT doc_id FROM deleted)
+    ),
+    cur AS (
+      SELECT doc_id FROM era1
+      UNION ALL
+      SELECT CAST(range AS BIGINT) AS doc_id FROM range(1000, 1010)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM cur) AS BIGINT) n,
+           ROUND((SELECT SUM(doc_id * 0.5) FROM cur), 4) sum_val,
+           CAST((SELECT MIN(doc_id) FROM cur) AS BIGINT) lo,
+           CAST((SELECT MAX(doc_id) FROM cur) AS BIGINT) hi,
+           CAST((SELECT COUNT(*) FROM era1) AS BIGINT) n_first
+    """,
+)
+def q240(spark, sf_dir):
+    """ZERO-COPY FORMAT CONVERSION, Delta -> Iceberg (round 11,
+    sources/convert.py — the UniForm-shaped migration verb): a real
+    _delta_log tree (spec writer) whose v1 carries a DELETION VECTOR
+    (roaring sidecar over positions {0,2} of the first file) converts
+    in place — adopt into a txn mirror + publish — and read_iceberg
+    serves it with the vector applied as v2 position deletes; a later
+    Delta commit (new file) re-converts INCREMENTALLY (one refresh
+    commit -> one new snapshot), and the FIRST conversion's snapshot
+    still time-travels to the pre-refresh live set (n_first). A
+    conversion that resurrected DV'd rows, double-counted the
+    refreshed file, or broke snapshot lineage breaks the hash.
+    (Builder writes + converts the tree; by-name exemption, q211
+    family.)"""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tmp
+    import uuid as _uuid
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    from ..sources import convert as CVT
+    from ..sources import delta as DLT
+    from ..sources import iceberg as IB
+    from ..sources import roaring as RB
+
+    base = _os.path.join(
+        _tmp.gettempdir(),
+        "q240_" + _hl.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    _sh.rmtree(base, ignore_errors=True)
+    root = _os.path.join(base, "table")
+    ids = sorted(
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 300)
+        .collect()
+    )
+
+    def _write(rel, rows):
+        full = _os.path.join(root, rel)
+        _os.makedirs(_os.path.dirname(full), exist_ok=True)
+        _pq.write_table(
+            _pa.table(
+                {
+                    "doc_id": _pa.array(rows, _pa.int64()),
+                    "val": _pa.array(
+                        [i * 0.5 for i in rows], _pa.float64()
+                    ),
+                }
+            ),
+            full,
+        )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("val", DoubleType()),
+        ]
+    )
+    lo_ids = [i for i in ids if i < 150]
+    hi_ids = [i for i in ids if i >= 150]
+    _write("a.parquet", lo_ids)
+    _write("b.parquet", hi_ids)
+
+    def _add(rel, dv=None):
+        a = {
+            "path": rel,
+            "partitionValues": {},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+        if dv:
+            a["deletionVector"] = dv
+        return {"add": a}
+
+    DLT.write_delta_commit(
+        root, 0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"],
+                          "writerFeatures": ["deletionVectors"]}},
+            {"metaData": {
+                "id": "q240", "format": {"provider": "parquet",
+                                         "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": [], "configuration": {},
+            }},
+            _add("a.parquet"), _add("b.parquet"),
+        ],
+    )
+    # v1: deletion vector over positions {0,2} of a.parquet
+    u = _uuid.UUID(int=int(_hl.md5(root.encode()).hexdigest(), 16))
+    off, size, card = RB.write_dv_file(
+        _os.path.join(root, f"deletion_vector_{u}.bin"), [0, 2]
+    )
+    DLT.write_delta_commit(
+        root, 1,
+        [
+            {"remove": {"path": "a.parquet", "dataChange": True}},
+            _add("a.parquet", dv={
+                "storageType": "u",
+                "pathOrInlineDv": RB.make_uuid_descriptor_path(u),
+                "offset": off, "sizeInBytes": size,
+                "cardinality": card,
+            }),
+        ],
+    )
+    r1 = CVT.convert_delta_to_iceberg(spark, root)
+    # a later Delta commit: new file -> INCREMENTAL re-conversion
+    _write("c.parquet", list(range(1000, 1010)))
+    DLT.write_delta_commit(root, 2, [_add("c.parquet")])
+    r2 = CVT.convert_delta_to_iceberg(spark, root)
+    first = (
+        IB.read_iceberg(
+            spark, root, snapshot_id=r1["snapshots"][1]
+        )
+        .agg(F.count(F.lit(1)).alias("n_first"))
+    )
+    df = (
+        IB.read_iceberg(spark, root)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum((F.col("doc_id") * 0.5)), 4).alias(
+                "sum_val"
+            ),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+        .crossJoin(first)
+        .select("n", "sum_val", "lo", "hi", "n_first")
+    )
+    assert r2["txn_version"] >= r1["txn_version"]
+    return df
+
+
+@_declare(
+    "q241_convert_iceberg_to_delta",
+    """
+    WITH era1 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id < 200 AND doc_id % 4 = 0
+                  THEN doc_id * 0.5 + 1000
+                  ELSE doc_id * 0.5 END AS val
+      FROM documents WHERE doc_id < 300
+    ),
+    deleted AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS pos
+        FROM documents
+        WHERE doc_id >= 200 AND doc_id < 300 AND doc_id % 4 = 0
+      ) WHERE pos IN (0, 1)
+    ),
+    cur AS (
+      SELECT * FROM era1
+      WHERE doc_id NOT IN (SELECT doc_id FROM deleted)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM cur) AS BIGINT) n,
+           ROUND((SELECT SUM(val) FROM cur), 4) sum_val,
+           CAST((SELECT MIN(doc_id) FROM cur) AS BIGINT) lo,
+           CAST((SELECT MAX(doc_id) FROM cur) AS BIGINT) hi,
+           CAST((SELECT COUNT(*) FROM era1) AS BIGINT) n_first
+    """,
+)
+def q241(spark, sf_dir):
+    """ZERO-COPY FORMAT CONVERSION, Iceberg -> Delta (round 11): the
+    q211 Iceberg fixture (rewrite history, EXISTING/DELETED manifest
+    entries) converts in place — adopt into a txn mirror +
+    publish_delta — and read_delta serves it; a later Iceberg
+    snapshot adds POSITION DELETES (positions {0,1} of one s2 file
+    under the spec's sequence rule), and the INCREMENTAL
+    re-conversion crosses them as real Delta DELETION VECTORS
+    (protocol 3/7, roaring sidecar). Delta time travel to the first
+    converted commit still serves the pre-delete rows (n_first). A
+    conversion that resurrected deleted rows, lost the rewrite
+    bump, or mis-sequenced the delete application breaks the hash.
+    (Builder writes + converts the tree; by-name exemption, q211
+    family.)"""
+    import os as _os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from ..sources import convert as CVT
+    from ..sources import delta as DLT
+    from ..sources import iceberg as IB
+
+    root = _iceberg_fixture(spark, sf_dir, "q241")
+    r1 = CVT.convert_iceberg_to_delta(spark, root)
+    # s3: position deletes {0,1} on data/b0.parquet (rows sorted by
+    # doc_id at write time -> the two smallest qualifying ids)
+    _pq.write_table(
+        _pa.table(
+            {
+                "file_path": _pa.array(
+                    ["data/b0.parquet", "data/b0.parquet"],
+                    _pa.string(),
+                ),
+                "pos": _pa.array([0, 1], _pa.int64()),
+            }
+        ),
+        _os.path.join(root, "data", "del3.parquet"),
+    )
+    IB.write_manifest(
+        root, "m5.avro", [(1, "data/del3.parquet")], 3,
+        entry_content=1,
+    )
+    IB.write_manifest_list(
+        root, "snap-3.avro",
+        [("m2.avro", 2, 0, 2), ("m3.avro", 2, 0, 2),
+         ("m5.avro", 3, 1, 3)],
+        3,
+    )
+    IB.write_metadata(
+        root, 3,
+        [
+            {"id": 1, "name": "doc_id", "required": True,
+             "type": "long"},
+            {"id": 2, "name": "val", "required": False,
+             "type": "double"},
+        ],
+        [
+            {"snapshot-id": 1,
+             "manifest-list": "metadata/snap-1.avro"},
+            {"snapshot-id": 2,
+             "manifest-list": "metadata/snap-2.avro"},
+            {"snapshot-id": 3,
+             "manifest-list": "metadata/snap-3.avro"},
+        ],
+        current_snapshot_id=3,
+    )
+    r2 = CVT.convert_iceberg_to_delta(spark, root)
+    first_v = r1["published"][-1]
+    first = (
+        DLT.read_delta(spark, root, version=first_v)
+        .agg(F.count(F.lit(1)).alias("n_first"))
+    )
+    df = (
+        DLT.read_delta(spark, root)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("val"), 4).alias("sum_val"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+        .crossJoin(first)
+        .select("n", "sum_val", "lo", "hi", "n_first")
+    )
+    assert r2["txn_version"] >= r1["txn_version"]
+    return df

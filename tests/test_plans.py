@@ -145,7 +145,11 @@ def test_declaring_queries_runs_no_jobs(spark):
               "q237_fileio_write_chain", "q238_fileio_pyarrow",
               # q239 creates + publishes a txn table on the fake
               # object store (write-side seam through the txn tier)
-              "q239_txn_object_store_publish"}
+              "q239_txn_object_store_publish",
+              # q240/q241 build + CONVERT format trees (adopt/refresh
+              # + publish both run Spark jobs at build)
+              "q240_convert_delta_to_iceberg",
+              "q241_convert_iceberg_to_delta"}
     sc = spark.sparkContext
     # warm the per-process parquet schema cache (one footer-inference
     # job per table, ever) so the check loop sees steady-state builds
