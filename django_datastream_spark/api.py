@@ -924,6 +924,53 @@ class Datastream:
             self.spark, e["path"], format=e["format"], **options
         )
 
+    def convert_external_table(
+        self,
+        name: str,
+        target: str,
+        register_as: str | None = None,
+    ) -> dict:
+        """ZERO-COPY format conversion of a registered external table
+        (``sources.convert``): grow the ``target`` format's metadata
+        tree over the same data files in place. Re-runnable — later
+        calls track new source commits incrementally. The original
+        registration keeps serving the SOURCE format (its pin decides
+        the view on the now-dual-log root); pass ``register_as`` to
+        also register the converted view under a second name with the
+        target-format pin, so both views of the table are served by
+        name side by side. A txn-format registration raises with the
+        direct remediation (``publish_delta``/``publish_iceberg`` —
+        the txn tier IS the conversion hub, no mirror needed)."""
+        from .sources import convert as CVT
+
+        if target not in ("delta", "iceberg"):
+            raise ValueError(
+                f"target {target!r} must be 'delta' or 'iceberg'"
+            )
+        e = self._external_entry(name)
+        src = e["format"]
+        if src == target:
+            raise exc.DatastreamError(
+                f"external table {name!r} is already {target}"
+            )
+        if src == "delta" and target == "iceberg":
+            rec = CVT.convert_delta_to_iceberg(self.spark, e["path"])
+        elif src == "iceberg" and target == "delta":
+            rec = CVT.convert_iceberg_to_delta(self.spark, e["path"])
+        else:
+            raise exc.DatastreamError(
+                f"external table {name!r} has format {src!r} — the "
+                "txn tier publishes directly (publish_delta / "
+                "publish_iceberg), no conversion mirror applies"
+            )
+        if register_as:
+            self.register_external_table(
+                register_as, e["path"], format=target
+            )
+        return dict(
+            rec, name=name, source_format=src, target=target
+        )
+
     def attach_external_views(self, prefix: str = "") -> list[str]:
         """Create/refresh a SQL temp view per registered table —
         ``spark.sql(f"SELECT ... FROM {prefix}{name}")`` serves the

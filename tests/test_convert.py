@@ -326,3 +326,39 @@ def test_convert_on_fake_object_store(spark, tmp_path):
         assert not os.path.exists(root)  # truly no POSIX path
     finally:
         FIO.unregister_fileio(scheme)
+
+
+# ---------------------------------------------------------------------------
+# facade: conversion served BY NAME through the engine catalog
+# ---------------------------------------------------------------------------
+def test_convert_external_table_by_name(spark, tmp_path):
+    from django_datastream_spark import exceptions as exc
+    from django_datastream_spark.api import Datastream
+
+    ds = Datastream(spark, str(tmp_path / "store"))
+    root = str(tmp_path / "t")
+    _build_plain_delta(root)
+    ds.register_external_table("src", root)
+    rec = ds.convert_external_table(
+        "src", "iceberg", register_as="src_ice"
+    )
+    assert rec["source_format"] == "delta"
+    # both names serve the same rows: source pin via delta, converted
+    # pin via iceberg, on one dual-log root
+    a = _ids(ds.external_table("src"))
+    b = _ids(ds.external_table("src_ice"))
+    assert a == b == list(range(15))
+    # converted-name registration is pinned to the target format
+    entries = {e["name"]: e for e in ds.external_tables()}
+    assert entries["src"]["format"] == "delta"
+    assert entries["src_ice"]["format"] == "iceberg"
+    # incremental: a new delta commit, convert again by name
+    _write_data(root, "d.parquet", range(20, 25))
+    DL.write_delta_commit(root, 2, [_add("d.parquet")])
+    ds.convert_external_table("src", "iceberg")
+    assert _ids(ds.external_table("src_ice")) == sorted(
+        list(range(15)) + list(range(20, 25))
+    )
+    # same-format and txn-format conversions fail with remediation
+    with pytest.raises(exc.DatastreamError, match="already"):
+        ds.convert_external_table("src", "delta")
