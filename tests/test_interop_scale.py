@@ -259,3 +259,37 @@ def test_iceberg_100k_entries_distributed_decode(spark, tmp_path):
     # threshold would too — here it's the job path)
     md, files = IB.iceberg_live_files(root, spark=spark)
     assert len(files) == 64 * 1600
+
+
+def test_refsets_at_100k_entries_stay_metadata_plane(tmp_path):
+    """The cross-log retention guard (sources/refsets.py) folds each
+    sibling's remaining history once per maintenance call — at 100k
+    manifest/checkpoint entries that fold must stay columnar/bounded
+    (seconds, not minutes; structural proof: exact counts come back,
+    and single-log roots pay nothing)."""
+    import time
+
+    from django_datastream_spark.sources import refsets as RS
+
+    droot = str(tmp_path / "d")
+    _build_big_delta(droot)
+    t0 = time.time()
+    drefs = RS.delta_referenced(droot)
+    dt = time.time() - t0
+    # v0 checkpoint: 3 real + N_SYNTH adds; v1 tail: -1 real +1 real
+    assert len(drefs) == N_SYNTH + 4
+    assert dt < 30.0, f"delta_referenced took {dt:.1f}s at 100k"
+
+    iroot = str(tmp_path / "i")
+    _build_big_iceberg(iroot)
+    t0 = time.time()
+    irefs = RS.iceberg_referenced(iroot)
+    dt = time.time() - t0
+    assert len(irefs) > 100_000  # data files + manifests + list
+    assert dt < 30.0, f"iceberg_referenced took {dt:.1f}s at 100k"
+
+    # a SINGLE-log root pays ~nothing for the guard
+    t0 = time.time()
+    files, dirs = RS.sibling_referenced(droot, exclude="delta")
+    assert files == set() and dirs == set()
+    assert time.time() - t0 < 0.1
