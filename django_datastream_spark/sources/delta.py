@@ -2738,11 +2738,25 @@ def optimize_delta(
 
     Fails (no retry) if a concurrent commit wins the log race —
     rerun; compaction commutes with appends but not with a rival
-    rewrite of the same files."""
+    rewrite of the same files.
+
+    Fails closed on a TXN-BACKED root (a publish/convert product):
+    there the txn log owns the data — ``txn_optimize`` is the layout
+    verb, and the published ``_delta_log`` re-derives from the mirror
+    on the next publish; compacting the published view directly would
+    fork the trees (republish version arithmetic assumes the log is
+    its own product)."""
     import time as _time
 
     from .. import txnlog as TL
 
+    if TL.is_txn_table(root):
+        raise DeltaUnsupportedError(
+            f"{root}: txn-backed root — layout maintenance belongs "
+            "to the txn tier (txn_optimize), then re-publish/"
+            "re-convert; optimizing the published _delta_log "
+            "directly would fork the trees"
+        )
     io = io_for(root)
     _v, md, adds = delta_snapshot(root)
     part_cols = list(md.get("partitionColumns") or [])

@@ -2457,9 +2457,23 @@ def optimize_iceberg(
     still reads (originals stay on disk until
     :func:`expire_snapshots`). Fails closed while merge-on-read
     DELETE FILES are live — compacting under them would need the
-    sequence-rule re-application; materialize the deletes first."""
+    sequence-rule re-application; materialize the deletes first.
+    Also fails closed on a TXN-BACKED root (a publish/convert
+    product): the txn log owns the data there — ``txn_optimize`` is
+    the layout verb and republish re-derives this tree; compacting
+    the published view directly would fork the trees."""
     import time as _time
     import uuid as _uuid
+
+    from .. import txnlog as _TLo
+
+    if _TLo.is_txn_table(root):
+        raise IcebergUnsupportedError(
+            f"{root}: txn-backed root — layout maintenance belongs "
+            "to the txn tier (txn_optimize), then re-publish/"
+            "re-convert; optimizing the published metadata tree "
+            "directly would fork the trees"
+        )
 
     # list the version FIRST, then fold from exactly that metadata:
     # the commit below pins its CAS to cur_v + 1, so a rival landing

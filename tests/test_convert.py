@@ -362,3 +362,17 @@ def test_convert_external_table_by_name(spark, tmp_path):
     # same-format and txn-format conversions fail with remediation
     with pytest.raises(exc.DatastreamError, match="already"):
         ds.convert_external_table("src", "delta")
+
+
+def test_optimize_refused_on_txn_backed_roots(spark, tmp_path):
+    """Layout maintenance on a publish/convert PRODUCT tree would
+    fork it from the txn mirror (republish re-derives the tree) —
+    both optimize verbs fail closed with the txn_optimize
+    remediation."""
+    root = str(tmp_path / "t")
+    _build_plain_delta(root)
+    CV.convert_delta_to_iceberg(spark, root)
+    with pytest.raises(IB.IcebergUnsupportedError, match="txn-backed"):
+        IB.optimize_iceberg(spark, root, target_file_bytes=1 << 20)
+    with pytest.raises(DL.DeltaUnsupportedError, match="txn-backed"):
+        DL.optimize_delta(spark, root, target_file_bytes=1 << 20)
