@@ -957,11 +957,18 @@ class Datastream:
             rec = CVT.convert_delta_to_iceberg(self.spark, e["path"])
         elif src == "iceberg" and target == "delta":
             rec = CVT.convert_iceberg_to_delta(self.spark, e["path"])
+        elif src == "txn":
+            raise exc.DatastreamError(
+                f"external table {name!r} is txn-format — the txn "
+                "tier publishes directly (publish_delta / "
+                "publish_iceberg), no conversion mirror applies"
+            )
         else:
             raise exc.DatastreamError(
-                f"external table {name!r} has format {src!r} — the "
-                "txn tier publishes directly (publish_delta / "
-                "publish_iceberg), no conversion mirror applies"
+                f"external table {name!r} has format {src!r} — only "
+                "delta and iceberg sources convert zero-copy; a "
+                "plain parquet directory adopts into the txn tier "
+                "first (txnlog.init_table / adopt), then publishes"
             )
         if register_as:
             self.register_external_table(

@@ -29,43 +29,51 @@ error): hive-partitioned Delta layouts cannot become Iceberg
 tables would leak physical names; equality deletes need a scan; a
 shrunken deletion vector (RESTORE/rollback) cannot cross the union
 fold; a root that already carries a FOREIGN tree of the target
-format (one this conversion did not produce) is refused rather than
-clobbered.
+format — one this conversion did not STAMP — is refused rather than
+clobbered (the stamp: ``engine.converted-from`` in the Iceberg table
+properties / the Delta metaData configuration, plus the pure
+``adopt-*`` op lineage in the txn log).
 
 Retention on converted roots is the cross-log contract in
 ``refsets.py``: every maintenance verb spares files a sibling log
 still references, so vacuuming the source format never corrupts the
 converted view; reclaiming shared files means tightening retention on
-every log. The converted tree is stamped
-(``engine.converted-from`` table property on the Iceberg side; the
-``adopt-*`` op lineage in the txn log on both) so operators can tell
-a conversion product from a native table.
+every log. Layout maintenance (``optimize_*``) is allowed only on
+the SOURCE format's log (:func:`mirror_source` decides) — the
+target tree re-derives from the mirror on the next conversion.
 
 Scale: everything here is metadata-plane — snapshot folds, footer
-stat collection at adopt, Avro/JSON writes at publish. A 100 TB
-table converts in O(files) metadata work through the root's FileIO
-(object-store roots included, gate q242), with zero data movement.
+stat collection at adopt, Avro/JSON writes at publish (re-publish
+reuses content-stable manifests, so an incremental conversion pays
+O(new commits), not O(history)). A 100 TB table converts in O(files)
+metadata work through the root's FileIO (object-store roots
+included), with zero data movement.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import SparkSession
 
 from .fileio import io_for
 
+CONVERTED_MARK = "engine.converted-from"
 
-def _txn_lineage_ok(root: str, ops: tuple) -> bool:
-    from .. import txnlog as TL
 
-    head = TL.latest_version(root)
-    if head == 0:
-        return False
-    return all(
-        TL._read_commit(root, v).get("op") in ops
-        for v in range(1, head + 1)
-    )
+def mirror_source(root: str) -> str | None:
+    """``"delta"`` / ``"iceberg"`` when the txn table at ``root`` is
+    a pure conversion MIRROR of that format's log (every remaining
+    commit an ``adopt-*`` of that format); ``None`` for an
+    engine-owned txn table. The answer decides which log OWNS the
+    data — and therefore which side layout maintenance belongs to."""
+    from .delta import _MIRROR_OPS_DELTA
+    from .iceberg import _MIRROR_OPS_ICE
+    from .mirror import mirror_lineage
+
+    if mirror_lineage(root, _MIRROR_OPS_DELTA):
+        return "delta"
+    if mirror_lineage(root, _MIRROR_OPS_ICE):
+        return "iceberg"
+    return None
 
 
 def convert_delta_to_iceberg(
@@ -78,26 +86,44 @@ def convert_delta_to_iceberg(
     table's data files, zero-copy. Re-runnable: the first call adopts
     the Delta snapshot into a txn mirror and publishes every mirror
     version as an Iceberg snapshot; later calls refresh the mirror
-    (live-set diff + DV growth, one txn commit) and publish only the
-    new snapshots. Returns ``{"txn_version", "metadata_version",
-    "snapshots"}``."""
+    (live-set diff + DV growth, one txn commit) and reuse every
+    content-stable manifest already published. Returns
+    ``{"txn_version", "metadata_version", "snapshots"}``."""
     from .. import txnlog as TL
-    from .delta import _MIRROR_OPS_DELTA  # noqa: F401 (contract)
-    from .delta import _log_dir, adopt_delta, refresh_adopt_delta
-    from .iceberg import _meta_dir, publish_iceberg
+    from .delta import _MIRROR_OPS_DELTA, _log_dir, adopt_delta
+    from .delta import refresh_adopt_delta
+    from .iceberg import _meta_dir, iceberg_metadata, publish_iceberg
+    from .mirror import mirror_lineage
 
     io = io_for(root)
     if not io.is_dir(_log_dir(root)):
         raise ValueError(f"{root}: no _delta_log — not a Delta table")
-    is_mirror = TL.is_txn_table(root) and _txn_lineage_ok(
+    is_mirror = TL.is_txn_table(root) and mirror_lineage(
         root, _MIRROR_OPS_DELTA
     )
-    if io.is_dir(_meta_dir(root)) and not is_mirror:
-        raise ValueError(
-            f"{root}: already carries an Iceberg tree this conversion "
-            "did not produce — refusing to overwrite a foreign table; "
-            "convert into a fresh root (or remove metadata/ first)"
-        )
+    if io.is_dir(_meta_dir(root)):
+        # the existing target tree must be THIS conversion's product:
+        # pure mirror AND a stamped metadata tree — a pure mirror
+        # alone does not attest the metadata/ dir (an external tool
+        # could have created a real Iceberg table there)
+        from .iceberg import IcebergUnsupportedError
+
+        stamped = False
+        if is_mirror:
+            try:
+                stamped = (
+                    iceberg_metadata(root).get("properties") or {}
+                ).get(CONVERTED_MARK) == "delta"
+            except (OSError, ValueError, KeyError,
+                    IcebergUnsupportedError):
+                stamped = False
+        if not stamped:
+            raise ValueError(
+                f"{root}: already carries an Iceberg tree this "
+                "conversion did not produce — refusing to overwrite "
+                "a foreign table; convert into a fresh root (or "
+                "remove metadata/ first)"
+            )
     if TL.is_txn_table(root) and not is_mirror:
         raise ValueError(
             f"{root}: txn table is not a pure Delta mirror — refresh "
@@ -111,7 +137,7 @@ def convert_delta_to_iceberg(
         spark,
         root,
         partition_spec=partition_spec,
-        properties={"engine.converted-from": "delta"},
+        properties={CONVERTED_MARK: "delta"},
     )
     return {"txn_version": tv, **pub}
 
@@ -128,28 +154,39 @@ def convert_iceberg_to_delta(
     Re-runnable like the Delta->Iceberg direction. Returns
     ``{"txn_version", "delta_versions", "published"}``."""
     from .. import txnlog as TL
-    from .delta import _log_dir, publish_delta
-    from .iceberg import (
-        _MIRROR_OPS_ICE,
-        _meta_dir,
-        adopt_iceberg,
-        refresh_adopt_iceberg,
-    )
+    from .delta import _log_dir, delta_snapshot, publish_delta
+    from .iceberg import _MIRROR_OPS_ICE, _meta_dir, adopt_iceberg
+    from .iceberg import refresh_adopt_iceberg
+    from .mirror import mirror_lineage
 
     io = io_for(root)
     if not io.is_dir(_meta_dir(root)):
         raise ValueError(
             f"{root}: no metadata/ tree — not an Iceberg table"
         )
-    is_mirror = TL.is_txn_table(root) and _txn_lineage_ok(
+    is_mirror = TL.is_txn_table(root) and mirror_lineage(
         root, _MIRROR_OPS_ICE
     )
-    if io.is_dir(_log_dir(root)) and not is_mirror:
-        raise ValueError(
-            f"{root}: already carries a _delta_log this conversion "
-            "did not produce — refusing to overwrite a foreign table; "
-            "convert into a fresh root (or remove _delta_log first)"
-        )
+    if io.is_dir(_log_dir(root)):
+        from .delta import DeltaUnsupportedError
+
+        stamped = False
+        if is_mirror:
+            try:
+                _v, dmd, _a = delta_snapshot(root)
+                stamped = (
+                    dmd.get("configuration") or {}
+                ).get(CONVERTED_MARK) == "iceberg"
+            except (OSError, ValueError, KeyError,
+                    DeltaUnsupportedError):
+                stamped = False
+        if not stamped:
+            raise ValueError(
+                f"{root}: already carries a _delta_log this "
+                "conversion did not produce — refusing to overwrite "
+                "a foreign table; convert into a fresh root (or "
+                "remove _delta_log first)"
+            )
     if TL.is_txn_table(root) and not is_mirror:
         raise ValueError(
             f"{root}: txn table is not a pure Iceberg mirror — "
@@ -162,5 +199,10 @@ def convert_iceberg_to_delta(
         tv = adopt_iceberg(
             spark, root, root, snapshot_id=snapshot_id
         )
-    pub = publish_delta(spark, root, checkpoint=checkpoint)
+    pub = publish_delta(
+        spark,
+        root,
+        checkpoint=checkpoint,
+        configuration={CONVERTED_MARK: "iceberg"},
+    )
     return {"txn_version": tv, **pub}

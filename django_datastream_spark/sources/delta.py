@@ -1596,25 +1596,11 @@ def refresh_adopt_delta(
     ``publish_delta``'s sidecar export. Returns the committed txn
     version (the unchanged head when the mirror is already current).
     """
-    import uuid as _uuid
-
     from .. import txnlog as TL
     from . import roaring as RB
+    from .mirror import refresh_mirror, require_mirror
 
-    if not TL.is_txn_table(root):
-        raise ValueError(
-            f"{root}: not a txn table — adopt_delta first"
-        )
-    head = TL.latest_version(root)
-    for v in range(1, head + 1):
-        op = TL._read_commit(root, v).get("op")
-        if op not in _MIRROR_OPS_DELTA:
-            raise ValueError(
-                f"{root}: txn table diverged from its Delta mirror at "
-                f"v{v} (op={op!r}) — refresh would clobber engine "
-                "writes; keep converted mirrors read-only, or re-adopt "
-                "into a fresh root"
-            )
+    require_mirror(root, _MIRROR_OPS_DELTA, "delta")
     a_io = io_for(root)
     _v, md, adds = delta_snapshot_arrow(root, version)
     if _column_mapping(md):
@@ -1661,100 +1647,18 @@ def refresh_adopt_delta(
             )
         dv_now[urllib.parse.unquote(raw)] = {int(p) for p in pos}
     rels = {urllib.parse.unquote(r) for r in raw_rels}
-    _hv, live = TL.snapshot(root)
-    _hv, dvm = TL.snapshot_dv(root)
-    import pyarrow.parquet as _pq
-
-    dead_mirror: dict[str, set] = {}
-    for f, es in dvm.items():
-        dead: set = set()
-        for e in es:
-            for t in _dv_sidecar_tables(root, e["dv"], a_io, _pq):
-                dead.update(
-                    p
-                    for ff, p in zip(
-                        t.column("file").to_pylist(),
-                        t.column("pos").to_pylist(),
-                    )
-                    if ff == f
-                )
-        dead_mirror[f] = dead
-    adds_l = sorted(rels - live)
-    removes_l = sorted(live - rels)
-    changed: dict[str, set] = {}
-    for f in sorted(rels):
-        dd = dv_now.get(f, set())
-        if f in live:
-            td = dead_mirror.get(f, set())
-            if dd == td:
-                continue
-            if not dd >= td:
-                raise DeltaUnsupportedError(
-                    f"deletion vector for {f} SHRANK since adoption "
-                    "(a RESTORE un-deleted rows) — the txn fold "
-                    "unions vectors and cannot un-delete; re-adopt "
-                    "into a fresh mirror"
-                )
-            changed[f] = dd
-        elif dd:
-            changed[f] = dd  # new file arriving with a vector
     schema_now = (
         None if part_cols else TL._nullable_json(delta_schema(md))
     )
-    schema_rec = (
-        schema_now
-        if schema_now is not None
-        and schema_now != TL.table_schema_json(root)
-        else None
-    )
-    if not adds_l and not removes_l and not changed and not schema_rec:
-        return head  # mirror already current: no empty commits
-    deletes = None
-    if changed:
-        import io as _bio
-
-        import pyarrow as _pa
-
-        dv_rel = os.path.join(
-            "_dv", f"refresh-{_uuid.uuid4().hex[:12]}"
-        )
-        rows_f: list[str] = []
-        rows_p: list[int] = []
-        for f in sorted(changed):
-            for p in sorted(changed[f]):
-                rows_f.append(f)
-                rows_p.append(int(p))
-        buf = _bio.BytesIO()
-        _pq.write_table(
-            _pa.table(
-                {
-                    "file": _pa.array(rows_f, _pa.string()),
-                    "pos": _pa.array(rows_p, _pa.int64()),
-                }
-            ),
-            buf,
-        )
-        # a DIRECTORY of parts like every txn sidecar (vacuum keeps
-        # sidecars by their dir; a bare file would not be retained)
-        a_io.put_bytes(
-            os.path.join(root, dv_rel, "part-00000.parquet"),
-            buf.getvalue(),
-        )
-        deletes = {
-            f: {"dv": dv_rel, "n": len(ps)}
-            for f, ps in changed.items()
-        }
-    return TL.commit(
+    return refresh_mirror(
+        spark,
         root,
-        adds_l,
-        removes_l,
         "adopt-delta-refresh",
-        [],
-        base_version=head,
-        writer=writer,
-        stats=TL.collect_file_stats(root, adds_l, spark=spark),
-        deletes=deletes,
-        schema_json=schema_rec,
+        rels,
+        dv_now,
+        schema_now,
+        DeltaUnsupportedError,
+        writer,
     )
 
 
@@ -2107,6 +2011,7 @@ def publish_delta(
     txn_root: str,
     checkpoint: bool = False,
     change_data_feed: bool = False,
+    configuration: dict | None = None,
 ) -> dict:
     """ZERO-COPY write-side interop (the :func:`..iceberg
     .publish_iceberg` twin and the inverse of :func:`adopt_delta`):
@@ -2150,10 +2055,27 @@ def publish_delta(
     start = (max(published) + 2) if published else 1  # txn v of next
     if start > head:
         return {"delta_versions": len(published), "published": []}
+    # versions below the fold horizon were released by
+    # txn_log_cleanup: a Delta log must be CONTIGUOUS from commit 0,
+    # so a fresh publish cannot start mid-history, and a republish
+    # whose published tail fell below the horizon cannot bridge the
+    # gap — both fail closed (publish before cleaning the log)
+    horizon = TL.fold_horizon(txn_root)
+    # a republish also folds at start-1 for its prev_live baseline,
+    # so the whole window [start-1, head] (or [1, head] when fresh)
+    # must sit at/above the horizon
+    if max(start - 1, 1) < horizon:
+        raise DeltaUnsupportedError(
+            f"txn history below version {horizon} was released by "
+            "txn_log_cleanup and cannot be published as Delta "
+            "commits (the log must be contiguous) — publish before "
+            "cleaning, or convert the current snapshot into a fresh "
+            "root"
+        )
     # protocol needs to know up front whether ANY version carries DVs
     any_dv = any(
         any(TL.snapshot_dv(txn_root, v)[1].values())
-        for v in range(1, head + 1)
+        for v in range(horizon, head + 1)
     )
     proto = (
         {
@@ -2233,10 +2155,13 @@ def publish_delta(
                         },
                         "schemaString": schema_json,
                         "partitionColumns": part_cols,
-                        "configuration": (
-                            {"delta.enableChangeDataFeed": "true"}
-                            if change_data_feed
-                            else {}
+                        "configuration": dict(
+                            configuration or {},
+                            **(
+                                {"delta.enableChangeDataFeed": "true"}
+                                if change_data_feed
+                                else {}
+                            ),
                         ),
                     }
                 }
@@ -2740,23 +2665,31 @@ def optimize_delta(
     rerun; compaction commutes with appends but not with a rival
     rewrite of the same files.
 
-    Fails closed on a TXN-BACKED root (a publish/convert product):
-    there the txn log owns the data — ``txn_optimize`` is the layout
-    verb, and the published ``_delta_log`` re-derives from the mirror
-    on the next publish; compacting the published view directly would
-    fork the trees (republish version arithmetic assumes the log is
-    its own product)."""
+    On a TXN-BACKED root, layout maintenance belongs to whichever
+    log OWNS the data: a Delta-sourced conversion mirror
+    (``mirror_source(root) == "delta"``) may optimize here — this
+    _delta_log IS the source, and the next conversion refresh tracks
+    the rewrite as a live-set diff. Any other txn-backed root (an
+    engine-owned table whose _delta_log is a publish PRODUCT, or an
+    Iceberg-sourced mirror) fails closed: republish re-derives this
+    tree by version arithmetic, and compacting the derived view
+    would fork it — run ``txn_optimize`` (engine-owned) or optimize
+    the source format (conversion mirrors) instead."""
     import time as _time
 
     from .. import txnlog as TL
 
     if TL.is_txn_table(root):
-        raise DeltaUnsupportedError(
-            f"{root}: txn-backed root — layout maintenance belongs "
-            "to the txn tier (txn_optimize), then re-publish/"
-            "re-convert; optimizing the published _delta_log "
-            "directly would fork the trees"
-        )
+        from .convert import mirror_source
+
+        if mirror_source(root) != "delta":
+            raise DeltaUnsupportedError(
+                f"{root}: this _delta_log is a DERIVED view of the "
+                "txn log — optimizing it directly would fork the "
+                "trees; run txn_optimize (engine-owned tables) or "
+                "optimize the source format (conversion mirrors), "
+                "then re-publish/re-convert"
+            )
     io = io_for(root)
     _v, md, adds = delta_snapshot(root)
     part_cols = list(md.get("partitionColumns") or [])
@@ -2909,11 +2842,11 @@ def vacuum_delta(root: str, keep_versions: int = 1) -> dict:
         # are .parquet but never Delta-referenced); metadata /
         # pub-deletes: a coexisting Iceberg view of the same files.
         # Deleting any of these corrupts the sibling log's reads.
-        # _staging_*: a live writer may be staging here.
-        if top in (
-            "_delta_log", "_change_data", "_dv", "_txn_log",
-            "metadata", "pub-deletes",
-        ) or top.startswith("_staging_"):
+        # _staging_*: a live writer may be staging here. ONE list
+        # (refsets.METADATA_DIRS) so the verbs can't drift.
+        from .refsets import METADATA_DIRS
+
+        if top in METADATA_DIRS or top.startswith("_staging_"):
             continue
         fn = os.path.basename(rel)
         if fn.startswith("."):

@@ -1460,24 +1460,10 @@ def refresh_adopt_iceberg(
     deletes decode driver-side here — delete files are
     metadata-sized by construction, the same bound
     :func:`publish_iceberg` documents for its export."""
-    import uuid as _uuid
-
     from .. import txnlog as TL
+    from .mirror import refresh_mirror, require_mirror
 
-    if not TL.is_txn_table(root):
-        raise ValueError(
-            f"{root}: not a txn table — adopt_iceberg first"
-        )
-    head = TL.latest_version(root)
-    for v in range(1, head + 1):
-        op = TL._read_commit(root, v).get("op")
-        if op not in _MIRROR_OPS_ICE:
-            raise ValueError(
-                f"{root}: txn table diverged from its Iceberg mirror "
-                f"at v{v} (op={op!r}) — refresh would clobber engine "
-                "writes; keep converted mirrors read-only, or "
-                "re-adopt into a fresh root"
-            )
+    require_mirror(root, _MIRROR_OPS_ICE, "iceberg")
     md, data, dels = _snapshot_files(root, snapshot_id, spark=spark)
     if any(k == "e" for k, _p, _q, _e in dels):
         raise IcebergUnsupportedError(
@@ -1515,102 +1501,20 @@ def refresh_adopt_iceberg(
                     raw_to_rel[fp], set()
                 ).add(int(pos))
     rels = set(raw_to_rel.values())
-    _hv, live = TL.snapshot(root)
-    _hv, dvm = TL.snapshot_dv(root)
-    from .delta import _dv_sidecar_tables
-
-    dead_mirror: dict[str, set] = {}
-    for f, es in dvm.items():
-        dead: set = set()
-        for e in es:
-            for t in _dv_sidecar_tables(root, e["dv"], io, _pq):
-                dead.update(
-                    p
-                    for ff, p in zip(
-                        t.column("file").to_pylist(),
-                        t.column("pos").to_pylist(),
-                    )
-                    if ff == f
-                )
-        dead_mirror[f] = dead
-    adds_l = sorted(rels - live)
-    removes_l = sorted(live - rels)
-    changed: dict[str, set] = {}
-    for f in sorted(rels):
-        dd = dv_now.get(f, set())
-        if f in live:
-            td = dead_mirror.get(f, set())
-            if dd == td:
-                continue
-            if not dd >= td:
-                raise IcebergUnsupportedError(
-                    f"position-delete set for {f} SHRANK since "
-                    "adoption (a rollback un-deleted rows) — the txn "
-                    "fold unions vectors and cannot un-delete; "
-                    "re-adopt into a fresh mirror"
-                )
-            changed[f] = dd
-        elif dd:
-            changed[f] = dd
     schema_now = None
     try:
-        from .. import txnlog as _TLn
-
-        schema_now = _TLn._nullable_json(iceberg_schema(md))
+        schema_now = TL._nullable_json(iceberg_schema(md))
     except IcebergUnsupportedError:
         pass
-    schema_rec = (
-        schema_now
-        if schema_now is not None
-        and schema_now != TL.table_schema_json(root)
-        else None
-    )
-    if not adds_l and not removes_l and not changed and not schema_rec:
-        return head
-    deletes = None
-    if changed:
-        import io as _bio
-
-        import pyarrow as _pa
-
-        dv_rel = os.path.join(
-            "_dv", f"refresh-{_uuid.uuid4().hex[:12]}"
-        )
-        rows_f: list[str] = []
-        rows_p: list[int] = []
-        for f in sorted(changed):
-            for p in sorted(changed[f]):
-                rows_f.append(f)
-                rows_p.append(int(p))
-        buf = _bio.BytesIO()
-        _pq.write_table(
-            _pa.table(
-                {
-                    "file": _pa.array(rows_f, _pa.string()),
-                    "pos": _pa.array(rows_p, _pa.int64()),
-                }
-            ),
-            buf,
-        )
-        io.put_bytes(
-            os.path.join(root, dv_rel, "part-00000.parquet"),
-            buf.getvalue(),
-        )
-        deletes = {
-            f: {"dv": dv_rel, "n": len(ps)}
-            for f, ps in changed.items()
-        }
-    return TL.commit(
+    return refresh_mirror(
+        spark,
         root,
-        adds_l,
-        removes_l,
         "adopt-iceberg-refresh",
-        [],
-        base_version=head,
-        writer=writer,
-        stats=TL.collect_file_stats(root, adds_l, spark=spark),
-        deletes=deletes,
-        schema_json=schema_rec,
+        rels,
+        dv_now,
+        schema_now,
+        IcebergUnsupportedError,
+        writer,
     )
 
 
@@ -1880,9 +1784,24 @@ def publish_iceberg(
     if not TL.is_txn_table(txn_root):
         raise ValueError(f"{txn_root}: not a txn table")
     head = TL.latest_version(txn_root)
-    vs = sorted(versions) if versions else list(range(1, head + 1))
+    # versions below the fold horizon were released by
+    # txn_log_cleanup: they cannot be walked (reads raise) and so
+    # cannot be (re)published — the snapshot set shrinks with txn
+    # retention, exactly the delta-side contract
+    horizon = TL.fold_horizon(txn_root)
+    vs = (
+        sorted(versions)
+        if versions
+        else list(range(horizon, head + 1))
+    )
     if not vs or vs[0] < 1 or vs[-1] > head:
         raise ValueError(f"versions {vs} out of range 1..{head}")
+    if vs[0] < horizon:
+        raise ValueError(
+            f"versions below {horizon} were released by "
+            "txn_log_cleanup and cannot be published — pass versions "
+            f">= {horizon}, or publish before cleaning the log"
+        )
     if partition_spec and any(
         any(TL.snapshot_dv(txn_root, v)[1].values()) for v in vs
     ):
@@ -1897,6 +1816,26 @@ def publish_iceberg(
             "rewrite the deletes away (txn_optimize) first"
         )
     spec_fields: list[dict] | None = None
+
+    # Re-publish (each incremental conversion refresh) must not redo
+    # the expensive work for already-published versions: manifest
+    # files and position-delete exports are CONTENT-STABLE per
+    # (version, name) — footer bounds of immutable files, sorted
+    # entries — so an existing file is reused as-is. Only the
+    # manifest LISTS and metadata JSON (which carry per-call sequence
+    # numbers / lineage) are rewritten.
+    pub_io = io_for(txn_root)
+    meta_dir_p = _meta_dir(txn_root)
+
+    def _ensure_manifest(name, entries, sid, fields2, spec2=None,
+                         content=0):
+        if not pub_io.exists(os.path.join(meta_dir_p, name)):
+            write_manifest(
+                txn_root, name, entries, sid,
+                schema_fields=fields2,
+                partition_spec_fields=spec2,
+                entry_content=content,
+            )
 
     name_to_id: dict[str, int] = {}
     schemas: list[list[dict]] = []
@@ -1942,11 +1881,18 @@ def publish_iceberg(
         full_added[v] = set(new)
         mlist: list = []
         if new:
-            name = f"pub-added-{v}.avro"
-            write_manifest(
-                txn_root, name, [(1, r) for r in new], sid,
-                schema_fields=fields,
-                partition_spec_fields=spec_fields,
+            # the window's FIRST version after a cleanup horizon is a
+            # BASE snapshot (its "new" set is the whole live set, not
+            # v's incremental adds) — distinct name, or the reuse
+            # check would serve a stale incremental manifest
+            name = (
+                f"pub-base-{v}.avro"
+                if v == vs[0] and v > 1
+                else f"pub-added-{v}.avro"
+            )
+            _ensure_manifest(
+                name, [(1, r) for r in new], sid, fields,
+                spec2=spec_fields,
             )
             added_manifest[v] = name
             mlist.append((name, sid, 0, pos_of[v]))
@@ -1967,25 +1913,33 @@ def publish_iceberg(
             ):
                 mlist.append((added_manifest[w], sid_of[w], 0, pos_of[w]))
             else:
-                name = f"pub-prune-{w}-at-{v}.avro"
+                # same base-vs-incremental naming rule as above: the
+                # adder attribution of a base version differs from
+                # the pre-cleanup window's, so the names must too
+                name = (
+                    f"pub-prune-base-{w}-at-{v}.avro"
+                    if w == vs[0] and w > 1
+                    else f"pub-prune-{w}-at-{v}.avro"
+                )
                 entries = [(0, r, sid_of[w]) for r in sorted(surv)] + [
                     (2, r, sid) for r in sorted(gone_by_adder.get(w, ()))
                 ]
-                write_manifest(
-                    txn_root, name, entries, sid, schema_fields=fields,
-                    partition_spec_fields=spec_fields,
+                _ensure_manifest(
+                    name, entries, sid, fields, spec2=spec_fields
                 )
                 mlist.append((name, sid, 0, pos_of[v]))
         # a deleting version whose adder has NO survivors still needs
         # the tombstones recorded in ITS manifest list
         for w, gset in sorted(gone_by_adder.items()):
             if w not in by_adder:
-                name = f"pub-prune-{w}-at-{v}.avro"
-                write_manifest(
-                    txn_root, name,
-                    [(2, r, sid) for r in sorted(gset)],
-                    sid, schema_fields=fields,
-                    partition_spec_fields=spec_fields,
+                name = (
+                    f"pub-prune-base-{w}-at-{v}.avro"
+                    if w == vs[0] and w > 1
+                    else f"pub-prune-{w}-at-{v}.avro"
+                )
+                _ensure_manifest(
+                    name, [(2, r, sid) for r in sorted(gset)],
+                    sid, fields, spec2=spec_fields,
                 )
                 mlist.append((name, sid, 0, pos_of[v]))
         # DELETION VECTORS export as v2 POSITION DELETES: each
@@ -1995,7 +1949,15 @@ def publish_iceberg(
         # content=1 manifest whose sequence number (= this snapshot's
         # position) is >= every live data file's, so the spec's
         # dseq >= fseq application rule engages exactly
-        if any(dvs.get(f) for f in live):
+        if any(dvs.get(f) for f in live) and pub_io.exists(
+            os.path.join(txn_root, f"pub-deletes/del-{v}.parquet")
+        ) and pub_io.exists(
+            os.path.join(meta_dir_p, f"pub-delman-{v}.avro")
+        ):
+            # content-stable republish: the export for this version
+            # already exists — reuse it without re-decoding sidecars
+            mlist.append((f"pub-delman-{v}.avro", sid, 1, pos_of[v]))
+        elif any(dvs.get(f) for f in live):
             import pyarrow as _pa
             import pyarrow.parquet as _pq
 
@@ -2458,22 +2420,30 @@ def optimize_iceberg(
     :func:`expire_snapshots`). Fails closed while merge-on-read
     DELETE FILES are live — compacting under them would need the
     sequence-rule re-application; materialize the deletes first.
-    Also fails closed on a TXN-BACKED root (a publish/convert
-    product): the txn log owns the data there — ``txn_optimize`` is
-    the layout verb and republish re-derives this tree; compacting
-    the published view directly would fork the trees."""
+    On a TXN-BACKED root, layout maintenance belongs to whichever
+    log OWNS the data: an Iceberg-sourced conversion mirror
+    (``mirror_source(root) == "iceberg"``) may optimize here — this
+    metadata tree IS the source and the next conversion refresh
+    tracks the rewrite. Any other txn-backed root (engine-owned, or
+    a Delta-sourced mirror whose metadata/ is a publish PRODUCT)
+    fails closed: republish re-derives this tree, and compacting the
+    derived view would fork it."""
     import time as _time
     import uuid as _uuid
 
     from .. import txnlog as _TLo
 
     if _TLo.is_txn_table(root):
-        raise IcebergUnsupportedError(
-            f"{root}: txn-backed root — layout maintenance belongs "
-            "to the txn tier (txn_optimize), then re-publish/"
-            "re-convert; optimizing the published metadata tree "
-            "directly would fork the trees"
-        )
+        from .convert import mirror_source
+
+        if mirror_source(root) != "iceberg":
+            raise IcebergUnsupportedError(
+                f"{root}: this metadata tree is a DERIVED view of "
+                "the txn log — optimizing it directly would fork "
+                "the trees; run txn_optimize (engine-owned tables) "
+                "or optimize the source format (conversion "
+                "mirrors), then re-publish/re-convert"
+            )
 
     # list the version FIRST, then fold from exactly that metadata:
     # the commit below pins its CAS to cur_v + 1, so a rival landing

@@ -144,22 +144,19 @@ def iceberg_referenced(root: str) -> set[str]:
     io = io_for(root)
     if not io.is_dir(_meta_dir(root)):
         return set()
-    try:
-        if not _metadata_versions(root=root):
-            return set()
-        md = iceberg_metadata(root)
-    except (OSError, ValueError, KeyError):
-        return set()
+    if not _metadata_versions(root=root):
+        return set()  # a bare metadata/ dir is not an Iceberg tree
+    # NO error swallowing past this point: this set gates DELETION —
+    # an unreadable sibling tree must abort the maintenance call
+    # (fail closed), never silently protect nothing
+    md = iceberg_metadata(root)
     refs: set[str] = set()
     for s in md.get("snapshots", []):
         ml = _resolve(root, md, s["manifest-list"])
         rel = _rel_under(root, ml)
         if rel is not None:
             refs.add(rel)
-        try:
-            _s, mans = AV.read_container_file(ml)
-        except OSError:
-            continue  # expired snapshot entry in an old metadata form
+        _s, mans = AV.read_container_file(ml)
         for mf in mans:
             mp = _resolve(root, md, mf["manifest_path"])
             mrel = _rel_under(root, mp)
@@ -197,10 +194,9 @@ def txn_referenced(root: str) -> tuple[set[str], set[str]]:
     log = TL._log_dir(root)
     cps = TL._cp_list(log)
     for cpv in cps:
-        try:
-            _v, tbl = TL._fold_arrow(root, cpv)
-        except (OSError, json.JSONDecodeError, ValueError):
-            continue
+        # fail closed: an unreadable checkpoint means this set would
+        # under-protect — abort the maintenance call instead
+        _v, tbl = TL._fold_arrow(root, cpv)
         files |= {
             os.path.normpath(r)
             for r in tbl.column("rel").to_pylist()
@@ -215,8 +211,9 @@ def txn_referenced(root: str) -> tuple[set[str], set[str]]:
     for v in range(1, head + 1):
         try:
             c = TL._read_commit(root, v)
-        except (OSError, json.JSONDecodeError):
-            continue  # cleaned away: below-horizon reads raise anyway
+        except FileNotFoundError:
+            continue  # released by txn_log_cleanup: cannot serve reads
+        # any OTHER read/parse error fails closed (deletion gate)
         files |= {
             os.path.normpath(r) for r in c.get("adds") or []
         }

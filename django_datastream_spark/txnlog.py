@@ -2796,10 +2796,15 @@ def txn_vacuum(
     # delete a data file the sibling's remaining history still
     # references — each log reclaims only what EVERY coexisting log
     # has let go (sources/refsets.py, the stated retention contract)
-    from .sources.refsets import is_protected, sibling_referenced
+    from .sources.refsets import (
+        METADATA_DIRS, is_protected, sibling_referenced,
+    )
 
-    _SIBLING_META = ("_delta_log", "_change_data", "metadata",
-                     "pub-deletes")
+    # the shared list minus this tier's OWN planes (_dv is swept by
+    # the keep_dv_dirs rule below; _txn_log holds no .parquet)
+    _SIBLING_META = tuple(
+        d for d in METADATA_DIRS if d not in ("_dv", "_txn_log")
+    )
     sib_files, sib_dirs = sibling_referenced(root, exclude="txn")
     cutoff = time.time() - min_age_s
     orphans = []
@@ -2836,6 +2841,34 @@ def txn_vacuum(
             except OSError:
                 pass
     return removed
+
+
+def fold_horizon(table_root: str) -> int:
+    """The OLDEST version still foldable after log cleanup: the
+    smallest ``v`` such that every version in ``[v, head]`` resolves
+    through a remaining checkpoint + intact commit tail. 1 on an
+    uncleaned log. Every consumer that walks versions ``1..head``
+    (publish, refresh, lineage checks) must start here instead —
+    versions below the horizon raise on read and cannot be walked."""
+    head = latest_version(table_root)
+    if head == 0:
+        return 1
+    log = _log_dir(table_root)
+    present = {
+        int(n[1:-5])
+        for n in _store(log).list(log)
+        if n.startswith("v") and n.endswith(".json")
+    }
+    best = None
+    for b in [0] + _cp_list(log):
+        if b > head:
+            continue
+        if all(v in present for v in range(b + 1, head + 1)):
+            cand = max(b, 1)
+            best = cand if best is None else min(best, cand)
+    # the head commit itself always survives cleanup, so at worst the
+    # head alone is foldable (through the checkpoint at head)
+    return best if best is not None else head
 
 
 def txn_log_cleanup(table_root: str, keep_commits: int = 0) -> dict:

@@ -364,15 +364,27 @@ def test_convert_external_table_by_name(spark, tmp_path):
         ds.convert_external_table("src", "delta")
 
 
-def test_optimize_refused_on_txn_backed_roots(spark, tmp_path):
-    """Layout maintenance on a publish/convert PRODUCT tree would
-    fork it from the txn mirror (republish re-derives the tree) —
-    both optimize verbs fail closed with the txn_optimize
-    remediation."""
+def test_optimize_refused_on_derived_trees(spark, tmp_path):
+    """Layout maintenance belongs to whichever log OWNS the data:
+    on a Delta-sourced conversion mirror the derived Iceberg view
+    refuses optimize (republish re-derives it), and on an
+    engine-owned publish root BOTH foreign views refuse (txn_optimize
+    is the verb there). Source-side optimize on a mirror is allowed —
+    pinned in test_review_r11b."""
     root = str(tmp_path / "t")
     _build_plain_delta(root)
     CV.convert_delta_to_iceberg(spark, root)
-    with pytest.raises(IB.IcebergUnsupportedError, match="txn-backed"):
+    with pytest.raises(IB.IcebergUnsupportedError, match="DERIVED"):
         IB.optimize_iceberg(spark, root, target_file_bytes=1 << 20)
-    with pytest.raises(DL.DeltaUnsupportedError, match="txn-backed"):
-        DL.optimize_delta(spark, root, target_file_bytes=1 << 20)
+    # engine-owned txn root, published both ways: both views refuse
+    eroot = str(tmp_path / "e")
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 0.5).alias("val")
+    )
+    TL.txn_append(spark, df, eroot, [])
+    DL.publish_delta(spark, eroot)
+    IB.publish_iceberg(spark, eroot)
+    with pytest.raises(DL.DeltaUnsupportedError, match="DERIVED"):
+        DL.optimize_delta(spark, eroot, target_file_bytes=1 << 20)
+    with pytest.raises(IB.IcebergUnsupportedError, match="DERIVED"):
+        IB.optimize_iceberg(spark, eroot, target_file_bytes=1 << 20)
