@@ -1294,13 +1294,15 @@ def delta_versions(root: str) -> list[int]:
     return _commit_versions(root)
 
 
-def _commit_timestamp_ms(
+def _commit_timestamp_raw(
     root: str, v: int, io: FileIO | None = None
 ) -> int:
-    """A commit's timestamp: ``commitInfo.timestamp`` when the commit
-    carries one (in-commit timestamps — what real writers stamp),
-    else the commit file's modification time — the spec's resolution
-    order."""
+    """One commit's RAW timestamp: ``commitInfo.timestamp`` when the
+    commit carries one (in-commit timestamps — what real writers
+    stamp), else the commit file's modification time — the spec's
+    resolution order. Raw values can COLLIDE (commits landing within
+    one clock tick share an mtime); every consumer goes through the
+    monotonized form below."""
     io = io or io_for(root)
     path = os.path.join(_log_dir(root), f"{v:020d}.json")
     try:
@@ -1318,6 +1320,38 @@ def _commit_timestamp_ms(
     return int(io.mtime(path) * 1000)
 
 
+def _commit_timestamps_monotonic(
+    root: str, versions, io: FileIO | None = None
+) -> dict:
+    """version -> EFFECTIVE timestamp for every version in
+    ``versions``, with Delta's monotonization rule applied: a
+    commit's effective timestamp is at least 1 ms after its
+    predecessor's (delta-io's public behavior — file modification
+    times are adjusted so timestamp resolution is a TOTAL order even
+    when a fast writer lands several commits within one clock tick).
+    One commit read per version."""
+    io = io or io_for(root)
+    out: dict = {}
+    prev = None
+    for v in sorted(versions):
+        t = _commit_timestamp_raw(root, v, io)
+        if prev is not None and t <= prev:
+            t = prev + 1
+        out[v] = t
+        prev = t
+    return out
+
+
+def _commit_timestamp_ms(
+    root: str, v: int, io: FileIO | None = None
+) -> int:
+    """The MONOTONIZED timestamp of commit ``v`` (adjusted over its
+    predecessors — O(v) commit reads; batch consumers use
+    :func:`_commit_timestamps_monotonic` directly)."""
+    vs = [w for w in _commit_versions(root, io) if w <= v]
+    return _commit_timestamps_monotonic(root, vs, io)[v]
+
+
 def delta_version_at(root: str, timestamp_ms: int) -> int:
     """AS OF TIMESTAMP resolution: the newest commit whose timestamp
     is <= the pin (Delta's rule). Raises when the pin predates the
@@ -1329,9 +1363,9 @@ def delta_version_at(root: str, timestamp_ms: int) -> int:
             f"{root}: no JSON commits — timestamp travel needs the "
             "commit files (cleaned up past retention)"
         )
+    ts_of = _commit_timestamps_monotonic(root, versions)
     cand = [
-        v for v in versions
-        if _commit_timestamp_ms(root, v) <= int(timestamp_ms)
+        v for v in versions if ts_of[v] <= int(timestamp_ms)
     ]
     if not cand:
         raise ValueError(

@@ -201,13 +201,14 @@ class DeltaTableStreamReader(DataSourceStreamReader):
             )
         if st is not None:
             # first batch starts at the first commit AT/after the
-            # timestamp (Delta's startingTimestamp contract)
+            # timestamp (Delta's startingTimestamp contract), over
+            # MONOTONIZED timestamps so the resolution is a total
+            # order even when commits share one clock tick
             vs = sorted(self._list_versions())
-            after = [
-                v for v in vs
-                if DL._commit_timestamp_ms(self.path, v, self._io)
-                >= int(st)
-            ]
+            ts_of = DL._commit_timestamps_monotonic(
+                self.path, vs, self._io
+            )
+            after = [v for v in vs if ts_of[v] >= int(st)]
             self.start_v = (after[0] - 1) if after else (
                 vs[-1] if vs else -1
             )

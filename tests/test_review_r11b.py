@@ -153,3 +153,23 @@ def test_republish_reuses_content_stable_manifests(spark, tmp_path):
     assert os.path.exists(
         os.path.join(root, "metadata", "pub-added-2.avro")
     )
+
+
+def test_commit_timestamps_monotonized_under_clock_ties(tmp_path):
+    """Delta's timestamp rule: commits landing within one clock tick
+    (shared mtime) still resolve in a TOTAL order — the flake class
+    the full-suite run surfaced (startingTimestamp resolving to the
+    wrong commit under load)."""
+    root = str(tmp_path / "t")
+    _build_plain_delta(root)
+    # force ALL commit files onto one clock tick
+    log = os.path.join(root, "_delta_log")
+    t = os.path.getmtime(os.path.join(log, f"{0:020d}.json"))
+    for v in (0, 1):
+        os.utime(os.path.join(log, f"{v:020d}.json"), (t, t))
+    ts0 = DL._commit_timestamp_ms(root, 0)
+    ts1 = DL._commit_timestamp_ms(root, 1)
+    assert ts1 == ts0 + 1  # monotonized, not equal
+    # version-at resolution is deterministic at the boundary
+    assert DL.delta_version_at(root, ts0) == 0
+    assert DL.delta_version_at(root, ts1) == 1
