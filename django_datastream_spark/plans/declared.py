@@ -817,7 +817,9 @@ def q29(spark, sf_dir):
     """,
 )
 def q30(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    # scatter (guide §2): the brute-force fold runs in the scan stage;
+    # a single-row-group fixture otherwise serializes it on one core
+    emb = load_table(spark, sf_dir, "embeddings", scatter=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
 

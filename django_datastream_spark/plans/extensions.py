@@ -178,7 +178,7 @@ def q36(spark, sf_dir):
     # doc_id < 200 @ threshold 0.02 is non-vacuous at every test sf
     # (57 pairs at sf0.001, 58 at sf0.01) — a 0-row hash match proves
     # nothing, per the round-4 advisor note on q12.
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = load_table(spark, sf_dir, "documents", scatter=True).filter(F.col("doc_id") < 200)
     pairs = dd.jaccard_pairs(docs, pairs=None, shingle_n=3)
     return (
         pairs.filter(F.col("jaccard") >= 0.02)
@@ -281,7 +281,7 @@ def q46(spark, sf_dir):
     """,
 )
 def q37(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    emb = load_table(spark, sf_dir, "embeddings", scatter=True).filter(F.col("vec_id") < 200)
     return (
         dd.cosine_near_pairs(emb, threshold=0.35)
         .select("a", "b", F.round("cosine", 4).alias("cosine"))
@@ -441,7 +441,7 @@ def q53(spark, sf_dir):
     """,
 )
 def q48(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = load_table(spark, sf_dir, "documents", scatter=True).filter(F.col("doc_id") < 200)
     return (
         dd.minhash_lsh_dedup_md5(docs, threshold=0.5)
         .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
@@ -836,7 +836,7 @@ def q59(spark, sf_dir):
     a sound length-difference prefilter. The oracle replicates the
     blocking exactly (same md5 seeds/bands as q48, same offset grids as
     q44)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", scatter=True)
     return (
         dd.levenshtein_near_pairs(docs, threshold=0.4)
         .select("a", "b", "dist", (F.round("sim", 4) + F.lit(0.0)).alias("sim"))
@@ -869,7 +869,7 @@ def q65(spark, sf_dir):
     per cluster (the min doc id) with its cluster size. Oracle: the
     same pair CTEs + a recursive-CTE transitive closure (q45's
     pattern)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", scatter=True)
     pairs = dd.levenshtein_near_pairs(docs, threshold=0.4)
     clusters = dd.dedup_clusters(docs, pairs)
     return (
@@ -1267,7 +1267,7 @@ def q72(spark, sf_dir):
     exact-gram q54 misses when benchmarks leak with drift. The mod-3
     split intentionally separates a planted near-dup pair (jaccard 0.97)
     across train/eval so the match path is live at the gate."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", scatter=True)
     ev = docs.filter(F.col("doc_id") % 3 == 0)
     train = docs.filter(F.col("doc_id") % 3 != 0)
     return (
@@ -1489,7 +1489,7 @@ def q77(spark, sf_dir):
     the shuffle.  Linear in corpus tokens at any scale."""
     from ..operators import spans as sp
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", scatter=True)
     return sp.duplicate_ngram_spans(docs, n=12, min_docs=2).orderBy("gram_h")
 
 
@@ -1526,7 +1526,7 @@ def q78(spark, sf_dir):
     or the doc id, nothing corpus-global."""
     from ..operators import spans as sp
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", scatter=True)
     out = sp.span_dup_coverage(docs, n=12, min_docs=2)
     return out.withColumn(
         "dup_ratio", F.col("dup_ratio") + F.lit(0.0)
@@ -1575,7 +1575,16 @@ def q79(spark, sf_dir):
     regexp_replace chain from PII_PATTERNS (email -> phone -> ipv4)
     plus per-category audit counts on the original text. Pure column
     expressions — whole-stage codegen end to end, trivially linear at
-    any corpus size."""
+    any corpus size.
+
+    Plan shape (optimization r11, guide §1.4/§2.4): the final orderBy
+    runs BELOW the regex projection — range-partition sampling
+    re-executes the sort's child, so sorting the two narrow id columns
+    first and projecting the 6-regex chain above the Sort halves the
+    query (the regex tail is evaluated once, and the sampling pass
+    reads only two longs from parquet). Measured 3.72 s → 1.84 s at
+    sf0.1; row order is unchanged (per-row projection over a sorted
+    exchange preserves order)."""
     ev = load_table(spark, sf_dir, "events")
     contact = F.concat(
         F.lit("reach u"), F.col("user_id").cast("string"),
@@ -1589,13 +1598,17 @@ def q79(spark, sf_dir):
         (F.col("event_id") % 256).cast("string"),
         F.lit(".7"),
     )
-    base = ev.select("event_id", contact.alias("contact"))
+    base = (
+        ev.select("event_id", "user_id")
+        .orderBy("event_id")
+        .select("event_id", contact.alias("contact"))
+    )
     cnts = tx.pii_counts(F.col("contact"))
     return base.select(
         "event_id",
         tx.redact_pii(F.col("contact")).alias("redacted"),
         *[cnts[c].alias(f"n_{c}") for c in cnts],
-    ).orderBy("event_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -4346,7 +4359,7 @@ def q130(spark, sf_dir):
     orientation.  (cnt DESC, pa, pb) is a total order, so the LIMIT
     is deterministic."""
     lp = (
-        load_table(spark, sf_dir, "lineitem")
+        load_table(spark, sf_dir, "lineitem", scatter=True)
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
@@ -4591,7 +4604,7 @@ def q134(spark, sf_dir):
     never source×source×corpus) → pair count.  Join fan-out per chunk
     is (#sources containing it)², bounded by the source count, not the
     corpus."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", scatter=True)
     ch = (
         tx.chunk_documents(docs, chunk_size=10, stride=10)
         .filter(F.col("n_chunk_tokens") == 10)

@@ -35,6 +35,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalesce floor decides how far byte-light stages collapse.
+        # The 1 MB default is a byte heuristic that cannot see COMPUTE
+        # density: a post-shuffle stage of regex chains / codec decodes /
+        # HOF folds over a few hundred KB coalesces to ONE task and
+        # serializes on one core (measured 2-5x on the regex/fold-heavy
+        # declared queries, OPTIMIZATION_r11.md). 64 KB keeps such stages
+        # parallel; at cluster scale real partitions sit far above either
+        # floor, so the knob is inert there — override via env for
+        # deployments that want the stock byte floor back.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_COALESCE_MIN", "64kb"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # driver testdata ships TIMESTAMP(NANOS) parquet which the Spark

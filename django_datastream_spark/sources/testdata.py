@@ -66,11 +66,34 @@ def _bound_to_ns(b) -> int:
     return secs * 1_000_000_000 + b.microsecond * 1000
 
 
+def scatter_for_compute(df: DataFrame, input_bytes: int | None = None) -> DataFrame:
+    """Fan a small scan out to the session's parallelism ahead of a
+    CPU-heavy per-row stage (guide §2: partitioning derived from input
+    size, not a constant).
+
+    A single-row-group parquet file reads as ONE task no matter the
+    cluster size (byte-range splits cannot divide a row group), so a
+    regex/minhash/codec stage over it serializes on one core while the
+    rest idle. The round-robin exchange here costs one shuffle of the
+    (tiny) input and buys ``defaultParallelism``-way compute. The
+    size guard makes it scale-adaptive: when the input is big enough
+    that the scan already carries at least ``defaultParallelism``
+    byte-splits (the 100 TB case), this is a no-op — no payload
+    shuffle is ever added at real scale.
+    """
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    if input_bytes is not None and input_bytes >= par * 128 * 1024 * 1024:
+        return df
+    return df.repartition(par)
+
+
 def load_table(
     spark: SparkSession,
     sf_dir: str,
     name: str,
     ts_filters: list[tuple[str, str, object]] | None = None,
+    scatter: bool = False,
 ) -> DataFrame:
     """Load one testdata table, normalizing ns-timestamps to TimestampType.
 
@@ -120,6 +143,11 @@ def load_table(
     for c in ns_cols:
         # BIGINT nanos (legacy.nanosAsLong) → µs TimestampType, exact.
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    if scatter:
+        # callers flag tables feeding CPU-dense per-row operators
+        # (minhash, gram build, codec decode); no-op at real scale —
+        # see scatter_for_compute
+        df = scatter_for_compute(df, os.path.getsize(path))
     return df
 
 

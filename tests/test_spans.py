@@ -199,3 +199,39 @@ def test_longest_shared_spans_crafted(spark):
     # 5-token overlap and the other may be under-reported
     assert out5[(1, 2)] == 5
     assert out5[(0, 1)] == 15
+
+
+def test_interval_union_fold_matches_bruteforce(spark):
+    """r11 optimization pin: the per-doc interval-union fold inside
+    span_dup_coverage must equal the brute-force count of distinct
+    covered token positions (the pre-r11 formulation) on a corpus dense
+    enough to produce overlapping, adjacent, and disjoint duplicated
+    spans."""
+    rng = _random.Random(7)
+    vocab = [f"w{i}" for i in range(8)]  # tiny vocab -> many dup grams
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 40))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 3
+    out = {
+        r["doc_id"]: r["covered"]
+        for r in sp.span_dup_coverage(df, n=n, min_docs=2).collect()
+    }
+    # brute force in python: find grams occurring in >=2 distinct docs,
+    # then union their [pos, pos+n-1] windows per doc
+    toks = {i: t.split() for i, t in rows}
+    from collections import defaultdict
+
+    where = defaultdict(set)
+    for i, tk in toks.items():
+        for p in range(len(tk) - n + 1):
+            where[" ".join(tk[p : p + n])].add(i)
+    dup = {g for g, ds in where.items() if len(ds) >= 2}
+    for i, tk in toks.items():
+        covered = set()
+        for p in range(len(tk) - n + 1):
+            if " ".join(tk[p : p + n]) in dup:
+                covered.update(range(p, p + n))
+        assert out[i] == len(covered), (i, out[i], len(covered))
