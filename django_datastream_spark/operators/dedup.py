@@ -391,6 +391,7 @@ def dedup_clusters(
         )
         hop1 = labels.join(nbr, "x", "left").select(
             "x",
+            F.col("cluster_id").alias("_pre"),
             F.least(
                 F.col("cluster_id"), F.coalesce("_nl", F.col("cluster_id"))
             ).alias("cluster_id"),
@@ -401,23 +402,25 @@ def dedup_clusters(
         lmap = hop1.select(
             F.col("x").alias("_cx"), F.col("cluster_id").alias("_ll")
         )
+        # r11 (guide §1.2 — fewer driver-orchestrated jobs per round):
+        # the convergence probe rides the SAME materialization — the
+        # pre-round label (`_pre`, labels.cluster_id carried through
+        # both joins) makes `changed` a filter over the persisted
+        # frame, replacing the old-vs-new shuffle join the pre-r11
+        # shape ran as a second job per round
         new_labels = (
             hop1.join(lmap, hop1["cluster_id"] == lmap["_cx"], "left")
             .select(
                 "x",
+                "_pre",
                 F.least(
                     F.col("cluster_id"), F.coalesce("_ll", F.col("cluster_id"))
-                ).alias("cluster_id"),
+                ).alias("_half"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "x")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .head(1)
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_half") != F.col("_pre")).head(1)
+        labels = new_labels.select("x", F.col("_half").alias("cluster_id"))
         if not changed:
             break
     dedup_clusters.last_rounds = rounds

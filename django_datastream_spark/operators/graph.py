@@ -104,17 +104,30 @@ def k_core(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     (node, core) for every node with >= 1 edge (isolated nodes are
     core 0 and never appear in an edge list).
 
-    Distributed peeling: for k = 1, 2, ... repeatedly drop nodes whose
-    remaining degree is < k (each drop assigns core = k-1), until the
-    edge set empties. Like connected components (q45 family), the
-    convergence loop is driver-side BY NECESSITY — Spark has no
-    recursive SQL — but every round is one degree hash-agg plus one
-    anti-join, each round's edge set is lineage-truncated with an
-    eager localCheckpoint (the CC fixpoint's discipline — a growing
-    logical plan, not the data, is what kills iterative jobs), and
-    the round count is bounded by the degeneracy of
-    the graph (tiny for real corpora: web graphs ~ hundreds), never by
-    node count. Peeling at stage k removes nodes in NON-INCREASING
+    Distributed peeling: repeatedly drop nodes whose remaining degree
+    is < k (each drop assigns core = k-1), until the node set empties.
+    Like connected components (q45 family), the convergence loop is
+    driver-side BY NECESSITY — Spark has no recursive SQL — but every
+    round is one degree hash-agg plus anti-joins, each round's edge
+    set is lineage-truncated with an eager localCheckpoint (the CC
+    fixpoint's discipline — a growing logical plan, not the data, is
+    what kills iterative jobs), and the round count is bounded by the
+    peel-wave count (<= degeneracy + chain depth of the graph — tiny
+    for real corpora: web graphs ~ hundreds), never by node count.
+
+    Optimization r11 (guide §1.2 — fewer driver-orchestrated jobs per
+    round): ONE materialization per peel wave. Each round checkpoints
+    the surviving nodes' degree table once and reads both the stage
+    jump and the peel set from it: dmin >= k means stages (k, dmin]
+    would peel nothing, so jump straight to k = dmin + 1 (the first
+    stage that removes anything — every round now peels at least one
+    node); low = degree < k is a cheap filter over the persisted
+    degrees. The pre-r11 shape ran an inner fixpoint per stage whose
+    last iteration always peeled nothing and re-aggregated degrees a
+    third time for the jump probe — ~6 jobs per stage vs 4 per wave
+    now, with identical peel order (k only advances once nothing
+    remains below it, the same invariant; pinned by test_graph and the
+    q190 closed-form oracle). Peeling removes nodes in NON-INCREASING
     edge volume, so per-round cost shrinks monotonically."""
     e = (
         edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
@@ -134,54 +147,54 @@ def k_core(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     )
     cores = []
     k = 1
-    while not nodes.isEmpty():
-        while True:
-            deg = (
-                e.select(F.col("x").alias("n"))
-                .unionAll(e.select(F.col("y").alias("n")))
-                .groupBy("n")
-                .agg(F.count(F.lit(1)).alias("d"))
-            )
-            low = (
-                nodes.join(deg, "n", "left")
-                .filter(F.coalesce(F.col("d"), F.lit(0)) < k)
-                .select("n")
-                .localCheckpoint(eager=True)
-            )
-            if low.isEmpty():
-                break
-            cores.append(
-                low.select(
-                    F.col("n").alias("node"),
-                    F.lit(k - 1).cast("int").alias("core"),
-                )
-            )
-            nodes = nodes.join(low, "n", "left_anti").localCheckpoint(
-                eager=True
-            )
-            e = (
-                e.join(low.withColumnRenamed("n", "x"), "x", "left_anti")
-                .join(low.withColumnRenamed("n", "y"), "y", "left_anti")
-                .select("x", "y")
-                .localCheckpoint(eager=True)
-            )
-        # every stage in (k, dmin+1) would peel nothing (all remaining
-        # degrees are >= dmin >= k) — jump straight to the first stage
-        # that removes anything; exact, and collapses the no-op rounds
-        # a stepwise k pays on graphs with degree gaps
-        row = (
+    empty = nodes.isEmpty()
+    while not empty:
+        deg = (
             e.select(F.col("x").alias("n"))
             .unionAll(e.select(F.col("y").alias("n")))
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d"))
-            .agg(F.min("d").alias("m"))
-            .collect()
         )
-        dmin = row[0]["m"]
-        if dmin is None:
-            k += 1  # only isolated survivors remain; next pass sweeps
-        else:
-            k = max(k + 1, int(dmin) + 1)
+        degs = (
+            nodes.join(deg, "n", "left")
+            .select("n", F.coalesce(F.col("d"), F.lit(0)).alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        # ONE driver read per wave: the (tiny — <= max degree + 1 rows)
+        # degree histogram yields the stage jump, the peel size, AND the
+        # termination test, replacing the separate min-probe and
+        # isEmpty jobs of the stepwise shape
+        hist = {
+            r["d"]: r["c"]
+            for r in degs.groupBy("d")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        dmin = min(hist)
+        if dmin >= k:
+            # no surviving node is below any stage in (k, dmin] — jump
+            # to the first stage that peels (exact: all degrees >= dmin)
+            k = int(dmin) + 1
+        low = degs.filter(F.col("d") < k).select("n")
+        cores.append(
+            low.select(
+                F.col("n").alias("node"),
+                F.lit(k - 1).cast("int").alias("core"),
+            )
+        )
+        n_low = sum(c for d, c in hist.items() if d < k)
+        empty = n_low == sum(hist.values())
+        if empty:
+            break  # last wave peels everyone — no survivor state to build
+        # survivors derive from the PERSISTED degree table (a filter,
+        # not a new checkpoint); only the edge set needs materializing
+        nodes = degs.filter(F.col("d") >= k).select("n")
+        e = (
+            e.join(low.withColumnRenamed("n", "x"), "x", "left_anti")
+            .join(low.withColumnRenamed("n", "y"), "y", "left_anti")
+            .select("x", "y")
+            .localCheckpoint(eager=True)
+        )
     if not cores:
         # empty graph: node type must still follow the edge columns
         # (string ids etc.), not a hardcoded long (r7 ADVICE)

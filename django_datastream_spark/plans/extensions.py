@@ -4403,18 +4403,65 @@ def q131(spark, sf_dir):
     """Equi-depth (decile) histogram the scale-true way: boundaries
     come from ONE percentile aggregate (9 doubles — broadcast to every
     task), and band assignment is a row-local array scan, so there is
-    no global sort and no ntile window collapsing the table onto a
-    single reducer.  At 100 TB the only change is `approx_percentile`
+    no ntile window collapsing the table onto a single reducer for
+    assignment.  At 100 TB the only change is `approx_percentile`
     for the boundary agg (the q64 sketch pairing); assignment is
     untouched.  Spark `percentile` == DuckDB `quantile_cont`
-    (both linear-interpolation), same pairing q55 pins."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
-    qs = [x / 10.0 for x in range(1, 10)]
-    bs = li.agg(
-        F.percentile(
-            "l_extendedprice", F.array(*[F.lit(q) for q in qs])
-        ).alias("b")
+    (both linear-interpolation), same pairing q55 pins.
+
+    Optimization r11 (guide §1.2 "per-task work"): the boundary agg is
+    spelled as rank-select over a global sort instead of the built-in
+    exact `percentile` — the TypedImperativeAggregate buffers every
+    value in a boxed OpenHashMap and measured 2.1 s on 600k doubles
+    even when scattered, vs ~1.0 s for sort + row_number + an
+    interpolation join, reproducing Percentile.getPercentile's
+    ``lower*(1-frac) + higher*frac`` bit-for-bit (verified at all
+    three SFs).  Both forms funnel the full value multiset through one
+    node (map buffer vs sort partition) — the production answer
+    remains the sketch, unchanged."""
+    li = load_table(spark, sf_dir, "lineitem", scatter=True).select(
+        "l_extendedprice"
     )
+    qs = [x / 10.0 for x in range(1, 10)]
+    ranked = li.select(F.col("l_extendedprice").alias("v")).select(
+        "v",
+        (F.row_number().over(Window.orderBy("v")) - 1).cast("long").alias("rn"),
+    )
+    nrow = li.agg(F.count(F.lit(1)).alias("n"))
+    bounds = (
+        nrow.select(
+            F.posexplode(F.array(*[F.lit(q) for q in qs])).alias("qi", "q"),
+            "n",
+        )
+        .select("qi", ((F.col("n") - 1) * F.col("q")).alias("h"))
+        .select(
+            "qi",
+            "h",
+            F.floor("h").cast("long").alias("i0"),
+            F.ceil("h").cast("long").alias("i1"),
+        )
+    )
+    frac = F.col("h") - F.floor("h")
+    vals = (
+        ranked.join(
+            F.broadcast(bounds),
+            (F.col("rn") == F.col("i0")) | (F.col("rn") == F.col("i1")),
+        )
+        .groupBy("qi", "h", "i0", "i1")
+        .agg(
+            F.max(F.when(F.col("rn") == F.col("i0"), F.col("v"))).alias("v0"),
+            F.max(F.when(F.col("rn") == F.col("i1"), F.col("v"))).alias("v1"),
+        )
+        .select(
+            "qi",
+            F.when(F.col("i0") == F.col("i1"), F.col("v0"))
+            .otherwise(F.col("v0") * (F.lit(1.0) - frac) + F.col("v1") * frac)
+            .alias("bv"),
+        )
+    )
+    bs = vals.agg(
+        F.sort_array(F.collect_list(F.struct("qi", "bv"))).alias("s")
+    ).select(F.transform("s", lambda x: x["bv"]).alias("b"))
     banded = li.crossJoin(F.broadcast(bs)).select(
         (
             1
