@@ -134,11 +134,15 @@ def update_centroids(
     decimals (the cross-engine determinism anchor: float64 averages
     agree across partial-agg orders far below 1e-6). One hash
     aggregate; output is k rows."""
-    avgs = [
-        F.round(F.avg(F.col(vec_col)[i].cast("double")), 6)
-        for i in range(dim)
-    ]
-    return assigned.groupBy("cid").agg(F.array(*avgs).alias("centroid"))
+    # r11: one parsed expression — the per-dimension Column form cost
+    # ~4 py4j round trips x dim per plan build (and kmeans builds this
+    # once per Lloyd iteration)
+    cols = ", ".join(
+        f"round(avg(cast({vec_col}[{i}] as double)), 6)" for i in range(dim)
+    )
+    return assigned.groupBy("cid").agg(
+        F.expr(f"array({cols}) AS centroid")
+    )
 
 
 def kmeans_assign(

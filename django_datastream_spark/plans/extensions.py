@@ -315,7 +315,16 @@ def q37(spark, sf_dir):
     """,
 )
 def q50(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    # r11: scatter the single-row-group scan (the fold is row-local
+    # CPU), and sort the narrow (doc_id, text) spine BEFORE the fold
+    # projection so range-partition sampling doesn't re-execute it
+    # (q79 pattern); a per-row projection over the sorted exchange
+    # preserves the doc_id order
+    docs = (
+        load_table(spark, sf_dir, "documents", scatter=True)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
     rep = tx.repetition_metrics(docs)
     # + 0.0 canonicalizes IEEE -0.0 → +0.0 (matches the oracle's `+ 0`)
     return rep.select(
@@ -324,7 +333,7 @@ def q50(spark, sf_dir):
         (F.col("dup_2gram_frac") + F.lit(0.0)).alias("dup_2gram_frac"),
         (F.col("top_2gram_frac") + F.lit(0.0)).alias("top_2gram_frac"),
         "keep",
-    ).orderBy("doc_id")
+    )
 
 
 _MIX_RATES = {"src0": 0.9, "src1": 0.6, "src2": 0.3}
