@@ -366,10 +366,16 @@ def token_offsets(
     DISTRIBUTED prefix sum, never a single-partition window: range-
     partition by id, cumsum inside each partition, then add per-
     partition base offsets (one bounded collect of partition totals,
-    O(#partitions) driver rows at any corpus size)."""
+    O(#partitions) driver rows at any corpus size). The range shuffle is
+    pinned with an eager localCheckpoint: ``_pid`` must mean the SAME
+    physical partition in the totals job and the downstream join, and
+    without the pin each action re-executes the shuffle with its own AQE
+    coalesce decision (and re-runs the whole encode subtree for the
+    totals pass)."""
     d = (
         enc.filter(F.col(n_col).isNotNull())
         .repartitionByRange(F.col(id_col))
+        .localCheckpoint(eager=True)
         .withColumn("_pid", F.spark_partition_id())
     )
     w = Window.partitionBy("_pid").orderBy(id_col)

@@ -195,6 +195,33 @@ def test_token_offsets_distributed_prefix_sum(spark):
         acc += len(t)
 
 
+def test_token_offsets_pid_stable_across_actions(spark):
+    # Regression: token_offsets tags rows with spark_partition_id() and
+    # reads that tag from TWO actions (the partition-totals collect and
+    # the downstream join). Without the eager localCheckpoint pin, each
+    # action re-executes the range shuffle and AQE may coalesce it
+    # DIFFERENTLY (observed: 64 KB coalesce floor → totals job saw other
+    # partition boundaries than the join job → documents dropped by the
+    # inner join on _pid). Force a many-partition, skew-sized shuffle so
+    # coalesce decisions are non-trivial, then check the exact prefix sum.
+    rows = [
+        (i, "y" * (1 + (i % 17) * 97))  # uneven doc sizes
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(24)
+    tok = bpe.BPETokenizer([])
+    enc = bpe.encode_column(df, tok, "text")
+    got = {
+        r["doc_id"]: r["tok_start"]
+        for r in bpe.token_offsets(enc).collect()
+    }
+    assert len(got) == len(rows)
+    acc = 0
+    for i, t in rows:
+        assert got[i] == acc, i
+        acc += len(t)
+
+
 def test_pack_token_blocks_matches_local_repack(spark):
     texts = ["alpha beta ", "gamma", " delta epsilon zeta", "", "eta!"]
     df = spark.createDataFrame(
