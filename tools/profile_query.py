@@ -83,6 +83,8 @@ def main() -> None:
             spark.sparkContext.setJobDescription(None)
     for name in resolved:
         s = samples[name]
+        if not s:
+            continue
         print(
             f"{name:46s} min {min(s):7.3f}  median {statistics.median(s):7.3f}"
             f"  all {[round(x, 3) for x in s]}"
