@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.text import fingerprint_md5, tokens, with_shingles, word_shingles
 
@@ -351,7 +352,10 @@ def simhash_near_pairs(
 
 
 def dedup_clusters(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    small_edge_cap: int = 100_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: every doc gets
     ``cluster_id`` = the minimum doc id in its component (the canonical
@@ -374,13 +378,61 @@ def dedup_clusters(
     every round. At 100 TB the label table is O(near-dup nodes) — tiny
     under LSH blocking — and the per-round joins never touch corpus-
     sized data. The round count of the last call is exposed as
-    ``dedup_clusters.last_rounds`` (diagnostic/testing)."""
+    ``dedup_clusters.last_rounds`` (diagnostic/testing).
+
+    Size-adaptive (r11, guide §2/§3 "derive from input size"): when the
+    deduplicated edge set is at most ``small_edge_cap`` rows (counted on
+    the already-pinned checkpoint, one tiny job), the components are
+    solved with a driver-side union-find and shipped back as a
+    broadcast-sized label table — the same bounded-collect class as a
+    broadcast join's build side (~MBs at the default cap), and the exact
+    same labels. Above the cap the distributed fixpoint runs unchanged;
+    ``small_edge_cap=0`` forces it (used by the convergence tests)."""
     und = (
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if small_edge_cap > 0 and und.count() <= small_edge_cap:
+        parent: dict = {}
+
+        def _find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for r in und.collect():
+            x, y = r["x"], r["y"]
+            parent.setdefault(x, x)
+            parent.setdefault(y, y)
+            rx, ry = _find(x), _find(y)
+            if rx != ry:
+                parent[ry] = rx
+        comp_min: dict = {}
+        for v in parent:
+            root = _find(v)
+            m = comp_min.get(root)
+            if m is None or v < m:
+                comp_min[root] = v
+        dedup_clusters.last_rounds = 0
+        spark = docs.sparkSession
+        x_type = und.schema["x"].dataType
+        labels = spark.createDataFrame(
+            [(v, comp_min[_find(v)]) for v in parent],
+            T.StructType(
+                [T.StructField("x", x_type), T.StructField("_mn", x_type)]
+            ),
+        ).select("x", F.col("_mn").cast("long").alias("cluster_id"))
+        return docs.select(F.col(id_col)).join(
+            F.broadcast(labels).withColumnRenamed("x", id_col), id_col, "left"
+        ).select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col).cast("long")).alias(
+                "cluster_id"
+            ),
+        )
     labels = (
         und.select("x")
         .distinct()

@@ -670,7 +670,7 @@ def q40(spark, sf_dir):
     """,
 )
 def q54(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", scatter=True)
     ev = docs.filter(F.col("doc_id") % 50 == 0)
     train = docs.filter(F.col("doc_id") % 50 != 0)
     return (

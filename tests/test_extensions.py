@@ -178,12 +178,42 @@ def test_dedup_clusters_long_chain_converges_logarithmically(spark):
     )
     got = {
         r["doc_id"]: r["cluster_id"]
-        for r in dd.dedup_clusters(docs, pairs).collect()
+        # small_edge_cap=0 forces the distributed fixpoint this test pins
+        for r in dd.dedup_clusters(docs, pairs, small_edge_cap=0).collect()
     }
     assert got == {i: 0 for i in range(n)}
     # ceil(log2(200)) = 8; the combined neighbor+halving update empirically
     # converges in ~6 rounds (+1 no-change round to detect the fixpoint)
     assert dd.dedup_clusters.last_rounds <= 12, dd.dedup_clusters.last_rounds
+
+
+def test_dedup_clusters_driver_path_matches_distributed(spark):
+    """The size-adaptive driver union-find (edge set under the cap) must
+    produce byte-identical labels to the distributed fixpoint on a graph
+    with chains, a cycle, a star, and singletons."""
+    import random
+
+    rng = random.Random(7)
+    n = 120
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = (
+        [(i, i + 1) for i in range(0, 30)]        # chain
+        + [(40, 41), (41, 42), (42, 40)]          # cycle
+        + [(60, 60 + k) for k in range(1, 8)]     # star
+        + [(rng.randrange(80, 118), rng.randrange(80, 118)) for _ in range(25)]
+    )
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    fast = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.dedup_clusters(docs, pairs).collect()
+    }
+    assert dd.dedup_clusters.last_rounds == 0  # took the driver path
+    slow = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.dedup_clusters(docs, pairs, small_edge_cap=0).collect()
+    }
+    assert dd.dedup_clusters.last_rounds >= 1  # took the distributed path
+    assert fast == slow
 
 
 def test_vocab_topk_counts_and_tiebreak(spark):
