@@ -16,6 +16,91 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _nozip_spark_home(home: str) -> str | None:
+    """Build (idempotently) a SPARK_HOME stub whose python/lib has no zips.
+
+    Every Python worker Spark spawns — pyspark.daemon, the planner workers
+    behind Python DataSources, and the per-query streaming source/sink
+    runners (launched as FRESH interpreters via createSimpleWorker) — gets
+    ``$SPARK_HOME/python/lib/pyspark.zip`` prepended to PYTHONPATH by
+    PythonWorkerFactory. zipimport cannot cache bytecode, so each fresh
+    interpreter re-parses ~0.8 s of pyspark source per spawn (guide §4
+    heavyweight init at the Python boundary). When the worker interpreter
+    can already import pyspark from its own site-packages (cached .pyc),
+    pointing SPARK_HOME at a stub that mirrors the distro except for the
+    python/lib zips lets workers fall through to that copy: measured ~0.3 s
+    per interpreter spawn, ~2 s per streaming-replay query. JVM launch is
+    unaffected (bin/jars/conf symlink to the real distro).
+    """
+    import hashlib
+    import zipfile
+
+    pyspark_zip = os.path.join(home, "python", "lib", "pyspark.zip")
+    if not os.path.isdir(home) or not os.path.exists(pyspark_zip):
+        return None  # already zip-less (pip layout): nothing to gain
+    try:
+        import pyspark
+
+        if os.path.abspath(pyspark.__file__).startswith(os.path.abspath(home)):
+            return None  # workers have no other pyspark to fall back to
+        with zipfile.ZipFile(pyspark_zip) as zf:
+            version_src = zf.read("pyspark/version.py").decode("utf-8")
+        quoted = (f"'{pyspark.__version__}'", f'"{pyspark.__version__}"')
+        if not any(q in version_src for q in quoted):
+            return None  # distro/site-packages version drift: keep stock path
+    except Exception:
+        return None
+
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(home).encode()).hexdigest()[:8]
+    stub = os.path.join(tempfile.gettempdir(), f"spark_home_nozip_{key}")
+    try:
+        os.makedirs(os.path.join(stub, "python", "lib"), exist_ok=True)
+        for entry in os.listdir(home):
+            if entry == "python":
+                continue
+            link = os.path.join(stub, entry)
+            target = os.path.join(home, entry)
+            if os.path.islink(link):
+                if os.readlink(link) == target:
+                    continue
+                os.unlink(link)
+            try:
+                os.symlink(target, link)
+            except FileExistsError:
+                pass  # concurrent builder; targets are identical
+        # anything that resolves $SPARK_HOME/python/pyspark directly
+        py_link = os.path.join(stub, "python", "pyspark")
+        if not os.path.islink(py_link):
+            try:
+                os.symlink(os.path.join(home, "python", "pyspark"), py_link)
+            except FileExistsError:
+                pass
+        # stale zips from an older layout would defeat the point
+        for leftover in os.listdir(os.path.join(stub, "python", "lib")):
+            if leftover.endswith(".zip"):
+                os.unlink(os.path.join(stub, "python", "lib", leftover))
+    except OSError:
+        return None
+    return stub
+
+
+def _point_workers_at_cached_pyspark() -> None:
+    if os.environ.get("SPARK_GRAFT_KEEP_SPARK_HOME"):
+        return
+    home = os.environ.get("SPARK_HOME")
+    if not home:
+        return
+    from pyspark import SparkContext
+
+    if SparkContext._active_spark_context is not None:
+        return  # JVM already launched with the env it launched with
+    stub = _nozip_spark_home(home)
+    if stub:
+        os.environ["SPARK_HOME"] = stub
+
+
 def get_spark(
     app_name: str = "django-datastream-spark",
     master: str | None = None,
@@ -27,6 +112,7 @@ def get_spark(
     for the local[] test harness.
     """
     cpus = default_parallelism()
+    _point_workers_at_cached_pyspark()
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
         SparkSession.builder.appName(app_name)
