@@ -7131,11 +7131,14 @@ def _txn_events_table(spark, sf_dir, key):
     _sh.rmtree(base, ignore_errors=True)
     root = _os.path.join(base, "table")
     ev = load_table(spark, sf_dir, "events")
-    for d0, d1 in ((1, 10), (11, 20), (21, 31)):
-        sl = ev.filter(
-            (F.dayofmonth("ts") >= d0) & (F.dayofmonth("ts") <= d1)
-        ).coalesce(2)
-        TL.txn_append(spark, sl, root, [])
+    # one scan+write job routed into the three commits (txn_append_split)
+    # instead of three filter+write jobs — commit contents are identical
+    era = (
+        F.when(F.dayofmonth("ts") <= 10, F.lit(1))
+        .when(F.dayofmonth("ts") <= 20, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    TL.txn_append_split(spark, ev.coalesce(2), root, era, [1, 2, 3])
     return root
 
 

