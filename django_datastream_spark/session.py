@@ -170,7 +170,14 @@ def harden_session(spark: SparkSession) -> SparkSession:
     them for oracle parity. Also ships this package to executor Python
     workers (addPyFile) so UDF closures resolve regardless of the
     session's original PYTHONPATH.
+
+    Idempotent per session object: load_table calls this on every
+    declared-query build, and the conf.set py4j round trips are pure
+    overhead after the first call — nothing in the engine unsets these
+    four confs, and ~1000 builder calls per bench run would re-pin them.
     """
+    if getattr(spark, "_dds_hardened", False):
+        return spark
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     for conf, val in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
@@ -182,6 +189,7 @@ def harden_session(spark: SparkSession) -> SparkSession:
         except Exception:
             pass  # non-runtime conf on this build; loader has a pyarrow fallback
     _ship_package(spark)
+    spark._dds_hardened = True
     return spark
 
 
