@@ -112,7 +112,7 @@ def fuzzy_contaminated(
     contract is replicated by the q72 oracle. Returns ``train`` ids +
     ``n_matches``, ``max_jaccard``, ``contaminated``."""
     from ..functions.text import with_shingles
-    from .dedup import minhash_signatures_md5
+    from .dedup import _md5_band_keys_expr, minhash_signatures_md5
 
     rows = num_hashes // bands
     if rows * bands != num_hashes:
@@ -120,16 +120,7 @@ def fuzzy_contaminated(
 
     def banded(docs: DataFrame, alias: str) -> DataFrame:
         sig = minhash_signatures_md5(docs, text_col, id_col, num_hashes, n)
-        keys = F.array(
-            *[
-                F.md5(
-                    F.concat_ws(
-                        ",", *[F.col(f"h{b * rows + r}") for r in range(rows)]
-                    )
-                )
-                for b in range(bands)
-            ]
-        )
+        keys = _md5_band_keys_expr(num_hashes, bands)
         return sig.select(
             F.col(id_col).alias(alias), F.posexplode(keys).alias("band", "bkey")
         )

@@ -50,6 +50,24 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _md5_band_keys_expr(num_hashes: int, bands: int) -> Column:
+    """``array(md5(concat_ws(',', h0, h1)), …)`` — one band key per
+    ``rows``-wide signature slice, parsed as a SINGLE SQL string.
+
+    Plan-BUILD time is real bench time (OPTIMIZATION_r11.md finding 3):
+    assembling this array from Column objects costs ``bands×(rows+2)``
+    py4j round trips per builder call; one ``F.expr`` parse is one.
+    Bit-identical to the Column form — same parsed expression tree."""
+    rows = num_hashes // bands
+    slices = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"h{b * rows + r}" for r in range(rows))
+        + "))"
+        for b in range(bands)
+    )
+    return F.expr(f"array({slices})")
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -62,14 +80,13 @@ def minhash_signatures(
     sh = with_shingles(docs, shingle_n, text_col, id_col).select(
         F.col(id_col), F.explode_outer("_sh").alias("sh")
     )
-    aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signatures")
-    )
+    # ONE F.expr parse for the whole aggregate instead of ~5 py4j round
+    # trips per hash (finding 3). The optimizer collapses the old
+    # agg-then-Project(array) into exactly this Aggregate[array(min…)]
+    # shape, so the optimized plan — and every row — is unchanged
+    # (SQL integral literals parse as INT, same as F.lit(i)).
+    mins = ", ".join(f"min(xxhash64(sh, {i}))" for i in range(num_hashes))
+    return sh.groupBy(id_col).agg(F.expr(f"array({mins}) AS signatures"))
 
 
 def lsh_candidate_pairs(
@@ -84,23 +101,14 @@ def lsh_candidate_pairs(
     bucket. The join is an equi-join on the band key — Catalyst plans a
     shuffle-hash join whose width is the bucket size, never all-pairs.
     """
-    bands_df = signatures.select(
+    # one selectExpr parse instead of ~15 py4j round trips assembling the
+    # lambda chain (finding 3); same parsed higher-order expression
+    bands_df = signatures.selectExpr(
         id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.slice(
-                            F.col("signatures"),
-                            (b * rows_per_band + 1).cast("int"),
-                            rows_per_band,
-                        ).cast("array<string>"),
-                    )
-                ),
-            )
-        ).alias("band", "key"),
+        f"posexplode(transform(sequence(0, {bands - 1}), "
+        f"b -> xxhash64(concat_ws(',', cast(slice(signatures, "
+        f"cast(b * {rows_per_band} + 1 as int), {rows_per_band}) "
+        f"as array<string>))))) AS (band, key)",
     )
     a = bands_df.select(
         F.col(id_col).alias("a"), F.col("band"), F.col("key")
@@ -194,8 +202,9 @@ def minhash_signatures_md5(
     sh = with_shingles(docs, shingle_n, text_col, id_col).select(
         F.col(id_col), F.explode("_sh").alias("sh")
     )
+    # one parse per agg instead of ~5 py4j round trips each (finding 3)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        F.expr(f"min(md5(concat('{i}:', sh))) AS h{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -219,14 +228,7 @@ def minhash_lsh_dedup_md5(
     if rows * bands != num_hashes:
         raise ValueError("rows * bands must equal num_hashes")
     sig = minhash_signatures_md5(docs, text_col, id_col, num_hashes, shingle_n)
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(",", *[F.col(f"h{b * rows + r}") for r in range(rows)])
-            )
-            for b in range(bands)
-        ]
-    )
+    band_keys = _md5_band_keys_expr(num_hashes, bands)
     banded = sig.select(
         F.col(id_col).alias("_id"), F.posexplode(band_keys).alias("band", "bkey")
     )
@@ -640,18 +642,10 @@ def levenshtein_candidates(
     out (their near-dups are exact-dedup territory). Returns distinct
     (a, b) with a < b.
     """
-    rows = num_hashes // bands
-    if rows * bands != num_hashes:
+    if (num_hashes // bands) * bands != num_hashes:
         raise ValueError("rows * bands must equal num_hashes")
     sig = minhash_signatures_md5(docs, text_col, id_col, num_hashes, shingle_n)
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(",", *[F.col(f"h{b * rows + r}") for r in range(rows)])
-            )
-            for b in range(bands)
-        ]
-    )
+    band_keys = _md5_band_keys_expr(num_hashes, bands)
     banded = sig.select(F.col(id_col).alias("_id"), band_keys.alias("_bk"))
     half = length_band // 2
     lbs = F.array(
