@@ -1122,7 +1122,9 @@ def q68(spark, sf_dir):
     stride 48) — functions/text.chunk_documents: pure sequence/filter/
     posexplode/slice expressions, no UDF, whole-stage codegen end to
     end."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r11: scatter the single-row-group scan — the tokenize+chunk
+    # explode otherwise runs as ONE task (finding 1)
+    docs = load_table(spark, sf_dir, "documents", scatter=True)
     return tx.chunk_documents(docs, chunk_size=64, stride=48).orderBy(
         "doc_id", "chunk_idx"
     )
@@ -2367,7 +2369,9 @@ def q93(spark, sf_dir):
     and fuzzy (q72) n-gram checks miss. Eval side broadcasts (it's a
     benchmark — small by construction); the scoring is a map-side pass
     over train with no shuffle on the big side."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # r11: scatter the single-row-group scan — the broadcast-cosine
+    # pass is CPU-dense and otherwise runs as ONE task (finding 1)
+    emb = load_table(spark, sf_dir, "embeddings", scatter=True)
     ev_side = emb.filter(F.col("vec_id") < 50)
     tr_side = emb.filter(F.col("vec_id") >= 50)
     return (
@@ -4536,7 +4540,9 @@ def q132(spark, sf_dir):
     (the dedup shuffle) → one per-doc agg; the reassembly uses
     array_sort(collect_list(struct(idx, chunk))) inside the agg, never
     a driver sort.  Linear in corpus tokens at any scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r11: scatter the single-row-group scan — the tokenize+chunk
+    # explode otherwise runs as ONE task (finding 1)
+    docs = load_table(spark, sf_dir, "documents", scatter=True)
     ch = tx.chunk_documents(docs, chunk_size=10, stride=10).select(
         "doc_id",
         F.col("chunk_idx").alias("idx"),
@@ -8049,7 +8055,11 @@ def q185(spark, sf_dir):
     training."""
     from ..operators import bpe
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # r11: scatter the single-row-group scan — the Arrow encode stage
+    # otherwise runs as ONE task (finding 1)
+    docs = load_table(spark, sf_dir, "documents", scatter=True).select(
+        "doc_id", "text"
+    )
     tok = bpe.BPETokenizer([])
     enc = bpe.encode_column(docs, tok, "text")
     return (
