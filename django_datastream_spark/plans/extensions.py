@@ -1056,6 +1056,13 @@ def q66(spark, sf_dir):
     exact, but that is a numeric coincidence, not a contract — unlike
     q64's retain-all-samples argument). The ±rsd accuracy contract is
     pinned by tests/test_extensions.py::test_approx_distinct_error_bound."""
+    from ..session import interpreted_projection_session
+
+    # r11: rsd=0.01 means a ~1600-slot HLL aggregation buffer whose
+    # generated projections cost ~0.6 s per EXECUTION at any input size
+    # (see interpreted_projection_session) — run this plan interpreted;
+    # bit-identical registers, 3-4x faster at every scale
+    spark = interpreted_projection_session(spark)
     ev = load_table(spark, sf_dir, "events")
     # rsd 0.01: m = (1.106/rsd)^2 ≈ 12k registers — sketch state per
     # group-partial stays KBs (0.005 quadruples it for little gain)

@@ -193,6 +193,33 @@ def harden_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def interpreted_projection_session(spark: SparkSession) -> SparkSession:
+    """A session clone whose non-whole-stage projection factories run
+    INTERPRETED (``spark.sql.codegen.factoryMode=NO_CODEGEN``), for the
+    rare plan whose generated projections are pathologically wide.
+
+    Measured (r11): ``approx_count_distinct(rsd=0.01)`` carries a
+    16384-register HLL++ state = 1639 LONG aggregation-buffer slots, and
+    the codegen'd buffer projections cost ~0.6 s PER EXECUTION at any
+    input size (1k rows = 100k rows; scales with register count, not
+    data; whole-stage codegen is already off for imperative aggregates).
+    Interpreted factories drop that fixed cost 3–4x with bit-identical
+    results — the per-row HLL update is the same JVM method either way;
+    only the per-GROUP buffer-init/result projections change mode, so
+    this holds at any scale.  Scoped: the clone shares the
+    SparkContext and inherits every other conf; the caller's session is
+    untouched.  Cached per parent session object (builders run per
+    bench round)."""
+    cached = getattr(spark, "_dds_interp_session", None)
+    if cached is not None:
+        return cached
+    clone = spark.newSession()
+    clone.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    harden_session(clone)
+    spark._dds_interp_session = clone
+    return clone
+
+
 def _ship_package(spark: SparkSession) -> None:
     if getattr(spark, "_dds_pkg_shipped", False):
         return

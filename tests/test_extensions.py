@@ -890,6 +890,35 @@ def test_approx_distinct_error_bound(spark):
         assert abs(r["a"] - r["e"]) / r["e"] <= 4 * rsd, (r["a"], r["e"])
 
 
+def test_interpreted_projection_session(spark):
+    """q66's r11 optimization: the interpreted-factory session clone
+    must return bit-identical HLL estimates, cache per parent session,
+    and leave the parent's codegen factory mode untouched."""
+    from django_datastream_spark.session import (
+        interpreted_projection_session,
+    )
+
+    clone = interpreted_projection_session(spark)
+    assert clone is interpreted_projection_session(spark)  # cached
+    assert clone is not spark
+    assert clone.conf.get("spark.sql.codegen.factoryMode") == "NO_CODEGEN"
+    assert (
+        spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+        == "FALLBACK"
+    )
+    df = spark.range(5000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") * 7919 % 997).alias("k")
+    )
+    agg = lambda s: (  # noqa: E731
+        s.createDataFrame(df.collect(), df.schema)
+        .groupBy("g")
+        .agg(F.approx_count_distinct("k", 0.01).alias("a"))
+        .orderBy("g")
+        .collect()
+    )
+    assert agg(spark) == agg(clone)
+
+
 def test_pack_greedy_crafted(spark):
     """Greedy fill edge cases: exact-fit stays in the pack, overflow
     starts a new one, an oversize doc gets its own pack, and packing is
