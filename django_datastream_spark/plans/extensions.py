@@ -59,7 +59,16 @@ def q31(spark, sf_dir):
     """,
 )
 def q32(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    # r11: scatter the single-row-group scan (the metrics are row-local
+    # regex/HOF CPU), and sort the narrow (doc_id, text) spine BEFORE
+    # the metric projection so range-partition sampling doesn't
+    # re-execute it (q79/q50 pattern); a per-row projection over the
+    # sorted exchange preserves the doc_id order
+    docs = (
+        load_table(spark, sf_dir, "documents", scatter=True)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
     t = tx.tokens(F.col("text"))
     stop = F.array(*[F.lit(w) for w in tx._EN_STOPWORDS])
     n_tok = F.size(t)
@@ -76,7 +85,7 @@ def q32(spark, sf_dir):
             / F.nullif(n_tok, F.lit(0)),
             4,
         ).alias("stop_ratio"),
-    ).orderBy("doc_id")
+    )
 
 
 def _lang_marker_values() -> str:
@@ -3116,25 +3125,40 @@ def q107(spark, sf_dir):
     n_supp > 1 AND n_late = 1 — Spark-first, this replaces two extra
     self-joins of lineitem with a single groupBy(orderkey), which is
     the shuffle the order join already paid for. MAX(late supplier)
-    is well-defined because the filter keeps exactly-one-late orders."""
+    is well-defined because the filter keeps exactly-one-late orders.
+
+    The per-order counts are distinct-supplier counts, spelled as a
+    two-level aggregate (pair-level max(late) under one orderkey-keyed
+    shuffle, then order-level count/sum/max) rather than two
+    countDistinct's in one agg: the multi-distinct rewrite would Expand
+    the joined rows 3x into its first shuffle, while the pair level
+    needs the raw rows once — same rows out (l_suppkey is non-null, so
+    count(pairs) == countDistinct(suppkey))."""
     od = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    late = F.when(
+    late_line = (
         F.col("l_shipdate")
-        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
-        F.col("l_suppkey"),
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    pair = (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", late_line.alias("late_line"))
+        .repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late_line").alias("is_late"))
     )
     per_order = (
-        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey")
+        pair.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(late).alias("n_late"),
-            F.max(late).alias("late_supp"),
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("is_late").alias("n_late"),
+            F.max(
+                F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+            ).alias("late_supp"),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )
