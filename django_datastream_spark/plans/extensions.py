@@ -4401,11 +4401,20 @@ def q130(spark, sf_dir):
     first so a part twice in one order doesn't inflate its pairs; the
     a < b predicate halves the join output and canonicalizes pair
     orientation.  (cnt DESC, pa, pb) is a total order, so the LIMIT
-    is deterministic."""
+    is deterministic.
+
+    r11 (guide §2.4 superset-key exchange sharing, the q107 pattern):
+    the dedup rides an orderkey-keyed repartition — hash(l_orderkey)
+    clusters (l_orderkey, l_partkey) too, so the dropDuplicates needs
+    no second exchange and the self-join on l_orderkey reuses the SAME
+    exchange on both sides (plan: 2 full-table Exchanges → 1 + a
+    ReusedExchange). Per-key fan-in is bounded by order size (~7
+    lines), so the narrower key cannot skew."""
     lp = (
         load_table(spark, sf_dir, "lineitem", scatter=True)
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .repartition(F.col("l_orderkey"))
+        .dropDuplicates(["l_orderkey", "l_partkey"])
     )
     a = lp.alias("a")
     b = lp.alias("b")
