@@ -619,6 +619,25 @@ def test_triangle_counting_reuses_oriented_exchange(spark):
     assert "ReusedExchange" in plan
 
 
+def test_q130_dedup_and_selfjoin_share_one_exchange(spark):
+    """q130's (l_orderkey, l_partkey) dedup rides an orderkey-keyed
+    repartition so the dropDuplicates, both self-join sides, and the
+    scatter fan-out share ONE exchange per side (r11): the pre-execution
+    plan must show no extra ENSURE_REQUIREMENTS exchange below the join
+    and no residual RoundRobin fan-out, and at runtime the b-side must
+    collapse to a ReusedExchange of the a-side's repartition."""
+    plan = fplan_of(spark, "q130_copurchase_pairs")
+    assert plan.count("REPARTITION_BY_COL") == 2  # one per join side
+    # the only ENSURE_REQUIREMENTS exchange is the final (pa, pb) agg's
+    assert plan.count("ENSURE_REQUIREMENTS") == 1
+    assert "RoundRobinPartitioning" not in plan  # scatter collapsed
+
+    df = declared.QUERIES["q130_copurchase_pairs"](spark, SF_SMOKE)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+
+
 def test_q166_scalar_broadcast_and_anti_join(spark):
     """TPC-H Q22 shape: the global-average threshold must be a 1-row
     broadcast onto the customer scan (never a correlated per-row
