@@ -64,6 +64,13 @@ def run() -> None:
         load1 = round(os.getloadavg()[0], 2)
     except OSError:
         load1 = None
+    # "cpus" must echo the core count the run HONORED (local[$SPARK_GRAFT_CPUS]),
+    # not the host's — the driver's 8-core scaling run was stamped 32 (VERDICT
+    # r11 "what's wrong" #5). default_parallelism() is the exact value the
+    # session master string was built from.
+    from django_datastream_spark.session import default_parallelism
+
+    honored_cpus = default_parallelism()
     line = json.dumps(
         {
             "metric": "declared_queries_total_wall",
@@ -75,7 +82,8 @@ def run() -> None:
             "total_median": round(sum(medians.values()), 3),
             "sf": sf_val,
             "loadavg_1m_at_end": load1,
-            "cpus": os.cpu_count(),
+            "cpus": honored_cpus,
+            "host_cpus": os.cpu_count(),
         }
     )
     # artifact hardening (BENCH_r04/r05 parsed as null driver-side):

@@ -4409,9 +4409,12 @@ def q130(spark, sf_dir):
     no second exchange and the self-join on l_orderkey reuses the SAME
     exchange on both sides (plan: 2 full-table Exchanges → 1 + a
     ReusedExchange). Per-key fan-in is bounded by order size (~7
-    lines), so the narrower key cannot skew."""
+    lines), so the narrower key cannot skew.  No scatter: the keyed
+    repartition directly above is the parallelizing exchange — a
+    round-robin fan-out under it collapses into it (the executed plan
+    showed scan→keyed exchange either way; VERDICT r11 #3)."""
     lp = (
-        load_table(spark, sf_dir, "lineitem", scatter=True)
+        load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .repartition(F.col("l_orderkey"))
         .dropDuplicates(["l_orderkey", "l_partkey"])

