@@ -443,8 +443,32 @@ class Datastream:
         # the general repair tool if that case matters.
         from .streaming.ingest import _bucket_by_name
 
-        stats = batch.groupBy("stream_id").agg(
-            F.min("ts").alias("_mn"), F.max("ts").alias("_mx")
+        # Batch stats come straight off ``rows`` (r12): the datapoints are
+        # ALREADY driver-side lists by this method's contract, so min/max
+        # per stream is a dict fold here, not a Spark aggregation — the
+        # stats frame becomes a LocalRelation whose broadcast needs no job.
+        # The batch-derived sides (stats, floors) are bounded by the
+        # batch's distinct stream ids — a micro-batch by contract — so
+        # they are explicitly BROADCAST (guide §3.1): size estimates for
+        # tiny local-relation aggregates routinely miss the auto-broadcast
+        # threshold pre-AQE, and the resulting sort-merge exchanges turned
+        # each metadata merge into an 8-job AQE cascade (measured on
+        # q182's appends). The streams side is the only unbounded frame
+        # and is never shuffled by these joins now. (The STREAMING ingest
+        # path computes the same stats as a real aggregation — its batches
+        # are distributed; see streaming/ingest.py.)
+        _mn: dict[str, object] = {}
+        _mx: dict[str, object] = {}
+        for r in rows:
+            s, ts = r["stream_id"], r["ts"]
+            if s not in _mn or ts < _mn[s]:
+                _mn[s] = ts
+            if s not in _mx or ts > _mx[s]:
+                _mx[s] = ts
+        stats = storage.local_rows_df(
+            self.spark,
+            [(s, _mn[s], _mx[s]) for s in sorted(_mn)],
+            "stream_id string, _mn timestamp, _mx timestamp",
         )
         streams_df = self._streams()
         # rollback floor per affected stream: its own batch min, plus
@@ -453,8 +477,10 @@ class Datastream:
             streams_df.filter(F.col("derive_op").isNotNull())
             .select("stream_id", F.explode("derived_from").alias("_src"))
             .join(
-                stats.select(
-                    F.col("stream_id").alias("_src"), F.col("_mn")
+                F.broadcast(
+                    stats.select(
+                        F.col("stream_id").alias("_src"), F.col("_mn")
+                    )
                 ),
                 "_src",
             )
@@ -467,8 +493,8 @@ class Datastream:
             .agg(F.min("_mn").alias("_floor"))
         )
         merged = (
-            streams_df.join(floors, "stream_id")
-            .join(stats, "stream_id", "left")  # _mn/_mx null on dep-only rows
+            streams_df.join(F.broadcast(floors), "stream_id")
+            .join(F.broadcast(stats), "stream_id", "left")  # _mn/_mx null on dep-only rows
             .withColumn(
                 "earliest_ts",
                 F.least(

@@ -79,6 +79,11 @@ def _read_long(buf: io.BytesIO) -> int:
 
 
 def _read_n(buf: io.BytesIO, n: int) -> bytes:
+    # totality: a corrupt zig-zag length can decode negative or beyond
+    # Py_ssize_t (e.g. 2^63, hypothesis-found) — BytesIO.read would raise
+    # OverflowError, leaking a foreign exception type from the reader
+    if n < 0 or n > 0x7FFFFFFFFFFFFFFF - 1:
+        raise AvroError(f"invalid length {n}")
     b = buf.read(n)
     if len(b) != n:
         raise AvroError("truncated data")

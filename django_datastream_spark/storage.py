@@ -82,7 +82,17 @@ def local_rows_df(spark: SparkSession, data, schema) -> DataFrame:
     else:
         cells = [list(r) for r in data]
     pdf = pd.DataFrame(cells if cells else None, columns=cols, dtype=object)
-    return spark.createDataFrame(pdf, schema)
+    # ONE partition, always (r12, guide §2: derive partitioning from input
+    # size): Arrow createDataFrame slices any pandas frame into
+    # defaultParallelism chunks, so a 400-row metadata batch became 32
+    # near-empty partitions — and every write that included one (txn_append
+    # of an ingest batch, a streams-log upsert) ran a 32-task job emitting
+    # dozens of near-empty files (measured: one engine append staged 60
+    # files for 372 rows; q182). These frames are bounded driver-side
+    # metadata BY CONTRACT, so one partition is right at any scale; the two
+    # call sites that fan a bounded list out for distributed work
+    # (collect_file_stats / bloom build) already repartition explicitly.
+    return spark.createDataFrame(pdf, schema).coalesce(1)
 
 STREAMS_SCHEMA = T.StructType(
     [

@@ -44,6 +44,7 @@ def _ids(df):
 
 
 # 1 ── protocol upgrade on DV-after-first-publish ──────────────────────
+@pytest.mark.slow
 def test_republish_after_first_dv_upgrades_protocol(spark, tmp_path):
     root = str(tmp_path / "t")
     TL.txn_append(spark, _mkdf(spark, range(12)).repartition(2), root, [])

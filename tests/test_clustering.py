@@ -59,6 +59,7 @@ def test_assign_tie_breaks_to_lowest_cid(spark):
     assert len(got) == 1 and got[0]["cid"] == 0
 
 
+@pytest.mark.slow
 def test_semdedup_marks_keep_first(spark):
     # 0 and 3 identical (cos=1), 1 near-dup of 0, 2 orthogonal
     rows = [
@@ -74,6 +75,7 @@ def test_semdedup_marks_keep_first(spark):
     assert got == {0: False, 1: True, 2: False, 3: True}
 
 
+@pytest.mark.slow
 def test_kmeans_build_launches_no_jobs(spark):
     sc = spark.sparkContext
     tracker = sc.statusTracker()
@@ -97,6 +99,7 @@ def test_update_centroids_rounds_to_6(spark):
     assert cent[1] == 1.0
 
 
+@pytest.mark.slow
 def test_suggested_k_keeps_pair_growth_subquadratic(spark):
     """The k ∝ √N calibration contract (VERDICT r5 #3): with
     k = suggested_k(N), SemDeDup's within-cluster candidate pairs

@@ -15,6 +15,7 @@ Iceberg -> Delta: snapshots append + position deletes grow across
 rounds; same equality invariant through the Delta view.
 """
 
+import pytest
 import os
 import uuid
 
@@ -54,6 +55,7 @@ def _dv_actions(root, rel, positions):
     ]
 
 
+@pytest.mark.slow
 def test_delta_to_iceberg_churn(spark, tmp_path):
     root = str(tmp_path / "t")
     _write_data(root, "f0.parquet", range(0, 20))

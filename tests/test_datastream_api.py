@@ -162,6 +162,7 @@ def test_append_type_checks(engine):
         engine.append(d, 1.0, ts(0))
 
 
+@pytest.mark.slow
 def test_downsample_numeric_all_granularities(engine):
     n = 3 * 3600 + 30  # 3h of second data + a partial hour tail
     vals = dense_values(n)
@@ -203,6 +204,7 @@ def test_downsample_numeric_all_granularities(engine):
             assert t["mean"] == dt.datetime.fromtimestamp(mean_epoch, tz=UTC).replace(tzinfo=None)
 
 
+@pytest.mark.slow
 def test_downsample_idempotent_and_incremental(engine):
     sid = engine.ensure_stream({"title": "incr"})
     vals = dense_values(600)
@@ -227,6 +229,7 @@ def test_downsample_idempotent_and_incremental(engine):
     assert pts[10]["v"]["sum"] == pytest.approx(sum(range(60)))
 
 
+@pytest.mark.slow
 def test_downsample_nominal_frequencies_and_ties(engine):
     sid = engine.ensure_stream({"title": "nom"}, value_type="nominal")
     # fx_nominal: skewed frequencies incl. an exact tie in bucket 0:
@@ -255,6 +258,7 @@ def test_downsample_nominal_frequencies_and_ties(engine):
     assert "mean" not in b0 or b0.get("mean") is None
 
 
+@pytest.mark.slow
 def test_graph_roundtrip_and_count(engine):
     sid = engine.ensure_stream({"title": "g"}, value_type="graph")
     snaps = [
@@ -294,6 +298,7 @@ def test_graph_props_roundtrip_extra_keys(engine):
     assert got["e"][0] == {"f": "a", "t": "b", "cap": 1.5, "label": "x"}
 
 
+@pytest.mark.slow
 def test_lagging_stream_append_upserts_materialized_bucket(engine):
     """A monotonic append landing in a bucket that downsample already
     emitted (because ANOTHER stream's clock was ahead) must update the
@@ -317,6 +322,7 @@ def test_lagging_stream_append_upserts_materialized_bucket(engine):
     assert agg.count() == 1
 
 
+@pytest.mark.slow
 def test_aggregate_routing_serves_from_agg_and_recomputes_tail(engine):
     """SURVEY §4 aggregate-routing extension: covered buckets come from a
     partition-pruned points_agg scan (algebraic merge), only the
@@ -365,6 +371,7 @@ def test_aggregate_routing_serves_from_agg_and_recomputes_tail(engine):
     assert "minutes" in plan.split("PartitionFilters", 1)[1][:300]
 
 
+@pytest.mark.slow
 def test_aggregate_routing_bounds_raw_scan_when_all_covered(engine):
     """With every selected stream downsampled, the raw-side scan must be
     bounded below by the watermark (pushed to parquet)."""
@@ -382,6 +389,7 @@ def test_aggregate_routing_bounds_raw_scan_when_all_covered(engine):
     assert got == [(nts(0), 60), (nts(60), 60), (nts(120), 60), (nts(180), 20)]
 
 
+@pytest.mark.slow
 def test_downsample_with_watermarkless_streams_stays_complete(engine):
     """The raw-scan lower bound falls back to earliest_ts for streams
     without a watermark (and to source earliest for pure views) — and must
@@ -426,6 +434,7 @@ def test_vacuum_keeps_planned_reader_valid(engine):
     assert [p["v"] for p in engine.get_data(sid, "seconds")][:3] == [0.0, 1.0, 2.0]
 
 
+@pytest.mark.slow
 def test_get_data_bounds_reverse_projection(engine):
     sid = engine.ensure_stream({"title": "bounds"})
     engine.append_multiple(
@@ -569,6 +578,7 @@ def test_delete_streams_dependencies(engine):
     assert engine.find_streams() == []
 
 
+@pytest.mark.slow
 def test_delete_then_vacuum_reclaims_datapoints(engine):
     a = engine.ensure_stream({"title": "keepme"})
     b = engine.ensure_stream({"title": "dropme"})
@@ -590,6 +600,7 @@ def test_delete_then_vacuum_reclaims_datapoints(engine):
     assert [p["v"] for p in engine.get_data(a, "seconds")] == [1.0]
 
 
+@pytest.mark.slow
 def test_mixed_highest_granularity_downsample(engine):
     fine = engine.ensure_stream({"title": "fine"})
     coarse = engine.ensure_stream({"title": "coarse"}, highest_granularity="minutes")
@@ -614,6 +625,7 @@ def test_mixed_highest_granularity_downsample(engine):
     assert m10[0]["v"]["count"] == 10
 
 
+@pytest.mark.slow
 def test_late_reset_rolls_back_derived_watermark(engine):
     """Finality healing (watermark rollback): a reset source append that
     is monotonic for ITS stream but earlier than the derived stream's
@@ -683,6 +695,7 @@ def test_late_reset_rolls_back_derived_watermark(engine):
     assert got != {k.replace(tzinfo=None): v for k, v in before.items()}
 
 
+@pytest.mark.slow
 def test_below_watermark_append_rolls_back_own_watermark(engine):
     """check_timestamp=False lets a point land below an already-advanced
     watermark; the append must roll the watermark back so the point is
@@ -714,6 +727,7 @@ def test_below_watermark_append_rolls_back_own_watermark(engine):
     assert after[ts(60).replace(tzinfo=None)] == 7  # late point aggregated
 
 
+@pytest.mark.slow
 def test_two_sources_one_batch_rollback_takes_lowest_floor(engine):
     """A single batch appending BELOW the watermark to TWO sources of
     one derived stream calls the rollback merge twice for that derived

@@ -869,6 +869,7 @@ def test_approx_percentile_error_bound(spark):
         assert abs(got - target) <= n / acc + 1, (p, got, target)
 
 
+@pytest.mark.slow
 def test_approx_distinct_error_bound(spark):
     """q66's contract: HLL++ relative error stays within a few rsd of
     exact, checked in the regime where the sketch actually estimates
@@ -919,6 +920,7 @@ def test_interpreted_projection_session(spark):
     assert agg(spark) == agg(clone)
 
 
+@pytest.mark.slow
 def test_pack_greedy_crafted(spark):
     """Greedy fill edge cases: exact-fit stays in the pack, overflow
     starts a new one, an oversize doc gets its own pack, and packing is
@@ -1093,6 +1095,7 @@ def _distinct_vocab_corpus(n_docs: int, n_dup_pairs: int):
     return rows
 
 
+@pytest.mark.slow
 def test_levenshtein_candidates_subquadratic(spark):
     """Candidate count is O(planted near-dups), flat in corpus size —
     not ∝N² as fixed-cardinality (source, length-band) blocking was

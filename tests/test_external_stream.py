@@ -294,6 +294,7 @@ def test_delta_stream_change_feed(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_delta_stream_paced(spark, tmp_path):
     """maxFilesPerTrigger bounds each micro-batch: a fresh continuous
     stream advances the offset by at most the file budget per batch

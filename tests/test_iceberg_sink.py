@@ -223,6 +223,7 @@ def test_optimize_iceberg_compacts_and_incrementals_skip(spark, tmp_path):
     assert IB.last_sink_batch(root, "app-o") == 2
 
 
+@pytest.mark.slow
 def test_expire_snapshots_and_absolute_stream_offsets(spark, tmp_path):
     """OPTIMIZE then EXPIRE: the superseded originals (referenced only
     by expired snapshots) are reclaimed; a CAUGHT-UP stream resumes

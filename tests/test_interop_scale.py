@@ -10,6 +10,7 @@ pruning when it shouldn't (or any fold that lost the tail's
 remove/add) makes the scan raise. Only the handful of REAL files'
 rows can come back."""
 
+import pytest
 import json
 import os
 import struct
@@ -261,6 +262,7 @@ def test_iceberg_100k_entries_distributed_decode(spark, tmp_path):
     assert len(files) == 64 * 1600
 
 
+@pytest.mark.slow
 def test_refsets_at_100k_entries_stay_metadata_plane(tmp_path):
     """The cross-log retention guard (sources/refsets.py) folds each
     sibling's remaining history once per maintenance call — at 100k

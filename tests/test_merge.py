@@ -3,6 +3,7 @@ delete / insert semantics, and the touched-volume guarantee that
 partitions without matched keys are never rewritten."""
 
 from __future__ import annotations
+import pytest
 
 import os
 
@@ -277,6 +278,7 @@ def test_merge_preserves_target_only_rows_full_schema(spark, tmp_path):
     assert got == {1: (10.0, "keepme"), 2: (99.0, "y")}
 
 
+@pytest.mark.slow
 def test_merge_model_based_random_sequences(spark, tmp_path):
     """Model-based check: random CDC batch sequences applied through
     merge_into must leave the table exactly at the state of a trivial

@@ -43,6 +43,7 @@ def write_jsonl(path: str, rows: list[dict]) -> None:
 
 
 @pytest.mark.parametrize("transport", ["file", "payload"])
+@pytest.mark.slow
 def test_ops_loop_soak(spark, tmp_path, transport):
     engine = Datastream(spark, str(tmp_path / "store"))
     a = engine.ensure_stream({"title": "soak-a"})
@@ -288,6 +289,7 @@ def test_wide_batch_metadata_stays_plan_side(spark, tmp_path, monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_wide_append_multiple_metadata_stays_plan_side(
     spark, tmp_path, monkeypatch
 ):

@@ -45,6 +45,7 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+@pytest.mark.slow
 def test_no_unbounded_cartesian(spark):
     # cross joins are only allowed with a broadcast side (bounded query set)
     for name, fn in declared.QUERIES.items():
@@ -52,6 +53,7 @@ def test_no_unbounded_cartesian(spark):
         assert "CartesianProduct" not in plan, name
 
 
+@pytest.mark.slow
 def test_declaring_queries_runs_no_jobs(spark):
     """Building a declared query must be pure plan construction — zero
     Spark jobs until an action runs it. A count()/collect() inside a
@@ -169,6 +171,7 @@ def test_declaring_queries_runs_no_jobs(spark):
         assert list(jobs) == [], f"{name} ran Spark jobs while building: {jobs}"
 
 
+@pytest.mark.slow
 def test_incremental_downsample_bounds_raw_scan(spark, tmp_path):
     """After a first downsample run, subsequent runs must filter the raw
     scan at the coarsest watermark (pushed to parquet) instead of
@@ -201,6 +204,7 @@ def test_incremental_downsample_bounds_raw_scan(spark, tmp_path):
     assert "GreaterThanOrEqual(ts" in plan
 
 
+@pytest.mark.slow
 def test_agg_table_scan_prunes_partitions_and_struct_fields(spark, tmp_path):
     """get_data on points_agg: partition pruning on granularity + nested
     schema pruning down to the projected downsampler keys."""

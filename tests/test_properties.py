@@ -195,6 +195,7 @@ def test_nominal_frequency_merge_law(spark):
     "cut,bucket_s,n_after",
     [(67, 60, 50), (240, 600, 123), (555, 3600, 0)],
 )
+@pytest.mark.slow
 def test_aggregate_routing_equals_raw_recompute(spark, tmp_path, cut, bucket_s, n_after):
     from django_datastream_spark.api import Datastream
 

@@ -2,6 +2,7 @@
 (SURVEY §1.3 / T4-T5 scale notes)."""
 
 from __future__ import annotations
+import pytest
 
 import datetime as dt
 import os
@@ -153,6 +154,7 @@ def _agg_row(sid: str, gran: str, bucket: dt.datetime, mean: float) -> dict:
     }
 
 
+@pytest.mark.slow
 def test_upsert_points_agg_appends_unless_keys_collide(spark, tmp_path):
     """Write-amplification bound: an upsert batch that only ADDS new
     buckets must append files (existing files survive byte-identical, no

@@ -74,6 +74,7 @@ def test_streaming_ingest_validates_and_lands(spark, tmp_path):
     assert meta["latest_ts"].replace(tzinfo=UTC) == T0 + dt.timedelta(seconds=5)
 
 
+@pytest.mark.slow
 def test_auto_downsample_materializes_completed_buckets(spark, tmp_path):
     engine = Datastream(spark, str(tmp_path / "store"))
     sid = engine.ensure_stream({"title": "auto"})
@@ -101,6 +102,7 @@ def test_auto_downsample_materializes_completed_buckets(spark, tmp_path):
     assert pts[1]["v"]["count"] == 2  # points at 60 and 65
 
 
+@pytest.mark.slow
 def test_incremental_derive_equals_batch_recompute(spark, tmp_path):
     """FIXTURES B3.4: lag-family derived streams materialized batch-by-batch
     through the streaming path must equal a full batch recompute."""
@@ -154,6 +156,7 @@ def test_incremental_derive_equals_batch_recompute(spark, tmp_path):
     assert len(got["der"]) == len(vals) - 1
 
 
+@pytest.mark.slow
 def test_incremental_sum_equals_batch_and_aggs_follow(spark, tmp_path):
     """`sum`-derived streams materialized through the streaming path must
     equal a full batch recompute even when a lagging source updates slots
@@ -812,6 +815,7 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     ) == 2
 
 
+@pytest.mark.slow
 def test_streaming_late_point_rolls_back_watermark_plan_side(
     spark, tmp_path
 ):

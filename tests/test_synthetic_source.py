@@ -3,6 +3,7 @@ custom format plans partitions driver-side and generates rows
 executor-side, deterministically."""
 
 from __future__ import annotations
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -99,6 +100,7 @@ def test_synthetic_source_streams_with_offsets(spark):
     assert rows[3]["event_type"] == "signup"
 
 
+@pytest.mark.slow
 def test_synthetic_source_checkpoint_recovery(spark, tmp_path):
     """Stop a streaming query mid-flight and restart it on the SAME
     checkpoint: the restarted query must resume from the committed

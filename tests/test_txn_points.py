@@ -41,6 +41,7 @@ def _ingest(engine, n=120):
     return sid
 
 
+@pytest.mark.slow
 def test_engine_hot_path_on_txn_table(engine):
     """append → get_data → downsample → aggregate: identical behavior,
     but every points_raw write is a log commit."""
@@ -177,6 +178,7 @@ def test_streaming_ingest_lands_as_commits(spark, tmp_path):
     assert len(appends) == 2  # one commit per micro-batch
 
 
+@pytest.mark.slow
 def test_agg_upserts_are_snapshot_isolated_commits(spark, tmp_path):
     """TXN_AGG: downsample → append more → downsample again (the
     watermark-tail bucket recomputes = a conflicted upsert). The txn

@@ -1294,6 +1294,7 @@ def test_stats_indexed_columns_are_capped(spark, tmp_path, monkeypatch):
     assert TL.txn_read(spark, path, where={"c4": (1000.0, None)}).count() == 0
 
 
+@pytest.mark.slow
 def test_model_based_random_dml_sequences(spark, tmp_path):
     """Random APPEND/DELETE/UPDATE/OPTIMIZE/RESTORE sequences applied
     to both the table and a plain dict model must agree after every
