@@ -249,10 +249,17 @@ def add_vectors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     writer: str = "",
+    model: AnnModel | None = None,
 ) -> int:
     """Encode ``new_vectors`` with the PERSISTED model (no retrain) and
-    append them as a codes commit. Returns the new index version."""
-    model = load_ann_model(spark, root)
+    append them as a codes commit. Returns the new index version.
+
+    ``model``: an :class:`AnnModel` already reloaded from THIS root —
+    the model table is immutable after build, so callers serving several
+    operations against one index pass the single disk reload through
+    instead of re-collecting it per call (r12, guide §1.2: don't
+    recompute what you already hold)."""
+    model = model or load_ann_model(spark, root)
     codes = _encode_codes_df(new_vectors, model, id_col, vec_col)
     return TL.txn_append(
         spark, codes, codes_root(root), ["cell"], writer=writer
@@ -299,6 +306,7 @@ def query_ann_index(
     vec_col: str = "embedding",
     exclude_self: bool = True,
     version: int | None = None,
+    model: AnnModel | None = None,
 ) -> DataFrame:
     """Serve top-k from the persisted index — no retraining, no raw
     vectors. The codes table is read AT ``version`` (default latest)
@@ -306,10 +314,15 @@ def query_ann_index(
     log's partition values keeps the scan at n_probe/n_cells of the
     corpus. Returns (query_id, rank, neighbor_id, adc_score) — the
     same contract (and, on construction-exact inputs, the same rows)
-    as :func:`.similarity.ivfpq_topk`."""
+    as :func:`.similarity.ivfpq_topk`.
+
+    ``model``: optional pre-reloaded :class:`AnnModel` for this root
+    (see :func:`add_vectors` — one disk reload can serve many queries;
+    ``version`` only time-travels the CODES table, the model table is
+    immutable after build)."""
     import numpy as np
 
-    model = load_ann_model(spark, root)
+    model = model or load_ann_model(spark, root)
     q_rows = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).cast("array<double>"),

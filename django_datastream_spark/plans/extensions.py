@@ -6455,16 +6455,19 @@ def _streaming_events(spark, sf_dir, key, n_links=1):
     return st, _os.path.join(base, "out"), _os.path.join(base, "cp")
 
 
-def _run_bounded(stream_df, out, cp, key, state_partitions=8, provider=None):
+def _run_bounded(stream_df, out, cp, key, state_partitions=4, provider=None):
     """Run an availableNow replay to parquet.  ``state_partitions``
     scopes spark.sql.shuffle.partitions around the stream start: a
     streaming query's STATE STORE count is fixed from that conf at
     first start, and each partition pays a per-batch snapshot/commit
     — at gate scale (1e5 rows) the stores cost more in commit overhead
     than the data (measured: q160 18.6 s -> 10.6 s going 32 -> 4, and
-    q155 13.2 s -> 2.0 s going a bare session's 200 -> 8, so 8 is the
-    DEFAULT for every gate replay — a cold driver session must land
-    these in single-digit seconds).  A 100 TB deployment sizes it UP
+    q155 13.2 s -> 2.0 s going a bare session's 200 -> 8; r12's
+    within-session interleaved A/B then measured 4 beating 8 on every
+    gate — q155 2.23->1.91, q160 4.51->3.50, q161 2.00->1.84,
+    q162 2.69->2.39 mins — and 2 flat vs 4, so 4 is the DEFAULT for
+    every gate replay; a cold driver session must land these in
+    single-digit seconds).  A 100 TB deployment sizes it UP
     with keyspace volume instead; it is the knob, not a constant.
     ``provider="rocksdb"`` selects the RocksDB state store (the
     at-scale option; see session.streaming_state for the measured
@@ -6574,7 +6577,7 @@ def q160(spark, sf_dir):
         & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
         "inner",
     )
-    _run_bounded(pairs, out, cp, "q160", state_partitions=8)
+    _run_bounded(pairs, out, cp, "q160", state_partitions=4)
     res = spark.read.parquet(out)
     gap = F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")
     return (
@@ -6695,7 +6698,7 @@ def q162(spark, sf_dir):
         .parquet(src)
     )
     totals = running_user_totals(stream)
-    _run_bounded(totals, out, cp, "q162", state_partitions=8)
+    _run_bounded(totals, out, cp, "q162", state_partitions=4)
     res = spark.read.parquet(out)
     return res.select(
         "user_id", "event_id", "seq_no",
@@ -9722,13 +9725,17 @@ def q205(spark, sf_dir):
     v1 = AI.build_ann_index(
         spark, root, first, codebooks=_ANN_BOOKS, centroids=_ANN_CENTS
     )
-    AI.add_vectors(spark, root, rest)
+    # ONE disk reload serves the add + both era queries (r12): the model
+    # table is immutable after build, so the round trip stays exercised
+    # while the two extra per-call collects go away (guide §1.2)
+    model = AI.load_ann_model(spark, root)
+    AI.add_vectors(spark, root, rest, model=model)
     queries = vecs.filter(F.col("vec_id") < 16)
     at_v1 = AI.query_ann_index(
-        spark, root, queries, k=3, n_probe=2, version=v1
+        spark, root, queries, k=3, n_probe=2, version=v1, model=model
     ).withColumn("ver", F.lit(1))
     at_v2 = AI.query_ann_index(
-        spark, root, queries, k=3, n_probe=2
+        spark, root, queries, k=3, n_probe=2, model=model
     ).withColumn("ver", F.lit(2))
     return (
         at_v1.unionByName(at_v2)
@@ -10321,11 +10328,14 @@ def q214(spark, sf_dir):
     )
     AI.remove_vectors(spark, root, [4, 5, 6, 7])
     queries = vecs.filter(F.col("vec_id") < 8)
+    # one disk reload serves both era queries (r12, q205 pattern) — the
+    # delete only commits to the CODES table, the model is immutable
+    model = AI.load_ann_model(spark, root)
     at_v1 = AI.query_ann_index(
-        spark, root, queries, k=3, n_probe=2, version=v1
+        spark, root, queries, k=3, n_probe=2, version=v1, model=model
     ).withColumn("ver", F.lit(1))
     at_v2 = AI.query_ann_index(
-        spark, root, queries, k=3, n_probe=2
+        spark, root, queries, k=3, n_probe=2, model=model
     ).withColumn("ver", F.lit(2))
     return (
         at_v1.unionByName(at_v2)
@@ -10778,14 +10788,20 @@ def q219(spark, sf_dir):
     XS.register(spark)
     base = _os.path.dirname(root)
     dest = _os.path.join(base, "dest")
+    # r12: ONE source DataFrame, two .start()s — each start still spawns
+    # its own stream reader (fresh offsets under its checkpoint), so the
+    # redelivery semantics are untouched; only the second planner
+    # round trip (create_data_source + schema probe) goes away.
+    src = (
+        spark.readStream.format("delta_table")
+        .option("path", root)
+        .option("ignoreChanges", "true")
+        .load()
+    )
 
     def _run(cp):
         q = (
-            spark.readStream.format("delta_table")
-            .option("path", root)
-            .option("ignoreChanges", "true")
-            .load()
-            .writeStream.foreachBatch(
+            src.writeStream.foreachBatch(
                 TL.streaming_sink(dest, [], app_id="q219")
             )
             .option("checkpointLocation", cp)
@@ -11506,26 +11522,50 @@ def q228(spark, sf_dir):
 
     from ..sources import external_stream as XS
 
+    import json as _json
+
     root = _delta_cdf_fixture(spark, sf_dir, "q228")
     XS.register(spark)
     base = _os.path.dirname(root)
     cp, out = _os.path.join(base, "cp"), _os.path.join(base, "out")
+    # r12: the source DataFrame is built ONCE and re-started per run —
+    # each .start() still spawns a fresh reader (its own pacing cursor)
+    # resuming from the shared checkpoint, so the drained slices are
+    # unchanged; only the per-iteration plan re-build goes away. The
+    # caught-up check reads the checkpoint's own offset log (the
+    # stream's durable position — what a real operator polls) instead
+    # of re-scanning the landed parquet with a Spark job per run.
+    src = (
+        spark.readStream.format("delta_table")
+        .option("path", root)
+        .option("readChangeFeed", "true")
+        .option("maxFilesPerTrigger", "1")
+        .load()
+    )
+
+    def _drained_to():
+        odir = _os.path.join(cp, "offsets")
+        try:
+            batches = sorted(int(f) for f in _os.listdir(odir) if f.isdigit())
+        except FileNotFoundError:
+            return -1
+        with open(_os.path.join(odir, str(batches[-1]))) as f:
+            last = [ln for ln in f.read().splitlines() if ln.strip()][-1]
+        off = _json.loads(last)
+        if isinstance(off, str):  # sometimes double-encoded
+            off = _json.loads(off)
+        return int(off["v"])
+
     for _ in range(4):  # 2 slices + the caught-up check run
         q = (
-            spark.readStream.format("delta_table")
-            .option("path", root)
-            .option("readChangeFeed", "true")
-            .option("maxFilesPerTrigger", "1")
-            .load()
-            .writeStream.format("parquet")
+            src.writeStream.format("parquet")
             .option("path", out)
             .option("checkpointLocation", cp)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(600)
-        landed = spark.read.parquet(out)
-        if landed.agg(F.max("_commit_version")).first()[0] == 1:
+        if _drained_to() >= 1:
             break
     return (
         spark.read.parquet(out)
@@ -11585,14 +11625,17 @@ def q229(spark, sf_dir):
     XS.register(spark)
     base = _os.path.dirname(root)
     dest = _os.path.join(base, "dest")
+    # one source DataFrame, two starts (r12, q219 pattern)
+    src = (
+        spark.readStream.format("delta_table")
+        .option("path", root)
+        .option("ignoreChanges", "true")
+        .load()
+    )
 
     def _run(cp):
         q = (
-            spark.readStream.format("delta_table")
-            .option("path", root)
-            .option("ignoreChanges", "true")
-            .load()
-            .writeStream.foreachBatch(
+            src.writeStream.foreachBatch(
                 DLT.delta_streaming_sink(dest, "q229-app")
             )
             .option("checkpointLocation", cp)
@@ -11659,14 +11702,17 @@ def q231(spark, sf_dir):
     XS.register(spark)
     base = _os.path.dirname(root)
     dest = _os.path.join(base, "dest")
+    # one source DataFrame, two starts (r12, q219 pattern)
+    src = (
+        spark.readStream.format("delta_table")
+        .option("path", root)
+        .option("ignoreChanges", "true")
+        .load()
+    )
 
     def _run(cp):
         q = (
-            spark.readStream.format("delta_table")
-            .option("path", root)
-            .option("ignoreChanges", "true")
-            .load()
-            .writeStream.foreachBatch(
+            src.writeStream.foreachBatch(
                 IB.iceberg_streaming_sink(dest, "q231-app")
             )
             .option("checkpointLocation", cp)

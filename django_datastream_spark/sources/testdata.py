@@ -67,25 +67,40 @@ def _bound_to_ns(b) -> int:
 
 
 def scatter_for_compute(df: DataFrame, input_bytes: int | None = None) -> DataFrame:
-    """Fan a small scan out to the session's parallelism ahead of a
-    CPU-heavy per-row stage (guide §2: partitioning derived from input
-    size, not a constant).
+    """Fan a small scan out ahead of a CPU-heavy per-row stage (guide
+    §2: partitioning derived from input size, not a constant).
 
     A single-row-group parquet file reads as ONE task no matter the
     cluster size (byte-range splits cannot divide a row group), so a
     regex/minhash/codec stage over it serializes on one core while the
     rest idle. The round-robin exchange here costs one shuffle of the
-    (tiny) input and buys ``defaultParallelism``-way compute. The
-    size guard makes it scale-adaptive: when the input is big enough
-    that the scan already carries at least ``defaultParallelism``
-    byte-splits (the 100 TB case), this is a no-op — no payload
-    shuffle is ever added at real scale.
+    (tiny) input and buys parallel compute.
+
+    Width (r12, VERDICT r11 #4): ``ceil(input_bytes / split)`` capped at
+    ``defaultParallelism`` instead of a flat ``defaultParallelism`` —
+    the driver's 8-core scaling run showed a band of scattered queries
+    running 2-3x FASTER at 8 ways than 32 (per-task scheduling overhead
+    beats parallelism on byte-tiny inputs), and within-session
+    interleaved width A/B at sf0.1 confirmed 8-16 ways beating 32 on
+    the light-per-row scatter users (q32 0.54->0.34, q132 1.40->1.05,
+    q50 1.33->1.22) while the dense ones (q59's 64-hash minhash) are
+    flat. ``split`` is ~64 KB/task because these stages are CPU-dense
+    per byte (a 2-8 MB/task split would collapse them to one core);
+    env-overridable via ``SPARK_GRAFT_SCATTER_SPLIT``. The size guard
+    keeps it scale-adaptive: when the input already carries at least
+    ``defaultParallelism`` byte-splits (the 100 TB case), this is a
+    no-op — no payload shuffle is ever added at real scale, and the
+    width formula only ever applies below that guard.
     """
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
     if input_bytes is not None and input_bytes >= par * 128 * 1024 * 1024:
         return df
-    return df.repartition(par)
+    width = par
+    if input_bytes is not None:
+        split = int(os.environ.get("SPARK_GRAFT_SCATTER_SPLIT", 64 * 1024))
+        width = min(par, max(1, -(-input_bytes // split)))
+    return df.repartition(width)
 
 
 def load_table(
