@@ -365,3 +365,20 @@ def test_cell_stats_reports_skew(spark, tmp_path):
     # descending by population
     pops = [r["n_vectors"] for r in rows]
     assert pops == sorted(pops, reverse=True)
+
+
+def test_query_with_prereloaded_model_matches_fresh_reload(spark, tmp_path):
+    """r12: one disk reload may serve several operations against a root
+    (the model table is immutable after build) — results must be
+    IDENTICAL to per-call reloads."""
+    root = str(tmp_path / "idx")
+    vecs = _orthocell_vecs(spark)
+    AI.build_ann_index(
+        spark, root, vecs, codebooks=BOOKS, centroids=CENTS
+    )
+    model = AI.load_ann_model(spark, root)
+    fresh = AI.query_ann_index(spark, root, vecs, k=2, n_probe=2).collect()
+    reused = AI.query_ann_index(
+        spark, root, vecs, k=2, n_probe=2, model=model
+    ).collect()
+    assert [tuple(r) for r in fresh] == [tuple(r) for r in reused]

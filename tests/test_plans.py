@@ -652,3 +652,25 @@ def test_q166_scalar_broadcast_and_anti_join(spark):
     assert "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
     assert "o_comment" not in plan  # orders scan pruned
+
+
+def test_scatter_width_derives_from_input_bytes(spark):
+    """r12 (VERDICT r11 #4): the compute fan-out sizes itself from input
+    bytes (ceil(bytes / split), capped at parallelism) instead of a flat
+    defaultParallelism, and stays a no-op above the scale guard."""
+    from django_datastream_spark.sources.testdata import (
+        scatter_for_compute,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 1000)
+    # tiny input: ~594 KB at the default 64 KB split -> 10 ways (not par)
+    w = scatter_for_compute(df, 594_000).rdd.getNumPartitions()
+    assert w == min(par, 10), w
+    # sub-split input never over-fans
+    assert scatter_for_compute(df, 1_000).rdd.getNumPartitions() == 1
+    # at-scale input: guard short-circuits, no exchange added
+    big = scatter_for_compute(df, par * 128 * 1024 * 1024)
+    assert big is df
+    # unknown size keeps the full fan-out (legacy behavior)
+    assert scatter_for_compute(df).rdd.getNumPartitions() == par

@@ -412,3 +412,19 @@ def test_local_rows_df_is_arrow_local_and_faithful(spark):
     assert [(r["k"], r["n"]) for r in t.collect()] == [("a", 1), ("b", None)]
     empty = local_rows_df(spark, [], "k string, n long")
     assert empty.count() == 0 and [f.name for f in empty.schema.fields] == ["k", "n"]
+
+
+def test_local_rows_df_is_single_partition(spark):
+    """r12: bounded driver-side metadata frames must not fan out — Arrow
+    createDataFrame slices any pandas frame into defaultParallelism
+    chunks, which turned every metadata write that embedded one into a
+    many-task job emitting near-empty files (a 372-row engine append
+    staged 60 files). One partition is the contract; distributed
+    fan-outs repartition explicitly on top."""
+    from django_datastream_spark.storage import local_rows_df
+
+    df = local_rows_df(
+        spark, [(f"s{i}",) for i in range(500)], "stream_id string"
+    )
+    assert df.rdd.getNumPartitions() == 1
+    assert df.count() == 500
